@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes fully via the noop sink (no driver collect overhead).
+One warmup pass of the flagship query amortizes JVM/codegen startup out of
+the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from surge_spark.queries import all_queries  # noqa: E402
+from surge_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "j_revenue_per_nation",        # multi-join + agg (flagship)
+    "a_groupby_pricing_summary",   # wide hash aggregation
+    "a2_latest_per_key",           # KTable compaction analog
+    "w_topk_per_key",              # window top-k
+    "j_asof_join",                 # as-of/range join
+    "es_count_fold",               # per-key ordered fold (applyInPandas)
+    "h_session_windows",           # sessionization
+    "d_exact_dedup",               # exact dedup
+    "d_minhash_lsh_neardup",       # MinHash-LSH near-dedup
+    "sim_cosine_topk_bruteforce",  # embedding top-k
+    "t_quality_score",             # text quality features
+    "t_bpe_ish_token_count",       # regex tokenizer counts
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("surge-spark-bench")
+    queries = all_queries()
+
+    # warmup: JVM + codegen + parquet footer cache
+    queries["j_revenue_per_nation"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Table loaders and view registration.
+
+Reads are always schema-explicit (no inference) so Catalyst can prune columns
+and push predicates into the parquet scan. At 100 TB these tables would be
+partitioned/bucketed; the loaders only declare the logical source — physical
+layout concerns (partition columns, bucketing) live with the writer side in
+``operators.snapshot``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table.
+
+    Parquet footers are self-describing, so no schema inference cost; the
+    declared StructTypes in ``schemas`` are the logical contract. The events
+    table stores nanosecond timestamps, which Spark only reads as long —
+    convert to microsecond TimestampType (truncation, matching DuckDB's
+    ns→us behavior)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view (for spark.sql paths)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

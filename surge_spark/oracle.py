@@ -1,0 +1,131 @@
+"""Local mirror of the driver's DuckDB-oracle correctness harness.
+
+Runs a catalog query on Spark and its oracle SQL on DuckDB over the same
+parquet tables, then compares row count, column names, and values
+(order-insensitive: columns sorted by name, rows sorted by all columns).
+Used by tests and the `python -m surge_spark.oracle` CLI so regressions are
+caught before the driver's per-round gate runs.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from . import TABLES
+from .io import table_path
+
+
+def duckdb_connect(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize cell values so sorting/compare is type-stable
+    def canon(v):
+        if hasattr(v, "tolist") and not isinstance(v, (int, float)):  # numpy array
+            v = v.tolist()
+        if isinstance(v, (list, tuple)):
+            return tuple(canon(x) for x in v)
+        if isinstance(v, dict):
+            return tuple(sorted((k, canon(x)) for k, x in v.items()))
+        if isinstance(v, float) and math.isnan(v):
+            return None
+        if v is None or v is pd.NaT:
+            return None
+        if isinstance(v, pd.Timestamp):
+            return v.to_pydatetime().replace(tzinfo=None)
+        return v
+
+    out = df.copy()
+    for c in out.columns:
+        out[c] = out[c].map(canon)
+    out = out.sort_values(by=list(out.columns), key=lambda s: s.map(_sort_key)).reset_index(
+        drop=True
+    )
+    return out
+
+
+def _sort_key(v):
+    return (v is None, str(type(v)), str(v))
+
+
+def _values_equal(a, b, rel_tol: float = 1e-9) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_values_equal(x, y, rel_tol) for x, y in zip(a, b))
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return math.isclose(fa, fb, rel_tol=rel_tol, abs_tol=1e-9)
+    return a == b
+
+
+def compare(
+    spark: SparkSession, name: str, sf_dir: str, rel_tol: float = 1e-9
+) -> tuple[bool, str]:
+    """Run catalog query ``name`` on Spark and DuckDB, compare results."""
+    from .queries import all_oracles, all_queries
+
+    queries, oracles = all_queries(), all_oracles()
+    spark_pdf = queries[name](spark, sf_dir).toPandas()
+    if name not in oracles:
+        return True, f"rows-only (no oracle): {len(spark_pdf)} rows"
+    con = duckdb_connect(sf_dir)
+    try:
+        duck_pdf = con.execute(oracles[name]).fetchdf()
+    finally:
+        con.close()
+
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        return False, f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+    if len(spark_pdf) != len(duck_pdf):
+        return False, f"row count differs: spark={len(spark_pdf)} duck={len(duck_pdf)}"
+
+    s, d = _normalize(spark_pdf), _normalize(duck_pdf)
+    for i in range(len(s)):
+        for c in s.columns:
+            if not _values_equal(s.at[i, c], d.at[i, c], rel_tol):
+                return False, f"value mismatch row {i} col {c}: spark={s.at[i, c]!r} duck={d.at[i, c]!r}"
+    return True, f"match: {len(s)} rows x {len(s.columns)} cols"
+
+
+def main() -> int:
+    from .queries import all_queries
+    from .session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:] or None
+    spark = get_spark("oracle-check")
+    names = only or sorted(all_queries())
+    failed = []
+    for name in names:
+        try:
+            ok, msg = compare(spark, name, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"error: {type(e).__name__}: {e}"
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {msg}")
+        if not ok:
+            failed.append(name)
+    print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,64 @@
+"""Declared query catalog.
+
+Every operator family from SURVEY.md §2 (plus the LLM-pipeline extensions)
+registers at least one named query here. Each entry is:
+
+- a Spark builder ``fn(spark, sf_dir) -> DataFrame``
+- optionally an equivalent ANSI-SQL string DuckDB can run over the same
+  parquet tables (the driver's correctness oracle). Entries without oracle
+  SQL (hash-function-dependent or genuinely iterative/stateful ops) get a
+  weaker rows-only check.
+
+Column names are aliased identically on both sides — the harness sorts
+columns by name before hashing. Float aggregates are rounded on BOTH sides
+to make the hash deterministic regardless of partial-aggregation order.
+"""
+
+from __future__ import annotations
+
+import textwrap
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a catalog entry; ``oracle`` is DuckDB SQL over the same tables."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = textwrap.dedent(oracle).strip()
+        return fn
+
+    return deco
+
+
+_LOADED = False
+
+
+def load_all() -> None:
+    """Import every catalog module (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from . import dedup, eventsourcing, relational, similarity, text  # noqa: F401
+
+    _LOADED = True
+
+
+def all_queries() -> dict[str, QueryFn]:
+    load_all()
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    load_all()
+    return dict(ORACLES)

@@ -1,0 +1,134 @@
+"""Deduplication catalog entries over the `documents` table.
+
+The exact and n-gram-Jaccard entries have full DuckDB oracles (set algebra —
+engine-independent). MinHash-LSH and SimHash entries are hash-function
+dependent (xxhash64 seeds differ per engine) so they get rows-only checks;
+their recall against the exact-Jaccard ground truth is pinned in
+tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import dedup as dd
+from . import query
+
+# DuckDB equivalent of operators.dedup.normalize_text / tokens / shingles —
+# kept in one place so every oracle uses the same text pipeline.
+_DUCK_TOKENS = (
+    "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+)
+
+
+def _duck_shingles(n: int = 4) -> str:
+    return f"""
+    toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id,
+             array_to_string(t[i.i : i.i + {n - 1}], ' ') AS shingle
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, greatest(len(t) - {n - 1}, 1) + 1)) AS i
+      ) AS i
+      WHERE array_to_string(t[i.i : i.i + {n - 1}], ' ') <> ''
+    )
+    """
+
+
+@query(
+    "d_exact_dedup",
+    oracle="""
+    SELECT content, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM (SELECT doc_id, text AS content FROM documents)
+    GROUP BY content
+    """,
+)
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on raw content, min-id keeper election.
+    One shuffle on the content hash; at scale, group on md5(content) instead
+    of the full text to shrink shuffle width (fingerprint entry covers it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, "doc_id", "text")
+
+
+@query(
+    "d_exact_dedup_normalized",
+    oracle="""
+    SELECT content, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM (SELECT doc_id,
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS content
+          FROM documents)
+    GROUP BY content
+    """,
+)
+def d_exact_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after text normalization (case/punctuation/whitespace)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, "doc_id", "text", normalized=True)
+
+
+@query(
+    "d_ngram_jaccard_topk",
+    oracle=f"""
+    WITH {_duck_shingles(4)},
+    pruned AS (
+      SELECT * FROM sh WHERE shingle IN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000
+      )
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           CAST(round(n_common / (sa.n + sb.n - n_common), 6) AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    ORDER BY round(n_common / (sa.n + sb.n - n_common), 6) DESC, id_a, id_b
+    LIMIT 50
+    """,
+)
+def d_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 4-gram Jaccard similarity via shingle inverted-index self-join —
+    the candidate/verify primitive behind near-dedup, checked end-to-end.
+    Stop-shingles (posting list > 1000) are pruned on both sides (skew guard:
+    at 100 TB a single hot shingle would otherwise quadratically explode one
+    reducer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.shingles(docs, "doc_id", "text", n=4)
+    pairs = dd.jaccard_pairs(sh, max_bucket=1000)
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"),
+        )
+        .orderBy(F.desc("jaccard_r"), F.asc("id_a"), F.asc("id_b"))
+        .limit(50)
+        .withColumnRenamed("jaccard_r", "jaccard")
+    )
+
+
+@query("d_minhash_lsh_neardup")
+def d_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands × 4 rows) near-dup pairs, exact-Jaccard
+    verified at threshold 0.5. Hash-seed dependent → rows-only check here;
+    recall vs exact Jaccard asserted in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_dedup(
+        docs, "doc_id", "text", n=4, num_hashes=64, bands=16, threshold=0.5
+    )
+
+
+@query("d_simhash_fingerprints")
+def d_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only: engine-specific hash).
+    Deterministic across runs; hamming-neighbor behavior tested in
+    tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash(docs, "doc_id", "text")

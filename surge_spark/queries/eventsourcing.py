@@ -1,0 +1,315 @@
+"""Event-sourcing, metrics, and signal-window catalog entries (SURVEY §2.4
+A1-A8, §2.5 W1-W5, §2.9). The `events` testdata table stands in for the
+events topic: `user_id` is the aggregate id, (ts, event_id) is the
+per-partition offset order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import eventsourcing as es
+from . import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "es_count_fold",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS aggregate_id,
+           CAST(sum(CASE event_type WHEN 'purchase' THEN 1 WHEN 'signup' THEN 1
+                                    WHEN 'error' THEN -1 ELSE 0 END) AS INT) AS count,
+           CAST(count(*) AS INT) AS version
+    FROM events GROUP BY user_id
+    """,
+)
+def es_count_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the CountAggregate ordered event fold
+    (TestBoundedContext.scala:17-175) via applyInPandas. The oracle is the
+    order-independent closed form; the Spark side genuinely folds in
+    (ts, event_id) order, so per-key ordering (R1) is exercised."""
+    return es.fold_events(
+        _events(spark, sf_dir),
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        handle_event=es.count_handle_event,
+        state_schema=es.COUNT_STATE_SCHEMA,
+    )
+
+
+@query("es_bank_fold")
+def es_bank_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U2 command replay with rejection paths (BankAccount,
+    BankAccountCommandModel.scala:16-88): debit>balance and
+    credit-before-create are rejected and write nothing. The fold is
+    order-dependent (a rejection depends on the running balance) so there is
+    no SQL oracle — correctness is pinned by the pandas reference oracle in
+    tests/test_eventsourcing.py."""
+    df = es.replay_commands(
+        _events(spark, sf_dir),
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        process_command=es.bank_process_command,
+        handle_event=es.bank_handle_event,
+        state_schema=es.BANK_STATE_SCHEMA,
+    )
+    return df.select(
+        "account_number",
+        F.round("balance", 2).alias("balance"),
+        "n_rejected",
+        "version",
+    )
+
+
+@query(
+    "es_event_keys",
+    oracle="""
+    SELECT concat(user_id, ':', rn) AS event_key, event_id, user_id
+    FROM (
+      SELECT event_id, user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    """,
+)
+def es_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event key synthesis '"aggId:seq"' (TestBoundedContext.scala:159-161):
+    per-key monotonically increasing sequence numbers."""
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        F.concat_ws(":", F.col("user_id"), F.row_number().over(w)).alias("event_key"),
+        "event_id",
+        "user_id",
+    )
+
+
+@query(
+    "es_state_snapshot_latest",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS aggregate_id, event_id AS last_offset,
+           event_type AS last_event_type, ts AS last_ts
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def es_state_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/A2: KTable materialization — latest record per aggregate
+    (SurgeStateStoreConsumer.scala:57-76) via the latest_per_key operator."""
+    e = _events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts")
+    latest = es.latest_per_key(e, ["user_id"], ["ts", "event_id"])
+    return latest.select(
+        F.col("user_id").cast("string").alias("aggregate_id"),
+        F.col("event_id").alias("last_offset"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Metrics statistics (A3-A7, modules/metrics)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "m_sensor_statistics",
+    oracle="""
+    SELECT event_type AS sensor,
+           count(*) AS n,
+           CAST(round(min(value), 4) AS DOUBLE) AS min_value,
+           CAST(round(max(value), 4) AS DOUBLE) AS max_value,
+           CAST(round(avg(value), 4) AS DOUBLE) AS avg_value,
+           CAST(round(lv, 4) AS DOUBLE) AS last_value
+    FROM events
+    JOIN (
+      SELECT event_type AS et2, value AS lv
+      FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) rn
+            FROM events) WHERE rn = 1
+    ) ON event_type = et2
+    GROUP BY event_type, lv
+    """,
+)
+def m_sensor_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3-A5: Count / Min / Max / MostRecentValue metric statistics
+    (modules/metrics/src/main/scala/surge/metrics/statistics/*) as one
+    partial+final aggregate per sensor; 'last' = max_by(value, offset)."""
+    e = _events(spark, sf_dir)
+    return e.groupBy(F.col("event_type").alias("sensor")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.max_by("value", F.struct("ts", "event_id")), 4).alias("last_value"),
+    )
+
+
+@query(
+    "m_ewma",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS sensor,
+           CAST(round(sum(value * CASE WHEN rn = 1 THEN power(0.95, n - 1)
+                                       ELSE 0.05 * power(0.95, n - rn) END), 6) AS DOUBLE) AS ewma
+    FROM (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ) GROUP BY user_id
+    """,
+)
+def m_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: ExponentiallyWeightedMovingAverage.scala:14-29 — ewma' = 0.95*ewma
+    + 0.05*value, seeded with the first reading. Spark runs the true
+    recurrence per key (pandas ewm, adjust=False); the oracle is the
+    closed-form weighted sum, identical after rounding."""
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        val = pdf["value"].ewm(alpha=0.05, adjust=False).mean().iloc[-1]
+        return pd.DataFrame(
+            [{"sensor": str(pdf["user_id"].iloc[0]), "ewma": round(val, 6)}]
+        )
+
+    return e.groupBy("user_id").applyInPandas(ewma, schema="sensor string, ewma double")
+
+
+@query(
+    "m_rate_per_minute",
+    oracle="""
+    SELECT event_type, date_trunc('minute', ts) AS bucket,
+           count(*) AS n,
+           CAST(round(count(*) / 60.0, 6) AS DOUBLE) AS rate_per_s
+    FROM events GROUP BY event_type, date_trunc('minute', ts)
+    """,
+)
+def m_rate_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: TimeBucketHistogram rate (TimeBucketHistogram.scala:15-50) —
+    time-bucketed counts normalized to a per-second rate."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("event_type", F.date_trunc("minute", "ts").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("rate_per_s", F.round(F.col("n") / 60.0, 6))
+    )
+
+
+# --------------------------------------------------------------------------
+# Health-signal windows, batch analogs (W2, W5; streaming forms in
+# surge_spark.streaming.windows)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "h_tumbling_window_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, signal_type, count(*) AS n
+    FROM (SELECT ts, event_type AS signal_type FROM events)
+    GROUP BY date_trunc('hour', ts), signal_type
+    """,
+)
+def h_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: tumbling signal windows (HealthSignalWindowActor.scala:315-323) —
+    batch form of groupBy(window(ts, d))."""
+    e = _events(spark, sf_dir).select("ts", F.col("event_type").alias("signal_type"))
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "signal_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "signal_type", "n")
+    )
+
+
+@query(
+    "h_sliding_window_counts",
+    oracle="""
+    SELECT ws AS window_start, count(*) AS n FROM (
+      SELECT date_trunc('hour', ts) AS ws FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws
+      FROM events WHERE event_type = 'error'
+    ) GROUP BY ws
+    """,
+)
+def h_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (time-based form): sliding window size 2h slide 1h over error
+    signals — each signal lands in two windows. The count-triggered slide
+    variant (WindowSlider.scala:20-37) is in streaming/windows.py."""
+    e = _events(spark, sf_dir).where(F.col("event_type") == "error")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+
+
+@query(
+    "h_repeating_signal_match",
+    oracle="""
+    SELECT user_id, date_trunc('hour', ts) AS window_start, count(*) AS n_errors
+    FROM events
+    WHERE regexp_matches(event_type, '^err')
+    GROUP BY user_id, date_trunc('hour', ts)
+    HAVING count(*) >= 3
+    """,
+)
+def h_repeating_signal_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: RepeatingSignalMatcher (RepeatingSignalMatcher.scala:20-30) —
+    regex-filtered signals counted per window, alert when count >= times."""
+    e = _events(spark, sf_dir)
+    return (
+        e.where(F.col("event_type").rlike("^err"))
+        .groupBy("user_id", F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n_errors"))
+        .where(F.col("n_errors") >= 3)
+        .select("user_id", F.col("window.start").alias("window_start"), "n_errors")
+    )
+
+
+@query(
+    "h_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, min(ts) AS session_start
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def h_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gap 30 min) per user — the batch analog of
+    session_window(); formulated with lag + running sum so the oracle is
+    exact (Spark's session_window struct bounds don't round-trip to SQL)."""
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"), F.min("ts").alias("session_start")
+    )

@@ -1,0 +1,968 @@
+"""Relational operator catalog — scans/filters, joins, aggregations, window
+functions, sorts, set ops, scalar functions.
+
+Maps SURVEY.md §2.1-§2.8 onto declarative DataFrame plans. Everything here is
+stock Catalyst: filters/projections push into the parquet scan, dimension
+joins broadcast, aggregates run partial+final. Float aggregates are rounded
+identically on both sides so order of partial aggregation never changes the
+hash.
+
+Reference parity notes (cites into /root/reference):
+- point/range/prefix scans: SurgeAggregateStore.scala:13-39,
+  KafkaStreamsKeyValueStore.scala:28-68 (S2-S4)
+- key prefix up to ':': KafkaPartitioner.scala:34-42 (F2/P6)
+- latest-per-key compaction: SurgeStateStoreConsumer.scala:57-76 (A2)
+- grouped key->records: KafkaProducerActorImpl.scala:604-606 (A8)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Scans / filters / projections (S2-S4, P1-P6)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "s2_point_lookup",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey = 71
+    """,
+)
+def s2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed point read (S2): the batch analog of getAggregateBytes(id)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") == 71)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    )
+
+
+@query(
+    "s3_key_prefix_range_scan",
+    oracle="""
+    SELECT key, event_id, value FROM (
+      SELECT concat(user_id, ':', event_type) AS key, event_id, value
+      FROM events
+    ) WHERE split_part(key, ':', 1) = '7'
+    """,
+)
+def s3_key_prefix_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substate range scan (S3/P6): key 'agg:sub' co-grouped by prefix
+    (PartitionStringUpToColon, KafkaPartitioner.scala:34-42)."""
+    events = _t(spark, sf_dir, "events")
+    keyed = events.select(
+        F.concat_ws(":", F.col("user_id"), F.col("event_type")).alias("key"),
+        "event_id",
+        "value",
+    )
+    return keyed.where(F.substring_index("key", ":", 1) == "7")
+
+
+@query(
+    "s4_full_scan_counts",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    """,
+)
+def s4_full_scan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan / count / approx count surface (S4)."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "p2_filter_project",
+    oracle="""
+    SELECT event_id, user_id, CAST(round(value, 2) AS DOUBLE) AS value
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def p2_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-equality filter + projection (P2/P3): pushed to the scan."""
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+    )
+
+
+@query(
+    "p4_regex_filter",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events WHERE regexp_matches(event_type, '^(click|view)$')
+    GROUP BY event_type
+    """,
+)
+def p4_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex predicate (P4/F6): SignalNamePatternMatcher analog."""
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").rlike("^(click|view)$"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "p5_offset_watermark_filter",
+    oracle="""
+    SELECT count(*) AS n, CAST(max(event_id) AS BIGINT) AS max_offset
+    FROM events WHERE event_id <= 500
+    """,
+)
+def p5_offset_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset <= watermark predicate (P5): KafkaProducerActorImpl.scala:684-698."""
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") <= 500)
+        .agg(F.count("*").alias("n"), F.max("event_id").alias("max_offset"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (§2.3 declared surface)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "j_revenue_per_nation",
+    oracle="""
+    SELECT n_name,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY n_name
+    """,
+)
+def j_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 4-way join + group-agg. Dimensions broadcast; only the
+    fact-fact join (lineitem ⋈ orders) shuffles on the key."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "j_left_join_orders_per_customer",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           CAST(round(coalesce(sum(o_totalprice), 0), 2) AS DOUBLE) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def j_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "j_right_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, o_orderkey
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 9000
+    """,
+)
+def j_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "right")
+        .where(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_mktsegment", "o_orderkey")
+    )
+
+
+@query(
+    "j_full_outer_join",
+    oracle="""
+    WITH building AS (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), big_spenders AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+    )
+    SELECT coalesce(b.k, s.k) AS custkey,
+           (b.k IS NOT NULL) AS is_building,
+           (s.k IS NOT NULL) AS is_big_spender
+    FROM building b FULL OUTER JOIN big_spenders s ON b.k = s.k
+    """,
+)
+def j_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = customer.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("bk")
+    )
+    spenders = (
+        orders.where(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("sk")).distinct()
+    )
+    return building.join(spenders, building.bk == spenders.sk, "full_outer").select(
+        F.coalesce("bk", "sk").alias("custkey"),
+        F.col("bk").isNotNull().alias("is_building"),
+        F.col("sk").isNotNull().alias("is_big_spender"),
+    )
+
+
+@query(
+    "j_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def j_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "j_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "j_broadcast_dim_join",
+    oracle="""
+    SELECT r_name, count(*) AS n_customers,
+           CAST(round(avg(c_acctbal), 4) AS DOUBLE) AS avg_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def j_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join (J1 analog: partition→host map lookup).
+    The dimension side ships to every task; no shuffle of the fact side."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "j_theta_range_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_late
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def j_theta_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with an extra range/theta predicate (declared §2.3 surface)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cond = (lineitem.l_orderkey == orders.o_orderkey) & (
+        lineitem.l_shipdate > F.date_add(orders.o_orderdate, 90)
+    )
+    return (
+        lineitem.join(orders, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late"))
+    )
+
+
+@query(
+    "j_cross_join",
+    oracle="""
+    SELECT r_name, status, count(*) AS n
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders)
+    GROUP BY r_name, status
+    """,
+)
+def j_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    status = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status")
+    ).distinct()
+    return region.crossJoin(status).groupBy("r_name", "status").agg(F.count("*").alias("n"))
+
+
+@query(
+    "j_asof_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    ), ranked AS (
+      SELECT e.event_id,
+             p.event_id AS purchase_event_id,
+             CAST(round(p.value, 2) AS DOUBLE) AS purchase_value,
+             row_number() OVER (
+               PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC
+             ) AS rn
+      FROM events e JOIN purchases p
+        ON e.user_id = p.user_id AND p.ts < e.ts
+      WHERE e.event_type = 'click'
+    )
+    SELECT event_id, purchase_event_id, purchase_value FROM ranked WHERE rn = 1
+    """,
+)
+def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator the reference lacks; SURVEY custom-op
+    guidance): attribute each click to the user's most recent prior purchase.
+    Expressed as range join + max_by — at scale the range join is bounded by
+    pre-bucketing both sides on (user_id, time bucket)."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user_id) & (purchases.p_ts < clicks.ts),
+    )
+    return joined.groupBy("event_id").agg(
+        F.max_by(
+            F.struct("p_event_id", "p_value"), F.struct("p_ts", "p_event_id")
+        ).alias("best")
+    ).select(
+        "event_id",
+        F.col("best.p_event_id").alias("purchase_event_id"),
+        F.round(F.col("best.p_value"), 2).alias("purchase_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations (§2.4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "a_groupby_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
+           CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
+           CAST(round(avg(l_extendedprice), 4) AS DOUBLE) AS avg_price,
+           CAST(round(avg(l_discount), 4) AS DOUBLE) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a_groupby_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: partial+final hash agg, all JVM-side."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "a_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query("a_approx_count_distinct")
+def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch counting (S4 approximateNumEntries analog). No oracle —
+    sketch estimates are implementation-specific (rows-only check); exactness
+    is covered by a_count_distinct."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        )
+    )
+
+
+@query(
+    "a_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_customers,
+           CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "a_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "a_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "a2_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           CAST(round(value, 2) AS DOUBLE) AS last_value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn FROM events
+    ) WHERE rn = 1
+    """,
+)
+def a2_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key compaction (A2/S1): the KTable materialization analog
+    (SurgeStateStoreConsumer.scala:57-76). max_by(struct) does one shuffle +
+    partial/final agg — cheaper than the window-function formulation because
+    it avoids a total sort per key."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "event_type", "value"), F.struct("ts", "event_id")
+            ).alias("last")
+        )
+        .select(
+            "user_id",
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.event_type").alias("last_event_type"),
+            F.round(F.col("last.value"), 2).alias("last_value"),
+        )
+    )
+
+
+@query(
+    "a8_grouped_collect",
+    oracle="""
+    SELECT user_id, list_sort(list(event_id)) AS event_ids, count(*) AS n
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def a8_grouped_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped key→records map (A8): inFlight.groupBy(key),
+    KafkaProducerActorImpl.scala:604-606. sort_array makes the list order
+    deterministic for the hash."""
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (§2.5 declared surface, §2.6 top-k)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "w_topk_per_key",
+    oracle="""
+    SELECT c_custkey, o_orderkey, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def w_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per key (§2.6): row_number + filter; Spark pushes a per-partition
+    top-k (WindowGroupLimit) before the shuffle, so this scales."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey", "rn")
+    )
+
+
+@query(
+    "w_rank_dense_rank",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS INT) AS price_rank,
+           CAST(dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS INT) AS price_dense_rank
+    FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def w_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"))
+    return orders.select(
+        "o_orderkey",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+@query(
+    "w_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(round(value - lag(value) OVER w, 4) AS DOUBLE) AS delta_prev,
+           CAST(round(lead(value) OVER w - value, 4) AS DOUBLE) AS delta_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 4).alias("delta_next"),
+    )
+
+
+@query(
+    "w_running_sum_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def w_running_sum_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "w_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           count(*) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+           ) AS orders_last_90d
+    FROM orders
+    """,
+)
+def w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rangeBetween frame: trailing-90-day order count per customer."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "epoch_s", F.unix_timestamp("o_orderdate")
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("epoch_s")
+        .rangeBetween(-90 * 86400, W.currentRow)
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey", F.count("*").over(w).alias("orders_last_90d")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits (§2.6)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "o_orderby_limit",
+    oracle="""
+    SELECT o_orderkey, CAST(round(o_totalprice, 2) AS DOUBLE) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def o_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject (per-partition top-N +
+    merge), never a full sort — the shape that survives 100 TB."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (§2.7)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT k, count(*) AS n FROM (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+    ) GROUP BY k
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    a = customer.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    b = customer.where(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    return a.unionByName(b).groupBy("k").agg(F.count("*").alias("n"))
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 2000
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    a = customer.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    b = customer.where(F.col("c_acctbal") > 2000).select(F.col("c_custkey").alias("k"))
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+    EXCEPT
+    SELECT o_custkey AS k FROM orders
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = customer.where(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("k"))
+    b = orders.select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b).distinct()
+
+
+# --------------------------------------------------------------------------
+# Scalar functions (§2.8 / F1-F6)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "f_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substr(c_name, 1, 8) AS name_prefix,
+           concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS seg_key,
+           CAST(length(c_name) AS INT) AS name_len,
+           CAST(len(string_split(c_name, '#')) AS INT) AS n_parts,
+           trim(c_mktsegment) AS seg_trim
+    FROM customer
+    """,
+)
+def f_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_custkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.length("c_name").alias("name_len"),
+        F.size(F.split("c_name", "#")).alias("n_parts"),
+        F.trim(F.col("c_mktsegment")).alias("seg_trim"),
+    )
+
+
+@query(
+    "f_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           date_trunc('month', o_orderdate) AS order_month_start,
+           CAST(epoch_ms(o_orderdate) AS BIGINT) AS order_epoch_ms,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_95
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def f_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface incl. epoch-millis window-bound arithmetic (F5,
+    Window.scala:16-28)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 200)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("order_epoch_ms"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    )
+
+
+@query(
+    "f_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice, 1) AS DOUBLE) AS price_r1,
+           CAST(abs(l_discount - 0.05) AS DOUBLE) AS disc_dev,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(ceil(l_quantity / 10) AS BIGINT) AS qty_bucket,
+           CAST(round(power(1 + l_tax, 2), 6) AS DOUBLE) AS tax_sq,
+           CAST(round(sqrt(l_extendedprice), 6) AS DOUBLE) AS price_sqrt
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+)
+def f_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_quantity") / 10).alias("qty_bucket"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+    )
+
+
+@query(
+    "f_array_functions",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           array_to_string(list_sort(list_distinct(string_split(substr(text, 1, 40), ' '))), ',') AS head_vocab
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def f_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.split(F.substring("text", 1, 40), " "))), ","
+        ).alias("head_vocab"),
+    )
+
+
+@query(
+    "f_json_functions",
+    oracle="""
+    SELECT event_type,
+           CAST(round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS DOUBLE) AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def f_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON codec surface (F4): get_json_object over the props payload —
+    the from_json/to_json analog of surge's user-side Play-JSON serdes."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
+        F.max(k.cast("long")).alias("max_k"),
+    )
+
+
+@query(
+    "f_conditional_functions",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                WHEN c_acctbal < 1000 THEN 'low'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other
+    FROM customer
+    """,
+)
+def f_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+    )
+
+
+@query("f_partition_for_key")
+def f_partition_for_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key→partition routing (F1: murmur3(key) % n, KafkaPartitioner.scala:8).
+    Spark's hash() is murmur3-based but placement parity with Kafka's
+    partitioner is not required (SURVEY §1.3) — only stable co-partitioning.
+    No oracle: hash values are engine-specific (rows-only check)."""
+    e = _t(spark, sf_dir, "events")
+    key = F.concat_ws(":", F.col("user_id"), F.col("event_type"))
+    part = F.pmod(F.hash(F.substring_index(key, ":", 1)), F.lit(32))
+    return (
+        e.select(part.alias("partition"))
+        .groupBy("partition")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,177 @@
+"""Text-analysis and multimodal-plumbing catalog entries over `documents`."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import multimodal as mm
+from ..operators import text as tx
+from . import query
+
+_DUCK_TOKS = "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "t_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(t) AS INT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS INT) AS n_distinct_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(round(length(array_to_string(t, '')) / greatest(len(t), 1), 6) AS DOUBLE) AS avg_token_len
+    FROM (SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents)
+    """,
+)
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting — the cheapest text-quality signal."""
+    return tx.token_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "t_bpe_ish_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'),
+                                x -> x <> '')) AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def t_bpe_ish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under a BPE-style regex pre-tokenizer (words / digit
+    runs / punctuation glyphs)."""
+    return tx.bpe_ish_token_count(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "t_quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+               / greatest(length(text), 1) AS alpha_ratio,
+             len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x)))
+               / greatest(len(t), 1) AS stop_ratio,
+             length(array_to_string(t, '')) / greatest(len(t), 1) AS mean_wlen
+      FROM (SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents)
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(round(alpha_ratio, 6) AS DOUBLE) AS alpha_ratio,
+           CAST(round(stop_ratio, 6) AS DOUBLE) AS stopword_ratio,
+           CAST(round(mean_wlen, 6) AS DOUBLE) AS mean_word_len,
+           CAST(round(least(1.0,
+                 (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN alpha_ratio >= 0.6 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN n_tokens >= 10 THEN 0.3 ELSE 0.0 END)), 2) AS DOUBLE) AS quality_score
+    FROM feats
+    """,
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality features + composed score."""
+    return tx.quality_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "t_language_id",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id,
+             len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) AS en,
+             len(list_filter(t, x -> list_contains(['el','la','de','que','y'], x))) AS es,
+             len(list_filter(t, x -> list_contains(['le','la','de','et','un'], x))) AS fr,
+             len(list_filter(t, x -> list_contains(['der','die','und','das','ein'], x))) AS de,
+             len(list_filter(t, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS zh
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+    )
+    SELECT doc_id,
+           CASE WHEN zh > 0 AND zh > en AND zh > es AND zh > fr AND zh > de THEN 'zh'
+                WHEN de > 0 AND de > en AND de > es AND de > fr THEN 'de'
+                WHEN fr > 0 AND fr > en AND fr > es THEN 'fr'
+                WHEN es > 0 AND es > en THEN 'es'
+                WHEN en > 0 THEN 'en'
+                ELSE 'und' END AS pred_lang,
+           CAST(greatest(en, es, fr, de, zh) AS INT) AS stopword_hits
+    FROM hits
+    """,
+)
+def t_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-vote language ID; strict-majority argmax with
+    declaration-order tie-breaking, mirrored exactly in the oracle."""
+    return tx.language_id(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "t_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content md5 fingerprint (engine-portable, unlike xxhash)."""
+    return tx.fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "t_length_histogram",
+    oracle="""
+    SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def t_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.floor(F.col("n_chars") / 100).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@query(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           'text/plain' AS mime
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: payload as opaque binary + typed metadata —
+    byte length and content digest computed on the binary column (the text
+    payload is ASCII, so the oracle's string md5/length agree byte-for-byte)."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    with_bin = mm.to_binary_payload(docs, "doc_id", "text", mime="text/plain")
+    return with_bin.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+        F.col("mime"),
+    )
+
+
+@query("mm_feature_extract_stub")
+def mm_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract pipeline over mapInPandas: the
+    Spark-side plumbing (schema, Arrow batching, partitioning) is real; the
+    decoder is a deterministic fake (image/audio libs aren't in this
+    container — see operators.multimodal). Rows-only check."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    with_bin = mm.to_binary_payload(docs, "doc_id", "text", mime="image/fake")
+    return mm.extract_features(with_bin, id_col="doc_id")

@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+Local-mode settings mirror what a 1000-executor cluster deployment would use
+where it matters (AQE, adaptive skew handling, Arrow, RocksDB streaming state
+store); the only local-specific knobs are master/memory/shuffle-partition
+count. At cluster scale, `spark.sql.shuffle.partitions` should be ~2-3x total
+cores and is left to `spark-defaults.conf`; here it matches local cores so
+tiny test data doesn't fragment into empty tasks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Replaces surge's RocksDB KTable store
+# (modules/common/src/main/scala/surge/kafka/streams/AggregateStateStoreKafkaStreams.scala:22-35):
+# Spark's built-in RocksDB state store provider plays the same role for
+# streaming state, with changelog checkpointing instead of a compacted topic.
+ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def get_spark(app_name: str = "surge_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract for
+    bench.py); defaults to all cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    shuffle_parts = str(max(cpus, 32) if cpus else 32)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

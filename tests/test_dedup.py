@@ -1,0 +1,90 @@
+"""Dedup operator semantics: exact groups, MinHash-LSH recall vs exact
+Jaccard ground truth, SimHash hamming locality."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from surge_spark.operators import dedup as dd
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(spark, ["a b c", "a b c", "x y z", "A  b C!"])
+    out = dd.exact_dedup(df, "doc_id", "text").toPandas()
+    grp = out.set_index("content")
+    assert grp.loc["a b c", "n_copies"] == 2
+    assert grp.loc["a b c", "keeper_id"] == 0
+    norm = dd.exact_dedup(df, "doc_id", "text", normalized=True).toPandas()
+    assert norm.set_index("content").loc["a b c", "n_copies"] == 3
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    """Near-identical docs (1-word edit) must be found; unrelated docs not."""
+    texts = [
+        BASE,
+        BASE.replace("today", "tonight"),  # near-dup of 0
+        "completely different words about spark query engines and shuffles here",
+        BASE,  # exact dup of 0
+    ]
+    out = dd.minhash_lsh_dedup(
+        _docs(spark, texts), "doc_id", "text", n=3, threshold=0.5
+    ).toPandas()
+    pairs = {(a, b) for a, b in zip(out.id_a, out.id_b)}
+    assert (0, 3) in pairs  # exact dup: jaccard 1.0
+    assert (0, 1) in pairs and (1, 3) in pairs  # near dups
+    assert all(2 not in p for p in pairs)
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
+    """LSH recall on real data: every pair with exact jaccard >= 0.8 must be
+    an LSH candidate (16 bands x 4 rows -> p(candidate) > 0.999 at j=0.8)."""
+    from surge_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    sh = dd.shingles(docs, "doc_id", "text", n=4)
+    truth = (
+        dd.jaccard_pairs(sh).where(F.col("jaccard") >= 0.8).select("id_a", "id_b").toPandas()
+    )
+    sig = dd.minhash_signatures(sh, 64)
+    cands = dd.lsh_candidates(sig, 16, 4).toPandas()
+    cand_set = {(a, b) for a, b in zip(cands.id_a, cands.id_b)}
+    missed = [
+        (a, b) for a, b in zip(truth.id_a, truth.id_b) if (a, b) not in cand_set
+    ]
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_simhash_locality(spark):
+    """Similar docs get close fingerprints (small hamming distance);
+    dissimilar docs don't."""
+    texts = [
+        BASE,
+        BASE.replace("today", "tonight"),
+        "entirely unrelated content regarding database optimizers and columnar formats",
+    ]
+    out = dd.simhash(_docs(spark, texts), "doc_id", "text").toPandas().set_index("id")
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    near = hamming(int(out.loc[0, "simhash"]), int(out.loc[1, "simhash"]))
+    far = hamming(int(out.loc[0, "simhash"]), int(out.loc[2, "simhash"]))
+    # one-word edit on a 14-token doc: clearly closer than unrelated text
+    assert near <= 16
+    assert far > near + 4
+
+
+def test_shingles_short_doc(spark):
+    """Docs shorter than n tokens still produce one whole-text shingle."""
+    out = dd.shingles(_docs(spark, ["one two"]), "doc_id", "text", n=4).toPandas()
+    assert list(out.shingle) == ["one two"]

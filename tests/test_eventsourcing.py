@@ -1,0 +1,162 @@
+"""Event-sourcing semantics tests, mirroring the reference's tier-1 specs
+(PersistentActorSpec.scala): deterministic fold, per-key serial order,
+rejection-writes-nothing, no-change-no-write, and the BankAccount golden
+scenario (BankAccountCommandEngineSpec.scala:34-79)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+
+from surge_spark.operators import eventsourcing as es
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+    )
+
+
+def _ts(i: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+
+
+def test_count_fold_deterministic(spark):
+    """CountAggregate: count = #inc - #dec, version = #events applied
+    (TestBoundedContext.scala:17-175)."""
+    rows = [
+        (1, _ts(1), 1, "purchase", 1.0, "{}"),
+        (2, _ts(2), 1, "error", 1.0, "{}"),
+        (3, _ts(3), 1, "purchase", 1.0, "{}"),
+        (4, _ts(4), 1, "view", 1.0, "{}"),  # no-op event still bumps version
+        (5, _ts(5), 2, "signup", 1.0, "{}"),
+    ]
+    out = es.fold_events(
+        _events_df(spark, rows),
+        "user_id",
+        ["ts", "event_id"],
+        es.count_handle_event,
+        es.COUNT_STATE_SCHEMA,
+    ).toPandas().set_index("aggregate_id")
+    assert out.loc["1", "count"] == 1  # +1 -1 +1 +0
+    assert out.loc["1", "version"] == 4
+    assert out.loc["2", "count"] == 1
+    assert out.loc["2", "version"] == 1
+
+
+def test_fold_respects_event_order(spark):
+    """Per-key serial processing (PersistentActorSpec.scala:466): the fold
+    must apply events in (ts, event_id) order, not arrival order."""
+    # debit-then-credit vs credit-then-debit give different rejection counts
+    rows = [
+        (2, _ts(2), 1, "click", 50.0, "{}"),      # credit 50
+        (1, _ts(1), 1, "signup", 0.0, "{}"),      # create (earlier ts)
+        (3, _ts(3), 1, "purchase", 40.0, "{}"),   # debit 40 -> ok (bal 10)
+        (4, _ts(4), 1, "purchase", 40.0, "{}"),   # debit 40 -> rejected
+    ]
+    out = es.replay_commands(
+        _events_df(spark, rows),
+        "user_id",
+        ["ts", "event_id"],
+        es.bank_process_command,
+        es.bank_handle_event,
+        es.BANK_STATE_SCHEMA,
+    ).toPandas()
+    assert len(out) == 1
+    assert out.loc[0, "balance"] == 10.0
+    assert out.loc[0, "n_rejected"] == 1
+
+
+def test_bank_rejections_write_nothing(spark):
+    """Rejected commands produce no events and no state change
+    (PersistentActor.scala:203-205): ops on a missing account leave no row."""
+    rows = [
+        (1, _ts(1), 9, "click", 10.0, "{}"),     # credit before create -> rejected
+        (2, _ts(2), 9, "purchase", 5.0, "{}"),   # debit before create -> rejected
+    ]
+    out = es.replay_commands(
+        _events_df(spark, rows),
+        "user_id",
+        ["ts", "event_id"],
+        es.bank_process_command,
+        es.bank_handle_event,
+        es.BANK_STATE_SCHEMA,
+    ).toPandas()
+    assert len(out) == 0  # state never created
+
+
+def test_bank_golden_scenario(spark):
+    """BankAccount golden flow (BankAccountCommandEngineSpec): create,
+    credit, debit, insufficient-funds rejection."""
+    rows = [
+        (1, _ts(1), 5, "signup", 0.0, "{}"),
+        (2, _ts(2), 5, "click", 100.0, "{}"),
+        (3, _ts(3), 5, "purchase", 30.0, "{}"),
+        (4, _ts(4), 5, "purchase", 500.0, "{}"),  # insufficient funds
+        (5, _ts(5), 5, "signup", 0.0, "{}"),      # create on existing: no-op, not rejected
+    ]
+    out = es.replay_commands(
+        _events_df(spark, rows),
+        "user_id",
+        ["ts", "event_id"],
+        es.bank_process_command,
+        es.bank_handle_event,
+        es.BANK_STATE_SCHEMA,
+    ).toPandas()
+    assert out.loc[0, "balance"] == 70.0
+    assert out.loc[0, "n_rejected"] == 1
+    assert out.loc[0, "version"] == 3  # created, credited, debited
+
+
+def test_latest_per_key(spark):
+    rows = [
+        (1, _ts(1), 1, "a", 1.0, "{}"),
+        (2, _ts(5), 1, "b", 2.0, "{}"),
+        (3, _ts(3), 1, "c", 3.0, "{}"),
+        (4, _ts(2), 2, "d", 4.0, "{}"),
+    ]
+    out = (
+        es.latest_per_key(_events_df(spark, rows), ["user_id"], ["ts", "event_id"])
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert out.loc[1, "event_type"] == "b"
+    assert out.loc[2, "event_type"] == "d"
+
+
+def test_pandas_reference_oracle_bank_fold(spark, sf_dir):
+    """es_bank_fold has no SQL oracle (order-dependent); pin it against a
+    pure-pandas replay of the same commands."""
+    from surge_spark.io import load_table
+    from surge_spark.queries import all_queries
+
+    got = (
+        all_queries()["es_bank_fold"](spark, sf_dir)
+        .toPandas()
+        .set_index("account_number")
+        .sort_index()
+    )
+
+    pdf = load_table(spark, sf_dir, "events").toPandas()
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    states: dict[str, dict] = {}
+    meta: dict[str, dict] = {}
+    for rec in pdf.to_dict("records"):
+        key = str(rec["user_id"])
+        state = states.get(key)
+        events, rejected = es.bank_process_command(state, rec)
+        m = meta.setdefault(key, {"n_rejected": 0, "version": 0})
+        if rejected:
+            m["n_rejected"] += 1
+            continue
+        for ev in events:
+            states[key] = es.bank_handle_event(states.get(key), ev)
+            m["version"] += 1
+    for key, state in states.items():
+        assert round(state["balance"], 2) == got.loc[key, "balance"], key
+        assert meta[key]["n_rejected"] == got.loc[key, "n_rejected"], key
+        assert meta[key]["version"] == got.loc[key, "version"], key
+    assert len(got) == len(states)

@@ -1,0 +1,55 @@
+"""Similarity-search semantics: brute-force exactness on a constructed case,
+LSH-ANN recall vs brute force on real embeddings."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from surge_spark.io import load_table
+from surge_spark.operators import similarity as sim
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = sim.cosine_topk(df, df.where(F.col("vec_id") == 0), "vec_id", "embedding", k=3)
+    got = out.toPandas().sort_values("rank")
+    assert list(got.corpus_id) == [1, 2, 3]
+    assert got.iloc[0].cosine > 0.99
+    assert abs(got.iloc[1].cosine) < 1e-9
+    assert got.iloc[2].cosine == -1.0
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    """ANN recall@10 vs brute force must clear 0.5 with 8 planes x 4 tables
+    on the real embeddings (random-ish vectors are the hard case; real
+    clustered corpora do better)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    bf = sim.cosine_topk(emb, queries, "vec_id", "embedding", k=10).toPandas()
+    ann = sim.ann_topk_lsh(emb, queries, "vec_id", "embedding", k=10).toPandas()
+    bf_set = {(q, c) for q, c in zip(bf.query_id, bf.corpus_id)}
+    ann_set = {(q, c) for q, c in zip(ann.query_id, ann.corpus_id)}
+    recall = len(bf_set & ann_set) / len(bf_set)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_embedding_neardup_blocks(spark):
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.999, 0.01], 1),   # near-dup of 0, same block
+        (2, [1.0, 0.0], 2),      # identical direction but different block
+        (3, [0.0, 1.0], 1),      # same block, dissimilar
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    out = sim.embedding_neardup_pairs(df, "vec_id", "embedding", "label", 0.99).toPandas()
+    pairs = {(a, b) for a, b in zip(out.id_a, out.id_b)}
+    assert pairs == {(0, 1)}  # cross-block identical pair not compared
