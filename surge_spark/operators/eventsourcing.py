@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import ensure_shipped
+
 EventHandler = Callable[[dict | None, dict[str, Any]], dict | None]
 CommandHandler = Callable[[dict | None, dict[str, Any]], tuple[list[dict], bool]]
 
@@ -57,6 +59,7 @@ def fold_events(
             return pd.DataFrame()
         return pd.DataFrame([state])
 
+    ensure_shipped(events.sparkSession)
     return events.groupBy(key_col).applyInPandas(fold, schema=state_schema)
 
 
@@ -95,6 +98,7 @@ def replay_commands(
         out.setdefault("version", n_events)
         return pd.DataFrame([out])
 
+    ensure_shipped(commands.sparkSession)
     return commands.groupBy(key_col).applyInPandas(fold, schema=state_schema)
 
 

@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import ensure_shipped
+
 FEATURE_SCHEMA = (
     "id long, mime string, n_bytes long, width int, height int, feat array<float>"
 )
@@ -88,4 +90,5 @@ def extract_features(df: DataFrame, id_col: str = "id") -> DataFrame:
     cols = df.select(
         F.col(id_col).alias("id"), F.col("payload"), F.col("mime")
     )
+    ensure_shipped(df.sparkSession)
     return cols.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -21,6 +21,41 @@ from pyspark.sql import SparkSession
 ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
 
+_SHIPPED: set[str] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Make the surge_spark package importable on executor Python workers.
+
+    Closures passed to applyInPandas/mapInPandas reference package functions,
+    which cloudpickle serializes *by reference* — workers must import
+    surge_spark. On a cluster that's a --py-files wheel; here we zip the
+    package once per application and sc.addPyFile it, which covers any
+    SparkSession regardless of the driver process's cwd/sys.path."""
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), f"surge_spark_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    rel = os.path.join(
+                        "surge_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(app_id)
+
+
 def get_spark(app_name: str = "surge_spark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) the session.
 

@@ -1,0 +1,189 @@
+"""The command engine: surge §3.1 re-architected for micro-batches.
+
+Reference pipeline (SURVEY §3.1): sendCommand → route to the key's single
+writer actor → user handlers produce events + new state → one Kafka
+transaction writes both → ack with the new state. Steps 2-5 of the reference
+(router, shards, init barrier) disappear — Spark's shuffle assigns each key
+to exactly one task per batch, and the snapshot store's commit ordering gives
+read-your-writes (R2) by construction.
+
+This engine processes a *commands* DataFrame per micro-batch:
+
+  1. shuffle by aggregate_id (single-writer per key within the batch, R1)
+  2. left-join the current state snapshot (actor init, §3.1.5)
+  3. per key, in command order: processCommand → events, handleEvent → state
+     (U1/U2), rejections produce nothing (PersistentActor.scala:203-205)
+  4. commit {events, state updates, replies} atomically via SnapshotStore
+     (S7); duplicate batch ids are dropped (R4)
+  5. replies (ACKSuccess/ACKRejection with the new state, §3.1.9-10) are
+     returned / appended to a replies table for the RPC gateway
+
+``run_stream`` wires the same batch function into foreachBatch for a real
+commands stream; ``process_batch`` is the deterministic core the tests and
+batch replays call directly.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Sequence
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import ensure_shipped
+from .snapshot_store import SnapshotStore
+
+# handler contracts (mirror AggregateProcessingModel.scala:18-34):
+#   process_command(state|None, cmd) -> (events: list[dict], rejected: bool)
+#   handle_event(state|None, event) -> state|None
+CommandHandler = Callable[[dict | None, dict[str, Any]], tuple[list[dict], bool]]
+EventHandler = Callable[[dict | None, dict[str, Any]], dict | None]
+
+REPLY_SCHEMA = "command_id string, aggregate_id string, status string, new_state string"
+
+
+class CommandEngine:
+    def __init__(
+        self,
+        store: SnapshotStore,
+        process_command: CommandHandler,
+        handle_event: EventHandler,
+        state_schema: str,
+        event_schema: str,
+        key_col: str = "aggregate_id",
+        order_cols: Sequence[str] = ("ts",),
+    ) -> None:
+        self.store = store
+        self.process_command = process_command
+        self.handle_event = handle_event
+        self.state_schema = state_schema
+        self.event_schema = event_schema
+        self.key_col = key_col
+        self.order_cols = list(order_cols)
+
+    # -- core ----------------------------------------------------------------
+
+    def _handle_group(self, state_by_key: dict, pdf: pd.DataFrame):
+        """Run one key's commands serially (R1). Returns (state_rows,
+        event_rows, reply_rows)."""
+        key = str(pdf[self.key_col].iloc[0])
+        state = state_by_key.get(key)
+        initial_state = state
+        events_out: list[dict] = []
+        replies: list[dict] = []
+        for cmd in pdf.sort_values(self.order_cols, kind="mergesort").to_dict("records"):
+            try:
+                events, rejected = self.process_command(state, cmd)
+            except Exception as e:  # noqa: BLE001 — handler error → ACKError (§5 tier-1)
+                replies.append(
+                    {
+                        "command_id": str(cmd.get("command_id", "")),
+                        "aggregate_id": key,
+                        "status": f"error: {type(e).__name__}",
+                        "new_state": None,
+                    }
+                )
+                continue
+            if rejected:
+                # rejection publishes nothing (PersistentActor.scala:203-205)
+                replies.append(
+                    {
+                        "command_id": str(cmd.get("command_id", "")),
+                        "aggregate_id": key,
+                        "status": "rejected",
+                        "new_state": json.dumps(state, default=str) if state else None,
+                    }
+                )
+                continue
+            for ev in events:
+                state = self.handle_event(state, ev)
+                events_out.append({**ev, self.store.key_col: key})
+            replies.append(
+                {
+                    "command_id": str(cmd.get("command_id", "")),
+                    "aggregate_id": key,
+                    "status": "success",
+                    "new_state": json.dumps(state, default=str) if state else None,
+                }
+            )
+        # no-change-no-write (PersistentActor.scala:212): only emit a state
+        # row if the fold changed it; events still publish (":495" semantics)
+        state_rows = [state] if state != initial_state and state is not None else []
+        return state_rows, events_out, replies
+
+    def process_batch(
+        self, commands: DataFrame, batch_id: str
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Process one micro-batch of commands; atomically commit and return
+        (state_updates, events, replies)."""
+        spark = commands.sparkSession
+        snapshot = self.store.read_state(spark)
+        state_by_key: dict[str, dict] = {}
+        if snapshot is not None:
+            # Engine contract: a state dict carries store.key_col whose value
+            # is str(command key) — that's how actor init (§3.1.5) finds the
+            # snapshot row. A broadcast dict is fine for command batches
+            # (bounded by ingress-rate × trigger interval); at 100 TB this
+            # becomes a semi-join of the snapshot against the batch's keys.
+            keys = [
+                str(r[0]) for r in commands.select(self.key_col).distinct().collect()
+            ]
+            rows = snapshot.where(F.col(self.store.key_col).isin(keys)).collect()
+            state_by_key = {str(r[self.store.key_col]): r.asDict() for r in rows}
+
+        out_schema = (
+            "state_rows string, event_rows string, reply_rows string"
+        )
+        handle_group = self._handle_group
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            s, e, r = handle_group(state_by_key, pdf)
+            return pd.DataFrame(
+                [
+                    {
+                        "state_rows": json.dumps(s, default=str),
+                        "event_rows": json.dumps(e, default=str),
+                        "reply_rows": json.dumps(r, default=str),
+                    }
+                ]
+            )
+
+        ensure_shipped(spark)
+        packed = commands.groupBy(self.key_col).applyInPandas(fold, out_schema).collect()
+        states = [row for p in packed for row in json.loads(p["state_rows"])]
+        events = [row for p in packed for row in json.loads(p["event_rows"])]
+        replies = [row for p in packed for row in json.loads(p["reply_rows"])]
+
+        state_df = spark.createDataFrame(states, schema=self.state_schema)
+        events_df = spark.createDataFrame(events, schema=self.event_schema)
+        replies_df = spark.createDataFrame(replies, schema=REPLY_SCHEMA)
+        self.store.commit(events_df, state_df, batch_id)
+        return state_df, events_df, replies_df
+
+    # -- streaming & serving -------------------------------------------------
+
+    def run_stream(self, commands_stream: DataFrame, checkpoint: str, **trigger):
+        """Attach the engine to a commands stream (Kafka in prod, any source
+        in tests) via foreachBatch — the micro-batch is surge's 50 ms flush
+        batch (reference.conf:20-21), and the snapshot-store commit is the
+        Kafka transaction."""
+
+        def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.process_batch(batch_df, str(batch_id))
+
+        return (
+            commands_stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+
+    def get_state(self, spark: SparkSession, aggregate_id: str) -> dict | None:
+        """§3.2 read path: point query of the latest committed snapshot —
+        read-your-writes because process_batch committed before replying."""
+        return self.store.get_state(spark, aggregate_id)

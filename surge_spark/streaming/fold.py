@@ -1,0 +1,85 @@
+"""Streaming per-key event fold — the SurgeEvent engine (§3.3), the purest
+Structured Streaming shape of the reference: events stream → stateful fold →
+state stream.
+
+State lives in Spark's state store (RocksDB provider configured in
+session.py — the direct analog of surge's RocksDB-backed KTable,
+AggregateStateStoreKafkaStreams.scala:22-35) keyed by aggregate id, and
+survives restarts via the checkpoint. Passivation (R7, 30 s idle stop,
+reference.conf:155-160) maps to GroupStateTimeout: state for idle keys can
+be expired instead of held forever.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator, Sequence
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from ..session import ensure_shipped
+
+EventHandler = Callable[[dict | None, dict[str, Any]], dict | None]
+
+
+def stateful_fold_stream(
+    events: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    handle_event: EventHandler,
+    state_struct: StructType,
+    output_struct: StructType | None = None,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """groupBy(key).applyInPandasWithState fold: within a micro-batch events
+    fold in (order_cols) order; across batches state persists in the state
+    store. Emits the updated state row per key per batch (state-only
+    publish — and only when the fold actually changed the state, mirroring
+    shouldPublish, PersistentActor.scala:245-264).
+
+    ``idle_timeout_ms`` enables processing-time state expiry (R7
+    passivation). Expired keys simply re-initialize from None on their next
+    event — correct because the authoritative snapshot lives in the sink
+    table, not executor memory (same split as surge: actor memory vs KTable).
+    """
+    output_struct = output_struct or state_struct
+    field_names = [f.name for f in state_struct.fields]
+    order_cols = list(order_cols)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # passivation: drop in-memory state; snapshot table is the truth
+            state.remove()
+            return
+        prev = dict(zip(field_names, state.get)) if state.exists else None
+        current = prev
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(order_cols, kind="mergesort")
+        for event in batch.to_dict("records"):
+            current = handle_event(current, event)
+        if current is not None and current != prev:
+            state.update(tuple(current.get(f) for f in field_names))
+            if idle_timeout_ms:
+                state.setTimeoutDuration(idle_timeout_ms)
+            yield pd.DataFrame([current])
+        elif idle_timeout_ms and state.exists:
+            state.setTimeoutDuration(idle_timeout_ms)
+
+    ensure_shipped(events.sparkSession)
+    return events.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=output_struct,
+        stateStructType=state_struct,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -1,0 +1,102 @@
+"""Streaming metric sensors (SURVEY §2.4 A3-A7, modules/metrics).
+
+Readings are rows {sensor, value, ts}. Counter/gauge/min/max are stock
+streaming aggregations; EWMA is a custom stateful operator (the recurrence
+needs ordered per-key state, ExponentiallyWeightedMovingAverage.scala:14-29);
+rates are windowed counts normalized by window length
+(TimeBucketHistogram.scala:15-50, 1m/5m/15m wiring Metrics.scala:152-172).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..session import ensure_shipped
+
+EWMA_WEIGHT = 0.95  # Metrics.scala:146-150
+
+
+def sensor_stats(readings: DataFrame) -> DataFrame:
+    """A3-A5: count / min / max / most-recent-value per sensor. In streaming
+    use outputMode('update'|'complete'); same frame works in batch."""
+    return readings.groupBy("sensor").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.max_by("value", "ts").alias("last_value"),
+        F.avg("value").alias("avg_value"),
+    )
+
+
+_EWMA_STATE = StructType(
+    [StructField("ewma", DoubleType()), StructField("n", LongType())]
+)
+
+EWMA_OUTPUT = StructType(
+    [
+        StructField("sensor", StringType()),
+        StructField("ewma", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def ewma_stream(readings: DataFrame, weight: float = EWMA_WEIGHT) -> DataFrame:
+    """A6: ewma' = weight*ewma + (1-weight)*value, seeded with the first
+    reading; state carries (ewma, n) per sensor across micro-batches."""
+    alpha = 1.0 - weight
+
+    def step(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ewma, n = state.get if state.exists else (None, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        for v in batch["value"]:
+            v = float(v)
+            ewma = v if ewma is None else (1 - alpha) * ewma + alpha * v
+            n += 1
+        state.update((ewma, n))
+        yield pd.DataFrame([{"sensor": key[0], "ewma": ewma, "n": n}])
+
+    ensure_shipped(readings.sparkSession)
+    return readings.groupBy("sensor").applyInPandasWithState(
+        step,
+        outputStructType=EWMA_OUTPUT,
+        stateStructType=_EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def rate_per_second(
+    readings: DataFrame, window_size: str = "60 seconds", watermark: str = "60 seconds"
+) -> DataFrame:
+    """A7: trailing-window rate = count(window)/window_seconds, the 1m/5m/15m
+    RateHistogram. One frame per (sensor, window); expired buckets drop out
+    via the watermark (TimeBucketHistogram.scala:38-44 expiry)."""
+    seconds = float(window_size.split()[0])
+    return (
+        readings.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size), "sensor")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "sensor",
+            F.round(F.col("n") / seconds, 6).alias("rate_per_s"),
+        )
+    )

@@ -1,0 +1,251 @@
+"""Streaming runtime tests: stateful fold across micro-batches, command
+engine end-to-end (process → atomic commit → read-your-writes point query),
+window analytics, metric sensors. File streams + availableNow triggers stand
+in for Kafka (same source API surface)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from surge_spark.operators import eventsourcing as es
+from surge_spark.streaming import metrics as sm
+from surge_spark.streaming import windows as sw
+from surge_spark.streaming.command_engine import CommandEngine
+from surge_spark.streaming.fold import stateful_fold_stream
+from surge_spark.streaming.snapshot_store import SnapshotStore
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+COUNT_STATE_STRUCT = T.StructType(
+    [
+        T.StructField("aggregate_id", T.StringType()),
+        T.StructField("count", T.IntegerType()),
+        T.StructField("version", T.IntegerType()),
+    ]
+)
+
+
+def _ts(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+
+
+def _write_batch(spark, path, rows, n: int):
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_stateful_fold_across_batches(spark, tmp_path):
+    """State persists across micro-batches: two event files processed as two
+    batches must produce the same final state as one batch (R1/A1)."""
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, [(1, _ts(1), 1, "purchase", 1.0, "{}")], 1)
+
+    events = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    def handler(state, event):
+        return es.count_handle_event(state, event)
+
+    out = stateful_fold_stream(
+        events, "user_id", ["ts", "event_id"], handler, COUNT_STATE_STRUCT
+    )
+    seen: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        seen.extend(
+            (r["aggregate_id"], r["count"], r["version"]) for r in batch_df.collect()
+        )
+
+    def run_once():
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    _write_batch(spark, src, [(2, _ts(2), 1, "error", 1.0, "{}")], 1)
+    run_once()
+    # second batch folded on top of checkpointed state: count 1-1=0, version 2
+    assert seen[-1] == ("1", 0, 2)
+
+
+def test_command_engine_end_to_end(spark, tmp_path):
+    """§3.1 pipeline: commands → events+state committed atomically →
+    read-your-writes getState; rejection writes nothing; duplicate batch is
+    a no-op (R4)."""
+    # bank state dicts carry account_number == str(user_id): that is the
+    # store key (engine contract)
+    store = SnapshotStore(str(tmp_path / "store"), key_col="account_number")
+
+    def handle(state, ev):
+        s = es.bank_handle_event(state, ev)
+        return {"account_number": s["account_number"], "balance": s["balance"]}
+
+    engine = CommandEngine(
+        store,
+        process_command=es.bank_process_command,
+        handle_event=handle,
+        state_schema="account_number string, balance double",
+        event_schema="type string, account string, amount double, account_number string",
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+    )
+
+    cmds1 = spark.createDataFrame(
+        [
+            (1, _ts(1), 7, "signup", 0.0, "c1"),
+            (2, _ts(2), 7, "click", 100.0, "c2"),
+            (3, _ts(3), 7, "purchase", 500.0, "c3"),  # insufficient → rejected
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, command_id string",
+    )
+    state_df, events_df, replies_df = engine.process_batch(cmds1, "b1")
+    replies = {r.command_id: r.status for r in replies_df.collect()}
+    assert replies == {"c1": "success", "c2": "success", "c3": "rejected"}
+
+    # read-your-writes: state visible immediately after commit (R2)
+    got = store.get_state(spark, "7")
+    assert got is not None and got["balance"] == 100.0
+
+    # batch 2 folds on batch 1's committed state
+    cmds2 = spark.createDataFrame(
+        [(4, _ts(4), 7, "purchase", 30.0, "c4")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, command_id string",
+    )
+    engine.process_batch(cmds2, "b2")
+    assert store.get_state(spark, "7")["balance"] == 70.0
+
+    # idempotent publish (R4): re-committing b2 is a no-op
+    before = store.latest_version()
+    assert store.commit(None, state_df, "b2") is False
+    assert store.latest_version() == before
+
+    # event log accumulated across both commits
+    log = store.read_events(spark)
+    assert log.count() == 3  # created, credited, debited (rejection wrote nothing)
+
+
+def test_snapshot_store_no_change_no_write(spark, tmp_path):
+    """no-change-no-write (PersistentActor.scala:212): a command that leaves
+    state unchanged emits no state row."""
+    store = SnapshotStore(str(tmp_path / "s2"), key_col="aggregate_id")
+    engine = CommandEngine(
+        store,
+        process_command=lambda s, c: ([], False),  # do_nothing command
+        handle_event=lambda s, e: s,
+        state_schema="aggregate_id string, count int",
+        event_schema="aggregate_id string, kind string",
+        key_col="user_id",
+        order_cols=["ts"],
+    )
+    cmds = spark.createDataFrame(
+        [(1, _ts(1), 3, "do_nothing", 0.0, "c1")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, command_id string",
+    )
+    state_df, events_df, replies = engine.process_batch(cmds, "b1")
+    assert state_df.count() == 0 and events_df.count() == 0
+    assert replies.collect()[0].status == "success"
+
+
+def test_ewma_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "readings")
+    vals = [10.0, 20.0, 30.0, 40.0]
+    rows = [("s1", v, _ts(i)) for i, v in enumerate(vals)]
+    schema = "sensor string, value double, ts timestamp"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    readings = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sm.ewma_stream(readings)
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from ewma_out").collect()[0]
+    expected = vals[0]
+    for v in vals[1:]:
+        expected = 0.95 * expected + 0.05 * v
+    assert abs(got.ewma - expected) < 1e-9
+    assert got.n == 4
+
+
+def test_count_triggered_slider(spark, tmp_path):
+    """W1: buffer 5, slide 2 — 12 signals → advances at the 5th/7th/9th/11th
+    signal; buffer never exceeds buffer_size."""
+    src = str(tmp_path / "signals")
+    rows = [(_ts(i), "t", "sig.a", "ERROR", "", {}) for i in range(12)]
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("signal_type", T.StringType()),
+            T.StructField("description", T.StringType()),
+            T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    signals = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sw.count_triggered_slider(signals, buffer_size=5, slide_amount=2)
+        .writeStream.format("memory")
+        .queryName("slider_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from slider_out").toPandas()
+    advanced = out[out.event == "WindowAdvanced"]
+    assert len(advanced) == 4
+    assert (advanced.buffered == 3).all()  # 5 - slide(2)
+    snap = out[out.event == "AddedToWindow"]
+    assert snap.iloc[-1].total_seen == 12
+
+
+def test_repeating_signal_alerts_batch_semantics(spark, sf_dir):
+    """W5 frame compiles and evaluates in batch mode too (same plan)."""
+    from surge_spark.io import load_table
+
+    signals = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "ts",
+            F.lit("health.signal").alias("topic"),
+            F.col("event_type").alias("name"),
+            F.lit("ERROR").alias("signal_type"),
+        )
+    )
+    out = (
+        signals.where(F.col("name").rlike("^err"))
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n_matches"))
+        .where(F.col("n_matches") >= 2)
+    )
+    assert out.count() > 0
