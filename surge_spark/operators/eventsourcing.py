@@ -32,6 +32,14 @@ EventHandler = Callable[[dict | None, dict[str, Any]], dict | None]
 CommandHandler = Callable[[dict | None, dict[str, Any]], tuple[list[dict], bool]]
 
 
+def _iter_rows(pdf: pd.DataFrame):
+    """Row dicts via zipped column lists — several times faster than
+    DataFrame.to_dict('records') on wide Arrow-backed frames, and the fold
+    loop is the hot path of every event-sourcing operator."""
+    cols = list(pdf.columns)
+    yield from (dict(zip(cols, vals)) for vals in zip(*(pdf[c].tolist() for c in cols)))
+
+
 def fold_events(
     events: DataFrame,
     key_col: str,
@@ -53,7 +61,7 @@ def fold_events(
         pdf = pdf.sort_values(order_cols, kind="mergesort")
         key = pdf[key_col].iloc[0]
         state = initial_state(key)
-        for event in pdf.to_dict("records"):
+        for event in _iter_rows(pdf):
             state = handle_event(state, event)
         if state is None:
             return pd.DataFrame()
@@ -83,7 +91,7 @@ def replay_commands(
         state: dict | None = None
         n_rejected = 0
         n_events = 0
-        for cmd in pdf.to_dict("records"):
+        for cmd in _iter_rows(pdf):
             events, rejected = process_command(state, cmd)
             if rejected:
                 n_rejected += 1

@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.eventsourcing import _iter_rows
 from ..session import ensure_shipped
 from .snapshot_store import SnapshotStore
 
@@ -74,7 +75,7 @@ class CommandEngine:
         initial_state = state
         events_out: list[dict] = []
         replies: list[dict] = []
-        for cmd in pdf.sort_values(self.order_cols, kind="mergesort").to_dict("records"):
+        for cmd in _iter_rows(pdf.sort_values(self.order_cols, kind="mergesort")):
             try:
                 events, rejected = self.process_command(state, cmd)
             except Exception as e:  # noqa: BLE001 — handler error → ACKError (§5 tier-1)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
+from ..operators.eventsourcing import _iter_rows
 from ..session import ensure_shipped
 
 EventHandler = Callable[[dict | None, dict[str, Any]], dict | None]
@@ -65,7 +66,7 @@ def stateful_fold_stream(
         current = prev
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(order_cols, kind="mergesort")
-        for event in batch.to_dict("records"):
+        for event in _iter_rows(batch):
             current = handle_event(current, event)
         if current is not None and current != prev:
             state.update(tuple(current.get(f) for f in field_names))
