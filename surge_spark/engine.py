@@ -1,0 +1,144 @@
+"""User-facing engine facade — the scaladsl API surface (SURVEY §3, §2.10).
+
+Mirrors the reference's public shape so a surge user maps their program 1:1:
+
+    surge (scaladsl)                        surge_spark
+    ------------------------------------    ----------------------------------
+    SurgeCommand.create(businessLogic)      SurgeEngine(spark, model, path)
+    engine.aggregateFor(id)                 engine.aggregate_for(id)
+    ref.sendCommand(cmd)                    ref.send_command(cmd)
+    ref.getState                            ref.get_state()
+    ref.applyEvents(events)                 ref.apply_events(events)
+    CommandSuccess/CommandFailure           CommandResult(status, state, error)
+
+(AggregateRef.scala:35-58, SurgeCommand.scala:27-69,
+AggregateRefResult.scala:5-11.) Commands submitted through the facade are
+processed synchronously as single-command micro-batches — the degenerate
+form of the streaming engine (run the commands topic through
+CommandEngine.run_stream in production; the semantics are identical because
+both paths share process_batch).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+from collections.abc import Sequence
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from .streaming.command_engine import CommandEngine
+from .streaming.snapshot_store import SnapshotStore
+
+
+@dataclass
+class SurgeModel:
+    """The business-logic bundle (SurgeModel.scala:20 / U1-U6): handlers plus
+    the schemas that replace surge's user serdes."""
+
+    process_command: Any  # (state|None, cmd) -> (events, rejected)
+    handle_event: Any  # (state|None, event) -> state|None
+    state_schema: str
+    event_schema: str
+    key_col: str = "aggregate_id"
+    order_cols: Sequence[str] = ("ts",)
+
+
+@dataclass
+class CommandResult:
+    """CommandSuccess | CommandFailure (AggregateRefResult.scala:5-11)."""
+
+    status: str  # success | rejected | error: <type>
+    state: dict | None
+    command_id: str
+
+    @property
+    def is_success(self) -> bool:
+        return self.status == "success"
+
+
+class AggregateRef:
+    """aggregateFor(id) handle (AggregateRef.scala:35-58)."""
+
+    def __init__(self, engine: "SurgeEngine", aggregate_id: str) -> None:
+        self._engine = engine
+        self.aggregate_id = aggregate_id
+
+    def send_command(self, **cmd: Any) -> CommandResult:
+        """3.1 write path: process → atomic commit → ack with new state."""
+        return self._engine._submit(self.aggregate_id, cmd)
+
+    def get_state(self) -> dict | None:
+        """3.2 read path: point read of the latest committed snapshot;
+        read-your-writes per R2 (the commit happens before send_command
+        returns)."""
+        return self._engine._store.get_state(self._engine._spark, self.aggregate_id)
+
+    def apply_events(self, events: list[dict]) -> dict | None:
+        """3.3 event path (SurgeEvent engine): fold events directly, skip
+        command processing; state-only publish, and only on change."""
+        return self._engine._apply_events(self.aggregate_id, events)
+
+
+class SurgeEngine:
+    def __init__(self, spark: SparkSession, model: SurgeModel, store_path: str) -> None:
+        self._spark = spark
+        self._model = model
+        self._store = SnapshotStore(store_path, key_col=model.key_col)
+        self._engine = CommandEngine(
+            self._store,
+            model.process_command,
+            model.handle_event,
+            model.state_schema,
+            model.event_schema,
+            key_col=model.key_col,
+            order_cols=list(model.order_cols),
+        )
+        self._seq = itertools.count()
+
+    def aggregate_for(self, aggregate_id: str) -> AggregateRef:
+        return AggregateRef(self, str(aggregate_id))
+
+    # -- internals -------------------------------------------------------
+
+    def _submit(self, aggregate_id: str, cmd: dict) -> CommandResult:
+        n = next(self._seq)
+        command_id = str(cmd.get("command_id") or f"cmd-{n}")
+        row = {**cmd, self._model.key_col: aggregate_id, "command_id": command_id}
+        batch = self._spark.createDataFrame(
+            [row], schema=self._infer_schema(row)
+        )
+        _, _, replies = self._engine.process_batch(batch, f"submit-{n}")
+        reply = replies.where(replies.command_id == command_id).collect()[0]
+        state = json.loads(reply.new_state) if reply.new_state else None
+        return CommandResult(reply.status, state, command_id)
+
+    def _apply_events(self, aggregate_id: str, events: list[dict]) -> dict | None:
+        state = self._store.get_state(self._spark, aggregate_id)
+        prev = state
+        for ev in events:
+            state = self._model.handle_event(state, ev)
+        if state is not None and state != prev:
+            n = next(self._seq)
+            updates = self._spark.createDataFrame(
+                [state], schema=self._model.state_schema
+            )
+            self._store.commit(None, updates, f"apply-events-{n}")
+        return state
+
+    @staticmethod
+    def _infer_schema(row: dict) -> str:
+        parts = []
+        for k, v in row.items():
+            if isinstance(v, bool):
+                t = "boolean"
+            elif isinstance(v, int):
+                t = "long"
+            elif isinstance(v, float):
+                t = "double"
+            else:
+                t = "string"
+            parts.append(f"{k} {t}")
+        return ", ".join(parts)

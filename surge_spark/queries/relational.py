@@ -966,3 +966,134 @@ def f_partition_for_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("partition")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# SQL-level surface: subqueries, pivot, having, distinct
+# --------------------------------------------------------------------------
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str, alias: str) -> None:
+    load_table(spark, sf_dir, name).createOrReplaceTempView(alias)
+
+
+@query(
+    "q_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — Catalyst rewrites it to a left-semi join."""
+    _view(spark, sf_dir, "customer", "_sq_customer")
+    _view(spark, sf_dir, "orders", "_sq_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM _sq_customer c
+        WHERE EXISTS (
+          SELECT 1 FROM _sq_orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        """
+    )
+
+
+@query(
+    "q_in_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      AND o_orderstatus = 'F'
+    """,
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer", "_in_customer")
+    _view(spark, sf_dir, "orders", "_in_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM _in_orders
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM _in_customer WHERE c_mktsegment = 'MACHINERY'
+        ) AND o_orderstatus = 'F'
+        """
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT c_custkey,
+           CAST(round(c_acctbal - (SELECT avg(c_acctbal) FROM customer), 4) AS DOUBLE)
+             AS bal_vs_avg
+    FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery — one extra tiny job, broadcast as a
+    literal into the main scan."""
+    _view(spark, sf_dir, "customer", "_ss_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               round(c_acctbal - (SELECT avg(c_acctbal) FROM _ss_customer), 4)
+                 AS bal_vs_avg
+        FROM _ss_customer WHERE c_acctbal > 5000
+        """
+    )
+
+
+@query(
+    "a_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS DOUBLE) AS O,
+           CAST(round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS DOUBLE) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot = group + conditional aggregation; explicit value list keeps it
+    one pass (no values-discovery job)."""
+    li = _t(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return piv.select("l_returnflag", F.col("O"), F.col("F"))
+
+
+@query(
+    "a_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS spend
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 12 AND sum(o_totalprice) > 1000000
+    """,
+)
+def a_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.sum("o_totalprice").alias("_raw_spend"),
+        )
+        .where((F.col("n_orders") >= 12) & (F.col("_raw_spend") > 1000000))
+        .drop("_raw_spend")
+    )
+
+
+@query(
+    "o_distinct",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+)
+def o_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
