@@ -1097,3 +1097,31 @@ def a_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def o_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "q_explode_tokens",
+    oracle="""
+    SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ) WHERE tok <> ''
+    GROUP BY tok
+    """,
+)
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/UDTF surface (§2.10): explode a token array into rows —
+    the lateral-view shape every inverted-index build uses. Map-side
+    explode, one aggregation shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " "
+    )
+    return (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"), F.count_distinct("doc_id").alias("n_docs"))
+    )

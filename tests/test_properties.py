@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) for operator invariants the oracle
+can't express: input-order invariance of the keyed fold, agreement between
+the two latest-per-key formulations, Jaccard symmetry/bounds. Spark runs are
+expensive, so examples are small and deadlines disabled."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from surge_spark.operators import dedup as dd
+from surge_spark.operators import eventsourcing as es
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+event_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # user
+        st.sampled_from(["purchase", "signup", "error", "click", "view"]),
+        st.integers(0, 10_000),  # ts offset seconds
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=event_rows)
+@settings(**SETTINGS)
+def test_count_fold_input_order_invariant(spark, rows):
+    """R1: the fold sorts by (ts, event_id) inside each key, so shuffling the
+    *input row order* never changes the result (Kafka partition order is the
+    only order surge relies on; we key it explicitly)."""
+
+    def run(perm):
+        pdf = pd.DataFrame(
+            [
+                (
+                    i,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(seconds=ts),
+                    uid,
+                    etype,
+                    0.0,
+                    "{}",
+                )
+                for i, (uid, etype, ts) in perm
+            ],
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        out = es.fold_events(
+            spark.createDataFrame(pdf),
+            "user_id",
+            ["ts", "event_id"],
+            es.count_handle_event,
+            es.COUNT_STATE_SCHEMA,
+        ).toPandas()
+        return sorted(map(tuple, out.values.tolist()))
+
+    indexed = list(enumerate(rows))
+    assert run(indexed) == run(list(reversed(indexed)))
+
+
+@given(rows=event_rows)
+@settings(**SETTINGS)
+def test_latest_per_key_formulations_agree(spark, rows):
+    """A2: max_by(struct) == row_number()==1 — the cheap aggregation must
+    match the window-function formulation on every input."""
+    pdf = pd.DataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=ts), uid, etype, 0.0, "{}")
+            for i, (uid, etype, ts) in enumerate(rows)
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    df = spark.createDataFrame(pdf).select("user_id", "ts", "event_id", "event_type")
+    via_agg = es.latest_per_key(df, ["user_id"], ["ts", "event_id"]).toPandas()
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    via_window = (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .toPandas()
+    )
+    key = lambda d: sorted(  # noqa: E731
+        map(tuple, d[["user_id", "ts", "event_id", "event_type"]].values.tolist())
+    )
+    assert key(via_agg) == key(via_window)
+
+
+texts = st.lists(
+    st.text(alphabet="ab c", min_size=1, max_size=60), min_size=2, max_size=8
+)
+
+
+@given(docs=texts)
+@settings(**SETTINGS)
+def test_jaccard_pairs_bounds_and_symmetry(spark, docs):
+    """jaccard in (0, 1]; identical normalized docs always hit 1.0; pair ids
+    are ordered (a < b) exactly once."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    )
+    sh = dd.shingles(df, "doc_id", "text", n=2)
+    out = dd.jaccard_pairs(sh).toPandas()
+    assert ((out.jaccard > 0) & (out.jaccard <= 1.0)).all()
+    assert (out.id_a < out.id_b).all()
+    assert not out.duplicated(["id_a", "id_b"]).any()
+    # exact duplicates (after normalization) must score 1.0 when both have shingles
+    norm = [" ".join(t.lower().split()) for t in docs]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            if norm[i] and norm[i] == norm[j]:
+                row = out[(out.id_a == i) & (out.id_b == j)]
+                assert len(row) == 1 and row.jaccard.iloc[0] == 1.0
