@@ -153,3 +153,23 @@ class SnapshotStore:
         if not existing:
             return None
         return spark.read.parquet(*existing)
+
+    # -- maintenance ---------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 10) -> list[int]:
+        """Drop snapshot data of versions older than the last ``keep_last``
+        commits (the Delta VACUUM analog). Event files are never removed —
+        the event log is the source of truth for replay; only superseded
+        full-state snapshots are reclaimed. Manifests stay so the version
+        history and batch-id dedup set remain intact."""
+        import shutil
+
+        versions = self.committed_versions()
+        removable = versions[:-keep_last] if keep_last else versions
+        removed = []
+        for v in removable:
+            state_dir = os.path.join(self.path, f"v{v:012d}", "state")
+            if os.path.exists(state_dir):
+                shutil.rmtree(state_dir)
+                removed.append(v)
+        return removed

@@ -1,0 +1,77 @@
+"""Physical-plan assertions: the catalog's scale properties (pushdown,
+pruning, broadcast, partial top-k) are load-bearing — pin them so a
+refactor that silently degrades a plan fails CI, not the 100 TB run."""
+
+from __future__ import annotations
+
+import pytest
+
+from surge_spark.queries import all_queries
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = all_queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "p2_filter_project")
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,error)" in plan.replace(" ", "").replace("\n", "") or (
+        "event_type" in plan and "PushedFilters: [" in plan
+    )
+
+
+def test_column_pruning_on_flagship(spark, sf_dir):
+    """The 4-way join must read only 3 lineitem columns."""
+    plan = _plan(spark, sf_dir, "j_revenue_per_nation")
+    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j_broadcast_dim_join")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_topn_avoids_full_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "o_orderby_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_per_key_uses_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "w_topk_per_key")
+    assert "WindowGroupLimit" in plan
+
+
+def test_latest_per_key_is_aggregate_not_window(spark, sf_dir):
+    """A2 must stay a partial+final aggregate (max_by), not a sort+window."""
+    plan = _plan(spark, sf_dir, "a2_latest_per_key")
+    assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
+    assert "Window" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["a_groupby_pricing_summary", "j_revenue_per_nation", "m_sensor_statistics"],
+)
+def test_aggregations_have_partial_stage(spark, sf_dir, name):
+    """Partial (map-side) aggregation before the exchange — the difference
+    between shuffling raw rows and shuffling one row per group per task."""
+    plan = _plan(spark, sf_dir, name)
+    # partial_<fn> markers prove map-side combine before the exchange,
+    # regardless of exec strategy (Hash/Sort/ObjectHash aggregate)
+    assert "partial_" in plan, plan
+    assert "Exchange hashpartitioning" in plan, plan
+
+
+def test_whole_stage_codegen_covers_relational_path(spark, sf_dir):
+    """AdaptiveSparkPlan only materializes codegen stages after execution —
+    run the query, then inspect the finalized plan."""
+    df = all_queries()["a_groupby_pricing_summary"](spark, sf_dir)
+    df.collect()  # a write triggers a separate QueryExecution; collect finalizes df's own
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # '*(N)' prefixes mark operators inside a WholeStageCodegen stage
+    assert "*(" in plan
+    assert any("*(" in l and "partial_sum" in l for l in plan.splitlines())
