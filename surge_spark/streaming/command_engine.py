@@ -67,11 +67,21 @@ class CommandEngine:
 
     # -- core ----------------------------------------------------------------
 
-    def _handle_group(self, state_by_key: dict, pdf: pd.DataFrame):
+    def _handle_group(self, state_fields: list[str], pdf: pd.DataFrame):
         """Run one key's commands serially (R1). Returns (state_rows,
-        event_rows, reply_rows)."""
+        event_rows, reply_rows). Initial state arrives as __state__-prefixed
+        columns from the snapshot join (actor init, §3.1.5)."""
         key = str(pdf[self.key_col].iloc[0])
-        state = state_by_key.get(key)
+        state = None
+        if state_fields and pdf[f"__state__{self.store.key_col}"].notna().iloc[0]:
+            first = pdf.iloc[0]
+            # .item() unwraps numpy scalars so downstream createDataFrame
+            # against the declared state schema sees Python natives
+            state = {
+                f: (v.item() if hasattr(v, "item") else v)
+                for f in state_fields
+                for v in [first[f"__state__{f}"]]
+            }
         initial_state = state
         events_out: list[dict] = []
         replies: list[dict] = []
@@ -122,18 +132,25 @@ class CommandEngine:
         (state_updates, events, replies)."""
         spark = commands.sparkSession
         snapshot = self.store.read_state(spark)
-        state_by_key: dict[str, dict] = {}
+        state_fields: list[str] = []
         if snapshot is not None:
-            # Engine contract: a state dict carries store.key_col whose value
-            # is str(command key) — that's how actor init (§3.1.5) finds the
-            # snapshot row. A broadcast dict is fine for command batches
-            # (bounded by ingress-rate × trigger interval); at 100 TB this
-            # becomes a semi-join of the snapshot against the batch's keys.
-            keys = [
-                str(r[0]) for r in commands.select(self.key_col).distinct().collect()
-            ]
-            rows = snapshot.where(F.col(self.store.key_col).isin(keys)).collect()
-            state_by_key = {str(r[self.store.key_col]): r.asDict() for r in rows}
+            # Actor init (§3.1.5) as a distributed left join: each command
+            # row carries its aggregate's snapshot as __state__* columns.
+            # Engine contract: the state dict's store.key_col value equals
+            # str(command key). No driver-side state ever materializes, so
+            # this scales with the snapshot table, not driver memory; at
+            # 100 TB Catalyst plans it as broadcast (small batch key set)
+            # or shuffled hash join.
+            state_fields = snapshot.columns
+            prefixed = snapshot.select(
+                *[F.col(c).alias(f"__state__{c}") for c in snapshot.columns]
+            )
+            commands = commands.join(
+                prefixed,
+                commands[self.key_col].cast("string")
+                == prefixed[f"__state__{self.store.key_col}"],
+                "left",
+            )
 
         out_schema = (
             "state_rows string, event_rows string, reply_rows string"
@@ -141,7 +158,7 @@ class CommandEngine:
         handle_group = self._handle_group
 
         def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-            s, e, r = handle_group(state_by_key, pdf)
+            s, e, r = handle_group(state_fields, pdf)
             return pd.DataFrame(
                 [
                     {
