@@ -175,3 +175,67 @@ def mm_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
     with_bin = mm.to_binary_payload(docs, "doc_id", "text", mime="image/fake")
     return mm.extract_features(with_bin, id_col="doc_id")
+
+
+@query(
+    "t_chunk_documents",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             CAST(gs.i AS INT) AS chunk_idx,
+             array_to_string(t[(gs.i * 40 + 1):(gs.i * 40 + 50)], ' ') AS chunk_text
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(0, greatest(CAST(ceil((len(t) - 50) / 40.0) AS BIGINT), 0))) AS i
+      ) gs
+    )
+    SELECT doc_id, chunk_idx, chunk_text,
+           CAST(len(string_split(chunk_text, ' ')) AS INT) AS chunk_tokens
+    FROM chunks WHERE chunk_text <> ''
+    """,
+)
+def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline chunking: split each document into 50-token chunks
+    with stride 40 (10-token overlap). Map-side sequence+slice explode —
+    no shuffle; at 100 TB this is the pre-tokenization pass before packing."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " "
+    )
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - 50) / 40.0).cast("long"), F.lit(0)
+    )
+    with_toks = docs.select("doc_id", toks.alias("_t"), n_chunks.alias("_n"))
+    chunks = with_toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_n")),
+                lambda i: F.array_join(F.slice(F.col("_t"), i * 40 + 1, 50), " "),
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    ).where(F.col("chunk_text") != "")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk_text",
+        F.size(F.split("chunk_text", " ")).alias("chunk_tokens"),
+    )
+
+
+@query(
+    "t_deterministic_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+    """,
+)
+def t_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% sample via an md5 threshold on the key — the
+    reproducible, engine-portable sampling a training pipeline needs
+    (TABLESAMPLE/rand() are engine-specific). Filter is map-side; the same
+    predicate selects the same rows on any engine, any partitioning."""
+    docs = _docs(spark, sf_dir)
+    return docs.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "40"
+    ).select("doc_id", "lang")
