@@ -33,6 +33,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ns→us behavior)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts carries naive-UTC instants; pin the session tz so
+        # bucketing (date_trunc/window) and toPandas rendering match the
+        # DuckDB oracle's naive timestamps on any driver configuration
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(table_path(sf_dir, name))
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))

@@ -249,3 +249,50 @@ def test_repeating_signal_alerts_batch_semantics(spark, sf_dir):
         .where(F.col("n_matches") >= 2)
     )
     assert out.count() > 0
+
+
+def test_repeating_signal_alerts_streaming_watermark(spark, tmp_path):
+    """W5 streaming: windows emit in append mode once the watermark passes
+    them; the alert threshold (times=3) filters the emitted rows."""
+    src = str(tmp_path / "sig_src")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    # batch 1: 3 errors in [00:00, 00:10), 1 error in [00:10, 00:20)
+    b1 = [
+        (_ts(1), "err.kafka"),
+        (_ts(3), "err.kafka"),
+        (_ts(5), "err.kafka"),
+        (_ts(12), "err.kafka"),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: event far in the future advances the watermark past both windows
+    spark.createDataFrame([(_ts(600), "err.kafka")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    signals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    alerts = sw.repeating_signal_alerts(
+        signals, pattern="^err", times=3, size="10 seconds", watermark="1 second"
+    )
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("alerts_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_alerts"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from alerts_out").toPandas()
+    # only the first window clears times>=3; the 1-error window is filtered
+    assert len(out) == 1
+    assert out.iloc[0].n_matches == 3
+    assert out.iloc[0].window_start == _ts(0)
