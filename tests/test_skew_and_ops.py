@@ -77,3 +77,29 @@ def test_query_supervisor_restarts_and_gives_up(spark, tmp_path):
     assert sup.poll()["rate-q"] == "gave_up"
     assert "gave_up" in entry.history[-1]
     sup.stop_all()
+
+
+def test_snapshot_store_fencing(spark, tmp_path):
+    """R5 zombie-writer fencing: two stores over the same path racing to
+    commit the same version — the second manifest write must fail loudly
+    (the ProducerFencedException analog), not silently overwrite."""
+    import os
+
+    import pytest as _pytest
+
+    store_a = SnapshotStore(str(tmp_path / "f"), key_col="k")
+    store_b = SnapshotStore(str(tmp_path / "f"), key_col="k")
+    updates = spark.createDataFrame([("a", 1)], "k string, v int")
+    assert store_a.commit(None, updates, "b1") is True
+
+    # race: another writer lands the v1 manifest while b is mid-commit.
+    # Freeze b's view at [v0] so it also targets version 1, and pre-place
+    # the winner's manifest — b's exclusive link must fail.
+    manifest_v1 = store_b._manifest_path(1)
+    with open(manifest_v1 + ".race", "w") as f:
+        f.write('{"version": 1, "batch_id": "other-writer", "events": null, "state": "x", "n_events": 0, "ts": 0}')
+    os.rename(manifest_v1 + ".race", manifest_v1)
+    store_b.committed_versions = lambda: [0]  # stale view mid-race
+
+    with _pytest.raises(RuntimeError, match="fenced"):
+        store_b.commit(None, spark.createDataFrame([("b", 2)], "k string, v int"), "b2")

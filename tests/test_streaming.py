@@ -296,3 +296,61 @@ def test_repeating_signal_alerts_streaming_watermark(spark, tmp_path):
     assert len(out) == 1
     assert out.iloc[0].n_matches == 3
     assert out.iloc[0].window_start == _ts(0)
+
+
+def test_events_publish_even_when_state_unchanged(spark, tmp_path):
+    """PersistentActorSpec.scala:495: events that don't change state still
+    publish; the state snapshot is skipped (no-change-no-write)."""
+    store = SnapshotStore(str(tmp_path / "s3"), key_col="aggregate_id")
+    engine = CommandEngine(
+        store,
+        # emits a no-op event; handle_event returns an equal state dict
+        process_command=lambda s, c: ([{"kind": "no-op"}], False),
+        handle_event=lambda s, e: s if s is not None else None,
+        state_schema="aggregate_id string, v int",
+        event_schema="kind string, aggregate_id string",
+        key_col="user_id",
+        order_cols=["ts"],
+    )
+    cmds = spark.createDataFrame(
+        [(1, _ts(1), 4, "noop_event", 0.0, "c1")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, command_id string",
+    )
+    state_df, events_df, replies = engine.process_batch(cmds, "b1")
+    assert events_df.count() == 1  # event published
+    assert state_df.count() == 0  # state not re-written
+    assert replies.collect()[0].status == "success"
+
+
+def test_handler_error_propagates_as_ack_error(spark, tmp_path):
+    """PersistentActorSpec.scala:431-458: a throwing handler produces an
+    ACKError reply; nothing is written; later commands still process."""
+
+    def explode_on_bad(state, cmd):
+        if cmd["event_type"] == "bad":
+            raise ValueError("boom")
+        return [{"kind": "ok"}], False
+
+    store = SnapshotStore(str(tmp_path / "s4"), key_col="aggregate_id")
+    engine = CommandEngine(
+        store,
+        process_command=explode_on_bad,
+        handle_event=lambda s, e: {"aggregate_id": "5", "v": (s or {"v": 0})["v"] + 1},
+        state_schema="aggregate_id string, v int",
+        event_schema="kind string, aggregate_id string",
+        key_col="user_id",
+        order_cols=["ts"],
+    )
+    cmds = spark.createDataFrame(
+        [
+            (1, _ts(1), 5, "bad", 0.0, "c1"),
+            (2, _ts(2), 5, "good", 0.0, "c2"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, command_id string",
+    )
+    state_df, events_df, replies_df = engine.process_batch(cmds, "b1")
+    replies = {r.command_id: r.status for r in replies_df.collect()}
+    assert replies["c1"] == "error: ValueError"
+    assert replies["c2"] == "success"
+    assert events_df.count() == 1  # only the good command's event
+    assert store.get_state(spark, "5")["v"] == 1
