@@ -343,3 +343,37 @@ def es_count_fold_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(delta).cast("int").alias("count"),
         F.count("*").cast("int").alias("version"),
     )
+
+
+@query(
+    "m_rate_trailing_60s",
+    oracle="""
+    WITH sec AS (
+      SELECT event_type, date_trunc('second', ts) AS s FROM events
+    ), contrib AS (
+      SELECT event_type, s - to_seconds(CAST(k.k AS BIGINT)) AS window_start
+      FROM sec, LATERAL (SELECT unnest(range(0, 60)) AS k) k
+    )
+    SELECT event_type, window_start, count(*) AS n,
+           CAST(round(count(*) / 60.0, 6) AS DOUBLE) AS rate_per_s
+    FROM contrib GROUP BY event_type, window_start
+    """,
+)
+def m_rate_trailing_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 exact form: the trailing-60s RateHistogram
+    (RateHistogram.scala:10-12, buckets TimeBucketHistogram.scala:15-50) as
+    a true sliding window — every 1 s slide that contains the event counts
+    it. Spark's window(ts, 60s, 1s) replicates each row into its 60 member
+    windows map-side, then one partial+final count — the same shape the
+    streaming version uses with a watermark."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "60 seconds", "1 second"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            F.col("window.start").alias("window_start"),
+            "n",
+            F.round(F.col("n") / 60.0, 6).alias("rate_per_s"),
+        )
+    )

@@ -178,7 +178,16 @@ class CommandEngine:
         state_df = spark.createDataFrame(states, schema=self.state_schema)
         events_df = spark.createDataFrame(events, schema=self.event_schema)
         replies_df = spark.createDataFrame(replies, schema=REPLY_SCHEMA)
-        self.store.commit(events_df, state_df, batch_id)
+        if states or events:
+            # single output file per side for command-sized batches (row
+            # counts are known here); a replayed no-op batch is harmless so
+            # skipping the commit entirely preserves R4 semantics
+            self.store.commit(
+                events_df.coalesce(1) if events else None,
+                state_df.coalesce(1),
+                batch_id,
+                update_keys=[s[self.store.key_col] for s in states],
+            )
         return state_df, events_df, replies_df
 
     # -- streaming & serving -------------------------------------------------

@@ -69,11 +69,21 @@ class SnapshotStore:
         }
 
     def commit(
-        self, events: DataFrame | None, state_updates: DataFrame, batch_id: str
+        self,
+        events: DataFrame | None,
+        state_updates: DataFrame,
+        batch_id: str,
+        update_keys: list | None = None,
     ) -> bool:
         """Atomically commit one micro-batch: append events, fold state
         updates into the snapshot, publish a manifest. Returns False (no-op)
-        if batch_id was already committed (R4 dedup)."""
+        if batch_id was already committed (R4 dedup).
+
+        ``update_keys``: the distinct keys in ``state_updates`` when the
+        caller already knows them (the command engine does) — turns the
+        snapshot merge into a narrow NOT-IN filter + union, i.e. zero extra
+        Spark jobs. Without it, or beyond 10k keys, the merge falls back to
+        a latest-per-key shuffle (the Delta-MERGE shape)."""
         if str(batch_id) in self.committed_batch_ids():
             return False
         prev = self.latest_version()
@@ -91,13 +101,22 @@ class SnapshotStore:
             prev_state = spark.read.parquet(
                 os.path.join(self.path, f"v{prev:012d}", "state")
             )
-            order_col = "_commit_seq"
-            merged = prev_state.withColumn(order_col, F.lit(0)).unionByName(
-                state_updates.withColumn(order_col, F.lit(1))
-            )
-            new_state = latest_per_key(merged, [self.key_col], [order_col]).drop(
-                order_col
-            )
+            if update_keys is not None and len(update_keys) <= 10_000:
+                # driver-known keys: NOT-IN literal filter — narrow plan,
+                # no dedup/broadcast jobs (latency path for command acks)
+                new_state = prev_state.where(
+                    ~F.col(self.key_col).isin(update_keys)
+                ).unionByName(state_updates)
+            else:
+                # general path: one row per key wins, updates preferred —
+                # the hand-rolled Delta MERGE whenMatched-update
+                order_col = "_commit_seq"
+                merged = prev_state.withColumn(order_col, F.lit(0)).unionByName(
+                    state_updates.withColumn(order_col, F.lit(1))
+                )
+                new_state = latest_per_key(
+                    merged, [self.key_col], [order_col]
+                ).drop(order_col)
         else:
             new_state = state_updates
         new_state.write.mode("overwrite").parquet(state_path)
