@@ -192,16 +192,26 @@ class CommandEngine:
 
     # -- streaming & serving -------------------------------------------------
 
-    def run_stream(self, commands_stream: DataFrame, checkpoint: str, **trigger):
+    def run_stream(
+        self,
+        commands_stream: DataFrame,
+        checkpoint: str,
+        replies_path: str | None = None,
+        **trigger,
+    ):
         """Attach the engine to a commands stream (Kafka in prod, any source
         in tests) via foreachBatch — the micro-batch is surge's 50 ms flush
         batch (reference.conf:20-21), and the snapshot-store commit is the
-        Kafka transaction."""
+        Kafka transaction. When ``replies_path`` is set, each batch appends
+        its ACK rows there keyed by command_id — the §3.1.9 reply channel an
+        RPC gateway polls to complete sendCommand futures."""
 
         def on_batch(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            self.process_batch(batch_df, str(batch_id))
+            _, _, replies = self.process_batch(batch_df, str(batch_id))
+            if replies_path is not None:
+                replies.coalesce(1).write.mode("append").parquet(replies_path)
 
         return (
             commands_stream.writeStream.foreachBatch(on_batch)
@@ -214,3 +224,11 @@ class CommandEngine:
         """§3.2 read path: point query of the latest committed snapshot —
         read-your-writes because process_batch committed before replying."""
         return self.store.get_state(spark, aggregate_id)
+
+    @staticmethod
+    def await_caught_up(query) -> None:
+        """R3 lag-gated startup (waitingForKTableIndexing,
+        KafkaProducerActorImpl.scala:202-218): block until the stream has
+        processed everything available, i.e. consumer lag == 0, before
+        serving reads or accepting writes."""
+        query.processAllAvailable()
