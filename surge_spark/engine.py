@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import itertools
 import json
+import uuid
 from collections.abc import Sequence
 from dataclasses import dataclass
 from typing import Any
@@ -110,7 +111,12 @@ class SurgeEngine:
         batch = self._spark.createDataFrame(
             [row], schema=self._infer_schema(row)
         )
-        _, _, replies = self._engine.process_batch(batch, f"submit-{n}")
+        # uuid batch ids: a per-engine counter would collide with a prior
+        # engine instance on the same store and be silently R4-deduped
+        batch_id = f"submit-{uuid.uuid4().hex}"
+        result = self._engine.process_batch(batch, batch_id)
+        assert result is not None  # uuid cannot collide with committed ids
+        _, _, replies = result
         reply = replies.where(replies.command_id == command_id).collect()[0]
         state = json.loads(reply.new_state) if reply.new_state else None
         return CommandResult(reply.status, state, command_id)
@@ -121,11 +127,10 @@ class SurgeEngine:
         for ev in events:
             state = self._model.handle_event(state, ev)
         if state is not None and state != prev:
-            n = next(self._seq)
             updates = self._spark.createDataFrame(
                 [state], schema=self._model.state_schema
             )
-            self._store.commit(None, updates, f"apply-events-{n}")
+            self._store.commit(None, updates, f"apply-events-{uuid.uuid4().hex}")
         return state
 
     @staticmethod

@@ -26,6 +26,7 @@ batch replays call directly.
 from __future__ import annotations
 
 import json
+import os
 from collections.abc import Callable, Sequence
 from typing import Any
 
@@ -127,9 +128,16 @@ class CommandEngine:
 
     def process_batch(
         self, commands: DataFrame, batch_id: str
-    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    ) -> tuple[DataFrame, DataFrame, DataFrame] | None:
         """Process one micro-batch of commands; atomically commit and return
-        (state_updates, events, replies)."""
+        (state_updates, events, replies).
+
+        Returns None for an already-committed batch_id (R4): foreachBatch is
+        at-least-once, and re-folding a committed batch against the
+        post-commit snapshot would double-apply commands and fabricate wrong
+        ACKs — a replay must be a pure no-op."""
+        if str(batch_id) in self.store.committed_batch_ids():
+            return None
         spark = commands.sparkSession
         snapshot = self.store.read_state(spark)
         state_fields: list[str] = []
@@ -209,9 +217,20 @@ class CommandEngine:
         def on_batch(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            _, _, replies = self.process_batch(batch_df, str(batch_id))
+            result = self.process_batch(batch_df, str(batch_id))
+            if result is None:
+                return  # replayed batch: state/events/replies already durable
+            _, _, replies = result
             if replies_path is not None:
-                replies.coalesce(1).write.mode("append").parquet(replies_path)
+                # per-batch overwrite => reply writes are idempotent under
+                # replay of a batch whose commit raced the reply write;
+                # batch_id is stamped so the gateway can dedup/trace
+                (
+                    replies.withColumn("batch_id", F.lit(str(batch_id)))
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(replies_path, f"batch={batch_id}"))
+                )
 
         return (
             commands_stream.writeStream.foreachBatch(on_batch)
@@ -226,9 +245,54 @@ class CommandEngine:
         return self.store.get_state(spark, aggregate_id)
 
     @staticmethod
-    def await_caught_up(query) -> None:
+    def prune_replies(replies_path: str, keep_last: int = 1000) -> int:
+        """Reply-channel retention: drop the oldest per-batch reply dirs
+        beyond ``keep_last`` (surge expires publish trackers after 60 s,
+        reference.conf:182-183 — same idea, bounded by count not time so a
+        paused consumer can still drain). Returns dirs removed."""
+        import shutil
+
+        if not os.path.isdir(replies_path):
+            return 0
+        batches = [
+            os.path.join(replies_path, d)
+            for d in os.listdir(replies_path)
+            if d.startswith("batch=")
+        ]
+        batches.sort(key=os.path.getmtime)
+        removed = 0
+        for d in batches[: max(0, len(batches) - keep_last)]:
+            shutil.rmtree(d)
+            removed += 1
+        return removed
+
+    @staticmethod
+    def await_caught_up(query, timeout_s: float = 60.0, poll_s: float = 0.5) -> bool:
         """R3 lag-gated startup (waitingForKTableIndexing,
-        KafkaProducerActorImpl.scala:202-218): block until the stream has
-        processed everything available, i.e. consumer lag == 0, before
-        serving reads or accepting writes."""
-        query.processAllAvailable()
+        KafkaProducerActorImpl.scala:202-218): wait until consumer lag
+        reaches 0 before serving reads / accepting writes.
+
+        Polls StreamingQuery.lastProgress and computes per-partition lag
+        (sources.kafka.consumer_lag, the KTableLagChecker analog) — safe on
+        a live source, where processAllAvailable() would block as long as
+        producers keep writing. Sources without offset lag info (file
+        streams) count as caught up once a full trigger processed zero new
+        rows. Returns True if caught up within the timeout."""
+        import time as _time
+
+        from ..sources.kafka import consumer_lag
+
+        deadline = _time.monotonic() + timeout_s
+        while _time.monotonic() < deadline:
+            progress = query.lastProgress
+            if progress:
+                lags = consumer_lag(progress)
+                if lags:
+                    if all(v == 0 for v in lags.values()):
+                        return True
+                elif progress.get("numInputRows", 1) == 0:
+                    return True
+            if not query.isActive:
+                return False
+            _time.sleep(poll_s)
+        return False

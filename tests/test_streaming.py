@@ -354,3 +354,52 @@ def test_handler_error_propagates_as_ack_error(spark, tmp_path):
     assert replies["c2"] == "success"
     assert events_df.count() == 1  # only the good command's event
     assert store.get_state(spark, "5")["v"] == 1
+
+
+def test_replayed_batch_is_pure_noop_and_replies_idempotent(spark, tmp_path):
+    """R4 under foreachBatch at-least-once: re-running a committed batch id
+    must not re-fold commands (which would double-apply against the
+    post-commit snapshot) and must not duplicate reply rows."""
+    store = SnapshotStore(str(tmp_path / "s5"), key_col="aggregate_id")
+    engine = CommandEngine(
+        store,
+        process_command=lambda s, c: (
+            [{"kind": "inc", "aggregate_id": str(c["user_id"])}],
+            False,
+        ),
+        handle_event=lambda s, e: {
+            "aggregate_id": e["aggregate_id"],
+            "n": (s or {"n": 0})["n"] + 1,
+        },
+        state_schema="aggregate_id string, n int",
+        event_schema="kind string, aggregate_id string",
+        key_col="user_id",
+        order_cols=["ts"],
+    )
+    cmds = spark.createDataFrame(
+        [(1, _ts(1), 8, "inc", 0.0, "c1")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, command_id string",
+    )
+    first = engine.process_batch(cmds, "b-replay")
+    assert first is not None
+    assert store.get_state(spark, "8")["n"] == 1
+
+    # replay: must be refused, state untouched
+    assert engine.process_batch(cmds, "b-replay") is None
+    assert store.get_state(spark, "8")["n"] == 1
+
+    # stream-mode replies channel: per-batch dir with batch_id column
+    src = str(tmp_path / "cmds_src")
+    replies_dir = str(tmp_path / "replies")
+    cmds.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(cmds.schema).parquet(src)
+    q = engine.run_stream(stream, str(tmp_path / "ck5"), replies_path=replies_dir)
+    q.awaitTermination(120)
+    got = spark.read.parquet(replies_dir + "/batch=0")
+    rows = got.collect()
+    assert len(rows) == 1
+    assert rows[0].batch_id == "0"
+    assert rows[0].command_id == "c1"
+
+    # prune keeps the newest dirs
+    assert CommandEngine.prune_replies(replies_dir, keep_last=5) == 0
