@@ -23,6 +23,11 @@ from pyspark.sql import functions as F
 
 TOKEN_PATTERN = "[^a-z0-9]+"
 
+# The DuckDB mirror of normalize_text/tokens — oracles MUST use this string
+# so the SQL side can never drift from the Spark tokenizer above.
+DUCK_NORMALIZE_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+DUCK_TOKENS_SQL = f"string_split({DUCK_NORMALIZE_SQL}, ' ')"
+
 
 def normalize_text(col: str | F.Column) -> F.Column:
     """Lowercase, collapse non-alphanumerics to single spaces, trim."""

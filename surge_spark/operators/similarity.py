@@ -98,11 +98,18 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(df: DataFrame, vec_col: str, n_planes: int = 16, seed: int = 42) -> DataFrame:
+def lsh_bucket(
+    df: DataFrame, vec_col: str, n_planes: int = 16, seed: int = 42, dim: int | None = None
+) -> DataFrame:
     """Sign-random-projection bucket id: n_planes sign bits packed into a
     long. Cosine-similar vectors land in the same bucket with probability
-    (1 - theta/pi)^n_planes."""
-    dim = len(df.select(vec_col).first()[0])
+    (1 - theta/pi)^n_planes. Pass ``dim`` when known — deriving it costs a
+    driver action against the DataFrame."""
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None:
+            return df.withColumn("bucket", F.lit(None).cast("long"))
+        dim = len(first[0])
     planes = _hyperplanes(dim, n_planes, seed)
     v = _as_double(F.col(vec_col))
     bucket = F.lit(0).cast("long")
@@ -127,12 +134,18 @@ def ann_topk_lsh(
     """Approximate top-k: union of ``n_tables`` independent LSH tables;
     candidates = bucket collisions; exact cosine re-rank of candidates only.
     Recall/latency is tuned by (n_planes, n_tables)."""
+    first = corpus.select(vec_col).first()
+    if first is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, corpus_id long, cosine double, rank int"
+        )
+    dim = len(first[0])
     parts = []
     for t in range(n_tables):
-        c = lsh_bucket(corpus, vec_col, n_planes, seed=42 + t).select(
+        c = lsh_bucket(corpus, vec_col, n_planes, seed=42 + t, dim=dim).select(
             F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"), "bucket"
         )
-        q = lsh_bucket(queries, vec_col, n_planes, seed=42 + t).select(
+        q = lsh_bucket(queries, vec_col, n_planes, seed=42 + t, dim=dim).select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
         )
         parts.append(c.join(F.broadcast(q), "bucket").drop("bucket"))

@@ -28,7 +28,17 @@ def salted_join(
     plan stays deterministic for retries — Spark re-executes failed tasks
     and rand() would break exactly-once row accounting); small is exploded
     across all salt values. The join key becomes (key, salt), spreading a
-    hot key over ``salt_buckets`` reducers."""
+    hot key over ``salt_buckets`` reducers.
+
+    Only large-side-preserving join types are valid: with the small side
+    replicated, right/full outer joins would emit one null-padded phantom
+    row per unmatched salt copy."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports large-side-preserving joins only, got {how!r}"
+        )
     salt = F.pmod(F.xxhash64(*large.columns), F.lit(salt_buckets)).alias("_salt")
     salted_large = large.withColumn("_salt", salt)
     replicated_small = small.withColumn(

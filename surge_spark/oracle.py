@@ -58,6 +58,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _sort_key(v):
+    # floats are rounded before stringifying so sub-tolerance differences
+    # can't reorder rows between the two frames being compared
+    if isinstance(v, float):
+        return (False, "float", f"{round(v, 9):.9f}")
+    if isinstance(v, tuple):
+        return (v is None, "tuple", str(tuple(_sort_key(x) for x in v)))
     return (v is None, str(type(v)), str(v))
 
 

@@ -16,11 +16,8 @@ from ..io import load_table
 from ..operators import dedup as dd
 from . import query
 
-# DuckDB equivalent of operators.dedup.normalize_text / tokens / shingles —
-# kept in one place so every oracle uses the same text pipeline.
-_DUCK_TOKENS = (
-    "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
-)
+# single source of truth for the SQL-side tokenizer: operators.dedup
+_DUCK_TOKENS = dd.DUCK_TOKENS_SQL
 
 
 def _duck_shingles(n: int = 4) -> str:
@@ -57,11 +54,9 @@ def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d_exact_dedup_normalized",
-    oracle="""
+    oracle=f"""
     SELECT content, min(doc_id) AS keeper_id, count(*) AS n_copies
-    FROM (SELECT doc_id,
-                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS content
-          FROM documents)
+    FROM (SELECT doc_id, {dd.DUCK_NORMALIZE_SQL} AS content FROM documents)
     GROUP BY content
     """,
 )

@@ -177,10 +177,15 @@ def m_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         val = pdf["value"].ewm(alpha=0.05, adjust=False).mean().iloc[-1]
         return pd.DataFrame(
-            [{"sensor": str(pdf["user_id"].iloc[0]), "ewma": round(val, 6)}]
+            [{"sensor": str(pdf["user_id"].iloc[0]), "ewma": float(val)}]
         )
 
-    return e.groupBy("user_id").applyInPandas(ewma, schema="sensor string, ewma double")
+    folded = e.groupBy("user_id").applyInPandas(
+        ewma, schema="sensor string, ewma double"
+    )
+    # round in Spark (HALF_UP, matching DuckDB) — Python round() is
+    # half-to-even and diverges on exact ties
+    return folded.select("sensor", F.round("ewma", 6).alias("ewma"))
 
 
 @query(
@@ -278,13 +283,13 @@ def h_repeating_signal_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "h_session_windows",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
       FROM events
     ), sessions AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
@@ -299,10 +304,11 @@ def h_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact (Spark's session_window struct bounds don't round-trip to SQL)."""
     e = _events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
     flagged = e.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+            micros - F.lag(micros).over(w) > 1800 * 1_000_000,
             1,
         ).otherwise(0),
     )

@@ -324,7 +324,10 @@ def j_theta_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cond = (lineitem.l_orderkey == orders.o_orderkey) & (
-        lineitem.l_shipdate > F.date_add(orders.o_orderdate, 90)
+        # timestamp + interval (not date_add, which truncates to DATE and
+        # would diverge from the oracle on non-midnight timestamps)
+        lineitem.l_shipdate
+        > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")
     )
     return (
         lineitem.join(orders, cond)
@@ -789,7 +792,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     a = customer.where(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("k"))
     b = orders.select(F.col("o_custkey").alias("k"))
-    return a.exceptAll(b).distinct()
+    return a.subtract(b)  # EXCEPT DISTINCT, one operator
 
 
 # --------------------------------------------------------------------------
@@ -1099,13 +1102,15 @@ def o_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
 
 
+from ..operators.dedup import DUCK_TOKENS_SQL as _DUCK_TOKENS_SQL
+
+
 @query(
     "q_explode_tokens",
-    oracle="""
+    oracle=f"""
     SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS n_docs
     FROM (
-      SELECT doc_id,
-             unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+      SELECT doc_id, unnest({_DUCK_TOKENS_SQL}) AS tok
       FROM documents
     ) WHERE tok <> ''
     GROUP BY tok
@@ -1115,12 +1120,11 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generator/UDTF surface (§2.10): explode a token array into rows —
     the lateral-view shape every inverted-index build uses. Map-side
     explode, one aggregation shuffle."""
+    from ..operators.dedup import tokens
+
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " "
-    )
     return (
-        docs.select("doc_id", F.explode(toks).alias("tok"))
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .where(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count("*").alias("n"), F.count_distinct("doc_id").alias("n_docs"))

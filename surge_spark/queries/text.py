@@ -6,11 +6,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import text as tx
 from . import query
 
-_DUCK_TOKS = "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+from ..operators.dedup import DUCK_NORMALIZE_SQL, DUCK_TOKENS_SQL
+
+_DUCK_TOKS = DUCK_TOKENS_SQL  # single source of truth: operators.dedup
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,9 +112,8 @@ def t_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+    oracle=f"""
+    SELECT doc_id, md5({DUCK_NORMALIZE_SQL}) AS fingerprint
     FROM documents
     """,
 )
@@ -199,9 +201,7 @@ def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     with stride 40 (10-token overlap). Map-side sequence+slice explode —
     no shuffle; at 100 TB this is the pre-tokenization pass before packing."""
     docs = _docs(spark, sf_dir)
-    toks = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " "
-    )
+    toks = dd.tokens("text")
     n_chunks = F.greatest(
         F.ceil((F.size(toks) - 50) / 40.0).cast("long"), F.lit(0)
     )
