@@ -44,7 +44,9 @@ class SurgeModel:
     state_schema: str
     event_schema: str
     key_col: str = "aggregate_id"
-    order_cols: Sequence[str] = ("ts",)
+    # command_id is injected by the facade on every command, so the default
+    # ordering never KeyErrors; streaming deployments order by event time
+    order_cols: Sequence[str] = ("command_id",)
 
 
 @dataclass
@@ -143,7 +145,14 @@ class SurgeEngine:
                 t = "long"
             elif isinstance(v, float):
                 t = "double"
-            else:
+            elif v is None or isinstance(v, str):
                 t = "string"
+            else:
+                raise TypeError(
+                    f"command field {k!r} has unsupported type "
+                    f"{type(v).__name__}; pre-serialize nested payloads "
+                    "(e.g. json.dumps) — the engine moves opaque strings/"
+                    "bytes like the reference (SerializedMessage.scala:6)"
+                )
             parts.append(f"{k} {t}")
         return ", ".join(parts)

@@ -65,7 +65,9 @@ def get_spark(app_name: str = "surge_spark", cpus: int | None = None) -> SparkSe
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
     master = f"local[{cpus}]" if cpus else "local[*]"
-    shuffle_parts = str(max(cpus, 32) if cpus else 32)
+    # match local parallelism so tiny test data doesn't fragment into empty
+    # tasks; AQE coalescing handles the rest
+    shuffle_parts = str(cpus or 32)
 
     builder = (
         SparkSession.builder.master(master)

@@ -140,6 +140,8 @@ def consumer_lag(query_progress: dict) -> dict[str, int]:
             end = json.loads(src.get("endOffset") or "{}")
         except (TypeError, ValueError):
             continue
+        if not isinstance(latest, dict) or not isinstance(end, dict):
+            continue  # scalar-offset sources (rate, file) carry no lag map
         for topic, parts in latest.items():
             if not isinstance(parts, dict):
                 continue

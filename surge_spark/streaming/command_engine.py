@@ -86,7 +86,10 @@ class CommandEngine:
         initial_state = state
         events_out: list[dict] = []
         replies: list[dict] = []
-        for cmd in _iter_rows(pdf.sort_values(self.order_cols, kind="mergesort")):
+        order_cols = [c for c in self.order_cols if c in pdf.columns]
+        if order_cols:
+            pdf = pdf.sort_values(order_cols, kind="mergesort")
+        for cmd in _iter_rows(pdf):
             try:
                 events, rejected = self.process_command(state, cmd)
             except Exception as e:  # noqa: BLE001 — handler error → ACKError (§5 tier-1)
@@ -195,6 +198,7 @@ class CommandEngine:
                 state_df.coalesce(1),
                 batch_id,
                 update_keys=[s[self.store.key_col] for s in states],
+                replies=replies_df.coalesce(1),
             )
         return state_df, events_df, replies_df
 
@@ -219,7 +223,20 @@ class CommandEngine:
                 return
             result = self.process_batch(batch_df, str(batch_id))
             if result is None:
-                return  # replayed batch: state/events/replies already durable
+                # replayed batch: state/events are durable, but the reply-
+                # channel write may have raced the crash — recover the ACKs
+                # committed with the batch and (re)write them idempotently
+                if replies_path is not None:
+                    spark = batch_df.sparkSession
+                    recovered = self.store.replies_for_batch(spark, str(batch_id))
+                    if recovered is not None:
+                        (
+                            recovered.withColumn("batch_id", F.lit(str(batch_id)))
+                            .coalesce(1)
+                            .write.mode("overwrite")
+                            .parquet(os.path.join(replies_path, f"batch={batch_id}"))
+                        )
+                return
             _, _, replies = result
             if replies_path is not None:
                 # per-batch overwrite => reply writes are idempotent under

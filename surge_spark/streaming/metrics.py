@@ -89,7 +89,12 @@ def rate_per_second(
     """A7: trailing-window rate = count(window)/window_seconds, the 1m/5m/15m
     RateHistogram. One frame per (sensor, window); expired buckets drop out
     via the watermark (TimeBucketHistogram.scala:38-44 expiry)."""
-    seconds = float(window_size.split()[0])
+    qty, unit = window_size.split()
+    unit_s = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+              "hour": 3600, "hours": 3600}.get(unit)
+    if unit_s is None:
+        raise ValueError(f"unsupported window unit in {window_size!r}")
+    seconds = float(qty) * unit_s
     return (
         readings.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_size), "sensor")

@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,6 +44,11 @@ class SnapshotStore:
         self.path = path
         self.key_col = key_col
         os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
+        # manifests are immutable once linked, so cache parses; batch ids
+        # accumulate incrementally — without this, every commit rescans all
+        # manifests and the facade's one-commit-per-command usage is O(N^2)
+        self._manifest_cache: dict[int, dict] = {}
+        self._batch_id_cache: dict[int, str] = {}
 
     # -- commit protocol ----------------------------------------------------
 
@@ -60,13 +66,18 @@ class SnapshotStore:
         return versions[-1] if versions else None
 
     def _manifest(self, version: int) -> dict:
-        with open(self._manifest_path(version)) as f:
-            return json.load(f)
+        cached = self._manifest_cache.get(version)
+        if cached is None:
+            with open(self._manifest_path(version)) as f:
+                cached = json.load(f)
+            self._manifest_cache[version] = cached
+        return cached
 
     def committed_batch_ids(self) -> set[str]:
-        return {
-            str(self._manifest(v).get("batch_id")) for v in self.committed_versions()
-        }
+        for v in self.committed_versions():
+            if v not in self._batch_id_cache:
+                self._batch_id_cache[v] = str(self._manifest(v).get("batch_id"))
+        return set(self._batch_id_cache.values())
 
     def commit(
         self,
@@ -74,6 +85,7 @@ class SnapshotStore:
         state_updates: DataFrame,
         batch_id: str,
         update_keys: list | None = None,
+        replies: DataFrame | None = None,
     ) -> bool:
         """Atomically commit one micro-batch: append events, fold state
         updates into the snapshot, publish a manifest. Returns False (no-op)
@@ -88,19 +100,25 @@ class SnapshotStore:
             return False
         prev = self.latest_version()
         version = (prev + 1) if prev is not None else 0
-        vdir = os.path.join(self.path, f"v{version:012d}")
+        # writer-unique staging dir: a concurrent committer targeting the
+        # same version writes to its OWN directory, so losing the manifest
+        # race (below) can never corrupt the winner's data — the loser's
+        # directory is simply orphaned (vacuum reclaims it)
+        token = uuid.uuid4().hex[:8]
+        vdir = os.path.join(self.path, f"v{version:012d}-{token}")
         events_path = os.path.join(vdir, "events")
         state_path = os.path.join(vdir, "state")
+        replies_path = os.path.join(vdir, "replies")
 
         n_events = 0
         if events is not None:
             events.write.mode("overwrite").parquet(events_path)
             n_events = -1  # counted lazily by readers; avoid an extra job
+        if replies is not None:
+            replies.write.mode("overwrite").parquet(replies_path)
         spark = state_updates.sparkSession
         if prev is not None:
-            prev_state = spark.read.parquet(
-                os.path.join(self.path, f"v{prev:012d}", "state")
-            )
+            prev_state = spark.read.parquet(self._manifest(prev)["state"])
             if update_keys is not None and len(update_keys) <= 10_000:
                 # driver-known keys: NOT-IN literal filter — narrow plan,
                 # no dedup/broadcast jobs (latency path for command acks)
@@ -126,6 +144,7 @@ class SnapshotStore:
             "batch_id": str(batch_id),
             "events": events_path if events is not None else None,
             "state": state_path,
+            "replies": replies_path if replies is not None else None,
             "n_events": n_events,
             "ts": time.time(),
         }
@@ -147,11 +166,12 @@ class SnapshotStore:
     # -- read paths ----------------------------------------------------------
 
     def read_state(self, spark: SparkSession) -> DataFrame | None:
-        """Latest committed snapshot (the KTable view, S1)."""
+        """Latest committed snapshot (the KTable view, S1). Paths come from
+        the manifest — only a committed writer's data is ever visible."""
         v = self.latest_version()
         if v is None:
             return None
-        return spark.read.parquet(os.path.join(self.path, f"v{v:012d}", "state"))
+        return spark.read.parquet(self._manifest(v)["state"])
 
     def get_state(self, spark: SparkSession, aggregate_id: str) -> dict | None:
         """Point read (S2 / §3.2 getState)."""
@@ -161,12 +181,24 @@ class SnapshotStore:
         rows = state.where(F.col(self.key_col) == aggregate_id).limit(1).collect()
         return rows[0].asDict() if rows else None
 
+    def replies_for_batch(self, spark: SparkSession, batch_id: str) -> DataFrame | None:
+        """ACK rows committed with ``batch_id`` — lets a replayed batch
+        recover its replies instead of refolding commands (§3.1.9 under
+        at-least-once foreachBatch delivery)."""
+        for v in self.committed_versions():
+            m = self._manifest(v)
+            if str(m.get("batch_id")) == str(batch_id) and m.get("replies"):
+                if os.path.exists(m["replies"]):
+                    return spark.read.parquet(m["replies"])
+                return None
+        return None
+
     def read_events(self, spark: SparkSession) -> DataFrame | None:
         """Full append-only event log across all committed versions."""
         paths = [
-            self._manifest(v)["events"]
-            for v in self.committed_versions()
-            if self._manifest(v)["events"]
+            m["events"]
+            for m in (self._manifest(v) for v in self.committed_versions())
+            if m["events"]
         ]
         existing = [p for p in paths if os.path.exists(p)]
         if not existing:
@@ -184,10 +216,13 @@ class SnapshotStore:
         import shutil
 
         versions = self.committed_versions()
-        removable = versions[:-keep_last] if keep_last else versions
+        # the latest snapshot is never removable — keep_last=0 would
+        # otherwise brick the store while manifests still advertise it
+        keep = max(1, keep_last)
+        removable = versions[:-keep]
         removed = []
         for v in removable:
-            state_dir = os.path.join(self.path, f"v{v:012d}", "state")
+            state_dir = self._manifest(v)["state"]
             if os.path.exists(state_dir):
                 shutil.rmtree(state_dir)
                 removed.append(v)

@@ -118,6 +118,11 @@ def count_triggered_slider(
     (WindowSlider.scala:20-37). Emits W3 lifecycle events (AddedToWindow /
     WindowAdvanced); W4's snapshot = the latest AddedToWindow row per scope."""
 
+    if not (1 <= slide_amount < buffer_size):
+        raise ValueError(
+            f"need 1 <= slide_amount < buffer_size, got {slide_amount}/{buffer_size}"
+        )
+
     def step(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
