@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import functions as F
 
 from surge_spark.operators.skew import salted_count_per_key, salted_join
 from surge_spark.streaming.listeners import QuerySupervisor

@@ -6,10 +6,7 @@ in for Kafka (same source API surface)."""
 from __future__ import annotations
 
 import datetime as dt
-import json
 
-import pandas as pd
-import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
