@@ -1,0 +1,43 @@
+"""Pins the driver contract in __spark_entry__.py: entry() produces rows
+with a stable schema, every oracle key has a query, and every query is
+callable with (spark, sf_dir). A break here fails the driver's t1 smoke
+before it fails CORRECTNESS."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.schema.simpleString() == (
+        "struct<n_name:string,revenue:double,n_items:bigint>"
+    )
+
+
+def test_catalog_contract(spark, sf_dir):
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(queries) >= 78
+    # every oracle belongs to a declared query
+    assert set(oracles) <= set(queries)
+    # oracle-less entries are the documented hash/order-dependent set only
+    rows_only = set(queries) - set(oracles)
+    assert rows_only == {
+        "a_approx_count_distinct",
+        "d_minhash_lsh_neardup",
+        "d_simhash_fingerprints",
+        "es_bank_fold",
+        "f_partition_for_key",
+        "mm_feature_extract_stub",
+        "sim_ann_lsh_topk",
+    }
+    # callables execute and yield DataFrames (smoke one cheap entry)
+    assert queries["s2_point_lookup"](spark, sf_dir).count() >= 0
