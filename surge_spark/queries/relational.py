@@ -574,21 +574,26 @@ def a2_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a8_grouped_collect",
     oracle="""
-    SELECT user_id, list_sort(list(event_id)) AS event_ids, count(*) AS n
+    SELECT user_id,
+           string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS event_ids,
+           count(*) AS n
     FROM events WHERE event_type = 'purchase'
     GROUP BY user_id
     """,
 )
 def a8_grouped_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped key→records map (A8): inFlight.groupBy(key),
-    KafkaProducerActorImpl.scala:604-606. sort_array makes the list order
-    deterministic for the hash."""
+    KafkaProducerActorImpl.scala:604-606. The grouped list is emitted as a
+    sorted comma-joined string (not array<string>) so correctness harnesses
+    that hash column values can canonicalize it."""
     return (
         _t(spark, sf_dir, "events")
         .where(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(
-            F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+            F.array_join(F.sort_array(F.collect_list("event_id")), ",").alias(
+                "event_ids"
+            ),
             F.count("*").alias("n"),
         )
     )
