@@ -64,6 +64,40 @@ def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
     assert not missed, f"LSH missed high-jaccard pairs: {missed}"
 
 
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """A hot cluster of near-identical boilerplate must not explode the pair
+    space: with max_bucket below the cluster size, its band buckets are
+    dropped entirely (the docs are exact dups that exact_dedup catches)."""
+    texts = [BASE] * 60 + [
+        "completely different words about spark query engines and shuffles here"
+    ]
+    sig = dd.minhash_signatures(
+        dd.shingles(_docs(spark, texts), "doc_id", "text", n=3), 64
+    )
+    assert dd.lsh_candidates(sig, 16, 4, max_bucket=50).count() == 0
+    assert dd.lsh_candidates(sig, 16, 4, max_bucket=None).count() == 60 * 59 // 2
+
+
+def test_prune_verification_same_answer(spark):
+    """The scale path (semi-join-pruned verification) must return exactly the
+    pairs of the local path."""
+    texts = [
+        BASE,
+        BASE.replace("today", "tonight"),
+        "completely different words about spark query engines and shuffles here",
+        BASE,
+    ]
+    docs = _docs(spark, texts)
+
+    def run(prune):
+        out = dd.minhash_lsh_dedup(
+            docs, "doc_id", "text", n=3, threshold=0.5, prune_verification=prune
+        ).toPandas()
+        return sorted(zip(out.id_a, out.id_b, out.jaccard))
+
+    assert run(True) == run(False)
+
+
 def test_simhash_locality(spark):
     """Similar docs get close fingerprints (small hamming distance);
     dissimilar docs don't."""
