@@ -128,11 +128,27 @@ class SurgeEngine:
         prev = state
         for ev in events:
             state = self._model.handle_event(state, ev)
-        if state is not None and state != prev:
-            updates = self._spark.createDataFrame(
-                [state], schema=self._model.state_schema
+        if state != prev:
+            # publish on ANY change, including deletion (the reference
+            # publishes whenever stateOpt != result.state): a non-None ->
+            # None transition tombstones the snapshot row so get_state stops
+            # serving the deleted aggregate
+            if state is not None:
+                updates = self._spark.createDataFrame(
+                    [state], schema=self._model.state_schema
+                )
+                delete_keys = None
+            else:
+                updates = self._spark.createDataFrame(
+                    [], schema=self._model.state_schema
+                )
+                delete_keys = [aggregate_id]
+            self._store.commit(
+                None,
+                updates,
+                f"apply-events-{uuid.uuid4().hex}",
+                delete_keys=delete_keys,
             )
-            self._store.commit(None, updates, f"apply-events-{uuid.uuid4().hex}")
         return state
 
     @staticmethod

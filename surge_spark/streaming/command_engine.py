@@ -65,18 +65,32 @@ class CommandEngine:
         self.event_schema = event_schema
         self.key_col = key_col
         self.order_cols = list(order_cols)
+        # cache of the current batch's fold output; see process_batch
+        self._prev_packed: DataFrame | None = None
 
     # -- core ----------------------------------------------------------------
 
-    def _handle_group(self, state_fields: list[str], pdf: pd.DataFrame):
+    @staticmethod
+    def _handle_group(
+        pdf: pd.DataFrame,
+        state_fields: list[str],
+        key_col: str,
+        store_key_col: str,
+        order_cols: list[str],
+        process_command: CommandHandler,
+        handle_event: EventHandler,
+    ):
         """Run one key's commands serially (R1). Returns (state_rows,
-        event_rows, reply_rows). Initial state arrives as __state__-prefixed
-        columns from the snapshot join (actor init, §3.1.5)."""
-        key = str(pdf[self.key_col].iloc[0])
+        event_rows, reply_rows, deleted_keys). Initial state arrives as
+        __state__-prefixed columns from the snapshot join (actor init,
+        §3.1.5). Static with plain-value args: the fold closure shipped to
+        executors must not capture the engine instance (it holds the cached
+        previous batch DataFrame → unpicklable SparkContext)."""
+        key = str(pdf[key_col].iloc[0])
         state = None
-        if state_fields and pdf[f"__state__{self.store.key_col}"].notna().iloc[0]:
+        if state_fields and pdf[f"__state__{store_key_col}"].notna().iloc[0]:
             first = pdf.iloc[0]
-            # .item() unwraps numpy scalars so downstream createDataFrame
+            # .item() unwraps numpy scalars so downstream from_json parsing
             # against the declared state schema sees Python natives
             state = {
                 f: (v.item() if hasattr(v, "item") else v)
@@ -86,12 +100,12 @@ class CommandEngine:
         initial_state = state
         events_out: list[dict] = []
         replies: list[dict] = []
-        order_cols = [c for c in self.order_cols if c in pdf.columns]
-        if order_cols:
-            pdf = pdf.sort_values(order_cols, kind="mergesort")
+        present_order = [c for c in order_cols if c in pdf.columns]
+        if present_order:
+            pdf = pdf.sort_values(present_order, kind="mergesort")
         for cmd in _iter_rows(pdf):
             try:
-                events, rejected = self.process_command(state, cmd)
+                events, rejected = process_command(state, cmd)
             except Exception as e:  # noqa: BLE001 — handler error → ACKError (§5 tier-1)
                 replies.append(
                     {
@@ -109,31 +123,41 @@ class CommandEngine:
                         "command_id": str(cmd.get("command_id", "")),
                         "aggregate_id": key,
                         "status": "rejected",
-                        "new_state": json.dumps(state, default=str) if state else None,
+                        "new_state": json.dumps(state, default=str)
+                        if state is not None
+                        else None,
                     }
                 )
                 continue
             for ev in events:
-                state = self.handle_event(state, ev)
-                events_out.append({**ev, self.store.key_col: key})
+                state = handle_event(state, ev)
+                events_out.append({**ev, store_key_col: key})
             replies.append(
                 {
                     "command_id": str(cmd.get("command_id", "")),
                     "aggregate_id": key,
                     "status": "success",
-                    "new_state": json.dumps(state, default=str) if state else None,
+                    "new_state": json.dumps(state, default=str)
+                    if state is not None
+                    else None,
                 }
             )
         # no-change-no-write (PersistentActor.scala:212): only emit a state
-        # row if the fold changed it; events still publish (":495" semantics)
+        # row if the fold changed it; events still publish (":495" semantics).
+        # A non-None -> None transition is a DELETION and must tombstone the
+        # snapshot row (the reference publishes whenever stateOpt != result),
+        # not silently leave the old state serving reads forever.
         state_rows = [state] if state != initial_state and state is not None else []
-        return state_rows, events_out, replies
+        deleted_keys = [key] if initial_state is not None and state is None else []
+        return state_rows, events_out, replies, deleted_keys
 
     def process_batch(
         self, commands: DataFrame, batch_id: str
     ) -> tuple[DataFrame, DataFrame, DataFrame] | None:
         """Process one micro-batch of commands; atomically commit and return
-        (state_updates, events, replies).
+        (state_updates, events, replies) — lazy frames over the batch's
+        cached fold output, valid until the NEXT process_batch call on this
+        engine (which releases the cache).
 
         Returns None for an already-committed batch_id (R4): foreachBatch is
         at-least-once, and re-folding a committed batch against the
@@ -163,42 +187,90 @@ class CommandEngine:
                 "left",
             )
 
-        out_schema = (
-            "state_rows string, event_rows string, reply_rows string"
-        )
-        handle_group = self._handle_group
+        # The fold emits a tagged union of (kind, json payload) rows — one
+        # row per output state/event/reply/tombstone — that stays DISTRIBUTED
+        # end to end: the typed frames below are from_json projections of the
+        # persisted fold output, and the commit writes them executor-side.
+        # Row data never materializes on the driver (only the per-kind counts
+        # and the touched-bucket ids do), so batch size is bounded by the
+        # cluster, not driver memory. Handler contract: state/event dicts are
+        # JSON-serializable and the declared schemas use JSON-native types
+        # (string/numeric/boolean; from_json also parses ISO-format
+        # timestamp strings, which json.dumps(default=str) produces).
+        # capture only plain values in the executor-shipped closure
+        handle_group = CommandEngine._handle_group
+        state_key_col = self.store.key_col
+        key_col = self.key_col
+        order_cols = self.order_cols
+        process_command = self.process_command
+        handle_event = self.handle_event
 
         def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-            s, e, r = handle_group(state_fields, pdf)
-            return pd.DataFrame(
-                [
-                    {
-                        "state_rows": json.dumps(s, default=str),
-                        "event_rows": json.dumps(e, default=str),
-                        "reply_rows": json.dumps(r, default=str),
-                    }
+            s, e, r, d = handle_group(
+                pdf,
+                state_fields,
+                key_col,
+                state_key_col,
+                order_cols,
+                process_command,
+                handle_event,
+            )
+            rows = (
+                [{"kind": "state", "payload": json.dumps(x, default=str)} for x in s]
+                + [{"kind": "event", "payload": json.dumps(x, default=str)} for x in e]
+                + [{"kind": "reply", "payload": json.dumps(x, default=str)} for x in r]
+                + [
+                    {"kind": "tombstone", "payload": json.dumps({state_key_col: k})}
+                    for k in d
                 ]
             )
+            return pd.DataFrame(rows, columns=["kind", "payload"])
 
         ensure_shipped(spark)
-        packed = commands.groupBy(self.key_col).applyInPandas(fold, out_schema).collect()
-        states = [row for p in packed for row in json.loads(p["state_rows"])]
-        events = [row for p in packed for row in json.loads(p["event_rows"])]
-        replies = [row for p in packed for row in json.loads(p["reply_rows"])]
+        # persist: the fold runs ONCE; the per-kind projections and the
+        # commit's bucket-merge all read the cached union. Unpersisted on the
+        # next process_batch call — recomputing a returned frame after a
+        # LATER commit would re-join against the newer snapshot and change
+        # answers, so the cache must outlive the caller's reads of this
+        # batch's frames.
+        packed = (
+            commands.groupBy(self.key_col)
+            .applyInPandas(fold, "kind string, payload string")
+            .persist()
+        )
+        if self._prev_packed is not None:
+            self._prev_packed.unpersist()
+        self._prev_packed = packed
 
-        state_df = spark.createDataFrame(states, schema=self.state_schema)
-        events_df = spark.createDataFrame(events, schema=self.event_schema)
-        replies_df = spark.createDataFrame(replies, schema=REPLY_SCHEMA)
-        if states or events:
-            # single output file per side for command-sized batches (row
-            # counts are known here); a replayed no-op batch is harmless so
-            # skipping the commit entirely preserves R4 semantics
+        counts = {
+            r["kind"]: r["n"]
+            for r in packed.groupBy("kind").agg(F.count("*").alias("n")).collect()
+        }
+
+        def unpack(kind: str, schema: str) -> DataFrame:
+            return (
+                packed.where(F.col("kind") == kind)
+                .select(F.from_json("payload", schema).alias("r"))
+                .select("r.*")
+            )
+
+        state_df = unpack("state", self.state_schema)
+        events_df = unpack("event", self.event_schema)
+        replies_df = unpack("reply", REPLY_SCHEMA)
+        tombstones = packed.where(F.col("kind") == "tombstone").select(
+            F.get_json_object("payload", f"$.{state_key_col}").alias(state_key_col)
+        )
+
+        if counts.get("state") or counts.get("event") or counts.get("tombstone"):
+            # a replayed no-op batch is harmless so skipping the commit
+            # entirely preserves R4 semantics; coalesce(1) keeps command-
+            # sized batches at one file per side
             self.store.commit(
-                events_df.coalesce(1) if events else None,
+                events_df.coalesce(1) if counts.get("event") else None,
                 state_df.coalesce(1),
                 batch_id,
-                update_keys=[s[self.store.key_col] for s in states],
                 replies=replies_df.coalesce(1),
+                delete_keys=tombstones if counts.get("tombstone") else None,
             )
         return state_df, events_df, replies_df
 
@@ -276,7 +348,17 @@ class CommandEngine:
             for d in os.listdir(replies_path)
             if d.startswith("batch=")
         ]
-        batches.sort(key=os.path.getmtime)
+
+        # order by the numeric batch id in the dir name, not mtime: a
+        # replayed old batch dir is rewritten (mode overwrite) and gets a
+        # fresh mtime, which would evict newer batches while keeping older
+        # ones. Non-numeric ids (ad-hoc callers) fall back after numeric
+        # ones in name order.
+        def batch_key(p: str):
+            bid = os.path.basename(p).split("=", 1)[1]
+            return (0, int(bid), "") if bid.isdigit() else (1, 0, bid)
+
+        batches.sort(key=batch_key)
         removed = 0
         for d in batches[: max(0, len(batches) - keep_last)]:
             shutil.rmtree(d)

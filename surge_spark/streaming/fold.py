@@ -68,7 +68,12 @@ def stateful_fold_stream(
         batch = batch.sort_values(order_cols, kind="mergesort")
         for event in _iter_rows(batch):
             current = handle_event(current, event)
-        if current is not None and current != prev:
+        if current is None and prev is not None:
+            # deletion: the handler folded the state away — remove it from
+            # the state store (not just skip the update, which would leave
+            # the stale state serving every later batch)
+            state.remove()
+        elif current is not None and current != prev:
             state.update(tuple(current.get(f) for f in field_names))
             if idle_timeout_ms:
                 state.setTimeoutDuration(idle_timeout_ms)

@@ -20,10 +20,23 @@ Guarantees mapped from the reference:
 - read-your-writes (R2): read_state() always reflects the latest committed
   version; within the engine, batch N+1 reads state committed by batch N.
 
-State compaction: each commit folds the update set into the previous
-snapshot with latest-per-key semantics (A2) and writes the full new snapshot.
-At 100 TB the snapshot write becomes a Delta MERGE on a table partitioned by
-key-hash bucket; the manifest protocol stays identical.
+State layout — key-hash buckets (the Delta MERGE analog):
+the snapshot is partitioned into ``num_buckets`` buckets by
+``crc32(key) % num_buckets``. A commit reads ONLY the buckets touched by the
+batch's update/delete keys, merges them (broadcast anti-join of previous
+rows against the touched key set — null-safe by construction — union the
+updates), and writes just those buckets; the manifest maps every bucket to
+either the freshly written directory or the previous version's directory.
+Commit cost is O(touched buckets), not O(snapshot): at a 100 TB snapshot a
+small batch rewrites a few buckets while the rest are referenced by path,
+byte-identical. crc32 is used (not Spark's murmur3 ``hash``) because the
+driver can compute the same value with ``zlib.crc32``, so point lookups
+(get_state) read exactly one bucket with zero extra Spark jobs.
+
+Deletions: ``commit(delete_keys=...)`` removes those keys during the bucket
+merge without inserting replacement rows — the tombstone path for state
+transitions to None (reference publishes the state change whenever
+``state.stateOpt != result.state``, including to None).
 """
 
 from __future__ import annotations
@@ -32,17 +45,24 @@ import json
 import os
 import time
 import uuid
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..operators.eventsourcing import latest_per_key
+_BUCKET_COL = "__bucket"
 
 
 class SnapshotStore:
-    def __init__(self, path: str, key_col: str = "aggregate_id") -> None:
+    def __init__(
+        self, path: str, key_col: str = "aggregate_id", num_buckets: int = 64
+    ) -> None:
         self.path = path
         self.key_col = key_col
+        # effective bucket count is pinned by the first commit's manifest so
+        # every later reader/writer agrees even if constructed differently
+        self.default_num_buckets = num_buckets
         os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
         # manifests are immutable once linked, so cache parses; batch ids
         # accumulate incrementally — without this, every commit rescans all
@@ -79,6 +99,38 @@ class SnapshotStore:
                 self._batch_id_cache[v] = str(self._manifest(v).get("batch_id"))
         return set(self._batch_id_cache.values())
 
+    # -- bucketing ----------------------------------------------------------
+
+    def _num_buckets(self, prev_manifest: dict | None) -> int:
+        if prev_manifest is not None:
+            return int(prev_manifest.get("num_buckets", self.default_num_buckets))
+        return self.default_num_buckets
+
+    def _bucket_expr(self, nb: int) -> F.Column:
+        """JVM-side bucket id; mirrored driver-side by _bucket_of."""
+        return F.pmod(
+            F.crc32(F.col(self.key_col).cast("string").cast("binary")), F.lit(nb)
+        ).cast("int")
+
+    @staticmethod
+    def _bucket_of(key: str, nb: int) -> int:
+        """Driver-side mirror of _bucket_expr (zlib.crc32 == Spark crc32)."""
+        return zlib.crc32(str(key).encode("utf-8")) % nb
+
+    def _keys_df(
+        self, spark: SparkSession, keys: list | DataFrame | None
+    ) -> DataFrame | None:
+        if keys is None:
+            return None
+        if isinstance(keys, DataFrame):
+            col = keys.columns[0] if self.key_col not in keys.columns else self.key_col
+            return keys.select(F.col(col).cast("string").alias(self.key_col))
+        if not len(keys):
+            return None
+        return spark.createDataFrame(
+            [(str(k),) for k in keys], f"{self.key_col} string"
+        )
+
     def commit(
         self,
         events: DataFrame | None,
@@ -86,20 +138,25 @@ class SnapshotStore:
         batch_id: str,
         update_keys: list | None = None,
         replies: DataFrame | None = None,
+        delete_keys: list | DataFrame | None = None,
     ) -> bool:
-        """Atomically commit one micro-batch: append events, fold state
-        updates into the snapshot, publish a manifest. Returns False (no-op)
-        if batch_id was already committed (R4 dedup).
+        """Atomically commit one micro-batch: append events, merge state
+        updates into their key-hash buckets, publish a manifest. Returns
+        False (no-op) if batch_id was already committed (R4 dedup).
 
         ``update_keys``: the distinct keys in ``state_updates`` when the
-        caller already knows them (the command engine does) — turns the
-        snapshot merge into a narrow NOT-IN filter + union, i.e. zero extra
-        Spark jobs. Without it, or beyond 10k keys, the merge falls back to
-        a latest-per-key shuffle (the Delta-MERGE shape)."""
+        caller already knows them — skips one small distinct() job deriving
+        them from ``state_updates``.
+        ``delete_keys``: keys to REMOVE from the snapshot (state → None
+        tombstones); list or single-column DataFrame. A key must not appear
+        in both ``state_updates`` and ``delete_keys``.
+        """
         if str(batch_id) in self.committed_batch_ids():
             return False
         prev = self.latest_version()
         version = (prev + 1) if prev is not None else 0
+        prev_manifest = self._manifest(prev) if prev is not None else None
+        nb = self._num_buckets(prev_manifest)
         # writer-unique staging dir: a concurrent committer targeting the
         # same version writes to its OWN directory, so losing the manifest
         # race (below) can never corrupt the winner's data — the loser's
@@ -116,34 +173,81 @@ class SnapshotStore:
             n_events = -1  # counted lazily by readers; avoid an extra job
         if replies is not None:
             replies.write.mode("overwrite").parquet(replies_path)
+
         spark = state_updates.sparkSession
-        if prev is not None:
-            prev_state = spark.read.parquet(self._manifest(prev)["state"])
-            if update_keys is not None and len(update_keys) <= 10_000:
-                # driver-known keys: NOT-IN literal filter — narrow plan,
-                # no dedup/broadcast jobs (latency path for command acks)
-                new_state = prev_state.where(
-                    ~F.col(self.key_col).isin(update_keys)
-                ).unionByName(state_updates)
-            else:
-                # general path: one row per key wins, updates preferred —
-                # the hand-rolled Delta MERGE whenMatched-update
-                order_col = "_commit_seq"
-                merged = prev_state.withColumn(order_col, F.lit(0)).unionByName(
-                    state_updates.withColumn(order_col, F.lit(1))
-                )
-                new_state = latest_per_key(
-                    merged, [self.key_col], [order_col]
-                ).drop(order_col)
+        state_schema_json = state_updates.schema.json()
+        if not state_updates.schema.fields and prev_manifest is not None:
+            state_schema_json = prev_manifest["state_schema"]
+
+        prev_buckets: dict[str, str] = (
+            dict(prev_manifest.get("state_buckets", {})) if prev_manifest else {}
+        )
+        if prev_manifest is None:
+            # first commit: everything is new; one partitioned write
+            touched: set[str] = set()  # no previous buckets to merge
+            content = state_updates
         else:
-            new_state = state_updates
-        new_state.write.mode("overwrite").parquet(state_path)
+            upd = self._keys_df(spark, update_keys)
+            if upd is None:
+                upd = state_updates.select(
+                    F.col(self.key_col).cast("string").alias(self.key_col)
+                ).distinct()
+            dele = self._keys_df(spark, delete_keys)
+            touched_keys = upd if dele is None else upd.unionByName(dele).distinct()
+            touched_keys = touched_keys.where(F.col(self.key_col).isNotNull())
+            bexpr = F.pmod(
+                F.crc32(F.col(self.key_col).cast("binary")), F.lit(nb)
+            ).cast("int")
+            touched = {
+                str(r[0])
+                for r in touched_keys.select(bexpr.alias("b")).distinct().collect()
+            }
+            prev_paths = [prev_buckets[b] for b in touched if b in prev_buckets]
+            if prev_paths:
+                prev_schema = T.StructType.fromJson(
+                    json.loads(prev_manifest["state_schema"])
+                )
+                prev_touched = spark.read.schema(prev_schema).parquet(*prev_paths)
+                # broadcast anti-join: previous rows of touched buckets whose
+                # key is NOT updated/deleted survive. Null-safe (a NULL key
+                # never equals a touched key, so null-key rows survive) —
+                # unlike the NOT-IN literal filter this replaces.
+                survivors = prev_touched.join(
+                    F.broadcast(
+                        touched_keys.select(
+                            F.col(self.key_col).alias("__touched_key")
+                        )
+                    ),
+                    prev_touched[self.key_col].cast("string")
+                    == F.col("__touched_key"),
+                    "left_anti",
+                )
+                content = survivors.unionByName(state_updates)
+            else:
+                content = state_updates
+
+        # one distributed job writes every touched bucket (and any brand-new
+        # bucket an insert lands in); untouched buckets are never read
+        content.withColumn(_BUCKET_COL, self._bucket_expr(nb)).write.partitionBy(
+            _BUCKET_COL
+        ).mode("overwrite").parquet(state_path)
+
+        new_buckets = dict(prev_buckets)
+        for b in touched:
+            new_buckets.pop(b, None)  # emptied unless rewritten below
+        if os.path.isdir(state_path):
+            for d in os.listdir(state_path):
+                if d.startswith(f"{_BUCKET_COL}="):
+                    b = d.split("=", 1)[1]
+                    new_buckets[b] = os.path.join(state_path, d)
 
         manifest = {
             "version": version,
             "batch_id": str(batch_id),
             "events": events_path if events is not None else None,
-            "state": state_path,
+            "state_buckets": new_buckets,
+            "state_schema": state_schema_json,
+            "num_buckets": nb,
             "replies": replies_path if replies is not None else None,
             "n_events": n_events,
             "ts": time.time(),
@@ -166,19 +270,40 @@ class SnapshotStore:
     # -- read paths ----------------------------------------------------------
 
     def read_state(self, spark: SparkSession) -> DataFrame | None:
-        """Latest committed snapshot (the KTable view, S1). Paths come from
-        the manifest — only a committed writer's data is ever visible."""
+        """Latest committed snapshot (the KTable view, S1): the union of
+        every bucket directory the manifest references. Returns None if no
+        version was ever committed; an empty (all keys deleted) snapshot
+        reads as an empty DataFrame with the stored schema."""
         v = self.latest_version()
         if v is None:
             return None
-        return spark.read.parquet(self._manifest(v)["state"])
+        m = self._manifest(v)
+        schema = T.StructType.fromJson(json.loads(m["state_schema"]))
+        paths = list(m["state_buckets"].values())
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)
 
     def get_state(self, spark: SparkSession, aggregate_id: str) -> dict | None:
-        """Point read (S2 / §3.2 getState)."""
-        state = self.read_state(spark)
-        if state is None:
+        """Point read (S2 / §3.2 getState): bucket-pruned — computes the
+        key's bucket driver-side (zlib.crc32) and scans only that bucket's
+        files, O(snapshot/num_buckets) instead of O(snapshot)."""
+        v = self.latest_version()
+        if v is None:
             return None
-        rows = state.where(F.col(self.key_col) == aggregate_id).limit(1).collect()
+        m = self._manifest(v)
+        bucket = self._bucket_of(aggregate_id, int(m["num_buckets"]))
+        path = m["state_buckets"].get(str(bucket))
+        if path is None:
+            return None
+        schema = T.StructType.fromJson(json.loads(m["state_schema"]))
+        rows = (
+            spark.read.schema(schema)
+            .parquet(path)
+            .where(F.col(self.key_col).cast("string") == str(aggregate_id))
+            .limit(1)
+            .collect()
+        )
         return rows[0].asDict() if rows else None
 
     def replies_for_batch(self, spark: SparkSession, batch_id: str) -> DataFrame | None:
@@ -208,22 +333,31 @@ class SnapshotStore:
     # -- maintenance ---------------------------------------------------------
 
     def vacuum(self, keep_last: int = 10) -> list[int]:
-        """Drop snapshot data of versions older than the last ``keep_last``
-        commits (the Delta VACUUM analog). Event files are never removed —
-        the event log is the source of truth for replay; only superseded
-        full-state snapshots are reclaimed. Manifests stay so the version
-        history and batch-id dedup set remain intact."""
+        """Reclaim bucket directories not referenced by the last
+        ``keep_last`` commits (the Delta VACUUM analog). Because versions
+        share untouched bucket directories, reclamation is reference-counted:
+        a bucket dir written by an old version but still referenced by a
+        kept manifest is NOT removed. Event files are never removed — the
+        event log is the source of truth for replay; manifests stay so the
+        version history and batch-id dedup set remain intact. Returns the
+        versions whose state data was (partially or fully) reclaimed."""
         import shutil
 
         versions = self.committed_versions()
         # the latest snapshot is never removable — keep_last=0 would
         # otherwise brick the store while manifests still advertise it
         keep = max(1, keep_last)
-        removable = versions[:-keep]
+        kept = versions[-keep:]
+        referenced = {
+            p for v in kept for p in self._manifest(v)["state_buckets"].values()
+        }
         removed = []
-        for v in removable:
-            state_dir = self._manifest(v)["state"]
-            if os.path.exists(state_dir):
-                shutil.rmtree(state_dir)
+        for v in versions[:-keep]:
+            reclaimed = False
+            for p in self._manifest(v)["state_buckets"].values():
+                if p not in referenced and os.path.exists(p):
+                    shutil.rmtree(p)
+                    reclaimed = True
+            if reclaimed:
                 removed.append(v)
         return removed

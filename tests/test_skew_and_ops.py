@@ -33,17 +33,103 @@ def test_salted_count_per_key(spark):
 
 
 def test_snapshot_vacuum_keeps_recent_and_events(spark, tmp_path):
+    """Vacuum is reference-counted under the bucketed layout: superseded
+    bucket dirs are reclaimed, but a dir still referenced by a kept manifest
+    survives even if an old version wrote it."""
     store = SnapshotStore(str(tmp_path / "s"), key_col="k")
     for i in range(5):
-        updates = spark.createDataFrame([(f"key{i}", i)], "k string, v int")
-        events = spark.createDataFrame([(f"key{i}", f"e{i}")], "k string, e string")
+        # same key every commit -> each version supersedes the previous
+        # version's bucket, so old dirs become unreferenced
+        updates = spark.createDataFrame([("key", i)], "k string, v int")
+        events = spark.createDataFrame([("key", f"e{i}")], "k string, e string")
         store.commit(events, updates, f"b{i}")
+    # a key in a different bucket, written at v5, untouched afterwards
+    store.commit(
+        None, spark.createDataFrame([("other", 99)], "k string, v int"), "b5"
+    )
+    store.commit(
+        None, spark.createDataFrame([("key", 9)], "k string, v int"), "b6"
+    )
+    # kept = v5, v6. v5 still references v4's dir for "key"'s bucket, so v4
+    # is NOT reclaimable — exactly the sharing-safety vacuum must honor.
     removed = store.vacuum(keep_last=2)
-    assert removed == [0, 1, 2]
-    # latest state + full event log still readable; batch-id dedup intact
-    assert store.read_state(spark).count() == 5
+    assert removed == [0, 1, 2, 3]
+    # latest state + full event log still readable; batch-id dedup intact;
+    # 'other' (written by a vacuumed-era version but still referenced) intact
+    state = {r.k: r.v for r in store.read_state(spark).collect()}
+    assert state == {"key": 9, "other": 99}
     assert store.read_events(spark).count() == 5
     assert store.commit(None, spark.createDataFrame([("x", 9)], "k string, v int"), "b3") is False
+
+
+def test_commit_rewrites_only_touched_buckets(spark, tmp_path):
+    """Commit cost is O(touched buckets): buckets whose keys weren't updated
+    are carried by reference — same directory, byte-identical files."""
+    import os
+
+    store = SnapshotStore(str(tmp_path / "bk"), key_col="k", num_buckets=8)
+    rows = [(f"key{i}", i) for i in range(40)]
+    store.commit(None, spark.createDataFrame(rows, "k string, v int"), "b1")
+    m1 = store._manifest(0)["state_buckets"]
+
+    def files(d):
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {b: files(p) for b, p in m1.items()}
+    store.commit(
+        None, spark.createDataFrame([("key0", 100)], "k string, v int"), "b2"
+    )
+    m2 = store._manifest(1)["state_buckets"]
+    touched = str(SnapshotStore._bucket_of("key0", 8))
+    assert m2[touched] != m1[touched]
+    untouched = [b for b in m1 if b != touched]
+    assert untouched  # 40 keys over 8 buckets: others exist
+    for b in untouched:
+        assert m2[b] == m1[b]  # same directory, never rewritten
+        assert files(m2[b]) == before[b]  # same files, untouched mtimes
+    # merged read: updated key new value, everything else intact
+    state = {r.k: r.v for r in store.read_state(spark).collect()}
+    assert state["key0"] == 100 and len(state) == 40 and state["key39"] == 39
+
+
+def test_snapshot_delete_keys_tombstones(spark, tmp_path):
+    """delete_keys removes rows during the bucket merge; deleting the last
+    key leaves an empty-but-readable snapshot."""
+    store = SnapshotStore(str(tmp_path / "del"), key_col="k", num_buckets=4)
+    store.commit(
+        None, spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"), "b1"
+    )
+    store.commit(
+        None,
+        spark.createDataFrame([], "k string, v int"),
+        "b2",
+        delete_keys=["a"],
+    )
+    assert store.get_state(spark, "a") is None
+    assert store.get_state(spark, "b")["v"] == 2
+    store.commit(
+        None, spark.createDataFrame([], "k string, v int"), "b3", delete_keys=["b"]
+    )
+    state = store.read_state(spark)
+    assert state is not None and state.count() == 0
+    assert [f.name for f in state.schema.fields] == ["k", "v"]
+
+
+def test_snapshot_commit_preserves_null_keys(spark, tmp_path):
+    """A direct caller committing a null-keyed row must not lose it on the
+    next commit (the old NOT-IN filter dropped nulls via three-valued
+    logic; the anti-join merge is null-safe)."""
+    store = SnapshotStore(str(tmp_path / "nk"), key_col="k", num_buckets=4)
+    store.commit(
+        None, spark.createDataFrame([(None, 1), ("a", 2)], "k string, v int"), "b1"
+    )
+    store.commit(None, spark.createDataFrame([("a", 3)], "k string, v int"), "b2")
+    rows = {r.k: r.v for r in store.read_state(spark).collect()}
+    assert rows == {None: 1, "a": 3}
 
 
 def test_query_supervisor_restarts_and_gives_up(spark, tmp_path):

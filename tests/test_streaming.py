@@ -353,6 +353,93 @@ def test_handler_error_propagates_as_ack_error(spark, tmp_path):
     assert store.get_state(spark, "5")["v"] == 1
 
 
+def test_process_batch_never_materializes_rows_on_driver(spark, tmp_path):
+    """100 TB design guard: process_batch's only driver-side actions are
+    metadata-sized (per-kind counts, touched bucket ids) — never the batch's
+    state/event/reply rows. Spy on every collect() during a 2000-command
+    batch and assert nothing row-sized crosses the driver."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    store = SnapshotStore(str(tmp_path / "s7"), key_col="aggregate_id")
+    engine = CommandEngine(
+        store,
+        process_command=lambda s, c: (
+            [{"kind": "inc", "aggregate_id": str(c["user_id"])}],
+            False,
+        ),
+        handle_event=lambda s, e: {
+            "aggregate_id": e["aggregate_id"],
+            "n": (s or {"n": 0})["n"] + 1,
+        },
+        state_schema="aggregate_id string, n int",
+        event_schema="kind string, aggregate_id string",
+        key_col="user_id",
+        order_cols=["ts"],
+    )
+    cmds = spark.range(2000).select(
+        F.col("id").alias("event_id"),
+        F.lit(_ts(0)).alias("ts"),
+        (F.col("id") % 500).alias("user_id"),
+        F.lit("inc").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.concat(F.lit("c"), F.col("id")).alias("command_id"),
+    )
+    sizes: list[int] = []
+    orig = ClassicDF.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    ClassicDF.collect = spy
+    try:
+        engine.process_batch(cmds, "big1")
+    finally:
+        ClassicDF.collect = orig
+    # per-kind counts (<=4 rows) + touched-bucket ids (<=num_buckets)
+    assert sizes and max(sizes) <= store.default_num_buckets
+    assert store.get_state(spark, "7")["n"] == 4  # 2000/500 commands per key
+
+
+def test_state_deletion_tombstones_snapshot(spark, tmp_path):
+    """A handler folding state to None must DELETE the snapshot row (the
+    reference publishes every stateOpt != result transition, including to
+    None) — not leave the old state serving get_state forever."""
+    store = SnapshotStore(str(tmp_path / "s6"), key_col="aggregate_id")
+    engine = CommandEngine(
+        store,
+        process_command=lambda s, c: (
+            [{"kind": c["event_type"], "aggregate_id": str(c["user_id"])}],
+            False,
+        ),
+        handle_event=lambda s, e: (
+            None
+            if e["kind"] == "close"
+            else {"aggregate_id": e["aggregate_id"], "n": (s or {"n": 0})["n"] + 1}
+        ),
+        state_schema="aggregate_id string, n int",
+        event_schema="kind string, aggregate_id string",
+        key_col="user_id",
+        order_cols=["ts"],
+    )
+    mk = lambda i, kind, cid: (i, _ts(i), 9, kind, 0.0, cid)  # noqa: E731
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, command_id string"
+    engine.process_batch(spark.createDataFrame([mk(1, "open", "c1")], schema), "b1")
+    assert store.get_state(spark, "9")["n"] == 1
+
+    _, _, replies = engine.process_batch(
+        spark.createDataFrame([mk(2, "close", "c2")], schema), "b2"
+    )
+    r = replies.collect()[0]
+    assert r.status == "success" and r.new_state is None
+    assert store.get_state(spark, "9") is None  # tombstoned, not stale
+
+    # the key can be re-created fresh afterwards
+    engine.process_batch(spark.createDataFrame([mk(3, "open", "c3")], schema), "b3")
+    assert store.get_state(spark, "9")["n"] == 1
+
+
 def test_replayed_batch_is_pure_noop_and_replies_idempotent(spark, tmp_path):
     """R4 under foreachBatch at-least-once: re-running a committed batch id
     must not re-fold commands (which would double-apply against the
