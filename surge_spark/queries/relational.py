@@ -182,6 +182,45 @@ def j_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j_profit_by_nation_year",
+    oracle="""
+    SELECT n_name,
+           CAST(year(l_shipdate) AS INT) AS o_year,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS profit,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_type LIKE 'STANDARD%'
+    GROUP BY n_name, year(l_shipdate)
+    """,
+)
+def j_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit rollup exercising the supplier and part
+    dimensions: lineitem ⋈ part(filtered) ⋈ supplier ⋈ nation, grouped by
+    nation and ship year. All three dims broadcast — the fact table never
+    shuffles before the partial aggregation, so the only wide exchange is
+    the final (nation, year) agg (~#nations × #years rows)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type").startswith("STANDARD"))
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("l_shipdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
     "j_left_join_orders_per_customer",
     oracle="""
     SELECT c_custkey, count(o_orderkey) AS n_orders,
@@ -930,6 +969,74 @@ def f_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
         F.max(k.cast("long")).alias("max_k"),
+    )
+
+
+@query(
+    "f_map_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(element_at(m, 'k')[1] AS INT) AS k_val,
+           element_at(m, 'et')[1] AS et_val,
+           CAST(len(map_keys(m)) AS INT) AS n_keys,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_csv
+    FROM (
+      SELECT event_id,
+             map(['k', 'et'], [json_extract_string(props, '$.k'), event_type]) AS m
+      FROM events WHERE event_id < 500
+    )
+    """,
+)
+def f_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type scalar surface (§2.8: map_keys / map_values / element_at) —
+    the functions a MapType column like Kafka record headers needs. The map
+    is built per-row from the props JSON + event_type, then inspected; the
+    emitted columns are scalars so value-hashing harnesses can compare."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    m = F.map_concat(
+        F.from_json("props", "map<string,string>"),
+        F.create_map(F.lit("et"), F.col("event_type")),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").cast("int").alias("k_val"),
+        F.element_at(m, "et").alias("et_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
+    )
+
+
+@query(
+    "f_json_struct_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_parsed,
+           to_json(struct_pack(
+             k := CAST(json_extract_string(props, '$.k') AS INT) + 1,
+             et := event_type
+           )) AS enriched_json,
+           CAST(json_extract_string(
+             to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INT) + 1, et := event_type)),
+             '$.k') AS INT) AS k_roundtrip
+    FROM events WHERE event_id < 500
+    """,
+)
+def f_json_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 full JSON codec: from_json → typed struct → transform → to_json →
+    parse back (the Play-JSON serde round-trip surge user code does,
+    SurgeModel serdes). Byte-exact JSON output is part of the contract —
+    both engines emit compact {"k":N,"et":"..."}."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    parsed = F.from_json("props", "k INT")
+    enriched = F.struct(
+        (parsed["k"] + 1).alias("k"), F.col("event_type").alias("et")
+    )
+    enriched_json = F.to_json(enriched)
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k_parsed"),
+        enriched_json.alias("enriched_json"),
+        F.get_json_object(enriched_json, "$.k").cast("int").alias("k_roundtrip"),
     )
 
 

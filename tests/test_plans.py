@@ -34,6 +34,19 @@ def test_dimension_joins_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_q9_profit_dims_broadcast_no_fact_shuffle(spark, sf_dir):
+    """j_profit_by_nation_year: all three dims (part/supplier/nation)
+    broadcast — the lineitem fact must reach the partial agg without a
+    join shuffle; the only hash exchange is the final (nation, year) agg."""
+    plan = _plan(spark, sf_dir, "j_profit_by_nation_year")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "partial_" in plan
+    # p_type filter pushed to the part scan
+    flat = plan.replace(" ", "").replace("\n", "")
+    assert "StringStartsWith(p_type,STANDARD)" in flat
+
+
 def test_global_topn_avoids_full_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "o_orderby_limit")
     assert "TakeOrderedAndProject" in plan
