@@ -28,6 +28,7 @@ HEADLINE = [
     "w_topk_per_key",              # window top-k
     "j_asof_join",                 # as-of/range join
     "es_count_fold",               # per-key ordered fold (applyInPandas)
+    "es_count_fold_vectorized",    # same fold lowered to all-JVM ops
     "h_session_windows",           # sessionization
     "d_exact_dedup",               # exact dedup
     "d_minhash_lsh_neardup",       # MinHash-LSH near-dedup

@@ -4,6 +4,8 @@
   (replaces surge's Kafka-transaction two-topic publish, S7/R4/R5)
 - ``command_engine``: per-key command processing with user handlers
   (PersistentActor pipeline, §3.1) over micro-batches
+- ``context``: SurgeContext builder for context-aware/async handler models
+  (U3/U4, scaladsl Context.scala / CommandModels.scala)
 - ``fold``: stateful per-key event fold across batches
   (applyInPandasWithState; the SurgeEvent engine, §3.3)
 - ``windows``: health-signal window analytics (W1-W8)

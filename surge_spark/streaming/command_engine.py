@@ -25,6 +25,8 @@ batch replays call directly.
 
 from __future__ import annotations
 
+import asyncio
+import inspect
 import json
 import os
 from collections.abc import Callable, Sequence
@@ -36,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..operators.eventsourcing import _iter_rows
 from ..session import ensure_shipped
+from .context import ContextCommandHandler, SurgeContext
 from .snapshot_store import SnapshotStore
 
 # handler contracts (mirror AggregateProcessingModel.scala:18-34):
@@ -44,20 +47,39 @@ from .snapshot_store import SnapshotStore
 CommandHandler = Callable[[dict | None, dict[str, Any]], tuple[list[dict], bool]]
 EventHandler = Callable[[dict | None, dict[str, Any]], dict | None]
 
-REPLY_SCHEMA = "command_id string, aggregate_id string, status string, new_state string"
+REPLY_SCHEMA = (
+    "command_id string, aggregate_id string, status string, new_state string, "
+    "rejection string, reply string"
+)
+RECORD_SCHEMA = "topic string, key string, value string"
 
 
 class CommandEngine:
     def __init__(
         self,
         store: SnapshotStore,
-        process_command: CommandHandler,
-        handle_event: EventHandler,
+        process_command: CommandHandler | ContextCommandHandler,
+        handle_event: EventHandler | None,
         state_schema: str,
         event_schema: str,
         key_col: str = "aggregate_id",
         order_cols: Sequence[str] = ("ts",),
+        context_mode: bool = False,
     ) -> None:
+        """Handler models supported (CommandModels.scala:12-74):
+
+        - plain (U1/U2): ``process_command(state, cmd) -> (events, rejected)``
+          + ``handle_event(state, event) -> state``
+        - async (U3, AsyncAggregateCommandModel): either/both handlers may be
+          ``async def`` — coroutines are awaited per key inside the
+          distributed fold (one event loop per key group).
+        - context-aware (U4, ContextAwareAggregateCommandModel): pass
+          ``context_mode=True`` and ``process_command(ctx, state, cmd) ->
+          SurgeContext`` (sync or async); ``handle_event`` becomes optional.
+          The returned context carries updated state, default + per-topic
+          events (persist_to_topic), raw producer records, side effects, a
+          custom reply payload, or a rejection.
+        """
         self.store = store
         self.process_command = process_command
         self.handle_event = handle_event
@@ -65,6 +87,7 @@ class CommandEngine:
         self.event_schema = event_schema
         self.key_col = key_col
         self.order_cols = list(order_cols)
+        self.context_mode = context_mode
         # cache of the current batch's fold output; see process_batch
         self._prev_packed: DataFrame | None = None
 
@@ -77,15 +100,18 @@ class CommandEngine:
         key_col: str,
         store_key_col: str,
         order_cols: list[str],
-        process_command: CommandHandler,
-        handle_event: EventHandler,
+        process_command: CommandHandler | ContextCommandHandler,
+        handle_event: EventHandler | None,
+        context_mode: bool,
     ):
         """Run one key's commands serially (R1). Returns (state_rows,
-        event_rows, reply_rows, deleted_keys). Initial state arrives as
-        __state__-prefixed columns from the snapshot join (actor init,
-        §3.1.5). Static with plain-value args: the fold closure shipped to
-        executors must not capture the engine instance (it holds the cached
-        previous batch DataFrame → unpicklable SparkContext)."""
+        event_rows, reply_rows, deleted_keys, record_rows). Each event row
+        is ``(event_dict, topic_or_None)`` — None routes to the default
+        events output, a string is a persist_to_topic destination. Initial
+        state arrives as __state__-prefixed columns from the snapshot join
+        (actor init, §3.1.5). Static with plain-value args: the fold closure
+        shipped to executors must not capture the engine instance (it holds
+        the cached previous batch DataFrame → unpicklable SparkContext)."""
         key = str(pdf[key_col].iloc[0])
         state = None
         if state_fields and pdf[f"__state__{store_key_col}"].notna().iloc[0]:
@@ -98,50 +124,83 @@ class CommandEngine:
                 for v in [first[f"__state__{f}"]]
             }
         initial_state = state
-        events_out: list[dict] = []
+        events_out: list[tuple[dict, str | None]] = []
+        records_out: list[dict] = []
         replies: list[dict] = []
         present_order = [c for c in order_cols if c in pdf.columns]
         if present_order:
             pdf = pdf.sort_values(present_order, kind="mergesort")
-        for cmd in _iter_rows(pdf):
-            try:
-                events, rejected = process_command(state, cmd)
-            except Exception as e:  # noqa: BLE001 — handler error → ACKError (§5 tier-1)
-                replies.append(
-                    {
-                        "command_id": str(cmd.get("command_id", "")),
-                        "aggregate_id": key,
-                        "status": f"error: {type(e).__name__}",
-                        "new_state": None,
-                    }
-                )
-                continue
-            if rejected:
-                # rejection publishes nothing (PersistentActor.scala:203-205)
-                replies.append(
-                    {
-                        "command_id": str(cmd.get("command_id", "")),
-                        "aggregate_id": key,
-                        "status": "rejected",
-                        "new_state": json.dumps(state, default=str)
-                        if state is not None
-                        else None,
-                    }
-                )
-                continue
-            for ev in events:
-                state = handle_event(state, ev)
-                events_out.append({**ev, store_key_col: key})
-            replies.append(
-                {
-                    "command_id": str(cmd.get("command_id", "")),
-                    "aggregate_id": key,
-                    "status": "success",
-                    "new_state": json.dumps(state, default=str)
-                    if state is not None
-                    else None,
-                }
-            )
+
+        # one event loop per key group services every awaited handler (U3)
+        loop: asyncio.AbstractEventLoop | None = None
+
+        def run(value):
+            nonlocal loop
+            if inspect.iscoroutine(value):
+                if loop is None:
+                    loop = asyncio.new_event_loop()
+                return loop.run_until_complete(value)
+            return value
+
+        def reply_row(status, new_state=None, rejection=None, reply=None):
+            return {
+                "command_id": str(cmd.get("command_id", "")),
+                "aggregate_id": key,
+                "status": status,
+                "new_state": json.dumps(new_state, default=str)
+                if new_state is not None
+                else None,
+                "rejection": json.dumps(rejection, default=str)
+                if rejection is not None
+                else None,
+                "reply": json.dumps(reply, default=str)
+                if reply is not None
+                else None,
+            }
+
+        try:
+            for cmd in _iter_rows(pdf):
+                if context_mode:
+                    # U4: handler drives a SurgeContext
+                    # (AggregateProcessingModel.scala:36-64)
+                    try:
+                        ctx = run(process_command(SurgeContext(state=state), state, cmd))
+                    except Exception as e:  # noqa: BLE001 — handler error → ACKError
+                        replies.append(reply_row(f"error: {type(e).__name__}"))
+                        continue
+                    if ctx.rejected:
+                        # rejection publishes nothing (PersistentActor.scala:203-205)
+                        replies.append(
+                            reply_row("rejected", state, rejection=ctx.rejection)
+                        )
+                        continue
+                    state = ctx.state
+                    for ev, topic in ctx.events:
+                        events_out.append(({**ev, store_key_col: key}, topic))
+                    for rec in ctx.records:
+                        records_out.append(
+                            {"topic": rec.topic, "key": rec.key, "value": rec.value}
+                        )
+                    for fn in ctx.side_effects:
+                        run(fn(state))
+                    reply = run(ctx.reply_fn(state)) if ctx.reply_fn else None
+                    replies.append(reply_row("success", state, reply=reply))
+                    continue
+                try:
+                    events, rejected = run(process_command(state, cmd))
+                except Exception as e:  # noqa: BLE001 — handler error → ACKError (§5 tier-1)
+                    replies.append(reply_row(f"error: {type(e).__name__}"))
+                    continue
+                if rejected:
+                    replies.append(reply_row("rejected", state))
+                    continue
+                for ev in events:
+                    state = run(handle_event(state, ev))
+                    events_out.append(({**ev, store_key_col: key}, None))
+                replies.append(reply_row("success", state))
+        finally:
+            if loop is not None:
+                loop.close()
         # no-change-no-write (PersistentActor.scala:212): only emit a state
         # row if the fold changed it; events still publish (":495" semantics).
         # A non-None -> None transition is a DELETION and must tombstone the
@@ -149,7 +208,7 @@ class CommandEngine:
         # not silently leave the old state serving reads forever.
         state_rows = [state] if state != initial_state and state is not None else []
         deleted_keys = [key] if initial_state is not None and state is None else []
-        return state_rows, events_out, replies, deleted_keys
+        return state_rows, events_out, replies, deleted_keys, records_out
 
     def process_batch(
         self, commands: DataFrame, batch_id: str
@@ -204,9 +263,10 @@ class CommandEngine:
         order_cols = self.order_cols
         process_command = self.process_command
         handle_event = self.handle_event
+        context_mode = self.context_mode
 
         def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-            s, e, r, d = handle_group(
+            s, e, r, d, recs = handle_group(
                 pdf,
                 state_fields,
                 key_col,
@@ -214,14 +274,27 @@ class CommandEngine:
                 order_cols,
                 process_command,
                 handle_event,
+                context_mode,
             )
             rows = (
                 [{"kind": "state", "payload": json.dumps(x, default=str)} for x in s]
-                + [{"kind": "event", "payload": json.dumps(x, default=str)} for x in e]
+                + [
+                    {
+                        "kind": "event",
+                        "payload": json.dumps(
+                            {"event": ev, "topic": topic}, default=str
+                        ),
+                    }
+                    for ev, topic in e
+                ]
                 + [{"kind": "reply", "payload": json.dumps(x, default=str)} for x in r]
                 + [
                     {"kind": "tombstone", "payload": json.dumps({state_key_col: k})}
                     for k in d
+                ]
+                + [
+                    {"kind": "record", "payload": json.dumps(x, default=str)}
+                    for x in recs
                 ]
             )
             return pd.DataFrame(rows, columns=["kind", "payload"])
@@ -255,13 +328,31 @@ class CommandEngine:
             )
 
         state_df = unpack("state", self.state_schema)
-        events_df = unpack("event", self.event_schema)
+        # events are wrapped {"event": ..., "topic": ...}: topic is the
+        # persist_to_topic routing column (null = default events output)
+        events_df = (
+            packed.where(F.col("kind") == "event")
+            .select(
+                F.from_json(
+                    "payload", f"event struct<{self.event_schema}>, topic string"
+                ).alias("r")
+            )
+            .select("r.event.*", F.col("r.topic").alias("_topic"))
+        )
+        if not self.context_mode:
+            events_df = events_df.drop("_topic")  # plain model: single output
         replies_df = unpack("reply", REPLY_SCHEMA)
+        records_df = unpack("record", RECORD_SCHEMA)
         tombstones = packed.where(F.col("kind") == "tombstone").select(
             F.get_json_object("payload", f"$.{state_key_col}").alias(state_key_col)
         )
 
-        if counts.get("state") or counts.get("event") or counts.get("tombstone"):
+        if (
+            counts.get("state")
+            or counts.get("event")
+            or counts.get("tombstone")
+            or counts.get("record")
+        ):
             # a replayed no-op batch is harmless so skipping the commit
             # entirely preserves R4 semantics; coalesce(1) keeps command-
             # sized batches at one file per side
@@ -271,6 +362,7 @@ class CommandEngine:
                 batch_id,
                 replies=replies_df.coalesce(1),
                 delete_keys=tombstones if counts.get("tombstone") else None,
+                records=records_df.coalesce(1) if counts.get("record") else None,
             )
         return state_df, events_df, replies_df
 

@@ -139,6 +139,7 @@ class SnapshotStore:
         update_keys: list | None = None,
         replies: DataFrame | None = None,
         delete_keys: list | DataFrame | None = None,
+        records: DataFrame | None = None,
     ) -> bool:
         """Atomically commit one micro-batch: append events, merge state
         updates into their key-hash buckets, publish a manifest. Returns
@@ -150,6 +151,9 @@ class SnapshotStore:
         ``delete_keys``: keys to REMOVE from the snapshot (state → None
         tombstones); list or single-column DataFrame. A key must not appear
         in both ``state_updates`` and ``delete_keys``.
+        ``records``: raw outbound producer records (the persistRecord
+        surface, Context.scala:13-14) — appended like events, readable via
+        read_records.
         """
         if str(batch_id) in self.committed_batch_ids():
             return False
@@ -166,6 +170,7 @@ class SnapshotStore:
         events_path = os.path.join(vdir, "events")
         state_path = os.path.join(vdir, "state")
         replies_path = os.path.join(vdir, "replies")
+        records_path = os.path.join(vdir, "records")
 
         n_events = 0
         if events is not None:
@@ -173,6 +178,8 @@ class SnapshotStore:
             n_events = -1  # counted lazily by readers; avoid an extra job
         if replies is not None:
             replies.write.mode("overwrite").parquet(replies_path)
+        if records is not None:
+            records.write.mode("overwrite").parquet(records_path)
 
         spark = state_updates.sparkSession
         state_schema_json = state_updates.schema.json()
@@ -249,6 +256,7 @@ class SnapshotStore:
             "state_schema": state_schema_json,
             "num_buckets": nb,
             "replies": replies_path if replies is not None else None,
+            "records": records_path if records is not None else None,
             "n_events": n_events,
             "ts": time.time(),
         }
@@ -324,6 +332,19 @@ class SnapshotStore:
             m["events"]
             for m in (self._manifest(v) for v in self.committed_versions())
             if m["events"]
+        ]
+        existing = [p for p in paths if os.path.exists(p)]
+        if not existing:
+            return None
+        return spark.read.parquet(*existing)
+
+    def read_records(self, spark: SparkSession) -> DataFrame | None:
+        """Raw producer records (persistRecord surface) across all committed
+        versions — the outbound side-channel a Kafka egress job would drain."""
+        paths = [
+            m.get("records")
+            for m in (self._manifest(v) for v in self.committed_versions())
+            if m.get("records")
         ]
         existing = [p for p in paths if os.path.exists(p)]
         if not existing:

@@ -86,12 +86,14 @@ def repeating_signal_alerts(
     )
 
 
-# --- W1/W3/W4: count-triggered slider with lifecycle events -----------------
+# --- W1/W3/W4/W8: count-triggered slider with full lifecycle events ---------
 
 WINDOW_EVENT_SCHEMA = StructType(
     [
         StructField("scope", StringType()),
-        StructField("event", StringType()),  # WindowAdvanced | AddedToWindow
+        # WindowOpened | AddedToWindow | WindowAdvanced | WindowPaused |
+        # WindowResumed | WindowClosed | WindowStopped (WindowEvent.scala)
+        StructField("event", StringType()),
         StructField("window_from", TimestampType()),
         StructField("buffered", IntegerType()),
         StructField("total_seen", LongType()),
@@ -102,8 +104,14 @@ _SLIDER_STATE = StructType(
     [
         StructField("buffer_ts", StringType()),  # csv of epoch-micros (bounded by buffer size)
         StructField("total_seen", LongType()),
+        StructField("paused", IntegerType()),  # 0|1 (W8)
+        StructField("stash_ts", StringType()),  # signals stashed while paused
     ]
 )
+
+# control-row signal_type values (W8): the in-stream analog of the actor's
+# Pause/Resume/Stop control messages (HealthSignalWindowActor.scala:211-256)
+PAUSE, RESUME, STOP = "__pause__", "__resume__", "__stop__"
 
 
 def count_triggered_slider(
@@ -115,8 +123,19 @@ def count_triggered_slider(
     """W1 exact semantics: a window holds buffered signals; when the buffer
     reaches ``buffer_size`` (reference.conf:241-248 default 50), slide by
     dropping the ``slide_amount`` oldest and re-anchor
-    (WindowSlider.scala:20-37). Emits W3 lifecycle events (AddedToWindow /
-    WindowAdvanced); W4's snapshot = the latest AddedToWindow row per scope."""
+    (WindowSlider.scala:20-37).
+
+    Emits the full W3 lifecycle event set (WindowEvent.scala): WindowOpened
+    when a scope initializes, WindowAdvanced on slide, one coalesced
+    AddedToWindow snapshot per batch (W4's open-window snapshot = the latest
+    AddedToWindow row per scope), and — driven by control rows whose
+    ``signal_type`` is ``__pause__`` / ``__resume__`` / ``__stop__`` — the
+    W8 pause/resume protocol of HealthSignalWindowActor.scala:222-256:
+    while paused, signals are STASHED (not windowed, not counted); Resume
+    emits WindowResumed and replays the stash into the buffer in order;
+    Stop emits WindowClosed + WindowStopped, clears state, and drops the
+    rest of the batch (the actor's context.stop sends them to dead letters);
+    the next signal re-opens the scope fresh."""
 
     if not (1 <= slide_amount < buffer_size):
         raise ValueError(
@@ -129,38 +148,75 @@ def count_triggered_slider(
         if state.hasTimedOut:
             state.remove()
             return
-        if state.exists:
-            buf_csv, total = state.get
-            buffer = [int(x) for x in buf_csv.split(",")] if buf_csv else []
-        else:
-            buffer, total = [], 0
-        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
         out = []
-        for t in batch["ts"]:
-            micros = int(pd.Timestamp(t).value // 1000)
+
+        def evt(name, buffer, total):
+            out.append(
+                {
+                    "scope": key[0],
+                    "event": name,
+                    "window_from": pd.Timestamp(buffer[0] * 1000) if buffer else None,
+                    "buffered": len(buffer),
+                    "total_seen": total,
+                }
+            )
+
+        if state.exists:
+            buf_csv, total, paused_flag, stash_csv = state.get
+            buffer = [int(x) for x in buf_csv.split(",")] if buf_csv else []
+            stash = [int(x) for x in stash_csv.split(",")] if stash_csv else []
+            paused = bool(paused_flag)
+        else:
+            buffer, total, stash, paused = [], 0, [], False
+            evt("WindowOpened", buffer, total)
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        stopped = False
+
+        def ingest(micros):
+            nonlocal buffer, total
             buffer.append(micros)
             total += 1
             if len(buffer) >= buffer_size:
                 buffer = buffer[slide_amount:]
-                out.append(
-                    {
-                        "scope": key[0],
-                        "event": "WindowAdvanced",
-                        "window_from": pd.Timestamp(buffer[0] * 1000),
-                        "buffered": len(buffer),
-                        "total_seen": total,
-                    }
+                evt("WindowAdvanced", buffer, total)
+
+        for t, styp in zip(batch["ts"], batch["signal_type"]):
+            if styp == PAUSE:
+                if not paused:
+                    paused = True
+                    evt("WindowPaused", buffer, total)
+            elif styp == RESUME:
+                if paused:
+                    paused = False
+                    evt("WindowResumed", buffer, total)
+                    pending, stash = stash, []
+                    for m in pending:  # unstashAll, original order
+                        ingest(m)
+            elif styp == STOP:
+                evt("WindowClosed", buffer, total)
+                evt("WindowStopped", buffer, total)
+                stopped = True
+                break
+            else:
+                micros = int(pd.Timestamp(t).value // 1000)
+                if paused:
+                    stash.append(micros)
+                else:
+                    ingest(micros)
+
+        if stopped:
+            if state.exists:
+                state.remove()
+        else:
+            evt("AddedToWindow", buffer, total)
+            state.update(
+                (
+                    ",".join(str(x) for x in buffer),
+                    total,
+                    int(paused),
+                    ",".join(str(x) for x in stash),
                 )
-        out.append(
-            {
-                "scope": key[0],
-                "event": "AddedToWindow",
-                "window_from": pd.Timestamp(buffer[0] * 1000) if buffer else None,
-                "buffered": len(buffer),
-                "total_seen": total,
-            }
-        )
-        state.update((",".join(str(x) for x in buffer), total))
+            )
         yield pd.DataFrame(out)
 
     ensure_shipped(signals.sparkSession)

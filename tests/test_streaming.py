@@ -5,7 +5,9 @@ in for Kafka (same source API surface)."""
 
 from __future__ import annotations
 
+import asyncio
 import datetime as dt
+import json
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -226,6 +228,77 @@ def test_count_triggered_slider(spark, tmp_path):
     assert snap.iloc[-1].total_seen == 12
 
 
+def test_slider_pause_resume_stop_lifecycle(spark, tmp_path):
+    """W8 + full W3 lifecycle (HealthSignalWindowActor.scala:222-256):
+    pause stashes signals (not windowed, not counted), resume replays the
+    stash in order (advancing if the buffer fills), stop closes the window
+    and a later signal re-opens the scope fresh."""
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("signal_type", T.StringType()),
+            T.StructField("description", T.StringType()),
+            T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+    src = str(tmp_path / "w8_src")
+    sig = lambda i, st="ERROR": (_ts(i), "t", "sig.a", st, "", {})  # noqa: E731
+    # batch 1: 3 signals  ->  Opened, buffered 3
+    # batch 2: pause + 2 signals  ->  Paused, both stashed (total stays 3)
+    # batch 3: resume + 1 signal  ->  Resumed, stash replayed (buffer hits
+    #          5 -> Advanced, drops 2), then the new signal -> buffered 4
+    # batch 4: stop  ->  Closed + Stopped, state cleared
+    # batch 5: 1 signal  ->  Opened again, buffered 1, total restarts at 1
+    batches = [
+        [sig(1), sig(2), sig(3)],
+        [sig(10, sw.PAUSE), sig(11), sig(12)],
+        [sig(20, sw.RESUME), sig(21)],
+        [sig(30, sw.STOP)],
+        [sig(40)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    signals = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        sw.count_triggered_slider(signals, buffer_size=5, slide_amount=2)
+        .writeStream.format("memory")
+        .queryName("w8_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_w8"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from w8_out").toPandas()
+    events = list(out.event)
+    for name in (
+        "WindowOpened",
+        "WindowPaused",
+        "WindowResumed",
+        "WindowAdvanced",
+        "WindowClosed",
+        "WindowStopped",
+        "AddedToWindow",
+    ):
+        assert name in events, f"missing {name} in {events}"
+
+    paused = out[out.event == "WindowPaused"].iloc[0]
+    assert paused.buffered == 3 and paused.total_seen == 3  # stash not counted
+
+    adv = out[out.event == "WindowAdvanced"].iloc[0]
+    assert adv.total_seen == 5  # replayed stash pushed buffer to 5
+    assert adv.buffered == 3  # 5 - slide(2)
+
+    snaps = out[out.event == "AddedToWindow"]
+    # batch 3 snapshot: stash replayed (advance) + 1 new signal
+    assert snaps.iloc[2].buffered == 4 and snaps.iloc[2].total_seen == 6
+    # after stop, the next signal re-opens fresh
+    assert events.count("WindowOpened") == 2
+    assert snaps.iloc[-1].buffered == 1 and snaps.iloc[-1].total_seen == 1
+
+
 def test_repeating_signal_alerts_batch_semantics(spark, sf_dir):
     """W5 frame compiles and evaluates in batch mode too (same plan)."""
     from surge_spark.io import load_table
@@ -438,6 +511,122 @@ def test_state_deletion_tombstones_snapshot(spark, tmp_path):
     # the key can be re-created fresh afterwards
     engine.process_batch(spark.createDataFrame([mk(3, "open", "c3")], schema), "b3")
     assert store.get_state(spark, "9")["n"] == 1
+
+
+def test_async_handlers_awaited_in_fold(spark, tmp_path):
+    """U3 (AsyncAggregateCommandModel, CommandModels.scala:33-56): coroutine
+    handlers are awaited per key inside the distributed fold — same results
+    as the sync model."""
+
+    async def process(state, cmd):
+        await asyncio.sleep(0)
+        if cmd["event_type"] == "bad":
+            return [], True
+        return [{"kind": "inc", "aggregate_id": str(cmd["user_id"])}], False
+
+    async def handle(state, ev):
+        await asyncio.sleep(0)
+        return {"aggregate_id": ev["aggregate_id"], "n": (state or {"n": 0})["n"] + 1}
+
+    store = SnapshotStore(str(tmp_path / "as"), key_col="aggregate_id")
+    engine = CommandEngine(
+        store,
+        process_command=process,
+        handle_event=handle,
+        state_schema="aggregate_id string, n int",
+        event_schema="kind string, aggregate_id string",
+        key_col="user_id",
+        order_cols=["ts"],
+    )
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, command_id string"
+    cmds = spark.createDataFrame(
+        [
+            (1, _ts(1), 11, "inc", 0.0, "c1"),
+            (2, _ts(2), 11, "bad", 0.0, "c2"),
+            (3, _ts(3), 11, "inc", 0.0, "c3"),
+        ],
+        schema,
+    )
+    _, events_df, replies_df = engine.process_batch(cmds, "b1")
+    replies = {r.command_id: r.status for r in replies_df.collect()}
+    assert replies == {"c1": "success", "c2": "rejected", "c3": "success"}
+    assert events_df.count() == 2
+    assert store.get_state(spark, "11")["n"] == 2
+
+
+def test_context_aware_handler_multi_topic_and_side_effects(spark, tmp_path):
+    """U4 (ContextAwareAggregateCommandModel + SurgeContext,
+    AggregateProcessingModel.scala:24-64): per-event topic routing
+    (persistToTopic), raw producer records, custom reply payloads, side
+    effects, and reject() with a rejection object."""
+    from surge_spark.streaming.context import ProducerRecord
+
+    hits = str(tmp_path / "side_effects")
+
+    def handler(ctx, state, cmd):
+        if cmd["event_type"] == "forbidden":
+            return ctx.reject({"code": 403, "reason": "forbidden"})
+        new_n = (state or {"n": 0})["n"] + 1
+        key = str(cmd["user_id"])
+
+        def effect(final_state):
+            with open(hits, "a") as f:
+                f.write(f"{final_state['n']}\n")
+
+        return (
+            ctx.persist_event({"kind": "inc", "aggregate_id": key})
+            .persist_to_topic({"kind": "audit", "aggregate_id": key}, "audit-topic")
+            .persist_record(
+                ProducerRecord(topic="raw-out", key=key, value='{"x":1}')
+            )
+            .update_state({"aggregate_id": key, "n": new_n})
+            .reply(lambda s: {"echo_n": s["n"]})
+            .side_effect(effect)
+        )
+
+    store = SnapshotStore(str(tmp_path / "cx"), key_col="aggregate_id")
+    engine = CommandEngine(
+        store,
+        process_command=handler,
+        handle_event=None,
+        state_schema="aggregate_id string, n int",
+        event_schema="kind string, aggregate_id string",
+        key_col="user_id",
+        order_cols=["ts"],
+        context_mode=True,
+    )
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, command_id string"
+    cmds = spark.createDataFrame(
+        [
+            (1, _ts(1), 21, "ok", 0.0, "c1"),
+            (2, _ts(2), 21, "forbidden", 0.0, "c2"),
+            (3, _ts(3), 21, "ok", 0.0, "c3"),
+        ],
+        schema,
+    )
+    _, events_df, replies_df = engine.process_batch(cmds, "b1")
+    replies = {r.command_id: r for r in replies_df.collect()}
+    assert replies["c1"].status == "success"
+    assert json.loads(replies["c1"].reply) == {"echo_n": 1}
+    assert json.loads(replies["c2"].rejection) == {"code": 403, "reason": "forbidden"}
+    assert json.loads(replies["c3"].reply) == {"echo_n": 2}
+
+    # per-topic routing: default events null _topic, audit events routed
+    ev = events_df.toPandas()
+    assert set(ev.columns) >= {"kind", "aggregate_id", "_topic"}
+    assert sorted(ev[ev.kind == "audit"]._topic) == ["audit-topic", "audit-topic"]
+    assert ev[ev.kind == "inc"]._topic.isna().all()
+
+    # raw records committed and readable
+    recs = store.read_records(spark).collect()
+    assert len(recs) == 2 and recs[0].topic == "raw-out"
+
+    # side effects ran once per successful command with the final state
+    with open(hits) as f:
+        assert sorted(f.read().split()) == ["1", "2"]
+
+    # state folded through both successful commands; rejection skipped
+    assert store.get_state(spark, "21")["n"] == 2
 
 
 def test_replayed_batch_is_pure_noop_and_replies_idempotent(spark, tmp_path):
