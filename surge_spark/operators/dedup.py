@@ -48,14 +48,46 @@ def shingle_array(text_col: str | F.Column, n: int = 4) -> F.Column:
     return F.filter(F.array_distinct(grams), lambda g: g != "")
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
-    """Exploded distinct (id, shingle) rows — the inverted-index form used
-    by exact-Jaccard joins. Map-side explode; already distinct per doc, so
-    no global dedup shuffle is needed."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_array(text_col, n)).alias("shingle"),
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4, distinct: bool = True
+) -> DataFrame:
+    """Exploded (id, shingle) rows — the inverted-index form used by
+    exact-Jaccard joins.
+
+    Grams are built WITHOUT higher-order functions (which run interpreted:
+    the transform/slice-per-index form measured 3.8s vs 0.6s at sf0.1):
+    the token array is zipped with its n-1 shifted selves (arrays_zip +
+    slice — all whole-stage codegen) and the structs exploded into
+    concat_ws grams. Docs shorter than n tokens contribute their whole
+    normalized text as one shingle.
+
+    ``distinct=True`` (the exact-Jaccard contract) dedupes per doc with a
+    dropDuplicates shuffle; pass False where duplicates are harmless —
+    MinHash min() is duplicate-insensitive — to keep the path shuffle-free.
+    """
+    norm = normalize_text(text_col)
+    toks = F.split(norm, " ")
+    base = df.select(
+        F.col(id_col).alias("id"), norm.alias("_norm"), toks.alias("_toks")
     )
+    big = 1 << 30
+    z = F.arrays_zip(
+        F.col("_toks").alias("g0"),
+        *[F.slice("_toks", i + 1, big).alias(f"g{i}") for i in range(1, n)],
+    )
+    grams = (
+        base.where(F.size("_toks") >= n)
+        .select("id", F.explode(z).alias("s"))
+        .where(F.col(f"s.g{n - 1}").isNotNull())
+        .select(
+            "id", F.concat_ws(" ", *[f"s.g{i}" for i in range(n)]).alias("shingle")
+        )
+    )
+    short = base.where((F.size("_toks") < n) & (F.col("_norm") != "")).select(
+        "id", F.col("_norm").alias("shingle")
+    )
+    out = grams.unionByName(short)
+    return out.dropDuplicates(["id", "shingle"]) if distinct else out
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str, normalized: bool = False) -> DataFrame:
@@ -215,15 +247,16 @@ def minhash_lsh_dedup(
     # exploded signature path: xxhash64 over (id, shingle) rows stays inside
     # whole-stage codegen and the k min() aggregates combine map-side —
     # measured ~3x faster than the per-row transform()/array_min form, whose
-    # higher-order functions run interpreted. Empty-shingle docs simply have
-    # no rows and drop out everywhere.
-    sig = minhash_signatures(shingles(df, id_col, text_col, n), num_hashes)
-    cands = lsh_candidates(sig, bands, num_hashes // bands, max_bucket)
-    sizes = df.select(
-        F.col(id_col).alias("id"),
-        F.size(shingle_array(text_col, n)).alias("n_shingles"),
+    # higher-order functions run interpreted. Signatures read the
+    # NON-distinct shingle stream (min() is duplicate-insensitive), keeping
+    # that branch shuffle-free before the groupBy. Empty-shingle docs simply
+    # have no rows and drop out everywhere.
+    sig = minhash_signatures(
+        shingles(df, id_col, text_col, n, distinct=False), num_hashes
     )
+    cands = lsh_candidates(sig, bands, num_hashes // bands, max_bucket)
     sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     if prune_verification:
         # Persist the (small) candidate set so deriving candidate doc ids
         # doesn't recompute the LSH subtree, then shuffle only shingles of
