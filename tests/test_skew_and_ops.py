@@ -164,6 +164,68 @@ def test_query_supervisor_restarts_and_gives_up(spark, tmp_path):
     sup.stop_all()
 
 
+def test_partition_assignment_tracker_fires_on_change():
+    """R9: the tracker diffs topic-partition assignments from progress
+    events and fires callbacks only on change."""
+    from surge_spark.streaming.listeners import PartitionAssignmentTracker
+
+    seen = []
+    tr = PartitionAssignmentTracker()
+    tr.on_change(lambda old, new: seen.append((old, new)))
+
+    p1 = {"sources": [{"endOffset": '{"orders": {"0": 100, "1": 50}}'}]}
+    assert tr.observe(p1) is True
+    assert seen[-1] == ({}, {"orders": [0, 1]})
+
+    # same assignment, new offsets: no rebalance
+    p2 = {"sources": [{"endOffset": '{"orders": {"0": 200, "1": 80}}'}]}
+    assert tr.observe(p2) is False
+
+    # partition 2 assigned
+    p3 = {"sources": [{"endOffset": '{"orders": {"0": 1, "1": 2, "2": 3}}'}]}
+    assert tr.observe(p3) is True
+    assert seen[-1] == ({"orders": [0, 1]}, {"orders": [0, 1, 2]})
+
+    # non-partitioned source (file/rate): never fires
+    tr2 = PartitionAssignmentTracker()
+    assert tr2.observe({"sources": [{"endOffset": "57"}]}) is False
+    assert tr2.observe({"sources": [{"endOffset": '{"logOffset": 3}'}]}) is False
+
+
+def test_standby_engine_follows_then_activates(spark, tmp_path):
+    """R10: standby follows the primary's commits without processing;
+    activate() starts the stream exactly once."""
+    from surge_spark.streaming.listeners import StandbyEngine
+
+    store = SnapshotStore(str(tmp_path / "dr"), key_col="k")
+    started = {"n": 0}
+
+    def factory():
+        started["n"] += 1
+        df = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        return (
+            df.writeStream.format("memory")
+            .queryName("standby_q")
+            .option("checkpointLocation", str(tmp_path / "drck"))
+            .start()
+        )
+
+    node = StandbyEngine(store, factory)
+    assert node.is_standby and node.poll() is None
+
+    # primary commits advance; the standby follows without starting a stream
+    store.commit(None, spark.createDataFrame([("a", 1)], "k string, v int"), "b1")
+    store.commit(None, spark.createDataFrame([("a", 2)], "k string, v int"), "b2")
+    assert node.poll() == 1
+    assert node.followed_versions == [1] and started["n"] == 0
+    assert store.get_state(spark, "a")["v"] == 2  # stale-read serving allowed
+
+    q = node.activate()
+    assert not node.is_standby and started["n"] == 1
+    assert node.activate() is q  # idempotent
+    node.stop()
+
+
 def test_snapshot_store_fencing(spark, tmp_path):
     """R5 zombie-writer fencing: two stores over the same path racing to
     commit the same version — the second manifest write must fail loudly
