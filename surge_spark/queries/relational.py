@@ -1067,6 +1067,27 @@ def f_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "f_url_encode_actor",
+    oracle="""
+    SELECT event_id,
+           replace(replace(replace(replace(
+             event_type || ' actor/' || CAST(user_id AS VARCHAR) || '&v=1',
+             '&', '%26'), '/', '%2F'), '=', '%3D'), ' ', '+') AS actor_path_encoded
+    FROM events WHERE event_id < 200
+    """,
+)
+def f_url_encode_actor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-encode actor name (F3: KafkaProducerActor actor-path encoding).
+    The oracle mirrors the encoding with a replace chain over the known
+    charset (space, slash, ampersand) since DuckDB lacks url_encode."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    actor = F.concat(
+        F.col("event_type"), F.lit(" actor/"), F.col("user_id"), F.lit("&v=1")
+    )
+    return e.select("event_id", F.url_encode(actor).alias("actor_path_encoded"))
+
+
 @query("f_partition_for_key")
 def f_partition_for_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key→partition routing (F1: murmur3(key) % n, KafkaPartitioner.scala:8).
