@@ -220,6 +220,11 @@ def lsh_candidates(
     )
 
 
+# bounded persist-leak guard for prune_verification (see below): holds at
+# most the latest call's cached candidate frame
+_PRUNE_CANDS_CACHE: list[DataFrame] = []
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str,
@@ -260,8 +265,16 @@ def minhash_lsh_dedup(
     if prune_verification:
         # Persist the (small) candidate set so deriving candidate doc ids
         # doesn't recompute the LSH subtree, then shuffle only shingles of
-        # candidate docs into the verification join.
+        # candidate docs into the verification join. The previous call's
+        # cached candidates are released here (a returned lazy frame gives
+        # callers no unpersist handle, so without this every call leaks a
+        # cached frame for the session's lifetime); the result of the
+        # PREVIOUS minhash_lsh_dedup call therefore recomputes if evaluated
+        # after a newer call — evaluate results before issuing the next.
         cands = cands.persist()
+        while _PRUNE_CANDS_CACHE:
+            _PRUNE_CANDS_CACHE.pop().unpersist()
+        _PRUNE_CANDS_CACHE.append(cands)
         cand_ids = (
             cands.select(F.col("id_a").alias("id"))
             .unionByName(cands.select(F.col("id_b").alias("id")))

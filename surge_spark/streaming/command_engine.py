@@ -174,16 +174,30 @@ class CommandEngine:
                             reply_row("rejected", state, rejection=ctx.rejection)
                         )
                         continue
-                    state = ctx.state
-                    for ev, topic in ctx.events:
-                        events_out.append(({**ev, store_key_col: key}, topic))
-                    for rec in ctx.records:
-                        records_out.append(
-                            {"topic": rec.topic, "key": rec.key, "value": rec.value}
-                        )
-                    for fn in ctx.side_effects:
-                        run(fn(state))
-                    reply = run(ctx.reply_fn(state)) if ctx.reply_fn else None
+                    # apply the context transactionally per command: a raising
+                    # side effect / reply_fn must yield an error ACK for THIS
+                    # command, not poison the whole micro-batch (a failed
+                    # batch replays forever against the same exception).
+                    # Already-run side effects are not undone — side effects
+                    # are at-least-once, like the reference's.
+                    pre_state, pre_ev, pre_rec = state, len(events_out), len(records_out)
+                    try:
+                        state = ctx.state
+                        for ev, topic in ctx.events:
+                            events_out.append(({**ev, store_key_col: key}, topic))
+                        for rec in ctx.records:
+                            records_out.append(
+                                {"topic": rec.topic, "key": rec.key, "value": rec.value}
+                            )
+                        for fn in ctx.side_effects:
+                            run(fn(state))
+                        reply = run(ctx.reply_fn(state)) if ctx.reply_fn else None
+                    except Exception as e:  # noqa: BLE001 — handler error → ACKError
+                        state = pre_state
+                        del events_out[pre_ev:]
+                        del records_out[pre_rec:]
+                        replies.append(reply_row(f"error: {type(e).__name__}"))
+                        continue
                     replies.append(reply_row("success", state, reply=reply))
                     continue
                 try:
@@ -194,9 +208,19 @@ class CommandEngine:
                 if rejected:
                     replies.append(reply_row("rejected", state))
                     continue
-                for ev in events:
-                    state = run(handle_event(state, ev))
-                    events_out.append(({**ev, store_key_col: key}, None))
+                # a raising handle_event rolls this command back (state and
+                # its already-appended events) and error-ACKs it — same
+                # poison-pill isolation as process_command above
+                pre_state, pre_ev = state, len(events_out)
+                try:
+                    for ev in events:
+                        state = run(handle_event(state, ev))
+                        events_out.append(({**ev, store_key_col: key}, None))
+                except Exception as e:  # noqa: BLE001 — handler error → ACKError
+                    state = pre_state
+                    del events_out[pre_ev:]
+                    replies.append(reply_row(f"error: {type(e).__name__}"))
+                    continue
                 replies.append(reply_row("success", state))
         finally:
             if loop is not None:
@@ -363,6 +387,7 @@ class CommandEngine:
                 replies=replies_df.coalesce(1),
                 delete_keys=tombstones if counts.get("tombstone") else None,
                 records=records_df.coalesce(1) if counts.get("record") else None,
+                updates_unique=True,  # fold emits at most one state row/key
             )
         return state_df, events_df, replies_df
 

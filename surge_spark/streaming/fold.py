@@ -34,6 +34,7 @@ def stateful_fold_stream(
     state_struct: StructType,
     output_struct: StructType | None = None,
     idle_timeout_ms: int | None = None,
+    emit_tombstones: bool = False,
 ) -> DataFrame:
     """groupBy(key).applyInPandasWithState fold: within a micro-batch events
     fold in (order_cols) order; across batches state persists in the state
@@ -45,9 +46,24 @@ def stateful_fold_stream(
     passivation). Expired keys simply re-initialize from None on their next
     event — correct because the authoritative snapshot lives in the sink
     table, not executor memory (same split as surge: actor memory vs KTable).
+
+    ``emit_tombstones``: the reference publishes whenever
+    ``state.stateOpt != result.state`` INCLUDING transitions to None; with
+    this flag the output gains a boolean ``__deleted`` column and a deletion
+    yields one tombstone row carrying the LAST-KNOWN state values (so the
+    sink has the key to delete by) with ``__deleted`` true, letting a
+    downstream snapshot sink remove the key instead of serving the stale
+    row forever. Off by default to keep the bare state-stream schema.
     """
+    from pyspark.sql.types import BooleanType, StructField
+
     output_struct = output_struct or state_struct
+    if emit_tombstones:
+        output_struct = StructType(
+            [*output_struct.fields, StructField("__deleted", BooleanType())]
+        )
     field_names = [f.name for f in state_struct.fields]
+    out_names = [f.name for f in output_struct.fields]
     order_cols = list(order_cols)
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -71,13 +87,22 @@ def stateful_fold_stream(
         if current is None and prev is not None:
             # deletion: the handler folded the state away — remove it from
             # the state store (not just skip the update, which would leave
-            # the stale state serving every later batch)
+            # the stale state serving every later batch), and tombstone the
+            # output so downstream snapshot sinks can delete the key too
             state.remove()
+            if emit_tombstones:
+                row = dict.fromkeys(out_names)
+                row.update(prev)  # last-known state → sink can delete by key
+                row["__deleted"] = True
+                yield pd.DataFrame([row])
         elif current is not None and current != prev:
             state.update(tuple(current.get(f) for f in field_names))
             if idle_timeout_ms:
                 state.setTimeoutDuration(idle_timeout_ms)
-            yield pd.DataFrame([current])
+            out = dict(current)
+            if emit_tombstones:
+                out["__deleted"] = False
+            yield pd.DataFrame([out])
         elif idle_timeout_ms and state.exists:
             state.setTimeoutDuration(idle_timeout_ms)
 

@@ -143,9 +143,15 @@ class PartitionAssignmentTracker:
 
     def observe(self, progress: dict) -> bool:
         """Process one progress event; returns True (and fires callbacks)
-        if the assignment changed."""
+        if the assignment changed — including a shrink to EMPTY (full
+        revocation), which must both fire and reset the tracked state so a
+        later re-assignment of the same partitions fires again."""
         new = self._assignment(progress)
-        if not new or new == self._last:
+        if new == self._last:
+            return False
+        if not new and not progress.get("sources"):
+            # no source info at all (e.g. a synthetic/empty progress dict):
+            # not evidence of revocation — keep the last known assignment
             return False
         old, self._last = self._last, new
         for cb in self._callbacks:

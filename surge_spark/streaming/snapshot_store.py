@@ -140,6 +140,7 @@ class SnapshotStore:
         replies: DataFrame | None = None,
         delete_keys: list | DataFrame | None = None,
         records: DataFrame | None = None,
+        updates_unique: bool = False,
     ) -> bool:
         """Atomically commit one micro-batch: append events, merge state
         updates into their key-hash buckets, publish a manifest. Returns
@@ -154,6 +155,17 @@ class SnapshotStore:
         ``records``: raw outbound producer records (the persistRecord
         surface, Context.scala:13-14) — appended like events, readable via
         read_records.
+        ``updates_unique``: set True when the caller guarantees at most one
+        row per key in ``state_updates`` (the engine's fold does) — skips
+        the per-key dedup that otherwise enforces the snapshot's
+        one-row-per-key invariant. Without the guarantee, duplicate-key
+        update frames are deduped (arbitrary survivor); callers needing
+        ordered latest-per-key semantics should pre-fold with
+        operators.eventsourcing.latest_per_key (A2).
+
+        A store written by the pre-bucketing layout (manifest key ``state``
+        instead of ``state_buckets``) is migrated on its first commit here:
+        the full legacy snapshot is read, merged, and rewritten bucketed.
         """
         if str(batch_id) in self.committed_batch_ids():
             return False
@@ -182,12 +194,24 @@ class SnapshotStore:
             records.write.mode("overwrite").parquet(records_path)
 
         spark = state_updates.sparkSession
+        if not updates_unique and state_updates.schema.fields:
+            # enforce the one-row-per-key snapshot invariant on the update
+            # set itself (get_state/read_state assume it); arbitrary
+            # survivor — pre-fold with latest_per_key (A2) for ordered picks
+            state_updates = state_updates.dropDuplicates([self.key_col])
         state_schema_json = state_updates.schema.json()
         if not state_updates.schema.fields and prev_manifest is not None:
-            state_schema_json = prev_manifest["state_schema"]
+            state_schema_json = prev_manifest.get("state_schema", state_schema_json)
 
         prev_buckets: dict[str, str] = (
             dict(prev_manifest.get("state_buckets", {})) if prev_manifest else {}
+        )
+        # pre-bucketing layout: single unbucketed state path — migrate by
+        # merging the WHOLE legacy snapshot into this commit's bucketed write
+        legacy_state = (
+            prev_manifest.get("state")
+            if prev_manifest is not None and "state_buckets" not in prev_manifest
+            else None
         )
         if prev_manifest is None:
             # first commit: everything is new; one partitioned write
@@ -202,17 +226,23 @@ class SnapshotStore:
             dele = self._keys_df(spark, delete_keys)
             touched_keys = upd if dele is None else upd.unionByName(dele).distinct()
             touched_keys = touched_keys.where(F.col(self.key_col).isNotNull())
-            bexpr = F.pmod(
-                F.crc32(F.col(self.key_col).cast("binary")), F.lit(nb)
-            ).cast("int")
             touched = {
                 str(r[0])
-                for r in touched_keys.select(bexpr.alias("b")).distinct().collect()
+                for r in touched_keys.select(
+                    self._bucket_expr(nb).alias("b")
+                )
+                .distinct()
+                .collect()
             }
-            prev_paths = [prev_buckets[b] for b in touched if b in prev_buckets]
+            if legacy_state is not None:
+                # legacy store: no bucket map — every key lives in the one
+                # unbucketed path, so the full snapshot is the merge input
+                prev_paths = [legacy_state] if os.path.exists(legacy_state) else []
+            else:
+                prev_paths = [prev_buckets[b] for b in touched if b in prev_buckets]
             if prev_paths:
                 prev_schema = T.StructType.fromJson(
-                    json.loads(prev_manifest["state_schema"])
+                    json.loads(prev_manifest.get("state_schema", state_schema_json))
                 )
                 prev_touched = spark.read.schema(prev_schema).parquet(*prev_paths)
                 # broadcast anti-join: previous rows of touched buckets whose
@@ -277,6 +307,15 @@ class SnapshotStore:
 
     # -- read paths ----------------------------------------------------------
 
+    @staticmethod
+    def _state_paths(m: dict) -> dict[str, str]:
+        """Bucket→path map of a manifest; a legacy (pre-bucketing) manifest
+        exposes its single unbucketed path under a sentinel key so every
+        reader/vacuum works on both layouts."""
+        if "state_buckets" in m:
+            return m["state_buckets"]
+        return {"__legacy__": m["state"]} if m.get("state") else {}
+
     def read_state(self, spark: SparkSession) -> DataFrame | None:
         """Latest committed snapshot (the KTable view, S1): the union of
         every bucket directory the manifest references. Returns None if no
@@ -287,7 +326,7 @@ class SnapshotStore:
             return None
         m = self._manifest(v)
         schema = T.StructType.fromJson(json.loads(m["state_schema"]))
-        paths = list(m["state_buckets"].values())
+        paths = list(self._state_paths(m).values())
         if not paths:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*paths)
@@ -300,8 +339,12 @@ class SnapshotStore:
         if v is None:
             return None
         m = self._manifest(v)
-        bucket = self._bucket_of(aggregate_id, int(m["num_buckets"]))
-        path = m["state_buckets"].get(str(bucket))
+        if "state_buckets" in m:
+            bucket = self._bucket_of(aggregate_id, int(m["num_buckets"]))
+            path = m["state_buckets"].get(str(bucket))
+        else:
+            # legacy unbucketed layout: no pruning possible — full scan
+            path = m.get("state")
         if path is None:
             return None
         schema = T.StructType.fromJson(json.loads(m["state_schema"]))
@@ -370,12 +413,12 @@ class SnapshotStore:
         keep = max(1, keep_last)
         kept = versions[-keep:]
         referenced = {
-            p for v in kept for p in self._manifest(v)["state_buckets"].values()
+            p for v in kept for p in self._state_paths(self._manifest(v)).values()
         }
         removed = []
         for v in versions[:-keep]:
             reclaimed = False
-            for p in self._manifest(v)["state_buckets"].values():
+            for p in self._state_paths(self._manifest(v)).values():
                 if p not in referenced and os.path.exists(p):
                     shutil.rmtree(p)
                     reclaimed = True

@@ -119,6 +119,7 @@ def count_triggered_slider(
     scope_col: str = "name",
     buffer_size: int = 50,
     slide_amount: int = 10,
+    max_stash: int = 1000,
 ) -> DataFrame:
     """W1 exact semantics: a window holds buffered signals; when the buffer
     reaches ``buffer_size`` (reference.conf:241-248 default 50), slide by
@@ -135,7 +136,12 @@ def count_triggered_slider(
     emits WindowResumed and replays the stash into the buffer in order;
     Stop emits WindowClosed + WindowStopped, clears state, and drops the
     rest of the batch (the actor's context.stop sends them to dead letters);
-    the next signal re-opens the scope fresh."""
+    the next signal re-opens the scope fresh.
+
+    ``max_stash`` bounds the stash like the actor's capacity-bounded Akka
+    stash: once a paused scope has stashed that many signals, the OLDEST are
+    dropped — without a cap a long-paused hot scope would inflate its
+    persisted state row (and the checkpoint) without limit."""
 
     if not (1 <= slide_amount < buffer_size):
         raise ValueError(
@@ -169,7 +175,13 @@ def count_triggered_slider(
         else:
             buffer, total, stash, paused = [], 0, [], False
             evt("WindowOpened", buffer, total)
-        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        # mergesort: stable, so a control row (__pause__/__stop__) sharing a
+        # timestamp with data signals keeps its arrival order across runs —
+        # quicksort would make stash-vs-ingest-vs-drop nondeterministic on
+        # replay of the same checkpointed batch
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            "ts", kind="mergesort"
+        )
         stopped = False
 
         def ingest(micros):
@@ -201,6 +213,8 @@ def count_triggered_slider(
                 micros = int(pd.Timestamp(t).value // 1000)
                 if paused:
                     stash.append(micros)
+                    if len(stash) > max_stash:
+                        del stash[: len(stash) - max_stash]
                 else:
                     ingest(micros)
 

@@ -132,6 +132,66 @@ def test_snapshot_commit_preserves_null_keys(spark, tmp_path):
     assert rows == {None: 1, "a": 3}
 
 
+def test_legacy_unbucketed_store_migrates_on_commit(spark, tmp_path):
+    """A store written by the pre-bucketing layout (manifest key ``state``,
+    no ``state_buckets``) must migrate on its first bucketed commit — not
+    silently drop every aggregate outside the batch."""
+    import json
+    import os
+
+    path = str(tmp_path / "legacy")
+    os.makedirs(os.path.join(path, "_manifests"))
+    legacy_state = os.path.join(path, "v000000000000", "state")
+    base = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "aggregate_id string, n int"
+    )
+    base.coalesce(1).write.parquet(legacy_state)
+    manifest = {
+        "version": 0,
+        "batch_id": "legacy-0",
+        "events": None,
+        "state": legacy_state,
+        "state_schema": base.schema.json(),
+        "n_events": 0,
+        "ts": 0,
+    }
+    with open(os.path.join(path, "_manifests", "v000000000000.json"), "w") as f:
+        json.dump(manifest, f)
+
+    store = SnapshotStore(path, key_col="aggregate_id", num_buckets=8)
+    # read paths must work on the legacy layout BEFORE any bucketed commit
+    assert store.get_state(spark, "a")["n"] == 1
+    assert store.read_state(spark).count() == 3
+    updates = spark.createDataFrame([("b", 20), ("d", 4)], "aggregate_id string, n int")
+    assert store.commit(None, updates, "b1") is True
+    rows = {r.aggregate_id: r.n for r in store.read_state(spark).collect()}
+    assert rows == {"a": 1, "b": 20, "c": 3, "d": 4}
+    # point reads bucket-prune against the migrated layout
+    assert store.get_state(spark, "a")["n"] == 1
+    assert store.get_state(spark, "d")["n"] == 4
+    # vacuum reference-counts across the format boundary
+    store.commit(None, spark.createDataFrame([("a", 10)], "aggregate_id string, n int"), "b2")
+    store.vacuum(keep_last=1)
+    assert store.get_state(spark, "a")["n"] == 10
+    assert store.get_state(spark, "c")["n"] == 3
+
+
+def test_commit_dedupes_duplicate_key_updates(spark, tmp_path):
+    """commit() enforces the one-row-per-key snapshot invariant on the
+    update frame itself (first commit AND merge path)."""
+    store = SnapshotStore(str(tmp_path / "dup"), key_col="k", num_buckets=4)
+    store.commit(
+        None, spark.createDataFrame([("k1", 1), ("k1", 2)], "k string, v int"), "b1"
+    )
+    assert store.read_state(spark).count() == 1
+    store.commit(
+        None, spark.createDataFrame([("k1", 3), ("k1", 4)], "k string, v int"), "b2"
+    )
+    state = store.read_state(spark)
+    assert state.count() == 1
+    assert state.collect()[0].v in (3, 4)
+
+
 def test_query_supervisor_restarts_and_gives_up(spark, tmp_path):
     """W6/§4 control loop: a dying query is restarted with backoff; after
     the budget it is reported as gave_up (surge: shutdown after max
@@ -185,6 +245,17 @@ def test_partition_assignment_tracker_fires_on_change():
     p3 = {"sources": [{"endOffset": '{"orders": {"0": 1, "1": 2, "2": 3}}'}]}
     assert tr.observe(p3) is True
     assert seen[-1] == ({"orders": [0, 1]}, {"orders": [0, 1, 2]})
+
+    # full revocation (shrink to EMPTY) fires and resets the tracked state,
+    # so re-assigning the identical partitions fires again
+    p4 = {"sources": [{"endOffset": "{}"}]}
+    assert tr.observe(p4) is True
+    assert seen[-1] == ({"orders": [0, 1, 2]}, {})
+    assert tr.observe(p3) is True
+    assert seen[-1] == ({}, {"orders": [0, 1, 2]})
+    # a progress dict with no source info at all is not evidence of revocation
+    assert tr.observe({}) is False
+    assert tr.observe(p2) is True  # tracked state kept through the blank
 
     # non-partitioned source (file/rate): never fires
     tr2 = PartitionAssignmentTracker()

@@ -676,3 +676,128 @@ def test_replayed_batch_is_pure_noop_and_replies_idempotent(spark, tmp_path):
 
     # prune keeps the newest dirs
     assert CommandEngine.prune_replies(replies_dir, keep_last=5) == 0
+
+
+def test_poison_handle_event_error_acks_without_killing_batch(spark, tmp_path):
+    """A raising handle_event must error-ACK and roll back THAT command
+    (state + its events) — not fail the task and poison every replay of the
+    micro-batch."""
+    store = SnapshotStore(str(tmp_path / "poison"), key_col="aggregate_id")
+
+    def process(state, cmd):
+        return [{"kind": cmd["event_type"], "aggregate_id": str(cmd["user_id"])}], False
+
+    def handle(state, ev):
+        if ev["kind"] == "boom":
+            raise ValueError("poison")
+        return {"aggregate_id": ev["aggregate_id"], "n": (state or {}).get("n", 0) + 1}
+
+    engine = CommandEngine(
+        store,
+        process,
+        handle,
+        state_schema="aggregate_id string, n int",
+        event_schema="kind string, aggregate_id string",
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+    )
+    cmds = spark.createDataFrame(
+        [
+            (1, _ts(1), 7, "ok", 0.0, "c1"),
+            (2, _ts(2), 7, "boom", 0.0, "c2"),
+            (3, _ts(3), 7, "ok", 0.0, "c3"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, command_id string",
+    )
+    _, _, replies_df = engine.process_batch(cmds, "b1")
+    replies = {r.command_id: r.status for r in replies_df.collect()}
+    assert replies["c1"] == "success" and replies["c3"] == "success"
+    assert replies["c2"] == "error: ValueError"
+    # the poisoned command published nothing: 2 events, state folded twice
+    assert store.get_state(spark, "7")["n"] == 2
+    assert store.read_events(spark).count() == 2
+
+
+def test_stateful_fold_emits_tombstone_on_delete(spark, tmp_path):
+    """emit_tombstones: a state→None transition yields one row with the
+    last-known state and __deleted=true (reference publishes whenever
+    stateOpt != result.state, including to None)."""
+    src = str(tmp_path / "tomb_src")
+    ckpt = str(tmp_path / "tomb_ckpt")
+    _write_batch(spark, src, [(1, _ts(1), 1, "purchase", 1.0, "{}")], 1)
+    events = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    def handler(state, event):
+        if event["event_type"] == "close":
+            return None
+        return es.count_handle_event(state, event)
+
+    out = stateful_fold_stream(
+        events,
+        "user_id",
+        ["ts", "event_id"],
+        handler,
+        COUNT_STATE_STRUCT,
+        emit_tombstones=True,
+    )
+    seen: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        seen.extend(
+            (r["aggregate_id"], r["count"], r["__deleted"]) for r in batch_df.collect()
+        )
+
+    def run_once():
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert seen[-1] == ("1", 1, False)
+    _write_batch(spark, src, [(2, _ts(2), 1, "close", 1.0, "{}")], 1)
+    run_once()
+    assert seen[-1] == ("1", 1, True)  # last-known state, tombstoned
+    # after deletion, a new event re-initializes from None
+    _write_batch(spark, src, [(3, _ts(3), 1, "purchase", 1.0, "{}")], 1)
+    run_once()
+    assert seen[-1] == ("1", 1, False)
+
+
+def test_slider_stash_is_capacity_bounded(spark, tmp_path):
+    """W8: a long-paused scope's stash is bounded (oldest dropped) so the
+    persisted state row cannot grow without limit."""
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("signal_type", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "stash_src")
+    rows = [(_ts(0), "s", sw.PAUSE)] + [(_ts(i), "s", "ERROR") for i in range(1, 11)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(_ts(20), "s", sw.RESUME)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    signals = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        sw.count_triggered_slider(signals, buffer_size=50, slide_amount=10, max_stash=4)
+        .writeStream.format("memory")
+        .queryName("stash_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "stash_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from stash_out").toPandas()
+    resumed_snap = out[out.event == "AddedToWindow"].iloc[-1]
+    # only the newest 4 stashed signals were replayed on resume
+    assert resumed_snap.buffered == 4 and resumed_snap.total_seen == 4
