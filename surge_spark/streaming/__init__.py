@@ -10,4 +10,6 @@
   (applyInPandasWithState; the SurgeEvent engine, §3.3)
 - ``windows``: health-signal window analytics (W1-W8)
 - ``metrics``: streaming sensor statistics (A3-A7)
+- ``multilanguage``: proto-shaped gateway + business-logic bridge over
+  opaque bytes payloads (U7, §3.4, multilanguage-protocol.proto)
 """

@@ -143,3 +143,74 @@ def test_serde_roundtrip_json_and_custom(spark):
     enc = encode_frame(src, JsonSerde(), "aggregate_id")
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_multilanguage_gateway_bytes_roundtrip(spark, tmp_path):
+    """U7 (§3.4): ForwardCommand/GetState over opaque-bytes payloads via an
+    in-process BusinessLogicService — processCommand produces events, ONE
+    handleEvents call computes the new state, rejection forwards the
+    message, ids are validated (GenericAsyncAggregateCommandModel.scala)."""
+    import json
+
+    from surge_spark.streaming.multilanguage import (
+        Event,
+        HealthCheckReply,
+        MultilanguageGateway,
+        ProcessCommandReply,
+        State,
+    )
+    from surge_spark.streaming.snapshot_store import SnapshotStore
+
+    class CounterService:
+        """Business app in 'another language': sees only bytes. he_calls in
+        the state counts handle_events invocations — executor-side, so it
+        must ride in the state to be observable from the test."""
+
+        def process_command(self, aggregate_id, state, command):
+            cmd = json.loads(command.payload)
+            if cmd["op"] == "boom":
+                return ProcessCommandReply(
+                    aggregate_id, is_success=False, rejection_message="no way"
+                )
+            evs = tuple(
+                Event(aggregate_id, json.dumps({"add": cmd["n"]}).encode())
+                for _ in range(cmd.get("times", 1))
+            )
+            return ProcessCommandReply(aggregate_id, is_success=True, events=evs)
+
+        async def handle_events(self, aggregate_id, state, events):
+            prev = json.loads(state.payload) if state else {"total": 0, "he_calls": 0}
+            total = prev["total"] + sum(json.loads(e.payload)["add"] for e in events)
+            payload = {"total": total, "he_calls": prev["he_calls"] + 1}
+            return State(aggregate_id, json.dumps(payload).encode())
+
+        def health_check(self):
+            return HealthCheckReply("counter-app", "UP")
+
+    store = SnapshotStore(str(tmp_path / "ml_store"), key_col="aggregate_id")
+    gw = MultilanguageGateway(store, CounterService())
+
+    r = gw.forward_command(spark, "agg-1", json.dumps({"op": "add", "n": 5, "times": 2}).encode())
+    assert r.is_success
+    # he_calls == 1: BOTH events went through ONE handle_events call
+    assert json.loads(r.new_state.payload) == {"total": 10, "he_calls": 1}
+    assert [json.loads(e.payload) for e in r.logged_events] == [{"add": 5}, {"add": 5}]
+
+    # second command folds on committed state (read-your-writes)
+    r2 = gw.forward_command(spark, "agg-1", json.dumps({"op": "add", "n": 1}).encode())
+    assert json.loads(r2.new_state.payload) == {"total": 11, "he_calls": 2}
+
+    # rejection: nothing persists, message forwarded
+    r3 = gw.forward_command(spark, "agg-1", json.dumps({"op": "boom"}).encode())
+    assert not r3.is_success and r3.rejection_message == "no way"
+    got = gw.get_state(spark, "agg-1")
+    assert json.loads(got.state.payload) == {"total": 11, "he_calls": 2}
+
+    # unknown aggregate: state is None
+    assert gw.get_state(spark, "nobody").state is None
+    assert gw.health_check().status == "UP"
+
+    # event log stores the opaque payloads with their aggregate ids
+    log = store.read_events(spark).collect()
+    assert len(log) == 3
+    assert {row.aggregate_id for row in log} == {"agg-1"}
