@@ -169,6 +169,147 @@ def ann_topk_lsh(
     )
 
 
+def _lit_vec(v: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def ivf_train(
+    corpus: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train IVF coarse centroids: deterministic hash-ordered init plus
+    ``iters`` distributed Lloyd refinements on unit vectors (spherical
+    k-means). The model (n_cells × dim doubles) is the ONLY thing collected
+    to the driver — assignments, partial sums, and means all stay
+    distributed, so training scales with the corpus, not driver memory.
+    ``seed`` perturbs the init ordering so independent indexes differ."""
+    u = with_unit_vector(corpus, vec_col).select("unit").where(
+        F.col("unit").isNotNull()
+    )
+    init = [
+        list(r[0])
+        for r in u.orderBy(F.xxhash64("unit", F.lit(seed)))
+        .limit(n_cells)
+        .collect()
+    ]
+    cents = init
+    for _ in range(max(0, iters)):
+        assigned = _assign_cell(u, F.col("unit"), cents)
+        # centroid update: per-dimension mean, distributed (posexplode →
+        # partial-agg avg → re-assembled in cell order), then re-normalized
+        new_rows = (
+            assigned.select("cell", F.posexplode("unit").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        updated = {r["cell"]: list(r["c"]) for r in new_rows}
+        next_cents = []
+        for i, old in enumerate(cents):
+            c = updated.get(i, old)  # empty cell keeps its old centroid
+            n = math.sqrt(sum(x * x for x in c)) or 1.0
+            next_cents.append([x / n for x in c])
+        cents = next_cents
+    return cents
+
+
+def _assign_cell(
+    df: DataFrame, unit_col: F.Column, cents: list[list[float]]
+) -> DataFrame:
+    """Nearest-centroid cell id as a pure map-side expression fold — no
+    shuffle, no Python: a when-chain over the (small) centroid list keeps
+    assignment embarrassingly parallel at any corpus size.
+
+    The model rides in the plan as literals, so it must stay coarse:
+    n_cells × dim up to ~10^5 elements is fine (typical IVF coarse
+    quantizers); beyond that, ship the centroids as a broadcast table and
+    assign via crossJoin + max_by partial aggregation instead — same
+    result, model bytes move via the broadcast machinery rather than the
+    task binary."""
+    best = F.struct(
+        F.lit(-2.0).alias("sim"), F.lit(0).alias("cell")
+    )
+    for i, c in enumerate(cents):
+        s = dot(unit_col, _lit_vec(c))
+        best = F.when(
+            s > best["sim"], F.struct(s.alias("sim"), F.lit(i).alias("cell"))
+        ).otherwise(best)
+    return df.withColumn("cell", best["cell"])
+
+
+def ivf_probe_cells(
+    queries: DataFrame, unit_col: F.Column, cents: list[list[float]], nprobe: int
+) -> DataFrame:
+    """Top-``nprobe`` cells per query row: score every centroid, sort, slice.
+    Runs on the (small, broadcastable) query side only."""
+    scored = F.array(
+        *[
+            F.struct(dot(unit_col, _lit_vec(c)).alias("sim"), F.lit(i).alias("cell"))
+            for i, c in enumerate(cents)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    return queries.withColumn("cell", F.explode(F.transform(top, lambda s: s["cell"])))
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the classic coarse-quantizer
+    ANN (the second scale path next to ann_topk_lsh). Corpus vectors are
+    binned to their nearest of ``n_cells`` centroids by a shuffle-free
+    map-side fold; each query probes its ``nprobe`` nearest cells and
+    exact-cosine re-ranks only those cells' vectors — candidate I/O is
+    ~(nprobe/n_cells) of the corpus instead of all of it. Pass ``centroids``
+    (from ivf_train) to reuse a trained index across query batches; at
+    cluster scale, persist the assigned corpus partitioned BY cell so a
+    probe prunes files, exactly like the snapshot store's key buckets."""
+    query_id_col = query_id_col or id_col
+    cents = centroids if centroids is not None else ivf_train(
+        corpus, vec_col, n_cells, iters, seed
+    )
+    c = _assign_cell(
+        with_unit_vector(corpus, vec_col), F.col("unit"), cents
+    ).select(F.col(id_col).alias("corpus_id"), F.col("unit").alias("c_unit"), "cell")
+    q = ivf_probe_cells(
+        with_unit_vector(queries, vec_col), F.col("unit"), cents, nprobe
+    ).select(F.col(query_id_col).alias("query_id"), F.col("unit").alias("q_unit"), "cell")
+    cands = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("corpus_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    scored = cands.select(
+        "query_id", "corpus_id", dot(F.col("c_unit"), F.col("q_unit")).alias("cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

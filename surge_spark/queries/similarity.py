@@ -121,3 +121,17 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return sim.ann_topk_lsh(emb, queries, "vec_id", "embedding", k=10, n_planes=8, n_tables=4)
+
+
+@query("sim_ann_ivf_topk")
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via an IVF coarse quantizer (8 cells, probe 4):
+    spherical-k-means centroids, shuffle-free map-side cell assignment,
+    exact re-rank inside probed cells only. Centroid-init dependent →
+    rows-only check; recall vs brute force asserted in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return sim.ann_topk_ivf(
+        emb, queries, "vec_id", "embedding", k=10, n_cells=8, nprobe=4, iters=2
+    )

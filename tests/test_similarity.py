@@ -57,3 +57,43 @@ def test_embedding_neardup_blocks(spark):
     out = sim.embedding_neardup_pairs(df, "vec_id", "embedding", "label", 0.99).toPandas()
     pairs = {(a, b) for a, b in zip(out.id_a, out.id_b)}
     assert pairs == {(0, 1)}  # cross-block identical pair not compared
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    """IVF recall@10 vs brute force. With 8 cells and probe 4, each query
+    scans ~half the corpus; on random-ish vectors (the adversarial case —
+    near-uniform cosine) recall stays well above the probed fraction
+    because true neighbors concentrate in the nearest cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    bf = sim.cosine_topk(emb, queries, "vec_id", "embedding", k=10).toPandas()
+    ivf = sim.ann_topk_ivf(
+        emb, queries, "vec_id", "embedding", k=10, n_cells=8, nprobe=4, iters=2
+    ).toPandas()
+    bf_set = {(q, c) for q, c in zip(bf.query_id, bf.corpus_id)}
+    ivf_set = {(q, c) for q, c in zip(ivf.query_id, ivf.corpus_id)}
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # index reuse: training once and passing centroids gives the same answer
+    cents = sim.ivf_train(emb, "embedding", n_cells=8, iters=2)
+    again = sim.ann_topk_ivf(
+        emb, queries, "vec_id", "embedding", k=10, n_cells=8, nprobe=4,
+        centroids=cents,
+    ).toPandas()
+    assert {(q, c) for q, c in zip(again.query_id, again.corpus_id)} == ivf_set
+
+
+def test_ivf_cell_assignment_is_nearest(spark):
+    """Map-side cell fold picks the argmax-cosine centroid."""
+    import pandas as pd
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1]), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    u = sim.with_unit_vector(df, "embedding")
+    got = {
+        r.vec_id: r.cell
+        for r in sim._assign_cell(u, F.col("unit"), cents).collect()
+    }
+    # [-1,0] has cosine -1 to cell 0 and 0 to cell 1 → cell 1 wins
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1}
