@@ -301,6 +301,35 @@ def minhash_lsh_dedup(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str,
+    ts_col: str,
+    horizon: str = "1 hour",
+    normalized: bool = False,
+) -> DataFrame:
+    """Ingest-time exact dedup for a continuously arriving corpus: emit the
+    FIRST document per content fingerprint; drop re-fetches that arrive
+    within ``horizon`` of each other (event time). The streaming complement
+    of exact_dedup for the crawl-ingest stage of a training-data pipeline.
+
+    Built on dropDuplicatesWithinWatermark: the state store keys on the
+    128-bit md5 content fingerprint (not the document text, so state rows
+    are fixed-size) and expires entries once the watermark passes the
+    horizon — state is bounded by ingest-rate × horizon, not by corpus
+    size, which is what makes this run forever at 100 TB/day. A re-fetch
+    arriving after the horizon re-emits (matching any bounded-state dedup);
+    dedupe the persisted corpus with exact_dedup for the global guarantee.
+    """
+    content = normalize_text(text_col) if normalized else F.col(text_col)
+    return (
+        stream.withColumn("_fp", F.md5(F.encode(content, "UTF-8")))
+        .withWatermark(ts_col, horizon)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash fingerprint: each distinct token votes ±1 on every bit
     of its 64-bit hash; fingerprint bit = sign of the vote sum. All JVM-side:
