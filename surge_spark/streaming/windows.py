@@ -241,3 +241,47 @@ def count_triggered_slider(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def open_window_snapshot(window_events: DataFrame) -> DataFrame:
+    """W4 — the open-window snapshot query (HealthSignalStreamProvider's
+    windowSnapShot / actor replies to GetWindow): given the lifecycle-event
+    output of ``count_triggered_slider`` (live stream sink table or batch
+    frame), return ONE row per scope that currently has an open window —
+    its latest buffer snapshot (AddedToWindow) — and exclude scopes whose
+    most recent lifecycle event is WindowStopped (the actor is stopped; a
+    GetWindow would find no actor until a new signal re-opens it).
+
+    Pure declarative form: two max_by per scope (latest snapshot row, latest
+    event name), one partial-aggregated shuffle — no state beyond the event
+    table itself, so the snapshot can be served straight from the sink the
+    stream already writes."""
+    ordered = F.struct(
+        F.col("total_seen"), F.col("buffered"), F.col("window_from")
+    )
+    per_scope = window_events.groupBy("scope").agg(
+        F.max_by(
+            ordered, F.when(F.col("event") == "AddedToWindow", F.col("total_seen"))
+        ).alias("snap"),
+        # lifecycle order within equal total_seen: Stopped is emitted last
+        # by the slider, and max_by on (total_seen, is_stop) picks it
+        F.max_by(
+            F.col("event"),
+            F.struct(
+                F.col("total_seen"),
+                (F.col("event") == "WindowStopped").cast("int"),
+            ),
+        ).alias("last_event"),
+    )
+    return (
+        per_scope.where(
+            F.col("last_event") != F.lit("WindowStopped")
+        )
+        .where(F.col("snap").isNotNull())
+        .select(
+            "scope",
+            F.col("snap.window_from").alias("window_from"),
+            F.col("snap.buffered").alias("buffered"),
+            F.col("snap.total_seen").alias("total_seen"),
+        )
+    )

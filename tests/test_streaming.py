@@ -839,3 +839,38 @@ def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
     # advanced it, so doc 6 still hits live state; by doc 7's batch the
     # fingerprint state has expired and the re-fetch re-emits
     assert 7 in seen
+
+
+def test_open_window_snapshot(spark, tmp_path):
+    """W4: the snapshot query returns the latest open-window state per scope
+    and omits stopped scopes until they re-open."""
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("signal_type", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "w4_src")
+    rows = (
+        [(_ts(i), "a", "ERROR") for i in range(3)]
+        + [(_ts(10 + i), "b", "ERROR") for i in range(2)]
+        + [(_ts(20), "c", "ERROR"), (_ts(21), "c", sw.STOP)]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    signals = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        sw.count_triggered_slider(signals, buffer_size=5, slide_amount=2)
+        .writeStream.format("memory")
+        .queryName("w4_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "w4_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snap = {
+        r.scope: (r.buffered, r.total_seen)
+        for r in sw.open_window_snapshot(spark.table("w4_out")).collect()
+    }
+    assert snap == {"a": (3, 3), "b": (2, 2)}  # c stopped → absent
