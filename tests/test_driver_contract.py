@@ -37,6 +37,7 @@ def test_catalog_contract(spark, sf_dir):
         "es_bank_fold",
         "f_partition_for_key",
         "mm_feature_extract_stub",
+        "sim_ann_ivf_topk",
         "sim_ann_lsh_topk",
     }
     # callables execute and yield DataFrames (smoke one cheap entry)
