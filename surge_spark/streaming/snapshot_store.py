@@ -316,14 +316,23 @@ class SnapshotStore:
             return m["state_buckets"]
         return {"__legacy__": m["state"]} if m.get("state") else {}
 
-    def read_state(self, spark: SparkSession) -> DataFrame | None:
+    def read_state(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame | None:
         """Latest committed snapshot (the KTable view, S1): the union of
         every bucket directory the manifest references. Returns None if no
         version was ever committed; an empty (all keys deleted) snapshot
-        reads as an empty DataFrame with the stored schema."""
-        v = self.latest_version()
+        reads as an empty DataFrame with the stored schema.
+
+        ``version`` time-travels to an older committed snapshot (the Delta
+        ``versionAsOf`` analog — manifests are immutable and buckets are
+        shared across versions, so an old version reads at full speed as
+        long as vacuum() hasn't reclaimed its unshared buckets)."""
+        v = self.latest_version() if version is None else int(version)
         if v is None:
             return None
+        if version is not None and v not in self.committed_versions():
+            raise ValueError(f"version {v} was never committed")
         m = self._manifest(v)
         schema = T.StructType.fromJson(json.loads(m["state_schema"]))
         paths = list(self._state_paths(m).values())
@@ -331,13 +340,18 @@ class SnapshotStore:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*paths)
 
-    def get_state(self, spark: SparkSession, aggregate_id: str) -> dict | None:
+    def get_state(
+        self, spark: SparkSession, aggregate_id: str, version: int | None = None
+    ) -> dict | None:
         """Point read (S2 / §3.2 getState): bucket-pruned — computes the
         key's bucket driver-side (zlib.crc32) and scans only that bucket's
-        files, O(snapshot/num_buckets) instead of O(snapshot)."""
-        v = self.latest_version()
+        files, O(snapshot/num_buckets) instead of O(snapshot). ``version``
+        time-travels like read_state."""
+        v = self.latest_version() if version is None else int(version)
         if v is None:
             return None
+        if version is not None and v not in self.committed_versions():
+            raise ValueError(f"version {v} was never committed")
         m = self._manifest(v)
         if "state_buckets" in m:
             bucket = self._bucket_of(aggregate_id, int(m["num_buckets"]))

@@ -88,3 +88,54 @@ def test_whole_stage_codegen_covers_relational_path(spark, sf_dir):
     # '*(N)' prefixes mark operators inside a WholeStageCodegen stage
     assert "*(" in plan
     assert any("*(" in l and "partial_sum" in l for l in plan.splitlines())
+
+
+def test_ivf_corpus_assignment_is_map_side(spark, sf_dir):
+    """IVF ANN: corpus→cell assignment must be a pure map-side expression —
+    no exchange may appear below the cell join's corpus side. The only
+    shuffles in the whole query are the candidate dedup and the final
+    per-query top-k window."""
+    plan = _plan(spark, sf_dir, "sim_ann_ivf_topk")
+    # probe join broadcasts the (tiny) query side
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # whole plan has exactly the two post-join exchanges (dedup + window);
+    # assignment contributes none
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_open_window_snapshot_partial_aggregates(spark, tmp_path):
+    """W4 snapshot: one partial+final aggregation over the event table."""
+    from pyspark.sql import types as T
+
+    from surge_spark.streaming import windows as sw
+
+    schema = T.StructType(
+        [
+            T.StructField("scope", T.StringType()),
+            T.StructField("event", T.StringType()),
+            T.StructField("window_from", T.TimestampType()),
+            T.StructField("buffered", T.IntegerType()),
+            T.StructField("total_seen", T.LongType()),
+        ]
+    )
+    df = spark.createDataFrame([], schema)
+    plan = (
+        sw.open_window_snapshot(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_max_by" in plan
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_minhash_band_join_reuses_signature_exchange(spark, sf_dir):
+    """The band self-join's two sides are the same signature subtree; AQE
+    must compute it once (ReusedExchange in the finalized plan) — losing the
+    reuse doubles the most expensive stage of the dedup pipeline."""
+    df = all_queries()["d_minhash_lsh_neardup"](spark, sf_dir)
+    df.collect()  # reuse appears in the finalized adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan

@@ -321,3 +321,23 @@ def test_snapshot_store_fencing(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="fenced"):
         store_b.commit(None, spark.createDataFrame([("b", 2)], "k string, v int"), "b2")
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """read_state/get_state accept a version (the Delta versionAsOf analog):
+    old versions stay readable until vacuum reclaims their unshared buckets."""
+    import pytest
+
+    store = SnapshotStore(str(tmp_path / "tt"), key_col="k", num_buckets=4)
+    store.commit(None, spark.createDataFrame([("a", 1), ("b", 1)], "k string, v int"), "b0")
+    store.commit(None, spark.createDataFrame([("a", 2)], "k string, v int"), "b1")
+    store.commit(None, spark.createDataFrame([], "k string, v int"), "b2", delete_keys=["b"])
+
+    assert store.get_state(spark, "a")["v"] == 2
+    assert store.get_state(spark, "a", version=0)["v"] == 1
+    assert store.get_state(spark, "b", version=1)["v"] == 1
+    assert store.get_state(spark, "b") is None  # deleted at v2
+    assert store.read_state(spark, version=0).count() == 2
+    assert store.read_state(spark, version=2).count() == 1
+    with pytest.raises(ValueError):
+        store.read_state(spark, version=99)
