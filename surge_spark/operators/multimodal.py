@@ -92,3 +92,83 @@ def extract_features(df: DataFrame, id_col: str = "id") -> DataFrame:
     )
     ensure_shipped(df.sparkSession)
     return cols.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "id long, mime string, payload binary, width int, height int, "
+    "orig_width int, orig_height int"
+)
+
+
+def resize_images(df: DataFrame, max_side: int, id_col: str = "id") -> DataFrame:
+    """Resize every image so its longer side is ``max_side`` (aspect
+    preserved, never upscaled) — the standard normalize-before-training
+    step. Same honest split as extract_features: the mapInPandas batch
+    shape, 1:1 row contract, and metadata math are real; the pixel resample
+    is the deterministic fake decoder (no imaging library here), with the
+    payload passed through opaque. A real decoder changes only the body of
+    ``work``."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                payload = bytes(rec.payload)
+                ow, oh, _ = _fake_decode(payload)
+                scale = min(1.0, max_side / max(ow, oh))
+                rows.append(
+                    {
+                        "id": rec[1],
+                        "mime": rec.mime,
+                        "payload": payload,  # real decoder: resampled bytes
+                        "width": max(1, int(ow * scale)),
+                        "height": max(1, int(oh * scale)),
+                        "orig_width": ow,
+                        "orig_height": oh,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    cols = df.select(F.col(id_col).alias("id"), "payload", "mime")
+    ensure_shipped(df.sparkSession)
+    return cols.mapInPandas(work, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "id long, frame_index int, ts_ms long, frame binary"
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, id_col: str = "id"
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame — the 1→N
+    fan-out shape (a video row explodes into frames) that a training
+    pipeline feeds to per-frame feature extraction. Runs in mapInPandas so
+    the (large) video payload is read once per partition and never
+    shuffles; downstream selects frames, not videos.
+
+    Fake decoder: 'duration' is derived from payload length (1 byte = 1 ms)
+    and each 'frame' is a deterministic 16-byte slice at its timestamp. A
+    real build swaps in a container demuxer; the fan-out contract and
+    schema stay identical."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                payload = bytes(rec.payload)
+                duration_ms = len(payload)
+                for i, ts in enumerate(range(0, max(duration_ms, 1), every_ms)):
+                    start = min(ts, max(duration_ms - 16, 0))
+                    rows.append(
+                        {
+                            "id": rec[1],
+                            "frame_index": i,
+                            "ts_ms": ts,
+                            "frame": payload[start : start + 16],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["id", "frame_index", "ts_ms", "frame"])
+
+    cols = df.select(F.col(id_col).alias("id"), "payload")
+    ensure_shipped(df.sparkSession)
+    return cols.mapInPandas(work, schema=FRAME_SCHEMA)

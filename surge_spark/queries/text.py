@@ -180,6 +180,74 @@ def mm_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_resize_stub",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(16 + length(text) % 64 AS INT) AS orig_width,
+             CAST(16 + (length(text) // 64) % 64 AS INT) AS orig_height
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(greatest(1, floor(orig_width *
+             least(1.0, 128.0 / greatest(orig_width, orig_height)))) AS INT) AS width,
+           CAST(greatest(1, floor(orig_height *
+             least(1.0, 128.0 / greatest(orig_width, orig_height)))) AS INT) AS height,
+           orig_width, orig_height
+    FROM dims
+    """,
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (longer side → 128, aspect preserved, no
+    upscale) over mapInPandas. The fake decoder derives dimensions from
+    payload length deterministically, so the metadata math has a full SQL
+    oracle even though the pixel resample is stubbed."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    with_bin = mm.to_binary_payload(docs, "doc_id", "text", mime="image/fake")
+    out = mm.resize_images(with_bin, max_side=128, id_col="doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"), "width", "height", "orig_width", "orig_height"
+    )
+
+
+@query(
+    "mm_frame_sample_stub",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id < 50
+    ),
+    frames AS (
+      SELECT doc_id, CAST(gs.i AS INT) AS frame_index,
+             CAST(gs.i * 1000 AS BIGINT) AS ts_ms, n, text
+      FROM base, LATERAL (
+        SELECT unnest(generate_series(
+          0, CAST(ceil(greatest(n, 1) / 1000.0) AS BIGINT) - 1)) AS i
+      ) gs
+    )
+    SELECT doc_id, frame_index, ts_ms,
+           md5(substring(text,
+             CAST(least(ts_ms, greatest(n - 16, 0)) AS INT) + 1, 16)) AS frame_md5
+    FROM frames
+    """,
+)
+def mm_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: each payload fans out to one row per
+    sampled frame (1 ms per byte in the fake demuxer, one frame per second)
+    inside mapInPandas — the payload never shuffles, frames do. Frame bytes
+    are deterministic payload slices, so the fan-out count, timestamps, and
+    frame content all have a SQL oracle (md5 over the same ASCII bytes)."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
+    with_bin = mm.to_binary_payload(docs, "doc_id", "text", mime="video/fake")
+    out = mm.sample_frames(with_bin, every_ms=1000, id_col="doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "frame_index",
+        "ts_ms",
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+@query(
     "t_chunk_documents",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
