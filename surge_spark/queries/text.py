@@ -248,6 +248,75 @@ def mm_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_repetition_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+      WHERE {DUCK_NORMALIZE_SQL} <> ''
+    ),
+    g AS (
+      SELECT doc_id, len(t) AS n_toks,
+             CASE WHEN len(t) >= 3
+                  THEN array_to_string(t[gs.i:gs.i + 2], ' ')
+                  ELSE array_to_string(t, ' ') END AS gram
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+      ) gs
+    )
+    SELECT doc_id,
+           CAST(max(CASE WHEN n_toks >= 3 THEN n_toks - 2 ELSE 1 END) AS INT)
+             AS n_ngrams,
+           CAST(count(DISTINCT gram) AS INT) AS n_distinct_ngrams,
+           round((max(CASE WHEN n_toks >= 3 THEN n_toks - 2 ELSE 1 END)
+                  - count(DISTINCT gram))
+                 / CAST(max(CASE WHEN n_toks >= 3 THEN n_toks - 2 ELSE 1 END)
+                        AS DOUBLE), 6) AS dup_ngram_fraction
+    FROM g GROUP BY doc_id
+    """,
+)
+def t_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filter: duplicate 3-gram
+    fraction per doc. Pure map-side projection (the gram multiset never
+    leaves its row) — a quality gate near-dup passes can't provide."""
+    from ..operators.dedup import normalize_text
+    from ..operators.text import repetition_score
+
+    docs = _docs(spark, sf_dir).where(normalize_text("text") != "")
+    return repetition_score(docs, "doc_id", "text", n=3)
+
+
+@query(
+    "t_redact_pii",
+    oracle="""
+    WITH step1 AS (
+      SELECT doc_id, text,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '[REDACTED]', 'g') AS r1
+      FROM documents WHERE doc_id < 500
+    )
+    SELECT doc_id,
+           regexp_replace(r1, '\\+?[0-9][0-9()\\- ]{7,}[0-9]',
+                          '[REDACTED]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS INT) AS n_phones
+    FROM step1
+    """,
+)
+def t_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for training data: email and phone-shaped spans replaced,
+    hit counts kept for audit sampling. regexp_replace projection, map-side,
+    RE2-compatible patterns so the identical regex runs in the oracle."""
+    from ..operators.text import redact_pii
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
+    return redact_pii(docs, "doc_id", "text")
+
+
+@query(
     "t_chunk_documents",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),

@@ -122,3 +122,35 @@ def test_shingles_short_doc(spark):
     """Docs shorter than n tokens still produce one whole-text shingle."""
     out = dd.shingles(_docs(spark, ["one two"]), "doc_id", "text", n=4).toPandas()
     assert list(out.shingle) == ["one two"]
+
+
+def test_repetition_score_known_values(spark):
+    from surge_spark.operators.text import repetition_score
+
+    rows = [
+        (0, "a b c a b c a b c"),  # 9 toks → 7 3-grams, 3 distinct
+        (1, "one two three four"),  # 4 toks → 2 3-grams, both distinct
+        (2, "hi there"),  # short doc: 1 pseudo-gram
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = repetition_score(df, "doc_id", "text", n=3).toPandas().set_index("doc_id")
+    assert (out.loc[0].n_ngrams, out.loc[0].n_distinct_ngrams) == (7, 3)
+    assert out.loc[0].dup_ngram_fraction == round(4 / 7, 6)
+    assert out.loc[1].dup_ngram_fraction == 0.0
+    assert (out.loc[2].n_ngrams, out.loc[2].dup_ngram_fraction) == (1, 0.0)
+
+
+def test_redact_pii_known_strings(spark):
+    from surge_spark.operators.text import redact_pii
+
+    rows = [
+        (0, "mail me at jo.doe+x@example.co.uk or call +1 (555) 123-4567 now"),
+        (1, "no pii here at all"),
+        (2, "two mails: a@b.io c@d.org"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = redact_pii(df, "doc_id", "text").toPandas().set_index("doc_id")
+    assert out.loc[0].redacted == "mail me at [REDACTED] or call [REDACTED] now"
+    assert (out.loc[0].n_emails, out.loc[0].n_phones) == (1, 1)
+    assert out.loc[1].redacted == "no pii here at all"
+    assert (out.loc[2].n_emails, out.loc[2].redacted) == (2, "two mails: [REDACTED] [REDACTED]")
