@@ -301,6 +301,39 @@ def minhash_lsh_dedup(
     )
 
 
+def dedup_clusters(
+    df: DataFrame, id_col: str, pairs: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """Turn near-dup PAIRS into dedup CLUSTERS: connected components over
+    the similarity graph, singleton docs included. Returns one row per doc:
+    (id, component, cluster_size, is_canonical) where component is the min
+    doc id in the cluster and the canonical keeper is that min id — the
+    deterministic keeper election a production dedup pass applies before
+    dropping non-canonical docs.
+
+    Scale: component labeling is O(log d) shuffle rounds (see
+    operators/graph.py); the singleton union is a broadcast-able left join
+    (components ≪ corpus when dup-rate is low); cluster_size is one more
+    partial+final aggregate on the component key.
+    """
+    from .graph import connected_components
+
+    comp = connected_components(pairs, "id_a", "id_b", max_iterations)
+    ids = df.select(F.col(id_col).alias("id"))
+    labeled = ids.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return labeled.join(sizes, "component").select(
+        "id",
+        "component",
+        "cluster_size",
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     text_col: str,

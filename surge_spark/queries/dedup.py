@@ -109,6 +109,69 @@ def d_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_duck_shingles(4)},
+    pruned AS (
+      SELECT * FROM sh WHERE shingle IN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000
+      )
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.6
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u
+    ),
+    labeled AS (
+      SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    csize AS (
+      SELECT component, count(*) AS cluster_size FROM labeled GROUP BY component
+    )
+    SELECT l.id, l.component, s.cluster_size,
+           (l.id = l.component) AS is_canonical
+    FROM labeled l JOIN csize s ON s.component = l.component
+    """,
+)
+def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pass, pairs → clusters: exact 4-gram Jaccard pairs at
+    threshold 0.6 fed through distributed connected components
+    (operators/graph.py: alternating min-propagate / pointer-jump rounds,
+    O(log d) shuffles), singletons unioned back, canonical keeper = min doc
+    id per component. The DuckDB oracle recomputes the clustering with a
+    recursive-CTE transitive closure — an independent algorithm, so the
+    iterative Spark labeling is verified end-to-end, not mirrored.
+
+    This is the operator a training-data pipeline actually runs: near-dup
+    PAIRS are diagnostics; keep/drop decisions need components. Reference
+    has no analog (its dedup is key-compaction, SURVEY §2.4 A2); this
+    extends that family to document near-dedup at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.shingles(docs, "doc_id", "text", n=4)
+    pairs = dd.jaccard_pairs(sh, max_bucket=1000).where(F.col("jaccard") >= 0.6)
+    return dd.dedup_clusters(docs, "doc_id", pairs)
+
+
 @query("d_minhash_lsh_neardup")
 def d_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands × 4 rows) near-dup pairs, exact-Jaccard

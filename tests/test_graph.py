@@ -1,0 +1,63 @@
+"""Connected-components semantics: label = min reachable id, chains force
+multiple propagation rounds, pointer jumping converges, and the
+pairs→clusters composition elects canonical keepers with singletons kept."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from surge_spark.operators import dedup as dd
+from surge_spark.operators.graph import connected_components
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["id_a", "id_b"])
+    )
+
+
+def test_connected_components_basic(spark):
+    # two components: {1,2,3,7} via a chain, {10,11}
+    out = (
+        connected_components(_edges(spark, [(2, 1), (2, 3), (3, 7), (10, 11)]))
+        .toPandas()
+        .set_index("id")["component"]
+        .to_dict()
+    )
+    assert out == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain(spark):
+    # a 40-node path: worst case for plain propagation (diameter 39);
+    # pointer jumping must converge well inside max_iterations=25
+    chain = [(i, i + 1) for i in range(40)]
+    out = connected_components(_edges(spark, chain)).toPandas()
+    assert set(out["component"]) == {0}
+    assert len(out) == 41
+
+
+def test_connected_components_self_loops_and_dups(spark):
+    out = (
+        connected_components(_edges(spark, [(5, 5), (1, 2), (2, 1), (1, 2)]))
+        .toPandas()
+        .set_index("id")["component"]
+        .to_dict()
+    )
+    # self-loop-only vertex 5 is dropped as isolated (documented contract)
+    assert out == {1: 1, 2: 1}
+
+
+def test_dedup_clusters_composition(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 5], "text": ["x"] * 5})
+    )
+    pairs = _edges(spark, [(1, 2), (2, 3)])
+    out = (
+        dd.dedup_clusters(docs, "doc_id", pairs)
+        .orderBy("id")
+        .toPandas()
+    )
+    assert list(out["component"]) == [1, 1, 1, 4, 5]
+    assert list(out["cluster_size"]) == [3, 3, 3, 1, 1]
+    assert list(out["is_canonical"]) == [True, False, False, True, True]
