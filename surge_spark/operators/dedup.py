@@ -334,6 +334,53 @@ def dedup_clusters(
     )
 
 
+def decontaminate(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its distinct
+    word n-grams appear anywhere in the benchmark corpus. Returns
+    (id, n_shingles, n_hit, contamination, contaminated) — the standard
+    eval-leak filter a training-data pipeline runs before every dump.
+
+    Scale: the benchmark shingle set is tiny relative to the corpus (eval
+    suites are MBs; the corpus is TBs), so it is broadcast — the training
+    shingle stream never shuffles, making the whole pass map-side except
+    the per-doc count aggregation (partial+final on doc id).
+    """
+    bench_sh = (
+        shingles(bench_df, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    tr = shingles(train_df, id_col, text_col, n)
+    sizes = tr.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        tr.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    ids = train_df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(sizes, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0))
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("contamination"),
+            (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     text_col: str,

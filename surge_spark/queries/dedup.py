@@ -172,6 +172,41 @@ def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(docs, "doc_id", pairs)
 
 
+@query(
+    "d_decontaminate",
+    oracle=f"""
+    WITH {_duck_shingles(5)},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 17 = 0),
+    tr AS (SELECT * FROM sh WHERE id % 17 <> 0),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM tr GROUP BY id),
+    hits AS (
+      SELECT id, count(*) AS n_hit FROM tr JOIN bench USING (shingle) GROUP BY id
+    )
+    SELECT d.doc_id AS id,
+           coalesce(s.n_shingles, 0) AS n_shingles,
+           coalesce(h.n_hit, 0) AS n_hit,
+           CAST(round(coalesce(h.n_hit, 0) / greatest(coalesce(s.n_shingles, 0), 1), 6) AS DOUBLE) AS contamination,
+           (coalesce(h.n_hit, 0) > 0) AS contaminated
+    FROM documents d
+    LEFT JOIN sizes s ON s.id = d.doc_id
+    LEFT JOIN hits h ON h.id = d.doc_id
+    WHERE d.doc_id % 17 <> 0
+    """,
+)
+def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 17 == 0 stand in for an
+    eval suite; every training doc reports its distinct 5-gram overlap with
+    that suite. The benchmark shingle set is broadcast (eval suites are MBs
+    against a TB corpus) so the training shingle stream never shuffles —
+    the only shuffle is the per-doc hit count. Plan-pinned in
+    tests/test_plans.py. No reference analog; core training-data-pipeline
+    surface alongside dedup (SURVEY §2 extension family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    return dd.decontaminate(train, bench, "doc_id", "text", n=5)
+
+
 @query("d_minhash_lsh_neardup")
 def d_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands × 4 rows) near-dup pairs, exact-Jaccard

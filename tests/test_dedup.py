@@ -154,3 +154,26 @@ def test_redact_pii_known_strings(spark):
     assert (out.loc[0].n_emails, out.loc[0].n_phones) == (1, 1)
     assert out.loc[1].redacted == "no pii here at all"
     assert (out.loc[2].n_emails, out.loc[2].redacted) == (2, "two mails: [REDACTED] [REDACTED]")
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench = _docs(spark, [BASE])
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11],
+                "text": [
+                    BASE.replace("today", "tonight"),  # heavy 5-gram overlap
+                    "entirely different content with no shared phrases at all here now",
+                ],
+            }
+        )
+    )
+    out = (
+        dd.decontaminate(train, bench, "doc_id", "text", n=5)
+        .toPandas()
+        .set_index("id")
+    )
+    assert bool(out.loc[10, "contaminated"]) and out.loc[10, "n_hit"] > 0
+    assert not bool(out.loc[11, "contaminated"]) and out.loc[11, "n_hit"] == 0
+    assert 0 < out.loc[10, "contamination"] <= 1

@@ -139,3 +139,11 @@ def test_minhash_band_join_reuses_signature_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan, plan
+
+
+def test_decontaminate_benchmark_side_broadcast(spark, sf_dir):
+    """d_decontaminate: the benchmark shingle set must broadcast — the
+    training shingle stream joins it map-side, never shuffling on the
+    shingle key (the scale contract: eval suites are MBs, the corpus TBs)."""
+    plan = _plan(spark, sf_dir, "d_decontaminate")
+    assert "BroadcastHashJoin" in plan
