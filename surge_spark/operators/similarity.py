@@ -235,16 +235,23 @@ def _assign_cell(
     quantizers); beyond that, ship the centroids as a broadcast table and
     assign via crossJoin + max_by partial aggregation instead — same
     result, model bytes move via the broadcast machinery rather than the
-    task binary."""
-    best = F.struct(
-        F.lit(-2.0).alias("sim"), F.lit(0).alias("cell")
+    task binary.
+
+    Scores are materialized as one array of (sim, cell) structs and reduced
+    with array_max (struct ordering compares sim first), keeping the
+    expression tree LINEAR in n_cells — a nested when-chain that threads
+    the running best through both the condition and the otherwise branch
+    duplicates the subtree per centroid and goes exponential (n_cells=16
+    never finishes analysis)."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(unit_col, _lit_vec(c)).alias("sim"), F.lit(i).alias("cell")
+            )
+            for i, c in enumerate(cents)
+        ]
     )
-    for i, c in enumerate(cents):
-        s = dot(unit_col, _lit_vec(c))
-        best = F.when(
-            s > best["sim"], F.struct(s.alias("sim"), F.lit(i).alias("cell"))
-        ).otherwise(best)
-    return df.withColumn("cell", best["cell"])
+    return df.withColumn("cell", F.array_max(scored)["cell"])
 
 
 def ivf_probe_cells(
@@ -337,3 +344,48 @@ def embedding_neardup_pairs(
         .select("block", "id_a", "id_b", F.round(dot(F.col("ua"), F.col("ub")), 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def semantic_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    iters: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic clustering of an embedding column: spherical k-means
+    (ivf_train's distributed Lloyd loop) then shuffle-free map-side
+    assignment. Returns (id, cluster, cluster_size) — the blocking stage of
+    embedding-space dedup and a corpus-composition diagnostic in its own
+    right. Only the n_cells × dim centroid model ever reaches the driver."""
+    cents = ivf_train(df, vec_col, n_cells, iters, seed)
+    assigned = _assign_cell(
+        with_unit_vector(df, vec_col), F.col("unit"), cents
+    ).select(F.col(id_col).alias("id"), F.col("cell").alias("cluster"))
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return assigned.join(sizes, "cluster").select("id", "cluster", "cluster_size")
+
+
+def semantic_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    iters: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end semantic near-dedup: k-means cells as the blocking key,
+    exact cosine only within a cell. Pair space is bounded by the largest
+    cell (~corpus/n_cells on balanced data) instead of the corpus square —
+    the embedding-space analog of MinHash-LSH's band buckets. A true near-dup
+    pair is missed only when k-means splits it across cells; raise n_cells
+    for speed, lower it (or multi-assign like ivf_probe_cells) for recall."""
+    clustered = semantic_clusters(df, id_col, vec_col, n_cells, iters, seed)
+    blocked = df.join(
+        clustered.select(F.col("id").alias(id_col), "cluster"), id_col
+    )
+    return embedding_neardup_pairs(
+        blocked, id_col, vec_col, "cluster", threshold
+    ).withColumnRenamed("block", "cluster")

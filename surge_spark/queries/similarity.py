@@ -135,3 +135,30 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_topk_ivf(
         emb, queries, "vec_id", "embedding", k=10, n_cells=8, nprobe=4, iters=2
     )
+
+
+@query("sim_semantic_clusters")
+def sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means semantic clustering of the embedding corpus
+    (distributed Lloyd iterations — only the 16×64-double centroid model
+    touches the driver). Iterative + FP-order dependent → rows-only check;
+    cluster recovery on a planted-cluster corpus pinned in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_clusters(emb, "vec_id", "embedding", n_cells=16, iters=2)
+
+
+@query("sim_semantic_neardup_pairs")
+def sim_semantic_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dedup without a precomputed blocking label: k-means
+    cells bound the pair space (corpus²/n_cells on balanced data), exact
+    cosine within a cell. The learned-blocking twin of
+    sim_embedding_neardup_pairs (which trusts the stored `label`).
+    Threshold 0.3 because the synthetic embeddings are near-orthogonal (max
+    pairwise cosine ~0.48) — production default stays 0.9 in the operator.
+    Rows-only: clustering is iterative; recall vs brute-force exact pairs
+    on a planted-cluster corpus pinned in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, n_cells=16, iters=2
+    )

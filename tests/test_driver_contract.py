@@ -39,6 +39,8 @@ def test_catalog_contract(spark, sf_dir):
         "mm_feature_extract_stub",
         "sim_ann_ivf_topk",
         "sim_ann_lsh_topk",
+        "sim_semantic_clusters",
+        "sim_semantic_neardup_pairs",
     }
     # callables execute and yield DataFrames (smoke one cheap entry)
     assert queries["s2_point_lookup"](spark, sf_dir).count() >= 0

@@ -97,3 +97,66 @@ def test_ivf_cell_assignment_is_nearest(spark):
     }
     # [-1,0] has cosine -1 to cell 0 and 0 to cell 1 → cell 1 wins
     assert got == {0: 0, 1: 1, 2: 0, 3: 1}
+
+
+def _clustered_fixture(spark, n_clusters=8, per_cluster=25, dim=32, noise=0.05):
+    """Deterministic corpus with REAL cosine structure: unit base directions
+    plus small noise. (The sf testdata embeddings are near-orthogonal — max
+    pairwise cosine ~0.48, and `label` does not track cosine geometry — so
+    clustering/recall semantics must be tested on a constructed corpus.)"""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    bases = rng.normal(size=(n_clusters, dim))
+    bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+    rows = []
+    for ci in range(n_clusters):
+        for j in range(per_cluster):
+            v = bases[ci] + noise * rng.normal(size=dim)
+            rows.append((ci * per_cluster + j, ci, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, truth int, embedding array<double>"
+    )
+    return df, rows
+
+
+def test_semantic_clusters_recover_structure(spark):
+    """Spherical k-means must recover planted clusters: high mean
+    majority-truth share per cell, and cluster_size consistent per cell."""
+    df, _ = _clustered_fixture(spark)
+    out = sim.semantic_clusters(df, "vec_id", "embedding", n_cells=8, iters=4)
+    joined = out.join(
+        df.select(F.col("vec_id").alias("id"), "truth"), "id"
+    ).toPandas()
+    assert len(joined) == 200
+    assert (joined.groupby("cluster")["cluster_size"].nunique() == 1).all()
+    purity = (
+        joined.groupby("cluster")["truth"]
+        .agg(lambda s: s.value_counts().iloc[0] / len(s))
+        .mean()
+    )
+    assert purity > 0.8, purity
+
+
+def test_semantic_neardup_recall_vs_bruteforce(spark):
+    """Learned k-means blocking must recover most of the brute-force exact
+    near-dup pairs (a pair is lost only when k-means splits a planted
+    cluster across cells)."""
+    import numpy as np
+
+    df, rows = _clustered_fixture(spark)
+    vecs = np.array([r[2] for r in rows])
+    units = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = units @ units.T
+    ids = np.array([r[0] for r in rows])
+    ia, ib = np.where(np.triu(cos >= 0.8, k=1))
+    t = set(zip(ids[ia].tolist(), ids[ib].tolist()))
+    assert len(t) > 100, "fixture must contain near-dup pairs"
+    got = sim.semantic_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.8, n_cells=8, iters=4
+    ).toPandas()
+    g = {(min(a, b), max(a, b)) for a, b in zip(got.id_a, got.id_b)}
+    ia2, ib2 = np.where(np.triu(cos >= 0.8 - 1e-5, k=1))  # rounding slack
+    t_loose = set(zip(ids[ia2].tolist(), ids[ib2].tolist()))
+    assert g <= t_loose  # no false positives vs exact cosine
+    assert len(t & g) / len(t) >= 0.6, (len(t & g), len(t))
