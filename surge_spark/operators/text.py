@@ -172,3 +172,124 @@ def redact_pii(
         F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), 0)).alias("n_emails"),
         F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), 0)).alias("n_phones"),
     )
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms (keyword extraction for corpus
+    indexing / topic drift monitoring).
+
+    Shape at scale: one shuffle to build per-(doc, term) counts, one partial
+    agg for document frequency (term cardinality ~ vocabulary, small), the
+    corpus size rides along as a broadcast single row, and the final top-k
+    is a WindowGroupLimit partial top-k per partition — no full-corpus sort.
+    Ordering ties on the ROUNDED score are broken by term so the result is
+    deterministic and engine-portable."""
+    from pyspark.sql import Window
+
+    term_rows = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = term_rows.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        term_rows.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col(id_col), F.col("rank"), F.col("term"), F.col("tfidf"))
+    )
+
+
+def vocab_top_terms(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Corpus-wide vocabulary head: top-k terms by document frequency (with
+    total term frequency alongside) — the first step of tokenizer/vocab
+    construction and corpus-composition auditing.
+
+    Per-(doc, term) dedup happens map-side via array_distinct BEFORE the
+    explode, so the shuffle carries one row per distinct term per doc, and
+    the global top-k is TakeOrderedAndProject (partial top-k per partition,
+    never a full sort)."""
+    per_doc = df.select(
+        F.explode(F.array_distinct(tokens(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    # df_docs: one row per (doc, term) from the distinct explode
+    counted = per_doc.groupBy("term").agg(F.count("*").alias("df_docs"))
+    totals = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("total_tf"))
+    )
+    return (
+        counted.join(totals, "term")
+        .orderBy(F.col("df_docs").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Exact linear-interpolated percentiles of a numeric column per group
+    (document-length distribution per language — the pretraining-mix
+    diagnostic). Exact percentile sorts within each group, which is fine
+    when groups are few and bounded (languages); for high-cardinality
+    groups at 100 TB switch to approx_percentile, which is a mergeable
+    sketch (not oracle-portable, hence the exact form here)."""
+    pct = F.percentile(
+        F.col(value_col), F.array(*[F.lit(p) for p in percentiles])
+    )
+    cols = [
+        F.round(F.element_at(F.col("_pct"), i + 1), 6).alias(
+            f"p{str(p).replace('0.', '')}"
+        )
+        for i, p in enumerate(percentiles)
+    ]
+    return (
+        df.groupBy(group_col)
+        .agg(pct.alias("_pct"), F.count("*").alias("n_docs"))
+        .select(F.col(group_col), F.col("n_docs"), *cols)
+    )
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, strata_col: str, rates: dict[str, float],
+    default_rate: float = 0.05,
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep-rates applied via
+    an md5 threshold on the key — the language-rebalancing step of a
+    pretraining mix. Map-side filter (no shuffle, no rand()): the same rows
+    are selected on any engine and any partitioning, so mixes are
+    reproducible run-to-run and auditable by the oracle.
+
+    The keep-rate is encoded as a 4-hex-digit threshold compared
+    lexicographically against the first 4 md5 chars (lowercase hex sorts
+    numerically), which ports verbatim to any engine with md5 — no
+    hex-to-int conversion to get subtly wrong."""
+
+    def thr(r: float) -> str:
+        return format(min(65536, max(0, int(r * 65536))), "04x")
+
+    threshold = F.lit(thr(default_rate))
+    for stratum, r in rates.items():
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(thr(r))
+        ).otherwise(threshold)
+    return df.where(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 4) < threshold
+    )

@@ -376,3 +376,99 @@ def t_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "40"
     ).select("doc_id", "lang")
+
+
+@query(
+    "t_tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents)
+      WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS DOUBLE) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored) WHERE rank <= 3
+    """,
+)
+def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document. Ties on the rounded score break
+    by term on BOTH sides, so the ranking is engine-portable."""
+    return tx.tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text", k=3)
+
+
+@query(
+    "t_vocab_top_terms",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, term
+      FROM (SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS term FROM documents)
+      WHERE term <> ''
+    ),
+    occurrences AS (
+      SELECT term FROM (SELECT unnest({_DUCK_TOKS}) AS term FROM documents)
+      WHERE term <> ''
+    )
+    SELECT d.term, d.df_docs, o.total_tf
+    FROM (SELECT term, count(*) AS df_docs FROM per_doc GROUP BY term) d
+    JOIN (SELECT term, count(*) AS total_tf FROM occurrences GROUP BY term) o
+      USING (term)
+    ORDER BY df_docs DESC, term ASC LIMIT 20
+    """,
+)
+def t_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-20 terms by document frequency —
+    map-side array_distinct before the explode, TakeOrderedAndProject
+    global top-k (never a full sort)."""
+    return tx.vocab_top_terms(_docs(spark, sf_dir), "text", k=20)
+
+
+@query(
+    "t_length_percentiles",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(round(quantile_cont(n_chars, 0.25), 6) AS DOUBLE) AS p25,
+           CAST(round(quantile_cont(n_chars, 0.5), 6) AS DOUBLE) AS p5,
+           CAST(round(quantile_cont(n_chars, 0.75), 6) AS DOUBLE) AS p75,
+           CAST(round(quantile_cont(n_chars, 0.9), 6) AS DOUBLE) AS p9,
+           CAST(round(quantile_cont(n_chars, 0.99), 6) AS DOUBLE) AS p99
+    FROM documents GROUP BY lang
+    """,
+)
+def t_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated document-length percentiles per language — the
+    pretraining-mix length diagnostic. Exact (sort-based) because groups
+    are few; approx_percentile is the sketch-based 100 TB path (not
+    oracle-portable)."""
+    return tx.group_percentiles(_docs(spark, sf_dir), "lang", "n_chars")
+
+
+_STRATA_RATES = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.1, "zh": 0.1}
+
+
+@query(
+    "t_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < (CASE lang WHEN 'en' THEN '8000' WHEN 'es' THEN '4000'
+                       WHEN 'fr' THEN '4000' WHEN 'de' THEN '1999'
+                       WHEN 'zh' THEN '1999' ELSE '0ccc' END)
+    """,
+)
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample (md5-threshold on the
+    key, per-stratum keep-rates) — the language-rebalancing step of a
+    pretraining mix, reproducible on any engine/partitioning."""
+    docs = _docs(spark, sf_dir)
+    return tx.stratified_sample(
+        docs, "doc_id", "lang", _STRATA_RATES
+    ).select("doc_id", "lang")

@@ -177,3 +177,44 @@ def test_decontaminate_flags_overlap(spark):
     assert bool(out.loc[10, "contaminated"]) and out.loc[10, "n_hit"] > 0
     assert not bool(out.loc[11, "contaminated"]) and out.loc[11, "n_hit"] == 0
     assert 0 < out.loc[10, "contamination"] <= 1
+
+
+def test_tfidf_top_terms_known_ranking(spark):
+    from surge_spark.operators.text import tfidf_top_terms
+
+    # 'rare' appears only in doc 0 (idf=ln(3)); 'shared' in all docs (idf=0)
+    df = spark.createDataFrame(
+        [
+            (0, "rare shared shared"),
+            (1, "shared common common"),
+            (2, "shared common other"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", k=2).toPandas()
+    d0 = out[out.doc_id == 0].sort_values("rank")
+    assert list(d0.term) == ["rare", "shared"]
+    import math
+
+    assert abs(d0.iloc[0].tfidf - round(math.log(3.0), 6)) < 1e-9
+    assert d0.iloc[1].tfidf == 0.0  # shared: idf = ln(1) = 0
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from surge_spark.operators.text import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "zh") for i in range(2000)],
+        "doc_id bigint, lang string",
+    )
+    out = stratified_sample(
+        df, "doc_id", "lang", {"en": 0.5, "zh": 0.1}
+    ).toPandas()
+    again = stratified_sample(
+        df, "doc_id", "lang", {"en": 0.5, "zh": 0.1}
+    ).toPandas()
+    assert sorted(out.doc_id) == sorted(again.doc_id)  # deterministic
+    en = (out.lang == "en").sum() / 1000
+    zh = (out.lang == "zh").sum() / 1000
+    assert 0.4 < en < 0.6, en
+    assert 0.05 < zh < 0.16, zh

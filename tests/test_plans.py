@@ -147,3 +147,23 @@ def test_decontaminate_benchmark_side_broadcast(spark, sf_dir):
     shingle key (the scale contract: eval suites are MBs, the corpus TBs)."""
     plan = _plan(spark, sf_dir, "d_decontaminate")
     assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_topk_uses_group_limit_and_broadcast_count(spark, sf_dir):
+    """t_tfidf_top_terms: per-doc top-3 must be a WindowGroupLimit partial
+    top-k, and the corpus-count single row must ride as a broadcast (no
+    shuffle for the cross join)."""
+    plan = _plan(spark, sf_dir, "t_tfidf_top_terms")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_vocab_topk_avoids_full_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "t_vocab_top_terms")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_sample_is_map_side(spark, sf_dir):
+    """No shuffle: the stratified sample is a pure scan+filter."""
+    plan = _plan(spark, sf_dir, "t_stratified_sample")
+    assert "Exchange" not in plan
