@@ -472,3 +472,101 @@ def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.stratified_sample(
         docs, "doc_id", "lang", _STRATA_RATES
     ).select("doc_id", "lang")
+
+
+# Single source of truth for the oracle-side quality score, shared by
+# t_quality_score-style CTEs and the composed pipeline below.
+_DUCK_QUALITY_CTE = f"""
+    feats AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+               / greatest(length(text), 1) AS alpha_ratio,
+             length(array_to_string(t, '')) / greatest(len(t), 1) AS mean_wlen
+      FROM (SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents)
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens,
+             CAST(round(least(1.0,
+                   (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 0.4 ELSE 0.0 END)
+                 + (CASE WHEN alpha_ratio >= 0.6 THEN 0.3 ELSE 0.0 END)
+                 + (CASE WHEN n_tokens >= 10 THEN 0.3 ELSE 0.0 END)), 2) AS DOUBLE) AS quality_score
+      FROM feats
+    )"""
+
+
+@query(
+    "t_clean_corpus",
+    oracle=f"""
+    WITH {_DUCK_QUALITY_CTE},
+    keepers AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents GROUP BY {DUCK_NORMALIZE_SQL}
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           CAST(s.n_tokens AS INT) AS n_tokens, s.quality_score
+    FROM documents d
+    JOIN scored s USING (doc_id)
+    JOIN keepers k USING (doc_id)
+    WHERE s.quality_score >= 0.7 AND s.n_tokens >= 40
+    """,
+)
+def t_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pipeline a pretraining corpus actually runs:
+    exact-dedup keepers (normalized content, min-id winner) ∩ quality gate
+    (score ≥ 0.7, ≥ 40 tokens — the token floor is the selective gate on
+    the synthetic corpus, whose docs are all alpha-clean). Both sides are
+    single-shuffle aggregates; the keeper filter is a semi join on doc_id,
+    so the documents fact is scanned once per branch and never collected."""
+    docs = _docs(spark, sf_dir)
+    scored = tx.quality_score(docs, "doc_id", "text").select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    keepers = dd.exact_dedup(docs, "doc_id", "text", normalized=True).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    return (
+        docs.join(scored, "doc_id")
+        .join(keepers, "doc_id", "semi")
+        .where((F.col("quality_score") >= 0.7) & (F.col("n_tokens") >= 40))
+        .select("doc_id", "lang", "source", "n_tokens", "quality_score")
+    )
+
+
+@query(
+    "t_corpus_mix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, source, len({_DUCK_TOKS}) AS n_tokens FROM documents
+    ),
+    agg AS (
+      SELECT lang, source, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+      FROM toks GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, total_tokens,
+           CAST(round(total_tokens / (SELECT CAST(sum(total_tokens) AS DOUBLE) FROM agg), 6)
+                AS DOUBLE) AS token_share
+    FROM agg
+    """,
+)
+def t_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mix composition report: docs and token totals per
+    (lang, source) with each cell's share of all corpus tokens. The share
+    denominator is a scalar aggregate of the (tiny) grouped result — a
+    broadcast, not a second pass over documents."""
+    docs = _docs(spark, sf_dir)
+    agg = (
+        docs.select("lang", "source", F.size(tx.tokens("text")).alias("n_tokens"))
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+    )
+    total = agg.select(
+        F.sum("total_tokens").cast("double").alias("_total")
+    )
+    return agg.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.col("_total"), 6).alias("token_share"),
+    )
