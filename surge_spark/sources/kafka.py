@@ -20,7 +20,11 @@ Neither a broker nor the spark-sql-kafka connector JAR exists in the test
 environment (deploy with
 ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>``),
 so these wrappers are import- and signature-tested only; the option surface
-follows the spark-kafka integration docs.
+follows the spark-kafka integration docs. The SEMANTICS behind them
+(offset-bounded reads, key-routed partition placement with contiguous
+offsets, compacted state tables with tombstones, consumer lag, throttled
+micro-batch bounds) are executable and pytest-verified against the
+file-backed topic-log double in ``surge_spark.sources.filelog``.
 """
 
 from __future__ import annotations

@@ -1,0 +1,129 @@
+"""Executable Kafka-surface semantics on the file-backed topic log double:
+offset-bounded reads (S5), key-routed produce with contiguous offsets (S6),
+compacted state table with tombstones (S1), consumer lag (S9), and
+throttled micro-batch planning (W7)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from surge_spark.sources import filelog
+
+
+def _records(spark, pairs):
+    return spark.createDataFrame(
+        [(k.encode(), v.encode() if v is not None else None) for k, v in pairs],
+        "key binary, value binary",
+    )
+
+
+@pytest.fixture()
+def topic(tmp_path):
+    return str(tmp_path / "topic-a")
+
+
+def test_produce_assigns_contiguous_offsets_per_partition(spark, topic):
+    filelog.produce(
+        _records(spark, [(f"k{i}", f"v{i}") for i in range(40)]), topic, n_partitions=4
+    )
+    df = filelog.read(spark, topic).toPandas()
+    assert len(df) == 40
+    assert set(df["partition"].unique()) <= {0, 1, 2, 3}
+    for p, grp in df.groupby("partition"):
+        offs = sorted(grp["offset"])
+        assert offs == list(range(len(offs)))  # contiguous from 0
+
+
+def test_produce_continues_offsets_across_calls(spark, topic):
+    filelog.produce(
+        _records(spark, [(f"k{i}", "a") for i in range(20)]), topic, n_partitions=2
+    )
+    first_end = filelog.end_offsets(spark, topic)
+    filelog.produce(
+        _records(spark, [(f"k{i}", "b") for i in range(20)]), topic, n_partitions=2
+    )
+    df = filelog.read(spark, topic).toPandas()
+    assert len(df) == 40
+    for p, grp in df.groupby("partition"):
+        offs = sorted(grp["offset"])
+        assert offs == list(range(len(offs)))  # still contiguous after append
+        assert len(offs) == 2 * first_end[p]  # same keys → same routing
+
+
+def test_same_key_routes_to_same_partition(spark, topic):
+    filelog.produce(
+        _records(spark, [("user-1", "a"), ("user-1", "b"), ("user-1", "c")]),
+        topic,
+        n_partitions=8,
+    )
+    df = filelog.read(spark, topic).toPandas()
+    assert df["partition"].nunique() == 1
+
+
+def test_offset_bounded_read(spark, topic):
+    filelog.produce(
+        _records(spark, [(f"k{i}", f"v{i}") for i in range(30)]), topic, n_partitions=1
+    )
+    out = filelog.read(
+        spark, topic, starting_offsets={0: 10}, ending_offsets={0: 20}
+    ).toPandas()
+    assert sorted(out["offset"]) == list(range(10, 20))
+
+
+def test_state_table_tombstones_delete_keys(spark, topic):
+    filelog.produce(_records(spark, [("a", "1"), ("b", "1")]), topic, n_partitions=2)
+    filelog.produce(_records(spark, [("a", "2"), ("b", None)]), topic, n_partitions=2)
+    state = filelog.state_table(spark, topic).toPandas()
+    got = {bytes(r["key"]).decode(): bytes(r["value"]).decode() for _, r in state.iterrows()}
+    assert got == {"a": "2"}  # b tombstoned, a compacted to latest
+
+
+def test_lag_and_end_offsets(spark, topic):
+    filelog.produce(
+        _records(spark, [(f"k{i}", "x") for i in range(10)]), topic, n_partitions=2
+    )
+    ends = filelog.end_offsets(spark, topic)
+    assert sum(ends.values()) == 10
+    assert filelog.lag(spark, topic, committed=dict(ends)) == {p: 0 for p in ends}
+    behind = filelog.lag(spark, topic, committed={p: 0 for p in ends})
+    assert behind == ends
+
+
+def test_batch_id_header_supports_replay_dedup(spark, topic):
+    batch = _records(spark, [("a", "1"), ("b", "2")])
+    filelog.produce(batch, topic, n_partitions=1, batch_id="batch-7")
+    filelog.produce(batch, topic, n_partitions=1, batch_id="batch-7")  # replay
+    df = filelog.read(spark, topic)
+    deduped = df.withColumn(
+        "bid", F.element_at("headers", "batch_id").cast("string")
+    ).dropDuplicates(["key", "value", "bid"])
+    assert df.count() == 4 and deduped.count() == 2
+
+
+def test_offset_chunks_respect_throttle():
+    chunks = filelog.offset_chunks({0: 0, 1: 0}, {0: 5, 1: 3}, max_offsets=4)
+    assert chunks[0][0] == {0: 0, 1: 0}
+    # every chunk moves at most 4 offsets in total and they compose to the end
+    prev_end = None
+    total = 0
+    for start, end in chunks:
+        if prev_end is not None:
+            assert start == prev_end
+        moved = sum(end[p] - start[p] for p in end)
+        assert 0 < moved <= 4
+        total += moved
+        prev_end = end
+    assert prev_end == {0: 5, 1: 3} and total == 8
+
+
+def test_bounded_read_prunes_partitions(spark, topic):
+    """Partition bounds must prune at the scan: reading partition 0's range
+    only should not list partition 1's files (hive-partition pruning)."""
+    filelog.produce(
+        _records(spark, [(f"k{i}", "x") for i in range(40)]), topic, n_partitions=4
+    )
+    df = filelog.read(spark, topic, starting_offsets={0: 0}, ending_offsets={0: 100})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "partition#" in plan
+    assert df.count() == filelog.read(spark, topic).where("partition = 0").count()
