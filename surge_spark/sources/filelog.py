@@ -67,15 +67,20 @@ def produce(
     path: str,
     n_partitions: int = 4,
     batch_id: str | None = None,
+    order_by: list | None = None,
 ) -> None:
     """S6/S8 producer: route by murmur3(key) % n, assign contiguous
     per-partition offsets continuing from the current log end, append via
     a staged write (compute to a temp dir, then move files in — a crash
     during the compute publishes nothing; the move itself is per-file, so
     a single writer is assumed, as with one producer per partition).
-    Within one call, rows order by xxhash64(key, value) — a DataFrame has
-    no inherent row order, so the double makes ordering deterministic
-    rather than pretending to preserve producer send order.
+
+    Within-call ordering: Kafka preserves producer send order per
+    partition, but a DataFrame has no inherent row order — callers whose
+    consumers fold the log in offset order (event sourcing!) MUST pass
+    ``order_by`` (columns/expressions defining send order, e.g. an event
+    sequence). Without it, offsets within a call order by
+    xxhash64(key, value): deterministic, but arbitrary.
 
     ``batch_id`` is stamped into headers for R4 replay dedup on read, same
     contract as kafka.write_topic."""
@@ -99,8 +104,13 @@ def produce(
         headers.alias("headers"),
         _partition_col(F.col("key").cast("binary"), n_partitions).alias("partition"),
         F.current_timestamp().alias("timestamp"),
+        *(
+            [F.struct(*order_by).alias("_send_order")]
+            if order_by
+            else [F.xxhash64("key", "value").alias("_send_order")]
+        ),
     )
-    w = Window.partitionBy("partition").orderBy(F.xxhash64("key", "value"))
+    w = Window.partitionBy("partition").orderBy("_send_order")
     numbered = routed.withColumn(
         "offset", start_expr + F.row_number().over(w) - 1
     ).select(

@@ -127,3 +127,77 @@ def test_bounded_read_prunes_partitions(spark, topic):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "partition#" in plan
     assert df.count() == filelog.read(spark, topic).where("partition = 0").count()
+
+
+def test_engine_events_egress_and_ktable_rebuild(spark, tmp_path):
+    """The full surge loop on the topic double: commands → engine →
+    events egressed to a key-partitioned topic (S6) → KTable-style rebuild
+    from the log (S1) reproduces the snapshot store's state exactly — the
+    event-sourcing invariant (state ≡ fold(event log)) across the engine
+    AND the topic layer."""
+    import json
+
+    from surge_spark.operators import eventsourcing as es
+    from surge_spark.streaming.command_engine import CommandEngine
+    from surge_spark.streaming.snapshot_store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "store"), key_col="account_number")
+
+    def handle(state, ev):
+        s = es.bank_handle_event(state, ev)
+        return {"account_number": s["account_number"], "balance": s["balance"]}
+
+    engine = CommandEngine(
+        store,
+        process_command=es.bank_process_command,
+        handle_event=handle,
+        state_schema="account_number string, balance double",
+        event_schema="type string, account string, amount double, account_number string",
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+    )
+    import datetime
+
+    def _ts(s):
+        return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, command_id string"
+    )
+    topic = str(tmp_path / "events-topic")
+    for bid, rows in (
+        ("b1", [(1, _ts(1), 7, "signup", 0.0, "c1"), (2, _ts(2), 7, "click", 60.0, "c2")]),
+        ("b2", [(3, _ts(3), 8, "signup", 0.0, "c3"), (4, _ts(4), 7, "purchase", 25.0, "c4")]),
+    ):
+        out = engine.process_batch(spark.createDataFrame(rows, schema), bid)
+        assert out is not None
+        _, events_df, _ = out
+        # S6 egress: key = aggregate id, value = event JSON; send order =
+        # creation before mutation (the producer's order, preserved per
+        # partition as Kafka does)
+        filelog.produce(
+            events_df.select(
+                F.col("account_number").cast("binary").alias("key"),
+                F.to_json(F.struct(*events_df.columns)).cast("binary").alias("value"),
+                F.when(F.col("type") == "created", 0).otherwise(1).alias("seq"),
+            ),
+            topic,
+            n_partitions=4,
+            batch_id=bid,
+            order_by=[F.col("seq")],
+        )
+
+    # S1 rebuild: fold the event log per key in (partition, offset) order
+    log = filelog.read(spark, topic).orderBy("partition", "offset").collect()
+    rebuilt: dict[str, dict | None] = {}
+    for r in log:
+        ev = json.loads(bytes(r["value"]).decode())
+        k = bytes(r["key"]).decode()
+        rebuilt[k] = handle(rebuilt.get(k), ev)
+
+    for k, want in rebuilt.items():
+        got = store.get_state(spark, k)
+        assert got is not None and abs(got["balance"] - want["balance"]) < 1e-9
+    assert store.get_state(spark, "7")["balance"] == 35.0
+    assert store.get_state(spark, "8")["balance"] == 0.0
