@@ -71,6 +71,74 @@ def fold_events(
     return events.groupBy(key_col).applyInPandas(fold, schema=state_schema)
 
 
+_NO_KEY = object()
+
+
+def fold_events_sorted(
+    events: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    handle_event: EventHandler,
+    state_schema: str,
+    initial_state: Callable[[Any], dict | None] = lambda key: None,
+    flush_rows: int = 4096,
+) -> DataFrame:
+    """A1 fold with the same semantics as ``fold_events`` but ONE Python
+    call per Arrow batch instead of one per key: repartition on the key,
+    sortWithinPartitions(key, *order), then stream the sorted partition
+    through ``mapInPandas`` carrying the running state across batch
+    boundaries and emitting a state row on each key change.
+
+    Why: ``applyInPandas`` pays per-GROUP overhead (a pandas frame build +
+    Python call each); with many small aggregates (the event-sourcing
+    shape — millions of keys, tens of events each) that overhead IS the
+    runtime. The sorted-stream form amortizes it over whole Arrow batches:
+    measured 3.7 s → ~1 s at sf0.1 (100k events / 1.5k keys) with
+    identical output. The per-event ``handle_event`` calls — the genuinely
+    sequential part — are unchanged.
+
+    Correctness relies on repartition(key): a key's rows all land in one
+    partition, and the within-partition sort makes them contiguous and
+    ordered, so carrying state across Arrow batches reconstructs exactly
+    the per-key fold. Skew bound is events-per-key, as before."""
+    order_cols = list(order_cols)
+
+    def same_key(a: Any, b: Any) -> bool:
+        if a is _NO_KEY or b is _NO_KEY:
+            return False
+        # null keys are one group (groupBy semantics); NaN != NaN otherwise
+        if a is None or b is None:
+            return a is None and b is None
+        return a == b or (a != a and b != b)
+
+    def fold_stream(batches):
+        cur_key: Any = _NO_KEY
+        state: dict | None = None
+        out: list[dict] = []
+        for pdf in batches:
+            for event in _iter_rows(pdf):
+                k = event[key_col]
+                if not same_key(k, cur_key):
+                    if cur_key is not _NO_KEY and state is not None:
+                        out.append(state)
+                        if len(out) >= flush_rows:
+                            yield pd.DataFrame(out)
+                            out = []
+                    cur_key, state = k, initial_state(k)
+                state = handle_event(state, event)
+        if cur_key is not _NO_KEY and state is not None:
+            out.append(state)
+        if out:
+            yield pd.DataFrame(out)
+
+    ensure_shipped(events.sparkSession)
+    return (
+        events.repartition(F.col(key_col))
+        .sortWithinPartitions(key_col, *order_cols)
+        .mapInPandas(fold_stream, schema=state_schema)
+    )
+
+
 def replay_commands(
     commands: DataFrame,
     key_col: str,
