@@ -101,6 +101,29 @@ def fold_events_sorted(
     partition, and the within-partition sort makes them contiguous and
     ordered, so carrying state across Arrow batches reconstructs exactly
     the per-key fold. Skew bound is events-per-key, as before."""
+    def step(acc: dict | None, event: dict) -> dict | None:
+        return handle_event(acc, event)
+
+    return _sorted_stream_fold(
+        events, key_col, order_cols, initial_state, step,
+        lambda acc: acc, state_schema, flush_rows,
+    )
+
+
+def _sorted_stream_fold(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    init: Callable[[Any], Any],
+    step: Callable[[Any, dict], Any],
+    finish: Callable[[Any], dict | None],
+    schema: str,
+    flush_rows: int = 4096,
+) -> DataFrame:
+    """Shared kernel for sorted-stream per-key folds: repartition(key) +
+    sortWithinPartitions + one mapInPandas pass carrying the accumulator
+    across Arrow batches; ``finish(acc)`` emits the key's output row (or
+    None to emit nothing)."""
     order_cols = list(order_cols)
 
     def same_key(a: Any, b: Any) -> bool:
@@ -113,29 +136,33 @@ def fold_events_sorted(
 
     def fold_stream(batches):
         cur_key: Any = _NO_KEY
-        state: dict | None = None
+        acc: Any = None
         out: list[dict] = []
         for pdf in batches:
-            for event in _iter_rows(pdf):
-                k = event[key_col]
+            for row in _iter_rows(pdf):
+                k = row[key_col]
                 if not same_key(k, cur_key):
-                    if cur_key is not _NO_KEY and state is not None:
-                        out.append(state)
-                        if len(out) >= flush_rows:
-                            yield pd.DataFrame(out)
-                            out = []
-                    cur_key, state = k, initial_state(k)
-                state = handle_event(state, event)
-        if cur_key is not _NO_KEY and state is not None:
-            out.append(state)
+                    if cur_key is not _NO_KEY:
+                        done = finish(acc)
+                        if done is not None:
+                            out.append(done)
+                            if len(out) >= flush_rows:
+                                yield pd.DataFrame(out)
+                                out = []
+                    cur_key, acc = k, init(k)
+                acc = step(acc, row)
+        if cur_key is not _NO_KEY:
+            done = finish(acc)
+            if done is not None:
+                out.append(done)
         if out:
             yield pd.DataFrame(out)
 
-    ensure_shipped(events.sparkSession)
+    ensure_shipped(df.sparkSession)
     return (
-        events.repartition(F.col(key_col))
+        df.repartition(F.col(key_col))
         .sortWithinPartitions(key_col, *order_cols)
-        .mapInPandas(fold_stream, schema=state_schema)
+        .mapInPandas(fold_stream, schema=schema)
     )
 
 
@@ -176,6 +203,46 @@ def replay_commands(
 
     ensure_shipped(commands.sparkSession)
     return commands.groupBy(key_col).applyInPandas(fold, schema=state_schema)
+
+
+def replay_commands_sorted(
+    commands: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    process_command: CommandHandler,
+    handle_event: EventHandler,
+    state_schema: str,
+) -> DataFrame:
+    """``replay_commands`` on the sorted-stream kernel (one Python call per
+    Arrow batch instead of per key — see ``fold_events_sorted`` for the
+    measured rationale). Identical output, including the n_rejected /
+    version bookkeeping defaults."""
+
+    def init(key: Any):
+        return (None, 0, 0)  # (state, n_rejected, n_events)
+
+    def step(acc, cmd: dict):
+        state, n_rejected, n_events = acc
+        events, rejected = process_command(state, cmd)
+        if rejected:
+            return (state, n_rejected + 1, n_events)
+        for event in events:
+            state = handle_event(state, event)
+            n_events += 1
+        return (state, n_rejected, n_events)
+
+    def finish(acc) -> dict | None:
+        state, n_rejected, n_events = acc
+        if state is None:
+            return None
+        out = dict(state)
+        out.setdefault("n_rejected", n_rejected)
+        out.setdefault("version", n_events)
+        return out
+
+    return _sorted_stream_fold(
+        commands, key_col, order_cols, init, step, finish, state_schema
+    )
 
 
 def latest_per_key(df: DataFrame, key_cols: Sequence[str], order_cols: Sequence[str]) -> DataFrame:

@@ -54,8 +54,9 @@ def es_bank_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     credit-before-create are rejected and write nothing. The fold is
     order-dependent (a rejection depends on the running balance) so there is
     no SQL oracle — correctness is pinned by the pandas reference oracle in
-    tests/test_eventsourcing.py."""
-    df = es.replay_commands(
+    tests/test_eventsourcing.py (which runs against this sorted-stream
+    form; equality with the per-group form is pinned there too)."""
+    df = es.replay_commands_sorted(
         _events(spark, sf_dir),
         key_col="user_id",
         order_cols=["ts", "event_id"],

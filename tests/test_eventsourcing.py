@@ -225,3 +225,24 @@ def test_sorted_fold_drops_none_states(spark):
         df, "user_id", ["event_id"], handle, es.COUNT_STATE_SCHEMA
     ).toPandas()
     assert list(out["aggregate_id"]) == ["1"]
+
+
+def test_sorted_replay_matches_grouped_replay(spark, sf_dir):
+    """replay_commands_sorted is a pure physical rewrite of
+    replay_commands: identical bank states on the real events table."""
+    from surge_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    args = (
+        "user_id", ["ts", "event_id"],
+        es.bank_process_command, es.bank_handle_event, es.BANK_STATE_SCHEMA,
+    )
+    a = (
+        es.replay_commands(ev, *args).toPandas()
+        .sort_values("account_number").reset_index(drop=True)
+    )
+    b = (
+        es.replay_commands_sorted(ev, *args).toPandas()
+        .sort_values("account_number").reset_index(drop=True)
+    )
+    assert a.equals(b)
