@@ -570,3 +570,48 @@ def t_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         F.round(F.col("total_tokens") / F.col("_total"), 6).alias("token_share"),
     )
+
+
+@query(
+    "t_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len({_DUCK_TOKS}) AS n_tokens FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS sequence_id,
+           CAST(cum_tokens - n_tokens - 2048 * floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS seq_offset
+    FROM cum
+    """,
+)
+def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing for pretraining: documents in doc_id
+    order are laid head-to-tail and cut into 2048-token sequences; each doc
+    gets the sequence id and offset where it starts. The running sum is a
+    single global window — the one legitimately global-ordered step of a
+    packing pipeline; at 100 TB you shard the order key first (e.g. pack
+    per (shard = doc_id div N) independently, same SQL with a partition
+    key) so each shard's window sorts locally. Offset math mirrors the
+    oracle exactly (floor/multiply, no mod on negatives)."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    toks = docs.select(
+        "doc_id", F.size(tx.tokens("text")).alias("n_tokens")
+    )
+    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    seq = F.floor(start / 2048)
+    return cum.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        seq.cast("long").alias("sequence_id"),
+        (start - 2048 * seq).cast("long").alias("seq_offset"),
+    )
