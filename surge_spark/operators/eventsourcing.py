@@ -159,9 +159,14 @@ def _sorted_stream_fold(
             yield pd.DataFrame(out)
 
     ensure_shipped(df.sparkSession)
+    # nulls LAST in the order columns: the per-group forms sort with pandas
+    # sort_values, which places NaN/NaT last, while Spark's default is nulls
+    # first — an order-dependent fold would diverge on null timestamps
     return (
         df.repartition(F.col(key_col))
-        .sortWithinPartitions(key_col, *order_cols)
+        .sortWithinPartitions(
+            F.col(key_col), *[F.col(c).asc_nulls_last() for c in order_cols]
+        )
         .mapInPandas(fold_stream, schema=schema)
     )
 

@@ -237,21 +237,24 @@ def _assign_cell(
     result, model bytes move via the broadcast machinery rather than the
     task binary.
 
-    Scores are materialized as one array of (sim, cell) structs and reduced
-    with array_max (struct ordering compares sim first), keeping the
-    expression tree LINEAR in n_cells — a nested when-chain that threads
-    the running best through both the condition and the otherwise branch
-    duplicates the subtree per centroid and goes exponential (n_cells=16
-    never finishes analysis)."""
+    Scores are materialized as one array of (sim, -cell) structs and
+    reduced with array_max (struct ordering compares sim first; the
+    negated index makes ties resolve to the LOWEST cell, matching the
+    original when-chain's first-wins behavior on duplicated centroids).
+    This keeps the expression tree LINEAR in n_cells — a nested when-chain
+    that threads the running best through both the condition and the
+    otherwise branch duplicates the subtree per centroid and goes
+    exponential (n_cells=16 never finishes analysis)."""
     scored = F.array(
         *[
             F.struct(
-                dot(unit_col, _lit_vec(c)).alias("sim"), F.lit(i).alias("cell")
+                dot(unit_col, _lit_vec(c)).alias("sim"),
+                F.lit(-i).alias("neg_cell"),
             )
             for i, c in enumerate(cents)
         ]
     )
-    return df.withColumn("cell", F.array_max(scored)["cell"])
+    return df.withColumn("cell", -F.array_max(scored)["neg_cell"])
 
 
 def ivf_probe_cells(
@@ -359,12 +362,27 @@ def semantic_clusters(
     assignment. Returns (id, cluster, cluster_size) — the blocking stage of
     embedding-space dedup and a corpus-composition diagnostic in its own
     right. Only the n_cells × dim centroid model ever reaches the driver."""
-    cents = ivf_train(df, vec_col, n_cells, iters, seed)
-    assigned = _assign_cell(
-        with_unit_vector(df, vec_col), F.col("unit"), cents
-    ).select(F.col(id_col).alias("id"), F.col("cell").alias("cluster"))
+    assigned = _cluster_assignments(df, id_col, vec_col, n_cells, iters, seed)
     sizes = assigned.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
     return assigned.join(sizes, "cluster").select("id", "cluster", "cluster_size")
+
+
+def _cluster_assignments(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    iters: int,
+    seed: int,
+) -> DataFrame:
+    """Train + map-side assign only — (id, cluster), no size aggregation.
+    Shared by semantic_clusters (which attaches sizes) and
+    semantic_neardup_pairs (which only needs the blocking key and would
+    otherwise pay a full-corpus shuffle for a column it drops)."""
+    cents = ivf_train(df, vec_col, n_cells, iters, seed)
+    return _assign_cell(
+        with_unit_vector(df, vec_col), F.col("unit"), cents
+    ).select(F.col(id_col).alias("id"), F.col("cell").alias("cluster"))
 
 
 def semantic_neardup_pairs(
@@ -382,7 +400,7 @@ def semantic_neardup_pairs(
     the embedding-space analog of MinHash-LSH's band buckets. A true near-dup
     pair is missed only when k-means splits it across cells; raise n_cells
     for speed, lower it (or multi-assign like ivf_probe_cells) for recall."""
-    clustered = semantic_clusters(df, id_col, vec_col, n_cells, iters, seed)
+    clustered = _cluster_assignments(df, id_col, vec_col, n_cells, iters, seed)
     blocked = df.join(
         clustered.select(F.col("id").alias(id_col), "cluster"), id_col
     )

@@ -283,7 +283,13 @@ def stratified_sample(
     hex-to-int conversion to get subtly wrong."""
 
     def thr(r: float) -> str:
-        return format(min(65536, max(0, int(r * 65536))), "04x")
+        v = max(0, int(r * 65536))
+        if v >= 65536:
+            # keep-all: 65536 formats as the 5-char '10000', which sorts
+            # BELOW 'ffff' lexicographically and would keep only ~6%.
+            # 'g' sorts after every hex digit, so every md5 prefix passes.
+            return "g"
+        return format(v, "04x")
 
     threshold = F.lit(thr(default_rate))
     for stratum, r in rates.items():

@@ -28,6 +28,7 @@ via a footer-only parquet agg).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -45,14 +46,27 @@ def _partition_col(key: F.Column, n_partitions: int) -> F.Column:
     return F.pmod(F.hash(key), F.lit(n_partitions))
 
 
+_SIDECAR = "_end_offsets.json"
+
+
 def end_offsets(spark: SparkSession, path: str) -> dict[int, int]:
     """Next offset to be written per partition (Kafka's log-end offset).
-    Footer-only parquet agg: reads max(offset) per partition, n_partitions
-    rows to the driver."""
+
+    Fast path: the ``_end_offsets.json`` sidecar ``produce`` maintains —
+    O(1), the way a broker tracks log-end in metadata rather than scanning
+    the log (without it every produce would re-scan the whole topic,
+    O(n²) total I/O over its life). Fallback when the sidecar is absent
+    (legacy layout, or a produce crashed between invalidating it and
+    rewriting it): one max(offset)-per-partition scan, after which the
+    next produce restores the sidecar."""
     if not os.path.isdir(path) or not any(
         e.startswith("partition=") for e in os.listdir(path)
     ):
         return {}
+    sidecar = os.path.join(path, _SIDECAR)
+    if os.path.isfile(sidecar):
+        with open(sidecar) as fh:
+            return {int(k): int(v) for k, v in json.load(fh).items()}
     rows = (
         spark.read.parquet(path)
         .groupBy("partition")
@@ -120,6 +134,20 @@ def produce(
     stage = f"{path.rstrip('/')}.__stage__{uuid.uuid4().hex}"
     numbered.write.partitionBy("partition").parquet(stage, mode="overwrite")
     try:
+        # new log-end per partition, from the (batch-sized) staged files —
+        # this keeps the sidecar fast path exact without re-scanning the log
+        batch_ends = {
+            int(r["partition"]): int(r["mx"]) + 1
+            for r in spark.read.parquet(stage)
+            .groupBy("partition")
+            .agg(F.max("offset").alias("mx"))
+            .collect()
+        }
+        sidecar = os.path.join(path, _SIDECAR)
+        # invalidate BEFORE moving files: a crash mid-publish leaves no
+        # sidecar and end_offsets falls back to the scan (never stale)
+        if os.path.isfile(sidecar):
+            os.remove(sidecar)
         for part_dir in os.listdir(stage):
             if not part_dir.startswith("partition="):
                 continue
@@ -132,6 +160,11 @@ def produce(
                         os.path.join(src, f),
                         os.path.join(dest, f"{uuid.uuid4().hex}-{f}"),
                     )
+        ends = {**starts, **batch_ends}
+        tmp = f"{sidecar}.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({str(k): v for k, v in ends.items()}, fh)
+        os.replace(tmp, sidecar)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
@@ -199,6 +232,11 @@ def offset_chunks(
     pair feeds ``read``."""
     chunks: list[tuple[dict[int, int], dict[int, int]]] = []
     cur = dict(start)
+    for p in end:
+        # a partition present in end but absent from start begins at 0 —
+        # otherwise read()'s per-partition bounds would silently skip its
+        # early records while the plan advanced past them
+        cur.setdefault(p, 0)
     while True:
         backlog = {p: max(0, end.get(p, 0) - cur.get(p, 0)) for p in end}
         total = sum(backlog.values())

@@ -218,3 +218,13 @@ def test_stratified_sample_rates_and_determinism(spark):
     zh = (out.lang == "zh").sum() / 1000
     assert 0.4 < en < 0.6, en
     assert 0.05 < zh < 0.16, zh
+
+
+def test_stratified_sample_keep_all_rate(spark):
+    from surge_spark.operators.text import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(500)], "doc_id bigint, lang string"
+    )
+    out = stratified_sample(df, "doc_id", "lang", {"en": 1.0})
+    assert out.count() == 500  # rate 1.0 keeps everything

@@ -201,3 +201,36 @@ def test_engine_events_egress_and_ktable_rebuild(spark, tmp_path):
         assert got is not None and abs(got["balance"] - want["balance"]) < 1e-9
     assert store.get_state(spark, "7")["balance"] == 35.0
     assert store.get_state(spark, "8")["balance"] == 0.0
+
+
+def test_offset_chunks_cover_partitions_missing_from_start():
+    """A partition present in end but absent from start begins at 0 —
+    previously its early records were skipped by the first chunk."""
+    chunks = filelog.offset_chunks({0: 0}, {0: 5, 1: 3}, max_offsets=4)
+    assert chunks[0][0] == {0: 0, 1: 0}
+    assert chunks[-1][1] == {0: 5, 1: 3}
+    assert sum(e[p] - s[p] for s, e in chunks for p in e) == 8
+
+
+def test_end_offsets_sidecar_fast_path_and_fallback(spark, topic):
+    """produce() maintains the _end_offsets.json sidecar so log-end lookup
+    is O(1) instead of a full log scan (broker-metadata style); deleting
+    the sidecar (crash between invalidate and rewrite, or legacy layout)
+    falls back to the scan with the same answer, and the next produce
+    restores it."""
+    import os
+
+    filelog.produce(
+        _records(spark, [(f"k{i}", "x") for i in range(10)]), topic, n_partitions=2
+    )
+    sidecar = os.path.join(topic, "_end_offsets.json")
+    assert os.path.isfile(sidecar)
+    fast = filelog.end_offsets(spark, topic)
+    os.remove(sidecar)
+    scanned = filelog.end_offsets(spark, topic)
+    assert fast == scanned and sum(fast.values()) == 10
+    filelog.produce(
+        _records(spark, [(f"k{i}", "y") for i in range(10)]), topic, n_partitions=2
+    )
+    assert os.path.isfile(sidecar)  # restored
+    assert sum(filelog.end_offsets(spark, topic).values()) == 20
