@@ -615,3 +615,50 @@ def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.cast("long").alias("sequence_id"),
         (start - 2048 * seq).cast("long").alias("seq_offset"),
     )
+
+
+@query(
+    "t_pack_sequences_sharded",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len({_DUCK_TOKS}) AS n_tokens FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS sequence_id,
+           CAST(cum_tokens - n_tokens - 2048 * floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS seq_offset
+    FROM cum
+    """,
+)
+def t_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of t_pack_sequences: pack independently per shard
+    (lang here; any hash of doc_id in production) so the running-sum
+    window partitions by the shard key and every shard sorts locally in
+    parallel — no global single-partition sort. Sequence ids are
+    per-shard; (lang, sequence_id) is the global sequence key."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.size(tx.tokens("text")).alias("n_tokens")
+    )
+    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    seq = F.floor(start / 2048)
+    return cum.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        seq.cast("long").alias("sequence_id"),
+        (start - 2048 * seq).cast("long").alias("seq_offset"),
+    )
