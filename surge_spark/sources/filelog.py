@@ -22,8 +22,8 @@ SAME contract on parquet files so the semantics are real and tested:
 Scale shape: the log is hive-partitioned by the routing partition, so a
 bounded read touches only the named partitions' files; offset assignment
 shuffles once on the routing key (the same movement a broker would do) and
-reads only n_partitions rows of prior state (the per-partition max offset,
-via a footer-only parquet agg).
+reads prior log-end state from the O(1) ``_end_offsets.json`` sidecar
+(broker-metadata style; scan fallback when absent).
 """
 
 from __future__ import annotations
@@ -258,3 +258,21 @@ def offset_chunks(
             nxt.setdefault(p, cur.get(p, 0))
         chunks.append((dict(cur), dict(nxt)))
         cur = nxt
+
+
+def stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming consumer of the topic log (the ``kafka.stream_topic``
+    analog): Spark's file streaming source picks up newly produced files
+    per micro-batch in discovery order. ``max_files_per_trigger`` is the
+    W7 throttle lever here (each produce writes one file per touched
+    partition, so it bounds records per trigger by the produce batch
+    size); for exact offset budgeting use ``offset_chunks`` + ``read``
+    micro-batches instead."""
+    reader = spark.readStream.schema(RECORD_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)

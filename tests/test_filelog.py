@@ -234,3 +234,33 @@ def test_end_offsets_sidecar_fast_path_and_fallback(spark, topic):
     )
     assert os.path.isfile(sidecar)  # restored
     assert sum(filelog.end_offsets(spark, topic).values()) == 20
+
+
+def test_stream_consumes_produced_batches(spark, topic, tmp_path):
+    """Streaming read of the topic log: records produced before the start
+    arrive in the first batch; a produce during the run is picked up by a
+    later trigger (file-source discovery)."""
+    filelog.produce(_records(spark, [("a", "1"), ("b", "2")]), topic, n_partitions=2)
+    seen: list[int] = []
+    q = (
+        filelog.stream(spark, topic, max_files_per_trigger=4)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: seen.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while sum(seen) < 2 and time.time() < deadline:
+            time.sleep(0.5)
+        assert sum(seen) == 2
+        filelog.produce(_records(spark, [("c", "3")]), topic, n_partitions=2)
+        deadline = time.time() + 30
+        while sum(seen) < 3 and time.time() < deadline:
+            time.sleep(0.5)
+        assert sum(seen) == 3
+    finally:
+        q.stop()
