@@ -662,3 +662,43 @@ def t_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.cast("long").alias("sequence_id"),
         (start - 2048 * seq).cast("long").alias("seq_offset"),
     )
+
+
+@query(
+    "t_token_budget_selection",
+    oracle=f"""
+    WITH {_DUCK_QUALITY_CTE},
+    cum AS (
+      SELECT doc_id, n_tokens, quality_score,
+             sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, quality_score,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens <= 12000
+    """,
+)
+def t_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus selection: take documents in (quality desc, doc_id)
+    order until a 12k-token budget is exhausted — the 'best data under a
+    compute budget' mixing step. Same global-window caveat and shard
+    strategy as t_pack_sequences (partition the running sum by a shard key
+    with per-shard budgets at 100 TB)."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    scored = tx.quality_score(docs, "doc_id", "text").select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    w = (
+        Window.orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.where(F.col("cum_tokens") <= 12000).select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "quality_score",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
