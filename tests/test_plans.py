@@ -167,3 +167,15 @@ def test_stratified_sample_is_map_side(spark, sf_dir):
     """No shuffle: the stratified sample is a pure scan+filter."""
     plan = _plan(spark, sf_dir, "t_stratified_sample")
     assert "Exchange" not in plan
+
+
+def test_corpus_mix_total_is_broadcast(spark, sf_dir):
+    """The token-share denominator must ride as a broadcast of the tiny
+    grouped result, never a second documents scan joined by shuffle."""
+    plan = _plan(spark, sf_dir, "t_corpus_mix")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_clean_corpus_uses_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "t_clean_corpus")
+    assert "LeftSemi" in plan
