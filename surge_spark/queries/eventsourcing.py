@@ -47,15 +47,60 @@ def es_count_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("es_bank_fold")
+@query(
+    "es_bank_fold",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    lim AS (SELECT user_id, max(rn) AS mx FROM ordered GROUP BY user_id),
+    fold(user_id, rn, created, balance, n_rejected, version) AS (
+      SELECT user_id, 0, FALSE, CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM lim
+      UNION ALL
+      SELECT f.user_id, f.rn + 1,
+             f.created OR o.event_type = 'signup',
+             CASE
+               WHEN o.event_type = 'signup' AND NOT f.created
+                 THEN CAST(0.0 AS DOUBLE)
+               WHEN o.event_type = 'click' AND f.created
+                 THEN round(f.balance + coalesce(o.value, 0.0), 10)
+               WHEN o.event_type = 'purchase' AND f.created
+                    AND coalesce(o.value, 0.0) <= f.balance
+                 THEN round(f.balance - coalesce(o.value, 0.0), 10)
+               ELSE f.balance END,
+             f.n_rejected + CASE WHEN (o.event_type = 'click' AND NOT f.created)
+                  OR (o.event_type = 'purchase'
+                      AND (NOT f.created OR coalesce(o.value, 0.0) > f.balance))
+               THEN 1 ELSE 0 END,
+             f.version + CASE WHEN (o.event_type = 'signup' AND NOT f.created)
+                  OR (o.event_type = 'click' AND f.created)
+                  OR (o.event_type = 'purchase' AND f.created
+                      AND coalesce(o.value, 0.0) <= f.balance)
+               THEN 1 ELSE 0 END
+      FROM fold f JOIN ordered o ON o.user_id = f.user_id AND o.rn = f.rn + 1
+    )
+    SELECT CAST(f.user_id AS VARCHAR) AS account_number,
+           round(f.balance, 2) AS balance, f.n_rejected, f.version
+    FROM fold f JOIN lim USING (user_id)
+    WHERE f.rn = lim.mx AND f.created
+    """,
+)
 def es_bank_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1+U2 command replay with rejection paths (BankAccount,
     BankAccountCommandModel.scala:16-88): debit>balance and
     credit-before-create are rejected and write nothing. The fold is
-    order-dependent (a rejection depends on the running balance) so there is
-    no SQL oracle — correctness is pinned by the pandas reference oracle in
-    tests/test_eventsourcing.py (which runs against this sorted-stream
-    form; equality with the per-group form is pinned there too)."""
+    order-dependent (a rejection depends on the running balance), which SQL
+    aggregates can't express — the DuckDB oracle is a recursive CTE that
+    advances every account one command per recursion step (the same
+    technique as the d_dedup_clusters transitive-closure oracle), an
+    independent re-derivation of the fold rather than a mirror of it. The
+    pandas reference oracle in tests/test_eventsourcing.py pins the handler
+    semantics a third way; per-group/sorted-stream equality is pinned there
+    too."""
     df = es.replay_commands_sorted(
         _events(spark, sf_dir),
         key_col="user_id",
