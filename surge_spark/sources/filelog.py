@@ -10,7 +10,8 @@ SAME contract on parquet files so the semantics are real and tested:
 - ``produce`` routes rows to partitions by murmur3(key) % n (the same
   placement family as KafkaPartitioner.scala:8 — stable co-partitioning,
   not byte-parity with Kafka's murmur2) and assigns contiguous
-  per-partition offsets, exactly-once per call via a staged commit
+  per-partition offsets via a staged commit, atomic per partition (the
+  non-transactional Kafka producer guarantee)
 - ``read`` applies per-partition [start, end) offset bounds (S5); bounds
   prune at the scan because ``partition`` is a hive-partition column
 - ``state_table`` materializes latest-per-key with null-value tombstone
@@ -86,8 +87,14 @@ def produce(
     """S6/S8 producer: route by murmur3(key) % n, assign contiguous
     per-partition offsets continuing from the current log end, append via
     a staged write (compute to a temp dir, then move files in — a crash
-    during the compute publishes nothing; the move itself is per-file, so
-    a single writer is assumed, as with one producer per partition).
+    during the compute publishes nothing). Atomicity is PER PARTITION, the
+    same guarantee a non-transactional Kafka producer gives: a crash during
+    the publish loop can leave some partitions' records visible and others'
+    not (Kafka acks each partition's produce independently; cross-partition
+    atomicity needs transactions — that path here is SnapshotStore, S7).
+    The offset sidecar is invalidated first, so a torn publish never serves
+    stale log-end metadata; a single writer is assumed, as with one
+    producer per partition.
 
     Within-call ordering: Kafka preserves producer send order per
     partition, but a DataFrame has no inherent row order — callers whose
@@ -230,6 +237,10 @@ def offset_chunks(
     caps are apportioned across partitions proportionally to backlog).
     Pure planning on O(n_partitions) numbers; each returned (start, end)
     pair feeds ``read``."""
+    if max_offsets < 1:
+        # take would be 0 and the loop below would append empty no-progress
+        # chunks forever
+        raise ValueError(f"max_offsets must be >= 1, got {max_offsets}")
     chunks: list[tuple[dict[int, int], dict[int, int]]] = []
     cur = dict(start)
     for p in end:

@@ -65,6 +65,7 @@ class CommandEngine:
         key_col: str = "aggregate_id",
         order_cols: Sequence[str] = ("ts",),
         context_mode: bool = False,
+        commit_target_files: int = 1,
     ) -> None:
         """Handler models supported (CommandModels.scala:12-74):
 
@@ -79,6 +80,11 @@ class CommandEngine:
           The returned context carries updated state, default + per-topic
           events (persist_to_topic), raw producer records, side effects, a
           custom reply payload, or a rejection.
+
+        ``commit_target_files`` caps the file fan-in of each commit side
+        (events/state/replies/records). The default 1 fits command-sized
+        micro-batches (surge's 50 ms flush); raise it for backfill-sized
+        batches so the commit write isn't funneled through one task.
         """
         self.store = store
         self.process_command = process_command
@@ -88,6 +94,9 @@ class CommandEngine:
         self.key_col = key_col
         self.order_cols = list(order_cols)
         self.context_mode = context_mode
+        if commit_target_files < 1:
+            raise ValueError(f"commit_target_files must be >= 1, got {commit_target_files}")
+        self.commit_target_files = commit_target_files
         # cache of the current batch's fold output; see process_batch
         self._prev_packed: DataFrame | None = None
 
@@ -376,17 +385,20 @@ class CommandEngine:
             or counts.get("event")
             or counts.get("tombstone")
             or counts.get("record")
+            # replies alone still commit: an ALL-rejected/errored batch must
+            # persist its ACKs (replies_for_batch recovery) and enter the R4
+            # dedup set — otherwise a foreachBatch replay re-folds it and, in
+            # context_mode, re-runs side effects registered before rejection
+            or counts.get("reply")
         ):
-            # a replayed no-op batch is harmless so skipping the commit
-            # entirely preserves R4 semantics; coalesce(1) keeps command-
-            # sized batches at one file per side
+            nf = self.commit_target_files
             self.store.commit(
-                events_df.coalesce(1) if counts.get("event") else None,
-                state_df.coalesce(1),
+                events_df.coalesce(nf) if counts.get("event") else None,
+                state_df.coalesce(nf),
                 batch_id,
-                replies=replies_df.coalesce(1),
+                replies=replies_df.coalesce(nf),
                 delete_keys=tombstones if counts.get("tombstone") else None,
-                records=records_df.coalesce(1) if counts.get("record") else None,
+                records=records_df.coalesce(nf) if counts.get("record") else None,
                 updates_unique=True,  # fold emits at most one state row/key
             )
         return state_df, events_df, replies_df

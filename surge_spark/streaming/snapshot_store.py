@@ -194,6 +194,15 @@ class SnapshotStore:
             records.write.mode("overwrite").parquet(records_path)
 
         spark = state_updates.sparkSession
+        if self.key_col in state_updates.columns:
+            # a NULL-key row would be written to the __HIVE_DEFAULT_PARTITION__
+            # bucket, which the driver-side crc32 bucket math can never
+            # address: the row could never be read back (get_state), updated,
+            # or tombstoned, and the next commit writing another null-key row
+            # would replace the bucket map entry and silently drop it. The
+            # merge anti-join already treats null keys as un-matchable, so
+            # they are filtered at the gate (plan-side, no extra job).
+            state_updates = state_updates.where(F.col(self.key_col).isNotNull())
         if not updates_unique and state_updates.schema.fields:
             # enforce the one-row-per-key snapshot invariant on the update
             # set itself (get_state/read_state assume it); arbitrary

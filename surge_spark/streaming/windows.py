@@ -97,6 +97,10 @@ WINDOW_EVENT_SCHEMA = StructType(
         StructField("window_from", TimestampType()),
         StructField("buffered", IntegerType()),
         StructField("total_seen", LongType()),
+        # per-scope emission sequence: strictly monotonic across batches AND
+        # across stop→reopen epochs (total_seen resets on reopen; seq never
+        # does) — the ordering column snapshot queries must use
+        StructField("seq", LongType()),
     ]
 )
 
@@ -106,6 +110,11 @@ _SLIDER_STATE = StructType(
         StructField("total_seen", LongType()),
         StructField("paused", IntegerType()),  # 0|1 (W8)
         StructField("stash_ts", StringType()),  # signals stashed while paused
+        StructField("seq", LongType()),  # next emission sequence number
+        # 1 after WindowStopped: the scope keeps a tombstone state row so seq
+        # survives the stop — a plain state.remove() would restart seq at 0
+        # and re-opened scopes would sort BEFORE their own stop events
+        StructField("stopped", IntegerType()),
     ]
 )
 
@@ -155,8 +164,10 @@ def count_triggered_slider(
             state.remove()
             return
         out = []
+        seq = 0
 
         def evt(name, buffer, total):
+            nonlocal seq
             out.append(
                 {
                     "scope": key[0],
@@ -164,14 +175,23 @@ def count_triggered_slider(
                     "window_from": pd.Timestamp(buffer[0] * 1000) if buffer else None,
                     "buffered": len(buffer),
                     "total_seen": total,
+                    "seq": seq,
                 }
             )
+            seq += 1
 
         if state.exists:
-            buf_csv, total, paused_flag, stash_csv = state.get
-            buffer = [int(x) for x in buf_csv.split(",")] if buf_csv else []
-            stash = [int(x) for x in stash_csv.split(",")] if stash_csv else []
-            paused = bool(paused_flag)
+            buf_csv, total, paused_flag, stash_csv, seq0, stopped_flag = state.get
+            seq = int(seq0 or 0)
+            if stopped_flag:
+                # tombstoned scope: any new row re-opens it fresh (the
+                # actor restarts), but seq continues from the stop epoch
+                buffer, total, stash, paused = [], 0, [], False
+                evt("WindowOpened", buffer, total)
+            else:
+                buffer = [int(x) for x in buf_csv.split(",")] if buf_csv else []
+                stash = [int(x) for x in stash_csv.split(",")] if stash_csv else []
+                paused = bool(paused_flag)
         else:
             buffer, total, stash, paused = [], 0, [], False
             evt("WindowOpened", buffer, total)
@@ -219,8 +239,9 @@ def count_triggered_slider(
                     ingest(micros)
 
         if stopped:
-            if state.exists:
-                state.remove()
+            # keep a tombstone carrying seq (see _SLIDER_STATE): the scope
+            # re-opens fresh on its next row, with emission order preserved
+            state.update(("", 0, 0, "", seq, 1))
         else:
             evt("AddedToWindow", buffer, total)
             state.update(
@@ -229,6 +250,8 @@ def count_triggered_slider(
                     total,
                     int(paused),
                     ",".join(str(x) for x in stash),
+                    seq,
+                    0,
                 )
             )
         yield pd.DataFrame(out)
@@ -255,23 +278,20 @@ def open_window_snapshot(window_events: DataFrame) -> DataFrame:
     Pure declarative form: two max_by per scope (latest snapshot row, latest
     event name), one partial-aggregated shuffle — no state beyond the event
     table itself, so the snapshot can be served straight from the sink the
-    stream already writes."""
+    stream already writes.
+
+    Both max_by order by ``seq``, the slider's per-scope emission sequence —
+    NOT by total_seen, which resets to 0 when a stopped scope re-opens and
+    would keep reporting the old epoch's rows until the new epoch out-counts
+    it."""
     ordered = F.struct(
         F.col("total_seen"), F.col("buffered"), F.col("window_from")
     )
     per_scope = window_events.groupBy("scope").agg(
         F.max_by(
-            ordered, F.when(F.col("event") == "AddedToWindow", F.col("total_seen"))
+            ordered, F.when(F.col("event") == "AddedToWindow", F.col("seq"))
         ).alias("snap"),
-        # lifecycle order within equal total_seen: Stopped is emitted last
-        # by the slider, and max_by on (total_seen, is_stop) picks it
-        F.max_by(
-            F.col("event"),
-            F.struct(
-                F.col("total_seen"),
-                (F.col("event") == "WindowStopped").cast("int"),
-            ),
-        ).alias("last_event"),
+        F.max_by(F.col("event"), F.col("seq")).alias("last_event"),
     )
     return (
         per_scope.where(

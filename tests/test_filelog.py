@@ -117,6 +117,16 @@ def test_offset_chunks_respect_throttle():
     assert prev_end == {0: 5, 1: 3} and total == 8
 
 
+def test_offset_chunks_reject_nonpositive_budget():
+    """max_offsets < 1 would loop forever appending empty no-progress
+    chunks — it must fail fast instead."""
+    import pytest
+
+    for bad in (0, -1):
+        with pytest.raises(ValueError):
+            filelog.offset_chunks({0: 0}, {0: 5}, max_offsets=bad)
+
+
 def test_bounded_read_prunes_partitions(spark, topic):
     """Partition bounds must prune at the scan: reading partition 0's range
     only should not list partition 1's files (hive-partition pruning)."""

@@ -110,16 +110,7 @@ def test_open_window_snapshot_partial_aggregates(spark, tmp_path):
 
     from surge_spark.streaming import windows as sw
 
-    schema = T.StructType(
-        [
-            T.StructField("scope", T.StringType()),
-            T.StructField("event", T.StringType()),
-            T.StructField("window_from", T.TimestampType()),
-            T.StructField("buffered", T.IntegerType()),
-            T.StructField("total_seen", T.LongType()),
-        ]
-    )
-    df = spark.createDataFrame([], schema)
+    df = spark.createDataFrame([], sw.WINDOW_EVENT_SCHEMA)
     plan = (
         sw.open_window_snapshot(df)
         ._jdf.queryExecution()

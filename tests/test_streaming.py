@@ -426,6 +426,105 @@ def test_handler_error_propagates_as_ack_error(spark, tmp_path):
     assert store.get_state(spark, "5")["v"] == 1
 
 
+def test_all_rejected_batch_still_commits_replies(spark, tmp_path):
+    """A batch whose commands are ALL rejected must still commit: its ACKs
+    must be recoverable (replies_for_batch) and its batch_id must enter the
+    R4 dedup set, so a foreachBatch replay is a no-op instead of re-folding
+    (and, in context_mode, re-running side effects). Reply durability must
+    not differ between all-rejected and mixed batches."""
+    store = SnapshotStore(str(tmp_path / "s_rej"), key_col="aggregate_id")
+    engine = CommandEngine(
+        store,
+        process_command=lambda s, c: ([], True),  # reject everything
+        handle_event=lambda s, e: s,
+        state_schema="aggregate_id string, v int",
+        event_schema="kind string, aggregate_id string",
+        key_col="user_id",
+        order_cols=["ts"],
+    )
+    cmds = spark.createDataFrame(
+        [(1, _ts(1), 9, "nope", 0.0, "c1"), (2, _ts(2), 9, "nope", 0.0, "c2")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, command_id string",
+    )
+    result = engine.process_batch(cmds, "rej1")
+    assert result is not None
+    _, _, replies_df = result
+    assert {r.status for r in replies_df.collect()} == {"rejected"}
+    # committed: replies durable, batch_id deduped
+    assert "rej1" in store.committed_batch_ids()
+    recovered = store.replies_for_batch(spark, "rej1")
+    assert recovered is not None and recovered.count() == 2
+    assert engine.process_batch(cmds, "rej1") is None  # replay = no-op
+
+
+def test_commit_target_files_fans_out(spark, tmp_path):
+    """commit_target_files > 1: a backfill-sized batch's commit is not
+    funneled through one task — the events side writes multiple files."""
+    import glob
+    import json as _json
+    import os
+
+    store = SnapshotStore(str(tmp_path / "s_fan"), key_col="aggregate_id")
+    engine = CommandEngine(
+        store,
+        process_command=lambda s, c: (
+            [{"kind": "inc", "aggregate_id": str(c["user_id"])}],
+            False,
+        ),
+        handle_event=lambda s, e: {
+            "aggregate_id": e["aggregate_id"],
+            "n": (s or {"n": 0})["n"] + 1,
+        },
+        state_schema="aggregate_id string, n int",
+        event_schema="kind string, aggregate_id string",
+        key_col="user_id",
+        order_cols=["ts"],
+        commit_target_files=4,
+    )
+    cmds = spark.range(400).select(
+        F.col("id").alias("event_id"),
+        F.lit(_ts(0)).alias("ts"),
+        F.col("id").alias("user_id"),
+        F.lit("inc").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.concat(F.lit("c"), F.col("id")).alias("command_id"),
+    )
+    engine.process_batch(cmds, "fan1")
+    with open(store._manifest_path(0)) as fh:
+        events_path = _json.load(fh)["events"]
+    n_files = len(glob.glob(os.path.join(events_path, "*.parquet")))
+    assert n_files > 1, f"expected fan-out, got {n_files} file(s)"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        CommandEngine(
+            store,
+            process_command=lambda s, c: ([], False),
+            handle_event=lambda s, e: s,
+            state_schema="aggregate_id string",
+            event_schema="kind string",
+            commit_target_files=0,
+        )
+
+
+def test_null_key_state_rows_filtered_at_commit(spark, tmp_path):
+    """A NULL-key state row would land in a hive default-partition bucket
+    the driver-side crc32 math can never address (unreadable, un-updatable,
+    silently dropped by the next null-key commit) — commit() filters them
+    at the gate instead."""
+    store = SnapshotStore(str(tmp_path / "s_null"), key_col="aggregate_id")
+    updates = spark.createDataFrame(
+        [(None, 1), ("a", 2)], "aggregate_id string, v int"
+    )
+    store.commit(None, updates, "b-null")
+    rows = store.read_state(spark).collect()
+    assert [(r.aggregate_id, r.v) for r in rows] == [("a", 2)]
+    with open(store._manifest_path(0)) as fh:
+        buckets = json.load(fh)["state_buckets"]
+    assert "__HIVE_DEFAULT_PARTITION__" not in buckets
+
+
 def test_process_batch_never_materializes_rows_on_driver(spark, tmp_path):
     """100 TB design guard: process_batch's only driver-side actions are
     metadata-sized (per-kind counts, touched bucket ids) — never the batch's
@@ -874,3 +973,46 @@ def test_open_window_snapshot(spark, tmp_path):
         for r in sw.open_window_snapshot(spark.table("w4_out")).collect()
     }
     assert snap == {"a": (3, 3), "b": (2, 2)}  # c stopped → absent
+
+
+def test_open_window_snapshot_after_stop_then_reopen(spark, tmp_path):
+    """W4 regression: a stopped scope that re-opens must be reported with
+    the NEW epoch's buffer even while its total_seen is still below the old
+    epoch's — ordering snapshots by total_seen (which resets on reopen)
+    instead of the monotonic seq kept serving the stale pre-stop rows."""
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("signal_type", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "w4r_src")
+    # batch 1: 4 signals then STOP (old epoch: total_seen reaches 4)
+    spark.createDataFrame(
+        [(_ts(i), "c", "ERROR") for i in range(4)] + [(_ts(4), "c", sw.STOP)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: one signal re-opens the scope (new epoch: total_seen 1 < 4)
+    spark.createDataFrame([(_ts(10), "c", "ERROR")], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    signals = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        sw.count_triggered_slider(signals, buffer_size=5, slide_amount=2)
+        .writeStream.format("memory")
+        .queryName("w4r_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "w4r_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    events = spark.table("w4r_out").toPandas()
+    # seq is strictly monotonic across the stop→reopen boundary
+    assert list(events.sort_values("seq").seq) == list(range(len(events)))
+    snap = {
+        r.scope: (r.buffered, r.total_seen)
+        for r in sw.open_window_snapshot(spark.table("w4r_out")).collect()
+    }
+    assert snap == {"c": (1, 1)}  # new epoch, not the stale pre-stop buffer
