@@ -5,10 +5,14 @@ flush (KafkaProducerActorImpl.scala:421-453). Spark's Kafka sink has no EOS
 transactions, so the primary store here is a versioned table pair committed
 under a single manifest: a commit is visible iff its manifest file exists,
 and the manifest is written last via atomic rename. This is the same
-commit-protocol shape Delta Lake uses (_delta_log JSON commits); on a real
-deployment you'd swap this for two Delta tables written in one transaction
-(or one table with a record_kind column). Kafka becomes ingress/egress, not
-the transaction boundary.
+commit-protocol shape Delta Lake uses (_delta_log JSON commits), including
+the checkpoint discipline: every ``checkpoint_interval`` commits the
+manifest log is rolled up into a checkpoint file + ``_last_checkpoint``
+pointer, so version/batch-id/reply lookups read one checkpoint plus the
+manifests since — O(interval), not O(commits over the store's life). On a
+real deployment you'd swap this for two Delta tables written in one
+transaction (or one table with a record_kind column). Kafka becomes
+ingress/egress, not the transaction boundary.
 
 Guarantees mapped from the reference:
 - atomicity (S7): readers see either both the events and the state of a
@@ -56,34 +60,91 @@ _BUCKET_COL = "__bucket"
 
 class SnapshotStore:
     def __init__(
-        self, path: str, key_col: str = "aggregate_id", num_buckets: int = 64
+        self,
+        path: str,
+        key_col: str = "aggregate_id",
+        num_buckets: int = 64,
+        checkpoint_interval: int = 100,
+        dedup_horizon: int | None = 100_000,
     ) -> None:
+        """``checkpoint_interval``: every N commits the manifest log is
+        rolled up into a checkpoint file plus a ``_last_checkpoint`` pointer
+        (the Delta ``_delta_log`` checkpoint analog), so a fresh reader seeds
+        its version/batch-id view from ONE file and then probes only the
+        manifests written since — commit and lookup cost stays O(interval),
+        not O(store lifetime). 0 disables checkpoint writes.
+
+        ``dedup_horizon``: the checkpoint carries batch ids for at most the
+        most recent N versions, bounding checkpoint size and dedup-set
+        memory over an unbounded store life. The R4 dedup window therefore
+        ages out after N commits — safe because foreachBatch batch ids are
+        monotonic (a replay is always of the most recent uncommitted batch,
+        never an ancient one; the reference's PublishTracker similarly
+        expires after 60 s, reference.conf:182-183). ``None`` keeps the
+        exact unbounded set."""
         self.path = path
         self.key_col = key_col
         # effective bucket count is pinned by the first commit's manifest so
         # every later reader/writer agrees even if constructed differently
         self.default_num_buckets = num_buckets
+        self.checkpoint_interval = checkpoint_interval
+        self.dedup_horizon = dedup_horizon
         os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
         # manifests are immutable once linked, so cache parses; batch ids
         # accumulate incrementally — without this, every commit rescans all
         # manifests and the facade's one-commit-per-command usage is O(N^2)
         self._manifest_cache: dict[int, dict] = {}
         self._batch_id_cache: dict[int, str] = {}
+        self._version_by_batch: dict[str, int] = {}
+        self._ckpt_loaded = False
+        self._ckpt_version = -1  # highest version the loaded checkpoint covers
+        self._latest_seen = -1  # highest version known to exist
 
     # -- commit protocol ----------------------------------------------------
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.path, "_manifests", f"v{version:012d}.json")
 
-    def committed_versions(self) -> list[int]:
-        d = os.path.join(self.path, "_manifests")
-        return sorted(
-            int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(
+            self.path, "_manifests", f"checkpoint-v{version:012d}.json"
         )
 
+    def _ensure_checkpoint_loaded(self) -> None:
+        if self._ckpt_loaded:
+            return
+        self._ckpt_loaded = True
+        lc = os.path.join(self.path, "_manifests", "_last_checkpoint")
+        if not os.path.isfile(lc):
+            return
+        with open(lc) as f:
+            meta = json.load(f)
+        with open(meta["path"]) as f:
+            ckpt = json.load(f)
+        self._ckpt_version = int(ckpt["version"])
+        for v_str, bid in ckpt.get("batch_ids", {}).items():
+            v = int(v_str)
+            self._batch_id_cache.setdefault(v, bid)
+            self._version_by_batch.setdefault(bid, v)
+        self._latest_seen = max(self._latest_seen, self._ckpt_version)
+
     def latest_version(self) -> int | None:
-        versions = self.committed_versions()
-        return versions[-1] if versions else None
+        """O(new-since-last-look): versions are contiguous from 0 (commit
+        always targets prev+1 behind the exclusive-link fence) and manifests
+        are never deleted, so probing forward from the highest version seen —
+        seeded by the checkpoint — replaces the full directory listing the
+        pre-checkpoint layout did on every call (O(n) per commit, O(n²) over
+        the store's life: the same bug class as filelog.end_offsets)."""
+        self._ensure_checkpoint_loaded()
+        v = self._latest_seen
+        while os.path.isfile(self._manifest_path(v + 1)):
+            v += 1
+        self._latest_seen = v
+        return v if v >= 0 else None
+
+    def committed_versions(self) -> list[int]:
+        v = self.latest_version()
+        return list(range(v + 1)) if v is not None else []
 
     def _manifest(self, version: int) -> dict:
         cached = self._manifest_cache.get(version)
@@ -94,10 +155,49 @@ class SnapshotStore:
         return cached
 
     def committed_batch_ids(self) -> set[str]:
-        for v in self.committed_versions():
-            if v not in self._batch_id_cache:
-                self._batch_id_cache[v] = str(self._manifest(v).get("batch_id"))
+        """Batch ids of the R4 dedup window: everything the checkpoint
+        carries (the last ``dedup_horizon`` versions at checkpoint time)
+        plus every manifest written since — only those post-checkpoint
+        manifests are ever opened, so the call is O(interval) amortized."""
+        v = self.latest_version()
+        if v is None:
+            return set()
+        for u in range(self._ckpt_version + 1, v + 1):
+            if u not in self._batch_id_cache:
+                bid = str(self._manifest(u).get("batch_id"))
+                self._batch_id_cache[u] = bid
+                self._version_by_batch.setdefault(bid, u)
         return set(self._batch_id_cache.values())
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Roll the manifest log up to ``version`` into one checkpoint file,
+        then flip the ``_last_checkpoint`` pointer (both atomic renames — a
+        crash between the two leaves the previous pointer serving the
+        previous checkpoint, never a torn view)."""
+        lo = 0
+        if self.dedup_horizon is not None:
+            lo = max(0, version + 1 - self.dedup_horizon)
+        ids: dict[str, str] = {}
+        for u in range(lo, version + 1):
+            bid = self._batch_id_cache.get(u)
+            if bid is None:
+                try:
+                    bid = str(self._manifest(u).get("batch_id"))
+                except FileNotFoundError:
+                    continue
+                self._batch_id_cache[u] = bid
+            ids[str(u)] = bid
+        ckpt_path = self._checkpoint_path(version)
+        tmp = f"{ckpt_path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "batch_ids": ids}, f)
+        os.replace(tmp, ckpt_path)
+        lc = os.path.join(self.path, "_manifests", "_last_checkpoint")
+        tmp = f"{lc}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "path": ckpt_path}, f)
+        os.replace(tmp, lc)
+        self._ckpt_version = max(self._ckpt_version, version)
 
     # -- bucketing ----------------------------------------------------------
 
@@ -312,6 +412,12 @@ class SnapshotStore:
                 f"fenced: version {version} already committed by another writer"
             ) from e
         os.unlink(tmp)
+        self._manifest_cache[version] = manifest
+        self._batch_id_cache[version] = str(batch_id)
+        self._version_by_batch.setdefault(str(batch_id), version)
+        self._latest_seen = max(self._latest_seen, version)
+        if self.checkpoint_interval and (version + 1) % self.checkpoint_interval == 0:
+            self._write_checkpoint(version)
         return True
 
     # -- read paths ----------------------------------------------------------
@@ -383,13 +489,18 @@ class SnapshotStore:
     def replies_for_batch(self, spark: SparkSession, batch_id: str) -> DataFrame | None:
         """ACK rows committed with ``batch_id`` — lets a replayed batch
         recover its replies instead of refolding commands (§3.1.9 under
-        at-least-once foreachBatch delivery)."""
-        for v in self.committed_versions():
-            m = self._manifest(v)
-            if str(m.get("batch_id")) == str(batch_id) and m.get("replies"):
-                if os.path.exists(m["replies"]):
-                    return spark.read.parquet(m["replies"])
-                return None
+        at-least-once foreachBatch delivery). Dict lookup against the
+        checkpoint-seeded batch→version index, then ONE manifest read — not
+        the pre-checkpoint linear scan of every committed version. Batches
+        older than ``dedup_horizon`` age out of the index (a replay is
+        always of the most recent batch; see __init__)."""
+        self.committed_batch_ids()  # ensure the index covers post-ckpt versions
+        v = self._version_by_batch.get(str(batch_id))
+        if v is None:
+            return None
+        m = self._manifest(v)
+        if m.get("replies") and os.path.exists(m["replies"]):
+            return spark.read.parquet(m["replies"])
         return None
 
     def read_events(self, spark: SparkSession) -> DataFrame | None:

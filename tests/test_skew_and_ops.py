@@ -119,17 +119,21 @@ def test_snapshot_delete_keys_tombstones(spark, tmp_path):
     assert [f.name for f in state.schema.fields] == ["k", "v"]
 
 
-def test_snapshot_commit_preserves_null_keys(spark, tmp_path):
-    """A direct caller committing a null-keyed row must not lose it on the
-    next commit (the old NOT-IN filter dropped nulls via three-valued
-    logic; the anti-join merge is null-safe)."""
+def test_snapshot_commit_filters_null_keys_at_gate(spark, tmp_path):
+    """Null-key rows are rejected at the commit gate: they would land in a
+    hive default-partition bucket the driver-side crc32 math can never
+    address — unreadable via get_state, un-updatable, un-tombstonable, and
+    silently dropped whenever a later commit rewrote that sentinel bucket.
+    Filtering up front makes the store's one-row-per-ADDRESSABLE-key
+    invariant honest across the store's whole life, not just until the next
+    null-key write."""
     store = SnapshotStore(str(tmp_path / "nk"), key_col="k", num_buckets=4)
     store.commit(
         None, spark.createDataFrame([(None, 1), ("a", 2)], "k string, v int"), "b1"
     )
     store.commit(None, spark.createDataFrame([("a", 3)], "k string, v int"), "b2")
     rows = {r.k: r.v for r in store.read_state(spark).collect()}
-    assert rows == {None: 1, "a": 3}
+    assert rows == {"a": 3}
 
 
 def test_legacy_unbucketed_store_migrates_on_commit(spark, tmp_path):
@@ -317,10 +321,107 @@ def test_snapshot_store_fencing(spark, tmp_path):
     with open(manifest_v1 + ".race", "w") as f:
         f.write('{"version": 1, "batch_id": "other-writer", "events": null, "state": "x", "n_events": 0, "ts": 0}')
     os.rename(manifest_v1 + ".race", manifest_v1)
-    store_b.committed_versions = lambda: [0]  # stale view mid-race
+    store_b.latest_version = lambda: 0  # stale view mid-race
 
     with _pytest.raises(RuntimeError, match="fenced"):
         store_b.commit(None, spark.createDataFrame([("b", 2)], "k string, v int"), "b2")
+
+
+def test_manifest_checkpoint_bounds_commit_and_lookup_cost(spark, tmp_path):
+    """Scale guard: with a checkpoint in place, commit / batch-id dedup /
+    reply lookup open only the manifests written SINCE the checkpoint —
+    never the whole log. 1000 fabricated commits, then a real commit: the
+    fresh store instance reads at most one old manifest (the previous
+    version it merges against), not 1000."""
+    import json
+    import os
+
+    from surge_spark.streaming.snapshot_store import SnapshotStore as SS
+
+    path = str(tmp_path / "big")
+    schema_json = spark.createDataFrame([("a", 1)], "k string, v int").schema.json()
+    writer = SS(path, key_col="k", checkpoint_interval=100, dedup_horizon=200)
+    for v in range(1000):
+        m = {
+            "version": v,
+            "batch_id": f"b{v}",
+            "events": None,
+            "state_buckets": {},
+            "state_schema": schema_json,
+            "num_buckets": 64,
+            "replies": None,
+            "records": None,
+            "n_events": 0,
+            "ts": 0,
+        }
+        with open(writer._manifest_path(v), "w") as f:
+            json.dump(m, f)
+    # one-time cold scan (the legacy-store migration cost), then checkpoint;
+    # the horizon bounds what the CHECKPOINT carries, not the cold scan
+    assert len(writer.committed_batch_ids()) == 1000
+    writer._write_checkpoint(999)
+    assert os.path.isfile(os.path.join(path, "_manifests", "_last_checkpoint"))
+
+    opened: list[int] = []
+    orig = SS._manifest
+
+    def spy(self, version):
+        if version not in self._manifest_cache:
+            opened.append(version)
+        return orig(self, version)
+
+    SS._manifest = spy
+    try:
+        fresh = SS(path, key_col="k", checkpoint_interval=100, dedup_horizon=200)
+        assert fresh.latest_version() == 999
+        ids = fresh.committed_batch_ids()
+        assert opened == []  # fully served by the checkpoint
+        assert "b999" in ids and "b900" in ids
+        assert "b0" not in ids  # aged out of the dedup horizon (documented)
+        # real commit: opens exactly the previous manifest it merges against
+        assert fresh.commit(
+            None, spark.createDataFrame([("a", 1)], "k string, v int"), "b1000"
+        )
+        assert [v for v in opened] == [999]
+        # replay dedup + reply lookup stay dict-cheap on a third instance
+        third = SS(path, key_col="k", checkpoint_interval=100, dedup_horizon=200)
+        assert third.commit(
+            None, spark.createDataFrame([("a", 2)], "k string, v int"), "b1000"
+        ) is False  # R4 dedup via checkpoint + the one post-ckpt manifest
+        assert third.replies_for_batch(spark, "never-committed") is None
+    finally:
+        SS._manifest = orig
+
+
+def test_checkpointed_store_preserves_read_and_reply_paths(spark, tmp_path):
+    """End-to-end over the checkpoint boundary: commits beyond the interval
+    keep read_state/get_state/replies_for_batch/time-travel exact, across
+    fresh instances that seed from the checkpoint."""
+    from surge_spark.streaming.snapshot_store import SnapshotStore as SS
+
+    path = str(tmp_path / "ckpt_e2e")
+    store = SS(path, key_col="k", num_buckets=8, checkpoint_interval=5)
+    for i in range(12):
+        store.commit(
+            None,
+            spark.createDataFrame([(f"k{i % 3}", i)], "k string, v int"),
+            f"batch-{i}",
+            replies=spark.createDataFrame([(f"c{i}", "success")], "command_id string, status string"),
+        )
+    fresh = SS(path, key_col="k", num_buckets=8, checkpoint_interval=5)
+    assert fresh.latest_version() == 11
+    rows = {r.k: r.v for r in fresh.read_state(spark).collect()}
+    assert rows == {"k0": 9, "k1": 10, "k2": 11}
+    assert fresh.get_state(spark, "k1")["v"] == 10
+    replies = fresh.replies_for_batch(spark, "batch-3")
+    assert replies is not None and replies.collect()[0].command_id == "c3"
+    # time travel across the checkpoint boundary still works
+    assert {r.k: r.v for r in fresh.read_state(spark, version=2).collect()} == {
+        "k0": 0, "k1": 1, "k2": 2,
+    }
+    assert fresh.commit(
+        None, spark.createDataFrame([("k0", 99)], "k string, v int"), "batch-3"
+    ) is False  # R4 across instances
 
 
 def test_snapshot_time_travel(spark, tmp_path):
