@@ -70,7 +70,14 @@ class AggregateRef:
         self.aggregate_id = aggregate_id
 
     def send_command(self, **cmd: Any) -> CommandResult:
-        """3.1 write path: process → atomic commit → ack with new state."""
+        """3.1 write path: process → atomic commit → ack with new state.
+
+        Cost note: each call is ONE single-command micro-batch — a few
+        Spark jobs plus a store commit. That is the right shape for the
+        interactive facade it mirrors (ref.sendCommand), not for volume:
+        looping send_command over N commands pays N commits. Batch callers
+        should use ``engine.submit_many`` (one commit for the whole batch)
+        or run the commands topic through ``CommandEngine.run_stream``."""
         return self._engine._submit(self.aggregate_id, cmd)
 
     def get_state(self) -> dict | None:
@@ -103,6 +110,55 @@ class SurgeEngine:
 
     def aggregate_for(self, aggregate_id: str) -> AggregateRef:
         return AggregateRef(self, str(aggregate_id))
+
+    def submit_many(
+        self, commands: Sequence[tuple[str, dict]]
+    ) -> list[CommandResult]:
+        """Submit many commands as ONE micro-batch / ONE store commit — the
+        volume path the per-call ``send_command`` facade is not (see its
+        cost note). ``commands`` is [(aggregate_id, cmd_dict), ...]; results
+        come back in submission order, and commands for the same aggregate
+        are processed in submission order (R1 — the injected command_id is
+        the order column, zero-padded so lexicographic == numeric).
+
+        All commands must share one field set (they land in one DataFrame);
+        mixed shapes should pre-serialize their payload, same as the
+        reference moves opaque SerializedMessage bytes."""
+        if not commands:
+            return []
+        rows = []
+        ids = []
+        for aggregate_id, cmd in commands:
+            n = next(self._seq)
+            command_id = str(cmd.get("command_id") or f"cmd-{n:012d}")
+            ids.append(command_id)
+            rows.append(
+                {
+                    **cmd,
+                    self._model.key_col: str(aggregate_id),
+                    "command_id": command_id,
+                }
+            )
+        fields = set(rows[0])
+        for r in rows[1:]:
+            if set(r) != fields:
+                raise TypeError(
+                    "submit_many commands must share one field set; got "
+                    f"{sorted(fields)} vs {sorted(set(r))}"
+                )
+        batch = self._spark.createDataFrame(
+            rows, schema=self._infer_schema(rows[0])
+        )
+        result = self._engine.process_batch(batch, f"submit-{uuid.uuid4().hex}")
+        assert result is not None  # uuid cannot collide with committed ids
+        _, _, replies = result
+        by_id = {r.command_id: r for r in replies.collect()}
+        out = []
+        for command_id in ids:
+            r = by_id[command_id]
+            state = json.loads(r.new_state) if r.new_state else None
+            out.append(CommandResult(r.status, state, command_id))
+        return out
 
     # -- internals -------------------------------------------------------
 

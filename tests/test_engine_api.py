@@ -80,6 +80,53 @@ def test_bank_account_golden_flow(spark, tmp_path):
     assert r.status == "rejected"  # account does not exist
 
 
+def test_submit_many_single_commit(spark, tmp_path):
+    """submit_many folds a whole command list in ONE micro-batch / ONE
+    store commit (the volume path send_command's docstring points to):
+    results in submission order, per-aggregate ordering preserved (R1),
+    rejection isolated per command."""
+    model = _bank_model()
+    inner = model.process_command
+
+    def process_with_key(state, cmd):
+        events, rejected = inner(state, cmd)
+        for ev in events:
+            ev["_key"] = cmd["aggregate_id"]
+        return events, rejected
+
+    model.process_command = process_with_key
+    engine = SurgeEngine(spark, model, str(tmp_path / "many_store"))
+
+    results = engine.submit_many(
+        [
+            ("m-1", {"command_type": "create", "owner": "jo", "amount": 0.0}),
+            ("m-1", {"command_type": "credit", "owner": "", "amount": 100.0}),
+            ("m-2", {"command_type": "create", "owner": "al", "amount": 0.0}),
+            ("m-1", {"command_type": "debit", "owner": "", "amount": 500.0}),
+            ("m-1", {"command_type": "debit", "owner": "", "amount": 30.0}),
+            ("m-2", {"command_type": "credit", "owner": "", "amount": 7.0}),
+        ]
+    )
+    assert [r.status for r in results] == [
+        "success", "success", "success", "rejected", "success", "success",
+    ]
+    # exactly ONE commit for the whole batch
+    assert engine._store.latest_version() == 0
+    assert engine.aggregate_for("m-1").get_state()["balance"] == 70.0
+    assert engine.aggregate_for("m-2").get_state()["balance"] == 7.0
+    assert engine.submit_many([]) == []
+
+    import pytest
+
+    with pytest.raises(TypeError, match="field set"):
+        engine.submit_many(
+            [
+                ("m-3", {"command_type": "create", "owner": "x", "amount": 0.0}),
+                ("m-3", {"command_type": "credit", "amount": 1.0}),
+            ]
+        )
+
+
 def test_apply_events_state_only_path(spark, tmp_path):
     model = _bank_model()
     engine = SurgeEngine(spark, model, str(tmp_path / "ev_store"))
