@@ -4,14 +4,18 @@ and prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query executes fully via the noop sink (no driver collect overhead).
-One warmup pass of the flagship query amortizes JVM/codegen startup out of
-the per-query numbers.
+One warmup pass of every headline shape amortizes JVM/codegen startup out
+of the per-query numbers; each query is then timed N_RUNS times and the
+MEDIAN reported — single-shot numbers on a shared machine showed
+run-to-run spreads of ±40% on sub-second queries, which made
+round-over-round comparison meaningless noise.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -31,11 +35,14 @@ HEADLINE = [
     "es_count_fold_vectorized",    # same fold lowered to all-JVM ops
     "h_session_windows",           # sessionization
     "d_exact_dedup",               # exact dedup
-    "d_minhash_lsh_neardup",       # MinHash-LSH near-dedup
+    "d_minhash_lsh_neardup",       # MinHash-LSH near-dedup (unpruned verify)
+    "d_minhash_lsh_neardup_pruned",  # same, semi-join-pruned verify (100 TB shape)
     "sim_cosine_topk_bruteforce",  # embedding top-k
     "t_quality_score",             # text quality features
     "t_bpe_ish_token_count",       # regex tokenizer counts
 ]
+
+N_RUNS = 3
 
 
 def main() -> None:
@@ -46,19 +53,21 @@ def main() -> None:
 
     # Warmup at the smallest SF: whole-stage codegen compiles per plan shape
     # and Arrow/python-worker pools start lazily — run every headline shape
-    # once so the timed pass measures steady-state execution, not JIT.
+    # once so the timed passes measure steady-state execution, not JIT.
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     for name in HEADLINE:
         queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        start = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - start, 3)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(N_RUNS):
+        for name in HEADLINE:
+            start = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - start)
 
+    times = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -68,6 +77,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs_per_query": N_RUNS,
+                "aggregation": "median",
             }
         )
     )

@@ -271,9 +271,12 @@ def minhash_lsh_dedup(
         # cached frame for the session's lifetime); the result of the
         # PREVIOUS minhash_lsh_dedup call therefore recomputes if evaluated
         # after a newer call — evaluate results before issuing the next.
-        cands = cands.persist()
+        # release the previous call's cache BEFORE persisting: a repeated
+        # call builds the same logical plan, and persisting it while the old
+        # copy is still registered trips CacheManager's already-cached path
         while _PRUNE_CANDS_CACHE:
             _PRUNE_CANDS_CACHE.pop().unpersist()
+        cands = cands.persist()
         _PRUNE_CANDS_CACHE.append(cands)
         cand_ids = (
             cands.select(F.col("id_a").alias("id"))

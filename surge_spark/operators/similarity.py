@@ -103,8 +103,8 @@ def lsh_bucket(
 ) -> DataFrame:
     """Sign-random-projection bucket id: n_planes sign bits packed into a
     long. Cosine-similar vectors land in the same bucket with probability
-    (1 - theta/pi)^n_planes. Pass ``dim`` when known — deriving it costs a
-    driver action against the DataFrame."""
+    (1 - theta/pi)^n_planes. Pass ``dim`` when known (pipeline paths must:
+    the fallback probe is a driver job before the plan builds)."""
     if dim is None:
         first = df.select(vec_col).first()
         if first is None:
@@ -130,16 +130,23 @@ def ann_topk_lsh(
     k: int = 10,
     n_planes: int = 8,
     n_tables: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: union of ``n_tables`` independent LSH tables;
     candidates = bucket collisions; exact cosine re-rank of candidates only.
-    Recall/latency is tuned by (n_planes, n_tables)."""
-    first = corpus.select(vec_col).first()
-    if first is None:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, corpus_id long, cosine double, rank int"
-        )
-    dim = len(first[0])
+    Recall/latency is tuned by (n_planes, n_tables).
+
+    Pass ``dim`` (vector width) in pipeline paths: array columns carry no
+    length in the schema, so deriving it costs one driver ``.first()`` probe
+    job before the plan even builds — fine interactively, a per-call tax in
+    a pipeline. With ``dim`` given, the whole query is one lazy plan."""
+    if dim is None:
+        first = corpus.select(vec_col).first()
+        if first is None or first[0] is None:
+            return corpus.sparkSession.createDataFrame(
+                [], "query_id long, corpus_id long, cosine double, rank int"
+            )
+        dim = len(first[0])
     parts = []
     for t in range(n_tables):
         c = lsh_bucket(corpus, vec_col, n_planes, seed=42 + t, dim=dim).select(

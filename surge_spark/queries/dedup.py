@@ -218,6 +218,23 @@ def d_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("d_minhash_lsh_neardup_pruned")
+def d_minhash_lsh_neardup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of d_minhash_lsh_neardup: identical output, but the
+    verification join's shingle table is semi-join-pruned to candidate doc
+    ids BEFORE it shuffles (prune_verification=True), so verification I/O is
+    O(candidate docs) instead of O(corpus). At test scale the unpruned form
+    measures faster (pipelining beats the pruning when candidates ≈ corpus
+    fraction is high); at cluster scale with candidates ≪ corpus this is the
+    right plan — both ship, both benched, equality pinned in
+    tests/test_dedup.py and the pruning pinned in tests/test_plans.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_dedup(
+        docs, "doc_id", "text", n=4, num_hashes=64, bands=16, threshold=0.5,
+        prune_verification=True,
+    )
+
+
 @query("d_simhash_fingerprints")
 def d_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (rows-only: engine-specific hash).

@@ -117,10 +117,14 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via sign-random-projection LSH (8 planes × 4
     tables), exact re-rank of bucket collisions only. Hyperplane-seed
     dependent → rows-only check; recall vs brute force asserted in
-    tests/test_similarity.py."""
+    tests/test_similarity.py. ``dim`` is passed (testdata embeddings are
+    64-wide) so no driver probe job runs before the plan builds — pinned in
+    tests/test_plans.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return sim.ann_topk_lsh(emb, queries, "vec_id", "embedding", k=10, n_planes=8, n_tables=4)
+    return sim.ann_topk_lsh(
+        emb, queries, "vec_id", "embedding", k=10, n_planes=8, n_tables=4, dim=64
+    )
 
 
 @query("sim_ann_ivf_topk")

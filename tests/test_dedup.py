@@ -45,6 +45,26 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     assert all(2 not in p for p in pairs)
 
 
+def test_pruned_verification_output_identical(spark, sf_dir):
+    """prune_verification changes the PLAN (semi-join-pruned shingles), not
+    the RESULT: both paths must return exactly the same verified pairs."""
+    from surge_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    kw = dict(n=4, num_hashes=64, bands=16, threshold=0.5)
+    unpruned = dd.minhash_lsh_dedup(
+        docs, "doc_id", "text", prune_verification=False, **kw
+    ).toPandas()
+    pruned = dd.minhash_lsh_dedup(
+        docs, "doc_id", "text", prune_verification=True, **kw
+    ).toPandas()
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        unpruned.sort_values(key).reset_index(drop=True),
+        pruned.sort_values(key).reset_index(drop=True),
+    )
+
+
 def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
     """LSH recall on real data: every pair with exact jaccard >= 0.8 must be
     an LSH candidate (16 bands x 4 rows -> p(candidate) > 0.999 at j=0.8)."""

@@ -132,6 +132,40 @@ def test_minhash_band_join_reuses_signature_exchange(spark, sf_dir):
     assert "ReusedExchange" in plan, plan
 
 
+def test_pruned_lsh_semi_joins_shingles_before_shuffle(spark, sf_dir):
+    """d_minhash_lsh_neardup_pruned: the verification path must prune the
+    shingle table to candidate doc ids with a semi join BEFORE shuffling it
+    — the O(candidate docs) contract that makes LSH verification viable at
+    100 TB — and the candidate set must come from the persisted frame
+    (InMemoryTableScan), not a recompute of the LSH subtree."""
+    df = all_queries()["d_minhash_lsh_neardup_pruned"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_ann_lsh_builds_plan_without_driver_probe(spark):
+    """With dim passed, ann_topk_lsh builds a fully lazy plan: no Spark job
+    may run during construction (the old .first() dim probe was one driver
+    action per call before the plan even existed). The parquet-side catalog
+    entry passes dim=64 for the same reason."""
+    from surge_spark.operators import similarity as sim
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.5]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    out = sim.ann_topk_lsh(
+        vecs, vecs.limit(2), "vec_id", "embedding", k=3, dim=4
+    )  # build only, no action
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, f"plan build ran Spark jobs: {sorted(after - before)}"
+    assert out.count() >= 0  # the plan is executable
+
+
 def test_decontaminate_benchmark_side_broadcast(spark, sf_dir):
     """d_decontaminate: the benchmark shingle set must broadcast — the
     training shingle stream joins it map-side, never shuffling on the
