@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalize_text, tokens
+from .dedup import normalize_text, shingles, tokens
 
 # Tiny per-language stopword lists for the heuristic language scorer.
 # Deterministic and mirrored verbatim in the DuckDB oracle SQL.
@@ -298,4 +298,97 @@ def stratified_sample(
         ).otherwise(threshold)
     return df.where(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 4) < threshold
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4, min_df: int = 3,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` corpus-duplicated word n-grams: shingles whose DOCUMENT
+    frequency is >= ``min_df`` — the boilerplate/template phrases (headers,
+    footers, license blurbs) a pretraining pipeline strips or downweights.
+
+    Scale: the shingle explode is map-side; the df count is one
+    partial+final aggregate on the shingle key; the top-k is a
+    TakeOrdered over the (already tiny) >= min_df survivors — no full
+    sort. Deterministic order: (df desc, shingle asc)."""
+    sh = shingles(df, id_col, text_col, n)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(k)
+    )
+
+
+def boilerplate_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4, min_df: int = 3
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction: the share of a doc's
+    distinct word n-grams that are corpus-frequent (df >= ``min_df``) —
+    the Gopher-style "fraction of characters in duplicated n-grams" family
+    of quality signals, computed corpus-wide.
+
+    Scale shape (same as decontaminate): the hot-shingle set is tiny
+    (boilerplate is rare among distinct shingles) and is BROADCAST back
+    against the shingle stream, so the per-doc hit count never shuffles on
+    the shingle key — the only shuffles are the two partial+final
+    aggregates (df count, per-doc counts)."""
+    sh = shingles(df, id_col, text_col, n)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        sh.join(F.broadcast(hot), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_boilerplate"))
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(sizes, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_boilerplate", F.lit(0)).alias("n_boilerplate"),
+            F.round(
+                F.coalesce("n_boilerplate", F.lit(0))
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("boilerplate_fraction"),
+        )
+    )
+
+
+def shuffle_shards(
+    df: DataFrame, id_col: str, n_shards: int = 64, seed: int = 42
+) -> DataFrame:
+    """Deterministic dataset shuffle-shard for training data loaders: every
+    row gets a pseudo-random ``shard`` and an opaque ``sort_key`` such that
+    (shard, sort_key) order is a keyed global permutation of the corpus —
+    WITHOUT a global sort. Writers ``partitionBy(shard)`` and sort within
+    partitions by ``sort_key``; readers stream shards in any order and get
+    a well-mixed sequence.
+
+    Pure map-side projection (no shuffle, no rand()): shard and key derive
+    from md5(seed:id), so the permutation is reproducible on any engine and
+    any partitioning — re-runs of a 100 TB shuffle produce byte-identical
+    shards, and the oracle can audit the assignment. Different ``seed`` →
+    independent permutation (per-epoch reshuffling)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    return df.select(
+        F.col(id_col).alias("id"), shard.alias("shard"), key.alias("sort_key")
     )

@@ -702,3 +702,72 @@ def t_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
+
+
+from .dedup import _duck_shingles  # noqa: E402 — single source of truth
+
+
+@query(
+    "t_boilerplate_ngrams",
+    oracle=f"""
+    WITH {_duck_shingles(4)}
+    SELECT shingle, CAST(count(*) AS BIGINT) AS df
+    FROM sh GROUP BY shingle HAVING count(*) >= 3
+    ORDER BY df DESC, shingle LIMIT 50
+    """,
+)
+def t_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus-duplicated 4-grams (document frequency >= 3): the
+    boilerplate phrases a pretraining pipeline strips. Partial+final df
+    aggregate, TakeOrdered top-k — no full sort (pinned in
+    tests/test_plans.py)."""
+    return tx.boilerplate_ngrams(
+        _docs(spark, sf_dir), "doc_id", "text", n=4, min_df=3, k=50
+    )
+
+
+@query(
+    "t_boilerplate_fraction",
+    oracle=f"""
+    WITH {_duck_shingles(4)},
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    hot AS (SELECT shingle FROM dfreq WHERE df >= 3),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    hits AS (SELECT id, count(*) AS nb FROM sh JOIN hot USING (shingle) GROUP BY id)
+    SELECT d.doc_id AS id,
+           CAST(coalesce(s.n, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.nb, 0) AS BIGINT) AS n_boilerplate,
+           CAST(round(coalesce(h.nb, 0) / greatest(coalesce(s.n, 0), 1), 6) AS DOUBLE)
+             AS boilerplate_fraction
+    FROM documents d
+    LEFT JOIN sizes s ON s.id = d.doc_id
+    LEFT JOIN hits h ON h.id = d.doc_id
+    """,
+)
+def t_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-n-gram share (Gopher's boilerplate quality signal
+    computed corpus-wide): the hot-shingle set broadcasts back against the
+    shingle stream (decontaminate's shape — pinned in tests/test_plans.py),
+    so the only shuffles are the two partial+final aggregates."""
+    return tx.boilerplate_fraction(
+        _docs(spark, sf_dir), "doc_id", "text", n=4, min_df=3
+    )
+
+
+@query(
+    "t_shuffle_shards",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(CAST(('0x' || substring(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                % 64 AS INT) AS shard,
+           md5(concat('42:', CAST(doc_id AS VARCHAR))) AS sort_key
+    FROM documents
+    """,
+)
+def t_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-shard assignment for training data loaders:
+    (shard, sort_key) is a keyed global permutation with NO global sort and
+    no shuffle at all (map-side projection — pinned in tests/test_plans.py).
+    md5-derived on both engines, so the oracle audits the exact
+    assignment a 100 TB run would produce."""
+    return tx.shuffle_shards(_docs(spark, sf_dir), "doc_id", n_shards=64, seed=42)

@@ -188,6 +188,26 @@ def test_vocab_topk_avoids_full_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_boilerplate_ngrams_topk_avoids_full_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "t_boilerplate_ngrams")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_boilerplate_fraction_hot_set_broadcasts(spark, sf_dir):
+    """t_boilerplate_fraction: the hot-shingle set must broadcast so the
+    shingle stream's hit count never shuffles on the shingle key (the
+    decontaminate contract — hot set is MBs, the corpus TBs)."""
+    plan = _plan(spark, sf_dir, "t_boilerplate_fraction")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_shuffle_shards_is_map_side(spark, sf_dir):
+    """t_shuffle_shards: a keyed global permutation with zero shuffles —
+    pure scan + projection."""
+    plan = _plan(spark, sf_dir, "t_shuffle_shards")
+    assert "Exchange" not in plan
+
+
 def test_stratified_sample_is_map_side(spark, sf_dir):
     """No shuffle: the stratified sample is a pure scan+filter."""
     plan = _plan(spark, sf_dir, "t_stratified_sample")

@@ -442,3 +442,23 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert store.read_state(spark, version=2).count() == 1
     with pytest.raises(ValueError):
         store.read_state(spark, version=99)
+
+
+def test_shuffle_shards_balanced_and_seed_independent(spark):
+    """Shuffle-shard semantics: hash-balanced shard sizes, and a different
+    seed yields a different permutation (per-epoch reshuffle)."""
+    from surge_spark.operators.text import shuffle_shards
+
+    import pytest as _pytest
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = shuffle_shards(df, "doc_id", n_shards=16, seed=1).toPandas()
+    sizes = a.groupby("shard").size()
+    assert len(sizes) == 16
+    assert sizes.max() < 2.0 * sizes.mean()  # no hot shard
+    b = shuffle_shards(df, "doc_id", n_shards=16, seed=2).toPandas()
+    order_a = list(a.sort_values(["shard", "sort_key"]).id)
+    order_b = list(b.sort_values(["shard", "sort_key"]).id)
+    assert order_a != order_b  # independent permutations per seed
+    with _pytest.raises(ValueError):
+        shuffle_shards(df, "doc_id", n_shards=0)
