@@ -30,11 +30,12 @@ def test_catalog_contract(spark, sf_dir):
     assert set(oracles) <= set(queries)
     # oracle-less entries are the documented hash/order-dependent set only
     rows_only = set(queries) - set(oracles)
+    # es_bank_fold graduated to a recursive-CTE oracle in round 3
     assert rows_only == {
         "a_approx_count_distinct",
         "d_minhash_lsh_neardup",
+        "d_minhash_lsh_neardup_pruned",
         "d_simhash_fingerprints",
-        "es_bank_fold",
         "f_partition_for_key",
         "mm_feature_extract_stub",
         "sim_ann_ivf_topk",
