@@ -503,17 +503,85 @@ class SnapshotStore:
             return spark.read.parquet(m["replies"])
         return None
 
-    def read_events(self, spark: SparkSession) -> DataFrame | None:
-        """Full append-only event log across all committed versions."""
-        paths = [
-            m["events"]
-            for m in (self._manifest(v) for v in self.committed_versions())
-            if m["events"]
-        ]
-        existing = [p for p in paths if os.path.exists(p)]
-        if not existing:
+    def _events_sidecar_path(self) -> str:
+        return os.path.join(self.path, "_manifests", "_events_compacted.json")
+
+    def _events_sidecar(self) -> dict | None:
+        p = self._events_sidecar_path()
+        if not os.path.isfile(p):
             return None
-        return spark.read.parquet(*existing)
+        with open(p) as f:
+            return json.load(f)
+
+    def read_events(self, spark: SparkSession) -> DataFrame | None:
+        """Full append-only event log: the consolidated directory (if
+        compact_events ran) plus every per-version event dir committed
+        since. Without compaction this unions one tiny dir per commit —
+        fine for thousands, the classic small-files problem for millions;
+        run compact_events periodically at volume."""
+        comp = self._events_sidecar()
+        upto = comp["upto"] if comp else -1
+        paths: list[str] = []
+        if comp and os.path.exists(comp["path"]):
+            paths.append(comp["path"])
+        for v in self.committed_versions():
+            if v <= upto:
+                continue
+            m = self._manifest(v)
+            if m.get("events") and os.path.exists(m["events"]):
+                paths.append(m["events"])
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def compact_events(self, spark: SparkSession, target_files: int = 4) -> int:
+        """Delta-OPTIMIZE analog for the event log: every commit appends a
+        tiny event directory (one per micro-batch), so over a store's life
+        read_events degrades into a union of millions of small files. This
+        rewrites the previous consolidated directory (if any) plus all
+        event dirs committed since into ONE new consolidated directory of
+        ``target_files`` files, publishes the ``_events_compacted.json``
+        sidecar atomically, then reclaims the superseded sources. Events
+        are never dropped — read_events output is identical before and
+        after (pinned by test).
+
+        Returns the number of per-version event dirs folded in (0 = no-op).
+        Like vacuum, a reader holding an un-evaluated frame over the old
+        files can fail lazily if it evaluates after the reclaim — compact
+        from the maintenance path, not mid-query."""
+        latest = self.latest_version()
+        if latest is None:
+            return 0
+        prev = self._events_sidecar()
+        upto_old = prev["upto"] if prev else -1
+        srcs: list[str] = []
+        folded = 0
+        for v in range(upto_old + 1, latest + 1):
+            m = self._manifest(v)
+            if m.get("events") and os.path.exists(m["events"]):
+                srcs.append(m["events"])
+                folded += 1
+        if folded == 0:
+            return 0
+        prev_path = prev["path"] if prev and os.path.exists(prev["path"]) else None
+        if prev_path:
+            srcs.insert(0, prev_path)
+        # no leading underscore: Spark's file index treats _-prefixed paths
+        # as hidden metadata and ignores them
+        out = os.path.join(
+            self.path, f"events-compact-v{latest:012d}-{uuid.uuid4().hex[:8]}"
+        )
+        spark.read.parquet(*srcs).coalesce(max(1, target_files)).write.parquet(out)
+        tmp = f"{self._events_sidecar_path()}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"upto": latest, "path": out}, f)
+        os.replace(tmp, self._events_sidecar_path())
+        # superseded sources are now fully contained in `out`
+        import shutil
+
+        for p in srcs:
+            shutil.rmtree(p, ignore_errors=True)
+        return folded
 
     def read_records(self, spark: SparkSession) -> DataFrame | None:
         """Raw producer records (persistRecord surface) across all committed

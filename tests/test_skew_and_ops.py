@@ -462,3 +462,56 @@ def test_shuffle_shards_balanced_and_seed_independent(spark):
     assert order_a != order_b  # independent permutations per seed
     with _pytest.raises(ValueError):
         shuffle_shards(df, "doc_id", n_shards=0)
+
+
+def test_event_log_compaction_preserves_log_and_reclaims_dirs(spark, tmp_path):
+    """compact_events: read_events is identical before/after, superseded
+    per-version dirs are reclaimed, a second (incremental) compaction folds
+    only the new commits plus the previous consolidated dir, and a fresh
+    store instance reads the compacted layout."""
+    import glob
+    import os
+
+    store = SnapshotStore(str(tmp_path / "cmp"), key_col="k")
+    for i in range(6):
+        store.commit(
+            spark.createDataFrame([(f"k{i}", f"e{i}")], "k string, e string"),
+            spark.createDataFrame([(f"k{i}", i)], "k string, v int"),
+            f"b{i}",
+        )
+    before = sorted(r.e for r in store.read_events(spark).collect())
+    assert store.compact_events(spark, target_files=1) == 6
+    after = sorted(r.e for r in store.read_events(spark).collect())
+    assert after == before
+    # superseded per-version event dirs are gone; one consolidated dir with
+    # the requested file count remains
+    for v in range(6):
+        assert not os.path.exists(store._manifest(v)["events"])
+    comp = store._events_sidecar()
+    assert comp["upto"] == 5
+    assert len(glob.glob(os.path.join(comp["path"], "*.parquet"))) == 1
+    # idempotent no-op when nothing new
+    assert store.compact_events(spark) == 0
+
+    # two more commits, then incremental compaction
+    for i in range(6, 8):
+        store.commit(
+            spark.createDataFrame([(f"k{i}", f"e{i}")], "k string, e string"),
+            spark.createDataFrame([(f"k{i}", i)], "k string, v int"),
+            f"b{i}",
+        )
+    old_consolidated = comp["path"]
+    assert sorted(r.e for r in store.read_events(spark).collect()) == [
+        f"e{i}" for i in range(8)
+    ]
+    assert store.compact_events(spark) == 2
+    assert not os.path.exists(old_consolidated)  # folded + reclaimed
+    fresh = SnapshotStore(str(tmp_path / "cmp"), key_col="k")
+    assert sorted(r.e for r in fresh.read_events(spark).collect()) == [
+        f"e{i}" for i in range(8)
+    ]
+    # state reads and R4 dedup are untouched by event compaction
+    assert fresh.read_state(spark).count() == 8
+    assert fresh.commit(
+        None, spark.createDataFrame([("x", 1)], "k string, v int"), "b3"
+    ) is False
