@@ -54,20 +54,35 @@ def main() -> None:
     # Warmup at the smallest SF: whole-stage codegen compiles per plan shape
     # and Arrow/python-worker pools start lazily — run every headline shape
     # once so the timed passes measure steady-state execution, not JIT.
+    # Every execution is individually guarded: one broken query must cost
+    # only its own datapoint, never the whole bench line (round 3 lost its
+    # entire bench to a single warmup failure).
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        try:
+            queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — record, keep benching
+            errors[name] = str(exc).split("\n")[0][:300]
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(N_RUNS):
         for name in HEADLINE:
+            if name in errors:
+                continue
             start = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = str(exc).split("\n")[0][:300]
+                continue
             samples[name].append(time.perf_counter() - start)
 
-    times = {name: round(statistics.median(s), 3) for name, s in samples.items()}
+    times = {
+        name: round(statistics.median(s), 3) for name, s in samples.items() if s
+    }
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -79,6 +94,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs_per_query": N_RUNS,
                 "aggregation": "median",
+                **({"errors": errors} if errors else {}),
             }
         )
     )

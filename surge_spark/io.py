@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from . import TABLES
 
@@ -28,9 +29,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Parquet footers are self-describing, so no schema inference cost; the
     declared StructTypes in ``schemas`` are the logical contract. The events
-    table stores nanosecond timestamps, which Spark only reads as long —
-    convert to microsecond TimestampType (truncation, matching DuckDB's
-    ns→us behavior)."""
+    table's ``ts`` column has shipped in two physical encodings across
+    testdata generations — int64 nanoseconds (which Spark only reads as
+    long) and native timestamp[us] (which Spark 4 reads as TIMESTAMP_NTZ) —
+    so normalize whatever is on disk to microsecond TimestampType. DuckDB
+    reads both encodings as TIMESTAMP natively (ns truncates to us), so the
+    oracle side needs no branch."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # events.ts carries naive-UTC instants; pin the session tz so
@@ -38,9 +42,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # DuckDB oracle's naive timestamps on any driver configuration
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # legacy ns-as-long encoding: truncate to us (DuckDB-identical)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):
+            # TIMESTAMP_NTZ (or anything else): reinterpret the wall-clock
+            # in the UTC session tz — identical instants, stable downstream
+            # semantics for window()/date_trunc()/unix_micros()
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

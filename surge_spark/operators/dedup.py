@@ -261,7 +261,6 @@ def minhash_lsh_dedup(
     )
     cands = lsh_candidates(sig, bands, num_hashes // bands, max_bucket)
     sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     if prune_verification:
         # Persist the (small) candidate set so deriving candidate doc ids
         # doesn't recompute the LSH subtree, then shuffle only shingles of
@@ -284,6 +283,11 @@ def minhash_lsh_dedup(
             .distinct()
         )
         sh = sh.join(cand_ids, "id", "left_semi")
+    # n_shingles only ever joins against candidate pairs, so computing it
+    # AFTER the optional semi-join prune is identical for every surviving
+    # doc — and in the pruned path it turns a full-corpus shuffle into an
+    # O(candidate docs) one (the whole point of pruning).
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = sh.withColumnsRenamed({"id": "id_a"})
     b = sh.withColumnsRenamed({"id": "id_b"})
     inter = (
