@@ -169,6 +169,33 @@ def minhash_signatures_from_docs(
     )
 
 
+def _banded(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """One row per (doc id, band): (id, band, bucket-hash of the band's
+    signature slice). Shared subtree of ``lsh_candidates`` and
+    ``lsh_candidate_ids`` — both shuffle it by (band, bucket), so building
+    it identically lets Spark's ReusedExchange compute it once per query."""
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("id", F.posexplode(band_hashes).alias("band", "bucket"))
+
+
+def _bucket_sized(banded: DataFrame) -> DataFrame:
+    """Attach each row's band-bucket population as ``_bsz``. The window
+    count runs over the same (band, bucket) keys downstream joins shuffle
+    on, so it rides the existing exchange — no extra shuffle."""
+    from pyspark.sql import Window
+
+    return banded.withColumn(
+        "_bsz", F.count("*").over(Window.partitionBy("band", "bucket"))
+    )
+
+
 def lsh_candidates(
     sig: DataFrame,
     bands: int = 16,
@@ -185,25 +212,11 @@ def lsh_candidates(
     dropped hot bucket almost surely collides in another band too, and the
     docs dense enough to fill a hot bucket are exact/near-exact dupes that
     exact_dedup already catches upstream. Pass None to disable."""
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("id", F.posexplode(band_hashes).alias("band", "bucket"))
+    banded = _banded(sig, bands, rows_per_band)
     if max_bucket is not None:
-        # Window count over the same (band, bucket) keys the self-join below
-        # shuffles on — the exchange is reused, so the cap costs no extra
-        # shuffle of the banded table.
-        from pyspark.sql import Window
-
-        bsz = F.count("*").over(Window.partitionBy("band", "bucket"))
-        banded = banded.withColumn("_bsz", bsz).where(
-            F.col("_bsz") <= max_bucket
-        ).drop("_bsz")
+        banded = (
+            _bucket_sized(banded).where(F.col("_bsz") <= max_bucket).drop("_bsz")
+        )
     # shuffle_hash hint: makes both self-join sides identical shuffle
     # exchanges, so Spark's ReusedExchange computes the (expensive) signature
     # subtree ONCE instead of twice (AQE would otherwise broadcast one side
@@ -220,9 +233,27 @@ def lsh_candidates(
     )
 
 
-# bounded persist-leak guard for prune_verification (see below): holds at
-# most the latest call's cached candidate frame
-_PRUNE_CANDS_CACHE: list[DataFrame] = []
+def lsh_candidate_ids(
+    sig: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int | None = 5000,
+) -> DataFrame:
+    """Doc ids that appear in at least one LSH candidate pair, derived
+    directly from band buckets: ``_banded`` emits at most one row per
+    (id, band), so every member of a surviving bucket with ≥ 2 rows pairs
+    with another member — exactly the distinct ids of
+    ``lsh_candidates``'s output, with the same ``max_bucket`` filter.
+
+    Building it from the identical banded subtree (instead of re-deriving
+    ids from the pair table) means the expensive signature+explode exchange
+    is shared with the self-join via ReusedExchange, and no persist /
+    materialization barrier is needed to avoid recomputing it."""
+    sized = _bucket_sized(_banded(sig, bands, rows_per_band))
+    cond = F.col("_bsz") >= 2
+    if max_bucket is not None:
+        cond = cond & (F.col("_bsz") <= max_bucket)
+    return sized.where(cond).select("id").distinct()
 
 
 def minhash_lsh_dedup(
@@ -241,14 +272,17 @@ def minhash_lsh_dedup(
     Shuffle budget: band-bucket self-join (capped by ``max_bucket``) plus the
     exact-Jaccard verification join. With ``prune_verification=False`` the
     verification join shuffles the FULL exploded shingle table (twice) — the
-    join prunes rows only after the shuffle. That is the fast shape on a
-    single node at test scale (an explicit pre-filter recomputes the LSH
-    subtree; persisting it blocks stage pipelining — both measured slower at
-    sf0.1). At cluster scale with candidates ≪ corpus, set
-    ``prune_verification=True``: the candidate pairs are persisted once and
-    the shingle table is semi-join-pruned to candidate doc ids before it is
-    shuffled, making the verification O(candidate docs) I/O as the LSH
-    design intends."""
+    join prunes rows only after the shuffle. With
+    ``prune_verification=True`` the shingle table (and the per-doc size
+    aggregate) is semi-join-pruned to candidate doc ids before either is
+    shuffled, making verification O(candidate docs) I/O as the LSH design
+    intends — the right shape at cluster scale where candidates ≪ corpus.
+    The candidate-id set comes from ``lsh_candidate_ids`` over the same
+    banded subtree as the pair self-join, so the expensive signature
+    exchange is computed once (ReusedExchange) with no persist barrier —
+    an earlier persist-the-pairs variant serialized the whole pipeline
+    behind a cache materialization and ran slower than the unpruned path
+    even at sf0.01."""
     # exploded signature path: xxhash64 over (id, shingle) rows stays inside
     # whole-stage codegen and the k min() aggregates combine map-side —
     # measured ~3x faster than the per-row transform()/array_min form, whose
@@ -262,26 +296,7 @@ def minhash_lsh_dedup(
     cands = lsh_candidates(sig, bands, num_hashes // bands, max_bucket)
     sh = shingles(df, id_col, text_col, n)
     if prune_verification:
-        # Persist the (small) candidate set so deriving candidate doc ids
-        # doesn't recompute the LSH subtree, then shuffle only shingles of
-        # candidate docs into the verification join. The previous call's
-        # cached candidates are released here (a returned lazy frame gives
-        # callers no unpersist handle, so without this every call leaks a
-        # cached frame for the session's lifetime); the result of the
-        # PREVIOUS minhash_lsh_dedup call therefore recomputes if evaluated
-        # after a newer call — evaluate results before issuing the next.
-        # release the previous call's cache BEFORE persisting: a repeated
-        # call builds the same logical plan, and persisting it while the old
-        # copy is still registered trips CacheManager's already-cached path
-        while _PRUNE_CANDS_CACHE:
-            _PRUNE_CANDS_CACHE.pop().unpersist()
-        cands = cands.persist()
-        _PRUNE_CANDS_CACHE.append(cands)
-        cand_ids = (
-            cands.select(F.col("id_a").alias("id"))
-            .unionByName(cands.select(F.col("id_b").alias("id")))
-            .distinct()
-        )
+        cand_ids = lsh_candidate_ids(sig, bands, num_hashes // bands, max_bucket)
         sh = sh.join(cand_ids, "id", "left_semi")
     # n_shingles only ever joins against candidate pairs, so computing it
     # AFTER the optional semi-join prune is identical for every surviving

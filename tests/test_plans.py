@@ -136,13 +136,15 @@ def test_pruned_lsh_semi_joins_shingles_before_shuffle(spark, sf_dir):
     """d_minhash_lsh_neardup_pruned: the verification path must prune the
     shingle table to candidate doc ids with a semi join BEFORE shuffling it
     — the O(candidate docs) contract that makes LSH verification viable at
-    100 TB — and the candidate set must come from the persisted frame
-    (InMemoryTableScan), not a recompute of the LSH subtree."""
+    100 TB — and the candidate-id branch must share the banded exchange
+    with the pair self-join (ReusedExchange), not recompute the signature
+    subtree or hide behind a persist barrier."""
     df = all_queries()["d_minhash_lsh_neardup_pruned"](spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan, plan
-    assert "InMemoryTableScan" in plan, plan
+    assert "InMemoryTableScan" not in plan, plan
+    assert "ReusedExchange" in plan, plan
 
 
 def test_ann_lsh_builds_plan_without_driver_probe(spark):
