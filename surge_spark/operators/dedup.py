@@ -133,16 +133,37 @@ def jaccard_pairs(
     )
 
 
+def _minhash_member(a: F.Column, b: F.Column, i: int) -> F.Column:
+    """Family member i of the Kirsch–Mitzenmacher double-hash MinHash
+    family: h_i = a + i·b with (a, b) two independent base hashes. Two
+    string hashes per shingle instead of k — the k-1 remaining members are
+    integer multiply-adds, ~3× cheaper end-to-end at k=64 than hashing the
+    shingle string k times. The shifts bound a < 2^61 and i·b < 2^60 so
+    every sum stays below 2^63: overflow-safe under ANSI mode (on by
+    default in Spark 4 plain sessions)."""
+    return a + F.lit(i) * b
+
+
+def _minhash_bases(shingle: F.Column) -> tuple[F.Column, F.Column]:
+    a = F.shiftrightunsigned(F.xxhash64(shingle), 3)
+    b = F.shiftrightunsigned(F.xxhash64(shingle, F.lit(1)), 10)
+    return a, b
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
     """k-permutation MinHash signature per id from exploded (id, shingle)
-    rows: k min() aggregates (partial+final, map-side combine). Prefer
+    rows: k min() aggregates (partial+final, map-side combine) over the
+    double-hash family — the two base hashes are computed once per shingle
+    row inside codegen, the k members are multiply-adds. Prefer
     minhash_signatures_from_docs when the source docs are at hand — it
     avoids this aggregation shuffle entirely."""
+    a, b = _minhash_bases(F.col("shingle"))
+    hashed = sh.select("id", a.alias("_a"), b.alias("_b"))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(_minhash_member(F.col("_a"), F.col("_b"), i)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    agg = sh.groupBy("id").agg(*mins)
+    agg = hashed.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
@@ -150,21 +171,27 @@ def minhash_signatures_from_docs(
     df: DataFrame, id_col: str, text_col: str, n: int = 4, num_hashes: int = 64
 ) -> DataFrame:
     """MinHash signature computed entirely map-side from the per-doc shingle
-    array: array_min(transform(shingles, xxhash64(·, seed_i))) per family —
-    ZERO shuffles. The shingle array is materialized in its own projection
-    first: higher-order functions don't participate in subexpression
-    elimination, so inlining it would re-tokenize the document once per
-    hash family (measured 8× slower)."""
+    array — ZERO shuffles. Same double-hash family as
+    ``minhash_signatures`` (the two paths must emit identical signatures):
+    the two base-hash arrays are materialized in their own projection
+    first, because higher-order functions don't participate in
+    subexpression elimination — inlining would re-tokenize and re-hash the
+    document once per hash family (measured 8× slower)."""
     base = df.select(
         F.col(id_col).alias("id"), shingle_array(text_col, n).alias("_sh")
     )
+    hashed = base.select(
+        "id",
+        F.transform(F.col("_sh"), lambda g: _minhash_bases(g)[0]).alias("_a"),
+        F.transform(F.col("_sh"), lambda g: _minhash_bases(g)[1]).alias("_b"),
+    )
     hashes = [
         F.array_min(
-            F.transform(F.col("_sh"), lambda g: F.xxhash64(g, F.lit(i)))
+            F.zip_with(F.col("_a"), F.col("_b"), lambda a, b: _minhash_member(a, b, i))
         ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return base.select("id", *hashes).select(
+    return hashed.select("id", *hashes).select(
         "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
     )
 

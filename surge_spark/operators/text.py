@@ -392,3 +392,68 @@ def shuffle_shards(
     return df.select(
         F.col(id_col).alias("id"), shard.alias("shard"), key.alias("sort_key")
     )
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc mean unigram log10-probability under the corpus's OWN
+    unigram LM — the classic cheap perplexity proxy for pretraining-data
+    quality filtering (CCNet/Gopher-style: docs far below the corpus mean
+    are gibberish, far above are boilerplate).
+
+    Shape at scale: one partial+final aggregation builds the vocab table
+    (vocabulary-sized, ≪ corpus — AQE broadcasts it when it fits), then the
+    exploded token stream joins against it and aggregates per doc. The
+    corpus total enters as a one-row broadcast cross join, not a collect.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("_total"))
+    scored = (
+        toks.join(vocab, "token")
+        .groupBy("id")
+        .agg(
+            F.avg(F.log10("cnt")).alias("_mean_log_cnt"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(total)).select(
+        "id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round(F.col("_mean_log_cnt") - F.log10("_total"), 6).alias("mean_logprob"),
+    )
+
+
+def lang_temperature_mix(
+    df: DataFrame, text_col: str, lang_col: str = "lang", alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-weighted multilingual sampling mix: per language, token
+    share p and resampling weight p^alpha / Σ p^alpha (the standard
+    low-resource-upsampling rule from multilingual pretraining, alpha≈0.3).
+    ``sample_factor`` = weight/p is the per-language repeat rate a sampler
+    applies to hit the target mix.
+
+    One partial+final aggregate over the corpus; the normalizing sums run
+    as unpartitioned windows over the languages-sized aggregate (a few
+    hundred rows at most), so nothing large ever funnels to one task."""
+    from pyspark.sql import Window
+
+    per = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).alias("lang_tokens"),
+    )
+    everything = Window.partitionBy()
+    p = F.col("lang_tokens") / F.sum("lang_tokens").over(everything)
+    shared = per.withColumn("_p", p).withColumn(
+        "_pa", F.pow(F.col("_p"), F.lit(alpha))
+    )
+    w = F.col("_pa") / F.sum("_pa").over(everything)
+    return shared.select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        F.round("_p", 6).alias("raw_share"),
+        F.round(w, 6).alias("temp_share"),
+        F.round(w / F.col("_p"), 6).alias("sample_factor"),
+    )

@@ -432,3 +432,41 @@ def m_rate_trailing_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / 60.0, 6).alias("rate_per_s"),
         )
     )
+
+
+@query(
+    "m_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(round(e.value, 4) AS DOUBLE) AS value,
+           CAST(round((e.value - s.m) / s.sd, 4) AS DOUBLE) AS zscore
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - s.m) / s.sd) > 3.0
+    """,
+)
+def m_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor z-score outlier detection — the metric-anomaly read the
+    reference's statistics surface (min/max/avg, surge.metrics.statistics)
+    exists to support, as one pass: a sensor-sized stats aggregate
+    broadcast back onto the stream, flagging |z| > 3. At 100 TB the stats
+    table stays a few rows per sensor; the event stream never shuffles."""
+    e = _events(spark, sf_dir)
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("_m"), F.stddev_pop("value").alias("_sd")
+    )
+    z = (F.col("value") - F.col("_m")) / F.col("_sd")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("_z", z)
+        .where(F.abs("_z") > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round("_z", 4).alias("zscore"),
+        )
+    )

@@ -1262,3 +1262,35 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("n"), F.count_distinct("doc_id").alias("n_docs"))
     )
+
+
+@query(
+    "a_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(quantile_cont(l_extendedprice, 0.25), 4) AS DOUBLE) AS p25,
+           CAST(round(quantile_cont(l_extendedprice, 0.50), 4) AS DOUBLE) AS p50,
+           CAST(round(quantile_cont(l_extendedprice, 0.75), 4) AS DOUBLE) AS p75,
+           CAST(round(quantile_cont(l_extendedprice, 0.95), 4) AS DOUBLE) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark `percentile`
+    ≡ DuckDB `quantile_cont`, rank = p·(n-1)) — the fully-checkable
+    counterpart of a_approx_count_distinct's sketch surface. Exact
+    percentile holds the group's values; at 100 TB switch to
+    approx_percentile with a bounded error budget — this entry pins the
+    exact semantics the sketch is graded against."""
+    li = _t(spark, sf_dir, "lineitem")
+    pcts = F.percentile(
+        "l_extendedprice", F.array(*[F.lit(p) for p in (0.25, 0.50, 0.75, 0.95)])
+    )
+    agg = li.groupBy("l_returnflag").agg(pcts.alias("_p"))
+    return agg.select(
+        "l_returnflag",
+        *[
+            F.round(F.col("_p")[i], 4).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p95"])
+        ],
+    )

@@ -771,3 +771,59 @@ def t_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived on both engines, so the oracle audits the exact
     assignment a 100 TB run would produce."""
     return tx.shuffle_shards(_docs(spark, sf_dir), "doc_id", n_shards=64, seed=42)
+
+
+@query(
+    "t_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+      ) WHERE token <> ''
+    ),
+    vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    n AS (SELECT sum(cnt) AS total FROM vocab),
+    scored AS (
+      SELECT doc_id, avg(log10(cnt)) AS mlc, count(*) AS n_tokens
+      FROM toks JOIN vocab USING (token) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(round(mlc - log10(total), 6) AS DOUBLE) AS mean_logprob
+    FROM scored, n
+    """,
+)
+def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy: per-doc mean log10 token probability under
+    the corpus's own unigram distribution (CCNet-style perplexity
+    filtering, without the external LM)."""
+    return tx.unigram_logprob(_docs(spark, sf_dir), "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@query(
+    "t_lang_temperature_mix",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS lang_tokens
+      FROM documents GROUP BY lang
+    ),
+    shared AS (
+      SELECT lang, n_docs, lang_tokens,
+             lang_tokens / (sum(lang_tokens) OVER ()) AS p,
+             power(lang_tokens / (sum(lang_tokens) OVER ()), 0.3) AS pa
+      FROM per
+    )
+    SELECT lang, n_docs, lang_tokens,
+           CAST(round(p, 6) AS DOUBLE) AS raw_share,
+           CAST(round(pa / sum(pa) OVER (), 6) AS DOUBLE) AS temp_share,
+           CAST(round((pa / sum(pa) OVER ()) / p, 6) AS DOUBLE) AS sample_factor
+    FROM shared
+    """,
+)
+def t_lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (alpha=0.3) multilingual sampling mix with
+    per-language repeat factors — the standard low-resource upsampling rule
+    a multilingual pretraining run applies to its corpus shares."""
+    return tx.lang_temperature_mix(_docs(spark, sf_dir), "text", "lang", alpha=0.3)
