@@ -481,3 +481,62 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         term = bit * F.lit(1 << i).cast("long") if i < 63 else bit * F.lit(-(1 << 63)).cast("long")
         fingerprint = term if fingerprint is None else fingerprint + term
     return agg.select("id", fingerprint.alias("simhash"))
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Exact duplicated-span detection (the Lee et al. 2022 'Deduplicating
+    Training Data Makes Language Models Better' signal, re-expressed
+    relationally): every maximal token span whose every length-k window
+    occurs >= min_count times in the corpus. Output one row per (doc,
+    span): (id, span_start, span_end, span_tokens) in token offsets —
+    the spans a dedup pass would cut out of the training text.
+
+    Plan shape: k-gram extraction is a map-side array transform (one pass
+    per doc, no per-gram re-tokenize); the gram frequency table is one
+    partial+final aggregate; duplicated positions come back via a semi
+    join; span merging is a per-doc window (islands of positions at gap
+    <= k). Three shuffles total, none of the corpus text wider than the
+    gram stream. At 100 TB, hash the gram strings (xxhash64) before the
+    aggregate to cut shuffle bytes — kept as raw strings here so the
+    DuckDB oracle can mirror the keys engine-portably."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_t")
+    ).where(F.size("_t") >= k)
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - k),
+                lambda i: F.array_join(F.slice("_t", i + 1, k), " "),
+            )
+        ).alias("pos", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select("gram")
+    )
+    marked = grams.join(dup, "gram", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    new_span = F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
+    spans = marked.withColumn(
+        "_span", F.sum(new_span).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        spans.groupBy("id", "_span")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + k - 1).cast("int").alias("span_end"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

@@ -242,3 +242,46 @@ def d_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash(docs, "doc_id", "text")
+
+
+@query(
+    "d_duplicate_spans",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i.i AS pos, array_to_string(t[i.i + 1 : i.i + 8], ' ') AS gram
+      FROM base, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) i
+      WHERE len(t) >= 8
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS f
+      FROM m
+    ),
+    sp AS (
+      SELECT doc_id, pos,
+             sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM flagged
+    )
+    SELECT doc_id AS id,
+           CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + 8 - 1 AS INT) AS span_end,
+           CAST(max(pos) + 8 - 1 - min(pos) + 1 AS INT) AS span_tokens
+    FROM sp GROUP BY doc_id, span_id
+    """,
+)
+def d_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span extraction (Lee et al. 2022 §4, re-expressed
+    relationally): maximal token spans whose every 8-gram repeats in the
+    corpus — the spans a substring-level dedup pass cuts before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.duplicate_spans(docs, "doc_id", "text", k=8, min_count=2).withColumn(
+        "span_tokens", F.col("span_tokens").cast("int")
+    )

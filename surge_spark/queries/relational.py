@@ -1294,3 +1294,63 @@ def a_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, name in enumerate(["p25", "p50", "p75", "p95"])
         ],
     )
+
+
+@query(
+    "w_ntile_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
+           CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w_ntile_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions (ntile / percent_rank /
+    cume_dist) — the §2.5 analytic surface beyond rank/dense_rank. Ordering
+    includes the key so ties can't make the frame nondeterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics (min of per-side multiplicities),
+    one shuffle on the full row as key."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = orders.where(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("k"))
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (per-key multiplicity subtraction)."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = orders.where(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b)

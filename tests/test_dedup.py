@@ -248,3 +248,26 @@ def test_stratified_sample_keep_all_rate(spark):
     )
     out = stratified_sample(df, "doc_id", "lang", {"en": 1.0})
     assert out.count() == 500  # rate 1.0 keeps everything
+
+
+def test_duplicate_spans_merges_overlapping_grams(spark):
+    """Two docs sharing one long passage: every 3-gram inside the shared
+    passage repeats, and the overlapping positions must merge into ONE
+    maximal span per doc covering exactly the passage."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    texts = [
+        f"unique one two three {shared} tail9 tail10 tail11",
+        f"{shared} other4 other5 other6 other7 other8 other9",
+        "completely unrelated words nine ten eleven twelve thirteen fourteen",
+    ]
+    out = (
+        dd.duplicate_spans(_docs(spark, texts), "doc_id", "text", k=3)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # doc 0: shared passage at token offsets 4..11; doc 1: offsets 0..7
+    assert list(out.id) == [0, 1]
+    assert list(out.span_start) == [4, 0]
+    assert list(out.span_end) == [11, 7]
+    assert list(out.span_tokens) == [8, 8]
