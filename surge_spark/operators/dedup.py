@@ -540,3 +540,40 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def cut_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """The transform ``duplicate_spans`` exists for: rebuild each document
+    WITHOUT its corpus-duplicated spans (Lee et al. 2022's ExactSubstr cut
+    applied to normalized tokens). Output one row per input doc:
+    (id, clean_text, n_tokens, n_tokens_removed).
+
+    The span table aggregates to a per-doc array (spans per doc is small —
+    bounded by n_tokens/k) and the cut itself is a map-side
+    positional filter after one join; docs with no duplicated span pass
+    through the left join untouched. The oracle mirrors the cut as a
+    positions anti-join — the same plan a 100 TB run would prefer if
+    span counts per doc ever grew large."""
+    spans = duplicate_spans(df, id_col, text_col, k, min_count)
+    spans_arr = spans.groupBy("id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_t"))
+    joined = base.join(spans_arr, "id", "left")
+    kept = F.when(F.col("_spans").isNull(), F.col("_t")).otherwise(
+        F.filter(
+            F.col("_t"),
+            lambda t, i: ~F.exists(
+                F.col("_spans"),
+                lambda s: (i >= s.span_start) & (i <= s.span_end),
+            ),
+        )
+    )
+    return joined.select(
+        "id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("_t").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).alias("n_tokens_removed"),
+    )

@@ -285,3 +285,70 @@ def d_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_spans(docs, "doc_id", "text", k=8, min_count=2).withColumn(
         "span_tokens", F.col("span_tokens").cast("int")
     )
+
+
+@query(
+    "d_cut_duplicate_spans",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i.i AS pos, array_to_string(t[i.i + 1 : i.i + 8], ' ') AS gram
+      FROM base, LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) i
+      WHERE len(t) >= 8
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS f
+      FROM m
+    ),
+    sp AS (
+      SELECT doc_id, pos,
+             sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 8 - 1 AS e
+      FROM sp GROUP BY doc_id, span_id
+    ),
+    tokpos AS (
+      SELECT doc_id, i.i AS pos, t[i.i + 1] AS tok, len(t) AS n
+      FROM base, LATERAL (SELECT unnest(range(0, len(t))) AS i) i
+    ),
+    removed AS (
+      SELECT DISTINCT tp.doc_id, tp.pos
+      FROM tokpos tp JOIN spans USING (doc_id)
+      WHERE tp.pos BETWEEN spans.s AND spans.e
+    ),
+    kept AS (
+      SELECT tp.doc_id,
+             string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean_text,
+             count(*) AS n_kept
+      FROM tokpos tp ANTI JOIN removed r ON tp.doc_id = r.doc_id AND tp.pos = r.pos
+      GROUP BY tp.doc_id
+    )
+    SELECT b.doc_id AS id,
+           coalesce(k.clean_text, '') AS clean_text,
+           CAST(len(b.t) AS INT) AS n_tokens,
+           CAST(len(b.t) - coalesce(k.n_kept, 0) AS INT) AS n_tokens_removed
+    FROM base b LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def d_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span removal: each document rebuilt without its
+    corpus-duplicated 8-gram spans (the transform a substring-dedup pass
+    actually applies before training)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dd.cut_duplicate_spans(docs, "doc_id", "text", k=8, min_count=2)
+    return out.select(
+        "id",
+        "clean_text",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_tokens_removed").cast("int").alias("n_tokens_removed"),
+    )

@@ -271,3 +271,24 @@ def test_duplicate_spans_merges_overlapping_grams(spark):
     assert list(out.span_start) == [4, 0]
     assert list(out.span_end) == [11, 7]
     assert list(out.span_tokens) == [8, 8]
+
+
+def test_cut_duplicate_spans_edges(spark):
+    """Full-duplicate docs empty out entirely; docs with no duplicated
+    span pass through untouched (left-join path)."""
+    dup = "alpha beta gamma delta epsilon zeta"  # 6 tokens, duplicated whole
+    texts = [
+        dup,
+        dup,
+        "totally different tokens here that repeat nothing from the others",
+    ]
+    out = (
+        dd.cut_duplicate_spans(_docs(spark, texts), "doc_id", "text", k=3)
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert out.loc[0, "clean_text"] == "" and out.loc[0, "n_tokens_removed"] == 6
+    assert out.loc[1, "clean_text"] == "" and out.loc[1, "n_tokens_removed"] == 6
+    assert out.loc[2, "n_tokens_removed"] == 0
+    assert out.loc[2, "clean_text"].startswith("totally different")
