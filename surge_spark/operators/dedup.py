@@ -133,18 +133,16 @@ def jaccard_pairs(
     )
 
 
-def _minhash_member(a: F.Column, b: F.Column, i: int) -> F.Column:
-    """Family member i of the Kirsch–Mitzenmacher double-hash MinHash
-    family: h_i = a + i·b with (a, b) two independent base hashes. Two
-    string hashes per shingle instead of k — the k-1 remaining members are
-    integer multiply-adds, ~3× cheaper end-to-end at k=64 than hashing the
-    shingle string k times. The shifts bound a < 2^61 and i·b < 2^60 so
-    every sum stays below 2^63: overflow-safe under ANSI mode (on by
-    default in Spark 4 plain sessions)."""
-    return a + F.lit(i) * b
-
-
 def _minhash_bases(shingle: F.Column) -> tuple[F.Column, F.Column]:
+    """The two base hashes of the Kirsch–Mitzenmacher double-hash MinHash
+    family: member i = a + i·b. Two string hashes per shingle instead of
+    k — the k-1 remaining members are integer multiply-adds, ~3× cheaper
+    end-to-end at k=64 than hashing the shingle string k times. The shifts
+    bound a < 2^61 and i·b < 2^60 so every sum stays below 2^63:
+    overflow-safe under ANSI mode (on by default in Spark 4 plain
+    sessions). minhash_signatures_from_docs inlines the identical
+    formulas as SQL text (pinned equal by tests/test_dedup.py) — keep the
+    two in sync."""
     a = F.shiftrightunsigned(F.xxhash64(shingle), 3)
     b = F.shiftrightunsigned(F.xxhash64(shingle, F.lit(1)), 10)
     return a, b
@@ -156,15 +154,17 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
     double-hash family — the two base hashes are computed once per shingle
     row inside codegen, the k members are multiply-adds. Prefer
     minhash_signatures_from_docs when the source docs are at hand — it
-    avoids this aggregation shuffle entirely."""
+    avoids this aggregation shuffle entirely.
+
+    The whole k-wide aggregate is ONE parsed expression (array of mins)
+    rather than k Column objects: each chained DataFrame op re-analyzes
+    its whole subtree eagerly, and at k=64 the per-call py4j + analysis
+    overhead of column-at-a-time construction measured ~2× the actual
+    execution time at sf0.1."""
     a, b = _minhash_bases(F.col("shingle"))
     hashed = sh.select("id", a.alias("_a"), b.alias("_b"))
-    mins = [
-        F.min(_minhash_member(F.col("_a"), F.col("_b"), i)).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    agg = hashed.groupBy("id").agg(*mins)
-    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    sig = ", ".join(f"min(_a + {i} * _b)" for i in range(num_hashes))
+    return hashed.groupBy("id").agg(F.expr(f"array({sig})").alias("sig"))
 
 
 def minhash_signatures_from_docs(
@@ -182,18 +182,16 @@ def minhash_signatures_from_docs(
     )
     hashed = base.select(
         "id",
-        F.transform(F.col("_sh"), lambda g: _minhash_bases(g)[0]).alias("_a"),
-        F.transform(F.col("_sh"), lambda g: _minhash_bases(g)[1]).alias("_b"),
+        F.expr("transform(_sh, g -> shiftrightunsigned(xxhash64(g), 3))").alias("_a"),
+        F.expr("transform(_sh, g -> shiftrightunsigned(xxhash64(g, 1), 10))").alias(
+            "_b"
+        ),
     )
-    hashes = [
-        F.array_min(
-            F.zip_with(F.col("_a"), F.col("_b"), lambda a, b: _minhash_member(a, b, i))
-        ).alias(f"h{i}")
+    sig = ", ".join(
+        f"array_min(zip_with(_a, _b, (x, y) -> x + {i} * y))"
         for i in range(num_hashes)
-    ]
-    return hashed.select("id", *hashes).select(
-        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
     )
+    return hashed.select("id", F.expr(f"array({sig})").alias("sig"))
 
 
 def _banded(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
@@ -201,15 +199,16 @@ def _banded(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     signature slice). Shared subtree of ``lsh_candidates`` and
     ``lsh_candidate_ids`` — both shuffle it by (band, bucket), so building
     it identically lets Spark's ReusedExchange compute it once per query."""
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-            )
-            for b in range(bands)
-        ]
+    band_hashes = ", ".join(
+        "xxhash64({}, {})".format(
+            b,
+            ", ".join(f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
     )
-    return sig.select("id", F.posexplode(band_hashes).alias("band", "bucket"))
+    return sig.select(
+        "id", F.posexplode(F.expr(f"array({band_hashes})")).alias("band", "bucket")
+    )
 
 
 def _bucket_sized(banded: DataFrame) -> DataFrame:
