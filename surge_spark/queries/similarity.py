@@ -166,3 +166,37 @@ def sim_semantic_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_neardup_pairs(
         emb, "vec_id", "embedding", threshold=0.3, n_cells=16, iters=2
     )
+
+
+@query(
+    "sim_lang_centroids",
+    oracle="""
+    WITH j AS (
+      SELECT d.lang, e.embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    x AS (
+      SELECT lang, i.i AS dim, embedding[i.i + 1] AS v
+      FROM j, LATERAL (SELECT unnest(range(0, len(embedding))) AS i) i
+    )
+    SELECT lang, CAST(dim AS INT) AS dim,
+           CAST(round(avg(v), 6) AS DOUBLE) AS centroid,
+           count(*) AS n_vectors
+    FROM x GROUP BY lang, dim
+    """,
+)
+def sim_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join + per-group mean-pooled embedding centroid: the
+    documents table keys into the embedding corpus (doc_id = vec_id) and
+    each language gets its dimension-wise centroid. Map-side posexplode
+    then ONE partial+final aggregate on (lang, dim) — the embedding rows
+    never shuffle whole, only (lang, dim, partial-sum) triples do, so the
+    plan holds at 100 TB corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    j = docs.join(emb, docs.doc_id == emb.vec_id).select("lang", "embedding")
+    x = j.select("lang", F.posexplode("embedding").alias("dim", "v"))
+    return x.groupBy("lang", "dim").agg(
+        F.round(F.avg("v"), 6).alias("centroid"),
+        F.count("*").alias("n_vectors"),
+    )

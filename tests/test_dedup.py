@@ -292,3 +292,22 @@ def test_cut_duplicate_spans_edges(spark):
     assert out.loc[1, "clean_text"] == "" and out.loc[1, "n_tokens_removed"] == 6
     assert out.loc[2, "n_tokens_removed"] == 0
     assert out.loc[2, "clean_text"].startswith("totally different")
+
+
+def test_signature_paths_identical(spark, sf_dir):
+    """minhash_signatures (exploded+agg) and minhash_signatures_from_docs
+    (map-side array) must emit byte-identical signatures — the from-docs
+    path inlines the double-hash formulas as SQL text, so this pins the
+    two definitions against drift."""
+    from surge_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    s1 = (
+        dd.minhash_signatures(dd.shingles(docs, "doc_id", "text", 4, distinct=False), 16)
+        .toPandas().set_index("id").sig.map(tuple).sort_index()
+    )
+    s2 = (
+        dd.minhash_signatures_from_docs(docs, "doc_id", "text", 4, 16)
+        .toPandas().set_index("id").sig.map(tuple).sort_index()
+    )
+    assert (s1 == s2).all()
