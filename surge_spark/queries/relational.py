@@ -1354,3 +1354,35 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = orders.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
     b = orders.where(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("k"))
     return a.exceptAll(b)
+
+
+@query(
+    "j_salted_skew_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey AS k, c.c_mktsegment,
+           CAST(round(o.o_totalprice, 2) AS DOUBLE) AS o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit hot-key salting: the fact side gains a stable row-hash salt,
+    the dim side replicates across the salt range, and the join key becomes
+    (key, salt) — spreading any hot customer over salt_buckets reducers.
+    The oracle is the PLAIN join: salting must be invisible in the result,
+    which is exactly the property that makes it safe to deploy at 100 TB
+    (AQE skew-split covers sort-merge joins; this is the fallback for
+    shuffled-hash builds and beyond)."""
+    from ..operators.skew import salted_join
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.col("o_custkey").alias("k"), "o_totalprice")
+    )
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    out = salted_join(orders, customer, "k", salt_buckets=8)
+    return out.select(
+        "o_orderkey", "k", "c_mktsegment",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
