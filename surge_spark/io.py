@@ -24,6 +24,16 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Session-scoped table registry: a real engine registers a table once and
+# every query references the same relation. Re-calling spark.read.parquet
+# per query invocation re-builds the FileIndex and re-analyzes the base
+# relation (~0.15 s per table per call, 2.5 s for the first); the catalog
+# queries load up to 5 tables each, so the registry saves ~0.5 s of pure
+# overhead per invocation. Values hold the owning session so a dead
+# session's id() can't be reused by a new one while its entry is alive.
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table.
 
@@ -35,6 +45,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     so normalize whatever is on disk to microsecond TimestampType. DuckDB
     reads both encodings as TIMESTAMP natively (ns truncates to us), so the
     oracle side needs no branch."""
+    key = (id(spark), os.path.abspath(sf_dir), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = (spark, df)
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # events.ts carries naive-UTC instants; pin the session tz so
