@@ -37,9 +37,11 @@ HEADLINE = [
     "d_exact_dedup",               # exact dedup
     "d_minhash_lsh_neardup",       # MinHash-LSH near-dedup (unpruned verify)
     "d_minhash_lsh_neardup_pruned",  # same, semi-join-pruned verify (100 TB shape)
+    "d_duplicate_spans",           # ExactSubstr duplicated-span detection
     "sim_cosine_topk_bruteforce",  # embedding top-k
     "t_quality_score",             # text quality features
     "t_bpe_ish_token_count",       # regex tokenizer counts
+    "t_unigram_logprob",           # unigram-LM quality scoring
 ]
 
 N_RUNS = 3
