@@ -226,3 +226,38 @@ def test_corpus_mix_total_is_broadcast(spark, sf_dir):
 def test_clean_corpus_uses_semi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "t_clean_corpus")
     assert "LeftSemi" in plan
+
+
+def test_duplicate_spans_semi_join_and_partial_agg(spark, sf_dir):
+    """d_duplicate_spans: the gram-frequency table must partial-aggregate
+    (map-side combine before its shuffle) and duplicated positions must
+    come back via a semi join — not a full join that widens the stream."""
+    df = all_queries()["d_duplicate_spans"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_lang_centroids_broadcast_and_partial_avg(spark, sf_dir):
+    """sim_lang_centroids: the documents⋈embeddings key join broadcasts and
+    the centroid mean is partial+final on (lang, dim) — embedding rows
+    never shuffle whole."""
+    df = all_queries()["sim_lang_centroids"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_avg" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_unigram_logprob_no_smj_no_cartesian(spark, sf_dir):
+    """t_unigram_logprob: vocab joins broadcast at this scale, the corpus
+    total enters as a broadcast one-row join (BroadcastNestedLoopJoin),
+    and nothing falls back to CartesianProduct or a sort-merge join."""
+    df = all_queries()["t_unigram_logprob"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
