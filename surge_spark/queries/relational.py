@@ -1386,3 +1386,31 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "k", "c_mktsegment",
         F.round("o_totalprice", 2).alias("o_totalprice"),
     )
+
+
+@query(
+    "f_bitwise_functions",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, 21845) AS xored,
+           CAST(o_orderkey * 16 AS BIGINT) AS shifted,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount
+    FROM orders WHERE o_orderkey <= 64
+    """,
+)
+def f_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface (§2.8): and/or/xor/shift/popcount — the ops
+    key-partitioners and bitmap filters are built from. shiftleft is
+    mirrored as *16 in the oracle (DuckDB's << is INT128-typed; the
+    multiply keeps both sides BIGINT)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 64)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("o_orderkey").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("o_orderkey").bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft("o_orderkey", 4).cast("bigint").alias("shifted"),
+        F.bit_count("o_orderkey").alias("popcount"),
+    )
