@@ -470,3 +470,37 @@ def m_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_z", 4).alias("zscore"),
         )
     )
+
+
+@query(
+    "es_read_path_snapshot_plus_tail",
+    oracle="""
+    WITH h AS (SELECT max(event_id) - 2000 AS h FROM events)
+    SELECT user_id,
+           max(event_id) FILTER (event_id <= h.h) AS snapshot_offset,
+           CAST(round(arg_max(value, event_id) FILTER (event_id <= h.h), 4) AS DOUBLE)
+             AS snapshot_value,
+           count(*) FILTER (event_id > h.h) AS n_tail
+    FROM events, h GROUP BY user_id
+    """,
+)
+def es_read_path_snapshot_plus_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.2 read path (aggregateFor(id).getState,
+    AggregateRef.scala:35-44) as one declarative pass: state = snapshot at
+    the compaction horizon ⊕ replay of the tail past it. The horizon (max
+    offset - 2000) stands in for the last committed snapshot offset; one
+    conditional partial+final aggregate computes the snapshot offset/value
+    and the tail length per key — the events stream shuffles once, on the
+    aggregate key, exactly like the KTable build it complements."""
+    e = _events(spark, sf_dir)
+    horizon = e.agg((F.max("event_id") - F.lit(2000)).alias("_h"))
+    j = e.crossJoin(F.broadcast(horizon))
+    return j.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_id") <= F.col("_h"), F.col("event_id"))).alias(
+            "snapshot_offset"
+        ),
+        F.round(
+            F.expr("max_by(value, event_id) FILTER (WHERE event_id <= _h)"), 4
+        ).alias("snapshot_value"),
+        F.count(F.when(F.col("event_id") > F.col("_h"), 1)).alias("n_tail"),
+    )
