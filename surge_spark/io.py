@@ -31,7 +31,31 @@ def table_path(sf_dir: str, name: str) -> str:
 # queries load up to 5 tables each, so the registry saves ~0.5 s of pure
 # overhead per invocation. Values hold the owning session so a dead
 # session's id() can't be reused by a new one while its entry is alive.
+#
+# Stopped sessions are evicted on every lookup so the cache can't pin dead
+# SparkSessions (and their FileIndexes) for the process lifetime. NOTE:
+# because the cached DataFrame holds a resolved file listing, regenerating
+# parquet files in place while a session is alive serves stale data — start
+# a new session or call clear_table_cache() after in-place regeneration.
 _TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def clear_table_cache() -> None:
+    """Drop every cached relation (use after in-place testdata rewrite)."""
+    _TABLE_CACHE.clear()
+
+
+def _evict_stopped_sessions() -> None:
+    dead = []
+    for key, (sess, _) in _TABLE_CACHE.items():
+        try:
+            stopped = sess._sc._jsc is None  # classic mode: stop() nulls the JVM ctx
+        except Exception:
+            stopped = True
+        if stopped:
+            dead.append(key)
+    for key in dead:
+        _TABLE_CACHE.pop(key, None)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -48,7 +72,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), os.path.abspath(sf_dir), name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None and cached[0] is spark:
+        if name == "events":
+            # the NTZ→timestamp cast executes lazily: a later change to the
+            # session tz would silently shift instants, so re-assert UTC on
+            # the cache-hit path too (conf.set is a cheap local call)
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         return cached[1]
+    _evict_stopped_sessions()
     df = _load_table_uncached(spark, sf_dir, name)
     _TABLE_CACHE[key] = (spark, df)
     return df

@@ -440,6 +440,7 @@ def m_rate_trailing_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
       FROM events GROUP BY event_type
+      HAVING stddev_pop(value) <> 0
     )
     SELECT e.event_id, e.event_type,
            CAST(round(e.value, 4) AS DOUBLE) AS value,
@@ -453,11 +454,16 @@ def m_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's statistics surface (min/max/avg, surge.metrics.statistics)
     exists to support, as one pass: a sensor-sized stats aggregate
     broadcast back onto the stream, flagging |z| > 3. At 100 TB the stats
-    table stays a few rows per sensor; the event stream never shuffles."""
+    table stays a few rows per sensor; the event stream never shuffles.
+
+    Zero-variance sensors (one event, or constant values) are excluded on
+    BOTH sides: under Spark 4 ANSI mode a stddev_pop of 0 would raise
+    DIVIDE_BY_ZERO, while DuckDB would yield inf and drop the row — so the
+    guard is part of the query's semantics, not an optimization."""
     e = _events(spark, sf_dir)
     stats = e.groupBy("event_type").agg(
         F.avg("value").alias("_m"), F.stddev_pop("value").alias("_sd")
-    )
+    ).where(F.col("_sd") != 0)
     z = (F.col("value") - F.col("_m")) / F.col("_sd")
     return (
         e.join(F.broadcast(stats), "event_type")

@@ -246,3 +246,30 @@ def test_sorted_replay_matches_grouped_replay(spark, sf_dir):
         .sort_values("account_number").reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_anomaly_zscore_zero_variance_group_excluded(spark, tmp_path):
+    """ADVICE r4: a constant-value event_type has stddev_pop=0 — under
+    ANSI mode an unguarded divide throws DIVIDE_BY_ZERO. The guard must
+    exclude the group (matching the oracle's HAVING sd <> 0), not crash."""
+    import pandas as pd
+    from surge_spark.queries.eventsourcing import m_anomaly_zscore
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pd.to_datetime(["2024-01-01"] * 5),
+            "user_id": [1, 1, 2, 2, 3],
+            "event_type": ["flat", "flat", "vary", "vary", "single"],
+            "value": [7.0, 7.0, 0.0, 1000.0, 5.0],
+            "props": ["{}"] * 5,
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(df).write.mode("overwrite").parquet(
+        f"{sf}/events.parquet"
+    )
+    out = m_anomaly_zscore(spark, sf).toPandas()
+    # zero-variance groups (flat, single) are excluded without error; the
+    # varying group survives the stats join but |z|<=3 for a 2-point split
+    assert set(out["event_type"]) <= {"vary"}
