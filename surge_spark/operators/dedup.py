@@ -271,10 +271,14 @@ def lsh_candidate_ids(
     with another member — exactly the distinct ids of
     ``lsh_candidates``'s output, with the same ``max_bucket`` filter.
 
-    Building it from the identical banded subtree (instead of re-deriving
-    ids from the pair table) means the expensive signature+explode exchange
-    is shared with the self-join via ReusedExchange, and no persist /
-    materialization barrier is needed to avoid recomputing it."""
+    Standalone form (e.g. to stage candidate ids without building pairs).
+    Inside ``minhash_lsh_dedup`` the candidate ids are instead derived from
+    the pair table itself: the pair table's final distinct exchange is
+    already computed for the verification join, so the id derivation rides
+    it via ReusedExchange, whereas this banded form re-executes the
+    Window/Sort/distinct above the banded exchange once per plan
+    occurrence (measured 2.0 s vs 1.5 s for the full pruned query at
+    sf0.1)."""
     sized = _bucket_sized(_banded(sig, bands, rows_per_band))
     cond = F.col("_bsz") >= 2
     if max_bucket is not None:
@@ -303,12 +307,28 @@ def minhash_lsh_dedup(
     aggregate) is semi-join-pruned to candidate doc ids before either is
     shuffled, making verification O(candidate docs) I/O as the LSH design
     intends — the right shape at cluster scale where candidates ≪ corpus.
-    The candidate-id set comes from ``lsh_candidate_ids`` over the same
-    banded subtree as the pair self-join, so the expensive signature
-    exchange is computed once (ReusedExchange) with no persist barrier —
-    an earlier persist-the-pairs variant serialized the whole pipeline
-    behind a cache materialization and ran slower than the unpruned path
-    even at sf0.01."""
+    The candidate-id set is exploded from the pair table itself: the pair
+    table's final distinct exchange is already computed for the
+    verification join, so every occurrence of the id derivation is a
+    ReusedExchange plus an O(pairs) explode/distinct — no persist barrier
+    (an earlier persist-the-pairs variant serialized the whole pipeline
+    behind a cache materialization) and no re-execution of the banded
+    Window subtree (an earlier lsh_candidate_ids-based variant re-ran
+    Window/Sort/distinct once per semi-join occurrence: 2.0 s vs 1.5 s at
+    sf0.1, with the unpruned path at 1.6 s).
+
+    Measured local floor (sf0.1, local[32]): the pruned plan runs ~10 more
+    stages than the unpruned one (28 vs 18 — three broadcast-semi builds
+    plus the candidate-id distinct), and at this scale AQE broadcasts the
+    tiny pair table so unpruned verification never shuffles the shingle
+    table either; verification is <0.2 s of the unpruned total, so the
+    extra stages cannot pay for themselves and the pruned form floors at
+    ~1.3-1.7× unpruned depending on scheduler load. The crossover needs
+    what a real corpus has: verification I/O large enough to dominate
+    stage overhead, with candidates ≪ corpus. An array-based verification
+    (array_intersect over per-doc shingle arrays, no dedup/groupBy
+    exchanges) measured 3× WORSE — shingle_array's transform() runs
+    interpreted (see minhash_signatures_from_docs note)."""
     # exploded signature path: xxhash64 over (id, shingle) rows stays inside
     # whole-stage codegen and the k min() aggregates combine map-side —
     # measured ~3x faster than the per-row transform()/array_min form, whose
@@ -322,7 +342,9 @@ def minhash_lsh_dedup(
     cands = lsh_candidates(sig, bands, num_hashes // bands, max_bucket)
     sh = shingles(df, id_col, text_col, n)
     if prune_verification:
-        cand_ids = lsh_candidate_ids(sig, bands, num_hashes // bands, max_bucket)
+        cand_ids = cands.select(
+            F.explode(F.array("id_a", "id_b")).alias("id")
+        ).distinct()
         sh = sh.join(cand_ids, "id", "left_semi")
     # n_shingles only ever joins against candidate pairs, so computing it
     # AFTER the optional semi-join prune is identical for every surviving

@@ -136,9 +136,10 @@ def test_pruned_lsh_semi_joins_shingles_before_shuffle(spark, sf_dir):
     """d_minhash_lsh_neardup_pruned: the verification path must prune the
     shingle table to candidate doc ids with a semi join BEFORE shuffling it
     — the O(candidate docs) contract that makes LSH verification viable at
-    100 TB — and the candidate-id branch must share the banded exchange
-    with the pair self-join (ReusedExchange), not recompute the signature
-    subtree or hide behind a persist barrier."""
+    100 TB — and the candidate-id branch must ride an exchange the plan
+    already computes (ReusedExchange; ids are exploded from the pair
+    table's distinct exchange), not recompute the signature subtree or
+    hide behind a persist barrier."""
     df = all_queries()["d_minhash_lsh_neardup_pruned"](spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
