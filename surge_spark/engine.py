@@ -93,7 +93,17 @@ class AggregateRef:
 
 
 class SurgeEngine:
-    def __init__(self, spark: SparkSession, model: SurgeModel, store_path: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        model: SurgeModel,
+        store_path: str,
+        fold_partitions: int | None = None,
+    ) -> None:
+        """``fold_partitions`` right-sizes the per-batch fold shuffle for
+        command-sized batches (see CommandEngine.__init__); the facade's
+        single-command micro-batches otherwise pay one Python worker
+        round-trip per mostly-empty session shuffle partition."""
         self._spark = spark
         self._model = model
         self._store = SnapshotStore(store_path, key_col=model.key_col)
@@ -105,6 +115,7 @@ class SurgeEngine:
             model.event_schema,
             key_col=model.key_col,
             order_cols=list(model.order_cols),
+            fold_partitions=fold_partitions,
         )
         self._seq = itertools.count()
 

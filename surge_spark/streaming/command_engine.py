@@ -66,6 +66,7 @@ class CommandEngine:
         order_cols: Sequence[str] = ("ts",),
         context_mode: bool = False,
         commit_target_files: int = 1,
+        fold_partitions: int | None = None,
     ) -> None:
         """Handler models supported (CommandModels.scala:12-74):
 
@@ -85,7 +86,16 @@ class CommandEngine:
         (events/state/replies/records). The default 1 fits command-sized
         micro-batches (surge's 50 ms flush); raise it for backfill-sized
         batches so the commit write isn't funneled through one task.
-        """
+
+        ``fold_partitions`` right-sizes the fold's shuffle for micro-batch
+        latency: groupBy.applyInPandas otherwise inherits
+        spark.sql.shuffle.partitions (sized for the analytic queries — 32+),
+        and a 50 ms-flush-sized batch pays one Python worker round-trip per
+        mostly-empty partition. Pre-repartitioning by key satisfies the
+        fold's clustered-distribution requirement, so the groupBy adds no
+        second exchange. Commands per trigger ÷ fold_partitions should be
+        a comfortable Arrow batch; leave None for backfill-sized batches
+        where the session default is right."""
         self.store = store
         self.process_command = process_command
         self.handle_event = handle_event
@@ -97,6 +107,9 @@ class CommandEngine:
         if commit_target_files < 1:
             raise ValueError(f"commit_target_files must be >= 1, got {commit_target_files}")
         self.commit_target_files = commit_target_files
+        if fold_partitions is not None and fold_partitions < 1:
+            raise ValueError(f"fold_partitions must be >= 1, got {fold_partitions}")
+        self.fold_partitions = fold_partitions
         # cache of the current batch's fold output; see process_batch
         self._prev_packed: DataFrame | None = None
 
@@ -244,12 +257,16 @@ class CommandEngine:
         return state_rows, events_out, replies, deleted_keys, records_out
 
     def process_batch(
-        self, commands: DataFrame, batch_id: str
+        self, commands: DataFrame, batch_id: str, replies_dir: str | None = None
     ) -> tuple[DataFrame, DataFrame, DataFrame] | None:
         """Process one micro-batch of commands; atomically commit and return
         (state_updates, events, replies) — lazy frames over the batch's
         cached fold output, valid until the NEXT process_batch call on this
         engine (which releases the cache).
+
+        ``replies_dir``: commit the ACK rows (stamped with ``batch_id``)
+        directly into that directory — the streaming reply channel — so the
+        gateway copy IS the commit's write, not a second job per batch.
 
         Returns None for an already-committed batch_id (R4): foreachBatch is
         at-least-once, and re-folding a committed batch against the
@@ -339,6 +356,8 @@ class CommandEngine:
         # LATER commit would re-join against the newer snapshot and change
         # answers, so the cache must outlive the caller's reads of this
         # batch's frames.
+        if self.fold_partitions is not None:
+            commands = commands.repartition(self.fold_partitions, self.key_col)
         packed = (
             commands.groupBy(self.key_col)
             .applyInPandas(fold, "kind string, payload string")
@@ -348,9 +367,35 @@ class CommandEngine:
             self._prev_packed.unpersist()
         self._prev_packed = packed
 
-        counts = {
-            r["kind"]: r["n"]
-            for r in packed.groupBy("kind").agg(F.count("*").alias("n")).collect()
+        # one job returns BOTH the per-kind counts and the touched bucket
+        # ids (bucket_expr of every state/tombstone key): the store's commit
+        # would otherwise run its own distinct+collect job to find the
+        # buckets its merge must rewrite — at micro-batch latency every job
+        # counts. collect_set is bounded by the store's bucket count, never
+        # by batch size.
+        nb = self.store.num_buckets()
+        bucket = F.when(
+            F.col("kind").isin("state", "tombstone"),
+            F.pmod(
+                F.crc32(
+                    F.get_json_object("payload", f"$.{state_key_col}")
+                    .cast("string")
+                    .cast("binary")
+                ),
+                F.lit(nb),
+            ).cast("int"),
+        )
+        stats = (
+            packed.groupBy("kind")
+            .agg(F.count("*").alias("n"), F.collect_set(bucket).alias("b"))
+            .collect()
+        )
+        counts = {r["kind"]: r["n"] for r in stats}
+        touched_buckets = {
+            str(x)
+            for r in stats
+            if r["kind"] in ("state", "tombstone")
+            for x in (r["b"] or [])
         }
 
         def unpack(kind: str, schema: str) -> DataFrame:
@@ -392,14 +437,23 @@ class CommandEngine:
             or counts.get("reply")
         ):
             nf = self.commit_target_files
+            replies_to_commit = replies_df.coalesce(nf)
+            if replies_dir is not None:
+                # stamp batch_id so the gateway can dedup/trace, same as the
+                # old per-batch rewrite did
+                replies_to_commit = replies_to_commit.withColumn(
+                    "batch_id", F.lit(str(batch_id))
+                )
             self.store.commit(
                 events_df.coalesce(nf) if counts.get("event") else None,
                 state_df.coalesce(nf),
                 batch_id,
-                replies=replies_df.coalesce(nf),
+                replies=replies_to_commit,
                 delete_keys=tombstones if counts.get("tombstone") else None,
                 records=records_df.coalesce(nf) if counts.get("record") else None,
                 updates_unique=True,  # fold emits at most one state row/key
+                touched_buckets=touched_buckets,
+                replies_dir=replies_dir,
             )
         return state_df, events_df, replies_df
 
@@ -422,33 +476,37 @@ class CommandEngine:
         def on_batch(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            result = self.process_batch(batch_df, str(batch_id))
-            if result is None:
-                # replayed batch: state/events are durable, but the reply-
-                # channel write may have raced the crash — recover the ACKs
-                # committed with the batch and (re)write them idempotently
-                if replies_path is not None:
-                    spark = batch_df.sparkSession
-                    recovered = self.store.replies_for_batch(spark, str(batch_id))
-                    if recovered is not None:
-                        (
-                            recovered.withColumn("batch_id", F.lit(str(batch_id)))
-                            .coalesce(1)
-                            .write.mode("overwrite")
-                            .parquet(os.path.join(replies_path, f"batch={batch_id}"))
+            target = (
+                os.path.join(replies_path, f"batch={batch_id}")
+                if replies_path is not None
+                else None
+            )
+            # the commit writes the ACKs directly into the gateway dir
+            # (replies_dir): one reply write per batch, durable before the
+            # manifest publishes. A crash after the reply write but before
+            # the manifest re-folds the batch on replay and overwrites the
+            # dir with identical acks (handlers are deterministic and the
+            # committed snapshot is unchanged).
+            result = self.process_batch(batch_df, str(batch_id), replies_dir=target)
+            if result is None and target is not None:
+                # replayed batch committed by a PRIOR engine run: its acks
+                # are durable in the store, but may live in the version dir
+                # (older layout, or a non-streaming committer) rather than
+                # the gateway dir — recover them idempotently. When the
+                # manifest already points AT the gateway dir, the acks are
+                # in place; rewriting would read and clobber the same files.
+                loc = self.store.replies_location(str(batch_id))
+                if loc is not None and os.path.abspath(loc) == os.path.abspath(target):
+                    return
+                spark = batch_df.sparkSession
+                recovered = self.store.replies_for_batch(spark, str(batch_id))
+                if recovered is not None:
+                    cols = recovered.columns
+                    if "batch_id" not in cols:
+                        recovered = recovered.withColumn(
+                            "batch_id", F.lit(str(batch_id))
                         )
-                return
-            _, _, replies = result
-            if replies_path is not None:
-                # per-batch overwrite => reply writes are idempotent under
-                # replay of a batch whose commit raced the reply write;
-                # batch_id is stamped so the gateway can dedup/trace
-                (
-                    replies.withColumn("batch_id", F.lit(str(batch_id)))
-                    .coalesce(1)
-                    .write.mode("overwrite")
-                    .parquet(os.path.join(replies_path, f"batch={batch_id}"))
-                )
+                    recovered.coalesce(1).write.mode("overwrite").parquet(target)
 
         return (
             commands_stream.writeStream.foreachBatch(on_batch)

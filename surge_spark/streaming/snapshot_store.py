@@ -50,6 +50,7 @@ import os
 import time
 import uuid
 import zlib
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -206,6 +207,13 @@ class SnapshotStore:
             return int(prev_manifest.get("num_buckets", self.default_num_buckets))
         return self.default_num_buckets
 
+    def num_buckets(self) -> int:
+        """Bucket count the NEXT commit will use (current manifest's, or the
+        default for a fresh store) — what a caller precomputing
+        ``touched_buckets`` must hash with."""
+        v = self.latest_version()
+        return self._num_buckets(self._manifest(v) if v is not None else None)
+
     def _bucket_expr(self, nb: int) -> F.Column:
         """JVM-side bucket id; mirrored driver-side by _bucket_of."""
         return F.pmod(
@@ -241,6 +249,8 @@ class SnapshotStore:
         delete_keys: list | DataFrame | None = None,
         records: DataFrame | None = None,
         updates_unique: bool = False,
+        touched_buckets: set | None = None,
+        replies_dir: str | None = None,
     ) -> bool:
         """Atomically commit one micro-batch: append events, merge state
         updates into their key-hash buckets, publish a manifest. Returns
@@ -255,6 +265,21 @@ class SnapshotStore:
         ``records``: raw outbound producer records (the persistRecord
         surface, Context.scala:13-14) — appended like events, readable via
         read_records.
+        ``touched_buckets``: the bucket ids (``_bucket_expr`` of every
+        updated/deleted key, stringified) when the caller already computed
+        them — skips the one collect job this commit otherwise runs. The
+        command engine derives them inside the same aggregate as its
+        per-kind counts, shaving a job off every micro-batch; the set MUST
+        be exact (a missing id loses that bucket's surviving rows from the
+        merge; an extra id rewrites — and without its survivors, drops — an
+        untouched bucket).
+        ``replies_dir``: write the replies THERE instead of inside the
+        version directory (and record that path in the manifest) — lets a
+        streaming deployment's gateway reply channel be the commit's own
+        write instead of a second copy. The dir is then subject to the
+        caller's retention (prune_replies), not version vacuum; a pruned
+        dir simply ages the batch out of reply recovery, which the
+        dedup_horizon does anyway.
         ``updates_unique``: set True when the caller guarantees at most one
         row per key in ``state_updates`` (the engine's fold does) — skips
         the per-key dedup that otherwise enforces the snapshot's
@@ -281,17 +306,34 @@ class SnapshotStore:
         vdir = os.path.join(self.path, f"v{version:012d}-{token}")
         events_path = os.path.join(vdir, "events")
         state_path = os.path.join(vdir, "state")
-        replies_path = os.path.join(vdir, "replies")
+        replies_path = (
+            os.path.join(vdir, "replies") if replies_dir is None else replies_dir
+        )
         records_path = os.path.join(vdir, "records")
 
+        # the events/replies/records appends are independent of the state
+        # merge and of each other (separate output dirs): run them as
+        # concurrent Spark jobs so a micro-batch commit pays ONE round of
+        # job-scheduling + committer latency, not four back-to-back. The
+        # manifest below still publishes only after every write returned, so
+        # commit atomicity is unchanged (a failure leaves an orphaned
+        # staging dir for vacuum, exactly as in the serial form).
+        side_writes = []
+        pool = ThreadPoolExecutor(max_workers=3)
         n_events = 0
         if events is not None:
-            events.write.mode("overwrite").parquet(events_path)
+            side_writes.append(
+                pool.submit(events.write.mode("overwrite").parquet, events_path)
+            )
             n_events = -1  # counted lazily by readers; avoid an extra job
         if replies is not None:
-            replies.write.mode("overwrite").parquet(replies_path)
+            side_writes.append(
+                pool.submit(replies.write.mode("overwrite").parquet, replies_path)
+            )
         if records is not None:
-            records.write.mode("overwrite").parquet(records_path)
+            side_writes.append(
+                pool.submit(records.write.mode("overwrite").parquet, records_path)
+            )
 
         spark = state_updates.sparkSession
         if self.key_col in state_updates.columns:
@@ -331,18 +373,29 @@ class SnapshotStore:
             if upd is None:
                 upd = state_updates.select(
                     F.col(self.key_col).cast("string").alias(self.key_col)
-                ).distinct()
+                )
+                if not updates_unique:
+                    # the anti-join only tests membership, but the
+                    # touched-bucket distinct below assumes a bounded key
+                    # frame; when the caller guarantees one row per key the
+                    # dedup exchange is pure overhead (AQE is off inside
+                    # foreachBatch, so it would run at the full session
+                    # shuffle-partition count)
+                    upd = upd.distinct()
             dele = self._keys_df(spark, delete_keys)
             touched_keys = upd if dele is None else upd.unionByName(dele).distinct()
             touched_keys = touched_keys.where(F.col(self.key_col).isNotNull())
-            touched = {
-                str(r[0])
-                for r in touched_keys.select(
-                    self._bucket_expr(nb).alias("b")
-                )
-                .distinct()
-                .collect()
-            }
+            if touched_buckets is not None:
+                touched = {str(b) for b in touched_buckets}
+            else:
+                touched = {
+                    str(r[0])
+                    for r in touched_keys.select(
+                        self._bucket_expr(nb).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                }
             if legacy_state is not None:
                 # legacy store: no bucket map — every key lives in the one
                 # unbucketed path, so the full snapshot is the merge input
@@ -374,9 +427,14 @@ class SnapshotStore:
 
         # one distributed job writes every touched bucket (and any brand-new
         # bucket an insert lands in); untouched buckets are never read
-        content.withColumn(_BUCKET_COL, self._bucket_expr(nb)).write.partitionBy(
-            _BUCKET_COL
-        ).mode("overwrite").parquet(state_path)
+        try:
+            content.withColumn(_BUCKET_COL, self._bucket_expr(nb)).write.partitionBy(
+                _BUCKET_COL
+            ).mode("overwrite").parquet(state_path)
+            for w in side_writes:
+                w.result()  # surface any side-write failure BEFORE the manifest
+        finally:
+            pool.shutdown(wait=True)
 
         new_buckets = dict(prev_buckets)
         for b in touched:
@@ -502,6 +560,16 @@ class SnapshotStore:
         if m.get("replies") and os.path.exists(m["replies"]):
             return spark.read.parquet(m["replies"])
         return None
+
+    def replies_location(self, batch_id: str) -> str | None:
+        """Where ``batch_id``'s replies were committed (None if unknown) —
+        lets run_stream's replay recovery skip rewriting acks that the
+        commit already wrote to the gateway's own reply dir."""
+        self.committed_batch_ids()
+        v = self._version_by_batch.get(str(batch_id))
+        if v is None:
+            return None
+        return self._manifest(v).get("replies")
 
     def _events_sidecar_path(self) -> str:
         return os.path.join(self.path, "_manifests", "_events_compacted.json")
