@@ -363,13 +363,20 @@ def semantic_clusters(
     n_cells: int = 16,
     iters: int = 4,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Semantic clustering of an embedding column: spherical k-means
     (ivf_train's distributed Lloyd loop) then shuffle-free map-side
     assignment. Returns (id, cluster, cluster_size) — the blocking stage of
     embedding-space dedup and a corpus-composition diagnostic in its own
-    right. Only the n_cells × dim centroid model ever reaches the driver."""
-    assigned = _cluster_assignments(df, id_col, vec_col, n_cells, iters, seed)
+    right. Only the n_cells × dim centroid model ever reaches the driver.
+    Pass ``centroids`` to skip training and assign against a fixed model
+    (reusing an index across corpora; also makes the whole query
+    declarative, which the catalog uses to give it a value-checked
+    oracle)."""
+    assigned = _cluster_assignments(
+        df, id_col, vec_col, n_cells, iters, seed, centroids
+    )
     sizes = assigned.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
     return assigned.join(sizes, "cluster").select("id", "cluster", "cluster_size")
 
@@ -381,12 +388,15 @@ def _cluster_assignments(
     n_cells: int,
     iters: int,
     seed: int,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Train + map-side assign only — (id, cluster), no size aggregation.
     Shared by semantic_clusters (which attaches sizes) and
     semantic_neardup_pairs (which only needs the blocking key and would
     otherwise pay a full-corpus shuffle for a column it drops)."""
-    cents = ivf_train(df, vec_col, n_cells, iters, seed)
+    cents = centroids if centroids is not None else ivf_train(
+        df, vec_col, n_cells, iters, seed
+    )
     return _assign_cell(
         with_unit_vector(df, vec_col), F.col("unit"), cents
     ).select(F.col(id_col).alias("id"), F.col("cell").alias("cluster"))
@@ -400,14 +410,18 @@ def semantic_neardup_pairs(
     n_cells: int = 16,
     iters: int = 4,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """End-to-end semantic near-dedup: k-means cells as the blocking key,
     exact cosine only within a cell. Pair space is bounded by the largest
     cell (~corpus/n_cells on balanced data) instead of the corpus square —
     the embedding-space analog of MinHash-LSH's band buckets. A true near-dup
     pair is missed only when k-means splits it across cells; raise n_cells
-    for speed, lower it (or multi-assign like ivf_probe_cells) for recall."""
-    clustered = _cluster_assignments(df, id_col, vec_col, n_cells, iters, seed)
+    for speed, lower it (or multi-assign like ivf_probe_cells) for recall.
+    ``centroids`` skips training, as in semantic_clusters."""
+    clustered = _cluster_assignments(
+        df, id_col, vec_col, n_cells, iters, seed, centroids
+    )
     blocked = df.join(
         clustered.select(F.col("id").alias(id_col), "cluster"), id_col
     )

@@ -4,9 +4,19 @@ The brute-force entries carry full DuckDB oracles (explicit double-precision
 list arithmetic on both sides, rounded before ranking so float noise cannot
 flip an ordering). The LSH-bucketed ANN path is hyperplane-seed dependent →
 rows-only here, recall-checked against brute force in tests/test_similarity.py.
+
+The k-means-backed entries (clusters / neardup / IVF top-k) inject a FIXED
+literal centroid model instead of training in the catalog path: assignment
+becomes a pure expression both engines evaluate on the same double literals,
+so these carry full value-checked oracles too. Distributed training itself
+(ivf_train's Lloyd loop) stays covered by the planted-cluster recall tests in
+tests/test_similarity.py — the catalog's job is checking the query plan, not
+the trainer's seeds.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -22,6 +32,53 @@ list_sum(list_transform(range(1, len({a}) + 1),
          i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
 / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
  * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+def _fixed_centroids(n_cells: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic unit-norm centroid model shared verbatim by the Spark
+    plan (literal arrays) and the DuckDB oracle (rendered literals): a
+    sin-sequence pseudo-model, data-independent so testdata regeneration
+    can't shift it. Python float repr round-trips, so both engines parse
+    the exact same doubles."""
+    cents = []
+    for i in range(n_cells):
+        raw = [math.sin(1.0 + i * dim + d) for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in raw))
+        cents.append([x / n for x in raw])
+    return cents
+
+
+FIXED_CENTS = _fixed_centroids()
+
+# DuckDB VALUES rows of the same literals: (cell, c)
+_DUCK_CENTS = ",\n      ".join(
+    "({}, [{}])".format(i, ", ".join(repr(x) for x in c))
+    for i, c in enumerate(FIXED_CENTS)
+)
+
+# per-row argmax over cells is scale-invariant, so the oracle scores raw
+# embeddings (no normalize) — same cell as Spark's unit-vector argmax;
+# ties break to the LOWEST cell, mirroring _assign_cell's (sim, -cell) max
+_DUCK_ASSIGN = f"""
+    cents(cell, c) AS (VALUES
+      {_DUCK_CENTS}
+    ),
+    scored_cells AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * c.c[i])) AS sim
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT vec_id, embedding, cell,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY sim DESC, cell ASC
+               ) AS rn
+        FROM scored_cells
+      ) WHERE rn = 1
+    )
 """
 
 
@@ -127,44 +184,99 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_ivf_topk")
+@query(
+    "sim_ann_ivf_topk",
+    oracle=f"""
+    WITH {_DUCK_ASSIGN},
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    q_probe AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT q.query_id, q.qe, c.cell,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_sum(list_transform(range(1, len(q.qe) + 1),
+                          i -> CAST(q.qe[i] AS DOUBLE) * c.c[i])) DESC, c.cell DESC
+               ) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 4
+    ),
+    cands AS (
+      SELECT DISTINCT p.query_id, p.qe, a.vec_id AS corpus_id, a.embedding AS ce
+      FROM q_probe p JOIN assigned a ON p.cell = a.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id,
+             {_DUCK_COSINE.format(a="ce", b="qe")} AS cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_DUCK_COSINE.format(a="ce", b="qe")} DESC, corpus_id
+             ) AS INT) AS rank
+      FROM cands
+    )
+    SELECT query_id, corpus_id, CAST(round(cosine, 6) AS DOUBLE) AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via an IVF coarse quantizer (8 cells, probe 4):
-    spherical-k-means centroids, shuffle-free map-side cell assignment,
-    exact re-rank inside probed cells only. Centroid-init dependent →
-    rows-only check; recall vs brute force asserted in
-    tests/test_similarity.py."""
+    """Approximate top-10 via an IVF coarse quantizer (8 fixed cells, probe
+    4): shuffle-free map-side cell assignment, exact re-rank inside probed
+    cells only. The catalog entry injects the FIXED_CENTS literal model, so
+    probe + assignment + re-rank are all declarative and fully oracled;
+    trained-centroid recall is pinned in tests/test_similarity.py. Probe
+    ties break to the HIGHER cell (reverse(array_sort)) while assignment
+    ties break LOWER — both mirrored in the oracle's ORDER BY."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return sim.ann_topk_ivf(
-        emb, queries, "vec_id", "embedding", k=10, n_cells=8, nprobe=4, iters=2
+        emb, queries, "vec_id", "embedding", k=10, n_cells=8, nprobe=4,
+        centroids=FIXED_CENTS,
     )
 
 
-@query("sim_semantic_clusters")
+@query(
+    "sim_semantic_clusters",
+    oracle=f"""
+    WITH {_DUCK_ASSIGN}
+    SELECT vec_id AS id, CAST(cell AS INT) AS cluster,
+           count(*) OVER (PARTITION BY cell) AS cluster_size
+    FROM assigned
+    """,
+)
 def sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spherical k-means semantic clustering of the embedding corpus
-    (distributed Lloyd iterations — only the 16×64-double centroid model
-    touches the driver). Iterative + FP-order dependent → rows-only check;
-    cluster recovery on a planted-cluster corpus pinned in
-    tests/test_similarity.py."""
+    """Semantic clustering of the embedding corpus against the FIXED_CENTS
+    literal model: assignment is a pure map-side expression fold (no
+    shuffle, no Python), sizes one partial+final aggregate — fully oracled.
+    The distributed Lloyd trainer (ivf_train) stays exercised by the
+    planted-cluster recovery tests in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.semantic_clusters(emb, "vec_id", "embedding", n_cells=16, iters=2)
+    return sim.semantic_clusters(
+        emb, "vec_id", "embedding", centroids=FIXED_CENTS
+    )
 
 
-@query("sim_semantic_neardup_pairs")
+@query(
+    "sim_semantic_neardup_pairs",
+    oracle=f"""
+    WITH {_DUCK_ASSIGN}
+    SELECT x.cell AS cluster, x.vec_id AS id_a, y.vec_id AS id_b,
+           CAST(round({_DUCK_COSINE.format(a="x.embedding", b="y.embedding")}, 6) AS DOUBLE) AS cosine
+    FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id
+    WHERE round({_DUCK_COSINE.format(a="x.embedding", b="y.embedding")}, 6) >= 0.3
+    """,
+)
 def sim_semantic_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic near-dedup without a precomputed blocking label: k-means
-    cells bound the pair space (corpus²/n_cells on balanced data), exact
-    cosine within a cell. The learned-blocking twin of
+    """Semantic near-dedup without a precomputed blocking label: fixed
+    k-means cells bound the pair space (corpus²/n_cells on balanced data),
+    exact cosine within a cell. The learned-blocking twin of
     sim_embedding_neardup_pairs (which trusts the stored `label`).
     Threshold 0.3 because the synthetic embeddings are near-orthogonal (max
     pairwise cosine ~0.48) — production default stays 0.9 in the operator.
-    Rows-only: clustering is iterative; recall vs brute-force exact pairs
-    on a planted-cluster corpus pinned in tests/test_similarity.py."""
+    Fully oracled via the injected FIXED_CENTS model; trained-blocking
+    recall is pinned in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.semantic_neardup_pairs(
-        emb, "vec_id", "embedding", threshold=0.3, n_cells=16, iters=2
+        emb, "vec_id", "embedding", threshold=0.3, centroids=FIXED_CENTS
     )
 
 
