@@ -25,7 +25,17 @@ This module re-creates that protocol transport-agnostically:
 - ``MultilanguageGateway`` is the gateway service: forward_command /
   get_state / health_check with the proto reply shapes. ``serve_grpc``
   binds the real wire protocol when ``grpcio`` is installed (not in this
-  environment — import-gated, not stubbed logic: everything above it runs).
+  environment — import-gated, not stubbed logic: everything above it runs);
+- a REAL cross-process wire the environment does permit:
+  ``serve_business_logic`` exposes any BusinessLogicService over a
+  length-prefixed JSON loopback socket (stdlib socketserver), and
+  ``RemoteBusinessLogicClient`` is the matching client — it implements the
+  same three-method contract, so it plugs into ``GenericCommandModel`` /
+  ``MultilanguageGateway`` unchanged. The client carries only (host, port)
+  and dials per call, so it pickles into Spark's Python workers and the
+  distributed fold really does call out of process, exactly like the
+  reference engine calling a business app over gRPC. Swapping this framing
+  for grpc stubs changes ``_call`` only.
 
 Payloads are opaque bytes end to end. Inside the engine they ride as
 base64 strings (the snapshot store's schemas are JSON-native by contract,
@@ -35,6 +45,10 @@ command_engine.py process_batch notes), decoded back at the protocol edge.
 from __future__ import annotations
 
 import base64
+import json
+import socket
+import socketserver
+import struct
 import uuid
 from dataclasses import dataclass
 from typing import Any, Protocol
@@ -180,6 +194,180 @@ class GenericCommandModel:
         for e in events:
             ctx = ctx.persist_event({"payload": _b64(e.payload)})
         return ctx.update_state(new_state)
+
+
+# -- loopback wire: stdlib length-prefixed JSON framing ----------------------
+#
+# The env permits no grpcio, but "cross-process protocol" is testable without
+# it: these helpers move the SAME proto-shaped messages over a TCP socket
+# (4-byte big-endian length + UTF-8 JSON). Bytes payloads ride base64 in the
+# JSON, mirroring how they ride inside the engine.
+
+
+def _send_frame(sock: socket.socket, obj: dict) -> None:
+    data = json.dumps(obj).encode("utf-8")
+    sock.sendall(struct.pack(">I", len(data)) + data)
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise EOFError("peer closed")
+        buf += chunk
+    return buf
+
+
+def _recv_frame(sock: socket.socket) -> dict:
+    (n,) = struct.unpack(">I", _recv_exact(sock, 4))
+    return json.loads(_recv_exact(sock, n).decode("utf-8"))
+
+
+def _state_json(s: State | None) -> dict | None:
+    return None if s is None else {"aggregate_id": s.aggregate_id, "payload": _b64(s.payload)}
+
+
+def _state_unjson(d: dict | None) -> State | None:
+    return None if d is None else State(d["aggregate_id"], _unb64(d.get("payload")))
+
+
+def _event_json(e: Event) -> dict:
+    return {"aggregate_id": e.aggregate_id, "payload": _b64(e.payload)}
+
+
+def _event_unjson(d: dict) -> Event:
+    return Event(d["aggregate_id"], _unb64(d.get("payload")))
+
+
+def _dispatch(service: BusinessLogicService, req: dict) -> dict:
+    """Server-side method dispatch (sync or async service methods)."""
+    import asyncio
+    import inspect
+
+    def run(value):
+        return asyncio.run(value) if inspect.iscoroutine(value) else value
+
+    method = req.get("method")
+    if method == "ProcessCommand":
+        r = run(
+            service.process_command(
+                req["aggregate_id"],
+                _state_unjson(req.get("state")),
+                Command(req["aggregate_id"], _unb64(req["command"]["payload"])),
+            )
+        )
+        return {
+            "aggregate_id": r.aggregate_id,
+            "is_success": r.is_success,
+            "rejection_message": r.rejection_message,
+            "events": [_event_json(e) for e in r.events],
+        }
+    if method == "HandleEvents":
+        s = run(
+            service.handle_events(
+                req["aggregate_id"],
+                _state_unjson(req.get("state")),
+                [_event_unjson(e) for e in req.get("events", [])],
+            )
+        )
+        return {"state": _state_json(s)}
+    if method == "HealthCheck":
+        r = service.health_check()
+        return {"service_name": r.service_name, "status": r.status}
+    raise ValueError(f"unknown method {method!r}")
+
+
+class _BusinessLogicTCPServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+def serve_business_logic(
+    service: BusinessLogicService, host: str = "127.0.0.1", port: int = 0
+) -> _BusinessLogicTCPServer:
+    """Expose a BusinessLogicService on a loopback socket — the process
+    hosting the user's business logic runs this (the analog of the
+    reference's business app serving BusinessLogicService over gRPC,
+    multilanguage-protocol.proto:88-92). Returns the bound server; call
+    ``serve_forever()`` (or run it in a thread) and read
+    ``server_address`` for the actual port when ``port=0``. Errors raised
+    by the service are shipped back as ``{"error": ...}`` frames and
+    re-raised client-side, so a failing handler fails the command, not the
+    transport."""
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self) -> None:  # one connection, many frames
+            while True:
+                try:
+                    req = _recv_frame(self.request)
+                except (EOFError, ConnectionError):
+                    return
+                try:
+                    resp = _dispatch(service, req)
+                except Exception as exc:  # noqa: BLE001 — ship to caller
+                    resp = {"error": f"{type(exc).__name__}: {exc}"}
+                _send_frame(self.request, resp)
+
+    return _BusinessLogicTCPServer((host, port), Handler)
+
+
+class RemoteBusinessLogicClient:
+    """BusinessLogicService implementation that calls a remote (other-
+    process) service over the loopback wire. Holds only (host, port,
+    timeout) — picklable, so the engine's distributed fold can carry it
+    into Spark Python workers; each call dials a fresh connection, which on
+    loopback costs microseconds and never leaks sockets across forks."""
+
+    def __init__(self, host: str, port: int, timeout: float = 30.0) -> None:
+        self.host = host
+        self.port = port
+        self.timeout = timeout
+
+    def _call(self, req: dict) -> dict:
+        with socket.create_connection(
+            (self.host, self.port), timeout=self.timeout
+        ) as sock:
+            _send_frame(sock, req)
+            resp = _recv_frame(sock)
+        if "error" in resp:
+            raise RuntimeError(f"remote business logic failed: {resp['error']}")
+        return resp
+
+    def process_command(
+        self, aggregate_id: str, state: State | None, command: Command
+    ) -> ProcessCommandReply:
+        r = self._call(
+            {
+                "method": "ProcessCommand",
+                "aggregate_id": aggregate_id,
+                "state": _state_json(state),
+                "command": {"payload": _b64(command.payload)},
+            }
+        )
+        return ProcessCommandReply(
+            aggregate_id=r["aggregate_id"],
+            is_success=r["is_success"],
+            rejection_message=r.get("rejection_message", ""),
+            events=tuple(_event_unjson(e) for e in r.get("events", [])),
+        )
+
+    def handle_events(
+        self, aggregate_id: str, state: State | None, events: list[Event]
+    ) -> State | None:
+        r = self._call(
+            {
+                "method": "HandleEvents",
+                "aggregate_id": aggregate_id,
+                "state": _state_json(state),
+                "events": [_event_json(e) for e in events],
+            }
+        )
+        return _state_unjson(r.get("state"))
+
+    def health_check(self) -> HealthCheckReply:
+        r = self._call({"method": "HealthCheck"})
+        return HealthCheckReply(service_name=r["service_name"], status=r["status"])
 
 
 # -- the gateway service -----------------------------------------------------
