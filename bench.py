@@ -42,6 +42,7 @@ HEADLINE = [
     "t_quality_score",             # text quality features
     "t_bpe_ish_token_count",       # regex tokenizer counts
     "t_unigram_logprob",           # unigram-LM quality scoring
+    "t_bm25_search",               # BM25 ranked retrieval (new r5)
 ]
 
 N_RUNS = 3

@@ -457,3 +457,70 @@ def lang_temperature_mix(
         F.round(w, 6).alias("temp_share"),
         F.round(w / F.col("_p"), 6).alias("sample_factor"),
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a bag of query terms — the
+    classic search scorer (Robertson/Lucene form:
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    tf_term = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))).
+    Returns the top ``k`` docs: (id, score, n_hit_terms, rank).
+
+    Shape at scale: the token stream is filtered to the query terms
+    MAP-SIDE (a literal isin over the exploded tokens — Catalyst pushes it
+    into the same stage as the explode), so only matching (doc, term) rows
+    ever aggregate; doc lengths are one partial+final count and corpus
+    N/avgdl a one-row broadcast. Nothing corpus-wide shuffles except the
+    doc-length aggregate the scorer needs anyway. Scores are rounded to 6
+    BEFORE ranking (ties then break on id) so the ordering is reproducible
+    across engines and partitionings."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    dl = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("_n_docs"), F.avg("dl").alias("_avgdl")
+    )
+    hits = toks.where(F.col("token").isin(list(query_terms)))
+    tf = hits.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dfreq, "token")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                1.0
+                + (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_tfw",
+            (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.round(F.sum(F.col("_idf") * F.col("_tfw")), 6).alias("score"),
+        F.count("*").cast("int").alias("n_hit_terms"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "score", "n_hit_terms", "rank")
+    )

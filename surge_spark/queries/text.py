@@ -827,3 +827,106 @@ def t_lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language repeat factors — the standard low-resource upsampling rule
     a multilingual pretraining run applies to its corpus shares."""
     return tx.lang_temperature_mix(_docs(spark, sf_dir), "text", "lang", alpha=0.3)
+
+
+@query(
+    "t_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+      ) WHERE token <> ''
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks
+      WHERE token IN ('window', 'merge', 'customer')
+      GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT t.doc_id,
+             ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * 2.2)
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS w
+      FROM tf t
+      JOIN dfreq d USING (token)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    per_doc AS (
+      SELECT doc_id AS id, CAST(round(sum(w), 6) AS DOUBLE) AS score,
+             CAST(count(*) AS INT) AS n_hit_terms
+      FROM scored GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT id, score, n_hit_terms,
+             CAST(row_number() OVER (ORDER BY score DESC, id) AS INT) AS rank
+      FROM per_doc
+    )
+    SELECT id, score, n_hit_terms, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def t_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for the query bag {window, merge, customer}
+    (k1=1.2, b=0.75, Lucene idf): top-10 docs with per-doc score and hit
+    count. The token stream is filtered to the query terms map-side, so
+    only matching (doc, term) rows aggregate; scores round to 6 before
+    ranking on both sides so order can't flip on float noise."""
+    return tx.bm25_search(
+        _docs(spark, sf_dir), "doc_id", "text",
+        ["window", "merge", "customer"], k=10,
+    )
+
+
+@query(
+    "t_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+      ) WHERE token <> ''
+    ),
+    vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    n AS (SELECT sum(cnt) AS total FROM vocab),
+    scored AS (
+      SELECT doc_id, avg(log10(cnt)) AS mlc
+      FROM toks JOIN vocab USING (token) GROUP BY doc_id
+    ),
+    lp AS (
+      SELECT doc_id, CAST(round(mlc - log10(total), 6) AS DOUBLE) AS mean_logprob
+      FROM scored, n
+    )
+    SELECT d.doc_id, d.lang, lp.mean_logprob,
+           CASE ntile(3) OVER (
+             PARTITION BY d.lang ORDER BY lp.mean_logprob DESC, d.doc_id
+           ) WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM lp JOIN documents d USING (doc_id)
+    """,
+)
+def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per language, docs split into
+    head/middle/tail terciles of unigram-LM mean log-probability — the
+    standard quality-tier labeling a pretraining mix samples from
+    (head-heavy). Reuses the corpus-own unigram scorer; the bucket split
+    is one ntile window over the (lang, rounded-logprob, doc_id) ordering,
+    deterministic across engines."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    lp = tx.unigram_logprob(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "mean_logprob"
+    )
+    j = lp.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("mean_logprob"), F.asc("doc_id")
+    )
+    tier = F.ntile(3).over(w)
+    return j.select(
+        "doc_id",
+        "lang",
+        "mean_logprob",
+        F.when(tier == 1, "head").when(tier == 2, "middle").otherwise("tail")
+        .alias("bucket"),
+    )

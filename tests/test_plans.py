@@ -262,3 +262,40 @@ def test_unigram_logprob_no_smj_no_cartesian(spark, sf_dir):
     assert "partial_count" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q3_broadcasts_dim_and_takeordered(spark, sf_dir):
+    """q3_shipping_priority: customer broadcasts (never a shuffle join for
+    the dim) and the top-10 is TakeOrdered, not a global sort; both date
+    filters reach their scans."""
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    flat = plan.replace(" ", "").replace("\n", "")
+    assert "PushedFilters" in plan and "LessThan(o_orderdate" in flat
+    assert "GreaterThan(l_shipdate" in flat
+
+
+def test_q18_aggregates_lineitem_before_join(spark, sf_dir):
+    """q18_large_orders: the quantity rollup must run partial+final on
+    lineitem BEFORE any join (the semi-join-sized reduction), and customer
+    broadcasts."""
+    plan = _plan(spark, sf_dir, "q18_large_orders")
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
+    # the lineitem aggregate's exchange appears BELOW the first join in the
+    # tree: the aggregate's final HashAggregate must occur before (deeper
+    # than) any join operator when reading the plan bottom-up — cheap proxy:
+    # no SortMergeJoin anywhere (a join-first plan on unreduced lineitem
+    # would exceed the broadcast threshold and sort-merge)
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
+    """t_bm25_search: the query-term filter is map-side (same stage as the
+    token explode, before any exchange) so only matching rows aggregate;
+    corpus stats enter as a broadcast, not a collect."""
+    plan = _plan(spark, sf_dir, "t_bm25_search")
+    flat = plan.replace(" ", "").replace("\n", "")
+    assert "token#" in flat and "IN(window,merge,customer)".lower() in flat.lower() or "tokenIN" in flat.replace("#", "") or "INSET" in flat.upper()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
