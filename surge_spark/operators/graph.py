@@ -93,3 +93,50 @@ def connected_components(
             break
         prev = cur
     return comp.select("id", F.col("comp").alias("component"))
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected graph ``edges`` —
+    returns (node, rank) after exactly ``iters`` power iterations from the
+    uniform distribution. Fixing the iteration count (vs converging) is
+    what makes the result deterministic and engine-portable: the catalog
+    oracle unrolls the same iterations as SQL CTEs.
+
+    Scale shape: the graph is symmetrized once; each iteration is one join
+    of the rank frame against the (src-degree-annotated) edge list plus one
+    partial+final aggregate on dst — two shuffles per iteration, no driver
+    state (the node count enters as a one-row broadcast, never a collect).
+    Because the symmetrized graph has no dangling nodes (every node has
+    out-degree ≥ 1), the teleport term is the only rank source besides
+    neighbors and mass is conserved up to fp. The iterated plan is shallow
+    (iters is small and fixed); for convergence-style runs use
+    localCheckpoint per round like connected_components."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    deg = sym.groupBy("src").agg(F.count("*").alias("_deg"))
+    edge_deg = sym.join(deg, "src")
+    n_row = F.broadcast(nodes.agg(F.count("*").alias("_n")))
+    ranks = nodes.crossJoin(n_row).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    for _ in range(max(0, iters)):
+        contrib = (
+            edge_deg.join(ranks, edge_deg.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = contrib.crossJoin(n_row).select(
+            "node",
+            ((1.0 - damping) / F.col("_n") + damping * F.col("_in")).alias("rank"),
+        )
+    return ranks

@@ -1500,3 +1500,64 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+_PR_ITER = """
+  SELECT s.dst AS node,
+         (1 - 0.85) / (SELECT n FROM n) + 0.85 * sum(r.rank / d.deg) AS rank
+  FROM sym s JOIN {prev} r ON s.src = r.node JOIN deg d ON s.src = d.src
+  GROUP BY s.dst
+"""
+
+
+@query(
+    "g_pagerank_parts",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    n AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM n) AS rank FROM nodes),
+    r1 AS ({_PR_ITER.format(prev="r0")}),
+    r2 AS ({_PR_ITER.format(prev="r1")}),
+    r3 AS ({_PR_ITER.format(prev="r2")}),
+    ranked AS (
+      SELECT node AS part, CAST(round(rank, 9) AS DOUBLE) AS rank,
+             CAST(row_number() OVER (
+               ORDER BY round(rank, 9) DESC, node
+             ) AS INT) AS pos
+      FROM r3
+    )
+    SELECT part, rank, pos FROM ranked WHERE pos <= 20
+    """,
+)
+def g_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 power iterations, d=0.85) over the
+    part-co-occurrence graph — parts are linked when they appear in the
+    same order, the market-basket graph a recommender builds from the same
+    fact table. Iterative DataFrame algorithm with a FULL value oracle:
+    fixing the iteration count makes both engines compute the identical
+    (rounded) ranks, the same trick the fixed-centroid similarity entries
+    use. Top-20 by rounded rank, node tie-break."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnsRenamed({"l_partkey": "src"})
+    b = li.withColumnsRenamed({"l_partkey": "dst"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    from ..operators.graph import pagerank_fixed
+
+    ranks = pagerank_fixed(edges, iters=3, damping=0.85)
+    return (
+        ranks.select(F.col("node").alias("part"), F.round("rank", 9).alias("rank"))
+        .withColumn("pos", F.row_number().over(W.orderBy(F.desc("rank"), F.asc("part"))))
+        .where(F.col("pos") <= 20)
+    )

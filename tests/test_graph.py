@@ -61,3 +61,21 @@ def test_dedup_clusters_composition(spark):
     assert list(out["component"]) == [1, 1, 1, 4, 5]
     assert list(out["cluster_size"]) == [3, 3, 3, 1, 1]
     assert list(out["is_canonical"]) == [True, False, False, True, True]
+
+
+def test_pagerank_fixed_mass_and_symmetry(spark):
+    """PageRank sanity on a known graph: a 4-node path a-b-c-d. Rank mass
+    sums to ~1 every iteration (symmetrized graph has no dangling nodes),
+    ends are symmetric, and middles outrank ends."""
+    from surge_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    r = {
+        row.node: row.rank
+        for row in pagerank_fixed(edges, iters=5).collect()
+    }
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert abs(r[1] - r[4]) < 1e-12 and abs(r[2] - r[3]) < 1e-12
+    assert r[2] > r[1]
