@@ -94,6 +94,11 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
             pos += 1
         tokens.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval, then raw data
+    if payload[pos - 1 : pos] == b"\r" and payload[pos : pos + 1] == b"\n":
+        # CRLF-written header (out-of-spec but common): the single
+        # whitespace is the \r\n pair — without this the pixel stream
+        # starts one byte early and every channel silently shifts
+        pos += 1
     w, h, maxval = tokens
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")

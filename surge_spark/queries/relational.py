@@ -1442,7 +1442,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata has no o_shippriority column — o_orderpriority stands in.
     Rounded before ordering; full (revenue, date, key) tie-break so LIMIT
     is deterministic across engines."""
-    cutoff = F.to_timestamp(F.lit("1998-07-01"))
+    # o_orderdate/l_shipdate read as TIMESTAMP_NTZ (parquet timestamp[us],
+    # not UTC-adjusted): compare against an NTZ literal so the predicate is
+    # wall-clock on ANY driver session timezone (pinned under Asia/Tokyo)
+    cutoff = F.lit("1998-07-01").cast("timestamp_ntz")
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)

@@ -481,12 +481,12 @@ class CommandEngine:
                 if replies_path is not None
                 else None
             )
-            # the commit writes the ACKs directly into the gateway dir
-            # (replies_dir): one reply write per batch, durable before the
-            # manifest publishes. A crash after the reply write but before
-            # the manifest re-folds the batch on replay and overwrites the
-            # dir with identical acks (handlers are deterministic and the
-            # committed snapshot is unchanged).
+            # the commit writes the ACKs once, staged next to the gateway
+            # dir and renamed into place only AFTER the manifest publishes
+            # — the gateway polls for the final dir, so an ack can never
+            # become visible for a batch whose commit can still fail
+            # (commit precedes ack, same as the old two-write scheme but
+            # with a single write job per batch).
             result = self.process_batch(batch_df, str(batch_id), replies_dir=target)
             if result is None and target is not None:
                 # replayed batch committed by a PRIOR engine run: its acks
@@ -497,6 +497,14 @@ class CommandEngine:
                 # in place; rewriting would read and clobber the same files.
                 loc = self.store.replies_location(str(batch_id))
                 if loc is not None and os.path.abspath(loc) == os.path.abspath(target):
+                    # acks were committed to the gateway dir; a crash
+                    # between manifest link and the publication rename
+                    # leaves them staged — finish it (idempotent), then
+                    # there is nothing to rewrite
+                    if not os.path.exists(target):
+                        from .snapshot_store import _finish_reply_publication
+
+                        _finish_reply_publication(target)
                     return
                 spark = batch_df.sparkSession
                 recovered = self.store.replies_for_batch(spark, str(batch_id))

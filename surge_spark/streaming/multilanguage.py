@@ -273,7 +273,7 @@ def _dispatch(service: BusinessLogicService, req: dict) -> dict:
         )
         return {"state": _state_json(s)}
     if method == "HealthCheck":
-        r = service.health_check()
+        r = run(service.health_check())
         return {"service_name": r.service_name, "status": r.status}
     raise ValueError(f"unknown method {method!r}")
 

@@ -59,6 +59,26 @@ from pyspark.sql import types as T
 _BUCKET_COL = "__bucket"
 
 
+def _reply_staging_path(final: str) -> str:
+    """Deterministic staging sibling of an external reply dir — derived,
+    not random, so crash recovery can find and finish an interrupted
+    publication."""
+    return final.rstrip("/") + ".staging"
+
+
+def _finish_reply_publication(final: str) -> None:
+    """Atomically promote a staged external reply dir to its final path
+    (idempotent: no-op when already published or nothing staged)."""
+    import shutil
+
+    staging = _reply_staging_path(final)
+    if not os.path.isdir(staging):
+        return
+    if os.path.isdir(final):
+        shutil.rmtree(final)  # stale direct-write or rewritten replay copy
+    os.rename(staging, final)
+
+
 class SnapshotStore:
     def __init__(
         self,
@@ -273,13 +293,17 @@ class SnapshotStore:
         be exact (a missing id loses that bucket's surviving rows from the
         merge; an extra id rewrites — and without its survivors, drops — an
         untouched bucket).
-        ``replies_dir``: write the replies THERE instead of inside the
+        ``replies_dir``: publish the replies THERE instead of inside the
         version directory (and record that path in the manifest) — lets a
         streaming deployment's gateway reply channel be the commit's own
-        write instead of a second copy. The dir is then subject to the
-        caller's retention (prune_replies), not version vacuum; a pruned
-        dir simply ages the batch out of reply recovery, which the
-        dedup_horizon does anyway.
+        write instead of a second copy. The write lands in a deterministic
+        ``.staging`` sibling and is renamed into place only after the
+        manifest publishes, so a polling gateway can never observe acks
+        for an uncommitted batch (commit precedes ack); an interrupted
+        rename is healed by replies_for_batch / run_stream recovery. The
+        dir is then subject to the caller's retention (prune_replies), not
+        version vacuum; a pruned dir simply ages the batch out of reply
+        recovery, which the dedup_horizon does anyway.
         ``updates_unique``: set True when the caller guarantees at most one
         row per key in ``state_updates`` (the engine's fold does) — skips
         the per-key dedup that otherwise enforces the snapshot's
@@ -306,8 +330,19 @@ class SnapshotStore:
         vdir = os.path.join(self.path, f"v{version:012d}-{token}")
         events_path = os.path.join(vdir, "events")
         state_path = os.path.join(vdir, "state")
-        replies_path = (
+        # external reply dir: WRITE to a deterministic staging sibling and
+        # rename into place only AFTER the manifest publishes — the gateway
+        # polls for the final dir's existence, so acks must never become
+        # visible for a batch whose commit can still fail (commit precedes
+        # ack). The manifest records the FINAL path; if a crash lands
+        # between manifest link and rename, replies_for_batch self-heals by
+        # finishing the rename (staging name is derived, not random).
+        replies_external = replies_dir is not None
+        replies_final = (
             os.path.join(vdir, "replies") if replies_dir is None else replies_dir
+        )
+        replies_path = (
+            _reply_staging_path(replies_final) if replies_external else replies_final
         )
         records_path = os.path.join(vdir, "records")
 
@@ -452,7 +487,7 @@ class SnapshotStore:
             "state_buckets": new_buckets,
             "state_schema": state_schema_json,
             "num_buckets": nb,
-            "replies": replies_path if replies is not None else None,
+            "replies": replies_final if replies is not None else None,
             "records": records_path if records is not None else None,
             "n_events": n_events,
             "ts": time.time(),
@@ -470,6 +505,12 @@ class SnapshotStore:
                 f"fenced: version {version} already committed by another writer"
             ) from e
         os.unlink(tmp)
+        if replies_external and replies is not None:
+            # the manifest is durable: publish the acks atomically. A crash
+            # before this rename is healed by replies_for_batch/run_stream
+            # (deterministic staging name); overwrite any stale target left
+            # by an older engine's direct write.
+            _finish_reply_publication(replies_final)
         self._manifest_cache[version] = manifest
         self._batch_id_cache[version] = str(batch_id)
         self._version_by_batch.setdefault(str(batch_id), version)
@@ -557,7 +598,14 @@ class SnapshotStore:
         if v is None:
             return None
         m = self._manifest(v)
-        if m.get("replies") and os.path.exists(m["replies"]):
+        if not m.get("replies"):
+            return None
+        # a crash between manifest link and external-reply rename leaves the
+        # acks in the deterministic staging dir — finish the publication
+        # before reading (idempotent)
+        if not os.path.exists(m["replies"]):
+            _finish_reply_publication(m["replies"])
+        if os.path.exists(m["replies"]):
             return spark.read.parquet(m["replies"])
         return None
 

@@ -104,7 +104,7 @@ class _AsyncEchoService:
     async def handle_events(self, aggregate_id, state, events):
         return ml.State(aggregate_id, b"|".join(e.payload for e in events))
 
-    def health_check(self):
+    async def health_check(self):
         return ml.HealthCheckReply("echo", "UP")
 
 

@@ -186,3 +186,22 @@ def test_non_stdlib_format_falls_back_to_fake(spark):
     assert out.n_bytes == 40  # fake path ran
     with pytest.raises(NotImplementedError):
         mm.decode_image(png_ish)
+
+
+def test_ppm_crlf_header_decodes_identically(spark):
+    """A CRLF-written P6 header (Windows tools) must not shift the pixel
+    stream by one byte — the \\r\\n pair after maxval is the separator."""
+    pixels = bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 128, 128, 128, 255, 255, 255]
+    )
+    unix = b"P6\n3 2\n255\n" + pixels
+    crlf = b"P6\r\n3 2\r\n255\r\n" + pixels
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": [1, 2], "payload": [unix, crlf],
+             "mime": ["image/x-portable-pixmap"] * 2}
+        )
+    )
+    out = mm.extract_features(df).toPandas().set_index("id")
+    assert list(out.loc[1].feat) == list(out.loc[2].feat)
+    assert out.loc[2].feat[4] == 0.0 and out.loc[2].feat[5] == 1.0

@@ -1016,3 +1016,43 @@ def test_open_window_snapshot_after_stop_then_reopen(spark, tmp_path):
         for r in sw.open_window_snapshot(spark.table("w4r_out")).collect()
     }
     assert snap == {"c": (1, 1)}  # new epoch, not the stale pre-stop buffer
+
+
+def test_external_replies_invisible_until_manifest(spark, tmp_path):
+    """Commit-precedes-ack on the gateway reply channel: with replies_dir
+    set, the final reply dir must NOT exist before the manifest publishes
+    (acks are staged), must exist after, and a crash between manifest and
+    rename is healed by replies_for_batch."""
+    import os
+
+    from surge_spark.streaming import snapshot_store as ss
+
+    store = SnapshotStore(str(tmp_path / "store"), key_col="aggregate_id")
+    target = str(tmp_path / "replies" / "batch=0")
+    updates = spark.createDataFrame([("a", 1)], "aggregate_id string, n int")
+    replies = spark.createDataFrame([("c1", "success")], "command_id string, status string")
+
+    observed = {}
+    orig_link = os.link
+
+    def spy_link(src, dst, *a, **k):
+        if dst.endswith(".manifest.json") or "manifest" in dst:
+            observed["final_exists_at_link"] = os.path.isdir(target)
+            observed["staging_exists_at_link"] = os.path.isdir(
+                ss._reply_staging_path(target)
+            )
+        return orig_link(src, dst, *a, **k)
+
+    os.link = spy_link
+    try:
+        store.commit(None, updates, "b0", replies=replies, replies_dir=target)
+    finally:
+        os.link = orig_link
+    # at manifest-link time the acks were still staged, not visible
+    assert observed == {"final_exists_at_link": False, "staging_exists_at_link": True}
+    assert os.path.isdir(target)  # published after the manifest
+
+    # simulate a crash between manifest and rename: un-publish
+    os.rename(target, ss._reply_staging_path(target))
+    assert store.replies_for_batch(spark, "b0").count() == 1  # self-heals
+    assert os.path.isdir(target)
