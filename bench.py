@@ -38,6 +38,7 @@ HEADLINE = [
     "d_minhash_lsh_neardup",       # MinHash-LSH near-dedup (unpruned verify)
     "d_minhash_lsh_neardup_pruned",  # same, semi-join-pruned verify (100 TB shape)
     "d_duplicate_spans",           # ExactSubstr duplicated-span detection
+    "d_duplicate_spans_hashed",    # same, xxhash64 gram keys (100 TB shape)
     "sim_cosine_topk_bruteforce",  # embedding top-k
     "t_quality_score",             # text quality features
     "t_bpe_ish_token_count",       # regex tokenizer counts

@@ -246,9 +246,7 @@ def d_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(docs, "doc_id", "text")
 
 
-@query(
-    "d_duplicate_spans",
-    oracle="""
+_SPANS_ORACLE = """
     WITH base AS (
       SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
       FROM documents
@@ -277,8 +275,10 @@ def d_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(pos) + 8 - 1 AS INT) AS span_end,
            CAST(max(pos) + 8 - 1 - min(pos) + 1 AS INT) AS span_tokens
     FROM sp GROUP BY doc_id, span_id
-    """,
-)
+    """
+
+
+@query("d_duplicate_spans", oracle=_SPANS_ORACLE)
 def d_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span extraction (Lee et al. 2022 §4, re-expressed
     relationally): maximal token spans whose every 8-gram repeats in the
@@ -287,6 +287,21 @@ def d_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_spans(docs, "doc_id", "text", k=8, min_count=2).withColumn(
         "span_tokens", F.col("span_tokens").cast("int")
     )
+
+
+@query("d_duplicate_spans_hashed", oracle=_SPANS_ORACLE)
+def d_duplicate_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shuffle-byte shape of d_duplicate_spans: the gram
+    frequency aggregate and semi join key on xxhash64(gram) (8 bytes)
+    instead of the raw k-token string. Output is identical to the
+    raw-string form (barring an ~n²/2⁶⁵ hash collision, which could only
+    merge counts upward), so it shares the SAME value oracle — an
+    engine-internal key optimization that the driver gate itself verifies
+    changes nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.duplicate_spans(
+        docs, "doc_id", "text", k=8, min_count=2, hash_grams=True
+    ).withColumn("span_tokens", F.col("span_tokens").cast("int"))
 
 
 @query(
