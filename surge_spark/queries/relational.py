@@ -1564,3 +1564,73 @@ def g_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(W.orderBy(F.desc("rank"), F.asc("part"))))
         .where(F.col("pos") <= 20)
     )
+
+
+@query(
+    "a_kmv_distinct_estimate",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS h
+      FROM events
+    ),
+    kth AS (
+      SELECT event_type, h AS hk FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+      ) WHERE rn = 64
+    ),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events
+      GROUP BY event_type
+    )
+    SELECT e.event_type, e.n_exact,
+           CAST(round(coalesce(63.0 / k.hk, e.n_exact), 4) AS DOUBLE)
+             AS kmv_estimate
+    FROM exact e LEFT JOIN kth k USING (event_type)
+    """,
+)
+def a_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values, k=64) distinct-count sketch beside the exact
+    count — the mergeable distinct estimator (Bar-Yossef et al. 2002)
+    built on the ENGINE-PORTABLE md5, so unlike the HyperLogLog entry
+    (a_approx_count_distinct, Spark-internal sketch → rows-only) this
+    approximate algorithm carries a full value oracle: estimate =
+    (k-1)/h_k where h_k is the k-th smallest normalized hash of the
+    distinct keys; groups with fewer than k distinct keys fall back to
+    their exact count (the sketch is exact below k by construction).
+
+    Scale shape: the distinct-hash reduction is partial+final on
+    (group, hash); the k-th-order-statistic is WindowGroupLimit-prunable
+    (rank ≤ k); only k values per group survive to the estimator. At
+    100 TB the same sketch is mergeable across partitions/days by keeping
+    the k smallest of unioned hash sets. 15 hex chars = 60 bits, exact in
+    a double's 53-bit mantissa? No — but IDENTICALLY rounded on both
+    engines (same division of the same integer), which is what the oracle
+    needs; 2^60 = 1152921504606846976."""
+    e = _t(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    d = e.select("event_type", h.alias("h")).distinct()
+    w = W.partitionBy("event_type").orderBy("h")
+    kth = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 64)
+        .select("event_type", F.col("h").alias("hk"))
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(kth, "event_type", "left").select(
+        "event_type",
+        "n_exact",
+        F.round(
+            F.coalesce(F.lit(63.0) / F.col("hk"), F.col("n_exact").cast("double")),
+            4,
+        ).alias("kmv_estimate"),
+    )

@@ -515,3 +515,28 @@ def test_event_log_compaction_preserves_log_and_reclaims_dirs(spark, tmp_path):
     assert fresh.commit(
         None, spark.createDataFrame([("x", 1)], "k string, v int"), "b3"
     ) is False
+
+
+def test_kmv_estimate_bounded_error(spark, tmp_path):
+    """KMV(k=64) relative error on a 5000-distinct-key group stays well
+    inside the sketch's theoretical ~1/sqrt(k-2) envelope (≈12.7%)."""
+    import pandas as pd
+
+    from surge_spark.queries.relational import a_kmv_distinct_estimate
+
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "event_id": range(n * 2),
+            "ts": pd.to_datetime(["2024-01-01"] * (n * 2)),
+            "user_id": [i % n for i in range(n * 2)],  # each key seen twice
+            "event_type": ["t"] * (n * 2),
+            "value": [0.0] * (n * 2),
+            "props": ["{}"] * (n * 2),
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(df).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    row = a_kmv_distinct_estimate(spark, sf).collect()[0]
+    assert row.n_exact == n
+    assert abs(row.kmv_estimate - n) / n < 0.127 * 3  # 3-sigma-ish guard
