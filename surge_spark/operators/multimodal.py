@@ -94,15 +94,23 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
             pos += 1
         tokens.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval, then raw data
-    if payload[pos - 1 : pos] == b"\r" and payload[pos : pos + 1] == b"\n":
-        # CRLF-written header (out-of-spec but common): the single
-        # whitespace is the \r\n pair — without this the pixel stream
-        # starts one byte early and every channel silently shifts
-        pos += 1
     w, h, maxval = tokens
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
     need = w * h * 3
+    if (
+        payload[pos - 1 : pos] == b"\r"
+        and payload[pos : pos + 1] == b"\n"
+        and len(payload) - pos != need
+        and len(payload) - (pos + 1) >= need
+    ):
+        # CRLF-written header (out-of-spec but common): the separator is
+        # the \r\n pair — without this the pixel stream starts one byte
+        # early and every channel silently shifts. The length check keeps
+        # the spec-legal lone-\r file whose FIRST pixel byte is 0x0A
+        # intact: if the remaining bytes already fit the raster exactly,
+        # that 0x0A is data, not whitespace.
+        pos += 1
     if pos + need > len(payload):
         raise ValueError("truncated PPM pixel data")
     img = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos).reshape(

@@ -1573,7 +1573,7 @@ def g_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT event_type,
              CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
                   AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS h
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     kth AS (
       SELECT event_type, h AS hk FROM (
@@ -1616,7 +1616,15 @@ def a_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         / F.lit(float(1 << 60))
     )
-    d = e.select("event_type", h.alias("h")).distinct()
+    # null keys are excluded on BOTH sides, matching count(DISTINCT)'s
+    # null-ignoring semantics — and because Spark's window orders nulls
+    # FIRST while DuckDB orders them LAST, an unfiltered null hash would
+    # shift the k-th-smallest selection by one between the engines
+    d = (
+        e.where(F.col("user_id").isNotNull())
+        .select("event_type", h.alias("h"))
+        .distinct()
+    )
     w = W.partitionBy("event_type").orderBy("h")
     kth = (
         d.withColumn("rn", F.row_number().over(w))

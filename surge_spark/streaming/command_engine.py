@@ -501,10 +501,7 @@ class CommandEngine:
                     # between manifest link and the publication rename
                     # leaves them staged — finish it (idempotent), then
                     # there is nothing to rewrite
-                    if not os.path.exists(target):
-                        from .snapshot_store import _finish_reply_publication
-
-                        _finish_reply_publication(target)
+                    self.store.ensure_replies_published(str(batch_id))
                     return
                 spark = batch_df.sparkSession
                 recovered = self.store.replies_for_batch(spark, str(batch_id))
@@ -538,11 +535,23 @@ class CommandEngine:
 
         if not os.path.isdir(replies_path):
             return 0
-        batches = [
-            os.path.join(replies_path, d)
-            for d in os.listdir(replies_path)
-            if d.startswith("batch=")
-        ]
+        entries = [d for d in os.listdir(replies_path) if d.startswith("batch=")]
+        # orphaned writer-unique staging dirs (commit crashed before the
+        # manifest, or a fenced loser) must not count toward keep_last —
+        # they would permanently displace real batch dirs from the
+        # retention window. Reclaim any whose final dir exists (published,
+        # so the staging copy is stale) and skip the rest.
+        batches = []
+        removed = 0
+        for d in entries:
+            p = os.path.join(replies_path, d)
+            if ".staging-" in d:
+                final = os.path.join(replies_path, d.split(".staging-", 1)[0])
+                if os.path.isdir(final):
+                    shutil.rmtree(p)
+                    removed += 1
+                continue
+            batches.append(p)
 
         # order by the numeric batch id in the dir name, not mtime: a
         # replayed old batch dir is rewritten (mode overwrite) and gets a
@@ -554,7 +563,6 @@ class CommandEngine:
             return (0, int(bid), "") if bid.isdigit() else (1, 0, bid)
 
         batches.sort(key=batch_key)
-        removed = 0
         for d in batches[: max(0, len(batches) - keep_last)]:
             shutil.rmtree(d)
             removed += 1

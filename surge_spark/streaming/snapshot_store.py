@@ -59,19 +59,21 @@ from pyspark.sql import types as T
 _BUCKET_COL = "__bucket"
 
 
-def _reply_staging_path(final: str) -> str:
-    """Deterministic staging sibling of an external reply dir — derived,
-    not random, so crash recovery can find and finish an interrupted
-    publication."""
-    return final.rstrip("/") + ".staging"
+def _reply_staging_path(final: str, token: str) -> str:
+    """WRITER-UNIQUE staging sibling of an external reply dir: suffixed
+    with the committer's uuid token (same invariant as the version staging
+    dir) so a concurrent fenced committer replaying the same batch can
+    never clobber the winner's staged acks mid-publication. The winner's
+    staging path is recorded in its manifest, which is how crash recovery
+    finds it; a loser's staging dir is simply orphaned."""
+    return f"{final.rstrip('/')}.staging-{token}"
 
 
-def _finish_reply_publication(final: str) -> None:
+def _finish_reply_publication(final: str, staging: str) -> None:
     """Atomically promote a staged external reply dir to its final path
     (idempotent: no-op when already published or nothing staged)."""
     import shutil
 
-    staging = _reply_staging_path(final)
     if not os.path.isdir(staging):
         return
     if os.path.isdir(final):
@@ -342,7 +344,9 @@ class SnapshotStore:
             os.path.join(vdir, "replies") if replies_dir is None else replies_dir
         )
         replies_path = (
-            _reply_staging_path(replies_final) if replies_external else replies_final
+            _reply_staging_path(replies_final, token)
+            if replies_external
+            else replies_final
         )
         records_path = os.path.join(vdir, "records")
 
@@ -488,6 +492,12 @@ class SnapshotStore:
             "state_schema": state_schema_json,
             "num_buckets": nb,
             "replies": replies_final if replies is not None else None,
+            # where THIS committer staged external replies — crash recovery
+            # between manifest link and rename finishes the publication from
+            # here (writer-unique, so never a loser's partial write)
+            "replies_staging": (
+                replies_path if (replies_external and replies is not None) else None
+            ),
             "records": records_path if records is not None else None,
             "n_events": n_events,
             "ts": time.time(),
@@ -508,9 +518,9 @@ class SnapshotStore:
         if replies_external and replies is not None:
             # the manifest is durable: publish the acks atomically. A crash
             # before this rename is healed by replies_for_batch/run_stream
-            # (deterministic staging name); overwrite any stale target left
-            # by an older engine's direct write.
-            _finish_reply_publication(replies_final)
+            # via the manifest's replies_staging pointer; overwrite any
+            # stale target left by an older engine's direct write.
+            _finish_reply_publication(replies_final, replies_path)
         self._manifest_cache[version] = manifest
         self._batch_id_cache[version] = str(batch_id)
         self._version_by_batch.setdefault(str(batch_id), version)
@@ -601,10 +611,10 @@ class SnapshotStore:
         if not m.get("replies"):
             return None
         # a crash between manifest link and external-reply rename leaves the
-        # acks in the deterministic staging dir — finish the publication
-        # before reading (idempotent)
-        if not os.path.exists(m["replies"]):
-            _finish_reply_publication(m["replies"])
+        # acks in the committer's staging dir (recorded in the manifest) —
+        # finish the publication before reading (idempotent)
+        if not os.path.exists(m["replies"]) and m.get("replies_staging"):
+            _finish_reply_publication(m["replies"], m["replies_staging"])
         if os.path.exists(m["replies"]):
             return spark.read.parquet(m["replies"])
         return None
@@ -618,6 +628,21 @@ class SnapshotStore:
         if v is None:
             return None
         return self._manifest(v).get("replies")
+
+    def ensure_replies_published(self, batch_id: str) -> None:
+        """Finish a crash-interrupted external-reply publication for
+        ``batch_id`` (idempotent no-op when already published / internal)."""
+        self.committed_batch_ids()
+        v = self._version_by_batch.get(str(batch_id))
+        if v is None:
+            return
+        m = self._manifest(v)
+        if (
+            m.get("replies")
+            and not os.path.exists(m["replies"])
+            and m.get("replies_staging")
+        ):
+            _finish_reply_publication(m["replies"], m["replies_staging"])
 
     def _events_sidecar_path(self) -> str:
         return os.path.join(self.path, "_manifests", "_events_compacted.json")

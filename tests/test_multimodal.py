@@ -205,3 +205,16 @@ def test_ppm_crlf_header_decodes_identically(spark):
     out = mm.extract_features(df).toPandas().set_index("id")
     assert list(out.loc[1].feat) == list(out.loc[2].feat)
     assert out.loc[2].feat[4] == 0.0 and out.loc[2].feat[5] == 1.0
+
+
+def test_ppm_lone_cr_with_0x0a_first_pixel(spark):
+    """Spec-legal file: lone \\r separator, first raster byte 0x0A — the
+    CRLF heuristic must NOT eat the pixel (remaining length fits exactly)."""
+    pixels = bytes([10, 20, 30, 40, 50, 60])  # 2x1, first byte 0x0A
+    ppm = b"P6\n2 1\n255\r" + pixels
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "payload": [ppm], "mime": ["image/x-portable-pixmap"]})
+    )
+    out = mm.extract_features(df).toPandas().iloc[0]
+    assert (out.width, out.height) == (2, 1)
+    assert abs(out.feat[0] - (10 + 40) / 2 / 255) < 1e-6  # R channel intact

@@ -1035,12 +1035,16 @@ def test_external_replies_invisible_until_manifest(spark, tmp_path):
     observed = {}
     orig_link = os.link
 
+    def _staged_dirs():
+        parent = os.path.dirname(target)
+        if not os.path.isdir(parent):
+            return []
+        return [d for d in os.listdir(parent) if ".staging-" in d]
+
     def spy_link(src, dst, *a, **k):
         if dst.endswith(".manifest.json") or "manifest" in dst:
             observed["final_exists_at_link"] = os.path.isdir(target)
-            observed["staging_exists_at_link"] = os.path.isdir(
-                ss._reply_staging_path(target)
-            )
+            observed["staging_exists_at_link"] = bool(_staged_dirs())
         return orig_link(src, dst, *a, **k)
 
     os.link = spy_link
@@ -1052,7 +1056,39 @@ def test_external_replies_invisible_until_manifest(spark, tmp_path):
     assert observed == {"final_exists_at_link": False, "staging_exists_at_link": True}
     assert os.path.isdir(target)  # published after the manifest
 
-    # simulate a crash between manifest and rename: un-publish
-    os.rename(target, ss._reply_staging_path(target))
+    # simulate a crash between manifest and rename: un-publish back to the
+    # manifest-recorded (writer-unique) staging path
+    staging = store._manifest(store.latest_version())["replies_staging"]
+    os.rename(target, staging)
     assert store.replies_for_batch(spark, "b0").count() == 1  # self-heals
     assert os.path.isdir(target)
+
+
+def test_concurrent_committer_cannot_clobber_staged_replies(spark, tmp_path):
+    """Writer-unique reply staging: a second committer replaying the same
+    batch stages to its OWN dir; the winner's published acks and manifest
+    staging pointer are untouched, and prune_replies neither counts nor
+    needs the loser's orphan (reclaimed once published)."""
+    import os
+
+    from surge_spark.streaming.command_engine import CommandEngine
+
+    store = SnapshotStore(str(tmp_path / "store"), key_col="aggregate_id")
+    target = str(tmp_path / "replies" / "batch=0")
+    updates = spark.createDataFrame([("a", 1)], "aggregate_id string, n int")
+    replies = spark.createDataFrame(
+        [("c1", "success")], "command_id string, status string"
+    )
+    assert store.commit(None, updates, "b0", replies=replies, replies_dir=target)
+    # replaying committer (same batch id): R4 dedup makes it a no-op BEFORE
+    # any staging write — the winner's published dir survives
+    assert store.commit(None, updates, "b0", replies=replies, replies_dir=target) is False
+    assert os.path.isdir(target)
+    # a crashed loser's orphan staging dir: excluded from retention count,
+    # reclaimed because the final dir exists
+    orphan = f"{target}.staging-deadbeef"
+    os.makedirs(orphan)
+    removed = CommandEngine.prune_replies(str(tmp_path / "replies"), keep_last=1)
+    assert not os.path.isdir(orphan)
+    assert os.path.isdir(target)  # the real batch dir was NOT displaced
+    assert removed == 1  # only the orphan
