@@ -291,6 +291,51 @@ def test_q18_aggregates_lineitem_before_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_q6_all_predicates_pushed_schema_pruned(spark, sf_dir):
+    """q6_forecast_revenue: the no-join scan-agg — all three predicates
+    reach the parquet scan and ReadSchema carries only the 4 referenced
+    lineitem columns; the single-row answer is one partial+final agg."""
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    flat = plan.replace(" ", "").replace("\n", "")
+    # toString() truncates the PushedFilters list — assert the visible
+    # prefix proves all three columns entered the pushdown set
+    assert (
+        "PushedFilters:[IsNotNull(l_shipdate),IsNotNull(l_discount),"
+        "IsNotNull(l_quantity),GreaterThanOrEqual" in flat
+    ), plan
+    assert (
+        "ReadSchema:struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:" in flat
+    ), plan
+    assert "partial_sum" in plan
+
+
+def test_q10_filters_before_join_and_takeordered(spark, sf_dir):
+    """q10_returned_items: the quarter filter prunes orders and the
+    returnflag filter prunes lineitem at their scans (before the fact
+    join); customer and nation broadcast; top-20 is TakeOrdered."""
+    plan = _plan(spark, sf_dir, "q10_returned_items")
+    flat = plan.replace(" ", "").replace("\n", "")
+    assert "EqualTo(l_returnflag,R)" in flat
+    assert "GreaterThanOrEqual(o_orderdate" in flat
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q14_single_pass_conditional_agg(spark, sf_dir):
+    """q14_promo_revenue: both sums (promo and total) fold in ONE
+    partial+final aggregate pass — no self-join, no second scan; part
+    broadcasts; the month filter reaches the lineitem scan."""
+    plan = _plan(spark, sf_dir, "q14_promo_revenue")
+    flat = plan.replace(" ", "").replace("\n", "")
+    assert "GreaterThanOrEqual(l_shipdate" in flat
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 2, plan  # lineitem once, part once
+    assert "partial_sum" in plan
+
+
 def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
     """t_bm25_search: the query-term filter is map-side (same stage as the
     token explode, before any exchange) so only matching rows aggregate;
