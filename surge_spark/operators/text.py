@@ -524,3 +524,61 @@ def bm25_search(
         .where(F.col("rank") <= k)
         .select("id", "score", "n_hit_terms", "rank")
     )
+
+
+def word_pmi_top_pairs(
+    df: DataFrame, text_col: str, min_count: int = 5, k: int = 20
+) -> DataFrame:
+    """Top-k adjacent-word pairs by pointwise mutual information — the
+    classic collocation / phrase-mining statistic (Church & Hanks 1990) a
+    tokenizer-vocabulary or phrase-merge pass computes over a corpus:
+    pmi(x,y) = ln( p(xy) / (p(x)·p(y)) ) with p from corpus counts.
+
+    Bigrams come from zipping each token array with its own tail (slice +
+    arrays_zip + explode — all JVM built-ins, no window shuffle per doc and
+    no self-join on position). Unigram and bigram counts are partial+final
+    aggregates; the four count joins broadcast (a vocabulary is small
+    relative to the corpus — same assumption as unigram_logprob); the
+    top-k is TakeOrdered. min_count floors c_xy so PMI isn't dominated by
+    one-off pairs. Division order is fixed (c_xy/N_bi) / ((c_x/N)·(c_y/N))
+    so both engines produce bit-identical doubles before rounding.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    pairs = (
+        df.select(
+            F.explode(
+                F.arrays_zip(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1))
+            ).alias("p")
+        )
+        .select(F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_bi = bi.agg(F.sum("c_xy").alias("n_bi"))
+    u1 = uni.withColumnsRenamed({"w": "w1", "c": "c_x"})
+    u2 = uni.withColumnsRenamed({"w": "w2", "c": "c_y"})
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy") / F.col("n_bi"))
+            / ((F.col("c_x") / F.col("n_uni")) * (F.col("c_y") / F.col("n_uni")))
+        ),
+        6,
+    )
+    return (
+        bi.where(F.col("c_xy") >= min_count)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bi))
+        .select("w1", "w2", "c_xy", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

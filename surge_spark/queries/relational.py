@@ -1699,6 +1699,74 @@ def g_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g_triangle_count",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+      FROM e0 ab
+      JOIN e0 bc ON ab.dst = bc.src
+      JOIN e0 ac ON ac.src = ab.src AND ac.dst = bc.dst
+    ),
+    nodes AS (
+      SELECT a AS part FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    cnt AS (SELECT part, count(*) AS triangles FROM nodes GROUP BY part)
+    SELECT part, triangles, pos FROM (
+      SELECT part, triangles,
+             CAST(row_number() OVER (ORDER BY triangles DESC, part) AS INT)
+               AS pos
+      FROM cnt
+    ) WHERE pos <= 20
+    """,
+)
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting over the part-co-occurrence graph (same
+    market-basket edges as g_pagerank_parts) — the clustering-coefficient
+    numerator, the second classic graph-analytic beside PageRank. The
+    node-iterator shape: orient every edge src<dst (halves the join space
+    and makes each triangle appear exactly once as a<b<c), join edges on
+    the shared middle vertex, then close the wedge with a third edge join.
+    Each triangle credits all three corners via explode.
+
+    Scale shape: the oriented-distinct edge reduction is partial+final;
+    the wedge join shuffles on the middle vertex — at 100 TB you'd orient
+    by degree (low-degree vertex first) so hot vertices don't own O(d²)
+    wedges, and AQE skew-join splits what remains. No driver state."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnsRenamed({"l_partkey": "src"})
+    b = li.withColumnsRenamed({"l_partkey": "dst"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    ab = edges.withColumnsRenamed({"src": "a", "dst": "b"})
+    bc = edges.withColumnsRenamed({"src": "b2", "dst": "c"})
+    ac = edges.withColumnsRenamed({"src": "a3", "dst": "c3"})
+    tri = (
+        ab.join(bc, F.col("b") == F.col("b2"))
+        .join(ac, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    counts = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return counts.withColumn(
+        "pos", F.row_number().over(W.orderBy(F.desc("triangles"), F.asc("part")))
+    ).where(F.col("pos") <= 20)
+
+
+@query(
     "a_kmv_distinct_estimate",
     oracle="""
     WITH h AS (

@@ -930,3 +930,41 @@ def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(tier == 1, "head").when(tier == 2, "middle").otherwise("tail")
         .alias("bucket"),
     )
+
+
+@query(
+    "t_word_pmi_top_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT {_DUCK_TOKS} AS t FROM documents),
+    uni AS (
+      SELECT token, count(*) AS c FROM (
+        SELECT unnest(t) AS token FROM toks
+      ) WHERE token <> '' GROUP BY token
+    ),
+    nu AS (SELECT sum(c) AS n_uni FROM uni),
+    pairs AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+    ),
+    bi AS (
+      SELECT w1, w2, count(*) AS c_xy FROM pairs
+      WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2
+    ),
+    nb AS (SELECT sum(c_xy) AS n_bi FROM bi)
+    SELECT b.w1, b.w2, b.c_xy,
+           CAST(round(ln((b.c_xy / n_bi)
+                         / ((ux.c / n_uni) * (uy.c / n_uni))), 6) AS DOUBLE)
+             AS pmi
+    FROM bi b JOIN uni ux ON b.w1 = ux.token JOIN uni uy ON b.w2 = uy.token,
+         nu, nb
+    WHERE b.c_xy >= 5
+    ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20
+    """,
+)
+def t_word_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent-word pairs by pointwise mutual
+    information over the corpus (Church-Hanks) — the statistic behind
+    phrase-merging and tokenizer vocab induction in a training-data
+    pipeline. Bigrams are array-zip map-side (no per-doc window shuffle);
+    counts are partial+final; count joins broadcast; top-k is TakeOrdered."""
+    return tx.word_pmi_top_pairs(_docs(spark, sf_dir), "text", min_count=5, k=20)

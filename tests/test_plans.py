@@ -336,6 +336,29 @@ def test_q14_single_pass_conditional_agg(spark, sf_dir):
     assert "partial_sum" in plan
 
 
+def test_triangle_count_no_cartesian_takeordered(spark, sf_dir):
+    """g_triangle_count: wedge closure is equi-joins only (never a
+    cartesian), per-corner credit is one explode + partial+final count,
+    and the top-20 avoids a global sort."""
+    plan = _plan(spark, sf_dir, "g_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "Generate explode" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_word_pmi_broadcasts_counts_takeordered(spark, sf_dir):
+    """t_word_pmi_top_pairs: bigrams are map-side (explode of an
+    array-zip, no per-doc window), vocab joins broadcast, corpus totals
+    enter as broadcast one-row joins, top-k is TakeOrdered."""
+    plan = _plan(spark, sf_dir, "t_word_pmi_top_pairs")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
     """t_bm25_search: the query-term filter is map-side (same stage as the
     token explode, before any exchange) so only matching rows aggregate;
