@@ -428,3 +428,104 @@ def semantic_neardup_pairs(
     return embedding_neardup_pairs(
         blocked, id_col, vec_col, "cluster", threshold
     ).withColumnRenamed("block", "cluster")
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """Product-quantization encoder (Jegou et al. 2011): split each
+    (unit-normalized) vector into m contiguous subspaces and replace each
+    subvector with the id of its nearest codeword — L2 nearest, computed as
+    argmax of (dot - ||c||²/2), which is exactly argmin ||x-c||² with the
+    codeword half-norms folded in as plan literals. Adds ``code_0..code_{m-1}``
+    int columns; everything is a shuffle-free map-side expression, same
+    array_max(struct) linear-tree trick (ties to the LOWEST codeword) as
+    _assign_cell.
+
+    At 100 TB this is THE memory shape: a 64-dim float vector (512 B) becomes
+    m small ints (m bytes as tinyint) — the corpus's search footprint drops
+    ~100×, and the codes column is all a query-time scan ever reads."""
+    v = _as_double(F.col(vec_col))
+    dsub = len(codebooks[0][0])
+    cols = []
+    for mi, cb in enumerate(codebooks):
+        sub = F.slice(v, mi * dsub + 1, dsub)
+        scored = F.array(
+            *[
+                F.struct(
+                    (dot(sub, _lit_vec(c)) - F.lit(sum(x * x for x in c) / 2.0)).alias(
+                        "sim"
+                    ),
+                    F.lit(-j).alias("neg_code"),
+                )
+                for j, c in enumerate(cb)
+            ]
+        )
+        cols.append((-F.array_max(scored)["neg_code"]).alias(f"code_{mi}"))
+    return df.select("*", *cols)
+
+
+def pq_query_luts(
+    queries: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    query_id_col: str,
+) -> DataFrame:
+    """Per-query ADC lookup tables: lut_m[j] = dot(query subspace m,
+    codeword j). Computed once per query row (the small, broadcast side);
+    corpus scoring then never touches a raw vector again."""
+    v = _as_double(F.col(vec_col))
+    dsub = len(codebooks[0][0])
+    luts = []
+    for mi, cb in enumerate(codebooks):
+        sub = F.slice(v, mi * dsub + 1, dsub)
+        luts.append(
+            F.array(*[dot(sub, _lit_vec(c)) for c in cb]).alias(f"lut_{mi}")
+        )
+    return queries.select(F.col(query_id_col).alias("query_id"), *luts)
+
+
+def ann_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k by product quantization with asymmetric distance
+    computation (ADC): corpus vectors are reduced to m codebook ids
+    (pq_encode), each query ships an m×ksub lookup table (pq_query_luts),
+    and the approximate inner product is m array lookups + (m-1) adds per
+    (query, corpus) pair — no per-pair vector math at all. The third ANN
+    family beside LSH (ann_topk_lsh) and IVF (ann_topk_ivf); in a real
+    index the two compose (IVF cells + PQ residuals = IVFADC).
+
+    Both sides are unit-normalized first so the approximate IP estimates
+    cosine. The LUT side broadcasts; the corpus side is map-side until the
+    per-query top-k, which WindowGroupLimit keeps partial. The sum is
+    left-associated ((l0+l1)+l2)+l3 — mirrored textually in the catalog
+    oracle so both engines produce the identical double before rounding."""
+    query_id_col = query_id_col or id_col
+    m = len(codebooks)
+    c = pq_encode(with_unit_vector(corpus, vec_col), "unit", codebooks).select(
+        F.col(id_col).alias("corpus_id"), *[f"code_{i}" for i in range(m)]
+    )
+    q = pq_query_luts(
+        with_unit_vector(queries, vec_col), "unit", codebooks, query_id_col
+    )
+    approx = F.element_at(F.col("lut_0"), F.col("code_0") + 1)
+    for i in range(1, m):
+        approx = approx + F.element_at(F.col(f"lut_{i}"), F.col(f"code_{i}") + 1)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id", F.round(approx, 6).alias("approx_ip"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("approx_ip"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "approx_ip", "rank")
+    )

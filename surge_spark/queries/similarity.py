@@ -234,6 +234,116 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fixed_codebooks(
+    m: int = 4, ksub: int = 8, dsub: int = 16
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks (m subspaces × ksub codewords × dsub
+    dims), norm 0.5 per codeword (the scale of a unit vector's quarter
+    slice) — data-independent like FIXED_CENTS, so testdata regeneration
+    can't shift them, and float repr round-trips into DuckDB."""
+    cbs = []
+    for mi in range(m):
+        cb = []
+        for j in range(ksub):
+            raw = [math.sin(2.0 + (mi * ksub + j) * dsub + d) for d in range(dsub)]
+            n = math.sqrt(sum(x * x for x in raw)) * 2.0
+            cb.append([x / n for x in raw])
+        cbs.append(cb)
+    return cbs
+
+
+FIXED_CBS = _fixed_codebooks()
+
+# DuckDB VALUES rows (m, j, codeword, half-norm) of the same literals; the
+# half-norm is computed by the same Python expression pq_encode folds into
+# the Spark plan, so both engines subtract the identical double.
+_DUCK_CBS = ",\n      ".join(
+    "({}, {}, [{}], {!r})".format(
+        mi, j, ", ".join(repr(x) for x in c), sum(x * x for x in c) / 2.0
+    )
+    for mi, cb in enumerate(FIXED_CBS)
+    for j, c in enumerate(cb)
+)
+
+# exact mirror of operators.similarity.with_unit_vector
+_DUCK_UNIT = """
+    list_transform(embedding, x -> CAST(x AS DOUBLE)
+      / sqrt(list_sum(list_transform(embedding,
+               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+"""
+
+
+@query(
+    "sim_ann_pq_topk",
+    oracle=f"""
+    WITH cb(m, j, c, halfn) AS (VALUES
+      {_DUCK_CBS}
+    ),
+    u AS (SELECT vec_id, {_DUCK_UNIT} AS uv FROM embeddings),
+    sc AS (
+      SELECT u.vec_id, cb.m, cb.j,
+             list_sum(list_transform(range(1, 17),
+                      i -> u.uv[cb.m * 16 + i] * cb.c[i])) - cb.halfn AS s
+      FROM u CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+               row_number() OVER (
+                 PARTITION BY vec_id, m ORDER BY s DESC, j ASC
+               ) AS rn
+        FROM sc
+      ) WHERE rn = 1
+    ),
+    cp AS (
+      SELECT vec_id,
+             max(CASE WHEN m = 0 THEN code END) AS c0,
+             max(CASE WHEN m = 1 THEN code END) AS c1,
+             max(CASE WHEN m = 2 THEN code END) AS c2,
+             max(CASE WHEN m = 3 THEN code END) AS c3
+      FROM codes GROUP BY vec_id
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, cb.m, cb.j,
+             list_sum(list_transform(range(1, 17),
+                      i -> q.uv[cb.m * 16 + i] * cb.c[i])) AS v
+      FROM (SELECT * FROM u WHERE vec_id < 5) q CROSS JOIN cb
+    ),
+    scored AS (
+      SELECT l0.query_id, cp.vec_id AS corpus_id,
+             round((((l0.v + l1.v) + l2.v) + l3.v), 6) AS approx_ip
+      FROM cp
+      JOIN lut l0 ON l0.m = 0 AND l0.j = cp.c0
+      JOIN lut l1 ON l1.m = 1 AND l1.j = cp.c1 AND l1.query_id = l0.query_id
+      JOIN lut l2 ON l2.m = 2 AND l2.j = cp.c2 AND l2.query_id = l0.query_id
+      JOIN lut l3 ON l3.m = 3 AND l3.j = cp.c3 AND l3.query_id = l0.query_id
+      WHERE cp.vec_id <> l0.query_id
+    )
+    SELECT query_id, corpus_id, CAST(approx_ip AS DOUBLE) AS approx_ip, rank
+    FROM (
+      SELECT query_id, corpus_id, approx_ip,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY approx_ip DESC, corpus_id
+             ) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via product quantization + asymmetric distance
+    (the third ANN family beside LSH and IVF): corpus vectors collapse to
+    4 codebook ids, queries ship a 4×8 LUT, and scoring is 4 array lookups
+    + 3 adds per pair — the memory-bounded 100 TB shape (512 B vector →
+    4 B of codes). Injects the FIXED_CBS literal codebooks so encode, LUT
+    and ADC rank are all declarative with a full value oracle; encode ties
+    break to the LOWEST codeword on both sides."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return sim.ann_topk_pq(
+        emb, queries, "vec_id", "embedding", codebooks=FIXED_CBS, k=10
+    )
+
+
 @query(
     "sim_semantic_clusters",
     oracle=f"""

@@ -359,6 +359,17 @@ def test_word_pmi_broadcasts_counts_takeordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_pq_topk_broadcast_lut_no_shuffle_join(spark, sf_dir):
+    """sim_ann_pq_topk: the query LUT side broadcasts (BNLJ cross join —
+    never a shuffle join), corpus encode is map-side expressions, and the
+    per-query top-k stays a partial WindowGroupLimit."""
+    plan = _plan(spark, sf_dir, "sim_ann_pq_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
     """t_bm25_search: the query-term filter is map-side (same stage as the
     token explode, before any exchange) so only matching rows aggregate;

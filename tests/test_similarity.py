@@ -160,3 +160,53 @@ def test_semantic_neardup_recall_vs_bruteforce(spark):
     t_loose = set(zip(ids[ia2].tolist(), ids[ib2].tolist()))
     assert g <= t_loose  # no false positives vs exact cosine
     assert len(t & g) / len(t) >= 0.6, (len(t & g), len(t))
+
+
+def test_pq_encode_nearest_codeword_and_ties(spark):
+    """pq_encode must pick the L2-nearest codeword per subspace, ties to
+    the LOWEST id: vectors constructed to sit exactly on a codeword must
+    encode to that codeword's id in every subspace."""
+    from surge_spark.queries.similarity import FIXED_CBS
+
+    # a vector whose every subspace equals codeword j of that subspace is
+    # (after unit normalization, which rescales all subspaces equally)
+    # still nearest to codeword j under dot - ||c||^2/2 among norm-equal
+    # codewords
+    for j in (0, 3, 7):
+        vec = [x for cb in FIXED_CBS for x in cb[j]]
+        df = spark.createDataFrame(
+            pd.DataFrame([(0, vec)], columns=["vec_id", "embedding"])
+        )
+        out = sim.pq_encode(
+            sim.with_unit_vector(df, "embedding"), "unit", FIXED_CBS
+        ).toPandas()
+        got = [int(out[f"code_{m}"][0]) for m in range(len(FIXED_CBS))]
+        assert got == [j] * len(FIXED_CBS), got
+
+
+def test_pq_adc_ranks_planted_duplicate_first(spark):
+    """ADC faithfulness: an exact duplicate of the query vector shares all
+    its PQ codes, so its approximate IP is the maximum any corpus vector
+    can score — it must rank 1."""
+    import math as _m
+
+    from surge_spark.queries.similarity import FIXED_CBS
+
+    dim = 64
+    base = [
+        [_m.sin(0.5 + 17 * i + d) for d in range(dim)] for i in range(40)
+    ]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows.append((100, list(base[7])))  # exact duplicate of vec 7
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    queries = corpus.where(F.col("vec_id") == 7)
+    out = (
+        sim.ann_topk_pq(corpus, queries, "vec_id", "embedding", FIXED_CBS, k=5)
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert int(out.iloc[0].corpus_id) == 100
+    # the duplicate's ADC score is the self-score: no other candidate beats it
+    assert out.iloc[0].approx_ip >= out.approx_ip.max() - 1e-9
