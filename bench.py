@@ -44,6 +44,7 @@ HEADLINE = [
     "t_bpe_ish_token_count",       # regex tokenizer counts
     "t_unigram_logprob",           # unigram-LM quality scoring
     "t_bm25_search",               # BM25 ranked retrieval (new r5)
+    "q3_shipping_priority",        # TPC-H Q3: date-split join + top-k (new r5)
 ]
 
 N_RUNS = 3

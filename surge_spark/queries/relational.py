@@ -782,6 +782,35 @@ def o_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "o_global_sort",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(round(o_totalprice, 2) AS DOUBLE) AS o_totalprice
+    FROM orders ORDER BY o_orderdate, o_orderkey
+    """,
+)
+def o_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full globally-ordered output (no LIMIT) — the one sort shape
+    TakeOrdered can't cover. Spark samples the sort key to build range
+    boundaries (Exchange rangepartitioning) so every partition sorts an
+    even, disjoint key range in parallel and the output is globally
+    ordered by concatenation — the distributed external-sort shape that
+    holds at 100 TB (each range sorts/spills independently; no single-node
+    merge). Tie-broken by key so the order is total. Pinned in
+    tests/test_plans.py: the exchange must be rangepartitioning, not a
+    single-partition sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Set operations (§2.7)
 # --------------------------------------------------------------------------
@@ -1871,6 +1900,80 @@ def a_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exact.join(kth, "event_type", "left").select(
         "event_type",
+        "n_exact",
+        F.round(
+            F.coalesce(F.lit(63.0) / F.col("hk"), F.col("n_exact").cast("double")),
+            4,
+        ).alias("kmv_estimate"),
+    )
+
+
+@query(
+    "a_kmv_merged_union",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT
+             CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    kth AS (
+      SELECT h AS hk FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h
+      ) WHERE rn = 64
+    ),
+    exact AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+    SELECT e.n_exact,
+           CAST(round(coalesce(63.0 / k.hk, e.n_exact), 4) AS DOUBLE)
+             AS kmv_estimate
+    FROM exact e LEFT JOIN kth k ON TRUE
+    """,
+)
+def a_kmv_merged_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGE — the property that makes the sketch usable at
+    100 TB: per-event_type partial sketches (each the type's 64 smallest
+    distinct key hashes, exactly what a day/partition would persist) are
+    unioned and re-truncated to the 64 smallest, and the merged estimate
+    equals the estimate built from the raw union in one pass. That
+    equality is exact, not approximate — a global 64-smallest hash is a
+    fortiori among its own type's 64 smallest — so the oracle computes
+    the single-pass global form and must match the Spark side's actual
+    two-level merge bit-for-bit. The merge path is how sketches compose
+    across partitions, days, or engines without ever re-reading raw data.
+
+    Scale shape: per-type truncation is a WindowGroupLimit (only 64 rows
+    per type survive the partial stage); the merge input is n_types×64
+    rows regardless of corpus size; exact count runs beside it for the
+    error audit."""
+    e = _t(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    d = (
+        e.where(F.col("user_id").isNotNull())
+        .select("event_type", h.alias("h"))
+        .distinct()
+    )
+    # stage 1: per-type partial sketches (64 smallest distinct hashes each)
+    per_type = W.partitionBy("event_type").orderBy("h")
+    sketches = (
+        d.withColumn("rn", F.row_number().over(per_type))
+        .where(F.col("rn") <= 64)
+        .select("h")
+    )
+    # stage 2: merge = dedup the union, keep the 64 smallest, take the kth
+    merged_kth = (
+        sketches.distinct()
+        .withColumn("rn", F.row_number().over(W.orderBy("h")))
+        .where(F.col("rn") == 64)
+        .select(F.col("h").alias("hk"), F.lit(1).alias("one"))
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("n_exact")).withColumn(
+        "one", F.lit(1)
+    )
+    return exact.join(merged_kth, "one", "left").select(
         "n_exact",
         F.round(
             F.coalesce(F.lit(63.0) / F.col("hk"), F.col("n_exact").cast("double")),

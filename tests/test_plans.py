@@ -359,6 +359,25 @@ def test_word_pmi_broadcasts_counts_takeordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    """o_global_sort: a full ordered output must exchange on
+    rangepartitioning (sampled boundaries, parallel disjoint ranges) —
+    never a single-partition sort."""
+    plan = _plan(spark, sf_dir, "o_global_sort")
+    assert "rangepartitioning" in plan, plan
+    assert "Sort [" in plan
+    assert "SinglePartition" not in plan.split("rangepartitioning")[0], plan
+
+
+def test_kmv_merge_truncates_per_type_before_union(spark, sf_dir):
+    """a_kmv_merged_union: the per-type sketches must be WindowGroupLimit-
+    truncated (≤64 rows per type survive) before the merge, so the merge
+    input is n_types×64 regardless of corpus size."""
+    plan = _plan(spark, sf_dir, "a_kmv_merged_union")
+    assert "WindowGroupLimit" in plan
+    assert "partial_count(distinct" in plan or "count(user_id" in plan, plan
+
+
 def test_pq_topk_broadcast_lut_no_shuffle_join(spark, sf_dir):
     """sim_ann_pq_topk: the query LUT side broadcasts (BNLJ cross join —
     never a shuffle join), corpus encode is map-side expressions, and the
