@@ -465,6 +465,29 @@ def pq_encode(
     return df.select("*", *cols)
 
 
+def _pq_lut_cols(
+    vec_col: str, codebooks: list[list[list[float]]]
+) -> list[F.Column]:
+    """ADC lookup-table columns: lut_m[j] = dot(subspace m, codeword j)."""
+    v = _as_double(F.col(vec_col))
+    dsub = len(codebooks[0][0])
+    luts = []
+    for mi, cb in enumerate(codebooks):
+        sub = F.slice(v, mi * dsub + 1, dsub)
+        luts.append(
+            F.array(*[dot(sub, _lit_vec(c)) for c in cb]).alias(f"lut_{mi}")
+        )
+    return luts
+
+
+def _pq_adc_score(m: int) -> F.Column:
+    """Left-associated ADC sum: ((lut_0[c0]+lut_1[c1])+...)."""
+    approx = F.element_at(F.col("lut_0"), F.col("code_0") + 1)
+    for i in range(1, m):
+        approx = approx + F.element_at(F.col(f"lut_{i}"), F.col(f"code_{i}") + 1)
+    return approx
+
+
 def pq_query_luts(
     queries: DataFrame,
     vec_col: str,
@@ -474,15 +497,9 @@ def pq_query_luts(
     """Per-query ADC lookup tables: lut_m[j] = dot(query subspace m,
     codeword j). Computed once per query row (the small, broadcast side);
     corpus scoring then never touches a raw vector again."""
-    v = _as_double(F.col(vec_col))
-    dsub = len(codebooks[0][0])
-    luts = []
-    for mi, cb in enumerate(codebooks):
-        sub = F.slice(v, mi * dsub + 1, dsub)
-        luts.append(
-            F.array(*[dot(sub, _lit_vec(c)) for c in cb]).alias(f"lut_{mi}")
-        )
-    return queries.select(F.col(query_id_col).alias("query_id"), *luts)
+    return queries.select(
+        F.col(query_id_col).alias("query_id"), *_pq_lut_cols(vec_col, codebooks)
+    )
 
 
 def ann_topk_pq(
@@ -515,13 +532,63 @@ def ann_topk_pq(
     q = pq_query_luts(
         with_unit_vector(queries, vec_col), "unit", codebooks, query_id_col
     )
-    approx = F.element_at(F.col("lut_0"), F.col("code_0") + 1)
-    for i in range(1, m):
-        approx = approx + F.element_at(F.col(f"lut_{i}"), F.col(f"code_{i}") + 1)
+    approx = _pq_adc_score(m)
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("corpus_id") != F.col("query_id"))
         .select("query_id", "corpus_id", F.round(approx, 6).alias("approx_ip"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("approx_ip"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "approx_ip", "rank")
+    )
+
+
+def ann_topk_ivfadc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVFADC: the coarse quantizer prunes I/O (only ``nprobe`` cells'
+    codes are read per query) and PQ/ADC scoring bounds per-candidate
+    math to m lookups + adds — the composition FAISS ships as its
+    billion-scale default (IVF+PQ, Jegou et al. 2011). ann_topk_ivf
+    re-ranks candidates with exact vectors (reads 512 B/candidate);
+    this reads 4 B of codes per candidate instead, so the scan stays
+    code-column-only at 100 TB, at the price of quantization error.
+
+    A corpus row lives in exactly one cell, so a (query, candidate) pair
+    can join at most once — no dedup pass needed. The probe side
+    (cells × LUTs per query) broadcasts; everything corpus-side is
+    map-side expressions until the per-query top-k WindowGroupLimit."""
+    query_id_col = query_id_col or id_col
+    m = len(codebooks)
+    cu = _assign_cell(with_unit_vector(corpus, vec_col), F.col("unit"), centroids)
+    c = pq_encode(cu, "unit", codebooks).select(
+        F.col(id_col).alias("corpus_id"), "cell", *[f"code_{i}" for i in range(m)]
+    )
+    qu = ivf_probe_cells(
+        with_unit_vector(queries, vec_col), F.col("unit"), centroids, nprobe
+    )
+    q = qu.select(
+        F.col(query_id_col).alias("query_id"),
+        "cell",
+        *_pq_lut_cols("unit", codebooks),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id", "corpus_id", F.round(_pq_adc_score(m), 6).alias("approx_ip")
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("approx_ip"), F.asc("corpus_id"))
     return (

@@ -345,6 +345,100 @@ def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ann_ivfadc_topk",
+    oracle=f"""
+    WITH {_DUCK_ASSIGN},
+    cb(m, j, c, halfn) AS (VALUES
+      {_DUCK_CBS}
+    ),
+    u AS (SELECT vec_id, {_DUCK_UNIT} AS uv FROM embeddings),
+    sc AS (
+      SELECT u.vec_id, cb.m, cb.j,
+             list_sum(list_transform(range(1, 17),
+                      i -> u.uv[cb.m * 16 + i] * cb.c[i])) - cb.halfn AS s
+      FROM u CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+               row_number() OVER (
+                 PARTITION BY vec_id, m ORDER BY s DESC, j ASC
+               ) AS rn
+        FROM sc
+      ) WHERE rn = 1
+    ),
+    cp AS (
+      SELECT vec_id,
+             max(CASE WHEN m = 0 THEN code END) AS c0,
+             max(CASE WHEN m = 1 THEN code END) AS c1,
+             max(CASE WHEN m = 2 THEN code END) AS c2,
+             max(CASE WHEN m = 3 THEN code END) AS c3
+      FROM codes GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id < 5),
+    q_probe AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_sum(list_transform(range(1, len(q.qe) + 1),
+                          i -> CAST(q.qe[i] AS DOUBLE) * c.c[i])) DESC,
+                          c.cell DESC
+               ) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 4
+    ),
+    lut AS (
+      SELECT qq.vec_id AS query_id, cb.m, cb.j,
+             list_sum(list_transform(range(1, 17),
+                      i -> qq.uv[cb.m * 16 + i] * cb.c[i])) AS v
+      FROM (SELECT * FROM u WHERE vec_id < 5) qq CROSS JOIN cb
+    ),
+    cands AS (
+      SELECT p.query_id, a.vec_id AS corpus_id
+      FROM q_probe p JOIN assigned a ON p.cell = a.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.corpus_id,
+             round((((l0.v + l1.v) + l2.v) + l3.v), 6) AS approx_ip
+      FROM cands cd
+      JOIN cp ON cp.vec_id = cd.corpus_id
+      JOIN lut l0 ON l0.query_id = cd.query_id AND l0.m = 0 AND l0.j = cp.c0
+      JOIN lut l1 ON l1.query_id = cd.query_id AND l1.m = 1 AND l1.j = cp.c1
+      JOIN lut l2 ON l2.query_id = cd.query_id AND l2.m = 2 AND l2.j = cp.c2
+      JOIN lut l3 ON l3.query_id = cd.query_id AND l3.m = 3 AND l3.j = cp.c3
+    )
+    SELECT query_id, corpus_id, CAST(approx_ip AS DOUBLE) AS approx_ip, rank
+    FROM (
+      SELECT query_id, corpus_id, approx_ip,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY approx_ip DESC, corpus_id
+             ) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def sim_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (FAISS's billion-scale default, Jegou et al. 2011): the IVF
+    coarse quantizer prunes which cells a query reads (FIXED_CENTS, probe
+    4 of 8) and PQ/ADC scores the surviving candidates from 4 B of codes
+    instead of 512 B of floats (FIXED_CBS) — coarse pruning bounds I/O,
+    quantized scoring bounds math, and together the per-query cost is
+    independent of corpus size given balanced cells. Both models are
+    injected literals so every stage is declarative with a full value
+    oracle; probe ties break HIGH (like sim_ann_ivf_topk), encode ties
+    break LOW (like sim_ann_pq_topk), both mirrored in the SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return sim.ann_topk_ivfadc(
+        emb, queries, "vec_id", "embedding",
+        centroids=FIXED_CENTS, codebooks=FIXED_CBS, k=10, nprobe=4,
+    )
+
+
+@query(
     "sim_semantic_clusters",
     oracle=f"""
     WITH {_DUCK_ASSIGN}

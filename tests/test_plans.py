@@ -389,6 +389,17 @@ def test_pq_topk_broadcast_lut_no_shuffle_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ivfadc_broadcast_probe_no_shuffle_join(spark, sf_dir):
+    """sim_ann_ivfadc_topk: the probe side (cells × LUTs) broadcasts into
+    a hash join on cell; corpus assignment+encode are map-side; the
+    per-query top-k stays a partial WindowGroupLimit."""
+    plan = _plan(spark, sf_dir, "sim_ann_ivfadc_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
     """t_bm25_search: the query-term filter is map-side (same stage as the
     token explode, before any exchange) so only matching rows aggregate;
