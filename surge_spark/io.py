@@ -84,25 +84,62 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Tables with timestamp-carrying columns that have drifted (events.ts,
+# r1-r3 int64-ns → r4 timestamp[us]) or could drift the same way in a
+# future regeneration. orders/lineitem date columns are compared against
+# TIMESTAMP_NTZ literals throughout the catalog, so a silent re-encoding
+# to int64-ns or date32 would error or hash-mismatch every TPC-H-shaped
+# query — normalize here, at the only read site, like events.ts.
+_TS_COLUMNS: dict[str, list[str]] = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ts_cols = _TS_COLUMNS.get(name)
+    if not ts_cols:
+        return spark.read.parquet(table_path(sf_dir, name))
+    # without this, a parquet TIMESTAMP(NANOS) column refuses to load at
+    # all; with it, ns columns arrive as long and are converted below —
+    # a no-op for every other encoding
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # events.ts carries naive-UTC instants; pin the session tz so
         # bucketing (date_trunc/window) and toPandas rendering match the
         # DuckDB oracle's naive timestamps on any driver configuration
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, T.LongType):
-            # legacy ns-as-long encoding: truncate to us (DuckDB-identical)
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif not isinstance(ts_type, T.TimestampType):
-            # TIMESTAMP_NTZ (or anything else): reinterpret the wall-clock
-            # in the UTC session tz — identical instants, stable downstream
-            # semantics for window()/date_trunc()/unix_micros()
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in ts_cols:
+        ts_type = df.schema[col].dataType
+        if name == "events":
+            if isinstance(ts_type, T.LongType):
+                # legacy ns-as-long: truncate to us (DuckDB-identical)
+                df = df.withColumn(
+                    col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+                )
+            elif not isinstance(ts_type, T.TimestampType):
+                # TIMESTAMP_NTZ (or anything else): reinterpret the
+                # wall-clock in the UTC session tz — identical instants,
+                # stable window()/date_trunc()/unix_micros() semantics
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
+        else:
+            # orders/lineitem dates are consumed as TIMESTAMP_NTZ (queries
+            # compare wall-clock literals); convert drifted encodings
+            # tz-INDEPENDENTLY (no session-tz reinterpretation anywhere)
+            if isinstance(ts_type, T.LongType):
+                # int64-ns since epoch → NTZ wall clock, arithmetic only
+                df = df.withColumn(
+                    col,
+                    F.expr(f"timestampadd(MICROSECOND, {col} div 1000, {_NTZ_EPOCH})"),
+                )
+            elif isinstance(ts_type, T.DateType):
+                # date32 → NTZ midnight (pure widening, no tz involved)
+                df = df.withColumn(col, F.col(col).cast("timestamp_ntz"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
