@@ -1980,3 +1980,437 @@ def a_kmv_merged_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("kmv_estimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H decision-support shapes, second batch (§2.4/§2.5 composite plans)
+#
+# Each entry pins a distinct classic plan shape the first batch (Q1/Q3/Q5/
+# Q6/Q9/Q10/Q14/Q18) doesn't cover: EXISTS-semi (Q4), bidirectional
+# nation-pair volume (Q7), outer-join double aggregation (Q13), max-of-agg
+# scalar join-back (Q15), anti-join + count-distinct (Q16), correlated-avg
+# join-back (Q17), OR-of-ANDs disjunctive pushdown (Q19), double-correlated
+# EXISTS/NOT-EXISTS (Q21), scalar-subquery threshold + anti-join (Q22).
+# The testdata lacks partsupp / l_commitdate / l_shipmode / p_container, so
+# predicates are adapted to available columns; the plan shapes — what the
+# entries exist to pin — are the canonical ones.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): one quarter's orders that
+    have at least one returned line, counted by priority — the EXISTS
+    semi-join pattern. The quarter predicate pushes into the orders scan,
+    the returnflag predicate into the lineitem scan, and the semi join
+    deduplicates order keys WITHOUT multiplying order rows (no distinct
+    needed — LeftSemi's contract). Testdata has no l_commitdate/
+    l_receiptdate, so 'line was returned' stands in for 'line was late'."""
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-04-01").cast("timestamp_ntz")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+             AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_14')
+       OR (n1.n_name = 'NATION_14' AND n2.n_name = 'NATION_3')
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): trade volume between two nations in
+    both directions, by ship year. Both nation dims and supplier broadcast;
+    the disjunctive nation-pair predicate sits above the joins (it needs
+    both sides), but each single-nation membership n_name IN (a, b) is
+    inferred and pushed below — the classic partially-pushable disjunction.
+    lineitem shuffles once on l_orderkey to meet orders; the aggregate key
+    space is 2×years."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_14")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_14"))
+            | ((F.col("supp_nation") == "NATION_14") & (F.col("cust_nation") == "NATION_3"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): how many customers placed
+    how many (non-urgent) orders — the outer-join + double-aggregation
+    pattern. The join-side filter lives in the JOIN condition (not WHERE),
+    so customers with zero qualifying orders survive with count 0; the
+    first aggregate reduces on c_custkey, the second on the tiny c_count
+    domain. count(o_orderkey) counts only matched rows — the outer-join
+    NULL-skipping contract both engines share."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) with maximum quarter
+    revenue — the max-of-aggregate scalar join-back. Revenue-per-supplier
+    aggregates once; the global max is a window aggregate OVER that same
+    per-supplier result (n_suppliers rows in one bounded partition), so
+    lineitem is scanned exactly ONCE — the naive scalar-subquery form
+    re-evaluates the whole revenue view (Catalyst plans two lineitem
+    scans; ReusedExchange doesn't fire because the join side carries an
+    extra isnotnull and the subtrees canonicalize apart — measured, not
+    guessed). Revenue is rounded BEFORE the max on both sides so
+    partial-sum order can't flip the winner."""
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-04-01").cast("timestamp_ntz")
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.withColumn(
+            "max_revenue",
+            F.max("total_revenue").over(W.partitionBy(F.lit(1))),
+        )
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_part_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (5, 10, 15, 20)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many qualifying
+    suppliers ship parts of each brand/type/size — anti-join exclusion +
+    count-distinct. The size IN-list pushes into the part scan; the
+    excluded-supplier set (a filtered dim) broadcasts as a left-anti join
+    (s_suppkey is non-null, so NOT IN ≡ anti-join); the count-distinct
+    expands to a two-level aggregate. Testdata has no partsupp — lineitem
+    is the part↔supplier bridge; low-balance stands in for the comment-
+    pattern exclusion."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size").isin(5, 10, 15, 20))
+    excl = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 2000)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(round(sum(l.l_extendedprice) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT l_partkey, round(0.2 * avg(l_quantity), 4) AS qty_limit
+      FROM lineitem GROUP BY l_partkey
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12' AND l.l_quantity < t.qty_limit
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from lines
+    well below their part's average order quantity — the correlated-
+    aggregate join-back. The per-part average is a partial+final aggregate
+    of lineitem joined back on l_partkey (Catalyst's decorrelation of the
+    scalar subquery, written explicitly); the brand filter broadcasts from
+    part and prunes both the probe side and (via the join) the threshold
+    side. qty_limit is rounded on both sides so partial-avg order can't
+    flip a boundary comparison."""
+    li = _t(spark, sf_dir, "lineitem")
+    limits = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.round(0.2 * F.avg("l_quantity"), 4).alias("qty_limit")
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#12")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(limits, li.l_partkey == limits.t_partkey)
+        .where(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): an OR-of-ANDs predicate
+    spanning both join sides — the disjunctive-pushdown test. Catalyst
+    factors the common bounds out of the disjunction (l_quantity ∈ [1,30]
+    pushes into the lineitem scan, brand ∈ {12,23,34} and size ≤ 15 into
+    the part scan) while the full disjunction evaluates above the
+    broadcast join; the naive plan filters nothing until after the join.
+    Testdata has no p_container/l_shipmode, so size/quantity bands carry
+    the disjunction."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): suppliers whose
+    line was the ONLY returned line on a multi-supplier finalized order —
+    the double-correlated EXISTS + NOT-EXISTS pattern, expressed as a
+    left-semi then left-anti join with a non-equi residual (other-supplier
+    inequality) on top of the l_orderkey equi key. All three lineitem
+    legs shuffle on the SAME key, so the exchanges line up; supplier
+    broadcasts; 'returned' stands in for 'received late' (no
+    l_commitdate/l_receiptdate in testdata)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = l1.select("l_orderkey", "l_suppkey").alias("l3")
+    s = _t(spark, sf_dir, "supplier")
+    waiting = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "q22_prospect_customers",
+    oracle="""
+    WITH threshold AS (
+      SELECT round(avg(c_acctbal), 4) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey, count(*) AS numcust,
+           CAST(round(sum(c.c_acctbal), 2) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT ab FROM threshold)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): well-funded customers
+    with no RECENT order, grouped by geography — the scalar-subquery
+    threshold + anti-join pattern. The positive-balance average is a
+    one-row aggregate broadcast as a cross-join filter (Catalyst's
+    scalar-subquery lowering, written explicitly); the lapsed test is a
+    left-anti join against recent orders, whose date predicate pushes
+    into the orders scan BEFORE the anti join (every customer in this
+    testdata has ordered at some point, so the literal never-ordered form
+    is vacuous). The threshold is rounded on both sides so partial-avg
+    order can't flip a boundary customer. c_nationkey stands in for the
+    phone-prefix country code (no c_phone in testdata)."""
+    c = _t(spark, sf_dir, "customer")
+    thr = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 4).alias("ab")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

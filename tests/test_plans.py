@@ -411,3 +411,112 @@ def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
     assert "token#" in flat
     assert "IN(window,merge,customer)" in flat or "INSET" in flat.upper(), plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q4_semi_join_both_filters_pushed(spark, sf_dir):
+    """q4_priority_check: EXISTS lowers to a LeftSemi join (no distinct, no
+    row multiplication) with the quarter filter pushed to the orders scan
+    and the returnflag filter to the lineitem scan."""
+    plan = _plan(spark, sf_dir, "q4_priority_check")
+    flat = plan.replace(" ", "").replace("\n", "")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in flat
+    assert "EqualTo(l_returnflag,R)" in flat
+    assert "SortMergeJoin" not in plan
+
+
+def test_q13_join_side_filter_pushed_double_agg(spark, sf_dir):
+    """q13_customer_distribution: the priority filter lives in the JOIN
+    condition yet still pushes into the orders scan (it only references
+    the preserved-side's opposite table); both aggregation levels run
+    partial+final."""
+    plan = _plan(spark, sf_dir, "q13_customer_distribution")
+    flat = plan.replace(" ", "").replace("\n", "")
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in flat
+    assert plan.count("partial_count") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q15_single_lineitem_scan(spark, sf_dir):
+    """q15_top_supplier: the max-of-aggregate must NOT re-evaluate the
+    revenue view — exactly one lineitem scan, with the global max taken
+    by a window over the already-aggregated per-supplier rows."""
+    plan = _plan(spark, sf_dir, "q15_top_supplier")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan
+    assert "partial_sum" in plan
+
+
+def test_q16_anti_join_and_countdistinct_expansion(spark, sf_dir):
+    """q16_supplier_part_count: the supplier exclusion is a broadcast
+    left-anti join, the size IN-list pushes to the part scan, and
+    count(distinct) expands to the two-level aggregate."""
+    plan = _plan(spark, sf_dir, "q16_supplier_part_count")
+    flat = plan.replace(" ", "").replace("\n", "")
+    assert "LeftAnti" in plan
+    assert "In(p_size" in flat
+    assert "count(distinct" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q17_avg_joinback_partial_and_residual(spark, sf_dir):
+    """q17_small_quantity_revenue: the per-part threshold is a partial+final
+    avg joined back with the quantity comparison as a non-equi residual on
+    the broadcast join; the brand filter reaches the part scan."""
+    plan = _plan(spark, sf_dir, "q17_small_quantity_revenue")
+    flat = plan.replace(" ", "").replace("\n", "")
+    assert "partial_avg" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EqualTo(p_brand,Brand#12)" in flat
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_disjunction_bounds_pushed_to_both_scans(spark, sf_dir):
+    """q19_disjunctive_revenue: Catalyst must factor scan-local bounds out
+    of the OR-of-ANDs — the quantity-band disjunction reaches the lineitem
+    scan and the brand/size disjunction the part scan, while the full
+    cross-table predicate evaluates above the broadcast join."""
+    plan = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    flat = plan.replace(" ", "").replace("\n", "")
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in flat, plan
+    # toString() truncates the part scan's filter list — the visible prefix
+    # proves the brand/size disjunction entered the pushdown set
+    assert "Or(Or(And(EqualTo(p_brand" in flat, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_semi_anti_stack_takeordered(spark, sf_dir):
+    """q21_waiting_suppliers: the EXISTS/NOT-EXISTS pair lowers to one
+    LeftSemi and one LeftAnti with non-equi residuals over the same
+    l_orderkey key (plus the orders-status LeftSemi); top-20 is
+    TakeOrdered, never a global sort."""
+    plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
+    assert plan.count("LeftSemi") == 2
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_date_pushed(spark, sf_dir):
+    """q22_prospect_customers: the recent-orders anti join prunes orders at
+    the scan by date BEFORE building the anti side; the scalar threshold
+    is a one-row broadcast."""
+    plan = _plan(spark, sf_dir, "q22_prospect_customers")
+    flat = plan.replace(" ", "").replace("\n", "")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1999-01-01" in flat
+    assert "SortMergeJoin" not in plan
+
+
+def test_q7_all_dims_broadcast_nation_inlist_pushed(spark, sf_dir):
+    """q7_volume_shipping: supplier, customer and both nation legs
+    broadcast (lineitem is the only shuffling input) and the inferred
+    single-nation IN-list membership pushes below the cross-table
+    disjunction into the nation scans."""
+    plan = _plan(spark, sf_dir, "q7_volume_shipping")
+    flat = plan.replace(" ", "").replace("\n", "")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "In(n_name" in flat
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
