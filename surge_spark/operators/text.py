@@ -582,3 +582,70 @@ def word_pmi_top_pairs(
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int = 50
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES, exponential-race form): each row draws u ∈ (0,1] from
+    md5(key) and scores ln(u)/w — the top-k scores ARE a weight-
+    proportional sample without replacement. The quality-weighted
+    selection step of a pretraining mix, reproducible on any engine and
+    any partitioning because the randomness is keyed, not rand().
+
+    Shape at scale: the score is a map-side expression (two hash/string
+    ops + one log per row, no shuffle) and the top-k is
+    TakeOrderedAndProject — partial top-k per partition, never a global
+    sort. Scores are rounded before ordering so libm last-bit differences
+    can't flip a boundary row; ties break on the key."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+        ).cast("double")
+        + 1.0
+    ) / float(1 << 60)
+    score = F.round(F.log(u) / F.greatest(F.col(weight_col), F.lit(1)), 9)
+    return (
+        df.withColumn("score", score)
+        .orderBy(F.desc("score"), F.asc(key_col))
+        .limit(k)
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    max_df_frac: float = 0.8,
+) -> DataFrame:
+    """Posting-list construction: term → sorted list of containing doc ids
+    plus document frequency — the inverted index behind corpus search and
+    contamination lookup. Terms are deduped per document map-side
+    (array_distinct BEFORE explode, so the shuffle carries one row per
+    distinct term per doc) and banded to min_df ≤ df ≤ max_df_frac·n_docs:
+    the relative ceiling drops stopword-grade terms (whose m-row lists
+    would dominate shuffle AND output) at ANY corpus scale, and rarities
+    below min_df go with them. The corpus size rides along as a broadcast
+    single row. Postings are sorted so the array is deterministic. At
+    100 TB the surviving heavy lists additionally shard every N entries
+    (posting-list chunking) — the band is the first-order bound."""
+    pairs = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+    ).where(F.col("term") != "")
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df_docs"),
+            F.sort_array(F.collect_list("doc")).alias("postings"),
+        )
+        .join(F.broadcast(n_docs))
+        .where(
+            (F.col("df_docs") >= min_df)
+            & (F.col("df_docs") <= max_df_frac * F.col("n_docs"))
+        )
+        .select("term", "df_docs", "postings")
+    )

@@ -510,3 +510,31 @@ def es_read_path_snapshot_plus_tail(spark: SparkSession, sf_dir: str) -> DataFra
         ).alias("snapshot_value"),
         F.count(F.when(F.col("event_id") > F.col("_h"), 1)).alias("n_tail"),
     )
+
+
+@query(
+    "m_time_rollup",
+    oracle="""
+    SELECT CAST(year(ts) AS INT) AS yr, CAST(month(ts) AS INT) AS mo,
+           count(*) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (year(ts), month(ts))
+    """,
+)
+def m_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: event counts and value
+    totals at (year, month), (year), and grand-total granularities in ONE
+    pass — the continuous-aggregate shape a metrics store materializes
+    over a time-partitioned fact table. Spark's ROLLUP expands to
+    grouping sets inside a single partial+final aggregate (no re-scan per
+    level); at 100 TB the same query prunes to the touched time
+    partitions. Reference parity: the multi-resolution view over the A3-A7
+    metrics family (surge.internal.health metrics aggregates)."""
+    e = _events(spark, sf_dir)
+    return e.rollup(
+        F.year("ts").alias("yr"), F.month("ts").alias("mo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

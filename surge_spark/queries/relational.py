@@ -2414,3 +2414,64 @@ def q22_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "a_histogram_percentiles",
+    oracle="""
+    WITH hist AS (
+      SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bin,
+             count(*) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, cnt,
+             CAST(sum(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS total
+      FROM hist
+    ),
+    ps AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+    SELECT p, bin,
+           CAST(round(bin * 1000 + 1000.0 * (p * total - (cum - cnt)) / cnt, 6)
+                AS DOUBLE) AS estimate
+    FROM cum, ps
+    WHERE cum >= p * total AND cum - cnt < p * total
+    """,
+)
+def a_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram percentiles (p50/p90/p99 of
+    l_extendedprice, bin width 1000): the sketch-shaped percentile path
+    that actually composes at 100 TB — per-partition bin counts are a
+    partial+final aggregate (the histogram IS its own merge, unlike a
+    sort-based exact percentile), the bounded bin table (~price_range/
+    width rows) flows through one cumulative window, and each percentile
+    interpolates linearly inside its covering bin. Deterministic and
+    engine-portable because bins are integer floors and counts are exact
+    — the oracleable counterpart to approx_percentile's opaque sketch,
+    beside a_exact_percentiles (exact, sort-based) and the KMV/HLL
+    distinct sketches."""
+    li = _t(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        F.floor(F.col("l_extendedprice") / 1000).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    one = W.partitionBy(F.lit(1))
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(one.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+    ).withColumn("total", F.sum("cnt").over(one))
+    ps = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
+    target = F.col("p") * F.col("total")
+    return (
+        cum.join(F.broadcast(ps))
+        .where((F.col("cum") >= target) & (F.col("cum") - F.col("cnt") < target))
+        .select(
+            "p",
+            "bin",
+            F.round(
+                F.col("bin") * 1000
+                + 1000.0 * (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt"),
+                6,
+            ).alias("estimate"),
+        )
+    )

@@ -968,3 +968,55 @@ def t_word_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline. Bigrams are array-zip map-side (no per-doc window shuffle);
     counts are partial+final; count joins broadcast; top-k is TakeOrdered."""
     return tx.word_pmi_top_pairs(_docs(spark, sf_dir), "text", min_count=5, k=20)
+
+
+@query(
+    "t_weighted_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars, score FROM (
+      SELECT doc_id, lang, n_chars,
+             CAST(round(
+               ln((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS DOUBLE) + 1.0) / 1152921504606846976.0)
+               / greatest(n_chars, 1), 9) AS DOUBLE) AS score
+      FROM documents
+    )
+    ORDER BY score DESC, doc_id
+    LIMIT 50
+    """,
+)
+def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample of 50 documents (Efraimidis-
+    Spirakis exponential race keyed on md5(doc_id), weight = n_chars) —
+    the quality/length-proportional selection step of a pretraining mix,
+    identical on every engine and partitioning. Map-side score + top-k;
+    see operators.text.weighted_sample for the scale shape."""
+    return tx.weighted_sample(_docs(spark, sf_dir), "doc_id", "n_chars", k=50).select(
+        "doc_id", "lang", "n_chars", "score"
+    )
+
+
+@query(
+    "t_inverted_index",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+      ) WHERE term <> ''
+    )
+    SELECT term, count(*) AS df_docs,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM pairs GROUP BY term
+    HAVING count(*) >= 2
+       AND count(*) <= 0.8 * (SELECT count(*) FROM documents)
+    """,
+)
+def t_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: term → document frequency + sorted
+    posting list, banded to 2 ≤ df ≤ 0.8·n_docs — the relative ceiling
+    drops stopword-grade terms (the lists that would dominate shuffle and
+    output) at any corpus scale. The search/contamination-lookup
+    structure; see operators.text.inverted_index for the scale shape."""
+    return tx.inverted_index(
+        _docs(spark, sf_dir), "doc_id", "text", min_df=2, max_df_frac=0.8
+    )

@@ -520,3 +520,45 @@ def test_q7_all_dims_broadcast_nation_inlist_pushed(spark, sf_dir):
     assert "In(n_name" in flat
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_map_side_topk(spark, sf_dir):
+    """t_weighted_sample: the A-ES score is a map-side expression and the
+    selection is TakeOrdered — zero hash-partition exchanges, one scan,
+    never a global sort."""
+    plan = _plan(spark, sf_dir, "t_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_inverted_index_dedups_before_explode_single_shuffle(spark, sf_dir):
+    """t_inverted_index: per-doc term dedup happens via array_distinct
+    BEFORE the explode (the shuffle carries one row per distinct term per
+    doc) and the posting-list build is the single hash-partition exchange;
+    the corpus count joins as a broadcast single row."""
+    plan = _plan(spark, sf_dir, "t_inverted_index")
+    assert "array_distinct" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_histogram_percentiles_partial_agg_bounded_window(spark, sf_dir):
+    """a_histogram_percentiles: the bin histogram runs partial+final (the
+    sketch merge), lineitem is scanned once, and the cumulative window
+    runs over the bounded bin table — its input exchange is the
+    SinglePartition of ~100 rows, not of the fact table."""
+    plan = _plan(spark, sf_dir, "a_histogram_percentiles")
+    assert "partial_count" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # only the bin agg
+
+
+def test_time_rollup_single_pass_expand(spark, sf_dir):
+    """m_time_rollup: ROLLUP expands to grouping sets inside ONE
+    partial+final aggregate over ONE events scan — no per-level re-scan."""
+    plan = _plan(spark, sf_dir, "m_time_rollup")
+    assert "Expand" in plan
+    assert "partial_count" in plan
+    assert plan.count("Scan parquet") == 1
