@@ -538,3 +538,130 @@ def m_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "m_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+        AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT count(*) FROM s1) AS n_view,
+           (SELECT count(*) FROM s2) AS n_click_after,
+           (SELECT count(*) FROM s3) AS n_purchase_after,
+           CAST(round((SELECT count(*) FROM s3)
+                      / greatest((SELECT count(*) FROM s1), 1), 6) AS DOUBLE)
+             AS full_funnel_rate
+    """,
+)
+def m_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase) with a 24-hour
+    conversion window per step: users counted at each step only if the
+    step's FIRST occurrence falls within 24 h AFTER the previous step's
+    first occurrence — the product-analytics sequence query (per-type min
+    alone is wrong: a click before the first view must not count, and an
+    unbounded funnel saturates on any long-lived corpus). Each stage is a
+    per-user min aggregate joined to the previous stage on user_id with a
+    time residual, so all three stages shuffle on the SAME key and the
+    exchanges line up; stage inputs prune by event_type at the scan. The
+    funnel result is five scalars."""
+    e = _events(spark, sf_dir)
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        e.agg(F.countDistinct("user_id").alias("n_users"))
+        .join(F.broadcast(s1.agg(F.count(F.lit(1)).alias("n_view"))))
+        .join(F.broadcast(s2.agg(F.count(F.lit(1)).alias("n_click_after"))))
+        .join(F.broadcast(s3.agg(F.count(F.lit(1)).alias("n_purchase_after"))))
+    )
+    return counts.select(
+        "n_users",
+        "n_view",
+        "n_click_after",
+        "n_purchase_after",
+        F.round(
+            F.col("n_purchase_after") / F.greatest(F.col("n_view"), F.lit(1)), 6
+        ).alias("full_funnel_rate"),
+    )
+
+
+@query(
+    "m_retention_cohorts",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS activity_day
+      FROM events
+    )
+    SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, a.activity_day) AS INT)
+             AS day_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    WHERE date_diff('day', c.cohort_day, a.activity_day) BETWEEN 0 AND 7
+    GROUP BY c.cohort_day, day_offset
+    """,
+)
+def m_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen day, counted on
+    each of their first 8 active days — the product-analytics retention
+    triangle. Per-user cohort assignment is one aggregate; the (user, day)
+    activity set dedups map-side reduction before joining the cohort table
+    on user_id (same key as the cohort aggregate's exchange); the matrix
+    itself is bounded (cohorts × 8). At 100 TB the cohort table is the
+    small side and broadcasts."""
+    e = _events(spark, sf_dir)
+    cohorts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("activity_day")
+    ).distinct()
+    off = F.datediff(F.col("activity_day"), F.col("cohort_day"))
+    return (
+        activity.join(cohorts, "user_id")
+        .withColumn("day_offset", off)
+        .where((F.col("day_offset") >= 0) & (F.col("day_offset") <= 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

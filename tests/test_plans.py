@@ -562,3 +562,26 @@ def test_time_rollup_single_pass_expand(spark, sf_dir):
     assert "Expand" in plan
     assert "partial_count" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_funnel_stage_filters_pushed_no_cartesian(spark, sf_dir):
+    """m_funnel_conversion: each funnel stage's event_type filter reaches
+    the events scan; stage joins are keyed (never cartesian) and the five
+    scalar counts combine via one-row broadcasts."""
+    plan = _plan(spark, sf_dir, "m_funnel_conversion")
+    flat = plan.replace(" ", "").replace("\n", "")
+    assert "EqualTo(event_type,view)" in flat
+    assert "EqualTo(event_type,click)" in flat
+    assert "EqualTo(event_type,purchase)" in flat
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_retention_dedups_with_partial_agg(spark, sf_dir):
+    """m_retention_cohorts: the (user, day) dedup and the cohort min both
+    run partial+final before the user_id join; no cartesian, no
+    sort-merge."""
+    plan = _plan(spark, sf_dir, "m_retention_cohorts")
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
