@@ -596,3 +596,55 @@ def ann_topk_ivfadc(
         .where(F.col("rank") <= k)
         .select("query_id", "corpus_id", "approx_ip", "rank")
     )
+
+
+def cell_representatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    per_cell: int = 1,
+) -> DataFrame:
+    """Diversity / coreset sampling: the ``per_cell`` most-central exemplars
+    of each k-means cell — one spread-out representative subset of the
+    embedding corpus (diverse fine-tuning subset selection, corpus
+    summarization, eval-set seeding).
+
+    Assignment AND the centrality score come from ONE map-side array_max
+    over the centroid literals (the struct carries (sim, -cell), so the
+    best cell and its cosine fall out of the same reduction); the
+    per-cell top-k is a WindowGroupLimit partial top-k (never a global
+    sort), and sizes are a partial+final aggregate joined back as a
+    broadcast (n_cells rows). The sizes branch re-scans the corpus and
+    re-derives assignments — deliberately: folding the count into the
+    rank's window would share one scan but need every row in the window,
+    disabling WindowGroupLimit and shuffling the WHOLE corpus on cluster;
+    the second pruned scan + partial-agg (shuffle = n_cells rows) is the
+    cheaper shape at 100 TB, trading map-side CPU for ~zero shuffle.
+    Scores are rounded before ranking so float noise can't flip an
+    exemplar between engines."""
+    u = with_unit_vector(df, vec_col)
+    scored = F.array(
+        *[
+            F.struct(
+                dot(F.col("unit"), _lit_vec(c)).alias("sim"),
+                F.lit(-i).alias("neg_cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = u.withColumn("best", F.array_max(scored)).select(
+        F.col(id_col).alias("id"),
+        (-F.col("best.neg_cell")).alias("cluster"),
+        F.round(F.col("best.sim"), 6).alias("cosine"),
+    )
+    sizes = best.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    w = W.partitionBy("cluster").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        best.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= per_cell)
+        .join(F.broadcast(sizes), "cluster")
+        .select(
+            "cluster", F.col("id").alias("rep_id"), "cosine", "cluster_size"
+        )
+    )

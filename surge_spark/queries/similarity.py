@@ -516,3 +516,54 @@ def sim_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("v"), 6).alias("centroid"),
         F.count("*").alias("n_vectors"),
     )
+
+
+@query(
+    "sim_diverse_representatives",
+    oracle=f"""
+    WITH cents(cell, c) AS (VALUES
+      {_DUCK_CENTS}
+    ),
+    scored_cells AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * c.c[i])) AS sim
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cell,
+             CAST(round(sim / sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+                  AS DOUBLE) AS cosine
+      FROM (
+        SELECT vec_id, embedding, cell, sim,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY sim DESC, cell ASC
+               ) AS rn
+        FROM scored_cells
+      ) WHERE rn = 1
+    ),
+    sizes AS (SELECT cell, count(*) AS cluster_size FROM assigned GROUP BY cell)
+    SELECT a.cell AS cluster, a.vec_id AS rep_id, a.cosine, s.cluster_size
+    FROM (
+      SELECT cell, vec_id, cosine,
+             row_number() OVER (
+               PARTITION BY cell ORDER BY cosine DESC, vec_id ASC
+             ) AS rk
+      FROM assigned
+    ) a JOIN sizes s ON a.cell = s.cell
+    WHERE a.rk <= 2
+    """,
+)
+def sim_diverse_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling: the 2 most-central exemplars of each FIXED_CENTS
+    cell — a spread-out subset covering every semantic region (diverse
+    fine-tuning selection / corpus summarization). Assignment and
+    centrality fall out of one map-side array_max; per-cell top-k is a
+    WindowGroupLimit. The oracle scores raw embeddings and divides by the
+    norm at the end (argmax is scale-invariant; the cosine value then
+    matches Spark's unit-vector dot after rounding)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cell_representatives(
+        emb, "vec_id", "embedding", centroids=FIXED_CENTS, per_cell=2
+    )

@@ -585,3 +585,17 @@ def test_retention_dedups_with_partial_agg(spark, sf_dir):
     assert "partial_" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_diverse_representatives_single_scan_group_limit(spark, sf_dir):
+    """sim_diverse_representatives: the exemplar pick is a WindowGroupLimit
+    partial top-k (the shuffle carries ≤ per_cell·n_cells rows per task,
+    not the corpus); sizes come from a SECOND pruned scan + partial agg —
+    the deliberate trade that keeps the group limit alive (one shared
+    window would shuffle every row); sizes join back broadcast."""
+    plan = _plan(spark, sf_dir, "sim_diverse_representatives")
+    assert plan.count("Scan parquet") == 2
+    assert "partial_count" in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
