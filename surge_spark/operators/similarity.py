@@ -50,12 +50,15 @@ def cosine_topk(
     vec_col: str,
     k: int = 10,
     query_id_col: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact brute-force top-k cosine neighbors for each query vector.
 
     queries is broadcast (small); the corpus never shuffles until the final
     per-query top-k, which is a partial top-k per partition thanks to
-    WindowGroupLimit. Self-matches (same id) are excluded."""
+    WindowGroupLimit. Self-matches (same id) are excluded. Pass ``dim`` so
+    the per-pair cosine compiles to a flat indexed chain (codegen) instead
+    of an interpreted HOF — this is the scoring hot loop."""
     query_id_col = query_id_col or id_col
     c = with_unit_vector(corpus, vec_col).select(
         F.col(id_col).alias("corpus_id"), F.col("unit").alias("c_unit")
@@ -63,14 +66,15 @@ def cosine_topk(
     q = with_unit_vector(queries, vec_col).select(
         F.col(query_id_col).alias("query_id"), F.col("unit").alias("q_unit")
     )
+    cos = (
+        F.expr(_dot_cols_sql("c_unit", "q_unit", dim))
+        if dim is not None
+        else dot(F.col("c_unit"), F.col("q_unit"))
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("corpus_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "corpus_id",
-            dot(F.col("c_unit"), F.col("q_unit")).alias("cosine"),
-        )
+        .select("query_id", "corpus_id", cos.alias("cosine"))
     )
     w = W.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("corpus_id")
@@ -204,7 +208,7 @@ def ivf_train(
     ]
     cents = init
     for _ in range(max(0, iters)):
-        assigned = _assign_cell(u, F.col("unit"), cents)
+        assigned = _assign_cell(u, "unit", cents)
         # centroid update: per-dimension mean, distributed (posexplode →
         # partial-agg avg → re-assembled in cell order), then re-normalized
         new_rows = (
@@ -230,12 +234,63 @@ def ivf_train(
     return cents
 
 
+def _dot_lit_sql(vec_sql: str, c: list[float]) -> str:
+    """Literal-model dot product as a flat SQL string: an indexed
+    multiply-add chain (``v[0]*c0 + v[1]*c1 + …``), left-associative so an
+    oracle can mirror the summation order textually. Flat arithmetic stays
+    inside whole-stage codegen; the equivalent aggregate/zip_with HOF runs
+    INTERPRETED per element (measured 2-15× slower end-to-end at sf0.1,
+    worse when Catalyst re-evaluates the expression at a filter/join above
+    it)."""
+    return "(" + "+".join(
+        f"CAST({vec_sql}[{d}] AS DOUBLE)*{x!r}" for d, x in enumerate(c)
+    ) + ")"
+
+
+def _dot_cols_sql(a_sql: str, b_sql: str, dim: int) -> str:
+    """Column-column dot product as a flat indexed SQL chain (needs the
+    dimension at plan time) — same codegen-vs-interpreted-HOF rationale as
+    _dot_lit_sql."""
+    return "(" + "+".join(
+        f"CAST({a_sql}[{d}] AS DOUBLE)*CAST({b_sql}[{d}] AS DOUBLE)"
+        for d in range(dim)
+    ) + ")"
+
+
+def _norm_sql(vec_sql: str, dim: int) -> str:
+    """Euclidean norm as a flat indexed SQL chain."""
+    sq = "+".join(
+        f"CAST({vec_sql}[{d}] AS DOUBLE)*CAST({vec_sql}[{d}] AS DOUBLE)"
+        for d in range(dim)
+    )
+    return f"sqrt({sq})"
+
+
+def _best_cell_sql(vec_sql: str, cents: list[list[float]]) -> str:
+    """SQL for the (sim, -cell) struct of the nearest centroid: array_max
+    over one struct per centroid (struct ordering compares sim first; the
+    negated index makes ties resolve to the LOWEST cell). Linear in
+    n_cells; each sim is a flat _dot_lit_sql chain."""
+    structs = ",".join(
+        f"struct({_dot_lit_sql(vec_sql, c)} AS sim, {-i} AS neg_cell)"
+        for i, c in enumerate(cents)
+    )
+    return f"array_max(array({structs}))"
+
+
 def _assign_cell(
-    df: DataFrame, unit_col: F.Column, cents: list[list[float]]
+    df: DataFrame, vec_sql: str, cents: list[list[float]]
 ) -> DataFrame:
-    """Nearest-centroid cell id as a pure map-side expression fold — no
-    shuffle, no Python: a when-chain over the (small) centroid list keeps
-    assignment embarrassingly parallel at any corpus size.
+    """Nearest-centroid cell id as a pure map-side expression — no shuffle,
+    no Python: ONE parsed F.expr over the (small) centroid list keeps
+    assignment embarrassingly parallel at any corpus size and the
+    expression tree shallow (plan-build cost is real — see the minhash
+    precedent in CLAUDE.md).
+
+    ``vec_sql`` names the vector column in SQL (raw or unit-normalized:
+    argmax over unit centroids is scale-invariant, so callers that only
+    need the cell id can pass the RAW embedding and skip normalization
+    entirely).
 
     The model rides in the plan as literals, so it must stay coarse:
     n_cells × dim up to ~10^5 elements is fine (typical IVF coarse
@@ -244,24 +299,15 @@ def _assign_cell(
     result, model bytes move via the broadcast machinery rather than the
     task binary.
 
-    Scores are materialized as one array of (sim, -cell) structs and
-    reduced with array_max (struct ordering compares sim first; the
-    negated index makes ties resolve to the LOWEST cell, matching the
-    original when-chain's first-wins behavior on duplicated centroids).
-    This keeps the expression tree LINEAR in n_cells — a nested when-chain
-    that threads the running best through both the condition and the
-    otherwise branch duplicates the subtree per centroid and goes
-    exponential (n_cells=16 never finishes analysis)."""
-    scored = F.array(
-        *[
-            F.struct(
-                dot(unit_col, _lit_vec(c)).alias("sim"),
-                F.lit(-i).alias("neg_cell"),
-            )
-            for i, c in enumerate(cents)
-        ]
+    Scores reduce through array_max over (sim, -cell) structs (ties to
+    the LOWEST cell). Each sim is a flat literal multiply-add chain that
+    whole-stage codegen compiles; the previous aggregate/zip_with HOF
+    form was interpreted per element AND got re-evaluated wholesale
+    wherever a join/filter referenced the cell column — measured 11 s for
+    a trivial 50k-row sizes join at sf0.1, 0.4 s flat."""
+    return df.withColumn(
+        "cell", F.expr(f"-({_best_cell_sql(vec_sql, cents)}.neg_cell)")
     )
-    return df.withColumn("cell", -F.array_max(scored)["neg_cell"])
 
 
 def ivf_probe_cells(
@@ -305,8 +351,11 @@ def ann_topk_ivf(
     cents = centroids if centroids is not None else ivf_train(
         corpus, vec_col, n_cells, iters, seed
     )
+    # assignment runs on the RAW vector (argmax over unit centroids is
+    # scale-invariant) so the deep unit-normalize transform never gets
+    # inlined into the cell expression; unit vectors ride along for scoring
     c = _assign_cell(
-        with_unit_vector(corpus, vec_col), F.col("unit"), cents
+        with_unit_vector(corpus, vec_col), f"`{vec_col}`", cents
     ).select(F.col(id_col).alias("corpus_id"), F.col("unit").alias("c_unit"), "cell")
     q = ivf_probe_cells(
         with_unit_vector(queries, vec_col), F.col("unit"), cents, nprobe
@@ -316,8 +365,11 @@ def ann_topk_ivf(
         .where(F.col("corpus_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "corpus_id"])
     )
+    dim = len(cents[0])
     scored = cands.select(
-        "query_id", "corpus_id", dot(F.col("c_unit"), F.col("q_unit")).alias("cosine")
+        "query_id",
+        "corpus_id",
+        F.expr(_dot_cols_sql("c_unit", "q_unit", dim)).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
@@ -333,10 +385,13 @@ def embedding_neardup_pairs(
     vec_col: str,
     block_col: str,
     threshold: float,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks (e.g. a coarse
     cluster/label or LSH bucket as the blocking key). Exact cosine inside
-    each block; the block join bounds the pair space."""
+    each block; the block join bounds the pair space. Pass ``dim`` so the
+    per-pair cosine compiles to a flat indexed chain (codegen) instead of
+    an interpreted HOF — on the pair stream this is the hot loop."""
     u = with_unit_vector(df, vec_col)
     a = u.select(
         F.col(block_col).alias("block"),
@@ -348,10 +403,15 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id_b"),
         F.col("unit").alias("ub"),
     )
+    cos = (
+        F.expr(_dot_cols_sql("ua", "ub", dim))
+        if dim is not None
+        else dot(F.col("ua"), F.col("ub"))
+    )
     return (
         a.join(b, "block")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("block", "id_a", "id_b", F.round(dot(F.col("ua"), F.col("ub")), 6).alias("cosine"))
+        .select("block", "id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 
@@ -364,6 +424,7 @@ def semantic_clusters(
     iters: int = 4,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    sizes_exchange: bool = True,
 ) -> DataFrame:
     """Semantic clustering of an embedding column: spherical k-means
     (ivf_train's distributed Lloyd loop) then shuffle-free map-side
@@ -373,12 +434,35 @@ def semantic_clusters(
     Pass ``centroids`` to skip training and assign against a fixed model
     (reusing an index across corpora; also makes the whole query
     declarative, which the catalog uses to give it a value-checked
-    oracle)."""
+    oracle).
+
+    ``sizes_exchange`` picks how cluster_size attaches — both measured at
+    sf0.1 (50k × 64):
+    - True (default): count(*) over a cluster-partitioned window — ONE
+      exchange materializes the assignment, so the cell expression
+      evaluates once per row. 0.55 s. Parallelism of that exchange is
+      bounded by n_cells, which is fine for a coarse model locally and on
+      moderate clusters.
+    - False: partial+final count + broadcast join-back — zero corpus
+      shuffle, but every operator that references the cluster column
+      (filter, join key, output) RE-EVALUATES the assignment expression
+      (Catalyst inlines deterministic projections; ~5 evaluations
+      measured, 4.1 s). The right trade at 100 TB with small n_cells,
+      where re-computed map-side CPU is cheaper than shuffling the corpus
+      into n_cells partitions."""
     assigned = _cluster_assignments(
         df, id_col, vec_col, n_cells, iters, seed, centroids
     )
+    if sizes_exchange:
+        return assigned.select(
+            "id",
+            "cluster",
+            F.count(F.lit(1)).over(W.partitionBy("cluster")).alias("cluster_size"),
+        )
     sizes = assigned.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
-    return assigned.join(sizes, "cluster").select("id", "cluster", "cluster_size")
+    return assigned.join(F.broadcast(sizes), "cluster").select(
+        "id", "cluster", "cluster_size"
+    )
 
 
 def _cluster_assignments(
@@ -397,9 +481,11 @@ def _cluster_assignments(
     cents = centroids if centroids is not None else ivf_train(
         df, vec_col, n_cells, iters, seed
     )
-    return _assign_cell(
-        with_unit_vector(df, vec_col), F.col("unit"), cents
-    ).select(F.col(id_col).alias("id"), F.col("cell").alias("cluster"))
+    # raw-vector assignment (scale-invariant argmax) — no unit normalize
+    # pass at all on this path
+    return _assign_cell(df, f"`{vec_col}`", cents).select(
+        F.col(id_col).alias("id"), F.col("cell").alias("cluster")
+    )
 
 
 def semantic_neardup_pairs(
@@ -425,8 +511,9 @@ def semantic_neardup_pairs(
     blocked = df.join(
         clustered.select(F.col("id").alias(id_col), "cluster"), id_col
     )
+    dim = len(cents[0]) if (cents := (centroids or [])) else None
     return embedding_neardup_pairs(
-        blocked, id_col, vec_col, "cluster", threshold
+        blocked, id_col, vec_col, "cluster", threshold, dim=dim
     ).withColumnRenamed("block", "cluster")
 
 
@@ -571,7 +658,9 @@ def ann_topk_ivfadc(
     map-side expressions until the per-query top-k WindowGroupLimit."""
     query_id_col = query_id_col or id_col
     m = len(codebooks)
-    cu = _assign_cell(with_unit_vector(corpus, vec_col), F.col("unit"), centroids)
+    cu = _assign_cell(
+        with_unit_vector(corpus, vec_col), f"`{vec_col}`", centroids
+    )
     c = pq_encode(cu, "unit", codebooks).select(
         F.col(id_col).alias("corpus_id"), "cell", *[f"code_{i}" for i in range(m)]
     )
@@ -623,20 +712,17 @@ def cell_representatives(
     cheaper shape at 100 TB, trading map-side CPU for ~zero shuffle.
     Scores are rounded before ranking so float noise can't flip an
     exemplar between engines."""
-    u = with_unit_vector(df, vec_col)
-    scored = F.array(
-        *[
-            F.struct(
-                dot(F.col("unit"), _lit_vec(c)).alias("sim"),
-                F.lit(-i).alias("neg_cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    best = u.withColumn("best", F.array_max(scored)).select(
+    # ONE parsed expression: raw-vector argmax (scale-invariant) for the
+    # cell, raw sim / norm for the cosine — no unit-normalize pass, flat
+    # codegen arithmetic (see _assign_cell's interpreted-HOF rationale)
+    dim = len(centroids[0])
+    best_sql = _best_cell_sql(f"`{vec_col}`", centroids)
+    best = df.withColumn("best", F.expr(best_sql)).select(
         F.col(id_col).alias("id"),
         (-F.col("best.neg_cell")).alias("cluster"),
-        F.round(F.col("best.sim"), 6).alias("cosine"),
+        F.round(
+            F.col("best.sim") / F.expr(_norm_sql(f"`{vec_col}`", dim)), 6
+        ).alias("cosine"),
     )
     sizes = best.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
     w = W.partitionBy("cluster").orderBy(F.desc("cosine"), F.asc("id"))

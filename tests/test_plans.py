@@ -599,3 +599,25 @@ def test_diverse_representatives_single_scan_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semantic_clusters_flat_assignment_single_exchange(spark, sf_dir):
+    """sim_semantic_clusters: the cell assignment is a FLAT literal
+    multiply-add expression (no interpreted aggregate/zip_with HOF — that
+    form measured 19× slower end-to-end at sf0.1) evaluated once per row:
+    one scan, one exchange, sizes from the cluster-partitioned window."""
+    plan = _plan(spark, sf_dir, "sim_semantic_clusters")
+    assert "zip_with" not in plan
+    assert "transform(" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_bruteforce_cosine_is_flat_not_hof(spark, sf_dir):
+    """sim_cosine_topk_bruteforce: the pair-scoring hot loop must be flat
+    indexed arithmetic (codegen), not an interpreted zip_with/aggregate
+    HOF; top-k stays a WindowGroupLimit."""
+    plan = _plan(spark, sf_dir, "sim_cosine_topk_bruteforce")
+    assert "zip_with" not in plan
+    assert "WindowGroupLimit" in plan

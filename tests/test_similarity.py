@@ -93,7 +93,7 @@ def test_ivf_cell_assignment_is_nearest(spark):
     u = sim.with_unit_vector(df, "embedding")
     got = {
         r.vec_id: r.cell
-        for r in sim._assign_cell(u, F.col("unit"), cents).collect()
+        for r in sim._assign_cell(u, "unit", cents).collect()
     }
     # [-1,0] has cosine -1 to cell 0 and 0 to cell 1 → cell 1 wins
     assert got == {0: 0, 1: 1, 2: 0, 3: 1}
