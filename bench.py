@@ -45,6 +45,9 @@ HEADLINE = [
     "t_unigram_logprob",           # unigram-LM quality scoring
     "t_bm25_search",               # BM25 ranked retrieval (new r5)
     "q3_shipping_priority",        # TPC-H Q3: date-split join + top-k (new r5)
+    "q21_waiting_suppliers",       # TPC-H Q21: EXISTS/NOT-EXISTS stack (new r5)
+    "m_funnel_conversion",         # windowed ordered funnel (new r5)
+    "sim_semantic_clusters",       # fixed-centroid clustering, flat codegen (new r5)
 ]
 
 N_RUNS = 3
