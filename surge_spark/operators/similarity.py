@@ -50,15 +50,17 @@ def cosine_topk(
     vec_col: str,
     k: int = 10,
     query_id_col: str | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact brute-force top-k cosine neighbors for each query vector.
 
     queries is broadcast (small); the corpus never shuffles until the final
     per-query top-k, which is a partial top-k per partition thanks to
-    WindowGroupLimit. Self-matches (same id) are excluded. Pass ``dim`` so
-    the per-pair cosine compiles to a flat indexed chain (codegen) instead
-    of an interpreted HOF — this is the scoring hot loop."""
+    WindowGroupLimit. Self-matches (same id) are excluded. Column-column
+    scoring is deliberately the HOF dot: A/B-measured FASTER than a flat
+    indexed chain here (0.49 vs 0.72 s at sf0.1 — the flat dot+norm form
+    exceeds codegen's method budget and interpreted tree-walking loses to
+    the aggregate loop; flat chains win only for literal-model dots, see
+    _dot_lit_sql)."""
     query_id_col = query_id_col or id_col
     c = with_unit_vector(corpus, vec_col).select(
         F.col(id_col).alias("corpus_id"), F.col("unit").alias("c_unit")
@@ -66,15 +68,14 @@ def cosine_topk(
     q = with_unit_vector(queries, vec_col).select(
         F.col(query_id_col).alias("query_id"), F.col("unit").alias("q_unit")
     )
-    cos = (
-        F.expr(_dot_cols_sql("c_unit", "q_unit", dim))
-        if dim is not None
-        else dot(F.col("c_unit"), F.col("q_unit"))
-    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("corpus_id") != F.col("query_id"))
-        .select("query_id", "corpus_id", cos.alias("cosine"))
+        .select(
+            "query_id",
+            "corpus_id",
+            dot(F.col("c_unit"), F.col("q_unit")).alias("cosine"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("corpus_id")
@@ -115,6 +116,14 @@ def lsh_bucket(
             return df.withColumn("bucket", F.lit(None).cast("long"))
         dim = len(first[0])
     planes = _hyperplanes(dim, n_planes, seed)
+    # NOTE measured, not assumed: the HOF dot loop BEATS a flat literal
+    # CASE chain here (0.23 s vs 0.48 s for 32 plane dots/row at sf0.1) —
+    # the flat form's ~4k-node expression exceeds codegen's method budget
+    # and interpreted TREE-WALKING is slower per op than the aggregate
+    # loop. Flat chains win only where they stay compilable or where
+    # Catalyst would re-evaluate the expression at joins/filters (see
+    # _assign_cell); a bucket column evaluated once per row per table is
+    # neither.
     v = _as_double(F.col(vec_col))
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
@@ -166,6 +175,10 @@ def ann_topk_lsh(
     cands = cands.where(F.col("corpus_id") != F.col("query_id")).dropDuplicates(
         ["query_id", "corpus_id"]
     )
+    # HOF scoring measured FASTER than flat indexed chains on this path
+    # (0.73 s vs 1.43 s end-to-end at sf0.1): the candidate stream is
+    # small and the flat dot+2-norm form (~12k expression nodes) blows the
+    # codegen method budget — see lsh_bucket's note
     cv, qv = _as_double(F.col("c_vec")), _as_double(F.col("q_vec"))
     scored = cands.select(
         "query_id",
@@ -365,11 +378,11 @@ def ann_topk_ivf(
         .where(F.col("corpus_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "corpus_id"])
     )
-    dim = len(cents[0])
+    # column-column scoring stays HOF: measured 2.35 s vs 2.4-2.9 s for
+    # the flat indexed form at sf0.1 (the ~4k-node chain exceeds codegen's
+    # method budget; interpreted tree-walking loses to the aggregate loop)
     scored = cands.select(
-        "query_id",
-        "corpus_id",
-        F.expr(_dot_cols_sql("c_unit", "q_unit", dim)).alias("cosine"),
+        "query_id", "corpus_id", dot(F.col("c_unit"), F.col("q_unit")).alias("cosine")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
@@ -385,13 +398,11 @@ def embedding_neardup_pairs(
     vec_col: str,
     block_col: str,
     threshold: float,
-    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks (e.g. a coarse
     cluster/label or LSH bucket as the blocking key). Exact cosine inside
-    each block; the block join bounds the pair space. Pass ``dim`` so the
-    per-pair cosine compiles to a flat indexed chain (codegen) instead of
-    an interpreted HOF — on the pair stream this is the hot loop."""
+    each block; the block join bounds the pair space. Pair scoring stays
+    the HOF dot — see cosine_topk's measured flat-vs-HOF note."""
     u = with_unit_vector(df, vec_col)
     a = u.select(
         F.col(block_col).alias("block"),
@@ -403,15 +414,15 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id_b"),
         F.col("unit").alias("ub"),
     )
-    cos = (
-        F.expr(_dot_cols_sql("ua", "ub", dim))
-        if dim is not None
-        else dot(F.col("ua"), F.col("ub"))
-    )
     return (
         a.join(b, "block")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("block", "id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .select(
+            "block",
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("ua"), F.col("ub")), 6).alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
     )
 
@@ -511,9 +522,8 @@ def semantic_neardup_pairs(
     blocked = df.join(
         clustered.select(F.col("id").alias(id_col), "cluster"), id_col
     )
-    dim = len(cents[0]) if (cents := (centroids or [])) else None
     return embedding_neardup_pairs(
-        blocked, id_col, vec_col, "cluster", threshold, dim=dim
+        blocked, id_col, vec_col, "cluster", threshold
     ).withColumnRenamed("block", "cluster")
 
 

@@ -119,14 +119,14 @@ def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "corpus_id",
-            # flat indexed chains (codegen), left-assoc like the oracle's
-            # list_sum — the interpreted-HOF form was the scoring hot loop
-            # (testdata embeddings are 64-wide, like FIXED_CENTS)
+            # HOF dot/norm on purpose: A/B-measured faster than flat
+            # indexed chains for column-column scoring (codegen method
+            # budget — see operators.similarity.cosine_topk's note)
             F.round(
-                F.expr(sim._dot_cols_sql("ce", "qe", 64))
+                sim.dot(sim._as_double(F.col("ce")), sim._as_double(F.col("qe")))
                 / (
-                    F.expr(sim._norm_sql("ce", 64))
-                    * F.expr(sim._norm_sql("qe", 64))
+                    sim.norm(sim._as_double(F.col("ce")))
+                    * sim.norm(sim._as_double(F.col("qe")))
                 ),
                 6,
             ).alias("cosine"),
@@ -161,15 +161,18 @@ def sim_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(
         F.col("label").alias("block"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
     )
-    cos = F.round(
-        F.expr(sim._dot_cols_sql("ea", "eb", 64))
-        / (F.expr(sim._norm_sql("ea", 64)) * F.expr(sim._norm_sql("eb", 64))),
-        6,
-    )
+    ea, eb = sim._as_double(F.col("ea")), sim._as_double(F.col("eb"))
     return (
         a.join(b, "block")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("block", "id_a", "id_b", cos.alias("cosine"))
+        .select(
+            "block",
+            "id_a",
+            "id_b",
+            F.round(sim.dot(ea, eb) / (sim.norm(ea) * sim.norm(eb)), 6).alias(
+                "cosine"
+            ),
+        )
         .where(F.col("cosine") >= 0.9)
     )
 
