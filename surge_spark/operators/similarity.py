@@ -254,19 +254,11 @@ def _dot_lit_sql(vec_sql: str, c: list[float]) -> str:
     inside whole-stage codegen; the equivalent aggregate/zip_with HOF runs
     INTERPRETED per element (measured 2-15× slower end-to-end at sf0.1,
     worse when Catalyst re-evaluates the expression at a filter/join above
-    it)."""
+    it). LITERAL-model dots only: the column-column flat form was
+    A/B-measured SLOWER than the HOF dot (codegen method budget) and was
+    deliberately removed — don't reintroduce it."""
     return "(" + "+".join(
         f"CAST({vec_sql}[{d}] AS DOUBLE)*{x!r}" for d, x in enumerate(c)
-    ) + ")"
-
-
-def _dot_cols_sql(a_sql: str, b_sql: str, dim: int) -> str:
-    """Column-column dot product as a flat indexed SQL chain (needs the
-    dimension at plan time) — same codegen-vs-interpreted-HOF rationale as
-    _dot_lit_sql."""
-    return "(" + "+".join(
-        f"CAST({a_sql}[{d}] AS DOUBLE)*CAST({b_sql}[{d}] AS DOUBLE)"
-        for d in range(dim)
     ) + ")"
 
 

@@ -594,6 +594,11 @@ def weighted_sample(
     selection step of a pretraining mix, reproducible on any engine and
     any partitioning because the randomness is keyed, not rand().
 
+    Rows with non-positive weight are EXCLUDED (A-ES is defined for
+    w > 0; a zero-weight row must never win a slot, and clamping small
+    weights up would silently flatten fractional quality scores into a
+    uniform sample). The division is by the TRUE weight.
+
     Shape at scale: the score is a map-side expression (two hash/string
     ops + one log per row, no shuffle) and the top-k is
     TakeOrderedAndProject — partial top-k per partition, never a global
@@ -605,9 +610,10 @@ def weighted_sample(
         ).cast("double")
         + 1.0
     ) / float(1 << 60)
-    score = F.round(F.log(u) / F.greatest(F.col(weight_col), F.lit(1)), 9)
+    score = F.round(F.log(u) / F.col(weight_col), 9)
     return (
-        df.withColumn("score", score)
+        df.where(F.col(weight_col) > 0)
+        .withColumn("score", score)
         .orderBy(F.desc("score"), F.asc(key_col))
         .limit(k)
     )
@@ -624,28 +630,43 @@ def inverted_index(
     plus document frequency — the inverted index behind corpus search and
     contamination lookup. Terms are deduped per document map-side
     (array_distinct BEFORE explode, so the shuffle carries one row per
-    distinct term per doc) and banded to min_df ≤ df ≤ max_df_frac·n_docs:
-    the relative ceiling drops stopword-grade terms (whose m-row lists
-    would dominate shuffle AND output) at ANY corpus scale, and rarities
-    below min_df go with them. The corpus size rides along as a broadcast
-    single row. Postings are sorted so the array is deterministic. At
-    100 TB the surviving heavy lists additionally shard every N entries
-    (posting-list chunking) — the band is the first-order bound."""
+    distinct term per doc) and banded to min_df ≤ df ≤ max_df_frac·n_docs.
+    The band is decided on a counts-only aggregate BEFORE any posting
+    list exists — a stopword's m rows reduce to one count via the partial
+    aggregate and its list is never materialized; the surviving term set
+    then filters the pair stream (term-keyed join) ahead of the
+    collect_list. The relative ceiling holds at ANY corpus scale, and
+    rarities below min_df go with them. The corpus size rides along as a
+    broadcast single row. Postings are sorted so the array is
+    deterministic. At 100 TB the surviving heavy lists additionally shard
+    every N entries (posting-list chunking) — the band is the first-order
+    bound."""
     pairs = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(tokens(text_col))).alias("term"),
     ).where(F.col("term") != "")
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
-    return (
+    # band on a COUNTS-ONLY aggregate first: the df count collapses each
+    # stopword's m rows map-side (partial+final), so the banned terms'
+    # posting lists are never built, shuffled, or sorted — banding after
+    # the collect_list would materialize exactly the m-row lists the band
+    # exists to drop (skewed reducers / agg-buffer OOM on 'the'-class
+    # terms at scale)
+    keep = (
         pairs.groupBy("term")
-        .agg(
-            F.count(F.lit(1)).alias("df_docs"),
-            F.sort_array(F.collect_list("doc")).alias("postings"),
-        )
+        .agg(F.count(F.lit(1)).alias("df_docs"))
         .join(F.broadcast(n_docs))
         .where(
             (F.col("df_docs") >= min_df)
             & (F.col("df_docs") <= max_df_frac * F.col("n_docs"))
         )
-        .select("term", "df_docs", "postings")
+        .select("term")
+    )
+    return (
+        pairs.join(keep, "term")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df_docs"),
+            F.sort_array(F.collect_list("doc")).alias("postings"),
+        )
     )

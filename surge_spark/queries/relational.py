@@ -2432,7 +2432,8 @@ def q22_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(cnt) OVER () AS BIGINT) AS total
       FROM hist
     ),
-    ps AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+    ps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                          CAST(0.99 AS DOUBLE)]) AS p)
     SELECT p, bin,
            CAST(round(bin * 1000 + 1000.0 * (p * total - (cum - cnt)) / cnt, 6)
                 AS DOUBLE) AS estimate
@@ -2460,6 +2461,10 @@ def a_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = hist.withColumn(
         "cum", F.sum("cnt").over(one.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
     ).withColumn("total", F.sum("cnt").over(one))
+    # p must be DOUBLE on BOTH sides: DuckDB's bare 0.9 is DECIMAL and
+    # evaluates p*total exactly, while Spark's double(0.9)*total rounds a
+    # hair high — a cum landing exactly on the target would then pick
+    # different bins per engine
     ps = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
     target = F.col("p") * F.col("total")
     return (

@@ -978,8 +978,8 @@ def t_word_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(
                ln((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
                         AS BIGINT) AS DOUBLE) + 1.0) / 1152921504606846976.0)
-               / greatest(n_chars, 1), 9) AS DOUBLE) AS score
-      FROM documents
+               / n_chars, 9) AS DOUBLE) AS score
+      FROM documents WHERE n_chars > 0
     )
     ORDER BY score DESC, doc_id
     LIMIT 50

@@ -535,7 +535,8 @@ def test_weighted_sample_map_side_topk(spark, sf_dir):
 def test_inverted_index_dedups_before_explode_single_shuffle(spark, sf_dir):
     """t_inverted_index: per-doc term dedup happens via array_distinct
     BEFORE the explode (the shuffle carries one row per distinct term per
-    doc) and the posting-list build is the single hash-partition exchange;
+    doc); the df band is decided on a counts-only aggregate and filters
+    the pair stream ahead of the collect_list (banned lists never build);
     the corpus count joins as a broadcast single row."""
     plan = _plan(spark, sf_dir, "t_inverted_index")
     assert "array_distinct" in plan
