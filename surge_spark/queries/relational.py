@@ -2480,3 +2480,110 @@ def a_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("estimate"),
         )
     )
+
+
+@query(
+    "a_corr_regression",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE)
+             AS qty_price_corr,
+           CAST(round(covar_pop(l_quantity, l_extendedprice), 3) AS DOUBLE)
+             AS qty_price_covar,
+           CAST(round(regr_slope(l_extendedprice, l_quantity), 5) AS DOUBLE)
+             AS price_per_qty_slope,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (corr / covar_pop / regr_slope): the
+    built-in bivariate statistics a feature-engineering or drift-detection
+    pass leans on — one partial+final aggregate pass computes all three
+    (Spark merges per-partition moment sketches, the classic numerically
+    parallel form). Rounded on both sides: moment merges are
+    order-sensitive in the last bits."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 3).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 5).alias(
+            "price_per_qty_slope"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "w_moving_median",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(round(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ), 6) AS DOUBLE) AS moving_median
+    FROM events
+    """,
+)
+def w_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median over a 4-row trailing frame per user — the robust
+    rolling statistic an anomaly detector prefers over EWMA when spikes
+    must not drag the baseline (complements m_ewma / m_anomaly_zscore).
+    Exact within the frame (tiny constant size); the frame ordering ties
+    on event_id so both engines see identical windows. One shuffle on
+    user_id. Spark disallows median() over an ordered frame
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the median is computed
+    from the frame's collect_list — sort the ≤4 values, take the middle
+    (odd) or the mean of the middle two (even), exactly DuckDB's median
+    semantics."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, (n / 2).cast("int"))
+    med = F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))).otherwise(
+        (mid_lo + mid_hi) / 2.0
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(med, 6).alias("moving_median"),
+    )
+
+
+@query(
+    "f_fuzzy_match_levenshtein",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INT) AS edit_distance
+    FROM nation a JOIN nation b ON a.n_name < b.n_name
+    WHERE levenshtein(a.n_name, b.n_name) <= 2
+    """,
+)
+def f_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (F-family string function coverage):
+    near-identical name pairs within a dimension — the entity-resolution
+    primitive for dirty dimension data, exact integer results on both
+    engines. The pair space here is a dim self-join (bounded); at corpus
+    scale the same scorer runs AFTER a blocking stage (LSH buckets or
+    q-gram keys), never all-pairs."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "edit_distance", F.levenshtein(F.col("name_a"), F.col("name_b"))
+        )
+        .where(F.col("edit_distance") <= 2)
+    )

@@ -623,3 +623,22 @@ def test_bruteforce_topk_group_limit(spark, sf_dir):
     sim_semantic_clusters instead)."""
     plan = _plan(spark, sf_dir, "sim_cosine_topk_bruteforce")
     assert "WindowGroupLimit" in plan
+
+
+def test_corr_regression_single_partial_pass(spark, sf_dir):
+    """a_corr_regression: all three bivariate statistics fold in ONE
+    partial+final aggregate pass over one scan (per-partition moment
+    sketches merged — never a re-scan per statistic)."""
+    plan = _plan(spark, sf_dir, "a_corr_regression")
+    assert "partial_" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_moving_median_single_user_shuffle(spark, sf_dir):
+    """w_moving_median: one shuffle on user_id feeds the frame window; the
+    median is frame-local arithmetic (no second aggregate, no join)."""
+    plan = _plan(spark, sf_dir, "w_moving_median")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
