@@ -6,7 +6,6 @@ per-partition offset order.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -217,24 +216,36 @@ def m_sensor_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def m_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: ExponentiallyWeightedMovingAverage.scala:14-29 — ewma' = 0.95*ewma
-    + 0.05*value, seeded with the first reading. Spark runs the true
-    recurrence per key (pandas ewm, adjust=False); the oracle is the
-    closed-form weighted sum, identical after rounding."""
+    + 0.05*value, seeded with the first reading. Computed as the CLOSED-FORM
+    weighted sum (the recurrence unrolled: weight 0.95^(n-1) on the seed,
+    0.05·0.95^(n-i) on reading i), which is all-JVM declarative — two
+    windows sharing one user_id exchange + one aggregate. The earlier
+    pandas-ewm form computed the same numbers through an Arrow round trip
+    at 6× the cost (3.15 → 0.5 s at sf0.1); the TRUE streaming recurrence
+    (which a closed form cannot replace incrementally) lives in
+    surge_spark/streaming/metrics.py."""
     e = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
-
-    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        val = pdf["value"].ewm(alpha=0.05, adjust=False).mean().iloc[-1]
-        return pd.DataFrame(
-            [{"sensor": str(pdf["user_id"].iloc[0]), "ewma": float(val)}]
-        )
-
-    folded = e.groupBy("user_id").applyInPandas(
-        ewma, schema="sensor string, ewma double"
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = W.partitionBy("user_id")
+    weighted = e.select(
+        "user_id",
+        "value",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    ).select(
+        "user_id",
+        (
+            F.col("value")
+            * F.when(
+                F.col("rn") == 1, F.pow(F.lit(0.95), F.col("n") - 1)
+            ).otherwise(0.05 * F.pow(F.lit(0.95), F.col("n") - F.col("rn")))
+        ).alias("wv"),
     )
-    # round in Spark (HALF_UP, matching DuckDB) — Python round() is
-    # half-to-even and diverges on exact ties
-    return folded.select("sensor", F.round("ewma", 6).alias("ewma"))
+    return (
+        weighted.groupBy("user_id")
+        .agg(F.round(F.sum("wv"), 6).alias("ewma"))
+        .select(F.col("user_id").cast("string").alias("sensor"), "ewma")
+    )
 
 
 @query(
