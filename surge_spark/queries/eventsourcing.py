@@ -431,7 +431,11 @@ def m_rate_trailing_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
     a true sliding window — every 1 s slide that contains the event counts
     it. Spark's window(ts, 60s, 1s) replicates each row into its 60 member
     windows map-side, then one partial+final count — the same shape the
-    streaming version uses with a watermark."""
+    streaming version uses with a watermark. On a DENSE stream (≫1 event
+    per second per type) pre-aggregate per (type, second) BEFORE the ×60
+    replication so the fan-out runs on second-counts, not raw events —
+    measured break-even on this sparse testdata (~1 event/s: 4.9 s vs
+    5.6 s at sf0.1), a strict win at density."""
     e = _events(spark, sf_dir)
     return (
         e.groupBy(F.window("ts", "60 seconds", "1 second"), "event_type")
