@@ -129,3 +129,50 @@ def test_load_table_normalizes_order_date_encodings(spark, tmp_path, enc):
         F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
     ).count()
     assert n == 1
+
+
+# Logical-type contract per table: what the CATALOG assumes after
+# load_table normalization. Physical encodings may drift between testdata
+# generations (events.ts already shipped 4 ways) — this canary fails the
+# suite with a named column the moment a regeneration introduces a type
+# the normalizer doesn't map, instead of erroring 20 queries deep.
+_LOGICAL_CONTRACT = {
+    "events": {"ts": (T.TimestampType, T.TimestampNTZType),
+               "user_id": (T.LongType,), "value": (T.DoubleType,),
+               "event_type": (T.StringType,), "props": (T.StringType,)},
+    "orders": {"o_orderdate": (T.TimestampType, T.TimestampNTZType),
+               "o_orderkey": (T.LongType,), "o_totalprice": (T.DoubleType,)},
+    "lineitem": {"l_shipdate": (T.TimestampType, T.TimestampNTZType),
+                 "l_orderkey": (T.LongType,), "l_quantity": (T.DoubleType,),
+                 "l_extendedprice": (T.DoubleType,), "l_discount": (T.DoubleType,)},
+    "customer": {"c_custkey": (T.LongType,), "c_acctbal": (T.DoubleType,)},
+    "supplier": {"s_suppkey": (T.LongType,), "s_acctbal": (T.DoubleType,)},
+    "part": {"p_partkey": (T.LongType,), "p_retailprice": (T.DoubleType,)},
+    "documents": {"doc_id": (T.LongType,), "text": (T.StringType,),
+                  "n_chars": (T.LongType,)},
+    "embeddings": {"vec_id": (T.LongType,), "embedding": (T.ArrayType,)},
+}
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_schema_drift_canary(spark, sf):
+    """Every table at every gate scale must normalize to the catalog's
+    logical contract — the fast-fail diagnostic for testdata regeneration
+    (CLAUDE.md: on mass errors, diff parquet schemas FIRST; this test IS
+    that diff, run automatically)."""
+    sf_dir = f"/root/testdata/{sf}"
+    problems = []
+    for table, cols in _LOGICAL_CONTRACT.items():
+        df = load_table(spark, sf_dir, table)
+        for col, allowed in cols.items():
+            if col not in df.columns:
+                problems.append(f"{sf}/{table}.{col}: MISSING")
+                continue
+            t = df.schema[col].dataType
+            if not isinstance(t, allowed):
+                problems.append(f"{sf}/{table}.{col}: {t} not in {allowed}")
+        if table == "embeddings":
+            el = df.schema["embedding"].dataType.elementType
+            if not isinstance(el, (T.FloatType, T.DoubleType)):
+                problems.append(f"{sf}/embeddings.embedding element: {el}")
+    assert not problems, "testdata schema drift detected:\n" + "\n".join(problems)
