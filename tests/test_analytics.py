@@ -1,0 +1,97 @@
+"""Invariant tests for the round-5 analytics/pipeline entries — properties
+the value-hash oracle can't state (monotonicity, subset-ness, internal
+consistency), plus hypothesis coverage for the weighted sampler."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from surge_spark.operators import text as tx
+from surge_spark.queries import all_queries
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+weight_rows = st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(-5, 500)),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=weight_rows)
+@settings(**SETTINGS)
+def test_weighted_sample_properties(spark, rows):
+    """A-ES sampling: output is a subset of the positive-weight rows, sized
+    min(k, #positive), and invariant under input row order (the score is
+    keyed, not positional)."""
+    k = 5
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "w"]).astype("int64")
+    )
+    out = tx.weighted_sample(df, "id", "w", k=k).collect()
+    positive = {i for i, w in rows if w > 0}
+    assert {r.id for r in out} <= positive
+    assert len(out) == min(k, len(positive))
+    rev = spark.createDataFrame(
+        pd.DataFrame(list(reversed(rows)), columns=["id", "w"]).astype("int64")
+    )
+    out2 = tx.weighted_sample(rev, "id", "w", k=k).collect()
+    assert {r.id for r in out} == {r.id for r in out2}
+
+
+def test_histogram_percentiles_monotone_within_bins(spark, sf_dir):
+    """p50 ≤ p90 ≤ p99, and each estimate lies inside its covering bin."""
+    rows = {r.p: r for r in all_queries()["a_histogram_percentiles"](spark, sf_dir).collect()}
+    assert set(rows) == {0.5, 0.9, 0.99}
+    assert rows[0.5].estimate <= rows[0.9].estimate <= rows[0.99].estimate
+    for r in rows.values():
+        assert r.bin * 1000 <= r.estimate <= (r.bin + 1) * 1000
+
+
+def test_funnel_counts_monotone(spark, sf_dir):
+    """Each funnel stage can only lose users: n_users ≥ n_view ≥
+    n_click_after ≥ n_purchase_after, and the rate is consistent."""
+    r = all_queries()["m_funnel_conversion"](spark, sf_dir).collect()[0]
+    assert r.n_users >= r.n_view >= r.n_click_after >= r.n_purchase_after >= 0
+    if r.n_view:
+        assert abs(r.full_funnel_rate - round(r.n_purchase_after / r.n_view, 6)) < 1e-9
+
+
+def test_inverted_index_postings_consistent(spark, sf_dir):
+    """df_docs equals the posting-list length, postings are sorted unique,
+    and every df honors the band."""
+    rows = all_queries()["t_inverted_index"](spark, sf_dir).collect()
+    assert rows, "band emptied the index"
+    n_docs = 500  # sf0.001 documents
+    for r in rows:
+        assert r.df_docs == len(r.postings)
+        assert r.postings == sorted(set(r.postings))
+        assert 2 <= r.df_docs <= 0.8 * n_docs
+
+
+def test_retention_day0_equals_cohort_size(spark, sf_dir):
+    """Offset-0 count per cohort equals the cohort's member count (everyone
+    is active on their own first day)."""
+    from pyspark.sql import functions as F
+
+    from surge_spark.io import load_table
+
+    rows = all_queries()["m_retention_cohorts"](spark, sf_dir).collect()
+    day0 = {r.cohort_day: r.n_users for r in rows if r.day_offset == 0}
+    e = load_table(spark, sf_dir, "events")
+    cohorts = (
+        e.groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+        .groupBy("cohort_day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    )
+    for c in cohorts:
+        assert day0.get(c.cohort_day) == c.n, c
