@@ -2587,3 +2587,83 @@ def f_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_distance") <= 2)
     )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                               ELSE 0 END) / sum(volume), 6) AS DOUBLE)
+             AS mkt_share
+    FROM v GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of a
+    region's STANDARD-part import market, by order year — the
+    conditional-share pattern (numerator and denominator fold in the SAME
+    partial+final aggregate; no self-join, no second scan) with nation
+    playing two roles (customer geography filters the market, supplier
+    geography tags the share). Part/supplier/customer and both nation
+    legs broadcast; the two-year predicate pushes into the orders scan;
+    lineitem shuffles once, on the final (year) aggregate key. The share
+    denominator is strictly positive (groups only form from revenue
+    rows), so ANSI division is safe."""
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .withColumnsRenamed({"n_nationkey": "n1_key", "n_regionkey": "n1_region"})
+        .select("n1_key", "n1_region")
+    )
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .withColumnsRenamed({"n_nationkey": "n2_key", "n_name": "supp_nation"})
+        .select("n2_key", "supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(volume),
+                6,
+            ).alias("mkt_share")
+        )
+    )

@@ -642,3 +642,18 @@ def test_moving_median_single_user_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_q8_all_dims_broadcast_single_share_pass(spark, sf_dir):
+    """q8_market_share: every dimension (part, supplier, customer, both
+    nation roles, region) broadcasts — lineitem is the only shuffling
+    input — and numerator + denominator fold in ONE partial+final
+    aggregate (no self-join, no second scan of the fact)."""
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    flat = plan.replace(" ", "").replace("\n", "")
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "SortMergeJoin" not in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "partial_sum" in plan
+    assert "EqualTo(p_type,STANDARD)" in flat
+    assert "EqualTo(r_name,EUROPE)" in flat
