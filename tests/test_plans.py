@@ -657,3 +657,15 @@ def test_q8_all_dims_broadcast_single_share_pass(spark, sf_dir):
     assert "partial_sum" in plan
     assert "EqualTo(p_type,STANDARD)" in flat
     assert "EqualTo(r_name,EUROPE)" in flat
+
+
+def test_q12_dual_conditional_counts_one_pass(spark, sf_dir):
+    """q12_shipping_modes: both complementary priority counts fold in ONE
+    partial+final aggregate over one join — no branch re-scan; the year
+    filter reaches the lineitem scan."""
+    plan = _plan(spark, sf_dir, "q12_shipping_modes")
+    flat = plan.replace(" ", "").replace("\n", "")
+    assert "partial_sum" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+    assert "GreaterThanOrEqual(l_shipdate" in flat
