@@ -719,11 +719,14 @@ def cell_representatives(
     # codegen arithmetic (see _assign_cell's interpreted-HOF rationale)
     dim = len(centroids[0])
     best_sql = _best_cell_sql(f"`{vec_col}`", centroids)
+    # Zero-norm guard: an all-zero embedding must score NULL, not raise
+    # ANSI DIVIDE_BY_ZERO (same treatment as m_anomaly_zscore — ADVICE r5).
+    norm = F.expr(_norm_sql(f"`{vec_col}`", dim))
     best = df.withColumn("best", F.expr(best_sql)).select(
         F.col(id_col).alias("id"),
         (-F.col("best.neg_cell")).alias("cluster"),
         F.round(
-            F.col("best.sim") / F.expr(_norm_sql(f"`{vec_col}`", dim)), 6
+            F.when(norm > F.lit(0.0), F.col("best.sim") / norm), 6
         ).alias("cosine"),
     )
     sizes = best.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))

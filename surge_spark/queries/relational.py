@@ -2551,8 +2551,13 @@ def w_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(arr)
     mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
     mid_lo = F.element_at(arr, (n / 2).cast("int"))
-    med = F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))).otherwise(
-        (mid_lo + mid_hi) / 2.0
+    # collect_list drops NULLs: an all-NULL frame yields an empty array,
+    # and element_at(arr, 0) would throw under ANSI — guard first so the
+    # empty frame produces NULL exactly like DuckDB's median (ADVICE r5).
+    med = (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int")))
+        .otherwise((mid_lo + mid_hi) / 2.0)
     )
     return e.select(
         "event_id",

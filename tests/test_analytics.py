@@ -69,7 +69,9 @@ def test_inverted_index_postings_consistent(spark, sf_dir):
     and every df honors the band."""
     rows = all_queries()["t_inverted_index"](spark, sf_dir).collect()
     assert rows, "band emptied the index"
-    n_docs = 500  # sf0.001 documents
+    from surge_spark.io import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
     for r in rows:
         assert r.df_docs == len(r.postings)
         assert r.postings == sorted(set(r.postings))
