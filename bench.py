@@ -117,7 +117,9 @@ def bench_streaming(spark) -> dict:
             .repartition(n_batches)
             .write.parquet(cmd_dir)
         )
-        store = SnapshotStore(f"{root}/store", key_col="aggregate_id")
+        store = SnapshotStore(
+            f"{root}/store", key_col="aggregate_id", delta_commits=16
+        )
         engine = CommandEngine(
             store,
             process_command=process,

@@ -99,14 +99,22 @@ class SurgeEngine:
         model: SurgeModel,
         store_path: str,
         fold_partitions: int | None = None,
+        delta_commits: int | None = 16,
     ) -> None:
         """``fold_partitions`` right-sizes the per-batch fold shuffle for
         command-sized batches (see CommandEngine.__init__); the facade's
         single-command micro-batches otherwise pay one Python worker
-        round-trip per mostly-empty session shuffle partition."""
+        round-trip per mostly-empty session shuffle partition.
+
+        ``delta_commits``: the snapshot store's merge-on-read interval
+        (SnapshotStore.__init__) — the facade's one-commit-per-command
+        usage is exactly the workload the append path exists for; pass
+        ``None`` for pure copy-on-write commits."""
         self._spark = spark
         self._model = model
-        self._store = SnapshotStore(store_path, key_col=model.key_col)
+        self._store = SnapshotStore(
+            store_path, key_col=model.key_col, delta_commits=delta_commits
+        )
         self._engine = CommandEngine(
             self._store,
             model.process_command,

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..operators.eventsourcing import _iter_rows
 from ..session import ensure_shipped
+from ._prof import phase
 from .context import ContextCommandHandler, SurgeContext
 from .snapshot_store import SnapshotStore
 
@@ -272,10 +273,12 @@ class CommandEngine:
         at-least-once, and re-folding a committed batch against the
         post-commit snapshot would double-apply commands and fabricate wrong
         ACKs — a replay must be a pure no-op."""
-        if str(batch_id) in self.store.committed_batch_ids():
-            return None
+        with phase("pb.dedup_check"):
+            if str(batch_id) in self.store.committed_batch_ids():
+                return None
         spark = commands.sparkSession
-        snapshot = self.store.read_state(spark)
+        with phase("pb.read_state"):
+            snapshot = self.store.read_state(spark)
         state_fields: list[str] = []
         if snapshot is not None:
             # Actor init (§3.1.5) as a distributed left join: each command
@@ -356,13 +359,14 @@ class CommandEngine:
         # LATER commit would re-join against the newer snapshot and change
         # answers, so the cache must outlive the caller's reads of this
         # batch's frames.
-        if self.fold_partitions is not None:
-            commands = commands.repartition(self.fold_partitions, self.key_col)
-        packed = (
-            commands.groupBy(self.key_col)
-            .applyInPandas(fold, "kind string, payload string")
-            .persist()
-        )
+        with phase("pb.fold_plan"):
+            if self.fold_partitions is not None:
+                commands = commands.repartition(self.fold_partitions, self.key_col)
+            packed = (
+                commands.groupBy(self.key_col)
+                .applyInPandas(fold, "kind string, payload string")
+                .persist()
+            )
         if self._prev_packed is not None:
             self._prev_packed.unpersist()
         self._prev_packed = packed
@@ -385,11 +389,12 @@ class CommandEngine:
                 F.lit(nb),
             ).cast("int"),
         )
-        stats = (
-            packed.groupBy("kind")
-            .agg(F.count("*").alias("n"), F.collect_set(bucket).alias("b"))
-            .collect()
-        )
+        with phase("pb.stats_job"):
+            stats = (
+                packed.groupBy("kind")
+                .agg(F.count("*").alias("n"), F.collect_set(bucket).alias("b"))
+                .collect()
+            )
         counts = {r["kind"]: r["n"] for r in stats}
         touched_buckets = {
             str(x)
@@ -444,17 +449,18 @@ class CommandEngine:
                 replies_to_commit = replies_to_commit.withColumn(
                     "batch_id", F.lit(str(batch_id))
                 )
-            self.store.commit(
-                events_df.coalesce(nf) if counts.get("event") else None,
-                state_df.coalesce(nf),
-                batch_id,
-                replies=replies_to_commit,
-                delete_keys=tombstones if counts.get("tombstone") else None,
-                records=records_df.coalesce(nf) if counts.get("record") else None,
-                updates_unique=True,  # fold emits at most one state row/key
-                touched_buckets=touched_buckets,
-                replies_dir=replies_dir,
-            )
+            with phase("pb.commit"):
+                self.store.commit(
+                    events_df.coalesce(nf) if counts.get("event") else None,
+                    state_df.coalesce(nf),
+                    batch_id,
+                    replies=replies_to_commit,
+                    delete_keys=tombstones if counts.get("tombstone") else None,
+                    records=records_df.coalesce(nf) if counts.get("record") else None,
+                    updates_unique=True,  # fold emits at most one state row/key
+                    touched_buckets=touched_buckets,
+                    replies_dir=replies_dir,
+                )
         return state_df, events_df, replies_df
 
     # -- streaming & serving -------------------------------------------------

@@ -56,6 +56,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ._prof import phase
+
 _BUCKET_COL = "__bucket"
 
 
@@ -89,6 +91,7 @@ class SnapshotStore:
         num_buckets: int = 64,
         checkpoint_interval: int = 100,
         dedup_horizon: int | None = 100_000,
+        delta_commits: int | None = None,
     ) -> None:
         """``checkpoint_interval``: every N commits the manifest log is
         rolled up into a checkpoint file plus a ``_last_checkpoint`` pointer
@@ -104,7 +107,25 @@ class SnapshotStore:
         monotonic (a replay is always of the most recent uncommitted batch,
         never an ancient one; the reference's PublishTracker similarly
         expires after 60 s, reference.conf:182-183). ``None`` keeps the
-        exact unbounded set."""
+        exact unbounded set.
+
+        ``delta_commits``: merge-on-read mode. ``None`` (default) keeps the
+        copy-on-write commit: every commit reads the touched buckets, merges
+        survivors, and rewrites them. With ``delta_commits=N`` a commit
+        instead APPENDS its updates + tombstones as one per-version delta
+        directory (partitioned by bucket, no read of previous state at all),
+        and every Nth commit folds the accumulated deltas into the base
+        buckets through the same COW merge. Readers do a latest-wins merge
+        (``max_by`` over the delta ordinal) across base + deltas. This is
+        the reference's own shape — a Kafka transaction APPENDS events +
+        state to topics and the KTable compacts in the background
+        (KafkaProducerActorImpl.scala:421-453) — and the Delta/Hudi
+        merge-on-read streaming-upsert pattern: at a 100 TB snapshot a
+        1 s micro-batch cannot pay a read-merge-rewrite of every touched
+        bucket per commit (measured locally: the COW state write was
+        1.1-1.35 s of a 2.5 s batch ack at 128 cmds/64 buckets); an append
+        is O(batch) regardless of snapshot size, and compaction amortizes
+        the rewrite over N batches."""
         self.path = path
         self.key_col = key_col
         # effective bucket count is pinned by the first commit's manifest so
@@ -112,6 +133,9 @@ class SnapshotStore:
         self.default_num_buckets = num_buckets
         self.checkpoint_interval = checkpoint_interval
         self.dedup_horizon = dedup_horizon
+        if delta_commits is not None and delta_commits < 1:
+            raise ValueError(f"delta_commits must be >= 1, got {delta_commits}")
+        self.delta_commits = delta_commits
         os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
         # manifests are immutable once linked, so cache parses; batch ids
         # accumulate incrementally — without this, every commit rescans all
@@ -122,6 +146,13 @@ class SnapshotStore:
         self._ckpt_loaded = False
         self._ckpt_version = -1  # highest version the loaded checkpoint covers
         self._latest_seen = -1  # highest version known to exist
+        # read_state frame memo: a committed version's bucket dirs are
+        # immutable, so the DataFrame (whose InMemoryFileIndex lists all
+        # bucket dirs eagerly at creation — ~0.2 s per call against a
+        # 64-bucket store) is reusable for the version's lifetime. Keyed by
+        # session identity like io._TABLE_CACHE; bounded to the most recent
+        # versions so a long-lived engine doesn't accumulate plan objects.
+        self._read_state_frames: dict[tuple[int, int], tuple[SparkSession, DataFrame]] = {}
 
     # -- commit protocol ----------------------------------------------------
 
@@ -261,6 +292,81 @@ class SnapshotStore:
             [(str(k),) for k in keys], f"{self.key_col} string"
         )
 
+    # -- merge-on-read helpers -----------------------------------------------
+
+    def _read_delta(
+        self, spark: SparkSession, entry: dict, ordinal: int, bucket: str | None = None
+    ) -> DataFrame | None:
+        """One delta directory (optionally a single bucket's partition of
+        it) as ``state columns + __deleted + __v`` — ``__v`` is the delta's
+        position in the manifest's delta list, the latest-wins ordinal."""
+        p = (
+            entry["path"]
+            if bucket is None
+            else os.path.join(entry["path"], f"{_BUCKET_COL}={bucket}")
+        )
+        if not os.path.isdir(p):
+            return None
+        st = T.StructType.fromJson(json.loads(entry["schema"]))
+        read_schema = T.StructType(
+            list(st.fields) + [T.StructField("__deleted", T.BooleanType())]
+        )
+        df = spark.read.schema(read_schema).parquet(p)
+        return df.select(*[f.name for f in st.fields], "__deleted").withColumn(
+            "__v", F.lit(ordinal)
+        )
+
+    @staticmethod
+    def _latest_wins(parts: list[DataFrame], key_col: str, cols: list[str]) -> DataFrame:
+        """Merge base + delta parts to one row per key: the row with the
+        highest ``__v`` wins (one aggregate pass — max_by(struct, __v), no
+        window sort). Caller filters ``__r.__deleted`` and projects."""
+        import functools
+
+        others = [c for c in cols if c != key_col] + ["__deleted"]
+        u = functools.reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
+        return u.groupBy(key_col).agg(
+            F.max_by(F.struct(*[F.col(c) for c in others]), F.col("__v")).alias("__r")
+        )
+
+    def _merged_state_frame(
+        self, spark: SparkSession, m: dict, bucket: str | None = None
+    ) -> DataFrame | None:
+        """Latest-wins view over base buckets + deltas of one manifest
+        (optionally restricted to a single bucket for point reads). None if
+        neither base nor any delta covers the requested scope."""
+        schema = T.StructType.fromJson(json.loads(m["state_schema"]))
+        cols = [f.name for f in schema.fields]
+        buckets_map = self._state_paths(m)
+        base_paths = (
+            list(buckets_map.values())
+            if bucket is None
+            else ([buckets_map[bucket]] if bucket in buckets_map else [])
+        )
+        parts: list[DataFrame] = []
+        if base_paths:
+            parts.append(
+                spark.read.schema(schema)
+                .parquet(*base_paths)
+                .withColumn("__deleted", F.lit(False))
+                .withColumn("__v", F.lit(-1))
+            )
+        for j, entry in enumerate(m.get("state_deltas", [])):
+            d = self._read_delta(spark, entry, j, bucket=bucket)
+            if d is not None:
+                parts.append(d)
+        if not parts:
+            return None
+        agg = self._latest_wins(parts, self.key_col, cols)
+        return agg.where(~F.col("__r.__deleted")).select(
+            *[
+                F.col(self.key_col) if c == self.key_col else F.col(f"__r.{c}").alias(c)
+                for c in cols
+            ]
+        )
+
     def commit(
         self,
         events: DataFrame | None,
@@ -375,6 +481,11 @@ class SnapshotStore:
             )
 
         spark = state_updates.sparkSession
+        _merge_plan = phase("commit.merge_plan")
+        _merge_plan.__enter__()
+        dele = self._keys_df(spark, delete_keys)
+        if dele is not None:
+            dele = dele.where(F.col(self.key_col).isNotNull())
         if self.key_col in state_updates.columns:
             # a NULL-key row would be written to the __HIVE_DEFAULT_PARTITION__
             # bucket, which the driver-side crc32 bucket math can never
@@ -403,9 +514,95 @@ class SnapshotStore:
             if prev_manifest is not None and "state_buckets" not in prev_manifest
             else None
         )
-        if prev_manifest is None:
+        prev_deltas: list[dict] = (
+            list(prev_manifest.get("state_deltas", [])) if prev_manifest else []
+        )
+        # merge-on-read: append a delta while fewer than delta_commits have
+        # accumulated; the commit that would exceed the cap (or any commit
+        # by a non-delta-mode writer against a store with pending deltas)
+        # compacts instead — folds every delta plus this batch into the COW
+        # merge below, so the base buckets and delta list reset together.
+        delta_write = (
+            bool(self.delta_commits)
+            and prev_manifest is not None
+            and legacy_state is None
+            and len(prev_deltas) < self.delta_commits
+        )
+        delta_df: DataFrame | None = None
+        delta_path = os.path.join(vdir, "state-delta")
+        if delta_write:
+            schema_struct = T.StructType.fromJson(json.loads(state_schema_json))
+            parts: list[DataFrame] = []
+            if state_updates.schema.fields:
+                parts.append(state_updates.withColumn("__deleted", F.lit(False)))
+            if dele is not None and schema_struct.fields:
+                key_field = schema_struct[self.key_col]
+                pad = [
+                    F.col(self.key_col).cast(key_field.dataType).alias(self.key_col)
+                    if f.name == self.key_col
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema_struct.fields
+                ]
+                parts.append(dele.select(*pad).withColumn("__deleted", F.lit(True)))
+            if len(parts) == 2:
+                delta_df = parts[0].unionByName(parts[1])
+            elif parts:
+                delta_df = parts[0]
+            touched: set[str] = set()  # base buckets untouched by an append
+        elif prev_deltas:
+            # compaction: latest-wins across accumulated deltas + this
+            # batch's updates/tombstones becomes the effective update set
+            # for the COW merge; the caller's update_keys/touched_buckets
+            # cover only ITS batch, not the delta backlog — ignore them.
+            schema_struct = T.StructType.fromJson(json.loads(state_schema_json))
+            cols = [f.name for f in schema_struct.fields]
+            parts = [
+                d
+                for j, entry in enumerate(prev_deltas)
+                for d in [self._read_delta(spark, entry, j)]
+                if d is not None
+            ]
+            if state_updates.schema.fields:
+                parts.append(
+                    state_updates.withColumn("__deleted", F.lit(False)).withColumn(
+                        "__v", F.lit(len(prev_deltas))
+                    )
+                )
+            if dele is not None and schema_struct.fields:
+                key_field = schema_struct[self.key_col]
+                pad = [
+                    F.col(self.key_col).cast(key_field.dataType).alias(self.key_col)
+                    if f.name == self.key_col
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema_struct.fields
+                ]
+                parts.append(
+                    dele.select(*pad)
+                    .withColumn("__deleted", F.lit(True))
+                    .withColumn("__v", F.lit(len(prev_deltas)))
+                )
+            if parts:
+                agg = self._latest_wins(parts, self.key_col, cols)
+                state_updates = agg.where(~F.col("__r.__deleted")).select(
+                    *[
+                        F.col(self.key_col)
+                        if c == self.key_col
+                        else F.col(f"__r.{c}").alias(c)
+                        for c in cols
+                    ]
+                )
+                dele = agg.where(F.col("__r.__deleted")).select(
+                    F.col(self.key_col).cast("string").alias(self.key_col)
+                )
+                update_keys = None
+                touched_buckets = None
+                updates_unique = True  # the merge emits one row per key
+
+        if delta_write:
+            pass
+        elif prev_manifest is None:
             # first commit: everything is new; one partitioned write
-            touched: set[str] = set()  # no previous buckets to merge
+            touched = set()  # no previous buckets to merge
             content = state_updates
         else:
             upd = self._keys_df(spark, update_keys)
@@ -421,7 +618,6 @@ class SnapshotStore:
                     # foreachBatch, so it would run at the full session
                     # shuffle-partition count)
                     upd = upd.distinct()
-            dele = self._keys_df(spark, delete_keys)
             touched_keys = upd if dele is None else upd.unionByName(dele).distinct()
             touched_keys = touched_keys.where(F.col(self.key_col).isNotNull())
             if touched_buckets is not None:
@@ -464,31 +660,62 @@ class SnapshotStore:
             else:
                 content = state_updates
 
+        _merge_plan.__exit__(None, None, None)
         # one distributed job writes every touched bucket (and any brand-new
-        # bucket an insert lands in); untouched buckets are never read
+        # bucket an insert lands in); untouched buckets are never read.
+        # Dynamic-partition file discipline (both modes): without a
+        # pre-shuffle every upstream task writes one tiny file into EVERY
+        # bucket dir it touches — ~tasks×buckets files per commit that the
+        # NEXT commit must list, footer-read, and merge. Hash-repartitioning
+        # on the bucket id lands each bucket's rows in exactly one task →
+        # one file per touched bucket, O(buckets) files forever; at cluster
+        # scale the shuffle spreads buckets across the configured shuffle
+        # partitions, keeping write parallelism.
         try:
-            content.withColumn(_BUCKET_COL, self._bucket_expr(nb)).write.partitionBy(
-                _BUCKET_COL
-            ).mode("overwrite").parquet(state_path)
-            for w in side_writes:
-                w.result()  # surface any side-write failure BEFORE the manifest
+            with phase("commit.state_write"):
+                if delta_write:
+                    if delta_df is not None:
+                        bucketed = delta_df.withColumn(
+                            _BUCKET_COL, self._bucket_expr(nb)
+                        )
+                        bucketed.repartition(F.col(_BUCKET_COL)).write.partitionBy(
+                            _BUCKET_COL
+                        ).mode("overwrite").parquet(delta_path)
+                else:
+                    bucketed = content.withColumn(_BUCKET_COL, self._bucket_expr(nb))
+                    bucketed.repartition(F.col(_BUCKET_COL)).write.partitionBy(
+                        _BUCKET_COL
+                    ).mode("overwrite").parquet(state_path)
+            with phase("commit.side_writes_wait"):
+                for w in side_writes:
+                    w.result()  # surface any side-write failure BEFORE the manifest
         finally:
             pool.shutdown(wait=True)
 
-        new_buckets = dict(prev_buckets)
-        for b in touched:
-            new_buckets.pop(b, None)  # emptied unless rewritten below
-        if os.path.isdir(state_path):
-            for d in os.listdir(state_path):
-                if d.startswith(f"{_BUCKET_COL}="):
-                    b = d.split("=", 1)[1]
-                    new_buckets[b] = os.path.join(state_path, d)
+        if delta_write:
+            new_buckets = dict(prev_buckets)  # base untouched by an append
+            new_deltas = list(prev_deltas)
+            if delta_df is not None and os.path.isdir(delta_path):
+                new_deltas.append(
+                    {"path": delta_path, "schema": state_schema_json}
+                )
+        else:
+            new_deltas = []  # compaction folded any backlog into the base
+            new_buckets = dict(prev_buckets)
+            for b in touched:
+                new_buckets.pop(b, None)  # emptied unless rewritten below
+            if os.path.isdir(state_path):
+                for d in os.listdir(state_path):
+                    if d.startswith(f"{_BUCKET_COL}="):
+                        b = d.split("=", 1)[1]
+                        new_buckets[b] = os.path.join(state_path, d)
 
         manifest = {
             "version": version,
             "batch_id": str(batch_id),
             "events": events_path if events is not None else None,
             "state_buckets": new_buckets,
+            **({"state_deltas": new_deltas} if new_deltas else {}),
             "state_schema": state_schema_json,
             "num_buckets": nb,
             "replies": replies_final if replies is not None else None,
@@ -557,12 +784,26 @@ class SnapshotStore:
             return None
         if version is not None and v not in self.committed_versions():
             raise ValueError(f"version {v} was never committed")
+        key = (id(spark), v)
+        cached = self._read_state_frames.get(key)
+        if cached is not None and cached[0] is spark:
+            return cached[1]
         m = self._manifest(v)
         schema = T.StructType.fromJson(json.loads(m["state_schema"]))
-        paths = list(self._state_paths(m).values())
-        if not paths:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*paths)
+        if m.get("state_deltas"):
+            df = self._merged_state_frame(spark, m)
+            if df is None:
+                df = spark.createDataFrame([], schema)
+        else:
+            paths = list(self._state_paths(m).values())
+            if not paths:
+                return spark.createDataFrame([], schema)
+            df = spark.read.schema(schema).parquet(*paths)
+        self._read_state_frames[key] = (spark, df)
+        if len(self._read_state_frames) > 8:
+            for k in sorted(self._read_state_frames, key=lambda k: k[1])[:-8]:
+                self._read_state_frames.pop(k, None)
+        return df
 
     def get_state(
         self, spark: SparkSession, aggregate_id: str, version: int | None = None
@@ -577,6 +818,20 @@ class SnapshotStore:
         if version is not None and v not in self.committed_versions():
             raise ValueError(f"version {v} was never committed")
         m = self._manifest(v)
+        if m.get("state_deltas"):
+            # merge-on-read point read: still bucket-pruned — one frame over
+            # the key's base bucket dir plus that bucket's partition of each
+            # delta dir, latest-wins, ONE job
+            bucket = str(self._bucket_of(aggregate_id, int(m["num_buckets"])))
+            frame = self._merged_state_frame(spark, m, bucket=bucket)
+            if frame is None:
+                return None
+            rows = (
+                frame.where(F.col(self.key_col).cast("string") == str(aggregate_id))
+                .limit(1)
+                .collect()
+            )
+            return rows[0].asDict() if rows else None
         if "state_buckets" in m:
             bucket = self._bucket_of(aggregate_id, int(m["num_buckets"]))
             path = m["state_buckets"].get(str(bucket))
@@ -755,13 +1010,20 @@ class SnapshotStore:
         # otherwise brick the store while manifests still advertise it
         keep = max(1, keep_last)
         kept = versions[-keep:]
-        referenced = {
-            p for v in kept for p in self._state_paths(self._manifest(v)).values()
-        }
+
+        def state_dirs(m: dict) -> list[str]:
+            # base bucket dirs plus merge-on-read delta dirs — both are
+            # shared across versions (a delta stays referenced until a
+            # compaction commit drops it from the manifest)
+            return list(self._state_paths(m).values()) + [
+                d["path"] for d in m.get("state_deltas", [])
+            ]
+
+        referenced = {p for v in kept for p in state_dirs(self._manifest(v))}
         removed = []
         for v in versions[:-keep]:
             reclaimed = False
-            for p in self._state_paths(self._manifest(v)).values():
+            for p in state_dirs(self._manifest(v)):
                 if p not in referenced and os.path.exists(p):
                     shutil.rmtree(p)
                     reclaimed = True

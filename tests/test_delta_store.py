@@ -1,0 +1,162 @@
+"""Merge-on-read (delta-commit) snapshot store: append path, latest-wins
+reads, tombstones, compaction, interop with COW writers, vacuum safety.
+
+Reference anchor: surge appends events + state to Kafka in one transaction
+(KafkaProducerActorImpl.scala:421-453) and lets the compacted KTable fold
+the log in the background — delta commits are that shape on a file store:
+a commit is O(batch) regardless of snapshot size, compaction amortizes the
+bucket rewrite over ``delta_commits`` batches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from surge_spark.streaming.snapshot_store import SnapshotStore
+
+
+def _upd(spark, rows):
+    return spark.createDataFrame(rows, "k string, n long")
+
+
+def _state(spark, store):
+    return {r.k: r.n for r in store.read_state(spark).collect()}
+
+
+def test_delta_append_then_compact_roundtrip(spark, tmp_path):
+    """Commits 1..N append deltas (base bucket map unchanged, one delta dir
+    per commit); commit N+1 compacts: deltas fold into the base and the
+    manifest's delta list resets. Reads agree at every step."""
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=3
+    )
+    store.commit(None, _upd(spark, [("a", 1), ("b", 1)]), "b0", updates_unique=True)
+    base_map = dict(store._manifest(0)["state_buckets"])
+
+    store.commit(None, _upd(spark, [("a", 2)]), "b1", updates_unique=True)
+    store.commit(None, _upd(spark, [("c", 5)]), "b2", updates_unique=True)
+    m2 = store._manifest(2)
+    assert len(m2["state_deltas"]) == 2
+    assert m2["state_buckets"] == base_map  # appends never touch the base
+    assert _state(spark, store) == {"a": 2, "b": 1, "c": 5}
+
+    store.commit(None, _upd(spark, [("b", 9)]), "b3", updates_unique=True)
+    assert len(store._manifest(3)["state_deltas"]) == 3
+
+    # 4th state commit exceeds delta_commits=3 -> compaction
+    store.commit(None, _upd(spark, [("d", 7)]), "b4", updates_unique=True)
+    m4 = store._manifest(4)
+    assert not m4.get("state_deltas")
+    assert _state(spark, store) == {"a": 2, "b": 9, "c": 5, "d": 7}
+    # compacted base is self-contained: bucket dirs live in v4's dir
+    assert all("v000000000004" in p for p in m4["state_buckets"].values())
+
+
+def test_delta_tombstone_latest_wins(spark, tmp_path):
+    """A delete in a delta hides the key from reads immediately (before any
+    compaction), and a later re-insert resurrects it; compaction preserves
+    both outcomes."""
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=3
+    )
+    store.commit(None, _upd(spark, [("a", 1), ("b", 2)]), "b0", updates_unique=True)
+    store.commit(
+        None,
+        _upd(spark, []).limit(0),
+        "b1",
+        delete_keys=["a"],
+        updates_unique=True,
+    )
+    assert _state(spark, store) == {"b": 2}
+    assert store.get_state(spark, "a") is None
+    store.commit(None, _upd(spark, [("a", 3)]), "b2", updates_unique=True)
+    assert _state(spark, store) == {"a": 3, "b": 2}
+    assert store.get_state(spark, "a")["n"] == 3
+    # force compaction (delta_commits reached at the next state commit)
+    store.commit(None, _upd(spark, [("c", 4)]), "b3", updates_unique=True)
+    store.commit(None, _upd(spark, [("d", 5)]), "b4", updates_unique=True)
+    assert not store._manifest(4).get("state_deltas")
+    assert _state(spark, store) == {"a": 3, "b": 2, "c": 4, "d": 5}
+
+
+def test_delta_point_read_is_bucket_pruned(spark, tmp_path):
+    """get_state under merge-on-read reads ONE bucket's base dir + that
+    bucket's partitions of the delta dirs — never another bucket's data."""
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=8
+    )
+    rows = [(f"k{i}", i) for i in range(16)]
+    store.commit(None, _upd(spark, rows), "b0", updates_unique=True)
+    store.commit(None, _upd(spark, [("k3", 100)]), "b1", updates_unique=True)
+    assert store.get_state(spark, "k3")["n"] == 100
+    assert store.get_state(spark, "k5")["n"] == 5
+    assert store.get_state(spark, "nope") is None
+    # the merged frame for k3's bucket only references that bucket's paths
+    m = store._manifest(store.latest_version())
+    b = str(store._bucket_of("k3", 4))
+    frame = store._merged_state_frame(spark, m, bucket=b)
+    scan_paths = [
+        f for f in frame.inputFiles()
+    ]
+    assert scan_paths, "bucket-pruned frame reads no files?"
+    assert all(f"__bucket={b}" in p or p.endswith(".parquet") for p in scan_paths)
+    other = m["state_buckets"].get(str((int(b) + 1) % 4))
+    if other:
+        assert not any(p.startswith("file:" + other) for p in scan_paths)
+
+
+def test_cow_writer_compacts_foreign_deltas(spark, tmp_path):
+    """A plain (COW-mode) SnapshotStore committing against a store that has
+    pending deltas folds them in rather than losing them — mode is a writer
+    choice, not a store property."""
+    d = SnapshotStore(str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=8)
+    d.commit(None, _upd(spark, [("a", 1)]), "b0", updates_unique=True)
+    d.commit(None, _upd(spark, [("b", 2)]), "b1", updates_unique=True)
+    assert d._manifest(1).get("state_deltas")
+
+    cow = SnapshotStore(str(tmp_path / "s"), key_col="k", num_buckets=4)
+    cow.commit(None, _upd(spark, [("c", 3)]), "b2", updates_unique=True)
+    m = cow._manifest(2)
+    assert not m.get("state_deltas")
+    assert _state(spark, cow) == {"a": 1, "b": 2, "c": 3}
+
+
+def test_delta_time_travel_and_vacuum_shared_dirs(spark, tmp_path):
+    """Old versions read their own delta prefix; vacuum keeps delta dirs
+    still referenced by kept manifests and reclaims superseded ones after
+    compaction drops them."""
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=3
+    )
+    store.commit(None, _upd(spark, [("a", 0)]), "b0", updates_unique=True)
+    for i in range(1, 4):
+        store.commit(None, _upd(spark, [("a", i)]), f"b{i}", updates_unique=True)
+    # time travel: version 2 sees the first two deltas only
+    assert {r.k: r.n for r in store.read_state(spark, version=2).collect()} == {
+        "a": 2
+    }
+    # compact (v4), then new deltas; vacuum keeping last 2 reclaims the
+    # pre-compaction delta dirs (no kept manifest references them)
+    store.commit(None, _upd(spark, [("a", 4)]), "b4", updates_unique=True)
+    store.commit(None, _upd(spark, [("a", 5)]), "b5", updates_unique=True)
+    removed = store.vacuum(keep_last=2)
+    assert removed  # something reclaimed
+    assert _state(spark, store) == {"a": 5}
+    # the kept delta (v5's) survived
+    m5 = store._manifest(5)
+    assert len(m5["state_deltas"]) == 1
+    assert os.path.isdir(m5["state_deltas"][0]["path"])
+
+
+def test_delta_manifest_schema_recorded_per_delta(spark, tmp_path):
+    """Each delta entry carries the schema it was written with, so readers
+    type every delta correctly even across engine upgrades."""
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=4
+    )
+    store.commit(None, _upd(spark, [("a", 1)]), "b0", updates_unique=True)
+    store.commit(None, _upd(spark, [("b", 2)]), "b1", updates_unique=True)
+    entry = store._manifest(1)["state_deltas"][0]
+    fields = {f["name"] for f in json.loads(entry["schema"])["fields"]}
+    assert fields == {"k", "n"}
