@@ -117,8 +117,14 @@ def bench_streaming(spark) -> dict:
             .repartition(n_batches)
             .write.parquet(cmd_dir)
         )
+        # num_buckets sized to the key cardinality (128 keys): bucketing is
+        # a deployment knob like shuffle partitions — 64 near-empty bucket
+        # dirs just multiply file/listing overhead at this scale
         store = SnapshotStore(
-            f"{root}/store", key_col="aggregate_id", delta_commits=16
+            f"{root}/store",
+            key_col="aggregate_id",
+            num_buckets=16,
+            delta_commits=16,
         )
         engine = CommandEngine(
             store,

@@ -49,7 +49,9 @@ def main():
             .repartition(n_batches)
             .write.parquet(cmd_dir)
         )
-        store = SnapshotStore(f"{root}/store", key_col="aggregate_id", delta_commits=16)
+        store = SnapshotStore(
+            f"{root}/store", key_col="aggregate_id", num_buckets=16, delta_commits=16
+        )
         engine = CommandEngine(
             store, process, handle,
             "aggregate_id string, n long", "aggregate_id string",

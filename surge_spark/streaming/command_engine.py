@@ -371,37 +371,42 @@ class CommandEngine:
             self._prev_packed.unpersist()
         self._prev_packed = packed
 
-        # one job returns BOTH the per-kind counts and the touched bucket
-        # ids (bucket_expr of every state/tombstone key): the store's commit
-        # would otherwise run its own distinct+collect job to find the
-        # buckets its merge must rewrite — at micro-batch latency every job
-        # counts. collect_set is bounded by the store's bucket count, never
-        # by batch size.
-        nb = self.store.num_buckets()
-        bucket = F.when(
-            F.col("kind").isin("state", "tombstone"),
-            F.pmod(
-                F.crc32(
-                    F.get_json_object("payload", f"$.{state_key_col}")
-                    .cast("string")
-                    .cast("binary")
-                ),
-                F.lit(nb),
-            ).cast("int"),
-        )
-        with phase("pb.stats_job"):
-            stats = (
-                packed.groupBy("kind")
-                .agg(F.count("*").alias("n"), F.collect_set(bucket).alias("b"))
-                .collect()
+        counts: dict | None = None
+        touched_buckets: set | None = None
+        if not self.store.delta_commits:
+            # one job returns BOTH the per-kind counts and the touched bucket
+            # ids (bucket_expr of every state/tombstone key): the store's
+            # commit would otherwise run its own distinct+collect job to find
+            # the buckets its merge must rewrite — at micro-batch latency
+            # every job counts. collect_set is bounded by the store's bucket
+            # count, never by batch size. A merge-on-read store appends
+            # instead of merging, so the whole stats job is skipped there
+            # (see the commit call below).
+            nb = self.store.num_buckets()
+            bucket = F.when(
+                F.col("kind").isin("state", "tombstone"),
+                F.pmod(
+                    F.crc32(
+                        F.get_json_object("payload", f"$.{state_key_col}")
+                        .cast("string")
+                        .cast("binary")
+                    ),
+                    F.lit(nb),
+                ).cast("int"),
             )
-        counts = {r["kind"]: r["n"] for r in stats}
-        touched_buckets = {
-            str(x)
-            for r in stats
-            if r["kind"] in ("state", "tombstone")
-            for x in (r["b"] or [])
-        }
+            with phase("pb.stats_job"):
+                stats = (
+                    packed.groupBy("kind")
+                    .agg(F.count("*").alias("n"), F.collect_set(bucket).alias("b"))
+                    .collect()
+                )
+            counts = {r["kind"]: r["n"] for r in stats}
+            touched_buckets = {
+                str(x)
+                for r in stats
+                if r["kind"] in ("state", "tombstone")
+                for x in (r["b"] or [])
+            }
 
         def unpack(kind: str, schema: str) -> DataFrame:
             return (
@@ -430,7 +435,34 @@ class CommandEngine:
             F.get_json_object("payload", f"$.{state_key_col}").alias(state_key_col)
         )
 
-        if (
+        nf = self.commit_target_files
+        replies_to_commit = replies_df.coalesce(nf)
+        if replies_dir is not None:
+            # stamp batch_id so the gateway can dedup/trace, same as the
+            # old per-batch rewrite did
+            replies_to_commit = replies_to_commit.withColumn(
+                "batch_id", F.lit(str(batch_id))
+            )
+        if counts is None:
+            # merge-on-read store: the commit is an append, so there is no
+            # selective bucket read to plan for — every side commits
+            # unconditionally (an empty side is an empty parquet dir) and
+            # the fold materializes inside the commit's own concurrent
+            # write jobs: one fewer job round on the ack critical path.
+            # Rejection-only and empty batches still commit, entering the
+            # R4 dedup set exactly like the counted path below.
+            with phase("pb.commit"):
+                self.store.commit(
+                    events_df.coalesce(nf),
+                    state_df.coalesce(nf),
+                    batch_id,
+                    replies=replies_to_commit,
+                    delete_keys=tombstones,
+                    records=records_df.coalesce(nf) if self.context_mode else None,
+                    updates_unique=True,  # fold emits at most one state row/key
+                    replies_dir=replies_dir,
+                )
+        elif (
             counts.get("state")
             or counts.get("event")
             or counts.get("tombstone")
@@ -441,14 +473,6 @@ class CommandEngine:
             # context_mode, re-runs side effects registered before rejection
             or counts.get("reply")
         ):
-            nf = self.commit_target_files
-            replies_to_commit = replies_df.coalesce(nf)
-            if replies_dir is not None:
-                # stamp batch_id so the gateway can dedup/trace, same as the
-                # old per-batch rewrite did
-                replies_to_commit = replies_to_commit.withColumn(
-                    "batch_id", F.lit(str(batch_id))
-                )
             with phase("pb.commit"):
                 self.store.commit(
                     events_df.coalesce(nf) if counts.get("event") else None,
@@ -480,8 +504,10 @@ class CommandEngine:
         RPC gateway polls to complete sendCommand futures."""
 
         def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_df.isEmpty():
-                return
+            # no isEmpty() pre-check: that is a take(1) job (~0.2 s of a
+            # micro-batch locally) and Spark only fires foreachBatch when
+            # the trigger has new offsets; a rare genuinely-empty batch
+            # folds to nothing and commits an empty (harmless) version.
             target = (
                 os.path.join(replies_path, f"batch={batch_id}")
                 if replies_path is not None

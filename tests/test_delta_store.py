@@ -80,9 +80,11 @@ def test_delta_tombstone_latest_wins(spark, tmp_path):
     assert _state(spark, store) == {"a": 3, "b": 2, "c": 4, "d": 5}
 
 
-def test_delta_point_read_is_bucket_pruned(spark, tmp_path):
-    """get_state under merge-on-read reads ONE bucket's base dir + that
-    bucket's partitions of the delta dirs — never another bucket's data."""
+def test_delta_point_read_prunes_base_scans_flat_deltas(spark, tmp_path):
+    """get_state under merge-on-read reads ONE bucket's base dir plus the
+    (flat, micro-batch-sized) delta dirs — never another base bucket. The
+    delta chain is bounded by delta_commits, so the point read stays
+    O(bucket + batch·delta_commits)."""
     store = SnapshotStore(
         str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=8
     )
@@ -92,18 +94,19 @@ def test_delta_point_read_is_bucket_pruned(spark, tmp_path):
     assert store.get_state(spark, "k3")["n"] == 100
     assert store.get_state(spark, "k5")["n"] == 5
     assert store.get_state(spark, "nope") is None
-    # the merged frame for k3's bucket only references that bucket's paths
     m = store._manifest(store.latest_version())
     b = str(store._bucket_of("k3", 4))
     frame = store._merged_state_frame(spark, m, bucket=b)
-    scan_paths = [
-        f for f in frame.inputFiles()
-    ]
+    scan_paths = frame.inputFiles()
     assert scan_paths, "bucket-pruned frame reads no files?"
-    assert all(f"__bucket={b}" in p or p.endswith(".parquet") for p in scan_paths)
-    other = m["state_buckets"].get(str((int(b) + 1) % 4))
-    if other:
-        assert not any(p.startswith("file:" + other) for p in scan_paths)
+    # no OTHER base bucket dir is read; the one delta dir is
+    other_base = [
+        p for bb, p in m["state_buckets"].items() if bb != b
+    ]
+    for p in scan_paths:
+        assert not any(ob in p for ob in other_base), p
+    delta_dir = m["state_deltas"][0]["path"]
+    assert any(delta_dir in p for p in scan_paths)
 
 
 def test_cow_writer_compacts_foreign_deltas(spark, tmp_path):
