@@ -390,23 +390,56 @@ def embedding_neardup_pairs(
     vec_col: str,
     block_col: str,
     threshold: float,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks (e.g. a coarse
     cluster/label or LSH bucket as the blocking key). Exact cosine inside
     each block; the block join bounds the pair space. Pair scoring stays
-    the HOF dot — see cosine_topk's measured flat-vs-HOF note."""
+    the HOF dot — see cosine_topk's measured flat-vs-HOF note.
+
+    ``max_block`` is the skew guard this generator was missing while its
+    siblings had one (lsh_candidates' / jaccard_pairs' ``max_bucket``,
+    operators/dedup.py): without it a block of size s yields s²/2 pairs
+    with no ceiling, and k-means cells DO skew on real corpora (the dense
+    background region of embedding space becomes one hot cell — the
+    stop-shingle analog), so one cell can quietly become an m²/2
+    single-key blowup at 100 TB. Blocks over the cap are deterministically
+    SUB-BLOCKED into ceil(s/max_block) hash groups (crc32 of the id — both
+    engines can reproduce it), bounding every join key's pair count at
+    ~max_block²/2 while oversized cells keep contributing pairs (dropping
+    them outright, like max_bucket's stop-shingles, loses whole regions;
+    a near-dup pair inside an oversized cell survives with probability
+    ~1/splits — the documented recall trade for bounded worst-case work).
+    The sizes aggregate is one partial+final agg whose output is
+    n_blocks rows, broadcast back — no corpus shuffle. Uncapped output is
+    IDENTICAL when no block exceeds the cap (pinned by test, and measured:
+    the sf0.1 corpus's FIXED_CENTS cells are 187-366 rows, so
+    max_block=1000 leaves all 267,523 blocked pairs — and the cosine
+    values — unchanged; the non-binding overhead is the sizes agg +
+    broadcast, ~+1 s at sf0.1, which is why the oracled catalog entry
+    stays uncapped and the cap is the production knob for corpora whose
+    cell histogram actually has a hot tail). Binding behavior — bounded
+    pair count, sub-blocked (not dropped) hot block, ~1/splits survival —
+    is pinned on constructed skew in tests/test_similarity.py."""
     u = with_unit_vector(df, vec_col)
+    block = F.col(block_col)
+    if max_block:
+        sizes = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("__bs"))
+        splits = F.ceil(F.col("__bs") / F.lit(max_block)).cast("long")
+        u = u.join(F.broadcast(sizes.select(block_col, splits.alias("__ns"))), block_col)
+        sub = F.pmod(F.crc32(F.col(id_col).cast("string").cast("binary")), F.col("__ns"))
+        block = F.concat_ws("#", F.col(block_col).cast("string"), sub.cast("string"))
     a = u.select(
-        F.col(block_col).alias("block"),
+        block.alias("block"),
         F.col(id_col).alias("id_a"),
         F.col("unit").alias("ua"),
     )
     b = u.select(
-        F.col(block_col).alias("block"),
+        block.alias("block"),
         F.col(id_col).alias("id_b"),
         F.col("unit").alias("ub"),
     )
-    return (
+    pairs = (
         a.join(b, "block")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
@@ -417,6 +450,13 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+    if max_block:
+        # report the ORIGINAL block key: the sub-block suffix is an
+        # execution detail, not an output contract
+        pairs = pairs.withColumn(
+            "block", F.split(F.col("block"), "#").getItem(0)
+        )
+    return pairs
 
 
 def semantic_clusters(
@@ -500,6 +540,7 @@ def semantic_neardup_pairs(
     iters: int = 4,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    max_block: int | None = None,
 ) -> DataFrame:
     """End-to-end semantic near-dedup: k-means cells as the blocking key,
     exact cosine only within a cell. Pair space is bounded by the largest
@@ -507,7 +548,11 @@ def semantic_neardup_pairs(
     the embedding-space analog of MinHash-LSH's band buckets. A true near-dup
     pair is missed only when k-means splits it across cells; raise n_cells
     for speed, lower it (or multi-assign like ivf_probe_cells) for recall.
-    ``centroids`` skips training, as in semantic_clusters."""
+    ``centroids`` skips training, as in semantic_clusters. ``max_block``
+    sub-blocks skewed cells (see embedding_neardup_pairs — k-means is
+    balanced only on balanced data; production corpora concentrate in a
+    few dense cells, and this is the knob that keeps the hot cell from
+    going quadratic)."""
     clustered = _cluster_assignments(
         df, id_col, vec_col, n_cells, iters, seed, centroids
     )
@@ -515,7 +560,7 @@ def semantic_neardup_pairs(
         clustered.select(F.col("id").alias(id_col), "cluster"), id_col
     )
     return embedding_neardup_pairs(
-        blocked, id_col, vec_col, "cluster", threshold
+        blocked, id_col, vec_col, "cluster", threshold, max_block=max_block
     ).withColumnRenamed("block", "cluster")
 
 

@@ -59,6 +59,45 @@ def test_embedding_neardup_blocks(spark):
     assert pairs == {(0, 1)}  # cross-block identical pair not compared
 
 
+def test_embedding_neardup_max_block_identity_when_unbinding(spark, sf_dir):
+    """A max_block larger than every block is a no-op: identical pairs and
+    cosines to the uncapped run (the sub-block key only splits blocks that
+    exceed the cap)."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    base = sim.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", "label", 0.5
+    ).toPandas()
+    capped = sim.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", "label", 0.5, max_block=10_000_000
+    ).toPandas()
+    key = lambda d: sorted(zip(d.id_a, d.id_b, d.cosine))  # noqa: E731
+    assert key(base) == key(capped)
+
+
+def test_embedding_neardup_max_block_bounds_pairs_keeps_block_recall(spark):
+    """A binding cap still emits pairs from the oversized block (sub-blocked,
+    not dropped), every surviving pair is a true uncapped pair, and the
+    within-sub-block fraction survives."""
+    import pandas as pd
+
+    rows = [(i, [1.0, float(i) * 1e-4], 1) for i in range(40)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    full = sim.embedding_neardup_pairs(
+        df, "vec_id", "embedding", "label", 0.99
+    ).toPandas()
+    capped = sim.embedding_neardup_pairs(
+        df, "vec_id", "embedding", "label", 0.99, max_block=10
+    ).toPandas()
+    full_pairs = {(a, b) for a, b in zip(full.id_a, full.id_b)}
+    capped_pairs = {(a, b) for a, b in zip(capped.id_a, capped.id_b)}
+    assert capped_pairs, "cap must sub-block, not drop, the oversized block"
+    assert capped_pairs < full_pairs  # strict subset: bounded work
+    # expected survival ~1/splits (4 splits of 40): well above 1/10, below 1
+    assert len(capped_pairs) >= len(full_pairs) / 10
+
+
 def test_ann_ivf_recall(spark, sf_dir):
     """IVF recall@10 vs brute force. With 8 cells and probe 4, each query
     scans ~half the corpus; on random-ish vectors (the adversarial case —
