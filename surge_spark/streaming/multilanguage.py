@@ -28,14 +28,18 @@ This module re-creates that protocol transport-agnostically:
   environment — import-gated, not stubbed logic: everything above it runs);
 - a REAL cross-process wire the environment does permit:
   ``serve_business_logic`` exposes any BusinessLogicService over a
-  length-prefixed JSON loopback socket (stdlib socketserver), and
-  ``RemoteBusinessLogicClient`` is the matching client — it implements the
-  same three-method contract, so it plugs into ``GenericCommandModel`` /
-  ``MultilanguageGateway`` unchanged. The client carries only (host, port)
-  and dials per call, so it pickles into Spark's Python workers and the
-  distributed fold really does call out of process, exactly like the
-  reference engine calling a business app over gRPC. Swapping this framing
-  for grpc stubs changes ``_call`` only.
+  loopback socket (stdlib socketserver) speaking REAL proto3 wire format
+  (proto_wire.py — hand-rolled varint/length-delimited encoding of the
+  reference's exact message shapes, golden-byte-pinned), framed as
+  length | method-byte | proto payload; ``RemoteBusinessLogicClient`` is
+  the matching client — it implements the same three-method contract, so
+  it plugs into ``GenericCommandModel`` / ``MultilanguageGateway``
+  unchanged. The client carries only (host, port) and dials per call, so
+  it pickles into Spark's Python workers and the distributed fold really
+  does call out of process, exactly like the reference engine calling a
+  business app over gRPC. The payload bytes on the socket are the same
+  bytes a grpcio stub would put in an HTTP/2 DATA frame; only the HTTP/2
+  framing layer itself remains environment-blocked.
 
 Payloads are opaque bytes end to end. Inside the engine they ride as
 base64 strings (the snapshot store's schemas are JSON-native by contract,
@@ -54,6 +58,8 @@ from dataclasses import dataclass
 from typing import Any, Protocol
 
 from pyspark.sql import SparkSession
+
+from . import proto_wire as pw
 
 from .command_engine import CommandEngine
 from .context import SurgeContext
@@ -196,17 +202,23 @@ class GenericCommandModel:
         return ctx.update_state(new_state)
 
 
-# -- loopback wire: stdlib length-prefixed JSON framing ----------------------
+# -- loopback wire: proto3 frames over TCP -----------------------------------
 #
-# The env permits no grpcio, but "cross-process protocol" is testable without
-# it: these helpers move the SAME proto-shaped messages over a TCP socket
-# (4-byte big-endian length + UTF-8 JSON). Bytes payloads ride base64 in the
-# JSON, mirroring how they ride inside the engine.
+# The env permits no grpcio, but the PAYLOAD byte format need not suffer for
+# it: requests and replies are encoded in real proto3 wire format
+# (proto_wire.py, byte-compatible with the reference's generated stubs —
+# golden-byte tests pin this) and framed as
+#   4-byte big-endian length | 1-byte method/status | proto3 message bytes
+# The method byte stands in for gRPC's ``:path`` pseudo-header and the
+# status byte for ``grpc-status`` trailers; only HTTP/2 framing itself
+# remains environment-blocked.
+
+_M_PROCESS_COMMAND, _M_HANDLE_EVENTS, _M_HEALTH_CHECK = 1, 2, 3
+_S_OK, _S_ERROR = 0, 1
 
 
-def _send_frame(sock: socket.socket, obj: dict) -> None:
-    data = json.dumps(obj).encode("utf-8")
-    sock.sendall(struct.pack(">I", len(data)) + data)
+def _send_frame(sock: socket.socket, code: int, payload: bytes) -> None:
+    sock.sendall(struct.pack(">IB", len(payload) + 1, code) + payload)
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
@@ -219,63 +231,59 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
     return buf
 
 
-def _recv_frame(sock: socket.socket) -> dict:
+def _recv_frame(sock: socket.socket) -> tuple[int, bytes]:
     (n,) = struct.unpack(">I", _recv_exact(sock, 4))
-    return json.loads(_recv_exact(sock, n).decode("utf-8"))
+    body = _recv_exact(sock, n)
+    return body[0], body[1:]
 
 
-def _state_json(s: State | None) -> dict | None:
-    return None if s is None else {"aggregate_id": s.aggregate_id, "payload": _b64(s.payload)}
+def _state_proto(s: State | None) -> bytes | None:
+    return None if s is None else pw.encode_kv(s.aggregate_id, s.payload)
 
 
-def _state_unjson(d: dict | None) -> State | None:
-    return None if d is None else State(d["aggregate_id"], _unb64(d.get("payload")))
+def _state_unproto(b: bytes | None) -> State | None:
+    if b is None:
+        return None
+    agg, payload = pw.decode_kv(b)
+    return State(agg, payload)
 
 
-def _event_json(e: Event) -> dict:
-    return {"aggregate_id": e.aggregate_id, "payload": _b64(e.payload)}
-
-
-def _event_unjson(d: dict) -> Event:
-    return Event(d["aggregate_id"], _unb64(d.get("payload")))
-
-
-def _dispatch(service: BusinessLogicService, req: dict) -> dict:
-    """Server-side method dispatch (sync or async service methods)."""
+def _dispatch(service: BusinessLogicService, method: int, body: bytes) -> bytes:
+    """Server-side method dispatch (sync or async service methods):
+    proto3 request bytes in, proto3 reply bytes out."""
     import asyncio
     import inspect
 
     def run(value):
         return asyncio.run(value) if inspect.iscoroutine(value) else value
 
-    method = req.get("method")
-    if method == "ProcessCommand":
+    if method == _M_PROCESS_COMMAND:
+        agg, state_b, cmd_b = pw.decode_process_command_request(body)
+        cmd_agg, cmd_payload = pw.decode_kv(cmd_b)
         r = run(
             service.process_command(
-                req["aggregate_id"],
-                _state_unjson(req.get("state")),
-                Command(req["aggregate_id"], _unb64(req["command"]["payload"])),
+                agg, _state_unproto(state_b), Command(cmd_agg or agg, cmd_payload)
             )
         )
-        return {
-            "aggregate_id": r.aggregate_id,
-            "is_success": r.is_success,
-            "rejection_message": r.rejection_message,
-            "events": [_event_json(e) for e in r.events],
-        }
-    if method == "HandleEvents":
-        s = run(
-            service.handle_events(
-                req["aggregate_id"],
-                _state_unjson(req.get("state")),
-                [_event_unjson(e) for e in req.get("events", [])],
-            )
+        return pw.encode_process_command_reply(
+            r.aggregate_id,
+            r.is_success,
+            r.rejection_message,
+            [pw.encode_kv(e.aggregate_id, e.payload) for e in r.events],
         )
-        return {"state": _state_json(s)}
-    if method == "HealthCheck":
+    if method == _M_HANDLE_EVENTS:
+        agg, state_b, event_bs = pw.decode_handle_events_request(body)
+        events = []
+        for eb in event_bs:
+            e_agg, e_payload = pw.decode_kv(eb)
+            events.append(Event(e_agg or agg, e_payload))
+        s = run(service.handle_events(agg, _state_unproto(state_b), events))
+        return pw.encode_handle_events_response(agg, _state_proto(s))
+    if method == _M_HEALTH_CHECK:
         r = run(service.health_check())
-        return {"service_name": r.service_name, "status": r.status}
-    raise ValueError(f"unknown method {method!r}")
+        status = pw.HEALTH_DOWN if str(r.status).upper() == "DOWN" else pw.HEALTH_UP
+        return pw.encode_health_check_reply(r.service_name, status)
+    raise ValueError(f"unknown method id {method!r}")
 
 
 class _BusinessLogicTCPServer(socketserver.ThreadingTCPServer):
@@ -300,14 +308,16 @@ def serve_business_logic(
         def handle(self) -> None:  # one connection, many frames
             while True:
                 try:
-                    req = _recv_frame(self.request)
+                    method, body = _recv_frame(self.request)
                 except (EOFError, ConnectionError):
                     return
                 try:
-                    resp = _dispatch(service, req)
+                    reply = _dispatch(service, method, body)
+                    code = _S_OK
                 except Exception as exc:  # noqa: BLE001 — ship to caller
-                    resp = {"error": f"{type(exc).__name__}: {exc}"}
-                _send_frame(self.request, resp)
+                    reply = f"{type(exc).__name__}: {exc}".encode("utf-8")
+                    code = _S_ERROR
+                _send_frame(self.request, code, reply)
 
     return _BusinessLogicTCPServer((host, port), Handler)
 
@@ -324,50 +334,62 @@ class RemoteBusinessLogicClient:
         self.port = port
         self.timeout = timeout
 
-    def _call(self, req: dict) -> dict:
+    def _call(self, method: int, payload: bytes) -> bytes:
         with socket.create_connection(
             (self.host, self.port), timeout=self.timeout
         ) as sock:
-            _send_frame(sock, req)
-            resp = _recv_frame(sock)
-        if "error" in resp:
-            raise RuntimeError(f"remote business logic failed: {resp['error']}")
-        return resp
+            _send_frame(sock, method, payload)
+            code, body = _recv_frame(sock)
+        if code != _S_OK:
+            raise RuntimeError(
+                f"remote business logic failed: {body.decode('utf-8', 'replace')}"
+            )
+        return body
 
     def process_command(
         self, aggregate_id: str, state: State | None, command: Command
     ) -> ProcessCommandReply:
-        r = self._call(
-            {
-                "method": "ProcessCommand",
-                "aggregate_id": aggregate_id,
-                "state": _state_json(state),
-                "command": {"payload": _b64(command.payload)},
-            }
+        body = self._call(
+            _M_PROCESS_COMMAND,
+            pw.encode_process_command_request(
+                aggregate_id,
+                _state_proto(state),
+                pw.encode_kv(command.aggregate_id, command.payload),
+            ),
         )
+        agg, ok, rejection, event_bs, _ns = pw.decode_process_command_reply(body)
+        events = []
+        for eb in event_bs:
+            e_agg, e_payload = pw.decode_kv(eb)
+            events.append(Event(e_agg or agg, e_payload))
         return ProcessCommandReply(
-            aggregate_id=r["aggregate_id"],
-            is_success=r["is_success"],
-            rejection_message=r.get("rejection_message", ""),
-            events=tuple(_event_unjson(e) for e in r.get("events", [])),
+            aggregate_id=agg,
+            is_success=ok,
+            rejection_message=rejection,
+            events=tuple(events),
         )
 
     def handle_events(
         self, aggregate_id: str, state: State | None, events: list[Event]
     ) -> State | None:
-        r = self._call(
-            {
-                "method": "HandleEvents",
-                "aggregate_id": aggregate_id,
-                "state": _state_json(state),
-                "events": [_event_json(e) for e in events],
-            }
+        body = self._call(
+            _M_HANDLE_EVENTS,
+            pw.encode_handle_events_request(
+                aggregate_id,
+                _state_proto(state),
+                [pw.encode_kv(e.aggregate_id, e.payload) for e in events],
+            ),
         )
-        return _state_unjson(r.get("state"))
+        _agg, state_b = pw.decode_handle_events_response(body)
+        return _state_unproto(state_b)
 
     def health_check(self) -> HealthCheckReply:
-        r = self._call({"method": "HealthCheck"})
-        return HealthCheckReply(service_name=r["service_name"], status=r["status"])
+        body = self._call(_M_HEALTH_CHECK, pw.encode_health_check_request())
+        name, status = pw.decode_health_check_reply(body)
+        return HealthCheckReply(
+            service_name=name,
+            status="DOWN" if status == pw.HEALTH_DOWN else "UP",
+        )
 
 
 # -- the gateway service -----------------------------------------------------
