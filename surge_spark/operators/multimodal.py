@@ -2,13 +2,15 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side contract is real and tested — schema, partition sizing, UDF
-signature, batch shape. Decode is REAL for the uncompressed formats the
-standard library can parse — BMP (24-bit) and PPM (P6) images via struct +
-numpy, WAV audio via the ``wave`` module — and gated for everything else
-(this container has no imaging/audio codecs): ``decode_image`` raises
-NotImplementedError for compressed formats unless Pillow is importable, and
-``extract_features`` falls back to a deterministic fake decoder for payloads
-it cannot sniff, so pipelines stay end-to-end testable on any input.
+signature, batch shape. Decode is REAL for the formats the standard
+library can parse — BMP (24-bit) and PPM (P6) via struct + numpy, PNG
+(8-bit grey/RGB/RGBA non-interlaced: zlib inflate + the five filter
+reconstructions), WAV audio via the ``wave`` module — and gated for
+everything else (this container has no imaging/audio codecs):
+``decode_image`` raises NotImplementedError for JPEG/exotic-PNG unless
+Pillow is importable, and ``extract_features`` falls back to a
+deterministic fake decoder for payloads it cannot sniff, so pipelines stay
+end-to-end testable on any input.
 
 At 100 TB: binary payloads dominate row size, so feature extraction runs
 mapInPandas (no shuffle) and downstream analytics select only the small
@@ -119,22 +121,116 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, img
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_reconstruct(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """Undo PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth).
+    ``raw`` is the inflated datastream: h rows of (1 filter byte +
+    w*ch sample bytes). Row-vectorized where the filter allows (None/Up);
+    Sub/Average/Paeth carry an in-row serial dependency, done per-pixel on
+    the row (images decoded here are thumbnails/test fixtures; production
+    routes compressed formats through a codec library anyway)."""
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG datastream")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += stride + 1
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            out[y] = row
+        elif ftype == 2:  # Up
+            out[y] = (row.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype in (1, 3, 4):
+            cur = out[y]
+            r = row.astype(np.int32)
+            p = prev.astype(np.int32)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                if ftype == 1:  # Sub
+                    cur[i] = (r[i] + a) & 0xFF
+                elif ftype == 3:  # Average
+                    cur[i] = (r[i] + ((a + int(p[i])) >> 1)) & 0xFF
+                else:  # Paeth
+                    b = int(p[i])
+                    c = int(p[i - ch]) if i >= ch else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (r[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real stdlib PNG decode: critical-chunk parse (struct), zlib inflate,
+    and the five filter reconstructions — 8-bit greyscale / RGB / RGBA,
+    non-interlaced (the overwhelmingly common encoder output). Palette and
+    Adam7 stay behind the codec-library gate. PNG's compression IS zlib
+    DEFLATE (spec §10), so no codec library is needed for this subset."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+        raise NotImplementedError(
+            "stdlib PNG path covers 8-bit non-interlaced greyscale/RGB/RGBA; "
+            "palette/16-bit/Adam7 need a codec library"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    px = _png_reconstruct(raw, w, h, ch).reshape(h, w, ch)
+    if ch == 1:
+        img = np.repeat(px, 3, axis=2)
+    elif ch == 4:
+        img = px[..., :3]  # drop alpha (training features read RGB)
+    else:
+        img = px
+    return w, h, np.ascontiguousarray(img)
+
+
 def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode an image payload to (width, height, HxWx3 uint8 RGB).
 
-    Real stdlib decode for the uncompressed formats (BMP 24-bit, PPM P6);
-    compressed formats (PNG/JPEG/…) need a codec library, which this
-    container lacks — gated honestly behind the Pillow import."""
+    Real stdlib decode for BMP (24-bit), PPM (P6), and PNG (8-bit
+    grey/RGB/RGBA, non-interlaced — PNG's pixel stream is zlib DEFLATE,
+    parseable with zlib+struct+numpy alone). JPEG and the exotic PNG
+    variants need a codec library this container lacks — gated honestly
+    behind the Pillow import."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     try:
         import PIL.Image  # noqa: F401  (not installed here; gate, don't assume)
     except ImportError as e:
         raise NotImplementedError(
             "compressed-image decode requires an imaging library (e.g. "
-            "Pillow); only BMP/PPM are stdlib-decodable in this environment"
+            "Pillow); BMP/PPM/PNG are the stdlib-decodable formats in this "
+            "environment"
         ) from e
     raise NotImplementedError("Pillow decode path not wired in this build")
 

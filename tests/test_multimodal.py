@@ -173,19 +173,29 @@ def test_real_wav_decode_end_to_end(spark):
 
 
 def test_non_stdlib_format_falls_back_to_fake(spark):
-    """A payload that is neither BMP nor PPM must not crash extract — it
+    """A payload no stdlib path can decode must not crash extract — it
     routes through the fake decoder (and decode_image's gate raises for it
-    directly, documenting the env limit)."""
+    directly, documenting the env limit). A corrupt PNG (signature but no
+    chunks) likewise falls back rather than poisoning the batch."""
     import pytest
 
-    png_ish = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 36
+    corrupt_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
     df = spark.createDataFrame(
-        pd.DataFrame({"id": [1], "payload": [png_ish], "mime": ["image/png"]})
+        pd.DataFrame(
+            {
+                "id": [1, 2],
+                "payload": [jpeg_ish, corrupt_png],
+                "mime": ["image/jpeg", "image/png"],
+            }
+        )
     )
-    out = mm.extract_features(df).toPandas().iloc[0]
-    assert out.n_bytes == 40  # fake path ran
+    out = mm.extract_features(df).toPandas().sort_values("id")
+    assert list(out.n_bytes) == [40, 40]  # fake path ran for both
     with pytest.raises(NotImplementedError):
-        mm.decode_image(png_ish)
+        mm.decode_image(jpeg_ish)  # codec-library gate
+    with pytest.raises(ValueError):
+        mm.decode_image(corrupt_png)  # structurally invalid PNG
 
 
 def test_ppm_crlf_header_decodes_identically(spark):
@@ -218,3 +228,138 @@ def test_ppm_lone_cr_with_0x0a_first_pixel(spark):
     out = mm.extract_features(df).toPandas().iloc[0]
     assert (out.width, out.height) == (2, 1)
     assert abs(out.feat[0] - (10 + 40) / 2 / 255) < 1e-6  # R channel intact
+
+
+def _make_png(width, height, pixels, color_type=2, filters=None):
+    """Hand-build a PNG: signature + IHDR + one IDAT (zlib of filtered
+    scanlines) + IEND, with a chosen filter byte per row. ``pixels`` is an
+    HxWxC uint8 array; filtering applies the SPEC's forward transform so
+    the decoder must invert it."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    px = np.asarray(pixels, dtype=np.uint8).reshape(height, width, ch)
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = np.zeros(width * ch, dtype=np.int32)
+    for y in range(height):
+        row = px[y].reshape(-1).astype(np.int32)
+        f = filters[y]
+        enc = np.zeros(width * ch, dtype=np.int32)
+        for i in range(width * ch):
+            a = int(row[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if f == 0:
+                enc[i] = row[i]
+            elif f == 1:
+                enc[i] = row[i] - a
+            elif f == 2:
+                enc[i] = row[i] - b
+            elif f == 3:
+                enc[i] = row[i] - ((a + b) >> 1)
+            else:  # paeth
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = row[i] - pred
+        raw.append(f)
+        raw += bytes((enc & 0xFF).astype(np.uint8))
+        prev = row
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filter_types():
+    """Known pixels survive a PNG round-trip through every filter type
+    (None/Sub/Up/Average/Paeth, one per row) — the constructed-bytes pin
+    for the stdlib zlib+struct decode path."""
+    import numpy as np
+
+    from surge_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    png = _make_png(4, 5, px, color_type=2, filters=[0, 1, 2, 3, 4])
+    w, h, img = decode_image(png)
+    assert (w, h) == (4, 5)
+    assert (img == px).all()
+
+
+def test_png_rgba_and_grey_decode():
+    import numpy as np
+
+    from surge_spark.operators.multimodal import decode_image
+
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[..., 0] = 10
+    rgba[..., 1] = 20
+    rgba[..., 2] = 30
+    rgba[..., 3] = 255
+    w, h, img = decode_image(_make_png(2, 2, rgba, color_type=6, filters=[4, 1]))
+    assert (w, h) == (2, 2)
+    assert (img == np.broadcast_to([10, 20, 30], (2, 2, 3))).all()
+
+    grey = np.arange(6, dtype=np.uint8).reshape(2, 3, 1) * 40
+    w, h, img = decode_image(_make_png(3, 2, grey, color_type=0, filters=[2, 3]))
+    assert (w, h) == (3, 2)
+    assert (img == np.repeat(grey, 3, axis=2)).all()
+
+
+def test_png_through_extract_features(spark):
+    """A real PNG payload flows through the mapInPandas feature extractor
+    with true dimensions (not the fake decoder's)."""
+    import numpy as np
+    import pandas as pd
+
+    from surge_spark.operators.multimodal import extract_features
+
+    px = np.full((6, 8, 3), 128, dtype=np.uint8)
+    png = _make_png(8, 6, px, filters=[0, 1, 2, 3, 4, 0])
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "payload": [png], "mime": ["image/png"]})
+    )
+    row = extract_features(df).collect()[0]
+    assert (row.width, row.height) == (8, 6)
+    assert abs(row.feat[3] - 128 / 255.0) < 1e-6
+
+
+def test_png_interlaced_or_palette_stays_gated():
+    import pytest
+
+    from surge_spark.operators.multimodal import decode_image
+
+    import struct as _s
+    import zlib as _z
+
+    def chunk(ctype, data):
+        return (
+            _s.pack(">I", len(data))
+            + ctype
+            + data
+            + _s.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # interlace=1 (Adam7) header
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image(payload)
