@@ -480,14 +480,50 @@ def streaming_exact_dedup(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash fingerprint: each distinct token votes ±1 on every bit
     of its 64-bit hash; fingerprint bit = sign of the vote sum. All JVM-side:
-    one explode + 64 conditional-sum aggregates (partial+final)."""
+    one explode + 64 conditional-sum aggregates (partial+final).
+
+    ``hash_fn``: 'xxhash64' (default — one non-cryptographic JVM hash per
+    token, the production choice) or 'md5' (two 32-bit halves of the
+    token's md5 hex — ~3× more map-side work, but a pure function both
+    engines compute identically, which gives the ENTIRE simhash pipeline
+    — votes, sign, bit packing — a value-checked DuckDB oracle; see
+    d_simhash_fingerprints_md5). The algorithm downstream of the hash is
+    byte-identical in both modes."""
     tok = (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
         .where(F.col("tok") != "")
     )
+    if hash_fn == "md5":
+        hex_ = F.md5(F.col("tok").cast("binary"))
+        hi = F.conv(F.substring(hex_, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hex_, 9, 8), 16, 10).cast("long")
+
+        def bit(i: int) -> F.Column:
+            src, off = (lo, i) if i < 32 else (hi, i - 32)
+            return F.shiftright(src, off).bitwiseAND(F.lit(1))
+
+        votes = [
+            F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(64)
+        ]
+        agg = tok.groupBy("id").agg(*votes)
+        fingerprint = None
+        for i in range(64):
+            b = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            term = (
+                b * F.lit(1 << i).cast("long")
+                if i < 63
+                else b * F.lit(-(1 << 63)).cast("long")
+            )
+            fingerprint = term if fingerprint is None else fingerprint + term
+        return agg.select("id", fingerprint.alias("simhash"))
     h = F.xxhash64("tok")
     votes = [
         F.sum(

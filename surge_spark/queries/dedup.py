@@ -239,11 +239,54 @@ def d_minhash_lsh_neardup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("d_simhash_fingerprints")
 def d_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only: engine-specific hash).
-    Deterministic across runs; hamming-neighbor behavior tested in
-    tests/test_dedup.py."""
+    """64-bit SimHash per document (rows-only: engine-specific hash —
+    xxhash64 is one cheap JVM hash per token and stays the production
+    form). Deterministic across runs; hamming-neighbor behavior tested in
+    tests/test_dedup.py; the ALGORITHM's value correctness is proven by
+    the md5 twin below, which differs only in the per-token hash."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash(docs, "doc_id", "text")
+
+
+_SIMHASH_VOTES_SQL = ",\n      ".join(
+    f"sum(CASE WHEN ({'lo' if i < 32 else 'hi'} >> {i if i < 32 else i - 32})"
+    f" & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(64)
+)
+_SIMHASH_PACK_SQL = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN 1 ELSE 0 END) * "
+    f"CAST({(1 << i) if i < 63 else -(1 << 63)} AS BIGINT)"
+    for i in range(64)
+)
+
+
+@query(
+    "d_simhash_fingerprints_md5",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {dd.DUCK_TOKENS_SQL} AS t FROM documents),
+    tok AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM base),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+             CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+      FROM tok WHERE tok <> ''
+    ),
+    v AS (SELECT doc_id, {_SIMHASH_VOTES_SQL} FROM h GROUP BY doc_id)
+    SELECT doc_id AS id, CAST({_SIMHASH_PACK_SQL} AS BIGINT) AS simhash
+    FROM v
+    """,
+)
+def d_simhash_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-portable SimHash twin: per-token bits come from two
+    32-bit halves of md5 (Spark conv(hex,16,10) == DuckDB's '0x…' cast —
+    the t_shuffle_shards trick), so the full pipeline — distinct-token
+    votes, sign threshold, 64-bit pack with the sign bit — is value-checked
+    against DuckDB, not just rows-counted. This is the oracle evidence for
+    d_simhash_fingerprints, whose only difference is the cheaper
+    per-token hash (xxhash64: right at 100 TB, unoracleable by
+    construction — the registry docstring documents that trade)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash(docs, "doc_id", "text", hash_fn="md5")
 
 
 _SPANS_ORACLE = """

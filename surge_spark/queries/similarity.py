@@ -177,11 +177,69 @@ def sim_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_lsh_topk")
+def _duck_lsh_bucket(e_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB mirror of operators.similarity.lsh_bucket for LITERAL planes:
+    one sign-bit dot per plane, packed. The planes come from the same
+    pure-python LCG (_hyperplanes) the Spark side uses, rendered as list
+    literals — identical doubles on both engines."""
+    bits = []
+    for i, p in enumerate(planes):
+        lst = "[" + ",".join(repr(x) for x in p) + "]"
+        dotp = (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> CAST({e_expr}[i] AS DOUBLE) * ({lst})[i]))"
+        )
+        bits.append(f"(CASE WHEN {dotp} >= 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _lsh_oracle() -> str:
+    from ..operators.similarity import _hyperplanes
+
+    buckets = ",\n           ".join(
+        f"{_duck_lsh_bucket('embedding', _hyperplanes(64, 8, seed=42 + t))} AS b{t}"
+        for t in range(4)
+    )
+    collide = " OR ".join(f"q.b{t} = c.b{t}" for t in range(4))
+    cos = (
+        "list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * ce[i]))"
+        " / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * x)))"
+        " * sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * x))))"
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id, embedding,
+           {buckets}
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM c WHERE vec_id < 5),
+    cands AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             q.embedding AS qe, c.embedding AS ce
+      FROM q JOIN c ON ({collide}) AND q.vec_id <> c.vec_id
+    ),
+    scored AS (SELECT query_id, corpus_id, {cos} AS cosine FROM cands)
+    SELECT query_id, corpus_id,
+           CAST(round(cosine, 6) AS DOUBLE) AS cosine, rank
+    FROM (
+      SELECT query_id, corpus_id, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, corpus_id
+             ) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@query("sim_ann_lsh_topk", oracle=_lsh_oracle())
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via sign-random-projection LSH (8 planes × 4
-    tables), exact re-rank of bucket collisions only. Hyperplane-seed
-    dependent → rows-only check; recall vs brute force asserted in
+    tables), exact re-rank of bucket collisions only. FULL value oracle
+    (graduated r6): the hyperplanes were always a deterministic pure-python
+    LCG (_hyperplanes), so the identical plane doubles render into the
+    DuckDB SQL as literals — the same fixed-model-injection trick as
+    FIXED_CENTS/FIXED_CBS — and DuckDB recomputes buckets, collisions, and
+    the re-rank end to end. Recall vs brute force additionally asserted in
     tests/test_similarity.py. ``dim`` is passed (testdata embeddings are
     64-wide) so no driver probe job runs before the plan builds — pinned in
     tests/test_plans.py."""

@@ -31,9 +31,12 @@ def test_catalog_contract(spark, sf_dir):
     # oracle-less entries are the documented hash/order-dependent set only
     rows_only = set(queries) - set(oracles)
     # es_bank_fold graduated to a recursive-CTE oracle in round 3; the
-    # k-means sim entries graduated via injected fixed centroids in round 5
-    # — what remains is unoracleable by construction (xxhash64/HLL/env-gated,
-    # see the registry docstring in surge_spark/queries/__init__.py)
+    # k-means sim entries graduated via injected fixed centroids in round 5;
+    # sim_ann_lsh_topk graduated in round 6 (its LCG hyperplanes render as
+    # literals into the SQL) and d_simhash_fingerprints gained a
+    # value-oracled md5 twin — what remains is unoracleable by construction
+    # (xxhash64/HLL/env-gated, see the registry docstring in
+    # surge_spark/queries/__init__.py)
     assert rows_only == {
         "a_approx_count_distinct",
         "d_minhash_lsh_neardup",
@@ -41,7 +44,6 @@ def test_catalog_contract(spark, sf_dir):
         "d_simhash_fingerprints",
         "f_partition_for_key",
         "mm_feature_extract_stub",
-        "sim_ann_lsh_topk",
     }
     # callables execute and yield DataFrames (smoke one cheap entry)
     assert queries["s2_point_lookup"](spark, sf_dir).count() >= 0
