@@ -133,7 +133,9 @@ def jaccard_pairs(
     )
 
 
-def _minhash_bases(shingle: F.Column) -> tuple[F.Column, F.Column]:
+def _minhash_bases(
+    shingle: F.Column, hash_fn: str = "xxhash64"
+) -> tuple[F.Column, F.Column]:
     """The two base hashes of the Kirsch–Mitzenmacher double-hash MinHash
     family: member i = a + i·b. Two string hashes per shingle instead of
     k — the k-1 remaining members are integer multiply-adds, ~3× cheaper
@@ -142,13 +144,26 @@ def _minhash_bases(shingle: F.Column) -> tuple[F.Column, F.Column]:
     overflow-safe under ANSI mode (on by default in Spark 4 plain
     sessions). minhash_signatures_from_docs inlines the identical
     formulas as SQL text (pinned equal by tests/test_dedup.py) — keep the
-    two in sync."""
+    two in sync.
+
+    ``hash_fn='md5'``: engine-portable bases — the two 32-bit halves of
+    the shingle's md5 (a,b < 2^32, so a + 63·b < 2^38, overflow-safe in
+    any engine's BIGINT). Same K-M family downstream; DuckDB computes the
+    identical values via its '0x…'-cast, which is what gives the md5
+    catalog twins full value oracles."""
+    if hash_fn == "md5":
+        hex_ = F.md5(shingle.cast("binary"))
+        a = F.conv(F.substring(hex_, 1, 8), 16, 10).cast("long")
+        b = F.conv(F.substring(hex_, 9, 8), 16, 10).cast("long")
+        return a, b
     a = F.shiftrightunsigned(F.xxhash64(shingle), 3)
     b = F.shiftrightunsigned(F.xxhash64(shingle, F.lit(1)), 10)
     return a, b
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 64, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """k-permutation MinHash signature per id from exploded (id, shingle)
     rows: k min() aggregates (partial+final, map-side combine) over the
     double-hash family — the two base hashes are computed once per shingle
@@ -161,7 +176,7 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
     its whole subtree eagerly, and at k=64 the per-call py4j + analysis
     overhead of column-at-a-time construction measured ~2× the actual
     execution time at sf0.1."""
-    a, b = _minhash_bases(F.col("shingle"))
+    a, b = _minhash_bases(F.col("shingle"), hash_fn)
     hashed = sh.select("id", a.alias("_a"), b.alias("_b"))
     sig = ", ".join(f"min(_a + {i} * _b)" for i in range(num_hashes))
     return hashed.groupBy("id").agg(F.expr(f"array({sig})").alias("sig"))
@@ -296,6 +311,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.7,
     max_bucket: int | None = 5000,
     prune_verification: bool = False,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs: MinHash-LSH candidates verified with exact Jaccard.
 
@@ -337,7 +353,7 @@ def minhash_lsh_dedup(
     # that branch shuffle-free before the groupBy. Empty-shingle docs simply
     # have no rows and drop out everywhere.
     sig = minhash_signatures(
-        shingles(df, id_col, text_col, n, distinct=False), num_hashes
+        shingles(df, id_col, text_col, n, distinct=False), num_hashes, hash_fn
     )
     cands = lsh_candidates(sig, bands, num_hashes // bands, max_bucket)
     sh = shingles(df, id_col, text_col, n)

@@ -1,10 +1,14 @@
 """Deduplication catalog entries over the `documents` table.
 
 The exact and n-gram-Jaccard entries have full DuckDB oracles (set algebra —
-engine-independent). MinHash-LSH and SimHash entries are hash-function
-dependent (xxhash64 seeds differ per engine) so they get rows-only checks;
-their recall against the exact-Jaccard ground truth is pinned in
-tests/test_dedup.py.
+engine-independent). The PRODUCTION MinHash-LSH and SimHash entries hash
+with xxhash64 (one cheap JVM hash — the right choice at 100 TB) and are
+rows-only, with recall pinned against the exact-Jaccard ground truth in
+tests/test_dedup.py; their md5 TWINS (d_minhash_signatures_md5,
+d_minhash_lsh_neardup_md5, d_simhash_fingerprints_md5) swap only the
+per-item hash for one both engines compute, giving every downstream stage
+— signatures, banding, bucket caps, candidate join, Jaccard verification,
+simhash votes/pack — a full value oracle.
 """
 
 from __future__ import annotations
@@ -234,6 +238,96 @@ def d_minhash_lsh_neardup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_dedup(
         docs, "doc_id", "text", n=4, num_hashes=64, bands=16, threshold=0.5,
         prune_verification=True,
+    )
+
+
+def _duck_minhash_md5(num_hashes: int = 64) -> str:
+    """DuckDB mirror of the md5 K-M double-hash MinHash signature: the two
+    32-bit md5 halves per shingle ('0x…'-cast == Spark conv(hex,16,10)),
+    then k multiply-add mins. Shares _duck_shingles' tokenizer."""
+    mins = ", ".join(f"min(a + {i} * b)" for i in range(num_hashes))
+    return f"""
+    h AS (
+      SELECT id,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS a,
+             CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS b
+      FROM sh
+    ),
+    sig AS (SELECT id, [{mins}] AS s FROM h GROUP BY id)
+    """
+
+
+@query(
+    "d_minhash_signatures_md5",
+    oracle=f"""
+    WITH {_duck_shingles(4)},
+    {_duck_minhash_md5(64)}
+    SELECT id, CAST(u.i AS INT) AS hash_index, s[u.i + 1] AS sig
+    FROM sig, LATERAL (SELECT unnest(range(0, 64)) AS i) u
+    """,
+)
+def d_minhash_signatures_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable MinHash signatures (k=64, K-M double hashing over
+    the two 32-bit md5 halves of each shingle — a + i·b < 2^38, overflow-
+    safe in any engine): DuckDB recomputes every one of the 64 per-doc
+    minima, value-checking the signature pipeline the xxhash64 production
+    entries build on. Output exploded to scalars (id, hash_index, sig)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dd.minhash_signatures(
+        dd.shingles(docs, "doc_id", "text", 4, distinct=False), 64, hash_fn="md5"
+    )
+    return sig.select("id", F.posexplode("sig").alias("hash_index", "sig"))
+
+
+@query(
+    "d_minhash_lsh_neardup_md5",
+    oracle=f"""
+    WITH {_duck_shingles(4)},
+    {_duck_minhash_md5(64)},
+    bands AS (
+      SELECT id, u.b AS band,
+             array_to_string(s[u.b * 4 + 1 : u.b * 4 + 4], ',') AS key
+      FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS b) u
+    ),
+    sized AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
+    okb AS (
+      SELECT bands.* FROM bands JOIN sized USING (band, key) WHERE c <= 5000
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM okb a JOIN okb b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    sizes AS (SELECT id, count(*) AS ns FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS nc
+      FROM cand c
+      JOIN sh x ON x.id = c.id_a
+      JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(round(i.nc / (sa.ns + sb.ns - i.nc), 6) AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE i.nc / (sa.ns + sb.ns - i.nc) >= 0.5
+    """,
+)
+def d_minhash_lsh_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END MinHash-LSH near-dup pipeline with full value oracle:
+    md5 K-M signatures → 16 bands of 4 → band-bucket self-join (DuckDB
+    joins the band's signature SLICE values directly; Spark buckets on a
+    64-bit hash of the slice, equal iff the slices are equal up to a
+    ~2^-64 collision — astronomically below the testdata pair count) →
+    exact-Jaccard verification at 0.5. This is the d_minhash_lsh_neardup
+    production entry with ONLY the per-shingle hash swapped, so the
+    driver value-checks the banding, bucket-cap, candidate and
+    verification machinery those rows-only entries share."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_dedup(
+        docs, "doc_id", "text", n=4, num_hashes=64, bands=16, threshold=0.5,
+        hash_fn="md5",
     )
 
 

@@ -1494,6 +1494,70 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue per nation where the
+    ordering customer and the line's supplier share a nation, restricted
+    to one region and one order year. The distinguishing feature is the
+    NON-KEY equality ``c_nationkey = s_nationkey`` riding on the supplier
+    join — the co-location predicate that makes Q5 the classic
+    join-ordering benchmark. Plan shape: region→nation→supplier chain is
+    all broadcast (dims); lineitem joins orders on the fact key, then the
+    supplier broadcast carries both the key equality and the nation
+    equality as one join condition (no separate filter stage); one
+    partial+final aggregate on the five-nation key. Date bounds as NTZ
+    literals (q3's timezone note)."""
+    cut_lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    cut_hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= cut_lo) & (F.col("o_orderdate") < cut_hi)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+@query(
     "q18_large_orders",
     oracle="""
     SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
