@@ -811,6 +811,88 @@ def o_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zspread_sql(col: str) -> str:
+    """Morton bit-spread of a 16-bit value into even bit positions — the
+    classic magic-number cascade, pure integer arithmetic identical in
+    Spark SQL and DuckDB (both BIGINT ops)."""
+    x = f"({col} & 65535)"
+    x = f"(({x} | ({x} << 8)) & 16711935)"  # 0x00FF00FF
+    x = f"(({x} | ({x} << 4)) & 252645135)"  # 0x0F0F0F0F
+    x = f"(({x} | ({x} << 2)) & 858993459)"  # 0x33333333
+    x = f"(({x} | ({x} << 1)) & 1431655765)"  # 0x55555555
+    return x
+
+
+@query(
+    "o_zorder_layout",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_orderkey, l_partkey,
+             ntile(256) OVER (
+               ORDER BY l_orderkey, l_partkey, l_linenumber) - 1 AS rx,
+             ntile(256) OVER (
+               ORDER BY l_partkey, l_orderkey, l_linenumber) - 1 AS ry
+      FROM lineitem
+    ),
+    z AS (
+      SELECT l_orderkey, l_partkey,
+             ({_zspread_sql('rx')} | ({_zspread_sql('ry')} << 1)) AS zval
+      FROM r
+    ),
+    b AS (SELECT *, zval >> 10 AS zbucket FROM z)
+    SELECT CAST(zbucket AS INT) AS zbucket, count(*) AS n,
+           min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+           min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+    FROM b GROUP BY zbucket ORDER BY zbucket
+    """,
+)
+def o_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering over two scan dimensions — the
+    data-layout primitive behind multi-dimensional file skipping (Delta
+    OPTIMIZE ZORDER BY, which this mirrors exactly): each column is first
+    mapped to a RANK-based coordinate (ntile over a unique total order —
+    scale-free, skew-immune, exactly Delta's range-partition-id step),
+    the two 8-bit coordinates are bit-interleaved with the magic-number
+    spread cascade (pure BIGINT arithmetic, mirrored textually in DuckDB
+    — full value oracle), and rows group into 64 z-ranges. Every z-range
+    then has a TIGHT min/max envelope on BOTH columns at once — a plain
+    sort clusters only its leading column, so a predicate on the other
+    dimension prunes nothing. Output: per-z-range populations and their
+    two-dimensional envelopes — the skipping statistics a lakehouse
+    writer persists per file (envelope tightness vs a linear sort is
+    pinned quantitatively in tests/test_layout.py). At 100 TB the rank
+    pass is the same rangepartitioning exchange o_global_sort pins and
+    the z-key is map-side; files then range-partition on zval."""
+    li = _t(spark, sf_dir, "lineitem")
+    wx = W.orderBy("l_orderkey", "l_partkey", "l_linenumber")
+    wy = W.orderBy("l_partkey", "l_orderkey", "l_linenumber")
+    r = li.select(
+        "l_orderkey",
+        "l_partkey",
+        (F.ntile(256).over(wx) - 1).alias("rx"),
+        (F.ntile(256).over(wy) - 1).alias("ry"),
+    )
+    z = r.select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr(f"{_zspread_sql('rx')} | ({_zspread_sql('ry')} << 1)").alias(
+            "zval"
+        ),
+    )
+    return (
+        z.withColumn("zbucket", F.shiftright("zval", 10).cast("int"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+        )
+        .orderBy("zbucket")
+    )
+
+
 # --------------------------------------------------------------------------
 # Set operations (§2.7)
 # --------------------------------------------------------------------------

@@ -70,3 +70,39 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_zorder_envelopes_tighter_than_linear_sort_on_second_dim(spark, sf_dir):
+    """The point of z-ordering: bucket min/max envelopes stay tight on BOTH
+    dimensions. Quantitatively — the average l_partkey envelope extent of
+    the 64 z-range buckets must be well under the extent of buckets from a
+    plain l_orderkey sort (whose every bucket spans ~the full partkey
+    range, pruning nothing for partkey predicates)."""
+    from surge_spark.queries.relational import o_zorder_layout
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lo, hi = li.agg(F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+    full = float(hi - lo) or 1.0
+
+    z = o_zorder_layout(spark, sf_dir).collect()
+    z_extent = sum(r.max_pk - r.min_pk for r in z) / len(z) / full
+
+    from pyspark.sql import Window as W
+
+    linear = (
+        li.select(
+            "l_partkey",
+            (F.ntile(64).over(
+                W.orderBy("l_orderkey", "l_partkey", "l_linenumber")
+            ) - 1).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(F.min("l_partkey").alias("mn"), F.max("l_partkey").alias("mx"))
+        .collect()
+    )
+    lin_extent = sum(r.mx - r.mn for r in linear) / len(linear) / full
+
+    # linear sort leaves ~full-range partkey envelopes; z-order divides the
+    # rank domain, so its envelopes must be at most half as wide on average
+    assert lin_extent > 0.5, f"testdata not adversarial enough: {lin_extent}"
+    assert z_extent < 0.5 * lin_extent, (z_extent, lin_extent)
