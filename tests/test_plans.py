@@ -669,3 +669,33 @@ def test_q12_dual_conditional_counts_one_pass(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1
     assert plan.count("orders.parquet") == 1
     assert "GreaterThanOrEqual(l_shipdate" in flat
+
+
+def test_q5_broadcast_chain_and_colocation_condition(spark, sf_dir):
+    """q5_local_supplier_volume: every dimension (region→nation→supplier,
+    customer) broadcasts — the fact table shuffles at most for its own
+    aggregate — and the customer-supplier nation co-location equality
+    rides a join condition, not a post-join filter. Date bounds reach the
+    orders scan."""
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    flat = plan.replace(" ", "").replace("\n", "")
+    assert "GreaterThanOrEqual(o_orderdate" in flat
+    assert "LessThan(o_orderdate" in flat
+    # the co-location predicate is part of a join (appears in a join's key
+    # list), not a separate Filter above it
+    assert "c_nationkey" in plan
+
+
+def test_doulion_runs_zero_driver_jobs_at_plan_build(spark, sf_dir):
+    """g_triangle_count_sampled: building the plan must schedule no Spark
+    job (the sampling is an expression, not a collected model)."""
+    from surge_spark.queries import all_queries
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    all_queries()["g_triangle_count_sampled"](spark, sf_dir)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
