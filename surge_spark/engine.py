@@ -191,7 +191,9 @@ class SurgeEngine:
         # uuid batch ids: a per-engine counter would collide with a prior
         # engine instance on the same store and be silently R4-deduped
         batch_id = f"submit-{uuid.uuid4().hex}"
-        result = self._engine.process_batch(batch, batch_id)
+        # single-command batch: one fold partition (the engine-level
+        # fold_partitions is sized for submit_many-scale batches)
+        result = self._engine.process_batch(batch, batch_id, fold_partitions=1)
         assert result is not None  # uuid cannot collide with committed ids
         _, _, replies = result
         reply = replies.where(replies.command_id == command_id).collect()[0]

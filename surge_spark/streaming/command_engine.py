@@ -284,7 +284,11 @@ class CommandEngine:
         return state_rows, events_out, replies, deleted_keys, records_out
 
     def process_batch(
-        self, commands: DataFrame, batch_id: str, replies_dir: str | None = None
+        self,
+        commands: DataFrame,
+        batch_id: str,
+        replies_dir: str | None = None,
+        fold_partitions: int | None = None,
     ) -> tuple[DataFrame, DataFrame, DataFrame] | None:
         """Process one micro-batch of commands; atomically commit and return
         (state_updates, events, replies) — lazy frames over the batch's
@@ -386,8 +390,12 @@ class CommandEngine:
         # answers, so the cache must outlive the caller's reads of this
         # batch's frames.
         with phase("pb.fold_plan"):
-            if self.fold_partitions is not None:
-                commands = commands.repartition(self.fold_partitions, self.key_col)
+            # per-call override beats the engine default: the facade knows
+            # its batch size (send_command = 1 row — folding one command
+            # through 8 python tasks is 7 empty Arrow round trips)
+            fp = fold_partitions if fold_partitions is not None else self.fold_partitions
+            if fp is not None:
+                commands = commands.repartition(fp, self.key_col)
             packed = (
                 commands.groupBy(self.key_col)
                 .applyInPandas(fold, "kind string, payload string")
