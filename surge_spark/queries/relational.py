@@ -826,13 +826,16 @@ def _zspread_sql(col: str) -> str:
 @query(
     "o_zorder_layout",
     oracle=f"""
-    WITH r AS (
-      SELECT l_orderkey, l_partkey,
-             ntile(256) OVER (
-               ORDER BY l_orderkey, l_partkey, l_linenumber) - 1 AS rx,
-             ntile(256) OVER (
-               ORDER BY l_partkey, l_orderkey, l_linenumber) - 1 AS ry
+    WITH s AS (
+      SELECT min(l_orderkey) AS ok_lo, max(l_orderkey) AS ok_hi,
+             min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi
       FROM lineitem
+    ),
+    r AS (
+      SELECT l_orderkey, l_partkey,
+             (l_orderkey - s.ok_lo) * 256 // (s.ok_hi - s.ok_lo + 1) AS rx,
+             (l_partkey - s.pk_lo) * 256 // (s.pk_hi - s.pk_lo + 1) AS ry
+      FROM lineitem, s
     ),
     z AS (
       SELECT l_orderkey, l_partkey,
@@ -849,28 +852,38 @@ def _zspread_sql(col: str) -> str:
 def o_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering over two scan dimensions — the
     data-layout primitive behind multi-dimensional file skipping (Delta
-    OPTIMIZE ZORDER BY, which this mirrors exactly): each column is first
-    mapped to a RANK-based coordinate (ntile over a unique total order —
-    scale-free, skew-immune, exactly Delta's range-partition-id step),
-    the two 8-bit coordinates are bit-interleaved with the magic-number
-    spread cascade (pure BIGINT arithmetic, mirrored textually in DuckDB
-    — full value oracle), and rows group into 64 z-ranges. Every z-range
-    then has a TIGHT min/max envelope on BOTH columns at once — a plain
-    sort clusters only its leading column, so a predicate on the other
-    dimension prunes nothing. Output: per-z-range populations and their
-    two-dimensional envelopes — the skipping statistics a lakehouse
-    writer persists per file (envelope tightness vs a linear sort is
-    pinned quantitatively in tests/test_layout.py). At 100 TB the rank
-    pass is the same rangepartitioning exchange o_global_sort pins and
-    the z-key is map-side; files then range-partition on zval."""
-    li = _t(spark, sf_dir, "lineitem")
-    wx = W.orderBy("l_orderkey", "l_partkey", "l_linenumber")
-    wy = W.orderBy("l_partkey", "l_orderkey", "l_linenumber")
-    r = li.select(
+    OPTIMIZE ZORDER BY): each column maps to an 8-bit equi-width domain
+    coordinate from its global min/max (ONE partial+final agg broadcast
+    back — integer math, deterministic, engine-portable; Delta itself
+    uses sampling-based range ids, which are rank-robust under skew but
+    nondeterministic — the trade is documented, and a global-ntile rank
+    form was REJECTED because a total-order window is a single-partition
+    pass at 100 TB), the two coordinates bit-interleave via the
+    magic-number spread cascade (pure BIGINT arithmetic, mirrored
+    textually in DuckDB — full value oracle), and rows group into 64
+    z-ranges. Every z-range has a TIGHT min/max envelope on BOTH columns
+    at once — a plain sort clusters only its leading column, so a
+    predicate on the other dimension prunes nothing. Output: per-z-range
+    populations and their two-dimensional envelopes — the skipping
+    statistics a lakehouse writer persists per file (envelope tightness
+    vs a linear sort pinned quantitatively in tests/test_layout.py).
+    Everything after the stats agg is map-side until the 64-key rollup."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    stats = li.agg(
+        F.min("l_orderkey").alias("ok_lo"),
+        F.max("l_orderkey").alias("ok_hi"),
+        F.min("l_partkey").alias("pk_lo"),
+        F.max("l_partkey").alias("pk_hi"),
+    )
+    # integer `div`, not double `/`+cast: double rounding at an integer
+    # boundary could disagree with DuckDB's exact BIGINT `//`
+    r = li.crossJoin(F.broadcast(stats)).select(
         "l_orderkey",
         "l_partkey",
-        (F.ntile(256).over(wx) - 1).alias("rx"),
-        (F.ntile(256).over(wy) - 1).alias("ry"),
+        F.expr("(l_orderkey - ok_lo) * 256 div (ok_hi - ok_lo + 1)").alias("rx"),
+        F.expr("(l_partkey - pk_lo) * 256 div (pk_hi - pk_lo + 1)").alias("ry"),
     )
     z = r.select(
         "l_orderkey",
