@@ -48,6 +48,8 @@ HEADLINE = [
     "q21_waiting_suppliers",       # TPC-H Q21: EXISTS/NOT-EXISTS stack (new r5)
     "m_funnel_conversion",         # windowed ordered funnel (new r5)
     "sim_semantic_clusters",       # fixed-centroid clustering, flat codegen (new r5)
+    "q5_local_supplier_volume",    # TPC-H Q5: co-location join chain (new r6)
+    "o_zorder_layout",             # Morton clustering + skipping envelopes (new r6)
 ]
 
 N_RUNS = 3

@@ -2053,6 +2053,13 @@ def g_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.lit(_DOULION_THRESH)
         )
     )
+    # id-oriented 3-join, NOT the exact entry's degree orientation —
+    # measured back-to-back at sf0.1 on the p=1/2 sample: id-oriented
+    # 5.3-6.2 s vs degree-oriented 7.1-8.3 s. The co-occurrence graph is
+    # near-regular (order sizes are uniform), so degree ordering cannot
+    # trim wedges beyond the /2 both orientations get, and its degree
+    # aggregate + two attach joins are pure overhead; on a power-law
+    # graph the exact entry's orientation applies to the sample too.
     ab = sampled
     bc = sampled.withColumnsRenamed({"src": "bsrc", "dst": "bdst"})
     ac = sampled.withColumnsRenamed({"src": "asrc", "dst": "adst"})
