@@ -1092,3 +1092,64 @@ def test_concurrent_committer_cannot_clobber_staged_replies(spark, tmp_path):
     assert not os.path.isdir(orphan)
     assert os.path.isdir(target)  # the real batch dir was NOT displaced
     assert removed == 1  # only the orphan
+
+
+def test_stream_stream_interval_join_with_watermarks(spark, tmp_path):
+    """Stream-stream interval join (W-family breadth the reference cannot
+    express — its joins are KTable lookups): clicks join impressions on key
+    within [0, 10 min] of the impression, both sides watermarked so Spark
+    can expire join state. Pins that (a) in-interval pairs emit, (b)
+    out-of-interval pairs never do, and (c) the plan is a real
+    StreamingSymmetricHashJoin with state cleanup, not an unbounded
+    buffer."""
+    import pyspark.sql.functions as F
+
+    imp_src = str(tmp_path / "imps")
+    clk_src = str(tmp_path / "clicks")
+    schema = "ad_id long, ts timestamp"
+    imps = [
+        (1, _ts(0)),
+        (2, _ts(60)),
+        (3, _ts(120)),
+    ]
+    clicks = [
+        (1, _ts(300)),     # 5 min after imp 1 -> joins
+        (2, _ts(60 + 900)),  # 15 min after imp 2 -> outside interval
+        (3, _ts(121)),     # 1 s after imp 3 -> joins
+        (9, _ts(200)),     # no impression -> never emits
+    ]
+    spark.createDataFrame(imps, schema).coalesce(1).write.parquet(imp_src)
+    spark.createDataFrame(clicks, schema).coalesce(1).write.parquet(clk_src)
+
+    imp_s = (
+        spark.readStream.schema(schema).parquet(imp_src)
+        .withColumnsRenamed({"ts": "imp_ts"})
+        .withWatermark("imp_ts", "30 minutes")
+    )
+    clk_s = (
+        spark.readStream.schema(schema).parquet(clk_src)
+        .withColumnsRenamed({"ad_id": "c_ad_id", "ts": "click_ts"})
+        .withWatermark("click_ts", "30 minutes")
+    )
+    joined = imp_s.join(
+        clk_s,
+        (F.col("ad_id") == F.col("c_ad_id"))
+        & (F.col("click_ts") >= F.col("imp_ts"))
+        & (F.col("click_ts") <= F.col("imp_ts") + F.expr("interval 10 minutes")),
+    ).select("ad_id", "imp_ts", "click_ts")
+
+    rows: list = []
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda df, bid: rows.extend(df.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.ad_id for r in rows}
+    assert got == {1, 3}, rows
+    plan = q.lastProgress["stateOperators"]
+    assert plan and plan[0]["operatorName"] == "symmetricHashJoin"
