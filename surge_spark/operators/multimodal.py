@@ -387,29 +387,62 @@ RESIZE_SCHEMA = (
 )
 
 
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Minimal binary-PPM (P6) encoder for an HxWx3 uint8 array — the
+    re-encode half of the real resize path (PPM is the one RGB container
+    writable losslessly with zero codec dependencies)."""
+    h, w = img.shape[0], img.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def _resample_nearest(img: np.ndarray, nw: int, nh: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample via integer index maps —
+    the standard decimation kernel, exactly reproducible anywhere."""
+    h, w = img.shape[0], img.shape[1]
+    ys = (np.arange(nh) * h) // nh
+    xs = (np.arange(nw) * w) // nw
+    return img[ys][:, xs]
+
+
 def resize_images(df: DataFrame, max_side: int, id_col: str = "id") -> DataFrame:
     """Resize every image so its longer side is ``max_side`` (aspect
     preserved, never upscaled) — the standard normalize-before-training
-    step. Same honest split as extract_features: the mapInPandas batch
-    shape, 1:1 row contract, and metadata math are real; the pixel resample
-    is the deterministic fake decoder (no imaging library here), with the
-    payload passed through opaque. A real decoder changes only the body of
-    ``work``."""
+    step, over mapInPandas (no shuffle, 1:1 row contract).
+
+    REAL for every stdlib-decodable payload (BMP 24-bit, PPM P6, PNG 8-bit
+    — see decode_image): true decode → nearest-neighbor resample →
+    lossless P6 re-encode (mime becomes image/x-portable-pixmap, the
+    honest statement that the container changed). Payloads the environment
+    cannot decode fall back to the deterministic fake dimensions with the
+    payload passed through opaque — the pipeline never dies on an exotic
+    format (production routes those through a codec library)."""
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples():
                 payload = bytes(rec.payload)
-                ow, oh, _ = _fake_decode(payload)
-                scale = min(1.0, max_side / max(ow, oh))
+                try:
+                    ow, oh, img = decode_image(payload)
+                    scale = min(1.0, max_side / max(ow, oh))
+                    nw = max(1, int(ow * scale))
+                    nh = max(1, int(oh * scale))
+                    out_payload = encode_ppm(_resample_nearest(img, nw, nh))
+                    mime = "image/x-portable-pixmap"
+                except (NotImplementedError, ValueError):
+                    ow, oh, _ = _fake_decode(payload)
+                    scale = min(1.0, max_side / max(ow, oh))
+                    nw = max(1, int(ow * scale))
+                    nh = max(1, int(oh * scale))
+                    out_payload = payload  # opaque pass-through
+                    mime = rec.mime
                 rows.append(
                     {
                         "id": rec[1],
-                        "mime": rec.mime,
-                        "payload": payload,  # real decoder: resampled bytes
-                        "width": max(1, int(ow * scale)),
-                        "height": max(1, int(oh * scale)),
+                        "mime": mime,
+                        "payload": out_payload,
+                        "width": nw,
+                        "height": nh,
                         "orig_width": ow,
                         "orig_height": oh,
                     }

@@ -363,3 +363,37 @@ def test_png_interlaced_or_palette_stays_gated():
     )
     with pytest.raises(NotImplementedError):
         decode_image(payload)
+
+
+def test_resize_real_roundtrip_known_pixels(spark):
+    """A real decodable payload (PNG) resizes through the true pixel path:
+    output is a P6 PPM whose pixels are the nearest-neighbor decimation of
+    the source, re-decodable by decode_image."""
+    import numpy as np
+    import pandas as pd
+
+    from surge_spark.operators.multimodal import decode_image, resize_images
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[:4, :, 0] = 200  # top half red-ish
+    px[4:, :, 2] = 150  # bottom half blue-ish
+    png = _make_png(8, 8, px, filters=[0, 1, 2, 3, 4, 0, 1, 2])
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "payload": [png], "mime": ["image/png"]})
+    )
+    row = resize_images(df, max_side=4).collect()[0]
+    assert (row.width, row.height) == (4, 4)
+    assert (row.orig_width, row.orig_height) == (8, 8)
+    assert row.mime == "image/x-portable-pixmap"
+    w, h, out = decode_image(bytes(row.payload))
+    assert (w, h) == (4, 4)
+    # nearest-neighbor of the half-split image keeps the halves
+    assert (out[:2, :, 0] == 200).all() and (out[2:, :, 2] == 150).all()
+    # undecodable payload still passes through with fake dims
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 20
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"id": [2], "payload": [jpeg_ish], "mime": ["image/jpeg"]})
+    )
+    row2 = resize_images(df2, max_side=4).collect()[0]
+    assert bytes(row2.payload) == jpeg_ish
+    assert row2.mime == "image/jpeg"
