@@ -1989,6 +1989,92 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("pos") <= 20)
 
 
+_LPA_ITER = """
+      SELECT v AS node, label FROM (
+        SELECT c.v, c.label,
+               row_number() OVER (
+                 PARTITION BY c.v ORDER BY c.cnt DESC, c.label
+               ) AS rn
+        FROM (
+          SELECT s.src AS v, p.label, count(*) AS cnt
+          FROM sym s JOIN {prev} p ON s.dst = p.node
+          GROUP BY s.src, p.label
+        ) c
+      ) WHERE rn = 1
+"""
+
+
+@query(
+    "g_label_propagation",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+    l1 AS ({_LPA_ITER.format(prev="l0")}),
+    l2 AS ({_LPA_ITER.format(prev="l1")}),
+    sizes AS (SELECT label AS community, count(*) AS n_members FROM l2 GROUP BY label)
+    SELECT community, n_members, pos FROM (
+      SELECT community, n_members,
+             CAST(row_number() OVER (
+               ORDER BY n_members DESC, community
+             ) AS INT) AS pos
+      FROM sizes
+    ) WHERE pos <= 20
+    """,
+)
+def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the part
+    co-occurrence graph — community detection beside PageRank/triangles/
+    connected components, 2 unrolled iterations with a FULL oracle (the
+    g_pagerank_parts UNROLLED-CTE trick — fixed iteration count makes the
+    iterative algorithm declarative). Labels start as node ids; each step
+    every node adopts the MODE of its neighbors' labels, ties broken by
+    the smallest label — fully deterministic, so both engines converge
+    identically (async/randomized LPA variants are not portable). The
+    argmax is one max_by(struct(cnt, -label)) aggregate per iteration —
+    never a window sort over the neighbor stream. Per iteration: one join
+    on node + one partial+final aggregate — 2 shuffles, the same budget
+    as a pagerank step; label skew (a community going viral) is
+    AQE-skew-split like any hot aggregate key. Output: top-20 communities
+    by size."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnsRenamed({"l_partkey": "src"})
+    b = li.withColumnsRenamed({"l_partkey": "dst"})
+    e0 = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(2):
+        nbr = sym.join(labels, sym.dst == labels.node).select(
+            F.col("src").alias("v"), "label"
+        )
+        counts = nbr.groupBy("v", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = counts.groupBy("v").agg(
+            F.max_by(
+                F.col("label"), F.struct(F.col("cnt"), (-F.col("label")))
+            ).alias("label")
+        ).withColumnsRenamed({"v": "node"})
+    sizes = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return sizes.withColumn(
+        "pos",
+        F.row_number().over(W.orderBy(F.desc("n_members"), F.asc("community"))),
+    ).where(F.col("pos") <= 20)
+
+
 # DOULION sampling probability p=1/2 as an integer threshold on the first
 # 8 md5 hex chars (uint32 space): keep iff value < p·2^32. Integer compare,
 # no float rounding to drift between engines; estimate scale = 1/p³ = 8.
