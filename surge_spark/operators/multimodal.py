@@ -185,7 +185,9 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         data = payload[pos + 8 : pos + 8 + length]
         pos += 12 + length  # len + type + data + crc
         if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
+            if len(data) < 13:
+                raise ValueError("truncated PNG IHDR")
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -199,7 +201,12 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             "palette/16-bit/Adam7 need a codec library"
         )
     ch = {0: 1, 2: 3, 6: 4}[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # corrupt IDAT must surface as ValueError so the extract/resize
+        # fallback catches it — one bad file must not kill the Spark task
+        raise ValueError(f"corrupt PNG datastream: {e}") from e
     px = _png_reconstruct(raw, w, h, ch).reshape(h, w, ch)
     if ch == 1:
         img = np.repeat(px, 3, axis=2)

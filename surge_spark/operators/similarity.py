@@ -422,25 +422,42 @@ def embedding_neardup_pairs(
     pair count, sub-blocked (not dropped) hot block, ~1/splits survival —
     is pinned on constructed skew in tests/test_similarity.py."""
     u = with_unit_vector(df, vec_col)
-    block = F.col(block_col)
     if max_block:
         sizes = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("__bs"))
         splits = F.ceil(F.col("__bs") / F.lit(max_block)).cast("long")
         u = u.join(F.broadcast(sizes.select(block_col, splits.alias("__ns"))), block_col)
         sub = F.pmod(F.crc32(F.col(id_col).cast("string").cast("binary")), F.col("__ns"))
-        block = F.concat_ws("#", F.col(block_col).cast("string"), sub.cast("string"))
-    a = u.select(
-        block.alias("block"),
-        F.col(id_col).alias("id_a"),
-        F.col("unit").alias("ua"),
-    )
-    b = u.select(
-        block.alias("block"),
-        F.col(id_col).alias("id_b"),
-        F.col("unit").alias("ub"),
-    )
-    pairs = (
-        a.join(b, "block")
+        # join key = (original block, sub-block); the ORIGINAL column rides
+        # along untouched so the output keeps its exact value and dtype
+        # (string-encoding the pair would corrupt keys containing the
+        # separator and silently stringify integer blocks)
+        join_keys = ["block", "__sub"]
+        a = u.select(
+            F.col(block_col).alias("block"),
+            sub.alias("__sub"),
+            F.col(id_col).alias("id_a"),
+            F.col("unit").alias("ua"),
+        )
+        b = u.select(
+            F.col(block_col).alias("block"),
+            sub.alias("__sub"),
+            F.col(id_col).alias("id_b"),
+            F.col("unit").alias("ub"),
+        )
+    else:
+        join_keys = ["block"]
+        a = u.select(
+            F.col(block_col).alias("block"),
+            F.col(id_col).alias("id_a"),
+            F.col("unit").alias("ua"),
+        )
+        b = u.select(
+            F.col(block_col).alias("block"),
+            F.col(id_col).alias("id_b"),
+            F.col("unit").alias("ub"),
+        )
+    return (
+        a.join(b, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "block",
@@ -450,13 +467,6 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
-    if max_block:
-        # report the ORIGINAL block key: the sub-block suffix is an
-        # execution detail, not an output contract
-        pairs = pairs.withColumn(
-            "block", F.split(F.col("block"), "#").getItem(0)
-        )
-    return pairs
 
 
 def semantic_clusters(

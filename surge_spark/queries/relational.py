@@ -868,9 +868,7 @@ def o_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics a lakehouse writer persists per file (envelope tightness
     vs a linear sort pinned quantitatively in tests/test_layout.py).
     Everything after the stats agg is map-side until the 64-key rollup."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_linenumber"
-    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     stats = li.agg(
         F.min("l_orderkey").alias("ok_lo"),
         F.max("l_orderkey").alias("ok_hi"),

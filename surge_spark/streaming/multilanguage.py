@@ -233,6 +233,11 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
 
 def _recv_frame(sock: socket.socket) -> tuple[int, bytes]:
     (n,) = struct.unpack(">I", _recv_exact(sock, 4))
+    if n < 1:
+        # a frame without even the method/status byte is a protocol
+        # violation (port scanner, broken peer) — treat as a closed
+        # connection rather than crashing the handler thread
+        raise EOFError("zero-length frame")
     body = _recv_exact(sock, n)
     return body[0], body[1:]
 

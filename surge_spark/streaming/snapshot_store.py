@@ -313,15 +313,21 @@ class SnapshotStore:
                     self._dir_frames.pop(k, None)
         return df
 
-    @staticmethod
-    def _delta_version(path: str) -> int:
+    # anchored to the version dir + delta dirname: an unanchored v\d{12}-
+    # would first-match a store ROOT component that happens to look like
+    # one (e.g. /data/v202608141201-prod/store) and collapse every delta
+    # to the same ordinal — latest-wins would then pick arbitrarily
+    _DELTA_V_RE = r"v(\d{12})-[0-9a-f]{8}/state-delta"
+
+    @classmethod
+    def _delta_version(cls, path: str) -> int:
         """Commit version embedded in a delta dir's version-directory name
         — the latest-wins ordinal (strictly increasing with commit order,
         always > the base's -1, always < the committing version)."""
         import re
 
-        m = re.search(r"v(\d{12})-", path)
-        return int(m.group(1)) if m else 0
+        ms = re.findall(cls._DELTA_V_RE, path.replace("\\", "/"))
+        return int(ms[-1]) if ms else 0
 
     def _deltas_scan(
         self, spark: SparkSession, entries: list[dict], bucket: str | None = None
@@ -369,7 +375,9 @@ class SnapshotStore:
             )
             return df.select(*[f.name for f in st.fields], "__deleted").withColumn(
                 "__v",
-                F.regexp_extract(F.input_file_name(), r"v(\d{12})-", 1).cast("long"),
+                F.regexp_extract(
+                    F.input_file_name(), self._DELTA_V_RE, 1
+                ).cast("long"),
             )
         import functools
 
@@ -541,21 +549,34 @@ class SnapshotStore:
         # manifest below still publishes only after every write returned, so
         # commit atomicity is unchanged (a failure leaves an orphaned
         # staging dir for vacuum, exactly as in the serial form).
+        # events/records ride an Observation so their row count falls out
+        # of the write job itself (no extra job): an empty side's dir is
+        # dropped after the write and its manifest entry nulled — without
+        # this, an engine that commits sides unconditionally (the
+        # merge-on-read path skips its pre-commit stats job) would leave
+        # one empty events dir per version for read_events to list forever.
+        from pyspark.sql import Observation
+
         side_writes = []
         pool = ThreadPoolExecutor(max_workers=3)
         n_events = 0
+        ev_obs = rec_obs = None
         if events is not None:
+            ev_obs = Observation()
+            ev_df = events.observe(ev_obs, F.count(F.lit(1)).alias("n"))
             side_writes.append(
-                pool.submit(events.write.mode("overwrite").parquet, events_path)
+                pool.submit(ev_df.write.mode("overwrite").parquet, events_path)
             )
-            n_events = -1  # counted lazily by readers; avoid an extra job
+            n_events = -1  # replaced by the observed count below
         if replies is not None:
             side_writes.append(
                 pool.submit(replies.write.mode("overwrite").parquet, replies_path)
             )
         if records is not None:
+            rec_obs = Observation()
+            rec_df = records.observe(rec_obs, F.count(F.lit(1)).alias("n"))
             side_writes.append(
-                pool.submit(records.write.mode("overwrite").parquet, records_path)
+                pool.submit(rec_df.write.mode("overwrite").parquet, records_path)
             )
 
         spark = state_updates.sparkSession
@@ -775,6 +796,17 @@ class SnapshotStore:
                     w.result()  # surface any side-write failure BEFORE the manifest
         finally:
             pool.shutdown(wait=True)
+
+        import shutil as _shutil
+
+        if ev_obs is not None:
+            n_events = int(ev_obs.get["n"])
+            if n_events == 0:
+                _shutil.rmtree(events_path, ignore_errors=True)
+                events = None
+        if rec_obs is not None and int(rec_obs.get["n"]) == 0:
+            _shutil.rmtree(records_path, ignore_errors=True)
+            records = None
 
         if delta_write:
             new_buckets = dict(prev_buckets)  # base untouched by an append

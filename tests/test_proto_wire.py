@@ -77,6 +77,22 @@ def test_handle_events_and_health_golden():
     assert pw.decode_health_check_reply(b"\x0a\x01s\x10\x01") == ("s", 1)
 
 
+def test_get_state_request_reply_golden():
+    """The gateway-service GetState pair (proto:62-68) — in-process today
+    (MultilanguageGateway), but the codec ships the full proto surface."""
+    assert pw.encode_get_state_request("a1") == b"\x0a\x02a1"
+    assert pw.decode_get_state_request(b"\x0a\x02a1") == "a1"
+    state = pw.encode_kv("a1", b"\x07")
+    buf = pw.encode_get_state_reply("a1", state)
+    assert buf == b"\x0a\x02a1" + b"\x12\x07" + state
+    assert pw.decode_get_state_reply(buf) == ("a1", state)
+    # absent state (key never written): field 2 omitted entirely
+    assert pw.decode_get_state_reply(pw.encode_get_state_reply("a1", None)) == (
+        "a1",
+        None,
+    )
+
+
 def test_unknown_fields_skipped():
     """A newer peer adding fields must not break this decoder (proto3
     forward compatibility): unknown varint and length-delimited fields are
