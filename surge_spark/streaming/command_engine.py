@@ -94,6 +94,7 @@ class CommandEngine:
         context_mode: bool = False,
         commit_target_files: int = 1,
         fold_partitions: int | None = None,
+        prune_state_read: bool = False,
     ) -> None:
         """Handler models supported (CommandModels.scala:12-74):
 
@@ -122,7 +123,16 @@ class CommandEngine:
         fold's clustered-distribution requirement, so the groupBy adds no
         second exchange. Commands per trigger ÷ fold_partitions should be
         a comfortable Arrow batch; leave None for backfill-sized batches
-        where the session default is right."""
+        where the session default is right.
+
+        ``prune_state_read``: spend ONE tiny job per batch (distinct
+        bucket ids of the batch's command keys) to read only those
+        buckets of the snapshot into the fold join, instead of the whole
+        table. Off by default — at local/test scale the extra job costs
+        more than the full read; at a 100 TB snapshot with command-sized
+        batches it is the only viable shape (the join input drops from
+        O(snapshot) to O(touched buckets)). Same crc32 bucketing on both
+        sides, so no key can be missed (pinned by test)."""
         self.store = store
         self.process_command = process_command
         self.handle_event = handle_event
@@ -137,6 +147,7 @@ class CommandEngine:
         if fold_partitions is not None and fold_partitions < 1:
             raise ValueError(f"fold_partitions must be >= 1, got {fold_partitions}")
         self.fold_partitions = fold_partitions
+        self.prune_state_read = prune_state_read
         # cache of the current batch's fold output; see process_batch
         self._prev_packed: DataFrame | None = None
 
@@ -308,7 +319,24 @@ class CommandEngine:
                 return None
         spark = commands.sparkSession
         with phase("pb.read_state"):
-            snapshot = self.store.read_state(spark)
+            if self.prune_state_read:
+                nb = self.store.num_buckets()
+                bucket_ids = {
+                    str(r[0])
+                    for r in commands.select(
+                        F.pmod(
+                            F.crc32(
+                                commands[self.key_col].cast("string").cast("binary")
+                            ),
+                            F.lit(nb),
+                        ).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                }
+                snapshot = self.store.read_state_buckets(spark, bucket_ids)
+            else:
+                snapshot = self.store.read_state(spark)
         state_fields: list[str] = []
         if snapshot is not None:
             # Actor init (§3.1.5) as a distributed left join: each command

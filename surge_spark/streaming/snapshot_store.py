@@ -883,6 +883,57 @@ class SnapshotStore:
             return m["state_buckets"]
         return {"__legacy__": m["state"]} if m.get("state") else {}
 
+    def read_state_buckets(
+        self, spark: SparkSession, buckets: set[str] | list[str]
+    ) -> DataFrame | None:
+        """Latest snapshot restricted to the given bucket ids — the
+        bucket-pruned read a command engine uses when the batch's key set
+        is known: at a 100 TB snapshot, joining commands against
+        ``read_state()`` scans every bucket, while the batch's keys hash
+        into a handful — this reads ONLY those base dirs (plus the flat
+        deltas, which are micro-batch-sized). Rows outside the buckets
+        are irrelevant to the join by construction (same crc32 both
+        sides). Not memoized: the bucket set varies per batch."""
+        v = self.latest_version()
+        if v is None:
+            return None
+        m = self._manifest(v)
+        if "state_buckets" not in m:
+            return self.read_state(spark)  # legacy layout: no pruning possible
+        schema = T.StructType.fromJson(json.loads(m["state_schema"]))
+        wanted = {str(b) for b in buckets}
+        if m.get("state_deltas"):
+            parts = []
+            base_paths = [
+                p for b, p in self._state_paths(m).items() if b in wanted
+            ]
+            if base_paths:
+                parts.append(
+                    spark.read.schema(schema)
+                    .parquet(*base_paths)
+                    .withColumn("__deleted", F.lit(False))
+                    .withColumn("__v", F.lit(-1).cast("long"))
+                )
+            d = self._deltas_scan(spark, m["state_deltas"])
+            if d is not None:
+                parts.append(d)
+            if not parts:
+                return spark.createDataFrame([], schema)
+            cols = [f.name for f in schema.fields]
+            agg = self._latest_wins(parts, self.key_col, cols)
+            return agg.where(~F.col("__r.__deleted")).select(
+                *[
+                    F.col(self.key_col)
+                    if c == self.key_col
+                    else F.col(f"__r.{c}").alias(c)
+                    for c in cols
+                ]
+            )
+        paths = [p for b, p in self._state_paths(m).items() if b in wanted]
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)
+
     def read_state(
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame | None:

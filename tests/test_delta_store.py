@@ -163,3 +163,51 @@ def test_delta_manifest_schema_recorded_per_delta(spark, tmp_path):
     entry = store._manifest(1)["state_deltas"][0]
     fields = {f["name"] for f in json.loads(entry["schema"])["fields"]}
     assert fields == {"k", "n"}
+
+
+def test_pruned_state_read_matches_full_and_prunes(spark, tmp_path):
+    """prune_state_read: the engine's bucket-pruned fold join produces the
+    SAME states as the full-snapshot join (same crc32 both sides — no key
+    can be missed), and read_state_buckets actually reads only the
+    requested base buckets."""
+    from surge_spark.streaming.command_engine import CommandEngine
+
+    def process(state, cmd):
+        return ([{"k": cmd["k"]}], False)
+
+    def handle(state, ev):
+        return {"k": ev["k"], "n": (state["n"] if state else 0) + 1}
+
+    def build(path, prune):
+        store = SnapshotStore(path, key_col="k", num_buckets=8, delta_commits=4)
+        return store, CommandEngine(
+            store, process, handle, "k string, n long", "k string",
+            key_col="k", order_cols=["command_id"], fold_partitions=2,
+            prune_state_read=prune,
+        )
+
+    cmds = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k string, command_id string"
+    )
+    batches = [
+        [(f"k{i}", f"c{i}") for i in range(12)],
+        [(f"k{i}", f"d{i}") for i in range(0, 12, 2)],
+        [(f"k{i}", f"e{i}") for i in range(0, 12, 3)],
+    ]
+    store_a, eng_a = build(str(tmp_path / "full"), prune=False)
+    store_b, eng_b = build(str(tmp_path / "pruned"), prune=True)
+    for j, rows in enumerate(batches):
+        eng_a.process_batch(cmds(rows), f"b{j}")
+        eng_b.process_batch(cmds(rows), f"b{j}")
+    full = {r.k: r.n for r in store_a.read_state(spark).collect()}
+    pruned = {r.k: r.n for r in store_b.read_state(spark).collect()}
+    assert full == pruned
+    assert full["k0"] == 3 and full["k1"] == 1
+
+    # the pruned read touches only the requested base buckets
+    one = str(store_b._bucket_of("k0", 8))
+    frame = store_b.read_state_buckets(spark, {one})
+    m = store_b._manifest(store_b.latest_version())
+    other_bases = [p for b, p in m["state_buckets"].items() if b != one]
+    for f in frame.inputFiles():
+        assert not any(ob in f for ob in other_bases), f
