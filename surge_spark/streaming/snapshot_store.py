@@ -785,7 +785,19 @@ class SnapshotStore:
                         # layout. Backfill-sized batches should use COW
                         # commits (delta_commits=None), where bucket
                         # pruning pays.
-                        delta_df.write.mode("overwrite").parquet(delta_path)
+                        # same Observation treatment as events/records: an
+                        # all-rejected / no-state-change batch must not
+                        # append an empty delta dir for every future read
+                        # to list (no-change-no-write, PersistentActor:212)
+                        delta_obs = Observation()
+                        delta_df.observe(
+                            delta_obs, F.count(F.lit(1)).alias("n")
+                        ).write.mode("overwrite").parquet(delta_path)
+                        if int(delta_obs.get["n"]) == 0:
+                            import shutil as _sh
+
+                            _sh.rmtree(delta_path, ignore_errors=True)
+                            delta_df = None
                 else:
                     bucketed = content.withColumn(_BUCKET_COL, self._bucket_expr(nb))
                     bucketed.repartition(F.col(_BUCKET_COL)).write.partitionBy(

@@ -211,3 +211,21 @@ def test_pruned_state_read_matches_full_and_prunes(spark, tmp_path):
     other_bases = [p for b, p in m["state_buckets"].items() if b != one]
     for f in frame.inputFiles():
         assert not any(ob in f for ob in other_bases), f
+
+
+def test_empty_state_delta_not_appended(spark, tmp_path):
+    """No-change-no-write under merge-on-read: a commit whose state-update
+    frame is empty (all commands rejected / state unchanged) must not
+    append an empty delta dir to the manifest chain."""
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=8
+    )
+    store.commit(None, _upd(spark, [("a", 1)]), "b0", updates_unique=True)
+    store.commit(None, _upd(spark, [("b", 2)]), "b1", updates_unique=True)
+    n_before = len(store._manifest(1)["state_deltas"])
+    replies = spark.createDataFrame([("c1", "rejected")], "command_id string, status string")
+    store.commit(None, _upd(spark, []).limit(0), "b2", replies=replies, updates_unique=True)
+    m2 = store._manifest(2)
+    assert len(m2.get("state_deltas", [])) == n_before  # no empty delta
+    assert m2["replies"]  # the ack side still committed
+    assert _state(spark, store) == {"a": 1, "b": 2}
