@@ -1244,4 +1244,34 @@ class SnapshotStore:
                     reclaimed = True
             if reclaimed:
                 removed.append(v)
+
+        # orphaned version dirs: a fenced committer (lost the manifest
+        # race) or a pre-manifest crash leaves its whole writer-unique
+        # vNNN-token directory with NO manifest pointing into it — the
+        # commit docstring promises vacuum reclaims these. Safe iff a
+        # manifest for that version EXISTS (someone else won / the chain
+        # moved past it) and no manifest of ANY version references a path
+        # under it (events/replies/records/state/deltas are all rooted in
+        # version dirs, and old manifests stay forever).
+        import re
+
+        latest = versions[-1] if versions else -1
+        all_refs: set[str] = set()
+        for v in versions:
+            m = self._manifest(v)
+            all_refs.update(state_dirs(m))
+            for k in ("events", "replies", "replies_staging", "records"):
+                if m.get(k):
+                    all_refs.add(m[k])
+        for d in os.listdir(self.path):
+            mt = re.fullmatch(r"v(\d{12})-[0-9a-f]{8}", d)
+            if not mt or int(mt.group(1)) > latest:
+                continue
+            full = os.path.join(self.path, d)
+            if not os.path.isdir(full):
+                continue
+            prefix = full.rstrip("/") + "/"
+            if any(r == full or r.startswith(prefix) for r in all_refs):
+                continue
+            shutil.rmtree(full, ignore_errors=True)
         return removed

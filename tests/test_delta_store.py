@@ -229,3 +229,44 @@ def test_empty_state_delta_not_appended(spark, tmp_path):
     assert len(m2.get("state_deltas", [])) == n_before  # no empty delta
     assert m2["replies"]  # the ack side still committed
     assert _state(spark, store) == {"a": 1, "b": 2}
+
+
+def test_vacuum_reclaims_fenced_orphan_version_dirs(spark, tmp_path):
+    """A fenced committer's writer-unique version dir (data written, no
+    manifest linked) is reclaimed by vacuum once the version chain passed
+    it — while every manifest-referenced dir survives."""
+    import os
+
+    import pytest as _pytest
+
+    path = str(tmp_path / "s")
+    a = SnapshotStore(path, key_col="k", num_buckets=4, delta_commits=4)
+    b = SnapshotStore(path, key_col="k", num_buckets=4, delta_commits=4)
+    a.commit(None, _upd(spark, [("x", 1)]), "b0", updates_unique=True)
+    # loser: b freezes its view at v0 and races a's v1 — a wins
+    a.commit(None, _upd(spark, [("y", 2)]), "b1", updates_unique=True)
+    b.latest_version = lambda: 0
+    with _pytest.raises(RuntimeError, match="fenced"):
+        b.commit(None, _upd(spark, [("z", 9)]), "b-lost", updates_unique=True)
+    orphans = [
+        d for d in os.listdir(path)
+        if d.startswith("v000000000001-")
+        and os.path.join(path, d) not in {
+            os.path.dirname(os.path.dirname(p))
+            for p in a._manifest(1)["state_buckets"].values()
+        }
+    ]
+    # winner's v1 dir may or may not exist (delta commit) — find dirs not
+    # referenced by ANY manifest
+    fresh = SnapshotStore(path, key_col="k", num_buckets=4, delta_commits=4)
+    before = set(os.listdir(path))
+    fresh.vacuum(keep_last=10)
+    after = set(os.listdir(path))
+    reclaimed = before - after
+    assert any(d.startswith("v000000000001-") for d in reclaimed), (
+        before,
+        after,
+        orphans,
+    )
+    # reads fully intact
+    assert _state(spark, fresh) == {"x": 1, "y": 2}
