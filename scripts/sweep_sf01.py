@@ -23,3 +23,4 @@ for k, v in sorted(times.items(), key=lambda kv: -kv[1])[:15]:
     print(f"SLOW {k}: {v}")
 for k, v in errors.items():
     print(f"ERR {k}: {v}")
+sys.exit(1 if errors else 0)

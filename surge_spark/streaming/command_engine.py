@@ -324,11 +324,8 @@ class CommandEngine:
                 bucket_ids = {
                     str(r[0])
                     for r in commands.select(
-                        F.pmod(
-                            F.crc32(
-                                commands[self.key_col].cast("string").cast("binary")
-                            ),
-                            F.lit(nb),
+                        self.store._bucket_expr(
+                            nb, commands[self.key_col]
                         ).alias("b")
                     )
                     .distinct()
@@ -447,14 +444,9 @@ class CommandEngine:
             nb = self.store.num_buckets()
             bucket = F.when(
                 F.col("kind").isin("state", "tombstone"),
-                F.pmod(
-                    F.crc32(
-                        F.get_json_object("payload", f"$.{state_key_col}")
-                        .cast("string")
-                        .cast("binary")
-                    ),
-                    F.lit(nb),
-                ).cast("int"),
+                self.store._bucket_expr(
+                    nb, F.get_json_object("payload", f"$.{state_key_col}")
+                ),
             )
             with phase("pb.stats_job"):
                 stats = (

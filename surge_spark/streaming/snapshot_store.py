@@ -272,11 +272,16 @@ class SnapshotStore:
         v = self.latest_version()
         return self._num_buckets(self._manifest(v) if v is not None else None)
 
-    def _bucket_expr(self, nb: int) -> F.Column:
-        """JVM-side bucket id; mirrored driver-side by _bucket_of."""
-        return F.pmod(
-            F.crc32(F.col(self.key_col).cast("string").cast("binary")), F.lit(nb)
-        ).cast("int")
+    def _bucket_expr(self, nb: int, col: F.Column | None = None) -> F.Column:
+        """JVM-side bucket id; mirrored driver-side by _bucket_of. ``col``
+        lets callers hash a key expression other than this frame's key
+        column (the engine's prune/stats jobs) — ONE formula, so the
+        'bucket set MUST be exact' contract can never drift between
+        copies."""
+        c = F.col(self.key_col) if col is None else col
+        return F.pmod(F.crc32(c.cast("string").cast("binary")), F.lit(nb)).cast(
+            "int"
+        )
 
     @staticmethod
     def _bucket_of(key: str, nb: int) -> int:
@@ -413,19 +418,29 @@ class SnapshotStore:
         )
 
     def _merged_state_frame(
-        self, spark: SparkSession, m: dict, bucket: str | None = None
+        self,
+        spark: SparkSession,
+        m: dict,
+        bucket: str | None = None,
+        buckets: set[str] | None = None,
     ) -> DataFrame | None:
-        """Latest-wins view over base buckets + deltas of one manifest
-        (optionally restricted to a single bucket for point reads). None if
-        neither base nor any delta covers the requested scope."""
+        """Latest-wins view over base buckets + deltas of one manifest —
+        optionally restricted to a single ``bucket`` (point reads) or a
+        ``buckets`` set (the engine's pruned fold join). The restriction
+        prunes the BASE scan; flat deltas are micro-batch-sized and always
+        scanned whole (their memoized scan frame is therefore shared
+        across restrictions AND versions), so rows outside the requested
+        buckets may appear — callers filter by key. None if neither base
+        nor any delta covers the requested scope."""
         schema = T.StructType.fromJson(json.loads(m["state_schema"]))
         cols = [f.name for f in schema.fields]
         buckets_map = self._state_paths(m)
-        base_paths = (
-            list(buckets_map.values())
-            if bucket is None
-            else ([buckets_map[bucket]] if bucket in buckets_map else [])
-        )
+        if bucket is not None:
+            base_paths = [buckets_map[bucket]] if bucket in buckets_map else []
+        elif buckets is not None:
+            base_paths = [p for b, p in buckets_map.items() if b in buckets]
+        else:
+            base_paths = list(buckets_map.values())
         parts: list[DataFrame] = []
         if base_paths:
             base_key = (id(spark), tuple(sorted(base_paths)), m["state_schema"])
@@ -903,9 +918,11 @@ class SnapshotStore:
         is known: at a 100 TB snapshot, joining commands against
         ``read_state()`` scans every bucket, while the batch's keys hash
         into a handful — this reads ONLY those base dirs (plus the flat
-        deltas, which are micro-batch-sized). Rows outside the buckets
-        are irrelevant to the join by construction (same crc32 both
-        sides). Not memoized: the bucket set varies per batch."""
+        deltas, which are micro-batch-sized and whose memoized scan frame
+        is shared with full reads across versions). Rows outside the
+        buckets may appear via the deltas — irrelevant to the fold join,
+        which matches on the key (same crc32 both sides, so no key can be
+        missed)."""
         v = self.latest_version()
         if v is None:
             return None
@@ -915,32 +932,8 @@ class SnapshotStore:
         schema = T.StructType.fromJson(json.loads(m["state_schema"]))
         wanted = {str(b) for b in buckets}
         if m.get("state_deltas"):
-            parts = []
-            base_paths = [
-                p for b, p in self._state_paths(m).items() if b in wanted
-            ]
-            if base_paths:
-                parts.append(
-                    spark.read.schema(schema)
-                    .parquet(*base_paths)
-                    .withColumn("__deleted", F.lit(False))
-                    .withColumn("__v", F.lit(-1).cast("long"))
-                )
-            d = self._deltas_scan(spark, m["state_deltas"])
-            if d is not None:
-                parts.append(d)
-            if not parts:
-                return spark.createDataFrame([], schema)
-            cols = [f.name for f in schema.fields]
-            agg = self._latest_wins(parts, self.key_col, cols)
-            return agg.where(~F.col("__r.__deleted")).select(
-                *[
-                    F.col(self.key_col)
-                    if c == self.key_col
-                    else F.col(f"__r.{c}").alias(c)
-                    for c in cols
-                ]
-            )
+            df = self._merged_state_frame(spark, m, buckets=wanted)
+            return df if df is not None else spark.createDataFrame([], schema)
         paths = [p for b, p in self._state_paths(m).items() if b in wanted]
         if not paths:
             return spark.createDataFrame([], schema)
@@ -1217,7 +1210,10 @@ class SnapshotStore:
         kept manifest is NOT removed. Event files are never removed — the
         event log is the source of truth for replay; manifests stay so the
         version history and batch-id dedup set remain intact. Returns the
-        versions whose state data was (partially or fully) reclaimed."""
+        versions whose state data was (partially or fully) reclaimed —
+        orphaned writer-unique dirs swept by the fenced-committer pass
+        have no version in the chain and are NOT included in the return
+        value."""
         import shutil
 
         versions = self.committed_versions()
@@ -1256,18 +1252,23 @@ class SnapshotStore:
         import re
 
         latest = versions[-1] if versions else -1
+        # realpath-normalize BOTH sides before comparing: manifests record
+        # paths as the WRITER spelled self.path (relative, symlinked, …) —
+        # a maintenance process reaching the same store via a different
+        # spelling must never conclude a live dir is unreferenced
         all_refs: set[str] = set()
         for v in versions:
             m = self._manifest(v)
-            all_refs.update(state_dirs(m))
+            for r in state_dirs(m):
+                all_refs.add(os.path.realpath(r))
             for k in ("events", "replies", "replies_staging", "records"):
                 if m.get(k):
-                    all_refs.add(m[k])
+                    all_refs.add(os.path.realpath(m[k]))
         for d in os.listdir(self.path):
             mt = re.fullmatch(r"v(\d{12})-[0-9a-f]{8}", d)
             if not mt or int(mt.group(1)) > latest:
                 continue
-            full = os.path.join(self.path, d)
+            full = os.path.realpath(os.path.join(self.path, d))
             if not os.path.isdir(full):
                 continue
             prefix = full.rstrip("/") + "/"
