@@ -516,6 +516,25 @@ class CommandEngine:
                     updates_unique=True,  # fold emits at most one state row/key
                     replies_dir=replies_dir,
                 )
+            if not self.prune_state_read:
+                # prewarm the NEXT batch's snapshot frame off the critical
+                # path: read_state's plan build (listing + analysis,
+                # ~0.1-0.3 s) is pure driver-side work against the version
+                # just committed — a daemon thread populates the store's
+                # per-version frame memo so the next trigger's
+                # pb.read_state is a dict hit. Skipped under
+                # prune_state_read (its frame depends on the next batch's
+                # keys). Failures are harmless: the next batch would just
+                # build the frame itself.
+                import threading
+
+                def _prewarm() -> None:
+                    try:
+                        self.store.read_state(spark)
+                    except Exception:  # noqa: BLE001 — best-effort warm
+                        pass
+
+                threading.Thread(target=_prewarm, daemon=True).start()
         elif (
             counts.get("state")
             or counts.get("event")
