@@ -66,6 +66,11 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("only uncompressed 24-bit BMP is stdlib-decodable")
     bottom_up = h > 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        # malformed-but-parseable header: dims must be positive or the
+        # resize path divides by max(ow, oh)=0 — route through the
+        # fake-decode fallback instead of killing the Spark task
+        raise ValueError("BMP declares non-positive dimensions")
     row_size = (w * 3 + 3) & ~3
     if pixel_off + row_size * h > len(payload):
         raise ValueError("truncated BMP pixel data")
@@ -97,6 +102,8 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
         tokens.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval, then raw data
     w, h, maxval = tokens
+    if w <= 0 or h <= 0:
+        raise ValueError("PPM declares non-positive dimensions")
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
     need = w * h * 3
@@ -195,6 +202,8 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if w == 0 or h == 0:
+        raise ValueError("PNG declares zero dimensions")
     if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
         raise NotImplementedError(
             "stdlib PNG path covers 8-bit non-interlaced greyscale/RGB/RGBA; "

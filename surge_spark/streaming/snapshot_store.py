@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 import zlib
@@ -158,6 +159,18 @@ class SnapshotStore:
         # newest delta dir are identical, so only the ONE new delta dir
         # needs a fresh listing per version (steady micro-batch case)
         self._dir_frames: dict[tuple, tuple[SparkSession, DataFrame]] = {}
+        # the engine's prewarm daemon calls read_state concurrently with the
+        # streaming thread's next trigger: this lock makes the frame-memo
+        # check/build/insert/evict sequence atomic (no reliance on GIL dict
+        # atomicity) and dedupes concurrent builds of the same key — the
+        # second thread blocks briefly and then hits the memo, which is
+        # exactly the prewarm's purpose. RLock: read_state →
+        # _merged_state_frame → _memo_dir_frame nests.
+        self._memo_lock = threading.RLock()
+        # pyarrow dataset memo for driver-side point reads: version dirs are
+        # immutable once a manifest references them, so the file listing +
+        # footer metadata a dataset caches stays valid for the dir's life
+        self._arrow_dsets: dict[str, object] = {}
 
     # -- commit protocol ----------------------------------------------------
 
@@ -307,22 +320,29 @@ class SnapshotStore:
     def _memo_dir_frame(self, spark: SparkSession, key: tuple, build) -> DataFrame | None:
         """Session-keyed memo of raw directory frames (immutable dirs);
         bounded so a long-lived engine doesn't accumulate plan objects."""
-        cached = self._dir_frames.get(key)
-        if cached is not None and cached[0] is spark:
-            return cached[1]
-        df = build()
-        if df is not None:
-            self._dir_frames[key] = (spark, df)
-            if len(self._dir_frames) > 64:
-                for k in list(self._dir_frames)[:-64]:
-                    self._dir_frames.pop(k, None)
-        return df
+        with self._memo_lock:
+            cached = self._dir_frames.get(key)
+            if cached is not None and cached[0] is spark:
+                return cached[1]
+            df = build()
+            if df is not None:
+                self._dir_frames[key] = (spark, df)
+                if len(self._dir_frames) > 64:
+                    for k in list(self._dir_frames)[:-64]:
+                        self._dir_frames.pop(k, None)
+            return df
 
     # anchored to the version dir + delta dirname: an unanchored v\d{12}-
     # would first-match a store ROOT component that happens to look like
     # one (e.g. /data/v202608141201-prod/store) and collapse every delta
     # to the same ordinal — latest-wins would then pick arbitrarily
     _DELTA_V_RE = r"v(\d{12})-[0-9a-f]{8}/state-delta"
+    # Spark-side twin: regexp_extract returns the FIRST find, so a greedy
+    # .* prefix pushes the match to the LAST occurrence — same pick as the
+    # fallback's findall()[-1], so flat-scan and per-dir ordinals can never
+    # disagree when the store ROOT itself contains a lookalike component
+    # (e.g. …/v000000000007-abcdef01/state-delta-archive/store/…)
+    _DELTA_V_SQL_RE = r".*v(\d{12})-[0-9a-f]{8}/state-delta"
 
     @classmethod
     def _delta_version(cls, path: str) -> int:
@@ -381,7 +401,7 @@ class SnapshotStore:
             return df.select(*[f.name for f in st.fields], "__deleted").withColumn(
                 "__v",
                 F.regexp_extract(
-                    F.input_file_name(), self._DELTA_V_RE, 1
+                    F.input_file_name(), self._DELTA_V_SQL_RE, 1
                 ).cast("long"),
             )
         import functools
@@ -957,39 +977,157 @@ class SnapshotStore:
         if version is not None and v not in self.committed_versions():
             raise ValueError(f"version {v} was never committed")
         key = (id(spark), v)
-        cached = self._read_state_frames.get(key)
-        if cached is not None and cached[0] is spark:
-            return cached[1]
-        m = self._manifest(v)
+        with self._memo_lock:
+            cached = self._read_state_frames.get(key)
+            if cached is not None and cached[0] is spark:
+                return cached[1]
+            m = self._manifest(v)
+            schema = T.StructType.fromJson(json.loads(m["state_schema"]))
+            if m.get("state_deltas"):
+                df = self._merged_state_frame(spark, m)
+                if df is None:
+                    df = spark.createDataFrame([], schema)
+            else:
+                paths = list(self._state_paths(m).values())
+                if not paths:
+                    return spark.createDataFrame([], schema)
+                df = spark.read.schema(schema).parquet(*paths)
+            self._read_state_frames[key] = (spark, df)
+            if len(self._read_state_frames) > 8:
+                for k in sorted(self._read_state_frames, key=lambda k: k[1])[:-8]:
+                    self._read_state_frames.pop(k, None)
+            return df
+
+    # -- driver-side point read (pyarrow) -------------------------------------
+
+    def _arrow_dataset(self, path: str):
+        """Memoized pyarrow dataset over an immutable directory — repeat
+        point reads skip the file listing and footer parse."""
+        import pyarrow.dataset as pads
+
+        with self._memo_lock:
+            got = self._arrow_dsets.get(path)
+            if got is not None:
+                return got
+            d = pads.dataset(path, format="parquet")
+            self._arrow_dsets[path] = d
+            if len(self._arrow_dsets) > 256:
+                for k in list(self._arrow_dsets)[:-256]:
+                    self._arrow_dsets.pop(k, None)
+            return d
+
+    def _typed_key(self, schema: T.StructType, aggregate_id: str):
+        """(matchable, typed_value) for pushing the key filter into a
+        parquet scan with the SAME semantics as the Spark path's
+        ``cast(key as string) == aggregate_id``: for integer key columns
+        the string form of every stored value is canonical, so a
+        non-canonical spelling ('05', '5.0', 'abc') can never match — a
+        definitive miss, reported as matchable=False. Exotic key types
+        (float/decimal/timestamp) raise NotImplementedError so the caller
+        falls back to the Spark scan."""
+        if self.key_col not in schema.fieldNames():
+            raise NotImplementedError("key column absent from state schema")
+        dt = schema[self.key_col].dataType
+        s = str(aggregate_id)
+        if isinstance(dt, T.StringType):
+            return True, s
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            try:
+                iv = int(s)
+            except ValueError:
+                return False, None
+            if str(iv) != s:
+                return False, None
+            return True, iv
+        raise NotImplementedError(f"unsupported key type {dt} for arrow point read")
+
+    def _point_read_arrow(self, m: dict, aggregate_id: str) -> dict | None:
+        """getState as a storage-side indexed fetch, zero Spark jobs: the
+        reference answers getState from a KTable (RocksDB point lookup,
+        SurgeMessagePipeline KTable query path) — a distributed engine job
+        is the wrong tool for a one-key read. This reads ONLY the key's
+        crc32 bucket directory (one file, by the commit's pre-shuffle
+        discipline) plus the micro-batch-sized flat deltas, with the key
+        equality pushed into the parquet scan (row-group statistics +
+        dictionary pruning skip everything else). Latest-wins across
+        base/deltas happens on the ≤ delta_commits+1 matching rows. On an
+        object-store deployment the same pyarrow read runs through fsspec;
+        the Spark scan below remains the fallback for layouts/types this
+        path doesn't cover (equality pinned by test)."""
+        import pyarrow.dataset as pads
+
         schema = T.StructType.fromJson(json.loads(m["state_schema"]))
-        if m.get("state_deltas"):
-            df = self._merged_state_frame(spark, m)
-            if df is None:
-                df = spark.createDataFrame([], schema)
+        cols = [f.name for f in schema.fields]
+        matchable, keyv = self._typed_key(schema, aggregate_id)
+        if not matchable:
+            return None
+        nb = int(m.get("num_buckets", self.default_num_buckets))
+        buckets_map = self._state_paths(m)
+        if "__legacy__" in buckets_map:
+            base_path = buckets_map["__legacy__"]  # unbucketed: whole snapshot
         else:
-            paths = list(self._state_paths(m).values())
-            if not paths:
-                return spark.createDataFrame([], schema)
-            df = spark.read.schema(schema).parquet(*paths)
-        self._read_state_frames[key] = (spark, df)
-        if len(self._read_state_frames) > 8:
-            for k in sorted(self._read_state_frames, key=lambda k: k[1])[:-8]:
-                self._read_state_frames.pop(k, None)
-        return df
+            base_path = buckets_map.get(str(self._bucket_of(aggregate_id, nb)))
+        flt = pads.field(self.key_col) == keyv
+        candidates: list[tuple[int, bool, dict]] = []
+        if base_path and os.path.isdir(base_path):
+            for r in self._arrow_dataset(base_path).to_table(filter=flt).to_pylist():
+                candidates.append((-1, False, r))
+        for e in m.get("state_deltas", []):
+            p = e["path"]
+            sub = os.path.join(
+                p, f"{_BUCKET_COL}={self._bucket_of(aggregate_id, nb)}"
+            )
+            if os.path.isdir(sub):
+                p = sub  # legacy bucketed delta: prune to the key's bucket
+            elif any(
+                d.startswith(f"{_BUCKET_COL}=")
+                for d in (os.listdir(p) if os.path.isdir(p) else [])
+            ):
+                continue  # bucketed delta without this bucket
+            if not os.path.isdir(p):
+                continue
+            dv = self._delta_version(e["path"])
+            for r in self._arrow_dataset(p).to_table(filter=flt).to_pylist():
+                # schema drift across deltas: missing columns read as None,
+                # same as the Spark path's unionByName(allowMissingColumns)
+                candidates.append((dv, bool(r.get("__deleted")), r))
+        if not candidates:
+            return None
+        _, deleted, row = max(candidates, key=lambda t: t[0])
+        if deleted:
+            return None
+        return {c: row.get(c) for c in cols}
 
     def get_state(
         self, spark: SparkSession, aggregate_id: str, version: int | None = None
     ) -> dict | None:
         """Point read (S2 / §3.2 getState): bucket-pruned — computes the
-        key's bucket driver-side (zlib.crc32) and scans only that bucket's
+        key's bucket driver-side (zlib.crc32) and fetches only that bucket's
         files, O(snapshot/num_buckets) instead of O(snapshot). ``version``
-        time-travels like read_state."""
+        time-travels like read_state.
+
+        Fast path: a driver-side pyarrow fetch with the key pushed into the
+        parquet scan (_point_read_arrow) — no Spark job at all, the KTable-
+        point-lookup analog. The Spark scan below is the fallback for key
+        types/layouts the arrow path doesn't cover; both paths are pinned
+        equal by test."""
         v = self.latest_version() if version is None else int(version)
         if v is None:
             return None
         if version is not None and v not in self.committed_versions():
             raise ValueError(f"version {v} was never committed")
         m = self._manifest(v)
+        try:
+            return self._point_read_arrow(m, aggregate_id)
+        except (ImportError, NotImplementedError):
+            pass  # environment/type not covered: the Spark scan is exact
+        return self._point_read_spark(spark, m, aggregate_id)
+
+    def _point_read_spark(
+        self, spark: SparkSession, m: dict, aggregate_id: str
+    ) -> dict | None:
+        """Spark-job point read — the fallback for key types/layouts the
+        arrow fast path doesn't cover; pinned equal to it by test."""
         if m.get("state_deltas"):
             # merge-on-read point read: base stays bucket-pruned; the flat
             # deltas (micro-batch-sized, ≤ delta_commits of them) are

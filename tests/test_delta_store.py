@@ -270,3 +270,62 @@ def test_vacuum_reclaims_fenced_orphan_version_dirs(spark, tmp_path):
     )
     # reads fully intact
     assert _state(spark, fresh) == {"x": 1, "y": 2}
+
+
+def test_point_read_arrow_matches_spark_fallback(spark, tmp_path):
+    """get_state's driver-side pyarrow fast path (zero Spark jobs — the
+    KTable-point-lookup analog) returns EXACTLY what the Spark-scan
+    fallback returns, across: base-only hits, delta-overridden keys,
+    tombstoned keys, absent keys, and both store modes (merge-on-read and
+    COW). The r6 driver bench measured the Spark-job point read at 99.5 ms
+    under delta mode; the arrow path is the ≤50 ms fix, so its equality
+    with the exact path is load-bearing."""
+    d = SnapshotStore(
+        str(tmp_path / "mor"), key_col="k", num_buckets=4, delta_commits=8
+    )
+    d.commit(None, _upd(spark, [(f"k{i}", i) for i in range(8)]), "b0",
+             updates_unique=True)
+    d.commit(None, _upd(spark, [("k3", 100)]), "b1", updates_unique=True)
+    d.commit(None, _upd(spark, []).limit(0), "b2", delete_keys=["k5"],
+             updates_unique=True)
+    d.commit(None, _upd(spark, [("k5", 55), ("knew", 9)]), "b3",
+             updates_unique=True)
+
+    cow = SnapshotStore(str(tmp_path / "cow"), key_col="k", num_buckets=4)
+    cow.commit(None, _upd(spark, [("a", 1), ("b", 2)]), "c0", updates_unique=True)
+    cow.commit(None, _upd(spark, [("b", 20)]), "c1", updates_unique=True)
+
+    for store, keys in (
+        (d, ["k0", "k3", "k5", "k7", "knew", "nope"]),
+        (cow, ["a", "b", "nope"]),
+    ):
+        m = store._manifest(store.latest_version())
+        for k in keys:
+            arrow = store._point_read_arrow(m, k)
+            via_spark = store._point_read_spark(spark, m, k)
+            assert arrow == via_spark, (k, arrow, via_spark)
+            assert store.get_state(spark, k) == via_spark
+
+    # tombstone visible through the arrow path at the pre-resurrect version
+    m2 = d._manifest(2)
+    assert d._point_read_arrow(m2, "k5") is None
+    assert d._point_read_spark(spark, m2, "k5") is None
+
+
+def test_point_read_arrow_integer_key_semantics(spark, tmp_path):
+    """Integer key columns: the arrow filter compares typed values, which
+    must mirror the Spark path's cast(key as string) == aggregate_id —
+    canonical spellings hit, non-canonical ('05', '5.0', 'abc') are
+    definitive misses on both paths."""
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=4
+    )
+    upd = spark.createDataFrame([(5, 50), (7, 70)], "k long, n long")
+    store.commit(None, upd, "b0", updates_unique=True)
+    m = store._manifest(0)
+    assert store._point_read_arrow(m, "5") == {"k": 5, "n": 50}
+    assert store._point_read_spark(spark, m, "5") == {"k": 5, "n": 50}
+    for bad in ("05", "5.0", "abc", ""):
+        assert store._point_read_arrow(m, bad) is None
+        assert store._point_read_spark(spark, m, bad) is None
+    assert store.get_state(spark, "7")["n"] == 70
