@@ -136,7 +136,9 @@ def bench_streaming(spark) -> dict:
             event_schema="aggregate_id string",
             key_col="aggregate_id",
             order_cols=["command_id"],
-            fold_partitions=8,
+            # 128-cmd batches / 4 = 32-row Arrow batches: fewer python
+            # round trips than 8 (A/B r7: median trigger 1.08 vs 1.14 s)
+            fold_partitions=4,
         )
         stream = (
             spark.readStream.schema("aggregate_id string, command_id string")
@@ -166,6 +168,54 @@ def bench_streaming(spark) -> dict:
             engine.get_state(spark, str(k))
             reads.append(time.perf_counter() - s)
 
+        # ---- skewed (hot-key) streaming path: real command traffic is
+        # Zipfian, and the per-key serial fold makes one hot aggregate a
+        # straggler task (AQE is off inside foreachBatch, so no runtime
+        # skew split). 50% of commands hit ONE key; same batch sizes as
+        # the uniform block so the two ack medians are comparable.
+        skew_rows = [
+            ("hot" if i % 2 == 0 else str(i % n_keys), f"cmd-{i:012d}")
+            for i in range(n_commands)
+        ]
+        (
+            spark.createDataFrame(skew_rows, "aggregate_id string, command_id string")
+            .repartition(n_batches)
+            .write.parquet(f"{root}/cmds-skew")
+        )
+        skew_store = SnapshotStore(
+            f"{root}/store-skew",
+            key_col="aggregate_id",
+            num_buckets=16,
+            delta_commits=16,
+        )
+        skew_engine = CommandEngine(
+            skew_store,
+            process_command=process,
+            handle_event=handle,
+            state_schema="aggregate_id string, n long",
+            event_schema="aggregate_id string",
+            key_col="aggregate_id",
+            order_cols=["command_id"],
+            fold_partitions=4,
+        )
+        skew_stream = (
+            spark.readStream.schema("aggregate_id string, command_id string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/cmds-skew")
+        )
+        t0 = time.perf_counter()
+        sq = skew_engine.run_stream(skew_stream, f"{root}/ckpt-skew")
+        sq.awaitTermination()
+        skew_wall = time.perf_counter() - t0
+        skew_batch_s = [
+            p["durationMs"]["triggerExecution"] / 1000.0
+            for p in (sq.recentProgress or [])
+            if p.get("numInputRows", 0) > 0
+        ]
+        skew_busy = sum(skew_batch_s) or skew_wall
+        hot_n = (skew_engine.get_state(spark, "hot") or {}).get("n")
+        assert hot_n == n_commands // 2, hot_n
+
         # ---- facade path: sendCommand = one-command micro-batch ----
         facade = SurgeEngine(
             spark,
@@ -176,7 +226,7 @@ def bench_streaming(spark) -> dict:
                 event_schema="aggregate_id string",
             ),
             f"{root}/facade-store",
-            fold_partitions=8,
+            fold_partitions=4,
         )
         ref = facade.aggregate_for("acct-1")
         acks = []
@@ -198,6 +248,10 @@ def bench_streaming(spark) -> dict:
             "commands_per_s": round(n_commands / busy, 1),
             "stream_wall_s": round(wall, 3),
             "batch_ack_s_median": round(st.median(batch_s), 3) if batch_s else None,
+            "skewed_batch_ack_s_median": (
+                round(st.median(skew_batch_s), 3) if skew_batch_s else None
+            ),
+            "skewed_commands_per_s": round(n_commands / skew_busy, 1),
             "send_command_ack_s_median": round(st.median(acks), 3),
             "submit_many_cmds_per_s": round(len(many) / many_s, 1),
             "get_state_point_read_s_median": round(st.median(reads), 4),

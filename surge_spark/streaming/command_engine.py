@@ -23,30 +23,47 @@ commands stream; ``process_batch`` is the deterministic core the tests and
 batch replays call directly.
 
 BATCH-ACK LATENCY FLOOR (BASELINE §3 SLO ≤ 1 s; r5 measured 2.096 s
-median for 128-command batches, r6 work cut it to ~1.2-1.4 s on this
-host). Per-stage breakdown at 128 cmds / 16 buckets / delta commits,
-local[8], SURGE_PROFILE=1 (scripts/profile_stream.py):
+median for 128-command batches, r6 cut it to 1.103 s driver-measured,
+r7 work trims further). Per-stage breakdown at 128 cmds / 16 buckets /
+delta commits, local[8], SURGE_PROFILE=1 (scripts/profile_stream.py),
+after the r7 plan-shape fixes:
 
-  read_state plan build            ~0.11 s  (base listing memoized; the
-                                            one new delta dir per version)
+  read_state plan build            ~0.09 s  (base listing memoized +
+                                            prewarmed; one new delta dir
+                                            per version)
   fold plan build                  ~0.05 s
-  commit (fold + 3 concurrent      ~0.75-0.90 s  (the python fold runs
-    writes + manifest)                       inside the first write job;
-                                            events/replies overlap state)
-  structured-streaming overhead    ~0.14 s  (walCommit + commitOffsets +
+  fold materialize (ONE job)       ~0.40-0.46 s  (scan + 2 exchanges +
+                                            Arrow fold; see below)
+  commit (3 concurrent writes      ~0.27-0.30 s  (writes scan cached
+    + manifest)                              fold blocks; parquet-
+                                            committer fixed cost)
+  structured-streaming overhead    ~0.12 s  (walCommit + commitOffsets +
                                             latestOffset — Spark's own
                                             exactly-once bookkeeping)
-  driver glue (unpersist, py4j)    ~0.2 s
+  driver glue (unpersist, py4j)    ~0.1 s
+
+r7 changes measured on this host (median trigger 1.26-1.35 → ~1.08 s):
+(a) the fold pipeline is CO-PARTITIONED end to end — commands
+repartition to fold_partitions BEFORE the snapshot join and the store's
+latest-wins aggregate runs at the same width on the same key
+(read_state(partitions=...)), so join + groupBy.applyInPandas add ZERO
+exchanges (was: SMJ at the session's 32 shuffle partitions, then a
+repartition down — 4 exchanges / 5 stages); (b) the fold materializes
+via ONE count() job before the commit's three concurrent writes — the
+persist() dedupe is racy under concurrent jobs, so the Arrow fold
+previously ran up to 3× ("Block already exists" warnings) and thrashed
+the python worker pool; (c) fold_partitions=4 beats 8 at 128-row
+batches (fewer Arrow round trips).
 
 What r6 removed: the per-commit read-merge-rewrite of every touched
 bucket (1.1-1.35 s — now an O(batch) flat delta append, see
 SnapshotStore.delta_commits), the pre-commit stats job, the per-trigger
 isEmpty job, per-delta plan growth (single multi-path scan), and
-re-listing the base per batch. The remaining floor is dominated by one
-Arrow round trip through the Python fold plus parquet-committer fixed
-cost × the (already concurrent) write jobs — real work per batch, not
-bookkeeping; throughput scales with batch size (submit_many moves the
-same commands at >1000 cmds/s through one commit).
+re-listing the base per batch. The remaining floor is real per-batch
+work — one Arrow fold round trip + parquet-committer fixed cost × the
+concurrent write jobs + Spark's streaming bookkeeping; throughput
+scales with batch size (submit_many moves the same commands at >1000
+cmds/s through one commit).
 """
 
 from __future__ import annotations
@@ -318,6 +335,13 @@ class CommandEngine:
             if str(batch_id) in self.store.committed_batch_ids():
                 return None
         spark = commands.sparkSession
+        # resolve the fold width up front: the commands repartition AND the
+        # snapshot-side latest-wins aggregate both use it, so the fold join
+        # sees two sides hash-partitioned identically on the key — zero
+        # extra exchanges between scan and Python fold (the pre-r7 shape
+        # joined at the session's 32 shuffle partitions and THEN
+        # repartitioned down: 4 exchanges / 5 stages per micro-batch)
+        fp = fold_partitions if fold_partitions is not None else self.fold_partitions
         with phase("pb.read_state"):
             if self.prune_state_read:
                 nb = self.store.num_buckets()
@@ -331,9 +355,17 @@ class CommandEngine:
                     .distinct()
                     .collect()
                 }
-                snapshot = self.store.read_state_buckets(spark, bucket_ids)
+                snapshot = self.store.read_state_buckets(
+                    spark, bucket_ids, partitions=fp
+                )
             else:
-                snapshot = self.store.read_state(spark)
+                snapshot = self.store.read_state(spark, partitions=fp)
+        if fp is not None:
+            # pre-shuffle by key BEFORE the snapshot join: with the
+            # snapshot side partitioned the same way the join is
+            # exchange-free, and groupBy.applyInPandas reuses the join
+            # output's clustering — the fold pipeline is 2 exchanges total
+            commands = commands.repartition(fp, F.col(self.key_col))
         state_fields: list[str] = []
         if snapshot is not None:
             # Actor init (§3.1.5) as a distributed left join: each command
@@ -415,12 +447,11 @@ class CommandEngine:
         # answers, so the cache must outlive the caller's reads of this
         # batch's frames.
         with phase("pb.fold_plan"):
-            # per-call override beats the engine default: the facade knows
-            # its batch size (send_command = 1 row — folding one command
-            # through 8 python tasks is 7 empty Arrow round trips)
-            fp = fold_partitions if fold_partitions is not None else self.fold_partitions
-            if fp is not None:
-                commands = commands.repartition(fp, self.key_col)
+            # fp resolved above (per-call override beats the engine
+            # default: the facade knows its batch size — send_command is 1
+            # row, and folding one command through 8 python tasks is 7
+            # empty Arrow round trips); the repartition already happened
+            # pre-join so the groupBy below adds no exchange
             packed = (
                 commands.groupBy(self.key_col)
                 .applyInPandas(fold, "kind string, payload string")
@@ -500,11 +531,19 @@ class CommandEngine:
         if counts is None:
             # merge-on-read store: the commit is an append, so there is no
             # selective bucket read to plan for — every side commits
-            # unconditionally (an empty side is an empty parquet dir) and
-            # the fold materializes inside the commit's own concurrent
-            # write jobs: one fewer job round on the ack critical path.
+            # unconditionally (an empty side is an empty parquet dir).
             # Rejection-only and empty batches still commit, entering the
             # R4 dedup set exactly like the counted path below.
+            # Materialize the fold ONCE before the commit's three
+            # concurrent write jobs: the persist() dedupe is racy under
+            # concurrent jobs (each job can compute the same partition
+            # before the first finishes caching it — the "Block already
+            # exists; not re-adding" warnings), so without this the Arrow
+            # fold ran up to 3× and the python worker pool thrashed. One
+            # cheap count() job pays a single fold pass; the write jobs
+            # then scan cached blocks only.
+            with phase("pb.materialize"):
+                packed.count()
             with phase("pb.commit"):
                 self.store.commit(
                     events_df.coalesce(nf),
@@ -528,9 +567,13 @@ class CommandEngine:
                 # build the frame itself.
                 import threading
 
+                fp_warm = fp
+
                 def _prewarm() -> None:
                     try:
-                        self.store.read_state(spark)
+                        # same partitions hint as the next trigger's call,
+                        # or the memo key misses and the warm is wasted
+                        self.store.read_state(spark, partitions=fp_warm)
                     except Exception:  # noqa: BLE001 — best-effort warm
                         pass
 

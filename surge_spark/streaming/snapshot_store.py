@@ -423,16 +423,33 @@ class SnapshotStore:
         )
 
     @staticmethod
-    def _latest_wins(parts: list[DataFrame], key_col: str, cols: list[str]) -> DataFrame:
+    def _latest_wins(
+        parts: list[DataFrame],
+        key_col: str,
+        cols: list[str],
+        partitions: int | None = None,
+    ) -> DataFrame:
         """Merge base + delta parts to one row per key: the row with the
         highest ``__v`` wins (one aggregate pass — max_by(struct, __v), no
-        window sort). Caller filters ``__r.__deleted`` and projects."""
+        window sort). Caller filters ``__r.__deleted`` and projects.
+
+        ``partitions`` pre-shuffles the union to that many key-hash
+        partitions so the aggregate (and everything downstream keyed the
+        same way — the command engine's fold join) runs at micro-batch
+        width instead of the session's spark.sql.shuffle.partitions (AQE
+        is OFF inside foreachBatch, so the session count — sized for
+        analytics — otherwise applies: measured 4 exchanges / 5 stages on
+        a 128-row batch). The aggregate reuses the repartition's hash
+        clustering, so this is ONE exchange, not two; output stays
+        hash-partitioned on the key for exchange-free downstream joins."""
         import functools
 
         others = [c for c in cols if c != key_col] + ["__deleted"]
         u = functools.reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
+        if partitions:
+            u = u.repartition(partitions, F.col(key_col))
         return u.groupBy(key_col).agg(
             F.max_by(F.struct(*[F.col(c) for c in others]), F.col("__v")).alias("__r")
         )
@@ -443,6 +460,7 @@ class SnapshotStore:
         m: dict,
         bucket: str | None = None,
         buckets: set[str] | None = None,
+        partitions: int | None = None,
     ) -> DataFrame | None:
         """Latest-wins view over base buckets + deltas of one manifest —
         optionally restricted to a single ``bucket`` (point reads) or a
@@ -480,7 +498,7 @@ class SnapshotStore:
                 parts.append(d)
         if not parts:
             return None
-        agg = self._latest_wins(parts, self.key_col, cols)
+        agg = self._latest_wins(parts, self.key_col, cols, partitions=partitions)
         return agg.where(~F.col("__r.__deleted")).select(
             *[
                 F.col(self.key_col) if c == self.key_col else F.col(f"__r.{c}").alias(c)
@@ -931,7 +949,10 @@ class SnapshotStore:
         return {"__legacy__": m["state"]} if m.get("state") else {}
 
     def read_state_buckets(
-        self, spark: SparkSession, buckets: set[str] | list[str]
+        self,
+        spark: SparkSession,
+        buckets: set[str] | list[str],
+        partitions: int | None = None,
     ) -> DataFrame | None:
         """Latest snapshot restricted to the given bucket ids — the
         bucket-pruned read a command engine uses when the batch's key set
@@ -952,7 +973,9 @@ class SnapshotStore:
         schema = T.StructType.fromJson(json.loads(m["state_schema"]))
         wanted = {str(b) for b in buckets}
         if m.get("state_deltas"):
-            df = self._merged_state_frame(spark, m, buckets=wanted)
+            df = self._merged_state_frame(
+                spark, m, buckets=wanted, partitions=partitions
+            )
             return df if df is not None else spark.createDataFrame([], schema)
         paths = [p for b, p in self._state_paths(m).items() if b in wanted]
         if not paths:
@@ -960,7 +983,10 @@ class SnapshotStore:
         return spark.read.schema(schema).parquet(*paths)
 
     def read_state(
-        self, spark: SparkSession, version: int | None = None
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        partitions: int | None = None,
     ) -> DataFrame | None:
         """Latest committed snapshot (the KTable view, S1): the union of
         every bucket directory the manifest references. Returns None if no
@@ -970,13 +996,20 @@ class SnapshotStore:
         ``version`` time-travels to an older committed snapshot (the Delta
         ``versionAsOf`` analog — manifests are immutable and buckets are
         shared across versions, so an old version reads at full speed as
-        long as vacuum() hasn't reclaimed its unshared buckets)."""
+        long as vacuum() hasn't reclaimed its unshared buckets).
+
+        ``partitions`` shapes the merge-on-read latest-wins aggregate (see
+        _latest_wins) so the returned frame is hash-partitioned on the key
+        at that width — the command engine passes its fold_partitions so
+        the fold join adds zero exchanges. Ignored for a fully compacted
+        (no-delta) snapshot, whose plain scan carries no partitioning to
+        reuse."""
         v = self.latest_version() if version is None else int(version)
         if v is None:
             return None
         if version is not None and v not in self.committed_versions():
             raise ValueError(f"version {v} was never committed")
-        key = (id(spark), v)
+        key = (id(spark), v, partitions)
         with self._memo_lock:
             cached = self._read_state_frames.get(key)
             if cached is not None and cached[0] is spark:
@@ -984,7 +1017,7 @@ class SnapshotStore:
             m = self._manifest(v)
             schema = T.StructType.fromJson(json.loads(m["state_schema"]))
             if m.get("state_deltas"):
-                df = self._merged_state_frame(spark, m)
+                df = self._merged_state_frame(spark, m, partitions=partitions)
                 if df is None:
                     df = spark.createDataFrame([], schema)
             else:

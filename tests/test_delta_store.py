@@ -329,3 +329,38 @@ def test_point_read_arrow_integer_key_semantics(spark, tmp_path):
         assert store._point_read_arrow(m, bad) is None
         assert store._point_read_spark(spark, m, bad) is None
     assert store.get_state(spark, "7")["n"] == 70
+
+
+def test_read_state_partitions_hint_copartitions_fold_join(spark, tmp_path):
+    """read_state(partitions=N) shapes the latest-wins aggregate so the
+    command engine's fold join is exchange-free: exactly TWO hash
+    exchanges in the whole fold pipeline (commands repartition + the
+    latest-wins pre-shuffle), with no exchange at the session's
+    spark.sql.shuffle.partitions width between them. This is the r7
+    batch-ack fix — regressing it re-introduces the 4-exchange /
+    5-stage plan (AQE is off inside foreachBatch, so the session width
+    — sized for analytics — would apply)."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=8
+    )
+    store.commit(None, _upd(spark, [("a", 1), ("b", 2)]), "b0", updates_unique=True)
+    store.commit(None, _upd(spark, [("b", 20)]), "b1", updates_unique=True)
+
+    snap = store.read_state(spark, partitions=4)
+    prefixed = snap.select(*[F.col(c).alias(f"__state__{c}") for c in snap.columns])
+    cmds = spark.createDataFrame(
+        [("a", "c1"), ("b", "c2")], "k string, command_id string"
+    ).repartition(4, F.col("k"))
+    joined = cmds.join(
+        prefixed, cmds["k"].cast("string") == prefixed["__state__k"], "left"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # both exchanges at the requested width, none at the session width
+    assert plan.count(", 4)") >= 2, plan
+    sess_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert f", {sess_width})" not in plan or sess_width == 4, plan
+    # values unchanged by the hint
+    assert {r.k: r.n for r in snap.collect()} == {"a": 1, "b": 20}

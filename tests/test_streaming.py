@@ -1214,3 +1214,144 @@ def test_run_stream_delta_store_with_midstream_compactions(spark, tmp_path):
     cmds = spark.createDataFrame([("k0", "zz")], "k string, command_id string")
     assert engine.process_batch(cmds, "0") is None
     assert store.latest_version() == before
+
+
+def test_run_stream_crash_between_staging_and_manifest_recovers(spark, tmp_path):
+    """Failure injection on the commit protocol's one atomicity point: the
+    committer dies AFTER all staging writes (state delta, events, staged
+    replies) but BEFORE the manifest hard-link. On restart from the
+    streaming checkpoint the batch must replay cleanly:
+
+      (a) the half-committed version is invisible (no manifest → no reads)
+      (b) the replayed batch commits with the same batch_id and the final
+          states are exactly what a crash-free run produces
+      (c) the gateway sees each batch's acks exactly once — no duplicate
+          or partial reply dirs
+      (d) vacuum() reclaims the crashed attempt's orphaned writer-unique
+          version dir, and prune_replies the orphaned staged acks
+
+    The pieces (fencing, R4 dedup, orphan sweep, reply staging) are each
+    pinned elsewhere; this is the end-to-end kill-mid-commit composition."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from surge_spark.streaming.command_engine import CommandEngine
+    from surge_spark.streaming.snapshot_store import SnapshotStore
+
+    def process(state, cmd):
+        return ([{"k": cmd["k"]}], False)
+
+    def handle(state, ev):
+        return {"k": ev["k"], "n": (state["n"] if state else 0) + 1}
+
+    n_batches, n_keys = 4, 6
+    src = str(tmp_path / "cmds")
+    rows = [(f"k{i % n_keys}", f"c{i:06d}") for i in range(n_batches * n_keys)]
+    (
+        spark.createDataFrame(rows, "k string, command_id string")
+        .repartition(n_batches)
+        .write.parquet(src)
+    )
+    store_path, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    replies = str(tmp_path / "replies")
+
+    def build_engine():
+        store = SnapshotStore(store_path, key_col="k", num_buckets=4, delta_commits=8)
+        return store, CommandEngine(
+            store, process, handle, "k string, n long", "k string",
+            key_col="k", order_cols=["command_id"], fold_partitions=2,
+        )
+
+    def stream():
+        return (
+            spark.readStream.schema("k string, command_id string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    # ---- first run: crash at version 2's manifest link ----
+    crash_marker = f"{os.sep}_manifests{os.sep}v000000000002.json"
+    orig_link = os.link
+
+    def crash_link(src_p, dst, *a, **k):
+        if dst.endswith(crash_marker):
+            raise RuntimeError("injected crash before manifest link")
+        return orig_link(src_p, dst, *a, **k)
+
+    store1, engine1 = build_engine()
+    os.link = crash_link
+    try:
+        q = engine1.run_stream(stream(), ckpt, replies_path=replies)
+        try:
+            q.awaitTermination(300)
+            raised = not q.exception() is None
+        except StreamingQueryException:
+            raised = True
+        assert raised, "injected crash did not surface"
+    finally:
+        os.link = orig_link
+
+    # (a) half-committed version invisible to a FRESH reader
+    probe = SnapshotStore(store_path, key_col="k", num_buckets=4, delta_commits=8)
+    assert probe.latest_version() == 1
+    seen = {r.k: r.n for r in probe.read_state(spark).collect()}
+    # exactly the two COMMITTED batches' commands are folded — their sizes
+    # come from the durable ack dirs (repartition spreads keys/rows
+    # unevenly per file, so neither per-key counts nor file math is pinned)
+    committed_acks = spark.read.parquet(
+        os.path.join(replies, "batch=0"), os.path.join(replies, "batch=1")
+    ).count()
+    assert sum(seen.values()) == committed_acks, (seen, committed_acks)
+    # the crashed attempt's data dir exists but is unreferenced
+    orphans_before = [
+        d for d in os.listdir(store_path) if d.startswith("v000000000002-")
+    ]
+    assert orphans_before, "staging writes should have landed before the crash"
+    # staged acks for batch 2 not published
+    assert not os.path.isdir(os.path.join(replies, "batch=2"))
+
+    # ---- restart from the SAME checkpoint: batch 2 replays ----
+    store2, engine2 = build_engine()
+    q2 = engine2.run_stream(stream(), ckpt, replies_path=replies)
+    q2.awaitTermination(300)
+    assert q2.exception() is None
+
+    # (b) replay committed under the same batch id; crash-free final states
+    final = {r.k: r.n for r in store2.read_state(spark).collect()}
+    assert final == {f"k{i}": n_batches for i in range(n_keys)}, final
+    assert store2.latest_version() == n_batches - 1
+    assert store2._manifest(2)["batch_id"] == "2"
+
+    # (c) each batch acked exactly once, every command acked exactly once
+    batch_dirs = sorted(
+        d for d in os.listdir(replies) if d.startswith("batch=") and ".staging" not in d
+    )
+    assert batch_dirs == [f"batch={i}" for i in range(n_batches)]
+    acked = (
+        spark.read.parquet(*[os.path.join(replies, d) for d in batch_dirs])
+        .groupBy("command_id")
+        .count()
+        .collect()
+    )
+    assert len(acked) == n_batches * n_keys
+    assert all(r["count"] == 1 for r in acked)
+
+    # (d) maintenance reclaims the crashed attempt's leftovers
+    store2.vacuum(keep_last=10)
+    survivors = {
+        d for d in os.listdir(store_path) if d.startswith("v000000000002-")
+    }
+    live_v2 = {
+        p.split(store_path + os.sep, 1)[1].split(os.sep, 1)[0]
+        for p in (
+            [e["path"] for e in store2._manifest(2).get("state_deltas", [])]
+            + list(store2._state_paths(store2._manifest(2)).values())
+            + [store2._manifest(2).get("events") or ""]
+        )
+        if p.startswith(store_path + os.sep)
+    }
+    assert survivors <= live_v2, (survivors, live_v2)
+    assert not (set(orphans_before) & survivors - live_v2)
+    CommandEngine.prune_replies(replies, keep_last=n_batches)
+    assert not [d for d in os.listdir(replies) if ".staging-" in d]
