@@ -708,3 +708,76 @@ def inverted_index(
             F.sort_array(F.collect_list("doc")).alias("postings"),
         )
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    shard_col: str,
+    order_exprs: list,
+    descending: bool = False,
+    n_shards: int = 16,
+    rel_err: float = 0.001,
+    out_col: str = "cum",
+) -> DataFrame:
+    """EXACT global running sum of ``value_col`` in (``order_exprs``) order
+    without a single-partition window — the two-pass distributed scan:
+
+      1. one ``approxQuantile`` pass over ``shard_col`` (the LEADING order
+         column) yields ``n_shards-1`` literal range boundaries; every row
+         gets a shard id from a codegen'd comparison chain, so the
+         sharding respects a PREFIX of the global order (ties on the
+         boundary value always land in one shard — later tiebreaker
+         columns never straddle shards and the concatenation of shards IS
+         the global order).
+      2. a within-shard running-sum window (partitioned — parallel), plus
+         per-shard totals aggregated FROM the windowed subtree (rides the
+         same exchange, no second scan), cumulated across the ≤ n_shards
+         totals by a broadcast theta self-join — so there is NO
+         unpartitioned WindowExec anywhere in the plan, not even over the
+         totals.
+
+    Exactness does not depend on quantile accuracy: boundaries only shape
+    shard SIZES (skewed boundaries = skewed shards, never wrong sums).
+    At 100 TB, set n_shards ~ the cluster's task parallelism; the quantile
+    pass is the standard pre-pass a range partitioner (global sort) runs
+    anyway, but unlike ``orderBy().window()`` the result never funnels
+    through one task. NULL shard keys sort the way Spark's default null
+    ordering does (NULLS FIRST ascending, NULLS LAST descending).
+
+    Cites: TeraSort-style range partitioning; the reference has no
+    distributed analog (single-node fold, PersistentActor.scala)."""
+    from pyspark.sql import Window
+
+    probs = [i / n_shards for i in range(1, n_shards)]
+    bounds = sorted(set(df.stat.approxQuantile(shard_col, probs, rel_err)))
+    c = F.col(shard_col)
+    if descending:
+        cmp_exprs = [c < F.lit(b) for b in sorted(bounds, reverse=True)]
+        null_shard = len(bounds) + 1  # desc default: NULLS LAST
+    else:
+        cmp_exprs = [c > F.lit(b) for b in bounds]
+        null_shard = -1  # asc default: NULLS FIRST
+    shard = F.lit(0)
+    for e in cmp_exprs:
+        shard = shard + e.cast("int")
+    shard = F.when(c.isNull(), F.lit(null_shard)).otherwise(shard)
+    with_shard = df.withColumn("__shard", shard)
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = with_shard.withColumn("__local_cum", F.sum(value_col).over(w))
+    totals = local.groupBy("__shard").agg(F.sum(value_col).alias("__tot"))
+    offs = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b.__shard") < F.col("a.__shard"), "left")
+        .groupBy(F.col("a.__shard").alias("__shard"))
+        .agg(F.coalesce(F.sum(F.col("b.__tot")), F.lit(0)).alias("__off"))
+    )
+    return (
+        local.join(F.broadcast(offs), "__shard", "left")
+        .withColumn(out_col, (F.col("__local_cum") + F.col("__off")).cast("long"))
+        .drop("__shard", "__local_cum", "__off")
+    )

@@ -128,3 +128,42 @@ def test_doulion_estimate_within_5pct_of_exact(spark, sf_dir):
     assert exact > 0
     assert abs(est.est_triangles - exact) / exact <= 0.05
     assert est.sampled_edges > 0 and est.sampled_triangles > 0
+
+
+def test_distributed_prefix_sum_exact_vs_driver(spark):
+    """distributed_prefix_sum == a driver-side running sum in the same
+    order, regardless of boundary placement: heavy ties (few distinct
+    shard-key values, so quantile boundaries ARE tie values), ascending
+    and descending, and a shard count larger than the distinct-key count
+    (empty shards)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from surge_spark.operators.text import distributed_prefix_sum
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.choice([1.0, 2.0, 2.0, 3.0, 5.0]), rng.randint(0, 9))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, key double, v long")
+
+    for descending in (False, True):
+        got = {
+            r.id: r.cum
+            for r in distributed_prefix_sum(
+                df,
+                "v",
+                "key",
+                [F.col("key").desc() if descending else F.col("key"), F.col("id")],
+                descending=descending,
+                n_shards=16,
+            ).collect()
+        }
+        ordered = sorted(rows, key=lambda t: (-t[1] if descending else t[1], t[0]))
+        run, want = 0, {}
+        for i, _, v in ordered:
+            run += v
+            want[i] = run
+        assert got == want, descending

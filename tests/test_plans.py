@@ -699,3 +699,23 @@ def test_doulion_runs_zero_driver_jobs_at_plan_build(spark, sf_dir):
     all_queries()["g_triangle_count_sampled"](spark, sf_dir)
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
+
+
+def test_prefix_sum_entries_have_no_unpartitioned_window(spark, sf_dir):
+    """t_pack_sequences / t_token_budget_selection run the exact two-pass
+    distributed prefix sum (r7): every Window in the plan is partitioned
+    by the quantile shard id — no single-partition WindowExec anywhere,
+    not even over the shard totals (those cumulate via a broadcast theta
+    self-join). Regressing to the global ORDER BY window funnels the
+    whole corpus through one task."""
+    for name in ("t_pack_sequences", "t_token_budget_selection"):
+        plan = _plan(spark, sf_dir, name)
+        n_windows = plan.count("Window [")
+        assert n_windows >= 1, name
+        assert n_windows == plan.count("windowspecdefinition(__shard"), (
+            name,
+            plan,
+        )
+        # shard offsets come back via broadcast, totals ride the windowed
+        # subtree's exchange (no second corpus scan)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
