@@ -38,8 +38,13 @@ This module re-creates that protocol transport-agnostically:
   it pickles into Spark's Python workers and the distributed fold really
   does call out of process, exactly like the reference engine calling a
   business app over gRPC. The payload bytes on the socket are the same
-  bytes a grpcio stub would put in an HTTP/2 DATA frame; only the HTTP/2
-  framing layer itself remains environment-blocked.
+  bytes a grpcio stub would put in an HTTP/2 DATA frame — and since r7
+  the sibling module ``h2c.py`` provides the HTTP/2 framing itself
+  (serve_business_logic_h2c / H2cBusinessLogicClient): cleartext-HTTP/2
+  frames, HPACK header blocks, the 5-byte gRPC message prefix, and
+  grpc-status trailers, golden-byte-pinned against RFC 7541's published
+  vectors. grpcio itself stays uninstallable here, but the wire is now
+  frame-for-frame gRPC-over-h2c.
 
 Payloads are opaque bytes end to end. Inside the engine they ride as
 base64 strings (the snapshot store's schemas are JSON-native by contract,
@@ -327,29 +332,15 @@ def serve_business_logic(
     return _BusinessLogicTCPServer((host, port), Handler)
 
 
-class RemoteBusinessLogicClient:
-    """BusinessLogicService implementation that calls a remote (other-
-    process) service over the loopback wire. Holds only (host, port,
-    timeout) — picklable, so the engine's distributed fold can carry it
-    into Spark Python workers; each call dials a fresh connection, which on
-    loopback costs microseconds and never leaks sockets across forks."""
+class BusinessLogicCallerMixin:
+    """The three BusinessLogicService methods expressed over a transport's
+    ``self._call(method_int, proto_request_bytes) -> proto_reply_bytes`` —
+    shared by the length-prefixed loopback client below and the h2c gRPC
+    client (h2c.py), so both speak identical proto3 payloads and differ
+    ONLY in framing."""
 
-    def __init__(self, host: str, port: int, timeout: float = 30.0) -> None:
-        self.host = host
-        self.port = port
-        self.timeout = timeout
-
-    def _call(self, method: int, payload: bytes) -> bytes:
-        with socket.create_connection(
-            (self.host, self.port), timeout=self.timeout
-        ) as sock:
-            _send_frame(sock, method, payload)
-            code, body = _recv_frame(sock)
-        if code != _S_OK:
-            raise RuntimeError(
-                f"remote business logic failed: {body.decode('utf-8', 'replace')}"
-            )
-        return body
+    def _call(self, method: int, payload: bytes) -> bytes:  # pragma: no cover
+        raise NotImplementedError
 
     def process_command(
         self, aggregate_id: str, state: State | None, command: Command
@@ -395,6 +386,31 @@ class RemoteBusinessLogicClient:
             service_name=name,
             status="DOWN" if status == pw.HEALTH_DOWN else "UP",
         )
+
+
+class RemoteBusinessLogicClient(BusinessLogicCallerMixin):
+    """BusinessLogicService implementation that calls a remote (other-
+    process) service over the loopback wire. Holds only (host, port,
+    timeout) — picklable, so the engine's distributed fold can carry it
+    into Spark Python workers; each call dials a fresh connection, which on
+    loopback costs microseconds and never leaks sockets across forks."""
+
+    def __init__(self, host: str, port: int, timeout: float = 30.0) -> None:
+        self.host = host
+        self.port = port
+        self.timeout = timeout
+
+    def _call(self, method: int, payload: bytes) -> bytes:
+        with socket.create_connection(
+            (self.host, self.port), timeout=self.timeout
+        ) as sock:
+            _send_frame(sock, method, payload)
+            code, body = _recv_frame(sock)
+        if code != _S_OK:
+            raise RuntimeError(
+                f"remote business logic failed: {body.decode('utf-8', 'replace')}"
+            )
+        return body
 
 
 # -- the gateway service -----------------------------------------------------

@@ -1,0 +1,222 @@
+"""U7 h2c gRPC wire: golden HTTP/2+HPACK frame bytes (pinned against RFC
+7541's published test vectors where the spec provides them), gRPC message
+prefix framing, and the BusinessLogicService running cross-process over
+real h2c frames — the last transport layer between this repo and the
+reference's gRPC sidecar (multilanguage-protocol.proto:82-92)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import threading
+from pathlib import Path
+
+import pytest
+
+import surge_spark
+from surge_spark.streaming import h2c
+from surge_spark.streaming import multilanguage as ml
+from surge_spark.streaming.snapshot_store import SnapshotStore
+
+REPO = str(Path(surge_spark.__file__).resolve().parents[1])
+
+
+# -- HPACK golden bytes -------------------------------------------------------
+
+
+def test_hpack_integer_rfc_c1_examples():
+    """RFC 7541 Appendix C.1: 10 and 1337 with a 5-bit prefix, 42 with 8."""
+    assert h2c.hpack_int(10, 5) == bytes.fromhex("0a")
+    assert h2c.hpack_int(1337, 5) == bytes.fromhex("1f9a0a")
+    assert h2c.hpack_int(42, 8) == bytes.fromhex("2a")
+
+
+def test_hpack_literal_without_indexing_rfc_c22():
+    """RFC 7541 C.2.2: (:path, /sample/path) as literal without indexing
+    with an indexed name — the exact published byte sequence."""
+    assert h2c.hpack_encode([(":path", "/sample/path")]) == bytes.fromhex(
+        "040c2f73616d706c652f70617468"
+    )
+
+
+def test_hpack_decoder_rfc_c3_request_sequence():
+    """RFC 7541 C.3.1 + C.3.2 (non-Huffman request vectors): incremental
+    indexing populates the dynamic table and the second request references
+    it by index (0xbe)."""
+    d = h2c.HpackDecoder()
+    one = d.decode(bytes.fromhex("828684410f7777772e6578616d706c652e636f6d"))
+    assert one == [
+        (":method", "GET"),
+        (":scheme", "http"),
+        (":path", "/"),
+        (":authority", "www.example.com"),
+    ]
+    two = d.decode(bytes.fromhex("828684be58086e6f2d6361636865"))
+    assert two == one + [("cache-control", "no-cache")]
+
+
+def test_hpack_huffman_rejected_with_clear_error():
+    d = h2c.HpackDecoder()
+    # C.4.1: Huffman-coded ":authority www.example.com"
+    with pytest.raises(ValueError, match="Huffman"):
+        d.decode(bytes.fromhex("828684418cf1e3c2e5f23a6ba0ab90f4ff"))
+
+
+def test_grpc_request_header_block_golden():
+    """The canonical gRPC request header block for HealthCheck: indexed
+    :method/:scheme, literal-without-indexing path/authority/content-type,
+    new-name te — byte-for-byte stable (the encoder never touches the
+    dynamic table)."""
+    blk = h2c.hpack_encode(
+        h2c.request_headers("/BusinessLogicService/HealthCheck", "localhost")
+    )
+    assert blk == bytes.fromhex(
+        "838604212f427573696e6573734c6f676963536572766963652f4865616c7468"
+        "436865636b01096c6f63616c686f73740f10106170706c69636174696f6e2f67"
+        "7270630002746508747261696c657273"
+    )
+    # response + trailers blocks
+    assert h2c.hpack_encode(h2c.RESPONSE_HEADERS) == bytes.fromhex(
+        "880f10106170706c69636174696f6e2f67727063"
+    )
+    assert h2c.hpack_encode(h2c.trailers(0)) == bytes.fromhex(
+        "000b677270632d7374617475730130"
+    )
+    # every block round-trips through the decoder
+    d = h2c.HpackDecoder()
+    assert dict(d.decode(blk))[":path"] == "/BusinessLogicService/HealthCheck"
+
+
+# -- frame + gRPC prefix golden bytes ----------------------------------------
+
+
+def test_frame_codec_golden_and_roundtrip():
+    assert h2c.encode_frame(h2c.F_SETTINGS, 0, 0, b"") == bytes.fromhex(
+        "000000040000000000"
+    )
+    assert h2c.encode_frame(
+        h2c.F_DATA, h2c.FLAG_END_STREAM, 1, b"xyz"
+    ) == bytes.fromhex("000003000100000001") + b"xyz"
+    # HEADERS with END_HEADERS on stream 3
+    f = h2c.encode_frame(h2c.F_HEADERS, h2c.FLAG_END_HEADERS, 3, b"\x88")
+    assert f == bytes.fromhex("000001010400000003") + b"\x88"
+
+
+def test_grpc_message_prefix_golden():
+    assert h2c.grpc_wrap(b"abc") == bytes.fromhex("0000000003") + b"abc"
+    assert h2c.grpc_unwrap(h2c.grpc_wrap(b"")) == b""
+    payload = bytes(range(256))
+    assert h2c.grpc_unwrap(h2c.grpc_wrap(payload)) == payload
+    with pytest.raises(ValueError, match="compressed"):
+        h2c.grpc_unwrap(b"\x01\x00\x00\x00\x00")
+
+
+# -- in-process client/server over real frames --------------------------------
+
+
+class _EchoService:
+    async def process_command(self, aggregate_id, state, command):
+        if command.payload == b"boom":
+            raise RuntimeError("handler exploded")
+        return ml.ProcessCommandReply(
+            aggregate_id, True, "", (ml.Event(aggregate_id, command.payload),)
+        )
+
+    async def handle_events(self, aggregate_id, state, events):
+        return ml.State(aggregate_id, b"|".join(e.payload for e in events))
+
+    async def health_check(self):
+        return ml.HealthCheckReply("echo-h2c", "UP")
+
+
+def test_h2c_client_server_roundtrip_and_grpc_status_errors():
+    """Full h2c exchange: preface/SETTINGS handshake, HEADERS/DATA/trailers
+    per stream; a handler exception comes back as grpc-status 2 with the
+    message in grpc-message — failing the command, not the transport."""
+    srv = h2c.serve_business_logic_h2c(_EchoService())
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        client = h2c.H2cBusinessLogicClient("127.0.0.1", srv.server_address[1])
+        payload = bytes(range(256))
+        r = client.process_command("k", None, ml.Command("k", payload))
+        assert r.is_success and r.events[0].payload == payload
+        s = client.handle_events(
+            "k", ml.State("k", b"old"), [ml.Event("k", b"a"), ml.Event("k", b"b")]
+        )
+        assert s.payload == b"a|b"
+        assert client.health_check().status == "UP"
+        with pytest.raises(RuntimeError, match="handler exploded"):
+            client.process_command("k", None, ml.Command("k", b"boom"))
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+# -- cross-process integration through the Spark engine -----------------------
+
+CHILD_SRC = '''
+import json, sys
+sys.path.insert(0, {repo!r})
+from surge_spark.streaming import h2c
+from surge_spark.streaming import multilanguage as ml
+
+
+class CounterService:
+    def process_command(self, aggregate_id, state, command):
+        cmd = json.loads(command.payload.decode())
+        if cmd.get("op") == "bad":
+            return ml.ProcessCommandReply(aggregate_id, False, "bad op")
+        ev = ml.Event(aggregate_id, json.dumps({{"add": cmd["n"]}}).encode())
+        return ml.ProcessCommandReply(aggregate_id, True, "", (ev,))
+
+    def handle_events(self, aggregate_id, state, events):
+        count = json.loads(state.payload.decode())["count"] if state else 0
+        for e in events:
+            count += json.loads(e.payload.decode())["add"]
+        return ml.State(aggregate_id, json.dumps({{"count": count}}).encode())
+
+    def health_check(self):
+        return ml.HealthCheckReply("counter-h2c", "UP")
+
+
+srv = h2c.serve_business_logic_h2c(CounterService())
+print(srv.server_address[1], flush=True)
+srv.serve_forever()
+'''
+
+
+def test_cross_process_h2c_business_logic(spark, tmp_path):
+    """The engine's distributed fold dials business logic in a CHILD
+    process over wire-true h2c gRPC frames; commits, rejections and
+    read-your-writes behave exactly as over the length-prefixed loopback
+    (same proto3 payloads, different framing — the mixin guarantees it)."""
+    script = tmp_path / "svc_h2c.py"
+    script.write_text(CHILD_SRC.format(repo=REPO))
+    proc = subprocess.Popen(
+        [sys.executable, str(script)], stdout=subprocess.PIPE, text=True
+    )
+    try:
+        port = int(proc.stdout.readline())
+        client = h2c.H2cBusinessLogicClient("127.0.0.1", port)
+        store = SnapshotStore(str(tmp_path / "store"), key_col="aggregate_id")
+        gw = ml.MultilanguageGateway(store, client)
+
+        r1 = gw.forward_command(
+            spark, "h-1", json.dumps({"op": "add", "n": 5}).encode()
+        )
+        assert r1.is_success
+        assert json.loads(r1.new_state.payload) == {"count": 5}
+        r2 = gw.forward_command(
+            spark, "h-1", json.dumps({"op": "add", "n": 3}).encode()
+        )
+        assert json.loads(r2.new_state.payload) == {"count": 8}
+        bad = gw.forward_command(spark, "h-1", json.dumps({"op": "bad"}).encode())
+        assert not bad.is_success and "bad op" in bad.rejection_message
+        assert json.loads(gw.get_state(spark, "h-1").state.payload) == {"count": 8}
+        assert gw.health_check().status == "UP"
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+    assert gw.health_check().status == "DOWN"
