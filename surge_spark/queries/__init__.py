@@ -26,8 +26,10 @@ by pytest instead:
   pinned against pyspark's own partitioning in tests.
 - ``a_approx_count_distinct`` — HyperLogLog++ estimate: engine-specific
   sketch by definition; bounded-relative-error pin instead.
-- ``mm_feature_extract_stub`` — exercises the multimodal mapInPandas
-  plumbing whose decode stage is environment-gated (no media libs here).
+- ``mm_feature_extract`` — exercises the multimodal mapInPandas pipeline
+  on payloads that route through the deterministic fake-decode fallback
+  (the real BMP/PPM/PNG/WAV decoders are value-tested in pytest; feature
+  floats depend on the sniffing branch, so this stays rows-only).
 
 (``sim_ann_lsh_topk`` graduated to a FULL oracle in round 6: its
 hyperplanes come from a deterministic pure-python LCG, so the identical

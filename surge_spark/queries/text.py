@@ -168,19 +168,23 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_feature_extract_stub")
-def mm_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode/feature-extract pipeline over mapInPandas: the
-    Spark-side plumbing (schema, Arrow batching, partitioning) is real; the
-    decoder is a deterministic fake (image/audio libs aren't in this
-    container — see operators.multimodal). Rows-only check."""
+@query("mm_feature_extract")
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract pipeline over mapInPandas. The
+    decode stage is REAL for every stdlib-parseable format — BMP 24-bit,
+    PPM P6, PNG 8-bit grey/RGB/RGBA, WAV PCM (operators.multimodal,
+    constructed-bytes tests) — with a deterministic fake fallback for
+    formats needing a codec library (JPEG). THIS entry's payloads are
+    ASCII text, so they exercise the fallback path end to end; the real
+    decoders are value-tested in tests/test_multimodal.py. Rows-only
+    check (feature floats depend on the sniffing branch)."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
     with_bin = mm.to_binary_payload(docs, "doc_id", "text", mime="image/fake")
     return mm.extract_features(with_bin, id_col="doc_id")
 
 
 @query(
-    "mm_resize_stub",
+    "mm_resize",
     oracle="""
     WITH dims AS (
       SELECT doc_id,
@@ -197,11 +201,13 @@ def mm_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dims
     """,
 )
-def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize plumbing (longer side → 128, aspect preserved, no
-    upscale) over mapInPandas. The fake decoder derives dimensions from
-    payload length deterministically, so the metadata math has a full SQL
-    oracle even though the pixel resample is stubbed."""
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize (longer side → 128, aspect preserved, no upscale) over
+    mapInPandas. For stdlib-decodable payloads resize_images does a REAL
+    decode → nearest-neighbor resample → lossless P6 re-encode (pinned in
+    tests/test_multimodal.py); this entry's ASCII payloads take the
+    deterministic dimensions-from-length fallback, so the metadata math
+    has a full SQL oracle across the whole corpus."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
     with_bin = mm.to_binary_payload(docs, "doc_id", "text", mime="image/fake")
     out = mm.resize_images(with_bin, max_side=128, id_col="doc_id")

@@ -43,7 +43,7 @@ def test_catalog_contract(spark, sf_dir):
         "d_minhash_lsh_neardup_pruned",
         "d_simhash_fingerprints",
         "f_partition_for_key",
-        "mm_feature_extract_stub",
+        "mm_feature_extract",
     }
     # callables execute and yield DataFrames (smoke one cheap entry)
     assert queries["s2_point_lookup"](spark, sf_dir).count() >= 0
