@@ -50,6 +50,9 @@ HEADLINE = [
     "sim_semantic_clusters",       # fixed-centroid clustering, flat codegen (new r5)
     "q5_local_supplier_volume",    # TPC-H Q5: co-location join chain (new r6)
     "o_zorder_layout",             # Morton clustering + skipping envelopes (new r6)
+    "sim_power_iteration_topdir",  # distributed PCA power iteration (new r7)
+    "g_kcore_bipartite",           # k-core interaction filtering (new r7)
+    "o_skipping_index",            # zone-map / data-skipping stats build (new r7)
 ]
 
 N_RUNS = 3

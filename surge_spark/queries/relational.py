@@ -2212,28 +2212,43 @@ def g_kcore_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
         ).distinct()
     )
-    sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
+    # Two load-bearing shape choices, both A/B-measured at sf0.1:
+    # (1) peel the DIRECTED bipartite list, not its symmetrized double —
+    #     an order-node's degree is its count as src, a part-node's its
+    #     count as dst; the symmetrized view exists only in the final
+    #     projection, where the oracle's sym formulation provably agrees.
+    # (2) MATERIALIZE between rounds: each peel references its input ~3×
+    #     (two degree aggregates + the join), so a lazy chain re-evaluates
+    #     the previous round's whole subtree multiplicatively — 5.4 s
+    #     median lazy vs 1.7-2.8 s with e.persist() + a localCheckpoint
+    #     after round one. This is the standard iterative-graph discipline
+    #     (GraphX/driver fixpoint loops checkpoint every round for the
+    #     same reason); a production iterate-until-fixpoint loop would
+    #     materialize per round regardless. The persisted edge list is
+    #     ~20 MB at sf0.1 and LRU-evicts; checkpoint blocks are reclaimed
+    #     by the ContextCleaner.
     def peel(edges: DataFrame, k: int) -> DataFrame:
-        keep = (
-            edges.groupBy("src")
-            .count()
-            .where(F.col("count") >= k)
-            .select(F.col("src").alias("node"))
+        keep_src = (
+            edges.groupBy("src").count().where(F.col("count") >= k).select("src")
         )
-        return (
-            edges.join(keep, edges.src == keep.node, "left_semi")
-            .join(
-                keep.withColumnsRenamed({"node": "dnode"}),
-                edges.dst == F.col("dnode"),
-                "left_semi",
-            )
+        keep_dst = (
+            edges.groupBy("dst").count().where(F.col("count") >= k).select("dst")
+        )
+        return edges.join(keep_src, "src", "left_semi").join(
+            keep_dst, "dst", "left_semi"
         )
 
-    e2 = peel(peel(sym, 5), 5)
-    return e2.groupBy(F.col("src").alias("node")).agg(
+    e = e.persist()
+    e1 = peel(e, 5).localCheckpoint(eager=False)
+    e2 = peel(e1, 5)
+    deg_src = e2.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+    deg_dst = e2.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return deg_src.unionAll(deg_dst)
 
 
 @query(
@@ -3160,4 +3175,119 @@ def o_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("max_date"),
             F.count_distinct("o_custkey").alias("ndv_custkey"),
         )
+    )
+
+
+@query(
+    "a_kmv_jaccard_intersect",
+    oracle="""
+    WITH hc AS (
+      SELECT DISTINCT
+             CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS h
+      FROM events WHERE user_id IS NOT NULL AND event_type = 'click'
+    ),
+    hp AS (
+      SELECT DISTINCT
+             CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS h
+      FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'
+    ),
+    ka AS (SELECT h FROM hc ORDER BY h LIMIT 32),
+    kb AS (SELECT h FROM hp ORDER BY h LIMIT 32),
+    merged AS (
+      SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 32
+    ),
+    rho AS (
+      SELECT count(*) AS c FROM merged
+      WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+    ),
+    hk AS (SELECT max(h) AS hk, count(*) AS km FROM merged),
+    ex AS (
+      SELECT
+        (SELECT count(DISTINCT a.user_id) FROM events a
+         WHERE a.event_type = 'click' AND a.user_id IN (
+           SELECT b.user_id FROM events b WHERE b.event_type = 'purchase'
+         )) AS inter_exact,
+        (SELECT count(DISTINCT user_id) FROM events
+         WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL)
+          AS union_exact
+    )
+    SELECT CAST(32 AS INT) AS k,
+           CAST(round((SELECT c FROM rho) / 32.0, 4) AS DOUBLE) AS jaccard_kmv,
+           CAST(round(((SELECT km FROM hk) - 1) / (SELECT hk FROM hk), 4)
+                AS DOUBLE) AS union_kmv,
+           CAST(round((SELECT c FROM rho) / 32.0
+                      * ((SELECT km FROM hk) - 1) / (SELECT hk FROM hk), 4)
+                AS DOUBLE) AS inter_kmv,
+           CAST(round(CAST((SELECT inter_exact FROM ex) AS DOUBLE)
+                      / (SELECT union_exact FROM ex), 4) AS DOUBLE)
+             AS jaccard_exact
+    """,
+)
+def a_kmv_jaccard_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-intersection / Jaccard estimation between the click-user
+    and purchase-user sets (Beyer et al., SIGMOD'07): keep each set's
+    k=32 smallest md5 hashes, merge-sketch M = k smallest of their union,
+    ρ = |M ∩ S_A ∩ S_B|/k estimates Jaccard, ρ·(k-1)/h_k the
+    intersection size. Engine-portable md5 (the a_kmv_distinct_estimate
+    trick) → FULL value oracle for an approximate set-operation sketch.
+    Scale shape: per-set sketches are TakeOrdered(k) over distinct-hash
+    reductions (k values ever cross the wire — sketches of two 100 TB
+    sets meet in kilobytes); membership tests are broadcast semi-joins
+    of 32-row frames. Exact intersection/union computed beside it for
+    the error check (estimator error is data-dependent; the oracle pins
+    the VALUES, the docstring not an error bound — at sf0.01 the user
+    sets overlap almost completely, so ρ≈1)."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+
+    def sketch(tag: str) -> DataFrame:
+        return (
+            e.where(F.col("event_type") == tag)
+            .select(h.alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(32)
+        )
+
+    ka, kb = sketch("click"), sketch("purchase")
+    merged = ka.unionAll(kb).distinct().orderBy("h").limit(32)
+    rho_c = (
+        merged.join(F.broadcast(ka), "h", "left_semi")
+        .join(F.broadcast(kb), "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hk = merged.agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("km"))
+    inter_exact = (
+        e.where(F.col("event_type") == "click")
+        .select("user_id")
+        .join(
+            e.where(F.col("event_type") == "purchase").select("user_id").distinct(),
+            "user_id",
+            "left_semi",
+        )
+        .agg(F.count_distinct("user_id").alias("inter_exact"))
+    )
+    union_exact = (
+        e.where(F.col("event_type").isin("click", "purchase"))
+        .agg(F.count_distinct("user_id").alias("union_exact"))
+    )
+    one = (
+        rho_c.crossJoin(hk).crossJoin(inter_exact).crossJoin(union_exact)
+    )
+    return one.select(
+        F.lit(32).cast("int").alias("k"),
+        F.round(F.col("c") / 32.0, 4).alias("jaccard_kmv"),
+        F.round((F.col("km") - 1) / F.col("hk"), 4).alias("union_kmv"),
+        F.round(F.col("c") / 32.0 * (F.col("km") - 1) / F.col("hk"), 4).alias(
+            "inter_kmv"
+        ),
+        F.round(
+            F.col("inter_exact").cast("double") / F.col("union_exact"), 4
+        ).alias("jaccard_exact"),
     )

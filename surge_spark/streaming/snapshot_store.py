@@ -93,6 +93,7 @@ class SnapshotStore:
         checkpoint_interval: int = 100,
         dedup_horizon: int | None = 100_000,
         delta_commits: int | None = None,
+        change_feed: bool = False,
     ) -> None:
         """``checkpoint_interval``: every N commits the manifest log is
         rolled up into a checkpoint file plus a ``_last_checkpoint`` pointer
@@ -126,7 +127,16 @@ class SnapshotStore:
         bucket per commit (measured locally: the COW state write was
         1.1-1.35 s of a 2.5 s batch ack at 128 cmds/64 buckets); an append
         is O(batch) regardless of snapshot size, and compaction amortizes
-        the rewrite over N batches."""
+        the rewrite over N batches.
+
+        ``change_feed``: the Delta CDF analog. Merge-on-read APPEND
+        commits already persist their exact change set — the delta dir —
+        so read_changes covers them for free; COW commits, the first
+        commit, and compaction commits fold changes into rewritten
+        buckets and lose the per-version record. With change_feed=True
+        those commits ALSO write an O(batch) ``changes`` dir (updates +
+        tombstones, the delta-file shape) referenced from the manifest,
+        making read_changes gapless over the store's whole history."""
         self.path = path
         self.key_col = key_col
         # effective bucket count is pinned by the first commit's manifest so
@@ -137,6 +147,7 @@ class SnapshotStore:
         if delta_commits is not None and delta_commits < 1:
             raise ValueError(f"delta_commits must be >= 1, got {delta_commits}")
         self.delta_commits = delta_commits
+        self.change_feed = change_feed
         os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
         # manifests are immutable once linked, so cache parses; batch ids
         # accumulate incrementally — without this, every commit rescans all
@@ -314,6 +325,34 @@ class SnapshotStore:
         return spark.createDataFrame(
             [(str(k),) for k in keys], f"{self.key_col} string"
         )
+
+    def _updates_with_tombstones(
+        self,
+        state_updates: DataFrame,
+        dele: DataFrame | None,
+        state_schema_json: str,
+    ) -> DataFrame | None:
+        """One frame of the batch's changes in the delta-file shape:
+        update rows with ``__deleted=false`` union tombstone keys padded
+        to the state schema with ``__deleted=true`` (None when the batch
+        changed nothing). Used for both delta appends and change-feed
+        records — they are the same artifact."""
+        schema_struct = T.StructType.fromJson(json.loads(state_schema_json))
+        parts: list[DataFrame] = []
+        if state_updates.schema.fields:
+            parts.append(state_updates.withColumn("__deleted", F.lit(False)))
+        if dele is not None and schema_struct.fields:
+            key_field = schema_struct[self.key_col]
+            pad = [
+                F.col(self.key_col).cast(key_field.dataType).alias(self.key_col)
+                if f.name == self.key_col
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema_struct.fields
+            ]
+            parts.append(dele.select(*pad).withColumn("__deleted", F.lit(True)))
+        if len(parts) == 2:
+            return parts[0].unionByName(parts[1])
+        return parts[0] if parts else None
 
     # -- merge-on-read helpers -----------------------------------------------
 
@@ -611,9 +650,10 @@ class SnapshotStore:
         from pyspark.sql import Observation
 
         side_writes = []
-        pool = ThreadPoolExecutor(max_workers=3)
+        pool = ThreadPoolExecutor(max_workers=4)
         n_events = 0
-        ev_obs = rec_obs = None
+        ev_obs = rec_obs = ch_obs = None
+        changes_path = os.path.join(vdir, "changes")
         if events is not None:
             ev_obs = Observation()
             ev_df = events.observe(ev_obs, F.count(F.lit(1)).alias("n"))
@@ -680,26 +720,16 @@ class SnapshotStore:
             and legacy_state is None
             and len(prev_deltas) < self.delta_commits
         )
+        # the batch's OWN updates/tombstones, captured BEFORE the
+        # compaction branch folds the delta backlog into state_updates —
+        # this is what a change-feed record for this version must carry
+        orig_updates, orig_dele = state_updates, dele
         delta_df: DataFrame | None = None
         delta_path = os.path.join(vdir, "state-delta")
         if delta_write:
-            schema_struct = T.StructType.fromJson(json.loads(state_schema_json))
-            parts: list[DataFrame] = []
-            if state_updates.schema.fields:
-                parts.append(state_updates.withColumn("__deleted", F.lit(False)))
-            if dele is not None and schema_struct.fields:
-                key_field = schema_struct[self.key_col]
-                pad = [
-                    F.col(self.key_col).cast(key_field.dataType).alias(self.key_col)
-                    if f.name == self.key_col
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in schema_struct.fields
-                ]
-                parts.append(dele.select(*pad).withColumn("__deleted", F.lit(True)))
-            if len(parts) == 2:
-                delta_df = parts[0].unionByName(parts[1])
-            elif parts:
-                delta_df = parts[0]
+            delta_df = self._updates_with_tombstones(
+                state_updates, dele, state_schema_json
+            )
             touched: set[str] = set()  # base buckets untouched by an append
         elif prev_deltas:
             # compaction: latest-wins across accumulated deltas + this
@@ -852,6 +882,25 @@ class SnapshotStore:
                             _sh.rmtree(delta_path, ignore_errors=True)
                             delta_df = None
                 else:
+                    # change-feed record for a rewriting commit (first
+                    # commit / COW / compaction): the batch's OWN changes
+                    # in the delta-file shape, O(batch), concurrent with
+                    # the bucket rewrite. Append commits need none — the
+                    # delta dir IS the change record.
+                    if self.change_feed:
+                        ch_df = self._updates_with_tombstones(
+                            orig_updates, orig_dele, state_schema_json
+                        )
+                        if ch_df is not None:
+                            ch_obs = Observation()
+                            side_writes.append(
+                                pool.submit(
+                                    ch_df.observe(
+                                        ch_obs, F.count(F.lit(1)).alias("n")
+                                    ).write.mode("overwrite").parquet,
+                                    changes_path,
+                                )
+                            )
                     bucketed = content.withColumn(_BUCKET_COL, self._bucket_expr(nb))
                     bucketed.repartition(F.col(_BUCKET_COL)).write.partitionBy(
                         _BUCKET_COL
@@ -872,7 +921,18 @@ class SnapshotStore:
         if rec_obs is not None and int(rec_obs.get["n"]) == 0:
             _shutil.rmtree(records_path, ignore_errors=True)
             records = None
+        if ch_obs is not None and int(ch_obs.get["n"]) == 0:
+            _shutil.rmtree(changes_path, ignore_errors=True)
+            ch_obs = None
 
+        # change record for this version: an append commit's delta dir
+        # doubles as it; a rewriting commit's explicit changes dir (only
+        # under change_feed). Sentinels read_changes relies on:
+        #   "<path>" — the record; "" — authoritatively NO state change
+        #   this version; None/absent — no record exists (a COW commit
+        #   without change_feed, or a pre-feed manifest) → reading a
+        #   range over it is an error, not silent emptiness.
+        changes_entry: str | None = None
         if delta_write:
             new_buckets = dict(prev_buckets)  # base untouched by an append
             new_deltas = list(prev_deltas)
@@ -880,6 +940,9 @@ class SnapshotStore:
                 new_deltas.append(
                     {"path": delta_path, "schema": state_schema_json}
                 )
+                changes_entry = delta_path
+            else:
+                changes_entry = ""  # empty batch — delta mode always records
         else:
             new_deltas = []  # compaction folded any backlog into the base
             new_buckets = dict(prev_buckets)
@@ -890,6 +953,12 @@ class SnapshotStore:
                     if d.startswith(f"{_BUCKET_COL}="):
                         b = d.split("=", 1)[1]
                         new_buckets[b] = os.path.join(state_path, d)
+            if self.change_feed:
+                changes_entry = (
+                    changes_path
+                    if ch_obs is not None and os.path.isdir(changes_path)
+                    else ""  # feed on, batch changed nothing
+                )
 
         manifest = {
             "version": version,
@@ -907,6 +976,7 @@ class SnapshotStore:
                 replies_path if (replies_external and replies is not None) else None
             ),
             "records": records_path if records is not None else None,
+            "changes": changes_entry,
             "n_events": n_events,
             "ts": time.time(),
         }
@@ -1278,6 +1348,80 @@ class SnapshotStore:
         ):
             _finish_reply_publication(m["replies"], m["replies_staging"])
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        start_version: int = 0,
+        end_version: int | None = None,
+    ) -> DataFrame | None:
+        """Change data feed (the Delta CDF / Hudi incremental-query
+        analog): one row per upsert/tombstone committed in versions
+        [start_version, end_version], as the state schema plus
+        ``_change_type`` ('upsert' | 'delete') and ``_version``. Append
+        commits' delta dirs ARE their change records (free); rewriting
+        commits carry one only when the store was built with
+        ``change_feed=True`` — a version in range with NO record raises
+        (silently returning nothing would corrupt a downstream consumer).
+        Per-version reads unioned: a CDC consumer's range is bounded
+        (committed-offset to head), so plan size tracks the range, not
+        store history. Returns None for an empty store; an in-range
+        empty batch contributes zero rows."""
+        import functools
+
+        latest = self.latest_version()
+        if latest is None:
+            return None
+        end = latest if end_version is None else int(end_version)
+        if end > latest:
+            raise ValueError(f"version {end} was never committed")
+        parts: list[DataFrame] = []
+        missing: list[int] = []
+        for v in range(int(start_version), end + 1):
+            m = self._manifest(v)
+            p = m.get("changes")
+            if p is None:
+                # pre-feed manifest: an append commit's own delta dir can
+                # still be located by its path-embedded version
+                for ent in m.get("state_deltas", []):
+                    if self._delta_version(ent["path"]) == v:
+                        p = ent["path"]
+                        break
+            if p == "":
+                continue  # authoritatively empty batch
+            if p is None or not os.path.isdir(p):
+                # no record ever written, or the record was vacuumed away
+                # with its version's state dirs — either way the feed has
+                # a hole here and silence would corrupt a consumer
+                missing.append(v)
+                continue
+            st = T.StructType.fromJson(json.loads(m["state_schema"]))
+            read_schema = T.StructType(
+                list(st.fields) + [T.StructField("__deleted", T.BooleanType())]
+            )
+            parts.append(
+                spark.read.schema(read_schema)
+                .option("recursiveFileLookup", "true")
+                .parquet(p)
+                .select(*[f.name for f in st.fields], "__deleted")
+                .withColumn("_version", F.lit(v).cast("long"))
+            )
+        if missing:
+            raise ValueError(
+                f"versions {missing} have no readable change record "
+                "(rewriting commits record changes only under "
+                "change_feed=True, and vacuum reclaims records older than "
+                "its retention along with their versions' state dirs)"
+            )
+        if not parts:
+            return None
+        u = functools.reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
+        return u.withColumn(
+            "_change_type",
+            F.when(F.col("__deleted"), F.lit("delete")).otherwise(F.lit("upsert")),
+        ).drop("__deleted")
+
     def _events_sidecar_path(self) -> str:
         return os.path.join(self.path, "_manifests", "_events_compacted.json")
 
@@ -1432,7 +1576,7 @@ class SnapshotStore:
             m = self._manifest(v)
             for r in state_dirs(m):
                 all_refs.add(os.path.realpath(r))
-            for k in ("events", "replies", "replies_staging", "records"):
+            for k in ("events", "replies", "replies_staging", "records", "changes"):
                 if m.get(k):
                     all_refs.add(os.path.realpath(m[k]))
         for d in os.listdir(self.path):

@@ -364,3 +364,60 @@ def test_read_state_partitions_hint_copartitions_fold_join(spark, tmp_path):
     assert f", {sess_width})" not in plan or sess_width == 4, plan
     # values unchanged by the hint
     assert {r.k: r.n for r in snap.collect()} == {"a": 1, "b": 20}
+
+
+def test_change_data_feed_gapless_across_compaction(spark, tmp_path):
+    """read_changes (the Delta-CDF analog): append commits' delta dirs
+    serve as free change records; with change_feed=True the first commit
+    and compaction commits also record their OWN batch (not the folded
+    backlog), so the feed is gapless across append/compact cycling —
+    upserts and tombstones with exact (_version, _change_type)."""
+    import pytest as _pytest
+
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=2,
+        change_feed=True,
+    )
+    store.commit(None, _upd(spark, [("a", 1), ("b", 2)]), "b0", updates_unique=True)
+    store.commit(None, _upd(spark, [("a", 10)]), "b1", updates_unique=True)
+    store.commit(
+        None, _upd(spark, []).limit(0), "b2", delete_keys=["b"],
+        updates_unique=True,
+    )
+    # b3 exceeds delta_commits=2 -> compaction; its own change is (c, 5)
+    store.commit(None, _upd(spark, [("c", 5)]), "b3", updates_unique=True)
+    assert not store._manifest(3).get("state_deltas")
+
+    ch = store.read_changes(spark)
+    rows = {(r._version, r.k): (r._change_type, r.n) for r in ch.collect()}
+    assert rows == {
+        (0, "a"): ("upsert", 1),
+        (0, "b"): ("upsert", 2),
+        (1, "a"): ("upsert", 10),
+        (2, "b"): ("delete", None),
+        (3, "c"): ("upsert", 5),
+    }, rows
+    # bounded range: only versions 1..2
+    sub = store.read_changes(spark, start_version=1, end_version=2)
+    assert {(r._version, r.k) for r in sub.collect()} == {(1, "a"), (2, "b")}
+
+    # replaying the feed reproduces the snapshot (CDF's core contract)
+    latest = {}
+    for r in sorted(ch.collect(), key=lambda r: r._version):
+        if r._change_type == "delete":
+            latest.pop(r.k, None)
+        else:
+            latest[r.k] = r.n
+    assert latest == {r.k: r.n for r in store.read_state(spark).collect()}
+
+    # a store WITHOUT change_feed: append versions still readable, but a
+    # range crossing the (unrecorded) rewriting commit raises
+    plain = SnapshotStore(
+        str(tmp_path / "p"), key_col="k", num_buckets=4, delta_commits=8
+    )
+    plain.commit(None, _upd(spark, [("x", 1)]), "c0", updates_unique=True)
+    plain.commit(None, _upd(spark, [("y", 2)]), "c1", updates_unique=True)
+    got = plain.read_changes(spark, start_version=1)
+    assert {(r._version, r.k) for r in got.collect()} == {(1, "y")}
+    with _pytest.raises(ValueError, match="no readable change record"):
+        plain.read_changes(spark)  # version 0 (first commit) unrecorded
