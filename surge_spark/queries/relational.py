@@ -3291,3 +3291,86 @@ def a_kmv_jaccard_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("inter_exact").cast("double") / F.col("union_exact"), 4
         ).alias("jaccard_exact"),
     )
+
+
+@query(
+    "w_period_over_period",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_orderstatus AS status, date_trunc('month', o_orderdate) AS month,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY status, month
+    )
+    SELECT status, month, CAST(revenue AS DOUBLE) AS revenue,
+           CAST(round(revenue - lag(revenue) OVER w, 2) AS DOUBLE) AS mom_delta,
+           CAST(round(100.0 * (revenue - lag(revenue) OVER w)
+                      / lag(revenue) OVER w, 4) AS DOUBLE) AS mom_pct
+    FROM monthly
+    WINDOW w AS (PARTITION BY status ORDER BY month)
+    """,
+)
+def w_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue delta and growth %% per order status —
+    the period-over-period reporting shape (lag over an AGGREGATED
+    frame). Scale note: the window runs over the monthly aggregate (tens
+    of rows per status), never the fact table — the partial+final revenue
+    aggregate is the only corpus-wide pass, so the 'sort' the window
+    needs is a per-status handful of months. First month's deltas are
+    NULL on both engines (lag has no default)."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = W.partitionBy("status").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "status",
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
+    )
+
+
+@query(
+    "f_parse_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '#top' AS url,
+             source, lang
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, url,
+           'https' AS protocol,
+           source || '.example.com' AS host,
+           '/docs/' || doc_id AS path,
+           'lang=' || lang AS query,
+           lang AS lang_param
+    FROM u
+    """,
+)
+def f_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with Spark's parse_url (PROTOCOL/HOST/PATH/QUERY
+    + keyed query parameter) — the log-sessionization preprocessing
+    function family. URLs are constructed deterministically from document
+    columns, and the oracle rebuilds each component from the same inputs,
+    so the check pins parse_url's semantics (DuckDB has no parse_url).
+    Map-side only; the filter prunes at the scan."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id"), F.lit("?lang="), F.col("lang"), F.lit("#top"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
