@@ -176,48 +176,58 @@ def bench_streaming(spark) -> dict:
         # straggler task (AQE is off inside foreachBatch, so no runtime
         # skew split). 50% of commands hit ONE key; same batch sizes as
         # the uniform block so the two ack medians are comparable.
-        skew_rows = [
-            ("hot" if i % 2 == 0 else str(i % n_keys), f"cmd-{i:012d}")
-            for i in range(n_commands)
-        ]
-        (
-            spark.createDataFrame(skew_rows, "aggregate_id string, command_id string")
-            .repartition(n_batches)
-            .write.parquet(f"{root}/cmds-skew")
-        )
-        skew_store = SnapshotStore(
-            f"{root}/store-skew",
-            key_col="aggregate_id",
-            num_buckets=16,
-            delta_commits=16,
-        )
-        skew_engine = CommandEngine(
-            skew_store,
-            process_command=process,
-            handle_event=handle,
-            state_schema="aggregate_id string, n long",
-            event_schema="aggregate_id string",
-            key_col="aggregate_id",
-            order_cols=["command_id"],
-            fold_partitions=4,
-        )
-        skew_stream = (
-            spark.readStream.schema("aggregate_id string, command_id string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{root}/cmds-skew")
-        )
-        t0 = time.perf_counter()
-        sq = skew_engine.run_stream(skew_stream, f"{root}/ckpt-skew")
-        sq.awaitTermination()
-        skew_wall = time.perf_counter() - t0
-        skew_batch_s = [
-            p["durationMs"]["triggerExecution"] / 1000.0
-            for p in (sq.recentProgress or [])
-            if p.get("numInputRows", 0) > 0
-        ]
-        skew_busy = sum(skew_batch_s) or skew_wall
-        hot_n = (skew_engine.get_state(spark, "hot") or {}).get("n")
-        assert hot_n == n_commands // 2, hot_n
+        # Guarded separately (r4 lesson: one failure must never zero the
+        # metrics already measured above) — a skew failure reports None
+        # for the skew keys only.
+        skew_batch_s, skew_busy, skew_err = [], None, None
+        try:
+            skew_rows = [
+                ("hot" if i % 2 == 0 else str(i % n_keys), f"cmd-{i:012d}")
+                for i in range(n_commands)
+            ]
+            (
+                spark.createDataFrame(
+                    skew_rows, "aggregate_id string, command_id string"
+                )
+                .repartition(n_batches)
+                .write.parquet(f"{root}/cmds-skew")
+            )
+            skew_store = SnapshotStore(
+                f"{root}/store-skew",
+                key_col="aggregate_id",
+                num_buckets=16,
+                delta_commits=16,
+            )
+            skew_engine = CommandEngine(
+                skew_store,
+                process_command=process,
+                handle_event=handle,
+                state_schema="aggregate_id string, n long",
+                event_schema="aggregate_id string",
+                key_col="aggregate_id",
+                order_cols=["command_id"],
+                fold_partitions=4,
+            )
+            skew_stream = (
+                spark.readStream.schema("aggregate_id string, command_id string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{root}/cmds-skew")
+            )
+            t0 = time.perf_counter()
+            sq = skew_engine.run_stream(skew_stream, f"{root}/ckpt-skew")
+            sq.awaitTermination()
+            skew_wall = time.perf_counter() - t0
+            skew_batch_s = [
+                p["durationMs"]["triggerExecution"] / 1000.0
+                for p in (sq.recentProgress or [])
+                if p.get("numInputRows", 0) > 0
+            ]
+            skew_busy = sum(skew_batch_s) or skew_wall
+            hot_n = (skew_engine.get_state(spark, "hot") or {}).get("n")
+            assert hot_n == n_commands // 2, hot_n
+        except Exception as exc:  # noqa: BLE001 — skew block is additive
+            skew_batch_s, skew_busy = [], None
+            skew_err = str(exc).split("\n")[0][:200]
 
         # ---- facade path: sendCommand = one-command micro-batch ----
         facade = SurgeEngine(
@@ -254,7 +264,10 @@ def bench_streaming(spark) -> dict:
             "skewed_batch_ack_s_median": (
                 round(st.median(skew_batch_s), 3) if skew_batch_s else None
             ),
-            "skewed_commands_per_s": round(n_commands / skew_busy, 1),
+            "skewed_commands_per_s": (
+                round(n_commands / skew_busy, 1) if skew_busy else None
+            ),
+            **({"skewed_error": skew_err} if skew_err else {}),
             "send_command_ack_s_median": round(st.median(acks), 3),
             "submit_many_cmds_per_s": round(len(many) / many_s, 1),
             "get_state_point_read_s_median": round(st.median(reads), 4),

@@ -360,12 +360,25 @@ class CommandEngine:
                 )
             else:
                 snapshot = self.store.read_state(spark, partitions=fp)
+        # ONE canonical partitioning key for repartition, join, and fold
+        # grouping: the string-cast command key. Hashing the raw key and
+        # joining on its cast would co-partition only when the key is
+        # already a string (cast simplifies away) — for a typed key (long
+        # user ids) EnsureRequirements would re-exchange the join AND the
+        # groupBy at the session width, silently worse than pre-r7. The
+        # cast is injective for atomic key types, the snapshot side's key
+        # is a string by the engine contract (state dicts carry
+        # str(command key)), and _handle_group stringifies the key it
+        # reads anyway.
+        commands = commands.withColumn(
+            "__k", F.col(self.key_col).cast("string")
+        )
         if fp is not None:
-            # pre-shuffle by key BEFORE the snapshot join: with the
-            # snapshot side partitioned the same way the join is
-            # exchange-free, and groupBy.applyInPandas reuses the join
-            # output's clustering — the fold pipeline is 2 exchanges total
-            commands = commands.repartition(fp, F.col(self.key_col))
+            # pre-shuffle BEFORE the snapshot join: with the snapshot side
+            # partitioned the same way the join is exchange-free, and
+            # groupBy.applyInPandas reuses the join output's clustering —
+            # the fold pipeline is 2 exchanges total
+            commands = commands.repartition(fp, F.col("__k"))
         state_fields: list[str] = []
         if snapshot is not None:
             # Actor init (§3.1.5) as a distributed left join: each command
@@ -381,8 +394,7 @@ class CommandEngine:
             )
             commands = commands.join(
                 prefixed,
-                commands[self.key_col].cast("string")
-                == prefixed[f"__state__{self.store.key_col}"],
+                F.col("__k") == prefixed[f"__state__{self.store.key_col}"],
                 "left",
             )
 
@@ -450,10 +462,11 @@ class CommandEngine:
             # fp resolved above (per-call override beats the engine
             # default: the facade knows its batch size — send_command is 1
             # row, and folding one command through 8 python tasks is 7
-            # empty Arrow round trips); the repartition already happened
-            # pre-join so the groupBy below adds no exchange
+            # empty Arrow round trips); grouping by __k reuses the
+            # pre-join repartition's clustering for EVERY key type, so
+            # the groupBy below adds no exchange
             packed = (
-                commands.groupBy(self.key_col)
+                commands.groupBy("__k")
                 .applyInPandas(fold, "kind string, payload string")
                 .persist()
             )

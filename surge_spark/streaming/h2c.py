@@ -242,12 +242,15 @@ class HpackDecoder:
             return self.dynamic[didx]
         raise ValueError(f"HPACK index {idx} out of range")
 
-    def _insert(self, name: str, value: str) -> None:
-        self.dynamic.insert(0, (name, value))
+    def _evict(self) -> None:
         size = sum(len(n) + len(v) + 32 for n, v in self.dynamic)
         while size > self.max_size and self.dynamic:
             n, v = self.dynamic.pop()
             size -= len(n) + len(v) + 32
+
+    def _insert(self, name: str, value: str) -> None:
+        self.dynamic.insert(0, (name, value))
+        self._evict()
 
     def decode(self, block: bytes) -> list[tuple[str, str]]:
         headers: list[tuple[str, str]] = []
@@ -266,9 +269,11 @@ class HpackDecoder:
                 self._insert(name, value)
                 headers.append((name, value))
             elif b & 0x20:  # dynamic table size update
+                # evict directly — a phantom insert would overcount by 32
+                # bytes and could evict a live entry the peer still
+                # references by index (connection-fatal)
                 self.max_size, pos = _hpack_read_int(block, pos, 5)
-                self._insert("", "")  # trigger eviction pass
-                self.dynamic = [e for e in self.dynamic if e != ("", "")]
+                self._evict()
             else:  # literal without indexing (0000) / never indexed (0001)
                 idx, pos = _hpack_read_int(block, pos, 4)
                 name = self._entry(idx)[0] if idx else None
@@ -285,6 +290,27 @@ class HpackDecoder:
 def grpc_wrap(message: bytes) -> bytes:
     """DATA payload: 1-byte compressed flag (0) + 4-byte BE length + bytes."""
     return b"\x00" + struct.pack(">I", len(message)) + message
+
+
+MAX_FRAME_SIZE = 16384  # RFC 9113 default SETTINGS_MAX_FRAME_SIZE
+
+
+def data_frames(stream_id: int, payload: bytes, end_stream: bool) -> bytes:
+    """A gRPC message as one-or-more DATA frames, each within the
+    unnegotiated SETTINGS_MAX_FRAME_SIZE — a compliant peer answers a
+    larger frame with FRAME_SIZE_ERROR and kills the connection.
+    END_STREAM rides only the final frame."""
+    out = bytearray()
+    chunks = [
+        payload[i : i + MAX_FRAME_SIZE]
+        for i in range(0, len(payload), MAX_FRAME_SIZE)
+    ] or [b""]
+    for i, chunk in enumerate(chunks):
+        last = i == len(chunks) - 1
+        out += encode_frame(
+            F_DATA, FLAG_END_STREAM if (end_stream and last) else 0, stream_id, chunk
+        )
+    return bytes(out)
 
 
 def grpc_unwrap(data: bytes) -> bytes:
@@ -383,10 +409,23 @@ def serve_business_logic_h2c(
                     continue
                 if ftype == F_GOAWAY:
                     return
-                if ftype in (F_WINDOW_UPDATE, F_RST_STREAM):
+                if ftype == F_WINDOW_UPDATE:
+                    continue
+                if ftype == F_RST_STREAM:
+                    # peer cancelled (grpc deadline/cancel): drop buffered
+                    # stream state or a long-lived channel leaks an entry
+                    # per cancelled RPC
+                    streams.pop(sid, None)
                     continue
                 st = streams.setdefault(
-                    sid, {"headers": [], "data": b"", "hdr_buf": b"", "open_hdr": False}
+                    sid,
+                    {
+                        "headers": [],
+                        "data": b"",
+                        "hdr_buf": b"",
+                        "open_hdr": False,
+                        "end_stream": False,
+                    },
                 )
                 if ftype == F_HEADERS or (
                     ftype == F_CONTINUATION and st["open_hdr"]
@@ -403,7 +442,14 @@ def serve_business_logic_h2c(
                         upd = struct.pack(">I", len(payload))
                         send(encode_frame(F_WINDOW_UPDATE, 0, 0, upd))
                         send(encode_frame(F_WINDOW_UPDATE, 0, sid, upd))
-                if flags & FLAG_END_STREAM and not st["open_hdr"]:
+                # LATCH END_STREAM: a HEADERS frame may carry it without
+                # END_HEADERS (block split into CONTINUATIONs, which per
+                # RFC 9113 never carry END_STREAM themselves) — acting
+                # only on the flag of the current frame would hang the
+                # exchange once the block closes
+                if flags & FLAG_END_STREAM and ftype in (F_HEADERS, F_DATA):
+                    st["end_stream"] = True
+                if st["end_stream"] and not st["open_hdr"]:
                     self._respond(send, decoder, sid, st)
                     streams.pop(sid, None)
 
@@ -434,7 +480,7 @@ def serve_business_logic_h2c(
                     F_HEADERS, FLAG_END_HEADERS, sid, hpack_encode(RESPONSE_HEADERS)
                 )
             )
-            send(encode_frame(F_DATA, 0, sid, grpc_wrap(reply)))
+            send(data_frames(sid, grpc_wrap(reply), end_stream=False))
             send(
                 encode_frame(
                     F_HEADERS,
@@ -479,14 +525,13 @@ class H2cBusinessLogicClient(BusinessLogicCallerMixin):
                     hpack_encode(request_headers(path, f"{self.host}:{self.port}")),
                 )
             )
-            sock.sendall(
-                encode_frame(F_DATA, FLAG_END_STREAM, 1, grpc_wrap(payload))
-            )
+            sock.sendall(data_frames(1, grpc_wrap(payload), end_stream=True))
             decoder = HpackDecoder()
             headers: list[tuple[str, str]] = []
             data = b""
             hdr_buf = b""
             open_hdr = False
+            end_stream = False
             while True:
                 ftype, flags, sid, fp = read_frame(sock)
                 if ftype == F_SETTINGS:
@@ -508,7 +553,18 @@ class H2cBusinessLogicClient(BusinessLogicCallerMixin):
                         hdr_buf = b""
                 elif ftype == F_DATA:
                     data += fp
-                if flags & FLAG_END_STREAM and not open_hdr:
+                    if fp:
+                        # replenish both window levels — a compliant peer
+                        # streaming a reply past the 64 KiB initial window
+                        # stalls forever otherwise
+                        upd = struct.pack(">I", len(fp))
+                        sock.sendall(encode_frame(F_WINDOW_UPDATE, 0, 0, upd))
+                        sock.sendall(encode_frame(F_WINDOW_UPDATE, 0, 1, upd))
+                # latch: trailers may arrive as HEADERS(END_STREAM) +
+                # CONTINUATION(END_HEADERS) — see the server loop
+                if flags & FLAG_END_STREAM and ftype in (F_HEADERS, F_DATA):
+                    end_stream = True
+                if end_stream and not open_hdr:
                     break
         hdrs = dict(headers)
         status = int(hdrs.get("grpc-status", "2"))

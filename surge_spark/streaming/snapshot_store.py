@@ -180,8 +180,13 @@ class SnapshotStore:
         self._memo_lock = threading.RLock()
         # pyarrow dataset memo for driver-side point reads: version dirs are
         # immutable once a manifest references them, so the file listing +
-        # footer metadata a dataset caches stays valid for the dir's life
+        # footer metadata a dataset caches stays valid for the dir's life.
+        # Its OWN lock: point reads must never queue behind the prewarm
+        # daemon's 0.1-0.3 s Spark plan build under _memo_lock — the whole
+        # purpose of the arrow path is a sub-50 ms lookup that touches no
+        # Spark state
         self._arrow_dsets: dict[str, object] = {}
+        self._arrow_lock = threading.Lock()
 
     # -- commit protocol ----------------------------------------------------
 
@@ -1108,7 +1113,7 @@ class SnapshotStore:
         point reads skip the file listing and footer parse."""
         import pyarrow.dataset as pads
 
-        with self._memo_lock:
+        with self._arrow_lock:
             got = self._arrow_dsets.get(path)
             if got is not None:
                 return got
@@ -1222,8 +1227,14 @@ class SnapshotStore:
         m = self._manifest(v)
         try:
             return self._point_read_arrow(m, aggregate_id)
-        except (ImportError, NotImplementedError):
-            pass  # environment/type not covered: the Spark scan is exact
+        except Exception:  # noqa: BLE001 — the Spark scan below is the
+            # exact documented fallback, and arrow failure modes are wider
+            # than ImportError/NotImplementedError: a schema-drifted delta
+            # whose physical key type rejects the scalar cast raises
+            # ArrowInvalid, a truncated footer OSError — all cases the
+            # Spark path answers correctly (equality pinned by test), so
+            # none may crash a gateway point read
+            pass
         return self._point_read_spark(spark, m, aggregate_id)
 
     def _point_read_spark(
@@ -1364,19 +1375,43 @@ class SnapshotStore:
         (silently returning nothing would corrupt a downstream consumer).
         Per-version reads unioned: a CDC consumer's range is bounded
         (committed-offset to head), so plan size tracks the range, not
-        store history. Returns None for an empty store; an in-range
-        empty batch contributes zero rows."""
+        store history. Returns None only for a never-committed store; a
+        caught-up consumer (start past head) or a range of empty batches
+        gets an EMPTY typed frame."""
         import functools
 
         latest = self.latest_version()
         if latest is None:
             return None
+        start = int(start_version)
+        if start < 0:
+            raise ValueError(f"start_version must be >= 0, got {start}")
         end = latest if end_version is None else int(end_version)
         if end > latest:
             raise ValueError(f"version {end} was never committed")
+        def empty_feed() -> DataFrame:
+            # caught-up consumer (start past head) or a range of genuinely
+            # empty batches: an EMPTY typed frame, distinguishable from
+            # the never-committed-store None sentinel
+            st = T.StructType.fromJson(
+                json.loads(self._manifest(latest)["state_schema"])
+            )
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    list(st.fields)
+                    + [
+                        T.StructField("_version", T.LongType()),
+                        T.StructField("_change_type", T.StringType()),
+                    ]
+                ),
+            )
+
+        if start > end:
+            return empty_feed()
         parts: list[DataFrame] = []
         missing: list[int] = []
-        for v in range(int(start_version), end + 1):
+        for v in range(start, end + 1):
             m = self._manifest(v)
             p = m.get("changes")
             if p is None:
@@ -1413,7 +1448,7 @@ class SnapshotStore:
                 "its retention along with their versions' state dirs)"
             )
         if not parts:
-            return None
+            return empty_feed()
         u = functools.reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )

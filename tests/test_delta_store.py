@@ -421,3 +421,29 @@ def test_change_data_feed_gapless_across_compaction(spark, tmp_path):
     assert {(r._version, r.k) for r in got.collect()} == {(1, "y")}
     with _pytest.raises(ValueError, match="no readable change record"):
         plain.read_changes(spark)  # version 0 (first commit) unrecorded
+
+
+def test_fold_join_copartitioned_for_typed_keys_too(spark, tmp_path):
+    """r7 review fix: the engine hashes ONE canonical string-cast key
+    (__k) for repartition, join, and fold grouping, so a LONG command-key
+    column still yields the 2-exchange fold pipeline — hashing the raw
+    key and joining on its cast would re-exchange both join and groupBy
+    at the session width for every non-string key type."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=8
+    )
+    store.commit(None, _upd(spark, [("7", 1), ("8", 2)]), "b0", updates_unique=True)
+    store.commit(None, _upd(spark, [("8", 20)]), "b1", updates_unique=True)
+
+    snap = store.read_state(spark, partitions=4)
+    prefixed = snap.select(*[F.col(c).alias(f"__state__{c}") for c in snap.columns])
+    cmds = (
+        spark.createDataFrame([(7, "c1"), (8, "c2")], "k long, command_id string")
+        .withColumn("__k", F.col("k").cast("string"))
+        .repartition(4, F.col("__k"))
+    )
+    joined = cmds.join(prefixed, F.col("__k") == prefixed["__state__k"], "left")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan

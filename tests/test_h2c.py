@@ -220,3 +220,53 @@ def test_cross_process_h2c_business_logic(spark, tmp_path):
         proc.terminate()
         proc.wait(timeout=10)
     assert gw.health_check().status == "DOWN"
+
+
+def test_large_payload_chunked_into_max_frame_size():
+    """r7 review fixes: DATA never exceeds the unnegotiated
+    SETTINGS_MAX_FRAME_SIZE (a compliant peer kills oversized frames with
+    FRAME_SIZE_ERROR), END_STREAM rides only the last chunk, and a >16 KiB
+    message round-trips through the live client/server."""
+    big = bytes(range(256)) * 256  # 64 KiB
+    frames = h2c.data_frames(1, h2c.grpc_wrap(big), end_stream=True)
+    pos, sizes, flags_seen = 0, [], []
+    while pos < len(frames):
+        length = int.from_bytes(frames[pos : pos + 3], "big")
+        sizes.append(length)
+        flags_seen.append(frames[pos + 4])
+        pos += 9 + length
+    assert all(s <= h2c.MAX_FRAME_SIZE for s in sizes)
+    assert [f & h2c.FLAG_END_STREAM for f in flags_seen[:-1]] == [0] * (
+        len(flags_seen) - 1
+    )
+    assert flags_seen[-1] & h2c.FLAG_END_STREAM
+
+    srv = h2c.serve_business_logic_h2c(_EchoService())
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        client = h2c.H2cBusinessLogicClient("127.0.0.1", srv.server_address[1])
+        r = client.process_command("k", None, ml.Command("k", big))
+        assert r.is_success and r.events[0].payload == big
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_hpack_size_update_does_not_evict_fitting_entry():
+    """A dynamic-table size update must not evict entries that still fit
+    (the phantom-insert bug overcounted by 32 bytes): fill the table to
+    exactly max_size, update to the same size, then reference the entry."""
+    d = h2c.HpackDecoder()
+    name, value = "x-a", "v" * (64 - 32 - 3)  # entry size exactly 64
+    d.max_size = 64
+    d._insert(name, value)
+    assert d.dynamic == [(name, value)]
+    # size update to the SAME max (001 + 5-bit-prefix int 64): nothing
+    # may be evicted
+    upd = h2c.hpack_int(64, 5, 0x20)
+    assert d.decode(upd) == []
+    assert d.dynamic == [(name, value)]
+    # the entry is still referenceable at index 62
+    got = d.decode(h2c.hpack_int(62, 7, 0x80))
+    assert got == [(name, value)]
