@@ -3374,3 +3374,52 @@ def f_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@query(
+    "o_compaction_plan",
+    oracle="""
+    WITH zones AS (
+      SELECT CAST(floor(o_orderkey / 256) AS BIGINT) AS zone,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY zone
+    ),
+    cum AS (
+      SELECT zone, n_rows,
+             sum(n_rows) OVER (ORDER BY zone
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rows
+      FROM zones
+    )
+    SELECT zone, CAST(n_rows AS INT) AS n_rows,
+           CAST(floor((cum_rows - n_rows) / 2000) AS BIGINT) AS target_file
+    FROM cum
+    """,
+)
+def o_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the Delta OPTIMIZE bin-packing
+    step): zones (stand-ins for small files, with row counts as sizes)
+    are packed zone-order into ~2000-row target files by cutting the
+    running size total — the same head-to-tail packing as
+    t_pack_sequences, so it REUSES distributed_prefix_sum: exact global
+    assignment with no unpartitioned window (quantile-sharded running
+    sum + broadcast shard offsets). A maintenance job then rewrites each
+    target_file group in one task. The oracle computes the same plan
+    with a plain global window — tractable for DuckDB, impossible shape
+    at 100 TB."""
+    from ..operators.text import distributed_prefix_sum
+
+    o = _t(spark, sf_dir, "orders")
+    zones = o.groupBy(
+        F.floor(F.col("o_orderkey") / 256).cast("long").alias("zone")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    cum = distributed_prefix_sum(
+        zones, "n_rows", "zone", [F.col("zone")], n_shards=8, out_col="cum_rows"
+    )
+    return cum.select(
+        "zone",
+        F.col("n_rows").cast("int").alias("n_rows"),
+        F.floor((F.col("cum_rows") - F.col("n_rows")) / 2000)
+        .cast("long")
+        .alias("target_file"),
+    )
