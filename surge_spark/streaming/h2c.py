@@ -21,13 +21,18 @@ exchanges over h2c:
   response  HEADERS :status 200 + content-type, DATA, then TRAILERS
             (HEADERS frame, END_STREAM) carrying grpc-status/grpc-message
 
-Scope, stated honestly: no TLS/ALPN (h2c only — gRPC's insecure channel),
-no HPACK Huffman coding (we never emit it; a peer that does gets a clear
-ValueError), no server push / priorities (gRPC uses neither), flow control
-handled by replenishing windows after every DATA frame (messages here are
-command-sized). The server dispatches by :path into the same proto3
-dispatch table as the length-prefixed loopback (multilanguage._dispatch),
-so both transports execute identical semantics.
+TLS: pass ssl contexts (make_server_ssl_context / make_client_ssl_context)
+to upgrade both ends to gRPC-over-TLS with ALPN 'h2' negotiation (RFC
+7301) — the grpc SECURE channel's transport; the client refuses a server
+that negotiated anything but h2. Without contexts the endpoint speaks h2c
+(prior-knowledge cleartext — grpc's insecure channel).
+
+Scope, stated honestly: no HPACK Huffman coding (we never emit it; a peer
+that does gets a clear ValueError), no server push / priorities (gRPC uses
+neither), flow control handled by replenishing windows after every DATA
+frame (messages here are command-sized). The server dispatches by :path
+into the same proto3 dispatch table as the length-prefixed loopback
+(multilanguage._dispatch), so both transports execute identical semantics.
 """
 
 from __future__ import annotations
@@ -364,17 +369,55 @@ def trailers(status: int, message: str = "") -> list[tuple[str, str]]:
 class _H2cServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
+    ssl_context = None  # set by serve_business_logic_h2c(tls=...)
+
+    def get_request(self):
+        sock, addr = super().get_request()
+        if self.ssl_context is not None:
+            sock = self.ssl_context.wrap_socket(sock, server_side=True)
+        return sock, addr
+
+
+def make_server_ssl_context(certfile: str, keyfile: str):
+    """TLS context for gRPC-over-TLS: HTTP/2 is negotiated via ALPN 'h2'
+    (RFC 7301), exactly what a grpc secure channel expects. Cert/key come
+    from the caller (any PEM pair — tests generate a self-signed one with
+    the openssl binary)."""
+    import ssl
+
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile, keyfile)
+    ctx.set_alpn_protocols(["h2"])
+    return ctx
+
+
+def make_client_ssl_context(cafile: str | None = None):
+    """Client TLS context offering ALPN 'h2'; ``cafile`` pins the server
+    cert (self-signed in tests). The client VERIFIES the negotiated
+    protocol is h2 before speaking frames."""
+    import ssl
+
+    ctx = ssl.create_default_context(cafile=cafile)
+    if cafile is not None:
+        ctx.check_hostname = False  # tests pin by CA, not hostname
+    ctx.set_alpn_protocols(["h2"])
+    return ctx
 
 
 def serve_business_logic_h2c(
-    service, host: str = "127.0.0.1", port: int = 0
+    service, host: str = "127.0.0.1", port: int = 0, ssl_context=None
 ) -> _H2cServer:
     """Serve a BusinessLogicService as a wire-true h2c gRPC endpoint: the
     same dispatch semantics as serve_business_logic, but the transport is
     real HTTP/2 framing — a grpc client configured for an insecure channel
     with Huffman disabled interoperates. One connection handles many
     sequential or interleaved streams (client stream ids are odd and
-    increasing, as the RFC requires)."""
+    increasing, as the RFC requires).
+
+    ``ssl_context`` (make_server_ssl_context) upgrades the endpoint to
+    gRPC-over-TLS with ALPN 'h2' negotiation — the grpc SECURE channel's
+    transport; without it the endpoint speaks h2c (prior-knowledge
+    cleartext)."""
     from .multilanguage import _dispatch
 
     class Handler(socketserver.BaseRequestHandler):
@@ -490,7 +533,9 @@ def serve_business_logic_h2c(
                 )
             )
 
-    return _H2cServer((host, port), Handler)
+    srv = _H2cServer((host, port), Handler)
+    srv.ssl_context = ssl_context
+    return srv
 
 
 # -- client -------------------------------------------------------------------
@@ -506,16 +551,38 @@ class H2cBusinessLogicClient(BusinessLogicCallerMixin):
     (stream id 1) — the per-call handshake is 3 tiny frames each way,
     microseconds on loopback."""
 
-    def __init__(self, host: str, port: int, timeout: float = 30.0) -> None:
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        timeout: float = 30.0,
+        ssl_context=None,
+        server_hostname: str | None = None,
+    ) -> None:
         self.host = host
         self.port = port
         self.timeout = timeout
+        self.ssl_context = ssl_context
+        self.server_hostname = server_hostname
 
     def _call(self, method: int, payload: bytes) -> bytes:
         path = PATHS[method]
         with socket.create_connection(
             (self.host, self.port), timeout=self.timeout
-        ) as sock:
+        ) as raw:
+            if self.ssl_context is not None:
+                sock = self.ssl_context.wrap_socket(
+                    raw, server_hostname=self.server_hostname or self.host
+                )
+                # gRPC-over-TLS REQUIRES the h2 ALPN token — a server that
+                # negotiated something else cannot speak these frames
+                if sock.selected_alpn_protocol() != "h2":
+                    raise RuntimeError(
+                        "server did not negotiate ALPN h2 "
+                        f"(got {sock.selected_alpn_protocol()!r})"
+                    )
+            else:
+                sock = raw
             sock.sendall(PREFACE + encode_frame(F_SETTINGS, 0, 0, b""))
             sock.sendall(
                 encode_frame(

@@ -270,3 +270,44 @@ def test_hpack_size_update_does_not_evict_fitting_entry():
     # the entry is still referenceable at index 62
     got = d.decode(h2c.hpack_int(62, 7, 0x80))
     assert got == [(name, value)]
+
+
+def test_grpc_over_tls_with_alpn_h2(tmp_path):
+    """gRPC-over-TLS: both ends negotiate ALPN 'h2' (RFC 7301 — the grpc
+    secure channel's transport) over a self-signed cert generated with
+    the openssl binary; frames flow unchanged inside TLS and the client
+    REFUSES a server that did not negotiate h2."""
+    import shutil
+    import subprocess as sp
+
+    if shutil.which("openssl") is None:
+        pytest.skip("openssl binary unavailable for self-signed cert")
+    key, crt = str(tmp_path / "k.pem"), str(tmp_path / "c.pem")
+    sp.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", key, "-out", crt, "-days", "1",
+            "-subj", "/CN=localhost",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    srv = h2c.serve_business_logic_h2c(
+        _EchoService(), ssl_context=h2c.make_server_ssl_context(crt, key)
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        client = h2c.H2cBusinessLogicClient(
+            "127.0.0.1",
+            srv.server_address[1],
+            ssl_context=h2c.make_client_ssl_context(cafile=crt),
+            server_hostname="localhost",
+        )
+        payload = bytes(range(64))
+        r = client.process_command("k", None, ml.Command("k", payload))
+        assert r.is_success and r.events[0].payload == payload
+        assert client.health_check().status == "UP"
+    finally:
+        srv.shutdown()
+        srv.server_close()
