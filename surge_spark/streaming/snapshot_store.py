@@ -1626,3 +1626,50 @@ class SnapshotStore:
                 continue
             shutil.rmtree(full, ignore_errors=True)
         return removed
+
+
+def replicate_changes(
+    spark: SparkSession, src: SnapshotStore, dst: SnapshotStore
+) -> int:
+    """DR / standby replication (R10) over the change feed: apply every
+    source version the replica hasn't seen yet, one commit per version,
+    in order — upserts as state updates, deletes as tombstones. The
+    replica tracks progress through its own R4 dedup set (batch ids
+    ``repl-v{N}``), so replication is idempotent and crash-resumable with
+    no extra bookkeeping: re-running after a partial apply skips the
+    committed prefix. The reference achieves standby via Kafka topic
+    replication (its event/state topics mirrored cross-region); here the
+    change feed plays the topic's role, and the replica is a real store —
+    serving get_state/read_state immediately on failover.
+
+    Requires the source to have a complete feed over the unapplied range
+    (merge-on-read append commits always do; rewriting commits need
+    change_feed=True — read_changes raises otherwise, and so does this).
+    Returns the number of versions applied this call."""
+    latest = src.latest_version()
+    if latest is None:
+        return 0
+    applied_ids = dst.committed_batch_ids()
+    applied = 0
+    for v in range(latest + 1):
+        bid = f"repl-v{v:012d}"
+        if bid in applied_ids:
+            continue
+        ch = src.read_changes(spark, start_version=v, end_version=v)
+        if ch is None:
+            continue
+        ups = ch.where(F.col("_change_type") == "upsert").drop(
+            "_change_type", "_version"
+        )
+        dels = ch.where(F.col("_change_type") == "delete").select(
+            F.col(src.key_col).cast("string").alias(src.key_col)
+        )
+        dst.commit(
+            None,
+            ups,
+            bid,
+            delete_keys=dels,
+            updates_unique=True,  # one row per key per version by layout
+        )
+        applied += 1
+    return applied

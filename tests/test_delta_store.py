@@ -447,3 +447,41 @@ def test_fold_join_copartitioned_for_typed_keys_too(spark, tmp_path):
     joined = cmds.join(prefixed, F.col("__k") == prefixed["__state__k"], "left")
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_replicate_changes_builds_equivalent_standby(spark, tmp_path):
+    """R10 DR standby over the change feed: incremental replication
+    produces a replica whose read_state/get_state equal the primary's at
+    every sync point, deletes propagate, replication is idempotent
+    (re-running applies nothing), and it resumes incrementally after the
+    primary advances — including across a primary-side compaction."""
+    from surge_spark.streaming.snapshot_store import replicate_changes
+
+    src = SnapshotStore(
+        str(tmp_path / "pri"), key_col="k", num_buckets=4, delta_commits=2,
+        change_feed=True,
+    )
+    dst = SnapshotStore(
+        str(tmp_path / "dr"), key_col="k", num_buckets=4, delta_commits=2,
+        change_feed=True,
+    )
+    src.commit(None, _upd(spark, [("a", 1), ("b", 2)]), "b0", updates_unique=True)
+    src.commit(None, _upd(spark, [("a", 10)]), "b1", updates_unique=True)
+    assert replicate_changes(spark, src, dst) == 2
+    assert _state(spark, dst) == {"a": 10, "b": 2}
+    # idempotent: nothing new to apply
+    assert replicate_changes(spark, src, dst) == 0
+
+    # primary advances (delete + enough commits to compact); resume
+    src.commit(None, _upd(spark, []).limit(0), "b2", delete_keys=["b"],
+               updates_unique=True)
+    src.commit(None, _upd(spark, [("c", 3)]), "b3", updates_unique=True)
+    src.commit(None, _upd(spark, [("d", 4)]), "b4", updates_unique=True)
+    assert not src._manifest(3).get("state_deltas") or not src._manifest(4).get(
+        "state_deltas"
+    )  # a compaction happened somewhere in the chain
+    assert replicate_changes(spark, src, dst) == 3
+    assert _state(spark, dst) == _state(spark, src) == {"a": 10, "c": 3, "d": 4}
+    # the replica serves point reads immediately (failover readiness)
+    assert dst.get_state(spark, "c")["n"] == 3
+    assert dst.get_state(spark, "b") is None
