@@ -370,6 +370,13 @@ class CommandEngine:
         # is a string by the engine contract (state dicts carry
         # str(command key)), and _handle_group stringifies the key it
         # reads anyway.
+        if "__k" in commands.columns:
+            # the engine-internal partitioning column would silently
+            # shadow a user column of the same name — refuse loudly
+            raise ValueError(
+                "commands must not carry a column named '__k' "
+                "(engine-internal partitioning key)"
+            )
         commands = commands.withColumn(
             "__k", F.col(self.key_col).cast("string")
         )
@@ -418,6 +425,10 @@ class CommandEngine:
         context_mode = self.context_mode
 
         def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            # the partitioning key is engine plumbing — handlers must see
+            # the same cmd dicts they saw before r7 (strict-field
+            # validators, Command(**cmd) constructors)
+            pdf = pdf.drop(columns=["__k"])
             s, e, r, d, recs = handle_group(
                 pdf,
                 state_fields,

@@ -29,10 +29,13 @@ that negotiated anything but h2. Without contexts the endpoint speaks h2c
 
 Scope, stated honestly: no HPACK Huffman coding (we never emit it; a peer
 that does gets a clear ValueError), no server push / priorities (gRPC uses
-neither), flow control handled by replenishing windows after every DATA
-frame (messages here are command-sized). The server dispatches by :path
-into the same proto3 dispatch table as the length-prefixed loopback
-(multilanguage._dispatch), so both transports execute identical semantics.
+neither). Flow control is REAL on both sides: receivers replenish
+connection+stream windows after every DATA frame, and senders track the
+peer's windows (seeded from its SETTINGS_INITIAL_WINDOW_SIZE, credited by
+WINDOW_UPDATE) and wait for credit before each chunk — see _ConnState.
+The server dispatches by :path into the same proto3 dispatch table as the
+length-prefixed loopback (multilanguage._dispatch), so both transports
+execute identical semantics.
 """
 
 from __future__ import annotations
@@ -342,10 +345,15 @@ PATHS = {
 _PATH_TO_METHOD = {p: m for m, p in PATHS.items()}
 
 
-def request_headers(path: str, authority: str) -> list[tuple[str, str]]:
+def request_headers(
+    path: str, authority: str, scheme: str = "http"
+) -> list[tuple[str, str]]:
+    """``scheme`` must reflect the transport (RFC 9113 §8.3.1): 'https'
+    when the connection is TLS-carried — strict servers/intermediaries
+    reject a scheme that contradicts the transport."""
     return [
         (":method", "POST"),
-        (":scheme", "http"),
+        (":scheme", scheme),
         (":path", path),
         (":authority", authority),
         ("content-type", "application/grpc"),
@@ -363,6 +371,117 @@ def trailers(status: int, message: str = "") -> list[tuple[str, str]]:
     return out
 
 
+# -- connection transport state (shared by server and client loops) ----------
+
+
+class _ConnState:
+    """One HTTP/2 connection's transport bookkeeping: SEND-side flow
+    control (RFC 9113 §5.2 — connection + per-stream windows seeded from
+    the peer's SETTINGS_INITIAL_WINDOW_SIZE, replenished by
+    WINDOW_UPDATE) and transport-frame handling (SETTINGS/PING/
+    WINDOW_UPDATE). When a DATA send exhausts the peer's window the
+    sender reads frames inline — transport frames are consumed on the
+    spot, everything else queues for the owning loop via ``pending``
+    (both our loops are single-threaded per connection, so no further
+    synchronization is needed beyond the sendall lock)."""
+
+    def __init__(self, sock) -> None:
+        import collections
+
+        self.sock = sock
+        self._lock = threading.Lock()
+        self.pending = collections.deque()
+        self.conn_window = 65535
+        self.init_window = 65535
+        self.stream_windows: dict[int, int] = {}
+
+    def send_raw(self, b: bytes) -> None:
+        with self._lock:
+            self.sock.sendall(b)
+
+    def next_frame(self) -> tuple[int, int, int, bytes]:
+        if self.pending:
+            return self.pending.popleft()
+        return read_frame(self.sock)
+
+    def transport_frame(self, ftype: int, flags: int, sid: int, payload: bytes) -> bool:
+        """Handle a transport frame; True if consumed."""
+        if ftype == F_SETTINGS:
+            if not flags & FLAG_ACK:
+                for i in range(0, len(payload) - 5, 6):
+                    ident = int.from_bytes(payload[i : i + 2], "big")
+                    val = int.from_bytes(payload[i + 2 : i + 6], "big")
+                    if ident == 0x4:  # SETTINGS_INITIAL_WINDOW_SIZE
+                        delta = val - self.init_window
+                        self.init_window = val
+                        for k in self.stream_windows:
+                            self.stream_windows[k] += delta
+                self.send_raw(encode_frame(F_SETTINGS, FLAG_ACK, 0, b""))
+            return True
+        if ftype == F_PING:
+            if not flags & FLAG_ACK:
+                self.send_raw(encode_frame(F_PING, FLAG_ACK, 0, payload))
+            return True
+        if ftype == F_WINDOW_UPDATE:
+            inc = int.from_bytes(payload[:4], "big") & 0x7FFFFFFF
+            if sid == 0:
+                self.conn_window += inc
+            else:
+                self.stream_windows[sid] = (
+                    self.stream_windows.get(sid, self.init_window) + inc
+                )
+            return True
+        return False
+
+    def _stream_window(self, sid: int) -> int:
+        return self.stream_windows.setdefault(sid, self.init_window)
+
+    def send_data(self, sid: int, payload: bytes, end_stream: bool) -> None:
+        """Flow-controlled DATA send: each frame is sized to the
+        CURRENTLY AVAILABLE credit (capped at MAX_FRAME_SIZE), so a peer
+        advertising any positive window makes progress — a fixed chunk
+        size could deadlock against a window smaller than the chunk.
+        Exhausted credit blocks on the peer's frames until WINDOW_UPDATE
+        arrives (transport frames consumed inline, others queued)."""
+        if not payload:
+            self.send_raw(
+                encode_frame(
+                    F_DATA, FLAG_END_STREAM if end_stream else 0, sid, b""
+                )
+            )
+            return
+        pos = 0
+        while pos < len(payload):
+            avail = min(
+                self.conn_window, self._stream_window(sid), MAX_FRAME_SIZE
+            )
+            if avail <= 0:
+                f = read_frame(self.sock)
+                if not self.transport_frame(*f):
+                    if f[0] == F_GOAWAY:
+                        raise RuntimeError("peer sent GOAWAY mid-send")
+                    self.pending.append(f)
+                continue
+            chunk = payload[pos : pos + avail]
+            pos += len(chunk)
+            last = pos >= len(payload)
+            self.send_raw(
+                encode_frame(
+                    F_DATA,
+                    FLAG_END_STREAM if (end_stream and last) else 0,
+                    sid,
+                    chunk,
+                )
+            )
+            self.conn_window -= len(chunk)
+            self.stream_windows[sid] = self._stream_window(sid) - len(chunk)
+
+    def replenish_recv(self, sid: int, n: int) -> None:
+        upd = struct.pack(">I", n)
+        self.send_raw(encode_frame(F_WINDOW_UPDATE, 0, 0, upd))
+        self.send_raw(encode_frame(F_WINDOW_UPDATE, 0, sid, upd))
+
+
 # -- server -------------------------------------------------------------------
 
 
@@ -370,12 +489,6 @@ class _H2cServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
     ssl_context = None  # set by serve_business_logic_h2c(tls=...)
-
-    def get_request(self):
-        sock, addr = super().get_request()
-        if self.ssl_context is not None:
-            sock = self.ssl_context.wrap_socket(sock, server_side=True)
-        return sock, addr
 
 
 def make_server_ssl_context(certfile: str, keyfile: str):
@@ -391,15 +504,22 @@ def make_server_ssl_context(certfile: str, keyfile: str):
     return ctx
 
 
-def make_client_ssl_context(cafile: str | None = None):
-    """Client TLS context offering ALPN 'h2'; ``cafile`` pins the server
-    cert (self-signed in tests). The client VERIFIES the negotiated
-    protocol is h2 before speaking frames."""
+def make_client_ssl_context(
+    cafile: str | None = None, verify_hostname: bool = True
+):
+    """Client TLS context offering ALPN 'h2'; ``cafile`` pins the trust
+    root (a self-signed cert in tests). Hostname verification stays ON by
+    default even with a pinned CA — a private CA signs certs for MANY
+    hosts, and silently skipping the hostname check would let any of them
+    impersonate the server; pass ``verify_hostname=False`` only where the
+    peer identity is established out of band (tests on loopback). The
+    client additionally VERIFIES the negotiated ALPN protocol is h2
+    before speaking frames."""
     import ssl
 
     ctx = ssl.create_default_context(cafile=cafile)
-    if cafile is not None:
-        ctx.check_hostname = False  # tests pin by CA, not hostname
+    if not verify_hostname:
+        ctx.check_hostname = False
     ctx.set_alpn_protocols(["h2"])
     return ctx
 
@@ -423,37 +543,39 @@ def serve_business_logic_h2c(
     class Handler(socketserver.BaseRequestHandler):
         def handle(self) -> None:
             sock = self.request
+            if self.server.ssl_context is not None:
+                # handshake in the PER-CONNECTION thread, with a timeout:
+                # doing it in get_request would run it on the accept-loop
+                # thread, where one silent client (port scanner, half-open
+                # peer) blocks every new connection AND deadlocks
+                # shutdown(). Handshake failures just drop the connection.
+                try:
+                    sock.settimeout(30)
+                    sock = self.server.ssl_context.wrap_socket(
+                        sock, server_side=True
+                    )
+                    sock.settimeout(None)
+                except Exception:  # noqa: BLE001 — bad/non-TLS client
+                    return
             try:
                 if _recv_exact(sock, len(PREFACE)) != PREFACE:
                     return
-            except (EOFError, ConnectionError):
+            except (EOFError, ConnectionError, OSError):
                 return
-            lock = threading.Lock()
-
-            def send(b: bytes) -> None:
-                with lock:
-                    sock.sendall(b)
-
+            conn = _ConnState(sock)
+            send = conn.send_raw
             send(encode_frame(F_SETTINGS, 0, 0, b""))
             decoder = HpackDecoder()
             streams: dict[int, dict] = {}
             while True:
                 try:
-                    ftype, flags, sid, payload = read_frame(sock)
-                except (EOFError, ConnectionError):
+                    ftype, flags, sid, payload = conn.next_frame()
+                except (EOFError, ConnectionError, OSError):
                     return
-                if ftype == F_SETTINGS:
-                    if not flags & FLAG_ACK:
-                        send(encode_frame(F_SETTINGS, FLAG_ACK, 0, b""))
-                    continue
-                if ftype == F_PING:
-                    if not flags & FLAG_ACK:
-                        send(encode_frame(F_PING, FLAG_ACK, 0, payload))
+                if conn.transport_frame(ftype, flags, sid, payload):
                     continue
                 if ftype == F_GOAWAY:
                     return
-                if ftype == F_WINDOW_UPDATE:
-                    continue
                 if ftype == F_RST_STREAM:
                     # peer cancelled (grpc deadline/cancel): drop buffered
                     # stream state or a long-lived channel leaks an entry
@@ -481,10 +603,8 @@ def serve_business_logic_h2c(
                 elif ftype == F_DATA:
                     st["data"] += payload
                     if payload:
-                        # replenish flow-control windows (both levels)
-                        upd = struct.pack(">I", len(payload))
-                        send(encode_frame(F_WINDOW_UPDATE, 0, 0, upd))
-                        send(encode_frame(F_WINDOW_UPDATE, 0, sid, upd))
+                        # replenish receive windows (both levels)
+                        conn.replenish_recv(sid, len(payload))
                 # LATCH END_STREAM: a HEADERS frame may carry it without
                 # END_HEADERS (block split into CONTINUATIONs, which per
                 # RFC 9113 never carry END_STREAM themselves) — acting
@@ -493,10 +613,11 @@ def serve_business_logic_h2c(
                 if flags & FLAG_END_STREAM and ftype in (F_HEADERS, F_DATA):
                     st["end_stream"] = True
                 if st["end_stream"] and not st["open_hdr"]:
-                    self._respond(send, decoder, sid, st)
+                    self._respond(conn, sid, st)
                     streams.pop(sid, None)
 
-        def _respond(self, send, decoder, sid: int, st: dict) -> None:
+        def _respond(self, conn: _ConnState, sid: int, st: dict) -> None:
+            send = conn.send_raw
             hdrs = dict(st["headers"])
             path = hdrs.get(":path", "")
             method = _PATH_TO_METHOD.get(path)
@@ -523,7 +644,7 @@ def serve_business_logic_h2c(
                     F_HEADERS, FLAG_END_HEADERS, sid, hpack_encode(RESPONSE_HEADERS)
                 )
             )
-            send(data_frames(sid, grpc_wrap(reply), end_stream=False))
+            conn.send_data(sid, grpc_wrap(reply), end_stream=False)
             send(
                 encode_frame(
                     F_HEADERS,
@@ -570,69 +691,27 @@ class H2cBusinessLogicClient(BusinessLogicCallerMixin):
         with socket.create_connection(
             (self.host, self.port), timeout=self.timeout
         ) as raw:
-            if self.ssl_context is not None:
-                sock = self.ssl_context.wrap_socket(
-                    raw, server_hostname=self.server_hostname or self.host
-                )
-                # gRPC-over-TLS REQUIRES the h2 ALPN token — a server that
-                # negotiated something else cannot speak these frames
-                if sock.selected_alpn_protocol() != "h2":
-                    raise RuntimeError(
-                        "server did not negotiate ALPN h2 "
-                        f"(got {sock.selected_alpn_protocol()!r})"
+            sock = raw
+            try:
+                if self.ssl_context is not None:
+                    sock = self.ssl_context.wrap_socket(
+                        raw, server_hostname=self.server_hostname or self.host
                     )
-            else:
-                sock = raw
-            sock.sendall(PREFACE + encode_frame(F_SETTINGS, 0, 0, b""))
-            sock.sendall(
-                encode_frame(
-                    F_HEADERS,
-                    FLAG_END_HEADERS,
-                    1,
-                    hpack_encode(request_headers(path, f"{self.host}:{self.port}")),
-                )
-            )
-            sock.sendall(data_frames(1, grpc_wrap(payload), end_stream=True))
-            decoder = HpackDecoder()
-            headers: list[tuple[str, str]] = []
-            data = b""
-            hdr_buf = b""
-            open_hdr = False
-            end_stream = False
-            while True:
-                ftype, flags, sid, fp = read_frame(sock)
-                if ftype == F_SETTINGS:
-                    if not flags & FLAG_ACK:
-                        sock.sendall(encode_frame(F_SETTINGS, FLAG_ACK, 0, b""))
-                    continue
-                if ftype == F_PING and not flags & FLAG_ACK:
-                    sock.sendall(encode_frame(F_PING, FLAG_ACK, 0, fp))
-                    continue
-                if ftype == F_GOAWAY:
-                    raise RuntimeError("server sent GOAWAY before reply")
-                if sid != 1:
-                    continue
-                if ftype == F_HEADERS or (ftype == F_CONTINUATION and open_hdr):
-                    hdr_buf += fp
-                    open_hdr = not (flags & FLAG_END_HEADERS)
-                    if flags & FLAG_END_HEADERS:
-                        headers += decoder.decode(hdr_buf)
-                        hdr_buf = b""
-                elif ftype == F_DATA:
-                    data += fp
-                    if fp:
-                        # replenish both window levels — a compliant peer
-                        # streaming a reply past the 64 KiB initial window
-                        # stalls forever otherwise
-                        upd = struct.pack(">I", len(fp))
-                        sock.sendall(encode_frame(F_WINDOW_UPDATE, 0, 0, upd))
-                        sock.sendall(encode_frame(F_WINDOW_UPDATE, 0, 1, upd))
-                # latch: trailers may arrive as HEADERS(END_STREAM) +
-                # CONTINUATION(END_HEADERS) — see the server loop
-                if flags & FLAG_END_STREAM and ftype in (F_HEADERS, F_DATA):
-                    end_stream = True
-                if end_stream and not open_hdr:
-                    break
+                    # gRPC-over-TLS REQUIRES the h2 ALPN token — a server
+                    # that negotiated something else cannot speak frames
+                    if sock.selected_alpn_protocol() != "h2":
+                        raise RuntimeError(
+                            "server did not negotiate ALPN h2 "
+                            f"(got {sock.selected_alpn_protocol()!r})"
+                        )
+                headers, data = self._exchange(sock, path, payload)
+            finally:
+                if sock is not raw:
+                    # wrap_socket detached the fd from raw, so the with-
+                    # block's raw.close() is a no-op — close the SSLSocket
+                    # explicitly (sends close_notify, frees the fd now,
+                    # not at some later GC)
+                    sock.close()
         hdrs = dict(headers)
         status = int(hdrs.get("grpc-status", "2"))
         if status != 0:
@@ -641,3 +720,59 @@ class H2cBusinessLogicClient(BusinessLogicCallerMixin):
                 f" (grpc-status {status})"
             )
         return grpc_unwrap(data)
+
+    def _exchange(
+        self, sock, path: str, payload: bytes
+    ) -> tuple[list[tuple[str, str]], bytes]:
+        """One request/response over an established (possibly TLS) socket:
+        preface + SETTINGS, HEADERS, flow-controlled DATA, then collect
+        the response's HEADERS/DATA/trailers."""
+        conn = _ConnState(sock)
+        conn.send_raw(PREFACE + encode_frame(F_SETTINGS, 0, 0, b""))
+        scheme = "https" if self.ssl_context is not None else "http"
+        conn.send_raw(
+            encode_frame(
+                F_HEADERS,
+                FLAG_END_HEADERS,
+                1,
+                hpack_encode(
+                    request_headers(
+                        path, f"{self.host}:{self.port}", scheme=scheme
+                    )
+                ),
+            )
+        )
+        conn.send_data(1, grpc_wrap(payload), end_stream=True)
+        decoder = HpackDecoder()
+        headers: list[tuple[str, str]] = []
+        data = b""
+        hdr_buf = b""
+        open_hdr = False
+        end_stream = False
+        while True:
+            ftype, flags, sid, fp = conn.next_frame()
+            if conn.transport_frame(ftype, flags, sid, fp):
+                continue
+            if ftype == F_GOAWAY:
+                raise RuntimeError("server sent GOAWAY before reply")
+            if sid != 1:
+                continue
+            if ftype == F_HEADERS or (ftype == F_CONTINUATION and open_hdr):
+                hdr_buf += fp
+                open_hdr = not (flags & FLAG_END_HEADERS)
+                if flags & FLAG_END_HEADERS:
+                    headers += decoder.decode(hdr_buf)
+                    hdr_buf = b""
+            elif ftype == F_DATA:
+                data += fp
+                if fp:
+                    # replenish receive windows — a compliant peer
+                    # streaming a reply past the 64 KiB initial window
+                    # stalls forever otherwise
+                    conn.replenish_recv(1, len(fp))
+            # latch: trailers may arrive as HEADERS(END_STREAM) +
+            # CONTINUATION(END_HEADERS) — see the server loop
+            if flags & FLAG_END_STREAM and ftype in (F_HEADERS, F_DATA):
+                end_stream = True
+            if end_stream and not open_hdr:
+                return headers, data

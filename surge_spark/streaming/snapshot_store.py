@@ -1387,7 +1387,10 @@ class SnapshotStore:
         if start < 0:
             raise ValueError(f"start_version must be >= 0, got {start}")
         end = latest if end_version is None else int(end_version)
-        if end > latest:
+        if end > latest or (end_version is not None and end < 0):
+            # a negative end is a caller sign/underflow bug — reporting it
+            # as "no changes" is exactly the silent-corruption mode this
+            # function refuses elsewhere
             raise ValueError(f"version {end} was never committed")
         def empty_feed() -> DataFrame:
             # caught-up consumer (start past head) or a range of genuinely
@@ -1628,17 +1631,41 @@ class SnapshotStore:
         return removed
 
 
+def _repl_hwm_path(dst: SnapshotStore) -> str:
+    return os.path.join(dst.path, "_manifests", "_replication_hwm.json")
+
+
+def _repl_hwm(dst: SnapshotStore) -> int:
+    p = _repl_hwm_path(dst)
+    if not os.path.isfile(p):
+        return -1
+    with open(p) as f:
+        return int(json.load(f)["applied"])
+
+
+def _write_repl_hwm(dst: SnapshotStore, version: int) -> None:
+    p = _repl_hwm_path(dst)
+    tmp = f"{p}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"applied": version}, f)
+    os.replace(tmp, p)
+
+
 def replicate_changes(
     spark: SparkSession, src: SnapshotStore, dst: SnapshotStore
 ) -> int:
     """DR / standby replication (R10) over the change feed: apply every
     source version the replica hasn't seen yet, one commit per version,
-    in order — upserts as state updates, deletes as tombstones. The
-    replica tracks progress through its own R4 dedup set (batch ids
-    ``repl-v{N}``), so replication is idempotent and crash-resumable with
-    no extra bookkeeping: re-running after a partial apply skips the
-    committed prefix. The reference achieves standby via Kafka topic
-    replication (its event/state topics mirrored cross-region); here the
+    in order — upserts as state updates, deletes as tombstones. Progress
+    is a MONOTONIC high-water mark persisted in the replica's manifest
+    dir (atomic replace, advanced only after the version's commit is
+    durable) — the R4 dedup set alone would NOT do: it is
+    dedup_horizon-bounded, and an aged-out ``repl-v*`` id would let an
+    ancient version re-apply as the replica's NEWEST commit, reverting
+    keys under latest-wins. The dedup set still covers the one-version
+    crash window between commit and hwm write (and a same-version replay
+    is value-idempotent regardless: identical rows, identical merge).
+    The reference achieves standby via Kafka topic replication; here the
     change feed plays the topic's role, and the replica is a real store —
     serving get_state/read_state immediately on failover.
 
@@ -1649,11 +1676,13 @@ def replicate_changes(
     latest = src.latest_version()
     if latest is None:
         return 0
-    applied_ids = dst.committed_batch_ids()
+    hwm = _repl_hwm(dst)
+    applied_ids = dst.committed_batch_ids() if hwm + 1 <= latest else set()
     applied = 0
-    for v in range(latest + 1):
+    for v in range(hwm + 1, latest + 1):
         bid = f"repl-v{v:012d}"
         if bid in applied_ids:
+            _write_repl_hwm(dst, v)  # heal a crash between commit and hwm
             continue
         ch = src.read_changes(spark, start_version=v, end_version=v)
         if ch is None:
@@ -1671,5 +1700,6 @@ def replicate_changes(
             delete_keys=dels,
             updates_unique=True,  # one row per key per version by layout
         )
+        _write_repl_hwm(dst, v)
         applied += 1
     return applied

@@ -301,7 +301,11 @@ def test_grpc_over_tls_with_alpn_h2(tmp_path):
         client = h2c.H2cBusinessLogicClient(
             "127.0.0.1",
             srv.server_address[1],
-            ssl_context=h2c.make_client_ssl_context(cafile=crt),
+            # loopback test: peer identity established by the pinned
+            # self-signed cert itself; hostname check stays ON by default
+            ssl_context=h2c.make_client_ssl_context(
+                cafile=crt, verify_hostname=False
+            ),
             server_hostname="localhost",
         )
         payload = bytes(range(64))
@@ -311,3 +315,46 @@ def test_grpc_over_tls_with_alpn_h2(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_sender_respects_peer_flow_control_window():
+    """Second review pass: senders must consume the peer's advertised
+    window (RFC 9113 §5.2), not just chunk by frame size — a compliant
+    peer treats over-window DATA as FLOW_CONTROL_ERROR. With a 10-octet
+    window, every frame is ≤ the available credit and the transfer
+    completes as the peer grants more."""
+    import socket as socklib
+    import struct
+
+    a, b = socklib.socketpair()
+    try:
+        conn = h2c._ConnState(a)
+        conn.conn_window = 10
+        conn.init_window = 10
+        payload = bytes(range(100)) * 1  # 100 bytes through a 10-byte window
+        got = {"n": 0, "oversize": False, "end_seen": False}
+
+        def feeder():
+            while got["n"] < len(payload) or not got["end_seen"]:
+                ftype, flags, sid, fp = h2c.read_frame(b)
+                if ftype != h2c.F_DATA:
+                    continue
+                if len(fp) > 10:
+                    got["oversize"] = True
+                got["n"] += len(fp)
+                if flags & h2c.FLAG_END_STREAM:
+                    got["end_seen"] = True
+                upd = struct.pack(">I", len(fp))
+                b.sendall(h2c.encode_frame(h2c.F_WINDOW_UPDATE, 0, 0, upd))
+                b.sendall(h2c.encode_frame(h2c.F_WINDOW_UPDATE, 0, 1, upd))
+
+        t = threading.Thread(target=feeder, daemon=True)
+        t.start()
+        conn.send_data(1, payload, end_stream=True)
+        t.join(timeout=10)
+        assert got["n"] == len(payload)
+        assert not got["oversize"]
+        assert got["end_seen"]
+    finally:
+        a.close()
+        b.close()
