@@ -485,3 +485,51 @@ def test_replicate_changes_builds_equivalent_standby(spark, tmp_path):
     # the replica serves point reads immediately (failover readiness)
     assert dst.get_state(spark, "c")["n"] == 3
     assert dst.get_state(spark, "b") is None
+
+
+def test_replication_hwm_survives_dedup_horizon_aging(spark, tmp_path):
+    """Second review pass: replication progress must be a monotonic
+    high-water mark, NOT the dedup_horizon-bounded batch-id set — with a
+    tiny horizon the replica's early repl-v* ids age out of the R4
+    window, and set-based tracking would re-apply ancient versions as
+    the replica's NEWEST commits (reverting keys under latest-wins)."""
+    from surge_spark.streaming.snapshot_store import (
+        _repl_hwm,
+        replicate_changes,
+    )
+
+    src = SnapshotStore(
+        str(tmp_path / "pri"), key_col="k", num_buckets=4, delta_commits=16,
+        change_feed=True,
+    )
+    # horizon 2 with per-commit checkpoints: ids age out almost at once
+    dst = SnapshotStore(
+        str(tmp_path / "dr"), key_col="k", num_buckets=4, delta_commits=16,
+        change_feed=True, dedup_horizon=2, checkpoint_interval=1,
+    )
+    src.commit(None, _upd(spark, [("a", 1)]), "b0", updates_unique=True)
+    for i in range(1, 6):
+        src.commit(None, _upd(spark, [("a", i + 1)]), f"b{i}", updates_unique=True)
+    assert replicate_changes(spark, src, dst) == 6
+    assert _repl_hwm(dst) == 5
+    # a FRESH replica handle (checkpoint-seeded dedup view, early ids
+    # aged out) must apply NOTHING — state stays at the latest value
+    fresh = SnapshotStore(
+        str(tmp_path / "dr"), key_col="k", num_buckets=4, delta_commits=16,
+        change_feed=True, dedup_horizon=2, checkpoint_interval=1,
+    )
+    assert replicate_changes(spark, src, fresh) == 0
+    assert fresh.get_state(spark, "a")["n"] == 6
+
+
+def test_read_changes_rejects_negative_end(spark, tmp_path):
+    import pytest as _pytest
+
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=4
+    )
+    store.commit(None, _upd(spark, [("a", 1)]), "b0", updates_unique=True)
+    with _pytest.raises(ValueError):
+        store.read_changes(spark, 0, end_version=-5)
+    with _pytest.raises(ValueError):
+        store.read_changes(spark, start_version=-1)
