@@ -697,3 +697,75 @@ def sim_power_iteration_topdir(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = sim.power_iteration_topdir(emb, "vec_id", "embedding", FIXED_V0, steps=2)
     return out.select("component", F.round("loading", 6).alias("loading"))
+
+
+@query(
+    "sim_knn_graph_mutual",
+    oracle=f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 256),
+    scored AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid,
+             round({_DUCK_COSINE.format(a="a.embedding", b="b.embedding")}, 6)
+               AS cosine
+      FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT qid, cid, CAST(cosine AS DOUBLE) AS cosine FROM (
+        SELECT qid, cid, cosine,
+               row_number() OVER (
+                 PARTITION BY qid ORDER BY cosine DESC, cid
+               ) AS rn
+        FROM scored
+      ) WHERE rn <= 3
+    )
+    SELECT x.qid AS a, x.cid AS b, x.cosine
+    FROM knn x JOIN knn y ON x.qid = y.cid AND x.cid = y.qid
+    WHERE x.qid < x.cid
+    """,
+)
+def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph construction (k=3, cosine): the graph-building
+    step under spectral/agglomerative clustering and graph-based dedup —
+    an edge survives only if each endpoint is in the OTHER's top-k
+    (mutuality prunes hub artifacts). Exact on a bounded subset here
+    (vec_id < 256 → 65k scored pairs; per-query top-k is
+    WindowGroupLimit-pruned, mutuality is a self-join of the tiny edge
+    list). At 100 TB the scored-pairs stage swaps for the banded
+    candidate generators this catalog already ships (LSH buckets /
+    IVF cells — sim_ann_*), same downstream top-k + mutual join; the
+    all-pairs form exists to value-check that downstream exactly."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 256)
+    # cast elements to DOUBLE before any arithmetic — the oracle multiplies
+    # doubles, and float-precision products diverge at round-to-6 boundaries
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    a = emb.select(F.col("vec_id").alias("qid"), dbl.alias("qe"))
+    b = emb.select(F.col("vec_id").alias("cid"), dbl.alias("ce"))
+    scored = (
+        a.join(b, F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                sim.dot(F.col("qe"), F.col("ce"))
+                / (sim.norm(F.col("qe")) * sim.norm(F.col("ce"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    knn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("qid", "cid", "cosine")
+    )
+    other = knn.select(
+        F.col("qid").alias("y_qid"), F.col("cid").alias("y_cid")
+    )
+    return (
+        knn.join(
+            other,
+            (knn.qid == F.col("y_cid")) & (knn.cid == F.col("y_qid")),
+        )
+        .where(F.col("qid") < F.col("cid"))
+        .select(F.col("qid").alias("a"), F.col("cid").alias("b"), "cosine")
+    )
