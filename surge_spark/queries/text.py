@@ -1041,3 +1041,70 @@ def t_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.inverted_index(
         _docs(spark, sf_dir), "doc_id", "text", min_df=2, max_df_frac=0.8
     )
+
+
+@query(
+    "t_pretrain_pipeline",
+    oracle=f"""
+    WITH {_DUCK_QUALITY_CTE},
+    keepers AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents GROUP BY {DUCK_NORMALIZE_SQL}
+    ),
+    clean AS (
+      SELECT s.doc_id, s.n_tokens
+      FROM scored s JOIN keepers k USING (doc_id)
+      WHERE s.quality_score >= 0.7 AND s.n_tokens >= 40
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM clean
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS sequence_id,
+           CAST(cum_tokens - n_tokens
+                - 2048 * floor((cum_tokens - n_tokens) / 2048) AS BIGINT)
+             AS seq_offset
+    FROM cum
+    """,
+)
+def t_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining corpus pipeline as one declarative plan:
+    exact-dedup keepers (normalized content, min-id winner) ∩ quality
+    gate (t_clean_corpus's composition) → survivors packed head-to-tail
+    into 2048-token sequences via the exact two-pass distributed prefix
+    sum (t_pack_sequences' shape — quantile-sharded running sum, NO
+    unpartitioned window). Every stage is an already-oracled catalog
+    operator; this entry value-checks their COMPOSITION, which is what a
+    user actually runs: one job from raw corpus to training-ready
+    sequence assignments. The prefix-sum's quantile pre-pass evaluates
+    the dedup+quality subtree once at plan-build (documented trade in
+    distributed_prefix_sum); at 100 TB that pre-pass is the range
+    partitioner any global ordering pays."""
+    docs = _docs(spark, sf_dir)
+    scored = tx.quality_score(docs, "doc_id", "text").select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    keepers = dd.exact_dedup(docs, "doc_id", "text", normalized=True).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    clean = (
+        scored.join(keepers, "doc_id", "semi")
+        .where((F.col("quality_score") >= 0.7) & (F.col("n_tokens") >= 40))
+        .select("doc_id", "n_tokens")
+    )
+    cum = tx.distributed_prefix_sum(
+        clean, "n_tokens", "doc_id", [F.col("doc_id")], n_shards=8,
+        out_col="cum_tokens",
+    )
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    seq = F.floor(start / 2048)
+    return cum.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        seq.cast("long").alias("sequence_id"),
+        (start - 2048 * seq).cast("long").alias("seq_offset"),
+    )
