@@ -35,7 +35,7 @@ def main():
         warm = CommandEngine(
             warm_store, process, handle,
             "aggregate_id string, n long", "aggregate_id string",
-            order_cols=["command_id"], fold_partitions=8,
+            order_cols=["command_id"], fold_partitions=4,
         )
         wdf = spark.createDataFrame([("w", "c1")], "aggregate_id string, command_id string")
         for i in range(3):
@@ -55,7 +55,7 @@ def main():
         engine = CommandEngine(
             store, process, handle,
             "aggregate_id string, n long", "aggregate_id string",
-            key_col="aggregate_id", order_cols=["command_id"], fold_partitions=8,
+            key_col="aggregate_id", order_cols=["command_id"], fold_partitions=4,
         )
         stream = (
             spark.readStream.schema("aggregate_id string, command_id string")
