@@ -506,3 +506,104 @@ def d_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("int").alias("n_tokens"),
         F.col("n_tokens_removed").cast("int").alias("n_tokens_removed"),
     )
+
+
+_DUCK_LP_ROUND = """
+  SELECT l.id, least(l.lbl, coalesce(min(r.lbl), l.lbl)) AS lbl
+  FROM {prev} l
+  LEFT JOIN symp e ON e.a = l.id
+  LEFT JOIN {prev} r ON r.id = e.b
+  GROUP BY l.id, l.lbl
+"""
+
+
+@query(
+    "d_fuzzy_dedup_clusters",
+    oracle=f"""
+    WITH {_duck_shingles(4)},
+    {_duck_minhash_md5(64)},
+    bands AS (
+      SELECT id, u.b AS band,
+             array_to_string(s[u.b * 4 + 1 : u.b * 4 + 4], ',') AS key
+      FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS b) u
+    ),
+    sized AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
+    okb AS (
+      SELECT bands.* FROM bands JOIN sized USING (band, key) WHERE c <= 5000
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM okb a JOIN okb b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    sizes AS (SELECT id, count(*) AS ns FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS nc
+      FROM cand c
+      JOIN sh x ON x.id = c.id_a
+      JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.id = i.id_a
+      JOIN sizes sb ON sb.id = i.id_b
+      WHERE i.nc / (sa.ns + sb.ns - i.nc) >= 0.5
+    ),
+    symp AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+    l1 AS ({_DUCK_LP_ROUND.format(prev="l0")}),
+    l2 AS ({_DUCK_LP_ROUND.format(prev="l1")}),
+    l3 AS ({_DUCK_LP_ROUND.format(prev="l2")})
+    SELECT id AS doc_id, CAST(lbl AS BIGINT) AS cluster FROM l3
+    """,
+)
+def d_fuzzy_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY-dedup clusters — connected components over the md5-LSH
+    near-dup pair graph (the SlimPajama / RefinedWeb dedup step: cluster
+    near-duplicates, keep one representative per cluster). Three unrolled
+    min-label propagation rounds (converged for components of diameter
+    ≤ 3 — the near-dup graphs LSH produces are clique-ish; a production
+    fixpoint loop runs the same round to quiescence with per-round
+    materialization, the g_kcore_bipartite discipline). Fixed rounds make
+    the labels a pure function of the data, so DuckDB mirrors the ENTIRE
+    stack — signatures, banding, bucket cap, Jaccard verification, and
+    the propagation itself. Every doc appears (singletons label
+    themselves); `cluster` = min doc_id reachable within 3 hops. The
+    tiny pair table is localCheckpointed so each round's double
+    reference cannot re-evaluate the LSH subtree multiplicatively."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        dd.minhash_lsh_dedup(
+            docs, "doc_id", "text", n=4, num_hashes=64, bands=16,
+            threshold=0.5, hash_fn="md5",
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).unionAll(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+    lbl = docs.select(
+        F.col("doc_id").alias("id"), F.col("doc_id").alias("lbl")
+    )
+    for _ in range(3):
+        r = lbl.select(F.col("id").alias("rid"), F.col("lbl").alias("rlbl"))
+        nb = (
+            sym.join(r, sym.b == r.rid)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("rlbl").alias("nbm"))
+        )
+        lbl = lbl.join(nb, "id", "left").select(
+            "id",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nbm"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+    return lbl.select(
+        F.col("id").alias("doc_id"), F.col("lbl").cast("long").alias("cluster")
+    )
