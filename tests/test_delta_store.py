@@ -533,3 +533,54 @@ def test_read_changes_rejects_negative_end(spark, tmp_path):
         store.read_changes(spark, 0, end_version=-5)
     with _pytest.raises(ValueError):
         store.read_changes(spark, start_version=-1)
+
+
+def test_change_feed_replay_equals_snapshot_random_sequence(spark, tmp_path):
+    """CDF's core contract under a seeded-random commit sequence (mixed
+    upserts/deletes over few keys, delta_commits small enough to force
+    several compactions): replaying the feed start→v reproduces
+    read_state(version=v) EXACTLY for every prefix v — not just the
+    final state."""
+    import random
+
+    rng = random.Random(11)
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=2,
+        change_feed=True,
+    )
+    keys = [f"k{i}" for i in range(6)]
+    live: set[str] = set()
+    for v in range(10):
+        ups, dels = [], []
+        for k in rng.sample(keys, rng.randint(1, 3)):
+            if k in live and rng.random() < 0.4:
+                dels.append(k)
+                live.discard(k)
+            else:
+                ups.append((k, rng.randint(0, 99)))
+                live.add(k)
+        store.commit(
+            None,
+            _upd(spark, ups),
+            f"b{v}",
+            delete_keys=dels or None,
+            updates_unique=True,
+        )
+
+    feed = sorted(
+        store.read_changes(spark).collect(), key=lambda r: r._version
+    )
+    replay: dict[str, int] = {}
+    next_i = 0
+    for v in range(10):
+        while next_i < len(feed) and feed[next_i]._version <= v:
+            r = feed[next_i]
+            if r._change_type == "delete":
+                replay.pop(r.k, None)
+            else:
+                replay[r.k] = r.n
+            next_i += 1
+        at_v = {
+            row.k: row.n for row in store.read_state(spark, version=v).collect()
+        }
+        assert replay == at_v, (v, replay, at_v)
