@@ -397,3 +397,43 @@ def test_resize_real_roundtrip_known_pixels(spark):
     row2 = resize_images(df2, max_side=4).collect()[0]
     assert bytes(row2.payload) == jpeg_ish
     assert row2.mime == "image/jpeg"
+
+
+def test_zero_dimension_headers_route_to_fallback(spark):
+    """r6 ADVICE fix: a malformed-but-parseable header declaring width or
+    height 0 must raise ValueError from the decoder (routing through the
+    fake-decode fallback) — not ZeroDivisionError out of resize_images'
+    max_side / max(ow, oh)."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from surge_spark.operators.multimodal import (
+        decode_image,
+        resize_images,
+        to_binary_payload,
+    )
+
+    zero_png = _make_png(0, 0, np.zeros((0, 0, 3), dtype=np.uint8), filters=[])
+    zero_ppm = b"P6\n0 5\n255\n"
+    # 24-bit BMP with width 0 (plausible 54-byte header, no pixel data)
+    zero_bmp = (
+        b"BM" + _struct.pack("<IHHI", 54, 0, 0, 54)
+        + _struct.pack("<IiiHHIIiiII", 40, 0, 5, 1, 24, 0, 0, 0, 0, 0, 0)
+    )
+    for payload in (zero_png, zero_ppm, zero_bmp):
+        with _pytest.raises(ValueError):
+            decode_image(payload)
+
+    # through the pipeline: the row survives via the fake fallback
+    rows = spark.createDataFrame(
+        [(1, zero_png.decode("latin-1")), (2, zero_ppm.decode("latin-1")),
+         (3, zero_bmp.decode("latin-1"))],
+        "id long, content string",
+    )
+    # to_binary_payload utf-8-encodes, so bytes differ from the originals —
+    # irrelevant here: any undecodable payload must pass through opaque
+    bin_df = to_binary_payload(rows, "id", "content", mime="image/bad")
+    out = resize_images(bin_df, max_side=64).collect()
+    assert len(out) == 3  # no task death, 1:1 row contract held
