@@ -769,3 +769,115 @@ def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("qid") < F.col("cid"))
         .select(F.col("qid").alias("a"), F.col("cid").alias("b"), "cosine")
     )
+
+
+@query(
+    "sim_label_centroid_accuracy",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, gs.k AS k, CAST(embedding[gs.k] AS DOUBLE) AS val
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS k) gs
+    ),
+    cents AS (
+      SELECT label, k, round(avg(val), 6) AS cval
+      FROM ex GROUP BY label, k
+    ),
+    cnorm AS (
+      SELECT label, sqrt(sum(cval * cval)) AS cn FROM cents GROUP BY label
+    ),
+    vnorm AS (
+      SELECT vec_id, sqrt(sum(val * val)) AS vn FROM ex GROUP BY vec_id
+    ),
+    scores AS (
+      SELECT e.vec_id, c.label AS cand,
+             round(sum(e.val * c.cval)
+                   / (max(n.vn) * max(cn.cn)), 6) AS cosine
+      FROM ex e
+      JOIN cents c ON c.k = e.k
+      JOIN vnorm n ON n.vec_id = e.vec_id
+      JOIN cnorm cn ON cn.label = c.label
+      GROUP BY e.vec_id, c.label
+    ),
+    best AS (
+      SELECT vec_id, cand AS pred FROM (
+        SELECT vec_id, cand,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cosine DESC, cand ASC
+               ) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )
+    SELECT e.label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN b.pred = e.label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(round(sum(CASE WHEN b.pred = e.label THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS accuracy
+    FROM (SELECT DISTINCT vec_id, label FROM ex) e
+    JOIN best b USING (vec_id)
+    GROUP BY e.label
+    """,
+)
+def sim_label_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality evaluation: per-label centroids (element-wise
+    mean, rounded to 6 so both engines score IDENTICAL models), then
+    nearest-centroid-by-cosine self-classification accuracy per label —
+    the quick 'are these embeddings any good' probe an embedding pipeline
+    runs after training/ingest. Fully relational on exploded
+    (vec_id, pos, val) rows: centroid build and scoring are partial+final
+    aggregates, argmax is a per-vec window (ties → lowest label, mirrored)
+    — the 64×n_labels centroid table is broadcast-sized but the plan
+    never collects it. On the synthetic near-isotropic corpus the
+    accuracies are low — the ORACLE pins the computation, not a quality
+    bar."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("p", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("p") + 1).alias("k"),
+        F.col("v").cast("double").alias("val"),
+    )
+    cents = ex.groupBy("label", "k").agg(F.round(F.avg("val"), 6).alias("cval"))
+    cnorm = cents.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn")
+    )
+    vnorm = ex.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn")
+    )
+    scores = (
+        ex.join(
+            cents.withColumnsRenamed({"label": "cand"}), "k"
+        )
+        .join(vnorm, "vec_id")
+        .join(cnorm.withColumnsRenamed({"label": "cand"}), "cand")
+        .groupBy("vec_id", "cand")
+        .agg(
+            F.round(
+                F.sum(F.col("val") * F.col("cval"))
+                / (F.max("vn") * F.max("cn")),
+                6,
+            ).alias("cosine")
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("cand"))
+    best = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cand").alias("pred"))
+    )
+    truth = emb.select("vec_id", "label")
+    hit = F.when(F.col("pred") == F.col("label"), 1).otherwise(0)
+    return (
+        truth.join(best, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(hit).alias("n_correct"),
+            F.round(F.sum(hit) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "accuracy"
+            ),
+        )
+    )
