@@ -680,3 +680,49 @@ def m_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "m_event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    ),
+    trans AS (
+      SELECT prev, event_type AS next, count(*) AS n
+      FROM seq WHERE prev IS NOT NULL
+      GROUP BY prev, next
+    ),
+    outdeg AS (SELECT prev, sum(n) AS total FROM trans GROUP BY prev)
+    SELECT t.prev, t.next, CAST(t.n AS BIGINT) AS n,
+           CAST(round(t.n / CAST(o.total AS DOUBLE), 6) AS DOUBLE) AS p
+    FROM trans t JOIN outdeg o USING (prev)
+    """,
+)
+def m_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (prev → next counts and conditional probabilities) — the sequence-
+    mining primitive under next-action prediction, funnel discovery, and
+    anomalous-flow detection. One lag window per user (partitioned —
+    parallel, state is one row), then two small aggregates; the
+    event-type alphabet bounds the output at |types|², independent of
+    corpus size. Ordering ties broken by event_id on both engines."""
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev"), F.col("event_type").alias("next")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    outdeg = trans.groupBy("prev").agg(F.sum("n").alias("total"))
+    return trans.join(outdeg, "prev").select(
+        "prev",
+        "next",
+        "n",
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias("p"),
+    )
