@@ -726,3 +726,55 @@ def m_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("total").cast("double"), 6).alias("p"),
     )
+
+
+@query(
+    "m_user_entropy_per_type",
+    oracle="""
+    WITH cnt AS (
+      SELECT event_type, user_id, count(*) AS n
+      FROM events GROUP BY event_type, user_id
+    ),
+    tot AS (SELECT event_type, sum(n) AS t, count(*) AS k FROM cnt GROUP BY event_type)
+    SELECT c.event_type,
+           CAST(t.k AS BIGINT) AS n_users,
+           CAST(round(-sum((c.n / CAST(t.t AS DOUBLE))
+                           * ln(c.n / CAST(t.t AS DOUBLE))), 6) AS DOUBLE)
+             AS entropy_nats,
+           CAST(round(CASE WHEN t.k > 1
+                 THEN -sum((c.n / CAST(t.t AS DOUBLE))
+                           * ln(c.n / CAST(t.t AS DOUBLE))) / ln(t.k)
+                 ELSE 0.0 END, 6) AS DOUBLE) AS normalized
+    FROM cnt c JOIN tot t USING (event_type)
+    GROUP BY c.event_type, t.k, t.t
+    """,
+)
+def m_user_entropy_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-event-type user distribution (nats, and
+    normalized by ln(k) to [0,1]) — the concentration/drift monitor a
+    pipeline runs to catch one user/tenant dominating a stream or a
+    formerly-diverse source collapsing. Two partial+final aggregates; the
+    probability terms are computed from grouped counts so no row-level
+    log work."""
+    e = _events(spark, sf_dir)
+    cnt = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("n").alias("t"), F.count(F.lit(1)).alias("k")
+    )
+    p = F.col("n") / F.col("t").cast("double")
+    ent = -F.sum(p * F.log(p))
+    return (
+        cnt.join(tot, "event_type")
+        .groupBy("event_type", "k", "t")
+        .agg(ent.alias("_h"))
+        .select(
+            "event_type",
+            F.col("k").alias("n_users"),
+            F.round(F.col("_h"), 6).alias("entropy_nats"),
+            F.round(
+                F.when(F.col("k") > 1, F.col("_h") / F.log(F.col("k").cast("double")))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("normalized"),
+        )
+    )
