@@ -1108,3 +1108,83 @@ def t_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.cast("long").alias("sequence_id"),
         (start - 2048 * seq).cast("long").alias("seq_offset"),
     )
+
+
+@query(
+    "t_dataset_card",
+    oracle=f"""
+    WITH {_DUCK_QUALITY_CTE},
+    dup AS (
+      SELECT count(*) AS n_docs,
+             count(*) - count(DISTINCT {DUCK_NORMALIZE_SQL}) AS n_dups
+      FROM documents
+    ),
+    langs AS (SELECT count(DISTINCT lang) AS n_langs FROM documents),
+    srcs AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+    toks AS (
+      SELECT sum(n_tokens) AS total_tokens,
+             round(avg(n_tokens), 4) AS mean_tokens,
+             round(avg(quality_score), 4) AS mean_quality,
+             sum(CASE WHEN quality_score >= 0.7 THEN 1 ELSE 0 END) AS n_high_quality
+      FROM scored
+    )
+    SELECT CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(l.n_langs AS BIGINT) AS n_langs,
+           CAST(s.n_sources AS BIGINT) AS n_sources,
+           CAST(t.total_tokens AS BIGINT) AS total_tokens,
+           CAST(t.mean_tokens AS DOUBLE) AS mean_tokens,
+           CAST(t.mean_quality AS DOUBLE) AS mean_quality,
+           CAST(t.n_high_quality AS BIGINT) AS n_high_quality,
+           CAST(d.n_dups AS BIGINT) AS n_exact_dups,
+           CAST(round(d.n_dups / CAST(d.n_docs AS DOUBLE), 6) AS DOUBLE)
+             AS dup_rate
+    FROM dup d, langs l, srcs s, toks t
+    """,
+)
+def t_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card summary a corpus release ships: doc/lang/source
+    counts, token totals, mean quality, high-quality share, exact-dup
+    rate — ONE row from three aggregate passes (corpus stats, normalized-
+    content distinct for the dup rate, quality scores), crossJoined as
+    1-row frames. Every number is a partial+final aggregate; nothing in
+    the plan scales with output. The composition-of-measures shape data
+    governance tooling runs nightly."""
+    docs = _docs(spark, sf_dir)
+    scored = tx.quality_score(docs, "doc_id", "text")
+    from ..operators.dedup import normalize_text
+
+    dup = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(normalize_text(F.col("text")))
+        ).alias("n_exact_dups"),
+    )
+    langs = docs.agg(F.count_distinct("lang").alias("n_langs"))
+    srcs = docs.agg(F.count_distinct("source").alias("n_sources"))
+    toks = scored.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("mean_quality"),
+        F.sum(
+            F.when(F.col("quality_score") >= 0.7, 1).otherwise(0)
+        ).alias("n_high_quality"),
+    )
+    return (
+        dup.crossJoin(langs)
+        .crossJoin(srcs)
+        .crossJoin(toks)
+        .select(
+            "n_docs",
+            "n_langs",
+            "n_sources",
+            "total_tokens",
+            "mean_tokens",
+            "mean_quality",
+            "n_high_quality",
+            "n_exact_dups",
+            F.round(
+                F.col("n_exact_dups") / F.col("n_docs").cast("double"), 6
+            ).alias("dup_rate"),
+        )
+    )
