@@ -3423,3 +3423,54 @@ def o_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("target_file"),
     )
+
+
+@query(
+    "g_degree_distribution",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+      FROM lineitem
+    ),
+    deg AS (
+      SELECT node, sum(d) AS degree FROM (
+        SELECT src AS node, count(*) AS d FROM e GROUP BY src
+        UNION ALL
+        SELECT dst AS node, count(*) AS d FROM e GROUP BY dst
+      ) GROUP BY node
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(substr(min(node), 1, 1) AS VARCHAR) AS min_kind,
+           CAST(substr(max(node), 1, 1) AS VARCHAR) AS max_kind
+    FROM deg GROUP BY degree
+    """,
+)
+def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the bipartite order-part graph — the first
+    thing a graph pipeline inspects (power-law vs uniform decides the
+    triangle/k-core strategy; the docstring A/Bs in g_triangle_count and
+    g_kcore_bipartite both hinge on it). Two per-side degree aggregates
+    summed per node, then a bounded histogram — no joins at all, output
+    is O(max degree). min/max node-kind per bucket shows which side of
+    the bipartition populates each degree band."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    per_side = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .unionAll(
+            e.groupBy(F.col("dst").alias("node")).agg(
+                F.count(F.lit(1)).alias("d")
+            )
+        )
+    )
+    deg = per_side.groupBy("node").agg(F.sum("d").alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.substring(F.min("node"), 1, 1).alias("min_kind"),
+        F.substring(F.max("node"), 1, 1).alias("max_kind"),
+    )
