@@ -881,3 +881,88 @@ def sim_label_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "sim_pca_residual_outliers",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, gs.k AS k, CAST(embedding[gs.k] AS DOUBLE) AS val
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS k) gs
+    ),
+    d0 AS (SELECT vec_id, {_DUCK_V0_DOT} AS dp FROM embeddings),
+    w1 AS (
+      SELECT e.k, sum(e.val * d.dp) AS w
+      FROM ex e JOIN d0 d USING (vec_id) GROUP BY e.k
+    ),
+    n1 AS (SELECT sqrt(sum(w * w)) AS n FROM w1),
+    v1 AS (SELECT k, w / (SELECT n FROM n1) AS v FROM w1),
+    d1 AS (
+      SELECT e.vec_id, sum(e.val * v1.v) AS dp
+      FROM ex e JOIN v1 ON e.k = v1.k GROUP BY e.vec_id
+    ),
+    w2 AS (
+      SELECT e.k, sum(e.val * d.dp) AS w
+      FROM ex e JOIN d1 d USING (vec_id) GROUP BY e.k
+    ),
+    n2 AS (SELECT sqrt(sum(w * w)) AS n FROM w2),
+    v2 AS (SELECT k, w / (SELECT n FROM n2) AS v FROM w2),
+    proj AS (
+      SELECT e.vec_id, sum(e.val * v2.v) AS p
+      FROM ex e JOIN v2 ON e.k = v2.k GROUP BY e.vec_id
+    ),
+    norms AS (SELECT vec_id, sum(val * val) AS sq FROM ex GROUP BY vec_id),
+    resid AS (
+      SELECT n.vec_id,
+             round(sqrt(greatest(n.sq - p.p * p.p, 0.0)), 6) AS residual
+      FROM norms n JOIN proj p USING (vec_id)
+    )
+    SELECT vec_id, CAST(residual AS DOUBLE) AS residual,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT vec_id, residual,
+             row_number() OVER (ORDER BY residual DESC, vec_id) AS rnk
+      FROM resid
+    ) WHERE rnk <= 20
+    """,
+)
+def sim_pca_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: top-20 vectors by residual norm
+    after projecting out the dominant principal direction (the 2-round
+    power-iteration estimate from FIXED_V0 — same unrolled computation as
+    sim_power_iteration_topdir, which the oracle repeats verbatim).
+    residual² = ‖e‖² − (e·v)²: vectors the top component explains WORST —
+    the cheap 'what doesn't belong in this corpus' probe before heavier
+    density methods. All aggregates partial+final; the final top-20 is a
+    TakeOrdered-sized ranking over one row per vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = sim.power_iteration_topdir(emb, "vec_id", "embedding", FIXED_V0, steps=2)
+    ex = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("__pos", "__val")
+    ).withColumn("__val", F.col("__val").cast("double"))
+    proj = (
+        ex.join(
+            F.broadcast(v.select(F.col("component").alias("__pos"), "loading")),
+            "__pos",
+        )
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("__val") * F.col("loading")).alias("p"))
+    )
+    norms = ex.groupBy("vec_id").agg(
+        F.sum(F.col("__val") * F.col("__val")).alias("sq")
+    )
+    resid = norms.join(proj, "vec_id").select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.greatest(F.col("sq") - F.col("p") * F.col("p"), F.lit(0.0))
+            ),
+            6,
+        ).alias("residual"),
+    )
+    w = W.orderBy(F.desc("residual"), F.asc("vec_id"))
+    return (
+        resid.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("vec_id", "residual", F.col("rnk").cast("int").alias("rnk"))
+    )
