@@ -719,3 +719,13 @@ def test_prefix_sum_entries_have_no_unpartitioned_window(spark, sf_dir):
         # shard offsets come back via broadcast, totals ride the windowed
         # subtree's exchange (no second corpus scan)
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_pca_outliers_rank_filter_becomes_take_ordered(spark, sf_dir):
+    """sim_pca_residual_outliers' global rank-filter is rewritten by
+    Catalyst into TakeOrderedAndProject(limit=20) BELOW the window — the
+    'single-partition' window therefore ranks 20 rows, not the corpus.
+    Regressing this (e.g. by materializing the rank before filtering)
+    would sort every vector's residual through one task."""
+    plan = _plan(spark, sf_dir, "sim_pca_residual_outliers")
+    assert "TakeOrderedAndProject(limit=20" in plan, plan
