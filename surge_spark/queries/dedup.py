@@ -607,3 +607,54 @@ def d_fuzzy_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lbl.select(
         F.col("id").alias("doc_id"), F.col("lbl").cast("long").alias("cluster")
     )
+
+
+@query(
+    "d_ngram_novelty",
+    oracle=f"""
+    WITH {_duck_shingles(4)},
+    first_seen AS (SELECT shingle, min(id) AS first_id FROM sh GROUP BY shingle),
+    per_doc AS (
+      SELECT s.id, count(*) AS n_grams,
+             sum(CASE WHEN f.first_id = s.id THEN 1 ELSE 0 END) AS n_novel
+      FROM sh s JOIN first_seen f USING (shingle)
+      GROUP BY s.id
+    )
+    SELECT id AS doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST(round(n_novel / CAST(n_grams AS DOUBLE), 6) AS DOUBLE)
+             AS novelty
+    FROM per_doc
+    """,
+)
+def d_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the fraction of a doc's distinct
+    4-grams first introduced by that doc (ingestion order = doc_id): the
+    marginal-contribution signal data curation uses to drop documents
+    that add nothing the corpus hasn't seen (a soft, scoring-based
+    complement to hard span cutting — d_cut_duplicate_spans). One gram →
+    min(doc_id) aggregate (the same shuffle shape as the duplicate-span
+    index), joined back to the gram stream and reduced per doc; at
+    100 TB the gram key would be hashed like d_duplicate_spans_hashed,
+    trading the oracle for an 8-byte shuffle key."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.shingles(docs, "doc_id", "text", 4, distinct=True)
+    first = sh.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        "n_novel",
+        F.round(F.col("n_novel") / F.col("n_grams").cast("double"), 6).alias(
+            "novelty"
+        ),
+    )
