@@ -3474,3 +3474,45 @@ def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.min("node"), 1, 1).alias("min_kind"),
         F.substring(F.max("node"), 1, 1).alias("max_kind"),
     )
+
+
+@query(
+    "a_mode_per_group",
+    oracle="""
+    WITH cnt AS (
+      SELECT event_type, user_id, count(*) AS n
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(user_id AS BIGINT) AS mode_user,
+           CAST(n AS BIGINT) AS n_events
+    FROM (
+      SELECT event_type, user_id, n,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY n DESC, user_id ASC
+             ) AS rn
+      FROM cnt
+    ) WHERE rn = 1
+    """,
+)
+def a_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical MODE per group (most frequent user per event type) with
+    a DETERMINISTIC tie-break (count desc, lowest id) — built as
+    count-then-argmax instead of Spark's `mode()` aggregate, whose tie
+    winner is partial-aggregation-order dependent and therefore
+    unoracleable. Two partial+final aggregates; the argmax is max_by over
+    a (n, -user) struct — no window over the fact table."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    cnt = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    best = cnt.groupBy("event_type").agg(
+        F.max_by(
+            F.struct(F.col("user_id").alias("u"), F.col("n").alias("c")),
+            F.struct(F.col("n"), (-F.col("user_id")).alias("tb")),
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.u").alias("mode_user"),
+        F.col("b.c").alias("n_events"),
+    )
