@@ -3516,3 +3516,69 @@ def a_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.u").alias("mode_user"),
         F.col("b.c").alias("n_events"),
     )
+
+
+@query(
+    "m_rfm_segmentation",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS latest FROM orders),
+    rfm AS (
+      SELECT o_custkey AS c_custkey,
+             date_diff('day', max(o_orderdate), (SELECT latest FROM mx))
+               AS recency_days,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           CAST(monetary AS DOUBLE) AS monetary,
+           CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm_code
+    FROM (
+      SELECT c_custkey, recency_days, frequency, monetary,
+             ntile(4) OVER (ORDER BY recency_days ASC, c_custkey) AS r_q,
+             ntile(4) OVER (ORDER BY frequency DESC, c_custkey) AS f_q,
+             ntile(4) OVER (ORDER BY monetary DESC, c_custkey) AS m_q
+      FROM rfm
+    )
+    """,
+)
+def m_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles → 3-digit segment code) — the classic CRM analytic. The
+    base pass is one partial+final aggregate over orders; the ntile
+    windows run over the AGGREGATED per-customer frame (both engines
+    define ntile identically, deterministic tie-breaks by custkey). At
+    100 TB the per-customer frame is itself large — swap the exact
+    ntiles for approxQuantile literal boundaries + a CASE chain (the
+    distributed_prefix_sum boundary idiom); the exact form is kept here
+    because the oracle must mirror the exact quartile split."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("latest"))
+    rfm = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "c_custkey",
+            F.datediff(F.col("latest"), F.col("last_order")).cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_q = F.ntile(4).over(W.orderBy(F.asc("recency_days"), F.asc("c_custkey")))
+    f_q = F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("c_custkey")))
+    m_q = F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("c_custkey")))
+    return rfm.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (r_q * 100 + f_q * 10 + m_q).cast("int").alias("rfm_code"),
+    )
