@@ -3582,3 +3582,52 @@ def m_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary",
         (r_q * 100 + f_q * 10 + m_q).cast("int").alias("rfm_code"),
     )
+
+
+@query(
+    "w_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM events WHERE user_id <= 20
+    )
+    SELECT user_id, ts, CAST(event_id AS BIGINT) AS event_id,
+           CAST(sum(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def w_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per key over event time — a window frame
+    Spark (and SQL generally) cannot express directly (COUNT(DISTINCT)
+    OVER a running frame is unsupported): the first-occurrence-flag
+    idiom instead — rank each (user, type) by time, flag rank 1, running
+    SUM of flags is exactly the distinct-types-seen-so-far curve. Two
+    partitioned windows, both parallel per user; the engagement-breadth
+    trajectory a product-analytics funnel reads."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
+    )
