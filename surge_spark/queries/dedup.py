@@ -658,3 +658,87 @@ def d_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty"
         ),
     )
+
+
+@query(
+    "d_fuzzy_dedup_keepers",
+    oracle=f"""
+    WITH {_duck_shingles(4)},
+    {_duck_minhash_md5(64)},
+    bands AS (
+      SELECT id, u.b AS band,
+             array_to_string(s[u.b * 4 + 1 : u.b * 4 + 4], ',') AS key
+      FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS b) u
+    ),
+    sized AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
+    okb AS (
+      SELECT bands.* FROM bands JOIN sized USING (band, key) WHERE c <= 5000
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM okb a JOIN okb b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    sizes AS (SELECT id, count(*) AS ns FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS nc
+      FROM cand c
+      JOIN sh x ON x.id = c.id_a
+      JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.id = i.id_a
+      JOIN sizes sb ON sb.id = i.id_b
+      WHERE i.nc / (sa.ns + sb.ns - i.nc) >= 0.5
+    ),
+    symp AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+    l1 AS ({_DUCK_LP_ROUND.format(prev="l0")}),
+    l2 AS ({_DUCK_LP_ROUND.format(prev="l1")}),
+    l3 AS ({_DUCK_LP_ROUND.format(prev="l2")}),
+    toks2 AS (SELECT doc_id, len({_DUCK_TOKENS}) AS n_tokens FROM documents),
+    ranked AS (
+      SELECT l3.lbl, l3.id,
+             row_number() OVER (
+               PARTITION BY l3.lbl ORDER BY t.n_tokens DESC, l3.id ASC
+             ) AS rn,
+             count(*) OVER (PARTITION BY l3.lbl) AS cs
+      FROM l3 JOIN toks2 t ON t.doc_id = l3.id
+    )
+    SELECT lbl AS cluster, CAST(cs AS BIGINT) AS cluster_size,
+           CAST(id AS BIGINT) AS keeper_id
+    FROM ranked WHERE rn = 1
+    """,
+)
+def d_fuzzy_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-dedup OUTPUT step: one keeper per near-dup cluster —
+    longest document wins (token count, ties → lowest id), the
+    representative-selection policy corpus dedup actually applies after
+    clustering. Composes d_fuzzy_dedup_clusters' 3-round propagation with
+    a token-count argmax per cluster (max_by over a (n_tokens, -id)
+    struct — no window over the corpus); singleton docs keep themselves.
+    Both engines evaluate the ENTIRE pipeline — signatures, banding,
+    verification, propagation, and the keeper argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    from . import QUERIES
+    from ..operators.dedup import tokens as _toks
+
+    clusters = QUERIES["d_fuzzy_dedup_clusters"](spark, sf_dir)
+    n_toks = docs.select("doc_id", F.size(_toks("text")).alias("n_tokens"))
+    return (
+        clusters.join(n_toks, "doc_id")
+        .groupBy(F.col("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max_by(
+                F.col("doc_id"),
+                F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("tb")),
+            ).alias("keeper_id"),
+        )
+    )
