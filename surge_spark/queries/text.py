@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -1187,4 +1188,61 @@ def t_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_exact_dups") / F.col("n_docs").cast("double"), 6
             ).alias("dup_rate"),
         )
+    )
+
+
+@query(
+    "t_language_confusion",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) AS en,
+             len(list_filter(t, x -> list_contains(['el','la','de','que','y'], x))) AS es,
+             len(list_filter(t, x -> list_contains(['le','la','de','et','un'], x))) AS fr,
+             len(list_filter(t, x -> list_contains(['der','die','und','das','ein'], x))) AS de,
+             len(list_filter(t, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS zh
+      FROM (SELECT doc_id, lang, {_DUCK_TOKS} AS t FROM documents)
+    ),
+    pred AS (
+      SELECT doc_id, lang AS actual,
+             CASE WHEN zh > 0 AND zh > en AND zh > es AND zh > fr AND zh > de THEN 'zh'
+                  WHEN de > 0 AND de > en AND de > es AND de > fr THEN 'de'
+                  WHEN fr > 0 AND fr > en AND fr > es THEN 'fr'
+                  WHEN es > 0 AND es > en THEN 'es'
+                  WHEN en > 0 THEN 'en'
+                  ELSE 'und' END AS predicted
+      FROM hits
+    )
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY actual)
+                AS DOUBLE), 6) AS DOUBLE) AS row_frac
+    FROM pred GROUP BY actual, predicted
+    """,
+)
+def t_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language identifier against the
+    corpus's ground-truth `lang` column (counts + per-actual row
+    fractions) — the evaluation report any classifier in the pipeline
+    ships with. Reuses t_language_id's exact vote logic; one aggregate
+    over (actual, predicted) plus a per-actual window over the ≤
+    |langs|² matrix — nothing scales with the corpus after the
+    grouping."""
+    docs = _docs(spark, sf_dir)
+    pred = tx.language_id(docs, "doc_id", "text").select(
+        "doc_id", F.col("pred_lang").alias("predicted")
+    )
+    joined = docs.select("doc_id", F.col("lang").alias("actual")).join(
+        pred, "doc_id"
+    )
+    cm = joined.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("actual")
+    return cm.select(
+        "actual",
+        "predicted",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6).alias(
+            "row_frac"
+        ),
     )
