@@ -776,8 +776,16 @@ def distributed_prefix_sum(
         .groupBy(F.col("a.__shard").alias("__shard"))
         .agg(F.coalesce(F.sum(F.col("b.__tot")), F.lit(0)).alias("__off"))
     )
+    cum_col = F.col("__local_cum") + F.col("__off")
+    # Preserve the summed type: sum(int*/long) is already LongType, so the
+    # long cast is only applied (as a no-op normalization) for integral
+    # inputs; fractional/decimal inputs keep sum's natural result type
+    # instead of silently truncating the running total.
+    vt = dict(df.dtypes).get(value_col)
+    if vt is None or vt in ("tinyint", "smallint", "int", "bigint", "boolean"):
+        cum_col = cum_col.cast("long")
     return (
         local.join(F.broadcast(offs), "__shard", "left")
-        .withColumn(out_col, (F.col("__local_cum") + F.col("__off")).cast("long"))
+        .withColumn(out_col, cum_col)
         .drop("__shard", "__local_cum", "__off")
     )

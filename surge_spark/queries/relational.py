@@ -3546,13 +3546,24 @@ def a_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (recency / frequency / monetary
     quartiles → 3-digit segment code) — the classic CRM analytic. The
-    base pass is one partial+final aggregate over orders; the ntile
-    windows run over the AGGREGATED per-customer frame (both engines
-    define ntile identically, deterministic tie-breaks by custkey). At
-    100 TB the per-customer frame is itself large — swap the exact
-    ntiles for approxQuantile literal boundaries + a CASE chain (the
-    distributed_prefix_sum boundary idiom); the exact form is kept here
-    because the oracle must mirror the exact quartile split."""
+    base pass is one partial+final aggregate over orders. The quartiles
+    are EXACT ntile(4) splits but computed WITHOUT an unpartitioned
+    window (the r7 scale-killer): three chained distributed_prefix_sum
+    passes (quantile range-sharding, within-shard windows, broadcast
+    offsets — operators/text.py) yield exact global ranks in each of the
+    three orders, and ntile's defined split is a pure function of
+    (rank, n): with q = n div 4 and r0 = n mod 4, the first r0 buckets
+    take q+1 rows — bucket(r) = (r-1) div (q+1) + 1 while r ≤ r0*(q+1),
+    else r0 + (r - r0*(q+1) - 1) div q + 1. The DuckDB oracle keeps the
+    literal ntile(4) form; agreement is exact because both sides rank
+    the same total order (custkey tiebreak). Intermediates persist so
+    each pass's approxQuantile pre-pass materializes its input once
+    instead of re-evaluating the upstream windows multiplicatively (the
+    g_kcore iterative discipline); CaseWhen evaluates lazily, so the
+    q=0 (n<4) division in the unreachable ELSE branch never fires under
+    ANSI."""
+    from ..operators.text import distributed_prefix_sum
+
     o = _t(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("latest"))
     rfm = (
@@ -3571,16 +3582,50 @@ def m_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        .withColumn("__one", F.lit(1))
+        .persist()
     )
-    r_q = F.ntile(4).over(W.orderBy(F.asc("recency_days"), F.asc("c_custkey")))
-    f_q = F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("c_custkey")))
-    m_q = F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("c_custkey")))
-    return rfm.select(
+    n = rfm.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    r1 = distributed_prefix_sum(
+        rfm,
+        "__one",
+        "recency_days",
+        [F.col("recency_days").asc(), F.col("c_custkey").asc()],
+        out_col="__r_rank",
+    ).persist()
+    r2 = distributed_prefix_sum(
+        r1,
+        "__one",
+        "frequency",
+        [F.col("frequency").desc(), F.col("c_custkey").asc()],
+        descending=True,
+        out_col="__f_rank",
+    ).persist()
+    r3 = distributed_prefix_sum(
+        r2,
+        "__one",
+        "monetary",
+        [F.col("monetary").desc(), F.col("c_custkey").asc()],
+        descending=True,
+        out_col="__m_rank",
+    )
+
+    def quart(rank_col: str):
+        return F.expr(
+            f"CASE WHEN {rank_col} <= (__n % 4) * ((__n DIV 4) + 1) "
+            f"THEN (({rank_col} - 1) DIV ((__n DIV 4) + 1)) + 1 "
+            f"ELSE (__n % 4) + (({rank_col} - (__n % 4) * ((__n DIV 4) + 1) - 1)"
+            f" DIV (__n DIV 4)) + 1 END"
+        )
+
+    return r3.crossJoin(F.broadcast(n)).select(
         "c_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        (r_q * 100 + f_q * 10 + m_q).cast("int").alias("rfm_code"),
+        (quart("__r_rank") * 100 + quart("__f_rank") * 10 + quart("__m_rank"))
+        .cast("int")
+        .alias("rfm_code"),
     )
 
 

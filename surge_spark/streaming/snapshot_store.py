@@ -1130,9 +1130,14 @@ class SnapshotStore:
         ``cast(key as string) == aggregate_id``: for integer key columns
         the string form of every stored value is canonical, so a
         non-canonical spelling ('05', '5.0', 'abc') can never match — a
-        definitive miss, reported as matchable=False. Exotic key types
-        (float/decimal/timestamp) raise NotImplementedError so the caller
-        falls back to the Spark scan."""
+        definitive miss, reported as matchable=False. Date and decimal
+        keys extend the same trick (r7 VERDICT item 2): Spark renders
+        dates as ISO 'yyyy-MM-dd' and decimal(p,s) at exactly scale s
+        (BigDecimal.toPlainString), both canonical, so re-rendering the
+        parsed value and comparing to the input decides hit-vs-miss
+        definitively. Truly ambiguous key types (float/timestamp, whose
+        string forms are not round-trip canonical across engines) raise
+        NotImplementedError so the caller falls back to the Spark scan."""
         if self.key_col not in schema.fieldNames():
             raise NotImplementedError("key column absent from state schema")
         dt = schema[self.key_col].dataType
@@ -1147,6 +1152,31 @@ class SnapshotStore:
             if str(iv) != s:
                 return False, None
             return True, iv
+        if isinstance(dt, T.DateType):
+            import datetime
+
+            try:
+                d = datetime.date.fromisoformat(s)
+            except ValueError:
+                return False, None
+            if d.isoformat() != s:  # py3.11 fromisoformat accepts laxer forms
+                return False, None
+            return True, d
+        if isinstance(dt, T.DecimalType):
+            import decimal
+
+            try:
+                dec = decimal.Decimal(s)
+                qd = dec.quantize(decimal.Decimal(1).scaleb(-dt.scale))
+            except (decimal.InvalidOperation, ValueError):
+                return False, None  # unparseable, NaN/Inf, or needs more scale
+            if qd != dec or format(qd, "f") != s:
+                return False, None
+            if qd.is_zero() and s.startswith("-"):
+                # Spark/BigDecimal zero is unsigned: stored '-0.00' renders
+                # '0.00', so the '-' spelling is a definitive miss
+                return False, None
+            return True, qd
         raise NotImplementedError(f"unsupported key type {dt} for arrow point read")
 
     def _point_read_arrow(self, m: dict, aggregate_id: str) -> dict | None:

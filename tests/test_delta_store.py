@@ -331,6 +331,83 @@ def test_point_read_arrow_integer_key_semantics(spark, tmp_path):
     assert store.get_state(spark, "7")["n"] == 70
 
 
+def test_point_read_arrow_date_key_semantics(spark, tmp_path):
+    """Date key columns stay on the arrow fast path (r7 VERDICT item 2):
+    Spark casts dates to canonical ISO 'yyyy-MM-dd', so the canonical-
+    spelling check extends directly — ISO spellings hit, anything else
+    ('2024-1-5', '2024-01-05T00:00:00', 'abc') is a definitive miss on
+    both paths. Equality pinned across deltas and tombstones."""
+    import datetime
+
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=4
+    )
+    d1, d2 = datetime.date(2024, 1, 5), datetime.date(2023, 12, 31)
+    upd = spark.createDataFrame([(d1, 10), (d2, 20)], "k date, n long")
+    store.commit(None, upd, "b0", updates_unique=True)
+    store.commit(
+        None,
+        spark.createDataFrame([(d1, 11)], "k date, n long"),
+        "b1",
+        updates_unique=True,
+    )
+    store.commit(
+        None,
+        spark.createDataFrame([], "k date, n long"),
+        "b2",
+        delete_keys=["2023-12-31"],
+        updates_unique=True,
+    )
+    m = store._manifest(store.latest_version())
+    for key in ("2024-01-05", "2023-12-31", "1999-09-09"):
+        arrow = store._point_read_arrow(m, key)
+        via_spark = store._point_read_spark(spark, m, key)
+        assert arrow == via_spark, (key, arrow, via_spark)
+    assert store._point_read_arrow(m, "2024-01-05") == {"k": d1, "n": 11}
+    assert store._point_read_arrow(m, "2023-12-31") is None  # tombstoned
+    for bad in ("2024-1-5", "2024-01-05T00:00:00", "abc", ""):
+        assert store._point_read_arrow(m, bad) is None
+        assert store._point_read_spark(spark, m, bad) is None
+
+
+def test_point_read_arrow_decimal_key_semantics(spark, tmp_path):
+    """Decimal key columns stay on the arrow fast path: Spark renders
+    decimal(p,s) at exactly scale s (BigDecimal.toPlainString), so the
+    quantize-and-re-render canonical check decides hit-vs-miss without a
+    Spark job. Non-canonical spellings ('5.0', '5.000', '1E+2', '-0.00')
+    are definitive misses on both paths."""
+    from decimal import Decimal
+
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=4
+    )
+    upd = spark.createDataFrame(
+        [(Decimal("5.00"), 50), (Decimal("-3.10"), 31)], "k decimal(10,2), n long"
+    )
+    store.commit(None, upd, "b0", updates_unique=True)
+    store.commit(
+        None,
+        spark.createDataFrame([(Decimal("5.00"), 51)], "k decimal(10,2), n long"),
+        "b1",
+        updates_unique=True,
+    )
+    m = store._manifest(store.latest_version())
+    for key in ("5.00", "-3.10", "9.99"):
+        arrow = store._point_read_arrow(m, key)
+        via_spark = store._point_read_spark(spark, m, key)
+        assert arrow == via_spark, (key, arrow, via_spark)
+    assert store._point_read_arrow(m, "5.00") == {"k": Decimal("5.00"), "n": 51}
+    for bad in ("5", "5.0", "5.000", "05.00", "1E+2", "-0.00", "abc", ""):
+        assert store._point_read_arrow(m, bad) is None
+        assert store._point_read_spark(spark, m, bad) is None
+    # the fast path really is job-free for these key types
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    assert store.get_state(spark, "-3.10") == {"k": Decimal("-3.10"), "n": 31}
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+
+
 def test_read_state_partitions_hint_copartitions_fold_join(spark, tmp_path):
     """read_state(partitions=N) shapes the latest-wins aggregate so the
     command engine's fold join is exchange-free: exactly TWO hash

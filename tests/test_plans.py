@@ -708,7 +708,11 @@ def test_prefix_sum_entries_have_no_unpartitioned_window(spark, sf_dir):
     not even over the shard totals (those cumulate via a broadcast theta
     self-join). Regressing to the global ORDER BY window funnels the
     whole corpus through one task."""
-    for name in ("t_pack_sequences", "t_token_budget_selection"):
+    for name in (
+        "t_pack_sequences",
+        "t_token_budget_selection",
+        "m_rfm_segmentation",
+    ):
         plan = _plan(spark, sf_dir, name)
         n_windows = plan.count("Window [")
         assert n_windows >= 1, name
