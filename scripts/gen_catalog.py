@@ -13,7 +13,9 @@ for name in sorted(qs):
     doc = (qs[name].__doc__ or "").strip().replace("\n", " ")
     while "  " in doc:
         doc = doc.replace("  ", " ")
-    first = doc.split(". ")[0][:150]
+    first = doc.split(". ")[0]
+    if len(first) > 150:  # cut at a word boundary, never mid-word
+        first = first[:150].rsplit(" ", 1)[0] + " …"
     prefix = name.split("_", 1)[0]
     mark = "oracle" if name in os_ else "rows-only"
     groups.setdefault(prefix, []).append(f"| `{name}` | {mark} | {first} |")
@@ -32,7 +34,8 @@ TITLES = {
     "d": "Deduplication", "es": "Event sourcing", "f": "Scalar functions",
     "g": "Graph analytics", "h": "Windows / sessions", "j": "Joins",
     "m": "Metrics & analytics", "mm": "Multimodal", "o": "Sorts / layout / maintenance",
-    "p": "Predicates", "q1": "TPC-H", "q3": "TPC-H", "q4": "TPC-H", "q5": "TPC-H",
+    "p": "Predicates", "p2": "Predicates", "p4": "Predicates", "p5": "Predicates",
+    "q": "Subqueries", "q1": "TPC-H", "q3": "TPC-H", "q4": "TPC-H", "q5": "TPC-H",
     "q6": "TPC-H", "q7": "TPC-H", "q8": "TPC-H", "q9": "TPC-H",
     "q10": "TPC-H", "q12": "TPC-H", "q13": "TPC-H", "q14": "TPC-H",
     "q15": "TPC-H", "q16": "TPC-H", "q17": "TPC-H", "q18": "TPC-H",
@@ -48,4 +51,18 @@ for title in sorted(merged):
     lines += [f"## {title}", "", "| entry | check | summary |", "|---|---|---|"]
     lines += sorted(merged[title]) + [""]
 Path("CATALOG.md").write_text("\n".join(lines))
+
+# Keep README's catalog row in sync (it shipped stale once — r7 ADVICE).
+import re  # noqa: E402
+
+readme = Path("README.md")
+txt = readme.read_text()
+new = re.sub(
+    r"the declared catalog: \d+ named queries, \d+ with DuckDB oracle SQL",
+    f"the declared catalog: {len(qs)} named queries, {len(os_)} with DuckDB oracle SQL",
+    txt,
+)
+if new != txt:
+    readme.write_text(new)
+    print("README.md catalog row updated")
 print(f"CATALOG.md: {len(qs)} entries, {len(os_)} oracled")

@@ -1268,6 +1268,8 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery predicate — Catalyst rewrites it to a left-semi join on
+    the subquery keys (same physical shape as j_semi_join)."""
     _view(spark, sf_dir, "customer", "_in_customer")
     _view(spark, sf_dir, "orders", "_in_orders")
     return spark.sql(

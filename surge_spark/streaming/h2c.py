@@ -241,6 +241,10 @@ class HpackDecoder:
     def __init__(self, max_size: int = 4096) -> None:
         self.dynamic: list[tuple[str, str]] = []
         self.max_size = max_size
+        # RFC 7541 §6.3: size updates above the advertised
+        # SETTINGS_HEADER_TABLE_SIZE are a decoding error — without this
+        # bound a peer could grow the table (and decoder memory) at will.
+        self.settings_max_size = max_size
 
     def _entry(self, idx: int) -> tuple[str, str]:
         if 1 <= idx <= len(STATIC_TABLE):
@@ -280,7 +284,13 @@ class HpackDecoder:
                 # evict directly — a phantom insert would overcount by 32
                 # bytes and could evict a live entry the peer still
                 # references by index (connection-fatal)
-                self.max_size, pos = _hpack_read_int(block, pos, 5)
+                new_size, pos = _hpack_read_int(block, pos, 5)
+                if new_size > self.settings_max_size:
+                    raise ValueError(
+                        f"HPACK table size update {new_size} exceeds "
+                        f"SETTINGS_HEADER_TABLE_SIZE {self.settings_max_size}"
+                    )
+                self.max_size = new_size
                 self._evict()
             else:  # literal without indexing (0000) / never indexed (0001)
                 idx, pos = _hpack_read_int(block, pos, 4)
@@ -570,10 +580,13 @@ def serve_business_logic_h2c(
             while True:
                 try:
                     ftype, flags, sid, payload = conn.next_frame()
+                    # transport_frame may WRITE (SETTINGS/PING acks) — a
+                    # peer that disconnected right after sending raises on
+                    # the ack send, not just on reads
+                    if conn.transport_frame(ftype, flags, sid, payload):
+                        continue
                 except (EOFError, ConnectionError, OSError):
                     return
-                if conn.transport_frame(ftype, flags, sid, payload):
-                    continue
                 if ftype == F_GOAWAY:
                     return
                 if ftype == F_RST_STREAM:
@@ -581,6 +594,11 @@ def serve_business_logic_h2c(
                     # stream state or a long-lived channel leaks an entry
                     # per cancelled RPC
                     streams.pop(sid, None)
+                    continue
+                if ftype not in (F_HEADERS, F_DATA, F_CONTINUATION):
+                    # PRIORITY et al. must not allocate stream state a
+                    # long-lived channel would never reap (real peers send
+                    # PRIORITY; an entry per frame is a slow leak)
                     continue
                 st = streams.setdefault(
                     sid,

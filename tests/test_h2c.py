@@ -272,6 +272,19 @@ def test_hpack_size_update_does_not_evict_fitting_entry():
     assert got == [(name, value)]
 
 
+def test_hpack_size_update_above_settings_limit_rejected():
+    """RFC 7541 §6.3: a size update above SETTINGS_HEADER_TABLE_SIZE is a
+    decoding error — accepting it would let a peer grow the dynamic table
+    (decoder memory) without bound."""
+    d = h2c.HpackDecoder(max_size=4096)
+    with pytest.raises(ValueError, match="SETTINGS_HEADER_TABLE_SIZE"):
+        d.decode(h2c.hpack_int(1 << 20, 5, 0x20))
+    # an update AT the limit is fine, and lowering then restoring works
+    assert d.decode(h2c.hpack_int(4096, 5, 0x20)) == []
+    assert d.decode(h2c.hpack_int(0, 5, 0x20)) == []
+    assert d.max_size == 0
+
+
 def test_grpc_over_tls_with_alpn_h2(tmp_path):
     """gRPC-over-TLS: both ends negotiate ALPN 'h2' (RFC 7301 — the grpc
     secure channel's transport) over a self-signed cert generated with
