@@ -317,34 +317,37 @@ def minhash_lsh_dedup(
 
     Shuffle budget: band-bucket self-join (capped by ``max_bucket``) plus the
     exact-Jaccard verification join. With ``prune_verification=False`` the
-    verification join shuffles the FULL exploded shingle table (twice) — the
-    join prunes rows only after the shuffle. With
-    ``prune_verification=True`` the shingle table (and the per-doc size
-    aggregate) is semi-join-pruned to candidate doc ids before either is
-    shuffled, making verification O(candidate docs) I/O as the LSH design
-    intends — the right shape at cluster scale where candidates ≪ corpus.
-    The candidate-id set is exploded from the pair table itself: the pair
-    table's final distinct exchange is already computed for the
-    verification join, so every occurrence of the id derivation is a
-    ReusedExchange plus an O(pairs) explode/distinct — no persist barrier
-    (an earlier persist-the-pairs variant serialized the whole pipeline
-    behind a cache materialization) and no re-execution of the banded
-    Window subtree (an earlier lsh_candidate_ids-based variant re-ran
-    Window/Sort/distinct once per semi-join occurrence: 2.0 s vs 1.5 s at
-    sf0.1, with the unpruned path at 1.6 s).
+    verification joins the FULL exploded shingle table twice (a-side via the
+    pair join, b-side as an (id, shingle) lookup) and aggregates per-doc
+    sizes over the full corpus — three O(corpus) passes regardless of how
+    few candidates there are. With ``prune_verification=True`` verification
+    is ONE-SCAN and O(candidates) end to end: the pair table is exploded
+    into per-member role rows (id, id_a, id_b, side), joined once against
+    the shingle stream — a broadcast map-side join whenever pairs ≪ corpus,
+    i.e. the corpus never shuffles at all in verification — and reduced by
+    a two-level aggregate: per (pair, shingle) presence-per-side, then per
+    pair n_union = count(*) and n_common = Σ(both sides present), giving
+    jaccard = n_common / n_union with no per-doc size aggregate, no sizes
+    joins, and no semi-join prune passes at all.
 
-    Measured local floor (sf0.1, local[32]): the pruned plan runs ~10 more
-    stages than the unpruned one (28 vs 18 — three broadcast-semi builds
-    plus the candidate-id distinct), and at this scale AQE broadcasts the
-    tiny pair table so unpruned verification never shuffles the shingle
-    table either; verification is <0.2 s of the unpruned total, so the
-    extra stages cannot pay for themselves and the pruned form floors at
-    ~1.3-1.7× unpruned depending on scheduler load. The crossover needs
-    what a real corpus has: verification I/O large enough to dominate
-    stage overhead, with candidates ≪ corpus. An array-based verification
-    (array_intersect over per-doc shingle arrays, no dedup/groupBy
-    exchanges) measured 3× WORSE — shingle_array's transform() runs
-    interpreted (see minhash_signatures_from_docs note)."""
+    Measured (sf0.1, local[32], back-to-back interleaved medians-of-3):
+    one-scan pruned 1.31 s vs unpruned 1.47 s — the r4-r7 semi-join pruned
+    form measured 2.14 s in the same session (three broadcast-semi builds +
+    candidate-id distinct + full-corpus sizes aggregate = ~10 extra stages),
+    and an intermediate full-outer per-pair join form 1.71 s. The one-scan
+    form finally puts the at-scale shape at-or-below the local winner too.
+    History that must not be retried: an array-based verification
+    (array_intersect over per-doc shingle arrays) measured 3× WORSE —
+    shingle_array's transform() runs interpreted (see
+    minhash_signatures_from_docs note); an explicit repartition(id_a, id_b)
+    before the per-pair reduce (to make the final aggregate exchange-free)
+    also LOST (1.91 s) — the subset-partitioned sort-merge costs more than
+    the small post-join aggregate exchange it saves.
+
+    Skew note: a doc appearing in many pairs ships its shingles once per
+    pair through the role join — the same fan-out the unpruned pair join
+    has on its a-side; ``max_bucket`` bounds per-band degree exactly as it
+    bounds the candidate generation itself."""
     # exploded signature path: xxhash64 over (id, shingle) rows stays inside
     # whole-stage codegen and the k min() aggregates combine map-side —
     # measured ~3x faster than the per-row transform()/array_min form, whose
@@ -358,14 +361,39 @@ def minhash_lsh_dedup(
     cands = lsh_candidates(sig, bands, num_hashes // bands, max_bucket)
     sh = shingles(df, id_col, text_col, n)
     if prune_verification:
-        cand_ids = cands.select(
-            F.explode(F.array("id_a", "id_b")).alias("id")
-        ).distinct()
-        sh = sh.join(cand_ids, "id", "left_semi")
-    # n_shingles only ever joins against candidate pairs, so computing it
-    # AFTER the optional semi-join prune is identical for every surviving
-    # doc — and in the pruned path it turns a full-corpus shuffle into an
-    # O(candidate docs) one (the whole point of pruning).
+        # one-scan verification: each pair contributes a role row per
+        # member; one join against the shingle stream (broadcast-able —
+        # pairs ≪ corpus is the LSH design assumption), then
+        # union/intersection counts from a two-level aggregate.
+        roles = cands.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("id"), F.lit(0).alias("side")),
+                    F.struct(F.col("id_b").alias("id"), F.lit(1).alias("side")),
+                )
+            ).alias("r"),
+            "id_a",
+            "id_b",
+        ).select(
+            F.col("r.id").alias("id"), "id_a", "id_b", F.col("r.side").alias("side")
+        )
+        per_shingle = (
+            roles.join(sh, "id")
+            .groupBy("id_a", "id_b", "shingle")
+            .agg(
+                F.max(F.when(F.col("side") == 0, 1).otherwise(0)).alias("_ha"),
+                F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("_hb"),
+            )
+        )
+        agg = per_shingle.groupBy("id_a", "id_b").agg(
+            F.count("*").alias("n_union"),
+            F.sum(F.col("_ha") * F.col("_hb")).alias("n_common"),
+        )
+        return (
+            agg.withColumn("jaccard", F.col("n_common") / F.col("n_union"))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = sh.withColumnsRenamed({"id": "id_a"})
     b = sh.withColumnsRenamed({"id": "id_b"})

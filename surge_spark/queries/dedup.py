@@ -224,16 +224,16 @@ def d_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("d_minhash_lsh_neardup_pruned")
 def d_minhash_lsh_neardup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB shape of d_minhash_lsh_neardup: identical output, but the
-    verification join's shingle table is semi-join-pruned to candidate doc
-    ids BEFORE it shuffles (prune_verification=True), so verification I/O is
-    O(candidate docs) instead of O(corpus). Candidate ids are exploded from
-    the pair table, whose distinct exchange the verification join already
-    computes (ReusedExchange) — with that derivation the pruned form also
-    measures at-or-below the unpruned one locally (1.5 s vs 1.6 s at
-    sf0.1), and at cluster scale with candidates ≪ corpus it is strictly
-    better. Both ship, both benched; equality pinned in tests/test_dedup.py
-    and the pruning pinned in tests/test_plans.py."""
+    """The 100 TB shape of d_minhash_lsh_neardup: identical output, but
+    verification is ONE-SCAN and O(candidates) (prune_verification=True) —
+    role-exploded pairs joined once against a single shingle stream
+    (broadcast map-side when pairs ≪ corpus, so the corpus never shuffles
+    in verification), union/intersection counts from a two-level aggregate
+    with no per-doc sizes pass. Measures BELOW the unpruned form locally
+    too (1.31 vs 1.47 s at sf0.1, back-to-back interleaved — the r4-r7
+    semi-join pruned form was 2.14 s in the same session; A/B table in the
+    operator docstring). Equality pinned in tests/test_dedup.py, the
+    one-scan shape in tests/test_plans.py."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_dedup(
         docs, "doc_id", "text", n=4, num_hashes=64, bands=16, threshold=0.5,

@@ -132,18 +132,24 @@ def test_minhash_band_join_reuses_signature_exchange(spark, sf_dir):
     assert "ReusedExchange" in plan, plan
 
 
-def test_pruned_lsh_semi_joins_shingles_before_shuffle(spark, sf_dir):
-    """d_minhash_lsh_neardup_pruned: the verification path must prune the
-    shingle table to candidate doc ids with a semi join BEFORE shuffling it
-    — the O(candidate docs) contract that makes LSH verification viable at
-    100 TB — and the candidate-id branch must ride an exchange the plan
-    already computes (ReusedExchange; ids are exploded from the pair
-    table's distinct exchange), not recompute the signature subtree or
-    hide behind a persist barrier."""
+def test_pruned_lsh_one_scan_verification(spark, sf_dir):
+    """d_minhash_lsh_neardup_pruned: verification must be the ONE-SCAN
+    O(candidates) shape — role-exploded pairs joined once against a single
+    shingle stream (broadcast map-side when pairs ≪ corpus: the corpus
+    never shuffles in verification), reduced by a two-level aggregate.
+    Pinned structurally: NO full-corpus per-doc sizes aggregate anywhere
+    (`n_shingles` is unpruned-only — the one-scan form derives n_union
+    directly, so the whole sizes subtree is gone), the role join
+    broadcasts, no semi-join prune passes, no persist barrier, and the
+    band self-join still reuses its signature exchange. (Scan counting is
+    NOT a usable pin here: the AQE executed-plan string re-prints query-
+    stage subtrees, so FileScan occurrences overcount non-deterministically.)"""
     df = all_queries()["d_minhash_lsh_neardup_pruned"](spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan, plan
+    assert "n_shingles" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftSemi" not in plan, plan
     assert "InMemoryTableScan" not in plan, plan
     assert "ReusedExchange" in plan, plan
 
