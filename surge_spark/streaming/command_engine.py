@@ -24,23 +24,33 @@ batch replays call directly.
 
 BATCH-ACK LATENCY FLOOR (BASELINE §3 SLO ≤ 1 s; r5 measured 2.096 s
 median for 128-command batches, r6 cut it to 1.103 s driver-measured,
-r7 work trims further). Per-stage breakdown at 128 cmds / 16 buckets /
-delta commits, local[8], SURGE_PROFILE=1 (scripts/profile_stream.py),
-after the r7 plan-shape fixes:
+r7 grazed at 1.122, r8 measures 0.94-1.02 — SLO met). Per-stage
+breakdown at 128 cmds / 16 buckets / delta commits, local[8],
+SURGE_PROFILE=1 (scripts/profile_stream.py), after the r8 fixes:
 
-  read_state plan build            ~0.09 s  (base listing memoized +
-                                            prewarmed; one new delta dir
-                                            per version)
+  read_state plan build            0.000 s  (guaranteed memo hit: the
+                                            commit prewarms the next
+                                            frame concurrently with its
+                                            writes, and the memo keys on
+                                            the JVM session — foreachBatch
+                                            wrappers defeated every
+                                            prior prewarm, see
+                                            SnapshotStore._session_key)
   fold plan build                  ~0.05 s
-  fold materialize (ONE job)       ~0.40-0.46 s  (scan + 2 exchanges +
-                                            Arrow fold; see below)
-  commit (3 concurrent writes      ~0.27-0.30 s  (writes scan cached
-    + manifest)                              fold blocks; parquet-
-                                            committer fixed cost)
+  fold materialize (ONE job)       ~0.45-0.55 s  (scan + 2 exchanges +
+                                            Arrow fold — the distributed-
+                                            execution floor; see below)
+  cached-fold collect              ~0.06 s  (driver-commit path)
+  commit                           ~0.085 s (driver-side pyarrow writes
+                                            of delta/events/replies +
+                                            manifest — ZERO Spark write
+                                            jobs for driver-safe batch
+                                            sizes; Spark write path is
+                                            the exact fallback and the
+                                            semantic source of truth)
   structured-streaming overhead    ~0.12 s  (walCommit + commitOffsets +
                                             latestOffset — Spark's own
                                             exactly-once bookkeeping)
-  driver glue (unpersist, py4j)    ~0.1 s
 
 r7 changes measured on this host (median trigger 1.26-1.35 → ~1.08 s):
 (a) the fold pipeline is CO-PARTITIONED end to end — commands
@@ -78,6 +88,7 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.eventsourcing import _iter_rows
 from ..session import ensure_shipped
@@ -112,6 +123,7 @@ class CommandEngine:
         commit_target_files: int = 1,
         fold_partitions: int | None = None,
         prune_state_read: bool = False,
+        driver_commit_max_rows: int = 65536,
     ) -> None:
         """Handler models supported (CommandModels.scala:12-74):
 
@@ -149,7 +161,16 @@ class CommandEngine:
         more than the full read; at a 100 TB snapshot with command-sized
         batches it is the only viable shape (the join input drops from
         O(snapshot) to O(touched buckets)). Same crc32 bucketing on both
-        sides, so no key can be missed (pinned by test)."""
+        sides, so no key can be missed (pinned by test).
+
+        ``driver_commit_max_rows``: fold outputs at or under this row count
+        take the driver-side commit-write path (collect the cached fold
+        once, write the delta/events/replies/records parquet via pyarrow —
+        zero Spark write jobs, the write twin of the arrow point read;
+        measured ~0.2 s/job floor saved). Requires every engine schema to
+        be arrow-writable primitives (checked once, cached); any per-batch
+        value that doesn't coerce exactly falls back to the Spark path.
+        Set 0 to disable."""
         self.store = store
         self.process_command = process_command
         self.handle_event = handle_event
@@ -165,8 +186,110 @@ class CommandEngine:
             raise ValueError(f"fold_partitions must be >= 1, got {fold_partitions}")
         self.fold_partitions = fold_partitions
         self.prune_state_read = prune_state_read
+        self.driver_commit_max_rows = driver_commit_max_rows
         # cache of the current batch's fold output; see process_batch
         self._prev_packed: DataFrame | None = None
+        # lazily-resolved StructTypes for the driver-side commit path;
+        # False = schemas not arrow-writable (decided once)
+        self._driver_structs_cache: dict | None | bool = None
+
+    # -- driver-side commit path ----------------------------------------------
+
+    def _driver_structs(self) -> dict | None:
+        """StructTypes for the driver-side commit writes, or None when any
+        engine schema isn't arrow-writable (decided once — the answer is a
+        pure function of the declared schemas)."""
+        if self._driver_structs_cache is False:
+            return None
+        if isinstance(self._driver_structs_cache, dict):
+            return self._driver_structs_cache
+        try:
+            parse = T._parse_datatype_string
+            state_struct = T.StructType.fromDDL(self.state_schema) if hasattr(
+                T.StructType, "fromDDL"
+            ) else parse(self.state_schema)
+            event_fields = list(parse(f"struct<{self.event_schema}>").fields)
+            if self.context_mode:
+                event_fields.append(T.StructField("_topic", T.StringType()))
+            events_struct = T.StructType(event_fields)
+            replies_struct = parse(REPLY_SCHEMA)
+            replies_bid_struct = T.StructType(
+                list(replies_struct.fields)
+                + [T.StructField("batch_id", T.StringType())]
+            )
+            records_struct = parse(RECORD_SCHEMA)
+            for s in (state_struct, events_struct, replies_bid_struct, records_struct):
+                SnapshotStore._arrow_write_schema(s)
+            # the tombstone cast needs a castable key type too
+            kt = type(state_struct[self.store.key_col].dataType)
+            if kt not in (
+                T.StringType, T.LongType, T.IntegerType,
+                T.ShortType, T.ByteType, T.DoubleType, T.FloatType,
+            ):
+                raise ValueError(f"key type {kt.__name__} not driver-castable")
+            self._driver_structs_cache = {
+                "state_struct": state_struct,
+                "events_struct": events_struct,
+                "replies_struct": replies_struct,
+                "replies_bid_struct": replies_bid_struct,
+                "records_struct": records_struct,
+            }
+            return self._driver_structs_cache
+        except Exception:  # noqa: BLE001 — unsupported schema: Spark path
+            self._driver_structs_cache = False
+            return None
+
+    def _collect_driver_sides(
+        self, packed: DataFrame, stamp_batch_id: str | None
+    ) -> dict:
+        """Collect the cached fold output (one cheap job over cached
+        blocks) and split it into per-side row dicts for
+        SnapshotStore._driver_commit_writes. Raises on anything
+        unexpected — the caller falls back to the Spark commit path."""
+        structs = self._driver_structs()
+        assert structs is not None
+        st: list[dict] = []
+        ev: list[dict] = []
+        rep: list[dict] = []
+        tomb: list[str] = []
+        rec: list[dict] = []
+        for r in packed.collect():
+            d = json.loads(r[1])
+            kind = r[0]
+            if kind == "state":
+                st.append(d)
+            elif kind == "event":
+                evd = d.get("event")
+                evd = dict(evd) if isinstance(evd, dict) else {}
+                if self.context_mode:
+                    evd["_topic"] = d.get("topic")
+                ev.append(evd)
+            elif kind == "reply":
+                if stamp_batch_id is not None:
+                    d = dict(d)
+                    d["batch_id"] = stamp_batch_id
+                rep.append(d)
+            elif kind == "tombstone":
+                tomb.append(d.get(self.store.key_col))
+            elif kind == "record":
+                rec.append(d)
+            else:
+                raise ValueError(f"unknown fold row kind {kind!r}")
+        return {
+            "state_struct": structs["state_struct"],
+            "state": st,
+            "deletes": tomb,
+            "events_struct": structs["events_struct"],
+            "events": ev,
+            "replies_struct": (
+                structs["replies_bid_struct"]
+                if stamp_batch_id is not None
+                else structs["replies_struct"]
+            ),
+            "replies": rep,
+            "records_struct": structs["records_struct"],
+            "records": rec if self.context_mode else [],
+        }
 
     # -- core ----------------------------------------------------------------
 
@@ -567,7 +690,26 @@ class CommandEngine:
             # cheap count() job pays a single fold pass; the write jobs
             # then scan cached blocks only.
             with phase("pb.materialize"):
-                packed.count()
+                n_packed = packed.count()
+            # driver-safe batches: collect the cached fold (one fast job
+            # over cached blocks) so the commit can write all its parquet
+            # driver-side — zero Spark write jobs (~0.2 s/job floor). Any
+            # failure here or any value that doesn't coerce exactly inside
+            # commit falls back to the Spark write path below.
+            driver_sides = None
+            if (
+                self.driver_commit_max_rows
+                and n_packed <= self.driver_commit_max_rows
+                and self._driver_structs() is not None
+            ):
+                with phase("pb.collect_rows"):
+                    try:
+                        driver_sides = self._collect_driver_sides(
+                            packed,
+                            str(batch_id) if replies_dir is not None else None,
+                        )
+                    except Exception:  # noqa: BLE001 — Spark path is the truth
+                        driver_sides = None
             with phase("pb.commit"):
                 self.store.commit(
                     events_df.coalesce(nf),
@@ -578,6 +720,13 @@ class CommandEngine:
                     records=records_df.coalesce(nf) if self.context_mode else None,
                     updates_unique=True,  # fold emits at most one state row/key
                     replies_dir=replies_dir,
+                    driver_sides=driver_sides,
+                    # build the next trigger's snapshot frame INSIDE the
+                    # commit (overlapped with side writes + manifest
+                    # publish): the post-commit thread below loses ~0.1 s
+                    # of its build to the next trigger's pb.read_state
+                    # every batch; the in-commit warm makes it a dict hit.
+                    prewarm_partitions=fp,
                 )
             if not self.prune_state_read:
                 # prewarm the NEXT batch's snapshot frame off the critical

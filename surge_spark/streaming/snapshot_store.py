@@ -359,14 +359,195 @@ class SnapshotStore:
             return parts[0].unionByName(parts[1])
         return parts[0] if parts else None
 
+    # -- driver-side small-batch commit writes --------------------------------
+
+    # the write twin of the r7 arrow point READ: a micro-batch's outputs are
+    # a few hundred tiny rows, yet each Spark parquet write job costs ~0.2 s
+    # of scheduling + commit protocol (the measured write floor). For
+    # driver-safe batch sizes the engine collects the fold output once and
+    # commit writes the delta/events/replies/records parquet driver-side
+    # with pyarrow — zero Spark write jobs. STRICTLY gated: only schemas
+    # whose fields map 1:1 onto parquet primitives Spark writes identically
+    # (no timestamps — Spark's INT96 default differs from pyarrow), and only
+    # exact-type JSON values (a mismatch falls back to the Spark path, whose
+    # from_json/cast semantics then apply — the driver path never guesses).
+    @staticmethod
+    def _arrow_write_schema(struct: T.StructType):
+        """pyarrow schema for a Spark struct IF every field is a primitive
+        both engines write identically; raises ValueError otherwise."""
+        import pyarrow as pa
+
+        m = {
+            T.StringType: pa.string(),
+            T.LongType: pa.int64(),
+            T.IntegerType: pa.int32(),
+            T.ShortType: pa.int16(),
+            T.ByteType: pa.int8(),
+            T.DoubleType: pa.float64(),
+            T.FloatType: pa.float32(),
+            T.BooleanType: pa.bool_(),
+        }
+        fields = []
+        for f in struct.fields:
+            t = m.get(type(f.dataType))
+            if t is None:
+                raise ValueError(f"no driver-side write for {f.dataType}")
+            fields.append(pa.field(f.name, t))
+        return pa.schema(fields)
+
+    @staticmethod
+    def _coerce_row(d: dict, struct: T.StructType) -> dict:
+        """JSON dict → typed row for the declared struct; raises on any
+        value whose type doesn't already match (bool-for-int included —
+        json gives real bools). Matching from_json EXACTLY on mismatches
+        is not attempted: a raise here routes the whole batch to the Spark
+        path, so both engines only ever diverge into identical output."""
+        out = {}
+        for f in struct.fields:
+            v = d.get(f.name)
+            if v is None:
+                out[f.name] = None
+                continue
+            dt = type(f.dataType)
+            if dt is T.StringType:
+                if not isinstance(v, str):
+                    raise ValueError(f"{f.name}: {type(v).__name__} for string")
+                out[f.name] = v
+            elif dt in (T.LongType, T.IntegerType, T.ShortType, T.ByteType):
+                if isinstance(v, bool) or not isinstance(v, int):
+                    raise ValueError(f"{f.name}: {type(v).__name__} for integral")
+                out[f.name] = v
+            elif dt in (T.DoubleType, T.FloatType):
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    raise ValueError(f"{f.name}: {type(v).__name__} for float")
+                out[f.name] = float(v)
+            elif dt is T.BooleanType:
+                if not isinstance(v, bool):
+                    raise ValueError(f"{f.name}: {type(v).__name__} for bool")
+                out[f.name] = v
+            else:  # unreachable after _arrow_write_schema
+                raise ValueError(f"{f.name}: unsupported {f.dataType}")
+        return out
+
+    @classmethod
+    def _arrow_write_dir(cls, path: str, rows: list[dict], struct: T.StructType) -> None:
+        """One-file parquet dir, the driver-side stand-in for a one-task
+        Spark write (snappy, the same default codec)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = cls._arrow_write_schema(struct)
+        os.makedirs(path, exist_ok=True)
+        table = pa.Table.from_pylist(rows, schema=schema)
+        pq.write_table(table, os.path.join(path, f"part-00000-{uuid.uuid4().hex[:8]}.parquet"))
+
+    def _driver_commit_writes(
+        self,
+        ds: dict,
+        delta_path: str,
+        events_path: str | None,
+        replies_path: str | None,
+        records_path: str | None,
+        prev_manifest: dict | None,
+    ) -> tuple[int, bool, str]:
+        """Write a delta-append commit's parquet sides driver-side from
+        pre-collected rows. Returns (n_events, delta_written,
+        state_schema_json). Raises on ANY schema/value that doesn't coerce
+        exactly — the caller cleans up and falls back to the Spark writes.
+
+        Parity contracts mirrored from the Spark path: null-key state rows
+        are dropped at the gate (unaddressable by the bucket math);
+        tombstone keys are cast from their string spelling to the key
+        column's type (int()/float() raise like ANSI casts do); an empty
+        delta writes NO dir (no-change-no-write); an empty events/records
+        side writes no dir and reports n=0; replies are always written
+        (even empty — ack recovery reads the dir's existence)."""
+        state_struct: T.StructType = ds["state_struct"]
+        schema_json = state_struct.json()
+        if not state_struct.fields and prev_manifest is not None:
+            schema_json = prev_manifest.get("state_schema", schema_json)
+        key_field = state_struct[self.key_col]
+        delta_struct = T.StructType(
+            list(state_struct.fields) + [T.StructField("__deleted", T.BooleanType())]
+        )
+        rows: list[dict] = []
+        for d in ds.get("state") or []:
+            r = self._coerce_row(d, state_struct)
+            if r.get(self.key_col) is None:
+                continue
+            r["__deleted"] = False
+            rows.append(r)
+        kt = type(key_field.dataType)
+        for k in ds.get("deletes") or []:
+            if k is None:
+                continue
+            if not isinstance(k, str):
+                raise ValueError("tombstone keys must arrive stringified")
+            if kt is T.StringType:
+                kv = k
+            elif kt in (T.LongType, T.IntegerType, T.ShortType, T.ByteType):
+                kv = int(k)  # raises like the ANSI string→integral cast
+            elif kt in (T.DoubleType, T.FloatType):
+                kv = float(k)
+            else:
+                raise ValueError(f"no driver-side tombstone cast for {key_field.dataType}")
+            r = {f.name: None for f in state_struct.fields}
+            r[self.key_col] = kv
+            r["__deleted"] = True
+            rows.append(r)
+        n_events = 0
+        # coerce EVERY side before writing ANY file: a late coercion error
+        # must leave nothing to clean up beyond what the caller rmtree's
+        ev_rows = rep_rows = rec_rows = None
+        if events_path is not None and ds.get("events") is not None:
+            ev_rows = [self._coerce_row(d, ds["events_struct"]) for d in ds["events"]]
+        if replies_path is not None:
+            rep_rows = [
+                self._coerce_row(d, ds["replies_struct"])
+                for d in (ds.get("replies") or [])
+            ]
+        if records_path is not None and ds.get("records"):
+            rec_rows = [self._coerce_row(d, ds["records_struct"]) for d in ds["records"]]
+        delta_written = False
+        if rows:
+            self._arrow_write_dir(delta_path, rows, delta_struct)
+            delta_written = True
+        if ev_rows:
+            self._arrow_write_dir(events_path, ev_rows, ds["events_struct"])
+            n_events = len(ev_rows)
+        if rep_rows is not None:
+            self._arrow_write_dir(replies_path, rep_rows, ds["replies_struct"])
+        if rec_rows:
+            self._arrow_write_dir(records_path, rec_rows, ds["records_struct"])
+        return n_events, delta_written, schema_json
+
     # -- merge-on-read helpers -----------------------------------------------
+
+    @staticmethod
+    def _session_key(spark: SparkSession):
+        """Stable identity for the UNDERLYING JVM session. foreachBatch
+        hands a fresh Python SparkSession wrapper every trigger, so
+        ``id(spark)`` / ``is`` checks miss the memo on every micro-batch —
+        the prewarm built frames the next trigger could never see (the
+        pb.read_state ~0.1 s that survived every prewarm attempt). The JVM
+        object's identity hashCode is the same across wrappers of one
+        session and differs across cloned sessions; a frame memoized under
+        wrapper A is valid for wrapper B iff their JVM session is the same
+        object."""
+        try:
+            return spark._jsparkSession.hashCode()
+        except Exception:  # noqa: BLE001 — e.g. mocked/connect sessions
+            return id(spark)
 
     def _memo_dir_frame(self, spark: SparkSession, key: tuple, build) -> DataFrame | None:
         """Session-keyed memo of raw directory frames (immutable dirs);
-        bounded so a long-lived engine doesn't accumulate plan objects."""
+        bounded so a long-lived engine doesn't accumulate plan objects.
+        Callers bake ``_session_key(spark)`` into ``key``; the stored
+        wrapper is kept only for debugging, not identity-checked (see
+        _session_key)."""
         with self._memo_lock:
             cached = self._dir_frames.get(key)
-            if cached is not None and cached[0] is spark:
+            if cached is not None:
                 return cached[1]
             df = build()
             if df is not None:
@@ -525,7 +706,7 @@ class SnapshotStore:
             base_paths = list(buckets_map.values())
         parts: list[DataFrame] = []
         if base_paths:
-            base_key = (id(spark), tuple(sorted(base_paths)), m["state_schema"])
+            base_key = (self._session_key(spark), tuple(sorted(base_paths)), m["state_schema"])
             base = self._memo_dir_frame(
                 spark, base_key, lambda: spark.read.schema(schema).parquet(*base_paths)
             )
@@ -534,7 +715,7 @@ class SnapshotStore:
             )
         entries = m.get("state_deltas", [])
         if entries:
-            dkey = (id(spark), tuple(e["path"] for e in entries), bucket)
+            dkey = (self._session_key(spark), tuple(e["path"] for e in entries), bucket)
             d = self._memo_dir_frame(
                 spark, dkey, lambda: self._deltas_scan(spark, entries, bucket=bucket)
             )
@@ -562,6 +743,8 @@ class SnapshotStore:
         updates_unique: bool = False,
         touched_buckets: set | None = None,
         replies_dir: str | None = None,
+        prewarm_partitions: int | None = None,
+        driver_sides: dict | None = None,
     ) -> bool:
         """Atomically commit one micro-batch: append events, merge state
         updates into their key-hash buckets, publish a manifest. Returns
@@ -584,6 +767,28 @@ class SnapshotStore:
         be exact (a missing id loses that bucket's surviving rows from the
         merge; an extra id rewrites — and without its survivors, drops — an
         untouched bucket).
+        ``prewarm_partitions``: build the NEXT read_state frame (at that
+        merge width) on a side thread DURING the commit — started the
+        moment the state write lands (its dirs are what the frame lists),
+        overlapped with the side writes and manifest publish, and
+        published into the read_state memo only AFTER this committer wins
+        the manifest race (a loser's frame would describe the wrong
+        content for the version). The engine passes its fold width here
+        so the next trigger's pb.read_state is a guaranteed dict hit —
+        the post-commit prewarm thread alone lost the race to the next
+        trigger by ~0.1 s every batch. Delta-append commits only (the 15
+        of 16 steady-state shape); compaction commits fall back to the
+        engine's post-commit prewarm.
+        ``driver_sides``: pre-collected typed row dicts for every side
+        (keys ``state``/``deletes``/``events``/``replies``/``records`` +
+        their ``*_struct`` StructTypes) — the engine passes them for
+        driver-safe batch sizes so a delta-append commit writes ALL its
+        parquet driver-side via pyarrow (zero Spark write jobs; measured
+        ~0.2 s/job floor). Honored only for delta-append commits with
+        exactly-coercible primitive schemas; any mismatch falls back to
+        the Spark writes from the frames, which remain the semantic
+        source of truth. The DataFrame params must still be passed — they
+        are the fallback.
         ``replies_dir``: publish the replies THERE instead of inside the
         version directory (and record that path in the manifest) — lets a
         streaming deployment's gateway reply channel be the commit's own
@@ -628,6 +833,30 @@ class SnapshotStore:
         # ack). The manifest records the FINAL path; if a crash lands
         # between manifest link and rename, replies_for_batch self-heals by
         # finishing the rename (staging name is derived, not random).
+        prev_buckets: dict[str, str] = (
+            dict(prev_manifest.get("state_buckets", {})) if prev_manifest else {}
+        )
+        # pre-bucketing layout: single unbucketed state path — migrate by
+        # merging the WHOLE legacy snapshot into this commit's bucketed write
+        legacy_state = (
+            prev_manifest.get("state")
+            if prev_manifest is not None and "state_buckets" not in prev_manifest
+            else None
+        )
+        prev_deltas: list[dict] = (
+            list(prev_manifest.get("state_deltas", [])) if prev_manifest else []
+        )
+        # merge-on-read: append a delta while fewer than delta_commits have
+        # accumulated; the commit that would exceed the cap (or any commit
+        # by a non-delta-mode writer against a store with pending deltas)
+        # compacts instead — folds every delta plus this batch into the COW
+        # merge below, so the base buckets and delta list reset together.
+        delta_write = (
+            bool(self.delta_commits)
+            and prev_manifest is not None
+            and legacy_state is None
+            and len(prev_deltas) < self.delta_commits
+        )
         replies_external = replies_dir is not None
         replies_final = (
             os.path.join(vdir, "replies") if replies_dir is None else replies_dir
@@ -659,83 +888,116 @@ class SnapshotStore:
         n_events = 0
         ev_obs = rec_obs = ch_obs = None
         changes_path = os.path.join(vdir, "changes")
-        if events is not None:
-            ev_obs = Observation()
-            ev_df = events.observe(ev_obs, F.count(F.lit(1)).alias("n"))
-            side_writes.append(
-                pool.submit(ev_df.write.mode("overwrite").parquet, events_path)
-            )
-            n_events = -1  # replaced by the observed count below
-        if replies is not None:
-            side_writes.append(
-                pool.submit(replies.write.mode("overwrite").parquet, replies_path)
-            )
-        if records is not None:
-            rec_obs = Observation()
-            rec_df = records.observe(rec_obs, F.count(F.lit(1)).alias("n"))
-            side_writes.append(
-                pool.submit(rec_df.write.mode("overwrite").parquet, records_path)
-            )
+        delta_path = os.path.join(vdir, "state-delta")
+        # driver-side small-batch writes (the write twin of the arrow point
+        # read): only for delta-append commits, and only when every value
+        # coerces exactly — any failure cleans its partial dirs and falls
+        # back to the Spark write jobs below, which are the source of truth
+        # for semantics.
+        driver_written = False
+        delta_written = False
+        driver_schema_json: str | None = None
+        if driver_sides is not None and delta_write:
+            try:
+                n_events, delta_written, driver_schema_json = (
+                    self._driver_commit_writes(
+                        driver_sides,
+                        delta_path,
+                        events_path if events is not None else None,
+                        replies_path if replies is not None else None,
+                        records_path if records is not None else None,
+                        prev_manifest,
+                    )
+                )
+                driver_written = True
+                if n_events == 0:
+                    events = None
+                if not (driver_sides.get("records") or []):
+                    records = None
+            except Exception:  # noqa: BLE001 — exact fallback, never guess
+                import shutil as _sh
+
+                for p in (delta_path, events_path, records_path, replies_path):
+                    _sh.rmtree(p, ignore_errors=True)
+                driver_written = False
+                delta_written = False
+                n_events = 0
+        if not driver_written:
+            if events is not None:
+                ev_obs = Observation()
+                ev_df = events.observe(ev_obs, F.count(F.lit(1)).alias("n"))
+                side_writes.append(
+                    pool.submit(ev_df.write.mode("overwrite").parquet, events_path)
+                )
+                n_events = -1  # replaced by the observed count below
+            if replies is not None:
+                side_writes.append(
+                    pool.submit(replies.write.mode("overwrite").parquet, replies_path)
+                )
+            if records is not None:
+                rec_obs = Observation()
+                rec_df = records.observe(rec_obs, F.count(F.lit(1)).alias("n"))
+                side_writes.append(
+                    pool.submit(rec_df.write.mode("overwrite").parquet, records_path)
+                )
 
         spark = state_updates.sparkSession
         _merge_plan = phase("commit.merge_plan")
         _merge_plan.__enter__()
-        dele = self._keys_df(spark, delete_keys)
-        if dele is not None:
-            dele = dele.where(F.col(self.key_col).isNotNull())
-        if self.key_col in state_updates.columns:
-            # a NULL-key row would be written to the __HIVE_DEFAULT_PARTITION__
-            # bucket, which the driver-side crc32 bucket math can never
-            # address: the row could never be read back (get_state), updated,
-            # or tombstoned, and the next commit writing another null-key row
-            # would replace the bucket map entry and silently drop it. The
-            # merge anti-join already treats null keys as un-matchable, so
-            # they are filtered at the gate (plan-side, no extra job).
-            state_updates = state_updates.where(F.col(self.key_col).isNotNull())
-        if not updates_unique and state_updates.schema.fields:
-            # enforce the one-row-per-key snapshot invariant on the update
-            # set itself (get_state/read_state assume it); arbitrary
-            # survivor — pre-fold with latest_per_key (A2) for ordered picks
-            state_updates = state_updates.dropDuplicates([self.key_col])
-        state_schema_json = state_updates.schema.json()
-        if not state_updates.schema.fields and prev_manifest is not None:
-            state_schema_json = prev_manifest.get("state_schema", state_schema_json)
+        if driver_written:
+            # everything this section would build (tombstone frame, delta
+            # frame) already sits on disk from the arrow writes above;
+            # analyzing the lazy twins anyway costs 60-80 ms of eager
+            # classic-mode re-analysis per micro-batch for nothing.
+            state_schema_json = driver_schema_json
+            dele = None
+            orig_updates, orig_dele = state_updates, None
+            delta_df: DataFrame | None = None
+            touched: set[str] = set()
+            _skip_merge_plan = True
+        else:
+            _skip_merge_plan = False
+        if _skip_merge_plan:
+            pass
+        else:
+            dele = self._keys_df(spark, delete_keys)
+            if dele is not None:
+                dele = dele.where(F.col(self.key_col).isNotNull())
+            if self.key_col in state_updates.columns:
+                # a NULL-key row would be written to the
+                # __HIVE_DEFAULT_PARTITION__ bucket, which the driver-side
+                # crc32 bucket math can never address: the row could never be
+                # read back (get_state), updated, or tombstoned, and the next
+                # commit writing another null-key row would replace the bucket
+                # map entry and silently drop it. The merge anti-join already
+                # treats null keys as un-matchable, so they are filtered at
+                # the gate (plan-side, no extra job).
+                state_updates = state_updates.where(F.col(self.key_col).isNotNull())
+            if not updates_unique and state_updates.schema.fields:
+                # enforce the one-row-per-key snapshot invariant on the update
+                # set itself (get_state/read_state assume it); arbitrary
+                # survivor — pre-fold with latest_per_key (A2) for ordered
+                # picks
+                state_updates = state_updates.dropDuplicates([self.key_col])
+            state_schema_json = state_updates.schema.json()
+            if not state_updates.schema.fields and prev_manifest is not None:
+                state_schema_json = prev_manifest.get(
+                    "state_schema", state_schema_json
+                )
 
-        prev_buckets: dict[str, str] = (
-            dict(prev_manifest.get("state_buckets", {})) if prev_manifest else {}
-        )
-        # pre-bucketing layout: single unbucketed state path — migrate by
-        # merging the WHOLE legacy snapshot into this commit's bucketed write
-        legacy_state = (
-            prev_manifest.get("state")
-            if prev_manifest is not None and "state_buckets" not in prev_manifest
-            else None
-        )
-        prev_deltas: list[dict] = (
-            list(prev_manifest.get("state_deltas", [])) if prev_manifest else []
-        )
-        # merge-on-read: append a delta while fewer than delta_commits have
-        # accumulated; the commit that would exceed the cap (or any commit
-        # by a non-delta-mode writer against a store with pending deltas)
-        # compacts instead — folds every delta plus this batch into the COW
-        # merge below, so the base buckets and delta list reset together.
-        delta_write = (
-            bool(self.delta_commits)
-            and prev_manifest is not None
-            and legacy_state is None
-            and len(prev_deltas) < self.delta_commits
-        )
-        # the batch's OWN updates/tombstones, captured BEFORE the
-        # compaction branch folds the delta backlog into state_updates —
-        # this is what a change-feed record for this version must carry
-        orig_updates, orig_dele = state_updates, dele
-        delta_df: DataFrame | None = None
-        delta_path = os.path.join(vdir, "state-delta")
-        if delta_write:
+            # the batch's OWN updates/tombstones, captured BEFORE the
+            # compaction branch folds the delta backlog into state_updates —
+            # this is what a change-feed record for this version must carry
+            orig_updates, orig_dele = state_updates, dele
+            delta_df = None
+            touched = set()
+        if _skip_merge_plan:
+            pass
+        elif delta_write:
             delta_df = self._updates_with_tombstones(
                 state_updates, dele, state_schema_json
             )
-            touched: set[str] = set()  # base buckets untouched by an append
+            touched = set()  # base buckets untouched by an append
         elif prev_deltas:
             # compaction: latest-wins across accumulated deltas + this
             # batch's updates/tombstones becomes the effective update set
@@ -861,7 +1123,9 @@ class SnapshotStore:
         try:
             with phase("commit.state_write"):
                 if delta_write:
-                    if delta_df is not None:
+                    if driver_written:
+                        pass  # delta already on disk (arrow write above)
+                    elif delta_df is not None:
                         # deltas are FLAT (no bucket partitioning): a
                         # micro-batch's updates are batch-sized, and carving
                         # them into num_buckets dirs made every delta cost
@@ -910,6 +1174,39 @@ class SnapshotStore:
                     bucketed.repartition(F.col(_BUCKET_COL)).write.partitionBy(
                         _BUCKET_COL
                     ).mode("overwrite").parquet(state_path)
+            # prewarm the next read_state frame WHILE the side writes and
+            # manifest publish run: the delta branch's manifest content is
+            # fully determined here (delta_df already observed/suppressed),
+            # so the frame this builds is byte-identical to what read_state
+            # would build against the published manifest. Published into
+            # the memo only after the os.link fence below succeeds.
+            if not driver_written:
+                delta_written = delta_df is not None and os.path.isdir(delta_path)
+            prewarm_thread = None
+            prewarm_box: dict = {}
+            if prewarm_partitions is not None and delta_write:
+                nd_warm = list(prev_deltas)
+                if delta_written:
+                    nd_warm.append(
+                        {"path": delta_path, "schema": state_schema_json}
+                    )
+                m_warm = {
+                    "state_schema": state_schema_json,
+                    "state_buckets": dict(prev_buckets),
+                    **({"state_deltas": nd_warm} if nd_warm else {}),
+                }
+
+                def _build_warm() -> None:
+                    try:
+                        prewarm_box["df"] = self._state_frame_for_manifest(
+                            spark, m_warm, prewarm_partitions
+                        )
+                        prewarm_box["ok"] = True
+                    except Exception:  # noqa: BLE001 — best-effort warm
+                        pass
+
+                prewarm_thread = threading.Thread(target=_build_warm, daemon=True)
+                prewarm_thread.start()
             with phase("commit.side_writes_wait"):
                 for w in side_writes:
                     w.result()  # surface any side-write failure BEFORE the manifest
@@ -941,7 +1238,7 @@ class SnapshotStore:
         if delta_write:
             new_buckets = dict(prev_buckets)  # base untouched by an append
             new_deltas = list(prev_deltas)
-            if delta_df is not None and os.path.isdir(delta_path):
+            if delta_written:
                 new_deltas.append(
                     {"path": delta_path, "schema": state_schema_json}
                 )
@@ -1008,6 +1305,21 @@ class SnapshotStore:
         self._batch_id_cache[version] = str(batch_id)
         self._version_by_batch.setdefault(str(batch_id), version)
         self._latest_seen = max(self._latest_seen, version)
+        if prewarm_thread is not None:
+            # we WON the race, so the prewarmed frame describes this
+            # version's real content; adopt it. join() is effectively
+            # immediate — the build overlapped the side writes + publish.
+            prewarm_thread.join(timeout=10)
+            if prewarm_box.get("ok"):
+                df_warm = prewarm_box.get("df")
+                if df_warm is None:  # empty snapshot: read_state's semantics
+                    df_warm = spark.createDataFrame(
+                        [], T.StructType.fromJson(json.loads(state_schema_json))
+                    )
+                with self._memo_lock:
+                    self._read_state_frames[
+                        (self._session_key(spark), version, prewarm_partitions)
+                    ] = (spark, df_warm)
         if self.checkpoint_interval and (version + 1) % self.checkpoint_interval == 0:
             self._write_checkpoint(version)
         return True
@@ -1084,27 +1396,45 @@ class SnapshotStore:
             return None
         if version is not None and v not in self.committed_versions():
             raise ValueError(f"version {v} was never committed")
-        key = (id(spark), v, partitions)
+        key = (self._session_key(spark), v, partitions)
         with self._memo_lock:
             cached = self._read_state_frames.get(key)
-            if cached is not None and cached[0] is spark:
+            if cached is not None:  # key carries the JVM-session identity
                 return cached[1]
             m = self._manifest(v)
-            schema = T.StructType.fromJson(json.loads(m["state_schema"]))
-            if m.get("state_deltas"):
-                df = self._merged_state_frame(spark, m, partitions=partitions)
-                if df is None:
-                    df = spark.createDataFrame([], schema)
-            else:
-                paths = list(self._state_paths(m).values())
-                if not paths:
-                    return spark.createDataFrame([], schema)
-                df = spark.read.schema(schema).parquet(*paths)
+            df = self._state_frame_for_manifest(spark, m, partitions)
+            if df is None:
+                return spark.createDataFrame(
+                    [], T.StructType.fromJson(json.loads(m["state_schema"]))
+                )
             self._read_state_frames[key] = (spark, df)
             if len(self._read_state_frames) > 8:
                 for k in sorted(self._read_state_frames, key=lambda k: k[1])[:-8]:
                     self._read_state_frames.pop(k, None)
             return df
+
+    def _state_frame_for_manifest(
+        self, spark: SparkSession, m: dict, partitions: int | None
+    ) -> DataFrame | None:
+        """The read_state frame for one manifest dict: merge-on-read view
+        when deltas exist, plain bucket scan otherwise (``partitions``
+        shapes only the delta merge — a compacted scan carries no
+        partitioning to reuse). None when the snapshot has no rows at all
+        — the caller supplies the empty-frame semantics (read_state
+        returns an empty typed frame WITHOUT memoizing it). Shared by
+        read_state and commit's prewarm: the prewarm passes the manifest
+        it is ABOUT to publish, so both paths build byte-identical plans
+        and the memo hit is exact."""
+        schema = T.StructType.fromJson(json.loads(m["state_schema"]))
+        if m.get("state_deltas"):
+            df = self._merged_state_frame(spark, m, partitions=partitions)
+            if df is None:
+                df = spark.createDataFrame([], schema)
+            return df
+        paths = list(self._state_paths(m).values())
+        if not paths:
+            return None
+        return spark.read.schema(schema).parquet(*paths)
 
     # -- driver-side point read (pyarrow) -------------------------------------
 
@@ -1285,7 +1615,7 @@ class SnapshotStore:
             parts = []
             base_path = m["state_buckets"].get(bucket)
             if base_path is not None:
-                bkey = (id(spark), base_path, m["state_schema"], "pt")
+                bkey = (self._session_key(spark), base_path, m["state_schema"], "pt")
                 base = self._memo_dir_frame(
                     spark, bkey, lambda: spark.read.schema(schema).parquet(base_path)
                 )
@@ -1295,7 +1625,7 @@ class SnapshotStore:
                     )
                 )
             dkey = (
-                id(spark),
+                self._session_key(spark),
                 tuple(e["path"] for e in m["state_deltas"]),
                 bucket,
             )

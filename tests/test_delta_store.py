@@ -661,3 +661,167 @@ def test_change_feed_replay_equals_snapshot_random_sequence(spark, tmp_path):
             row.k: row.n for row in store.read_state(spark, version=v).collect()
         }
         assert replay == at_v, (v, replay, at_v)
+
+
+# -- driver-side commit writes (the write twin of the arrow point read) -------
+
+
+def _mk_engine(spark, root, max_rows):
+    from surge_spark.streaming.command_engine import CommandEngine
+
+    store = SnapshotStore(
+        str(root), key_col="aggregate_id", num_buckets=8, delta_commits=16
+    )
+
+    def process(state, cmd):
+        if cmd.get("kind") == "del":
+            return ([{"aggregate_id": cmd["aggregate_id"], "op": "del"}], False)
+        return ([{"aggregate_id": cmd["aggregate_id"], "op": "add"}], False)
+
+    def handle(state, ev):
+        if ev.get("op") == "del":
+            return None  # tombstone
+        return {
+            "aggregate_id": ev["aggregate_id"],
+            "n": (state["n"] if state else 0) + 1,
+            "score": ((state["score"] if state else 0.0) + 0.5),
+            "flag": True,
+        }
+
+    eng = CommandEngine(
+        store,
+        process,
+        handle,
+        "aggregate_id string, n long, score double, flag boolean",
+        "aggregate_id string, op string",
+        order_cols=["command_id"],
+        fold_partitions=2,
+        driver_commit_max_rows=max_rows,
+    )
+    return store, eng
+
+
+def _drive(spark, eng, root, batches):
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "aggregate_id string, kind string, command_id string"
+        )
+        eng.process_batch(df, f"b{i}", replies_dir=f"{root}-replies")
+
+
+def test_driver_commit_writes_equal_spark_path(spark, tmp_path):
+    """Cross-mode pin: the SAME command stream through the driver-side
+    arrow commit path (default) and the Spark write path
+    (driver_commit_max_rows=0) yields identical snapshots, identical acks,
+    identical event logs, and identical arrow point reads — including a
+    tombstone batch and a typed (double/boolean) state schema. This is the
+    contract that lets the fast path exist at all."""
+    batches = [
+        [(f"k{i % 7}", "add", f"c0-{i}") for i in range(20)],
+        [("k1", "del", "c1-0"), ("k9", "add", "c1-1")],
+        [(f"k{i % 5}", "add", f"c2-{i}") for i in range(10)],
+    ]
+    s_drv, e_drv = _mk_engine(spark, tmp_path / "drv", 65536)
+    s_spk, e_spk = _mk_engine(spark, tmp_path / "spk", 0)
+    _drive(spark, e_drv, str(tmp_path / "drv"), batches)
+    _drive(spark, e_spk, str(tmp_path / "spk"), batches)
+
+    st_d = {
+        r.aggregate_id: (r.n, r.score, r.flag)
+        for r in s_drv.read_state(spark).collect()
+    }
+    st_s = {
+        r.aggregate_id: (r.n, r.score, r.flag)
+        for r in s_spk.read_state(spark).collect()
+    }
+    assert st_d == st_s and st_d["k9"] == (1, 0.5, True)
+    # k1: tombstoned in batch 1, re-created in batch 2 → the fold restarted
+    # it from empty state (2 adds), not from its pre-tombstone n=3
+    assert st_d["k1"] == (2, 1.0, True)
+
+    ev_d = sorted(
+        (r.aggregate_id, r.op) for r in s_drv.read_events(spark).collect()
+    )
+    ev_s = sorted(
+        (r.aggregate_id, r.op) for r in s_spk.read_events(spark).collect()
+    )
+    assert ev_d == ev_s and len(ev_d) == 32
+
+    for store in (s_drv, s_spk):
+        got = store.get_state(spark, "k2")
+        assert got is not None and got["n"] == st_d["k2"][0]
+    # replies written (and batch_id-stamped) identically
+    rep_d = spark.read.parquet(str(tmp_path / "drv-replies")).collect()
+    rep_s = spark.read.parquet(str(tmp_path / "spk-replies")).collect()
+    key = lambda r: (r.batch_id, r.command_id)  # noqa: E731
+    assert sorted((r.batch_id, r.command_id, r.status) for r in rep_d) == sorted(
+        (r.batch_id, r.command_id, r.status) for r in rep_s
+    )
+
+
+def test_driver_commit_falls_back_on_uncoercible_value(spark, tmp_path):
+    """A handler emitting a wrong-typed field must route the batch to the
+    Spark write path (whose from_json semantics null the field) — never a
+    driver-path guess. The commit still lands, later well-typed batches
+    take the fast path again, and reads agree throughout."""
+    from surge_spark.streaming.command_engine import CommandEngine
+
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="aggregate_id", num_buckets=4, delta_commits=16
+    )
+
+    def process(state, cmd):
+        return ([{"aggregate_id": cmd["aggregate_id"]}], False)
+
+    bad = {"on": True}
+
+    def handle(state, ev):
+        # a nulled long arrives as NaN through the Arrow fold (pandas int
+        # columns have no null) — both write paths share that behavior
+        n0 = state.get("n") if state else None
+        n = (int(n0) + 1) if isinstance(n0, int) else 1
+        return {
+            "aggregate_id": ev["aggregate_id"],
+            # a STRING where the schema says long → driver coercion raises
+            "n": "oops" if bad["on"] else n,
+        }
+
+    eng = CommandEngine(
+        store,
+        process,
+        handle,
+        "aggregate_id string, n long",
+        "aggregate_id string",
+        order_cols=["command_id"],
+        fold_partitions=2,
+    )
+    df = spark.createDataFrame([("a", "c0")], "aggregate_id string, command_id string")
+    eng.process_batch(df, "b0")
+    got = store.get_state(spark, "a")
+    assert got is not None and got["n"] is None  # from_json nulled the field
+    assert store.latest_version() == 0
+
+    bad["on"] = False
+    eng.process_batch(
+        spark.createDataFrame([("a", "c1")], "aggregate_id string, command_id string"),
+        "b1",
+    )
+    assert store.get_state(spark, "a")["n"] == 1
+
+
+def test_read_state_memo_survives_fresh_session_wrappers(spark, tmp_path):
+    """foreachBatch hands a NEW Python SparkSession wrapper every trigger;
+    the frame memo must hit across wrappers of the same JVM session (this
+    was the bug that defeated every prewarm: id(spark) keys + `is` checks
+    rebuilt the read_state plan on every micro-batch)."""
+    from pyspark.sql import SparkSession
+
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=8
+    )
+    store.commit(None, _upd(spark, [("a", 1)]), "b0", updates_unique=True)
+    f1 = store.read_state(spark, partitions=2)
+    wrapper2 = SparkSession(spark.sparkContext, spark._jsparkSession)
+    assert wrapper2 is not spark
+    f2 = store.read_state(wrapper2, partitions=2)
+    assert f2 is f1  # memo hit across wrappers, not a rebuilt plan
