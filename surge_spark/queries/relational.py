@@ -2254,6 +2254,104 @@ def g_kcore_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g_kcore_converged",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+      FROM lineitem
+    ),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    core(it, nodes) AS (
+      SELECT 0, (SELECT list(DISTINCT src ORDER BY src) FROM sym)
+      UNION ALL
+      SELECT core.it + 1, nxt.lst
+      FROM core, LATERAL (
+        SELECT list(node ORDER BY node) AS lst FROM (
+          SELECT s.src AS node
+          FROM sym s
+          JOIN (SELECT unnest(core.nodes) AS n) a ON a.n = s.src
+          JOIN (SELECT unnest(core.nodes) AS n) b ON b.n = s.dst
+          GROUP BY s.src HAVING count(*) >= 5
+        )
+      ) nxt
+      WHERE core.it < 30 AND nxt.lst IS DISTINCT FROM core.nodes
+    ),
+    final AS (SELECT it, nodes FROM core ORDER BY it DESC LIMIT 1),
+    keep AS (SELECT unnest(nodes) AS node FROM final),
+    e_final AS (
+      SELECT s.src, s.dst FROM sym s
+      JOIN keep a ON a.node = s.src JOIN keep b ON b.node = s.dst
+    )
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS degree,
+           CAST((SELECT it FROM final) AS BIGINT) AS rounds
+    FROM e_final GROUP BY src
+    """,
+)
+def g_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-CONVERGENCE k-core (k=5) on the bipartite order–part graph —
+    g_kcore_bipartite's two unrolled rounds taken to the fixpoint with a
+    driver loop, and STILL fully value-oracled: DuckDB's WITH RECURSIVE
+    carries the surviving node set per iteration (the es_bank_fold
+    recursive-CTE precedent), peeling until the set stops changing, so
+    survivors, induced degrees AND the convergence round count are all
+    checked. The ``rounds`` column (= number of set-changing peels) makes
+    convergence itself part of the oracle contract.
+
+    Spark side is the canonical iterative-graph discipline: each round's
+    peel is persist + localCheckpoint materialized (a lazy chain
+    re-evaluates the whole previous round ~3× per reference — the
+    measured 5.4 s vs 1.7-2.8 s A/B on the 2-round entry), the
+    convergence probe is the same count() that materializes the round
+    (one driver action per round, O(log peel-depth) rounds total), and
+    checkpointing caps the lineage so round N's plan never re-derives
+    round 0. Edge-count equality is a valid fixpoint test because a peel
+    only filters: equal count ⇒ equal set; and a node-set change always
+    changes the induced edge set here (every surviving node had degree
+    ≥ k the round before, so it can only disappear together with its
+    edges)."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        ).distinct()
+    )
+
+    def peel(edges: DataFrame, k: int) -> DataFrame:
+        keep_src = (
+            edges.groupBy("src").count().where(F.col("count") >= k).select("src")
+        )
+        keep_dst = (
+            edges.groupBy("dst").count().where(F.col("count") >= k).select("dst")
+        )
+        return edges.join(keep_src, "src", "left_semi").join(
+            keep_dst, "dst", "left_semi"
+        )
+
+    cur = e.persist()
+    prev_n = cur.count()
+    rounds = 0
+    for _ in range(30):
+        nxt = peel(cur, 5).localCheckpoint(eager=False)
+        n = nxt.count()
+        cur.unpersist()
+        if n == prev_n:
+            cur = nxt
+            break
+        rounds += 1
+        cur, prev_n = nxt, n
+    deg_src = cur.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    deg_dst = cur.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return deg_src.unionAll(deg_dst).withColumn(
+        "rounds", F.lit(rounds).cast("long")
+    )
+
+
+@query(
     "a_kmv_distinct_estimate",
     oracle="""
     WITH h AS (

@@ -79,3 +79,24 @@ def test_pagerank_fixed_mass_and_symmetry(spark):
     assert abs(sum(r.values()) - 1.0) < 1e-9
     assert abs(r[1] - r[4]) < 1e-12 and abs(r[2] - r[3]) < 1e-12
     assert r[2] > r[1]
+
+
+def test_kcore_converged_fixpoint_and_checkpointed_rounds(spark):
+    """g_kcore_converged: (a) the result IS a fixpoint — peeling it once
+    more changes nothing and every survivor's degree is ≥ k; (b) the
+    returned plan reads the checkpointed final round (Scan ExistingRDD),
+    never re-deriving the whole peel chain from the lineitem scan — the
+    iterative-graph discipline that keeps round N's plan O(1) deep."""
+    from surge_spark.queries import all_queries
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    df = all_queries()["g_kcore_converged"](spark, sf)
+    rows = df.collect()
+    assert rows, "5-core empty at sf0.001 — pick a smaller k"
+    rounds = {r.rounds for r in rows}
+    assert len(rounds) == 1 and rounds.pop() >= 1
+    assert min(r.degree for r in rows) >= 5  # fixpoint: all survivors ≥ k
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, plan  # checkpoint-backed final round
+    assert "lineitem" not in plan, plan  # lineage cut — no re-derivation
