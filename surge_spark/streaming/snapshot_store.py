@@ -439,7 +439,14 @@ class SnapshotStore:
         schema = cls._arrow_write_schema(struct)
         os.makedirs(path, exist_ok=True)
         table = pa.Table.from_pylist(rows, schema=schema)
-        pq.write_table(table, os.path.join(path, f"part-00000-{uuid.uuid4().hex[:8]}.parquet"))
+        # write hidden, rename into place: a concurrent lister (the
+        # change-feed stream source) must never read a partial footer —
+        # Spark's own writes get this from the _temporary-dir committer,
+        # and names starting with '.' are filtered by every Spark lister
+        name = f"part-00000-{uuid.uuid4().hex[:8]}.parquet"
+        tmp = os.path.join(path, f".{name}.tmp")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(path, name))
 
     def _driver_commit_writes(
         self,
@@ -1820,6 +1827,67 @@ class SnapshotStore:
             F.when(F.col("__deleted"), F.lit("delete")).otherwise(F.lit("upsert")),
         ).drop("__deleted")
 
+    # Spark-side version parse for the STREAM of change records: append
+    # commits' state-delta dirs and rewriting commits' changes dirs both
+    # embed the committing version in their version-directory name; the
+    # greedy prefix pushes the match to the LAST occurrence, same
+    # root-lookalike defense as _DELTA_V_SQL_RE.
+    _CHANGE_V_SQL_RE = r".*v(\d{12})-[0-9a-f]{8}/(?:state-delta|changes)"
+
+    def stream_changes(
+        self,
+        spark: SparkSession,
+        max_files_per_trigger: int | None = None,
+    ) -> DataFrame:
+        """The change data feed as a CONTINUOUS source: the per-version
+        record dirs (state-delta / changes) are an append-only file log,
+        so a readStream over their glob IS the feed — new commits surface
+        at the next trigger with no polling loop, and
+        ``max_files_per_trigger`` is the W7 throttle. Columns: state
+        schema + ``_version`` (parsed from the path), ``_change_type``
+        ('upsert'|'delete'), ``_path`` (the source file — consumers use
+        it to validate records against the manifest chain; see
+        run_change_replication).
+
+        Requires one committed version (the stream needs a schema — the
+        latest manifest's; a mid-stream state-schema migration needs a
+        stream restart). Uncommitted/fenced writers' staging dirs DO
+        match the glob — a consumer must validate each record's dir
+        against the manifest chain before applying (run_change_replication
+        does); retention contract is read_changes': vacuum must not
+        outrun the consumer."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(
+                "stream_changes needs at least one committed version "
+                "(the stream's schema comes from the latest manifest)"
+            )
+        st = T.StructType.fromJson(
+            json.loads(self._manifest(latest)["state_schema"])
+        )
+        read_schema = T.StructType(
+            list(st.fields) + [T.StructField("__deleted", T.BooleanType())]
+        )
+        reader = spark.readStream.schema(read_schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+        glob = os.path.join(self.path, "v[0-9]*-*", "{state-delta,changes}")
+        df = reader.parquet(glob)
+        return (
+            df.withColumn("_path", F.input_file_name())
+            .withColumn(
+                "_version",
+                F.regexp_extract("_path", self._CHANGE_V_SQL_RE, 1).cast("long"),
+            )
+            .withColumn(
+                "_change_type",
+                F.when(F.col("__deleted"), F.lit("delete")).otherwise(
+                    F.lit("upsert")
+                ),
+            )
+            .drop("__deleted")
+        )
+
     def _events_sidecar_path(self) -> str:
         return os.path.join(self.path, "_manifests", "_events_compacted.json")
 
@@ -2063,3 +2131,58 @@ def replicate_changes(
         _write_repl_hwm(dst, v)
         applied += 1
     return applied
+
+
+def run_change_replication(
+    spark: SparkSession,
+    src: SnapshotStore,
+    dst: SnapshotStore,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    manifest_wait_s: float = 5.0,
+):
+    """replicate_changes as a RUNNING query (R10, streaming form): the
+    standby follows a live primary within one trigger instead of a poll
+    loop. Returns the StreamingQuery; stop() it to fail over.
+
+    The streamed BATCH CONTENT is deliberately not applied: a version's
+    record can span several part files and a trigger can split them
+    (maxFilesPerTrigger=1 guarantees it), so committing streamed rows
+    directly can publish a TORN version on the replica — caught by the
+    prefix-replay property test. The stream is the arrival signal and the
+    W7 throttle; each trigger re-reads the manifest-validated range
+    [hwm+1, latest] through replicate_changes, which supplies the
+    exactly-once machinery (one commit per version in order, R4 dedup,
+    monotonic hwm — a replayed trigger is a no-op). This also makes
+    fenced-committer orphan files harmless: replicate_changes reads only
+    the dirs the manifest chain records, never the glob.
+
+    One wrinkle the poll form doesn't have: a record file is listable a
+    beat BEFORE its manifest publishes, and the file-source checkpoint
+    will never re-deliver it — if the trigger ran inside that beat and no
+    further commit ever arrived, the version would go unreplicated. Each
+    batch therefore waits (up to ``manifest_wait_s``) for the chain to
+    cover its max streamed version and FAILS the batch on timeout: the
+    un-checkpointed batch retries until the manifest lands (or until the
+    crashed committer's recovery re-commits the version number)."""
+    feed = src.stream_changes(spark, max_files_per_trigger)
+
+    def apply(batch_df, batch_id) -> None:
+        mx = batch_df.agg(F.max("_version")).first()[0]
+        if mx is not None:
+            deadline = time.time() + manifest_wait_s
+            while (src.latest_version() or -1) < mx and time.time() < deadline:
+                time.sleep(0.05)
+            if (src.latest_version() or -1) < mx:
+                raise TimeoutError(
+                    f"source manifest chain at {src.latest_version()} has "
+                    f"not reached streamed change version {mx} after "
+                    f"{manifest_wait_s}s"
+                )
+        replicate_changes(spark, src, dst)
+
+    return (
+        feed.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -825,3 +825,91 @@ def test_read_state_memo_survives_fresh_session_wrappers(spark, tmp_path):
     assert wrapper2 is not spark
     f2 = store.read_state(wrapper2, partitions=2)
     assert f2 is f1  # memo hit across wrappers, not a rebuilt plan
+
+
+def test_streaming_replication_prefix_replay_property(spark, tmp_path):
+    """Streaming twin of the CDF prefix-replay property: while
+    run_change_replication drains a random commit history one record file
+    per trigger, every consistently-sampled (hwm, replica-state) snapshot
+    equals the primary's read_state at that version — the standby is
+    always SOME committed prefix of the primary, never a torn mix."""
+    import random
+    import threading
+    import time as _time
+
+    from surge_spark.streaming.snapshot_store import (
+        _repl_hwm,
+        run_change_replication,
+    )
+
+    rng = random.Random(11)
+    store = SnapshotStore(
+        str(tmp_path / "p"), key_col="k", num_buckets=4,
+        delta_commits=3, change_feed=True,
+    )
+    live: set[str] = set()
+    for v in range(12):
+        # one action per key per version: updates_unique=True is a real
+        # contract — duplicate keys in one commit corrupt the snapshot
+        ups: dict[str, int] = {}
+        dels: set[str] = set()
+        for _ in range(rng.randint(1, 4)):
+            k = f"k{rng.randint(0, 9)}"
+            if k in live and rng.random() < 0.3:
+                dels.add(k)
+                ups.pop(k, None)
+                live.discard(k)
+            else:
+                ups[k] = rng.randint(0, 99)
+                dels.discard(k)
+                live.add(k)
+        store.commit(
+            None, _upd(spark, sorted(ups.items())), f"b{v}",
+            delete_keys=sorted(dels) or None, updates_unique=True,
+        )
+
+    replica = SnapshotStore(str(tmp_path / "r"), key_col="k", num_buckets=4)
+    samples: list[tuple[int, dict]] = []
+    stop = threading.Event()
+
+    def sampler() -> None:
+        while not stop.is_set():
+            h1 = _repl_hwm(replica)
+            if h1 >= 0:
+                st = {r.k: r.n for r in replica.read_state(spark).collect()}
+                if _repl_hwm(replica) == h1:  # consistent sample only
+                    samples.append((h1, st))
+            _time.sleep(0.05)
+
+    t = threading.Thread(target=sampler, daemon=True)
+    t.start()
+    q = run_change_replication(
+        spark, store, replica, str(tmp_path / "ck"), max_files_per_trigger=1
+    )
+    try:
+        deadline = _time.time() + 120
+        while _repl_hwm(replica) < store.latest_version() and _time.time() < deadline:
+            _time.sleep(0.1)
+    finally:
+        stop.set()
+        q.stop()
+    assert _repl_hwm(replica) == store.latest_version()
+    distinct_hwms = {h for h, _ in samples}
+    assert len(distinct_hwms) >= 2, "sampler never caught an intermediate prefix"
+    latest = store.latest_version()
+    for h, st in samples:
+        # the replica commits version h+1's data BEFORE advancing the hwm
+        # (crash-window documented on replicate_changes), so a sample may
+        # legitimately be one version ahead of its hwm — but never torn,
+        # never further ahead, never behind
+        ok = False
+        for v in (h, h + 1):
+            if v <= latest:
+                at_v = {
+                    r.k: r.n
+                    for r in store.read_state(spark, version=v).collect()
+                }
+                if st == at_v:
+                    ok = True
+                    break
+        assert ok, (h, st)

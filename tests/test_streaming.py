@@ -1445,3 +1445,93 @@ def test_transform_with_state_running_counts_and_ttl(spark, tmp_path):
     _time.sleep(2.0)  # > ttl: the value state ages out
     write_b([("x", 3)])
     assert run_ttl(ck2)["x"] == 1  # passivated — restarted from None
+
+
+def test_streaming_change_replication_follows_live_primary(spark, tmp_path):
+    """R10 streaming form: run_change_replication follows a LIVE primary
+    run_stream — including mid-stream compactions (change_feed=True makes
+    the rewriting commits' records part of the feed) — and converges to
+    the primary's exact state without a poll loop. A replication restart
+    on the same checkpoint applies nothing (file-source checkpoint + R4
+    dedup + monotonic hwm)."""
+    import time as _time
+
+    from surge_spark.streaming.command_engine import CommandEngine
+    from surge_spark.streaming.snapshot_store import (
+        SnapshotStore,
+        _repl_hwm,
+        run_change_replication,
+    )
+
+    def process(state, cmd):
+        return ([{"k": cmd["k"]}], False)
+
+    def handle(state, ev):
+        return {"k": ev["k"], "n": (state["n"] if state else 0) + 1}
+
+    n_batches, n_keys = 5, 6
+    src_dir = str(tmp_path / "cmds")
+    rows = [(f"k{i % n_keys}", f"c{i:06d}") for i in range(n_batches * n_keys)]
+    (
+        spark.createDataFrame(rows, "k string, command_id string")
+        .repartition(n_batches)
+        .write.parquet(src_dir)
+    )
+    primary = SnapshotStore(
+        str(tmp_path / "primary"), key_col="k", num_buckets=4,
+        delta_commits=2, change_feed=True,
+    )
+    engine = CommandEngine(
+        primary, process, handle, "k string, n long", "k string",
+        key_col="k", order_cols=["command_id"], fold_partitions=2,
+    )
+    # bootstrap version 0 so the feed stream has a schema, and start the
+    # standby BEFORE the stream runs — it must follow live commits
+    engine.process_batch(
+        spark.createDataFrame([("seed", "c-seed")], "k string, command_id string"),
+        "seed",
+    )
+    replica = SnapshotStore(
+        str(tmp_path / "replica"), key_col="k", num_buckets=4, delta_commits=2
+    )
+    rq = run_change_replication(
+        spark, primary, replica, str(tmp_path / "repl-ckpt")
+    )
+    try:
+        stream = (
+            spark.readStream.schema("k string, command_id string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = engine.run_stream(
+            stream, str(tmp_path / "ckpt"), replies_path=str(tmp_path / "replies")
+        )
+        q.awaitTermination(300)
+        want = {r.k: r.n for r in primary.read_state(spark).collect()}
+        assert want["k0"] == n_batches and want["seed"] == 1
+
+        deadline = _time.time() + 120
+        got: dict = {}
+        while _time.time() < deadline:
+            if _repl_hwm(replica) >= primary.latest_version():
+                got = {r.k: r.n for r in replica.read_state(spark).collect()}
+                if got == want:
+                    break
+            _time.sleep(0.25)
+        assert got == want, (got, want)
+        # compactions really happened on the primary mid-stream
+        assert primary.latest_version() + 1 > primary.delta_commits
+    finally:
+        rq.stop()
+
+    # restart replication on the same checkpoint: nothing new to apply
+    v_before = replica.latest_version()
+    rq2 = run_change_replication(
+        spark, primary, replica, str(tmp_path / "repl-ckpt")
+    )
+    try:
+        rq2.processAllAvailable()
+        assert replica.latest_version() == v_before
+        assert {r.k: r.n for r in replica.read_state(spark).collect()} == want
+    finally:
+        rq2.stop()
