@@ -95,6 +95,73 @@ def connected_components(
     return comp.select("id", F.col("comp").alias("component"))
 
 
+def kcore_converged(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> tuple[DataFrame, int]:
+    """Peel the graph to its k-core fixpoint; returns ``(final_edges,
+    rounds)`` where ``rounds`` is the number of NODE-SET-changing peels —
+    the same count a recursive-CTE oracle carrying the surviving node
+    list per iteration produces (see g_kcore_converged's oracle).
+
+    CONVERGES ON THE SURVIVING-NODE COUNT, NOT THE EDGE COUNT. The two
+    fixpoints diverge by exactly one round whenever a survivor's last
+    >= k neighbors all peel together: its edges vanish that round (edge
+    set reaches its fixpoint) but the node itself — degree now 0 —
+    leaves the node set one iteration later. An edge-count probe stops
+    early and reports ``rounds`` one low; a node-list oracle does not.
+    The node iteration is N_{t+1} = {v in N_t : deg_{G[N_t]}(v) >= k},
+    N_0 = every node incident to an edge; since N_{t+1} is a subset of
+    N_t by construction, an equal COUNT implies an equal SET, so the
+    convergence probe is a single count() per round.
+
+    ``edges`` is one row per undirected edge (bipartite order-part style:
+    each node appears on exactly one side) or a pre-symmetrized list;
+    degrees are counted per side and the survivor semi-joins apply to
+    both, which matches symmetric degree in either representation. Each
+    round's peel is localCheckpoint-materialized (a lazy chain
+    re-evaluates every prior round ~3x — the measured 5.4 s vs 1.7-2.8 s
+    A/B on the 2-round entry) so round N's plan never re-derives round 0.
+    One driver action (the node count) per round; no collect of data.
+    """
+    cur = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    cur = cur.persist()
+    n_nodes = (
+        cur.select(F.col("src").alias("n"))
+        .unionAll(cur.select(F.col("dst").alias("n")))
+        .distinct()
+        .count()
+    )
+    rounds = 0
+    for _ in range(max_rounds):
+        keep_src = (
+            cur.groupBy("src").count().where(F.col("count") >= k).select("src")
+        )
+        keep_dst = (
+            cur.groupBy("dst").count().where(F.col("count") >= k).select("dst")
+        )
+        n_keep = (
+            keep_src.select(F.col("src").alias("n"))
+            .unionAll(keep_dst.select(F.col("dst").alias("n")))
+            .distinct()
+            .count()
+        )
+        if n_keep == n_nodes:
+            break
+        rounds += 1
+        nxt = (
+            cur.join(keep_src, "src", "left_semi")
+            .join(keep_dst, "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        cur.unpersist()
+        cur, n_nodes = nxt, n_keep
+    return cur, rounds
+
+
 def pagerank_fixed(
     edges: DataFrame,
     src: str = "src",

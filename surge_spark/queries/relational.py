@@ -2297,18 +2297,19 @@ def g_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked. The ``rounds`` column (= number of set-changing peels) makes
     convergence itself part of the oracle contract.
 
-    Spark side is the canonical iterative-graph discipline: each round's
-    peel is persist + localCheckpoint materialized (a lazy chain
-    re-evaluates the whole previous round ~3× per reference — the
-    measured 5.4 s vs 1.7-2.8 s A/B on the 2-round entry), the
-    convergence probe is the same count() that materializes the round
-    (one driver action per round, O(log peel-depth) rounds total), and
-    checkpointing caps the lineage so round N's plan never re-derives
-    round 0. Edge-count equality is a valid fixpoint test because a peel
-    only filters: equal count ⇒ equal set; and a node-set change always
-    changes the induced edge set here (every surviving node had degree
-    ≥ k the round before, so it can only disappear together with its
-    edges)."""
+    Spark side delegates to operators.graph.kcore_converged, which
+    CONVERGES ON THE SURVIVING-NODE COUNT — not the edge count. The two
+    fixpoints diverge by one round whenever a survivor's last ≥ k
+    neighbors all peel together (its edges vanish that round, the node
+    leaves the node set one iteration later with zero edges); an
+    edge-count probe would stop early and report ``rounds`` one low on
+    exactly such graphs, hash-mismatching every output row against this
+    node-list oracle. The zero-degree-straggler case is pinned by a
+    constructed-graph test in tests/test_graph.py. Per-round
+    materialization discipline (persist + localCheckpoint, one count()
+    action per round) lives in the operator."""
+    from surge_spark.operators.graph import kcore_converged
+
     li = _t(spark, sf_dir, "lineitem")
     e = (
         li.select(
@@ -2316,30 +2317,7 @@ def g_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
         ).distinct()
     )
-
-    def peel(edges: DataFrame, k: int) -> DataFrame:
-        keep_src = (
-            edges.groupBy("src").count().where(F.col("count") >= k).select("src")
-        )
-        keep_dst = (
-            edges.groupBy("dst").count().where(F.col("count") >= k).select("dst")
-        )
-        return edges.join(keep_src, "src", "left_semi").join(
-            keep_dst, "dst", "left_semi"
-        )
-
-    cur = e.persist()
-    prev_n = cur.count()
-    rounds = 0
-    for _ in range(30):
-        nxt = peel(cur, 5).localCheckpoint(eager=False)
-        n = nxt.count()
-        cur.unpersist()
-        if n == prev_n:
-            cur = nxt
-            break
-        rounds += 1
-        cur, prev_n = nxt, n
+    cur, rounds = kcore_converged(e, 5)
     deg_src = cur.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )

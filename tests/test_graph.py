@@ -100,3 +100,56 @@ def test_kcore_converged_fixpoint_and_checkpointed_rounds(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan, plan  # checkpoint-backed final round
     assert "lineitem" not in plan, plan  # lineage cut — no re-derivation
+
+
+def test_kcore_converged_zero_degree_straggler(spark):
+    """The node-vs-edge fixpoint divergence, pinned on a constructed graph
+    (r9 VERDICT item 1): o3 has exactly k=2 neighbors (p3, p4), each of
+    degree 1. Peel 1 drops p3/p4 — o3 survives (its degree WAS >= k) but
+    now has zero edges, so the EDGE set is already at its fixpoint while
+    the NODE set still changes once more (o3 leaves in peel 2). An
+    edge-count convergence probe reports rounds=1; the node-list oracle
+    — and kcore_converged — report rounds=2. The DuckDB recursion below
+    is the g_kcore_converged oracle re-parameterized to this graph."""
+    import duckdb
+    from surge_spark.operators.graph import kcore_converged
+
+    pairs = [
+        ("o1", "p1"), ("o1", "p2"), ("o2", "p1"), ("o2", "p2"),
+        ("o3", "p3"), ("o3", "p4"),
+    ]
+    edges = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+    final, rounds = kcore_converged(edges, 2)
+    assert rounds == 2
+    assert sorted(map(tuple, final.select("src", "dst").collect())) == [
+        ("o1", "p1"), ("o1", "p2"), ("o2", "p1"), ("o2", "p2")
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT * FROM (VALUES %s) t(src, dst)"
+        % ", ".join("('%s','%s')" % p for p in pairs)
+    )
+    oracle_it = con.execute(
+        """
+        WITH RECURSIVE
+        sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        core(it, nodes) AS (
+          SELECT 0, (SELECT list(DISTINCT src ORDER BY src) FROM sym)
+          UNION ALL
+          SELECT core.it + 1, nxt.lst
+          FROM core, LATERAL (
+            SELECT list(node ORDER BY node) AS lst FROM (
+              SELECT s.src AS node
+              FROM sym s
+              JOIN (SELECT unnest(core.nodes) AS n) a ON a.n = s.src
+              JOIN (SELECT unnest(core.nodes) AS n) b ON b.n = s.dst
+              GROUP BY s.src HAVING count(*) >= 2
+            )
+          ) nxt
+          WHERE core.it < 30 AND nxt.lst IS DISTINCT FROM core.nodes
+        )
+        SELECT max(it) FROM core
+        """
+    ).fetchone()[0]
+    assert oracle_it == rounds == 2
