@@ -27,9 +27,12 @@ to upgrade both ends to gRPC-over-TLS with ALPN 'h2' negotiation (RFC
 that negotiated anything but h2. Without contexts the endpoint speaks h2c
 (prior-knowledge cleartext — grpc's insecure channel).
 
-Scope, stated honestly: no HPACK Huffman coding (we never emit it; a peer
-that does gets a clear ValueError), no server push / priorities (gRPC uses
-neither). Flow control is REAL on both sides: receivers replenish
+Scope, stated honestly: HPACK Huffman coding is fully supported on decode
+(grpc-java peers Huffman-code header values by default; table + error
+cases golden-pinned against RFC 7541 Appendix B/C) and opt-in on encode
+(our own frames default to raw literals for golden-byte determinism); no
+server push / priorities (gRPC uses neither). Flow control is REAL on
+both sides: receivers replenish
 connection+stream windows after every DATA frame, and senders track the
 peer's windows (seeded from its SETTINGS_INITIAL_WINDOW_SIZE, credited by
 WINDOW_UPDATE) and wait for credit before each chunk — see _ConnState.
@@ -196,29 +199,162 @@ def _hpack_read_int(buf: bytes, pos: int, prefix_bits: int) -> tuple[int, int]:
         shift += 7
 
 
-def _hpack_str(s: str) -> bytes:
-    """Raw (non-Huffman) string literal — H bit 0, 7-bit length prefix."""
+# -- HPACK Huffman coding (RFC 7541 §5.2 + Appendix B) ------------------------
+#
+# The static Huffman table: entry i is (code, bit-length) for octet i;
+# entry 256 is EOS. A real grpc peer (grpc-java — the reference engine's
+# counterpart in MultilanguageGatewayServiceImpl.scala:29-81) Huffman-codes
+# header values by default, so accepting the wire format requires this
+# table. It is a complete canonical prefix code — tests pin the Kraft sum
+# (Σ 2^-len == 1) and the RFC 7541 Appendix C.4/C.6 golden strings.
+
+_HUFFMAN_TABLE: list[tuple[int, int]] = [
+    (0x1FF8, 13), (0x7FFFD8, 23), (0xFFFFFE2, 28), (0xFFFFFE3, 28),
+    (0xFFFFFE4, 28), (0xFFFFFE5, 28), (0xFFFFFE6, 28), (0xFFFFFE7, 28),
+    (0xFFFFFE8, 28), (0xFFFFEA, 24), (0x3FFFFFFC, 30), (0xFFFFFE9, 28),
+    (0xFFFFFEA, 28), (0x3FFFFFFD, 30), (0xFFFFFEB, 28), (0xFFFFFEC, 28),
+    (0xFFFFFED, 28), (0xFFFFFEE, 28), (0xFFFFFEF, 28), (0xFFFFFF0, 28),
+    (0xFFFFFF1, 28), (0xFFFFFF2, 28), (0x3FFFFFFE, 30), (0xFFFFFF3, 28),
+    (0xFFFFFF4, 28), (0xFFFFFF5, 28), (0xFFFFFF6, 28), (0xFFFFFF7, 28),
+    (0xFFFFFF8, 28), (0xFFFFFF9, 28), (0xFFFFFFA, 28), (0xFFFFFFB, 28),
+    (0x14, 6), (0x3F8, 10), (0x3F9, 10), (0xFFA, 12),
+    (0x1FF9, 13), (0x15, 6), (0xF8, 8), (0x7FA, 11),
+    (0x3FA, 10), (0x3FB, 10), (0xF9, 8), (0x7FB, 11),
+    (0xFA, 8), (0x16, 6), (0x17, 6), (0x18, 6),
+    (0x0, 5), (0x1, 5), (0x2, 5), (0x19, 6),
+    (0x1A, 6), (0x1B, 6), (0x1C, 6), (0x1D, 6),
+    (0x1E, 6), (0x1F, 6), (0x5C, 7), (0xFB, 8),
+    (0x7FFC, 15), (0x20, 6), (0xFFB, 12), (0x3FC, 10),
+    (0x1FFA, 13), (0x21, 6), (0x5D, 7), (0x5E, 7),
+    (0x5F, 7), (0x60, 7), (0x61, 7), (0x62, 7),
+    (0x63, 7), (0x64, 7), (0x65, 7), (0x66, 7),
+    (0x67, 7), (0x68, 7), (0x69, 7), (0x6A, 7),
+    (0x6B, 7), (0x6C, 7), (0x6D, 7), (0x6E, 7),
+    (0x6F, 7), (0x70, 7), (0x71, 7), (0x72, 7),
+    (0xFC, 8), (0x73, 7), (0xFD, 8), (0x1FFB, 13),
+    (0x7FFF0, 19), (0x1FFC, 13), (0x3FFC, 14), (0x22, 6),
+    (0x7FFD, 15), (0x3, 5), (0x23, 6), (0x4, 5),
+    (0x24, 6), (0x5, 5), (0x25, 6), (0x26, 6),
+    (0x27, 6), (0x6, 5), (0x74, 7), (0x75, 7),
+    (0x28, 6), (0x29, 6), (0x2A, 6), (0x7, 5),
+    (0x2B, 6), (0x76, 7), (0x2C, 6), (0x8, 5),
+    (0x9, 5), (0x2D, 6), (0x77, 7), (0x78, 7),
+    (0x79, 7), (0x7A, 7), (0x7B, 7), (0x7FFE, 15),
+    (0x7FC, 11), (0x3FFD, 14), (0x1FFD, 13), (0xFFFFFFC, 28),
+    (0xFFFE6, 20), (0x3FFFD2, 22), (0xFFFE7, 20), (0xFFFE8, 20),
+    (0x3FFFD3, 22), (0x3FFFD4, 22), (0x3FFFD5, 22), (0x7FFFD9, 23),
+    (0x3FFFD6, 22), (0x7FFFDA, 23), (0x7FFFDB, 23), (0x7FFFDC, 23),
+    (0x7FFFDD, 23), (0x7FFFDE, 23), (0xFFFFEB, 24), (0x7FFFDF, 23),
+    (0xFFFFEC, 24), (0xFFFFED, 24), (0x3FFFD7, 22), (0x7FFFE0, 23),
+    (0xFFFFEE, 24), (0x7FFFE1, 23), (0x7FFFE2, 23), (0x7FFFE3, 23),
+    (0x7FFFE4, 23), (0x1FFFDC, 21), (0x3FFFD8, 22), (0x7FFFE5, 23),
+    (0x3FFFD9, 22), (0x7FFFE6, 23), (0x7FFFE7, 23), (0xFFFFEF, 24),
+    (0x3FFFDA, 22), (0x1FFFDD, 21), (0xFFFE9, 20), (0x3FFFDB, 22),
+    (0x3FFFDC, 22), (0x7FFFE8, 23), (0x7FFFE9, 23), (0x1FFFDE, 21),
+    (0x7FFFEA, 23), (0x3FFFDD, 22), (0x3FFFDE, 22), (0xFFFFF0, 24),
+    (0x1FFFDF, 21), (0x3FFFDF, 22), (0x7FFFEB, 23), (0x7FFFEC, 23),
+    (0x1FFFE0, 21), (0x1FFFE1, 21), (0x3FFFE0, 22), (0x1FFFE2, 21),
+    (0x7FFFED, 23), (0x3FFFE1, 22), (0x7FFFEE, 23), (0x7FFFEF, 23),
+    (0xFFFEA, 20), (0x3FFFE2, 22), (0x3FFFE3, 22), (0x3FFFE4, 22),
+    (0x7FFFF0, 23), (0x3FFFE5, 22), (0x3FFFE6, 22), (0x7FFFF1, 23),
+    (0x3FFFFE0, 26), (0x3FFFFE1, 26), (0xFFFEB, 20), (0x7FFF1, 19),
+    (0x3FFFE7, 22), (0x7FFFF2, 23), (0x3FFFE8, 22), (0x1FFFFEC, 25),
+    (0x3FFFFE2, 26), (0x3FFFFE3, 26), (0x3FFFFE4, 26), (0x7FFFFDE, 27),
+    (0x7FFFFDF, 27), (0x3FFFFE5, 26), (0xFFFFF1, 24), (0x1FFFFED, 25),
+    (0x7FFF2, 19), (0x1FFFE3, 21), (0x3FFFFE6, 26), (0x7FFFFE0, 27),
+    (0x7FFFFE1, 27), (0x3FFFFE7, 26), (0x7FFFFE2, 27), (0xFFFFF2, 24),
+    (0x1FFFE4, 21), (0x1FFFE5, 21), (0x3FFFFE8, 26), (0x3FFFFE9, 26),
+    (0xFFFFFFD, 28), (0x7FFFFE3, 27), (0x7FFFFE4, 27), (0x7FFFFE5, 27),
+    (0xFFFEC, 20), (0xFFFFF3, 24), (0xFFFED, 20), (0x1FFFE6, 21),
+    (0x3FFFE9, 22), (0x1FFFE7, 21), (0x1FFFE8, 21), (0x7FFFF3, 23),
+    (0x3FFFEA, 22), (0x3FFFEB, 22), (0x1FFFFEE, 25), (0x1FFFFEF, 25),
+    (0xFFFFF4, 24), (0xFFFFF5, 24), (0x3FFFFEA, 26), (0x7FFFF4, 23),
+    (0x3FFFFEB, 26), (0x7FFFFE6, 27), (0x3FFFFEC, 26), (0x3FFFFED, 26),
+    (0x7FFFFE7, 27), (0x7FFFFE8, 27), (0x7FFFFE9, 27), (0x7FFFFEA, 27),
+    (0x7FFFFEB, 27), (0xFFFFFFE, 28), (0x7FFFFEC, 27), (0x7FFFFED, 27),
+    (0x7FFFFEE, 27), (0x7FFFFEF, 27), (0x7FFFFF0, 27), (0x3FFFFEE, 26),
+    (0x3FFFFFFF, 30),
+]
+
+_HUFF_EOS = 256
+_HUFF_DECODE = {
+    (bits, code): sym for sym, (code, bits) in enumerate(_HUFFMAN_TABLE)
+}
+
+
+def huffman_encode(data: bytes) -> bytes:
+    """Appendix B encode; final partial byte padded with EOS-prefix ones
+    (RFC 7541 §5.2)."""
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for b in data:
+        code, length = _HUFFMAN_TABLE[b]
+        acc = (acc << length) | code
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        pad = 8 - nbits
+        out.append(((acc << pad) | ((1 << pad) - 1)) & 0xFF)
+    return bytes(out)
+
+
+def huffman_decode(data: bytes) -> bytes:
+    """Canonical prefix walk over the Appendix B code. Decoding errors per
+    §5.2: a complete in-stream EOS code, padding of 8+ bits (a truncated
+    code), or padding bits that are not the EOS prefix (not all ones) —
+    each raises ValueError so the connection layer can fail the header
+    block instead of silently mis-decoding."""
+    out = bytearray()
+    code = 0
+    bits = 0
+    for byte in data:
+        for shift in range(7, -1, -1):
+            code = (code << 1) | ((byte >> shift) & 1)
+            bits += 1
+            sym = _HUFF_DECODE.get((bits, code))
+            if sym is not None:
+                if sym == _HUFF_EOS:
+                    raise ValueError("in-stream EOS in Huffman-coded string")
+                out.append(sym)
+                code = 0
+                bits = 0
+    if bits:
+        if bits >= 8:
+            raise ValueError("truncated Huffman code (8+ bits of padding)")
+        if code != (1 << bits) - 1:
+            raise ValueError("Huffman padding is not an EOS prefix")
+    return bytes(out)
+
+
+def _hpack_str(s: str, huffman: bool = False) -> bytes:
+    """String literal — 7-bit length prefix; H bit set iff ``huffman``."""
     data = s.encode("utf-8")
+    if huffman:
+        data = huffman_encode(data)
+        return hpack_int(len(data), 7, 0x80) + data
     return hpack_int(len(data), 7, 0x00) + data
 
 
 def _hpack_read_str(buf: bytes, pos: int) -> tuple[str, int]:
     huffman = bool(buf[pos] & 0x80)
     n, pos = _hpack_read_int(buf, pos, 7)
+    raw = buf[pos : pos + n]
     if huffman:
-        raise ValueError(
-            "HPACK Huffman-coded string received; this h2c subset emits and "
-            "accepts raw literals only (peer must disable Huffman)"
-        )
-    return buf[pos : pos + n].decode("utf-8"), pos + n
+        raw = huffman_decode(raw)
+    return raw.decode("utf-8"), pos + n
 
 
-def hpack_encode(headers: list[tuple[str, str]]) -> bytes:
+def hpack_encode(headers: list[tuple[str, str]], huffman: bool = False) -> bytes:
     """Deterministic encoder: full static match → indexed field; static
     name → literal WITHOUT indexing with indexed name; otherwise literal
     without indexing with a new name. Never writes to the dynamic table,
     so identical header lists always produce identical bytes (the
-    golden-frame property)."""
+    golden-frame property). ``huffman=True`` Huffman-codes every string
+    literal (what grpc-java peers do by default) — still deterministic,
+    just a different golden."""
     out = bytearray()
     for name, value in headers:
         idx = _STATIC_PAIR.get((name, value))
@@ -229,14 +365,15 @@ def hpack_encode(headers: list[tuple[str, str]]) -> bytes:
         if nidx is not None:
             out += hpack_int(nidx, 4, 0x00)
         else:
-            out += b"\x00" + _hpack_str(name)
-        out += _hpack_str(value)
+            out += b"\x00" + _hpack_str(name, huffman)
+        out += _hpack_str(value, huffman)
     return bytes(out)
 
 
 class HpackDecoder:
     """Decoder with a real dynamic table (a grpc peer indexes
-    incrementally); Huffman strings are rejected, see module docstring."""
+    incrementally); Huffman-coded string literals decode via the
+    Appendix B table (grpc-java's default encoding)."""
 
     def __init__(self, max_size: int = 4096) -> None:
         self.dynamic: list[tuple[str, str]] = []
@@ -539,8 +676,9 @@ def serve_business_logic_h2c(
 ) -> _H2cServer:
     """Serve a BusinessLogicService as a wire-true h2c gRPC endpoint: the
     same dispatch semantics as serve_business_logic, but the transport is
-    real HTTP/2 framing — a grpc client configured for an insecure channel
-    with Huffman disabled interoperates. One connection handles many
+    real HTTP/2 framing — a grpc client on an insecure channel
+    interoperates (Huffman-coded headers included). One connection handles
+    many
     sequential or interleaved streams (client stream ids are odd and
     increasing, as the RFC requires).
 
@@ -697,12 +835,16 @@ class H2cBusinessLogicClient(BusinessLogicCallerMixin):
         timeout: float = 30.0,
         ssl_context=None,
         server_hostname: str | None = None,
+        huffman: bool = False,
     ) -> None:
         self.host = host
         self.port = port
         self.timeout = timeout
         self.ssl_context = ssl_context
         self.server_hostname = server_hostname
+        # Huffman-code our request header literals (what grpc-java does by
+        # default); off by default to keep our own frames golden-stable.
+        self.huffman = huffman
 
     def _call(self, method: int, payload: bytes) -> bytes:
         path = PATHS[method]
@@ -756,7 +898,8 @@ class H2cBusinessLogicClient(BusinessLogicCallerMixin):
                 hpack_encode(
                     request_headers(
                         path, f"{self.host}:{self.port}", scheme=scheme
-                    )
+                    ),
+                    huffman=self.huffman,
                 ),
             )
         )

@@ -56,11 +56,121 @@ def test_hpack_decoder_rfc_c3_request_sequence():
     assert two == one + [("cache-control", "no-cache")]
 
 
-def test_hpack_huffman_rejected_with_clear_error():
+# -- HPACK Huffman coding (RFC 7541 §5.2 / Appendix B) ------------------------
+
+# Every Huffman-coded string RFC 7541 Appendix C publishes, both request
+# (C.4) and response (C.6) sequences — pins the Appendix B table in both
+# directions (our encoder must produce the byte and our decoder must
+# invert it).
+_HUFFMAN_GOLDENS = [
+    (b"www.example.com", "f1e3c2e5f23a6ba0ab90f4ff"),  # C.4.1
+    (b"no-cache", "a8eb10649cbf"),  # C.4.2
+    (b"custom-key", "25a849e95ba97d7f"),  # C.4.3
+    (b"custom-value", "25a849e95bb8e8b4bf"),  # C.4.3
+    (b"302", "6402"),  # C.6.1
+    (b"private", "aec3771a4b"),  # C.6.1
+    (b"Mon, 21 Oct 2013 20:13:21 GMT", "d07abe941054d444a8200595040b8166e082a62d1bff"),
+    (b"https://www.example.com", "9d29ad171863c78f0b97c8e9ae82ae43d3"),  # C.6.1
+    (b"307", "640eff"),  # C.6.2
+    (b"Mon, 21 Oct 2013 20:13:22 GMT", "d07abe941054d444a8200595040b8166e084a62d1bff"),
+    (b"gzip", "9bd9ab"),  # C.6.3
+    (
+        b"foo=ASDJKHQKBZXOQWEOPIUAXQWEOIU; max-age=3600; version=1",
+        "94e7821dd7f2e6c7b335dfdfcd5b3960d5af27087f3672c1ab270fb5291f9587"
+        "316065c003ed4ee5b1063d5007",
+    ),  # C.6.3
+]
+
+
+def test_huffman_table_is_complete_prefix_code():
+    """Kraft sum over the 257 Appendix B codes must be exactly 1 — a
+    transcription error in any (code, length) pair breaks this."""
+    from fractions import Fraction
+
+    assert len(h2c._HUFFMAN_TABLE) == 257
+    assert sum(
+        Fraction(1, 2**bits) for _, bits in h2c._HUFFMAN_TABLE
+    ) == 1
+    # prefix-freeness: dict of (bits, code) must be injective over the table
+    assert len(h2c._HUFF_DECODE) == 257
+
+
+def test_huffman_rfc_appendix_c_goldens_both_directions():
+    for raw, hexs in _HUFFMAN_GOLDENS:
+        assert h2c.huffman_encode(raw).hex() == hexs
+        assert h2c.huffman_decode(bytes.fromhex(hexs)) == raw
+
+
+def test_huffman_roundtrip_every_octet():
+    data = bytes(range(256))
+    assert h2c.huffman_decode(h2c.huffman_encode(data)) == data
+
+
+def test_huffman_decode_error_cases():
+    # a complete 30-bit EOS code in-stream is a decoding error (§5.2)
+    eos_plus_pad = bytes([0xFF, 0xFF, 0xFF, 0xFF])  # 30 ones + 2 pad ones
+    with pytest.raises(ValueError, match="EOS"):
+        h2c.huffman_decode(eos_plus_pad)
+    # padding not an EOS prefix: 'a' (00011, 5 bits) + 3 zero pad bits
+    with pytest.raises(ValueError, match="padding"):
+        h2c.huffman_decode(bytes([0b00011000]))
+    # 8+ bits of padding = truncated long code: first 8 bits of '!' (10 bits)
+    with pytest.raises(ValueError, match="truncated"):
+        h2c.huffman_decode(bytes([0xFE]))
+
+
+def test_hpack_decoder_huffman_request_sequence_rfc_c4():
+    """RFC 7541 C.4.1-C.4.3: the full Huffman-coded request header blocks,
+    including dynamic-table inserts referenced by later blocks — the
+    exact frames grpc-java style peers send."""
     d = h2c.HpackDecoder()
-    # C.4.1: Huffman-coded ":authority www.example.com"
-    with pytest.raises(ValueError, match="Huffman"):
-        d.decode(bytes.fromhex("828684418cf1e3c2e5f23a6ba0ab90f4ff"))
+    one = d.decode(bytes.fromhex("828684418cf1e3c2e5f23a6ba0ab90f4ff"))
+    assert one == [
+        (":method", "GET"),
+        (":scheme", "http"),
+        (":path", "/"),
+        (":authority", "www.example.com"),
+    ]
+    two = d.decode(bytes.fromhex("828684be5886a8eb10649cbf"))
+    assert two == one + [("cache-control", "no-cache")]
+    three = d.decode(
+        bytes.fromhex("828785bf408825a849e95ba97d7f8925a849e95bb8e8b4bf")
+    )
+    assert three == [
+        (":method", "GET"),
+        (":scheme", "https"),
+        (":path", "/index.html"),
+        (":authority", "www.example.com"),
+        ("custom-key", "custom-value"),
+    ]
+
+
+def test_hpack_encode_huffman_matches_rfc_c4_literal():
+    """Our opt-in Huffman encoder emits the same literal-with-new-name
+    bytes as C.4.3's custom-key/custom-value (modulo the 0x40
+    incremental-indexing bit — we use 0x00 literal-without-indexing, so
+    compare the string literals)."""
+    block = h2c.hpack_encode([("custom-key", "custom-value")], huffman=True)
+    assert block == bytes.fromhex("008825a849e95ba97d7f8925a849e95bb8e8b4bf")
+
+
+def test_h2c_roundtrip_with_huffman_coded_request_headers():
+    """End-to-end: a client that Huffman-codes its header literals (the
+    grpc-java default) completes a full gRPC exchange against our
+    server."""
+    srv = h2c.serve_business_logic_h2c(_EchoService())
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        client = h2c.H2cBusinessLogicClient(
+            "127.0.0.1", srv.server_address[1], huffman=True
+        )
+        r = client.process_command("k", None, ml.Command("k", b"hufftest"))
+        assert r.is_success and r.events[0].payload == b"hufftest"
+        assert client.health_check().status == "UP"
+    finally:
+        srv.shutdown()
+        srv.server_close()
 
 
 def test_grpc_request_header_block_golden():
