@@ -391,7 +391,12 @@ def minhash_lsh_dedup(
         )
         return (
             agg.withColumn("jaccard", F.col("n_common") / F.col("n_union"))
-            .where(F.col("jaccard") >= threshold)
+            # n_common > 0 mirrors the unpruned path's inner shingle-equality
+            # join, which can never emit a zero-overlap pair: here a candidate
+            # pair survives the role join via EITHER member's shingles and
+            # would aggregate to jaccard=0.0 — visible (pruned != unpruned)
+            # whenever threshold <= 0.
+            .where((F.col("n_common") > 0) & (F.col("jaccard") >= threshold))
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))

@@ -456,6 +456,7 @@ class SnapshotStore:
         replies_path: str | None,
         records_path: str | None,
         prev_manifest: dict | None,
+        updates_unique: bool = False,
     ) -> tuple[int, bool, str]:
         """Write a delta-append commit's parquet sides driver-side from
         pre-collected rows. Returns (n_events, delta_written,
@@ -478,10 +479,21 @@ class SnapshotStore:
             list(state_struct.fields) + [T.StructField("__deleted", T.BooleanType())]
         )
         rows: list[dict] = []
+        seen_keys: set = set()
         for d in ds.get("state") or []:
             r = self._coerce_row(d, state_struct)
             if r.get(self.key_col) is None:
                 continue
+            if not updates_unique:
+                # mirror the Spark path's dropDuplicates gate: the snapshot
+                # invariant is one row per key, and a non-engine caller
+                # passing duplicate keys through this fast path would
+                # otherwise corrupt it (arbitrary survivor there; first
+                # occurrence here — both within the documented contract)
+                kv = r[self.key_col]
+                if kv in seen_keys:
+                    continue
+                seen_keys.add(kv)
             r["__deleted"] = False
             rows.append(r)
         kt = type(key_field.dataType)
@@ -546,15 +558,41 @@ class SnapshotStore:
         except Exception:  # noqa: BLE001 — e.g. mocked/connect sessions
             return id(spark)
 
+    @staticmethod
+    def _same_jvm_session(a: SparkSession, b: SparkSession) -> bool:
+        """True iff two wrappers share one JVM session object. The memo
+        key's identity hashCode is NOT unique across a stopped-and-
+        restarted session, so every memo hit re-checks the stored wrapper
+        against the caller — a collision must read as a miss, never serve
+        a stale session's frame (its JVM refs are dead)."""
+        try:
+            return bool(a._jsparkSession.equals(b._jsparkSession))
+        except Exception:  # noqa: BLE001 — mocked/connect sessions
+            return a is b
+
+    def _insert_read_state_frame(
+        self, key: tuple, value: tuple[SparkSession, DataFrame]
+    ) -> None:
+        """Insert into the read_state frame memo WITH the 8-entry eviction
+        (caller holds _memo_lock). Both the miss path and the prewarm
+        adoption go through here — steady-state delta-append triggers
+        always hit, so an adoption without eviction would grow one entry
+        (a session wrapper + plan with JVM refs) per commit, unbounded."""
+        self._read_state_frames[key] = value
+        if len(self._read_state_frames) > 8:
+            for k in sorted(self._read_state_frames, key=lambda k: k[1])[:-8]:
+                self._read_state_frames.pop(k, None)
+
     def _memo_dir_frame(self, spark: SparkSession, key: tuple, build) -> DataFrame | None:
         """Session-keyed memo of raw directory frames (immutable dirs);
         bounded so a long-lived engine doesn't accumulate plan objects.
-        Callers bake ``_session_key(spark)`` into ``key``; the stored
-        wrapper is kept only for debugging, not identity-checked (see
-        _session_key)."""
+        Callers bake ``_session_key(spark)`` into ``key``; a hit also
+        re-checks the stored wrapper's JVM session against the caller's
+        (see _same_jvm_session — identity hashCodes can collide across a
+        session restart)."""
         with self._memo_lock:
             cached = self._dir_frames.get(key)
-            if cached is not None:
+            if cached is not None and self._same_jvm_session(cached[0], spark):
                 return cached[1]
             df = build()
             if df is not None:
@@ -914,6 +952,7 @@ class SnapshotStore:
                         replies_path if replies is not None else None,
                         records_path if records is not None else None,
                         prev_manifest,
+                        updates_unique=updates_unique,
                     )
                 )
                 driver_written = True
@@ -1324,9 +1363,10 @@ class SnapshotStore:
                         [], T.StructType.fromJson(json.loads(state_schema_json))
                     )
                 with self._memo_lock:
-                    self._read_state_frames[
-                        (self._session_key(spark), version, prewarm_partitions)
-                    ] = (spark, df_warm)
+                    self._insert_read_state_frame(
+                        (self._session_key(spark), version, prewarm_partitions),
+                        (spark, df_warm),
+                    )
         if self.checkpoint_interval and (version + 1) % self.checkpoint_interval == 0:
             self._write_checkpoint(version)
         return True
@@ -1406,7 +1446,7 @@ class SnapshotStore:
         key = (self._session_key(spark), v, partitions)
         with self._memo_lock:
             cached = self._read_state_frames.get(key)
-            if cached is not None:  # key carries the JVM-session identity
+            if cached is not None and self._same_jvm_session(cached[0], spark):
                 return cached[1]
             m = self._manifest(v)
             df = self._state_frame_for_manifest(spark, m, partitions)
@@ -1414,10 +1454,7 @@ class SnapshotStore:
                 return spark.createDataFrame(
                     [], T.StructType.fromJson(json.loads(m["state_schema"]))
                 )
-            self._read_state_frames[key] = (spark, df)
-            if len(self._read_state_frames) > 8:
-                for k in sorted(self._read_state_frames, key=lambda k: k[1])[:-8]:
-                    self._read_state_frames.pop(k, None)
+            self._insert_read_state_frame(key, (spark, df))
             return df
 
     def _state_frame_for_manifest(

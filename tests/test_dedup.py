@@ -118,6 +118,30 @@ def test_prune_verification_same_answer(spark):
     assert run(True) == run(False)
 
 
+def test_prune_verification_degenerate_threshold_no_zero_overlap_pairs(spark):
+    """threshold <= 0 is the degenerate case where the one-scan pruned
+    verification could emit zero-overlap candidate pairs (a pair survives
+    the role join via either member's shingles and aggregates to
+    jaccard=0.0) while the unpruned inner shingle-equality join never can.
+    Pin equality at threshold 0 and that no emitted pair has jaccard 0."""
+    texts = [
+        BASE,
+        BASE.replace("today", "tonight"),
+        "completely different words about spark query engines and shuffles here",
+        BASE,
+    ]
+    docs = _docs(spark, texts)
+
+    def run(prune):
+        out = dd.minhash_lsh_dedup(
+            docs, "doc_id", "text", n=3, threshold=0.0, prune_verification=prune
+        ).toPandas()
+        assert (out.jaccard > 0).all()
+        return sorted(zip(out.id_a, out.id_b, out.jaccard))
+
+    assert run(True) == run(False)
+
+
 def test_simhash_locality(spark):
     """Similar docs get close fingerprints (small hamming distance);
     dissimilar docs don't."""

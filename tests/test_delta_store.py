@@ -913,3 +913,110 @@ def test_streaming_replication_prefix_replay_property(spark, tmp_path):
                     ok = True
                     break
         assert ok, (h, st)
+
+
+# -- memo hygiene (r9 advice defects: eviction, collision, dup-key gate) ------
+
+
+def test_prewarm_adoption_evicts_like_miss_path(spark, tmp_path):
+    """The prewarm adoption inserts into the read_state frame memo; in a
+    steady delta-append stream every trigger adopts, so the insert must
+    apply the same 8-entry eviction as the miss path or the memo grows one
+    (session wrapper + plan) entry per commit forever."""
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=64
+    )
+    store.commit(None, _upd(spark, [("a", 0)]), "b0", updates_unique=True)
+    for i in range(1, 13):
+        store.commit(
+            None,
+            _upd(spark, [("a", i)]),
+            f"b{i}",
+            updates_unique=True,
+            prewarm_partitions=2,
+        )
+    assert len(store._read_state_frames) <= 8
+    # and the latest adopted frame is still correct
+    assert _state(spark, store) == {"a": 12}
+
+
+def test_memo_hit_rejects_stale_session_key_collision(spark, tmp_path):
+    """_session_key is a JVM identity hashCode — NOT unique across a
+    stopped-and-restarted session. A memo entry whose stored wrapper is
+    not the caller's JVM session must read as a miss (serving the stale
+    frame would hand out dead JVM refs), and the rebuild must overwrite
+    the poisoned entry."""
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=8
+    )
+    store.commit(None, _upd(spark, [("a", 7)]), "b0", updates_unique=True)
+
+    class _DeadJvmSession:
+        def equals(self, other):
+            return False
+
+        def hashCode(self):
+            return 0
+
+    class _StaleWrapper:
+        _jsparkSession = _DeadJvmSession()
+
+    sentinel = object()
+    key = (store._session_key(spark), 0, None)
+    with store._memo_lock:
+        store._read_state_frames[key] = (_StaleWrapper(), sentinel)
+    df = store.read_state(spark)
+    assert df is not sentinel
+    assert {r.k: r.n for r in df.collect()} == {"a": 7}
+    # the rebuilt frame replaced the stale entry and now hits
+    assert store.read_state(spark) is df
+
+
+def test_driver_commit_dedupes_duplicate_keys_like_spark_gate(spark, tmp_path):
+    """A non-engine caller passing duplicate-key updates through the
+    driver-side fast path (updates_unique=False) must not corrupt the
+    one-row-per-key snapshot invariant — the Spark path applies
+    dropDuplicates at the gate; the arrow path must gate too."""
+    import pyspark.sql.types as T
+
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=8
+    )
+    store.commit(None, _upd(spark, [("a", 1)]), "b0", updates_unique=True)
+
+    struct = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("n", T.LongType())]
+    )
+    dup_rows = [{"k": "b", "n": 10}, {"k": "b", "n": 11}, {"k": "c", "n": 1}]
+    assert store.commit(
+        None,
+        _upd(spark, dup_rows),
+        "b1",
+        updates_unique=False,
+        driver_sides={"state": dup_rows, "state_struct": struct},
+    )
+    # one row per key in the snapshot, and a survivor from the dup set
+    rows = store.read_state(spark).collect()
+    assert sorted(r.k for r in rows) == ["a", "b", "c"]
+    n_b = {r.k: r.n for r in rows}["b"]
+    assert n_b in (10, 11)
+
+    # unit pin on the arrow writer itself (the commit above could in
+    # principle have fallen back to the Spark path, whose dropDuplicates
+    # would mask a missing gate here): duplicate keys with
+    # updates_unique=False write exactly one delta row per key
+    import pyarrow.dataset as pads
+
+    p = str(tmp_path / "unit-delta")
+    _, written, _ = store._driver_commit_writes(
+        {"state": dup_rows, "state_struct": struct},
+        p,
+        None,
+        None,
+        None,
+        None,
+        updates_unique=False,
+    )
+    assert written
+    tbl = pads.dataset(p).to_table()
+    assert sorted(tbl.column("k").to_pylist()) == ["b", "c"]
