@@ -35,8 +35,8 @@ HEADLINE = [
     "es_count_fold_vectorized",    # same fold lowered to all-JVM ops
     "h_session_windows",           # sessionization
     "d_exact_dedup",               # exact dedup
-    "d_minhash_lsh_neardup",       # MinHash-LSH near-dedup (unpruned verify)
-    "d_minhash_lsh_neardup_pruned",  # same, semi-join-pruned verify (100 TB shape)
+    "d_minhash_lsh_neardup",       # MinHash-LSH near-dedup (one-scan pruned verify, 100 TB shape)
+    "d_minhash_lsh_neardup_unpruned",  # A/B twin: full-corpus-join verify
     "d_duplicate_spans",           # ExactSubstr duplicated-span detection
     "d_duplicate_spans_hashed",    # same, xxhash64 gram keys (100 TB shape)
     "sim_cosine_topk_bruteforce",  # embedding top-k

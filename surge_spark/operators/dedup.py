@@ -310,10 +310,15 @@ def minhash_lsh_dedup(
     bands: int = 16,
     threshold: float = 0.7,
     max_bucket: int | None = 5000,
-    prune_verification: bool = False,
+    prune_verification: bool = True,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs: MinHash-LSH candidates verified with exact Jaccard.
+
+    ``prune_verification`` defaults True — the one-scan O(candidates)
+    verification both wins locally (1.31 vs 1.47 s at sf0.1) and is the
+    only shape that survives 100 TB (the corpus never shuffles in
+    verification); False keeps the full-corpus-join form as the A/B twin.
 
     Shuffle budget: band-bucket self-join (capped by ``max_bucket``) plus the
     exact-Jaccard verification join. With ``prune_verification=False`` the

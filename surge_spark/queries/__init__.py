@@ -12,7 +12,7 @@ registers at least one named query here. Each entry is:
 The remaining rows-only entries are rows-only BY CONSTRUCTION, each pinned
 by pytest instead:
 
-- ``d_minhash_lsh_neardup`` / ``d_minhash_lsh_neardup_pruned`` /
+- ``d_minhash_lsh_neardup`` / ``d_minhash_lsh_neardup_unpruned`` /
   ``d_simhash_fingerprints`` — outputs are functions of Spark's xxhash64,
   which DuckDB cannot evaluate (its hash() is a different function); pinned
   by signature-path equality, pruned-vs-unpruned output identity, recall

@@ -214,30 +214,33 @@ def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("d_minhash_lsh_neardup")
 def d_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands × 4 rows) near-dup pairs, exact-Jaccard
-    verified at threshold 0.5. Hash-seed dependent → rows-only check here;
-    recall vs exact Jaccard asserted in tests/test_dedup.py."""
+    verified at threshold 0.5. Carries the PRODUCTION (one-scan pruned)
+    verification — O(candidates) end to end: role-exploded pairs joined
+    once against a single shingle stream (broadcast map-side when pairs ≪
+    corpus, so the corpus never shuffles in verification), union/
+    intersection counts from a two-level aggregate with no per-doc sizes
+    pass. Wins locally too (1.31 vs 1.47 s at sf0.1, back-to-back
+    interleaved; A/B table in the operator docstring). Hash-seed dependent
+    → rows-only check here; recall vs exact Jaccard asserted in
+    tests/test_dedup.py, the one-scan shape in tests/test_plans.py."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_dedup(
         docs, "doc_id", "text", n=4, num_hashes=64, bands=16, threshold=0.5
     )
 
 
-@query("d_minhash_lsh_neardup_pruned")
-def d_minhash_lsh_neardup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB shape of d_minhash_lsh_neardup: identical output, but
-    verification is ONE-SCAN and O(candidates) (prune_verification=True) —
-    role-exploded pairs joined once against a single shingle stream
-    (broadcast map-side when pairs ≪ corpus, so the corpus never shuffles
-    in verification), union/intersection counts from a two-level aggregate
-    with no per-doc sizes pass. Measures BELOW the unpruned form locally
-    too (1.31 vs 1.47 s at sf0.1, back-to-back interleaved — the r4-r7
-    semi-join pruned form was 2.14 s in the same session; A/B table in the
-    operator docstring). Equality pinned in tests/test_dedup.py, the
-    one-scan shape in tests/test_plans.py."""
+@query("d_minhash_lsh_neardup_unpruned")
+def d_minhash_lsh_neardup_unpruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B twin of d_minhash_lsh_neardup with the full-corpus-join
+    verification (prune_verification=False): the verification joins the
+    exploded shingle table twice and aggregates per-doc sizes over the
+    whole corpus — three O(corpus) passes. Kept benched beside the
+    production one-scan form so a regression in either shape is visible;
+    output equality pinned in tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_dedup(
         docs, "doc_id", "text", n=4, num_hashes=64, bands=16, threshold=0.5,
-        prune_verification=True,
+        prune_verification=False,
     )
 
 

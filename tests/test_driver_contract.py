@@ -40,7 +40,7 @@ def test_catalog_contract(spark, sf_dir):
     assert rows_only == {
         "a_approx_count_distinct",
         "d_minhash_lsh_neardup",
-        "d_minhash_lsh_neardup_pruned",
+        "d_minhash_lsh_neardup_unpruned",
         "d_simhash_fingerprints",
         "f_partition_for_key",
         "mm_feature_extract",

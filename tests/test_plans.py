@@ -133,7 +133,8 @@ def test_minhash_band_join_reuses_signature_exchange(spark, sf_dir):
 
 
 def test_pruned_lsh_one_scan_verification(spark, sf_dir):
-    """d_minhash_lsh_neardup_pruned: verification must be the ONE-SCAN
+    """d_minhash_lsh_neardup (the production entry, pruned by default
+    since r10): verification must be the ONE-SCAN
     O(candidates) shape — role-exploded pairs joined once against a single
     shingle stream (broadcast map-side when pairs ≪ corpus: the corpus
     never shuffles in verification), reduced by a two-level aggregate.
@@ -144,7 +145,7 @@ def test_pruned_lsh_one_scan_verification(spark, sf_dir):
     band self-join still reuses its signature exchange. (Scan counting is
     NOT a usable pin here: the AQE executed-plan string re-prints query-
     stage subtrees, so FileScan occurrences overcount non-deterministically.)"""
-    df = all_queries()["d_minhash_lsh_neardup_pruned"](spark, sf_dir)
+    df = all_queries()["d_minhash_lsh_neardup"](spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "n_shingles" not in plan, plan
