@@ -1871,10 +1871,28 @@ class SnapshotStore:
     # root-lookalike defense as _DELTA_V_SQL_RE.
     _CHANGE_V_SQL_RE = r".*v(\d{12})-[0-9a-f]{8}/(?:state-delta|changes)"
 
+    @staticmethod
+    def _version_floor_globs(floor: int) -> list[str]:
+        """Decompose {v : v >= floor} over the zero-padded 12-digit version
+        into <= 12 character-class glob patterns (the standard numeric-
+        range-to-glob split: for each digit position, fix the floor's
+        prefix and allow a strictly-greater digit there, any suffix; the
+        last position allows equality). Exactness is property-tested
+        against fnmatch in tests/test_delta_store.py."""
+        digits = f"{floor:012d}"
+        pats: list[str] = []
+        for i in range(11, -1, -1):
+            lo = int(digits[i]) + (0 if i == 11 else 1)
+            if lo <= 9:
+                rng = f"[{lo}-9]" if lo < 9 else "9"
+                pats.append(digits[:i] + rng + "[0-9]" * (11 - i))
+        return pats
+
     def stream_changes(
         self,
         spark: SparkSession,
         max_files_per_trigger: int | None = None,
+        start_version: int | None = None,
     ) -> DataFrame:
         """The change data feed as a CONTINUOUS source: the per-version
         record dirs (state-delta / changes) are an append-only file log,
@@ -1885,6 +1903,16 @@ class SnapshotStore:
         ('upsert'|'delete'), ``_path`` (the source file — consumers use
         it to validate records against the manifest chain; see
         run_change_replication).
+
+        ``start_version`` bounds the source glob to version dirs >= the
+        floor (an exact character-class decomposition over the zero-padded
+        version — see _version_floor_globs). Without it the glob matches
+        every version dir ever committed, so a long-retention primary pays
+        O(all-versions) matched files per trigger and the file source's
+        seen-files log grows with the store's whole history; a consumer
+        that persists its own progress (run_change_replication's hwm file)
+        passes the floor so the per-trigger work is O(retained-since-
+        floor).
 
         Requires one committed version (the stream needs a schema — the
         latest manifest's; a mid-stream state-schema migration needs a
@@ -1908,7 +1936,16 @@ class SnapshotStore:
         reader = spark.readStream.schema(read_schema)
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-        glob = os.path.join(self.path, "v[0-9]*-*", "{state-delta,changes}")
+        if start_version is not None and start_version > 0:
+            pats = self._version_floor_globs(int(start_version))
+            vdir = (
+                f"v{pats[0]}-*"
+                if len(pats) == 1
+                else "{" + ",".join(f"v{p}-*" for p in pats) + "}"
+            )
+        else:
+            vdir = "v[0-9]*-*"
+        glob = os.path.join(self.path, vdir, "{state-delta,changes}")
         df = reader.parquet(glob)
         return (
             df.withColumn("_path", F.input_file_name())
@@ -2201,8 +2238,14 @@ def run_change_replication(
     batch therefore waits (up to ``manifest_wait_s``) for the chain to
     cover its max streamed version and FAILS the batch on timeout: the
     un-checkpointed batch retries until the manifest lands (or until the
-    crashed committer's recovery re-commits the version number)."""
-    feed = src.stream_changes(spark, max_files_per_trigger)
+    crashed committer's recovery re-commits the version number).
+
+    The replica's persisted hwm seeds stream_changes' ``start_version``
+    floor, so a restart against a long-retention primary lists and tracks
+    only the unreplicated tail, not the store's whole history."""
+    feed = src.stream_changes(
+        spark, max_files_per_trigger, start_version=_repl_hwm(dst) + 1
+    )
 
     def apply(batch_df, batch_id) -> None:
         mx = batch_df.agg(F.max("_version")).first()[0]

@@ -1020,3 +1020,54 @@ def test_driver_commit_dedupes_duplicate_keys_like_spark_gate(spark, tmp_path):
     assert written
     tbl = pads.dataset(p).to_table()
     assert sorted(tbl.column("k").to_pylist()) == ["b", "c"]
+
+
+def test_version_floor_glob_decomposition_exact():
+    """The start_version floor glob must match EXACTLY {v : v >= floor}
+    over zero-padded 12-digit versions — an off-by-one either skips a
+    version (lost changes) or re-lists history (the O(all-versions) bug
+    the floor exists to fix)."""
+    import fnmatch
+    import random
+
+    rng = random.Random(7)
+    floors = [0, 1, 9, 10, 99, 100, 1000, 123456] + [
+        rng.randrange(10**12) for _ in range(30)
+    ]
+    for floor in floors:
+        pats = SnapshotStore._version_floor_globs(floor)
+        assert len(pats) <= 12
+        probes = {0, 1, max(floor - 1, 0), floor, floor + 1, 10**12 - 1}
+        probes.update(rng.randrange(10**12) for _ in range(20))
+        for v in probes:
+            s = f"{v:012d}"
+            matched = any(fnmatch.fnmatchcase(s, p) for p in pats)
+            assert matched == (v >= floor), (floor, v, pats)
+
+
+def test_stream_changes_start_version_floor_bounds_listing(spark, tmp_path):
+    """stream_changes(start_version=N) must deliver every change record of
+    versions >= N and NONE below — the seen-files log and per-trigger
+    listing then cover only the unconsumed tail, not the store's whole
+    history."""
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4,
+        delta_commits=16, change_feed=True,
+    )
+    for v in range(6):
+        store.commit(None, _upd(spark, [(f"k{v}", v)]), f"b{v}", updates_unique=True)
+
+    feed = store.stream_changes(spark, start_version=3)
+    q = (
+        feed.writeStream.format("memory")
+        .queryName("floor_feed")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select _version, k from floor_feed").collect()
+    got = {(r._version, r.k) for r in rows}
+    assert got == {(3, "k3"), (4, "k4"), (5, "k5")}, got
