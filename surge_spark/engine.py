@@ -100,6 +100,7 @@ class SurgeEngine:
         store_path: str,
         fold_partitions: int | None = None,
         delta_commits: int | None = 16,
+        change_feed: bool = False,
     ) -> None:
         """``fold_partitions`` right-sizes the per-batch fold shuffle for
         command-sized batches (see CommandEngine.__init__); the facade's
@@ -109,11 +110,21 @@ class SurgeEngine:
         ``delta_commits``: the snapshot store's merge-on-read interval
         (SnapshotStore.__init__) — the facade's one-commit-per-command
         usage is exactly the workload the append path exists for; pass
-        ``None`` for pure copy-on-write commits."""
+        ``None`` for pure copy-on-write commits.
+
+        ``change_feed``: record a COMPLETE change data feed (first/COW/
+        compaction commits capture their own batch — append commits' delta
+        dirs are free records regardless). Required on an engine whose
+        store is a DR-replication primary (replicate_changes /
+        run_change_replication), and on a promoted standby that may itself
+        be re-replicated."""
         self._spark = spark
         self._model = model
         self._store = SnapshotStore(
-            store_path, key_col=model.key_col, delta_commits=delta_commits
+            store_path,
+            key_col=model.key_col,
+            delta_commits=delta_commits,
+            change_feed=change_feed,
         )
         self._engine = CommandEngine(
             self._store,

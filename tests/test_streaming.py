@@ -1535,3 +1535,113 @@ def test_streaming_change_replication_follows_live_primary(spark, tmp_path):
         assert {r.k: r.n for r in replica.read_state(spark).collect()} == want
     finally:
         rq2.stop()
+
+
+def test_dr_failover_promotes_standby_engine(spark, tmp_path):
+    """R10 failover (KafkaPartitionShardRouterActor.scala:87,144-156 —
+    surge fails over by re-routing shards to a standby consuming the same
+    Kafka topics): run a primary SurgeEngine with a recorded change feed,
+    replicate to a standby store, stop the primary, promote a FRESH
+    SurgeEngine on the replica path. At promotion read_state equals the
+    last replicated version; acks resume and state continues from it; R4
+    dedup is intact (an already-applied replication batch id re-commits
+    as a no-op); and the feed prefix-replay property holds ACROSS the
+    promotion boundary — the promoted engine records its own feed, so
+    replaying the replica's feed from v0 through post-promotion commits
+    reproduces its read_state."""
+    from surge_spark.engine import SurgeEngine, SurgeModel
+    from surge_spark.streaming.snapshot_store import (
+        _repl_hwm,
+        replicate_changes,
+    )
+
+    def process(state, cmd):
+        return (
+            [{"aggregate_id": cmd["aggregate_id"], "amt": cmd["amt"]}],
+            False,
+        )
+
+    def handle(state, ev):
+        return {
+            "aggregate_id": ev["aggregate_id"],
+            "total": (state["total"] if state else 0) + ev["amt"],
+        }
+
+    def mk_model():
+        return SurgeModel(
+            process,
+            handle,
+            "aggregate_id string, total long",
+            "aggregate_id string, amt long",
+        )
+
+    primary = SurgeEngine(
+        spark, mk_model(), str(tmp_path / "primary"),
+        fold_partitions=2, delta_commits=2, change_feed=True,
+    )
+    # several batches, crossing a compaction (delta_commits=2)
+    for i in range(3):
+        res = primary.submit_many(
+            [(f"a{j}", {"amt": 10 + i}) for j in range(3)]
+        )
+        assert all(r.is_success for r in res)
+    p_store = primary._store
+    want = {
+        r.aggregate_id: r.total for r in p_store.read_state(spark).collect()
+    }
+    assert want == {f"a{j}": 33 for j in range(3)}
+
+    replica = SnapshotStore(
+        str(tmp_path / "replica"), key_col="aggregate_id",
+        delta_commits=2, change_feed=True,
+    )
+    applied = replicate_changes(spark, p_store, replica)
+    assert applied == p_store.latest_version() + 1
+    assert _repl_hwm(replica) == p_store.latest_version()
+
+    # primary "fails" here (no further commits). Promote a fresh engine
+    # on the replica path — the standby is a real store, serving state
+    # immediately.
+    promoted = SurgeEngine(
+        spark, mk_model(), str(tmp_path / "replica"),
+        fold_partitions=2, delta_commits=2, change_feed=True,
+    )
+    got = {
+        r.aggregate_id: r.total
+        for r in promoted._store.read_state(spark).collect()
+    }
+    assert got == want  # read_state == last replicated version
+
+    # acks resume; state continues FROM the replicated snapshot
+    r = promoted.aggregate_for("a0").send_command(amt=5)
+    assert r.is_success and r.state["total"] == want["a0"] + 5
+    assert promoted.aggregate_for("a0").get_state()["total"] == want["a0"] + 5
+
+    # R4 dedup intact across promotion: an already-applied replication
+    # batch id is refused as a duplicate, leaving state untouched
+    dup = promoted._store.commit(
+        None,
+        spark.createDataFrame(
+            [("a0", 999)], "aggregate_id string, total long"
+        ),
+        f"repl-v{0:012d}",
+        updates_unique=True,
+    )
+    assert dup is False
+    assert promoted.aggregate_for("a0").get_state()["total"] == want["a0"] + 5
+
+    # prefix-replay across the promotion boundary: the replica's own feed
+    # (replicated prefix + post-promotion commits) folds to read_state
+    latest = promoted._store.latest_version()
+    ch = promoted._store.read_changes(spark, start_version=0, end_version=latest)
+    best: dict = {}
+    for row in sorted(ch.collect(), key=lambda r: r._version):
+        if row._change_type == "delete":
+            best.pop(row.aggregate_id, None)
+        else:
+            best[row.aggregate_id] = row.total
+    final = {
+        r.aggregate_id: r.total
+        for r in promoted._store.read_state(spark).collect()
+    }
+    assert best == final
