@@ -53,6 +53,9 @@ HEADLINE = [
     "sim_power_iteration_topdir",  # distributed PCA power iteration (new r7)
     "g_kcore_bipartite",           # k-core interaction filtering (new r7)
     "o_skipping_index",            # zone-map / data-skipping stats build (new r7)
+    "g_kcore_converged",           # fixpoint k-core, node-set convergence (new r10)
+    "m_rfm_segmentation",          # chained distributed prefix-sum quartiles (new r10)
+    "t_pretrain_pipeline",         # clean→dedup→quality→pack end to end (new r10)
 ]
 
 N_RUNS = 3
