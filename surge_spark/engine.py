@@ -179,7 +179,9 @@ class SurgeEngine:
         batch = self._spark.createDataFrame(
             rows, schema=self._infer_schema(rows[0])
         )
-        result = self._engine.process_batch(batch, f"submit-{uuid.uuid4().hex}")
+        result = self._engine.process_batch(
+            batch, f"submit-{uuid.uuid4().hex}", n_rows_hint=len(rows)
+        )
         assert result is not None  # uuid cannot collide with committed ids
         _, _, replies = result
         by_id = {r.command_id: r for r in replies.collect()}
@@ -204,7 +206,9 @@ class SurgeEngine:
         batch_id = f"submit-{uuid.uuid4().hex}"
         # single-command batch: one fold partition (the engine-level
         # fold_partitions is sized for submit_many-scale batches)
-        result = self._engine.process_batch(batch, batch_id, fold_partitions=1)
+        result = self._engine.process_batch(
+            batch, batch_id, fold_partitions=1, n_rows_hint=1
+        )
         assert result is not None  # uuid cannot collide with committed ids
         _, _, replies = result
         reply = replies.where(replies.command_id == command_id).collect()[0]

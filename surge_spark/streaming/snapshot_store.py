@@ -1616,6 +1616,91 @@ class SnapshotStore:
             return None
         return {c: row.get(c) for c in cols}
 
+    def _multi_point_read_arrow(
+        self, m: dict, keys: list[str]
+    ) -> dict[str, dict | None]:
+        """Batched _point_read_arrow over a key set — the driver-side
+        fold's actor-init read: ONE dataset read per TOUCHED base bucket
+        with an isin filter, one isin pass over each delta. Latest-wins
+        per key, semantics pinned equal to get_state. Raises on any key
+        type/layout the arrow path doesn't cover (float/timestamp keys,
+        missing key column) — the caller falls back to the Spark join."""
+        import pyarrow.dataset as pads
+
+        schema = T.StructType.fromJson(json.loads(m["state_schema"]))
+        cols = [f.name for f in schema.fields]
+        out: dict[str, dict | None] = {}
+        typed: dict[str, object] = {}
+        for k in dict.fromkeys(str(k) for k in keys):
+            matchable, kv = self._typed_key(schema, k)
+            if matchable:
+                typed[k] = kv
+            else:
+                out[k] = None  # non-canonical spelling: definitive miss
+        if not typed:
+            return out
+        # typed value -> key string; injective because _typed_key only
+        # accepts canonical spellings (two distinct strings can never type
+        # to the same value)
+        by_val = {v: k for k, v in typed.items()}
+        nb = int(m.get("num_buckets", self.default_num_buckets))
+        buckets_map = self._state_paths(m)
+        cands: dict[str, list] = {k: [] for k in typed}
+        key_field = pads.field(self.key_col)
+        if "__legacy__" in buckets_map:
+            groups = {buckets_map["__legacy__"]: list(typed.values())}
+        else:
+            groups = {}
+            for k, v in typed.items():
+                bp = buckets_map.get(str(self._bucket_of(k, nb)))
+                if bp:
+                    groups.setdefault(bp, []).append(v)
+        for path, vals in groups.items():
+            if not os.path.isdir(path):
+                continue
+            tbl = self._arrow_dataset(path).to_table(filter=key_field.isin(vals))
+            for r in tbl.to_pylist():
+                kk = by_val.get(r.get(self.key_col))
+                if kk is not None:
+                    cands[kk].append((-1, False, r))
+        all_vals = list(typed.values())
+        touched = {str(self._bucket_of(k, nb)) for k in typed}
+        for e in m.get("state_deltas", []):
+            p = e["path"]
+            sub_paths: list[str]
+            if os.path.isdir(p) and any(
+                d.startswith(f"{_BUCKET_COL}=") for d in os.listdir(p)
+            ):
+                # legacy bucketed delta: read only the touched buckets
+                sub_paths = [
+                    sp
+                    for b in touched
+                    for sp in [os.path.join(p, f"{_BUCKET_COL}={b}")]
+                    if os.path.isdir(sp)
+                ]
+            elif os.path.isdir(p):
+                sub_paths = [p]
+            else:
+                continue
+            dv = self._delta_version(e["path"])
+            for sp in sub_paths:
+                tbl = self._arrow_dataset(sp).to_table(
+                    filter=key_field.isin(all_vals)
+                )
+                for r in tbl.to_pylist():
+                    kk = by_val.get(r.get(self.key_col))
+                    if kk is not None:
+                        # schema drift across deltas: missing columns read
+                        # as None, same as unionByName(allowMissingColumns)
+                        cands[kk].append((dv, bool(r.get("__deleted")), r))
+        for k, lst in cands.items():
+            if not lst:
+                out[k] = None
+                continue
+            _, deleted, row = max(lst, key=lambda t: t[0])
+            out[k] = None if deleted else {c: row.get(c) for c in cols}
+        return out
+
     def get_state(
         self, spark: SparkSession, aggregate_id: str, version: int | None = None
     ) -> dict | None:

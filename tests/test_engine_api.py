@@ -290,7 +290,11 @@ def test_point_submit_collects_exactly_one_reply(spark, tmp_path):
 
     def counting_collect(self):
         rows = orig_collect(self)
-        if rows and hasattr(rows[0], "command_id"):
+        # reply rows only (command_id + status): the r10 driver-side fold
+        # legitimately collects the batch's OWN command rows (one row on
+        # this path) — the invariant under test is that sibling REPLIES
+        # never materialize on the driver
+        if rows and hasattr(rows[0], "command_id") and hasattr(rows[0], "status"):
             collected_sizes.append(len(rows))
         return rows
 

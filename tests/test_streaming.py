@@ -1645,3 +1645,126 @@ def test_dr_failover_promotes_standby_engine(spark, tmp_path):
         for r in promoted._store.read_state(spark).collect()
     }
     assert best == final
+
+
+def test_driver_fold_equals_distributed_fold(spark, tmp_path):
+    """Cross-mode pin for the driver-side fold fast path
+    (driver_fold_max_rows): the SAME command stream through the driver
+    fold (default) and the distributed fold (=0) yields identical
+    snapshots, identical acks, and identical events — across updates,
+    tombstones, rejections, handler errors, a nullable long state field
+    (the NaN-through-pandas representation both paths share), multiple
+    commits, and a compaction. The distributed fold remains the semantic
+    source of truth; this is the contract that lets the fast path exist."""
+    import math
+
+    def process(state, cmd):
+        op = cmd.get("op")
+        if op == "reject":
+            return ([], True)
+        if op == "boom":
+            raise RuntimeError("handler exploded")
+        return ([{"k": cmd["k"], "op": op}], False)
+
+    def handle(state, ev):
+        if ev["op"] == "del":
+            return None
+        cur = state["n"] if state else 0
+        # NaN parity probe: a nulled long arrives as float NaN via pandas
+        # on BOTH paths; normalize the same way a real handler must
+        if isinstance(cur, float) and math.isnan(cur):
+            cur = 0
+        extra = None if ev["op"] == "addnull" else 1
+        return {"k": ev["k"], "n": int(cur) + 1, "extra": extra}
+
+    batches = [
+        [("a", "add", "c1"), ("b", "add", "c2"), ("a", "add", "c3")],
+        [("a", "addnull", "c4"), ("c", "add", "c5"), ("b", "reject", "c6")],
+        [("b", "del", "c7"), ("d", "boom", "c8"), ("a", "add", "c9")],
+        [("c", "add", "c10"), ("e", "add", "c11")],  # crosses compaction
+    ]
+
+    def run(tag, fold_rows):
+        store = SnapshotStore(
+            str(tmp_path / tag), key_col="k", num_buckets=4, delta_commits=2
+        )
+        eng = CommandEngine(
+            store,
+            process,
+            handle,
+            "k string, n long, extra long",
+            "k string, op string",
+            key_col="k",
+            order_cols=["command_id"],
+            fold_partitions=2,
+            driver_fold_max_rows=fold_rows,
+        )
+        acks = []
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, "k string, op string, command_id string")
+            out = eng.process_batch(df, f"b{i}")
+            assert out is not None
+            _, _, replies = out
+            acks.extend(
+                (r.command_id, r.status, r.new_state)
+                for r in replies.collect()
+            )
+        state = {
+            r.k: (r.n, r.extra) for r in store.read_state(spark).collect()
+        }
+        events = sorted(
+            (r.k, r.op) for r in store.read_events(spark).collect()
+        )
+        return sorted(acks), state, events
+
+    fast = run("fast", 512)
+    slow = run("slow", 0)
+    assert fast == slow, (fast, slow)
+    # sanity on the content itself, not just cross-mode agreement
+    acks, state, _ = fast
+    assert state["a"] == (4, 1)  # add, add, addnull(NaN->0+1? no: 3 adds + addnull)
+    assert "b" not in state  # deleted
+    statuses = {c: s for c, s, _ in acks}
+    assert statuses["c6"] == "rejected"
+    assert statuses["c8"].startswith("error:")
+
+
+def test_driver_fold_falls_back_on_oversized_batch(spark, tmp_path):
+    """A batch above driver_fold_max_rows must land on the distributed
+    fold and still commit correctly — the limit probe is a size gate, not
+    a truncation."""
+
+    def process(state, cmd):
+        return ([{"k": cmd["k"]}], False)
+
+    def handle(state, ev):
+        return {"k": ev["k"], "n": (state["n"] if state else 0) + 1}
+
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=4
+    )
+    eng = CommandEngine(
+        store,
+        process,
+        handle,
+        "k string, n long",
+        "k string",
+        key_col="k",
+        order_cols=["command_id"],
+        fold_partitions=2,
+        driver_fold_max_rows=4,
+    )
+    rows = [(f"k{i % 3}", f"c{i}") for i in range(9)]  # 9 > 4: fallback
+    out = eng.process_batch(
+        spark.createDataFrame(rows, "k string, command_id string"), "big"
+    )
+    assert out is not None
+    got = {r.k: r.n for r in store.read_state(spark).collect()}
+    assert got == {"k0": 3, "k1": 3, "k2": 3}
+    # and a small follow-up batch takes the fast path against that state
+    out2 = eng.process_batch(
+        spark.createDataFrame([("k0", "c9")], "k string, command_id string"),
+        "small",
+    )
+    assert out2 is not None
+    assert store.get_state(spark, "k0")["n"] == 4
