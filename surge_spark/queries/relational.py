@@ -2330,6 +2330,77 @@ def g_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g_cc_converged",
+    oracle="""
+    WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+    lab(it, ls) AS (
+      SELECT 0, (SELECT list(struct_pack(n := u, c := u) ORDER BY u)
+                 FROM (SELECT DISTINCT u FROM sym))
+      UNION ALL
+      SELECT lab.it + 1, nxt.ls2
+      FROM lab, LATERAL (
+        SELECT list(struct_pack(
+                 n := cur.n, c := least(cur.c, coalesce(nb.mc, cur.c))
+               ) ORDER BY cur.n) AS ls2
+        FROM (SELECT s.n AS n, s.c AS c FROM (SELECT unnest(lab.ls) AS s)) cur
+        LEFT JOIN (
+          SELECT s.u AS n, min(c2.c) AS mc
+          FROM sym s
+          JOIN (SELECT s2.n AS n, s2.c AS c
+                FROM (SELECT unnest(lab.ls) AS s2)) c2 ON c2.n = s.v
+          GROUP BY s.u
+        ) nb ON nb.n = cur.n
+      ) nxt
+      WHERE lab.it < 60 AND nxt.ls2 IS DISTINCT FROM lab.ls
+    ),
+    final AS (SELECT ls FROM lab ORDER BY it DESC LIMIT 1)
+    SELECT s.n AS id, s.c AS component
+    FROM (SELECT unnest(ls) AS s FROM final)
+    """,
+)
+def g_cc_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-CONVERGENCE connected components on the part co-purchase graph
+    (parts sharing >= 2 orders), fully value-oracled: every node labeled
+    with the MIN reachable node id. The DuckDB oracle is a recursive-CTE
+    min-label PROPAGATE loop to fixpoint (the g_kcore_converged / es_bank
+    precedent, carrying a list<struct(n,c)> per iteration); Spark runs
+    operators.graph.connected_components — the alternating propagate +
+    POINTER-JUMP schedule (O(log d) rounds, checksum convergence probe,
+    per-round localCheckpoint against plan blowup). The two schedules
+    reach the identical fixpoint labels (min reachable id is schedule-
+    independent), so the oracle checks the converged ANSWER while the
+    Spark side keeps the scale-right O(log d) iteration — unlike
+    g_kcore_converged, no rounds column is emitted, because the round
+    counts legitimately differ between schedules. Components here = the
+    product-affinity clusters a recsys prep pipeline partitions by.
+    Reference anchor: surge has no graph ops; this extends the dedup
+    cluster machinery (operators/graph.py) to a catalog-visible fixpoint."""
+    from surge_spark.operators.graph import connected_components
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a = d.withColumnsRenamed({"l_partkey": "pa"})
+    b = d.withColumnsRenamed({"l_partkey": "pb"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    # operator already returns (id, component)
+    return connected_components(edges, "pa", "pb")
+
+
+@query(
     "a_kmv_distinct_estimate",
     oracle="""
     WITH h AS (

@@ -966,3 +966,134 @@ def sim_pca_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 20)
         .select("vec_id", "residual", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def _fixed_projections(n_proj: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic Johnson–Lindenstrauss projection matrix shared
+    verbatim by both engines (sin-sequence like FIXED_CENTS, different
+    phase so the two models never coincide; data-independent so testdata
+    regeneration can't shift it)."""
+    return [
+        [math.sin(2000.0 + j * dim + d) for d in range(dim)]
+        for j in range(n_proj)
+    ]
+
+
+FIXED_PROJ = _fixed_projections()
+
+# left-associative literal dot of the 1-BASED DuckDB list against row j —
+# textual mirror of operators.similarity._dot_lit_sql's 0-based Spark form
+def _duck_proj_sql(vec_sql: str, row: list[float]) -> str:
+    return "(" + "+".join(
+        f"CAST({vec_sql}[{d + 1}] AS DOUBLE)*{x!r}" for d, x in enumerate(row)
+    ) + ")"
+
+
+def _proj_cols_sql(prefix: str) -> tuple[str, str, str]:
+    """(dot, norm_a, norm_b) over 16 projected columns {prefix-pairs} —
+    same textual order on both engines so the doubles are bitwise equal."""
+    dot = "(" + "+".join(f"q{j}*c{j}" for j in range(len(FIXED_PROJ))) + ")"
+    nq = "SQRT(" + "+".join(f"q{j}*q{j}" for j in range(len(FIXED_PROJ))) + ")"
+    nc = "SQRT(" + "+".join(f"c{j}*c{j}" for j in range(len(FIXED_PROJ))) + ")"
+    return dot, nq, nc
+
+
+def _rp_oracle() -> str:
+    n = len(FIXED_PROJ)
+    proj_cols = ",\n        ".join(
+        f"{_duck_proj_sql('embedding', FIXED_PROJ[j])} AS p{j}" for j in range(n)
+    )
+    dot, nq, nc = _proj_cols_sql("")
+    qcols = ", ".join(f"p{j} AS q{j}" for j in range(n))
+    ccols = ", ".join(f"p{j} AS c{j}" for j in range(n))
+    return f"""
+    WITH proj AS (
+      SELECT vec_id,
+        {proj_cols}
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, {qcols} FROM proj WHERE vec_id < 5),
+    c AS (SELECT vec_id AS corpus_id, {ccols} FROM proj),
+    scored AS (
+      SELECT q.query_id, c.corpus_id,
+             {dot} / ({nq} * {nc}) AS cos_raw
+      FROM q CROSS JOIN c WHERE c.corpus_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, cos_raw,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_raw DESC, corpus_id
+             ) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id,
+           CAST(round(cos_raw, 6) AS DOUBLE) AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@query("sim_random_projection_topk", oracle=_rp_oracle())
+def sim_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors in a Johnson–Lindenstrauss RANDOM
+    PROJECTION space: 64-d embeddings reduced to 16-d through the
+    FIXED_PROJ literal matrix, exact cosine + top-k in the reduced space
+    — the dimensionality-reduction ANN family (alongside LSH buckets, IVF
+    cells, and PQ codes), 4× less data per distance at rank time, which
+    at 100 TB is the difference between a broadcastable projected corpus
+    and not. FULL value oracle: the projection rows render into DuckDB as
+    literals (the FIXED_CENTS trick) with textually identical
+    left-associative summation, so projected coordinates — and therefore
+    ranks — are bitwise reproducible across engines. Projection runs as
+    16 HOF aggregate loops (zip_with + left-fold aggregate): 16 dots ×
+    64 terms in ONE select is ~3k flat expr nodes, past the codegen
+    method budget — the flat form compiled-FAILED into interpreted
+    tree-walking and measured 3.6-9.7 s at sf0.1 vs the HOF's 1.1-1.5 s
+    (the r5 column-column boundary, A/B r10). The left fold starts at
+    0.0 so its summation order equals the oracle's textual
+    left-associative chain term-for-term (IEEE 0.0+x == x): outputs
+    bitwise match the flat form (verified) and the oracle. The 16-term
+    projected-space cosine stays flat — far under the boundary. JL
+    neighbor preservation asserted on PLANTED near-duplicates in
+    tests/test_similarity.py (this corpus is near-isotropic, so recall
+    against full-space brute force is ~chance by construction — not a
+    meaningful pin)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = len(FIXED_PROJ)
+
+    def hof_dot(row: list[float]) -> str:
+        arr = "array(" + ",".join(repr(x) + "D" for x in row) + ")"
+        return (
+            f"aggregate(zip_with(embedding, {arr}, "
+            "(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, x) -> acc + x)"
+        )
+
+    proj = emb.select(
+        "vec_id",
+        *[F.expr(hof_dot(FIXED_PROJ[j])).alias(f"p{j}") for j in range(n)],
+    )
+    q = proj.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"p{j}").alias(f"q{j}") for j in range(n)],
+    )
+    c = proj.select(
+        F.col("vec_id").alias("corpus_id"),
+        *[F.col(f"p{j}").alias(f"c{j}") for j in range(n)],
+    )
+    dot, nq, nc = _proj_cols_sql("")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cos_raw", F.expr(f"{dot} / ({nq} * {nc})"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -153,3 +153,43 @@ def test_kcore_converged_zero_degree_straggler(spark):
         """
     ).fetchone()[0]
     assert oracle_it == rounds == 2
+
+
+def test_cc_converged_constructed_components(spark):
+    """g_cc_converged's operator contract on a constructed graph: a long
+    chain (forces several propagate rounds), a triangle, and a 2-node
+    island — labels are the component-min everywhere, and the co-purchase
+    edge derivation (>= 2 shared orders) only keeps repeat pairs."""
+    chain = [(i, i + 1) for i in range(10, 17)]  # component min 10
+    tri = [(30, 31), (31, 32), (30, 32)]  # min 30
+    island = [(50, 51)]  # min 50
+    out = connected_components(_edges(spark, chain + tri + island)).collect()
+    comp = {r.id: r.component for r in out}
+    assert all(comp[i] == 10 for i in range(10, 18))
+    assert all(comp[i] == 30 for i in (30, 31, 32))
+    assert comp[50] == comp[51] == 50
+
+    # edge derivation: pairs co-ordered once must NOT edge (threshold 2)
+    li = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, 101), (1, 102),  # once together
+                (2, 103), (2, 104),
+                (3, 103), (3, 104),  # 103-104 twice -> edge
+            ],
+            columns=["l_orderkey", "l_partkey"],
+        )
+    )
+    d = li.distinct()
+    a = d.withColumnsRenamed({"l_partkey": "pa"})
+    b = d.withColumnsRenamed({"l_partkey": "pb"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    got = {(r.pa, r.pb) for r in edges.collect()}
+    assert got == {(103, 104)}

@@ -285,3 +285,72 @@ def test_power_iteration_matches_numpy_twin(spark, sf_dir):
         return float(u @ (X.T @ (X @ u))) / float(u @ u)
 
     assert rayleigh(spark_v) >= rayleigh(np.array(FIXED_V0)) - 1e-9
+
+
+def test_random_projection_preserves_planted_neighbors(spark):
+    """JL projection neighbor preservation where it is actually testable:
+    on PLANTED near-duplicates. The testdata corpus is near-isotropic
+    (random directions), so recall against full-space brute force is
+    ~chance by construction — instead, plant tiny perturbations of base
+    vectors and assert each base's top-1 in the 16-d projected space is
+    its planted twin. Also pins the HOF-fold projection against a numpy
+    matmul twin to 1e-9 (same literal matrix, same math)."""
+    import math as _m
+
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    from surge_spark.queries.similarity import FIXED_PROJ, _proj_cols_sql
+
+    dim = 64
+    base = [[_m.sin(3.0 + 11 * i + d) for d in range(dim)] for i in range(20)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # planted twins: id 100+i is base i plus a tiny deterministic nudge
+    for i, v in enumerate(base):
+        rows.append((100 + i, [x + 0.001 * _m.sin(7.0 * d + i) for d, x in enumerate(v)]))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+
+    n = len(FIXED_PROJ)
+
+    def hof_dot(row):
+        arr = "array(" + ",".join(repr(x) + "D" for x in row) + ")"
+        return (
+            f"aggregate(zip_with(embedding, {arr}, "
+            "(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, x) -> acc + x)"
+        )
+
+    proj = corpus.select(
+        "vec_id", *[F.expr(hof_dot(FIXED_PROJ[j])).alias(f"p{j}") for j in range(n)]
+    )
+    got = {r.vec_id: [r[f"p{j}"] for j in range(n)] for r in proj.collect()}
+    # numpy twin of the projection itself
+    m = np.array(FIXED_PROJ)
+    for i, v in rows:
+        want = m @ np.array(v)
+        assert np.allclose(got[i], want, atol=1e-9), i
+
+    # projected-space top-1 of every base vector is its planted twin
+    q = proj.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), *[F.col(f"p{j}").alias(f"q{j}") for j in range(n)]
+    )
+    c = proj.select(
+        F.col("vec_id").alias("corpus_id"), *[F.col(f"p{j}").alias(f"c{j}") for j in range(n)]
+    )
+    dot, nq, nc = _proj_cols_sql("")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cos_raw", F.expr(f"{dot} / ({nq} * {nc})"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("corpus_id"))
+    top1 = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") == 1)
+        .collect()
+    )
+    assert len(top1) == 20
+    for r in top1:
+        assert r.corpus_id == r.query_id + 100, (r.query_id, r.corpus_id)
