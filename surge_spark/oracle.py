@@ -50,7 +50,13 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
     out = df.copy()
     for c in out.columns:
-        out[c] = out[c].map(canon)
+        # dtype=object, NOT .map(): a mapped all-datetime column re-infers
+        # datetime64 and coerces the canonicalized Nones straight back to
+        # NaT — and NaT == NaT is False, so a nullable-timestamp column
+        # (o_scd2_intervals' open valid_to) would mismatch on every null
+        out[c] = pd.Series(
+            [canon(v) for v in out[c]], dtype=object, index=out.index
+        )
     out = out.sort_values(by=list(out.columns), key=lambda s: s.map(_sort_key)).reset_index(
         drop=True
     )

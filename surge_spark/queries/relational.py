@@ -3825,3 +3825,152 @@ def w_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
     )
+
+
+@query(
+    "o_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type AS attr_value, ts AS valid_from,
+           lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to,
+           (lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL) AS is_current
+    FROM changes
+    """,
+)
+def o_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build: collapse each user's event
+    stream into validity intervals of its tracked attribute (event_type
+    standing in for the dimension attribute) — consecutive duplicates
+    merge, each change opens a new version with valid_from/valid_to and
+    the open interval flagged is_current. The standard lakehouse dimension
+    shape (Kimball SCD2; Delta MERGE pipelines build exactly this table).
+    Two windows, both partitioned by user_id — no unpartitioned window,
+    scale-safe; ties broken on event_id so both engines pick identical
+    interval boundaries."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "o_table_stats",
+    oracle="""
+    WITH s AS (SELECT * FROM lineitem)
+    SELECT * FROM (
+      SELECT 'l_orderkey' AS col_name,
+             CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv,
+             CAST(min(l_orderkey) AS DOUBLE) AS min_num,
+             CAST(max(l_orderkey) AS DOUBLE) AS max_num,
+             CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      FROM s
+      UNION ALL
+      SELECT 'l_quantity', CAST(count(*) - count(l_quantity) AS BIGINT),
+             CAST(count(DISTINCT l_quantity) AS BIGINT),
+             CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE),
+             NULL, NULL
+      FROM s
+      UNION ALL
+      SELECT 'l_extendedprice', CAST(count(*) - count(l_extendedprice) AS BIGINT),
+             CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+             CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
+             NULL, NULL
+      FROM s
+      UNION ALL
+      SELECT 'l_returnflag', CAST(count(*) - count(l_returnflag) AS BIGINT),
+             CAST(count(DISTINCT l_returnflag) AS BIGINT),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             min(l_returnflag), max(l_returnflag)
+      FROM s
+      UNION ALL
+      SELECT 'l_shipdate', CAST(count(*) - count(l_shipdate) AS BIGINT),
+             CAST(count(DISTINCT l_shipdate) AS BIGINT),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+      FROM s
+    )
+    """,
+)
+def o_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics collection over lineitem (nulls,
+    exact NDV, min/max) — the CBO/stats-catalog maintenance shape (Spark's
+    ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS; Delta collects the
+    same per-file). ONE scan: every column's aggregates in a single
+    groupBy().agg() pass (count-distincts expand inside one Aggregate);
+    numeric min/max emitted as DOUBLE and string/date as VARCHAR in
+    separate columns — cross-engine string rendering of doubles diverges
+    (scientific-notation thresholds), typed channels don't. At 100 TB the
+    same plan runs partial+final; for per-file granularity see
+    o_skipping_index."""
+    li = _t(spark, sf_dir, "lineitem")
+    num_cols = ["l_orderkey", "l_quantity", "l_extendedprice"]
+    str_cols = ["l_returnflag", "l_shipdate"]
+    aggs = []
+    for c in num_cols + str_cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    for c in str_cols:
+        aggs += [
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    rows = []
+    for c in num_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__ndv").alias("ndv"),
+                F.col(f"{c}__min").alias("min_num"),
+                F.col(f"{c}__max").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for c in str_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__ndv").alias("ndv"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
