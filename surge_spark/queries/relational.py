@@ -2358,11 +2358,18 @@ def g_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY s.u
         ) nb ON nb.n = cur.n
       ) nxt
-      WHERE lab.it < 60 AND nxt.ls2 IS DISTINCT FROM lab.ls
+      WHERE lab.it < 500 AND nxt.ls2 IS DISTINCT FROM lab.ls
     ),
     final AS (SELECT ls FROM lab ORDER BY it DESC LIMIT 1)
+    -- loud non-convergence guard: one-hop propagation needs <= diameter
+    -- steps; if a regenerated corpus ever produced a >500-hop chain the
+    -- cap would otherwise TRUNCATE silently and emit non-fixpoint labels.
+    -- Hitting the cap instead returns ZERO rows -> an unmistakable
+    -- row-count mismatch pointing here, not a value mismatch blamed on
+    -- the Spark builder.
     SELECT s.n AS id, s.c AS component
     FROM (SELECT unnest(ls) AS s FROM final)
+    WHERE (SELECT max(it) FROM lab) < 500
     """,
 )
 def g_cc_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3921,22 +3928,23 @@ def o_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column statistics collection over lineitem (nulls,
     exact NDV, min/max) — the CBO/stats-catalog maintenance shape (Spark's
     ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS; Delta collects the
-    same per-file). ONE scan: every column's aggregates in a single
-    groupBy().agg() pass (count-distincts expand inside one Aggregate);
-    numeric min/max emitted as DOUBLE and string/date as VARCHAR in
-    separate columns — cross-engine string rendering of doubles diverges
+    same per-file). Nulls/min/max ride one partial+final aggregate pass;
+    each exact NDV is its OWN single-distinct aggregate cross-joined in
+    (one-row frames) — packing 5 count-distincts into one agg planned an
+    Expand that multiplied the scan 5x and measured 6.6-8.0 s at sf0.1
+    vs 1.0-1.4 s for the per-column composition (A/B r10; the per-column
+    form partial-distincts map-side, no Expand anywhere). Numeric min/max
+    emitted as DOUBLE and string/date as VARCHAR in separate columns —
+    cross-engine string rendering of doubles diverges
     (scientific-notation thresholds), typed channels don't. At 100 TB the
-    same plan runs partial+final; for per-file granularity see
+    same plans run partial+final; for per-file granularity see
     o_skipping_index."""
     li = _t(spark, sf_dir, "lineitem")
     num_cols = ["l_orderkey", "l_quantity", "l_extendedprice"]
     str_cols = ["l_returnflag", "l_shipdate"]
     aggs = []
     for c in num_cols + str_cols:
-        aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__ndv"),
-        ]
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"))
     for c in num_cols:
         aggs += [
             F.min(c).cast("double").alias(f"{c}__min"),
@@ -3948,6 +3956,8 @@ def o_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
     one = li.agg(*aggs)
+    for c in num_cols + str_cols:
+        one = one.crossJoin(li.agg(F.countDistinct(c).alias(f"{c}__ndv")))
     rows = []
     for c in num_cols:
         rows.append(

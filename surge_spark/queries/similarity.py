@@ -989,9 +989,9 @@ def _duck_proj_sql(vec_sql: str, row: list[float]) -> str:
     ) + ")"
 
 
-def _proj_cols_sql(prefix: str) -> tuple[str, str, str]:
-    """(dot, norm_a, norm_b) over 16 projected columns {prefix-pairs} —
-    same textual order on both engines so the doubles are bitwise equal."""
+def _proj_cols_sql() -> tuple[str, str, str]:
+    """(dot, norm_q, norm_c) over the q{j}/c{j} projected columns — same
+    textual order on both engines so the doubles are bitwise equal."""
     dot = "(" + "+".join(f"q{j}*c{j}" for j in range(len(FIXED_PROJ))) + ")"
     nq = "SQRT(" + "+".join(f"q{j}*q{j}" for j in range(len(FIXED_PROJ))) + ")"
     nc = "SQRT(" + "+".join(f"c{j}*c{j}" for j in range(len(FIXED_PROJ))) + ")"
@@ -1003,7 +1003,7 @@ def _rp_oracle() -> str:
     proj_cols = ",\n        ".join(
         f"{_duck_proj_sql('embedding', FIXED_PROJ[j])} AS p{j}" for j in range(n)
     )
-    dot, nq, nc = _proj_cols_sql("")
+    dot, nq, nc = _proj_cols_sql()
     qcols = ", ".join(f"p{j} AS q{j}" for j in range(n))
     ccols = ", ".join(f"p{j} AS c{j}" for j in range(n))
     return f"""
@@ -1079,7 +1079,7 @@ def sim_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("corpus_id"),
         *[F.col(f"p{j}").alias(f"c{j}") for j in range(n)],
     )
-    dot, nq, nc = _proj_cols_sql("")
+    dot, nq, nc = _proj_cols_sql()
     scored = (
         F.broadcast(q)
         .crossJoin(c)

@@ -586,6 +586,7 @@ class CommandEngine:
             ]
             state_fields: list[str] = []
             state_map: dict[str, dict | None] = {}
+            null_reps: dict[str, Any] = {}
             v = self.store.latest_version()
             if v is not None:
                 m = self.store._manifest(v)
@@ -593,12 +594,33 @@ class CommandEngine:
                     state_map = self.store._multi_point_read_arrow(
                         m, list(dict.fromkeys(keys))
                     )
-                state_fields = [
-                    f.name
-                    for f in T.StructType.fromJson(
-                        json.loads(m["state_schema"])
-                    ).fields
-                ]
+                struct = T.StructType.fromJson(json.loads(m["state_schema"]))
+                state_fields = [f.name for f in struct.fields]
+                # null representation PER FIELD TYPE, mirroring what the
+                # distributed fold's Arrow batch hands handlers: a null
+                # numeric state field arrives as float NaN (int-with-null
+                # promotion), a null timestamp as NaT, everything else as
+                # None. A plain-None scalar assignment would hand the
+                # fast-path handler None where the distributed path hands
+                # NaN — a cross-mode behavioral divergence for handlers
+                # written against the documented NaN contract.
+                for f in struct.fields:
+                    if isinstance(
+                        f.dataType,
+                        (
+                            T.LongType,
+                            T.IntegerType,
+                            T.ShortType,
+                            T.ByteType,
+                            T.DoubleType,
+                            T.FloatType,
+                        ),
+                    ):
+                        null_reps[f.name] = float("nan")
+                    elif isinstance(f.dataType, T.TimestampType):
+                        null_reps[f.name] = pd.NaT
+                    else:
+                        null_reps[f.name] = None
         except Exception:  # noqa: BLE001 — exact fallback, never guess
             return None
         state_key_col = self.store.key_col
@@ -621,9 +643,10 @@ class CommandEngine:
                 pdf = pd.DataFrame([rr.asDict() for rr in krows])
                 st = state_map.get(key) if key is not None else None
                 for f in state_fields:
-                    pdf[f"__state__{f}"] = (
-                        st.get(f) if st is not None else None
-                    )
+                    sv = st.get(f) if st is not None else None
+                    if sv is None:
+                        sv = null_reps[f]  # NaN/NaT parity, see above
+                    pdf[f"__state__{f}"] = sv
                 s, e, rep, d, recs = CommandEngine._handle_group(
                     pdf,
                     state_fields,

@@ -338,7 +338,7 @@ def test_random_projection_preserves_planted_neighbors(spark):
     c = proj.select(
         F.col("vec_id").alias("corpus_id"), *[F.col(f"p{j}").alias(f"c{j}") for j in range(n)]
     )
-    dot, nq, nc = _proj_cols_sql("")
+    dot, nq, nc = _proj_cols_sql()
     scored = (
         F.broadcast(q)
         .crossJoin(c)

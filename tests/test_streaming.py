@@ -1674,7 +1674,13 @@ def test_driver_fold_equals_distributed_fold(spark, tmp_path):
         # on BOTH paths; normalize the same way a real handler must
         if isinstance(cur, float) and math.isnan(cur):
             cur = 0
-        extra = None if ev["op"] == "addnull" else 1
+        # READ the nullable field back: the previous addnull must surface
+        # as NaN (not None) on the driver-fold path too — extra=2 records
+        # that this handler OBSERVED the NaN, so a None-vs-NaN divergence
+        # flips a committed value and fails the cross-mode compare
+        prev_extra = state["extra"] if state else None
+        was_null = isinstance(prev_extra, float) and math.isnan(prev_extra)
+        extra = None if ev["op"] == "addnull" else (2 if was_null else 1)
         return {"k": ev["k"], "n": int(cur) + 1, "extra": extra}
 
     batches = [
@@ -1722,7 +1728,8 @@ def test_driver_fold_equals_distributed_fold(spark, tmp_path):
     assert fast == slow, (fast, slow)
     # sanity on the content itself, not just cross-mode agreement
     acks, state, _ = fast
-    assert state["a"] == (4, 1)  # add, add, addnull(NaN->0+1? no: 3 adds + addnull)
+    # a: add, add, addnull, add — the final add SAW the NaN-null extra
+    assert state["a"] == (4, 2)
     assert "b" not in state  # deleted
     statuses = {c: s for c, s, _ in acks}
     assert statuses["c6"] == "rejected"
