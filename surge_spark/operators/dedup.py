@@ -425,6 +425,66 @@ def minhash_lsh_dedup(
     )
 
 
+def minhash_lsh_containment(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket: int | None = 5000,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """CONTAINMENT near-dup pairs over MinHash-LSH candidates: for each
+    candidate pair, containment = |A∩B| / min(|A|, |B|) — the asymmetric-
+    overlap detector Jaccard misses (a short doc fully quoted inside a
+    long one has high containment but low Jaccard; Broder's original
+    resemblance/containment distinction). Same candidate machinery as
+    minhash_lsh_dedup; verification is the one-scan O(candidates) shape
+    EXTENDED with per-side sizes from the same two-level aggregate
+    (n_a = Σ has_a, n_b = Σ has_b over the pair's shingle union — no
+    separate sizes pass, the corpus still never shuffles). Returns
+    (id_a, id_b, containment)."""
+    sig = minhash_signatures(
+        shingles(df, id_col, text_col, n, distinct=False), num_hashes, hash_fn
+    )
+    cands = lsh_candidates(sig, bands, num_hashes // bands, max_bucket)
+    sh = shingles(df, id_col, text_col, n)
+    roles = cands.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("id"), F.lit(0).alias("side")),
+                F.struct(F.col("id_b").alias("id"), F.lit(1).alias("side")),
+            )
+        ).alias("r"),
+        "id_a",
+        "id_b",
+    ).select(
+        F.col("r.id").alias("id"), "id_a", "id_b", F.col("r.side").alias("side")
+    )
+    per_shingle = (
+        roles.join(sh, "id")
+        .groupBy("id_a", "id_b", "shingle")
+        .agg(
+            F.max(F.when(F.col("side") == 0, 1).otherwise(0)).alias("_ha"),
+            F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("_hb"),
+        )
+    )
+    agg = per_shingle.groupBy("id_a", "id_b").agg(
+        F.sum("_ha").alias("n_a"),
+        F.sum("_hb").alias("n_b"),
+        F.sum(F.col("_ha") * F.col("_hb")).alias("n_common"),
+    )
+    return (
+        agg.withColumn(
+            "containment", F.col("n_common") / F.least("n_a", "n_b")
+        )
+        .where((F.col("n_common") > 0) & (F.col("containment") >= threshold))
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )
+
+
 def dedup_clusters(
     df: DataFrame, id_col: str, pairs: DataFrame, max_iterations: int = 25
 ) -> DataFrame:

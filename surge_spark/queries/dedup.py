@@ -334,6 +334,60 @@ def d_minhash_lsh_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _d_containment_md5_oracle() -> str:
+    return f"""
+    WITH {_duck_shingles(4)},
+    {_duck_minhash_md5(64)},
+    bands AS (
+      SELECT id, u.b AS band,
+             array_to_string(s[u.b * 4 + 1 : u.b * 4 + 4], ',') AS key
+      FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS b) u
+    ),
+    sized AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
+    okb AS (
+      SELECT bands.* FROM bands JOIN sized USING (band, key) WHERE c <= 5000
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM okb a JOIN okb b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    sizes AS (SELECT id, count(*) AS ns FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS nc
+      FROM cand c
+      JOIN sh x ON x.id = c.id_a
+      JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(round(i.nc / least(sa.ns, sb.ns), 6) AS DOUBLE) AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE i.nc / least(sa.ns, sb.ns) >= 0.7
+    """
+
+
+@query("d_containment_pairs_md5", oracle=_d_containment_md5_oracle())
+def d_containment_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection (Broder's resemblance vs containment
+    split): |A∩B| / min(|A|,|B|) over the same md5 MinHash-LSH candidate
+    machinery as d_minhash_lsh_neardup_md5 — catches a short document
+    quoted whole inside a long one, which Jaccard scores low. The Spark
+    side's one-scan verification derives BOTH per-side sizes from the
+    two-level aggregate itself (n_a = Σ has_a over the pair's shingle
+    union — no sizes pass, corpus never shuffles in verification); the
+    oracle computes the classical sizes-join form, so the driver checks
+    the algebraic identity along with the values."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_containment(
+        docs, "doc_id", "text", n=4, num_hashes=64, bands=16, threshold=0.7,
+        hash_fn="md5",
+    )
+
+
+
 @query("d_simhash_fingerprints")
 def d_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (rows-only: engine-specific hash —

@@ -355,3 +355,31 @@ def test_duplicate_spans_hashed_grams_identical(spark, sf_dir):
     )
     assert a.equals(b)
     assert len(a) > 0  # non-vacuous: the corpus does contain duplicated spans
+
+
+def test_containment_catches_contained_document(spark):
+    """Containment vs Jaccard: a short document quoted whole inside a
+    longer one has containment ~1.0 but Jaccard well below it — the
+    asymmetric-overlap case the containment entry exists for. (Candidate
+    recall still rides the Jaccard-tuned LSH bands, so the long doc here
+    extends the short one by ~a third — the contained fraction large
+    enough to band-collide, the standard operating range.)"""
+    long_doc = BASE + " plus an appended closing paragraph with extra words"
+    texts = [
+        BASE,        # fully contained in 1
+        long_doc,
+        "completely different words about spark query engines and shuffles",
+    ]
+    out = dd.minhash_lsh_containment(
+        _docs(spark, texts), "doc_id", "text", n=3, threshold=0.7
+    ).toPandas()
+    got = {(a, b): c for a, b, c in zip(out.id_a, out.id_b, out.containment)}
+    assert (0, 1) in got
+    assert got[(0, 1)] >= 0.99  # every shingle of 0 appears in 1
+    assert all(2 not in p for p in got)
+    # and the pair's JACCARD is meaningfully lower — the discriminating case
+    jac = dd.minhash_lsh_dedup(
+        _docs(spark, texts), "doc_id", "text", n=3, threshold=0.0
+    ).toPandas()
+    jmap = {(a, b): j for a, b, j in zip(jac.id_a, jac.id_b, jac.jaccard)}
+    assert jmap[(0, 1)] < got[(0, 1)] - 0.1
