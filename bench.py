@@ -56,6 +56,8 @@ HEADLINE = [
     "g_kcore_converged",           # fixpoint k-core, node-set convergence (new r10)
     "m_rfm_segmentation",          # chained distributed prefix-sum quartiles (new r10)
     "t_pretrain_pipeline",         # clean→dedup→quality→pack end to end (new r10)
+    "sim_random_projection_topk",  # JL-projection ANN, HOF-fold projection (new r10)
+    "m_dau_wau_mau",               # rolling distinct engagement, explode-not-range-join (new r10)
 ]
 
 N_RUNS = 3

@@ -740,3 +740,24 @@ def test_pca_outliers_rank_filter_becomes_take_ordered(spark, sf_dir):
     would sort every vector's residual through one task."""
     plan = _plan(spark, sf_dir, "sim_pca_residual_outliers")
     assert "TakeOrderedAndProject(limit=20" in plan, plan
+
+
+def test_table_stats_no_expand_anywhere(spark, sf_dir):
+    """o_table_stats: each exact NDV is its own single-distinct aggregate —
+    packing them into one agg planned an Expand that multiplied the scan
+    5x (6.6-8.0 s vs 1.0-1.7 s at sf0.1, r10 A/B). Pin Expand out of the
+    physical plan entirely."""
+    plan = _plan(spark, sf_dir, "o_table_stats")
+    assert "Expand" not in plan, plan
+
+
+def test_dau_wau_mau_no_theta_join_no_global_window(spark, sf_dir):
+    """m_dau_wau_mau: the trailing-window distinct counts come from a
+    bounded explode (sequence 0..27) + hash aggregates — never a range
+    theta join (nested-loop at scale) and never an unpartitioned window.
+    Expand is fine here (it's sequence+explode's generator, per-row
+    bounded); the join shapes are not."""
+    plan = _plan(spark, sf_dir, "m_dau_wau_mau")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
