@@ -301,6 +301,37 @@ def lsh_candidate_ids(
     return sized.where(cond).select("id").distinct()
 
 
+def _pair_shingle_presence(cands: DataFrame, sh: DataFrame) -> DataFrame:
+    """The ONE-SCAN verification core shared by the Jaccard and
+    containment entries: each candidate pair contributes a role row per
+    member; one join against the shingle stream (broadcast-able — pairs ≪
+    corpus is the LSH design assumption), then per (pair, shingle)
+    presence-per-side flags (_ha/_hb) from a two-level aggregate. Every
+    verification metric (n_union = count(*), n_common = Σ _ha·_hb,
+    n_a = Σ _ha, n_b = Σ _hb) derives from this single frame — no
+    per-doc sizes pass, the corpus never shuffles in verification."""
+    roles = cands.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("id"), F.lit(0).alias("side")),
+                F.struct(F.col("id_b").alias("id"), F.lit(1).alias("side")),
+            )
+        ).alias("r"),
+        "id_a",
+        "id_b",
+    ).select(
+        F.col("r.id").alias("id"), "id_a", "id_b", F.col("r.side").alias("side")
+    )
+    return (
+        roles.join(sh, "id")
+        .groupBy("id_a", "id_b", "shingle")
+        .agg(
+            F.max(F.when(F.col("side") == 0, 1).otherwise(0)).alias("_ha"),
+            F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("_hb"),
+        )
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str,
@@ -366,30 +397,7 @@ def minhash_lsh_dedup(
     cands = lsh_candidates(sig, bands, num_hashes // bands, max_bucket)
     sh = shingles(df, id_col, text_col, n)
     if prune_verification:
-        # one-scan verification: each pair contributes a role row per
-        # member; one join against the shingle stream (broadcast-able —
-        # pairs ≪ corpus is the LSH design assumption), then
-        # union/intersection counts from a two-level aggregate.
-        roles = cands.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("id_a").alias("id"), F.lit(0).alias("side")),
-                    F.struct(F.col("id_b").alias("id"), F.lit(1).alias("side")),
-                )
-            ).alias("r"),
-            "id_a",
-            "id_b",
-        ).select(
-            F.col("r.id").alias("id"), "id_a", "id_b", F.col("r.side").alias("side")
-        )
-        per_shingle = (
-            roles.join(sh, "id")
-            .groupBy("id_a", "id_b", "shingle")
-            .agg(
-                F.max(F.when(F.col("side") == 0, 1).otherwise(0)).alias("_ha"),
-                F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("_hb"),
-            )
-        )
+        per_shingle = _pair_shingle_presence(cands, sh)
         agg = per_shingle.groupBy("id_a", "id_b").agg(
             F.count("*").alias("n_union"),
             F.sum(F.col("_ha") * F.col("_hb")).alias("n_common"),
@@ -451,26 +459,7 @@ def minhash_lsh_containment(
     )
     cands = lsh_candidates(sig, bands, num_hashes // bands, max_bucket)
     sh = shingles(df, id_col, text_col, n)
-    roles = cands.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("id_a").alias("id"), F.lit(0).alias("side")),
-                F.struct(F.col("id_b").alias("id"), F.lit(1).alias("side")),
-            )
-        ).alias("r"),
-        "id_a",
-        "id_b",
-    ).select(
-        F.col("r.id").alias("id"), "id_a", "id_b", F.col("r.side").alias("side")
-    )
-    per_shingle = (
-        roles.join(sh, "id")
-        .groupBy("id_a", "id_b", "shingle")
-        .agg(
-            F.max(F.when(F.col("side") == 0, 1).otherwise(0)).alias("_ha"),
-            F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("_hb"),
-        )
-    )
+    per_shingle = _pair_shingle_presence(cands, sh)
     agg = per_shingle.groupBy("id_a", "id_b").agg(
         F.sum("_ha").alias("n_a"),
         F.sum("_hb").alias("n_b"),

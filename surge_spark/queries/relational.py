@@ -3869,19 +3869,20 @@ def o_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-safe; ties broken on event_id so both engines pick identical
     interval boundaries."""
     e = _t(spark, sf_dir, "events")
+    # ONE window spec for both passes — a divergent tiebreaker between the
+    # change-detect lag and the interval lead would misalign boundaries
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         e.withColumn("prev", F.lag("event_type").over(w))
         .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
         .select("user_id", "event_type", "ts", "event_id")
     )
-    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id",
         F.col("event_type").alias("attr_value"),
         F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w2).alias("valid_to"),
-        F.lead("ts").over(w2).isNull().alias("is_current"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
     )
 
 

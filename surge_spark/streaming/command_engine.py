@@ -617,7 +617,20 @@ class CommandEngine:
                         ),
                     ):
                         null_reps[f.name] = float("nan")
-                    elif isinstance(f.dataType, T.TimestampType):
+                    elif isinstance(
+                        f.dataType,
+                        # NTZ/interval are NOT TimestampType subclasses but
+                        # null them as NaT through Arrow all the same. Today
+                        # no temporal type reaches this path (_driver_structs
+                        # gates on _arrow_write_schema, which rejects them);
+                        # the mapping is here so widening that gate can never
+                        # reopen a None-vs-NaT cross-mode divergence.
+                        (
+                            T.TimestampType,
+                            T.TimestampNTZType,
+                            T.DayTimeIntervalType,
+                        ),
+                    ):
                         null_reps[f.name] = pd.NaT
                     else:
                         null_reps[f.name] = None
