@@ -719,6 +719,7 @@ def distributed_prefix_sum(
     n_shards: int = 16,
     rel_err: float = 0.001,
     out_col: str = "cum",
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """EXACT global running sum of ``value_col`` in (``order_exprs``) order
     without a single-partition window — the two-pass distributed scan:
@@ -749,8 +750,15 @@ def distributed_prefix_sum(
     distributed analog (single-node fold, PersistentActor.scala)."""
     from pyspark.sql import Window
 
-    probs = [i / n_shards for i in range(1, n_shards)]
-    bounds = sorted(set(df.stat.approxQuantile(shard_col, probs, rel_err)))
+    if bounds is None:
+        probs = [i / n_shards for i in range(1, n_shards)]
+        bounds = df.stat.approxQuantile(shard_col, probs, rel_err)
+    # caller-supplied ``bounds`` skips the quantile action entirely — a
+    # caller chaining several prefix sums over one frame (m_rfm's three
+    # rank passes) batches all its columns into ONE multi-column
+    # approxQuantile job. Exactness never depends on the boundary values
+    # (they only shape shard sizes), so any sorted numeric list is valid.
+    bounds = sorted(set(bounds))
     c = F.col(shard_col)
     if descending:
         cmp_exprs = [c < F.lit(b) for b in sorted(bounds, reverse=True)]

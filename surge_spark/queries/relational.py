@@ -3742,12 +3742,22 @@ def m_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n = rfm.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    # ONE multi-column approxQuantile action covers all three rank passes'
+    # shard boundaries (the three serial per-pass quantile jobs were the
+    # dominant fixed cost at small batch sizes; boundary values only shape
+    # shard sizes, never correctness — operators/text.py)
+    rb, fb, mb = rfm.stat.approxQuantile(
+        ["recency_days", "frequency", "monetary"],
+        [i / 16 for i in range(1, 16)],
+        0.001,
+    )
     r1 = distributed_prefix_sum(
         rfm,
         "__one",
         "recency_days",
         [F.col("recency_days").asc(), F.col("c_custkey").asc()],
         out_col="__r_rank",
+        bounds=rb,
     ).persist()
     r2 = distributed_prefix_sum(
         r1,
@@ -3756,6 +3766,7 @@ def m_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("frequency").desc(), F.col("c_custkey").asc()],
         descending=True,
         out_col="__f_rank",
+        bounds=fb,
     ).persist()
     r3 = distributed_prefix_sum(
         r2,
@@ -3764,6 +3775,7 @@ def m_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("monetary").desc(), F.col("c_custkey").asc()],
         descending=True,
         out_col="__m_rank",
+        bounds=mb,
     )
 
     def quart(rank_col: str):
