@@ -120,3 +120,60 @@ def test_jaccard_pairs_bounds_and_symmetry(spark, docs):
             if norm[i] and norm[i] == norm[j]:
                 row = out[(out.id_a == i) & (out.id_b == j)]
                 assert len(row) == 1 and row.jaccard.iloc[0] == 1.0
+
+
+# random commit histories for the batched arrow state read: a list of
+# batches, each a list of (key, op) where op None = tombstone else upsert
+_store_ops = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=99)),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(batches=_store_ops)
+@settings(**SETTINGS)
+def test_multi_point_read_matches_get_state(spark, batches, tmp_path_factory):
+    """The driver-side fold's batched arrow state read must agree with
+    get_state for EVERY key — across random upsert/tombstone histories,
+    delta chains and compactions, including never-written keys and
+    non-canonical spellings. (get_state itself is pinned equal to the
+    Spark scan elsewhere; this closes the chain for the multi-read.)"""
+    from surge_spark.streaming.snapshot_store import SnapshotStore
+
+    root = tmp_path_factory.mktemp("mpr")
+    store = SnapshotStore(
+        str(root / "s"), key_col="k", num_buckets=4, delta_commits=3
+    )
+    for i, batch in enumerate(batches):
+        ups: dict[str, int] = {}
+        dels: set[str] = set()
+        for key_i, val in batch:
+            k = f"k{key_i}"
+            if val is None:
+                dels.add(k)
+                ups.pop(k, None)
+            else:
+                ups[k] = val
+                dels.discard(k)
+        store.commit(
+            None,
+            spark.createDataFrame(
+                sorted(ups.items()) or [], "k string, n long"
+            ),
+            f"b{i}",
+            delete_keys=sorted(dels) or None,
+            updates_unique=True,
+        )
+    m = store._manifest(store.latest_version())
+    probes = [f"k{i}" for i in range(10)] + ["never-written", "05"]
+    got = store._multi_point_read_arrow(m, probes)
+    for k in probes:
+        assert got[k] == store.get_state(spark, k), k
