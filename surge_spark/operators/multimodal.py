@@ -5,12 +5,14 @@ The Spark-side contract is real and tested — schema, partition sizing, UDF
 signature, batch shape. Decode is REAL for the formats the standard
 library can parse — BMP (24-bit) and PPM (P6) via struct + numpy, PNG
 (8-bit grey/RGB/RGBA non-interlaced: zlib inflate + the five filter
-reconstructions), WAV audio via the ``wave`` module — and gated for
-everything else (this container has no imaging/audio codecs):
-``decode_image`` raises NotImplementedError for JPEG/exotic-PNG unless
-Pillow is importable, and ``extract_features`` falls back to a
-deterministic fake decoder for payloads it cannot sniff, so pipelines stay
-end-to-end testable on any input.
+reconstructions), baseline JPEG (full marker/Huffman/IDCT decode in
+operators.jpeg — no codec library), WAV audio via the ``wave`` module —
+and gated for everything else (this container has no imaging/audio
+codecs): ``decode_image`` raises NotImplementedError for
+progressive/arithmetic JPEG and exotic-PNG unless Pillow is importable,
+and ``extract_features`` falls back to a deterministic fake decoder for
+payloads it cannot sniff, so pipelines stay end-to-end testable on any
+input.
 
 At 100 TB: binary payloads dominate row size, so feature extraction runs
 mapInPandas (no shuffle) and downstream analytics select only the small
@@ -229,17 +231,23 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
 def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode an image payload to (width, height, HxWx3 uint8 RGB).
 
-    Real stdlib decode for BMP (24-bit), PPM (P6), and PNG (8-bit
-    grey/RGB/RGBA, non-interlaced — PNG's pixel stream is zlib DEFLATE,
-    parseable with zlib+struct+numpy alone). JPEG and the exotic PNG
-    variants need a codec library this container lacks — gated honestly
-    behind the Pillow import."""
+    Real stdlib decode for BMP (24-bit), PPM (P6), PNG (8-bit
+    grey/RGB/RGBA, non-interlaced — zlib DEFLATE + struct + numpy) and
+    baseline JPEG (sequential Huffman, SOF0/SOF1 — full marker/Huffman/
+    IDCT decode in operators.jpeg, no codec library). Progressive/
+    arithmetic JPEG and the exotic PNG variants still need a codec
+    library this container lacks — gated honestly behind the Pillow
+    import."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     try:
         import PIL.Image  # noqa: F401  (not installed here; gate, don't assume)
     except ImportError as e:

@@ -173,9 +173,10 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract pipeline over mapInPandas. The
     decode stage is REAL for every stdlib-parseable format — BMP 24-bit,
-    PPM P6, PNG 8-bit grey/RGB/RGBA, WAV PCM (operators.multimodal,
-    constructed-bytes tests) — with a deterministic fake fallback for
-    formats needing a codec library (JPEG). THIS entry's payloads are
+    PPM P6, PNG 8-bit grey/RGB/RGBA, baseline JPEG (operators.jpeg,
+    r10), WAV PCM (constructed-bytes tests) — with a deterministic fake
+    fallback for formats needing a codec library (progressive/arithmetic
+    JPEG, video). THIS entry's payloads are
     ASCII text, so they exercise the fallback path end to end; the real
     decoders are value-tested in tests/test_multimodal.py. Rows-only
     check (feature floats depend on the sniffing branch)."""

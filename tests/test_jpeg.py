@@ -1,0 +1,307 @@
+"""Baseline JPEG decoder (operators/jpeg.py): constructed-bytes tests.
+
+The tests carry their own MINIMAL baseline encoder — custom canonical
+Huffman tables written into DHT (the decoder must read tables from the
+file, so no Annex K constants are needed on either side), all-ones
+quantization so decode error is pure FDCT/IDCT rounding, FF byte
+stuffing, restart markers, and 4:2:0 subsampling for the color case.
+Pins: grayscale exactness within rounding, restart-marker handling,
+chroma upsample + YCbCr→RGB, progressive rejection, and the
+decode_image/extract_features dispatch."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from surge_spark.operators.jpeg import _M, decode_jpeg
+
+# -- minimal encoder ----------------------------------------------------------
+
+# canonical tables covering every symbol we might emit: DC categories
+# 0..11 all at code length 4; AC run/size bytes all at length 8 (162
+# symbols fit in 256 codes)
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = list(range(12))
+_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_BITS = [0] * 7 + [len(_AC_VALS)] + [0] * 8
+
+
+def _canonical_codes(bits, vals):
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_DC_CODES = _canonical_codes(_DC_BITS, _DC_VALS)
+_AC_CODES = _canonical_codes(_AC_BITS, _AC_VALS)
+
+from surge_spark.operators.jpeg import ZIGZAG  # noqa: E402
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _fdct_block(pix):
+    """Forward DCT of one 8x8 spatial block (0-255): F = M X M^T, the
+    exact inverse pair of the decoder's M^T F M."""
+    return _M @ (pix.astype(np.float64) - 128.0) @ _M.T
+
+
+def _cat(v):
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(bw, coeffs, pred):
+    zz = np.round(coeffs.reshape(64)[ZIGZAG]).astype(int)
+    dc = int(zz[0])
+    diff = dc - pred
+    t = _cat(diff)
+    ln, code = _DC_CODES[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    k = 1
+    run = 0
+    last_nz = max([i for i in range(1, 64) if zz[i]] or [0])
+    while k <= last_nz:
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            k += 1
+            continue
+        while run > 15:
+            ln, code = _AC_CODES[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = _cat(v)
+        ln, code = _AC_CODES[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+        k += 1
+    if last_nz < 63:
+        ln, code = _AC_CODES[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dht(tc, th, bits, vals):
+    return _seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
+
+
+def _dqt_ones(tq):
+    return _seg(0xDB, bytes([tq]) + bytes([1] * 64))
+
+
+def _encode_gray(img, restart_interval=0):
+    h, w = img.shape
+    assert h % 8 == 0 and w % 8 == 0
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_ones(0)
+    out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _dht(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht(1, 0, _AC_BITS, _AC_VALS)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    pred = 0
+    mcu = 0
+    bw = _BitWriter()
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                out += bw.flush()
+                out += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+                bw = _BitWriter()
+                pred = 0
+            pred = _encode_block(
+                bw, _fdct_block(img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]),
+                pred,
+            )
+            mcu += 1
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_420(rgb):
+    """16x16 RGB -> baseline 4:2:0 YCbCr JPEG (one MCU: 4 Y + Cb + Cr).
+    Returns (bytes, y_plane, cb_sub, cr_sub) so tests can compare against
+    the exact planes that were encoded."""
+    h, w, _ = rgb.shape
+    assert (h, w) == (16, 16)
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    cb_s = cb.reshape(8, 2, 8, 2).mean(axis=(1, 3))
+    cr_s = cr.reshape(8, 2, 8, 2).mean(axis=(1, 3))
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_ones(0) + _dqt_ones(1)
+    out += _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for th in (0, 1):
+        out += _dht(0, th, _DC_BITS, _DC_VALS)
+        out += _dht(1, th, _AC_BITS, _AC_VALS)
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    bw = _BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for by in range(2):  # 4 Y blocks in raster order
+        for bx in range(2):
+            preds[1] = _encode_block(
+                bw, _fdct_block(y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]),
+                preds[1],
+            )
+    preds[2] = _encode_block(bw, _fdct_block(cb_s), preds[2])
+    preds[3] = _encode_block(bw, _fdct_block(cr_s), preds[3])
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out), y, cb_s, cr_s
+
+
+# -- tests --------------------------------------------------------------------
+
+
+def _gradient(h, w, seed=3):
+    rng = np.random.RandomState(seed)
+    base = np.add.outer(np.linspace(0, 200, h), np.linspace(0, 55, w))
+    return np.clip(base + rng.randint(0, 20, (h, w)), 0, 255).astype(np.uint8)
+
+
+def test_gray_roundtrip_within_rounding():
+    img = _gradient(16, 24)
+    w, h, rgb = decode_jpeg(_encode_gray(img))
+    assert (w, h) == (24, 16)
+    assert rgb.shape == (16, 24, 3)
+    err = np.abs(rgb[..., 0].astype(int) - img.astype(int))
+    # all-ones quant: error is FDCT coefficient rounding only
+    assert err.max() <= 2, err.max()
+    assert np.array_equal(rgb[..., 0], rgb[..., 1])
+
+
+def test_restart_markers_reset_predictors():
+    img = _gradient(8, 48, seed=9)
+    payload = _encode_gray(img, restart_interval=2)
+    assert b"\xff\xd0" in payload  # RST0 present
+    w, h, rgb = decode_jpeg(payload)
+    assert (w, h) == (48, 8)
+    err = np.abs(rgb[..., 0].astype(int) - img.astype(int))
+    assert err.max() <= 2, err.max()
+
+
+def test_color_420_upsample_and_ycbcr():
+    rng = np.random.RandomState(5)
+    rgb_src = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    payload, y, cb_s, cr_s = _encode_420(rgb_src)
+    w, h, rgb = decode_jpeg(payload)
+    assert (w, h) == (16, 16)
+    # reference: what a replicate-upsampling decoder of the EXACT encoded
+    # planes should produce (the JPEG pipeline's own loss stays out of the
+    # comparison; only the decoder's rounding remains)
+    cb_f = np.repeat(np.repeat(cb_s, 2, axis=0), 2, axis=1) - 128.0
+    cr_f = np.repeat(np.repeat(cr_s, 2, axis=0), 2, axis=1) - 128.0
+    ref_r = np.clip(np.round(y + 1.402 * cr_f), 0, 255)
+    ref_g = np.clip(np.round(y - 0.344136 * cb_f - 0.714136 * cr_f), 0, 255)
+    ref_b = np.clip(np.round(y + 1.772 * cb_f), 0, 255)
+    for ch, ref in zip(range(3), (ref_r, ref_g, ref_b)):
+        err = np.abs(rgb[..., ch].astype(float) - ref)
+        assert err.max() <= 4, (ch, err.max())
+
+
+def test_progressive_rejected_with_clear_error():
+    img = _gradient(8, 8)
+    payload = bytearray(_encode_gray(img))
+    # flip SOF0 (0xC0) to SOF2 (progressive)
+    idx = payload.index(bytes([0xFF, 0xC0]))
+    payload[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(payload))
+
+
+def test_truncated_stream_raises_value_error():
+    img = _gradient(8, 8)
+    payload = _encode_gray(img)
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[: len(payload) // 2])
+
+
+def test_decode_image_dispatches_jpeg():
+    from surge_spark.operators.multimodal import decode_image
+
+    img = _gradient(8, 16)
+    w, h, rgb = decode_image(_encode_gray(img))
+    assert (w, h) == (16, 8)
+    assert np.abs(rgb[..., 0].astype(int) - img.astype(int)).max() <= 2
+
+
+def test_extract_features_uses_real_jpeg_pixels(spark):
+    """A JPEG payload through the mapInPandas feature extractor must yield
+    REAL dimensions and pixel statistics, not the fake-decode fallback."""
+    import pandas as pd
+
+    from surge_spark.operators.multimodal import extract_features
+
+    img = np.full((8, 8), 200, dtype=np.uint8)
+    payload = _encode_gray(img)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1],
+                "payload": [bytearray(payload)],
+                "mime": ["image/jpeg"],
+            }
+        )
+    )
+    row = extract_features(df, "id").collect()[0]
+    assert (row.width, row.height) == (8, 8)
+    # constant-200 image: mean/min/max all ~200/255
+    feats = list(row.feat)
+    assert abs(feats[3] - 200 / 255) < 0.02
+    assert abs(feats[5] - feats[4]) < 0.03  # max-min tiny for a flat image

@@ -192,8 +192,11 @@ def test_non_stdlib_format_falls_back_to_fake(spark):
     )
     out = mm.extract_features(df).toPandas().sort_values("id")
     assert list(out.n_bytes) == [40, 40]  # fake path ran for both
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(jpeg_ish)  # codec-library gate
+    # since r10's real baseline decoder, a structurally invalid JPEG is a
+    # ValueError (corrupt stream) — the NotImplementedError codec gate now
+    # applies to the genuinely unimplemented frames (progressive etc.)
+    with pytest.raises(ValueError):
+        mm.decode_image(jpeg_ish)
     with pytest.raises(ValueError):
         mm.decode_image(corrupt_png)  # structurally invalid PNG
 
