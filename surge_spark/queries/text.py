@@ -243,7 +243,12 @@ def mm_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled frame (1 ms per byte in the fake demuxer, one frame per second)
     inside mapInPandas — the payload never shuffles, frames do. Frame bytes
     are deterministic payload slices, so the fan-out count, timestamps, and
-    frame content all have a SQL oracle (md5 over the same ASCII bytes)."""
+    frame content all have a SQL oracle (md5 over the same ASCII bytes).
+    Since r10 the OPERATOR demuxes real MP4 payloads via the stdlib
+    ISO-BMFF parser (operators/mp4.py — true sample byte ranges,
+    timestamps, keyframe flags; constructed-container tests); THIS entry's
+    ASCII payloads deliberately keep the fake path so its oracle stays a
+    pure function of the bytes."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
     with_bin = mm.to_binary_payload(docs, "doc_id", "text", mime="video/fake")
     out = mm.sample_frames(with_bin, every_ms=1000, id_col="doc_id")

@@ -440,3 +440,116 @@ def test_zero_dimension_headers_route_to_fallback(spark):
     bin_df = to_binary_payload(rows, "id", "content", mime="image/bad")
     out = resize_images(bin_df, max_side=64).collect()
     assert len(out) == 3  # no task death, 1:1 row contract held
+
+
+# -- real ISO-BMFF demux (operators/mp4.py) -----------------------------------
+
+
+def _box(fourcc: bytes, body: bytes) -> bytes:
+    import struct as _s
+
+    return _s.pack(">I", len(body) + 8) + fourcc + body
+
+
+def _full(fourcc: bytes, body: bytes, version=0, flags=0) -> bytes:
+    import struct as _s
+
+    return _box(fourcc, _s.pack(">B3s", version, flags.to_bytes(3, "big")) + body)
+
+
+def _make_mp4(frames: list[bytes], timescale=1000, delta=500, syncs=(1,)):
+    """Minimal unfragmented MP4: one video track, one chunk holding every
+    sample back-to-back in mdat, 2 fps at the default delta."""
+    import struct as _s
+
+    n = len(frames)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_payload = b"".join(frames)
+    # moov is assembled twice: first pass with offset 0 to learn its size,
+    # then with the real mdat payload offset
+    def moov_bytes(chunk_off: int) -> bytes:
+        stsd = _full(b"stsd", _s.pack(">I", 1) + _box(b"avc1", b"\x00" * 78))
+        stts = _full(b"stts", _s.pack(">III", 1, n, delta))
+        stss = _full(
+            b"stss", _s.pack(">I", len(syncs)) + b"".join(_s.pack(">I", s) for s in syncs)
+        )
+        stsc = _full(b"stsc", _s.pack(">IIII", 1, 1, n, 1))
+        stsz = _full(
+            b"stsz",
+            _s.pack(">II", 0, n) + b"".join(_s.pack(">I", len(f)) for f in frames),
+        )
+        stco = _full(b"stco", _s.pack(">II", 1, chunk_off))
+        stbl = _box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
+        minf = _box(b"minf", stbl)
+        hdlr = _full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12)
+        mdhd = _full(
+            b"mdhd", _s.pack(">IIIIHH", 0, 0, timescale, n * delta, 0x55C4, 0)
+        )
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", mdia)
+        return _box(b"moov", trak)
+
+    moov_size = len(moov_bytes(0))
+    chunk_off = len(ftyp) + moov_size + 8  # mdat body start
+    moov = moov_bytes(chunk_off)
+    mdat = _box(b"mdat", mdat_payload)
+    return ftyp + moov + mdat
+
+
+def test_mp4_demux_sample_table():
+    from surge_spark.operators.mp4 import parse_mp4
+
+    frames = [b"FRAME-%02d-" % i + bytes([i]) * (10 + i) for i in range(4)]
+    payload = _make_mp4(frames, timescale=1000, delta=500, syncs=(1, 3))
+    info = parse_mp4(payload)
+    assert info["codec"] == "avc1"
+    assert info["timescale"] == 1000
+    assert info["duration_ms"] == 2000.0
+    assert len(info["samples"]) == 4
+    for i, (off, size, ts_ms, is_sync) in enumerate(info["samples"]):
+        assert payload[off : off + size] == frames[i], i  # TRUE byte ranges
+        assert ts_ms == i * 500.0
+        assert is_sync == (i + 1 in (1, 3))
+
+
+def test_mp4_demux_rejects_fragmented_and_corrupt():
+    import pytest as _pytest
+
+    from surge_spark.operators.mp4 import parse_mp4
+
+    frames = [b"x" * 8]
+    good = _make_mp4(frames)
+    with _pytest.raises(NotImplementedError, match="fragmented"):
+        parse_mp4(good + _box(b"moof", b""))
+    with _pytest.raises(ValueError):
+        parse_mp4(b"\x00\x00\x00\x08ftyp")  # no moov
+    with _pytest.raises(ValueError):
+        parse_mp4(b"not an mp4 at all......")
+
+
+def test_sample_frames_real_mp4_demux(spark):
+    """An MP4 payload through sample_frames yields the TRUE coded sample
+    bytes at each grid timestamp (2 fps content sampled at 1 fps picks
+    every second frame); non-MP4 payloads keep the fake-slice path in the
+    same batch."""
+    frames = [b"FRM%d" % i + bytes(range(16)) for i in range(4)]
+    mp4 = _make_mp4(frames, timescale=1000, delta=500)  # 2 fps, 2 s total
+    fake = b"A" * 2500  # fake path: 2.5 s, 16-byte slices
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2],
+                "payload": [bytearray(mp4), bytearray(fake)],
+                "mime": ["video/mp4", "video/fake"],
+            }
+        )
+    )
+    out = mm.sample_frames(df, every_ms=1000).toPandas()
+    real = out[out.id == 1].sort_values("frame_index")
+    assert list(real.ts_ms) == [0, 1000]
+    # ts=0 -> sample 0; ts=1000 -> the last sample at-or-before 1000 ms = #2
+    assert bytes(real.iloc[0].frame) == frames[0]
+    assert bytes(real.iloc[1].frame) == frames[2]
+    fake_rows = out[out.id == 2]
+    assert len(fake_rows) == 3  # 0/1000/2000 ms from the fake duration
+    assert all(len(bytes(f)) == 16 for f in fake_rows.frame)
