@@ -156,7 +156,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     exception type would poison the whole Arrow batch)."""
     try:
         return _decode_jpeg_inner(payload)
-    except (IndexError, struct.error) as e:
+    except (IndexError, struct.error, KeyError, ZeroDivisionError) as e:
+        # KeyError: scan references a Huffman/quant table id never
+        # declared; ZeroDivisionError: sampling byte 0x00 -> hmax/vmax 0.
+        # All are malformed-stream shapes, not missing capabilities.
         raise ValueError(f"corrupt/truncated JPEG: {type(e).__name__}") from e
 
 
@@ -233,10 +236,27 @@ def _decode_jpeg_inner(payload: bytes) -> tuple[int, int, np.ndarray]:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns != len(frame[2]):
+                # T.81 allows baseline images split into several
+                # non-interleaved scans; this decoder handles the (near-
+                # universal) single-interleaved-scan form only
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline JPEG unsupported"
+                )
             scan_tables = {}
             for c in range(ns):
                 cs, tt = seg[1 + c * 2], seg[2 + c * 2]
                 scan_tables[cs] = (tt >> 4, tt & 0x0F)
+            if len(frame[2]) == 1:
+                # T.81 A.2.2: a single-component scan is NON-interleaved —
+                # the MCU is one data unit in the component's own raster
+                # order and the declared sampling factors are ignored.
+                # Grayscale files from color encoders routinely keep
+                # samp=0x22 on their only component; interleaved geometry
+                # would decode them to a silently block-permuted image.
+                # Normalized HERE so scan decode and upsample agree.
+                cid0, _hh, _vv, tq0 = frame[2][0]
+                frame = (frame[0], frame[1], [(cid0, 1, 1, tq0)])
             planes = _decode_scan(
                 payload[i:], frame, scan_tables, qtables, huff_dc, huff_ac,
                 restart_interval,

@@ -110,14 +110,25 @@ def parse_mp4(payload: bytes) -> dict:
     if sd is not None and len(sd) >= 16:
         codec = sd[12:16].decode("latin-1")
 
+    # decompression-bomb guard: every declared count is untrusted 32-bit
+    # input, and the parser materializes per-sample lists — a ~100-byte
+    # payload declaring 2^32 samples must be rejected as corrupt, not
+    # allocated. A real MP4's sample tables cost bytes per sample (stsz
+    # entries, mdat content), so payload size bounds any plausible count.
+    max_samples = max(len(payload), 64)
+
     # stts: run-length (count, delta) -> per-sample decode times
     st = body(b"stts")
     if st is None:
         raise ValueError("MP4 track has no stts")
     (n_runs,) = struct.unpack(">I", st[4:8])
+    if n_runs > max_samples:
+        raise ValueError("implausible MP4 stts run count")
     deltas: list[int] = []
     for r in range(n_runs):
         cnt, delta = struct.unpack(">II", st[8 + r * 8 : 16 + r * 8])
+        if cnt > max_samples or len(deltas) + cnt > max_samples:
+            raise ValueError("implausible MP4 stts sample count")
         deltas.extend([delta] * cnt)
 
     # stsz: uniform or per-sample sizes
@@ -125,6 +136,8 @@ def parse_mp4(payload: bytes) -> dict:
     if sz is None:
         raise ValueError("MP4 track has no stsz")
     uniform, n_samples = struct.unpack(">II", sz[4:12])
+    if n_samples > max_samples:
+        raise ValueError("implausible MP4 sample count")
     if uniform:
         sizes = [uniform] * n_samples
     else:

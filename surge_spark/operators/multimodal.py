@@ -505,7 +505,15 @@ def sample_frames(
         def mp4_rows(rid, payload: bytes) -> list[dict] | None:
             try:
                 info = parse_mp4(payload)
-            except (ValueError, NotImplementedError, struct.error):
+            except (
+                ValueError,
+                NotImplementedError,
+                struct.error,
+                IndexError,
+                KeyError,
+            ):
+                # any malformed-container shape routes to the fake path —
+                # the pipeline must never die on an unparseable payload
                 return None
             samples = info["samples"]
             if not samples:
@@ -514,7 +522,13 @@ def sample_frames(
             si = 0
             i = 0
             ts = 0.0
-            while ts < max(info["duration_ms"], 1.0):
+            # bound the fan-out: a corrupt-but-parseable header declaring
+            # an absurd duration (timescale 1, huge deltas) must not emit
+            # billions of grid rows. A legitimate sparse-frame video still
+            # gets generous headroom; beyond it, later grid points only
+            # repeat the final sample anyway.
+            max_rows = max(64, 8 * len(samples))
+            while ts < max(info["duration_ms"], 1.0) and i < max_rows:
                 while (
                     si + 1 < len(samples) and samples[si + 1][2] <= ts
                 ):

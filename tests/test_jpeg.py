@@ -305,3 +305,58 @@ def test_extract_features_uses_real_jpeg_pixels(spark):
     feats = list(row.feat)
     assert abs(feats[3] - 200 / 255) < 0.02
     assert abs(feats[5] - feats[4]) < 0.03  # max-min tiny for a flat image
+
+
+def test_undeclared_table_and_zero_sampling_are_value_errors():
+    """Malformed-but-magic-valid streams must raise ValueError (the
+    fallback contract), never KeyError/ZeroDivisionError escaping the
+    mapInPandas batch."""
+    img = _gradient(8, 8)
+    payload = bytearray(_encode_gray(img))
+    # point the scan at Huffman table 3 (never declared)
+    sos = payload.index(bytes([0xFF, 0xDA]))
+    payload[sos + 6] = 0x33
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))
+    # sampling byte 0x00 on EVERY component of a color SOF -> hmax 0
+    # (single-component frames normalize sampling away, so the zero-div
+    # shape only exists for interleaved multi-component scans)
+    rng = np.random.RandomState(4)
+    color, *_ = _encode_420(rng.randint(0, 256, (16, 16, 3)).astype(np.uint8))
+    payload2 = bytearray(color)
+    sof = payload2.index(bytes([0xFF, 0xC0]))
+    for ci in range(3):
+        payload2[sof + 11 + ci * 3] = 0x00
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload2))
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2.2: a grayscale JPEG whose only component declares
+    samp=0x22 (common leftover from color encoders) must decode in the
+    component's own raster order — identical pixels to the 0x11 file,
+    never a silently block-permuted image."""
+    img = _gradient(16, 32, seed=11)
+    plain = _encode_gray(img)
+    tweaked = bytearray(plain)
+    sof = tweaked.index(bytes([0xFF, 0xC0]))
+    assert tweaked[sof + 11] == 0x11
+    tweaked[sof + 11] = 0x22
+    w1, h1, rgb1 = decode_jpeg(plain)
+    w2, h2, rgb2 = decode_jpeg(bytes(tweaked))
+    assert (w1, h1) == (w2, h2) == (32, 16)
+    assert np.array_equal(rgb1, rgb2)
+
+
+def test_multi_scan_baseline_rejected_not_scrambled():
+    """A 3-component frame whose SOS lists one component (non-interleaved
+    multi-scan baseline) is out of scope — it must reject loudly, not
+    decode the first scan as the whole image."""
+    rng = np.random.RandomState(2)
+    payload, *_ = _encode_420(rng.randint(0, 256, (16, 16, 3)).astype(np.uint8))
+    b = bytearray(payload)
+    sos = b.index(bytes([0xFF, 0xDA]))
+    # rewrite the SOS header to a single-component scan (len 8: Ns=1)
+    b[sos + 2 : sos + 12] = struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_jpeg(bytes(b))

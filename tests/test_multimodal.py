@@ -553,3 +553,46 @@ def test_sample_frames_real_mp4_demux(spark):
     fake_rows = out[out.id == 2]
     assert len(fake_rows) == 3  # 0/1000/2000 ms from the fake duration
     assert all(len(bytes(f)) == 16 for f in fake_rows.frame)
+
+
+def test_mp4_bomb_counts_rejected_and_routed_to_fake(spark):
+    """Untrusted 32-bit sample counts must not allocate: an stts run
+    declaring 2^31 samples in a 200-byte payload raises ValueError in the
+    parser, and sample_frames routes the payload to the fake path instead
+    of dying."""
+    import struct as _s
+
+    import pytest as _pytest
+
+    from surge_spark.operators.mp4 import parse_mp4
+
+    frames = [b"x" * 8, b"y" * 8]
+    good = bytearray(_make_mp4(frames))
+    # corrupt the stts run count to 2^31
+    stts_at = bytes(good).index(b"stts")
+    # stts body: ver/flags(+4), entry_count(+8), first run count(+12)
+    good[stts_at + 12 : stts_at + 16] = _s.pack(">I", 2**31)
+    bomb = bytes(good)
+    with _pytest.raises(ValueError, match="implausible"):
+        parse_mp4(bomb)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": [1], "payload": [bytearray(bomb)], "mime": ["video/mp4"]}
+        )
+    )
+    out = mm.sample_frames(df, every_ms=1000).toPandas()
+    assert len(out) >= 1  # fake path ran; task did not die
+    assert all(len(bytes(f)) <= 16 for f in out.frame)
+
+
+def test_mp4_absurd_duration_bounded_fan_out(spark):
+    """A parseable header with timescale 1 (duration seconds become
+    milliseconds x1000) must not fan out unboundedly: the grid is capped
+    relative to the real sample count."""
+    frames = [b"a" * 8, b"b" * 8]
+    mp4 = _make_mp4(frames, timescale=1, delta=3600)  # claims ~2h video
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "payload": [bytearray(mp4)], "mime": ["video/mp4"]})
+    )
+    out = mm.sample_frames(df, every_ms=1000).toPandas()
+    assert 1 <= len(out) <= 8 * len(frames) + 64
