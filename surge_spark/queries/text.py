@@ -186,6 +186,68 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_ppm_real_decode",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, substring(text, 1, 18) AS s
+      FROM documents
+      WHERE doc_id < 200 AND regexp_matches(text, '^[ -~]{18}')
+    ),
+    bytes AS (
+      SELECT doc_id, t.i, ascii(substring(s, CAST(t.i AS INT), 1)) AS b
+      FROM base, LATERAL (SELECT unnest(range(1, 19)) AS i) t
+    )
+    SELECT doc_id, CAST(3 AS INT) AS width, CAST(2 AS INT) AS height,
+           CAST(sum(CASE WHEN (i - 1) % 3 = 0 THEN b END) AS BIGINT) AS r_sum,
+           CAST(sum(CASE WHEN (i - 1) % 3 = 1 THEN b END) AS BIGINT) AS g_sum,
+           CAST(sum(CASE WHEN (i - 1) % 3 = 2 THEN b END) AS BIGINT) AS b_sum,
+           CAST(sum(b) AS BIGINT) AS total_sum,
+           CAST(min(b) AS BIGINT) AS min_b,
+           CAST(max(b) AS BIGINT) AS max_b
+    FROM bytes GROUP BY doc_id
+    """,
+)
+def mm_ppm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image-decode path under a FULL value oracle: each doc's
+    first 18 printable-ASCII characters become the pixel bytes of a valid
+    3x2 P6 PPM (header concat + utf-8 encode — plain column functions, no
+    UDF), flow through the actual mapInPandas decode
+    (operators.multimodal._decode_ppm -> real pixel statistics), and come
+    back out as EXACT integer channel sums (feat[i] * 6*255 etc. — the
+    float32 feature storage is ~1e-4 off an integer at worst, far inside
+    round()'s safety), which DuckDB recomputes directly from the same
+    ascii codes. mm_feature_extract stays the fake-fallback rows-only
+    twin; THIS entry is the decode pipeline's value check. The printable-
+    ASCII filter makes chars == bytes on both engines."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 200)
+        .where(F.col("text").rlike("^[ -~]{18}"))
+    )
+    payload = F.concat(
+        F.lit(b"P6\n3 2\n255\n"), F.encode(F.substring("text", 1, 18), "utf-8")
+    )
+    with_bin = docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+    )
+    out = mm.extract_features(with_bin, id_col="doc_id")
+    f = lambda i: F.element_at("feat", i).cast("double")  # noqa: E731
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.round(f(1) * 6 * 255).cast("long").alias("r_sum"),
+        F.round(f(2) * 6 * 255).cast("long").alias("g_sum"),
+        F.round(f(3) * 6 * 255).cast("long").alias("b_sum"),
+        F.round(f(4) * 18 * 255).cast("long").alias("total_sum"),
+        F.round(f(5) * 255).cast("long").alias("min_b"),
+        F.round(f(6) * 255).cast("long").alias("max_b"),
+    )
+
+
+@query(
     "mm_resize",
     oracle="""
     WITH dims AS (
