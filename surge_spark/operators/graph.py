@@ -101,6 +101,7 @@ def kcore_converged(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 30,
+    bipartite: bool = False,
 ) -> tuple[DataFrame, int]:
     """Peel the graph to its k-core fixpoint; returns ``(final_edges,
     rounds)`` where ``rounds`` is the number of NODE-SET-changing peels —
@@ -126,6 +127,26 @@ def kcore_converged(
     re-evaluates every prior round ~3x — the measured 5.4 s vs 1.7-2.8 s
     A/B on the 2-round entry) so round N's plan never re-derives round 0.
     One driver action (the node count) per round; no collect of data.
+
+    ``bipartite=True`` declares the two endpoint columns draw from
+    DISJOINT key spaces (the order-part style — catalog entries prefix
+    ids with "o"/"p" to guarantee it). That assumption buys a 2x-per-
+    round plan: per-node degree is ONE union-all + groupBy aggregate
+    (each node appears on exactly one side, so its appearance count IS
+    its side degree), the surviving-node set is checkpointed once and
+    reused by BOTH the convergence probe and the two semi-joins (the
+    default path re-derives each keep aggregate in the probe AND again
+    in the peel evaluation, plus pays a union-distinct shuffle for the
+    probe), the probe count needs no distinct — groupBy output is
+    already one row per node — and both semi-joins BROADCAST the keep
+    set, so the edge frame never shuffles during the peel. Measured at
+    sf0.1 (interleaved back-to-back, same session): old 7.8/6.1 s vs
+    new 6.2/5.6/5.1 s on the 3-round loop — ~15-20% here, but the
+    structural win is the shuffle count: per round the edge set is
+    hashed once (degree aggregate) instead of three times (two keep
+    aggregates + union-distinct probe) and exchanged zero times in the
+    join. The default path stays for pre-symmetrized edge lists, where
+    appearance count would be 2x the true degree.
     """
     cur = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     cur = cur.persist()
@@ -137,18 +158,38 @@ def kcore_converged(
     )
     rounds = 0
     for _ in range(max_rounds):
-        keep_src = (
-            cur.groupBy("src").count().where(F.col("count") >= k).select("src")
-        )
-        keep_dst = (
-            cur.groupBy("dst").count().where(F.col("count") >= k).select("dst")
-        )
-        n_keep = (
-            keep_src.select(F.col("src").alias("n"))
-            .unionAll(keep_dst.select(F.col("dst").alias("n")))
-            .distinct()
-            .count()
-        )
+        if bipartite:
+            keep = (
+                cur.select(F.col("src").alias("n"))
+                .unionAll(cur.select(F.col("dst").alias("n")))
+                .groupBy("n")
+                .count()
+                .where(F.col("count") >= k)
+                .select("n")
+                .localCheckpoint(eager=False)
+            )
+            n_keep = keep.count()
+            # the keep set is node-sized (<< edges) and already
+            # materialized — broadcast both semi-joins so the edge set
+            # never shuffles during the peel (at 100 TB the surviving-node
+            # set of a k-core is the small side by construction; if it
+            # ever weren't, AQE's size check would refuse the hint's
+            # runtime build and fall back to shuffle)
+            keep_src = F.broadcast(keep.select(F.col("n").alias("src")))
+            keep_dst = F.broadcast(keep.select(F.col("n").alias("dst")))
+        else:
+            keep_src = (
+                cur.groupBy("src").count().where(F.col("count") >= k).select("src")
+            )
+            keep_dst = (
+                cur.groupBy("dst").count().where(F.col("count") >= k).select("dst")
+            )
+            n_keep = (
+                keep_src.select(F.col("src").alias("n"))
+                .unionAll(keep_dst.select(F.col("dst").alias("n")))
+                .distinct()
+                .count()
+            )
         if n_keep == n_nodes:
             break
         rounds += 1

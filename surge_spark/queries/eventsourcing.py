@@ -838,3 +838,102 @@ def m_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
     return dau.join(trailing(7, "wau"), "day").join(trailing(28, "mau"), "day")
+
+
+@query(
+    "m_event_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS t1,
+             lag(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT concat_ws('>', t2, t1, event_type) AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE t2 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 25
+    """,
+)
+def m_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 event-type trigram paths across all per-user sequences —
+    the order-3 extension of m_event_transition_matrix and the shape
+    behind clickstream path mining / funnel discovery. Two lags over ONE
+    per-user window (a single WindowExec pass — Spark evaluates both lag
+    frames in the same partitioned sort), a partial+final count on the
+    path string, and a TakeOrderedAndProject(25) global top-k (never a
+    full sort). Ties broken by path text so the limit is deterministic
+    on both engines."""
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+    ).where(F.col("t2").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "t2", "t1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(25)
+    )
+
+
+@query(
+    "w_activity_streaks",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d
+                 ) AS INTEGER) AS anchor
+      FROM du
+    ),
+    streaks AS (
+      SELECT user_id, anchor, count(*) AS len
+      FROM isl GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak
+    FROM streaks GROUP BY user_id
+    """,
+)
+def w_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streaks (total
+    active days, number of islands, longest streak) — the classic
+    date-minus-row_number anchor trick, the engagement-streak metric
+    every product dashboard carries. The window is PARTITIONED by user
+    over the per-user distinct-DAY stream (bounded at days-per-user
+    rows, not events), so no unpartitioned WindowExec and no event-row
+    sort; everything downstream is two partial+final aggregates on
+    (user, anchor) then (user). row_number ties are impossible post-
+    distinct, making the anchor — and the whole output — deterministic
+    on both engines."""
+    e = _events(spark, sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    du = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    isl = du.select(
+        "user_id", F.date_sub("d", F.row_number().over(w)).alias("anchor")
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )

@@ -2317,7 +2317,7 @@ def g_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
         ).distinct()
     )
-    cur, rounds = kcore_converged(e, 5)
+    cur, rounds = kcore_converged(e, 5, bipartite=True)
     deg_src = cur.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )

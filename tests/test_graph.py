@@ -119,11 +119,15 @@ def test_kcore_converged_zero_degree_straggler(spark):
         ("o3", "p3"), ("o3", "p4"),
     ]
     edges = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
-    final, rounds = kcore_converged(edges, 2)
-    assert rounds == 2
-    assert sorted(map(tuple, final.select("src", "dst").collect())) == [
-        ("o1", "p1"), ("o1", "p2"), ("o2", "p1"), ("o2", "p2")
-    ]
+    # both code paths — the per-side default and the one-aggregate
+    # bipartite fast path (what the catalog entry runs) — must agree on
+    # the straggler semantics AND the surviving edge set
+    for bip in (False, True):
+        final, rounds = kcore_converged(edges, 2, bipartite=bip)
+        assert rounds == 2, f"bipartite={bip}"
+        assert sorted(map(tuple, final.select("src", "dst").collect())) == [
+            ("o1", "p1"), ("o1", "p2"), ("o2", "p1"), ("o2", "p2")
+        ], f"bipartite={bip}"
 
     con = duckdb.connect()
     con.execute(

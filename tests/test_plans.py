@@ -761,3 +761,29 @@ def test_dau_wau_mau_no_theta_join_no_global_window(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_path_trigrams_one_window_pass_takeordered(spark, sf_dir):
+    """m_event_path_trigrams: both lag frames evaluate in ONE partitioned
+    WindowExec pass (two Window operators would sort every user's events
+    twice), and the global top-25 is TakeOrderedAndProject, never a full
+    sort."""
+    plan = _plan(spark, sf_dir, "m_event_path_trigrams")
+    assert plan.count("Window [") == 1, plan
+    assert "windowspecdefinition(user_id" in plan, plan
+    assert "TakeOrderedAndProject(limit=25" in plan, plan
+    assert "partial_count" in plan or "partial count" in plan, plan
+
+
+def test_activity_streaks_windows_partitioned_no_joins(spark, sf_dir):
+    """w_activity_streaks: the gaps-and-islands row_number runs over the
+    per-user distinct-day stream — every WindowExec partitioned by
+    user_id, and the whole plan is scan + aggregates (no join of any
+    kind). Regressing to a global ORDER BY window funnels all users
+    through one task."""
+    plan = _plan(spark, sf_dir, "w_activity_streaks")
+    n_windows = plan.count("Window [")
+    assert n_windows >= 1, plan
+    assert n_windows == plan.count("windowspecdefinition(user_id"), plan
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in plan, plan
