@@ -232,9 +232,10 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode an image payload to (width, height, HxWx3 uint8 RGB).
 
     Real stdlib decode for BMP (24-bit), PPM (P6), PNG (8-bit
-    grey/RGB/RGBA, non-interlaced — zlib DEFLATE + struct + numpy) and
+    grey/RGB/RGBA, non-interlaced — zlib DEFLATE + struct + numpy),
     baseline JPEG (sequential Huffman, SOF0/SOF1 — full marker/Huffman/
-    IDCT decode in operators.jpeg, no codec library). Progressive/
+    IDCT decode in operators.jpeg, no codec library) and GIF (87a/89a,
+    full LZW + interlace, first frame — operators.gif). Progressive/
     arithmetic JPEG and the exotic PNG variants still need a codec
     library this container lacks — gated honestly behind the Pillow
     import."""
@@ -248,13 +249,17 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     try:
         import PIL.Image  # noqa: F401  (not installed here; gate, don't assume)
     except ImportError as e:
         raise NotImplementedError(
             "compressed-image decode requires an imaging library (e.g. "
-            "Pillow); BMP/PPM/PNG are the stdlib-decodable formats in this "
-            "environment"
+            "Pillow); BMP/PPM/PNG/GIF/baseline-JPEG are the stdlib-decodable "
+            "formats in this environment"
         ) from e
     raise NotImplementedError("Pillow decode path not wired in this build")
 
