@@ -14,12 +14,17 @@ product, chroma upsampling by replication, and the JFIF YCbCr→RGB
 transform.
 
 Scope, stated honestly: baseline and extended-sequential Huffman frames
-(SOF0/SOF1), 8-bit precision, grayscale or 3-component YCbCr with any
-sampling factors expressible in the MCU grid (4:4:4, 4:2:2 and 4:2:0
-covered by tests). Progressive (SOF2), arithmetic coding, hierarchical,
-and 12-bit frames raise NotImplementedError with the frame type named —
-callers (operators.multimodal.decode_image) route those to the fake
-fallback like any other undecodable payload.
+(SOF0/SOF1) plus PROGRESSIVE Huffman frames (SOF2 — spectral selection
+and successive approximation, T.81 Annex G: DC first/refine, AC first
+with EOBn runs, AC refinement with correction bits, interleaved DC and
+non-interleaved AC scan geometry, restart markers per scan; coefficients
+accumulate across scans and are assembled with one vectorized
+dequant+IDCT per component at EOI). 8-bit precision, grayscale or
+3-component YCbCr with any sampling factors expressible in the MCU grid
+(4:4:4, 4:2:2 and 4:2:0 covered by tests). Arithmetic coding, lossless,
+hierarchical, and 12-bit frames raise NotImplementedError with the frame
+type named — callers (operators.multimodal.decode_image) route those to
+the fake fallback like any other undecodable payload.
 
 Reference anchor: surge has no media path at all; this extends the
 multimodal mapInPandas operators (SURVEY §2 extension family).
@@ -147,8 +152,208 @@ def _unstuff_segments(data: bytes) -> tuple[list[bytes], int]:
     return segs, i
 
 
+def _dc_first(reader, dc_t, cb, pred: int, al: int) -> int:
+    """T.81 G.1.2.1: first DC scan — baseline DC coding of the point-
+    transformed (arithmetic-shifted) values, stored pre-shifted back."""
+    t = reader.read_huff(dc_t)
+    pred += _extend(reader.read_bits(t), t) if t else 0
+    cb[0] = pred << al
+    return pred
+
+
+def _ac_first(reader, ac_t, cb, ss: int, se: int, al: int, eobrun: int) -> int:
+    """T.81 G.1.2.2: first AC scan for one block's spectral band — baseline
+    run/size coding of the point-transformed values plus EOBn codes that
+    declare runs of band-empty blocks (the eobrun)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_huff(ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: this block done, 2^r + ext - 1 more follow
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        cb[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(reader, ac_t, cb, ss: int, se: int, al: int, eobrun: int) -> int:
+    """T.81 G.1.2.3: AC successive-approximation refinement. Every
+    nonzero-history coefficient the scan passes over reads one correction
+    bit; newly-significant coefficients arrive as (run-of-zero-history,
+    size=1) symbols with a sign bit. On EOBn the CURRENT block still
+    consumes correction bits to the end of the band (the r=64 walk), and
+    eobrun-many subsequent blocks are correction-bits-only."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def correct(k: int) -> None:
+        c = cb[k]
+        if c != 0 and reader.read_bit() and (abs(int(c)) & p1) == 0:
+            cb[k] = c + (p1 if c > 0 else m1)
+
+    if eobrun > 0:
+        for k in range(ss, se + 1):
+            correct(k)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_huff(ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        val = 0
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                r = 64  # walk out the band, correction bits only
+            # r == 15 (ZRL): skip 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise ValueError("JPEG AC refinement size != 1")
+            val = p1 if reader.read_bit() else m1
+        while k <= se:
+            if cb[k] != 0:
+                correct(k)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if val and k <= se:
+            cb[k] = val
+        k += 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    frame,
+    scan_order: list[int],
+    scan_tables,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    coef,
+    huff_dc,
+    huff_ac,
+    restart_interval: int,
+) -> int:
+    """Decode one progressive scan into the per-component coefficient
+    arrays; returns the number of payload bytes consumed (entropy data up
+    to the next real marker). ``scan_order`` lists component ids in scan
+    order."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    samp = {cid: (hh, vv) for cid, hh, vv, _tq in comps}
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan with Se != 0")
+    if ss > 0 and len(scan_order) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if 1 < len(scan_order) < len(comps):
+        raise NotImplementedError(
+            "partial-component interleaved progressive scan unsupported"
+        )
+    segs, consumed = _unstuff_segments(data)
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    pred = {cid: 0 for cid in scan_order}
+    eobrun = 0
+
+    interleaved = len(scan_order) > 1
+    if interleaved:
+        total = mcus_x * mcus_y
+    else:
+        cid0 = scan_order[0]
+        hh, vv = samp[cid0]
+        # the component's own raster (T.81 A.2.2): ceil over the scaled
+        # dimension, then ceil to whole blocks — NOT the MCU-padded grid
+        cw = -(-(w * hh) // hmax)
+        ch = -(-(h * vv) // vmax)
+        bx_n = -(-cw // 8)
+        by_n = -(-ch // 8)
+        total = bx_n * by_n
+
+    for unit in range(total):
+        if restart_interval and unit and unit % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("JPEG missing restart segment")
+            reader = _BitReader(segs[seg_idx])
+            pred = {cid: 0 for cid in scan_order}
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(unit, mcus_x)
+            for cid in scan_order:
+                hh, vv = samp[cid]
+                for by in range(vv):
+                    for bx in range(hh):
+                        cb = coef[cid][my * vv + by, mx * hh + bx]
+                        if ah == 0:
+                            pred[cid] = _dc_first(
+                                reader, huff_dc[scan_tables[cid][0]], cb,
+                                pred[cid], al,
+                            )
+                        else:
+                            cb[0] |= reader.read_bit() << al
+        else:
+            by, bx = divmod(unit, bx_n)
+            cb = coef[cid0][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    pred[cid0] = _dc_first(
+                        reader, huff_dc[scan_tables[cid0][0]], cb,
+                        pred[cid0], al,
+                    )
+                else:
+                    cb[0] |= reader.read_bit() << al
+            elif ah == 0:
+                eobrun = _ac_first(
+                    reader, huff_ac[scan_tables[cid0][1]], cb, ss, se, al,
+                    eobrun,
+                )
+            else:
+                eobrun = _ac_refine(
+                    reader, huff_ac[scan_tables[cid0][1]], cb, ss, se, al,
+                    eobrun,
+                )
+    return consumed
+
+
+def _assemble_progressive(frame, coef, qtables):
+    """Dequantize + dezigzag + IDCT the accumulated coefficient arrays —
+    one vectorized einsum per component, not a per-block Python loop."""
+    h, w, comps = frame
+    planes = {}
+    for cid, hh, vv, tq in comps:
+        q = qtables[tq].astype(np.int64)
+        deq = coef[cid].astype(np.int64) * q
+        blocks = np.zeros(deq.shape, np.float64)
+        blocks[..., ZIGZAG] = deq
+        b8 = blocks.reshape(deq.shape[0], deq.shape[1], 8, 8)
+        px = np.einsum("ji,abjk,kl->abil", _M, b8, _M) + 128.0
+        by, bx = deq.shape[:2]
+        planes[cid] = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    return planes
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a baseline JPEG to (width, height, HxWx3 uint8 RGB).
+    """Decode a baseline or progressive JPEG to (width, height,
+    HxWx3 uint8 RGB).
 
     Truncated/corrupt streams raise ValueError (never IndexError/
     struct.error — the r6 corrupt-PNG lesson: the feature extractor's
@@ -171,6 +376,9 @@ def _decode_jpeg_inner(payload: bytes) -> tuple[int, int, np.ndarray]:
     huff_ac: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None  # (h, w, components)
+    progressive = False
+    coef = None  # progressive: per-component (by, bx, 64) zigzag arrays
+    n_scans = 0
     i = 2
     n = len(payload)
     while i < n:
@@ -214,21 +422,41 @@ def _decode_jpeg_inner(payload: bytes) -> tuple[int, int, np.ndarray]:
                 values = list(seg[p + 17 : p + 17 + nv])
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, values)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both Huffman sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG unsupported")
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = seg[6 + c * 3 : 9 + c * 3]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            if progressive and ncomp == 1:
+                # same T.81 A.2.2 normalization the baseline path applies
+                # at SOS: every scan of a 1-component frame is
+                # non-interleaved, sampling factors are ignored
+                cid0, _hh, _vv, tq0 = comps[0]
+                comps = [(cid0, 1, 1, tq0)]
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if progressive:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if hmax == 0 or vmax == 0:
+                    raise ValueError("JPEG sampling factor 0")
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                if mcus_x * mcus_y * 64 > 268_435_456:
+                    raise ValueError("JPEG declares unreasonable dimensions")
+                coef = {
+                    cid: np.zeros((mcus_y * vv, mcus_x * hh, 64), np.int32)
+                    for cid, hh, vv, _tq in comps
+                }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG frame (marker 0xFF{marker:02X}: "
-                "progressive/arithmetic/hierarchical) unsupported"
+                "lossless/arithmetic/hierarchical) unsupported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -236,6 +464,23 @@ def _decode_jpeg_inner(payload: bytes) -> tuple[int, int, np.ndarray]:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if progressive:
+                scan_tables = {}
+                scan_order = []
+                for c in range(ns):
+                    cs, tt = seg[1 + c * 2], seg[2 + c * 2]
+                    scan_tables[cs] = (tt >> 4, tt & 0x0F)
+                    scan_order.append(cs)
+                ss_, se_ = seg[1 + ns * 2], seg[2 + ns * 2]
+                ahal = seg[3 + ns * 2]
+                consumed = _decode_progressive_scan(
+                    payload[i:], frame, scan_order, scan_tables,
+                    ss_, se_, ahal >> 4, ahal & 0x0F,
+                    coef, huff_dc, huff_ac, restart_interval,
+                )
+                n_scans += 1
+                i += consumed
+                continue
             if ns != len(frame[2]):
                 # T.81 allows baseline images split into several
                 # non-interleaved scans; this decoder handles the (near-
@@ -262,6 +507,8 @@ def _decode_jpeg_inner(payload: bytes) -> tuple[int, int, np.ndarray]:
                 restart_interval,
             )
             return _to_rgb(frame, planes)
+    if progressive and coef is not None and n_scans:
+        return _to_rgb(frame, _assemble_progressive(frame, coef, qtables))
     raise ValueError("JPEG has no scan data")
 
 

@@ -233,12 +233,12 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
 
     Real stdlib decode for BMP (24-bit), PPM (P6), PNG (8-bit
     grey/RGB/RGBA, non-interlaced — zlib DEFLATE + struct + numpy),
-    baseline JPEG (sequential Huffman, SOF0/SOF1 — full marker/Huffman/
-    IDCT decode in operators.jpeg, no codec library) and GIF (87a/89a,
-    full LZW + interlace, first frame — operators.gif). Progressive/
-    arithmetic JPEG and the exotic PNG variants still need a codec
-    library this container lacks — gated honestly behind the Pillow
-    import."""
+    JPEG (baseline SOF0/SOF1 AND progressive SOF2 — full marker/Huffman/
+    successive-approximation/IDCT decode in operators.jpeg, no codec
+    library) and GIF (87a/89a, full LZW + interlace, first frame —
+    operators.gif). Arithmetic-coded JPEG and the exotic PNG variants
+    still need a codec library this container lacks — gated honestly
+    behind the Pillow import."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":

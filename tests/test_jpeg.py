@@ -6,8 +6,11 @@ file, so no Annex K constants are needed on either side), all-ones
 quantization so decode error is pure FDCT/IDCT rounding, FF byte
 stuffing, restart markers, and 4:2:0 subsampling for the color case.
 Pins: grayscale exactness within rounding, restart-marker handling,
-chroma upsample + YCbCr→RGB, progressive rejection, and the
-decode_image/extract_features dispatch."""
+chroma upsample + YCbCr→RGB, arithmetic-coding rejection, and the
+decode_image/extract_features dispatch. A progressive encoder (T.81
+Annex G: successive-approximation ladder, cross-block EOBn runs,
+buffered-correction-bit refinement, interleaved DC scans) pins the
+SOF2 path against the baseline decode of identical coefficients."""
 
 from __future__ import annotations
 
@@ -22,12 +25,14 @@ from surge_spark.operators.jpeg import _M, decode_jpeg
 
 # canonical tables covering every symbol we might emit: DC categories
 # 0..11 all at code length 4; AC run/size bytes all at length 8 (162
-# symbols fit in 256 codes)
+# run/size symbols + 14 progressive EOBn symbols fit in 256 codes)
 _DC_BITS = [0, 0, 0, 12] + [0] * 12
 _DC_VALS = list(range(12))
-_AC_VALS = [0x00, 0xF0] + [
-    (r << 4) | s for r in range(16) for s in range(1, 11)
-]
+_AC_VALS = (
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(1, 15)]  # EOBn (progressive AC scans)
+)
 _AC_BITS = [0] * 7 + [len(_AC_VALS)] + [0] * 8
 
 
@@ -206,6 +211,238 @@ def _encode_420(rgb):
     return bytes(out), y, cb_s, cr_s
 
 
+# -- progressive encoder (T.81 Annex G) ---------------------------------------
+
+
+def _zz_blocks(plane):
+    """Raster-order list of per-block zigzag int coefficient vectors
+    (all-ones quantization, same rounding as _encode_block)."""
+    h, w = plane.shape
+    out = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            c = _fdct_block(plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8])
+            out.append(np.round(c.reshape(64)[ZIGZAG]).astype(int))
+    return out
+
+
+def _pt_ac(v, al):
+    """AC point transform: sign-magnitude shift toward zero (G.1.2.2)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _emit_dc_first(bw, zz_list, al, restart_interval=0, out=None):
+    pred = 0
+    for unit, zz in enumerate(zz_list):
+        if restart_interval and unit and unit % restart_interval == 0:
+            out += bw.flush()
+            out += bytes([0xFF, 0xD0 + ((unit // restart_interval - 1) % 8)])
+            bw.out, bw.acc, bw.nbits = bytearray(), 0, 0
+            pred = 0
+        v = int(zz[0]) >> al  # DC point transform is ARITHMETIC shift
+        diff = v - pred
+        pred = v
+        t = _cat(diff)
+        ln, code = _DC_CODES[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def _emit_dc_refine(bw, zz_list, al):
+    for zz in zz_list:
+        bw.write((int(zz[0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(bw, zz_list, ss, se, al):
+    """First AC scan with cross-block EOBn runs (so the decoder's eobrun
+    path is exercised, not just per-block EOB0)."""
+    eob_count = 0
+
+    def flush_eob():
+        nonlocal eob_count
+        while eob_count:
+            r = min(14, eob_count.bit_length() - 1)
+            take = min(eob_count, (1 << (r + 1)) - 1)
+            ln, code = _AC_CODES[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(take - (1 << r), r)
+            eob_count -= take
+
+    for zz in zz_list:
+        vals = [_pt_ac(int(zz[k]), al) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            eob_count += 1
+            continue
+        flush_eob()
+        run = 0
+        for v in vals[: nz[-1] + 1]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = _AC_CODES[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            s = _cat(v)
+            ln, code = _AC_CODES[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if nz[-1] < len(vals) - 1:
+            eob_count += 1  # block tail joins the cross-block EOB run
+    flush_eob()
+
+
+def _emit_ac_refine(bw, zz_list, ss, se, al):
+    """AC refinement: libjpeg's buffered-correction-bit discipline —
+    corrections for nonzero-history coefficients buffer up and flush
+    after each emitted symbol, which is exactly the set the decoder's
+    walk for that symbol consumes."""
+    for zz in zz_list:
+        vals = [int(zz[k]) for k in range(ss, se + 1)]
+        pending: list[int] = []
+        r = 0
+        for v in vals:
+            cur = _pt_ac(v, al)
+            prior = _pt_ac(v, al + 1)
+            if cur == 0:
+                r += 1
+                continue
+            while r > 15:
+                ln, code = _AC_CODES[0xF0]
+                bw.write(code, ln)
+                r -= 16
+                for b in pending:
+                    bw.write(b, 1)
+                pending = []
+            if prior != 0:
+                pending.append(abs(cur) & 1)  # correction bit
+                continue
+            # newly significant: |cur| must be 1 at this precision
+            assert abs(cur) == 1
+            ln, code = _AC_CODES[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if cur > 0 else 0, 1)  # sign
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+            r = 0
+        if pending or r > 0:
+            ln, code = _AC_CODES[0x00]  # EOB0: decoder walks out the band
+            bw.write(code, ln)
+            for b in pending:
+                bw.write(b, 1)
+
+
+def _sos_prog(cid, table, ss, se, ah, al):
+    return _seg(0xDA, bytes([1, cid, table, ss, se, (ah << 4) | al]))
+
+
+def _encode_progressive_gray(img, restart_interval=0, split=5):
+    """Full successive-approximation ladder: DC first (Al=1), two AC
+    bands first (Al=1), DC refine, two AC band refinements — six scans,
+    same quantized coefficients as _encode_gray."""
+    h, w = img.shape
+    assert h % 8 == 0 and w % 8 == 0
+    zz_list = _zz_blocks(img.astype(np.float64))
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_ones(0)
+    out += _seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _dht(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht(1, 0, _AC_BITS, _AC_VALS)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    # scan 1: DC first, Al=1 (restarts exercised here if requested)
+    out += _sos_prog(1, 0x00, 0, 0, 0, 1)
+    bw = _BitWriter()
+    _emit_dc_first(bw, zz_list, 1, restart_interval, out)
+    out += bw.flush()
+    if restart_interval:
+        # DRI persists across scans (T.81 B.2.4.4) — disable it so the
+        # AC scans below stay restart-free
+        out += _seg(0xDD, struct.pack(">H", 0))
+    # scans 2-3: AC first per band, Al=1
+    for ss, se in ((1, split), (split + 1, 63)):
+        out += _sos_prog(1, 0x00, ss, se, 0, 1)
+        bw = _BitWriter()
+        _emit_ac_first(bw, zz_list, ss, se, 1)
+        out += bw.flush()
+    # scan 4: DC refine to Al=0
+    out += _sos_prog(1, 0x00, 0, 0, 1, 0)
+    bw = _BitWriter()
+    _emit_dc_refine(bw, zz_list, 0)
+    out += bw.flush()
+    # scans 5-6: AC refine per band to Al=0
+    for ss, se in ((1, split), (split + 1, 63)):
+        out += _sos_prog(1, 0x00, ss, se, 1, 0)
+        bw = _BitWriter()
+        _emit_ac_refine(bw, zz_list, ss, se, 0)
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_progressive_420(rgb):
+    """Progressive twin of _encode_420 (same planes, same coefficients):
+    one interleaved DC scan (4 Y + Cb + Cr per MCU) then three
+    non-interleaved full-band AC scans, all at Al=0 — spectral selection
+    without successive approximation."""
+    h, w, _ = rgb.shape
+    assert (h, w) == (16, 16)
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    cb_s = cb.reshape(8, 2, 8, 2).mean(axis=(1, 3))
+    cr_s = cr.reshape(8, 2, 8, 2).mean(axis=(1, 3))
+    zz_y = _zz_blocks(y)          # 4 blocks, raster order
+    zz_cb = _zz_blocks(cb_s)      # 1 block each
+    zz_cr = _zz_blocks(cr_s)
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_ones(0) + _dqt_ones(1)
+    out += _seg(
+        0xC2,
+        struct.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for th in (0, 1):
+        out += _dht(0, th, _DC_BITS, _DC_VALS)
+        out += _dht(1, th, _AC_BITS, _AC_VALS)
+    # interleaved DC-first scan: one MCU = 4 Y blocks + Cb + Cr
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0]))
+    bw = _BitWriter()
+    pred_y = pred_cb = pred_cr = 0
+
+    def dc_code(bw, zz, pred):
+        v = int(zz[0])
+        diff = v - pred
+        t = _cat(diff)
+        ln, code = _DC_CODES[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        return v
+
+    for zz in zz_y:
+        pred_y = dc_code(bw, zz, pred_y)
+    pred_cb = dc_code(bw, zz_cb[0], pred_cb)
+    pred_cr = dc_code(bw, zz_cr[0], pred_cr)
+    out += bw.flush()
+    # non-interleaved AC scans, full band, Al=0
+    for cid, blocks in ((1, zz_y), (2, zz_cb), (3, zz_cr)):
+        out += _sos_prog(cid, 0x00 if cid == 1 else 0x11, 1, 63, 0, 0)
+        bw = _BitWriter()
+        _emit_ac_first(bw, blocks, 1, 63, 0)
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out), y, cb_s, cr_s
+
+
 # -- tests --------------------------------------------------------------------
 
 
@@ -255,14 +492,70 @@ def test_color_420_upsample_and_ycbcr():
         assert err.max() <= 4, (ch, err.max())
 
 
-def test_progressive_rejected_with_clear_error():
+def test_arithmetic_rejected_with_clear_error():
     img = _gradient(8, 8)
     payload = bytearray(_encode_gray(img))
-    # flip SOF0 (0xC0) to SOF2 (progressive)
+    # flip SOF0 (0xC0) to SOF9 (arithmetic sequential)
     idx = payload.index(bytes([0xFF, 0xC0]))
-    payload[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    payload[idx + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(payload))
+
+
+def test_progressive_gray_matches_baseline_exactly():
+    """The full successive-approximation ladder (6 scans, Al=1->0, band
+    split at k=5) carries the SAME quantized coefficients as the baseline
+    encoding — decode must agree with the baseline decode to the pixel
+    (both run the identical dequant+IDCT math) and with the original
+    within the usual FDCT/IDCT rounding."""
+    img = _gradient(24, 32)
+    _, _, base = decode_jpeg(_encode_gray(img))
+    w, h, prog = decode_jpeg(_encode_progressive_gray(img))
+    assert (w, h) == (32, 24)
+    assert int(np.abs(prog.astype(int) - base.astype(int)).max()) <= 1
+    err = np.abs(prog[..., 0].astype(int) - img.astype(int))
+    assert err.max() <= 2
+
+
+def test_progressive_dc_restart_markers():
+    img = _gradient(16, 32, seed=5)
+    _, _, base = decode_jpeg(_encode_progressive_gray(img))
+    _, _, rst = decode_jpeg(_encode_progressive_gray(img, restart_interval=3))
+    assert (base == rst).all()
+
+
+def test_progressive_eobrun_spans_blocks():
+    """A DC-flat image with one high-frequency spike: every other block's
+    AC bands are empty, so the encoder emits cross-block EOBn runs that
+    the decoder's eobrun path must count through correctly."""
+    img = np.full((24, 24), 100, np.uint8)
+    img[8:16, 8:16] = np.clip(
+        100 + 40 * ((np.add.outer(np.arange(8), np.arange(8)) % 2)), 0, 255
+    ).astype(np.uint8)
+    _, _, base = decode_jpeg(_encode_gray(img))
+    _, _, prog = decode_jpeg(_encode_progressive_gray(img))
+    assert int(np.abs(prog.astype(int) - base.astype(int)).max()) <= 1
+
+
+def test_progressive_color_420_interleaved_dc():
+    """Interleaved DC scan geometry (4 Y + Cb + Cr per MCU) plus
+    non-interleaved per-component AC scans — the canonical progressive
+    color layout — decodes to the same image as the baseline 4:2:0
+    encoding of the identical planes."""
+    rng = np.random.RandomState(23)
+    rgb = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    payload_b, *_ = _encode_420(rgb)
+    payload_p, *_ = _encode_progressive_420(rgb)
+    _, _, base = decode_jpeg(payload_b)
+    w, h, prog = decode_jpeg(payload_p)
+    assert (w, h) == (16, 16)
+    assert int(np.abs(prog.astype(int) - base.astype(int)).max()) <= 1
+
+
+def test_progressive_truncated_raises_value_error():
+    payload = _encode_progressive_gray(_gradient(16, 16))
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[: int(len(payload) * 0.7)])
 
 
 def test_truncated_stream_raises_value_error():
@@ -360,3 +653,37 @@ def test_multi_scan_baseline_rejected_not_scrambled():
     b[sos + 2 : sos + 12] = struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
     with pytest.raises((NotImplementedError, ValueError)):
         decode_jpeg(bytes(b))
+
+
+def test_ac_refine_zrl_with_interleaved_corrections():
+    """Unit-level pin of the hardest refinement path: a newly-significant
+    coefficient behind a 20-long zero-history run forces a ZRL whose walk
+    must consume the correction bit of a nonzero-history coefficient
+    sitting INSIDE the run — the bit-ordering the buffered-corrections
+    discipline exists for. Round-trips encoder->decoder at the function
+    level and checks exact coefficient recovery."""
+    from surge_spark.operators.jpeg import (
+        _ac_first,
+        _ac_refine,
+        _BitReader,
+        _HuffTable,
+    )
+
+    truth = np.zeros(64, int)
+    truth[1] = 5      # history at Al=1 (prior 2), correction bit 1
+    truth[22] = -1    # newly significant at Al=0, 20 zero-history before it
+    truth[40] = 3     # history (prior 1), correction bit 1, then EOB tail
+    table = _HuffTable(_AC_BITS, _AC_VALS)
+
+    bw = _BitWriter()
+    _emit_ac_first(bw, [truth], 1, 63, 1)
+    cb = np.zeros(64, np.int32)
+    eob = _ac_first(_BitReader(bw.flush()), table, cb, 1, 63, 1, 0)
+    assert eob == 0
+    assert cb[1] == 4 and cb[22] == 0 and cb[40] == 2  # Al=1 precision <<1
+
+    bw = _BitWriter()
+    _emit_ac_refine(bw, [truth], 1, 63, 0)
+    eob = _ac_refine(_BitReader(bw.flush()), table, cb, 1, 63, 0, 0)
+    assert eob == 0
+    assert (cb == truth).all(), cb[cb != truth]
