@@ -61,6 +61,40 @@ def sliding_signal_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key: str = "user_id",
+) -> DataFrame:
+    """Native Structured Streaming SESSION windows per key — the streaming
+    twin of the batch gap-sessionization entry (h_session_windows): events
+    merge into one session while consecutive gaps stay under ``gap``;
+    state for a session is dropped once the watermark passes its close.
+
+    Boundary semantics, stated precisely: session_window treats an event
+    landing EXACTLY ``gap`` after its predecessor as a NEW session
+    (intervals [t, t+gap) must overlap to merge), while the batch entry's
+    ``diff > gap`` test keeps it in the OLD session — identical on any
+    stream without exact-boundary gaps, off by one session on a stream
+    with them. Scale shape: state is per (key, open session), partitioned
+    by key; the merge is Spark's native session-window state store, no
+    custom applyInPandasWithState needed for time-gap semantics (the
+    count-triggered slider below exists precisely because ITS slide
+    condition is not expressible as a time window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key,
+            "n_events",
+        )
+    )
+
+
 def repeating_signal_alerts(
     signals: DataFrame,
     pattern: str,

@@ -1775,3 +1775,38 @@ def test_driver_fold_falls_back_on_oversized_batch(spark, tmp_path):
     )
     assert out2 is not None
     assert store.get_state(spark, "k0")["n"] == 4
+
+
+def test_session_window_counts_native_gap_sessions(spark, tmp_path):
+    """Native session_window twin of the batch gap-sessionization: user 1's
+    1900 s gap (> the 1800 s gap parameter) splits two sessions; user 2 is
+    a singleton. Session end = last event + gap, per Spark's definition.
+    Complete output mode so unfinalized sessions are visible too."""
+    src = str(tmp_path / "sess_events")
+    rows = [
+        (1, _ts(0)), (1, _ts(100)), (1, _ts(2000)), (1, _ts(2100)),
+        (2, _ts(50)),
+    ]
+    schema = "user_id long, ts timestamp"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sw.session_window_counts(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("select * from sess_out").collect()
+    )
+    gap = dt.timedelta(seconds=1800)
+    assert got == [
+        (1, _ts(0), _ts(100) + gap, 2),
+        (1, _ts(2000), _ts(2100) + gap, 2),
+        (2, _ts(50), _ts(50) + gap, 1),
+    ]
