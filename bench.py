@@ -58,6 +58,8 @@ HEADLINE = [
     "t_pretrain_pipeline",         # clean→dedup→quality→pack end to end (new r10)
     "sim_random_projection_topk",  # JL-projection ANN, HOF-fold projection (new r10)
     "m_dau_wau_mau",               # rolling distinct engagement, explode-not-range-join (new r10)
+    "w_activity_streaks",          # gaps-and-islands streaks, partitioned window (new r10)
+    "m_event_path_trigrams",       # clickstream trigram top-k, one window pass (new r10)
 ]
 
 N_RUNS = 3

@@ -3997,3 +3997,69 @@ def o_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+@query(
+    "g_adamic_adar_topk",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (
+      SELECT l_orderkey, count(*) AS n FROM d GROUP BY l_orderkey
+    ),
+    w AS (
+      SELECT d.l_orderkey, d.l_partkey, 1.0 / ln(g.n) AS wt
+      FROM d JOIN deg g USING (l_orderkey) WHERE g.n >= 2
+    )
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+           CAST(count(*) AS BIGINT) AS n_common,
+           CAST(round(sum(a.wt), 6) AS DOUBLE) AS aa_score
+    FROM w a JOIN w b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY pa, pb
+    ORDER BY aa_score DESC, pa, pb
+    LIMIT 25
+    """,
+)
+def g_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the bipartite order-part graph:
+    parts sharing orders score sum(1/ln(order_size)) — big shared baskets
+    contribute less, the classic common-neighbor weighting recsys
+    candidate generation runs before any learned model. The pair build is
+    ONE self-join co-partitioned on the order key (each order fans out to
+    its own C(n,2) pairs — the same bounded blow-up the co-occurrence
+    graph builders pay), the per-pair weight sum is a partial+final
+    aggregate, and the global top-25 is TakeOrderedAndProject. Scores
+    rounded to 6 on both engines (float-sum order differs across
+    engines); ties broken by (pa, pb) so the limit is deterministic.
+    Orders of size 1 contribute no pairs and are filtered BEFORE the
+    self-join (n >= 2 also keeps ln(n) > 0)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    deg = d.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        d.join(deg, "l_orderkey")
+        .where(F.col("n") >= 2)
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            (F.lit(1.0) / F.log(F.col("n").cast("double"))).alias("wt"),
+        )
+    )
+    a = w.alias("a")
+    b = w.select(
+        "l_orderkey", F.col("l_partkey").alias("pb")
+    ).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("pb")),
+    )
+    return (
+        pairs.groupBy(F.col("a.l_partkey").alias("pa"), "pb")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum("a.wt"), 6).alias("aa_score"),
+        )
+        .orderBy(F.col("aa_score").desc(), "pa", "pb")
+        .limit(25)
+    )

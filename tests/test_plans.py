@@ -787,3 +787,14 @@ def test_activity_streaks_windows_partitioned_no_joins(spark, sf_dir):
     assert n_windows == plan.count("windowspecdefinition(user_id"), plan
     for bad in ("Join", "CartesianProduct"):
         assert bad not in plan, plan
+
+
+def test_adamic_adar_takeordered_no_cartesian(spark, sf_dir):
+    """g_adamic_adar_topk: the pair build is an equi-join co-partitioned
+    on the order key (never a cartesian), the weight sum has a partial
+    stage, and the global top-25 is TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "g_adamic_adar_topk")
+    assert "TakeOrderedAndProject(limit=25" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan or "partial count" in plan, plan
