@@ -4,14 +4,14 @@ Same rationale as the baseline JPEG decoder in operators/jpeg.py: the
 multimodal operators route undecodable payloads to an honest fake
 fallback, and GIF — a spec-complete, self-contained format — does not
 need a codec library. This module does the real decode: header/logical
-screen descriptor, global and local color tables, extension-block
-skipping (graphic-control transparency is parsed but intentionally NOT
-composited — feature extraction reads the palette color of every pixel,
-which is deterministic regardless of what a viewer would blend it over),
+screen descriptor, global and local color tables,
 variable-width LSB-first LZW decompression with the full dictionary
 lifecycle (clear/end codes, width growth to 12 bits, 4096-entry deferred
-clear), and Adam-style 4-pass de-interlacing. Animated GIFs decode to
-their FIRST image block.
+clear), and Adam-style 4-pass de-interlacing. Extension blocks
+(including graphic-control transparency) are SKIPPED wholesale — feature
+extraction reads the palette color of every pixel, which is
+deterministic regardless of what a viewer would blend a transparent
+pixel over. Animated GIFs decode to their FIRST image block.
 
 Error contract matches the other stdlib decoders (the r6 corrupt-payload
 fallback contract): malformed or truncated payloads raise ValueError —

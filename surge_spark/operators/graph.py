@@ -102,6 +102,7 @@ def kcore_converged(
     dst: str = "dst",
     max_rounds: int = 30,
     bipartite: bool = False,
+    broadcast_keep_max: int = 20_000_000,
 ) -> tuple[DataFrame, int]:
     """Peel the graph to its k-core fixpoint; returns ``(final_edges,
     rounds)`` where ``rounds`` is the number of NODE-SET-changing peels —
@@ -139,7 +140,10 @@ def kcore_converged(
     in the peel evaluation, plus pays a union-distinct shuffle for the
     probe), the probe count needs no distinct — groupBy output is
     already one row per node — and both semi-joins BROADCAST the keep
-    set, so the edge frame never shuffles during the peel. Measured at
+    set (gated on the measured node count, ``broadcast_keep_max``:
+    explicit hints are honored unconditionally so an unbounded hint
+    would be a driver-OOM risk, not a plan choice AQE could undo), so
+    the edge frame never shuffles during the peel. Measured at
     sf0.1 (interleaved back-to-back, same session): old 7.8/6.1 s vs
     new 6.2/5.6/5.1 s on the 3-round loop — ~15-20% here, but the
     structural win is the shuffle count: per round the edge set is
@@ -171,12 +175,19 @@ def kcore_converged(
             n_keep = keep.count()
             # the keep set is node-sized (<< edges) and already
             # materialized — broadcast both semi-joins so the edge set
-            # never shuffles during the peel (at 100 TB the surviving-node
-            # set of a k-core is the small side by construction; if it
-            # ever weren't, AQE's size check would refuse the hint's
-            # runtime build and fall back to shuffle)
-            keep_src = F.broadcast(keep.select(F.col("n").alias("src")))
-            keep_dst = F.broadcast(keep.select(F.col("n").alias("dst")))
+            # never shuffles during the peel. An explicit F.broadcast
+            # hint is honored UNCONDITIONALLY (AQE's size-based demotion
+            # applies only to its own SMJ->BHJ conversions, never to user
+            # hints), so the hint is gated on the measured node count:
+            # past broadcast_keep_max nodes it drops to the plain
+            # shuffled semi-join rather than risking a driver OOM
+            hint = (
+                F.broadcast
+                if n_keep <= broadcast_keep_max
+                else (lambda df: df)
+            )
+            keep_src = hint(keep.select(F.col("n").alias("src")))
+            keep_dst = hint(keep.select(F.col("n").alias("dst")))
         else:
             keep_src = (
                 cur.groupBy("src").count().where(F.col("count") >= k).select("src")

@@ -154,9 +154,23 @@ def _unstuff_segments(data: bytes) -> tuple[list[bytes], int]:
 
 def _dc_first(reader, dc_t, cb, pred: int, al: int) -> int:
     """T.81 G.1.2.1: first DC scan — baseline DC coding of the point-
-    transformed (arithmetic-shifted) values, stored pre-shifted back."""
+    transformed (arithmetic-shifted) values, stored pre-shifted back.
+
+    The size symbol is range-checked (8-bit precision allows DC
+    categories 0..11, F.1.2.1.1): the coef arrays are int32, and a
+    crafted stream of max-category diffs could otherwise walk pred<<al
+    past 2^31 — silent wraparound on numpy 1.x, uncaught OverflowError
+    on numpy 2.x, either way garbage instead of the corrupt-payload
+    ValueError the fallback contract promises."""
     t = reader.read_huff(dc_t)
+    if t > 11:
+        raise ValueError(f"JPEG DC size category {t} out of range")
     pred += _extend(reader.read_bits(t), t) if t else 0
+    if not -(1 << 15) < pred < (1 << 15):
+        # a valid stream's DC never leaves ±2047 at any precision; a
+        # corrupt one could accumulate max-category diffs across blocks
+        # until pred<<al leaves int32 — bound it well before that
+        raise ValueError("JPEG DC predictor out of range")
     cb[0] = pred << al
     return pred
 
@@ -179,6 +193,8 @@ def _ac_first(reader, ac_t, cb, ss: int, se: int, al: int, eobrun: int) -> int:
                 return eobrun
             k += 16  # ZRL
             continue
+        if s > 10:  # 8-bit AC size categories are 1..10 (F.1.2.2.1)
+            raise ValueError(f"JPEG AC size category {s} out of range")
         k += r
         if k > se:
             raise ValueError("JPEG AC run past band end")
@@ -385,6 +401,36 @@ def _assemble_progressive(frame, coef, qtables):
     return planes
 
 
+def _alloc_coef(frame) -> dict[int, np.ndarray]:
+    """Allocate the per-component (by, bx, 64) zigzag coefficient arrays
+    for the accumulation path (progressive / multi-scan sequential), with
+    the sampling-factor and decompression-bomb guards."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0:
+        raise ValueError("JPEG sampling factor 0")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    if mcus_x * mcus_y * 64 > 268_435_456:
+        raise ValueError("JPEG declares unreasonable dimensions")
+    return {
+        cid: np.zeros((mcus_y * vv, mcus_x * hh, 64), np.int32)
+        for cid, hh, vv, _tq in comps
+    }
+
+
+def _parse_sos_components(seg: bytes, ns: int):
+    """SOS component-spec list -> ({cid: (dc_table, ac_table)}, scan order)."""
+    scan_tables = {}
+    scan_order = []
+    for c in range(ns):
+        cs, tt = seg[1 + c * 2], seg[2 + c * 2]
+        scan_tables[cs] = (tt >> 4, tt & 0x0F)
+        scan_order.append(cs)
+    return scan_tables, scan_order
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a baseline or progressive JPEG to (width, height,
     HxWx3 uint8 RGB).
@@ -395,10 +441,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     exception type would poison the whole Arrow batch)."""
     try:
         return _decode_jpeg_inner(payload)
-    except (IndexError, struct.error, KeyError, ZeroDivisionError) as e:
+    except (IndexError, struct.error, KeyError, ZeroDivisionError, OverflowError) as e:
         # KeyError: scan references a Huffman/quant table id never
-        # declared; ZeroDivisionError: sampling byte 0x00 -> hmax/vmax 0.
-        # All are malformed-stream shapes, not missing capabilities.
+        # declared; ZeroDivisionError: sampling byte 0x00 -> hmax/vmax 0;
+        # OverflowError: a crafted value escaping into an int32 coef slot
+        # (numpy 2.x raises where 1.x wrapped — the range guards should
+        # fire first, this is the belt to their braces). All are
+        # malformed-stream shapes, not missing capabilities.
         raise ValueError(f"corrupt/truncated JPEG: {type(e).__name__}") from e
 
 
@@ -475,18 +524,7 @@ def _decode_jpeg_inner(payload: bytes) -> tuple[int, int, np.ndarray]:
                 comps = [(cid0, 1, 1, tq0)]
             frame = (h, w, comps)
             if progressive:
-                hmax = max(c[1] for c in comps)
-                vmax = max(c[2] for c in comps)
-                if hmax == 0 or vmax == 0:
-                    raise ValueError("JPEG sampling factor 0")
-                mcus_x = -(-w // (8 * hmax))
-                mcus_y = -(-h // (8 * vmax))
-                if mcus_x * mcus_y * 64 > 268_435_456:
-                    raise ValueError("JPEG declares unreasonable dimensions")
-                coef = {
-                    cid: np.zeros((mcus_y * vv, mcus_x * hh, 64), np.int32)
-                    for cid, hh, vv, _tq in comps
-                }
+                coef = _alloc_coef(frame)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG frame (marker 0xFF{marker:02X}: "
@@ -499,12 +537,7 @@ def _decode_jpeg_inner(payload: bytes) -> tuple[int, int, np.ndarray]:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             if progressive:
-                scan_tables = {}
-                scan_order = []
-                for c in range(ns):
-                    cs, tt = seg[1 + c * 2], seg[2 + c * 2]
-                    scan_tables[cs] = (tt >> 4, tt & 0x0F)
-                    scan_order.append(cs)
+                scan_tables, scan_order = _parse_sos_components(seg, ns)
                 ss_, se_ = seg[1 + ns * 2], seg[2 + ns * 2]
                 ahal = seg[3 + ns * 2]
                 consumed = _decode_progressive_scan(
@@ -523,29 +556,8 @@ def _decode_jpeg_inner(payload: bytes) -> tuple[int, int, np.ndarray]:
                 # Partial-component INTERLEAVED scans stay rejected
                 # inside the scan decoder.
                 if coef is None:
-                    h_, w_, comps_ = frame
-                    hmax = max(c[1] for c in comps_)
-                    vmax = max(c[2] for c in comps_)
-                    if hmax == 0 or vmax == 0:
-                        raise ValueError("JPEG sampling factor 0")
-                    mcus_x = -(-w_ // (8 * hmax))
-                    mcus_y = -(-h_ // (8 * vmax))
-                    if mcus_x * mcus_y * 64 > 268_435_456:
-                        raise ValueError(
-                            "JPEG declares unreasonable dimensions"
-                        )
-                    coef = {
-                        cid: np.zeros(
-                            (mcus_y * vv, mcus_x * hh, 64), np.int32
-                        )
-                        for cid, hh, vv, _tq in comps_
-                    }
-                scan_tables = {}
-                scan_order = []
-                for c in range(ns):
-                    cs, tt = seg[1 + c * 2], seg[2 + c * 2]
-                    scan_tables[cs] = (tt >> 4, tt & 0x0F)
-                    scan_order.append(cs)
+                    coef = _alloc_coef(frame)
+                scan_tables, scan_order = _parse_sos_components(seg, ns)
                 consumed = _decode_progressive_scan(
                     payload[i:], frame, scan_order, scan_tables,
                     0, 63, 0, 0, coef, huff_dc, huff_ac, restart_interval,
@@ -554,10 +566,7 @@ def _decode_jpeg_inner(payload: bytes) -> tuple[int, int, np.ndarray]:
                 n_scans += 1
                 i += consumed
                 continue
-            scan_tables = {}
-            for c in range(ns):
-                cs, tt = seg[1 + c * 2], seg[2 + c * 2]
-                scan_tables[cs] = (tt >> 4, tt & 0x0F)
+            scan_tables, _ = _parse_sos_components(seg, ns)
             if len(frame[2]) == 1:
                 # T.81 A.2.2: a single-component scan is NON-interleaved —
                 # the MCU is one data unit in the component's own raster

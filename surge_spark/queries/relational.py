@@ -4032,7 +4032,13 @@ def g_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6 on both engines (float-sum order differs across
     engines); ties broken by (pa, pb) so the limit is deterministic.
     Orders of size 1 contribute no pairs and are filtered BEFORE the
-    self-join (n >= 2 also keeps ln(n) > 0)."""
+    self-join (n >= 2 also keeps ln(n) > 0). Both self-join sides are
+    the IDENTICAL subtree with columns renamed only AFTER the join —
+    projecting one side first canonicalizes the plans apart and Spark
+    builds the distinct+degree pipeline twice (4 lineitem scans, no
+    ReusedExchange — the r10 review caught exactly that); the aliased
+    same-frame form shares one build (2 scans, ReusedExchange
+    plan-pinned)."""
     li = _t(spark, sf_dir, "lineitem")
     d = li.select("l_orderkey", "l_partkey").distinct()
     deg = d.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
@@ -4045,17 +4051,17 @@ def g_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1.0) / F.log(F.col("n").cast("double"))).alias("wt"),
         )
     )
-    a = w.alias("a")
-    b = w.select(
-        "l_orderkey", F.col("l_partkey").alias("pb")
-    ).alias("b")
+    a, b = w.alias("a"), w.alias("b")
     pairs = a.join(
         b,
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("pb")),
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
     )
     return (
-        pairs.groupBy(F.col("a.l_partkey").alias("pa"), "pb")
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_common"),
             F.round(F.sum("a.wt"), 6).alias("aa_score"),

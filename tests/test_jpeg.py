@@ -808,3 +808,26 @@ def test_multiscan_sequential_gray_matches_single_scan():
     assert (w, h) == (16, 16)
     # 4:4:4 has no chroma subsampling loss: decode matches source ±2
     assert int(np.abs(rgb444.astype(int) - rgb_src.astype(int)).max()) <= 2
+
+
+def test_dc_predictor_runaway_raises_value_error():
+    """A crafted DC-first scan accumulating max-category diffs must hit
+    the predictor range guard (ValueError) long before pred<<Al could
+    leave int32 — silent wraparound on numpy 1.x / uncaught
+    OverflowError on 2.x were the failure modes (r10 review)."""
+    from surge_spark.operators.jpeg import _BitReader, _dc_first, _HuffTable
+
+    table = _HuffTable(_DC_BITS, _DC_VALS)
+    bw = _BitWriter()
+    for _ in range(32):  # 32 x +2047 diffs: pred passes 2^15 at the 17th
+        ln, code = _DC_CODES[11]
+        bw.write(code, ln)
+        bw.write(2047, 11)
+    # _BitReader takes an already-unstuffed segment (the encoder's
+    # BitWriter stuffs FF00); undo it for this function-level test
+    reader = _BitReader(bw.flush().replace(b"\xff\x00", b"\xff"))
+    cb = np.zeros(64, np.int32)
+    pred = 0
+    with pytest.raises(ValueError, match="predictor"):
+        for _ in range(32):
+            pred = _dc_first(reader, table, cb, pred, 13)
