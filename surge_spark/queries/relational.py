@@ -2230,6 +2230,15 @@ def g_kcore_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     materialize per round regardless. The persisted edge list is
     #     ~20 MB at sf0.1 and LRU-evicts; checkpoint blocks are reclaimed
     #     by the ContextCleaner.
+    # A third shape was measured and REJECTED (r10): kcore_converged's
+    # bipartite single-aggregate peel (one union-all degree aggregate,
+    # keep set checkpointed + broadcast into both semi-joins) LOSES here
+    # — 4.2 s vs 3.3-3.8 interleaved at sf0.1 — because this entry has no
+    # per-round probe action: the keep checkpoint and broadcast builds
+    # add driver round-trips per peel, while the two-aggregate form
+    # pipelines into the semi-join shuffles inside the single final job.
+    # The converged loop pays a count() per round anyway, which is what
+    # makes the materialized keep set free there.
     def peel(edges: DataFrame, k: int) -> DataFrame:
         keep_src = (
             edges.groupBy("src").count().where(F.col("count") >= k).select("src")
