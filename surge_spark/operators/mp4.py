@@ -6,8 +6,10 @@ is fully self-contained spec work (ISO/IEC 14496-12 box structures, all
 length-prefixed big-endian), the same class as the HPACK Huffman table
 and the baseline JPEG decoder: parse the sample tables and every
 sample's true byte range, timestamp, and keyframe flag falls out, no
-codec library involved. Frame PIXELS stay out of scope (H.264/H.265
-entropy decode is a codec, honestly gated as before) — a demuxer's
+codec library involved. Frame PIXELS decode for real when the track is
+MJPEG (every sample is a standalone JPEG — operators.jpeg handles it,
+see multimodal.extract_frame_features); H.264/H.265 entropy decode is a
+codec, honestly gated as before. A demuxer's
 output is the coded sample bytes plus timing, which is exactly what a
 training pipeline's frame-sampling stage needs to select and route
 frames before a decode stage.

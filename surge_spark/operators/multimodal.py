@@ -5,14 +5,17 @@ The Spark-side contract is real and tested — schema, partition sizing, UDF
 signature, batch shape. Decode is REAL for the formats the standard
 library can parse — BMP (24-bit) and PPM (P6) via struct + numpy, PNG
 (8-bit grey/RGB/RGBA non-interlaced: zlib inflate + the five filter
-reconstructions), baseline JPEG (full marker/Huffman/IDCT decode in
-operators.jpeg — no codec library), WAV audio via the ``wave`` module —
-and gated for everything else (this container has no imaging/audio
-codecs): ``decode_image`` raises NotImplementedError for
-progressive/arithmetic JPEG and exotic-PNG unless Pillow is importable,
-and ``extract_features`` falls back to a deterministic fake decoder for
-payloads it cannot sniff, so pipelines stay end-to-end testable on any
-input.
+reconstructions), JPEG both baseline AND progressive (full marker/
+Huffman/successive-approximation/IDCT decode in operators.jpeg — no
+codec library), GIF (full LZW + interlace in operators.gif), WAV audio
+via the ``wave`` module, and MJPEG video pixels end to end (real MP4
+demux in operators.mp4 + per-sample JPEG decode,
+``extract_frame_features``) — and gated for everything else (this
+container has no imaging/audio codecs): ``decode_image`` raises
+NotImplementedError for arithmetic JPEG and exotic-PNG unless Pillow is
+importable, and ``extract_features`` falls back to a deterministic fake
+decoder for payloads it cannot sniff, so pipelines stay end-to-end
+testable on any input.
 
 At 100 TB: binary payloads dominate row size, so feature extraction runs
 mapInPandas (no shuffle) and downstream analytics select only the small
@@ -498,11 +501,13 @@ def sample_frames(
     REAL demux for MP4 payloads (r10): operators.mp4 parses the ISO-BMFF
     sample tables — true per-frame byte ranges, timestamps, keyframe
     flags — and each sampled grid point emits the coded bytes of the
-    LAST sample at-or-before it (frame PIXELS stay honestly out of
-    scope: that's a codec, and decoding is the stage after sampling).
-    Non-MP4 / corrupt / fragmented payloads keep the deterministic fake
-    path ('duration' = payload length in ms, 'frame' = a 16-byte slice)
-    so the pipeline never dies on an unparseable container."""
+    LAST sample at-or-before it. For MJPEG tracks those bytes are
+    standalone JPEGs that extract_frame_features decodes to REAL pixels;
+    entropy-coded codecs (H.264/H.265) stay honestly gated at the decode
+    stage. Non-MP4 / corrupt / fragmented payloads keep the
+    deterministic fake path ('duration' = payload length in ms,
+    'frame' = a 16-byte slice) so the pipeline never dies on an
+    unparseable container."""
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .mp4 import parse_mp4
@@ -576,3 +581,51 @@ def sample_frames(
     cols = df.select(F.col(id_col).alias("id"), "payload")
     ensure_shipped(df.sparkSession)
     return cols.mapInPandas(work, schema=FRAME_SCHEMA)
+
+
+FRAME_FEATURE_SCHEMA = (
+    "id long, frame_index int, ts_ms long, n_bytes long, "
+    "width int, height int, feat array<float>"
+)
+
+
+def extract_frame_features(
+    df: DataFrame, every_ms: int = 1000, id_col: str = "id"
+) -> DataFrame:
+    """Video frames -> per-frame pixel features: sample_frames' coded
+    sample bytes fed straight into the image decoder. For MJPEG tracks
+    (stsd fourcc 'jpeg'/'mjpa' — every sample is a standalone JPEG) this
+    is REAL video pixel decode end to end: real demux (operators.mp4) ->
+    real JPEG decode (operators.jpeg) -> pixel statistics, no codec
+    library anywhere. Entropy-coded codecs (H.264/H.265) decode to the
+    deterministic fake features per frame, same fallback contract as
+    extract_features. Two mapInPandas passes, both 1:N with no shuffle:
+    the video payload is read once, only the (small) sampled frames flow
+    to the decode stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                frame = bytes(rec.frame)
+                try:
+                    width, height, img = decode_image(frame)
+                    feat = _pixel_features(width, height, img)
+                except (NotImplementedError, ValueError):
+                    width, height, feat = _fake_decode(frame)
+                rows.append(
+                    {
+                        "id": rec.id,
+                        "frame_index": rec.frame_index,
+                        "ts_ms": rec.ts_ms,
+                        "n_bytes": len(frame),
+                        "width": width,
+                        "height": height,
+                        "feat": feat,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    frames = sample_frames(df, every_ms=every_ms, id_col=id_col)
+    ensure_shipped(df.sparkSession)
+    return frames.mapInPandas(run, schema=FRAME_FEATURE_SCHEMA)

@@ -457,7 +457,9 @@ def _full(fourcc: bytes, body: bytes, version=0, flags=0) -> bytes:
     return _box(fourcc, _s.pack(">B3s", version, flags.to_bytes(3, "big")) + body)
 
 
-def _make_mp4(frames: list[bytes], timescale=1000, delta=500, syncs=(1,)):
+def _make_mp4(
+    frames: list[bytes], timescale=1000, delta=500, syncs=(1,), codec=b"avc1"
+):
     """Minimal unfragmented MP4: one video track, one chunk holding every
     sample back-to-back in mdat, 2 fps at the default delta."""
     import struct as _s
@@ -468,7 +470,7 @@ def _make_mp4(frames: list[bytes], timescale=1000, delta=500, syncs=(1,)):
     # moov is assembled twice: first pass with offset 0 to learn its size,
     # then with the real mdat payload offset
     def moov_bytes(chunk_off: int) -> bytes:
-        stsd = _full(b"stsd", _s.pack(">I", 1) + _box(b"avc1", b"\x00" * 78))
+        stsd = _full(b"stsd", _s.pack(">I", 1) + _box(codec, b"\x00" * 78))
         stts = _full(b"stts", _s.pack(">III", 1, n, delta))
         stss = _full(
             b"stss", _s.pack(">I", len(syncs)) + b"".join(_s.pack(">I", s) for s in syncs)
@@ -596,3 +598,52 @@ def test_mp4_absurd_duration_bounded_fan_out(spark):
     )
     out = mm.sample_frames(df, every_ms=1000).toPandas()
     assert 1 <= len(out) <= 8 * len(frames) + 64
+
+
+def test_mjpeg_video_real_pixel_decode(spark):
+    """REAL video pixel decode end to end: an unfragmented MP4 whose
+    track is MJPEG (stsd fourcc 'jpeg', every sample a standalone
+    baseline JPEG) flows demux -> frame sampling -> JPEG decode -> pixel
+    features with true dimensions and per-frame means. Frame 0 is dark
+    (mean 40), frame 1 bright (mean 200) — the features must track the
+    actual pixels of the RIGHT frame at each grid point."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "tests")
+    from test_jpeg import _encode_gray
+
+    from surge_spark.operators.multimodal import extract_frame_features
+
+    dark = _encode_gray(np.full((16, 24), 40, np.uint8))
+    bright = _encode_gray(np.full((16, 24), 200, np.uint8))
+    payload = _make_mp4(
+        [dark, bright], timescale=1000, delta=500, codec=b"jpeg"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [7], "payload": [payload], "mime": ["video/mp4"]})
+    )
+    rows = sorted(
+        extract_frame_features(df, every_ms=500).collect(),
+        key=lambda r: r.frame_index,
+    )
+    assert len(rows) == 2
+    for r, expect_mean in zip(rows, (40 / 255.0, 200 / 255.0)):
+        assert (r.width, r.height) == (24, 16)
+        assert abs(r.feat[3] - expect_mean) < 2 / 255.0, (r.frame_index, r.feat)
+    assert rows[0].ts_ms == 0 and rows[1].ts_ms == 500
+
+
+def test_frame_features_entropy_codec_falls_back(spark):
+    """An avc1 (H.264) track's samples are not standalone images: the
+    decode stage must route every frame to the deterministic fake
+    features, never die."""
+    from surge_spark.operators.multimodal import extract_frame_features
+
+    payload = _make_mp4([b"\x00\x00\x01A" * 10], codec=b"avc1")
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "payload": [payload], "mime": ["video/mp4"]})
+    )
+    rows = extract_frame_features(df, every_ms=500).collect()
+    assert rows and all(r.width > 0 and len(r.feat) == 8 for r in rows)
