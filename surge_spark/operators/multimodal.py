@@ -4,15 +4,16 @@ with typed metadata, processed via Arrow-batched mapInPandas.
 The Spark-side contract is real and tested — schema, partition sizing, UDF
 signature, batch shape. Decode is REAL for the formats the standard
 library can parse — BMP (24-bit) and PPM (P6) via struct + numpy, PNG
-(8-bit grey/RGB/RGBA non-interlaced: zlib inflate + the five filter
-reconstructions), JPEG both baseline AND progressive (full marker/
+in FULL (every legal depth/color-type/interlace combination: zlib
+inflate + the five filter reconstructions + PLTE + Adam7), JPEG both
+baseline AND progressive (full marker/
 Huffman/successive-approximation/IDCT decode in operators.jpeg — no
 codec library), GIF (full LZW + interlace in operators.gif), WAV audio
 via the ``wave`` module, and MJPEG video pixels end to end (real MP4
 demux in operators.mp4 + per-sample JPEG decode,
 ``extract_frame_features``) — and gated for everything else (this
 container has no imaging/audio codecs): ``decode_image`` raises
-NotImplementedError for arithmetic JPEG and exotic-PNG unless Pillow is
+NotImplementedError for arithmetic JPEG unless Pillow is
 importable, and ``extract_features`` falls back to a deterministic fake
 decoder for payloads it cannot sniff, so pipelines stay end-to-end
 testable on any input.
@@ -136,18 +137,24 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _png_reconstruct(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+def _png_reconstruct(
+    raw: bytes, stride: int, h: int, bpp: int, offset: int = 0
+) -> tuple[np.ndarray, int]:
     """Undo PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth).
-    ``raw`` is the inflated datastream: h rows of (1 filter byte +
-    w*ch sample bytes). Row-vectorized where the filter allows (None/Up);
-    Sub/Average/Paeth carry an in-row serial dependency, done per-pixel on
-    the row (images decoded here are thumbnails/test fixtures; production
-    routes compressed formats through a codec library anyway)."""
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
+    ``raw[offset:]`` holds h rows of (1 filter byte + ``stride`` sample
+    bytes); ``bpp`` is the filter's byte distance (bytes per complete
+    pixel, min 1 — so 1 for sub-byte depths, 2*ch for 16-bit). Returns
+    (rows, bytes consumed) so Adam7 passes can chain through one
+    datastream. Row-vectorized where the filter allows (None/Up);
+    Sub/Average/Paeth carry an in-row serial dependency, done per-pixel
+    on the row (images decoded here are thumbnails/test fixtures;
+    production routes compressed formats through a codec library
+    anyway)."""
+    need = h * (stride + 1)
+    if len(raw) - offset < need:
         raise ValueError("truncated PNG datastream")
     out = np.zeros((h, stride), dtype=np.uint8)
-    pos = 0
+    pos = offset
     for y in range(h):
         ftype = raw[pos]
         row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
@@ -162,28 +169,79 @@ def _png_reconstruct(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
             r = row.astype(np.int32)
             p = prev.astype(np.int32)
             for i in range(stride):
-                a = int(cur[i - ch]) if i >= ch else 0
+                a = int(cur[i - bpp]) if i >= bpp else 0
                 if ftype == 1:  # Sub
                     cur[i] = (r[i] + a) & 0xFF
                 elif ftype == 3:  # Average
                     cur[i] = (r[i] + ((a + int(p[i])) >> 1)) & 0xFF
                 else:  # Paeth
                     b = int(p[i])
-                    c = int(p[i - ch]) if i >= ch else 0
+                    c = int(p[i - bpp]) if i >= bpp else 0
                     pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                     cur[i] = (r[i] + pred) & 0xFF
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
-    return out
+    return out, need
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass (spec §8.2)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_rows_to_rgb(
+    rows: np.ndarray, w: int, h: int, bit_depth: int, color_type: int,
+    palette: np.ndarray | None,
+) -> np.ndarray:
+    """Reconstructed scanline bytes -> (h, w, 3) uint8 RGB: sub-byte
+    sample unpacking (grey scaled to full range, palette looked up),
+    16-bit high-byte reduction, alpha dropped (training features read
+    RGB — same policy as RGBA and GIF transparency)."""
+    ch = _PNG_CHANNELS[color_type]
+    if bit_depth < 8:  # grey (0) or palette (3) only, per spec
+        bits = np.unpackbits(rows, axis=1)
+        n = bits.shape[1] // bit_depth
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        samples = (
+            bits[:, : n * bit_depth].reshape(h, n, bit_depth) * weights
+        ).sum(axis=2)[:, :w]
+        if color_type == 0:
+            g = (samples * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
+            return np.stack([g, g, g], axis=-1)
+        idx = samples.astype(np.int64)
+        if palette is None or (idx >= len(palette)).any():
+            raise ValueError("PNG palette index beyond PLTE")
+        return palette[idx]
+    if bit_depth == 16:
+        px = rows[:, : w * ch * 2].reshape(h, w, ch, 2)[..., 0]  # high byte
+    else:
+        px = rows[:, : w * ch].reshape(h, w, ch)
+    if color_type == 3:
+        idx = px[..., 0].astype(np.int64)
+        if palette is None or (idx >= len(palette)).any():
+            raise ValueError("PNG palette index beyond PLTE")
+        return palette[idx]
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 4:  # grey + alpha: replicate grey, drop alpha
+        g = px[..., 0]
+        return np.stack([g, g, g], axis=-1)
+    return np.ascontiguousarray(px[..., :3])  # RGB / RGBA
 
 
 def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Real stdlib PNG decode: critical-chunk parse (struct), zlib inflate,
-    and the five filter reconstructions — 8-bit greyscale / RGB / RGBA,
-    non-interlaced (the overwhelmingly common encoder output). Palette and
-    Adam7 stay behind the codec-library gate. PNG's compression IS zlib
-    DEFLATE (spec §10), so no codec library is needed for this subset."""
+    """Real stdlib PNG decode: critical-chunk parse (struct), zlib
+    inflate, the five filter reconstructions, EVERY legal bit depth
+    (1/2/4/8/16 — sub-byte samples unpacked, 16-bit reduced to the high
+    byte), every color type (grey, RGB, palette via PLTE, grey+alpha,
+    RGBA — alpha dropped, tRNS not composited, the GIF policy), and
+    Adam7 interlacing (seven per-pass filtered sub-images scattered back
+    into the raster). PNG's compression IS zlib DEFLATE (spec §10), so
+    no codec library is needed for ANY of it."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
@@ -191,6 +249,7 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     pos = 8
     ihdr = None
     idat = bytearray()
+    palette = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -200,6 +259,10 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             if len(data) < 13:
                 raise ValueError("truncated PNG IHDR")
             ihdr = struct.unpack(">IIBBBBB", data[:13])
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("malformed PNG PLTE")
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -209,39 +272,57 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
     if w == 0 or h == 0:
         raise ValueError("PNG declares zero dimensions")
-    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
-        raise NotImplementedError(
-            "stdlib PNG path covers 8-bit non-interlaced greyscale/RGB/RGBA; "
-            "palette/16-bit/Adam7 need a codec library"
+    if w * h > 64_000_000:
+        raise ValueError("PNG declares unreasonable dimensions")
+    ch = _PNG_CHANNELS.get(color_type)
+    legal_depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(
+        color_type, (8, 16)
+    )
+    if ch is None or bit_depth not in legal_depths or interlace not in (0, 1):
+        raise ValueError(
+            f"illegal PNG depth/color/interlace combination "
+            f"({bit_depth}/{color_type}/{interlace})"
         )
-    ch = {0: 1, 2: 3, 6: 4}[color_type]
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         # corrupt IDAT must surface as ValueError so the extract/resize
         # fallback catches it — one bad file must not kill the Spark task
         raise ValueError(f"corrupt PNG datastream: {e}") from e
-    px = _png_reconstruct(raw, w, h, ch).reshape(h, w, ch)
-    if ch == 1:
-        img = np.repeat(px, 3, axis=2)
-    elif ch == 4:
-        img = px[..., :3]  # drop alpha (training features read RGB)
-    else:
-        img = px
+    bits_pp = bit_depth * ch
+    bpp = max(1, bits_pp // 8)
+    if interlace == 0:
+        stride = -(-(w * bits_pp) // 8)
+        rows, _ = _png_reconstruct(raw, stride, h, bpp)
+        img = _png_rows_to_rgb(rows, w, h, bit_depth, color_type, palette)
+        return w, h, np.ascontiguousarray(img)
+    img = np.zeros((h, w, 3), np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = -(-(pw * bits_pp) // 8)
+        rows, consumed = _png_reconstruct(raw, stride, ph, bpp, offset=off)
+        off += consumed
+        img[y0::dy, x0::dx] = _png_rows_to_rgb(
+            rows, pw, ph, bit_depth, color_type, palette
+        )
     return w, h, np.ascontiguousarray(img)
 
 
 def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode an image payload to (width, height, HxWx3 uint8 RGB).
 
-    Real stdlib decode for BMP (24-bit), PPM (P6), PNG (8-bit
-    grey/RGB/RGBA, non-interlaced — zlib DEFLATE + struct + numpy),
-    JPEG (baseline SOF0/SOF1 AND progressive SOF2 — full marker/Huffman/
+    Real stdlib decode for BMP (24-bit), PPM (P6), PNG in full (all
+    legal depths 1-16, grey/RGB/palette/alpha color types, Adam7
+    interlace — zlib DEFLATE + struct + numpy), JPEG (baseline
+    SOF0/SOF1 AND progressive SOF2 — full marker/Huffman/
     successive-approximation/IDCT decode in operators.jpeg, no codec
     library) and GIF (87a/89a, full LZW + interlace, first frame —
-    operators.gif). Arithmetic-coded JPEG and the exotic PNG variants
-    still need a codec library this container lacks — gated honestly
-    behind the Pillow import."""
+    operators.gif). Arithmetic-coded JPEG still needs a codec library
+    this container lacks — gated honestly behind the Pillow import."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":

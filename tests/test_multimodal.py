@@ -343,28 +343,194 @@ def test_png_through_extract_features(spark):
     assert abs(row.feat[3] - 128 / 255.0) < 1e-6
 
 
-def test_png_interlaced_or_palette_stays_gated():
+def _png_chunk(ctype, data):
+    import struct as _s
+    import zlib as _z
+
+    return (
+        _s.pack(">I", len(data))
+        + ctype
+        + data
+        + _s.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_pack_row(samples_row, bit_depth):
+    """One scanline's samples -> raw bytes (bit-packed / BE-16 / bytes)."""
+    import numpy as np
+
+    if bit_depth < 8:
+        bits = (
+            (samples_row[:, None] >> np.arange(bit_depth - 1, -1, -1)) & 1
+        ).reshape(-1)
+        return np.packbits(bits.astype(np.uint8)).tobytes()
+    if bit_depth == 16:
+        return samples_row.astype(">u2").tobytes()
+    return samples_row.astype(np.uint8).tobytes()
+
+
+def _png_filter_rows(rows_bytes, bpp, filters):
+    """Apply the spec's FORWARD filter transform (the decoder inverts)."""
+    import numpy as np
+
+    out = bytearray()
+    prev = np.zeros(len(rows_bytes[0]), np.int32)
+    for y, rb in enumerate(rows_bytes):
+        row = np.frombuffer(rb, np.uint8).astype(np.int32)
+        f = filters[y]
+        enc = np.zeros(len(row), np.int32)
+        for i in range(len(row)):
+            a = int(row[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            if f == 0:
+                enc[i] = row[i]
+            elif f == 1:
+                enc[i] = row[i] - a
+            elif f == 2:
+                enc[i] = row[i] - b
+            elif f == 3:
+                enc[i] = row[i] - ((a + b) >> 1)
+            else:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = row[i] - pred
+        out.append(f)
+        out += (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+    return bytes(out)
+
+
+_ADAM7_T = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _make_png_v2(
+    samples, bit_depth, color_type, palette=None, interlace=0, filters=None
+):
+    """General PNG builder: ``samples`` is (h, w, ch) ints (indices for
+    palette type); supports sub-byte/8/16 depths, PLTE, Adam7, per-row
+    filter choice (non-interlaced only)."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    samples = np.asarray(samples)
+    h, w, ch = samples.shape
+    bpp = max(1, bit_depth * ch // 8)
+
+    def pass_bytes(sub, fl):
+        rows = [_png_pack_row(sub[y].reshape(-1), bit_depth) for y in range(len(sub))]
+        return _png_filter_rows(rows, bpp, fl)
+
+    if interlace:
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7_T:
+            sub = samples[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            raw += pass_bytes(sub, [0] * len(sub))
+    else:
+        raw = pass_bytes(samples, filters or [0] * h)
+    ihdr = _s.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    out += _png_chunk(b"IDAT", _z.compress(raw)) + _png_chunk(b"IEND", b"")
+    return out
+
+
+def test_png_palette_subbyte_decode():
+    import numpy as np
+
+    from surge_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(37)
+    palette = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (5, 9))  # 4-bit indices, odd width
+    payload = _make_png_v2(idx[..., None], 4, 3, palette=palette)
+    w, h, img = decode_image(payload)
+    assert (w, h) == (9, 5)
+    assert (img == palette[idx]).all()
+
+
+def test_png_grey_2bit_scaled_to_full_range():
+    import numpy as np
+
+    from surge_spark.operators.multimodal import decode_image
+
+    g = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 3]])
+    payload = _make_png_v2(g[..., None], 2, 0)
+    _, _, img = decode_image(payload)
+    assert (img[..., 0] == g * 85).all()
+    assert (img[..., 0] == img[..., 1]).all()
+
+
+def test_png_16bit_rgb_sub_filter_high_byte():
+    """16-bit RGB with the Sub filter: pins the bpp=6 filter distance
+    (a wrong distance scrambles every pixel after the first)."""
+    import numpy as np
+
+    from surge_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(41)
+    px16 = rng.randint(0, 65536, (4, 7, 3))
+    payload = _make_png_v2(px16, 16, 2, filters=[1, 4, 3, 2])
+    w, h, img = decode_image(payload)
+    assert (w, h) == (7, 4)
+    assert (img == (px16 >> 8).astype(np.uint8)).all()
+
+
+def test_png_grey_alpha_drops_alpha():
+    import numpy as np
+
+    from surge_spark.operators.multimodal import decode_image
+
+    ga = np.stack(
+        [np.arange(12).reshape(3, 4) * 20, np.full((3, 4), 7)], axis=-1
+    )
+    payload = _make_png_v2(ga, 8, 4)
+    _, _, img = decode_image(payload)
+    assert (img[..., 0] == ga[..., 0]).all()
+    assert (img[..., 2] == ga[..., 0]).all()
+
+
+def test_png_adam7_equals_progressive_scan():
+    import numpy as np
+
+    from surge_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(43)
+    px = rng.randint(0, 256, (5, 9, 3))  # odd dims: partial passes
+    _, _, plain = decode_image(_make_png_v2(px, 8, 2, interlace=0))
+    _, _, laced = decode_image(_make_png_v2(px, 8, 2, interlace=1))
+    assert (plain == laced).all()
+    # interlaced sub-byte palette too: pass strides are per-pass bit-packed
+    palette = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+    idx = rng.randint(0, 4, (6, 11))
+    _, _, got = decode_image(
+        _make_png_v2(idx[..., None], 2, 3, palette=palette, interlace=1)
+    )
+    assert (got == palette[idx]).all()
+
+
+def test_png_illegal_combo_and_bad_palette_raise():
+    import numpy as np
     import pytest
 
     from surge_spark.operators.multimodal import decode_image
 
-    import struct as _s
-    import zlib as _z
-
-    def chunk(ctype, data):
-        return (
-            _s.pack(">I", len(data))
-            + ctype
-            + data
-            + _s.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
-        )
-
-    # interlace=1 (Adam7) header
-    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
-    payload = (
-        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    # depth 2 with RGB is spec-illegal
+    with pytest.raises(ValueError):
+        decode_image(_make_png_v2(np.zeros((2, 2, 3), int), 2, 2))
+    # palette index beyond PLTE
+    payload = _make_png_v2(
+        np.full((2, 2, 1), 3, int), 2, 3, palette=np.zeros((2, 3), np.uint8)
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(payload)
 
 
