@@ -56,9 +56,11 @@ def to_binary_payload(
 
 
 def _decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Real 24-bit uncompressed BMP decode with stdlib struct + numpy:
-    returns (width, height, HxWx3 uint8 RGB array). BMP rows are stored
-    bottom-up (positive height) and padded to 4-byte boundaries."""
+    """Real uncompressed BMP decode with stdlib struct + numpy: 24-bit
+    BGR, 32-bit BGRA (alpha/padding byte dropped) and 8-bit paletted
+    (BGRX color table after the DIB header). Returns (width, height,
+    HxWx3 uint8 RGB). Rows are stored bottom-up (positive height) and
+    padded to 4-byte boundaries."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     pixel_off = struct.unpack_from("<I", payload, 10)[0]
@@ -68,8 +70,10 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
     w, h = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if bpp != 24 or compression != 0:
-        raise ValueError("only uncompressed 24-bit BMP is stdlib-decodable")
+    if bpp not in (8, 24, 32) or compression != 0:
+        raise ValueError(
+            "only uncompressed 8/24/32-bit BMP is stdlib-decodable"
+        )
     bottom_up = h > 0
     h = abs(h)
     if w <= 0 or h == 0:
@@ -77,21 +81,36 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
         # resize path divides by max(ow, oh)=0 — route through the
         # fake-decode fallback instead of killing the Spark task
         raise ValueError("BMP declares non-positive dimensions")
-    row_size = (w * 3 + 3) & ~3
+    if w * h > 64_000_000:
+        raise ValueError("BMP declares unreasonable dimensions")
+    nbytes = bpp // 8
+    row_size = (w * nbytes + 3) & ~3
     if pixel_off + row_size * h > len(payload):
         raise ValueError("truncated BMP pixel data")
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=row_size * h, offset=pixel_off
-    ).reshape(h, row_size)[:, : w * 3]
-    img = rows.reshape(h, w, 3)[..., ::-1]  # stored BGR
+    ).reshape(h, row_size)[:, : w * nbytes]
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        tbl = np.frombuffer(
+            payload, np.uint8, count=n_colors * 4, offset=14 + dib_size
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        idx = rows.astype(np.int64)
+        if (idx >= n_colors).any():
+            raise ValueError("BMP palette index beyond color table")
+        img = tbl[idx]
+    else:
+        img = rows.reshape(h, w, nbytes)[..., :3][..., ::-1]  # BGR(A) -> RGB
     if bottom_up:
         img = img[::-1]
     return w, h, np.ascontiguousarray(img)
 
 
 def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Real binary-PPM (P6, maxval ≤ 255) decode: ASCII header tokens
-    (comments allowed) then raw RGB bytes."""
+    """Real binary-PPM (P6) decode at ANY legal maxval: ASCII header
+    tokens (comments allowed) then raw RGB samples — one byte each for
+    maxval <= 255, big-endian two-byte for 256..65535 (spec: "plain" and
+    wide P6), scaled to 0..255 output when maxval != 255."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     pos, tokens = 2, []
@@ -110,9 +129,12 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
     w, h, maxval = tokens
     if w <= 0 or h <= 0:
         raise ValueError("PPM declares non-positive dimensions")
-    if maxval > 255:
-        raise ValueError("16-bit PPM not supported")
-    need = w * h * 3
+    if not 0 < maxval < 65536:
+        raise ValueError(f"PPM maxval {maxval} out of range")
+    if w * h > 64_000_000:
+        raise ValueError("PPM declares unreasonable dimensions")
+    wide = maxval > 255
+    need = w * h * 3 * (2 if wide else 1)
     if (
         payload[pos - 1 : pos] == b"\r"
         and payload[pos : pos + 1] == b"\n"
@@ -128,10 +150,17 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
         pos += 1
     if pos + need > len(payload):
         raise ValueError("truncated PPM pixel data")
-    img = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos).reshape(
-        h, w, 3
-    )
-    return w, h, img
+    if wide:
+        v = np.frombuffer(
+            payload, dtype=">u2", count=w * h * 3, offset=pos
+        ).reshape(h, w, 3)
+    else:
+        v = np.frombuffer(
+            payload, dtype=np.uint8, count=need, offset=pos
+        ).reshape(h, w, 3)
+    if maxval != 255:
+        v = np.round(v.astype(np.float64) * (255.0 / maxval))
+    return w, h, np.ascontiguousarray(v.astype(np.uint8))
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -813,3 +813,54 @@ def test_frame_features_entropy_codec_falls_back(spark):
     )
     rows = extract_frame_features(df, every_ms=500).collect()
     assert rows and all(r.width > 0 and len(r.feat) == 8 for r in rows)
+
+
+def test_bmp_32bit_and_8bit_palette_decode():
+    import struct as _s
+
+    import numpy as np
+
+    from surge_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(47)
+    px = rng.randint(0, 256, (3, 5, 3)).astype(np.uint8)
+    # 32-bit BGRA, bottom-up
+    rows32 = b""
+    for row in px[::-1]:
+        rows32 += b"".join(bytes((b, g, r, 0xAA)) for r, g, b in row)
+    hdr = _s.pack("<2sIHHI", b"BM", 54 + len(rows32), 0, 0, 54)
+    dib = _s.pack("<IiiHHIIiiII", 40, 5, 3, 1, 32, 0, len(rows32), 0, 0, 0, 0)
+    w, h, img = decode_image(hdr + dib + rows32)
+    assert (w, h) == (5, 3) and (img == px).all()
+
+    # 8-bit paletted, 16-entry table, width 5 needs row padding to 8
+    palette = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (3, 5)).astype(np.uint8)
+    table = b"".join(bytes((b, g, r, 0)) for r, g, b in palette)
+    pixel_off = 54 + len(table)
+    rows8 = b""
+    for row in idx[::-1]:
+        rows8 += row.tobytes() + b"\x00" * 3  # pad 5 -> 8
+    hdr = _s.pack("<2sIHHI", b"BM", pixel_off + len(rows8), 0, 0, pixel_off)
+    dib = _s.pack("<IiiHHIIiiII", 40, 5, 3, 1, 8, 0, len(rows8), 0, 0, 16, 0)
+    w, h, img = decode_image(hdr + dib + table + rows8)
+    assert (w, h) == (5, 3) and (img == palette[idx]).all()
+
+
+def test_ppm_wide_maxval_and_scaling():
+    import numpy as np
+
+    from surge_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(53)
+    # 16-bit samples at maxval 65535: output is round(v*255/65535)
+    v16 = rng.randint(0, 65536, (2, 3, 3))
+    payload = b"P6\n3 2\n65535\n" + v16.astype(">u2").tobytes()
+    w, h, img = decode_image(payload)
+    assert (w, h) == (3, 2)
+    assert (img == np.round(v16 * 255.0 / 65535).astype(np.uint8)).all()
+    # single-byte low maxval scales too (spec: samples are 0..maxval)
+    v4 = rng.randint(0, 16, (2, 2, 3))
+    payload = b"P6\n2 2\n15\n" + v4.astype(np.uint8).tobytes()
+    _, _, img = decode_image(payload)
+    assert (img == np.round(v4 * 17.0).astype(np.uint8)).all()
