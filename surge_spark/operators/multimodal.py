@@ -3,7 +3,8 @@ with typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side contract is real and tested — schema, partition sizing, UDF
 signature, batch shape. Decode is REAL for the formats the standard
-library can parse — BMP (24-bit) and PPM (P6) via struct + numpy, PNG
+library can parse — BMP (8-bit paletted / 24 / 32-bit) and PPM (P6 at
+any legal maxval) via struct + numpy, PNG
 in FULL (every legal depth/color-type/interlace combination: zlib
 inflate + the five filter reconstructions + PLTE + Adam7), JPEG both
 baseline AND progressive (full marker/
@@ -159,6 +160,11 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
             payload, dtype=np.uint8, count=need, offset=pos
         ).reshape(h, w, 3)
     if maxval != 255:
+        if int(v.max(initial=0)) > maxval:
+            # a sample past maxval is spec-invalid; scaling it would cast
+            # out of uint8 range (undefined wraparound -> silent garbage
+            # features) — refuse like the palette-index checks do
+            raise ValueError("PPM sample exceeds declared maxval")
         v = np.round(v.astype(np.float64) * (255.0 / maxval))
     return w, h, np.ascontiguousarray(v.astype(np.uint8))
 
@@ -166,8 +172,19 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+# total Average/Paeth-filtered bytes one PNG may decode serially (the
+# per-byte Python recurrence): ~4 MB is seconds of CPU; a legit thumbnail
+# is far under it, a crafted huge-raster file falls back to fake-decode
+_PNG_SERIAL_BUDGET = 4_000_000
+
+
 def _png_reconstruct(
-    raw: bytes, stride: int, h: int, bpp: int, offset: int = 0
+    raw: bytes,
+    stride: int,
+    h: int,
+    bpp: int,
+    offset: int = 0,
+    budget: list[int] | None = None,
 ) -> tuple[np.ndarray, int]:
     """Undo PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth).
     ``raw[offset:]`` holds h rows of (1 filter byte + ``stride`` sample
@@ -182,6 +199,8 @@ def _png_reconstruct(
     need = h * (stride + 1)
     if len(raw) - offset < need:
         raise ValueError("truncated PNG datastream")
+    if budget is None:
+        budget = [_PNG_SERIAL_BUDGET]
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = offset
     for y in range(h):
@@ -193,15 +212,33 @@ def _png_reconstruct(
             out[y] = row
         elif ftype == 2:  # Up
             out[y] = (row.astype(np.int32) + prev).astype(np.uint8)
-        elif ftype in (1, 3, 4):
+        elif ftype == 1:  # Sub: per-lane running sum mod 256 — exact and
+            # vectorized (out[i] = raw[i] + out[i-bpp] is a cumulative
+            # sum along each of the bpp byte lanes)
+            pad = (-stride) % bpp
+            lanes = np.pad(row.astype(np.int64), (0, pad)).reshape(-1, bpp)
+            out[y] = (
+                np.cumsum(lanes, axis=0).reshape(-1)[:stride] & 0xFF
+            ).astype(np.uint8)
+        elif ftype in (3, 4):
+            # Average/Paeth carry a genuinely serial nonlinear in-row
+            # recurrence — per-byte Python. Budget the total serial work:
+            # past it, a crafted tiny-payload/huge-raster PNG would pin
+            # an executor core for minutes (the CPU-bomb twin of the
+            # zlib size bomb); legit thumbnails stay far under it, and
+            # oversized files route to the fake-decode fallback
+            budget[0] -= stride
+            if budget[0] < 0:
+                raise ValueError(
+                    "PNG serial-filter (Average/Paeth) work exceeds the "
+                    "stdlib decode budget"
+                )
             cur = out[y]
             r = row.astype(np.int32)
             p = prev.astype(np.int32)
             for i in range(stride):
                 a = int(cur[i - bpp]) if i >= bpp else 0
-                if ftype == 1:  # Sub
-                    cur[i] = (r[i] + a) & 0xFF
-                elif ftype == 3:  # Average
+                if ftype == 3:  # Average
                     cur[i] = (r[i] + ((a + int(p[i])) >> 1)) & 0xFF
                 else:  # Paeth
                     b = int(p[i])
@@ -312,28 +349,45 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             f"illegal PNG depth/color/interlace combination "
             f"({bit_depth}/{color_type}/{interlace})"
         )
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        # corrupt IDAT must surface as ValueError so the extract/resize
-        # fallback catches it — one bad file must not kill the Spark task
-        raise ValueError(f"corrupt PNG datastream: {e}") from e
     bits_pp = bit_depth * ch
     bpp = max(1, bits_pp // 8)
+    # the exact inflated size is a pure function of the header — bound
+    # the inflate to it, or a 1x1-declared payload carrying a 1000:1
+    # zlib bomb would allocate the full inflated stream (MemoryError /
+    # executor OOM, outside the ValueError fallback contract) before any
+    # length check ran
     if interlace == 0:
-        stride = -(-(w * bits_pp) // 8)
-        rows, _ = _png_reconstruct(raw, stride, h, bpp)
-        img = _png_rows_to_rgb(rows, w, h, bit_depth, color_type, palette)
-        return w, h, np.ascontiguousarray(img)
-    img = np.zeros((h, w, 3), np.uint8)
-    off = 0
-    for x0, y0, dx, dy in _ADAM7:
+        passes = [(0, 0, 1, 1)]
+    else:
+        passes = _ADAM7
+    expected = 0
+    geom = []
+    for x0, y0, dx, dy in passes:
         pw = (w - x0 + dx - 1) // dx if w > x0 else 0
         ph = (h - y0 + dy - 1) // dy if h > y0 else 0
         if pw <= 0 or ph <= 0:
             continue
         stride = -(-(pw * bits_pp) // 8)
-        rows, consumed = _png_reconstruct(raw, stride, ph, bpp, offset=off)
+        geom.append((x0, y0, dx, dy, pw, ph, stride))
+        expected += ph * (stride + 1)
+    try:
+        raw = zlib.decompressobj().decompress(bytes(idat), expected)
+    except zlib.error as e:
+        # corrupt IDAT must surface as ValueError so the extract/resize
+        # fallback catches it — one bad file must not kill the Spark task
+        raise ValueError(f"corrupt PNG datastream: {e}") from e
+    budget = [_PNG_SERIAL_BUDGET]
+    if interlace == 0:
+        _, _, _, _, _, _, stride = geom[0]
+        rows, _ = _png_reconstruct(raw, stride, h, bpp, budget=budget)
+        img = _png_rows_to_rgb(rows, w, h, bit_depth, color_type, palette)
+        return w, h, np.ascontiguousarray(img)
+    img = np.zeros((h, w, 3), np.uint8)
+    off = 0
+    for x0, y0, dx, dy, pw, ph, stride in geom:
+        rows, consumed = _png_reconstruct(
+            raw, stride, ph, bpp, offset=off, budget=budget
+        )
         off += consumed
         img[y0::dy, x0::dx] = _png_rows_to_rgb(
             rows, pw, ph, bit_depth, color_type, palette
@@ -344,7 +398,8 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
 def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode an image payload to (width, height, HxWx3 uint8 RGB).
 
-    Real stdlib decode for BMP (24-bit), PPM (P6), PNG in full (all
+    Real stdlib decode for BMP (8-bit paletted / 24 / 32-bit), PPM (P6,
+    any legal maxval), PNG in full (all
     legal depths 1-16, grey/RGB/palette/alpha color types, Adam7
     interlace — zlib DEFLATE + struct + numpy), JPEG (baseline
     SOF0/SOF1 AND progressive SOF2 — full marker/Huffman/
@@ -734,7 +789,15 @@ def extract_frame_features(
                         "feat": feat,
                     }
                 )
-            yield pd.DataFrame(rows)
+            # explicit columns: an empty batch must yield a zero-ROW
+            # frame, not a zero-COLUMN one (schema-match kills the task)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "frame_index", "ts_ms", "n_bytes",
+                    "width", "height", "feat",
+                ],
+            )
 
     frames = sample_frames(df, every_ms=every_ms, id_col=id_col)
     ensure_shipped(df.sparkSession)

@@ -773,12 +773,9 @@ def test_mjpeg_video_real_pixel_decode(spark):
     features with true dimensions and per-frame means. Frame 0 is dark
     (mean 40), frame 1 bright (mean 200) — the features must track the
     actual pixels of the RIGHT frame at each grid point."""
-    import sys
-
     import numpy as np
 
-    sys.path.insert(0, "tests")
-    from test_jpeg import _encode_gray
+    from test_jpeg import _encode_gray  # pytest puts tests/ on sys.path
 
     from surge_spark.operators.multimodal import extract_frame_features
 
@@ -864,3 +861,69 @@ def test_ppm_wide_maxval_and_scaling():
     payload = b"P6\n2 2\n15\n" + v4.astype(np.uint8).tobytes()
     _, _, img = decode_image(payload)
     assert (img == np.round(v4 * 17.0).astype(np.uint8)).all()
+
+
+def test_png_zlib_bomb_bounded_and_serial_budget():
+    """Two decode-bomb guards (r10 review): (a) the inflate is bounded by
+    the header-derived raw size, so a 1x1-declared payload carrying a
+    huge zlib stream cannot allocate past it; (b) a tiny payload
+    declaring a big raster of Paeth rows hits the serial-work budget as
+    ValueError instead of pinning a core for minutes."""
+    import time
+    import zlib as _z
+
+    import numpy as np
+    import pytest
+
+    from surge_spark.operators.multimodal import decode_image
+
+    # (a) 1x1 grey PNG whose IDAT inflates to ~64 MB of zeros
+    import struct as _s
+    ihdr = _s.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(b"\x00" * 64_000_000))
+        + _png_chunk(b"IEND", b"")
+    )
+    t0 = time.time()
+    w, h, img = decode_image(bomb)  # bounded: only the 2 needed bytes inflate
+    assert (w, h) == (1, 1) and time.time() - t0 < 5
+
+    # (b) 4000x2000 grey, every row Paeth — 8M serial bytes > the 4M budget
+    ihdr = _s.pack(">IIBBBBB", 4000, 2000, 8, 0, 0, 0, 0)
+    raw = (b"\x04" + b"\x00" * 4000) * 2000
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    t0 = time.time()
+    with pytest.raises(ValueError, match="budget"):
+        decode_image(payload)
+    assert time.time() - t0 < 60
+
+
+def test_png_sub_filter_vectorized_exact():
+    """The Sub filter's lane-cumsum vectorization must be bit-exact
+    against the spec's serial definition, incl. mod-256 wraparound."""
+    import numpy as np
+
+    from surge_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(59)
+    px = rng.randint(0, 256, (6, 7, 3))
+    payload = _make_png_v2(px, 8, 2, filters=[1] * 6)
+    _, _, img = decode_image(payload)
+    assert (img == px).all()
+
+
+def test_ppm_sample_beyond_maxval_rejected():
+    import pytest
+
+    from surge_spark.operators.multimodal import decode_image
+
+    payload = b"P6\n2 1\n15\n" + bytes([255, 3, 3, 3, 3, 3])
+    with pytest.raises(ValueError, match="maxval"):
+        decode_image(payload)
