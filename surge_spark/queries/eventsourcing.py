@@ -937,3 +937,79 @@ def w_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.max("len").alias("longest_streak"),
     )
+
+
+@query(
+    "m_pareto_share",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, count(*) AS n FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                 CAST(sum(n) AS BIGINT) AS te FROM cnt),
+    r AS (
+      SELECT n,
+             row_number() OVER w AS rk,
+             sum(n) OVER w AS cum
+      FROM cnt
+      WINDOW w AS (ORDER BY n DESC, user_id)
+    )
+    SELECT CAST((rk - 1) * 10 // nu + 1 AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(round(max(cum) / CAST(te AS DOUBLE), 6) AS DOUBLE)
+             AS cum_share
+    FROM r, t
+    GROUP BY decile, te
+    """,
+)
+def m_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve concentration by user decile ("do 10% of users
+    produce 80% of events?") — the Pareto health check every platform
+    dashboard runs. Users are ranked by activity DESC; each decile row
+    carries its user/event counts and the CUMULATIVE event share at the
+    decile's end. Both the rank and the running event total come from
+    the exact two-pass distributed prefix sum (operators/text.py) over
+    ONE shared approxQuantile bounds action — no unpartitioned WindowExec
+    anywhere (a global ORDER BY window funnels every user through one
+    task; at 100 TB the user table alone is billions of rows). The final
+    share division happens once per decile on exact longs, so round(6)
+    is engine-stable. Oracle uses the textbook single-window form."""
+    from surge_spark.operators.text import distributed_prefix_sum
+
+    e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    cnt = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("__one", F.lit(1))
+        .persist()
+    )
+    tot = cnt.groupBy().agg(
+        F.count(F.lit(1)).alias("nu"), F.sum("n").alias("te")
+    )
+    (nb,) = cnt.stat.approxQuantile(["n"], [i / 16 for i in range(1, 16)], 0.001)
+    order = [F.col("n").desc(), F.col("user_id").asc()]
+    r1 = distributed_prefix_sum(
+        cnt, "__one", "n", order, descending=True, out_col="__rk", bounds=nb
+    )
+    r2 = distributed_prefix_sum(
+        r1, "n", "n", order, descending=True, out_col="__cum", bounds=nb
+    )
+    return (
+        r2.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("((__rk - 1) * 10) div nu + 1").alias("decile"),
+            "n",
+            "__cum",
+            "te",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n").alias("n_events"),
+            F.round(
+                F.max("__cum") / F.max("te").cast("double"), 6
+            ).alias("cum_share"),
+        )
+    )

@@ -719,6 +719,7 @@ def test_prefix_sum_entries_have_no_unpartitioned_window(spark, sf_dir):
         "t_pack_sequences",
         "t_token_budget_selection",
         "m_rfm_segmentation",
+        "m_pareto_share",
     ):
         plan = _plan(spark, sf_dir, name)
         n_windows = plan.count("Window [")
