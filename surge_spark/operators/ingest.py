@@ -1,0 +1,293 @@
+"""Web-archive ingestion: WARC record parsing and HTML text extraction —
+the first two stages of a CommonCrawl-style pretraining pipeline, pure
+stdlib (email-style header parse + gzip members; html.parser), running
+as Arrow-batched mapInPandas with no shuffle.
+
+WARC (ISO 28500) is the format web crawls actually ship in: a
+concatenation of records, each a header block of "Name: value" lines
+framed by Content-Length, optionally with every record its own gzip
+member (the CommonCrawl layout — stdlib zlib handles member-at-a-time
+inflation). ``parse_warc`` yields (warc_type, target_uri, http_status,
+content_type, body) per record, splitting the embedded HTTP response
+header off response records. ``extract_html_text`` runs a real
+html.parser pass: visible text (script/style/head subtrees dropped),
+the <title>, and link count — the boilerplate-free-text stage quality
+scoring and dedup consume downstream.
+
+Error contract matches the media decoders: malformed inputs raise
+ValueError (never IndexError/Unicode surprises escape the operator);
+the Spark operators route per-record failures to null fields rather
+than killing the Arrow batch. Decompression is bomb-clamped: a member
+may inflate to at most ``_MAX_RECORD`` bytes.
+
+Reference anchor: surge has no ingestion surface at all; this extends
+the pipeline-extras family (SURVEY §2 extension).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..session import ensure_shipped
+
+_MAX_RECORD = 64 * 1024 * 1024  # one record may not inflate past 64 MB
+
+
+def _split_headers(block: bytes) -> dict[str, str]:
+    """Parse a CRLF/LF header block of "Name: value" lines (names
+    case-folded); continuation lines and empty names rejected."""
+    headers: dict[str, str] = {}
+    for line in block.split(b"\n"):
+        line = line.rstrip(b"\r")
+        if not line:
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep or not name.strip():
+            raise ValueError(f"malformed WARC header line: {line[:60]!r}")
+        headers[name.strip().decode("latin-1").lower()] = value.strip().decode(
+            "latin-1"
+        )
+    return headers
+
+
+def _gunzip_members(payload: bytes) -> bytes:
+    """Inflate a concatenation of gzip members (the per-record-gzipped
+    CommonCrawl layout) into one plain byte stream, bomb-clamped."""
+    out = bytearray()
+    pos = 0
+    while pos < len(payload):
+        d = zlib.decompressobj(wbits=31)  # gzip wrapper
+        try:
+            out += d.decompress(payload[pos:], _MAX_RECORD + 1)
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member in WARC: {e}") from e
+        if len(out) > _MAX_RECORD:
+            raise ValueError("WARC gzip member exceeds inflate clamp")
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC")
+        consumed = len(payload) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return bytes(out)
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """Parse a WARC file (plain or per-record-gzipped) into records:
+    [{warc_type, target_uri, http_status, content_type, body}]. For
+    ``response`` records carrying an HTTP message, the status line and
+    HTTP headers are split off: ``http_status`` is the numeric status,
+    ``content_type`` the HTTP Content-Type, ``body`` the entity bytes.
+    Non-HTTP records report the WARC-level Content-Type and the raw
+    block as body."""
+    if payload[:2] == b"\x1f\x8b":
+        payload = _gunzip_members(payload)
+    records = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        # skip inter-record blank lines
+        while pos < n and payload[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            break
+        if not payload[pos : pos + 5] == b"WARC/":
+            raise ValueError("WARC record does not start with WARC/ version")
+        hdr_end = payload.find(b"\r\n\r\n", pos)
+        sep_len = 4
+        if hdr_end == -1:
+            hdr_end = payload.find(b"\n\n", pos)
+            sep_len = 2
+        if hdr_end == -1:
+            raise ValueError("unterminated WARC header block")
+        version_end = payload.find(b"\n", pos)
+        headers = _split_headers(payload[version_end + 1 : hdr_end])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError("WARC record missing Content-Length") from e
+        if not 0 <= length <= _MAX_RECORD:
+            raise ValueError(f"WARC Content-Length {length} out of range")
+        body_start = hdr_end + sep_len
+        if body_start + length > n:
+            raise ValueError("truncated WARC record body")
+        block = payload[body_start : body_start + length]
+        pos = body_start + length
+        warc_type = headers.get("warc-type", "")
+        http_status = None
+        content_type = headers.get("content-type", "")
+        body = block
+        if block[:5] == b"HTTP/":
+            he = block.find(b"\r\n\r\n")
+            hs = 4
+            if he == -1:
+                he = block.find(b"\n\n")
+                hs = 2
+            if he != -1:
+                status_line = block.split(b"\n", 1)[0].decode(
+                    "latin-1", "replace"
+                )
+                parts = status_line.split()
+                if len(parts) >= 2 and parts[1].isdigit():
+                    http_status = int(parts[1])
+                hh = _split_headers(
+                    block[block.find(b"\n") + 1 : he]
+                )
+                content_type = hh.get("content-type", content_type)
+                body = block[he + hs :]
+        records.append(
+            {
+                "warc_type": warc_type,
+                "target_uri": headers.get("warc-target-uri", ""),
+                "http_status": http_status,
+                "content_type": content_type,
+                "body": body,
+            }
+        )
+    return records
+
+
+class _TextExtractor(HTMLParser):
+    """Visible-text extraction: drop script/style/head subtrees, capture
+    <title>, count <a href> links."""
+
+    _SKIP = {"script", "style", "noscript", "template"}
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self.title_chunks: list[str] = []
+        self.n_links = 0
+        self._skip_depth = 0
+        self._in_title = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._SKIP:
+            self._skip_depth += 1
+        elif tag == "title":
+            self._in_title = True
+        elif tag == "a" and any(k == "href" for k, _v in attrs):
+            self.n_links += 1
+
+    def handle_endtag(self, tag):
+        if tag in self._SKIP and self._skip_depth:
+            self._skip_depth -= 1
+        elif tag == "title":
+            self._in_title = False
+
+    def handle_data(self, data):
+        if self._in_title:
+            self.title_chunks.append(data)
+        elif not self._skip_depth:
+            self.chunks.append(data)
+
+
+def extract_html_text(html: str) -> tuple[str, str, int]:
+    """(visible_text, title, n_links) from an HTML document — whitespace
+    in the visible text normalized to single spaces."""
+    p = _TextExtractor()
+    p.feed(html)
+    p.close()
+    text = " ".join(" ".join(p.chunks).split())
+    title = " ".join(" ".join(p.title_chunks).split())
+    return text, title, p.n_links
+
+
+WARC_RECORD_SCHEMA = (
+    "id long, record_index int, warc_type string, target_uri string, "
+    "http_status int, content_type string, n_body_bytes long, body binary"
+)
+
+
+def extract_warc_records(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """One output row per WARC record across the input archives — the
+    1:N ingestion fan-out (an archive explodes into documents). Runs in
+    mapInPandas so archive payloads never shuffle; a malformed archive
+    yields a single record_index=-1 row with the error class in
+    warc_type rather than killing the batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "id", "record_index", "warc_type", "target_uri",
+            "http_status", "content_type", "n_body_bytes", "body",
+        ]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                payload = bytes(rec.payload)
+                try:
+                    parsed = parse_warc(payload)
+                except ValueError as e:
+                    rows.append(
+                        {
+                            "id": rec.id,
+                            "record_index": -1,
+                            "warc_type": f"error:{e}"[:200],
+                            "target_uri": "",
+                            "http_status": None,
+                            "content_type": "",
+                            "n_body_bytes": 0,
+                            "body": b"",
+                        }
+                    )
+                    continue
+                for i, r in enumerate(parsed):
+                    rows.append(
+                        {
+                            "id": rec.id,
+                            "record_index": i,
+                            "warc_type": r["warc_type"],
+                            "target_uri": r["target_uri"],
+                            "http_status": r["http_status"],
+                            "content_type": r["content_type"],
+                            "n_body_bytes": len(r["body"]),
+                            "body": r["body"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    ensure_shipped(df.sparkSession)
+    cols = df.select(df[id_col].alias("id"), "payload")
+    return cols.mapInPandas(run, schema=WARC_RECORD_SCHEMA)
+
+
+HTML_TEXT_SCHEMA = (
+    "id long, text string, title string, n_links int, n_chars int"
+)
+
+
+def html_to_text(df: DataFrame, id_col: str = "id", html_col: str = "html") -> DataFrame:
+    """Visible-text extraction over mapInPandas: one row per input with
+    the boilerplate-free text, <title>, link count and text length —
+    what quality scoring / language id / dedup consume. Undecodable
+    HTML (parser errors are rare — html.parser is forgiving by design)
+    yields empty text rather than killing the batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["id", "text", "title", "n_links", "n_chars"]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                try:
+                    text, title, n_links = extract_html_text(rec.html or "")
+                except Exception:  # html.parser is lenient; belt anyway
+                    text, title, n_links = "", "", 0
+                rows.append(
+                    {
+                        "id": rec.id,
+                        "text": text,
+                        "title": title,
+                        "n_links": n_links,
+                        "n_chars": len(text),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    ensure_shipped(df.sparkSession)
+    cols = df.select(df[id_col].alias("id"), df[html_col].alias("html"))
+    return cols.mapInPandas(run, schema=HTML_TEXT_SCHEMA)

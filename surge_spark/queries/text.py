@@ -1314,3 +1314,131 @@ def t_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_frac"
         ),
     )
+
+
+@query(
+    "t_warc_ingest_real",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, substring(text, 1, 24) AS s
+      FROM documents
+      WHERE doc_id < 150 AND regexp_matches(text, '^[ -~]{24}')
+    )
+    SELECT doc_id, CAST(0 AS INT) AS record_index,
+           'warcinfo' AS warc_type, '' AS target_uri,
+           CAST(NULL AS INT) AS http_status, '' AS content_type,
+           CAST(0 AS BIGINT) AS n_body_bytes, '' AS body_text
+    FROM base
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT) AS record_index,
+           'response' AS warc_type,
+           'http://ex.com/' || doc_id AS target_uri,
+           CAST(200 AS INT) AS http_status,
+           'text/html' AS content_type,
+           CAST(24 AS BIGINT) AS n_body_bytes, s AS body_text
+    FROM base
+    """,
+)
+def t_warc_ingest_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WARC ingestion under a FULL value oracle (the
+    mm_ppm_real_decode construct-in-query trick): each doc becomes a
+    two-record WARC file — a warcinfo record and an HTTP response whose
+    entity is the doc's first 24 printable-ASCII chars — built with
+    plain column concat (Content-Length computed via length(); ASCII
+    makes chars == bytes), then parsed by the actual mapInPandas WARC
+    reader (operators.ingest.parse_warc: header blocks, Content-Length
+    framing, HTTP status/header split). The oracle knows every field it
+    wrapped. The 1:N archive->records fan-out, record framing, and HTTP
+    embedding are all value-checked; gzip members and malformed-archive
+    routing are pinned in tests/test_ingest.py."""
+    from ..operators import ingest as ig
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 150)
+        .where(F.col("text").rlike("^[ -~]{24}"))
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        F.substring("text", 1, 24),
+    )
+    warc = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 0\r\n\r\n\r\n\r\n"),
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://ex.com/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
+    with_bin = docs.select(
+        "doc_id", F.encode(warc, "utf-8").alias("payload")
+    )
+    out = ig.extract_warc_records(with_bin, id_col="doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "record_index",
+        "warc_type",
+        "target_uri",
+        "http_status",
+        "content_type",
+        "n_body_bytes",
+        F.decode("body", "utf-8").alias("body_text"),
+    )
+
+
+@query(
+    "t_html_extract_real",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_replace(substring(text, 1, 30), '[<>&]', ' ', 'g') AS san
+      FROM documents
+      WHERE doc_id < 150 AND regexp_matches(text, '^[ -~]{30}')
+    ),
+    norm AS (
+      SELECT doc_id, trim(regexp_replace(san, ' +', ' ', 'g')) AS t
+      FROM base
+    )
+    SELECT doc_id, t AS text, 'doc-' || doc_id AS title,
+           CAST(1 AS INT) AS n_links,
+           CAST(length(t) AS INT) AS n_chars
+    FROM norm
+    """,
+)
+def t_html_extract_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL HTML visible-text extraction under a FULL value oracle: each
+    doc's sanitized first 30 printable-ASCII chars ([<>&] blanked so the
+    snippet is markup-free on both engines) are wrapped into a page with
+    a <title>, a <script> block (must be DROPPED from visible text) and
+    one link, then run through the actual html.parser-backed mapInPandas
+    extractor. The oracle recomputes the expected visible text directly
+    from the source column: printable-ASCII input means the parser's
+    whitespace normalization is exactly collapse-spaces+trim, expressible
+    as a regexp in both engines. Script/style skipping, title capture,
+    link counting and the text-length channel are all value-checked."""
+    from ..operators import ingest as ig
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 150)
+        .where(F.col("text").rlike("^[ -~]{30}"))
+    )
+    san = F.regexp_replace(F.substring("text", 1, 30), "[<>&]", " ")
+    html = F.concat(
+        F.lit("<html><head><title>doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><script>var x = 1 < 2;</script></head><body><p>"),
+        san,
+        F.lit('</p><a href="http://x"></a></body></html>'),
+    )
+    with_html = docs.select("doc_id", html.alias("html"))
+    out = ig.html_to_text(with_html, id_col="doc_id", html_col="html")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "text",
+        "title",
+        "n_links",
+        F.col("n_chars").cast("int"),
+    )

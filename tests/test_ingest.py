@@ -1,0 +1,133 @@
+"""WARC parsing + HTML text extraction (operators/ingest.py): constructed
+archives incl. per-record gzip members, malformed-archive routing, and
+the html.parser extraction contract. The catalog entries
+t_warc_ingest_real / t_html_extract_real value-check the Spark pipeline
+against DuckDB; these tests pin the operator-level edge cases the
+construct-in-query oracle can't express (gzip, corruption, nesting)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pandas as pd
+import pytest
+
+from surge_spark.operators.ingest import (
+    extract_html_text,
+    extract_warc_records,
+    html_to_text,
+    parse_warc,
+)
+
+
+def _record(warc_type: str, body: bytes, uri: str = "") -> bytes:
+    hdr = f"WARC/1.0\r\nWARC-Type: {warc_type}\r\n"
+    if uri:
+        hdr += f"WARC-Target-URI: {uri}\r\n"
+    hdr += f"Content-Length: {len(body)}\r\n\r\n"
+    return hdr.encode() + body + b"\r\n\r\n"
+
+
+def _http(body: bytes, status: int = 200, ctype: str = "text/plain") -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def test_parse_warc_multi_record_http_split():
+    payload = (
+        _record("warcinfo", b"software: test\r\n")
+        + _record("request", b"GET / HTTP/1.1\r\n\r\n", uri="http://a/")
+        + _record("response", _http(b"hello world", 404, "text/html"),
+                  uri="http://a/")
+    )
+    recs = parse_warc(payload)
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "request", "response"]
+    resp = recs[2]
+    assert resp["target_uri"] == "http://a/"
+    assert resp["http_status"] == 404
+    assert resp["content_type"] == "text/html"
+    assert resp["body"] == b"hello world"
+    # the request record embeds an HTTP message too, but not a response:
+    # no status parsed, body intact
+    assert recs[1]["http_status"] is None
+
+
+def test_parse_warc_gzip_members_commoncrawl_layout():
+    r1 = _record("response", _http(b"alpha"), uri="http://a/")
+    r2 = _record("response", _http(b"beta"), uri="http://b/")
+    payload = gzip.compress(r1) + gzip.compress(r2)  # one member per record
+    recs = parse_warc(payload)
+    assert [r["body"] for r in recs] == [b"alpha", b"beta"]
+    assert [r["target_uri"] for r in recs] == ["http://a/", "http://b/"]
+
+
+def test_parse_warc_corruption_raises_value_error():
+    good = _record("response", _http(b"x"), uri="http://a/")
+    with pytest.raises(ValueError):
+        parse_warc(b"NOTWARC/1.0\r\n\r\n")
+    with pytest.raises(ValueError):
+        parse_warc(good[: len(good) // 2])  # truncated body
+    # declared length beyond the payload
+    bad = good.replace(b"Content-Length: ", b"Content-Length: 9")
+    with pytest.raises(ValueError):
+        parse_warc(bad)
+    # corrupt gzip member
+    with pytest.raises(ValueError):
+        parse_warc(b"\x1f\x8b" + b"\x00" * 40)
+
+
+def test_extract_html_text_skips_and_counts():
+    text, title, n_links = extract_html_text(
+        "<html><head><title>T  i</title><style>p{}</style></head><body>"
+        "<script>var a = '<p>not text</p>';</script>"
+        "<p>one   two</p><div>three<noscript>nope</noscript></div>"
+        '<a href="u">link</a><a name="x">not a link</a></body></html>'
+    )
+    # anchor text IS visible text; only href-carrying anchors count as links
+    assert text == "one two three link not a link"
+    assert title == "T i"
+    assert n_links == 1
+
+
+def test_extract_html_script_is_cdata_first_close_wins():
+    """html.parser treats <script> content as CDATA (the browser rule:
+    script elements cannot nest) — the inner '<script>' never registers
+    as a tag and the FIRST '</script>' ends the element, so 'z' is
+    visible and the stray close must not underflow the skip depth."""
+    text, _, _ = extract_html_text(
+        "<body>a<script>x<script>y</script>z</script>b</body>"
+    )
+    assert text == "a z b"
+
+
+def test_extract_warc_records_spark_fan_out_and_error_row(spark):
+    good = _record("response", _http(b"hello"), uri="http://a/") + _record(
+        "response", _http(b"bye"), uri="http://b/"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "payload": [good, b"garbage"]})
+    )
+    out = extract_warc_records(df).toPandas().sort_values(
+        ["id", "record_index"]
+    )
+    ok = out[out.id == 1]
+    assert list(ok.record_index) == [0, 1]
+    assert list(ok.target_uri) == ["http://a/", "http://b/"]
+    assert [bytes(b) for b in ok.body] == [b"hello", b"bye"]
+    err = out[out.id == 2].iloc[0]
+    assert err.record_index == -1 and err.warc_type.startswith("error:")
+
+
+def test_html_to_text_spark(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1],
+                "html": ["<title>t</title><p>a  b</p><a href='x'></a>"],
+            }
+        )
+    )
+    row = html_to_text(df).collect()[0]
+    assert (row.text, row.title, row.n_links, row.n_chars) == ("a b", "t", 1, 3)
