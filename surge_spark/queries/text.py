@@ -1442,3 +1442,91 @@ def t_html_extract_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_links",
         F.col("n_chars").cast("int"),
     )
+
+
+@query(
+    "t_web_pipeline_real",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_replace(substring(text, 1, 30), '[<>&]', ' ', 'g') AS san
+      FROM documents
+      WHERE doc_id < 150 AND regexp_matches(text, '^[ -~]{30}')
+    ),
+    norm AS (
+      SELECT doc_id, trim(regexp_replace(san, ' +', ' ', 'g')) AS t
+      FROM base
+    )
+    SELECT doc_id,
+           'http://ex.com/' || doc_id AS target_uri,
+           CAST(200 AS INT) AS http_status,
+           t AS text,
+           'doc-' || doc_id AS title,
+           CAST(1 AS INT) AS n_links,
+           CAST(length(t) AS INT) AS n_chars
+    FROM norm
+    """,
+)
+def t_web_pipeline_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL web-crawl ingestion stack composed end to end under one
+    value oracle: document -> HTML page (title/script/link wrapping) ->
+    HTTP response -> WARC response record -> parse_warc (framing + HTTP
+    split) -> html_to_text (visible text) — two chained shuffle-free
+    mapInPandas passes over the real parsers, with the oracle computing
+    every field straight from the source column. This is the stage
+    sequence a CommonCrawl pipeline actually runs before the cleaning /
+    dedup / quality entries pick up the text. Known plan cost: the final
+    join re-derives the WARC-parse subtree to carry target_uri/status
+    past the extractor (mapInPandas stages share no exchange) — at real
+    scale you'd persist the record frame once or add passthrough columns
+    to the extractor; at this entry's 150-doc cap the double parse is
+    noise and the chained-operator shape is the point."""
+    from ..operators import ingest as ig
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 150)
+        .where(F.col("text").rlike("^[ -~]{30}"))
+    )
+    san = F.regexp_replace(F.substring("text", 1, 30), "[<>&]", " ")
+    html = F.concat(
+        F.lit("<html><head><title>doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><script>var x = 1 < 2;</script></head><body><p>"),
+        san,
+        F.lit('</p><a href="http://x"></a></body></html>'),
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html
+    )
+    warc = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://ex.com/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
+    with_bin = docs.select("doc_id", F.encode(warc, "utf-8").alias("payload"))
+    recs = ig.extract_warc_records(with_bin, id_col="doc_id").where(
+        F.col("warc_type") == "response"
+    )
+    pages = recs.select(
+        F.col("id"),
+        "target_uri",
+        "http_status",
+        F.decode("body", "utf-8").alias("html"),
+    )
+    out = ig.html_to_text(pages, id_col="id", html_col="html")
+    return out.join(
+        pages.select("id", "target_uri", "http_status"), "id"
+    ).select(
+        F.col("id").alias("doc_id"),
+        "target_uri",
+        "http_status",
+        "text",
+        "title",
+        "n_links",
+        F.col("n_chars").cast("int"),
+    )
