@@ -10,7 +10,8 @@ inflate + the five filter reconstructions + PLTE + Adam7), JPEG both
 baseline AND progressive (full marker/
 Huffman/successive-approximation/IDCT decode in operators.jpeg — no
 codec library), GIF (full LZW + interlace in operators.gif), WAV audio
-via the ``wave`` module, and MJPEG video pixels end to end (real MP4
+via the ``wave`` module, baseline TIFF (strips, PackBits, both byte
+orders), and MJPEG video pixels end to end (real MP4
 demux in operators.mp4 + per-sample JPEG decode,
 ``extract_frame_features``) — and gated for everything else (this
 container has no imaging/audio codecs): ``decode_image`` raises
@@ -167,6 +168,118 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError("PPM sample exceeds declared maxval")
         v = np.round(v.astype(np.float64) * (255.0 / maxval))
     return w, h, np.ascontiguousarray(v.astype(np.uint8))
+
+
+def _packbits(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773): n<128 -> n+1 literal
+    bytes; n>128 -> the next byte repeated 257-n times; 128 is a no-op."""
+    out = bytearray()
+    i = 0
+    n_data = len(data)
+    while i < n_data and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            chunk = data[i : i + n + 1]
+            if len(chunk) < n + 1:
+                raise ValueError("truncated PackBits literal run")
+            out += chunk
+            i += n + 1
+        elif n > 128:
+            if i >= n_data:
+                raise ValueError("truncated PackBits repeat run")
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+    if len(out) < expected:
+        raise ValueError("PackBits output short of expected strip size")
+    return bytes(out[:expected])
+
+
+# TIFF type sizes for the tag values this decoder reads
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+
+def _decode_tiff(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real baseline-TIFF decode, stdlib struct + numpy: both byte
+    orders (II/MM), 8-bit greyscale or RGB, strip-organized, compression
+    1 (none) or 32773 (PackBits), photometric 0 (white-is-zero,
+    inverted) / 1 / 2. Tiled, LZW/JPEG-compressed, planar-separated and
+    sub-8-bit TIFFs raise ValueError to the fake fallback — those need
+    either a codec or a rarer layout than scan pipelines emit."""
+    if payload[:4] == b"II*\x00":
+        o = "<"
+    elif payload[:4] == b"MM\x00*":
+        o = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(o + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    (n_entries,) = struct.unpack_from(o + "H", payload, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        base = ifd_off + 2 + 12 * k
+        if base + 12 > len(payload):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, typ, count = struct.unpack_from(o + "HHI", payload, base)
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            continue  # RATIONAL etc. — nothing this decoder needs
+        if count > 1_000_000:
+            raise ValueError("TIFF tag count unreasonable")
+        total = size * count
+        if total <= 4:
+            off = base + 8
+        else:
+            (off,) = struct.unpack_from(o + "I", payload, base + 8)
+        if off + total > len(payload):
+            raise ValueError("TIFF tag values out of bounds")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack_from(o + fmt * count, payload, off))
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        strip_offsets = tags[273]
+        strip_counts = tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag: {e}") from e
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    rows_per_strip = tags.get(278, [h])[0]
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError("TIFF declares unreasonable dimensions")
+    if spp not in (1, 3) or any(b != 8 for b in bits[:spp]):
+        raise ValueError("only 8-bit grey/RGB TIFF is stdlib-decodable")
+    if compression not in (1, 32773):
+        raise ValueError(
+            f"TIFF compression {compression} needs a codec library"
+        )
+    if photometric not in (0, 1, 2):
+        raise ValueError(f"TIFF photometric {photometric} unsupported")
+    if len(strip_offsets) != len(strip_counts):
+        raise ValueError("TIFF strip tables disagree")
+    raster = bytearray()
+    rows_done = 0
+    for off, cnt in zip(strip_offsets, strip_counts):
+        if off + cnt > len(payload):
+            raise ValueError("TIFF strip out of bounds")
+        strip_rows = min(rows_per_strip, h - rows_done)
+        expected = strip_rows * w * spp
+        data = payload[off : off + cnt]
+        raster += _packbits(data, expected) if compression == 32773 else data
+        rows_done += strip_rows
+    if len(raster) < h * w * spp:
+        raise ValueError("truncated TIFF raster")
+    px = np.frombuffer(bytes(raster), np.uint8, count=h * w * spp).reshape(
+        h, w, spp
+    )
+    if spp == 1:
+        if photometric == 0:  # white-is-zero: invert to normal grey
+            px = 255 - px
+        px = np.repeat(px, 3, axis=2)
+    return w, h, np.ascontiguousarray(px)
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -405,7 +518,8 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     SOF0/SOF1 AND progressive SOF2 — full marker/Huffman/
     successive-approximation/IDCT decode in operators.jpeg, no codec
     library) and GIF (87a/89a, full LZW + interlace, first frame —
-    operators.gif). Arithmetic-coded JPEG still needs a codec library
+    operators.gif) and baseline TIFF (8-bit grey/RGB strips, both byte
+    orders, PackBits). Arithmetic-coded JPEG still needs a codec library
     this container lacks — gated honestly behind the Pillow import."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
@@ -421,6 +535,8 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
         from .gif import decode_gif
 
         return decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(payload)
     try:
         import PIL.Image  # noqa: F401  (not installed here; gate, don't assume)
     except ImportError as e:

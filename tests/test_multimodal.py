@@ -927,3 +927,169 @@ def test_ppm_sample_beyond_maxval_rejected():
     payload = b"P6\n2 1\n15\n" + bytes([255, 3, 3, 3, 3, 3])
     with pytest.raises(ValueError, match="maxval"):
         decode_image(payload)
+
+
+def _make_tiff(px, byte_order="<", packbits=False, photometric=None,
+               rows_per_strip=None):
+    """Minimal strip-organized TIFF writer (both byte orders, optional
+    PackBits) for decoder tests. ``px`` is (h, w) grey or (h, w, 3)."""
+    import struct as _s
+
+    import numpy as np
+
+    px = np.asarray(px, np.uint8)
+    h, w = px.shape[:2]
+    spp = 1 if px.ndim == 2 else px.shape[2]
+    if photometric is None:
+        photometric = 1 if spp == 1 else 2
+    rps = rows_per_strip or h
+    o = byte_order
+
+    def pack_strip(rows):
+        raw = rows.tobytes()
+        if not packbits:
+            return raw
+        # literal-run-only PackBits (valid, if inefficient): chunks of
+        # <=128 literal bytes prefixed by n-1
+        out = bytearray()
+        for i in range(0, len(raw), 128):
+            chunk = raw[i : i + 128]
+            out.append(len(chunk) - 1)
+            out += chunk
+        return bytes(out)
+
+    strips = [
+        pack_strip(px[y : y + rps]) for y in range(0, h, rps)
+    ]
+    n_strips = len(strips)
+    # layout: header(8) + IFD + strip offset/count arrays + bits array + data
+    tags = []  # (tag, type, count, value_or_offset_placeholder)
+    ifd_off = 8
+    n_tags = 9
+    arrays_off = ifd_off + 2 + 12 * n_tags + 4
+
+    def arr(fmt, values):
+        nonlocal arrays_off
+        off = arrays_off
+        blob = _s.pack(o + fmt * len(values), *values)
+        arrays_off += len(blob)
+        array_blobs.append(blob)
+        return off
+
+    array_blobs = []
+    # reserve space for: strip offsets (I*n), strip counts (I*n), bits (H*spp)
+    strip_off_pos = arrays_off
+    arrays_off += 4 * n_strips
+    strip_cnt_pos = arrays_off
+    arrays_off += 4 * n_strips
+    bits_pos = arrays_off
+    arrays_off += 2 * spp if spp > 1 else 0
+    data_off = arrays_off
+    offsets = []
+    counts = []
+    pos = data_off
+    for sdata in strips:
+        offsets.append(pos)
+        counts.append(len(sdata))
+        pos += len(sdata)
+
+    def entry(tag, typ, count, value):
+        # inline values are LEFT-justified in the 4-byte field (TIFF §2):
+        # a big-endian SHORT packed as ">I" would land in the wrong half
+        if typ == 3 and count == 1:
+            val = _s.pack(o + "HH", value, 0)
+        else:
+            val = _s.pack(o + "I", value)
+        return _s.pack(o + "HHI", tag, typ, count) + val
+
+    bits_value = 8 if spp == 1 else bits_pos
+    entries = (
+        entry(256, 4, 1, w)
+        + entry(257, 4, 1, h)
+        + entry(258, 3, spp, bits_value if spp > 1 else (8))
+        + entry(259, 3, 1, 32773 if packbits else 1)
+        + entry(262, 3, 1, photometric)
+        + entry(273, 4, n_strips, offsets[0] if n_strips == 1 else strip_off_pos)
+        + entry(277, 3, 1, spp)
+        + entry(278, 4, 1, rps)
+        + entry(279, 4, n_strips, counts[0] if n_strips == 1 else strip_cnt_pos)
+    )
+    out = bytearray()
+    out += (b"II*\x00" if o == "<" else b"MM\x00*")
+    out += _s.pack(o + "I", 8)
+    out += _s.pack(o + "H", n_tags) + entries + _s.pack(o + "I", 0)
+    out += _s.pack(o + "I" * n_strips, *offsets)
+    out += _s.pack(o + "I" * n_strips, *counts)
+    if spp > 1:
+        out += _s.pack(o + "H" * spp, *([8] * spp))
+    for sdata in strips:
+        out += sdata
+    return bytes(out)
+
+
+def test_tiff_decode_rgb_both_byte_orders_and_strips():
+    import numpy as np
+
+    from surge_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(61)
+    px = rng.randint(0, 256, (7, 5, 3)).astype(np.uint8)
+    for o in ("<", ">"):
+        w, h, img = decode_image(_make_tiff(px, byte_order=o, rows_per_strip=3))
+        assert (w, h) == (5, 7) and (img == px).all(), o
+
+
+def test_tiff_packbits_and_whiteiszero_grey():
+    import numpy as np
+
+    from surge_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(67)
+    g = rng.randint(0, 256, (6, 9)).astype(np.uint8)
+    _, _, img = decode_image(_make_tiff(g, packbits=True, rows_per_strip=2))
+    assert (img[..., 0] == g).all() and (img[..., 1] == g).all()
+    # photometric 0: white-is-zero inverts
+    _, _, inv = decode_image(_make_tiff(g, photometric=0))
+    assert (inv[..., 0] == 255 - g).all()
+
+
+def test_tiff_real_packbits_runs_roundtrip():
+    """Repeat-run PackBits (not just literal runs): constant rows
+    compress to 2-byte repeats; pin the decoder's run arithmetic."""
+    import struct as _s
+
+    import numpy as np
+
+    from surge_spark.operators.multimodal import _packbits
+
+    # 257-n repeats: n=0x81 -> 128 repeats; plus a 3-literal tail
+    data = bytes([0x81, 0xAB]) + bytes([0x02, 1, 2, 3])
+    out = _packbits(data, 131)
+    assert out == bytes([0xAB]) * 128 + bytes([1, 2, 3])
+    import pytest
+
+    with pytest.raises(ValueError):
+        _packbits(bytes([0x81]), 10)  # truncated repeat
+    with pytest.raises(ValueError):
+        _packbits(bytes([0x05, 1, 2]), 6)  # truncated literal
+
+
+def test_tiff_unsupported_layouts_raise_value_error():
+    import numpy as np
+    import pytest
+
+    from surge_spark.operators.multimodal import decode_image
+
+    px = np.zeros((4, 4), np.uint8)
+    base = bytearray(_make_tiff(px))
+    # flip compression tag (259) value to 5 (LZW)
+    import struct as _s
+    for k in range(9):
+        off = 8 + 2 + 12 * k
+        tag = _s.unpack_from("<H", base, off)[0]
+        if tag == 259:
+            _s.pack_into("<I", base, off + 8, 5)
+    with pytest.raises(ValueError, match="codec"):
+        decode_image(bytes(base))
+    with pytest.raises(ValueError):
+        decode_image(bytes(_make_tiff(px))[:20])  # truncated
