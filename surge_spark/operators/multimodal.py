@@ -205,7 +205,16 @@ def _decode_tiff(payload: bytes) -> tuple[int, int, np.ndarray]:
     1 (none) or 32773 (PackBits), photometric 0 (white-is-zero,
     inverted) / 1 / 2. Tiled, LZW/JPEG-compressed, planar-separated and
     sub-8-bit TIFFs raise ValueError to the fake fallback — those need
-    either a codec or a rarer layout than scan pipelines emit."""
+    either a codec or a rarer layout than scan pipelines emit. Truncated
+    payloads surface as ValueError per the fallback contract (fuzz-
+    pinned in tests/test_decoder_fuzz.py)."""
+    try:
+        return _decode_tiff_inner(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated TIFF payload: {e}") from e
+
+
+def _decode_tiff_inner(payload: bytes) -> tuple[int, int, np.ndarray]:
     if payload[:4] == b"II*\x00":
         o = "<"
     elif payload[:4] == b"MM\x00*":
@@ -551,13 +560,20 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
 def decode_audio(payload: bytes) -> dict:
     """Real WAV decode via the stdlib ``wave`` module: returns channel
     count, sample rate/width, frame count and the PCM samples as an int
-    numpy array (interleaved channels)."""
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        n_channels = w.getnchannels()
-        sample_width = w.getsampwidth()
-        frame_rate = w.getframerate()
-        n_frames = w.getnframes()
-        frames = w.readframes(n_frames)
+    numpy array (interleaved channels). Malformed payloads raise
+    ValueError uniformly — the wave module itself leaks wave.Error,
+    EOFError and even bare RuntimeError (its Chunk.seek on truncated
+    files, fuzz-pinned), all of which must normalize to the fallback
+    contract before reaching an Arrow batch."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_channels = w.getnchannels()
+            sample_width = w.getsampwidth()
+            frame_rate = w.getframerate()
+            n_frames = w.getnframes()
+            frames = w.readframes(n_frames)
+    except (wave.Error, EOFError, RuntimeError, struct.error, IndexError) as e:
+        raise ValueError(f"corrupt/truncated WAV: {type(e).__name__}") from e
     if sample_width == 2:
         samples = np.frombuffer(frames, dtype="<i2")
     elif sample_width == 1:
@@ -652,15 +668,32 @@ def extract_audio_features(df: DataFrame, id_col: str = "id") -> DataFrame:
     (``wave`` module, 8/16-bit PCM): true channel/rate/frame metadata plus
     a 4-dim signal feature vector (normalized RMS, mean, peak, zero-
     crossing rate). Same no-shuffle, payload-dropping contract as
-    extract_features. Non-WAV payloads raise in the worker — callers route
-    by mime (the multimodal table carries one)."""
+    extract_features — and the same per-record resilience: a corrupt or
+    non-WAV payload yields a zeroed metadata/feature row (n_frames=0)
+    instead of killing the Arrow batch (r10 fuzz finding: previously ANY
+    bad payload in a batch poisoned every record in it)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples():
                 payload = bytes(rec.payload)
-                a = decode_audio(payload)
+                try:
+                    a = decode_audio(payload)
+                except ValueError:
+                    rows.append(
+                        {
+                            "id": rec[1],
+                            "mime": rec.mime,
+                            "n_bytes": len(payload),
+                            "n_channels": 0,
+                            "sample_rate": 0,
+                            "n_frames": 0,
+                            "duration_ms": 0,
+                            "feat": [0.0, 0.0, 0.0, 0.0],
+                        }
+                    )
+                    continue
                 s = a["samples"].astype(np.float64)
                 full = float(1 << (8 * a["sample_width"] - 1))
                 zcr = (
