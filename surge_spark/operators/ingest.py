@@ -1,7 +1,8 @@
-"""Web-archive ingestion: WARC record parsing and HTML text extraction —
-the first two stages of a CommonCrawl-style pretraining pipeline, pure
-stdlib (email-style header parse + gzip members; html.parser), running
-as Arrow-batched mapInPandas with no shuffle.
+"""Web-archive ingestion: WARC record parsing, HTML text extraction and
+sitemap URL extraction — the front stages of a CommonCrawl-style
+pretraining pipeline, pure stdlib (email-style header parse + gzip
+members; html.parser; xml.etree with DTD rejection), running as
+Arrow-batched mapInPandas with no shuffle.
 
 WARC (ISO 28500) is the format web crawls actually ship in: a
 concatenation of records, each a header block of "Name: value" lines
@@ -291,3 +292,80 @@ def html_to_text(df: DataFrame, id_col: str = "id", html_col: str = "html") -> D
     ensure_shipped(df.sparkSession)
     cols = df.select(df[id_col].alias("id"), df[html_col].alias("html"))
     return cols.mapInPandas(run, schema=HTML_TEXT_SCHEMA)
+
+
+def parse_sitemap(payload: bytes) -> list[dict]:
+    """Parse a sitemaps.org urlset (namespace-agnostic) into
+    [{loc, lastmod}] — the crawl-frontier feed. gzip payloads inflate
+    first (sitemap.xml.gz is the common shipping form). DTDs are
+    rejected outright: stdlib expat would happily expand internal
+    entities (billion-laughs), and no real sitemap carries a DOCTYPE."""
+    import xml.etree.ElementTree as ET
+
+    if payload[:2] == b"\x1f\x8b":
+        payload = _gunzip_members(payload)
+    if len(payload) > _MAX_RECORD:
+        raise ValueError("sitemap payload exceeds size clamp")
+    head = payload[:4096]
+    if b"<!DOCTYPE" in head or b"<!ENTITY" in head:
+        raise ValueError("sitemap with DTD rejected (entity-expansion risk)")
+    try:
+        root = ET.fromstring(payload)
+    except ET.ParseError as e:
+        raise ValueError(f"malformed sitemap XML: {e}") from e
+    out = []
+    for el in root:
+        if el.tag.rpartition("}")[2] != "url":
+            continue
+        loc = None
+        lastmod = None
+        for child in el:
+            name = child.tag.rpartition("}")[2]
+            if name == "loc":
+                loc = (child.text or "").strip()
+            elif name == "lastmod":
+                lastmod = (child.text or "").strip()
+        if loc:
+            out.append({"loc": loc, "lastmod": lastmod})
+    return out
+
+
+SITEMAP_SCHEMA = "id long, url_index int, loc string, lastmod string"
+
+
+def extract_sitemap_urls(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """One row per <url> across the input sitemaps (1:N fan-out, no
+    shuffle); malformed sitemaps yield a single url_index=-1 row with
+    the error class in loc."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["id", "url_index", "loc", "lastmod"]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                try:
+                    urls = parse_sitemap(bytes(rec.payload))
+                except ValueError as e:
+                    rows.append(
+                        {
+                            "id": rec.id,
+                            "url_index": -1,
+                            "loc": f"error:{e}"[:200],
+                            "lastmod": None,
+                        }
+                    )
+                    continue
+                for i, u in enumerate(urls):
+                    rows.append(
+                        {
+                            "id": rec.id,
+                            "url_index": i,
+                            "loc": u["loc"],
+                            "lastmod": u["lastmod"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    ensure_shipped(df.sparkSession)
+    cols = df.select(df[id_col].alias("id"), "payload")
+    return cols.mapInPandas(run, schema=SITEMAP_SCHEMA)

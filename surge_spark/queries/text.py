@@ -1530,3 +1530,47 @@ def t_web_pipeline_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_links",
         F.col("n_chars").cast("int"),
     )
+
+
+@query(
+    "t_sitemap_extract_real",
+    oracle="""
+    WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+    SELECT doc_id, CAST(0 AS INT) AS url_index,
+           'http://ex.com/doc-' || doc_id AS loc,
+           '2024-01-02' AS lastmod
+    FROM base
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT) AS url_index,
+           'http://ex.com/alt-' || doc_id AS loc,
+           CAST(NULL AS VARCHAR) AS lastmod
+    FROM base
+    """,
+)
+def t_sitemap_extract_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sitemap parsing under a FULL value oracle: each doc becomes a
+    namespaced sitemaps.org urlset with two <url> entries (one carrying
+    <lastmod>), parsed back by the actual xml.etree-backed mapInPandas
+    reader (operators.ingest.parse_sitemap — namespace-agnostic tag
+    matching, DTD rejection, gzip support pinned in tests). The crawl-
+    frontier feed stage of the ingestion family; the oracle knows every
+    field it wrapped."""
+    from ..operators import ingest as ig
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    xml = F.concat(
+        F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc>http://ex.com/doc-"
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>2024-01-02</lastmod></url><url><loc>http://ex.com/alt-"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc></url></urlset>"),
+    )
+    with_bin = docs.select("doc_id", F.encode(xml, "utf-8").alias("payload"))
+    out = ig.extract_sitemap_urls(with_bin, id_col="doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"), "url_index", "loc", "lastmod"
+    )

@@ -131,3 +131,29 @@ def test_html_to_text_spark(spark):
     )
     row = html_to_text(df).collect()[0]
     assert (row.text, row.title, row.n_links, row.n_chars) == ("a b", "t", 1, 3)
+
+
+def test_parse_sitemap_namespace_gzip_and_dtd_rejection():
+    import gzip as _gz
+
+    from surge_spark.operators.ingest import parse_sitemap
+
+    xml = (
+        b'<?xml version="1.0"?>'
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>http://a/1</loc><lastmod>2024-01-01</lastmod></url>"
+        b"<url><loc> http://a/2 </loc></url>"
+        b"<url><lastmod>no-loc-dropped</lastmod></url>"
+        b"</urlset>"
+    )
+    for payload in (xml, _gz.compress(xml)):
+        urls = parse_sitemap(payload)
+        assert [u["loc"] for u in urls] == ["http://a/1", "http://a/2"]
+        assert urls[0]["lastmod"] == "2024-01-01" and urls[1]["lastmod"] is None
+    # namespace-less variant parses identically
+    bare = xml.replace(b' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"', b"")
+    assert [u["loc"] for u in parse_sitemap(bare)] == ["http://a/1", "http://a/2"]
+    with pytest.raises(ValueError, match="DTD"):
+        parse_sitemap(b'<?xml version="1.0"?><!DOCTYPE x [<!ENTITY a "b">]><urlset/>')
+    with pytest.raises(ValueError):
+        parse_sitemap(b"<urlset><url>")  # malformed XML
