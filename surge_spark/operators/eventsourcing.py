@@ -324,3 +324,33 @@ def bank_handle_event(state: dict | None, event: dict) -> dict:
 BANK_STATE_SCHEMA = (
     "account_number string, balance double, n_rejected long, version long"
 )
+
+
+def holt_handle_event(state: dict | None, event: dict) -> dict:
+    """Holt's linear (double exponential) smoothing, alpha=beta=0.5:
+    level_t = a*x + (1-a)*(level+trend); trend_t = b*(level_t-level) +
+    (1-b)*trend — the per-key ORDERED analytics fold (same kernel as the
+    event-sourcing folds; forecasting is just a fold with float state).
+    Seeded level=x_1, trend=0. Operation order matters: the DuckDB
+    recursive-CTE oracle performs the identical float64 ops in the
+    identical order, so the states agree bitwise until the final
+    round(6)."""
+    x = float(event["value"])
+    if state is None:
+        return {
+            "aggregate_id": str(event["user_id"]),
+            "level": x,
+            "trend": 0.0,
+            "n": 1,
+        }
+    level = 0.5 * x + 0.5 * (state["level"] + state["trend"])
+    trend = 0.5 * (level - state["level"]) + 0.5 * state["trend"]
+    return {
+        "aggregate_id": state["aggregate_id"],
+        "level": level,
+        "trend": trend,
+        "n": state["n"] + 1,
+    }
+
+
+HOLT_STATE_SCHEMA = "aggregate_id string, level double, trend double, n int"

@@ -1013,3 +1013,64 @@ def m_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+@query(
+    "m_holt_smoothing",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    lim AS (SELECT user_id, max(rn) AS mx FROM ordered GROUP BY user_id),
+    fold(user_id, rn, level, trend) AS (
+      SELECT user_id, 1, value, CAST(0.0 AS DOUBLE)
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT f.user_id, f.rn + 1,
+             0.5 * o.value + 0.5 * (f.level + f.trend),
+             0.5 * ((0.5 * o.value + 0.5 * (f.level + f.trend)) - f.level)
+               + 0.5 * f.trend
+      FROM fold f JOIN ordered o
+        ON o.user_id = f.user_id AND o.rn = f.rn + 1
+    )
+    SELECT CAST(f.user_id AS VARCHAR) AS aggregate_id,
+           CAST(l.mx AS INT) AS n,
+           CAST(round(f.level, 6) AS DOUBLE) AS level,
+           CAST(round(f.trend, 6) AS DOUBLE) AS trend,
+           CAST(round(f.level + f.trend, 6) AS DOUBLE) AS forecast
+    FROM fold f JOIN lim l USING (user_id) WHERE f.rn = l.mx
+    """,
+)
+def m_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (level+trend) smoothing per user over the ordered
+    value stream, with the one-step-ahead forecast — the trend-aware
+    upgrade of m_ewma, run as the SAME sorted-stream fold kernel the
+    event-sourcing entries use (forecasting state is just fold state;
+    one Python call per Arrow batch, not per key). The oracle advances
+    every user one step per recursion round (the es_bank_fold
+    recursive-CTE precedent) performing the identical float64 ops in
+    the identical order, so the final states match to round(6) without
+    any closed-form trick — unlike EWMA, Holt has no order-free sum
+    form, which is exactly why it pins the ORDERED fold path."""
+    e = (
+        _events(spark, sf_dir)
+        .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+    )
+    folded = es.fold_events_sorted(
+        e,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        handle_event=es.holt_handle_event,
+        state_schema=es.HOLT_STATE_SCHEMA,
+    )
+    return folded.select(
+        "aggregate_id",
+        "n",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round(F.col("level") + F.col("trend"), 6).alias("forecast"),
+    )

@@ -273,3 +273,38 @@ def test_anomaly_zscore_zero_variance_group_excluded(spark, tmp_path):
     # zero-variance groups (flat, single) are excluded without error; the
     # varying group survives the stats join but |z|<=3 for a 2-point split
     assert set(out["event_type"]) <= {"vary"}
+
+
+def test_holt_fold_constant_and_linear_series(spark):
+    """Holt invariants on constructed series: a constant stream keeps
+    level == x and trend == 0 at every step; a linear ramp's trend
+    converges toward the slope (alpha=beta=0.5: within 2% by n=12)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from surge_spark.operators import eventsourcing as es
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(12):
+        rows.append((i, t0 + dt.timedelta(seconds=i), 1, "e", 7.0))     # constant
+        rows.append((100 + i, t0 + dt.timedelta(seconds=i), 2, "e", float(3 * i)))  # ramp
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    )
+    out = {
+        r.aggregate_id: r
+        for r in es.fold_events_sorted(
+            df,
+            key_col="user_id",
+            order_cols=["ts", "event_id"],
+            handle_event=es.holt_handle_event,
+            state_schema=es.HOLT_STATE_SCHEMA,
+        ).collect()
+    }
+    const = out["1"]
+    assert const.level == 7.0 and const.trend == 0.0 and const.n == 12
+    ramp = out["2"]
+    assert abs(ramp.trend - 3.0) < 0.06  # slope 3, converged within 2%
+    assert abs((ramp.level + ramp.trend) - 3 * 12) < 0.2  # forecast ~ next point
