@@ -41,34 +41,51 @@ _MAX_RECORD = 64 * 1024 * 1024  # one record may not inflate past 64 MB
 
 def _split_headers(block: bytes) -> dict[str, str]:
     """Parse a CRLF/LF header block of "Name: value" lines (names
-    case-folded); continuation lines and empty names rejected."""
+    case-folded). Legacy obs-fold continuation lines (leading SP/HT —
+    still present in old crawls' HTTP headers) append to the previous
+    header's value instead of being parsed as header lines; a colon-free
+    line that ISN'T a continuation is malformed."""
     headers: dict[str, str] = {}
+    last: str | None = None
     for line in block.split(b"\n"):
         line = line.rstrip(b"\r")
         if not line:
             continue
+        if line[:1] in (b" ", b"\t"):  # obs-fold continuation
+            if last is not None:
+                headers[last] += " " + line.strip().decode("latin-1")
+            continue
         name, sep, value = line.partition(b":")
         if not sep or not name.strip():
             raise ValueError(f"malformed WARC header line: {line[:60]!r}")
-        headers[name.strip().decode("latin-1").lower()] = value.strip().decode(
-            "latin-1"
-        )
+        last = name.strip().decode("latin-1").lower()
+        headers[last] = value.strip().decode("latin-1")
     return headers
+
+
+_MAX_ARCHIVE = 256 * 1024 * 1024  # whole-archive inflate ceiling
 
 
 def _gunzip_members(payload: bytes) -> bytes:
     """Inflate a concatenation of gzip members (the per-record-gzipped
-    CommonCrawl layout) into one plain byte stream, bomb-clamped."""
+    CommonCrawl layout) into one plain byte stream. Bomb clamps apply
+    PER MEMBER (_MAX_RECORD — matching the per-record Content-Length
+    cap) plus an explicit whole-archive ceiling (_MAX_ARCHIVE); clamping
+    the cumulative total at the member limit would reject every valid
+    multi-record archive past 64 MB (the r10 review finding)."""
     out = bytearray()
     pos = 0
     while pos < len(payload):
+        member_start = len(out)
         d = zlib.decompressobj(wbits=31)  # gzip wrapper
         try:
             out += d.decompress(payload[pos:], _MAX_RECORD + 1)
         except zlib.error as e:
             raise ValueError(f"corrupt gzip member in WARC: {e}") from e
-        if len(out) > _MAX_RECORD:
+        if len(out) - member_start > _MAX_RECORD:
             raise ValueError("WARC gzip member exceeds inflate clamp")
+        if len(out) > _MAX_ARCHIVE:
+            raise ValueError("WARC archive exceeds total inflate clamp")
         if not d.eof:
             raise ValueError("truncated gzip member in WARC")
         consumed = len(payload) - pos - len(d.unused_data)
@@ -99,13 +116,18 @@ def parse_warc(payload: bytes) -> list[dict]:
             break
         if not payload[pos : pos + 5] == b"WARC/":
             raise ValueError("WARC record does not start with WARC/ version")
-        hdr_end = payload.find(b"\r\n\r\n", pos)
-        sep_len = 4
-        if hdr_end == -1:
-            hdr_end = payload.find(b"\n\n", pos)
-            sep_len = 2
-        if hdr_end == -1:
+        # EARLIEST of the two terminators wins: preferring CRLFCRLF found
+        # anywhere later would let an LF-framed record whose BODY contains
+        # an HTTP header block (CRLFCRLF) swallow the body into the WARC
+        # headers (the r10 review finding)
+        crlf = payload.find(b"\r\n\r\n", pos)
+        lf = payload.find(b"\n\n", pos)
+        if crlf == -1 and lf == -1:
             raise ValueError("unterminated WARC header block")
+        if lf == -1 or (crlf != -1 and crlf <= lf):
+            hdr_end, sep_len = crlf, 4
+        else:
+            hdr_end, sep_len = lf, 2
         version_end = payload.find(b"\n", pos)
         headers = _split_headers(payload[version_end + 1 : hdr_end])
         try:
@@ -155,7 +177,10 @@ def parse_warc(payload: bytes) -> list[dict]:
 
 class _TextExtractor(HTMLParser):
     """Visible-text extraction: drop script/style/head subtrees, capture
-    <title>, count <a href> links."""
+    <title>, count <a href> links. <head> is tracked as a FLAG closed by
+    </head> OR an opening <body>, not as skip depth — tag-soup pages
+    routinely leave head unclosed, and a depth counter would then
+    swallow the whole body."""
 
     _SKIP = {"script", "style", "noscript", "template"}
 
@@ -166,10 +191,15 @@ class _TextExtractor(HTMLParser):
         self.n_links = 0
         self._skip_depth = 0
         self._in_title = False
+        self._in_head = False
 
     def handle_starttag(self, tag, attrs):
         if tag in self._SKIP:
             self._skip_depth += 1
+        elif tag == "head":
+            self._in_head = True
+        elif tag == "body":
+            self._in_head = False
         elif tag == "title":
             self._in_title = True
         elif tag == "a" and any(k == "href" for k, _v in attrs):
@@ -178,13 +208,15 @@ class _TextExtractor(HTMLParser):
     def handle_endtag(self, tag):
         if tag in self._SKIP and self._skip_depth:
             self._skip_depth -= 1
+        elif tag == "head":
+            self._in_head = False
         elif tag == "title":
             self._in_title = False
 
     def handle_data(self, data):
         if self._in_title:
             self.title_chunks.append(data)
-        elif not self._skip_depth:
+        elif not self._skip_depth and not self._in_head:
             self.chunks.append(data)
 
 
@@ -306,8 +338,10 @@ def parse_sitemap(payload: bytes) -> list[dict]:
         payload = _gunzip_members(payload)
     if len(payload) > _MAX_RECORD:
         raise ValueError("sitemap payload exceeds size clamp")
-    head = payload[:4096]
-    if b"<!DOCTYPE" in head or b"<!ENTITY" in head:
+    # scan the WHOLE payload (already size-clamped, so the scan is cheap):
+    # a DOCTYPE pushed past any fixed window by comment padding would
+    # otherwise bypass the guard entirely (the r10 review finding)
+    if b"<!DOCTYPE" in payload or b"<!ENTITY" in payload:
         raise ValueError("sitemap with DTD rejected (entity-expansion risk)")
     try:
         root = ET.fromstring(payload)

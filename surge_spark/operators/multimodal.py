@@ -277,7 +277,15 @@ def _decode_tiff_inner(payload: bytes) -> tuple[int, int, np.ndarray]:
         strip_rows = min(rows_per_strip, h - rows_done)
         expected = strip_rows * w * spp
         data = payload[off : off + cnt]
-        raster += _packbits(data, expected) if compression == 32773 else data
+        if compression == 32773:
+            raster += _packbits(data, expected)
+        else:
+            # clamp to the geometry-derived strip size: an over-declared
+            # StripByteCounts would otherwise shift every later row
+            # (silently wrong pixels, not the ValueError contract)
+            if len(data) < expected:
+                raise ValueError("TIFF strip shorter than its raster rows")
+            raster += data[:expected]
         rows_done += strip_rows
     if len(raster) < h * w * spp:
         raise ValueError("truncated TIFF raster")

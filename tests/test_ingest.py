@@ -157,3 +157,50 @@ def test_parse_sitemap_namespace_gzip_and_dtd_rejection():
         parse_sitemap(b'<?xml version="1.0"?><!DOCTYPE x [<!ENTITY a "b">]><urlset/>')
     with pytest.raises(ValueError):
         parse_sitemap(b"<urlset><url>")  # malformed XML
+
+
+def test_review_fixes_warc_framing_and_folding():
+    """r10 third-review regressions: (a) an LF-framed record whose BODY
+    carries an HTTP header block must not swallow the body into the WARC
+    headers (earliest terminator wins); (b) obs-fold HTTP continuation
+    lines append to the previous value instead of failing the archive;
+    (c) the per-member gzip clamp must not reject multi-member archives
+    past 64 MB TOTAL (only per-member growth counts)."""
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nhello"
+    lf_rec = (
+        b"WARC/1.0\nWARC-Type: response\nWARC-Target-URI: http://a/\n"
+        + b"Content-Length: %d\n\n" % len(http)
+        + http
+        + b"\n\n"
+    )
+    recs = parse_warc(lf_rec)
+    assert recs[0]["http_status"] == 200 and recs[0]["body"] == b"hello"
+
+    folded = (
+        b"HTTP/1.1 200 OK\r\nX-Long: part one\r\n\t and two\r\n"
+        b"Content-Type: text/css\r\n\r\nbody"
+    )
+    recs = parse_warc(_record("response", folded, uri="http://a/"))
+    assert recs[0]["content_type"] == "text/css"
+    assert recs[0]["body"] == b"body"
+
+    big = _record("response", _http(b"z" * 1_000_000), uri="http://a/")
+    payload = b"".join(gzip.compress(big, compresslevel=1) for _ in range(70))
+    recs = parse_warc(payload)  # ~70 MB total, each member ~1 MB: fine
+    assert len(recs) == 70
+
+
+def test_review_fixes_sitemap_dtd_anywhere_and_head_text():
+    from surge_spark.operators.ingest import parse_sitemap
+
+    pad = b"<!-- " + b"x" * 5000 + b" -->"
+    with pytest.raises(ValueError, match="DTD"):
+        parse_sitemap(
+            b'<?xml version="1.0"?>' + pad
+            + b'<!DOCTYPE urlset [<!ENTITY b "bb">]><urlset/>'
+        )
+    # head text (outside title) is dropped; unclosed head still yields body
+    text, title, _ = extract_html_text(
+        "<head><meta x>LEAKED<title>t</title><body>real</body>"
+    )
+    assert text == "real" and title == "t"

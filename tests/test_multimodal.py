@@ -1093,3 +1093,29 @@ def test_tiff_unsupported_layouts_raise_value_error():
         decode_image(bytes(base))
     with pytest.raises(ValueError):
         decode_image(bytes(_make_tiff(px))[:20])  # truncated
+
+
+def test_tiff_overdeclared_strip_count_clamped():
+    """An over-declared StripByteCounts entry must not shift later rows:
+    the uncompressed branch clamps each strip to its geometry-derived
+    size (r10 third-review finding — previously rows after the bloated
+    strip silently shifted)."""
+    import struct as _s
+
+    import numpy as np
+
+    from surge_spark.operators.multimodal import decode_image
+
+    g = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    base = bytearray(_make_tiff(g, rows_per_strip=2))
+    # bloat strip 0's byte count by 2 (the extra bytes exist in the file:
+    # they're the start of strip 1)
+    for k in range(9):
+        off = 8 + 2 + 12 * k
+        tag = _s.unpack_from("<H", base, off)[0]
+        if tag == 279:
+            cnt_pos = _s.unpack_from("<I", base, off + 8)[0]
+            c0 = _s.unpack_from("<I", base, cnt_pos)[0]
+            _s.pack_into("<I", base, cnt_pos, c0 + 2)
+    w, h, img = decode_image(bytes(base))
+    assert (img[..., 0] == g).all()
