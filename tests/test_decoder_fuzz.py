@@ -136,3 +136,51 @@ def test_warc_parser_contract():
                 parse_warc(mutated)
             except OK_TYPES:
                 pass
+
+
+def test_mp4_demux_contract():
+    """parse_mp4's caller (sample_frames) catches (ValueError,
+    NotImplementedError, struct.error, IndexError, KeyError) — mutated
+    containers must stay inside that set (no OverflowError/MemoryError/
+    hangs)."""
+    import struct
+
+    from test_multimodal import _make_mp4
+
+    from surge_spark.operators.mp4 import parse_mp4
+
+    frames = [b"FRAME-%d" % i * 3 for i in range(4)]
+    payload = _make_mp4(frames, timescale=1000, delta=250, syncs=(1, 3))
+    rng = np.random.RandomState(13)
+    ok = bad = 0
+    for mutated in _mutations(payload, rng, 400):
+        try:
+            info = parse_mp4(mutated)
+            assert isinstance(info["samples"], list)
+            ok += 1
+        except (ValueError, NotImplementedError, struct.error, IndexError, KeyError):
+            bad += 1
+    assert ok + bad == 400
+
+
+def test_sitemap_parser_contract():
+    import gzip as _gz
+
+    from surge_spark.operators.ingest import parse_sitemap
+
+    xml = (
+        b'<?xml version="1.0"?>'
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + b"".join(
+            b"<url><loc>http://a/%d</loc><lastmod>2024-01-01</lastmod></url>" % i
+            for i in range(6)
+        )
+        + b"</urlset>"
+    )
+    for payload in (xml, _gz.compress(xml)):
+        rng = np.random.RandomState(17)
+        for mutated in _mutations(payload, rng, 400):
+            try:
+                parse_sitemap(mutated)
+            except OK_TYPES:
+                pass
