@@ -60,6 +60,8 @@ HEADLINE = [
     "m_dau_wau_mau",               # rolling distinct engagement, explode-not-range-join (new r10)
     "w_activity_streaks",          # gaps-and-islands streaks, partitioned window (new r10)
     "m_event_path_trigrams",       # clickstream trigram top-k, one window pass (new r10)
+    "t_web_pipeline_real",         # WARC->HTTP->HTML->text, two mapInPandas passes (new r10)
+    "m_holt_smoothing",            # level+trend forecast fold, recursive-CTE oracled (new r10)
 ]
 
 N_RUNS = 3
