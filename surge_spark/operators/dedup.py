@@ -753,3 +753,69 @@ def cut_duplicate_spans(
         F.size("_t").alias("n_tokens"),
         (F.size("_t") - F.size(kept)).alias("n_tokens_removed"),
     )
+
+
+def minhash_lsh_incremental(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_new,
+    n: int = 4,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int | None = 5000,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """INCREMENTAL near-dup: the daily-shard-vs-accumulated-corpus shape —
+    pairs are (new doc, existing doc) only, never new-new or old-old.
+    ``is_new`` is a Column-factory: given the id column it returns the
+    membership predicate (e.g. ``lambda c: c % 5 == 0`` or a
+    partition-date test).
+
+    Plan shape: ONE signature/banding pass over the union (at 100 TB the
+    accumulated corpus' signatures live in a table and only the new
+    shard's are computed — this operator recomputes both so the entry is
+    self-contained; the join below is the part that matters), then the
+    SAME self-join both sides of the production entry uses — identical
+    subtrees so the expensive signature exchange is computed once
+    (ReusedExchange) — with the side-membership predicates applied to the
+    PAIR (is_new(id_a) AND NOT is_new(id_b)) rather than filtering the
+    join inputs, which would split the subtrees and double the signature
+    build. Verification is the one-scan O(candidates) core shared with
+    the production entry. Output: (new_id, old_id, jaccard)."""
+    sig = minhash_signatures(
+        shingles(df, id_col, text_col, n, distinct=False), num_hashes, hash_fn
+    )
+    banded = _banded(sig, bands, num_hashes // bands)
+    if max_bucket is not None:
+        banded = (
+            _bucket_sized(banded).where(F.col("_bsz") <= max_bucket).drop("_bsz")
+        )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket").hint(
+        "shuffle_hash"
+    )
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket").hint(
+        "shuffle_hash"
+    )
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .where(is_new(F.col("id_a")) & ~is_new(F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = shingles(df, id_col, text_col, n)
+    per_shingle = _pair_shingle_presence(cands, sh)
+    agg = per_shingle.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("n_union"),
+        F.sum(F.col("_ha") * F.col("_hb")).alias("n_common"),
+    )
+    return (
+        agg.withColumn("jaccard", F.col("n_common") / F.col("n_union"))
+        .where((F.col("n_common") > 0) & (F.col("jaccard") >= threshold))
+        .select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("old_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )

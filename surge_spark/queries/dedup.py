@@ -799,3 +799,58 @@ def d_fuzzy_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keeper_id"),
         )
     )
+
+
+@query(
+    "d_incremental_neardup_md5",
+    oracle=f"""
+    WITH {_duck_shingles(4)},
+    {_duck_minhash_md5(64)},
+    bands AS (
+      SELECT id, u.b AS band,
+             array_to_string(s[u.b * 4 + 1 : u.b * 4 + 4], ',') AS key
+      FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS b) u
+    ),
+    sized AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
+    okb AS (
+      SELECT bands.* FROM bands JOIN sized USING (band, key) WHERE c <= 5000
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS new_id, b.id AS old_id
+      FROM okb a JOIN okb b
+        ON a.band = b.band AND a.key = b.key
+      WHERE a.id % 5 = 0 AND b.id % 5 <> 0
+    ),
+    sizes AS (SELECT id, count(*) AS ns FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.new_id, c.old_id, count(*) AS nc
+      FROM cand c
+      JOIN sh x ON x.id = c.new_id
+      JOIN sh y ON y.id = c.old_id AND y.shingle = x.shingle
+      GROUP BY c.new_id, c.old_id
+    )
+    SELECT i.new_id, i.old_id,
+           CAST(round(i.nc / (sa.ns + sb.ns - i.nc), 6) AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.new_id
+    JOIN sizes sb ON sb.id = i.old_id
+    WHERE i.nc / (sa.ns + sb.ns - i.nc) >= 0.5
+    """,
+)
+def d_incremental_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup under a full value oracle: the new shard (every
+    5th doc id — a scale-free 20% split standing in for "today's crawl")
+    is checked against the accumulated corpus only, (new, old) pairs at
+    Jaccard >= 0.5 — the production shape of daily near-dedup where
+    new-new pairs are handled inside the shard and old-old pairs were
+    settled in previous runs. Same md5 signatures, banding, bucket cap
+    and one-scan verification as d_minhash_lsh_neardup_md5; the side
+    predicates apply to the PAIR so both self-join sides stay the
+    identical subtree (ReusedExchange — filtering the inputs would
+    double the signature build)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_incremental(
+        docs, "doc_id", "text",
+        is_new=lambda c: c % 5 == 0,
+        n=4, num_hashes=64, bands=16, threshold=0.5, hash_fn="md5",
+    )

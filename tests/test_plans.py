@@ -808,3 +808,18 @@ def test_adamic_adar_takeordered_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "partial_count" in plan or "partial count" in plan, plan
     assert "ReusedExchange" in plan, plan
+
+
+def test_incremental_neardup_reuses_signature_exchange(spark, sf_dir):
+    """d_incremental_neardup_md5: the side-membership predicates apply to
+    the PAIR, keeping both band-join sides the identical signature
+    subtree — AQE computes it once (ReusedExchange in the finalized
+    plan). Filtering the join inputs instead would split the subtrees
+    and double the signature build."""
+    from surge_spark.queries import all_queries
+
+    df = all_queries()["d_incremental_neardup_md5"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan
