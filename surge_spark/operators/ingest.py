@@ -403,3 +403,26 @@ def extract_sitemap_urls(df: DataFrame, id_col: str = "id") -> DataFrame:
     ensure_shipped(df.sparkSession)
     cols = df.select(df[id_col].alias("id"), "payload")
     return cols.mapInPandas(run, schema=SITEMAP_SCHEMA)
+
+
+def stream_warc_records(spark, archive_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """STREAMING web-archive ingestion: watch a directory for landing
+    .warc/.warc.gz files (the binaryFile streaming source — exactly-once
+    per file via the source's seen-files log) and fan each archive out
+    into records with the same mapInPandas parser the batch operator
+    uses. The id column is a 64-bit hash of the file path (stable across
+    retries; archives are immutable once landed). At scale: one archive
+    = one input partition, records flow to downstream stages without the
+    payload ever shuffling; throttle with max_files_per_trigger (W7)."""
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.format("binaryFile")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    ).load(archive_dir)
+    payloads = files.select(
+        F.xxhash64("path").alias("id"), F.col("content").alias("payload")
+    )
+    return extract_warc_records(payloads, id_col="id")

@@ -204,3 +204,40 @@ def test_review_fixes_sitemap_dtd_anywhere_and_head_text():
         "<head><meta x>LEAKED<title>t</title><body>real</body>"
     )
     assert text == "real" and title == "t"
+
+
+def test_stream_warc_records_end_to_end(spark, tmp_path):
+    """Streaming ingestion: two archives (one per-record-gzipped) land in
+    a watched directory; every record comes out exactly once with true
+    fields, keyed by a stable path hash."""
+    import gzip as _gz
+
+    from surge_spark.operators.ingest import stream_warc_records
+
+    d = tmp_path / "archives"
+    d.mkdir()
+    a1 = _record("response", _http(b"alpha"), uri="http://a/") + _record(
+        "response", _http(b"beta"), uri="http://b/"
+    )
+    a2 = _gz.compress(_record("response", _http(b"gamma"), uri="http://c/"))
+    (d / "one.warc").write_bytes(a1)
+    (d / "two.warc.gz").write_bytes(a2)
+    q = (
+        stream_warc_records(spark, str(d), max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("warc_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from warc_out").collect()
+    got = sorted((r.target_uri, bytes(r.body)) for r in rows)
+    assert got == [
+        ("http://a/", b"alpha"),
+        ("http://b/", b"beta"),
+        ("http://c/", b"gamma"),
+    ]
+    # two distinct archive ids, each stable per path
+    assert len({r.id for r in rows}) == 2
