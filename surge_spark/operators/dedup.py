@@ -242,9 +242,13 @@ def lsh_candidates(
     bands: int = 16,
     rows_per_band: int = 4,
     max_bucket: int | None = 5000,
+    pair_predicate=None,
 ) -> DataFrame:
     """Band the signature and self-join on (band index, band hash): classic
     MinHash-LSH candidate generation. Output: (id_a, id_b) distinct pairs.
+    ``pair_predicate(id_a, id_b)`` overrides the default ``id_a < id_b``
+    dedup ordering — the incremental entry passes a side-membership test
+    instead (new-vs-corpus pairs).
 
     ``max_bucket`` caps band-bucket posting lists (same skew guard as
     ``jaccard_pairs``): a bucket of m near-identical boilerplate docs
@@ -266,9 +270,13 @@ def lsh_candidates(
     # sf0.1 for the full near-dup query.
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket").hint("shuffle_hash")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket").hint("shuffle_hash")
+    if pair_predicate is None:
+        pred = F.col("id_a") < F.col("id_b")
+    else:
+        pred = pair_predicate(F.col("id_a"), F.col("id_b"))
     return (
         a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(pred)
         .select("id_a", "id_b")
         .distinct()
     )
@@ -299,6 +307,30 @@ def lsh_candidate_ids(
     if max_bucket is not None:
         cond = cond & (F.col("_bsz") <= max_bucket)
     return sized.where(cond).select("id").distinct()
+
+
+def _verified_jaccard(
+    cands: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """The shared ONE-SCAN verification tail: per-pair n_union/n_common
+    from the role-join presence frame, jaccard = n_common/n_union,
+    filtered at ``threshold``. The ``n_common > 0`` guard mirrors the
+    unpruned path's inner shingle-equality join, which can never emit a
+    zero-overlap pair: here a candidate survives the role join via
+    EITHER member's shingles and would aggregate to jaccard=0.0 —
+    visible (pruned != unpruned) whenever threshold <= 0. Used by the
+    production self-join entry AND the incremental new-vs-corpus entry;
+    a verification fix lands once, here."""
+    per_shingle = _pair_shingle_presence(cands, sh)
+    agg = per_shingle.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("n_union"),
+        F.sum(F.col("_ha") * F.col("_hb")).alias("n_common"),
+    )
+    return (
+        agg.withColumn("jaccard", F.col("n_common") / F.col("n_union"))
+        .where((F.col("n_common") > 0) & (F.col("jaccard") >= threshold))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 def _pair_shingle_presence(cands: DataFrame, sh: DataFrame) -> DataFrame:
@@ -397,21 +429,9 @@ def minhash_lsh_dedup(
     cands = lsh_candidates(sig, bands, num_hashes // bands, max_bucket)
     sh = shingles(df, id_col, text_col, n)
     if prune_verification:
-        per_shingle = _pair_shingle_presence(cands, sh)
-        agg = per_shingle.groupBy("id_a", "id_b").agg(
-            F.count("*").alias("n_union"),
-            F.sum(F.col("_ha") * F.col("_hb")).alias("n_common"),
-        )
-        return (
-            agg.withColumn("jaccard", F.col("n_common") / F.col("n_union"))
-            # n_common > 0 mirrors the unpruned path's inner shingle-equality
-            # join, which can never emit a zero-overlap pair: here a candidate
-            # pair survives the role join via EITHER member's shingles and
-            # would aggregate to jaccard=0.0 — visible (pruned != unpruned)
-            # whenever threshold <= 0.
-            .where((F.col("n_common") > 0) & (F.col("jaccard") >= threshold))
-            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-        )
+        # one-scan verification tail shared with the incremental entry —
+        # incl. the n_common > 0 guard (rationale at _verified_jaccard)
+        return _verified_jaccard(cands, sh, threshold)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = sh.withColumnsRenamed({"id": "id_a"})
     b = sh.withColumnsRenamed({"id": "id_b"})
@@ -776,46 +796,32 @@ def minhash_lsh_incremental(
     Plan shape: ONE signature/banding pass over the union (at 100 TB the
     accumulated corpus' signatures live in a table and only the new
     shard's are computed — this operator recomputes both so the entry is
-    self-contained; the join below is the part that matters), then the
-    SAME self-join both sides of the production entry uses — identical
-    subtrees so the expensive signature exchange is computed once
-    (ReusedExchange) — with the side-membership predicates applied to the
-    PAIR (is_new(id_a) AND NOT is_new(id_b)) rather than filtering the
-    join inputs, which would split the subtrees and double the signature
-    build. Verification is the one-scan O(candidates) core shared with
-    the production entry. Output: (new_id, old_id, jaccard)."""
+    self-contained; the join below is the part that matters), reusing
+    lsh_candidates with the side-membership test as the pair predicate
+    (is_new(id_a) AND NOT is_new(id_b)). Exchange-reuse mechanics,
+    stated precisely: under the default ``max_bucket`` the bucket-size
+    Window (partitioned on band+bucket, not id) BARRIERS the per-side
+    predicates from pushing below the shared exchange, so the signature
+    subtree is built once (ReusedExchange, plan-pinned). With
+    ``max_bucket=None`` there is no barrier and Catalyst pushes each
+    side's predicate down to its scan — the subtrees split, but the two
+    builds then cover DISJOINT id subsets (new vs old), so total compute
+    stays ~one full pass; only the parquet scan runs twice. Verification
+    is the one-scan O(candidates) tail shared with the production entry
+    (_verified_jaccard). Output: (new_id, old_id, jaccard)."""
     sig = minhash_signatures(
         shingles(df, id_col, text_col, n, distinct=False), num_hashes, hash_fn
     )
-    banded = _banded(sig, bands, num_hashes // bands)
-    if max_bucket is not None:
-        banded = (
-            _bucket_sized(banded).where(F.col("_bsz") <= max_bucket).drop("_bsz")
-        )
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket").hint(
-        "shuffle_hash"
-    )
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket").hint(
-        "shuffle_hash"
-    )
-    cands = (
-        a.join(b, ["band", "bucket"])
-        .where(is_new(F.col("id_a")) & ~is_new(F.col("id_b")))
-        .select("id_a", "id_b")
-        .distinct()
+    cands = lsh_candidates(
+        sig,
+        bands,
+        num_hashes // bands,
+        max_bucket,
+        pair_predicate=lambda ia, ib: is_new(ia) & ~is_new(ib),
     )
     sh = shingles(df, id_col, text_col, n)
-    per_shingle = _pair_shingle_presence(cands, sh)
-    agg = per_shingle.groupBy("id_a", "id_b").agg(
-        F.count("*").alias("n_union"),
-        F.sum(F.col("_ha") * F.col("_hb")).alias("n_common"),
-    )
-    return (
-        agg.withColumn("jaccard", F.col("n_common") / F.col("n_union"))
-        .where((F.col("n_common") > 0) & (F.col("jaccard") >= threshold))
-        .select(
-            F.col("id_a").alias("new_id"),
-            F.col("id_b").alias("old_id"),
-            F.round("jaccard", 6).alias("jaccard"),
-        )
+    return _verified_jaccard(cands, sh, threshold).select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("old_id"),
+        "jaccard",
     )

@@ -160,7 +160,10 @@ def test_mp4_demux_contract():
             ok += 1
         except (ValueError, NotImplementedError, struct.error, IndexError, KeyError):
             bad += 1
-    assert ok + bad == 400
+    # both outcomes must actually occur: some mutations (e.g. inside
+    # frame payloads) still parse, some corrupt the tables — an all-ok or
+    # all-reject regression would be suspicious either way
+    assert ok > 0 and bad > 0, (ok, bad)
 
 
 def test_sitemap_parser_contract():
