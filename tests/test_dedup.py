@@ -383,3 +383,33 @@ def test_containment_catches_contained_document(spark):
     ).toPandas()
     jmap = {(a, b): j for a, b, j in zip(jac.id_a, jac.id_b, jac.jaccard)}
     assert jmap[(0, 1)] < got[(0, 1)] - 0.1
+
+
+def test_incremental_equals_cross_side_slice_of_full_neardup(spark, sf_dir):
+    """Cross-operator consistency: the incremental entry's (new, old)
+    pairs must be EXACTLY the production self-join's pairs restricted to
+    one-new-one-old membership, reoriented — same banding, same bucket
+    cap (applied before the side split in both), same one-scan
+    verification, so the equality is exact including jaccard."""
+    from surge_spark.queries import all_queries
+
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in all_queries()["d_minhash_lsh_neardup_md5"](
+            spark, sf_dir
+        ).collect()
+    }
+    inc = {
+        (r.new_id, r.old_id): r.jaccard
+        for r in all_queries()["d_incremental_neardup_md5"](
+            spark, sf_dir
+        ).collect()
+    }
+    expect = {}
+    for (a, b), j in full.items():
+        a_new, b_new = a % 5 == 0, b % 5 == 0
+        if a_new and not b_new:
+            expect[(a, b)] = j
+        elif b_new and not a_new:
+            expect[(b, a)] = j
+    assert inc == expect and len(inc) > 0
