@@ -402,6 +402,18 @@ class HpackDecoder:
         self._evict()
 
     def decode(self, block: bytes) -> list[tuple[str, str]]:
+        """Decode one header block. Malformed blocks raise ValueError
+        uniformly — truncated varints/strings surface as IndexError and
+        mutated literals as UnicodeDecodeError from the primitives, and a
+        wire peer must never crash the connection handler with anything
+        but the protocol-error type (fuzz-pinned in
+        tests/test_decoder_fuzz.py)."""
+        try:
+            return self._decode_inner(block)
+        except (IndexError, UnicodeDecodeError) as e:
+            raise ValueError(f"malformed HPACK block: {type(e).__name__}") from e
+
+    def _decode_inner(self, block: bytes) -> list[tuple[str, str]]:
         headers: list[tuple[str, str]] = []
         pos = 0
         while pos < len(block):

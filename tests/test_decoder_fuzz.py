@@ -187,3 +187,35 @@ def test_sitemap_parser_contract():
                 parse_sitemap(mutated)
             except OK_TYPES:
                 pass
+
+
+def test_hpack_decoder_contract():
+    """The HPACK decoder parses untrusted NETWORK bytes — 400 mutations
+    of a representative header block (indexed fields, literals with and
+    without indexing, Huffman-coded literals, a table-size update) must
+    decode or raise ValueError, never IndexError/UnicodeDecodeError (a
+    wire peer could otherwise crash the connection handler with a
+    non-protocol exception)."""
+    from surge_spark.streaming.h2c import HpackDecoder, hpack_encode
+
+    base = hpack_encode(
+        [
+            (":method", "POST"),
+            (":path", "/x.Y/Process"),
+            ("content-type", "application/grpc"),
+            ("x-custom", "abc123"),
+        ],
+        huffman=True,
+    )
+    # prepend a table-size update and an incremental-indexing literal so
+    # the 0x20 and 0x40 opcode paths are inside the fuzzed region
+    block = b"\x20" + b"\x40\x03abc\x02xy" + base
+    dec = HpackDecoder()
+    assert dec.decode(block)[0] == ("abc", "xy")  # the crafted block is valid
+    rng = np.random.RandomState(19)
+    for mutated in _mutations(block, rng, 400):
+        try:
+            out = HpackDecoder().decode(mutated)
+            assert all(isinstance(n, str) and isinstance(v, str) for n, v in out)
+        except OK_TYPES:
+            pass
