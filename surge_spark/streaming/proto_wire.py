@@ -117,7 +117,12 @@ def _first_bytes(fields: dict, n: int) -> bytes:
 
 
 def _first_str(fields: dict, n: int) -> str:
-    return _first_bytes(fields, n).decode("utf-8")
+    try:
+        return _first_bytes(fields, n).decode("utf-8")
+    except UnicodeDecodeError as e:
+        # untrusted wire bytes: a mutated string field must surface as the
+        # protocol-error type, not crash a handler with UnicodeDecodeError
+        raise ValueError(f"proto3 string field {n} is not UTF-8") from e
 
 
 def _first_int(fields: dict, n: int) -> int:

@@ -219,3 +219,25 @@ def test_hpack_decoder_contract():
             assert all(isinstance(n, str) and isinstance(v, str) for n, v in out)
         except OK_TYPES:
             pass
+
+
+def test_proto_wire_contract():
+    """proto3 message decode over untrusted wire bytes: mutations must
+    parse or raise ValueError — a mutated string field previously leaked
+    UnicodeDecodeError out of the connection handler."""
+    from surge_spark.streaming.proto_wire import (
+        decode_kv,
+        decode_process_command_request,
+        encode_process_command_request,
+    )
+
+    payload = encode_process_command_request(
+        "agg-42", b"\x01\x02state", b'{"kind":"credit","amount":5}'
+    )
+    rng = np.random.RandomState(23)
+    for mutated in _mutations(payload, rng, 400):
+        for fn in (decode_process_command_request, decode_kv):
+            try:
+                fn(mutated)
+            except OK_TYPES:
+                pass
