@@ -23,6 +23,8 @@ action per round.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -221,6 +223,17 @@ def kcore_converged(
         )
         cur.unpersist()
         cur, n_nodes = nxt, n_keep
+    else:
+        # max_rounds exhausted without the node-set fixpoint: the result
+        # is a truncated peel, not a k-core. rounds == max_rounds is the
+        # machine-checkable sentinel (a converged exit always breaks with
+        # rounds < max_rounds); warn so interactive callers see it too.
+        warnings.warn(
+            f"kcore_converged stopped after max_rounds={max_rounds} without "
+            "reaching the node-set fixpoint; result is a truncated peel",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return cur, rounds
 
 

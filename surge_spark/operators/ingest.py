@@ -158,11 +158,20 @@ def parse_warc(payload: bytes) -> list[dict]:
                 parts = status_line.split()
                 if len(parts) >= 2 and parts[1].isdigit():
                     http_status = int(parts[1])
-                hh = _split_headers(
-                    block[block.find(b"\n") + 1 : he]
-                )
-                content_type = hh.get("content-type", content_type)
-                body = block[he + hs :]
+                # One colon-free junk HTTP header line (common in real
+                # crawls) must not abort the whole archive: WARC-level
+                # framing stays authoritative, the record falls back to a
+                # raw non-HTTP body.
+                try:
+                    hh = _split_headers(
+                        block[block.find(b"\n") + 1 : he]
+                    )
+                except ValueError:
+                    hh = None
+                    http_status = None
+                if hh is not None:
+                    content_type = hh.get("content-type", content_type)
+                    body = block[he + hs :]
         records.append(
             {
                 "warc_type": warc_type,

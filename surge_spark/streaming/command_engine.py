@@ -565,6 +565,16 @@ class CommandEngine:
             return None
         if self._driver_structs() is None:
             return None
+        # complex-typed COMMAND columns gate: Row.asDict() below is
+        # non-recursive, so struct commands would reach handlers as Row
+        # objects while the distributed Arrow path hands dicts (and
+        # array/map pandas representations differ too) — _driver_structs
+        # covers state/event/reply/record schemas, not the command batch.
+        if any(
+            isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
+            for f in commands.schema.fields
+        ):
+            return None
         try:
             with phase("pb.df_collect"):
                 if n_rows_hint is not None:

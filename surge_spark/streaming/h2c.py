@@ -342,6 +342,11 @@ def _hpack_read_str(buf: bytes, pos: int) -> tuple[str, int]:
     huffman = bool(buf[pos] & 0x80)
     n, pos = _hpack_read_int(buf, pos, 7)
     raw = buf[pos : pos + n]
+    if len(raw) != n:
+        # Python slicing never raises: an over-declared length prefix would
+        # otherwise decode to a silently truncated header value instead of
+        # surfacing as a malformed block.
+        raise ValueError("HPACK string literal over-declares its length")
     if huffman:
         raw = huffman_decode(raw)
     return raw.decode("utf-8"), pos + n

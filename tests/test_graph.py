@@ -197,3 +197,32 @@ def test_cc_converged_constructed_components(spark):
     )
     got = {(r.pa, r.pb) for r in edges.collect()}
     assert got == {(103, 104)}
+
+
+def test_kcore_converged_warns_on_max_rounds_truncation(spark):
+    """ADVICE r10: a max_rounds-exhausted exit is a TRUNCATED peel, not a
+    k-core, and must be distinguishable — RuntimeWarning is raised and
+    rounds == max_rounds is the machine-checkable sentinel (a converged
+    exit always breaks with rounds < max_rounds)."""
+    import warnings as _warnings
+    from surge_spark.operators.graph import kcore_converged
+
+    # a 3-link chain peels one leaf-edge per round under k=2: needs 3+
+    # node-set-changing rounds, so max_rounds=1 must truncate loudly
+    pairs = [("o1", "p1"), ("o2", "p1"), ("o2", "p2"), ("o3", "p2")]
+    edges = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        _, rounds = kcore_converged(edges, 2, max_rounds=1, bipartite=True)
+    assert rounds == 1
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "truncated peel" in str(w.message)
+        for w in caught
+    )
+    # converged run on the same graph: no warning, sentinel clear
+    with _warnings.catch_warnings(record=True) as caught2:
+        _warnings.simplefilter("always")
+        final, rounds2 = kcore_converged(edges, 2, max_rounds=30, bipartite=True)
+    assert rounds2 < 30 and not any(
+        issubclass(w.category, RuntimeWarning) for w in caught2
+    )

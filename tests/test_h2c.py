@@ -481,3 +481,19 @@ def test_sender_respects_peer_flow_control_window():
     finally:
         a.close()
         b.close()
+
+
+def test_hpack_over_declared_string_length_is_malformed():
+    # ADVICE r10: buf[pos:pos+n] never raises in Python, so a length
+    # prefix that over-declares the remaining block used to decode to a
+    # silently TRUNCATED header value. It must surface as the uniform
+    # malformed-block ValueError instead.
+    # literal without indexing, new name: name "a" (len 1), then a value
+    # whose 7-bit length prefix claims 10 bytes but only 3 follow.
+    block = bytes([0x00, 0x01]) + b"a" + bytes([0x0A]) + b"xyz"
+    dec = h2c.HpackDecoder()
+    with pytest.raises(ValueError, match="malformed HPACK|over-declare"):
+        dec.decode(block)
+    # exact-length twin decodes fine (the guard is ==, not a behavior change)
+    ok = bytes([0x00, 0x01]) + b"a" + bytes([0x03]) + b"xyz"
+    assert h2c.HpackDecoder().decode(ok) == [("a", "xyz")]

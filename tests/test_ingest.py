@@ -241,3 +241,23 @@ def test_stream_warc_records_end_to_end(spark, tmp_path):
     ]
     # two distinct archive ids, each stable per path
     assert len({r.id for r in rows}) == 2
+
+
+def test_parse_warc_junk_http_header_falls_back_to_raw_body():
+    # ADVICE r10: one colon-free junk HTTP header line must not abort the
+    # ENTIRE archive — WARC framing stays authoritative, the bad record
+    # degrades to a raw non-HTTP body, neighbors parse normally.
+    good = _record("response", _http(b"fine"), uri="http://ok/")
+    junk_http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"this line has no colon\r\n\r\nbody-bytes"
+    )
+    bad = _record("response", junk_http, uri="http://junk/")
+    recs = parse_warc(good + bad + good)
+    assert [r["warc_type"] for r in recs] == ["response"] * 3
+    assert recs[0]["body"] == b"fine" and recs[2]["body"] == b"fine"
+    # the junk record keeps the whole HTTP block as its raw body and
+    # reports no parsed status
+    assert recs[1]["target_uri"] == "http://junk/"
+    assert recs[1]["http_status"] is None
+    assert recs[1]["body"] == junk_http

@@ -1810,3 +1810,48 @@ def test_session_window_counts_native_gap_sessions(spark, tmp_path):
         (1, _ts(2000), _ts(2100) + gap, 2),
         (2, _ts(50), _ts(50) + gap, 1),
     ]
+
+
+def test_driver_fold_gates_on_struct_command_columns(spark, tmp_path):
+    """ADVICE r10: Row.asDict() in the driver fold is non-recursive, so a
+    struct-typed command column would reach handlers as a Row there while
+    the distributed Arrow path hands a dict. The fast path must DECLINE
+    complex-typed command batches; the distributed fold then delivers the
+    dict-shaped payload."""
+
+    def process(state, cmd):
+        p = cmd["payload"]
+        # the cross-mode contract: handlers always see plain dicts
+        return ([{"k": cmd["k"], "amt": int(p["amt"]),
+                  "was_dict": bool(isinstance(p, dict))}], False)
+
+    def handle(state, ev):
+        return {"k": ev["k"],
+                "total": (state["total"] if state else 0) + ev["amt"],
+                "was_dict": ev["was_dict"]}
+
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=4
+    )
+    eng = CommandEngine(
+        store,
+        process,
+        handle,
+        "k string, total long, was_dict boolean",
+        "k string, amt long, was_dict boolean",
+        key_col="k",
+        order_cols=["command_id"],
+        fold_partitions=2,
+        driver_fold_max_rows=512,
+    )
+    cmds = spark.createDataFrame(
+        [("a", "c1", {"amt": 5}), ("a", "c2", {"amt": 7}), ("b", "c3", {"amt": 1})],
+        "k string, command_id string, payload struct<amt:long>",
+    )
+    # the gate itself: fast path declines struct command columns outright
+    assert eng._driver_fold(spark, cmds, "gate", None, None) is None
+    # and the full batch still commits correctly via the distributed fold,
+    # with the struct arriving as a dict
+    assert eng.process_batch(cmds, "b1") is not None
+    got = {r.k: (r.total, r.was_dict) for r in store.read_state(spark).collect()}
+    assert got == {"a": (12, True), "b": (1, True)}
