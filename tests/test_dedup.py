@@ -413,3 +413,82 @@ def test_incremental_equals_cross_side_slice_of_full_neardup(spark, sf_dir):
         elif b_new and not a_new:
             expect[(b, a)] = j
     assert inc == expect and len(inc) > 0
+
+
+def test_persisted_signature_incremental_equals_self_contained(spark, sf_dir, tmp_path):
+    """r10 VERDICT #1 — the 100 TB daily-dedup gap: corpus signatures live
+    in a SignatureStore (SnapshotStore-backed parquet; shard appends are
+    flat deltas with latest-wins per id) and each run computes signatures
+    for the NEW shard only. The from-stored result must equal the
+    self-contained minhash_lsh_incremental on the same corpus split
+    EXACTLY, including jaccard — signatures are a pure function of the
+    text and the union bucket cap counts the same population."""
+    from surge_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    shard = docs.where(is_new)
+    corpus = docs.where(~is_new)
+
+    store = dd.SignatureStore(str(tmp_path / "sigs"), num_buckets=8, delta_commits=4)
+    # two corpus appends (exercises the delta merge path), then load
+    corpus_sig = dd.minhash_signatures(
+        dd.shingles(corpus, "doc_id", "text", 4, distinct=False), 64, "md5"
+    )
+    assert store.append(corpus_sig.where(F.col("id") % 2 == 0), "day0-even")
+    assert store.append(corpus_sig.where(F.col("id") % 2 != 0), "day0-odd")
+    # replayed append is an R4 no-op
+    assert not store.append(corpus_sig.where(F.col("id") % 2 == 0), "day0-even")
+    stored = store.load(spark, id_type="long")
+    # the stored table IS the signature function of the corpus
+    assert stored.count() == corpus_sig.count()
+
+    got = {
+        (r.new_id, r.old_id): r.jaccard
+        for r in dd.minhash_lsh_from_stored(
+            shard, corpus, stored, "doc_id", "text",
+            n=4, num_hashes=64, bands=16, threshold=0.5, hash_fn="md5",
+        ).collect()
+    }
+    want = {
+        (r.new_id, r.old_id): r.jaccard
+        for r in dd.minhash_lsh_incremental(
+            docs, "doc_id", "text", is_new=lambda c: c % 5 == 0,
+            n=4, num_hashes=64, bands=16, threshold=0.5, hash_fn="md5",
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_persisted_signature_recrawl_latest_wins(spark, tmp_path):
+    """A re-crawled doc: its STALE stored signature is replaced by the
+    shard append (latest-wins per id), it never pairs with itself, and
+    verification uses its CURRENT text."""
+    old = _docs(spark, [BASE + " v1", "completely different content here now"])
+    store = dd.SignatureStore(str(tmp_path / "s"), num_buckets=4, delta_commits=4)
+    sig_old = dd.minhash_signatures(
+        dd.shingles(old, "doc_id", "text", 4, distinct=False), 64, "md5"
+    )
+    assert store.append(sig_old, "day0")
+    # doc 0 re-crawled with near-identical text; doc 2 is new and near-dups doc 0
+    shard = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 2], "text": [BASE + " v2", BASE + " v2 extra"]})
+    )
+    corpus = old  # still contains the stale doc 0 row
+    pairs = dd.minhash_lsh_from_stored(
+        shard, corpus, store.load(spark), "doc_id", "text",
+        threshold=0.3, hash_fn="md5",
+    ).collect()
+    assert all(r.new_id != r.old_id for r in pairs)
+    got = {(r.new_id, r.old_id) for r in pairs}
+    # doc 2 matches stored doc 0's signature; verified against doc 0's
+    # CURRENT (shard) text, not the stale corpus row
+    assert (2, 0) in got
+    # appending the shard then reloading shows latest-wins on doc 0
+    sig_new = dd.minhash_signatures(
+        dd.shingles(shard, "doc_id", "text", 4, distinct=False), 64, "md5"
+    )
+    assert store.append(sig_new, "day1")
+    merged = {r.id: tuple(r.sig) for r in store.load(spark).collect()}
+    fresh = {r.id: tuple(r.sig) for r in sig_new.collect()}
+    assert merged[0] == fresh[0] and len(merged) == 3
