@@ -26,10 +26,11 @@ by pytest instead:
   pinned against pyspark's own partitioning in tests.
 - ``a_approx_count_distinct`` — HyperLogLog++ estimate: engine-specific
   sketch by definition; bounded-relative-error pin instead.
-- ``mm_feature_extract`` — exercises the multimodal mapInPandas pipeline
-  on payloads that route through the deterministic fake-decode fallback
-  (the real BMP/PPM/PNG/WAV decoders are value-tested in pytest; feature
-  floats depend on the sniffing branch, so this stays rows-only).
+(``mm_feature_extract`` graduated to a FULL oracle in round 11: its
+payloads are constructed 3x2 24-bit BMPs whose pixel bytes are the doc's
+first 18 printable-ASCII chars, so the REAL _decode_bmp path runs and the
+exact integer channel sums mirror in DuckDB — the fake-decode fallback is
+value-tested in pytest instead.)
 
 (``sim_ann_lsh_topk`` graduated to a FULL oracle in round 6: its
 hyperplanes come from a deterministic pure-python LCG, so the identical

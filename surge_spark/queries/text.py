@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import struct as _struct
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -169,20 +171,82 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_feature_extract")
+# fixed 3x2 24-bit BMP header (dims constant => every byte constant):
+# 14-byte file header (magic, size 54+24, pixel offset 54) + 40-byte DIB
+# (w=3, h=2 positive => bottom-up, 24 bpp, uncompressed)
+_BMP_3X2_HEADER = (
+    b"BM"
+    + _struct.pack("<IHHI", 78, 0, 0, 54)
+    + _struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, 24, 0, 0, 0, 0)
+)
+
+
+@query(
+    "mm_feature_extract",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, substring(text, 1, 18) AS s
+      FROM documents
+      WHERE doc_id < 200 AND regexp_matches(text, '^[ -~]{18}')
+    ),
+    bytes AS (
+      SELECT doc_id, t.i, ascii(substring(s, CAST(t.i AS INT), 1)) AS b
+      FROM base, LATERAL (SELECT unnest(range(1, 19)) AS i) t
+    )
+    SELECT doc_id, CAST(3 AS INT) AS width, CAST(2 AS INT) AS height,
+           CAST(sum(CASE WHEN (i - 1) % 3 = 2 THEN b END) AS BIGINT) AS r_sum,
+           CAST(sum(CASE WHEN (i - 1) % 3 = 1 THEN b END) AS BIGINT) AS g_sum,
+           CAST(sum(CASE WHEN (i - 1) % 3 = 0 THEN b END) AS BIGINT) AS b_sum,
+           CAST(sum(b) AS BIGINT) AS total_sum,
+           CAST(min(b) AS BIGINT) AS min_b,
+           CAST(max(b) AS BIGINT) AS max_b
+    FROM bytes GROUP BY doc_id
+    """,
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode/feature-extract pipeline over mapInPandas. The
-    decode stage is REAL for every stdlib-parseable format — BMP 24-bit,
-    PPM P6, PNG 8-bit grey/RGB/RGBA, baseline JPEG (operators.jpeg,
-    r10), WAV PCM (constructed-bytes tests) — with a deterministic fake
-    fallback for formats needing a codec library (progressive/arithmetic
-    JPEG, video). THIS entry's payloads are
-    ASCII text, so they exercise the fallback path end to end; the real
-    decoders are value-tested in tests/test_multimodal.py. Rows-only
-    check (feature floats depend on the sniffing branch)."""
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
-    with_bin = mm.to_binary_payload(docs, "doc_id", "text", mime="image/fake")
-    return mm.extract_features(with_bin, id_col="doc_id")
+    """Multimodal decode/feature-extract pipeline over mapInPandas, under
+    a FULL value oracle (graduated r11 via the construct-in-query trick
+    mm_ppm_real_decode proved): each doc's first 18 printable-ASCII chars
+    become the pixel bytes of a valid 3x2 24-bit BMP — constant 54-byte
+    literal header, two 12-byte bottom-up rows (9 BGR pixel bytes + 3 pad
+    bytes each), all plain column concat, no UDF — and route through the
+    REAL _decode_bmp inside extract_features. Channel mapping is the BMP
+    file layout: byte (i-1)%3 = 0/1/2 within a pixel triple is B/G/R, and
+    channel SUMS are row-order independent so the bottom-up flip never
+    shows. The exact integer sums come back out of the float32 feature
+    vector the same way as the PPM twin (error ~1e-4 at worst, far inside
+    round()); DuckDB recomputes them directly from the ascii codes. The
+    fake-fallback path this entry used to smoke is value-tested in
+    tests/test_multimodal.py."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 200)
+        .where(F.col("text").rlike("^[ -~]{18}"))
+    )
+    pad = F.lit(b"\x00\x00\x00")
+    payload = F.concat(
+        F.lit(_BMP_3X2_HEADER),
+        F.encode(F.substring("text", 1, 9), "utf-8"),
+        pad,
+        F.encode(F.substring("text", 10, 9), "utf-8"),
+        pad,
+    )
+    with_bin = docs.select(
+        "doc_id", payload.alias("payload"), F.lit("image/bmp").alias("mime")
+    )
+    out = mm.extract_features(with_bin, id_col="doc_id")
+    f = lambda i: F.element_at("feat", i).cast("double")  # noqa: E731
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.round(f(1) * 6 * 255).cast("long").alias("r_sum"),
+        F.round(f(2) * 6 * 255).cast("long").alias("g_sum"),
+        F.round(f(3) * 6 * 255).cast("long").alias("b_sum"),
+        F.round(f(4) * 18 * 255).cast("long").alias("total_sum"),
+        F.round(f(5) * 255).cast("long").alias("min_b"),
+        F.round(f(6) * 255).cast("long").alias("max_b"),
+    )
 
 
 @query(

@@ -33,8 +33,10 @@ def test_catalog_contract(spark, sf_dir):
     # es_bank_fold graduated to a recursive-CTE oracle in round 3; the
     # k-means sim entries graduated via injected fixed centroids in round 5;
     # sim_ann_lsh_topk graduated in round 6 (its LCG hyperplanes render as
-    # literals into the SQL) and d_simhash_fingerprints gained a
-    # value-oracled md5 twin — what remains is unoracleable by construction
+    # literals into the SQL), d_simhash_fingerprints gained a
+    # value-oracled md5 twin, and mm_feature_extract graduated in round 11
+    # (constructed 3x2 BMP payloads route the REAL decoder under exact
+    # integer channel sums) — what remains is unoracleable by construction
     # (xxhash64/HLL/env-gated, see the registry docstring in
     # surge_spark/queries/__init__.py)
     assert rows_only == {
@@ -43,7 +45,6 @@ def test_catalog_contract(spark, sf_dir):
         "d_minhash_lsh_neardup_unpruned",
         "d_simhash_fingerprints",
         "f_partition_for_key",
-        "mm_feature_extract",
     }
     # callables execute and yield DataFrames (smoke one cheap entry)
     assert queries["s2_point_lookup"](spark, sf_dir).count() >= 0
