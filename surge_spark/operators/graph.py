@@ -104,7 +104,7 @@ def kcore_converged(
     dst: str = "dst",
     max_rounds: int = 30,
     bipartite: bool = False,
-    broadcast_keep_max: int = 20_000_000,
+    broadcast_max_bytes: int = 64 << 20,
 ) -> tuple[DataFrame, int]:
     """Peel the graph to its k-core fixpoint; returns ``(final_edges,
     rounds)`` where ``rounds`` is the number of NODE-SET-changing peels —
@@ -142,9 +142,9 @@ def kcore_converged(
     in the peel evaluation, plus pays a union-distinct shuffle for the
     probe), the probe count needs no distinct — groupBy output is
     already one row per node — and both semi-joins BROADCAST the keep
-    set (gated on the measured node count, ``broadcast_keep_max``:
-    explicit hints are honored unconditionally so an unbounded hint
-    would be a driver-OOM risk, not a plan choice AQE could undo), so
+    set (gated on MEASURED BYTES, ``broadcast_max_bytes`` via
+    ``measured_broadcast`` — rows AND key widths come out of the same
+    single probe action; a row-count gate mis-sizes wide keys), so
     the edge frame never shuffles during the peel. Measured at
     sf0.1 (interleaved back-to-back, same session): old 7.8/6.1 s vs
     new 6.2/5.6/5.1 s on the 3-round loop — ~15-20% here, but the
@@ -174,22 +174,15 @@ def kcore_converged(
                 .select("n")
                 .localCheckpoint(eager=False)
             )
-            n_keep = keep.count()
-            # the keep set is node-sized (<< edges) and already
-            # materialized — broadcast both semi-joins so the edge set
-            # never shuffles during the peel. An explicit F.broadcast
-            # hint is honored UNCONDITIONALLY (AQE's size-based demotion
-            # applies only to its own SMJ->BHJ conversions, never to user
-            # hints), so the hint is gated on the measured node count:
-            # past broadcast_keep_max nodes it drops to the plain
-            # shuffled semi-join rather than risking a driver OOM
-            hint = (
-                F.broadcast
-                if n_keep <= broadcast_keep_max
-                else (lambda df: df)
+            # ONE action: the convergence probe count AND the byte-gated
+            # broadcast decision (see measured_broadcast — explicit hints
+            # are honored unconditionally, so the gate must be measured
+            # bytes, not row count: wide keys OOM a row-gated driver)
+            keep_h, n_keep = measured_broadcast(
+                keep, "n", max_bytes=broadcast_max_bytes
             )
-            keep_src = hint(keep.select(F.col("n").alias("src")))
-            keep_dst = hint(keep.select(F.col("n").alias("dst")))
+            keep_src = keep_h.select(F.col("n").alias("src"))
+            keep_dst = keep_h.select(F.col("n").alias("dst"))
         else:
             keep_src = (
                 cur.groupBy("src").count().where(F.col("count") >= k).select("src")
@@ -282,3 +275,35 @@ def pagerank_fixed(
             ((1.0 - damping) / F.col("_n") + damping * F.col("_in")).alias("rank"),
         )
     return ranks
+
+
+def measured_broadcast(
+    df: DataFrame,
+    key_col: str,
+    max_bytes: int = 64 << 20,
+    row_overhead: int = 32,
+) -> tuple[DataFrame, int]:
+    """Byte-gated broadcast hint over an ALREADY-MATERIALIZED frame
+    (localCheckpoint/persist — the measuring action would otherwise
+    recompute the subtree once more for the join).
+
+    Explicit ``F.broadcast`` hints are honored UNCONDITIONALLY — AQE's
+    size-based demotion applies only to its own SMJ→BHJ conversions,
+    never to user hints — so a hint must be gated on MEASURED size or it
+    is a driver-OOM lever at scale. A row-count gate (r10's
+    ``broadcast_keep_max=20M``) mis-sizes arbitrarily wide keys: 20M
+    rows is 160 MB of longs but multiple GB of URL-length strings. This
+    measures rows and key bytes in ONE aggregate action and estimates
+    the broadcast relation as ``key_bytes + row_overhead·rows`` (the
+    JVM hash-relation per-entry overhead dwarfs a narrow key).
+
+    Returns ``(frame, n_rows)`` where the frame carries the hint iff the
+    estimate fits ``max_bytes`` — callers that already need the row
+    count (kcore's convergence probe) get it from the same action."""
+    stats = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.octet_length(F.col(key_col).cast("string"))).alias("_w"),
+    ).collect()[0]
+    n = stats["_n"]
+    est = (stats["_w"] or 0) + row_overhead * n
+    return (F.broadcast(df) if est <= max_bytes else df), n

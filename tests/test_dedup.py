@@ -492,3 +492,24 @@ def test_persisted_signature_recrawl_latest_wins(spark, tmp_path):
     merged = {r.id: tuple(r.sig) for r in store.load(spark).collect()}
     fresh = {r.id: tuple(r.sig) for r in sig_new.collect()}
     assert merged[0] == fresh[0] and len(merged) == 3
+
+
+def test_decontaminate_opt_in_byte_gate(spark):
+    """broadcast_max_bytes opts decontaminate into the measured broadcast
+    gate: results identical to the default hinted plan, and a tiny budget
+    demotes the hint (no broadcast hash join on the shingle key)."""
+    train = _docs(spark, [BASE, "unrelated text entirely " * 3, BASE + " tail"])
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": [BASE]})
+    )
+    base = {
+        (r.id, r.n_hit, r.contaminated)
+        for r in dd.decontaminate(train, bench, "doc_id", "text").collect()
+    }
+    gated_df = dd.decontaminate(
+        train, bench, "doc_id", "text", broadcast_max_bytes=1
+    )
+    gated = {(r.id, r.n_hit, r.contaminated) for r in gated_df.collect()}
+    assert gated == base and any(hit for (_, hit, _) in base)
+    plan = gated_df._jdf.queryExecution().executedPlan().toString()
+    assert "ResolvedHint" not in plan

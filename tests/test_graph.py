@@ -226,3 +226,31 @@ def test_kcore_converged_warns_on_max_rounds_truncation(spark):
     assert rounds2 < 30 and not any(
         issubclass(w.category, RuntimeWarning) for w in caught2
     )
+
+
+def test_measured_broadcast_gates_on_bytes_not_rows(spark):
+    """r10 VERDICT #4: explicit broadcast hints are honored
+    unconditionally, so the gate must be measured BYTES — a row-count
+    gate passes arbitrarily wide keys. Same row count, different key
+    widths, same budget: narrow keeps the hint, wide drops it."""
+    from surge_spark.operators.graph import measured_broadcast
+
+    narrow = spark.createDataFrame(
+        [(f"k{i}",) for i in range(100)], "n string"
+    ).localCheckpoint()
+    wide = spark.createDataFrame(
+        [("x" * 2000 + str(i),) for i in range(100)], "n string"
+    ).localCheckpoint()
+    budget = 50_000  # narrow: ~300B keys + 3.2KB overhead; wide: ~200KB keys
+    hinted, n1 = measured_broadcast(narrow, "n", max_bytes=budget)
+    demoted, n2 = measured_broadcast(wide, "n", max_bytes=budget)
+    assert n1 == n2 == 100
+    assert "hint" in hinted._jdf.queryExecution().logical().toString().lower()
+    assert "hint" not in demoted._jdf.queryExecution().logical().toString().lower()
+    # and the hinted frame actually plans a broadcast join
+    edges = spark.createDataFrame([("k1", "p1")], "src string, dst string")
+    plan = (
+        edges.join(hinted.select(F.col("n").alias("src")), "src", "left_semi")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Broadcast" in plan, plan
