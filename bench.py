@@ -62,6 +62,14 @@ HEADLINE = [
     "m_event_path_trigrams",       # clickstream trigram top-k, one window pass (new r10)
     "t_web_pipeline_real",         # WARC->HTTP->HTML->text, two mapInPandas passes (new r10)
     "m_holt_smoothing",            # level+trend forecast fold, recursive-CTE oracled (new r10)
+    # r11: the heavy documented floors, rotated in so the driver tracks
+    # them round-over-round (they are the entries most likely to regress
+    # silently under operator refactors)
+    "g_triangle_count",            # exact wedge join on a dense graph (~9-10 s floor)
+    "d_fuzzy_dedup_clusters",      # LSH pairs -> unrolled min-label clustering
+    "sim_semantic_neardup_pairs",  # blocked embedding near-dup (pair-count floor)
+    "sim_ann_ivfadc_topk",         # IVF probe x PQ ADC (FAISS-default composition)
+    "d_persisted_neardup_md5",     # incremental dedup against stored signatures (new r11)
 ]
 
 N_RUNS = 3
