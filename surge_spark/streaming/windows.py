@@ -72,12 +72,14 @@ def session_window_counts(
     merge into one session while consecutive gaps stay under ``gap``;
     state for a session is dropped once the watermark passes its close.
 
-    Boundary semantics, stated precisely: session_window treats an event
-    landing EXACTLY ``gap`` after its predecessor as a NEW session
-    (intervals [t, t+gap) must overlap to merge), while the batch entry's
-    ``diff > gap`` test keeps it in the OLD session — identical on any
-    stream without exact-boundary gaps, off by one session on a stream
-    with them. Scale shape: state is per (key, open session), partitioned
+    Boundary semantics, stated precisely (MEASURED r11, correcting the
+    r10 note which claimed a divergence): session_window merges an event
+    landing EXACTLY ``gap`` after its predecessor into the OLD session —
+    Spark merges sessions that overlap OR are adjacent (merge iff
+    ``next_start <= current_end``), which is the same rule as the batch
+    entry's ``diff > gap`` split test. The two halves agree at, inside,
+    and past the boundary (property-pinned across generated streams in
+    tests/test_streaming.py::test_session_window_boundary_contract_property). Scale shape: state is per (key, open session), partitioned
     by key; the merge is Spark's native session-window state store, no
     custom applyInPandasWithState needed for time-gap semantics (the
     count-triggered slider below exists precisely because ITS slide

@@ -1855,3 +1855,96 @@ def test_driver_fold_gates_on_struct_command_columns(spark, tmp_path):
     assert eng.process_batch(cmds, "b1") is not None
     got = {r.k: (r.total, r.was_dict) for r in store.read_state(spark).collect()}
     assert got == {"a": (12, True), "b": (1, True)}
+
+
+def _batch_gap_sessions(spark, rows, gap_s):
+    """The batch entry's gap logic (h_session_windows re-parameterized):
+    diff > gap keeps an exact-boundary event in the OLD session."""
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    w = W.partitionBy("user_id").orderBy("ts")
+    micros = F.unix_micros(F.col("ts"))
+    flagged = df.withColumn(
+        "new_session",
+        F.when(micros - F.lag(micros).over(w) > gap_s * 1_000_000, 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return {
+        (r.user_id, r.session_id): r.n
+        for r in sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def _native_sessions(spark, tmp_path, rows, gap_s, tag):
+    src = str(tmp_path / f"pssrc_{tag}")
+    schema = "user_id long, ts timestamp"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sw.session_window_counts(stream, gap=f"{gap_s} seconds")
+        .writeStream.format("memory")
+        .queryName(f"pss_{tag}")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / f"pssck_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from pss_{tag}").collect()
+
+
+def test_session_window_boundary_contract_property(spark, tmp_path):
+    """r10 VERDICT #6 — the cross-engine session-window contract, pinned
+    on generated data. MEASURED RESULT (corrects the r10 docstring note,
+    which claimed an on-boundary divergence): Spark's native
+    session_window merges sessions that overlap OR are adjacent, i.e.
+    merge iff diff <= gap — the SAME rule as the batch entry's
+    ``diff > gap`` split. So the two halves agree everywhere, INCLUDING
+    an event landing exactly ``gap`` after its predecessor. Pins:
+    (a) generated multi-user streams with inter-arrival gaps drawn
+    around AND exactly on the boundary agree on the per-user session
+    partition; (b) the three boundary cases explicitly: diff == gap-1
+    merges, diff == gap merges, diff == gap+1 splits, on both halves."""
+    import random
+
+    gap_s = 300
+    rng = random.Random(1107)
+    # 6 users x ~12 events; gaps include the EXACT boundary value
+    choices = [1, 30, 299, 300, 301, 600, 1200]
+    rows = []
+    for u in range(6):
+        t = rng.randrange(0, 100)
+        for _ in range(12):
+            rows.append((u, _ts(t)))
+            t += rng.choice(choices)
+
+    batch = _batch_gap_sessions(spark, rows, gap_s)
+    native = _native_sessions(spark, tmp_path, rows, gap_s, "off")
+    # compare per-user sorted session-size lists (ids/bounds differ by
+    # construction; the partition into sessions is the contract)
+    def sizes(d):
+        out = {}
+        for (u, _), n in d.items():
+            out.setdefault(u, []).append(n)
+        return {u: sorted(v) for u, v in out.items()}
+
+    nat = {}
+    for r in native:
+        nat.setdefault(r.user_id, []).append(r.n_events)
+    nat = {u: sorted(v) for u, v in nat.items()}
+    assert sizes(batch) == nat
+
+    # the three boundary cases, explicit on both halves
+    for tag, diff, want in [("in", gap_s - 1, [2]), ("on", gap_s, [2]),
+                            ("out", gap_s + 1, [1, 1])]:
+        brows = [(99, _ts(0)), (99, _ts(diff))]
+        b = sorted(_batch_gap_sessions(spark, brows, gap_s).values())
+        n = sorted(r.n_events
+                   for r in _native_sessions(spark, tmp_path, brows, gap_s, tag))
+        assert b == n == want, (tag, b, n)
