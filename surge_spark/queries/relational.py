@@ -2075,6 +2075,84 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("pos") <= 20)
 
 
+# converged-LPA oracle: the bounded-unroll trick — 10 synchronous rounds
+# (measured fixpoint: 4 at sf0.001, 6 at sf0.01; post-fixpoint rounds are
+# no-ops so a generous unroll stays equal), with the round count derived
+# as the number of label-CHANGING rounds, matching lpa_converged's probe.
+_LPA_CONV_UNROLL = 10
+_LPA_CONV_ORACLE = (
+    """
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+"""
+    + "".join(
+        f"    l{r} AS ({_LPA_ITER.format(prev=f'l{r-1}')}),\n"
+        for r in range(1, _LPA_CONV_UNROLL + 1)
+    )
+    + f"""    chg AS (SELECT CAST({'__CHG__'} AS INT) AS rounds),
+    sizes AS (
+      SELECT label AS community, count(*) AS n_members
+      FROM l{_LPA_CONV_UNROLL} GROUP BY label
+    )
+    SELECT community, n_members, pos, rounds FROM (
+      SELECT community, n_members,
+             CAST(row_number() OVER (
+               ORDER BY n_members DESC, community
+             ) AS INT) AS pos
+      FROM sizes
+    ) CROSS JOIN chg WHERE pos <= 20
+    """
+).replace("__CHG__", "(CASE WHEN EXISTS (SELECT 1 FROM l1 a JOIN l0 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END) + (CASE WHEN EXISTS (SELECT 1 FROM l2 a JOIN l1 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END) + (CASE WHEN EXISTS (SELECT 1 FROM l3 a JOIN l2 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END) + (CASE WHEN EXISTS (SELECT 1 FROM l4 a JOIN l3 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END) + (CASE WHEN EXISTS (SELECT 1 FROM l5 a JOIN l4 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END) + (CASE WHEN EXISTS (SELECT 1 FROM l6 a JOIN l5 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END) + (CASE WHEN EXISTS (SELECT 1 FROM l7 a JOIN l6 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END) + (CASE WHEN EXISTS (SELECT 1 FROM l8 a JOIN l7 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END) + (CASE WHEN EXISTS (SELECT 1 FROM l9 a JOIN l8 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END) + (CASE WHEN EXISTS (SELECT 1 FROM l10 a JOIN l9 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END)")
+
+
+@query("g_lpa_converged", oracle=_LPA_CONV_ORACLE)
+def g_lpa_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation iterated to LABEL STABILITY (r10 VERDICT #7) —
+    completes the fixpoint-graph family (kcore_converged, cc_converged)
+    under the shared probe discipline: per-round localCheckpoint + one
+    xxhash64-checksum aggregate action per round (operators.graph.
+    lpa_converged). Deterministic mode (max_by(struct(cnt, -label)) — the
+    a_mode_per_group trick, never a window) makes the entire trajectory a
+    pure function of the graph, so the oracle can mirror CONVERGENCE with
+    a bounded unroll: 10 SQL rounds cover the measured fixpoint (4 at
+    sf0.001, 6 at sf0.01) and post-fixpoint rounds are no-ops; the
+    oracle's rounds = count of label-changing rounds, exactly the Spark
+    probe's convention. Output: top-20 communities + the rounds column
+    (schedule-independent under synchronous updates, unlike cc's
+    pointer-jump schedule — that entry must omit it)."""
+    from surge_spark.operators.graph import lpa_converged
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnsRenamed({"l_partkey": "src"})
+    b = li.withColumnsRenamed({"l_partkey": "dst"})
+    e0 = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels, rounds = lpa_converged(sym, max_rounds=_LPA_CONV_UNROLL)
+    sizes = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        sizes.withColumn(
+            "pos",
+            F.row_number().over(W.orderBy(F.desc("n_members"), F.asc("community"))),
+        )
+        .where(F.col("pos") <= 20)
+        .withColumn("rounds", F.lit(rounds).cast("int"))
+    )
+
+
 # DOULION sampling probability p=1/2 as an integer threshold on the first
 # 8 md5 hex chars (uint32 space): keep iff value < p·2^32. Integer compare,
 # no float rounding to drift between engines; estimate scale = 1/p³ = 8.

@@ -254,3 +254,52 @@ def test_measured_broadcast_gates_on_bytes_not_rows(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Broadcast" in plan, plan
+
+
+def test_lpa_converged_fixpoint_and_oscillation_guard(spark):
+    """lpa_converged (r10 VERDICT #7): (a) two disjoint triangles collapse
+    to one label each and the result IS a fixpoint — one more synchronous
+    round changes nothing; (b) a single edge OSCILLATES under synchronous
+    updates (the two endpoints swap labels forever) — the guard warns and
+    rounds == max_rounds is the sentinel."""
+    import warnings as _warnings
+    from surge_spark.operators.graph import lpa_converged
+
+    tri = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    e0 = spark.createDataFrame(pd.DataFrame(tri, columns=["src", "dst"]))
+    sym = e0.unionByName(
+        e0.selectExpr("dst as src", "src as dst")
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        labels, rounds = lpa_converged(sym, max_rounds=10)
+    got = {r.node: r.label for r in labels.collect()}
+    assert len({got[1], got[2], got[3]}) == 1
+    assert len({got[10], got[11], got[12]}) == 1
+    assert got[1] != got[10]
+    assert rounds < 10 and not any(
+        issubclass(w.category, RuntimeWarning) for w in caught
+    )
+    # fixpoint: one more deterministic-mode round is a no-op
+    from pyspark.sql import functions as F
+    nbr = sym.join(labels.withColumnsRenamed({"node": "dst"}), "dst").select(
+        F.col("src").alias("v"), "label"
+    )
+    stepped = (
+        nbr.groupBy("v", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("v")
+        .agg(F.max_by("label", F.struct(F.col("cnt"), -F.col("label"))).alias("label"))
+    )
+    assert {(r.v, r.label) for r in stepped.collect()} == set(got.items())
+
+    # single edge: synchronous swap 2-cycle, never stable
+    edge = spark.createDataFrame(pd.DataFrame([(1, 2)], columns=["src", "dst"]))
+    esym = edge.unionByName(edge.selectExpr("dst as src", "src as dst"))
+    with _warnings.catch_warnings(record=True) as caught2:
+        _warnings.simplefilter("always")
+        _, r2 = lpa_converged(esym, max_rounds=4)
+    assert r2 == 4
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "label stability" in str(w.message)
+        for w in caught2
+    )
