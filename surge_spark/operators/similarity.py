@@ -574,6 +574,38 @@ def semantic_neardup_pairs(
     ).withColumnRenamed("block", "cluster")
 
 
+def _pq_sub_dot_sql(vec_sql: str, mi: int, dsub: int, c: list[float]) -> str:
+    """Flat SQL for dot(subspace mi of vec, literal codeword c): an indexed
+    left-associative multiply-add chain over vec[mi*dsub .. mi*dsub+dsub-1]
+    (0-based SQL indexing). Bitwise-equal to the old aggregate/zip_with
+    fold (0.0 + x is exact in IEEE) but codegen-compiled instead of
+    interpreted, and ONE parsed expression instead of a ~250-node py4j
+    Column tree per codeword — the r5 literal-model-dot rule applied to
+    the PQ family (plan build measured 3.0 s of sim_ann_ivfadc_topk's
+    5.7 s at sf0.01 before this)."""
+    return "(" + "+".join(
+        f"CAST({vec_sql}[{mi * dsub + i}] AS DOUBLE)*{x!r}"
+        for i, x in enumerate(c)
+    ) + ")"
+
+
+def _barrier(df: DataFrame, keep: list[str], **exprs: F.Column) -> DataFrame:
+    """Explode-of-one-struct generator barrier (the repetition_score r5
+    idiom, shared): materialize ``exprs`` ONCE per row. Catalyst inlines
+    deterministic projections into every consumer — a unit vector
+    referenced by m flat PQ-code expressions would be recomputed m times
+    per row — but generators are never collapsed, so downstream reads the
+    computed field. 1:1 row multiplicity (single-element array)."""
+    s = F.explode(
+        F.array(F.struct(*[v.alias(k) for k, v in exprs.items()]))
+    ).alias("_s")
+    mid = df.select(*[F.col(c) for c in keep], s)
+    return mid.select(
+        *[F.col(c) for c in keep],
+        *[F.col(f"_s.{k}").alias(k) for k in exprs],
+    )
+
+
 def pq_encode(
     df: DataFrame, vec_col: str, codebooks: list[list[list[float]]]
 ) -> DataFrame:
@@ -589,23 +621,18 @@ def pq_encode(
     At 100 TB this is THE memory shape: a 64-dim float vector (512 B) becomes
     m small ints (m bytes as tinyint) — the corpus's search footprint drops
     ~100×, and the codes column is all a query-time scan ever reads."""
-    v = _as_double(F.col(vec_col))
     dsub = len(codebooks[0][0])
+    vsql = f"`{vec_col}`"
     cols = []
     for mi, cb in enumerate(codebooks):
-        sub = F.slice(v, mi * dsub + 1, dsub)
-        scored = F.array(
-            *[
-                F.struct(
-                    (dot(sub, _lit_vec(c)) - F.lit(sum(x * x for x in c) / 2.0)).alias(
-                        "sim"
-                    ),
-                    F.lit(-j).alias("neg_code"),
-                )
-                for j, c in enumerate(cb)
-            ]
+        structs = ",".join(
+            f"struct({_pq_sub_dot_sql(vsql, mi, dsub, c)} - "
+            f"{sum(x * x for x in c) / 2.0!r} AS sim, {-j} AS neg_code)"
+            for j, c in enumerate(cb)
         )
-        cols.append((-F.array_max(scored)["neg_code"]).alias(f"code_{mi}"))
+        cols.append(
+            F.expr(f"-(array_max(array({structs})).neg_code)").alias(f"code_{mi}")
+        )
     return df.select("*", *cols)
 
 
@@ -613,15 +640,16 @@ def _pq_lut_cols(
     vec_col: str, codebooks: list[list[list[float]]]
 ) -> list[F.Column]:
     """ADC lookup-table columns: lut_m[j] = dot(subspace m, codeword j)."""
-    v = _as_double(F.col(vec_col))
     dsub = len(codebooks[0][0])
-    luts = []
-    for mi, cb in enumerate(codebooks):
-        sub = F.slice(v, mi * dsub + 1, dsub)
-        luts.append(
-            F.array(*[dot(sub, _lit_vec(c)) for c in cb]).alias(f"lut_{mi}")
-        )
-    return luts
+    vsql = f"`{vec_col}`"
+    return [
+        F.expr(
+            "array(" + ",".join(
+                _pq_sub_dot_sql(vsql, mi, dsub, c) for c in cb
+            ) + ")"
+        ).alias(f"lut_{mi}")
+        for mi, cb in enumerate(codebooks)
+    ]
 
 
 def _pq_adc_score(m: int) -> F.Column:
@@ -654,6 +682,7 @@ def ann_topk_pq(
     codebooks: list[list[list[float]]],
     k: int = 10,
     query_id_col: str | None = None,
+    materialize_codes: bool = True,
 ) -> DataFrame:
     """Approximate top-k by product quantization with asymmetric distance
     computation (ADC): corpus vectors are reduced to m codebook ids
@@ -673,6 +702,8 @@ def ann_topk_pq(
     c = pq_encode(with_unit_vector(corpus, vec_col), "unit", codebooks).select(
         F.col(id_col).alias("corpus_id"), *[f"code_{i}" for i in range(m)]
     )
+    if materialize_codes:
+        c = c.localCheckpoint(eager=False)  # see ann_topk_ivfadc's note
     q = pq_query_luts(
         with_unit_vector(queries, vec_col), "unit", codebooks, query_id_col
     )
@@ -700,6 +731,7 @@ def ann_topk_ivfadc(
     k: int = 10,
     nprobe: int = 4,
     query_id_col: str | None = None,
+    materialize_codes: bool = True,
 ) -> DataFrame:
     """IVFADC: the coarse quantizer prunes I/O (only ``nprobe`` cells'
     codes are read per query) and PQ/ADC scoring bounds per-candidate
@@ -721,6 +753,20 @@ def ann_topk_ivfadc(
     c = pq_encode(cu, "unit", codebooks).select(
         F.col(id_col).alias("corpus_id"), "cell", *[f"code_{i}" for i in range(m)]
     )
+    # MATERIALIZE the encoded corpus (r11, root-caused with janino logs):
+    # fusing the ~40 KB generated encode stage into the probe join pushes
+    # one generated method past the JVM's 64 KB hard limit — the compile
+    # FAILS, failures are never cached (successes are, keyed on source),
+    # so every run paid a ~2 s failed-compile + interpreted fallback.
+    # The checkpoint bounds each stage to code janino handles, and is the
+    # semantically honest shape anyway: PQ codes are the INDEX — FAISS
+    # stores them, nobody re-encodes the corpus per query (at 100 TB the
+    # codes live in a table; SignatureStore is the storage pattern).
+    # Measured sf0.1 interleaved: 4.4-5.2 s fused-fail vs 2.4-2.9 s
+    # checkpointed; a repartition fusion-break measured 4.1-4.3 (the
+    # encode stage then recompiles per run), explode barrier 3.0-3.3.
+    if materialize_codes:
+        c = c.localCheckpoint(eager=False)
     qu = ivf_probe_cells(
         with_unit_vector(queries, vec_col), F.col("unit"), centroids, nprobe
     )
