@@ -342,6 +342,7 @@ def ann_topk_ivf(
     seed: int = 42,
     centroids: list[list[float]] | None = None,
     query_id_col: str | None = None,
+    materialize_index: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the classic coarse-quantizer
     ANN (the second scale path next to ann_topk_lsh). Corpus vectors are
@@ -351,7 +352,14 @@ def ann_topk_ivf(
     ~(nprobe/n_cells) of the corpus instead of all of it. Pass ``centroids``
     (from ivf_train) to reuse a trained index across query batches; at
     cluster scale, persist the assigned corpus partitioned BY cell so a
-    probe prunes files, exactly like the snapshot store's key buckets."""
+    probe prunes files, exactly like the snapshot store's key buckets.
+    ``materialize_index`` localCheckpoints the assigned corpus — fusing
+    the ~15 KB generated cell chain into the probe join blew the JVM's
+    64 KB method limit (failed janino compile retried EVERY run — see
+    ann_topk_ivfadc's root-cause note); measured 3.0-3.7 -> 2.4-2.9 s at
+    sf0.1 (the remaining floor is the HOF re-rank + writing the unit
+    vectors), and the assigned corpus IS the IVF index a deployment
+    stores."""
     query_id_col = query_id_col or id_col
     cents = centroids if centroids is not None else ivf_train(
         corpus, vec_col, n_cells, iters, seed
@@ -362,6 +370,8 @@ def ann_topk_ivf(
     c = _assign_cell(
         with_unit_vector(corpus, vec_col), f"`{vec_col}`", cents
     ).select(F.col(id_col).alias("corpus_id"), F.col("unit").alias("c_unit"), "cell")
+    if materialize_index:
+        c = c.localCheckpoint(eager=False)
     q = ivf_probe_cells(
         with_unit_vector(queries, vec_col), F.col("unit"), cents, nprobe
     ).select(F.col(query_id_col).alias("query_id"), F.col("unit").alias("q_unit"), "cell")
@@ -565,7 +575,13 @@ def semantic_neardup_pairs(
     going quadratic)."""
     clustered = _cluster_assignments(
         df, id_col, vec_col, n_cells, iters, seed, centroids
-    )
+    # materialize the 2-column assignment (the blocking index) — fusing
+    # the generated cell chain into the block self-join blew janino's
+    # 64 KB method limit (failed compile retried every run, see
+    # ann_topk_ivfadc's note); a (id, cluster) checkpoint is ~1 MB at
+    # sf0.1 and the self-join then compiles. Measured 4.3-4.7 -> see
+    # docstring of the catalog entry.
+    ).localCheckpoint(eager=False)
     blocked = df.join(
         clustered.select(F.col("id").alias(id_col), "cluster"), id_col
     )
@@ -829,7 +845,15 @@ def cell_representatives(
         F.round(
             F.when(norm > F.lit(0.0), F.col("best.sim") / norm), 6
         ).alias("cosine"),
-    )
+    # materialize the 3-narrow-column scored assignment: BOTH consumers
+    # (sizes aggregate, ranking window) fused the ~20 KB generated
+    # cell+score chain into their stages and each blew janino's 64 KB
+    # method limit (TWO failed compiles retried every run — see
+    # ann_topk_ivfadc's root-cause note). The checkpoint replaces the
+    # old deliberate second corpus scan: cheaper here AND at scale
+    # (O(corpus) narrow rows written once vs the corpus scanned+scored
+    # twice); WindowGroupLimit still prunes the rank pass.
+    ).localCheckpoint(eager=False)
     sizes = best.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
     w = W.partitionBy("cluster").orderBy(F.desc("cosine"), F.asc("id"))
     return (
