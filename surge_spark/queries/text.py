@@ -1638,3 +1638,39 @@ def t_sitemap_extract_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), "url_index", "loc", "lastmod"
     )
+
+
+@query(
+    "t_source_stats",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(round(avg(n_chars), 2) AS DOUBLE) AS avg_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(round(1.0 - count(DISTINCT md5(text)) / count(*), 6) AS DOUBLE)
+             AS exact_dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def t_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the grouped twin of t_dataset_card and
+    the table a corpus-mixing pipeline actually filters on (per-domain
+    volume, length profile, language spread, exact-dup rate a la
+    C4/RefinedWeb per-domain quality triage). One hash aggregate on
+    source; the two distinct aggregates (lang, content md5) stay in a
+    single Expand-free pass only if planned separately — Spark plans
+    multi-distinct with one Expand here, acceptable at 2 distincts
+    (the o_table_stats 5-distinct rewrite note shows where the cliff
+    is). Fingerprint the CONTENT (md5), never the raw text, so the
+    shuffle carries 32 bytes per doc."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            F.lit(1.0) - F.countDistinct(F.md5("text")) / F.count(F.lit(1)), 6
+        ).alias("exact_dup_rate"),
+    )
