@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import measured_broadcast
+
 TOKEN_PATTERN = "[^a-z0-9]+"
 
 # The DuckDB mirror of normalize_text/tokens — oracles MUST use this string
@@ -562,8 +564,6 @@ def decontaminate(
         .distinct()
     )
     if broadcast_max_bytes is not None:
-        from surge_spark.operators.graph import measured_broadcast
-
         bench_b, _ = measured_broadcast(
             bench_sh.localCheckpoint(eager=False),
             "shingle",

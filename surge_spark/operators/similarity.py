@@ -605,22 +605,6 @@ def _pq_sub_dot_sql(vec_sql: str, mi: int, dsub: int, c: list[float]) -> str:
     ) + ")"
 
 
-def _barrier(df: DataFrame, keep: list[str], **exprs: F.Column) -> DataFrame:
-    """Explode-of-one-struct generator barrier (the repetition_score r5
-    idiom, shared): materialize ``exprs`` ONCE per row. Catalyst inlines
-    deterministic projections into every consumer — a unit vector
-    referenced by m flat PQ-code expressions would be recomputed m times
-    per row — but generators are never collapsed, so downstream reads the
-    computed field. 1:1 row multiplicity (single-element array)."""
-    s = F.explode(
-        F.array(F.struct(*[v.alias(k) for k, v in exprs.items()]))
-    ).alias("_s")
-    mid = df.select(*[F.col(c) for c in keep], s)
-    return mid.select(
-        *[F.col(c) for c in keep],
-        *[F.col(f"_s.{k}").alias(k) for k in exprs],
-    )
-
 
 def pq_encode(
     df: DataFrame, vec_col: str, codebooks: list[list[list[float]]]

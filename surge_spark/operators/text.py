@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import measured_broadcast
+
 from .dedup import normalize_text, shingles, tokens
 
 # Tiny per-language stopword lists for the heuristic language scorer.
@@ -396,8 +398,6 @@ def boilerplate_fraction(
         .select("shingle")
     )
     if broadcast_max_bytes is not None:
-        from surge_spark.operators.graph import measured_broadcast
-
         hot_b, _ = measured_broadcast(
             hot.localCheckpoint(eager=False),
             "shingle",

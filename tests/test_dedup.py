@@ -511,5 +511,10 @@ def test_decontaminate_opt_in_byte_gate(spark):
     )
     gated = {(r.id, r.n_hit, r.contaminated) for r in gated_df.collect()}
     assert gated == base and any(hit for (_, hit, _) in base)
-    plan = gated_df._jdf.queryExecution().executedPlan().toString()
-    assert "ResolvedHint" not in plan
+    # the hint is a LOGICAL-plan node; assert its absence there (an
+    # executed-plan check is vacuous — hints never appear in physical
+    # plans), mirroring tests/test_graph.py's measured_broadcast pin
+    logical = gated_df._jdf.queryExecution().logical().toString().lower()
+    assert "hint" not in logical
+    base_df = dd.decontaminate(train, bench, "doc_id", "text")
+    assert "hint" in base_df._jdf.queryExecution().logical().toString().lower()
