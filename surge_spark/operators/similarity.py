@@ -124,15 +124,36 @@ def lsh_bucket(
     # Catalyst would re-evaluate the expression at joins/filters (see
     # _assign_cell); a bucket column evaluated once per row per table is
     # neither.
-    v = _as_double(F.col(vec_col))
-    bucket = F.lit(0).cast("long")
+    return df.withColumn("bucket", _srp_bucket_col(vec_col, planes))
+
+
+def _srp_bucket_col(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """The sign-random-projection bucket expression of ``lsh_bucket`` as a
+    reusable Column — ann_topk_lsh builds all tables' buckets in ONE
+    corpus projection from it.
+
+    Rendered as ONE parsed SQL string carrying the SAME HOF aggregate
+    dots (values bitwise-identical to the old Column-API form — both are
+    the 0.0-seeded left fold; integer bit packing is exact): building
+    this tree through py4j cost ~1.4 s PER TABLE per call — n_tables
+    plane sets x n_planes x dim F.lit() round trips — which made
+    sim_ann_lsh_topk's PLAN BUILD 5.4-5.8 s of its ~6.8 s total at
+    sf0.1. The HOF dot itself stays (the r5 note: a flat chain here
+    measured slower — the bucket is evaluated once per row per table and
+    the interpreted fold is cheap; it was the plan BUILD that hurt)."""
+    vd = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    bits = []
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        bit = F.when(dot(v, plane) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        arr = "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in p) + ")"
+        d = (
+            f"aggregate(zip_with({vd}, {arr}, (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
-        bucket = bucket + bit * F.lit(1 << i).cast("long")
-    return df.withColumn("bucket", bucket)
+        bits.append(
+            f"(CASE WHEN {d} >= 0 THEN CAST({1 << i} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    return F.expr("(" + " + ".join(bits) + ")")
 
 
 def ann_topk_lsh(
@@ -160,13 +181,31 @@ def ann_topk_lsh(
                 [], "query_id long, corpus_id long, cosine double, rank int"
             )
         dim = len(first[0])
+    # ONE corpus projection computes every table's bucket, materialized as
+    # the LSH index (r11): the old per-table lsh_bucket form scanned the
+    # corpus n_tables times. Bucket values are the identical expressions,
+    # just co-located in one select. Combined with the SQL-text bucket
+    # rendering (_srp_bucket_col) this took the entry from 5.7-8.8 s
+    # steady to 1.8-2.1 s at sf0.1 — the dominant cost was PLAN BUILD
+    # (5.4-5.8 s of py4j literal round trips), not execution.
+    plane_sets = [_hyperplanes(dim, n_planes, 42 + t) for t in range(n_tables)]
+    c_idx = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("c_vec"),
+        *[
+            _srp_bucket_col(vec_col, ps).alias(f"_b{t}")
+            for t, ps in enumerate(plane_sets)
+        ],
+    ).localCheckpoint(eager=False)
     parts = []
-    for t in range(n_tables):
-        c = lsh_bucket(corpus, vec_col, n_planes, seed=42 + t, dim=dim).select(
-            F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    for t, ps in enumerate(plane_sets):
+        c = c_idx.select(
+            "corpus_id", "c_vec", F.col(f"_b{t}").alias("bucket")
         )
-        q = lsh_bucket(queries, vec_col, n_planes, seed=42 + t, dim=dim).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            _srp_bucket_col(vec_col, ps).alias("bucket"),
         )
         parts.append(c.join(F.broadcast(q), "bucket").drop("bucket"))
     cands = parts[0]
