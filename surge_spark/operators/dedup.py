@@ -643,46 +643,39 @@ def simhash(
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
         .where(F.col("tok") != "")
     )
+    # BOTH hot expression lists are ONE parsed F.expr each (the
+    # minhash_signatures precedent): 64 vote aggregates + the 64-term
+    # fingerprint chain built column-at-a-time cost ~1.5 s of py4j round
+    # trips PER CALL at any SF (measured r11 in the build-time sweep);
+    # as text they parse in milliseconds. Values are identical — integer
+    # math, same left-assoc order, same conv/shiftright functions.
     if hash_fn == "md5":
-        hex_ = F.md5(F.col("tok").cast("binary"))
-        hi = F.conv(F.substring(hex_, 1, 8), 16, 10).cast("long")
-        lo = F.conv(F.substring(hex_, 9, 8), 16, 10).cast("long")
+        md5_hex = "md5(CAST(tok AS BINARY))"
+        hi = f"CAST(conv(substring({md5_hex}, 1, 8), 16, 10) AS BIGINT)"
+        lo = f"CAST(conv(substring({md5_hex}, 9, 8), 16, 10) AS BIGINT)"
 
-        def bit(i: int) -> F.Column:
+        def bit_sql(i: int) -> str:
             src, off = (lo, i) if i < 32 else (hi, i - 32)
-            return F.shiftright(src, off).bitwiseAND(F.lit(1))
+            return f"(shiftright({src}, {off}) & 1) = 1"
 
-        votes = [
-            F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
-            for i in range(64)
-        ]
-        agg = tok.groupBy("id").agg(*votes)
-        fingerprint = None
-        for i in range(64):
-            b = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            term = (
-                b * F.lit(1 << i).cast("long")
-                if i < 63
-                else b * F.lit(-(1 << 63)).cast("long")
-            )
-            fingerprint = term if fingerprint is None else fingerprint + term
-        return agg.select("id", fingerprint.alias("simhash"))
-    h = F.xxhash64("tok")
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    agg = tok.groupBy("id").agg(*votes)
-    fingerprint = None
+    else:
+
+        def bit_sql(i: int) -> str:
+            return f"(shiftright(xxhash64(tok), {i}) & 1) = 1"
+
+    votes = ",".join(
+        f"sum(CASE WHEN {bit_sql(i)} THEN 1 ELSE -1 END)" for i in range(64)
+    )
+    agg = tok.groupBy("id").agg(F.expr(f"array({votes})").alias("_vb"))
+    terms = []
     for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << i).cast("long") if i < 63 else bit * F.lit(-(1 << 63)).cast("long")
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return agg.select("id", fingerprint.alias("simhash"))
+        mul = str(1 << i) if i < 63 else "CAST('-9223372036854775808' AS BIGINT)"
+        terms.append(
+            f"(CASE WHEN _vb[{i}] > 0 THEN CAST(1 AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END) * {mul}"
+        )
+    fp = "(" + " + ".join(terms) + ")"
+    return agg.select("id", F.expr(fp).alias("simhash"))
 
 
 def duplicate_spans(
