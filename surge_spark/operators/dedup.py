@@ -976,3 +976,73 @@ def minhash_lsh_from_stored(
         F.col("id_b").alias("old_id"),
         "jaccard",
     )
+
+
+def run_incremental_dedup_stream(
+    docs_stream: DataFrame,
+    store: SignatureStore,
+    corpus_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int | None = 5000,
+    hash_fn: str = "xxhash64",
+):
+    """The STREAMING daily-dedup pipeline composed end to end: each
+    micro-batch of new documents is near-dup-checked against the
+    accumulated corpus via the persisted signature table
+    (minhash_lsh_from_stored — shard signatures computed fresh, corpus
+    signatures scanned from the SignatureStore), then folded INTO the
+    corpus: signatures appended to the store (SnapshotStore flat delta,
+    R4-idempotent on the batch id), pairs and raw docs landed under
+    per-batch directories with mode=overwrite so a replayed batch
+    rewrites its own output instead of duplicating it — the same
+    exactly-once-per-batch-id discipline as the command engine's commit.
+
+    Per batch, in order: (1) match against the PRE-batch corpus (text
+    read back from ``corpus_path`` for the one-scan verification), (2)
+    publish pairs to ``pairs_path/batch=<id>``, (3) append the batch's
+    docs to ``corpus_path/batch=<id>`` and its signatures to the store.
+    The first batch seeds an empty corpus (no pairs). Returns the
+    StreamingQuery; callers pick the trigger via ``.trigger`` upstream or
+    awaitTermination downstream. Within-batch (new-new) duplicates are
+    the caller's shard-level dedup (minhash_lsh_dedup on the batch) —
+    same split as minhash_lsh_incremental's contract."""
+    from pyspark.sql import functions as SF
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        shard = batch_df.localCheckpoint()
+        bdir = f"batch={batch_id}"
+        v = store._store.latest_version()
+        if v is not None:
+            corpus = spark.read.parquet(corpus_path)
+            pairs = minhash_lsh_from_stored(
+                shard, corpus, store.load(spark, id_type="long"),
+                id_col, text_col,
+                n=n, num_hashes=num_hashes, bands=bands,
+                threshold=threshold, max_bucket=max_bucket, hash_fn=hash_fn,
+            ).withColumn("batch_id", SF.lit(str(batch_id)))
+        else:
+            idt = shard.schema[id_col].dataType.simpleString()
+            pairs = spark.createDataFrame(
+                [], f"new_id {idt}, old_id {idt}, jaccard double, batch_id string"
+            )
+        pairs.write.mode("overwrite").parquet(f"{pairs_path}/{bdir}")
+        shard.select(id_col, text_col).write.mode("overwrite").parquet(
+            f"{corpus_path}/{bdir}"
+        )
+        sig = minhash_signatures(
+            shingles(shard, id_col, text_col, n, distinct=False),
+            num_hashes, hash_fn,
+        )
+        store.append(sig, f"stream-{batch_id}")
+
+    return docs_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )

@@ -341,3 +341,27 @@ def open_window_snapshot(window_events: DataFrame) -> DataFrame:
             F.col("snap.total_seen").alias("total_seen"),
         )
     )
+
+
+def dedup_events_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming event dedup with BOUNDED state: duplicates of a key are
+    dropped for as long as the key can still legally arrive —
+    dropDuplicatesWithinWatermark expires a key's dedup state once the
+    watermark passes its event time, unlike a plain stream
+    dropDuplicates whose state grows forever (the at-scale killer). The
+    event-stream twin of the engine's R4 batch-id dedup: R4 dedupes
+    redelivered COMMAND BATCHES by id with a horizon; this dedupes
+    redelivered EVENTS by key with the watermark as the horizon. Use it
+    in front of window/metric aggregations fed by at-least-once sources
+    (Kafka redeliveries, file-source re-lists). Duplicates arriving
+    AFTER the horizon pass through — same contract as R4's aged-out
+    dedup set, pinned in tests."""
+    keys = keys or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -1948,3 +1948,32 @@ def test_session_window_boundary_contract_property(spark, tmp_path):
         n = sorted(r.n_events
                    for r in _native_sessions(spark, tmp_path, brows, gap_s, tag))
         assert b == n == want, (tag, b, n)
+
+
+def test_dedup_events_stream_within_watermark(spark, tmp_path):
+    """dedup_events_stream: a redelivered event inside the watermark
+    horizon is dropped even ACROSS micro-batches (state carries over); the
+    stream's output is exactly the distinct events."""
+    src = str(tmp_path / "dd_src")
+    schema = "event_id long, ts timestamp, user_id long"
+    b1 = [(1, _ts(0), 7), (2, _ts(10), 7), (1, _ts(0), 7)]   # in-batch dup
+    b2 = [(2, _ts(10), 7), (3, _ts(20), 8)]                   # cross-batch dup
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sw.dedup_events_stream(stream, keys=["event_id"], watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select event_id from dd_out").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3]
