@@ -903,6 +903,7 @@ def minhash_lsh_from_stored(
     threshold: float = 0.5,
     max_bucket: int | None = 5000,
     hash_fn: str = "xxhash64",
+    prune_verification_scan: bool = False,
 ) -> DataFrame:
     """Incremental near-dup against a PERSISTED corpus signature table:
     (new doc, existing doc) pairs at ``jaccard >= threshold``, computing
@@ -965,6 +966,19 @@ def minhash_lsh_from_stored(
     corpus_only = corpus_df.select(F.col(id_col), F.col(text_col)).join(
         shard_df.select(F.col(id_col)), id_col, "left_anti"
     )
+    if prune_verification_scan:
+        # 100 TB knob: _verified_jaccard's role join keeps only candidate
+        # ids anyway, so restricting the corpus to candidate OLD docs
+        # before shingling is value-identical BY CONSTRUCTION — but it
+        # prunes the per-day corpus work from "shingle-explode every
+        # document's text" to "shingle only the candidates" (the corpus
+        # text scan itself remains; the explode/normalize CPU goes from
+        # O(corpus) to O(candidates)). Costs a candidate materialization
+        # + an extra semi join — at sf0.1 it measures a wash (see the
+        # equality test), the win grows with corpus/candidate ratio.
+        cands = cands.localCheckpoint(eager=False)
+        old_ids = cands.select(F.col("id_b").alias(id_col)).distinct()
+        corpus_only = corpus_only.join(old_ids, id_col, "left_semi")
     sh = shingles(
         shard_df.select(F.col(id_col), F.col(text_col)).unionByName(corpus_only),
         id_col,
@@ -1027,6 +1041,9 @@ def run_incremental_dedup_stream(
                 id_col, text_col,
                 n=n, num_hashes=num_hashes, bands=bands,
                 threshold=threshold, max_bucket=max_bucket, hash_fn=hash_fn,
+                # daily-production shape: shingle only candidate old docs
+                # (value-identical, equality-pinned in tests)
+                prune_verification_scan=True,
             ).withColumn("batch_id", SF.lit(str(batch_id)))
         else:
             idt = shard.schema[id_col].dataType.simpleString()

@@ -619,3 +619,32 @@ def test_run_incremental_dedup_stream_three_days(spark, tmp_path):
         ),
         "stream-0",
     )
+
+
+def test_from_stored_pruned_verification_scan_equality(spark, sf_dir):
+    """prune_verification_scan restricts corpus shingling to candidate old
+    docs — value-identical by construction (the role join filters to
+    candidate ids anyway), pinned here including jaccard."""
+    from surge_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(~(F.col("doc_id") % 5 == 0))
+    stored = dd.minhash_signatures(
+        dd.shingles(corpus, "doc_id", "text", 4, distinct=False), 64, "md5"
+    )
+    kw = dict(n=4, num_hashes=64, bands=16, threshold=0.5, hash_fn="md5")
+    base = {
+        (r.new_id, r.old_id): r.jaccard
+        for r in dd.minhash_lsh_from_stored(
+            shard, corpus, stored, "doc_id", "text", **kw
+        ).collect()
+    }
+    pruned = {
+        (r.new_id, r.old_id): r.jaccard
+        for r in dd.minhash_lsh_from_stored(
+            shard, corpus, stored, "doc_id", "text",
+            prune_verification_scan=True, **kw
+        ).collect()
+    }
+    assert pruned == base and len(base) > 0
