@@ -1074,3 +1074,45 @@ def m_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("trend", 6).alias("trend"),
         F.round(F.col("level") + F.col("trend"), 6).alias("forecast"),
     )
+
+
+@query(
+    "m_seasonality_dow",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow FROM events
+    ),
+    cnt AS (
+      SELECT event_type, dow, count(*) AS n_events
+      FROM base GROUP BY event_type, dow
+    ),
+    tot AS (SELECT event_type, count(*) AS total FROM base GROUP BY event_type)
+    SELECT c.event_type, CAST(c.dow AS INT) AS dow,
+           CAST(c.n_events AS BIGINT) AS n_events,
+           CAST(round(c.n_events / (t.total / 7.0), 6) AS DOUBLE)
+             AS seasonal_index
+    FROM cnt c JOIN tot t ON t.event_type = c.event_type
+    """,
+)
+def m_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type — the cyclical twin of
+    m_time_rollup / m_holt_smoothing: observed count over the uniform
+    expectation (total/7), the load-shaping profile an ops dashboard and
+    a forecaster's seasonal adjustment both read. Two partial+final
+    aggregates (per-cell, per-type) joined on the tiny type dimension —
+    no window, no fan-out. Engine note: Spark's dayofweek() is 1=Sunday;
+    DuckDB's is 0=Sunday — the oracle adds 1."""
+    e = _events(spark, sf_dir)
+    base = e.select("event_type", F.dayofweek("ts").alias("dow"))
+    cnt = base.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    tot = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("total"))
+    return cnt.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.col("dow").cast("int"),
+        "n_events",
+        F.round(F.col("n_events") / (F.col("total") / 7.0), 6).alias(
+            "seasonal_index"
+        ),
+    )
