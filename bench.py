@@ -70,6 +70,8 @@ HEADLINE = [
     "sim_semantic_neardup_pairs",  # blocked embedding near-dup (pair-count floor)
     "sim_ann_ivfadc_topk",         # IVF probe x PQ ADC (FAISS-default composition)
     "d_persisted_neardup_md5",     # incremental dedup against stored signatures (new r11)
+    "sim_ann_lsh_topk",            # multi-table SRP index; plan-build-sensitive path (r11 fix)
+    "d_simhash_fingerprints_md5",  # simhash votes/pack as single parsed exprs (r11 fix)
 ]
 
 N_RUNS = 3

@@ -549,7 +549,9 @@ def test_run_incremental_dedup_stream_three_days(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    store = dd.SignatureStore(str(tmp_path / "sigs"), num_buckets=4, delta_commits=4)
+    # delta_commits=2: the third append triggers a COW compaction
+    # mid-stream, so the pipeline is pinned across a store layout change
+    store = dd.SignatureStore(str(tmp_path / "sigs"), num_buckets=4, delta_commits=2)
     corpus_path = str(tmp_path / "corpus")
     pairs_path = str(tmp_path / "pairs")
     q = (
