@@ -2153,6 +2153,170 @@ def g_lpa_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WALK_STEP_SQL = """
+      SELECT start, dst AS cur FROM (
+        SELECT w.start, e.dst,
+               row_number() OVER (
+                 PARTITION BY w.start
+                 ORDER BY md5('{step}:' || w.cur || ':' || e.dst), e.dst
+               ) AS rn
+        FROM {prev} w JOIN sym e ON e.src = w.cur
+      ) WHERE rn = 1
+"""
+
+
+@query(
+    "g_random_walks",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+      FROM lineitem
+    ),
+    sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    w0 AS (
+      SELECT DISTINCT 'o' || o_orderkey AS start, 'o' || o_orderkey AS cur
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    w1 AS ({_WALK_STEP_SQL.format(step=1, prev="w0")}),
+    w2 AS ({_WALK_STEP_SQL.format(step=2, prev="w1")}),
+    w3 AS ({_WALK_STEP_SQL.format(step=3, prev="w2")})
+    SELECT w0.start, w1.cur AS n1, w2.cur AS n2, w3.cur AS n3
+    FROM (SELECT DISTINCT start FROM w0) w0
+    JOIN w1 ON w1.start = w0.start
+    JOIN w2 ON w2.start = w0.start
+    JOIN w3 ON w3.start = w0.start
+    """,
+)
+def g_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks on the order-part bipartite graph — the
+    sampling primitive of node2vec/DeepWalk-style graph-embedding
+    pipelines, made engine-portable: step t from node v goes to the
+    neighbor minimizing md5('t:v:neighbor') (a hash IS the random number,
+    the t_shuffle_shards trick), so both engines walk the identical
+    paths and the entry carries a FULL oracle. Three unrolled steps from
+    a scale-free seed set (every 97th order); per step one join on the
+    current node + one per-walk argmin — the same 2-shuffle budget as a
+    pagerank/LPA round, and walks stay one row each (no path blow-up).
+    argmin = min(struct(hash, dst)) — a total order, never min_by on a
+    possibly-tied key."""
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    sym = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    seeds = (
+        o.where(F.col("o_orderkey") % 97 == 0)
+        .select(F.concat(F.lit("o"), F.col("o_orderkey")).alias("start"))
+        .distinct()
+    )
+    cur = seeds.select("start", F.col("start").alias("cur"))
+    hops = []
+    for step in (1, 2, 3):
+        h = F.md5(F.concat(F.lit(f"{step}:"), F.col("cur"), F.lit(":"), F.col("dst")))
+        nxt = (
+            cur.join(sym, cur.cur == sym.src)
+            .groupBy("start")
+            .agg(F.min(F.struct(h.alias("h"), F.col("dst").alias("d"))).alias("m"))
+            .select("start", F.col("m.d").alias("cur"))
+        )
+        hops.append(nxt.withColumnRenamed("cur", f"n{step}"))
+        cur = nxt
+    out = seeds
+    for hdf in hops:
+        out = out.join(hdf, "start")
+    return out.select("start", "n1", "n2", "n3")
+
+
+@query(
+    "g_negative_sampling",
+    oracle="""
+    WITH inter AS (
+      SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    np AS (SELECT count(*) AS n FROM part),
+    cand AS (
+      SELECT u.user_id, t.slot,
+             CAST(('0x' || substring(md5(u.user_id || ':' || t.slot), 1, 15))
+                  AS BIGINT) % np.n AS item_id
+      FROM (SELECT DISTINCT user_id FROM inter) u
+      CROSS JOIN (SELECT unnest(range(0, 12)) AS slot) t
+      CROSS JOIN np
+    ),
+    neg AS (
+      SELECT c.user_id, c.item_id, c.slot
+      FROM cand c ANTI JOIN inter i
+        ON i.user_id = c.user_id AND i.item_id = c.item_id
+    )
+    SELECT user_id, item_id, CAST(slot AS INT) AS slot, rank FROM (
+      SELECT user_id, item_id, slot,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY slot
+             ) AS INT) AS rank
+      FROM neg
+    ) WHERE rank <= 5
+    """,
+)
+def g_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recsys training: 5 items per
+    user the user did NOT interact with, drawn by hashing (user, slot)
+    into the item-id space — the standard implicit-feedback negatives
+    step, engine-portable because the hash IS the sampler. Shape at
+    100 TB: candidates are |users| x 12 generated rows (never |users| x
+    |items|), the interaction check is ONE anti join hash-partitioned on
+    (user, item), and the keep-5 is a per-user WindowGroupLimit over 12
+    rows. Over-provisioning 12 slots for k=5 makes a user losing all 5
+    to collisions with their own interactions astronomically unlikely
+    while keeping the fan-out constant; item ids are 0-based contiguous
+    in this schema (part.p_partkey 0..N-1) so the modulo is the id map.
+    The md5-to-int uses 15 hex chars (< 2^60, overflow-safe) — the
+    t_weighted_sample/t_shuffle_shards portability trick."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    inter = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
+        .distinct()
+    )
+    n_parts = _t(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("n"))
+    users = inter.select("user_id").distinct()
+    cand = (
+        users.crossJoin(F.broadcast(n_parts))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(11))).alias("slot"),
+            F.col("n"),
+        )
+        .select(
+            "user_id",
+            "slot",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("user_id"), F.lit(":"), F.col("slot"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("n"),
+            ).alias("item_id"),
+        )
+    )
+    neg = cand.join(inter, ["user_id", "item_id"], "left_anti")
+    w = W.partitionBy("user_id").orderBy("slot")
+    return (
+        neg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("user_id", "item_id", F.col("slot").cast("int"), "rank")
+    )
+
+
 # DOULION sampling probability p=1/2 as an integer threshold on the first
 # 8 md5 hex chars (uint32 space): keep iff value < p·2^32. Integer compare,
 # no float rounding to drift between engines; estimate scale = 1/p³ = 8.
