@@ -904,6 +904,7 @@ def minhash_lsh_from_stored(
     max_bucket: int | None = 5000,
     hash_fn: str = "xxhash64",
     prune_verification_scan: bool = False,
+    shard_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup against a PERSISTED corpus signature table:
     (new doc, existing doc) pairs at ``jaccard >= threshold``, computing
@@ -934,9 +935,12 @@ def minhash_lsh_from_stored(
     while the shard stays fixed — at 1000x the corpus it is the whole
     query.
     """
-    shard_sig = minhash_signatures(
-        shingles(shard_df, id_col, text_col, n, distinct=False), num_hashes, hash_fn
-    )
+    if shard_sig is None:
+        shard_sig = minhash_signatures(
+            shingles(shard_df, id_col, text_col, n, distinct=False),
+            num_hashes,
+            hash_fn,
+        )
     rows_per_band = num_hashes // bands
     banded = _banded(shard_sig, bands, rows_per_band).withColumn(
         "_new", F.lit(True)
@@ -992,6 +996,87 @@ def minhash_lsh_from_stored(
     )
 
 
+def _incremental_dedup_batch(
+    batch_df: DataFrame,
+    batch_id,
+    store: SignatureStore,
+    corpus_path: str,
+    pairs_path: str,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    max_bucket: int | None,
+    hash_fn: str,
+) -> None:
+    """One micro-batch of the incremental-dedup stream (module-level so a
+    test can replay a batch id directly). Replay safety, precisely:
+
+    - pairs/docs land under per-batch dirs with mode=overwrite — a
+      replayed batch REWRITES its own output;
+    - the signature append is R4-deduped on the batch id;
+    - the stored table is ANTI-JOINED on the shard's own ids before
+      matching: after a crash between store.append and the checkpoint
+      commit, the replayed batch would otherwise see its OWN signatures
+      as "corpus" and publish in-batch new-new pairs the original run
+      (correctly) excluded. The anti join costs nothing semantically even
+      without replay — a stored id that is in the shard could only pair
+      with other SHARD docs (new-new, excluded by contract) or itself
+      (excluded by the self-pair guard); genuine re-crawls still match
+      against every OTHER old doc. The verification corpus text is
+      replay-safe the same way (minhash_lsh_from_stored anti-joins
+      corpus text on shard ids already)."""
+    import os as _os
+
+    spark = batch_df.sparkSession
+    shard = batch_df.localCheckpoint()
+    bdir = f"batch={batch_id}"
+    idt = shard.schema[id_col].dataType.simpleString()
+    # ONE signature build per batch, shared by the match and the append
+    # (the match recomputing it doubled the O(shard text) work per trigger)
+    sig = minhash_signatures(
+        shingles(shard, id_col, text_col, n, distinct=False), num_hashes, hash_fn
+    ).localCheckpoint(eager=False)
+    # the PRE-batch corpus = batch dirs strictly below this batch id
+    # (stream batch ids are monotone) — a replayed batch reads the exact
+    # corpus its original run saw, never text from later batches
+    prior = []
+    if _os.path.isdir(corpus_path):
+        for d in sorted(_os.listdir(corpus_path)):
+            if d.startswith("batch="):
+                try:
+                    k = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if k < int(batch_id):
+                    prior.append(_os.path.join(corpus_path, d))
+    if prior:
+        corpus = spark.read.parquet(*prior)
+        stored = store.load(spark, id_type=idt).join(
+            shard.select(F.col(id_col).alias("id")), "id", "left_anti"
+        )
+        pairs = minhash_lsh_from_stored(
+            shard, corpus, stored, id_col, text_col,
+            n=n, num_hashes=num_hashes, bands=bands,
+            threshold=threshold, max_bucket=max_bucket, hash_fn=hash_fn,
+            # daily-production shape: shingle only candidate old docs
+            # (value-identical, equality-pinned in tests)
+            prune_verification_scan=True,
+            shard_sig=sig,
+        ).withColumn("batch_id", F.lit(str(batch_id)))
+    else:
+        pairs = spark.createDataFrame(
+            [], f"new_id {idt}, old_id {idt}, jaccard double, batch_id string"
+        )
+    pairs.write.mode("overwrite").parquet(f"{pairs_path}/{bdir}")
+    shard.select(id_col, text_col).write.mode("overwrite").parquet(
+        f"{corpus_path}/{bdir}"
+    )
+    store.append(sig, f"stream-{batch_id}")
+
+
 def run_incremental_dedup_stream(
     docs_stream: DataFrame,
     store: SignatureStore,
@@ -1010,55 +1095,32 @@ def run_incremental_dedup_stream(
     """The STREAMING daily-dedup pipeline composed end to end: each
     micro-batch of new documents is near-dup-checked against the
     accumulated corpus via the persisted signature table
-    (minhash_lsh_from_stored — shard signatures computed fresh, corpus
-    signatures scanned from the SignatureStore), then folded INTO the
-    corpus: signatures appended to the store (SnapshotStore flat delta,
-    R4-idempotent on the batch id), pairs and raw docs landed under
-    per-batch directories with mode=overwrite so a replayed batch
+    (minhash_lsh_from_stored — shard signatures computed ONCE per batch,
+    corpus signatures scanned from the SignatureStore), then folded INTO
+    the corpus: signatures appended to the store (SnapshotStore flat
+    delta, R4-idempotent on the batch id), pairs and raw docs landed
+    under per-batch directories with mode=overwrite so a replayed batch
     rewrites its own output instead of duplicating it — the same
-    exactly-once-per-batch-id discipline as the command engine's commit.
+    exactly-once-per-batch-id discipline as the command engine's commit
+    (crash-replay content-equality pinned in tests/test_dedup.py; see
+    _incremental_dedup_batch for the exact replay contract).
 
     Per batch, in order: (1) match against the PRE-batch corpus (text
     read back from ``corpus_path`` for the one-scan verification), (2)
     publish pairs to ``pairs_path/batch=<id>``, (3) append the batch's
     docs to ``corpus_path/batch=<id>`` and its signatures to the store.
     The first batch seeds an empty corpus (no pairs). Returns the
-    StreamingQuery; callers pick the trigger via ``.trigger`` upstream or
-    awaitTermination downstream. Within-batch (new-new) duplicates are
-    the caller's shard-level dedup (minhash_lsh_dedup on the batch) —
-    same split as minhash_lsh_incremental's contract."""
-    from pyspark.sql import functions as SF
+    configured ``DataStreamWriter`` — callers pick a trigger and
+    ``.start()`` it. Within-batch (new-new) duplicates are the caller's
+    shard-level dedup (minhash_lsh_dedup on the batch) — same split as
+    minhash_lsh_incremental's contract."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        shard = batch_df.localCheckpoint()
-        bdir = f"batch={batch_id}"
-        v = store._store.latest_version()
-        if v is not None:
-            corpus = spark.read.parquet(corpus_path)
-            pairs = minhash_lsh_from_stored(
-                shard, corpus, store.load(spark, id_type="long"),
-                id_col, text_col,
-                n=n, num_hashes=num_hashes, bands=bands,
-                threshold=threshold, max_bucket=max_bucket, hash_fn=hash_fn,
-                # daily-production shape: shingle only candidate old docs
-                # (value-identical, equality-pinned in tests)
-                prune_verification_scan=True,
-            ).withColumn("batch_id", SF.lit(str(batch_id)))
-        else:
-            idt = shard.schema[id_col].dataType.simpleString()
-            pairs = spark.createDataFrame(
-                [], f"new_id {idt}, old_id {idt}, jaccard double, batch_id string"
-            )
-        pairs.write.mode("overwrite").parquet(f"{pairs_path}/{bdir}")
-        shard.select(id_col, text_col).write.mode("overwrite").parquet(
-            f"{corpus_path}/{bdir}"
+        _incremental_dedup_batch(
+            batch_df, batch_id, store, corpus_path, pairs_path,
+            id_col, text_col, n, num_hashes, bands, threshold,
+            max_bucket, hash_fn,
         )
-        sig = minhash_signatures(
-            shingles(shard, id_col, text_col, n, distinct=False),
-            num_hashes, hash_fn,
-        )
-        store.append(sig, f"stream-{batch_id}")
 
     return docs_stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

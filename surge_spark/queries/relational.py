@@ -2247,10 +2247,14 @@ def g_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN (SELECT unnest(range(0, 12)) AS slot) t
       CROSS JOIN np
     ),
-    neg AS (
+    negraw AS (
       SELECT c.user_id, c.item_id, c.slot
       FROM cand c ANTI JOIN inter i
         ON i.user_id = c.user_id AND i.item_id = c.item_id
+    ),
+    neg AS (
+      SELECT user_id, item_id, min(slot) AS slot
+      FROM negraw GROUP BY user_id, item_id
     )
     SELECT user_id, item_id, CAST(slot AS INT) AS slot, rank FROM (
       SELECT user_id, item_id, slot,
@@ -2273,8 +2277,12 @@ def g_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     to collisions with their own interactions astronomically unlikely
     while keeping the fan-out constant; item ids are 0-based contiguous
     in this schema (part.p_partkey 0..N-1) so the modulo is the id map.
-    The md5-to-int uses 15 hex chars (< 2^60, overflow-safe) — the
-    t_weighted_sample/t_shuffle_shards portability trick."""
+    Negatives are WITHOUT replacement per user: two slots hashing to the
+    same item (28% of users at sf0.001's 200-item space) collapse to the
+    earliest slot before the keep-5 rank, so the output is 5 DISTINCT
+    non-interacted items. The md5-to-int uses 15 hex chars (< 2^60,
+    overflow-safe) — the t_weighted_sample/t_shuffle_shards portability
+    trick."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     inter = (
@@ -2308,7 +2316,11 @@ def g_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("item_id"),
         )
     )
-    neg = cand.join(inter, ["user_id", "item_id"], "left_anti")
+    neg = (
+        cand.join(inter, ["user_id", "item_id"], "left_anti")
+        .groupBy("user_id", "item_id")
+        .agg(F.min("slot").alias("slot"))
+    )
     w = W.partitionBy("user_id").orderBy("slot")
     return (
         neg.withColumn("rank", F.row_number().over(w))

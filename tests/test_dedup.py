@@ -650,3 +650,40 @@ def test_from_stored_pruned_verification_scan_equality(spark, sf_dir):
         ).collect()
     }
     assert pruned == base and len(base) > 0
+
+
+def test_incremental_dedup_batch_replay_is_content_idempotent(spark, tmp_path):
+    """Crash-replay contract (review finding, r11): a batch replayed AFTER
+    its signature append committed but BEFORE the streaming checkpoint
+    commit must publish byte-identical pairs — in particular it must NOT
+    see its own signatures as corpus and invent in-batch new-new pairs.
+    Day-1's two docs are near-dups of EACH OTHER and of day-0 docs: the
+    replay would pair them together without the anti-join guard."""
+    store = dd.SignatureStore(str(tmp_path / "s"), num_buckets=4, delta_commits=4)
+    corpus_path = str(tmp_path / "corpus")
+    pairs_path = str(tmp_path / "pairs")
+    kw = dict(id_col="doc_id", text_col="text", n=4, num_hashes=64,
+              bands=16, threshold=0.3, max_bucket=5000, hash_fn="md5")
+    schema = "doc_id long, text string"
+    day0 = spark.createDataFrame([(0, BASE)], schema)
+    day1 = spark.createDataFrame(
+        [(10, BASE + " alpha"), (11, BASE + " beta")], schema
+    )
+    dd._incremental_dedup_batch(day0, 0, store, corpus_path, pairs_path, **kw)
+    dd._incremental_dedup_batch(day1, 1, store, corpus_path, pairs_path, **kw)
+    first = {
+        tuple(r) for r in spark.read.parquet(f"{pairs_path}/batch=1").collect()
+    }
+    # day-1 docs matched day-0 but never each other
+    assert first and all(r[1] == 0 for r in first)
+    n_sigs = store.load(spark).count()
+    # REPLAY batch 1 (signatures already committed; append is R4-deduped)
+    dd._incremental_dedup_batch(day1, 1, store, corpus_path, pairs_path, **kw)
+    replay = {
+        tuple(r) for r in spark.read.parquet(f"{pairs_path}/batch=1").collect()
+    }
+    assert replay == first  # no (10, 11) new-new pairs invented
+    assert store.load(spark).count() == n_sigs
+    # replayed batch 0 (empty pre-batch corpus) still publishes no pairs
+    dd._incremental_dedup_batch(day0, 0, store, corpus_path, pairs_path, **kw)
+    assert spark.read.parquet(f"{pairs_path}/batch=0").count() == 0
