@@ -868,11 +868,15 @@ class SignatureStore:
     def __init__(self, root: str, num_buckets: int = 64, delta_commits: int = 16):
         from surge_spark.streaming.snapshot_store import SnapshotStore
 
+        # change_feed: capture EVERY commit's own batch (first/COW/
+        # compaction included) so the signature table is DR-replicable
+        # via the change feed like any snapshot (see .store)
         self._store = SnapshotStore(
             root,
             key_col="id",
             num_buckets=num_buckets,
             delta_commits=delta_commits,
+            change_feed=True,
         )
 
     def append(self, sig: DataFrame, batch_id: str) -> bool:
@@ -889,6 +893,20 @@ class SignatureStore:
         return self._store.read_state(spark).select(
             F.col("id").cast(id_type).alias("id"), "sig"
         )
+
+    def vacuum(self, keep_last: int = 10) -> list[int]:
+        """Reclaim aged-out/orphaned store versions (SnapshotStore.vacuum)
+        — run it on the same cadence as the daily append."""
+        return self._store.vacuum(keep_last=keep_last)
+
+    @property
+    def store(self):
+        """The underlying SnapshotStore — change feed (read_changes /
+        stream_changes) and DR replication (replicate_changes) apply to
+        the signature table exactly as to any keyed snapshot, so a
+        standby region can replay the corpus signatures without
+        re-hashing a byte of text."""
+        return self._store
 
 
 def minhash_lsh_from_stored(

@@ -687,3 +687,26 @@ def test_incremental_dedup_batch_replay_is_content_idempotent(spark, tmp_path):
     # replayed batch 0 (empty pre-batch corpus) still publishes no pairs
     dd._incremental_dedup_batch(day0, 0, store, corpus_path, pairs_path, **kw)
     assert spark.read.parquet(f"{pairs_path}/batch=0").count() == 0
+
+
+def test_signature_store_vacuum_and_change_feed(spark, tmp_path):
+    """SignatureStore inherits the snapshot store's ops surface: vacuum
+    reclaims pre-checkpoint versions without changing load(), and the
+    change feed replays the signature table version-by-version (the DR
+    path for the accumulated corpus signatures)."""
+    store = dd.SignatureStore(str(tmp_path / "s"), num_buckets=4, delta_commits=2)
+    docs = _docs(spark, [BASE, BASE + " two", "other text entirely", BASE + " four"])
+    sig = dd.minhash_signatures(
+        dd.shingles(docs, "doc_id", "text", 4, distinct=False), 64, "md5"
+    )
+    for i in range(4):  # crosses a compaction at delta_commits=2
+        assert store.append(sig.where(F.col("id") == i), f"day{i}")
+    before = {r.id: tuple(r.sig) for r in store.load(spark).collect()}
+    assert len(before) == 4
+    # change feed BEFORE vacuum (vacuum reclaims aged change records
+    # along with their versions): the full feed carries every signature
+    versions = store.store.committed_versions()
+    feed = store.store.read_changes(spark, versions[0], versions[-1])
+    assert feed is not None and feed.count() >= 4
+    store.vacuum(keep_last=1)
+    assert {r.id: tuple(r.sig) for r in store.load(spark).collect()} == before
