@@ -435,3 +435,55 @@ def stream_warc_records(spark, archive_dir: str, max_files_per_trigger: int | No
         F.xxhash64("path").alias("id"), F.col("content").alias("payload")
     )
     return extract_warc_records(payloads, id_col="id")
+
+
+ROBOTS_SCHEMA = "id long, url string, agent string, allowed boolean"
+
+
+def evaluate_robots(payload: str, agent: str, url: str) -> bool:
+    """Crawl-politeness check: parse one robots.txt body with the stdlib
+    urllib.robotparser (first-matching-rule semantics, per-agent groups,
+    default allow) and evaluate ``can_fetch(agent, url)``. robotparser is
+    lenient by construction — junk lines are skipped, an empty/garbled
+    body allows everything — so there is no ValueError contract here,
+    only a deterministic boolean."""
+    import urllib.robotparser as _rp
+
+    p = _rp.RobotFileParser()
+    p.parse((payload or "").splitlines())
+    return bool(p.can_fetch(agent, url))
+
+
+def check_robots(
+    df: DataFrame,
+    id_col: str = "id",
+    robots_col: str = "robots_txt",
+    url_col: str = "url",
+    agent: str = "surgebot",
+) -> DataFrame:
+    """Batch robots evaluation over mapInPandas (same no-shuffle,
+    payload-dropping contract as the other ingestion operators): one row
+    per input with the fetch-permission verdict — the politeness gate a
+    crawl frontier runs between the sitemap feed and the fetcher."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["id", "url", "agent", "allowed"]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                try:
+                    ok = evaluate_robots(rec.robots or "", agent, rec.url or "")
+                except Exception:  # robotparser is lenient; belt anyway
+                    ok = True
+                rows.append(
+                    {"id": rec.id, "url": rec.url, "agent": agent, "allowed": ok}
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    ensure_shipped(df.sparkSession)
+    cols = df.select(
+        df[id_col].alias("id"),
+        df[robots_col].alias("robots"),
+        df[url_col].alias("url"),
+    )
+    return cols.mapInPandas(run, schema=ROBOTS_SCHEMA)

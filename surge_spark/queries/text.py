@@ -1674,3 +1674,42 @@ def t_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.countDistinct(F.md5("text")) / F.count(F.lit(1)), 6
         ).alias("exact_dup_rate"),
     )
+
+
+@query(
+    "t_robots_check_real",
+    oracle="""
+    SELECT doc_id AS id,
+           'http://site/d' || (doc_id % 3) || '/page' AS url,
+           'surgebot' AS agent,
+           (doc_id % 5 <> doc_id % 3) AS allowed
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def t_robots_check_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness gate under a FULL oracle via construct-in-query
+    (the t_warc_ingest_real trick): each doc becomes a robots.txt with a
+    decoy per-agent group (badbot: Disallow /) and a wildcard group
+    disallowing /d<doc_id%5>/, evaluated for surgebot against
+    /d<doc_id%3>/page through the REAL stdlib urllib.robotparser in
+    mapInPandas — agent-group selection, prefix rules and default-allow
+    all exercised. DuckDB computes the ground truth independently:
+    single-digit segments make prefix-match equivalent to modulus
+    equality, so allowed iff doc_id%5 != doc_id%3. Completes the web
+    stack (WARC -> HTTP -> HTML -> sitemap -> robots)."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 400)
+    robots = F.concat(
+        F.lit("User-agent: badbot\nDisallow: /\n\nUser-agent: *\nDisallow: /d"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("/\n"),
+    )
+    url = F.concat(
+        F.lit("http://site/d"), (F.col("doc_id") % 3).cast("string"), F.lit("/page")
+    )
+    from ..operators import ingest as ing
+
+    return ing.check_robots(
+        docs.select("doc_id", robots.alias("robots_txt"), url.alias("url")),
+        id_col="doc_id",
+        agent="surgebot",
+    )

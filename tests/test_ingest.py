@@ -261,3 +261,36 @@ def test_parse_warc_junk_http_header_falls_back_to_raw_body():
     assert recs[1]["target_uri"] == "http://junk/"
     assert recs[1]["http_status"] is None
     assert recs[1]["body"] == junk_http
+
+
+def test_evaluate_robots_semantics():
+    """urllib.robotparser behaviors the catalog oracle relies on, pinned:
+    per-agent group selection (specific group shadows *), first-match
+    prefix rules with Allow, default allow on empty/garbled bodies."""
+    from surge_spark.operators.ingest import evaluate_robots
+
+    body = (
+        "User-agent: badbot\nDisallow: /\n\n"
+        "User-agent: *\nAllow: /d1/ok\nDisallow: /d1/\n"
+    )
+    assert evaluate_robots(body, "surgebot", "http://x/d1/page") is False
+    assert evaluate_robots(body, "surgebot", "http://x/d1/ok") is True
+    assert evaluate_robots(body, "surgebot", "http://x/d2/page") is True
+    assert evaluate_robots(body, "badbot", "http://x/anything") is False
+    # lenient on garbage: junk lines skipped, empty body allows all
+    assert evaluate_robots("%%% not robots\n\x00\xff", "a", "http://x/") is True
+    assert evaluate_robots("", "a", "http://x/") is True
+
+
+def test_check_robots_spark(spark):
+    from surge_spark.operators.ingest import check_robots
+
+    df = spark.createDataFrame(
+        [
+            (1, "User-agent: *\nDisallow: /a/", "http://x/a/p"),
+            (2, "User-agent: *\nDisallow: /a/", "http://x/b/p"),
+        ],
+        "id long, robots_txt string, url string",
+    )
+    got = {r.id: r.allowed for r in check_robots(df).collect()}
+    assert got == {1: False, 2: True}
