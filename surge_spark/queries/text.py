@@ -1713,3 +1713,88 @@ def t_robots_check_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         agent="surgebot",
     )
+
+
+@query(
+    "t_bigram_lm_score",
+    oracle=f"""
+    WITH ta AS (
+      SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ts[i.i] AS w1, ts[i.i + 1] AS w2
+      FROM ta, LATERAL (
+        SELECT unnest(range(1, greatest(len(ts) - 1, 0) + 1)) AS i
+      ) i
+      WHERE ts[i.i] <> '' AND ts[i.i + 1] <> ''
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c FROM bg GROUP BY w1),
+    u AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(ts) AS w FROM ta
+      ) WHERE w <> '' GROUP BY w
+    ),
+    n AS (SELECT sum(c) AS total FROM u)
+    SELECT bg.doc_id,
+           CAST(count(*) AS INT) AS n_bigrams,
+           CAST(round(avg(ln(
+             0.7 * (c12.c / c1.c) + 0.3 * (u.c / n.total)
+           )), 6) AS DOUBLE) AS mean_logprob
+    FROM bg
+    JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+    JOIN c1 ON c1.w1 = bg.w1
+    JOIN u ON u.w = bg.w2
+    CROSS JOIN n
+    GROUP BY bg.doc_id
+    """,
+)
+def t_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality score: per-doc mean natural-log
+    probability of each bigram under 0.7*P(w2|w1) + 0.3*P(w2), both
+    estimated from the corpus itself (the CCNet-style perplexity filter
+    one model order above t_unigram_logprob — bigram context separates
+    fluent text from bag-of-frequent-words spam that unigram scoring
+    ranks high). Docs with fewer than two tokens have no bigrams and are
+    absent, exactly as in the oracle. Shapes: bigrams via the arrays_zip
+    shift (no HOF, no per-doc window), three partial+final count
+    aggregates, joins keyed on bigram/token (the LM tables — at 100 TB
+    these are the shuffle, and they are counts, not text), corpus-total
+    broadcast. Float note: per-doc avg over unordered rows survives
+    round(6) for the same reason t_unigram_logprob's does (term
+    magnitudes ~1e0, ulp noise ~1e-16)."""
+    docs = _docs(spark, sf_dir)
+    toks = dd.tokens("text")
+    big = 1 << 30
+    base = docs.select(F.col("doc_id"), toks.alias("_ts"))
+    z = F.arrays_zip(
+        F.col("_ts").alias("w1"), F.slice("_ts", 2, big).alias("w2")
+    )
+    bg = (
+        base.select("doc_id", F.explode(z).alias("s"))
+        .select("doc_id", F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+        .where((F.col("w1") != "") & F.col("w2").isNotNull() & (F.col("w2") != ""))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    u = (
+        base.select(F.explode("_ts").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    n = u.agg(F.sum("cu").alias("total"))
+    term = F.log(
+        0.7 * (F.col("c12") / F.col("c1")) + 0.3 * (F.col("cu") / F.col("total"))
+    )
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(u.withColumnRenamed("w", "w2"), "w2")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.round(F.avg(term), 6).alias("mean_logprob"),
+        )
+    )
