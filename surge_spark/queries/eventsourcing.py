@@ -1116,3 +1116,170 @@ def m_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_index"
         ),
     )
+
+
+@query(
+    "m_gap_fill_forward",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, day, round(value, 4) AS v FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, value,
+               row_number() OVER (
+                 PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    span AS (
+      SELECT user_id, CAST(d AS DATE) AS day FROM (
+        SELECT user_id,
+               unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS d
+        FROM daily GROUP BY user_id
+      )
+    )
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(last_value(d.v IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS value,
+           (d.user_id IS NOT NULL) AS is_observed
+    FROM span s LEFT JOIN daily d
+      ON d.user_id = s.user_id AND d.day = s.day
+    """,
+)
+def m_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling with forward fill — the time-series
+    regularization every dashboard/feature pipeline runs before joins or
+    models that assume one row per (key, day): each user's daily series
+    is completed over their own [first, last] day span (bounded fan-out:
+    span days per user, generated map-side with sequence+explode, never
+    a calendar cross join) and missing days carry the last observed
+    value forward via last_value(IGNORE NULLS) over a PER-USER window
+    (partitioned — joins the no-unpartitioned-window discipline). The
+    per-day observation is the latest event's value that day
+    (max_by over (ts, event_id), the deterministic last-write), rounded
+    BEFORE the fill so both engines propagate identical doubles. A day
+    whose only events carry NULL values forward-fills across, exactly
+    like a missing day — pinned by the oracle's IGNORE NULLS twin."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))), 4
+        ).alias("v")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = span.join(
+        daily.withColumnRenamed("user_id", "u2").withColumnRenamed("day", "day2"),
+        (F.col("user_id") == F.col("u2")) & (F.col("day") == F.col("day2")),
+        "left",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        # ISO string, not DATE: the oracle comparator has no date-vs-
+        # pandas-Timestamp normalization channel (DuckDB DATE arrives as
+        # datetime64, Spark DATE as datetime.date objects)
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.last("v", ignorenulls=True).over(w).alias("value"),
+        F.col("u2").isNotNull().alias("is_observed"),
+    )
+
+
+@query(
+    "j_interval_overlap_join",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  ) > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id,
+             ts
+      FROM flagged
+    ),
+    iv AS (
+      SELECT user_id, session_id, min(ts) AS s0, max(ts) AS s1
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(count(*) AS BIGINT) AS n_concurrent
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id AND a.s0 <= b.s1 AND b.s0 <= a.s1
+    GROUP BY a.user_id, b.user_id
+    """,
+)
+def j_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP JOIN, bucket-decomposed: pairs of users with
+    concurrent sessions (30-min-gap sessionization, the h_session logic)
+    and how many session pairs overlap. The oracle states the textbook
+    theta join (a.s0 <= b.s1 AND b.s0 <= a.s1); the Spark plan NEVER
+    runs it — a theta-only join is a nested-loop over all session pairs
+    at 100 TB. Instead each session explodes to its covered DAYS
+    (bounded fan-out: span days per session), candidates equi-join on
+    the day bucket, the exact overlap predicate filters, and a DISTINCT
+    on the session-pair key collapses multi-day double-counting — the
+    join-side sibling of m_dau_wau_mau's explode-not-range-join
+    aggregation trick. Shuffles: sessionization windows are per-user;
+    the candidate join keys on the day bucket (calendar-bounded key
+    space — salt by hash(session) within a day if one day is hot)."""
+    e = _events(spark, sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    flagged = e.withColumn(
+        "new_session",
+        F.when(micros - F.lag(micros).over(w) > 1800 * 1_000_000, 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s0"), F.max("ts").alias("s1")
+    )
+    days = iv.select(
+        "user_id", "session_id", "s0", "s1",
+        F.explode(
+            F.sequence(F.to_date("s0"), F.to_date("s1"))
+        ).alias("bucket"),
+    )
+    a = days.select(
+        F.col("user_id").alias("user_a"), F.col("session_id").alias("sid_a"),
+        F.col("s0").alias("a0"), F.col("s1").alias("a1"), "bucket",
+    )
+    b = days.select(
+        F.col("user_id").alias("user_b"), F.col("session_id").alias("sid_b"),
+        F.col("s0").alias("b0"), F.col("s1").alias("b1"), "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("a0") <= F.col("b1"))
+            & (F.col("b0") <= F.col("a1"))
+        )
+        .select("user_a", "sid_a", "user_b", "sid_b")
+        .distinct()
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_concurrent")
+    )
