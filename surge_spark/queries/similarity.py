@@ -1097,3 +1097,93 @@ def sim_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+@query(
+    "sim_matryoshka_rerank_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 5),
+    coarse AS (
+      SELECT q.query_id, c.vec_id AS corpus_id, c.embedding AS ce, q.qe,
+             round({_DUCK_COSINE.format(a="c.embedding[1:16]", b="q.qe[1:16]")}, 6)
+               AS csim
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ),
+    shortlist AS (
+      SELECT query_id, corpus_id, ce, qe FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY csim DESC, corpus_id
+        ) AS crank FROM coarse
+      ) WHERE crank <= 50
+    ),
+    exact AS (
+      SELECT query_id, corpus_id,
+             round({_DUCK_COSINE.format(a="ce", b="qe")}, 6) AS cosine
+      FROM shortlist
+    )
+    SELECT query_id, corpus_id, CAST(cosine AS DOUBLE) AS cosine, rank FROM (
+      SELECT query_id, corpus_id, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, corpus_id
+             ) AS INT) AS rank
+      FROM exact
+    ) WHERE rank <= 10
+    """,
+)
+def sim_matryoshka_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style two-stage ANN (MRL embeddings, Kusupati et al.
+    2022): the coarse pass scores only the FIRST 16 of 64 dimensions —
+    with nested representations the prefix is itself a usable embedding,
+    so the coarse scan reads a quarter of the vector bytes — keeps 50
+    candidates per query, and the exact full-dimension cosine re-ranks
+    just those to a top-10. Both stages round scores to 6 BEFORE ranking
+    (cross-engine tie discipline) and break ties on corpus_id. Shapes:
+    coarse is map-side vs the broadcast query set with a per-query
+    WindowGroupLimit (the corpus never shuffles); re-rank touches <= 50
+    rows per query. At 100 TB the prefix columns would be stored as
+    their own column family so the coarse scan's I/O is actually 4x
+    smaller — here both reads come from one array column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    pre = lambda c: sim._as_double(F.slice(c, 1, 16))  # noqa: E731
+    full = sim._as_double
+    scored = (
+        emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ce"))
+        .crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+                )
+            )
+        )
+        .where(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id", "corpus_id", "ce", "qe",
+            F.round(
+                sim.dot(pre(F.col("ce")), pre(F.col("qe")))
+                / (sim.norm(pre(F.col("ce"))) * sim.norm(pre(F.col("qe")))),
+                6,
+            ).alias("csim"),
+        )
+    )
+    wc = W.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("corpus_id"))
+    shortlist = (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= 50)
+    )
+    exact = shortlist.select(
+        "query_id", "corpus_id",
+        F.round(
+            sim.dot(full(F.col("ce")), full(F.col("qe")))
+            / (sim.norm(full(F.col("ce"))) * sim.norm(full(F.col("qe")))),
+            6,
+        ).alias("cosine"),
+    )
+    we = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(we))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
