@@ -3753,6 +3753,81 @@ def w_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f_url_canonicalize",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Site' || (doc_id % 7) || '.COM:443/p/' || doc_id
+               || '?b=' || (doc_id % 3) || '&a=' || (doc_id % 5)
+               || '#frag' AS url
+      FROM documents WHERE doc_id < 300
+    ),
+    steps AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(url), '#.*$', ''),
+                 '^(https?://)www\.', '\\1'
+               ),
+               ':443/', '/'
+             ) AS nofrag
+      FROM u
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             string_split(nofrag, '?')[1] AS base,
+             string_split(nofrag, '?')[2] AS qs
+      FROM steps
+    )
+    SELECT doc_id, url,
+           CASE WHEN qs IS NULL OR qs = '' THEN base
+                ELSE base || '?' ||
+                     array_to_string(list_sort(string_split(qs, '&')), '&')
+           END AS canonical_url
+    FROM parts
+    """,
+)
+def f_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the normalization pass URL-level crawl
+    dedup runs before hashing (case-fold scheme+host via full lowercase
+    on these synthetic all-lowercase-path URLs, strip fragment, drop the
+    default :443 port, strip leading www., SORT query parameters so
+    ?b=&a= == ?a=&b=). Both engines execute the IDENTICAL regexp/split/
+    sort steps (no parse_url — DuckDB lacks it), so the oracle is exact.
+    Map-side only."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/p/"), F.col("doc_id").cast("string"),
+        F.lit("?b="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&a="), (F.col("doc_id") % 5).cast("string"),
+        F.lit("#frag"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    nofrag = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("url"), "#.*$", ""),
+            r"^(https?://)www\.", "$1"
+        ),
+        ":443/", "/",
+    )
+    parts = u.select(
+        "doc_id", "url",
+        F.split(nofrag, r"\?").getItem(0).alias("base"),
+        F.split(nofrag, r"\?").getItem(1).alias("qs"),
+    )
+    canon = F.when(
+        F.col("qs").isNull() | (F.col("qs") == ""), F.col("base")
+    ).otherwise(
+        F.concat(
+            F.col("base"), F.lit("?"),
+            F.array_join(F.array_sort(F.split("qs", "&")), "&"),
+        )
+    )
+    return parts.select("doc_id", "url", canon.alias("canonical_url"))
+
+
+@query(
     "f_parse_url",
     oracle="""
     WITH u AS (
