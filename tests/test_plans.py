@@ -596,13 +596,18 @@ def test_retention_dedups_with_partial_agg(spark, sf_dir):
 
 
 def test_diverse_representatives_single_scan_group_limit(spark, sf_dir):
-    """sim_diverse_representatives: the exemplar pick is a WindowGroupLimit
-    partial top-k (the shuffle carries ≤ per_cell·n_cells rows per task,
-    not the corpus); sizes come from a SECOND pruned scan + partial agg —
-    the deliberate trade that keeps the group limit alive (one shared
-    window would shuffle every row); sizes join back broadcast."""
+    """sim_diverse_representatives: the scored assignment materializes
+    ONCE (r11 janino fix — the cell+score chain fused into both the sizes
+    aggregate and the rank window blew the 64 KB generated-method limit,
+    a failed compile retried every run; the old plan's deliberate second
+    pruned scan is superseded): both consumers read the checkpoint (Scan
+    ExistingRDD), the corpus parquet is scanned zero times in THIS plan
+    (the checkpoint's own build scans it), the exemplar pick stays a
+    WindowGroupLimit partial top-k, sizes stay a partial agg joined back
+    broadcast."""
     plan = _plan(spark, sf_dir, "sim_diverse_representatives")
-    assert plan.count("Scan parquet") == 2
+    assert plan.count("Scan parquet") == 0
+    assert "ExistingRDD" in plan
     assert "partial_count" in plan
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
