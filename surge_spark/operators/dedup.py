@@ -895,8 +895,13 @@ class SignatureStore:
         )
 
     def vacuum(self, keep_last: int = 10) -> list[int]:
-        """Reclaim aged-out/orphaned store versions (SnapshotStore.vacuum)
-        — run it on the same cadence as the daily append."""
+        """Reclaim aged-out/orphaned store versions (SnapshotStore.vacuum).
+        RETENTION CONTRACT: vacuum reclaims change records along with
+        their versions, so ``keep_last`` must exceed the maximum
+        replication lag (in appends) of any standby reading the change
+        feed — a replica further behind than the retention window can no
+        longer catch up incrementally and needs a full re-seed. Size
+        keep_last to lag + slack, not to the append cadence."""
         return self._store.vacuum(keep_last=keep_last)
 
     @property
@@ -905,7 +910,12 @@ class SignatureStore:
         stream_changes) and DR replication (replicate_changes) apply to
         the signature table exactly as to any keyed snapshot, so a
         standby region can replay the corpus signatures without
-        re-hashing a byte of text."""
+        re-hashing a byte of text. Migration caveat: a store root
+        created BEFORE the feed was enabled (r11) has no change records
+        for its old compaction/first commits — read_changes over a range
+        including those versions raises the documented no-record error;
+        replay such a store from the first feed-enabled version (or
+        re-seed the standby from read_state once)."""
         return self._store
 
 

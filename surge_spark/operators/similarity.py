@@ -846,14 +846,15 @@ def cell_representatives(
     best cell and its cosine fall out of the same reduction); the
     per-cell top-k is a WindowGroupLimit partial top-k (never a global
     sort), and sizes are a partial+final aggregate joined back as a
-    broadcast (n_cells rows). The sizes branch re-scans the corpus and
-    re-derives assignments — deliberately: folding the count into the
-    rank's window would share one scan but need every row in the window,
-    disabling WindowGroupLimit and shuffling the WHOLE corpus on cluster;
-    the second pruned scan + partial-agg (shuffle = n_cells rows) is the
-    cheaper shape at 100 TB, trading map-side CPU for ~zero shuffle.
-    Scores are rounded before ranking so float noise can't flip an
-    exemplar between engines."""
+    broadcast (n_cells rows). Both consumers read the CHECKPOINTED
+    scored assignment (r11 — see the inline note below; the pre-r11
+    design deliberately re-scanned the corpus for sizes to keep
+    WindowGroupLimit alive, but the fused scoring chains blew janino's
+    method limit, and the narrow checkpoint preserves the group limit
+    while scanning and scoring the corpus exactly once). Folding the
+    count into the rank's window is still wrong: it would need every row
+    in the window, disabling WindowGroupLimit. Scores are rounded before
+    ranking so float noise can't flip an exemplar between engines."""
     # ONE parsed expression: raw-vector argmax (scale-invariant) for the
     # cell, raw sim / norm for the cosine — no unit-normalize pass, flat
     # codegen arithmetic (see _assign_cell's interpreted-HOF rationale)

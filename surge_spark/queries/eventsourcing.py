@@ -1256,12 +1256,16 @@ def j_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = sess.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("s0"), F.max("ts").alias("s1")
     )
+    # materialize the narrow exploded frame ONCE: both self-join sides
+    # otherwise re-run the whole sessionization pipeline (sort + two
+    # windows + two aggregates + explode) — the g_adamic_adar
+    # canonicalization lesson; the checkpoint is session-count-sized
     days = iv.select(
         "user_id", "session_id", "s0", "s1",
         F.explode(
             F.sequence(F.to_date("s0"), F.to_date("s1"))
         ).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)
     a = days.select(
         F.col("user_id").alias("user_a"), F.col("session_id").alias("sid_a"),
         F.col("s0").alias("a0"), F.col("s1").alias("a1"), "bucket",

@@ -3813,8 +3813,12 @@ def f_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts = u.select(
         "doc_id", "url",
-        F.split(nofrag, r"\?").getItem(0).alias("base"),
-        F.split(nofrag, r"\?").getItem(1).alias("qs"),
+        # F.get, not getItem: under ANSI an out-of-range getItem RAISES,
+        # so a URL without '?' would crash before the null guard below
+        # ever ran (DuckDB's [2] returns NULL gracefully) — F.get is the
+        # NULL-returning access that keeps the guard live
+        F.get(F.split(nofrag, r"\?"), 0).alias("base"),
+        F.get(F.split(nofrag, r"\?"), 1).alias("qs"),
     )
     canon = F.when(
         F.col("qs").isNull() | (F.col("qs") == ""), F.col("base")

@@ -1110,6 +1110,10 @@ def sim_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS csim
       FROM embeddings c CROSS JOIN q
       WHERE c.vec_id <> q.query_id
+        AND list_sum(list_transform(c.embedding[1:16],
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+        AND list_sum(list_transform(q.qe[1:16],
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
     ),
     shortlist AS (
       SELECT query_id, corpus_id, ce, qe FROM (
@@ -1159,6 +1163,15 @@ def sim_matryoshka_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .where(F.col("corpus_id") != F.col("query_id"))
+        # zero-norm guard (ANSI DIVIDE_BY_ZERO raises, the
+        # cell_representatives/m_anomaly_zscore discipline): a vector
+        # whose PREFIX is all zeros is excluded on both sides — and since
+        # full_norm >= prefix_norm, the re-rank denominators are then
+        # provably nonzero too, so one filter guards both stages
+        .where(
+            (sim.dot(pre(F.col("ce")), pre(F.col("ce"))) > 0)
+            & (sim.dot(pre(F.col("qe")), pre(F.col("qe"))) > 0)
+        )
         .select(
             "query_id", "corpus_id", "ce", "qe",
             F.round(

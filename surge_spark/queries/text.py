@@ -1770,10 +1770,16 @@ def t_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.arrays_zip(
         F.col("_ts").alias("w1"), F.slice("_ts", 2, big).alias("w2")
     )
+    # materialize the narrow (doc_id, w1, w2) stream ONCE: it feeds c12,
+    # c1 AND the join spine as three separate subtrees — without the
+    # checkpoint the scan + tokenize + arrays_zip + explode ran 3x (the
+    # shared-exchange class CLAUDE.md tracks); the unigram table is a
+    # genuinely different shape and keeps its own single pass
     bg = (
         base.select("doc_id", F.explode(z).alias("s"))
         .select("doc_id", F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
         .where((F.col("w1") != "") & F.col("w2").isNotNull() & (F.col("w2") != ""))
+        .localCheckpoint(eager=False)
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
