@@ -1287,3 +1287,94 @@ def j_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("user_a", "user_b").agg(
         F.count(F.lit(1)).alias("n_concurrent")
     )
+
+
+@query(
+    "m_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, min(o_orderdate) AS first_dt
+      FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+      SELECT o.o_custkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+             strftime(f.first_dt, '%Y-%m') AS cohort_month,
+             CAST((year(o.o_orderdate) - year(f.first_dt)) * 12
+                  + (month(o.o_orderdate) - month(f.first_dt)) AS INT)
+               AS month_offset
+      FROM orders o JOIN firsts f USING (o_custkey)
+    ),
+    per AS (
+      SELECT cohort_month, month_offset, sum(cents) AS rev_cents,
+             count(DISTINCT o_custkey) AS n_active
+      FROM j GROUP BY cohort_month, month_offset
+    ),
+    sizes AS (
+      SELECT strftime(first_dt, '%Y-%m') AS cohort_month,
+             count(DISTINCT o_custkey) AS cohort_size
+      FROM firsts GROUP BY 1
+    )
+    SELECT p.cohort_month, p.month_offset,
+           CAST(p.n_active AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(sum(p.rev_cents) OVER (
+                  PARTITION BY p.cohort_month ORDER BY p.month_offset
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) // s.cohort_size AS BIGINT) AS ltv_cents_per_user
+    FROM per p JOIN sizes s USING (cohort_month)
+    """,
+)
+def m_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order month,
+    cumulative revenue per cohort member at each month offset — the
+    revenue twin of m_retention_cohorts (which counts active users). Both
+    heavy aggregates shuffle on o_custkey (first-order assignment, then
+    the join back), the (cohort, offset) matrix is bounded by months², and
+    the cumulative window runs over that bounded matrix partitioned by
+    cohort — never over raw orders. Month offsets via truncated calendar
+    arithmetic ((Δyear)*12 + Δmonth), identical on both engines; revenue
+    converted to INTEGER CENTS per order before any aggregate — bigint
+    sums are exact and order-independent, so the cumulative LTV is a pure
+    function of the data on both engines (double revenue sums hit
+    half-cent rounding boundaries at every tested scale; the per-row
+    x*100 round is bitwise-identical IEEE math on both). The per-user
+    LTV stays integer too — cents floor-divided by cohort size — because
+    cum/size quotients land EXACTLY on half-cent boundaries whenever the
+    divisor is small, where Spark's and DuckDB's round() disagree."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    j = o.join(firsts, "o_custkey").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.date_format("first_dt", "yyyy-MM").alias("cohort_month"),
+        (
+            (F.year("o_orderdate") - F.year("first_dt")) * 12
+            + (F.month("o_orderdate") - F.month("first_dt"))
+        ).cast("int").alias("month_offset"),
+    )
+    per = j.groupBy("cohort_month", "month_offset").agg(
+        F.sum("cents").alias("rev_cents"),
+        F.countDistinct("o_custkey").alias("n_active"),
+    )
+    sizes = firsts.groupBy(
+        F.date_format("first_dt", "yyyy-MM").alias("cohort_month")
+    ).agg(F.countDistinct("o_custkey").alias("cohort_size"))
+    w = (
+        W.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        per.join(sizes, "cohort_month")
+        .withColumn("cum", F.sum("rev_cents").over(w))
+        .select(
+            "cohort_month",
+            "month_offset",
+            "n_active",
+            "cohort_size",
+            F.expr("CAST(cum div cohort_size AS BIGINT)").alias(
+                "ltv_cents_per_user"
+            ),
+        )
+    )
