@@ -1804,3 +1804,65 @@ def t_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(term), 6).alias("mean_logprob"),
         )
     )
+
+
+@query(
+    "t_source_kl_divergence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    tf AS (
+      SELECT source, w, count(*) AS c FROM toks WHERE w <> ''
+      GROUP BY source, w
+    ),
+    stot AS (SELECT source, sum(c) AS st FROM tf GROUP BY source),
+    gc AS (SELECT w, sum(c) AS gcnt FROM tf GROUP BY w),
+    gt AS (SELECT sum(gcnt) AS g FROM gc)
+    SELECT tf.source, CAST(st AS BIGINT) AS n_tokens,
+           CAST(round(sum(
+             (tf.c / CAST(st AS DOUBLE))
+             * ln((tf.c / CAST(st AS DOUBLE))
+                  / (gc.gcnt / CAST(g AS DOUBLE)))
+           ), 6) AS DOUBLE) AS kl_divergence
+    FROM tf JOIN stot USING (source) JOIN gc USING (w) CROSS JOIN gt
+    GROUP BY tf.source, st
+    """,
+)
+def t_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the unigram distribution from the whole
+    corpus — the dataset-mixing diagnostic (a source whose KL spikes is
+    drifting from the corpus it feeds; CCNet/Gopher-style source audits
+    rank shards by exactly this). The (source, word) term-frequency
+    aggregate is the ONE heavy shuffle and is localCheckpointed because
+    three consumers derive from it (source totals, global word counts,
+    and the scoring join) — lazily chained, the tokenize+explode subtree
+    would re-run per consumer. Everything downstream operates on the
+    aggregated vocab (|sources| x |vocab| bounded), and the per-source
+    totals broadcast. All words in a source exist globally, so no
+    zero-probability guard is needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(dd.tokens("text")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    stot = tf.groupBy("source").agg(F.sum("c").alias("st"))
+    gc = tf.groupBy("w").agg(F.sum("c").alias("gcnt"))
+    gt = gc.agg(F.sum("gcnt").alias("g"))
+    ps = F.col("c").cast("double") / F.col("st").cast("double")
+    pg = F.col("gcnt").cast("double") / F.col("g").cast("double")
+    return (
+        tf.join(F.broadcast(stot), "source")
+        .join(gc, "w")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("source", "st")
+        .agg(F.round(F.sum(ps * F.log(ps / pg)), 6).alias("kl_divergence"))
+        .select(
+            "source",
+            F.col("st").cast("long").alias("n_tokens"),
+            "kl_divergence",
+        )
+    )
