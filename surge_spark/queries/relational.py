@@ -4411,3 +4411,135 @@ def g_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_score").desc(), "pa", "pb")
         .limit(25)
     )
+
+
+@query(
+    "j_bloom_prefilter_join",
+    oracle="""
+    WITH promo AS (
+      SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+    ),
+    probes AS (
+      SELECT p_partkey, i.i,
+             CAST(concat('0x', substr(md5(concat('bloom', CAST(i.i AS VARCHAR),
+                  ':', CAST(p_partkey AS VARCHAR))), 1, 8)) AS BIGINT)
+               % 1024 AS pos
+      FROM promo, LATERAL (SELECT unnest(range(0, 3)) AS i) i
+    ),
+    bloom AS (
+      SELECT pos // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      FROM probes GROUP BY pos // 32
+    ),
+    lp AS (
+      SELECT l.l_partkey, l.l_extendedprice, l.l_discount,
+             CAST(concat('0x', substr(md5(concat('bloom0:',
+                  CAST(l.l_partkey AS VARCHAR))), 1, 8)) AS BIGINT)
+               % 1024 AS pos0,
+             CAST(concat('0x', substr(md5(concat('bloom1:',
+                  CAST(l.l_partkey AS VARCHAR))), 1, 8)) AS BIGINT)
+               % 1024 AS pos1,
+             CAST(concat('0x', substr(md5(concat('bloom2:',
+                  CAST(l.l_partkey AS VARCHAR))), 1, 8)) AS BIGINT)
+               % 1024 AS pos2
+      FROM lineitem l
+    ),
+    cands AS (
+      SELECT lp.l_partkey, lp.l_extendedprice, lp.l_discount
+      FROM lp
+      JOIN bloom b0 ON b0.word = lp.pos0 // 32
+        AND (b0.bits & (CAST(1 AS BIGINT) << CAST(lp.pos0 % 32 AS INT))) <> 0
+      JOIN bloom b1 ON b1.word = lp.pos1 // 32
+        AND (b1.bits & (CAST(1 AS BIGINT) << CAST(lp.pos1 % 32 AS INT))) <> 0
+      JOIN bloom b2 ON b2.word = lp.pos2 // 32
+        AND (b2.bits & (CAST(1 AS BIGINT) << CAST(lp.pos2 % 32 AS INT))) <> 0
+    )
+    SELECT count(*) AS n_bloom_pass,
+           count(p.p_partkey) AS n_true,
+           CAST(count(*) - count(p.p_partkey) AS BIGINT) AS n_false_pos,
+           CAST(round(sum(CASE WHEN p.p_partkey IS NOT NULL
+                 THEN c.l_extendedprice * (1 - c.l_discount) END), 2)
+             AS DOUBLE) AS promo_revenue
+    FROM cands c LEFT JOIN promo p ON p.p_partkey = c.l_partkey
+    """,
+)
+def j_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pre-filter — the 100 TB technique for a selective
+    fact-to-dim join: the qualifying dim keys (PROMO parts) collapse into
+    a 1024-bit / k=3 bloom (32 words as one ~32-row table), the fact scan
+    tests membership via three BROADCAST joins on the word index — the
+    big side never shuffles to discover it doesn't qualify, which is the
+    point: at scale the bloom is a few KB regardless of dim cardinality,
+    while a semi-join shuffles every fact row. The exact join then runs
+    only over the bloom survivors; the output is the filter's measured
+    quality (pass / true / false-positive counts) plus the exact revenue.
+    All hash math is md5-derived and mirrored digit-for-digit in the
+    oracle, so even the false-positive count is deterministic.
+    Spark runs AQE-off-equivalent literal math: conv(hex,16,10) == the
+    DuckDB '0x..' BIGINT cast (the t_shuffle_shards precedent). No false
+    negatives by construction — pinned in tests/test_analytics.py."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    promo = part.where(F.col("p_type") == "PROMO").select("p_partkey")
+
+    def _pos(col: F.Column, i: int) -> F.Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bloom{i}:"), col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % 1024
+
+    probes = None
+    for i in range(3):
+        p = promo.select(_pos(F.col("p_partkey"), i).alias("pos"))
+        probes = p if probes is None else probes.unionAll(p)
+    bloom = probes.groupBy(F.expr("pos div 32").alias("word")).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)))"
+        ).alias("bits")
+    )
+    lp = li.select(
+        "l_partkey",
+        "l_extendedprice",
+        "l_discount",
+        *[_pos(F.col("l_partkey"), i).alias(f"pos{i}") for i in range(3)],
+    )
+    cands = lp
+    for i in range(3):
+        b = bloom.select(
+            F.col("word").alias(f"w{i}"), F.col("bits").alias(f"bits{i}")
+        )
+        cands = cands.join(
+            F.broadcast(b), F.expr(f"pos{i} div 32") == F.col(f"w{i}")
+        ).where(
+            F.expr(
+                f"(bits{i} & shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(pos{i} % 32 AS INT))) <> 0"
+            )
+        )
+    return (
+        cands.join(
+            F.broadcast(promo),
+            cands.l_partkey == promo.p_partkey,
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_bloom_pass"),
+            F.count("p_partkey").alias("n_true"),
+            (F.count(F.lit(1)) - F.count("p_partkey"))
+            .cast("long")
+            .alias("n_false_pos"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("p_partkey").isNotNull(),
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    )
+                ),
+                2,
+            ).alias("promo_revenue"),
+        )
+    )

@@ -167,3 +167,32 @@ def test_distributed_prefix_sum_exact_vs_driver(spark):
             run += v
             want[i] = run
         assert got == want, descending
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """The bloom pre-filter may pass non-qualifying rows (false positives,
+    reported) but must NEVER drop a qualifying one: n_true from the
+    bloom-survivor join equals the exact semi-join count, and the revenue
+    matches the plain filtered join to the cent."""
+    from pyspark.sql import functions as F
+
+    from surge_spark.io import load_table
+
+    row = all_queries()["j_bloom_prefilter_join"](spark, sf_dir).collect()[0]
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    promo = part.where(F.col("p_type") == "PROMO").select("p_partkey")
+    exact = (
+        li.join(promo, li.l_partkey == promo.p_partkey)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("rev"),
+        )
+        .collect()[0]
+    )
+    assert row.n_true == exact.n
+    assert row.promo_revenue == exact.rev
+    assert row.n_bloom_pass == row.n_true + row.n_false_pos
+    assert row.n_false_pos >= 0
