@@ -1200,3 +1200,114 @@ def sim_matryoshka_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+from .dedup import _DUCK_LP_ROUND as _LP  # noqa: E402  (shared propagation round)
+
+_SEMDEDUP_ORACLE = f"""
+    WITH {_DUCK_ASSIGN},
+    prs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM assigned x JOIN assigned y
+        ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE round({_DUCK_COSINE.format(a="x.embedding", b="y.embedding")}, 6) >= 0.3
+    ),
+    symp AS (
+      SELECT id_a AS a, id_b AS b FROM prs
+      UNION ALL SELECT id_b, id_a FROM prs
+    ),
+    l0 AS (SELECT vec_id AS id, vec_id AS lbl FROM embeddings),
+    l1 AS ({_LP.format(prev="l0")}),
+    l2 AS ({_LP.format(prev="l1")}),
+    l3 AS ({_LP.format(prev="l2")}),
+    norms AS (
+      SELECT vec_id,
+             round(sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT l3.lbl, l3.id,
+             row_number() OVER (
+               PARTITION BY l3.lbl ORDER BY n.nrm DESC, l3.id ASC
+             ) AS rn,
+             count(*) OVER (PARTITION BY l3.lbl) AS cs
+      FROM l3 JOIN norms n ON n.vec_id = l3.id
+    )
+    SELECT CAST(lbl AS BIGINT) AS cluster, CAST(cs AS BIGINT) AS cluster_size,
+           CAST(id AS BIGINT) AS keeper_id
+    FROM ranked WHERE rn = 1
+"""
+
+
+@query(
+    "d_semdedup_keepers",
+    oracle=_SEMDEDUP_ORACLE,
+)
+def d_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication keeps ONE
+    representative per group of embedding-near-duplicates — here the
+    connected components of sim_semantic_neardup_pairs' cell-blocked
+    cosine graph (3 unrolled min-label rounds, the d_fuzzy_dedup_clusters
+    discipline — near-dup components are clique-ish so diameter ≤ 3
+    converges), keeper = the HIGHEST-NORM member (ties → lowest id): the
+    magnitude-as-information heuristic, mirroring fuzzy dedup's
+    longest-doc policy in embedding space. The pair table is the reused
+    catalog entry localCheckpointed (three propagation rounds × two
+    references would re-run the cell self-join multiplicatively); norms
+    round to 6 before ranking so both engines rank identical doubles.
+    Fully oracled: FIXED_CENTS blocking, cosine threshold, propagation,
+    and the keeper argmax all mirror in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from . import QUERIES
+
+    pairs = (
+        QUERIES["sim_semantic_neardup_pairs"](spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).unionAll(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+    lbl = emb.select(F.col("vec_id").alias("id"), F.col("vec_id").alias("lbl"))
+    for _ in range(3):
+        r = lbl.select(F.col("id").alias("rid"), F.col("lbl").alias("rlbl"))
+        nb = (
+            sym.join(r, sym.b == r.rid)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("rlbl").alias("nbm"))
+        )
+        lbl = lbl.join(nb, "id", "left").select(
+            "id",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nbm"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+    norms = emb.select(
+        F.col("vec_id"),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "aggregate(embedding, 0.0D,"
+                    " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+                )
+            ),
+            6,
+        ).alias("nrm"),
+    )
+    return (
+        lbl.join(norms, lbl.id == norms.vec_id)
+        .groupBy(F.col("lbl").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max_by(
+                F.col("id"),
+                F.struct(F.col("nrm"), (-F.col("id")).alias("tb")),
+            ).alias("keeper_id"),
+        )
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "cluster_size",
+            F.col("keeper_id").cast("long").alias("keeper_id"),
+        )
+    )
