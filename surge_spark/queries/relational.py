@@ -4421,8 +4421,8 @@ def g_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     probes AS (
       SELECT p_partkey, i.i,
-             CAST(concat('0x', substr(md5(concat('bloom', CAST(i.i AS VARCHAR),
-                  ':', CAST(p_partkey AS VARCHAR))), 1, 8)) AS BIGINT)
+             CAST(concat('0x', substr(md5(concat('bloom:',
+                  CAST(p_partkey AS VARCHAR))), 1 + i.i * 8, 8)) AS BIGINT)
                % 1024 AS pos
       FROM promo, LATERAL (SELECT unnest(range(0, 3)) AS i) i
     ),
@@ -4432,17 +4432,15 @@ def g_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM probes GROUP BY pos // 32
     ),
     lp AS (
-      SELECT l.l_partkey, l.l_extendedprice, l.l_discount,
-             CAST(concat('0x', substr(md5(concat('bloom0:',
-                  CAST(l.l_partkey AS VARCHAR))), 1, 8)) AS BIGINT)
-               % 1024 AS pos0,
-             CAST(concat('0x', substr(md5(concat('bloom1:',
-                  CAST(l.l_partkey AS VARCHAR))), 1, 8)) AS BIGINT)
-               % 1024 AS pos1,
-             CAST(concat('0x', substr(md5(concat('bloom2:',
-                  CAST(l.l_partkey AS VARCHAR))), 1, 8)) AS BIGINT)
-               % 1024 AS pos2
-      FROM lineitem l
+      SELECT l_partkey, l_extendedprice, l_discount,
+             CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 1024 AS pos0,
+             CAST(concat('0x', substr(h, 9, 8)) AS BIGINT) % 1024 AS pos1,
+             CAST(concat('0x', substr(h, 17, 8)) AS BIGINT) % 1024 AS pos2
+      FROM (
+        SELECT l.l_partkey, l.l_extendedprice, l.l_discount,
+               md5(concat('bloom:', CAST(l.l_partkey AS VARCHAR))) AS h
+        FROM lineitem l
+      )
     ),
     cands AS (
       SELECT lp.l_partkey, lp.l_extendedprice, lp.l_discount
@@ -4482,19 +4480,19 @@ def j_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     promo = part.where(F.col("p_type") == "PROMO").select("p_partkey")
 
-    def _pos(col: F.Column, i: int) -> F.Column:
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"bloom{i}:"), col.cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        return h % 1024
+    def _hash(col: F.Column) -> F.Column:
+        return F.md5(F.concat(F.lit("bloom:"), col.cast("string")))
 
+    def _pos(h: F.Column, i: int) -> F.Column:
+        # three 32-bit probe hashes sliced from ONE md5 digest per key —
+        # the hash math is the measured floor of this entry (1.4-2.2 s for
+        # 3 independent md5s over sf0.1 lineitem vs ~0.5 s for one)
+        return F.conv(F.substring(h, 1 + i * 8, 8), 16, 10).cast("long") % 1024
+
+    ph = promo.select("p_partkey", _hash(F.col("p_partkey")).alias("h"))
     probes = None
     for i in range(3):
-        p = promo.select(_pos(F.col("p_partkey"), i).alias("pos"))
+        p = ph.select(_pos(F.col("h"), i).alias("pos"))
         probes = p if probes is None else probes.unionAll(p)
     bloom = probes.groupBy(F.expr("pos div 32").alias("word")).agg(
         F.expr(
@@ -4505,7 +4503,12 @@ def j_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_extendedprice",
         "l_discount",
-        *[_pos(F.col("l_partkey"), i).alias(f"pos{i}") for i in range(3)],
+        _hash(F.col("l_partkey")).alias("h"),
+    ).select(
+        "l_partkey",
+        "l_extendedprice",
+        "l_discount",
+        *[_pos(F.col("h"), i).alias(f"pos{i}") for i in range(3)],
     )
     cands = lp
     for i in range(3):

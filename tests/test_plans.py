@@ -828,3 +828,19 @@ def test_incremental_neardup_reuses_signature_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan, plan
+
+
+def test_bloom_prefilter_fact_side_never_shuffles(spark, sf_dir):
+    """j_bloom_prefilter_join: the whole point is that the fact scan tests
+    bloom membership via stacked BROADCAST joins — the plan must read
+    lineitem exactly once and carry it through four BroadcastHashJoins
+    (3 bloom words + the exact left join) with ZERO hash-partitioning
+    exchange on the fact side; the only exchanges are the tiny bloom
+    build and the final single-row aggregate."""
+    from surge_spark.queries import all_queries
+
+    df = all_queries()["j_bloom_prefilter_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.lower().count("lineitem.parquet") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
