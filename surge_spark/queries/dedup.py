@@ -951,3 +951,64 @@ def d_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+@query(
+    "t_dedup_rate_by_source",
+    oracle="""
+    WITH fp AS (
+      SELECT source, doc_id,
+             md5(substring(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                 'g')), 1, 60)) AS fp
+      FROM documents
+    ),
+    mult AS (SELECT fp, count(*) AS k FROM fp GROUP BY fp)
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT f.fp) AS BIGINT) AS n_contents,
+           CAST(sum(CASE WHEN m.k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_duplicated,
+           CAST((sum(CASE WHEN m.k > 1 THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS dup_ppm
+    FROM fp f JOIN mult m USING (fp)
+    GROUP BY f.source
+    """,
+)
+def t_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication rate — the dataset-card column every corpus
+    release reports (what fraction of a source's documents share content
+    with ANY other document, cross-source included): docs → prefix-60
+    normalized fingerprints (the d_cross_source_leakage channel — raw
+    md5 is vacuous on the synthetic corpus), global multiplicity per
+    fingerprint, joined back on the 32-byte key and reduced per source.
+    The rate ships as integer parts-per-million (floor division) so
+    there is no float rounding channel at all. Shuffle shapes: two
+    aggregates and one join, all keyed on the fingerprint or the
+    bounded source id — raw text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source",
+        "doc_id",
+        F.md5(F.substring(dd.normalize_text("text"), 1, 60)).alias("fp"),
+    )
+    mult = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        fp.join(mult, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_contents"),
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0)).alias(
+                "n_duplicated"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_contents",
+            "n_duplicated",
+            F.expr(
+                "CAST((n_duplicated * 1000000) div n_docs AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )

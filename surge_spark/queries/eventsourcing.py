@@ -1378,3 +1378,50 @@ def m_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "m_resurrection_stats",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    gaps AS (
+      SELECT user_id, d,
+             date_diff('day',
+               lag(d) OVER (PARTITION BY user_id ORDER BY d), d) AS gap
+      FROM days
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_active_days,
+           CAST(sum(CASE WHEN gap > 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_resurrections,
+           CAST(max(coalesce(gap, 0)) AS INT) AS max_gap_days
+    FROM gaps GROUP BY user_id
+    """,
+)
+def m_resurrection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-and-reactivation per user: a RESURRECTION is a return after
+    more than 7 idle days — the growth-accounting event (new / retained /
+    resurrected / churned) product analytics decomposes DAU into. Distinct
+    active days dedup map-side, one per-user ordered lag window (bounded
+    by active days, not raw events), then a per-user aggregate on the
+    same key — one shuffle end to end. Counts and day gaps only, no date
+    columns in the output (the oracle comparator has no date channel)."""
+    e = _events(spark, sf_dir)
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    gaps = days.select(
+        "user_id", F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap")
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_active_days"),
+        F.sum(F.when(F.col("gap") > 7, 1).otherwise(0)).alias(
+            "n_resurrections"
+        ),
+        F.max(F.coalesce(F.col("gap"), F.lit(0)))
+        .cast("int")
+        .alias("max_gap_days"),
+    )

@@ -3957,16 +3957,16 @@ def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
         F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
     ).distinct()
-    per_side = (
-        e.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("d"))
-        .unionAll(
-            e.groupBy(F.col("dst").alias("node")).agg(
-                F.count(F.lit(1)).alias("d")
-            )
-        )
+    # ONE scan: explode both endpoints of each distinct edge and count
+    # incidences per node. The per-side groupBy+union form canonicalizes
+    # the distinct subtree apart (the adamic-adar trap) — two lineitem
+    # scans, two distinct exchanges, 0 ReusedExchange; warm interleaved
+    # sf0.1 medians 1.78 s (union) vs 1.42 s (explode), equal output.
+    deg = (
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
     )
-    deg = per_side.groupBy("node").agg(F.sum("d").alias("degree"))
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.substring(F.min("node"), 1, 1).alias("min_kind"),
@@ -4545,4 +4545,121 @@ def j_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 2,
             ).alias("promo_revenue"),
         )
+    )
+
+
+@query(
+    "g_degree_powerlaw_slope",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+      FROM lineitem
+    ),
+    deg AS (
+      SELECT node, sum(d) AS degree FROM (
+        SELECT src AS node, count(*) AS d FROM e GROUP BY src
+        UNION ALL
+        SELECT dst AS node, count(*) AS d FROM e GROUP BY dst
+      ) GROUP BY node
+    ),
+    hist AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree)
+    SELECT CAST(count(*) AS BIGINT) AS n_degree_buckets,
+           CAST(round(regr_slope(ln(CAST(n_nodes AS DOUBLE)),
+                                 ln(CAST(degree AS DOUBLE))), 6) AS DOUBLE)
+             AS loglog_slope,
+           CAST(round(regr_intercept(ln(CAST(n_nodes AS DOUBLE)),
+                                     ln(CAST(degree AS DOUBLE))), 6) AS DOUBLE)
+             AS loglog_intercept,
+           CAST(round(regr_r2(ln(CAST(n_nodes AS DOUBLE)),
+                              ln(CAST(degree AS DOUBLE))), 6) AS DOUBLE)
+             AS loglog_r2
+    FROM hist
+    """,
+)
+def g_degree_powerlaw_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent fit over the bipartite degree histogram: the
+    log-log least-squares slope (a power law y = C·x^-a is a line of
+    slope -a in log-log space, Clauset et al.'s quick diagnostic) plus
+    intercept and R² — the one-row answer to 'is this graph skewed
+    enough to need degree-aware join strategies?' that the triangle /
+    k-core docstring A/Bs reference. The histogram is g_degree_
+    distribution's (bounded, O(max degree)); the regression runs as one
+    moment-based aggregate over it — no collect, no iteration."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    # single-scan explode form — see g_degree_distribution's A/B note
+    deg = (
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    ly = F.log(F.col("n_nodes").cast("double"))
+    lx = F.log(F.col("degree").cast("double"))
+    return hist.agg(
+        F.count(F.lit(1)).alias("n_degree_buckets"),
+        F.round(F.regr_slope(ly, lx), 6).alias("loglog_slope"),
+        F.round(F.regr_intercept(ly, lx), 6).alias("loglog_intercept"),
+        F.round(F.regr_r2(ly, lx), 6).alias("loglog_r2"),
+    )
+
+
+@query(
+    "o_partition_skew_stats",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 64 AS bucket,
+             o_custkey
+      FROM orders
+    ),
+    counts AS (
+      SELECT bucket, count(*) AS n_rows,
+             count(DISTINCT o_custkey) AS n_keys
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT sum(n_rows) AS total FROM counts)
+    SELECT bucket, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST((n_rows * 64000) // total AS BIGINT) AS load_permille_x64
+    FROM counts CROSS JOIN tot
+    """,
+)
+def o_partition_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-partition skew audit — the pre-flight check before choosing a
+    shuffle key at 100 TB: bucket orders by a 64-way md5 hash of the
+    candidate key and report per-bucket row/key loads plus the load
+    factor ×64 in permille (1000 = perfectly uniform; integer math, no
+    float rounding channel). One aggregate over the fact table; the
+    64-row result is localCheckpointed so the total (its second
+    consumer) doesn't rescan the fact table. The md5 bucket mirrors
+    digit-for-digit in DuckDB — same trick as t_shuffle_shards; the
+    production engine buckets with crc32 (streaming/snapshot_store's
+    _bucket_expr), which this audits a portable stand-in for."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 64
+    )
+    counts = (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_keys"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = counts.agg(F.sum("n_rows").alias("total"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_rows",
+        "n_keys",
+        F.expr("CAST((n_rows * 64000) div total AS BIGINT)").alias(
+            "load_permille_x64"
+        ),
     )
