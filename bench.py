@@ -72,6 +72,8 @@ HEADLINE = [
     "d_persisted_neardup_md5",     # incremental dedup against stored signatures (new r11)
     "sim_ann_lsh_topk",            # multi-table SRP index; plan-build-sensitive path (r11 fix)
     "d_simhash_fingerprints_md5",  # simhash votes/pack as single parsed exprs (r11 fix)
+    "j_bloom_prefilter_join",      # broadcast bloom fact-scan pre-filter (new r11)
+    "d_semdedup_keepers",          # SemDeDup component keepers on the semantic graph (new r11)
 ]
 
 N_RUNS = 3
