@@ -565,6 +565,29 @@ def d_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _min_label_rounds(sym, seed, rounds: int = 3):
+    """Unrolled min-label propagation (the Spark twin of _DUCK_LP_ROUND):
+    seed is an (id, lbl) frame, sym a symmetric (a, b) edge list; each
+    round every node takes the min of its own label and its neighbors'.
+    Shared by d_fuzzy_dedup_clusters and d_semdedup_keepers so a
+    propagation fix can never silently miss one of them."""
+    lbl = seed
+    for _ in range(rounds):
+        r = lbl.select(F.col("id").alias("rid"), F.col("lbl").alias("rlbl"))
+        nb = (
+            sym.join(r, sym.b == r.rid)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("rlbl").alias("nbm"))
+        )
+        lbl = lbl.join(nb, "id", "left").select(
+            "id",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nbm"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+    return lbl
+
+
 _DUCK_LP_ROUND = """
   SELECT l.id, least(l.lbl, coalesce(min(r.lbl), l.lbl)) AS lbl
   FROM {prev} l
@@ -645,22 +668,10 @@ def d_fuzzy_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     ).unionAll(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
-    lbl = docs.select(
-        F.col("doc_id").alias("id"), F.col("doc_id").alias("lbl")
+    lbl = _min_label_rounds(
+        sym,
+        docs.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("lbl")),
     )
-    for _ in range(3):
-        r = lbl.select(F.col("id").alias("rid"), F.col("lbl").alias("rlbl"))
-        nb = (
-            sym.join(r, sym.b == r.rid)
-            .groupBy(F.col("a").alias("id"))
-            .agg(F.min("rlbl").alias("nbm"))
-        )
-        lbl = lbl.join(nb, "id", "left").select(
-            "id",
-            F.least(
-                F.col("lbl"), F.coalesce(F.col("nbm"), F.col("lbl"))
-            ).alias("lbl"),
-        )
     return lbl.select(
         F.col("id").alias("doc_id"), F.col("lbl").cast("long").alias("cluster")
     )
@@ -990,7 +1001,8 @@ def t_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         F.md5(F.substring(dd.normalize_text("text"), 1, 60)).alias("fp"),
-    )
+    ).localCheckpoint(eager=False)  # two consumers (mult + the join side)
+    # would each rescan documents and re-run the normalize/md5 map
     mult = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("k"))
     return (
         fp.join(mult, "fp")

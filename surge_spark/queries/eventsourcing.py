@@ -1359,7 +1359,7 @@ def m_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = firsts.groupBy(
         F.date_format("first_dt", "yyyy-MM").alias("cohort_month")
-    ).agg(F.countDistinct("o_custkey").alias("cohort_size"))
+    ).agg(F.count(F.lit(1)).alias("cohort_size"))  # firsts is unique per key
     w = (
         W.partitionBy("cohort_month")
         .orderBy("month_offset")

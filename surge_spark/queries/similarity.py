@@ -1269,20 +1269,12 @@ def d_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     ).unionAll(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
-    lbl = emb.select(F.col("vec_id").alias("id"), F.col("vec_id").alias("lbl"))
-    for _ in range(3):
-        r = lbl.select(F.col("id").alias("rid"), F.col("lbl").alias("rlbl"))
-        nb = (
-            sym.join(r, sym.b == r.rid)
-            .groupBy(F.col("a").alias("id"))
-            .agg(F.min("rlbl").alias("nbm"))
-        )
-        lbl = lbl.join(nb, "id", "left").select(
-            "id",
-            F.least(
-                F.col("lbl"), F.coalesce(F.col("nbm"), F.col("lbl"))
-            ).alias("lbl"),
-        )
+    from .dedup import _min_label_rounds
+
+    lbl = _min_label_rounds(
+        sym,
+        emb.select(F.col("vec_id").alias("id"), F.col("vec_id").alias("lbl")),
+    )
     norms = emb.select(
         F.col("vec_id"),
         F.round(

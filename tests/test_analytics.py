@@ -193,6 +193,8 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
         .collect()[0]
     )
     assert row.n_true == exact.n
-    assert row.promo_revenue == exact.rev
+    # the two sums aggregate identical doubles in different partial
+    # orders; exact equality after round(.,2) is latently half-cent flaky
+    assert abs(row.promo_revenue - exact.rev) <= 0.011
     assert row.n_bloom_pass == row.n_true + row.n_false_pos
     assert row.n_false_pos >= 0
