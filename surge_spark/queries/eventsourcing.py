@@ -1425,3 +1425,128 @@ def m_resurrection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("max_gap_days"),
     )
+
+
+@query(
+    "m_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(round(min(d.med), 6) AS DOUBLE) AS median_value,
+           CAST(round(min(m.mad), 6) AS DOUBLE) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def m_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via Median Absolute Deviation — the
+    outlier monitor that survives the outliers it hunts (m_anomaly_zscore's
+    mean/stddev both blow up under heavy tails; median/MAD have a 50%
+    breakdown point). Two exact grouped medians (Spark percentile ≡
+    DuckDB quantile_cont, the a_exact_percentiles equivalence) with a
+    broadcast join-back between and after — the event stream shuffles on
+    event_type once per pass; 1.4826·MAD is the Gaussian-consistent
+    sigma estimate, so the 3-sigma rule carries over. At 100 TB both
+    medians switch to approx_percentile under an error budget."""
+    e = _events(spark, sf_dir)
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 6).alias("median_value"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "m_forecast_backtest_mae",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d, count(*) AS cnt
+      FROM events GROUP BY event_type, d
+    )
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_eval_days,
+           CAST(round(avg(abs(CAST(a.cnt AS DOUBLE)
+                              - CAST(b.cnt AS DOUBLE))), 6) AS DOUBLE)
+             AS mae,
+           CAST(round(avg(CAST(a.cnt AS DOUBLE)
+                          - CAST(b.cnt AS DOUBLE)), 6) AS DOUBLE) AS bias
+    FROM daily a
+    JOIN daily b ON a.event_type = b.event_type
+                AND a.d = b.d + INTERVAL 7 DAY
+    GROUP BY a.event_type
+    """,
+)
+def m_forecast_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the seasonal-naive forecaster (predict
+    today = same weekday last week): per event type, the MAE and signed
+    bias of the t-7 prediction over every day that HAS a t-7 reference —
+    the baseline every fancier forecaster (m_holt_smoothing,
+    m_seasonality_dow) must beat, evaluated entirely in-engine. The
+    daily-count aggregate is the only event-scale shuffle; the
+    backtest itself is an equi-join on (type, day-7) over the bounded
+    daily matrix — no window, no gap-filling needed because the join
+    simply skips days without a reference. Integer counts make the
+    averages exact-sum-over-count deterministic."""
+    e = _events(spark, sf_dir)
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # both join sides derive from this aggregate with DIFFERENT key
+        # exprs (d vs d+7) — the exchanges can never canonicalize to a
+        # ReusedExchange, so without a barrier the event-scale aggregate
+        # runs twice
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(
+        "event_type", "d", F.col("cnt").alias("cnt_a")
+    )
+    b = daily.select(
+        "event_type",
+        F.date_add(F.col("d"), 7).cast("timestamp").alias("d"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    diff = F.col("cnt_a").cast("double") - F.col("cnt_b").cast("double")
+    return (
+        a.join(b, ["event_type", "d"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_days"),
+            F.round(F.avg(F.abs(diff)), 6).alias("mae"),
+            F.round(F.avg(diff), 6).alias("bias"),
+        )
+    )

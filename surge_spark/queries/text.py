@@ -1866,3 +1866,44 @@ def t_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_divergence",
         )
     )
+
+
+@query(
+    "t_k_anonymity_violations",
+    oracle=f"""
+    WITH q AS (
+      SELECT lang, source,
+             CAST(len({_DUCK_TOKS}) // 50 AS BIGINT) AS len_bucket
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, source, len_bucket, count(*) AS group_size
+      FROM q GROUP BY lang, source, len_bucket
+    )
+    SELECT lang, source, len_bucket, CAST(group_size AS BIGINT) AS group_size
+    FROM g WHERE group_size < 5
+    """,
+)
+def t_k_anonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the release quasi-identifiers (language,
+    source, 50-token length bucket): every combination shared by fewer
+    than k=5 documents is a re-identification channel — the privacy
+    check a training-data release runs before publishing per-document
+    metadata. One partial+final aggregate on the bounded QI space and a
+    HAVING filter; output is only the violating groups, so it shrinks
+    as the corpus grows (at 100 TB a violation means a genuinely rare
+    combination). Length buckets via integer floor division — no float
+    channel."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "lang",
+        "source",
+        F.floor(F.size(dd.tokens("text")) / 50).cast("long").alias(
+            "len_bucket"
+        ),
+    )
+    return (
+        q.groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") < 5)
+    )
