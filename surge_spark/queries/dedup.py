@@ -1024,3 +1024,84 @@ def t_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ppm"),
         )
     )
+
+
+@query(
+    "d_idf_weighted_neardup",
+    oracle=f"""
+    WITH {_duck_shingles(4)},
+    n AS (SELECT count(*) AS nd FROM documents),
+    df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    w AS (
+      SELECT s.id, s.shingle, ln(CAST(nd AS DOUBLE) / df.df) AS w
+      FROM sh s JOIN df USING (shingle) CROSS JOIN n
+      WHERE df.df BETWEEN 2 AND 1000 AND df.df < nd
+    ),
+    norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+    dots AS (
+      SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT d.id_a, d.id_b,
+           CAST(round(d.dot / (na.nrm * nb.nrm), 6) AS DOUBLE) AS cosine
+    FROM dots d
+    JOIN norms na ON na.id = d.id_a
+    JOIN norms nb ON nb.id = d.id_b
+    WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.5
+    """,
+)
+def d_idf_weighted_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT near-dedup by IDF-weighted shingle cosine — the all-pairs
+    similarity (Bayardo et al. 2007) shape: rare shared shingles count
+    more than common ones, so boilerplate overlap scores low where the
+    unweighted Jaccard twins treat every gram equally. The weighted
+    postings list (id, shingle, ln(N/df)) IS the inverted index; the
+    df band (2..1000, df<N) is the blocking step — a shingle in df docs
+    fans out df² pair-partials, so the cap bounds the join exactly like
+    LSH's max_bucket, and df-1/df-N shingles can't contribute to any
+    pair's dot (nothing shared / zero weight). Postings are
+    localCheckpointed: three consumers (norms + both join sides) would
+    re-run shingling multiplicatively. Docs with no banded shingle never
+    enter pairs, so norms are strictly positive wherever used."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.shingles(docs, "doc_id", "text", 4, distinct=True)
+    n = docs.agg(F.count(F.lit(1)).alias("nd"))
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        sh.join(df, "shingle")
+        .crossJoin(F.broadcast(n))
+        .where(
+            (F.col("df") >= 2) & (F.col("df") <= 1000)
+            & (F.col("df") < F.col("nd"))
+        )
+        .select(
+            "id",
+            "shingle",
+            F.log(F.col("nd").cast("double") / F.col("df")).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.alias("a")
+    b = w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.5)
+    )

@@ -1907,3 +1907,83 @@ def t_k_anonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("group_size"))
         .where(F.col("group_size") < 5)
     )
+
+
+@query(
+    "a_cms_heavy_hitters",
+    oracle=f"""
+    WITH occ AS (
+      SELECT unnest({_DUCK_TOKS}) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT term, count(*) AS cnt FROM occ WHERE term <> '' GROUP BY term
+    ),
+    h AS (SELECT term, cnt, md5(concat('cms:', term)) AS hx FROM vocab),
+    probes AS (
+      SELECT term, cnt, j.j,
+             CAST(concat('0x', substr(hx, 1 + j.j * 8, 8)) AS BIGINT) % 256
+               AS cell
+      FROM h, LATERAL (SELECT unnest(range(0, 4)) AS j) j
+    ),
+    sketch AS (SELECT j, cell, sum(cnt) AS s FROM probes GROUP BY j, cell),
+    top20 AS (
+      SELECT term, cnt FROM vocab ORDER BY cnt DESC, term ASC LIMIT 20
+    )
+    SELECT t.term, CAST(t.cnt AS BIGINT) AS exact_cnt,
+           CAST(min(sk.s) AS BIGINT) AS cms_estimate,
+           CAST(min(sk.s) - t.cnt AS BIGINT) AS overestimate
+    FROM top20 t
+    JOIN probes p ON p.term = t.term
+    JOIN sketch sk ON sk.j = p.j AND sk.cell = p.cell
+    GROUP BY t.term, t.cnt
+    """,
+)
+def a_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy-hitter audit: a 4×256 CMS built over the
+    corpus token frequencies (four 32-bit hash rows sliced from ONE md5
+    per term, the bloom-prefilter trick), read back for the exact top-20
+    terms — estimate = min over the 4 counter rows, reported against the
+    exact count so the sketch's one-sided error (overestimate ≥ 0,
+    bounded by ε·N with ε = e/256) is VISIBLE in the output. The sketch
+    is mergeable (cell-wise sum), which is the 100 TB point: per-shard
+    sketches combine without re-reading tokens — the KMV/HLL family's
+    frequency-domain sibling. Exact counts ride the same checkpointed
+    vocab aggregate the sketch builds from, so the audit costs one token
+    shuffle total."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(dd.tokens("text")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # consumers: the 4 probe projections AND the top-20 rank — without
+        # a barrier each re-runs the tokenize+explode aggregate
+        .localCheckpoint(eager=False)
+    )
+    hx = F.md5(F.concat(F.lit("cms:"), F.col("term")))
+    probes = None
+    for j in range(4):
+        p = vocab.select(
+            "term",
+            "cnt",
+            F.lit(j).alias("j"),
+            (
+                F.conv(F.substring(hx, 1 + j * 8, 8), 16, 10).cast("long")
+                % 256
+            ).alias("cell"),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    sketch = probes.groupBy("j", "cell").agg(F.sum("cnt").alias("s"))
+    top20 = vocab.orderBy(F.col("cnt").desc(), F.col("term")).limit(20)
+    return (
+        top20.join(probes.select("term", "j", "cell"), "term")
+        .join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("term", "cnt")
+        .agg(F.min("s").alias("cms_estimate"))
+        .select(
+            "term",
+            F.col("cnt").alias("exact_cnt"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("cnt")).alias("overestimate"),
+        )
+    )
