@@ -354,3 +354,48 @@ def holt_handle_event(state: dict | None, event: dict) -> dict:
 
 
 HOLT_STATE_SCHEMA = "aggregate_id string, level double, trend double, n int"
+
+
+def cusum_handle_event(state: dict | None, event: dict) -> dict:
+    """Two-sided CUSUM drift detector (Page 1954) against a first-value
+    baseline: s_pos accumulates upward deviations beyond the slack,
+    s_neg downward; crossing h fires an alarm and resets that side —
+    the sequential change-point fold (state is 4 floats, same ordered
+    kernel as holt/bank). Baseline = the key's FIRST value so the fold
+    needs no pre-pass; slack k=0.5, threshold h=5.0. The DuckDB
+    recursive-CTE oracle performs the identical float64 ops in the
+    identical order (greatest(0.0, ...) == max(0, ...))."""
+    if state is None:
+        return {
+            "aggregate_id": str(event["user_id"]),
+            "baseline": float(event["value"]),
+            "s_pos": 0.0,
+            "s_neg": 0.0,
+            "n_alarms": 0,
+            "n": 1,
+        }
+    x = float(event["value"])
+    dev = x - state["baseline"]
+    s_pos = max(0.0, state["s_pos"] + dev - 0.5)
+    s_neg = max(0.0, state["s_neg"] - dev - 0.5)
+    n_alarms = state["n_alarms"]
+    if s_pos > 5.0 or s_neg > 5.0:
+        n_alarms += 1
+        if s_pos > 5.0:
+            s_pos = 0.0
+        if s_neg > 5.0:
+            s_neg = 0.0
+    return {
+        "aggregate_id": state["aggregate_id"],
+        "baseline": state["baseline"],
+        "s_pos": s_pos,
+        "s_neg": s_neg,
+        "n_alarms": n_alarms,
+        "n": state["n"] + 1,
+    }
+
+
+CUSUM_STATE_SCHEMA = (
+    "aggregate_id string, baseline double, s_pos double, s_neg double,"
+    " n_alarms int, n int"
+)

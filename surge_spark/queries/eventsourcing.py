@@ -1550,3 +1550,71 @@ def m_forecast_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(diff), 6).alias("bias"),
         )
     )
+
+
+@query(
+    "m_cusum_drift",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    lim AS (SELECT user_id, max(rn) AS mx FROM ordered GROUP BY user_id),
+    fold(user_id, rn, baseline, s_pos, s_neg, n_alarms) AS (
+      SELECT user_id, 1, value, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), 0
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT f.user_id, f.rn + 1, f.baseline,
+        CASE WHEN greatest(0.0, f.s_pos + (o.value - f.baseline) - 0.5) > 5.0
+             THEN 0.0
+             ELSE greatest(0.0, f.s_pos + (o.value - f.baseline) - 0.5) END,
+        CASE WHEN greatest(0.0, f.s_neg - (o.value - f.baseline) - 0.5) > 5.0
+             THEN 0.0
+             ELSE greatest(0.0, f.s_neg - (o.value - f.baseline) - 0.5) END,
+        f.n_alarms
+          + CASE WHEN greatest(0.0, f.s_pos + (o.value - f.baseline) - 0.5)
+                      > 5.0
+                   OR greatest(0.0, f.s_neg - (o.value - f.baseline) - 0.5)
+                      > 5.0
+                 THEN 1 ELSE 0 END
+      FROM fold f JOIN ordered o
+        ON o.user_id = f.user_id AND o.rn = f.rn + 1
+    )
+    SELECT CAST(f.user_id AS VARCHAR) AS aggregate_id,
+           CAST(l.mx AS INT) AS n,
+           CAST(round(f.s_pos, 6) AS DOUBLE) AS s_pos,
+           CAST(round(f.s_neg, 6) AS DOUBLE) AS s_neg,
+           CAST(f.n_alarms AS INT) AS n_alarms
+    FROM fold f JOIN lim l USING (user_id) WHERE f.rn = l.mx
+    """,
+)
+def m_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point detection per user (Page 1954):
+    cumulative deviations from a first-value baseline, alarm + reset on
+    threshold crossings — the sequential drift monitor under data-quality
+    alerting, run as the SAME sorted-stream fold kernel as holt/bank
+    (alarm state is fold state; inherently order-dependent, no closed
+    form — which is why it pins the ordered path). The oracle advances
+    every user one step per recursion round performing the identical
+    float64 ops in the identical order, alarms and resets included."""
+    e = (
+        _events(spark, sf_dir)
+        .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+    )
+    folded = es.fold_events_sorted(
+        e,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        handle_event=es.cusum_handle_event,
+        state_schema=es.CUSUM_STATE_SCHEMA,
+    )
+    return folded.select(
+        "aggregate_id",
+        "n",
+        F.round("s_pos", 6).alias("s_pos"),
+        F.round("s_neg", 6).alias("s_neg"),
+        "n_alarms",
+    )
