@@ -1618,3 +1618,63 @@ def m_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s_neg", 6).alias("s_neg"),
         "n_alarms",
     )
+
+
+@query(
+    "m_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap_ms
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    stats AS (
+      SELECT user_id, count(*) AS n_gaps,
+             avg(CAST(gap_ms AS DOUBLE)) AS mu,
+             stddev_pop(CAST(gap_ms AS DOUBLE)) AS sigma
+      FROM g WHERE gap_ms IS NOT NULL
+      GROUP BY user_id HAVING count(*) >= 2
+    )
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           CAST(round(mu, 3) AS DOUBLE) AS mean_gap_ms,
+           CAST(round((sigma - mu) / (sigma + mu), 6) AS DOUBLE)
+             AS burstiness
+    FROM stats
+    """,
+)
+def m_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event burstiness per user (Goh & Barabási 2008): B =
+    (σ−μ)/(σ+μ) over the inter-arrival-gap distribution — −1 for a
+    metronome, 0 for Poisson, →1 for bursty — the traffic-shape signal
+    behind rate limiting and bot detection. Gaps in exact integer epoch
+    millis (Spark unix_millis ≡ DuckDB epoch_ms) from one per-user lag
+    window; mean/stddev_pop are single-aggregate moments over those
+    integers, and B is a scale-free ratio so the millis unit cancels.
+    σ+μ > 0 whenever a user has ≥2 gaps with any spread; identical-gap
+    users give σ=0 → B=−1, no divide-by-zero (μ>0: events never share
+    the exact same millisecond AND ordering tiebreak)."""
+    e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id", (ms - F.lag(ms).over(w)).alias("gap_ms")
+    ).where(F.col("gap_ms").isNotNull())
+    stats = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.avg(F.col("gap_ms").cast("double")).alias("mu"),
+            F.stddev_pop(F.col("gap_ms").cast("double")).alias("sigma"),
+        )
+        .where(F.col("n_gaps") >= 2)
+    )
+    return stats.select(
+        "user_id",
+        "n_gaps",
+        F.round("mu", 3).alias("mean_gap_ms"),
+        F.round(
+            (F.col("sigma") - F.col("mu")) / (F.col("sigma") + F.col("mu")), 6
+        ).alias("burstiness"),
+    )

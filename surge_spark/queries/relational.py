@@ -4663,3 +4663,80 @@ def o_partition_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "load_permille_x64"
         ),
     )
+
+
+@query(
+    "g_hits_unrolled",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    h1 AS (SELECT o, count(*) AS s FROM e GROUP BY o),
+    a1 AS (SELECT e.p, sum(h1.s) AS s FROM e JOIN h1 USING (o) GROUP BY e.p),
+    h2 AS (SELECT e.o, sum(a1.s) AS s FROM e JOIN a1 USING (p) GROUP BY e.o),
+    a2 AS (SELECT e.p, sum(h2.s) AS s FROM e JOIN h2 USING (o) GROUP BY e.p),
+    scored AS (
+      SELECT 'hub' AS kind, o AS id,
+             round(s / CAST((SELECT max(s) FROM h2) AS DOUBLE), 6) AS score
+      FROM h2
+      UNION ALL
+      SELECT 'auth', p,
+             round(s / CAST((SELECT max(s) FROM a2) AS DOUBLE), 6)
+      FROM a2
+    )
+    SELECT kind, CAST(id AS BIGINT) AS id, CAST(score AS DOUBLE) AS score,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT kind, id, score,
+             row_number() OVER (
+               PARTITION BY kind ORDER BY score DESC, id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= 20
+    """,
+)
+def g_hits_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999), two unrolled mutual-
+    reinforcement iterations on the bipartite order-part graph — the
+    pagerank/LPA unrolled-CTE trick: fixed rounds make the scores a pure
+    function of the data, and because hub/authority mass starts at 1 the
+    ENTIRE iteration stays in exact integer arithmetic (sums of counts) —
+    the only floats are the final max-normalizations, so the oracle is
+    exact. Each half-step is one edge join + aggregate alternating keys
+    o/p (the at-scale shuffle shape); the edge list is localCheckpointed
+    against multiplicative re-evaluation across its four consumers
+    (iterative-graph discipline); top-20 per side rides ONE window
+    partitioned by kind (WindowGroupLimit, never a global sort).
+    Round-before-rank keeps both engines ranking identical doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h1 = e.groupBy("o").agg(F.count(F.lit(1)).alias("s"))
+    a1 = e.join(h1, "o").groupBy("p").agg(F.sum("s").alias("s"))
+    h2 = (
+        e.join(a1, "p").groupBy("o").agg(F.sum("s").alias("s"))
+        .localCheckpoint(eager=False)  # consumers: a2 join, max, output
+    )
+    a2 = e.join(h2, "o").groupBy("p").agg(F.sum("s").alias("s"))
+    hm = h2.agg(F.max("s").alias("m"))
+    am = a2.agg(F.max("s").alias("m"))
+    hubs = h2.crossJoin(F.broadcast(hm)).select(
+        F.lit("hub").alias("kind"),
+        F.col("o").alias("id"),
+        F.round(F.col("s") / F.col("m").cast("double"), 6).alias("score"),
+    )
+    auths = a2.crossJoin(F.broadcast(am)).select(
+        F.lit("auth").alias("kind"),
+        F.col("p").alias("id"),
+        F.round(F.col("s") / F.col("m").cast("double"), 6).alias("score"),
+    )
+    w = W.partitionBy("kind").orderBy(F.col("score").desc(), F.col("id"))
+    return (
+        hubs.unionAll(auths)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("kind", "id", "score", F.col("rank").cast("int").alias("rank"))
+    )
