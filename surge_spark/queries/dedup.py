@@ -1105,3 +1105,120 @@ def d_idf_weighted_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= 0.5)
     )
+
+
+@query(
+    "d_lsh_recall_audit",
+    oracle=f"""
+    WITH {_duck_shingles(4)},
+    {_duck_minhash_md5(64)},
+    bands AS (
+      SELECT id, u.b AS band,
+             array_to_string(s[u.b * 4 + 1 : u.b * 4 + 4], ',') AS key
+      FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS b) u
+    ),
+    sized AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
+    okb AS (
+      SELECT bands.* FROM bands JOIN sized USING (band, key) WHERE c <= 5000
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM okb a JOIN okb b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    sizes AS (SELECT id, count(*) AS ns FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS nc
+      FROM cand c
+      JOIN sh x ON x.id = c.id_a
+      JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    lshp AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.id = i.id_a
+      JOIN sizes sb ON sb.id = i.id_b
+      WHERE i.nc / (sa.ns + sb.ns - i.nc) >= 0.5
+    ),
+    tinter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS nc
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    truth AS (
+      SELECT t.id_a, t.id_b
+      FROM tinter t
+      JOIN sizes sa ON sa.id = t.id_a
+      JOIN sizes sb ON sb.id = t.id_b
+      WHERE t.nc / (sa.ns + sb.ns - t.nc) >= 0.5
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_found,
+           CAST(count(*) - sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missed,
+           CAST(CASE WHEN count(*) = 0 THEN 1000000
+                ELSE (sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                      * 1000000) // count(*) END AS BIGINT) AS recall_ppm
+    FROM truth tr
+    LEFT JOIN lshp l ON l.id_a = tr.id_a AND l.id_b = tr.id_b
+    """,
+)
+def d_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality audit — measured RECALL of the md5 MinHash-LSH pipeline
+    against exact ground truth, in-engine (the sketch-audit family:
+    a_cms_heavy_hitters reports overestimates, j_bloom_prefilter_join
+    false positives, this one banding misses). Ground truth = every pair
+    sharing ≥1 shingle with exact Jaccard ≥ 0.5 via the inverted-index
+    self-join (the pair fan-out is Σ df² — measured 2k/52k partials at
+    sf0.001/sf0.1 on this corpus, NOT quadratic; a production corpus
+    caps df like d_idf_weighted_neardup's band). LSH detections are a
+    subset of truth by construction (identical exact-Jaccard verify), so
+    the one left join yields found/missed/recall_ppm in integers.
+    16 bands × 4 rows at t=0.5 should sit high on the S-curve — a
+    recall_ppm collapse in a driver round is a real banding regression,
+    not noise."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.shingles(docs, "doc_id", "text", 4, distinct=True).localCheckpoint(
+        eager=False
+    )  # consumers: both truth-join sides + sizes
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("ns"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    tinter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("ns").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("ns").alias("nb"))
+    truth = (
+        tinter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(
+            F.col("nc") / (F.col("na") + F.col("nb") - F.col("nc")) >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    lsh = dd.minhash_lsh_dedup(
+        docs, "doc_id", "text", n=4, num_hashes=64, bands=16,
+        threshold=0.5, hash_fn="md5",
+    ).select("id_a", "id_b", F.lit(1).alias("hit"))
+    joined = truth.join(lsh, ["id_a", "id_b"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_found"),
+        (F.count(F.lit(1)) - F.coalesce(F.sum("hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_missed"),
+        F.expr(
+            "CAST(CASE WHEN count(1) = 0 THEN 1000000"
+            " ELSE (coalesce(sum(hit), 0) * 1000000) div count(1) END"
+            " AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
