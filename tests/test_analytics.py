@@ -198,3 +198,57 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
     assert abs(row.promo_revenue - exact.rev) <= 0.011
     assert row.n_bloom_pass == row.n_true + row.n_false_pos
     assert row.n_false_pos >= 0
+
+
+def test_cusum_fold_invariants():
+    """CUSUM handler: a constant stream never alarms (dev=0 stays under
+    slack); a sustained +10 step from the baseline alarms within two
+    steps and resets the positive side."""
+    from surge_spark.operators.eventsourcing import cusum_handle_event
+
+    st = None
+    for _ in range(10):
+        st = cusum_handle_event(st, {"user_id": 1, "value": 3.0})
+    assert st["n_alarms"] == 0 and st["s_pos"] == 0.0 and st["s_neg"] == 0.0
+
+    st = cusum_handle_event(None, {"user_id": 1, "value": 0.0})
+    st = cusum_handle_event(st, {"user_id": 1, "value": 10.0})  # s_pos 9.5 > 5
+    assert st["n_alarms"] == 1 and st["s_pos"] == 0.0
+
+
+def test_hits_scores_normalized(spark, sf_dir):
+    """HITS: both sides max-normalize, so each kind's rank-1 score is
+    exactly 1.0 and every score sits in (0, 1]."""
+    rows = all_queries()["g_hits_unrolled"](spark, sf_dir).collect()
+    kinds = {r.kind for r in rows}
+    assert kinds == {"hub", "auth"}
+    for kind in kinds:
+        ks = [r for r in rows if r.kind == kind]
+        assert max(r.score for r in ks) == 1.0
+        assert all(0 < r.score <= 1.0 for r in ks)
+        assert sorted(r.rank for r in ks) == list(range(1, len(ks) + 1))
+
+
+def test_burstiness_bounded(spark, sf_dir):
+    """Goh-Barabási burstiness is bounded in [-1, 1) for positive gaps."""
+    rows = all_queries()["m_burstiness"](spark, sf_dir).collect()
+    assert rows
+    assert all(-1.0 <= r.burstiness < 1.0 for r in rows)
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-Min's one-sided error guarantee: estimate >= exact count for
+    every audited term (min over rows can only overcount on collisions)."""
+    rows = all_queries()["a_cms_heavy_hitters"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.cms_estimate == r.exact_cnt + r.overestimate for r in rows)
+
+
+def test_lsh_recall_found_is_subset(spark, sf_dir):
+    """The recall audit's detections are a subset of ground truth by
+    construction (identical exact-Jaccard verification on both paths)."""
+    row = all_queries()["d_lsh_recall_audit"](spark, sf_dir).collect()[0]
+    assert row.n_found <= row.n_true
+    assert row.n_missed == row.n_true - row.n_found
+    assert 0 <= row.recall_ppm <= 1_000_000
