@@ -105,3 +105,88 @@ def rate_per_second(
             F.round(F.col("n") / seconds, 6).alias("rate_per_s"),
         )
     )
+
+
+_CUSUM_STATE = StructType(
+    [
+        StructField("baseline", DoubleType()),
+        StructField("s_pos", DoubleType()),
+        StructField("s_neg", DoubleType()),
+        StructField("n_alarms", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+CUSUM_OUTPUT = StructType(
+    [
+        StructField("sensor", StringType()),
+        StructField("baseline", DoubleType()),
+        StructField("s_pos", DoubleType()),
+        StructField("s_neg", DoubleType()),
+        StructField("n_alarms", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def cusum_stream(
+    readings: DataFrame, slack: float = 0.5, threshold: float = 5.0
+) -> DataFrame:
+    """Two-sided CUSUM drift detector as a streaming stateful operator —
+    the live twin of the m_cusum_drift batch fold (operators/
+    eventsourcing.cusum_handle_event): per-sensor state carries
+    (baseline, s_pos, s_neg, n_alarms, n) across micro-batches, alarms
+    fire and reset exactly as in batch, and because both paths perform
+    the identical float64 ops in the identical (ts-sorted) order the
+    final states agree bitwise — pinned cross-mode in
+    tests/test_streaming.py. Baseline = first reading, so no pre-pass."""
+
+    def step(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            baseline, s_pos, s_neg, n_alarms, n = state.get
+        else:
+            baseline, s_pos, s_neg, n_alarms, n = None, 0.0, 0.0, 0, 0
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        for v in batch["value"]:
+            v = float(v)
+            if baseline is None:
+                baseline = v
+                n = 1
+                continue
+            dev = v - baseline
+            s_pos = max(0.0, s_pos + dev - slack)
+            s_neg = max(0.0, s_neg - dev - slack)
+            if s_pos > threshold or s_neg > threshold:
+                n_alarms += 1
+                if s_pos > threshold:
+                    s_pos = 0.0
+                if s_neg > threshold:
+                    s_neg = 0.0
+            n += 1
+        state.update((baseline, s_pos, s_neg, n_alarms, n))
+        yield pd.DataFrame(
+            [
+                {
+                    "sensor": key[0],
+                    "baseline": baseline,
+                    "s_pos": s_pos,
+                    "s_neg": s_neg,
+                    "n_alarms": n_alarms,
+                    "n": n,
+                }
+            ]
+        )
+
+    ensure_shipped(readings.sparkSession)
+    return readings.groupBy("sensor").applyInPandasWithState(
+        step,
+        outputStructType=CUSUM_OUTPUT,
+        stateStructType=_CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1977,3 +1977,49 @@ def test_dedup_events_stream_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("select event_id from dd_out").collect()
     assert sorted(r.event_id for r in rows) == [1, 2, 3]
+
+
+def test_cusum_stream_matches_batch_fold(spark, tmp_path):
+    """Cross-mode CUSUM pin: the streaming stateful operator over TWO
+    micro-batches (state carried across the batch boundary) lands on the
+    exact final state the batch fold handler computes over the same
+    ts-ordered values — alarms, resets, and float64 bit patterns
+    included."""
+    from surge_spark.operators.eventsourcing import cusum_handle_event
+
+    vals = [0.0, 2.0, 9.0, 1.0, -8.0, -9.0, 0.5, 30.0]
+    schema = "sensor string, value double, ts timestamp"
+    src = str(tmp_path / "readings")
+    # two files = two availableNow micro-batches with maxFilesPerTrigger
+    half = len(vals) // 2
+    spark.createDataFrame(
+        [("s1", v, _ts(i)) for i, v in enumerate(vals[:half])], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [("s1", v, _ts(half + i)) for i, v in enumerate(vals[half:])], schema
+    ).coalesce(1).write.parquet(src + "/f2")
+    readings = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        sm.cusum_stream(readings)
+        .writeStream.format("memory")
+        .queryName("cusum_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from cusum_out order by n desc").collect()[0]
+    )
+    st = None
+    for v in vals:
+        st = cusum_handle_event(st, {"user_id": "s1", "value": v})
+    assert got.n == st["n"] == len(vals)
+    assert got.baseline == st["baseline"]
+    assert got.s_pos == st["s_pos"] and got.s_neg == st["s_neg"]
+    assert got.n_alarms == st["n_alarms"] and got.n_alarms >= 1
