@@ -356,6 +356,32 @@ def holt_handle_event(state: dict | None, event: dict) -> dict:
 HOLT_STATE_SCHEMA = "aggregate_id string, level double, trend double, n int"
 
 
+CUSUM_SLACK = 0.5
+CUSUM_THRESHOLD = 5.0
+
+
+def cusum_step(
+    s_pos: float,
+    s_neg: float,
+    n_alarms: int,
+    dev: float,
+    slack: float = CUSUM_SLACK,
+    threshold: float = CUSUM_THRESHOLD,
+) -> tuple[float, float, int]:
+    """One CUSUM update — THE shared kernel: the batch fold handler and
+    streaming/metrics.cusum_stream both call this, so the pinned
+    cross-mode bitwise equality cannot silently diverge."""
+    s_pos = max(0.0, s_pos + dev - slack)
+    s_neg = max(0.0, s_neg - dev - slack)
+    if s_pos > threshold or s_neg > threshold:
+        n_alarms += 1
+        if s_pos > threshold:
+            s_pos = 0.0
+        if s_neg > threshold:
+            s_neg = 0.0
+    return s_pos, s_neg, n_alarms
+
+
 def cusum_handle_event(state: dict | None, event: dict) -> dict:
     """Two-sided CUSUM drift detector (Page 1954) against a first-value
     baseline: s_pos accumulates upward deviations beyond the slack,
@@ -375,16 +401,10 @@ def cusum_handle_event(state: dict | None, event: dict) -> dict:
             "n": 1,
         }
     x = float(event["value"])
-    dev = x - state["baseline"]
-    s_pos = max(0.0, state["s_pos"] + dev - 0.5)
-    s_neg = max(0.0, state["s_neg"] - dev - 0.5)
-    n_alarms = state["n_alarms"]
-    if s_pos > 5.0 or s_neg > 5.0:
-        n_alarms += 1
-        if s_pos > 5.0:
-            s_pos = 0.0
-        if s_neg > 5.0:
-            s_neg = 0.0
+    s_pos, s_neg, n_alarms = cusum_step(
+        state["s_pos"], state["s_neg"], state["n_alarms"],
+        x - state["baseline"],
+    )
     return {
         "aggregate_id": state["aggregate_id"],
         "baseline": state["baseline"],

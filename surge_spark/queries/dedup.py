@@ -1082,7 +1082,10 @@ def d_idf_weighted_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    norms = (
+        w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        .localCheckpoint(eager=False)  # consumers: both pair-side joins
+    )
     a = w.alias("a")
     b = w.alias("b")
     dots = (

@@ -4720,7 +4720,10 @@ def g_hits_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(a1, "p").groupBy("o").agg(F.sum("s").alias("s"))
         .localCheckpoint(eager=False)  # consumers: a2 join, max, output
     )
-    a2 = e.join(h2, "o").groupBy("p").agg(F.sum("s").alias("s"))
+    a2 = (
+        e.join(h2, "o").groupBy("p").agg(F.sum("s").alias("s"))
+        .localCheckpoint(eager=False)  # consumers: max + output
+    )
     hm = h2.agg(F.max("s").alias("m"))
     am = a2.agg(F.max("s").alias("m"))
     hubs = h2.crossJoin(F.broadcast(hm)).select(

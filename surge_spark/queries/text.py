@@ -1975,8 +1975,22 @@ def a_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes = p if probes is None else probes.unionAll(p)
     sketch = probes.groupBy("j", "cell").agg(F.sum("cnt").alias("s"))
     top20 = vocab.orderBy(F.col("cnt").desc(), F.col("term")).limit(20)
+    # readback probes re-derived on the 20-row frame (same md5-slice
+    # expressions) — joining the vocab-scale probes here would pay a
+    # full-vocabulary projection/union pass for 80 output rows
+    t20_probes = None
+    for j in range(4):
+        tp = top20.select(
+            "term",
+            F.lit(j).alias("j"),
+            (
+                F.conv(F.substring(hx, 1 + j * 8, 8), 16, 10).cast("long")
+                % 256
+            ).alias("cell"),
+        )
+        t20_probes = tp if t20_probes is None else t20_probes.unionAll(tp)
     return (
-        top20.join(probes.select("term", "j", "cell"), "term")
+        top20.join(t20_probes, "term")
         .join(F.broadcast(sketch), ["j", "cell"])
         .groupBy("term", "cnt")
         .agg(F.min("s").alias("cms_estimate"))

@@ -130,16 +130,28 @@ CUSUM_OUTPUT = StructType(
 
 
 def cusum_stream(
-    readings: DataFrame, slack: float = 0.5, threshold: float = 5.0
+    readings: DataFrame, slack: float | None = None, threshold: float | None = None
 ) -> DataFrame:
     """Two-sided CUSUM drift detector as a streaming stateful operator —
     the live twin of the m_cusum_drift batch fold (operators/
     eventsourcing.cusum_handle_event): per-sensor state carries
     (baseline, s_pos, s_neg, n_alarms, n) across micro-batches, alarms
-    fire and reset exactly as in batch, and because both paths perform
-    the identical float64 ops in the identical (ts-sorted) order the
-    final states agree bitwise — pinned cross-mode in
-    tests/test_streaming.py. Baseline = first reading, so no pre-pass."""
+    fire and reset exactly as in batch (BOTH paths call the ONE
+    cusum_step kernel in operators/eventsourcing.py, so the math cannot
+    diverge), and for per-key-unique timestamps the final states agree
+    bitwise — pinned cross-mode in tests/test_streaming.py. Equal-ts
+    readings sort by (ts, value): equal (ts, value) steps commute, so
+    the stream is run-deterministic, though an equal-ts batch twin
+    ordered by event_id may fold those ties differently. Baseline =
+    first reading, so no pre-pass."""
+    from ..operators.eventsourcing import (
+        CUSUM_SLACK,
+        CUSUM_THRESHOLD,
+        cusum_step,
+    )
+
+    slack = CUSUM_SLACK if slack is None else slack
+    threshold = CUSUM_THRESHOLD if threshold is None else threshold
 
     def step(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -151,22 +163,18 @@ def cusum_stream(
             baseline, s_pos, s_neg, n_alarms, n = state.get
         else:
             baseline, s_pos, s_neg, n_alarms, n = None, 0.0, 0.0, 0, 0
-        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "value"], kind="mergesort"
+        )
         for v in batch["value"]:
             v = float(v)
             if baseline is None:
                 baseline = v
                 n = 1
                 continue
-            dev = v - baseline
-            s_pos = max(0.0, s_pos + dev - slack)
-            s_neg = max(0.0, s_neg - dev - slack)
-            if s_pos > threshold or s_neg > threshold:
-                n_alarms += 1
-                if s_pos > threshold:
-                    s_pos = 0.0
-                if s_neg > threshold:
-                    s_neg = 0.0
+            s_pos, s_neg, n_alarms = cusum_step(
+                s_pos, s_neg, n_alarms, v - baseline, slack, threshold
+            )
             n += 1
         state.update((baseline, s_pos, s_neg, n_alarms, n))
         yield pd.DataFrame(
