@@ -2138,7 +2138,16 @@ def g_lpa_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=False)
+    # ^ the edge list is the CO-OCCURRENCE WEDGE JOIN — without the
+    # barrier every LPA round re-evaluates it (plus distinct+union).
+    # Honest A/B at sf0.1: NO local win (22-24 s both ways warm; the
+    # per-round count+argmax mode aggregates over the dense ~|edges|
+    # neighbor stream dominate, and the wedge join is one co-partitioned
+    # pass beside them). Kept anyway: at 100 TB re-deriving the graph
+    # ~10x is a scan-amplification bug regardless of what this host
+    # measures — the entry's floor is the per-round aggregate budget,
+    # documented as ~2.3 s/round x ~9 rounds here.
     labels, rounds = lpa_converged(sym, max_rounds=_LPA_CONV_UNROLL)
     sizes = labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members")
