@@ -1678,3 +1678,60 @@ def m_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sigma") - F.col("mu")) / (F.col("sigma") + F.col("mu")), 6
         ).alias("burstiness"),
     )
+
+
+@query(
+    "m_peak_detection",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d, count(*) AS cnt
+      FROM events GROUP BY event_type, d
+    ),
+    ctx AS (
+      SELECT event_type, d, cnt,
+             lag(cnt) OVER w AS prev_cnt,
+             lead(cnt) OVER w AS next_cnt
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(prev_cnt AS BIGINT) AS prev_cnt,
+           CAST(next_cnt AS BIGINT) AS next_cnt
+    FROM ctx
+    WHERE prev_cnt IS NOT NULL AND next_cnt IS NOT NULL
+      AND cnt > prev_cnt AND cnt > next_cnt
+    """,
+)
+def m_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum peak detection over the per-type daily series (a
+    strict peak beats both neighbors) — the alert-shaping primitive
+    under spike triage, one lag+lead pass over the bounded daily matrix
+    partitioned by type; series endpoints can't be peaks (no neighbor).
+    Day ships as an ISO STRING — the oracle comparator has no date
+    channel (the m_gap_fill_forward lesson). Integer counts, no float
+    channel anywhere."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("event_type").orderBy("d")
+    ctx = daily.select(
+        "event_type",
+        "d",
+        "cnt",
+        F.lag("cnt").over(w).alias("prev_cnt"),
+        F.lead("cnt").over(w).alias("next_cnt"),
+    )
+    return ctx.where(
+        F.col("prev_cnt").isNotNull()
+        & F.col("next_cnt").isNotNull()
+        & (F.col("cnt") > F.col("prev_cnt"))
+        & (F.col("cnt") > F.col("next_cnt"))
+    ).select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "cnt",
+        "prev_cnt",
+        "next_cnt",
+    )

@@ -4752,3 +4752,77 @@ def g_hits_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 20)
         .select("kind", "id", "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@query(
+    "j_asof_tolerance_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    ranked AS (
+      SELECT c.event_id,
+             p.event_id AS purchase_event_id,
+             CAST(round(p.value, 2) AS DOUBLE) AS purchase_value,
+             row_number() OVER (
+               PARTITION BY c.event_id ORDER BY p.ts DESC, p.event_id DESC
+             ) AS rn
+      FROM clicks c JOIN purchases p
+        ON c.user_id = p.user_id
+       AND p.ts < c.ts AND p.ts >= c.ts - INTERVAL 1 HOUR
+    )
+    SELECT c.event_id, r.purchase_event_id, r.purchase_value
+    FROM clicks c
+    LEFT JOIN ranked r ON r.event_id = c.event_id AND r.rn = 1
+    """,
+)
+def j_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE — the feature-store /
+    point-in-time-correctness contract: each click gets the most recent
+    prior purchase ONLY if it is at most 1 hour old; staler history
+    yields NULLs rather than silently ancient features (training-serving
+    skew's classic cause). The tolerance is also the scale fix the
+    unbounded j_asof_join lacks: `p_ts < ts` alone makes join state grow
+    with all history, while the band turns it into a bounded interval
+    join — pre-bucketable on (user, hour) exactly like
+    j_interval_overlap_join, and the streaming twin is a watermarked
+    stream-stream join whose state expires at the tolerance. LEFT
+    semantics keep every click (probe-side preserving)."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    best = (
+        clicks.join(
+            purchases,
+            (clicks.user_id == purchases.p_user_id)
+            & (purchases.p_ts < clicks.ts)
+            & (
+                purchases.p_ts
+                >= clicks.ts - F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .groupBy(F.col("event_id").alias("m_event_id"))
+        .agg(
+            F.max_by(
+                F.struct("p_event_id", "p_value"), F.struct("p_ts", "p_event_id")
+            ).alias("best")
+        )
+    )
+    return clicks.join(
+        best, clicks.event_id == best.m_event_id, "left"
+    ).select(
+        "event_id",
+        F.col("best.p_event_id").alias("purchase_event_id"),
+        F.round(F.col("best.p_value"), 2).alias("purchase_value"),
+    )
