@@ -252,3 +252,71 @@ def test_lsh_recall_found_is_subset(spark, sf_dir):
     assert row.n_found <= row.n_true
     assert row.n_missed == row.n_true - row.n_found
     assert 0 <= row.recall_ppm <= 1_000_000
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        max_size=25,
+    ),
+)
+@settings(**SETTINGS)
+def test_min_label_rounds_is_min_within_3_hops(spark, edges):
+    """_min_label_rounds(3): every node's label equals the minimum node id
+    reachable within <= 3 hops on the symmetric graph — checked against a
+    pure-Python BFS on random graphs (the helper is now shared by
+    d_fuzzy_dedup_clusters and d_semdedup_keepers; this pins its
+    semantics independently of either entry's pipeline)."""
+    from pyspark.sql import functions as F
+
+    from surge_spark.queries.dedup import _min_label_rounds
+
+    nodes = sorted({n for e in edges for n in e} | {0})
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for n in nodes:
+        frontier, seen = {n}, {n}
+        for _ in range(3):
+            frontier = {m for f in frontier for m in adj[f]} - seen
+            seen |= frontier
+        expected[n] = min(seen)
+
+    sym = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges] or [(0, 0)],
+        "a long, b long",
+    )
+    seed = spark.createDataFrame(
+        [(n, n) for n in nodes], "id long, lbl long"
+    )
+    got = {
+        r.id: r.lbl for r in _min_label_rounds(sym, seed, rounds=3).collect()
+    }
+    assert got == expected
+
+
+@given(
+    devs=st.lists(
+        st.floats(-20, 20, allow_nan=False, allow_infinity=False), max_size=40
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_cusum_step_state_invariants(devs):
+    """cusum_step: both sides stay in [0, threshold] AFTER each step
+    (crossers reset to 0), alarms only ever increase, and a huge
+    deviation always alarms immediately."""
+    from surge_spark.operators.eventsourcing import cusum_step
+
+    s_pos = s_neg = 0.0
+    alarms = 0
+    for d in devs:
+        prev = alarms
+        s_pos, s_neg, alarms = cusum_step(s_pos, s_neg, alarms, d)
+        assert 0.0 <= s_pos <= 5.0 and 0.0 <= s_neg <= 5.0
+        assert alarms >= prev
+    _, _, a2 = cusum_step(0.0, 0.0, 0, 100.0)
+    assert a2 == 1
