@@ -1735,3 +1735,51 @@ def m_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_cnt",
         "next_cnt",
     )
+
+
+@query(
+    "m_error_budget_burn",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             count(*) AS n_events,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+      FROM events GROUP BY d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_errors AS BIGINT) AS n_errors,
+           CAST((n_errors * 100000) // n_events AS BIGINT) AS burn_x1000,
+           CAST(CASE WHEN n_errors * 100 > n_events THEN 1 ELSE 0 END AS INT)
+             AS breach
+    FROM daily
+    """,
+)
+def m_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn rate per day against a 99% success objective
+    (Google SRE workbook: burn = error_rate / (1 - SLO); burn > 1 means
+    the day spends more than its share of the monthly budget) — the
+    alerting metric layered over the raw m_rate_* sensors. One daily
+    aggregate; burn ships as integer thousandths (x1000 = errors *
+    100000 // total) and the breach flag as the exact integer comparison
+    errors*100 > total — no float channel, no rounding divergence
+    possible. Day as ISO string (no date channel in the comparator)."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_errors"),
+    )
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "n_errors",
+        F.expr("CAST((n_errors * 100000) div n_events AS BIGINT)").alias(
+            "burn_x1000"
+        ),
+        F.when(F.col("n_errors") * 100 > F.col("n_events"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("breach"),
+    )

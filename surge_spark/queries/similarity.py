@@ -1303,3 +1303,57 @@ def d_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("keeper_id").cast("long").alias("keeper_id"),
         )
     )
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < 5
+    )
+    SELECT q.query_id, c.vec_id AS corpus_id,
+           CAST(round({_DUCK_COSINE.format(a="c.embedding", b="q.qe")}, 6)
+                AS DOUBLE) AS cosine
+    FROM embeddings c CROSS JOIN q
+    WHERE c.vec_id <> q.query_id
+      AND round({_DUCK_COSINE.format(a="c.embedding", b="q.qe")}, 6) >= 0.3
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE search — every corpus vector within cosine >= 0.3 of each
+    query (FAISS range_search, the other standard ANN read API beside
+    top-k: dedup and retrieval-with-confidence-floors want 'all matches
+    above t', not a fixed k). Queries broadcast, ONE corpus pass, the
+    threshold filter runs map-side — zero shuffles at any corpus size,
+    which is exactly why range search scales better than global top-k
+    (no per-query ordering state at all). Threshold 0.3 matches
+    sim_semantic_neardup_pairs (the corpus is near-orthogonal; prod
+    default stays higher). Round-before-threshold keeps both engines
+    filtering identical doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    cos = F.round(
+        sim.dot(sim._as_double(F.col("ce")), sim._as_double(F.col("qe")))
+        / (
+            sim.norm(sim._as_double(F.col("ce")))
+            * sim.norm(sim._as_double(F.col("qe")))
+        ),
+        6,
+    )
+    return (
+        emb.select(
+            F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ce")
+        )
+        .crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qe"),
+                )
+            )
+        )
+        .where(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.3)
+    )
