@@ -74,6 +74,7 @@ HEADLINE = [
     "d_simhash_fingerprints_md5",  # simhash votes/pack as single parsed exprs (r11 fix)
     "j_bloom_prefilter_join",      # broadcast bloom fact-scan pre-filter (new r11)
     "d_semdedup_keepers",          # SemDeDup component keepers on the semantic graph (new r11)
+    "d_lsh_recall_audit",          # banding recall vs exact ground truth (new r11; a recall collapse = real regression)
 ]
 
 N_RUNS = 3

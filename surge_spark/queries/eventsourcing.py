@@ -1783,3 +1783,85 @@ def m_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("breach"),
     )
+
+
+@query(
+    "m_retention_decay_fit",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS activity_day
+      FROM events
+    ),
+    matrix AS (
+      SELECT CAST(date_diff('day', c.cohort_day, a.activity_day) AS INT)
+               AS day_offset,
+             count(DISTINCT a.user_id) AS n_users
+      FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+      WHERE date_diff('day', c.cohort_day, a.activity_day) BETWEEN 0 AND 7
+      GROUP BY day_offset
+    ),
+    base AS (SELECT n_users AS n0 FROM matrix WHERE day_offset = 0),
+    pts AS (
+      SELECT day_offset, ln(n_users / CAST(n0 AS DOUBLE)) AS lr
+      FROM matrix CROSS JOIN base WHERE day_offset >= 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           CAST(round(regr_slope(lr, CAST(day_offset AS DOUBLE)), 6)
+                AS DOUBLE) AS decay_per_day,
+           CAST(round(regr_intercept(lr, CAST(day_offset AS DOUBLE)), 6)
+                AS DOUBLE) AS log_intercept,
+           CAST(round(regr_r2(lr, CAST(day_offset AS DOUBLE)), 6) AS DOUBLE)
+             AS r2
+    FROM pts
+    """,
+)
+def m_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay fit over the aggregate retention curve: pool the
+    m_retention_cohorts matrix by offset, normalize by day-0, and fit
+    ln(retention) ~ offset by least squares — retention r(k) = e^(b+ak)
+    means a straight log-line, so `decay_per_day` is the churn constant
+    a growth model quotes (half-life = ln2/-a). The event-scale work is
+    the same two aggregates retention itself needs; the regression runs
+    over ≤7 points. In-engine model fitting beside a_ols_two_feature /
+    g_degree_powerlaw_slope — curve summarization, not just counts."""
+    e = _events(spark, sf_dir)
+    cohorts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("activity_day")
+    ).distinct()
+    off = F.datediff(F.col("activity_day"), F.col("cohort_day"))
+    matrix = (
+        activity.join(cohorts, "user_id")
+        .withColumn("day_offset", off)
+        .where((F.col("day_offset") >= 0) & (F.col("day_offset") <= 7))
+        .groupBy("day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .localCheckpoint(eager=False)  # consumers: base row + the points
+    )
+    base = matrix.where(F.col("day_offset") == 0).select(
+        F.col("n_users").alias("n0")
+    )
+    pts = (
+        matrix.where(F.col("day_offset") >= 1)
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("day_offset").cast("double").alias("x"),
+            F.log(F.col("n_users") / F.col("n0").cast("double")).alias("lr"),
+        )
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.regr_slope(F.col("lr"), F.col("x")), 6).alias(
+            "decay_per_day"
+        ),
+        F.round(F.regr_intercept(F.col("lr"), F.col("x")), 6).alias(
+            "log_intercept"
+        ),
+        F.round(F.regr_r2(F.col("lr"), F.col("x")), 6).alias("r2"),
+    )

@@ -4826,3 +4826,82 @@ def j_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.p_event_id").alias("purchase_event_id"),
         F.round(F.col("best.p_value"), 2).alias("purchase_value"),
     )
+
+
+@query(
+    "a_ols_two_feature",
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n,
+             sum(l_quantity) AS sx1, sum(l_discount) AS sx2,
+             sum(l_extendedprice) AS sy,
+             sum(l_quantity * l_quantity) AS sx1x1,
+             sum(l_discount * l_discount) AS sx2x2,
+             sum(l_quantity * l_discount) AS sx1x2,
+             sum(l_quantity * l_extendedprice) AS sx1y,
+             sum(l_discount * l_extendedprice) AS sx2y
+      FROM lineitem
+    ),
+    c AS (
+      SELECT n,
+             sx1x1 - sx1 * sx1 / n AS a11,
+             sx1x2 - sx1 * sx2 / n AS a12,
+             sx2x2 - sx2 * sx2 / n AS a22,
+             sx1y - sx1 * sy / n AS b1,
+             sx2y - sx2 * sy / n AS b2,
+             sx1 / n AS mx1, sx2 / n AS mx2, sy / n AS my
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(round((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12), 6)
+                AS DOUBLE) AS beta_quantity,
+           CAST(round((b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12), 6)
+                AS DOUBLE) AS beta_discount,
+           CAST(round(my - (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) * mx1
+                         - (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) * mx2,
+                6) AS DOUBLE) AS intercept
+    FROM c
+    """,
+)
+def a_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ordinary least squares IN-ENGINE — price ~ quantity +
+    discount via the closed-form normal equations: one moment-aggregate
+    pass collects the 9 sufficient statistics, the centered 2x2 system
+    solves by Cramer's rule in plain arithmetic — the multi-feature
+    upgrade of regr_slope (a_corr_regression / g_degree_powerlaw_slope)
+    and the pattern that scales to any feature count that fits a
+    driver-side solve: the DATA pass is one map-side aggregate
+    regardless of rows, the solve is O(k³) on k sufficient statistics.
+    Both engines compute identical moment sums up to float association
+    (round 6 on O(1)-conditioned outputs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("sx1"), F.sum(x2).alias("sx2"), F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("sx1x1"), F.sum(x2 * x2).alias("sx2x2"),
+        F.sum(x1 * x2).alias("sx1x2"),
+        F.sum(x1 * y).alias("sx1y"), F.sum(x2 * y).alias("sx2y"),
+    )
+    c = m.select(
+        "n",
+        (F.col("sx1x1") - F.col("sx1") * F.col("sx1") / F.col("n")).alias("a11"),
+        (F.col("sx1x2") - F.col("sx1") * F.col("sx2") / F.col("n")).alias("a12"),
+        (F.col("sx2x2") - F.col("sx2") * F.col("sx2") / F.col("n")).alias("a22"),
+        (F.col("sx1y") - F.col("sx1") * F.col("sy") / F.col("n")).alias("b1"),
+        (F.col("sx2y") - F.col("sx2") * F.col("sy") / F.col("n")).alias("b2"),
+        (F.col("sx1") / F.col("n")).alias("mx1"),
+        (F.col("sx2") / F.col("n")).alias("mx2"),
+        (F.col("sy") / F.col("n")).alias("my"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    bq = (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det
+    bd = (F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12")) / det
+    return c.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(bq, 6).alias("beta_quantity"),
+        F.round(bd, 6).alias("beta_discount"),
+        F.round(F.col("my") - bq * F.col("mx1") - bd * F.col("mx2"), 6).alias(
+            "intercept"
+        ),
+    )
