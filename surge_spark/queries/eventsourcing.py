@@ -1841,7 +1841,11 @@ def m_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("day_offset", off)
         .where((F.col("day_offset") >= 0) & (F.col("day_offset") <= 7))
         .groupBy("day_offset")
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        # count == countDistinct here: activity is distinct per (user,
+        # day) and offset is a bijection of activity_day per user, so a
+        # user appears at most once per offset — the distinct aggregate
+        # would shuffle |user x active-day| rows for nothing
+        .agg(F.count(F.lit(1)).alias("n_users"))
         .localCheckpoint(eager=False)  # consumers: base row + the points
     )
     base = matrix.where(F.col("day_offset") == 0).select(

@@ -391,6 +391,41 @@ def j_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return region.crossJoin(status).groupBy("r_name", "status").agg(F.count("*").alias("n"))
 
 
+def _asof_click_purchase(events, tolerance_expr: str | None = None):
+    """THE as-of kernel shared by j_asof_join and j_asof_tolerance_join
+    (the _min_label_rounds precedent: one copy of the contract — the
+    max_by(struct(p_ts, p_event_id)) tie-break and the round-2 value
+    channel — so a fix can never silently miss one entry). Returns
+    (clicks, best): best is keyed on m_event_id with a struct of the
+    most recent qualifying purchase; ``tolerance_expr`` (an INTERVAL
+    SQL string) bounds staleness — and join state at scale."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    cond = (clicks.user_id == purchases.p_user_id) & (
+        purchases.p_ts < clicks.ts
+    )
+    if tolerance_expr is not None:
+        cond = cond & (purchases.p_ts >= clicks.ts - F.expr(tolerance_expr))
+    best = (
+        clicks.join(purchases, cond)
+        .groupBy(F.col("event_id").alias("m_event_id"))
+        .agg(
+            F.max_by(
+                F.struct("p_event_id", "p_value"),
+                F.struct("p_ts", "p_event_id"),
+            ).alias("best")
+        )
+    )
+    return clicks, best
+
+
 @query(
     "j_asof_join",
     oracle="""
@@ -416,25 +451,9 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expressed as range join + max_by — at scale the range join is bounded by
     pre-bucketing both sides on (user_id, time bucket)."""
     events = _t(spark, sf_dir, "events")
-    clicks = events.where(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    purchases = events.where(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user_id"),
-        F.col("ts").alias("p_ts"),
-        F.col("event_id").alias("p_event_id"),
-        F.col("value").alias("p_value"),
-    )
-    joined = clicks.join(
-        purchases,
-        (clicks.user_id == purchases.p_user_id) & (purchases.p_ts < clicks.ts),
-    )
-    return joined.groupBy("event_id").agg(
-        F.max_by(
-            F.struct("p_event_id", "p_value"), F.struct("p_ts", "p_event_id")
-        ).alias("best")
-    ).select(
-        "event_id",
+    _, best = _asof_click_purchase(events)
+    return best.select(
+        F.col("m_event_id").alias("event_id"),
         F.col("best.p_event_id").alias("purchase_event_id"),
         F.round(F.col("best.p_value"), 2).alias("purchase_value"),
     )
@@ -4793,32 +4812,7 @@ def j_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-stream join whose state expires at the tolerance. LEFT
     semantics keep every click (probe-side preserving)."""
     events = _t(spark, sf_dir, "events")
-    clicks = events.where(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    purchases = events.where(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user_id"),
-        F.col("ts").alias("p_ts"),
-        F.col("event_id").alias("p_event_id"),
-        F.col("value").alias("p_value"),
-    )
-    best = (
-        clicks.join(
-            purchases,
-            (clicks.user_id == purchases.p_user_id)
-            & (purchases.p_ts < clicks.ts)
-            & (
-                purchases.p_ts
-                >= clicks.ts - F.expr("INTERVAL 1 HOUR")
-            ),
-        )
-        .groupBy(F.col("event_id").alias("m_event_id"))
-        .agg(
-            F.max_by(
-                F.struct("p_event_id", "p_value"), F.struct("p_ts", "p_event_id")
-            ).alias("best")
-        )
-    )
+    clicks, best = _asof_click_purchase(events, "INTERVAL 1 HOUR")
     return clicks.join(
         best, clicks.event_id == best.m_event_id, "left"
     ).select(

@@ -1333,23 +1333,30 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering identical doubles."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
+    # norms hoisted BELOW the join: norm(ce) depends only on the corpus
+    # row and norm(qe) only on the 5 broadcast queries, but written
+    # inline Catalyst inlines the whole cosine into the join condition
+    # and every pair pays dot + BOTH norm folds (then survivors pay all
+    # three again in the output projection) — as pre-join columns the
+    # condition can't reach past the join boundary, so each norm folds
+    # once per row, not once per pair. Same doubles, same division.
     cos = F.round(
         sim.dot(sim._as_double(F.col("ce")), sim._as_double(F.col("qe")))
-        / (
-            sim.norm(sim._as_double(F.col("ce")))
-            * sim.norm(sim._as_double(F.col("qe")))
-        ),
+        / (F.col("cn") * F.col("qn")),
         6,
     )
     return (
         emb.select(
-            F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ce")
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("ce"),
+            sim.norm(sim._as_double(F.col("embedding"))).alias("cn"),
         )
         .crossJoin(
             F.broadcast(
                 queries.select(
                     F.col("vec_id").alias("query_id"),
                     F.col("embedding").alias("qe"),
+                    sim.norm(sim._as_double(F.col("embedding"))).alias("qn"),
                 )
             )
         )
