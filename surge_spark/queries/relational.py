@@ -4899,3 +4899,82 @@ def a_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@query(
+    "a_distribution_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(l_extendedprice) AS s1,
+             sum(l_extendedprice * l_extendedprice) AS s2,
+             sum(l_extendedprice * l_extendedprice * l_extendedprice) AS s3,
+             sum(l_extendedprice * l_extendedprice * l_extendedprice
+                 * l_extendedprice) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    c AS (
+      SELECT l_returnflag, n, s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS var_pop,
+             s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n)
+               * (s1 / n) AS mu3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS mu4
+      FROM m
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(round(mu, 4) AS DOUBLE) AS mean,
+           CAST(round(sqrt(var_pop), 4) AS DOUBLE) AS stddev_pop,
+           CAST(round(mu3 / pow(var_pop, 1.5), 6) AS DOUBLE) AS skewness,
+           CAST(round(mu4 / (var_pop * var_pop) - 3, 6) AS DOUBLE)
+             AS excess_kurtosis
+    FROM c
+    """,
+)
+def a_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher distribution moments per group — population skewness and
+    excess kurtosis derived from RAW POWER SUMS (Σx..Σx⁴) in identical
+    arithmetic on both engines, deliberately NOT the built-in
+    skewness()/kurtosis() whose sample-vs-population corrections differ
+    across engines. One partial+final aggregate collects four sums; the
+    central-moment algebra is plain per-row math over |groups| rows.
+    The mergeable-sufficient-statistics pattern (same as
+    a_ols_two_feature): shards combine by adding sums — the 100 TB
+    shape for any moment-based monitor."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mu * mu
+    mu3 = F.col("s3") / F.col("n") - 3 * mu * (F.col("s2") / F.col("n")) + 2 * mu * mu * mu
+    mu4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * (F.col("s3") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    )
+    c = m.select(
+        "l_returnflag", "n",
+        mu.alias("mu"), var.alias("var_pop"),
+        mu3.alias("mu3"), mu4.alias("mu4"),
+    )
+    return c.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("mu"), 4).alias("mean"),
+        F.round(F.sqrt(F.col("var_pop")), 4).alias("stddev_pop"),
+        F.round(F.col("mu3") / F.pow(F.col("var_pop"), 1.5), 6).alias(
+            "skewness"
+        ),
+        F.round(
+            F.col("mu4") / (F.col("var_pop") * F.col("var_pop")) - 3, 6
+        ).alias("excess_kurtosis"),
+    )
