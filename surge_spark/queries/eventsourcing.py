@@ -1869,3 +1869,78 @@ def m_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.regr_r2(F.col("lr"), F.col("x")), 6).alias("r2"),
     )
+
+
+@query(
+    "m_attribution_last_touch",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type <> 'purchase'
+    ),
+    ranked AS (
+      SELECT p.event_id, t.event_type,
+             row_number() OVER (
+               PARTITION BY p.event_id ORDER BY t.ts DESC, t.event_id DESC
+             ) AS rn
+      FROM purchases p JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 24 HOUR
+    )
+    SELECT coalesce(r.event_type, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(p.cents) AS BIGINT) AS revenue_cents
+    FROM purchases p
+    LEFT JOIN ranked r ON r.event_id = p.event_id AND r.rn = 1
+    GROUP BY channel
+    """,
+)
+def m_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase's revenue is
+    credited to the user's most recent non-purchase event within 24 h
+    ('direct' when none) — the as-of-with-tolerance kernel shape wearing
+    its canonical business hat, reduced to a bounded channel×revenue
+    table. Revenue in exact integer cents (the m_cohort_ltv discipline —
+    no float summation channel); the 24 h band bounds join state at
+    scale exactly like j_asof_tolerance_join; LEFT semantics keep
+    unattributed purchases visible instead of silently dropping them."""
+    e = _events(spark, sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touches = e.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_event_id"),
+        F.col("event_type").alias("t_type"),
+    )
+    best = (
+        purchases.join(
+            touches,
+            (purchases.user_id == touches.t_user_id)
+            & (touches.t_ts < purchases.ts)
+            & (touches.t_ts >= purchases.ts - F.expr("INTERVAL 24 HOURS")),
+        )
+        .groupBy(F.col("event_id").alias("m_event_id"))
+        .agg(
+            F.max_by(
+                F.col("t_type"), F.struct(F.col("t_ts"), F.col("t_event_id"))
+            ).alias("t_type")
+        )
+    )
+    return (
+        purchases.join(best, purchases.event_id == best.m_event_id, "left")
+        .groupBy(F.coalesce(F.col("t_type"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )

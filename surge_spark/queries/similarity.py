@@ -1364,3 +1364,96 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "corpus_id", cos.alias("cosine"))
         .where(F.col("cosine") >= 0.3)
     )
+
+
+@query(
+    "sim_cluster_margin_audit",
+    oracle=f"""
+    WITH cents(cell, c) AS (VALUES
+      {_DUCK_CENTS}
+    ),
+    scored_cells AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * c.c[i])) AS sim
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    ranked AS (
+      SELECT vec_id, cell, sim,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, cell ASC
+             ) AS rn
+      FROM scored_cells
+    ),
+    pick AS (
+      SELECT r1.vec_id, r1.cell, r1.sim AS d1, r2.sim AS d2
+      FROM ranked r1 JOIN ranked r2
+        ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2
+    ),
+    norms AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    per AS (
+      SELECT p.cell, (p.d1 - p.d2) / n.nrm AS nmargin
+      FROM pick p JOIN norms n ON n.vec_id = p.vec_id
+      WHERE n.nrm > 0
+    )
+    SELECT CAST(cell AS INT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(round(avg(nmargin), 6) AS DOUBLE) AS mean_margin
+    FROM per GROUP BY cell
+    """,
+)
+def sim_cluster_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality MARGIN audit — per cell, the mean normalized gap
+    between each member's best and second-best centroid similarity
+    (cos₁ − cos₂; unit centroids make (d1−d2)/‖v‖ exactly that): the
+    cheap silhouette stand-in that tells you which cells are confidently
+    separated and which sit on a boundary (small margin ⇒ reassignment
+    churn under retraining — the audit-family member for the IVF/cluster
+    entries, like recall for LSH and overestimate for CMS). All 8
+    literal-model dots are ONE flat parsed expression array (the r5
+    rule: literal dots codegen, HOF interprets); best/second-best via
+    sort_array on the 8-element array — no window over the corpus, one
+    map-side pass + one bounded aggregate. Zero-norm vectors filtered on
+    both sides (ANSI division guard)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr_sql = (
+        "array("
+        + ",".join(sim._dot_lit_sql("embedding", c) for c in FIXED_CENTS)
+        + ")"
+    )
+    nrm_sql = (
+        "sqrt(aggregate(embedding, 0.0D,"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    per = (
+        emb.select(
+            F.expr(arr_sql).alias("sims"),
+            F.expr(nrm_sql).alias("nrm"),
+        )
+        .where(F.col("nrm") > 0)
+        .select(
+            (
+                F.array_position(
+                    F.col("sims"), F.array_max(F.col("sims"))
+                ).cast("int")
+                - 1
+            ).alias("cluster"),
+            F.sort_array(F.col("sims"), asc=False).alias("ds"),
+            "nrm",
+        )
+        .select(
+            "cluster",
+            ((F.col("ds")[0] - F.col("ds")[1]) / F.col("nrm")).alias(
+                "nmargin"
+            ),
+        )
+    )
+    return per.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("nmargin"), 6).alias("mean_margin"),
+    )
