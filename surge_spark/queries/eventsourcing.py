@@ -1642,6 +1642,7 @@ def m_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round((sigma - mu) / (sigma + mu), 6) AS DOUBLE)
              AS burstiness
     FROM stats
+    WHERE sigma + mu > 0
     """,
 )
 def m_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1653,8 +1654,13 @@ def m_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; mean/stddev_pop are single-aggregate moments over those
     integers, and B is a scale-free ratio so the millis unit cancels.
     σ+μ > 0 whenever a user has ≥2 gaps with any spread; identical-gap
-    users give σ=0 → B=−1, no divide-by-zero (μ>0: events never share
-    the exact same millisecond AND ordering tiebreak)."""
+    users give σ=0 → B=−1, no divide-by-zero as long as μ>0. Nothing
+    ENFORCES μ>0 though (a user whose every gap is exactly 0 ms gives
+    σ=μ=0 and a 0/0 NaN whose comparison/rendering semantics differ
+    between engines — ADVICE r11), so both sides filter σ+μ>0
+    explicitly, the m_anomaly_zscore zero-variance-guard precedent.
+    All-zero-gap users are burst SINGULARITIES (undefined B), dropped
+    rather than pinned to a sentinel."""
     e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1669,6 +1675,7 @@ def m_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.stddev_pop(F.col("gap_ms").cast("double")).alias("sigma"),
         )
         .where(F.col("n_gaps") >= 2)
+        .where(F.col("sigma") + F.col("mu") > 0)
     )
     return stats.select(
         "user_id",

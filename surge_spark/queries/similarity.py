@@ -1317,6 +1317,10 @@ def d_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) AS cosine
     FROM embeddings c CROSS JOIN q
     WHERE c.vec_id <> q.query_id
+      AND list_sum(list_transform(c.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+      AND list_sum(list_transform(q.qe,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
       AND round({_DUCK_COSINE.format(a="c.embedding", b="q.qe")}, 6) >= 0.3
     """,
 )
@@ -1330,7 +1334,10 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no per-query ordering state at all). Threshold 0.3 matches
     sim_semantic_neardup_pairs (the corpus is near-orthogonal; prod
     default stays higher). Round-before-threshold keeps both engines
-    filtering identical doubles."""
+    filtering identical doubles. Zero-norm vectors are filtered on BOTH
+    sides (ADVICE r11): 0/0 cosine is NaN, and NaN >= t is false in
+    Spark but true under DuckDB's NaN-sorts-greatest comparison — the
+    same guard the matryoshka/margin-audit siblings carry."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     # norms hoisted BELOW the join: norm(ce) depends only on the corpus
@@ -1351,13 +1358,14 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("ce"),
             sim.norm(sim._as_double(F.col("embedding"))).alias("cn"),
         )
+        .where(F.col("cn") > 0)
         .crossJoin(
             F.broadcast(
                 queries.select(
                     F.col("vec_id").alias("query_id"),
                     F.col("embedding").alias("qe"),
                     sim.norm(sim._as_double(F.col("embedding"))).alias("qn"),
-                )
+                ).where(F.col("qn") > 0)
             )
         )
         .where(F.col("corpus_id") != F.col("query_id"))

@@ -142,7 +142,13 @@ def cusum_stream(
     bitwise — pinned cross-mode in tests/test_streaming.py. Equal-ts
     readings sort by (ts, value): equal (ts, value) steps commute, so
     the stream is run-deterministic, though an equal-ts batch twin
-    ordered by event_id may fold those ties differently. Baseline =
+    ordered by event_id may fold those ties differently. The sort is
+    WITHIN each micro-batch only — CUSUM state is order-dependent, so a
+    reading that arrives in a LATER micro-batch with an EARLIER
+    timestamp folds out of order relative to the batch twin (same
+    caveat class as the equal-ts tiebreak above); the cross-mode pin
+    assumes in-order arrival across batch boundaries, which the
+    command-engine source provides (per-key ordered log). Baseline =
     first reading, so no pre-pass."""
     from ..operators.eventsourcing import (
         CUSUM_SLACK,
