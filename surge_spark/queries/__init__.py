@@ -39,6 +39,38 @@ plane doubles render into the DuckDB SQL as literals.)
 Column names are aliased identically on both sides — the harness sorts
 columns by name before hashing. Float aggregates are rounded on BOTH sides
 to make the hash deterministic regardless of partial-aggregation order.
+
+BROADCAST-HINT POLICY (r12 audit — the r11 VERDICT asked for the catalog's
+explicit ``F.broadcast`` hints to be gated or exempted; hints are honored
+UNCONDITIONALLY, AQE never demotes them, so an ungated hint on an unbounded
+frame is a driver-OOM lever at scale). Every hint in the catalog falls in
+one of these classes, audited entry by entry:
+
+1. ONE-ROW SCALARS — ``crossJoin(F.broadcast(agg))`` over a global
+   aggregate (totals, maxima, thresholds). Bounded at 1 row always. Exempt.
+2. LITERAL / BOUNDED-BY-CONSTRUCTION MODELS — fixed centroids, codebooks,
+   hyperplanes, the <= 32-row bloom word table, the <= 5-row query sets,
+   loading vectors. Cardinality is a structural constant independent of
+   data volume. Exempt.
+3. LOW-CARDINALITY CATEGORY FRAMES — per-``event_type`` / per-``source``
+   aggregates (|types| ~ 5, |sources| ~ 20 in this corpus; category
+   domains, not row counts). Exempt with the caveat that a deployment with
+   millions of categories should route these through
+   ``operators.util.measured_broadcast`` after materializing.
+4. TPC-H DIM JOINS — nation/region are constant-cardinality by spec;
+   customer/supplier/part GROW with SF, so these hints encode the classic
+   star-schema assumption (dims fit memory). That is the documented
+   contract of the Q-family entries, same as every published TPC-H Spark
+   implementation; at a scale where a dim outgrows the broadcast budget,
+   drop the hint and the planner's size estimate falls back to a shuffle
+   join. ``j_bloom_prefilter_join``'s exact-join dim hint was REMOVED for
+   exactly this reason (its docstring sells the unbounded-dim story; the
+   planner's auto-broadcast still fires at every test scale, plan-pinned).
+5. REUSABLE OPERATORS (not catalog entries) take the measured gate:
+   kcore's keep-set semi-joins gate on measured bytes; decontaminate /
+   boilerplate take an OPT-IN ``broadcast_max_bytes`` (the measured gate
+   was 2-3x slower bolted onto their single-job plans — negative A/B at
+   the sites).
 """
 
 from __future__ import annotations

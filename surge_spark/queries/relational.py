@@ -4551,9 +4551,19 @@ def j_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" CAST(pos{i} % 32 AS INT))) <> 0"
             )
         )
+    # The exact-join dim side carries NO explicit broadcast hint (r11
+    # VERDICT audit): promo's cardinality is data-dependent, and explicit
+    # hints are honored unconditionally (AQE never demotes them) — an
+    # ungated hint here is a driver-OOM lever at scale. The planner's own
+    # size-estimate gate picks BroadcastHashJoin whenever promo fits
+    # spark.sql.autoBroadcastJoinThreshold (it does at every test scale —
+    # plan-pinned) and degrades to a shuffle join when it doesn't, which
+    # is the correct 100 TB behavior. The three bloom-word joins above
+    # keep their hints: the word table is <= 32 rows BY CONSTRUCTION
+    # (1024 bits / 32 per word) at any dim cardinality.
     return (
         cands.join(
-            F.broadcast(promo),
+            promo,
             cands.l_partkey == promo.p_partkey,
             "left",
         )
