@@ -2357,3 +2357,145 @@ def run_change_replication(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# --- S7's optional downstream re-publish leg (SURVEY §2.1 S7) -----------
+#
+# The reference's transactional sink can additionally re-publish committed
+# state downstream of the store ("optional downstream Kafka re-publish is
+# idempotent, keyed by (batch_id, seq), dedup on read — mirrors R4";
+# KafkaProducerActorImpl publishes state+events in one transaction and a
+# replayed publish is collapsed by the consumer-side dedup). The broker is
+# env-blocked here, so the executable double publishes the store's change
+# feed to a filelog topic (sources/filelog.py — the same double S5/S6 use)
+# and `read_published` is the consumer-side dedup view.
+
+
+def _publish_hwm_path(topic_path: str) -> str:
+    # underscore-prefixed: Spark's parquet reader treats it as hidden, so
+    # it can live inside the topic dir beside the offsets sidecar
+    return os.path.join(topic_path, "_publish_hwm.json")
+
+
+def _publish_hwm(topic_path: str) -> int:
+    p = _publish_hwm_path(topic_path)
+    if not os.path.isfile(p):
+        return -1
+    with open(p) as f:
+        return int(json.load(f)["published"])
+
+
+def _write_publish_hwm(topic_path: str, version: int) -> None:
+    os.makedirs(topic_path, exist_ok=True)
+    p = _publish_hwm_path(topic_path)
+    tmp = f"{p}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"published": version}, f)
+    os.replace(tmp, p)
+
+
+def publish_changes(
+    spark: SparkSession,
+    store: SnapshotStore,
+    topic_path: str,
+    n_partitions: int = 4,
+) -> int:
+    """Publish every not-yet-published store version's change records to a
+    downstream filelog topic — the S7 re-publish leg's executable double.
+    One `produce` per version with ``batch_id = pub-v{version}`` stamped
+    into record headers; upserts carry the state row as JSON, deletes a
+    NULL value (compacted-topic tombstone convention, same as S1's
+    ``state_table`` expects). Progress is a monotonic high-water mark in
+    the topic dir (the `replicate_changes` pattern): advanced only AFTER
+    the version's produce is durable, so every crash window errs toward
+    RE-publishing.
+
+    Idempotency is therefore dedup-on-read, mirroring R4: a replayed
+    version appends a second copy of its records with the SAME batch_id,
+    and `read_published` collapses to the first (min-offset) copy per
+    (batch_id, key) — the survey mapping's (batch_id, seq) identity, since
+    the feed's layout guarantees one record per key per version, key IS
+    the within-batch sequence identity. Same key + same batch always
+    routes to the same partition (murmur3 on key), so "first copy" is
+    well-defined per-partition offset order, exactly the order a Kafka
+    consumer sees. A TORN first publish (produce is per-partition atomic)
+    composes the same way: surviving partitions keep their original
+    records, the replay fills the rest, and the deduped stream is
+    record-for-record identical to a crash-free run — pinned in
+    tests/test_streaming.py.
+
+    Returns the number of versions published this call. Requires a
+    complete feed over the unpublished range (append commits always
+    qualify; rewriting commits need ``change_feed=True`` — read_changes
+    raises on a hole rather than skipping it)."""
+    from ..sources import filelog
+
+    latest = store.latest_version()
+    if latest is None:
+        return 0
+    hwm = _publish_hwm(topic_path)
+    published = 0
+    for v in range(hwm + 1, latest + 1):
+        bid = f"pub-v{v:012d}"
+        ch = store.read_changes(spark, start_version=v, end_version=v)
+        if ch is None:
+            continue
+        state_cols = [
+            c for c in ch.columns if c not in ("_version", "_change_type")
+        ]
+        recs = ch.select(
+            F.col(store.key_col).cast("string").alias("key"),
+            F.when(
+                F.col("_change_type") == "delete",
+                F.lit(None).cast("string"),
+            )
+            .otherwise(F.to_json(F.struct(*state_cols)))
+            .alias("value"),
+        )
+        filelog.produce(
+            recs,
+            topic_path,
+            n_partitions=n_partitions,
+            batch_id=bid,
+            order_by=[F.col("key")],
+        )
+        _write_publish_hwm(topic_path, v)
+        published += 1
+    return published
+
+
+def read_published(spark: SparkSession, topic_path: str) -> DataFrame:
+    """Consumer-side R4 dedup view over a `publish_changes` topic: one row
+    per (batch_id, key) — the FIRST (min-offset) copy — so the visible
+    stream is identical whether or not a crashed publisher replayed a
+    version. Columns: batch_id, key (string), value (JSON string or NULL
+    for tombstones), partition, offset (of the kept copy). One partial+
+    final aggregate; the raw log is available via ``filelog.read`` for
+    consumers that do their own dedup."""
+    from ..sources import filelog
+
+    log = filelog.read(spark, topic_path)
+    return (
+        log.select(
+            F.col("headers").getItem("batch_id").cast("string").alias(
+                "batch_id"
+            ),
+            F.col("key").cast("string").alias("key"),
+            "value",
+            "partition",
+            "offset",
+        )
+        .groupBy("batch_id", "key")
+        .agg(
+            F.min_by(
+                F.struct("value", "partition", "offset"), F.col("offset")
+            ).alias("r")
+        )
+        .select(
+            "batch_id",
+            "key",
+            F.col("r.value").cast("string").alias("value"),
+            F.col("r.partition").alias("partition"),
+            F.col("r.offset").alias("offset"),
+        )
+    )

@@ -2023,3 +2023,122 @@ def test_cusum_stream_matches_batch_fold(spark, tmp_path):
     assert got.baseline == st["baseline"]
     assert got.s_pos == st["s_pos"] and got.s_neg == st["s_neg"]
     assert got.n_alarms == st["n_alarms"] and got.n_alarms >= 1
+
+
+def test_publish_changes_idempotent_republish(spark, tmp_path):
+    """S7's downstream re-publish leg (SURVEY §2.1 S7): publish the store's
+    change feed to a filelog topic, batch_id per version, dedup on read —
+    a crashed publisher that replays a version (hwm written AFTER the
+    produce) leaves duplicate raw records but an IDENTICAL consumer-visible
+    stream, and a TORN first attempt (produce is per-partition atomic)
+    composes to the same content. Folding the deduped stream KTable-style
+    reproduces the store's own read_state."""
+    import os
+
+    from surge_spark.sources import filelog
+    from surge_spark.streaming.snapshot_store import (
+        _publish_hwm,
+        _write_publish_hwm,
+        publish_changes,
+        read_published,
+    )
+
+    # change_feed=True: the FIRST commit is a rewriting commit, and only
+    # the feed flag records its batch — same requirement as a replication
+    # primary (publish_changes rides the same read_changes contract)
+    store = SnapshotStore(
+        str(tmp_path / "pubstore"),
+        key_col="aggregate_id",
+        delta_commits=4,
+        change_feed=True,
+    )
+    topic = str(tmp_path / "pubtopic")
+
+    def st(rows):
+        return spark.createDataFrame(rows, "aggregate_id string, n long")
+
+    store.commit(None, st([("a", 1), ("b", 1)]), "b1")
+    store.commit(None, st([("a", 2), ("c", 1)]), "b2")
+    store.commit(
+        None,
+        st([]),
+        "b3",
+        delete_keys=spark.createDataFrame([("b",)], "aggregate_id string"),
+    )
+    latest = store.latest_version()
+
+    n = publish_changes(spark, store, topic)
+    assert n == latest + 1
+    assert _publish_hwm(topic) == latest
+
+    def content(df):
+        return sorted(
+            (r.batch_id, r.key, r.value) for r in df.collect()
+        )
+
+    baseline = content(read_published(spark, topic))
+    assert len(baseline) == 5  # 2 + 2 + 1 records across the three versions
+    # the tombstone publishes as a NULL value under its version's batch id
+    assert (f"pub-v{latest:012d}", "b", None) in baseline
+    # and an upsert's value is the state row as JSON
+    a2 = [v for b, k, v in baseline if k == "a" and "pub-v" in b]
+    assert any(v and json.loads(v) == {"aggregate_id": "a", "n": 2} for v in a2)
+
+    # caught up: a second call publishes nothing and changes nothing
+    assert publish_changes(spark, store, topic) == 0
+    assert content(read_published(spark, topic)) == baseline
+
+    # crash window: hwm write lost AFTER the last version's produce -> the
+    # restart re-publishes it. Raw log grows; deduped stream is identical.
+    raw_before = filelog.read(spark, topic).count()
+    _write_publish_hwm(topic, latest - 1)
+    assert publish_changes(spark, store, topic) == 1
+    assert filelog.read(spark, topic).count() > raw_before
+    assert content(read_published(spark, topic)) == baseline
+
+    # torn first attempt: a fresh topic where version latest's publish made
+    # only ONE key's records visible before the crash (per-partition
+    # atomicity), hwm never written -> restart re-publishes the version in
+    # full; min-offset-per-(batch_id, key) composes survivor + replay into
+    # the same consumer-visible content.
+    topic2 = str(tmp_path / "pubtopic-torn")
+    _write_publish_hwm(topic2, latest - 1)  # versions before it "published"
+    ch = store.read_changes(spark, start_version=latest, end_version=latest)
+    survivor = ch.where(F.col("aggregate_id") == "b").select(
+        F.col("aggregate_id").cast("string").alias("key"),
+        F.lit(None).cast("string").alias("value"),  # b's change IS a delete
+    )
+    filelog.produce(
+        survivor, topic2, batch_id=f"pub-v{latest:012d}", order_by=[F.col("key")]
+    )
+    assert publish_changes(spark, store, topic2) == 1
+    torn = content(read_published(spark, topic2))
+    assert torn == [x for x in baseline if x[0] == f"pub-v{latest:012d}"]
+
+    # end to end: fold the deduped stream KTable-style (latest version per
+    # key, NULL value deletes) == the store's own latest snapshot
+    pub = read_published(spark, topic).withColumn(
+        "_v", F.regexp_extract("batch_id", r"pub-v(\d{12})", 1).cast("long")
+    )
+    latest_per = (
+        pub.groupBy("key")
+        .agg(F.max_by(F.col("value"), F.col("_v")).alias("value"))
+        .where(F.col("value").isNotNull())
+        .select(
+            F.get_json_object("value", "$.aggregate_id").alias("aggregate_id"),
+            F.get_json_object("value", "$.n").cast("long").alias("n"),
+        )
+    )
+    folded = {(r.aggregate_id, r.n) for r in latest_per.collect()}
+    stored = {
+        (r.aggregate_id, r.n) for r in store.read_state(spark).collect()
+    }
+    assert folded == stored == {("a", 2), ("c", 1)}
+
+    # incremental: a new commit publishes exactly one more version
+    store.commit(None, st([("d", 9)]), "b4")
+    assert publish_changes(spark, store, topic) == 1
+    assert (
+        f"pub-v{store.latest_version():012d}",
+        "d",
+    ) in [(b, k) for b, k, _ in content(read_published(spark, topic))]
