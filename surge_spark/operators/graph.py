@@ -23,12 +23,10 @@ action per round.
 
 from __future__ import annotations
 
-import warnings
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .util import measured_broadcast  # noqa: F401 — re-exported; kcore gates on it
+from .util import fixpoint_loop, measured_broadcast  # noqa: F401 — measured_broadcast re-exported; kcore gates on it
 
 
 def connected_components(
@@ -64,22 +62,21 @@ def connected_components(
         ).first()
         return int(row["s"] or 0)
 
-    prev = checksum(comp)
-    for _ in range(max_iterations):
+    def transition(c: DataFrame, _derived) -> DataFrame:
         nbr = (
             sym.join(
-                comp.withColumnsRenamed({"id": "v", "comp": "vcomp"}), "v"
+                c.withColumnsRenamed({"id": "v", "comp": "vcomp"}), "v"
             )
             .groupBy("u")
             .agg(F.min("vcomp").alias("nmin"))
             .withColumnRenamed("u", "id")
         )
-        stepped = comp.join(nbr, "id", "left").select(
+        stepped = c.join(nbr, "id", "left").select(
             "id", F.least("comp", F.coalesce("nmin", "comp")).alias("comp")
         )
         # pointer jump: comp := comp[comp] (labels are node ids, so the
         # label's own row exists whenever the label is a non-root node)
-        jumped = (
+        return (
             stepped.alias("a")
             .join(
                 stepped.select(
@@ -89,13 +86,22 @@ def connected_components(
                 "left",
             )
             .select("id", F.coalesce("cc", "comp").alias("comp"))
-            .localCheckpoint(eager=True)
         )
-        comp = jumped
-        cur = checksum(comp)
-        if cur == prev:
-            break
-        prev = cur
+
+    comp, _, _ = fixpoint_loop(
+        state=comp,
+        transition=transition,
+        probe=checksum,
+        initial_probe=checksum(comp),
+        max_rounds=max_iterations,
+        op_name="connected_components",
+        exhausted_msg=(
+            "labels had not stabilized; components may still be merged by "
+            "further iterations (raise max_iterations for graphs with "
+            "diameter beyond ~2^iterations under pointer jumping)"
+        ),
+        eager=True,
+    )
     return comp.select("id", F.col("comp").alias("component"))
 
 
@@ -164,8 +170,7 @@ def kcore_converged(
         .distinct()
         .count()
     )
-    rounds = 0
-    for _ in range(max_rounds):
+    def pre_probe(cur: DataFrame):
         if bipartite:
             keep = (
                 cur.select(F.col("src").alias("n"))
@@ -198,37 +203,38 @@ def kcore_converged(
                 .distinct()
                 .count()
             )
-        if n_keep == n_nodes:
-            break
-        rounds += 1
-        # lazy checkpoint + unpersist-before-materialize is SAFE here and
-        # measured no slower than eager (r10 A/B at sf0.1, interleaved:
-        # lazy 5.94/6.25 s vs eager 7.13/6.38): for rounds > 1 `cur` is
-        # itself a materialized localCheckpoint whose blocks are separate
-        # from the cache — unpersist() drops only the StorageLevel, so
-        # nxt's later evaluation reads the checkpoint, no recompute. Only
-        # round 1's plain-persisted edge frame re-derives (3 references,
-        # small distinct subtree), and the lazy form fuses nxt's
-        # materialization into the next round's first aggregate job —
-        # one job fewer per round, which offsets that one recompute.
-        nxt = (
-            cur.join(keep_src, "src", "left_semi")
-            .join(keep_dst, "dst", "left_semi")
-            .localCheckpoint(eager=False)
+        return (keep_src, keep_dst), n_keep
+
+    # lazy checkpoint + unpersist-before-materialize is SAFE here and
+    # measured no slower than eager (r10 A/B at sf0.1, interleaved:
+    # lazy 5.94/6.25 s vs eager 7.13/6.38): for rounds > 1 `cur` is
+    # itself a materialized localCheckpoint whose blocks are separate
+    # from the cache — unpersist() drops only the StorageLevel, so
+    # nxt's later evaluation reads the checkpoint, no recompute. Only
+    # round 1's plain-persisted edge frame re-derives (3 references,
+    # small distinct subtree), and the lazy form fuses nxt's
+    # materialization into the next round's first aggregate job —
+    # one job fewer per round, which offsets that one recompute.
+    def transition(cur: DataFrame, derived) -> DataFrame:
+        keep_src, keep_dst = derived
+        return cur.join(keep_src, "src", "left_semi").join(
+            keep_dst, "dst", "left_semi"
         )
-        cur.unpersist()
-        cur, n_nodes = nxt, n_keep
-    else:
-        # max_rounds exhausted without the node-set fixpoint: the result
-        # is a truncated peel, not a k-core. rounds == max_rounds is the
-        # machine-checkable sentinel (a converged exit always breaks with
-        # rounds < max_rounds); warn so interactive callers see it too.
-        warnings.warn(
-            f"kcore_converged stopped after max_rounds={max_rounds} without "
-            "reaching the node-set fixpoint; result is a truncated peel",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+
+    cur, rounds, _ = fixpoint_loop(
+        state=cur,
+        transition=transition,
+        pre_probe=pre_probe,
+        initial_probe=n_nodes,
+        max_rounds=max_rounds,
+        op_name="kcore_converged",
+        # rounds == max_rounds is the machine-checkable sentinel (a
+        # converged exit always breaks with rounds < max_rounds)
+        exhausted_msg=(
+            "the node-set fixpoint was not reached; "
+            "result is a truncated peel, not a k-core"
+        ),
+    )
     return cur, rounds
 
 
@@ -325,14 +331,13 @@ def lpa_converged(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=False)
     )
-    prev = checksum(labels)
-    rounds = 0
-    for _ in range(max_rounds):
+
+    def transition(lb: DataFrame, _derived) -> DataFrame:
         nbr = sym.join(
-            labels.withColumnsRenamed({"node": dst}), dst
+            lb.withColumnsRenamed({"node": dst}), dst
         ).select(F.col(src).alias("v"), "label")
         counts = nbr.groupBy("v", "label").agg(F.count(F.lit(1)).alias("cnt"))
-        nxt = (
+        return (
             counts.groupBy("v")
             .agg(
                 F.max_by(
@@ -340,21 +345,18 @@ def lpa_converged(
                 ).alias("label")
             )
             .withColumnsRenamed({"v": "node"})
-            .localCheckpoint(eager=False)
         )
-        cur = checksum(nxt)
-        labels.unpersist()
-        labels = nxt
-        if cur == prev:
-            break
-        prev = cur
-        rounds += 1
-    else:
-        warnings.warn(
-            f"lpa_converged stopped after max_rounds={max_rounds} without "
-            "label stability (synchronous LPA can oscillate); result is "
-            "the last round's labeling",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+
+    labels, rounds, _ = fixpoint_loop(
+        state=labels,
+        transition=transition,
+        probe=checksum,
+        initial_probe=checksum(labels),
+        max_rounds=max_rounds,
+        op_name="lpa_converged",
+        exhausted_msg=(
+            "label stability was not reached (synchronous LPA can "
+            "oscillate); result is the last round's labeling"
+        ),
+    )
     return labels, rounds
