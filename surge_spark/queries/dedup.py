@@ -14,6 +14,7 @@ simhash votes/pack — a full value oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -1038,10 +1039,31 @@ def t_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE df.df BETWEEN 2 AND 1000 AND df.df < nd
     ),
     norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+    wn AS (
+      SELECT w.id, w.shingle, w.w / nm.nrm AS xh
+      FROM w JOIN norms nm USING (id)
+    ),
+    ub AS (SELECT shingle, max(xh) AS ub FROM wn GROUP BY shingle),
+    pref AS (
+      SELECT id, shingle FROM (
+        SELECT wn.id, wn.shingle,
+               sum(wn.xh * ub.ub) OVER (
+                 PARTITION BY wn.id ORDER BY ub.ub, wn.shingle
+                 ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM wn JOIN ub USING (shingle)
+      ) WHERE cum >= 0.5
+    ),
+    cand AS (
+      SELECT DISTINCT p.id AS id_a, f.id AS id_b
+      FROM pref p JOIN w f ON p.shingle = f.shingle AND p.id < f.id
+    ),
     dots AS (
-      SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
-      FROM w a JOIN w b ON a.shingle = b.shingle AND a.id < b.id
-      GROUP BY a.id, b.id
+      SELECT c.id_a, c.id_b, sum(a.w * b.w) AS dot
+      FROM cand c
+      JOIN w a ON a.id = c.id_a
+      JOIN w b ON b.id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
     )
     SELECT d.id_a, d.id_b,
            CAST(round(d.dot / (na.nrm * nb.nrm), 6) AS DOUBLE) AS cosine
@@ -1063,7 +1085,34 @@ def d_idf_weighted_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair's dot (nothing shared / zero weight). Postings are
     localCheckpointed: three consumers (norms + both join sides) would
     re-run shingling multiplicatively. Docs with no banded shingle never
-    enter pairs, so norms are strictly positive wherever used."""
+    enter pairs, so norms are strictly positive wherever used.
+
+    r12 (VERDICT task 8): Bayardo's PREFIX FILTER now cuts the candidate
+    join beyond the df cap. In unit-normalized space (x̂ = w/‖w‖, so
+    cos = Σ x̂_a x̂_b over shared shingles), sort each doc's postings by
+    ascending per-shingle GLOBAL max normalized weight ub(s) =
+    max_d x̂_{d,s}; the running sum cum = Σ x̂·ub along that order bounds
+    what any partner can score from the features seen so far, so every
+    posting with cum < t is SUFFIX — a pair all of whose shared shingles
+    sit in the smaller id's suffix has cos ≤ Σ_suffix x̂·ub < t and
+    cannot qualify. Candidates therefore come from PREFIX(smaller id) ⋈
+    FULL postings (one-sided prefix — prefix-prefix joins need a 2t
+    bound and would lose pairs), and the exact dot is then re-aggregated
+    over the candidates' full posting lists, so the OUTPUT is provably
+    identical to the unfiltered all-pairs join (exact verification over
+    supersets of the qualifying pairs; a last-ulp difference in either
+    engine's ln/÷ can flip a boundary posting between prefix and suffix
+    without touching the result). The oracle mirrors the whole rule.
+    Measured at sf0.1: candidate pairs 38937 → 21711 (-44%). Honest
+    wall-time A/B (interleaved new,old,old,new, median of 3 each): the
+    filtered form is SLOWER here — 2.17/2.57 s vs 1.73/1.75 s — because
+    the filter's extra stages (norm join + ub aggregate + per-doc window
+    + candidate re-join) cost more than 17k cheap pairs save at this SF.
+    Kept anyway, the pruned-LSH precedent exactly: at corpus scale the
+    candidate fan-out is Σ df_prefix·df instead of Σ df², and pair
+    verification (not stage count) is what explodes — the df band alone
+    admits up to 10⁶ partials per shingle."""
+    t = 0.5
     docs = load_table(spark, sf_dir, "documents")
     sh = dd.shingles(docs, "doc_id", "text", 4, distinct=True)
     n = docs.agg(F.count(F.lit(1)).alias("nd"))
@@ -1086,17 +1135,42 @@ def d_idf_weighted_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
         .localCheckpoint(eager=False)  # consumers: both pair-side joins
     )
-    a = w.alias("a")
-    b = w.alias("b")
+    wn = w.join(norms, "id").select(
+        "id", "shingle", (F.col("w") / F.col("nrm")).alias("xh")
+    )
+    ub = wn.groupBy("shingle").agg(F.max("xh").alias("ub"))
+    # per-doc running potential in (ub, shingle) order — ROWS frame, and
+    # (ub, shingle) is a total order within a doc (shingles are distinct),
+    # so both engines fold the identical sequence left to right
+    win = (
+        W.partitionBy("id")
+        .orderBy("ub", "shingle")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pref = (
+        wn.join(ub, "shingle")
+        .withColumn("cum", F.sum(F.col("xh") * F.col("ub")).over(win))
+        .where(F.col("cum") >= t)
+        .select("id", "shingle")
+    )
+    cand = (
+        pref.alias("p")
+        .join(
+            w.alias("f"),
+            (F.col("p.shingle") == F.col("f.shingle"))
+            & (F.col("p.id") < F.col("f.id")),
+        )
+        .select(F.col("p.id").alias("id_a"), F.col("f.id").alias("id_b"))
+        .distinct()
+    )
     dots = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
+        cand.join(w.alias("a"), F.col("id_a") == F.col("a.id"))
+        .join(
+            w.alias("b"),
+            (F.col("id_b") == F.col("b.id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
         )
-        .groupBy(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-        )
+        .groupBy("id_a", "id_b")
         .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
     )
     na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
