@@ -289,6 +289,100 @@ def bench_streaming(spark) -> dict:
             many_samples.append(time.perf_counter() - s)
             assert all(r.is_success for r in results)
         many_s = st.median(many_samples)
+
+        # ---- high-cardinality block (r11 VERDICT task 4): the blocks
+        # above measure 128 keys / 16 buckets — a toy KTable. This one
+        # seeds a 65 536-key snapshot (num_buckets=64, ~1k keys/bucket)
+        # and re-measures the three SLO paths against it: batch ack
+        # (driver-fold's batched arrow point read must PRUNE to the
+        # touched buckets, not scan the snapshot), get_state (single-
+        # bucket pyarrow fetch at cardinality), and submit_many over
+        # 2048 DISTINCT keys (the distributed fold's latest-wins
+        # aggregate + co-partitioned join at real snapshot width).
+        # Guarded like the skew block: a failure here reports its own
+        # error key and zeroes nothing above.
+        hc: dict = {}
+        try:
+            hc_keys = 65536
+            hc_eng = SurgeEngine(
+                spark,
+                SurgeModel(
+                    process_command=process,
+                    handle_event=handle,
+                    state_schema="aggregate_id string, n long",
+                    event_schema="aggregate_id string",
+                ),
+                f"{root}/hc-store",
+                fold_partitions=4,
+                num_buckets=64,
+            )
+            seed = spark.range(hc_keys).selectExpr(
+                "CAST(id AS STRING) AS aggregate_id", "CAST(5 AS LONG) AS n"
+            )
+            hc_eng._store.commit(None, seed, "hc-seed", updates_unique=True)
+
+            # batch ack at cardinality: 4 micro-batches x 128 commands on
+            # spread-out keys (9973 is coprime to 65536 => all distinct)
+            hc_cmds = f"{root}/hc-cmds"
+            hc_rows = [
+                (str((i * 9973) % hc_keys), f"cmd-{i:012d}")
+                for i in range(512)
+            ]
+            (
+                spark.createDataFrame(
+                    hc_rows, "aggregate_id string, command_id string"
+                )
+                .repartition(4)
+                .write.parquet(hc_cmds)
+            )
+            hc_stream = (
+                spark.readStream.schema(
+                    "aggregate_id string, command_id string"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(hc_cmds)
+            )
+            hq = hc_eng._engine.run_stream(hc_stream, f"{root}/hc-ckpt")
+            hq.awaitTermination()
+            hc_batch_s = [
+                p["durationMs"]["triggerExecution"] / 1000.0
+                for p in (hq.recentProgress or [])
+                if p.get("numInputRows", 0) > 0
+            ]
+            # every streamed command folded on top of the seeded n=5
+            probe_key = str((3 * 9973) % hc_keys)
+            got = hc_eng._store.get_state(spark, probe_key)
+            assert got is not None and got["n"] == 6, got
+
+            hc_reads = []
+            for i in range(7):
+                k = str((i * 31337) % hc_keys)
+                s = time.perf_counter()
+                hc_eng._store.get_state(spark, k)
+                hc_reads.append(time.perf_counter() - s)
+
+            hc_many_samples = []
+            for rep in range(3):
+                hc_many = [
+                    (str((rep * 2048 + i) % hc_keys), {"kind": "bump"})
+                    for i in range(2048)
+                ]
+                s = time.perf_counter()
+                hc_res = hc_eng.submit_many(hc_many)
+                hc_many_samples.append(time.perf_counter() - s)
+                assert all(r.is_success for r in hc_res)
+            hc = {
+                "hc_n_keys": hc_keys,
+                "hc_batch_ack_s_median": (
+                    round(st.median(hc_batch_s), 3) if hc_batch_s else None
+                ),
+                "hc_get_state_s_median": round(st.median(hc_reads), 4),
+                "hc_submit_many_cmds_per_s": round(
+                    2048 / st.median(hc_many_samples), 1
+                ),
+            }
+        except Exception as exc:  # noqa: BLE001 — hc block is additive
+            hc = {"hc_error": str(exc).split("\n")[0][:200]}
         return {
             "n_commands": n_commands,
             "n_batches": len(batch_s),
@@ -306,6 +400,7 @@ def bench_streaming(spark) -> dict:
             "submit_many_cmds_per_s": round(len(many) / many_s, 1),
             "get_state_point_read_s_median": round(st.median(reads), 4),
             "state_visible_same_batch": visible,
+            **hc,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

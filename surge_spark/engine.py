@@ -101,6 +101,7 @@ class SurgeEngine:
         fold_partitions: int | None = None,
         delta_commits: int | None = 16,
         change_feed: bool = False,
+        num_buckets: int | None = None,
     ) -> None:
         """``fold_partitions`` right-sizes the per-batch fold shuffle for
         command-sized batches (see CommandEngine.__init__); the facade's
@@ -117,7 +118,13 @@ class SurgeEngine:
         dirs are free records regardless). Required on an engine whose
         store is a DR-replication primary (replicate_changes /
         run_change_replication), and on a promoted standby that may itself
-        be re-replicated."""
+        be re-replicated.
+
+        ``num_buckets``: the store's crc32 bucket count (None = the store
+        default) — a deployment knob sized to key cardinality, same as the
+        raw SnapshotStore's; the facade passes it through so
+        high-cardinality engines don't funnel every key into a handful of
+        bucket files."""
         self._spark = spark
         self._model = model
         self._store = SnapshotStore(
@@ -125,6 +132,7 @@ class SurgeEngine:
             key_col=model.key_col,
             delta_commits=delta_commits,
             change_feed=change_feed,
+            **({"num_buckets": num_buckets} if num_buckets is not None else {}),
         )
         self._engine = CommandEngine(
             self._store,
