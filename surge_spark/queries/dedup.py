@@ -1299,3 +1299,150 @@ def d_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+@query(
+    "d_minhash_estimate_error_audit",
+    oracle=f"""
+    WITH {_duck_shingles(4)},
+    {_duck_minhash_md5(64)},
+    bands AS (
+      SELECT id, u.b AS band,
+             array_to_string(s[u.b * 4 + 1 : u.b * 4 + 4], ',') AS key
+      FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS b) u
+    ),
+    sized AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
+    okb AS (
+      SELECT bands.* FROM bands JOIN sized USING (band, key) WHERE c <= 5000
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM okb a JOIN okb b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(range(1, 65), i -> sa.s[i] = sb.s[i]))
+               AS n_match
+      FROM cand c
+      JOIN sig sa ON sa.id = c.id_a
+      JOIN sig sb ON sb.id = c.id_b
+    ),
+    sizes AS (SELECT id, count(*) AS ns FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS nc
+      FROM cand c
+      JOIN sh x ON x.id = c.id_a
+      JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT e.id_a, e.id_b,
+           CAST(e.n_match AS BIGINT) AS n_match,
+           CAST(round(e.n_match / 64.0, 6) AS DOUBLE) AS est_jaccard,
+           CAST(round(i.nc / (sa.ns + sb.ns - i.nc), 6) AS DOUBLE)
+             AS true_jaccard,
+           CAST(round(abs(round(e.n_match / 64.0, 6)
+                          - round(i.nc / (sa.ns + sb.ns - i.nc), 6)), 6)
+                AS DOUBLE) AS abs_err
+    FROM est e
+    JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    JOIN sizes sa ON sa.id = e.id_a
+    JOIN sizes sb ON sb.id = e.id_b
+    """,
+)
+def d_minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ESTIMATION-accuracy member of the sketch-audit family
+    (d_lsh_recall_audit measures what the bands MISS; this measures how
+    far the signature's Jaccard ESTIMATE sits from the exact value on
+    the pairs it finds — the number that justifies verifying with the
+    real shingle join instead of trusting the sketch): for every md5-LSH
+    candidate pair, the fraction of agreeing signature positions
+    (the unbiased MinHash estimator, E[matches]/k = J) beside the exact
+    shingle Jaccard and their absolute gap. k=64 gives σ ≈ sqrt(J(1-J)/64)
+    ≈ 0.06 at J=0.5 — visible in the output, which is the point.
+    Signatures are localCheckpointed (three consumers: banding + both
+    estimate join sides); the estimate comparison is a 64-element
+    zip-filter per pair over the bounded candidate set; the exact side
+    reuses the shared one-scan verification at threshold 0 (candidates
+    with a shared band share the argmin shingle, so n_common >= 1 —
+    zero-overlap candidates are hash-collision-grade events)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.shingles(docs, "doc_id", "text", 4, distinct=True)
+    sig = dd.minhash_signatures(
+        dd.shingles(docs, "doc_id", "text", 4, distinct=False),
+        64,
+        hash_fn="md5",
+    ).localCheckpoint(eager=False)
+    cand = dd.lsh_candidates(sig, bands=16, rows_per_band=4, max_bucket=5000)
+    est = (
+        cand.join(
+            sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))"
+            ).cast("long").alias("n_match"),
+        )
+    )
+    true_j = dd._verified_jaccard(cand, sh, 0.0)
+    est_r = F.round(F.col("n_match") / 64.0, 6)
+    return (
+        est.join(true_j, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "n_match",
+            est_r.alias("est_jaccard"),
+            F.col("jaccard").alias("true_jaccard"),
+            F.round(F.abs(est_r - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )
+
+
+@query(
+    "d_dup_cluster_size_histogram",
+    oracle="""
+    WITH fp AS (
+      SELECT md5(substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                            'g')), 1, 60)) AS h
+      FROM documents
+    ),
+    g AS (SELECT h, count(*) AS sz FROM fp GROUP BY h),
+    hist AS (SELECT sz, count(*) AS n_clusters FROM g GROUP BY sz)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(sz * n_clusters AS BIGINT) AS n_docs
+    FROM hist
+    """,
+)
+def d_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE DISTRIBUTION — the dataset-card view of
+    dedup impact (dedup rates say how many docs go; the size histogram
+    says whether they go as a few giant boilerplate clusters or a long
+    tail of pairs, which decides whether exact dedup alone is enough):
+    docs group by the prefix-60 normalized fingerprint (the
+    d_cross_source_leakage channel — raw-text md5 is VACUOUS at oracle
+    scales on this corpus), cluster sizes histogram into (size,
+    n_clusters, n_docs). Two stacked partial+final aggregates on the
+    32-byte key; text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        F.md5(F.substring(dd.normalize_text("text"), 1, 60)).alias("h")
+    )
+    g = fp.groupBy("h").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        g.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )

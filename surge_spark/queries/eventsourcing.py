@@ -1951,3 +1951,130 @@ def m_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "m_apdex_score",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             count(*) AS total,
+             sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS satisfied,
+             sum(CASE WHEN value > 100 AND value <= 400 THEN 1 ELSE 0 END)
+               AS tolerating
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(total AS BIGINT) AS total,
+           CAST(satisfied AS BIGINT) AS satisfied,
+           CAST(tolerating AS BIGINT) AS tolerating,
+           CAST(((2 * satisfied + tolerating) * 1000) // (2 * total)
+                AS BIGINT) AS apdex_x1000
+    FROM c
+    """,
+)
+def m_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex (Application Performance Index) per event type — the SRE
+    satisfaction score beside m_error_budget_burn: value read as a
+    latency, satisfied <= T (100), tolerating <= 4T, and apdex =
+    (satisfied + tolerating/2) / total. Shipped as INTEGER permille via
+    (2*satisfied + tolerating)*1000 div (2*total) — the half-weight
+    never materializes as a float, so there is no rounding channel at
+    all (the m_cohort_ltv integer-cents discipline). One partial+final
+    aggregate over the scan; conditional sums, no join."""
+    e = _events(spark, sf_dir)
+    c = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("value") <= 100, 1).otherwise(0)).alias(
+            "satisfied"
+        ),
+        F.sum(
+            F.when((F.col("value") > 100) & (F.col("value") <= 400), 1)
+            .otherwise(0)
+        ).alias("tolerating"),
+    )
+    return c.select(
+        "event_type",
+        "total",
+        "satisfied",
+        "tolerating",
+        F.expr(
+            "CAST(((2 * satisfied + tolerating) * 1000) div (2 * total)"
+            " AS BIGINT)"
+        ).alias("apdex_x1000"),
+    )
+
+
+@query(
+    "m_markov_prediction_accuracy",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS nxt,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    trans AS (
+      SELECT prev, nxt, count(*) AS cnt FROM seq
+      WHERE prev IS NOT NULL GROUP BY prev, nxt
+    ),
+    model AS (
+      SELECT prev, nxt AS predicted FROM (
+        SELECT prev, nxt, row_number() OVER (
+          PARTITION BY prev ORDER BY cnt DESC, nxt ASC
+        ) AS rn FROM trans
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT s.prev, s.nxt, m.predicted FROM seq s JOIN model m
+        ON s.prev = m.prev
+    )
+    SELECT prev AS from_type,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           min(predicted) AS predicted,
+           CAST(sum(CASE WHEN nxt = predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST((sum(CASE WHEN nxt = predicted THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS accuracy_ppm
+    FROM scored GROUP BY prev
+    """,
+)
+def m_markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-sample next-event prediction accuracy of the first-order Markov
+    model — the evaluation half of m_event_transition_matrix (fitting a
+    transition matrix is pointless if nobody measures whether argmax over
+    it beats chance): predicted(prev) = the modal next type (ties to the
+    LEXICOGRAPHICALLY SMALLEST type via the deterministic
+    max_by(struct(cnt, -first_codepoint)) trick — Spark's mode() has
+    partial-order-dependent tie winners, the a_mode_per_group lesson;
+    the 5 event types have distinct first letters so one codepoint IS
+    the total order, asserted in tests), accuracy = fraction of observed
+    transitions whose next type equals the prediction, as integer ppm.
+    One lag window, one |types|^2 aggregate, a broadcast-size model join
+    back onto the transition stream."""
+    e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("nxt"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    trans = seq.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("cnt"))
+    model = trans.groupBy("prev").agg(
+        F.max_by(
+            F.col("nxt"),
+            F.struct(F.col("cnt"), -F.ascii(F.col("nxt"))),
+        ).alias("predicted")
+    )
+    scored = seq.join(F.broadcast(model), "prev")
+    return scored.groupBy(F.col("prev").alias("from_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.min("predicted").alias("predicted"),
+        F.sum(
+            F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0)
+        ).alias("n_correct"),
+        F.expr(
+            "CAST((sum(CASE WHEN nxt = predicted THEN 1 ELSE 0 END)"
+            " * 1000000) div count(*) AS BIGINT)"
+        ).alias("accuracy_ppm"),
+    )

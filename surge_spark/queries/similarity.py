@@ -1465,3 +1465,90 @@ def sim_cluster_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.avg("nmargin"), 6).alias("mean_margin"),
     )
+
+
+@query(
+    "sim_centroid_drift",
+    oracle="""
+    WITH pos AS (
+      SELECT e.label, e.vec_id % 2 AS par, u.i AS pos,
+             CAST(e.embedding[u.i] AS DOUBLE) AS val
+      FROM embeddings e,
+           LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) u
+    ),
+    cent AS (
+      SELECT label, pos,
+             round(avg(CASE WHEN par = 0 THEN val END), 6) AS a,
+             round(avg(CASE WHEN par = 1 THEN val END), 6) AS b,
+             sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS na0,
+             sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS nb0
+      FROM pos GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(min(na0) AS BIGINT) AS n_even,
+           CAST(min(nb0) AS BIGINT) AS n_odd,
+           CAST(round(sum(a * b)
+                / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 6) AS DOUBLE)
+             AS centroid_cosine
+    FROM cent
+    GROUP BY label
+    HAVING min(na0) > 0 AND min(nb0) > 0
+       AND sum(a * a) > 0 AND sum(b * b) > 0
+    """,
+)
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor: split the corpus into two halves by
+    vec_id parity (a deterministic stand-in for 'last week vs this
+    week'), compute each label's per-half centroid, and report the
+    cosine between the halves' centroids — the production check that an
+    embedding model update or a data shift hasn't rotated a class's
+    region (cosine near 1 = stable; ANN recall and classifier
+    thresholds survive). One posexplode pass + two stacked aggregates —
+    centroids via conditional avg per (label, dim, parity), cosine from
+    the per-label moment sums; no window, no join, no collect.
+    Centroids are ROUNDED TO 6 before the cosine (the
+    sim_label_centroid_accuracy precedent: per-dim avg is an
+    order-dependent float sum, so both engines must score the identical
+    rounded model). Labels missing a half or with a zero-norm centroid
+    are dropped on both sides (the NaN-comparison guard)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("par"),
+        F.posexplode(F.col("embedding")).alias("pos0", "val0"),
+    ).select(
+        "label",
+        "par",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val0").cast("double").alias("val"),
+    )
+    cent = pos.groupBy("label", "pos").agg(
+        F.round(F.avg(F.when(F.col("par") == 0, F.col("val"))), 6).alias("a"),
+        F.round(F.avg(F.when(F.col("par") == 1, F.col("val"))), 6).alias("b"),
+        F.sum(F.when(F.col("par") == 0, 1).otherwise(0)).alias("na0"),
+        F.sum(F.when(F.col("par") == 1, 1).otherwise(0)).alias("nb0"),
+    )
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.min("na0").alias("n_even"),
+            F.min("nb0").alias("n_odd"),
+            F.sum(F.col("a") * F.col("b")).alias("ab"),
+            F.sum(F.col("a") * F.col("a")).alias("aa"),
+            F.sum(F.col("b") * F.col("b")).alias("bb"),
+        )
+        .where(
+            (F.col("n_even") > 0)
+            & (F.col("n_odd") > 0)
+            & (F.col("aa") > 0)
+            & (F.col("bb") > 0)
+        )
+        .select(
+            "label",
+            "n_even",
+            "n_odd",
+            F.round(
+                F.col("ab") / (F.sqrt(F.col("aa")) * F.sqrt(F.col("bb"))), 6
+            ).alias("centroid_cosine"),
+        )
+    )

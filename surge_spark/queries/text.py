@@ -2001,3 +2001,63 @@ def a_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_estimate") - F.col("cnt")).alias("overestimate"),
         )
     )
+
+
+@query(
+    "t_zipf_slope",
+    oracle=f"""
+    WITH toks AS (
+      SELECT token FROM (
+        SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+      ) WHERE token <> ''
+    ),
+    vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rnk
+      FROM vocab
+    ),
+    top AS (SELECT * FROM ranked WHERE rnk <= 1000)
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(round(regr_slope(ln(CAST(cnt AS DOUBLE)),
+                                 ln(CAST(rnk AS DOUBLE))), 6) AS DOUBLE)
+             AS zipf_slope,
+           CAST(round(regr_intercept(ln(CAST(cnt AS DOUBLE)),
+                                     ln(CAST(rnk AS DOUBLE))), 6) AS DOUBLE)
+             AS zipf_intercept,
+           CAST(round(regr_r2(ln(CAST(cnt AS DOUBLE)),
+                              ln(CAST(rnk AS DOUBLE))), 6) AS DOUBLE)
+             AS zipf_r2
+    FROM top
+    """,
+)
+def t_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the unigram frequency table — the corpus-level
+    twin of g_degree_powerlaw_slope (same moment-based log-log
+    regression, natural-language edition): rank terms by frequency, fit
+    ln(freq) ~ ln(rank) over the top 1000, and the slope ≈ -1 for
+    natural text (Zipf) — a corpus whose slope is far off is synthetic,
+    truncated, or boilerplate-dominated, which makes this a dataset-card
+    diagnostic beside t_source_stats. Ties rank deterministically by
+    (count DESC, token ASC) on both engines; the rank window runs over
+    the VOCAB table (bounded, ≪ corpus — the t_inverted_index scale
+    argument) and the 1000-cap makes the windowed frame constant-size
+    regardless of vocabulary growth."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(dd.tokens("text")).alias("token")
+    ).where(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = vocab.select(
+        "cnt",
+        F.row_number()
+        .over(W.orderBy(F.desc("cnt"), F.asc("token")))
+        .alias("rnk"),
+    ).where(F.col("rnk") <= 1000)
+    ly = F.log(F.col("cnt").cast("double"))
+    lx = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(ly, lx), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ly, lx), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(ly, lx), 6).alias("zipf_r2"),
+    )

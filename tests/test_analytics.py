@@ -320,3 +320,98 @@ def test_cusum_step_state_invariants(devs):
         assert alarms >= prev
     _, _, a2 = cusum_step(0.0, 0.0, 0, 100.0)
     assert a2 == 1
+
+
+def test_apdex_score_bounds_and_identity(spark, sf_dir):
+    """Apdex invariants the hash oracle can't state: satisfied + tolerating
+    <= total per type, and the integer-permille score equals the textbook
+    (sat + tol/2)/total formula within one permille unit (floor division
+    never rounds up)."""
+    rows = all_queries()["m_apdex_score"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.satisfied + r.tolerating <= r.total
+        assert 0 <= r.apdex_x1000 <= 1000
+        exact = (r.satisfied + r.tolerating / 2.0) / r.total * 1000
+        assert exact - 1 < r.apdex_x1000 <= exact
+
+
+def test_markov_prediction_accuracy_invariants(spark, sf_dir):
+    """(a) the five event types have DISTINCT FIRST LETTERS — the Spark
+    side's max_by(struct(cnt, -ascii)) tiebreak equals the oracle's full
+    lexicographic ORDER BY only under that premise, so it must be pinned,
+    not assumed; (b) accuracy beats uniform chance being impossible is not
+    guaranteed, but n_correct <= n_transitions and ppm is exact floor."""
+    from surge_spark.io import load_table
+
+    types = [
+        r.event_type
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .collect()
+    ]
+    firsts = [t[0] for t in types]
+    assert len(set(firsts)) == len(firsts), types
+    rows = all_queries()["m_markov_prediction_accuracy"](spark, sf_dir).collect()
+    assert rows and {r.from_type for r in rows} <= set(types)
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_transitions
+        assert r.accuracy_ppm == r.n_correct * 1_000_000 // r.n_transitions
+        assert r.predicted in types
+
+
+def test_zipf_slope_is_negative(spark, sf_dir):
+    """Frequency is non-increasing in rank BY CONSTRUCTION (rank orders by
+    count desc), so the log-log least-squares slope over >= 2 distinct
+    frequencies must be <= 0; r2 lives in [0, 1]."""
+    r = all_queries()["t_zipf_slope"](spark, sf_dir).collect()[0]
+    assert r.n_terms >= 2
+    assert r.zipf_slope <= 0
+    assert 0.0 <= r.zipf_r2 <= 1.0
+
+
+def test_centroid_drift_cosine_bounds(spark, sf_dir):
+    """Cauchy-Schwarz: the centroid cosine is in [-1, 1] (a hair of
+    round-6 slack), and both halves are populated wherever a row ships."""
+    rows = all_queries()["sim_centroid_drift"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.000001 <= r.centroid_cosine <= 1.000001
+        assert r.n_even > 0 and r.n_odd > 0
+
+
+def test_minhash_estimate_error_audit_consistency(spark, sf_dir):
+    """The audit's pairs are exactly the md5-LSH candidate pairs that the
+    verified md5 entry draws from: every pair the production md5 entry
+    ships (jaccard >= 0.5) must appear in the audit with the SAME exact
+    jaccard; estimates and truths live in [0, 1]; abs_err is their
+    rounded gap."""
+    q = all_queries()
+    audit = {
+        (r.id_a, r.id_b): r
+        for r in q["d_minhash_estimate_error_audit"](spark, sf_dir).collect()
+    }
+    assert audit
+    for r in audit.values():
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 < r.true_jaccard <= 1.0
+        assert abs(r.abs_err - round(abs(r.est_jaccard - r.true_jaccard), 6)) < 1e-9
+        assert r.n_match == round(r.est_jaccard * 64)
+    shipped = q["d_minhash_lsh_neardup_md5"](spark, sf_dir).collect()
+    assert shipped
+    for s in shipped:
+        a = audit.get((s.id_a, s.id_b))
+        assert a is not None and abs(a.true_jaccard - s.jaccard) < 1e-9
+
+
+def test_dup_cluster_histogram_mass_conservation(spark, sf_dir):
+    """sum(cluster_size * n_clusters) must equal the corpus size — the
+    histogram partitions every document exactly once."""
+    from surge_spark.io import load_table
+
+    rows = all_queries()["d_dup_cluster_size_histogram"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(r.n_docs == r.cluster_size * r.n_clusters for r in rows)
+    assert any(r.cluster_size > 1 for r in rows)  # the prefix-60 channel
