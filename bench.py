@@ -75,6 +75,9 @@ HEADLINE = [
     "j_bloom_prefilter_join",      # broadcast bloom fact-scan pre-filter (new r11)
     "d_semdedup_keepers",          # SemDeDup component keepers on the semantic graph (new r11)
     "d_lsh_recall_audit",          # banding recall vs exact ground truth (new r11; a recall collapse = real regression)
+    # r12
+    "d_idf_weighted_neardup",      # Bayardo prefix-filtered all-pairs (r12; tracks the filter's stage overhead vs pair cut)
+    "sim_ivf_recall_audit",        # IVF recall@10 vs brute force (r12; the ANN-quality canary)
 ]
 
 N_RUNS = 3

@@ -1552,3 +1552,117 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cosine"),
         )
     )
+
+
+@query(
+    "sim_ivf_recall_audit",
+    oracle=f"""
+    WITH {_DUCK_ASSIGN},
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id < 5),
+    q_probe AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT q.query_id, q.qe, c.cell,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_sum(list_transform(range(1, len(q.qe) + 1),
+                          i -> CAST(q.qe[i] AS DOUBLE) * c.c[i])) DESC,
+                          c.cell DESC
+               ) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 4
+    ),
+    ivf AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT query_id, corpus_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, corpus_id
+               ) AS rank
+        FROM (
+          SELECT DISTINCT p.query_id, a.vec_id AS corpus_id,
+                 {_DUCK_COSINE.format(a="a.embedding", b="p.qe")} AS cosine
+          FROM q_probe p JOIN assigned a ON p.cell = a.cell
+          WHERE a.vec_id <> p.query_id
+        )
+      ) WHERE rank <= 10
+    ),
+    exact AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT q.query_id, e.vec_id AS corpus_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_DUCK_COSINE.format(a="e.embedding", b="q.qe")}
+                          DESC, e.vec_id
+               ) AS rank
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rank <= 10
+    )
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(i.corpus_id) AS BIGINT) AS n_found,
+           CAST((count(i.corpus_id) * 1000000) // count(*) AS BIGINT)
+             AS recall_ppm
+    FROM exact e LEFT JOIN ivf i
+      ON i.query_id = e.query_id AND i.corpus_id = e.corpus_id
+    GROUP BY e.query_id
+    """,
+)
+def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF index against exact brute force — the ANN
+    member of the sketch-audit family (d_lsh_recall_audit audits the
+    dedup bands; this audits the retrieval index the similarity entries
+    ship): per query, how many of the TRUE top-10 the probe-4-of-8-cells
+    search returns. recall < 1 here is the honest cost of skipping 4
+    cells — the number a deployment tunes nprobe against. Both sides
+    rank by the identical left-fold cosine (ties to the lower corpus
+    id); the IVF side is the sim_ann_ivf_topk pipeline verbatim (same
+    FIXED_CENTS, probe ties to the HIGHER cell), the exact side one
+    broadcast-queries corpus pass. Output is all-integer (counts + ppm
+    floor division) — zero float channels."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    ivf = sim.ann_topk_ivf(
+        emb, queries, "vec_id", "embedding", k=10, n_cells=8, nprobe=4,
+        centroids=FIXED_CENTS,
+    ).select("query_id", "corpus_id")
+    qb = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ce"))
+        .crossJoin(F.broadcast(qb))
+        .where(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            (
+                sim.dot(sim._as_double(F.col("ce")), sim._as_double(F.col("qe")))
+                / (
+                    sim.norm(sim._as_double(F.col("ce")))
+                    * sim.norm(sim._as_double(F.col("qe")))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    exact = (
+        pairs.select("query_id", "corpus_id", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "corpus_id")
+    )
+    return (
+        exact.join(
+            ivf.withColumn("found", F.lit(1)),
+            ["query_id", "corpus_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("found").alias("n_found"),
+            F.expr(
+                "CAST((count(found) * 1000000) div count(1) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )

@@ -2061,3 +2061,181 @@ def t_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(ly, lx), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(ly, lx), 6).alias("zipf_r2"),
     )
+
+
+@query(
+    "t_bm25_prf_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+      ) WHERE token <> ''
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf1 AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks
+      WHERE token IN ('window', 'merge', 'customer')
+      GROUP BY doc_id, token
+    ),
+    df1 AS (SELECT token, count(*) AS df FROM tf1 GROUP BY token),
+    s1 AS (
+      SELECT t.doc_id,
+             sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))) AS w
+      FROM tf1 t JOIN df1 d USING (token) JOIN dl l USING (doc_id)
+      CROSS JOIN stats s GROUP BY t.doc_id
+    ),
+    top5 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+          ORDER BY round(w, 6) DESC, doc_id
+        ) AS r FROM s1
+      ) WHERE r <= 5
+    ),
+    fb AS (
+      SELECT token, count(*) AS cnt FROM toks JOIN top5 USING (doc_id)
+      WHERE token NOT IN ('window', 'merge', 'customer')
+      GROUP BY token
+    ),
+    exp3 AS (
+      SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY cnt DESC, token ASC) AS r
+        FROM fb
+      ) WHERE r <= 3
+    ),
+    terms2 AS (
+      SELECT token FROM exp3
+      UNION ALL SELECT unnest(['window', 'merge', 'customer']) AS token
+    ),
+    tf2 AS (
+      SELECT t.doc_id, t.token, count(*) AS tf
+      FROM toks t JOIN terms2 USING (token)
+      GROUP BY t.doc_id, t.token
+    ),
+    df2 AS (SELECT token, count(*) AS df FROM tf2 GROUP BY token),
+    s2 AS (
+      SELECT t.doc_id AS id,
+             CAST(round(sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))), 6)
+               AS DOUBLE) AS score,
+             CAST(count(*) AS INT) AS n_hit_terms
+      FROM tf2 t JOIN df2 d USING (token) JOIN dl l USING (doc_id)
+      CROSS JOIN stats s GROUP BY t.doc_id
+    )
+    SELECT id, score, n_hit_terms, rank FROM (
+      SELECT id, score, n_hit_terms,
+             CAST(row_number() OVER (ORDER BY score DESC, id) AS INT) AS rank
+      FROM s2
+    ) WHERE rank <= 10
+    """,
+)
+def t_bm25_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with PSEUDO-RELEVANCE FEEDBACK (Rocchio-style blind query
+    expansion, the classic second IR stage after t_bm25_search): run the
+    base query {window, merge, customer}, take the top-5 docs as a
+    relevance sample, promote their 3 most frequent non-query tokens to
+    expansion terms, and re-rank the corpus against the 6-term expanded
+    query. Everything stays a DataFrame — the expansion terms flow into
+    stage 2 as a broadcast semi-join (never a collect-and-isin, which
+    would put a driver round-trip inside the query). Both ranking steps
+    round scores to 6 BEFORE ranking (ties to doc id) and the feedback
+    term pick ties lexicographically, so the whole two-stage trajectory
+    is a pure function of the corpus, mirrored CTE-for-CTE in the
+    oracle. Shapes: the stage-2 token stream filters via the 6-row term
+    frame (map-side after broadcast), df/dl aggregates are the same
+    partial+final passes bm25_search documents; the exploded token
+    stream is localCheckpointed (FOUR consumers — dl, stage-1 hits,
+    feedback counts, stage-2 hits — would each re-run
+    normalize+split+explode)."""
+    k1, b = 1.2, 0.75
+    q_terms = ["window", "merge", "customer"]
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(dd.tokens("text")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .localCheckpoint(eager=False)
+    )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    def scores(tf):
+        dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        idf = F.log(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        tfw = (F.col("tf") * (k1 + 1)) / (
+            F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        return (
+            tf.join(dfreq, "token")
+            .join(dl, "id")
+            .crossJoin(F.broadcast(stats))
+            .select("id", "token", (idf * tfw).alias("w"))
+        )
+
+    tf1 = (
+        toks.where(F.col("token").isin(q_terms))
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    s1 = scores(tf1).groupBy("id").agg(F.round(F.sum("w"), 6).alias("score"))
+    top5 = (
+        s1.select(
+            "id",
+            F.row_number().over(W.orderBy(F.desc("score"), F.asc("id"))).alias("r"),
+        )
+        .where(F.col("r") <= 5)
+        .select("id")
+    )
+    fb = (
+        toks.join(top5, "id")
+        .where(~F.col("token").isin(q_terms))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exp3 = (
+        fb.select(
+            "token",
+            F.row_number()
+            .over(W.orderBy(F.desc("cnt"), F.asc("token")))
+            .alias("r"),
+        )
+        .where(F.col("r") <= 3)
+        .select("token")
+    )
+    terms2 = exp3.unionAll(
+        spark.createDataFrame([(t,) for t in q_terms], "token string")
+    )
+    tf2 = (
+        toks.join(F.broadcast(terms2), "token")
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    s2 = (
+        scores(tf2)
+        .groupBy("id")
+        .agg(
+            F.round(F.sum("w"), 6).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_hit_terms"),
+        )
+    )
+    return (
+        s2.select(
+            "id",
+            "score",
+            "n_hit_terms",
+            F.row_number()
+            .over(W.orderBy(F.desc("score"), F.asc("id")))
+            .cast("int")
+            .alias("rank"),
+        )
+        .where(F.col("rank") <= 10)
+    )

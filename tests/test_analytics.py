@@ -415,3 +415,23 @@ def test_dup_cluster_histogram_mass_conservation(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == n_docs
     assert all(r.n_docs == r.cluster_size * r.n_clusters for r in rows)
     assert any(r.cluster_size > 1 for r in rows)  # the prefix-60 channel
+
+
+def test_bm25_prf_expansion_properties(spark, sf_dir):
+    """PRF invariants: stage-2 hits between 1 and 6 terms (3 query + 3
+    expansion), positive scores, ranks contiguous from 1, and the result
+    differs from the base search in scores (the expansion terms add
+    weight — equal score vectors would mean the feedback stage matched
+    nothing, impossible on this corpus where every token is shared)."""
+    q = all_queries()
+    prf = q["t_bm25_prf_search"](spark, sf_dir).collect()
+    base = {r.id: r.score for r in q["t_bm25_search"](spark, sf_dir).collect()}
+    assert [r.rank for r in sorted(prf, key=lambda r: r.rank)] == list(
+        range(1, len(prf) + 1)
+    )
+    for r in prf:
+        assert 1 <= r.n_hit_terms <= 6
+        assert r.score > 0
+    assert any(
+        r.id not in base or abs(r.score - base[r.id]) > 1e-9 for r in prf
+    )

@@ -354,3 +354,38 @@ def test_random_projection_preserves_planted_neighbors(spark):
     assert len(top1) == 20
     for r in top1:
         assert r.corpus_id == r.query_id + 100, (r.query_id, r.corpus_id)
+
+
+def test_ivf_recall_audit_cross_entry_consistency(spark, sf_dir):
+    """The audit's recall must equal what the two PUBLIC entries imply:
+    |sim_ann_ivf_topk ∩ sim_cosine_topk_bruteforce| per query (same
+    queries, same k, same fixed centroids). Also: n_exact == 10 whenever
+    the corpus has >= 11 vectors, n_found <= n_exact, ppm is exact."""
+    from surge_spark.queries import all_queries
+
+    q = all_queries()
+    audit = {r.query_id: r for r in q["sim_ivf_recall_audit"](spark, sf_dir).collect()}
+    ivf = q["sim_ann_ivf_topk"](spark, sf_dir).collect()
+    bf = q["sim_cosine_topk_bruteforce"](spark, sf_dir).collect()
+    ivf_set = {(r.query_id, r.corpus_id) for r in ivf}
+    by_q: dict = {}
+    for r in bf:
+        by_q.setdefault(r.query_id, set()).add(r.corpus_id)
+    assert audit
+    for qid, r in audit.items():
+        assert r.n_exact == 10
+        assert 0 <= r.n_found <= r.n_exact
+        assert r.recall_ppm == r.n_found * 1_000_000 // r.n_exact
+        expect = sum(1 for c in by_q[qid] if (qid, c) in ivf_set)
+        assert r.n_found == expect, (qid, r.n_found, expect)
+
+
+def test_centroid_drift_near_orthogonal_on_isotropic(spark, sf_dir):
+    """The synthetic corpus is near-isotropic, so two independent halves'
+    centroids are small near-random vectors — the cosine must be well
+    inside (-1, 1) (a |cos| of 1.0 would mean the halves are collinear,
+    i.e. the parity split leaked structure)."""
+    from surge_spark.queries import all_queries
+
+    rows = all_queries()["sim_centroid_drift"](spark, sf_dir).collect()
+    assert rows and all(abs(r.centroid_cosine) < 0.999999 for r in rows)
