@@ -1052,7 +1052,7 @@ def t_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS UNBOUNDED PRECEDING
                ) AS cum
         FROM wn JOIN ub USING (shingle)
-      ) WHERE cum >= 0.5
+      ) WHERE cum >= 0.4999995
     ),
     cand AS (
       SELECT DISTINCT p.id AS id_a, f.id AS id_b
@@ -1102,7 +1102,12 @@ def d_idf_weighted_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the unfiltered all-pairs join (exact verification over
     supersets of the qualifying pairs; a last-ulp difference in either
     engine's ln/÷ can flip a boundary posting between prefix and suffix
-    without touching the result). The oracle mirrors the whole rule.
+    without touching the result). The prefix CUT runs at t = 0.4999995,
+    not 0.5 (r12 review finding): the final filter admits every pair
+    with round(cosine, 6) >= 0.5, i.e. true cosine >= 0.4999995, so the
+    soundness bound must cover that whole admission band — a 0.5 cut
+    could prune a pair at cosine 0.4999997 that the rounded threshold
+    ships. The oracle mirrors the whole rule.
     Measured at sf0.1: candidate pairs 38937 → 21711 (-44%). Honest
     wall-time A/B (interleaved new,old,old,new, median of 3 each): the
     filtered form is SLOWER here — 2.17/2.57 s vs 1.73/1.75 s — because
@@ -1112,7 +1117,7 @@ def d_idf_weighted_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate fan-out is Σ df_prefix·df instead of Σ df², and pair
     verification (not stage count) is what explodes — the df band alone
     admits up to 10⁶ partials per shingle."""
-    t = 0.5
+    t = 0.4999995  # the round-6 admission floor of the 0.5 output filter
     docs = load_table(spark, sf_dir, "documents")
     sh = dd.shingles(docs, "doc_id", "text", 4, distinct=True)
     n = docs.agg(F.count(F.lit(1)).alias("nd"))

@@ -1626,11 +1626,21 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", k=10, n_cells=8, nprobe=4,
         centroids=FIXED_CENTS,
     ).select("query_id", "corpus_id")
+    # norms hoisted into the pre-join projections (the sim_range_search
+    # review-pass-6 lesson: written inline they fold once PER PAIR —
+    # norm(ce) 5x per corpus row, norm(qe) |corpus| times per query; as
+    # pre-join columns each folds once per input row, identical doubles)
     qb = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        sim.norm(sim._as_double(F.col("embedding"))).alias("qn"),
     )
     pairs = (
-        emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ce"))
+        emb.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("ce"),
+            sim.norm(sim._as_double(F.col("embedding"))).alias("cn"),
+        )
         .crossJoin(F.broadcast(qb))
         .where(F.col("corpus_id") != F.col("query_id"))
         .select(
@@ -1638,10 +1648,7 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corpus_id",
             (
                 sim.dot(sim._as_double(F.col("ce")), sim._as_double(F.col("qe")))
-                / (
-                    sim.norm(sim._as_double(F.col("ce")))
-                    * sim.norm(sim._as_double(F.col("qe")))
-                )
+                / (F.col("cn") * F.col("qn"))
             ).alias("cosine"),
         )
     )

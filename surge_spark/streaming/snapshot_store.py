@@ -2438,8 +2438,11 @@ def publish_changes(
     for v in range(hwm + 1, latest + 1):
         bid = f"pub-v{v:012d}"
         ch = store.read_changes(spark, start_version=v, end_version=v)
-        if ch is None:
-            continue
+        # read_changes returns None only for a never-committed store, and
+        # latest_version() is not None here — empty versions arrive as
+        # EMPTY typed frames and must still advance the hwm below (a skip
+        # without the hwm write would re-scan the version forever)
+        assert ch is not None
         state_cols = [
             c for c in ch.columns if c not in ("_version", "_change_type")
         ]
