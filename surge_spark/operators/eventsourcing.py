@@ -419,3 +419,74 @@ CUSUM_STATE_SCHEMA = (
     "aggregate_id string, baseline double, s_pos double, s_neg double,"
     " n_alarms int, n int"
 )
+
+
+# --- token-bucket rate limiter fold ---------------------------------------
+
+TB_CAPACITY = 3
+TB_REFILL_MS = 86_400_000  # one token per day
+
+
+def token_bucket_step(
+    tokens: int,
+    anchor_ms: int,
+    t_ms: int,
+    capacity: int = TB_CAPACITY,
+    refill_ms: int = TB_REFILL_MS,
+) -> tuple[int, int, bool]:
+    """One token-bucket update — ALL-INTEGER so a recursive-CTE oracle
+    reproduces it exactly (the m_cohort_ltv integer-channel discipline):
+    whole tokens accrued since the refill anchor are credited (the anchor
+    advances only by whole-token strides, so fractional refill time is
+    never lost to integer division); hitting capacity re-anchors at the
+    event (a full bucket banks no time — the standard semantics); then
+    the event consumes a token if one is available. Returns
+    (tokens_after, anchor_after, allowed)."""
+    add = (t_ms - anchor_ms) // refill_ms
+    tokens = tokens + add
+    if tokens >= capacity:
+        tokens = capacity
+        anchor_ms = t_ms
+    else:
+        anchor_ms = anchor_ms + add * refill_ms
+    if tokens >= 1:
+        return tokens - 1, anchor_ms, True
+    return tokens, anchor_ms, False
+
+
+def token_bucket_handle_event(state: dict | None, event: dict) -> dict:
+    """Per-key token-bucket rate limiting as an event fold (the admission
+    decision every command gateway needs — R1's per-key serial order is
+    exactly what makes a bucket fold correct): capacity TB_CAPACITY,
+    one token per TB_REFILL_MS, bucket starts FULL and the first event
+    consumes immediately. Event time arrives as the pre-projected
+    integer ``ms`` column (unix_millis ≡ DuckDB epoch_ms — the
+    m_burstiness channel), so no Timestamp conversion happens inside
+    the handler."""
+    t = int(event["ms"])
+    if state is None:
+        return {
+            "aggregate_id": str(event["user_id"]),
+            "tokens": TB_CAPACITY - 1,
+            "anchor_ms": t,
+            "n_allowed": 1,
+            "n_throttled": 0,
+            "n": 1,
+        }
+    tokens, anchor, allowed = token_bucket_step(
+        state["tokens"], state["anchor_ms"], t
+    )
+    return {
+        "aggregate_id": state["aggregate_id"],
+        "tokens": tokens,
+        "anchor_ms": anchor,
+        "n_allowed": state["n_allowed"] + (1 if allowed else 0),
+        "n_throttled": state["n_throttled"] + (0 if allowed else 1),
+        "n": state["n"] + 1,
+    }
+
+
+TOKEN_BUCKET_STATE_SCHEMA = (
+    "aggregate_id string, tokens long, anchor_ms long, n_allowed long,"
+    " n_throttled long, n long"
+)

@@ -2078,3 +2078,191 @@ def m_markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000) div count(*) AS BIGINT)"
         ).alias("accuracy_ppm"),
     )
+
+
+@query(
+    "es_token_bucket_fold",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, epoch_ms(ts) AS ms,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    lim AS (SELECT user_id, max(rn) AS mx FROM ordered GROUP BY user_id),
+    fold(user_id, rn, tokens, anchor_ms, n_allowed, n_throttled) AS (
+      SELECT user_id, 1, CAST(2 AS BIGINT), ms,
+             CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT f.user_id, f.rn + 1,
+        CASE WHEN least(f.tokens + (o.ms - f.anchor_ms) // 86400000,
+                        CAST(3 AS BIGINT)) >= 1
+             THEN least(f.tokens + (o.ms - f.anchor_ms) // 86400000,
+                        CAST(3 AS BIGINT)) - 1
+             ELSE least(f.tokens + (o.ms - f.anchor_ms) // 86400000,
+                        CAST(3 AS BIGINT)) END,
+        CASE WHEN f.tokens + (o.ms - f.anchor_ms) // 86400000 >= 3
+             THEN o.ms
+             ELSE f.anchor_ms
+                  + ((o.ms - f.anchor_ms) // 86400000) * 86400000 END,
+        f.n_allowed
+          + CASE WHEN least(f.tokens + (o.ms - f.anchor_ms) // 86400000,
+                            CAST(3 AS BIGINT)) >= 1 THEN 1 ELSE 0 END,
+        f.n_throttled
+          + CASE WHEN least(f.tokens + (o.ms - f.anchor_ms) // 86400000,
+                            CAST(3 AS BIGINT)) >= 1 THEN 0 ELSE 1 END
+      FROM fold f JOIN ordered o
+        ON o.user_id = f.user_id AND o.rn = f.rn + 1
+    )
+    SELECT CAST(f.user_id AS VARCHAR) AS aggregate_id,
+           CAST(l.mx AS BIGINT) AS n,
+           CAST(f.n_allowed AS BIGINT) AS n_allowed,
+           CAST(f.n_throttled AS BIGINT) AS n_throttled,
+           CAST(f.tokens AS BIGINT) AS tokens
+    FROM fold f JOIN lim l USING (user_id) WHERE f.rn = l.mx
+    """,
+)
+def es_token_bucket_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TOKEN-BUCKET rate limiting as an ordered event fold
+    (capacity 3, one token per day, bucket starts full) — the admission
+    decision of a command gateway, run on the SAME sorted-stream fold
+    kernel as bank/holt/cusum (R1's per-key serial order is exactly what
+    makes a bucket fold well-defined). ALL-INTEGER state (tokens, refill
+    anchor in epoch millis, allowed/throttled counts): whole tokens
+    accrue by integer division from the anchor, the anchor advances only
+    by whole-token strides so fractional refill time is never lost, and
+    a full bucket re-anchors at the event — so the recursive-CTE oracle
+    advancing every user one event per round reproduces the fold EXACTLY
+    (no float channel anywhere; epoch_ms ≡ unix_millis, the m_burstiness
+    lesson). Output: final bucket + admission totals per user."""
+    e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    e = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    folded = es.fold_events_sorted(
+        e,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        handle_event=es.token_bucket_handle_event,
+        state_schema=es.TOKEN_BUCKET_STATE_SCHEMA,
+    )
+    return folded.select(
+        "aggregate_id", "n", "n_allowed", "n_throttled", "tokens"
+    )
+
+
+@query(
+    "m_mttr_recovery",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WHERE user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs0 AS (
+      SELECT user_id, ts, event_type,
+             sum(chg) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS run_id
+      FROM ordered
+    ),
+    runs AS (
+      SELECT user_id, run_id, min(event_type) AS run_type,
+             min(ts) AS first_ts, count(*) AS run_len
+      FROM runs0 GROUP BY user_id, run_id
+    ),
+    nxt AS (
+      SELECT user_id, run_id, run_type, first_ts, run_len,
+             lead(first_ts) OVER (
+               PARTITION BY user_id ORDER BY run_id
+             ) AS next_start
+      FROM runs
+    ),
+    episodes AS (
+      SELECT user_id, run_len,
+             epoch_ms(next_start) - epoch_ms(first_ts) AS mttr_ms
+      FROM nxt WHERE run_type = 'error' AND next_start IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_episodes,
+           CAST(sum(run_len) AS BIGINT) AS n_error_events,
+           CAST(sum(mttr_ms) // count(*) AS BIGINT) AS mean_recovery_ms,
+           CAST(max(mttr_ms) AS BIGINT) AS max_recovery_ms
+    FROM episodes GROUP BY user_id
+    """,
+)
+def m_mttr_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTTR (mean time to recovery) per user — the SRE incident metric
+    beside m_error_budget_burn/m_apdex_score: an ERROR EPISODE is a
+    maximal run of consecutive 'error' events (gaps-and-islands: a
+    change flag per (ts, event_id)-ordered row, run ids by running sum),
+    recovery is the first event of the NEXT run (runs are maximal, so
+    the next run is non-error by construction), and recovery time =
+    next run's start minus the episode's first error, in exact integer
+    epoch millis. Trailing unrecovered episodes are excluded on both
+    sides (no sentinel). mean is floor division — all-integer output,
+    zero float channels. Two windows + two aggregates, everything
+    partitioned by user."""
+    e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs0 = ordered.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("chg")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("run_id"),
+    )
+    runs = runs0.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("run_type"),
+        F.min("ts").alias("first_ts"),
+        F.count(F.lit(1)).alias("run_len"),
+    )
+    wr = W.partitionBy("user_id").orderBy("run_id")
+    nxt = runs.select(
+        "user_id",
+        "run_type",
+        "first_ts",
+        "run_len",
+        F.lead("first_ts").over(wr).alias("next_start"),
+    )
+    episodes = nxt.where(
+        (F.col("run_type") == "error") & F.col("next_start").isNotNull()
+    ).select(
+        "user_id",
+        "run_len",
+        (
+            F.unix_millis(F.col("next_start").cast("timestamp"))
+            - F.unix_millis(F.col("first_ts").cast("timestamp"))
+        ).alias("mttr_ms"),
+    )
+    return episodes.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_episodes"),
+        F.sum("run_len").alias("n_error_events"),
+        F.expr("CAST(sum(mttr_ms) div count(1) AS BIGINT)").alias(
+            "mean_recovery_ms"
+        ),
+        F.max("mttr_ms").alias("max_recovery_ms"),
+    )

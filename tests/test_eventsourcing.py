@@ -308,3 +308,83 @@ def test_holt_fold_constant_and_linear_series(spark):
     ramp = out["2"]
     assert abs(ramp.trend - 3.0) < 0.06  # slope 3, converged within 2%
     assert abs((ramp.level + ramp.trend) - 3 * 12) < 0.2  # forecast ~ next point
+
+
+def test_token_bucket_kernel_properties():
+    """Pure-kernel properties over random event-time streams: (a) the
+    bucket never goes negative or over capacity, (b) total admissions are
+    bounded by capacity + whole refills of the elapsed span (anchor time
+    only ever moves forward, so credits can never exceed elapsed/refill),
+    (c) the fold is deterministic."""
+    import random
+
+    from surge_spark.operators.eventsourcing import (
+        TB_CAPACITY,
+        token_bucket_step,
+    )
+
+    rng = random.Random(7)
+    for _ in range(50):
+        n = rng.randint(2, 80)
+        times = sorted(rng.randrange(0, 10**10) for _ in range(n))
+        refill = rng.choice([1000, 86_400_000, 3_600_000])
+
+        def fold(ts):
+            tokens, anchor = TB_CAPACITY - 1, ts[0]
+            allowed = 1
+            for t in ts[1:]:
+                assert 0 <= tokens <= TB_CAPACITY
+                tokens, anchor, ok = token_bucket_step(
+                    tokens, anchor, t, refill_ms=refill
+                )
+                assert anchor <= t
+                allowed += 1 if ok else 0
+            return allowed, tokens, anchor
+
+        a1 = fold(times)
+        assert a1 == fold(times)  # deterministic
+        span = times[-1] - times[0]
+        assert a1[0] <= TB_CAPACITY + span // refill
+
+
+def test_token_bucket_fold_totals(spark, sf_dir):
+    """Catalog-entry invariants: admissions + throttles partition every
+    event, final buckets stay in [0, capacity], and the 1/day refill is
+    NON-VACUOUS on this corpus (some user actually throttles — a
+    zero-throttle run would mean the entry tests nothing)."""
+    from surge_spark.operators.eventsourcing import TB_CAPACITY
+    from surge_spark.queries import all_queries
+
+    rows = all_queries()["es_token_bucket_fold"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_allowed + r.n_throttled == r.n
+        assert 0 <= r.tokens <= TB_CAPACITY
+        assert r.n_allowed >= 1  # bucket starts full: first event admits
+    assert any(r.n_throttled > 0 for r in rows)
+
+
+def test_mttr_recovery_invariants(spark, sf_dir):
+    """Every recovered episode has >= 1 error event, recovery times are
+    non-negative with mean <= max (floor-division mean), and episode
+    error events can never exceed the user's total error count."""
+    from pyspark.sql import functions as F
+
+    from surge_spark.io import load_table
+    from surge_spark.queries import all_queries
+
+    rows = all_queries()["m_mttr_recovery"](spark, sf_dir).collect()
+    assert rows
+    err_totals = {
+        r.user_id: r.c
+        for r in load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_episodes >= 1
+        assert r.n_error_events >= r.n_episodes
+        assert 0 <= r.mean_recovery_ms <= r.max_recovery_ms
+        assert r.n_error_events <= err_totals[r.user_id]
