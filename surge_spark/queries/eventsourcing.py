@@ -2266,3 +2266,196 @@ def m_mttr_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("mttr_ms").alias("max_recovery_ms"),
     )
+
+
+@query(
+    "m_gini_coefficient",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, count(*) AS n FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    r AS (
+      SELECT n, row_number() OVER (ORDER BY n, user_id) AS rk FROM cnt
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(n) AS BIGINT) AS total_events,
+             CAST(sum(rk * n) AS BIGINT) AS rank_weighted
+      FROM r
+    )
+    SELECT n_users, total_events,
+           CAST(round(
+             (2.0 * rank_weighted - (n_users + 1) * total_events)
+               / (CAST(n_users AS DOUBLE) * total_events), 6) AS DOUBLE)
+             AS gini
+    FROM s
+    """,
+)
+def m_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity — the single-number twin of
+    m_pareto_share's Lorenz deciles (dashboards want the scalar; the
+    decile table is the drill-down). Exact rank form on SORTED ascending
+    counts: G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)), with the
+    rank a TOTAL order (n asc, user_id asc) so ties are deterministic.
+    The rank comes from the exact two-pass distributed prefix sum — no
+    unpartitioned WindowExec (a global ORDER BY rank funnels every user
+    through one task; at 100 TB the per-user count table alone is
+    billions of rows). All three aggregates are exact BIGINTs (bounded
+    by n_users*total_events, overflow-safe far past petabyte corpora);
+    the single division happens once on exact longs, so round(6) is
+    engine-stable — the m_pareto_share discipline."""
+    from surge_spark.operators.text import distributed_prefix_sum
+
+    e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    cnt = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("__one", F.lit(1))
+    )
+    order = [F.col("n").asc(), F.col("user_id").asc()]
+    ranked = distributed_prefix_sum(
+        cnt, "__one", "n", order, descending=False, out_col="__rk"
+    )
+    s = ranked.groupBy().agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("total_events"),
+        F.sum(F.col("__rk") * F.col("n")).alias("rank_weighted"),
+    )
+    return s.select(
+        "n_users",
+        "total_events",
+        F.round(
+            (
+                2.0 * F.col("rank_weighted")
+                - (F.col("n_users") + 1) * F.col("total_events")
+            )
+            / (F.col("n_users").cast("double") * F.col("total_events")),
+            6,
+        ).alias("gini"),
+    )
+
+
+# Benford expected ppm per leading digit: round(log10(1 + 1/d) * 1e6),
+# computed once in Python and rendered as literals on BOTH sides (no
+# engine log10 in the comparison path).
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    + " END"
+)
+
+
+@query(
+    "m_benford_first_digit",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+      WHERE o_totalprice > 0
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             count(*) AS n
+      FROM cents GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * 1000000 // total AS BIGINT) AS observed_ppm,
+           CAST({_BENFORD_CASE} AS BIGINT) AS expected_ppm,
+           CAST(n * 1000000 // total - {_BENFORD_CASE} AS BIGINT)
+             AS deviation_ppm
+    FROM d, t
+    """,
+)
+def m_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fraud / synthetic-data smell test (a generated price column rarely
+    follows Benford; a real revenue ledger usually does, and the
+    per-digit deviation column makes the answer visible either way).
+    The leading digit comes from the INTEGER-CENTS string (cast
+    round(price*100) to BIGINT, take char 1) — never from log10, whose
+    boundary behavior (log10(1000) in floating point) differs across
+    engines; bigint rendering is identical everywhere. Expected ppm are
+    Python-computed literals on both sides. One aggregate over the scan
+    + a 1-row total crossJoin (broadcast-exempt class 1); 9 output
+    rows."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = (
+        o.select(
+            F.substring(
+                F.expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"),
+                1,
+                1,
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = d.groupBy().agg(F.sum("n").alias("total"))
+    return d.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.expr("CAST(n * 1000000 div total AS BIGINT)").alias("observed_ppm"),
+        F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias("expected_ppm"),
+        F.expr(
+            f"CAST(n * 1000000 div total - {_BENFORD_CASE} AS BIGINT)"
+        ).alias("deviation_ppm"),
+    )
+
+
+@query(
+    "m_autocorr_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS d, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    ks AS (SELECT unnest(range(1, 8)) AS k),
+    j AS (
+      SELECT ks.k, a.n AS x, b.n AS y
+      FROM daily a CROSS JOIN ks JOIN daily b ON b.d = a.d - ks.k
+    )
+    SELECT k AS lag_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(round(corr(x, y), 6) AS DOUBLE) AS autocorr
+    FROM j GROUP BY k
+    """,
+)
+def m_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event-count series — the
+    seasonality detector that tells a forecasting pass (m_holt_smoothing,
+    m_forecast_backtest_mae) WHICH period to model: a weekly cycle shows
+    as a lag-7 peak. Day ids are integer epoch-days (unix_millis div
+    86400000 == DuckDB epoch_ms // — the m_burstiness-pinned
+    equivalence; no date-typed channel, per the comparator rule). The
+    7 lags come from ONE exploded literal array joined against the tiny
+    daily frame (|days| rows — broadcast-exempt class 3 analog: the
+    daily aggregate is bounded by the calendar, not the corpus), so the
+    plan is one scan + one |days|x7 join however large events grows.
+    corr is Pearson on both engines and scale-free (sample-vs-population
+    cancels); round(6) per the a_corr_regression moment discipline."""
+    e = _events(spark, sf_dir)
+    daily = (
+        e.select(
+            F.expr("unix_millis(ts) div 86400000").alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ks = spark.range(1, 8).select(F.col("id").alias("k"))
+    a = daily.select(F.col("d").alias("ad"), F.col("n").alias("x"))
+    b = daily.select(F.col("d").alias("bd"), F.col("n").alias("y"))
+    j = a.crossJoin(F.broadcast(ks)).join(
+        F.broadcast(b), F.col("bd") == F.col("ad") - F.col("k")
+    )
+    return j.groupBy(F.col("k").alias("lag_days")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("x", "y"), 6).alias("autocorr"),
+    )

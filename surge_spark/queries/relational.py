@@ -4988,3 +4988,80 @@ def a_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mu4") / (F.col("var_pop") * F.col("var_pop")) - 3, 6
         ).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "a_basket_lift",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+    tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, ca.n AS n_a, cb.n AS n_b, p.n_both,
+           CAST(p.n_both * 1000000 // ca.n AS BIGINT) AS confidence_ab_ppm,
+           CAST(p.n_both * 1000000 // cb.n AS BIGINT) AS confidence_ba_ppm,
+           CAST(p.n_both * nu.n_users * 1000000 // (ca.n * cb.n) AS BIGINT)
+             AS lift_ppm
+    FROM pairs p
+    JOIN tc ca ON ca.event_type = p.type_a
+    JOIN tc cb ON cb.event_type = p.type_b
+    CROSS JOIN nu
+    """,
+)
+def a_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association (support / confidence / lift) between
+    event-type pairs at user granularity — the co-occurrence analysis a
+    recommendation or anomaly pass runs ("users who error also churn?").
+    The basket frame is the DISTINCT (user, type) projection, so pair
+    counts come from a self-join keyed on user_id with type_a < type_b
+    canonicalizing each unordered pair once; per-type user counts and
+    the global user count are broadcast back (|types|-row and 1-row
+    frames — broadcast-exempt classes 3 and 1). All-integer channels:
+    confidence and lift ship as ppm via bigint div. Overflow bound:
+    n_both * n_users * 1e6 stays under 2^63 while n_users < ~3e6; past
+    that, widen to DECIMAL(38,0) on both engines (documented, not
+    silently wrong — ANSI mode raises). At 100 TB the only corpus-scale
+    shuffle is the distinct; everything after is |types|-bounded."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ut = e.select("user_id", "event_type").distinct()
+    nu = ut.groupBy().agg(F.countDistinct("user_id").alias("n_users"))
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select(F.col("user_id").alias("ua"), F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id").alias("ub"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, (F.col("ua") == F.col("ub")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = tc.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    cb = tc.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr("CAST(n_both * 1000000 div n_a AS BIGINT)").alias(
+                "confidence_ab_ppm"
+            ),
+            F.expr("CAST(n_both * 1000000 div n_b AS BIGINT)").alias(
+                "confidence_ba_ppm"
+            ),
+            F.expr(
+                "CAST(n_both * n_users * 1000000 div (n_a * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )

@@ -435,3 +435,70 @@ def test_bm25_prf_expansion_properties(spark, sf_dir):
     assert any(
         r.id not in base or abs(r.score - base[r.id]) > 1e-9 for r in prf
     )
+
+
+def test_gini_matches_exact_python_recompute(spark, sf_dir):
+    """The distributed-prefix-sum rank path must equal the textbook exact
+    formula computed in plain Python over the same per-user counts — this
+    pins the sharded rank against a single-process ground truth (the
+    value-hash oracle already pins DuckDB; this pins the formula)."""
+    from surge_spark.io import load_table
+    import pyspark.sql.functions as F
+
+    cnt = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    xs = sorted((r.n, r.user_id) for r in cnt)
+    n = len(xs)
+    tot = sum(x for x, _ in xs)
+    rank_weighted = sum(i * x for i, (x, _) in enumerate(xs, start=1))
+    expected = round((2.0 * rank_weighted - (n + 1) * tot) / (float(n) * tot), 6)
+    r = all_queries()["m_gini_coefficient"](spark, sf_dir).collect()[0]
+    assert r.n_users == n and r.total_events == tot
+    assert r.gini == expected
+    assert 0.0 <= r.gini < 1.0
+
+
+def test_benford_mass_conservation(spark, sf_dir):
+    """Digits cover 1..9 only, counts sum to the positive-price order
+    count, observed_ppm is the exact floor share, and the literal expected
+    table itself sums to exactly 1e6 (so deviation_ppm is a true residual,
+    not an artifact of a mis-transcribed constant)."""
+    from surge_spark.queries.eventsourcing import _BENFORD_PPM
+
+    assert sum(_BENFORD_PPM.values()) == 1_000_000
+    rows = all_queries()["m_benford_first_digit"](spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    total = sum(r.n for r in rows)
+    for r in rows:
+        assert r.observed_ppm == r.n * 1_000_000 // total
+        assert r.expected_ppm == _BENFORD_PPM[r.digit]
+        assert r.deviation_ppm == r.observed_ppm - r.expected_ppm
+
+
+def test_autocorr_daily_bounds(spark, sf_dir):
+    """All 7 lags present; Pearson r in [-1, 1]; every lag has fewer pairs
+    than there are days (a lag consumes at least k days of the series)."""
+    rows = {r.lag_days: r for r in all_queries()["m_autocorr_daily"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, 8))
+    n_days = max(r.n_pairs for r in rows.values()) + 1
+    for k, r in rows.items():
+        assert -1.0 <= r.autocorr <= 1.0
+        assert 0 < r.n_pairs <= n_days - k
+
+
+def test_basket_lift_identities(spark, sf_dir):
+    """Pair canonicalization (type_a < type_b), co-occurrence bounded by
+    both margins, and every shipped ppm channel re-derivable from the
+    integer counts on the same row (floor division, exact)."""
+    rows = all_queries()["a_basket_lift"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 0 < r.n_both <= min(r.n_a, r.n_b)
+        assert r.confidence_ab_ppm == r.n_both * 1_000_000 // r.n_a
+        assert r.confidence_ba_ppm == r.n_both * 1_000_000 // r.n_b
