@@ -1673,3 +1673,86 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+@query(
+    "sim_hard_negative_mining",
+    oracle=f"""
+    WITH {_DUCK_ASSIGN.strip().rstrip()},
+    norms AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    negs AS (
+      SELECT s.cell, s.vec_id, a.cell AS assigned_cell,
+             round(s.sim / n.nrm, 6) AS cosine
+      FROM scored_cells s
+      JOIN assigned a ON a.vec_id = s.vec_id AND a.cell <> s.cell
+      JOIN norms n ON n.vec_id = s.vec_id
+      WHERE n.nrm > 0
+    ),
+    ranked AS (
+      SELECT cell, vec_id, assigned_cell, CAST(cosine AS DOUBLE) AS cosine,
+             CAST(row_number() OVER (
+               PARTITION BY cell ORDER BY cosine DESC, vec_id
+             ) AS INT) AS rank
+      FROM negs
+    )
+    SELECT CAST(cell AS INT) AS cell, vec_id,
+           CAST(assigned_cell AS INT) AS assigned_cell, cosine, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training — for each FIXED_CENTS
+    centroid, the 5 corpus vectors MOST similar to it that are assigned to
+    a DIFFERENT cell (the boundary cases a triplet/InfoNCE loss learns
+    from; easy random negatives teach nothing). One map-side pass computes
+    all 8 literal-model dots as ONE flat parsed expression array (the r5
+    rule — literal dots codegen, HOF interprets), the argmax assignment
+    rides the same array, and the 8-way candidate fan-out is a
+    posexplode of that array — a structural ×8, independent of corpus
+    size. Cosine is ROUNDED BEFORE RANKING (round-to-6 then vec_id
+    tiebreak) so float noise can't flip an ordering across engines, the
+    sim_matryoshka discipline; zero-norm vectors filtered both sides
+    (ANSI 0/0 guard). Per-cell top-5 is a WindowGroupLimit — partial
+    per-partition top-k, never a global sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr_sql = (
+        "array("
+        + ",".join(sim._dot_lit_sql("embedding", c) for c in FIXED_CENTS)
+        + ")"
+    )
+    nrm_sql = (
+        "sqrt(aggregate(embedding, 0.0D,"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    scored = emb.select(
+        "vec_id",
+        F.expr(arr_sql).alias("sims"),
+        F.expr(nrm_sql).alias("nrm"),
+    ).where(F.col("nrm") > 0)
+    exploded = scored.select(
+        "vec_id",
+        (
+            F.array_position(F.col("sims"), F.array_max(F.col("sims"))).cast(
+                "int"
+            )
+            - 1
+        ).alias("assigned_cell"),
+        F.posexplode(F.col("sims")).alias("cell", "dot"),
+        "nrm",
+    ).where(F.col("cell") != F.col("assigned_cell"))
+    negs = exploded.select(
+        F.col("cell").cast("int").alias("cell"),
+        "vec_id",
+        "assigned_cell",
+        F.round(F.col("dot") / F.col("nrm"), 6).alias("cosine"),
+    )
+    w = W.partitionBy("cell").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        negs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+    )

@@ -2239,3 +2239,173 @@ def t_bm25_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= 10)
     )
+
+
+@query(
+    "t_readability_flesch",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             len(regexp_extract_all(text, '[a-z]+')) AS wd,
+             len(regexp_extract_all(text, '[aeiouy]+')) AS sy
+      FROM documents
+    ),
+    scored AS (
+      SELECT source, wd, sy,
+             206835 - 1015 * wd - (84600 * sy) // wd AS score_x1000
+      FROM per WHERE wd > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(wd) AS BIGINT) AS total_words,
+           CAST(sum(sy) AS BIGINT) AS total_syllables,
+           CAST(round(avg(score_x1000), 4) AS DOUBLE) AS mean_flesch_x1000,
+           CAST(min(score_x1000) AS BIGINT) AS min_flesch_x1000,
+           CAST(max(score_x1000) AS BIGINT) AS max_flesch_x1000
+    FROM scored GROUP BY source
+    """,
+)
+def t_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source — the readability axis of a quality
+    dashboard (t_quality_score measures junk; this measures density).
+    Syllables are the standard vowel-group proxy (runs of [aeiouy]) and
+    each doc is ONE sentence (the corpus has no terminal punctuation —
+    documented premise, so the words/sentences term is just the word
+    count). The per-doc score is the ALL-INTEGER permille rendering
+    206835 - 1015*wd - (84600*sy) div wd: both div operands are positive
+    so Spark's truncating div and DuckDB's flooring // agree (a NEGATIVE
+    numerator would diverge — that is why the formula never divides the
+    negative total). The only float op is the per-source mean: one
+    division of an exact integer sum, round(4)-stable. Counting is
+    regexp_extract_all on both engines (Java regex and RE2 agree on
+    pure character-class patterns); map-side + one partial/final
+    aggregate, no joins."""
+    d = _docs(spark, sf_dir)
+    per = d.select(
+        "source",
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("wd"),
+        F.size(F.expr("regexp_extract_all(text, '[aeiouy]+', 0)")).alias(
+            "sy"
+        ),
+    ).where(F.col("wd") > 0)
+    scored = per.select(
+        "source",
+        "wd",
+        "sy",
+        F.expr("206835 - 1015 * wd - (84600 * sy) div wd").alias(
+            "score_x1000"
+        ),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("wd").alias("total_words"),
+        F.sum("sy").alias("total_syllables"),
+        F.round(F.avg("score_x1000"), 4).alias("mean_flesch_x1000"),
+        F.min("score_x1000").alias("min_flesch_x1000"),
+        F.max("score_x1000").alias("max_flesch_x1000"),
+    )
+
+
+_RAKE_STOPWORDS = (
+    "the", "a", "and", "of", "in", "to", "is", "on", "for", "with",
+)
+_RAKE_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in _RAKE_STOPWORDS) + ")"
+
+
+@query(
+    "t_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT d.doc_id, u.i AS pos, string_split(d.text, ' ')[u.i] AS tok
+      FROM documents d,
+           LATERAL (SELECT unnest(range(1, len(string_split(d.text, ' ')) + 1))
+                    AS i) u
+    ),
+    flagged AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN tok IN {_RAKE_STOP_SQL} THEN 1 ELSE 0 END AS stop
+      FROM toks WHERE tok <> ''
+    ),
+    phrased AS (
+      SELECT doc_id, tok, stop,
+             sum(stop) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING
+             ) AS phrase_id
+      FROM flagged
+    ),
+    pw AS (
+      SELECT doc_id, phrase_id, tok FROM phrased WHERE stop = 0
+    ),
+    pl AS (
+      SELECT doc_id, phrase_id, count(*) AS plen
+      FROM pw GROUP BY doc_id, phrase_id
+    ),
+    word_stats AS (
+      SELECT pw.tok AS word,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(pl.plen) AS BIGINT) AS degree
+      FROM pw JOIN pl USING (doc_id, phrase_id)
+      GROUP BY pw.tok
+    )
+    SELECT word, freq, degree,
+           CAST(degree * 1000 // freq AS BIGINT) AS rake_score_x1000
+    FROM word_stats
+    ORDER BY rake_score_x1000 DESC, word
+    LIMIT 20
+    """,
+)
+def t_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — corpus-level keyword
+    scoring by degree/frequency: phrases are maximal stopword-free token
+    runs (gaps-and-islands: phrase id = running stopword count per doc, a
+    PER-DOC window — partitioned, parallel), a word's degree sums the
+    lengths of every phrase containing it (co-occurrence within phrases
+    — including itself, the textbook deg(w) = Σ|phrase|), and
+    score = degree/freq favors words that live in long multi-word
+    phrases over merely frequent ones. All-integer channels (score as
+    x1000 via bigint div on positives); global top-20 is
+    TakeOrderedAndProject with the (score desc, word) total order. The
+    stopword set is a 10-word literal rendered into both engines. At
+    100 TB the phrase build is map-side after one per-doc window; the
+    word aggregate is the only corpus-scale shuffle."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    ).where(F.col("tok") != "")
+    flagged = toks.withColumn(
+        "stop", F.col("tok").isin(*_RAKE_STOPWORDS).cast("int")
+    )
+    wdoc = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    phrased = flagged.select(
+        "doc_id",
+        "tok",
+        "stop",
+        F.sum("stop").over(wdoc).alias("phrase_id"),
+    )
+    pw = phrased.where(F.col("stop") == 0).select("doc_id", "phrase_id", "tok")
+    pl = pw.groupBy("doc_id", "phrase_id").agg(F.count(F.lit(1)).alias("plen"))
+    stats = (
+        pw.join(pl, ["doc_id", "phrase_id"])
+        .groupBy(F.col("tok").alias("word"))
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+    )
+    return (
+        stats.select(
+            "word",
+            "freq",
+            "degree",
+            F.expr("CAST(degree * 1000 div freq AS BIGINT)").alias(
+                "rake_score_x1000"
+            ),
+        )
+        .orderBy(F.col("rake_score_x1000").desc(), "word")
+        .limit(20)
+    )

@@ -502,3 +502,76 @@ def test_basket_lift_identities(spark, sf_dir):
         assert 0 < r.n_both <= min(r.n_a, r.n_b)
         assert r.confidence_ab_ppm == r.n_both * 1_000_000 // r.n_a
         assert r.confidence_ba_ppm == r.n_both * 1_000_000 // r.n_b
+
+
+def test_hard_negative_mining_contract(spark, sf_dir):
+    """Per centroid: at most 5 rows with contiguous ranks, cosine
+    non-increasing in rank, and no row mines a vector from the centroid's
+    own cell (that would be a positive, not a negative)."""
+    rows = all_queries()["sim_hard_negative_mining"](spark, sf_dir).collect()
+    assert rows
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        assert r.cell != r.assigned_cell
+        assert -1.000001 <= r.cosine <= 1.000001
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, rs in by_cell.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        for x, y in zip(rs, rs[1:]):
+            assert x.cosine >= y.cosine
+
+
+def test_readability_matches_python_re(spark, sf_dir):
+    """The regexp word/syllable counters must agree with Python's re over
+    the same corpus — pins Java-regex/RE2 parity on the two character
+    classes against a third engine (the value oracle already pins DuckDB)."""
+    import re
+
+    from surge_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    agg: dict[str, list[int]] = {}
+    for r in docs:
+        wd = len(re.findall(r"[a-z]+", r.text))
+        sy = len(re.findall(r"[aeiouy]+", r.text))
+        if wd > 0:
+            a = agg.setdefault(r.source, [0, 0, 0])
+            a[0] += 1
+            a[1] += wd
+            a[2] += sy
+    rows = all_queries()["t_readability_flesch"](spark, sf_dir).collect()
+    assert {r.source for r in rows} == set(agg)
+    for r in rows:
+        n, wd, sy = agg[r.source]
+        assert (r.n_docs, r.total_words, r.total_syllables) == (n, wd, sy)
+
+
+def test_rake_keyword_identities(spark, sf_dir):
+    """degree >= freq (each phrase containing a word has length >= 1, so
+    the degree sum dominates the count), score is the exact floor ratio,
+    and no stopword can ever be a keyword (stopwords delimit phrases)."""
+    from surge_spark.queries.text import _RAKE_STOPWORDS
+
+    rows = all_queries()["t_rake_keywords"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.word not in _RAKE_STOPWORDS
+        assert r.degree >= r.freq > 0
+        assert r.rake_score_x1000 == r.degree * 1000 // r.freq
+        assert r.rake_score_x1000 >= 1000
+
+
+def test_part_jaccard_identities(spark, sf_dir):
+    """Set-algebra bounds the hash oracle can't state: intersection within
+    both margins, ppm the exact floor of common/union, and the canonical
+    pa < pb pair order."""
+    rows = all_queries()["g_part_jaccard_topk"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.pa < r.pb
+        assert 0 < r.n_common <= min(r.n_a, r.n_b)
+        union = r.n_a + r.n_b - r.n_common
+        assert r.jaccard_ppm == r.n_common * 1_000_000 // union
+        assert r.jaccard_ppm <= 1_000_000
