@@ -5139,3 +5139,210 @@ def g_part_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard_ppm").desc(), "pa", "pb")
         .limit(25)
     )
+
+
+@query(
+    "g_bfs_layers",
+    oracle="""
+    WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    p0 AS (SELECT DISTINCT p FROM e WHERE p % 97 = 0),
+    o1 AS (SELECT DISTINCT o FROM e JOIN p0 USING (p)),
+    p2 AS (
+      SELECT DISTINCT p FROM e JOIN o1 USING (o)
+      WHERE p NOT IN (SELECT p FROM p0)
+    ),
+    o3 AS (
+      SELECT DISTINCT o FROM e JOIN p2 USING (p)
+      WHERE o NOT IN (SELECT o FROM o1)
+    ),
+    p4 AS (
+      SELECT DISTINCT p FROM e JOIN o3 USING (o)
+      WHERE p NOT IN (SELECT p FROM p0)
+        AND p NOT IN (SELECT p FROM p2)
+    )
+    SELECT * FROM (
+      SELECT 'part' AS kind, 0 AS distance, CAST(count(*) AS BIGINT) AS n_nodes FROM p0
+      UNION ALL
+      SELECT 'order', 1, CAST(count(*) AS BIGINT) FROM o1
+      UNION ALL
+      SELECT 'part', 2, CAST(count(*) AS BIGINT) FROM p2
+      UNION ALL
+      SELECT 'order', 3, CAST(count(*) AS BIGINT) FROM o3
+      UNION ALL
+      SELECT 'part', 4, CAST(count(*) AS BIGINT) FROM p4
+    ) WHERE n_nodes > 0
+    """,
+)
+def g_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier BFS over the order-part bipartite graph, 4 unrolled
+    hops from a deterministic seed set (parts ≡ 0 mod 97): layer k+1 =
+    neighbors of frontier k MINUS everything already visited (the
+    textbook frontier anti-join — a node's distance is its MIN hop count
+    because earlier layers are subtracted). FIXED unroll depth makes the
+    whole reachability profile a pure function → full oracle, the
+    g_label_propagation bounded-unroll trick; the converged twin lives in
+    the fixpoint_loop family (kcore/CC/LPA) where per-round probes apply.
+    Each hop is one join + one distinct + one anti-join, all
+    key-partitioned; at 100 TB frontiers stay bounded by the visited-set
+    anti-joins (never re-expanding), the same discipline as
+    g_cc_converged's pointer jumps. Output is the per-layer census —
+    |layers| rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    p0 = e.where(F.col("p") % 97 == 0).select("p").distinct()
+    o1 = e.join(p0, "p").select("o").distinct()
+    p2 = e.join(o1, "o").select("p").distinct().join(p0, "p", "left_anti")
+    o3 = e.join(p2, "p").select("o").distinct().join(o1, "o", "left_anti")
+    p4 = (
+        e.join(o3, "o")
+        .select("p")
+        .distinct()
+        .join(p0, "p", "left_anti")
+        .join(p2, "p", "left_anti")
+    )
+
+    def census(df: DataFrame, kind: str, dist: int) -> DataFrame:
+        return df.groupBy().agg(
+            F.lit(kind).alias("kind"),
+            F.lit(dist).alias("distance"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        ).select("kind", "distance", "n_nodes")
+
+    out = (
+        census(p0, "part", 0)
+        .unionAll(census(o1, "order", 1))
+        .unionAll(census(p2, "part", 2))
+        .unionAll(census(o3, "order", 3))
+        .unionAll(census(p4, "part", 4))
+    )
+    return out.where(F.col("n_nodes") > 0)
+
+
+@query(
+    "w_first_last_value",
+    oracle="""
+    WITH w AS (
+      SELECT user_id,
+             first_value(event_type) OVER win AS first_type,
+             last_value(event_type) OVER win AS last_type,
+             nth_value(event_type, 2) OVER win AS second_type,
+             count(*) OVER win AS n_events,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events WHERE user_id IS NOT NULL
+      WINDOW win AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      )
+    )
+    SELECT user_id, first_type, last_type, second_type,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM w WHERE rn = 1
+    """,
+)
+def w_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit
+    unbounded-both-ends frame — the remaining window-function surface
+    after rank/lag/ntile/cume_dist/median (SURVEY §2.5 W-decl): per-user
+    journey endpoints ("entered via signup, left via error") with the
+    (ts, event_id) total order making every picked value deterministic.
+    last_value is the classic frame trap — the DEFAULT frame stops at
+    CURRENT ROW and silently returns the current row's value; the
+    explicit UNBOUNDED FOLLOWING frame is the whole point of the entry.
+    One partitioned WindowExec (all four functions share the frame), one
+    rn=1 filter to collapse to per-user rows."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    base = W.partitionBy("user_id").orderBy("ts", "event_id")
+    win = base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    out = e.select(
+        "user_id",
+        F.first("event_type").over(win).alias("first_type"),
+        F.last("event_type").over(win).alias("last_type"),
+        F.nth_value("event_type", 2).over(win).alias("second_type"),
+        F.count(F.lit(1)).over(win).alias("n_events"),
+        F.row_number().over(base).alias("rn"),
+    )
+    return out.where(F.col("rn") == 1).drop("rn")
+
+
+@query(
+    "o_incremental_stats_merge",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderkey % 16 AS bucket,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    per AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(min(cents) AS BIGINT) AS min_cents,
+             CAST(max(cents) AS BIGINT) AS max_cents
+      FROM c GROUP BY bucket
+    )
+    SELECT 'bucket' AS level, CAST(bucket AS BIGINT) AS key,
+           n, sum_cents, min_cents, max_cents
+    FROM per
+    UNION ALL
+    SELECT 'merged', CAST(-1 AS BIGINT),
+           CAST(sum(n) AS BIGINT), CAST(sum(sum_cents) AS BIGINT),
+           CAST(min(min_cents) AS BIGINT), CAST(max(max_cents) AS BIGINT)
+    FROM per
+    UNION ALL
+    SELECT 'direct', CAST(-1 AS BIGINT),
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT),
+           CAST(min(cents) AS BIGINT), CAST(max(cents) AS BIGINT)
+    FROM c
+    """,
+)
+def o_incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable column statistics — the incremental-ANALYZE contract
+    every table-stats store (o_table_stats' maintenance path) relies on:
+    per-bucket (count, sum, min, max) sketches merge associatively, and
+    the output carries BOTH the two-level merge and the direct single
+    pass so their equality is VISIBLE in the result (the
+    a_kmv_merged_union precedent: the merge property is the thing being
+    shipped, so it must be value-checked, not assumed). All-integer
+    cents channels — a double sum would disagree between partial-agg
+    orders, the m_cohort_ltv discipline. At 100 TB only per-bucket
+    aggregates ever recompute; 'merged' reads |buckets| rows."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.select(
+        (F.col("o_orderkey") % 16).alias("bucket"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    per = c.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+    bucket_rows = per.select(
+        F.lit("bucket").alias("level"),
+        F.col("bucket").cast("bigint").alias("key"),
+        "n",
+        "sum_cents",
+        "min_cents",
+        "max_cents",
+    )
+    merged = per.groupBy().agg(
+        F.lit("merged").alias("level"),
+        F.lit(-1).cast("bigint").alias("key"),
+        F.sum("n").alias("n"),
+        F.sum("sum_cents").alias("sum_cents"),
+        F.min("min_cents").alias("min_cents"),
+        F.max("max_cents").alias("max_cents"),
+    ).select("level", "key", "n", "sum_cents", "min_cents", "max_cents")
+    direct = c.groupBy().agg(
+        F.lit("direct").alias("level"),
+        F.lit(-1).cast("bigint").alias("key"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    ).select("level", "key", "n", "sum_cents", "min_cents", "max_cents")
+    return bucket_rows.unionAll(merged).unionAll(direct)

@@ -575,3 +575,96 @@ def test_part_jaccard_identities(spark, sf_dir):
         union = r.n_a + r.n_b - r.n_common
         assert r.jaccard_ppm == r.n_common * 1_000_000 // union
         assert r.jaccard_ppm <= 1_000_000
+
+
+def test_bfs_layers_match_python_bfs(spark, sf_dir):
+    """The unrolled frontier must equal a plain-Python BFS over the same
+    edge set (layer = min hop distance, seeds = parts % 97 == 0) — pins
+    the anti-join frontier algebra against an imperative ground truth."""
+    from collections import deque
+
+    from surge_spark.io import load_table
+
+    edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_part: dict[int, set[int]] = {}
+    by_order: dict[int, set[int]] = {}
+    for r in edges:
+        by_part.setdefault(r.l_partkey, set()).add(r.l_orderkey)
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    dist: dict[tuple[str, int], int] = {}
+    q = deque()
+    for p in by_part:
+        if p % 97 == 0:
+            dist[("part", p)] = 0
+            q.append(("part", p))
+    while q:
+        kind, node = q.popleft()
+        d = dist[(kind, node)]
+        if d >= 4:
+            continue
+        nbrs = (
+            [("order", o) for o in by_part[node]]
+            if kind == "part"
+            else [("part", p) for p in by_order[node]]
+        )
+        for nb in nbrs:
+            if nb not in dist:
+                dist[nb] = d + 1
+                q.append(nb)
+    expected: dict[tuple[str, int], int] = {}
+    for (kind, _), d in dist.items():
+        expected[(kind, d)] = expected.get((kind, d), 0) + 1
+    rows = all_queries()["g_bfs_layers"](spark, sf_dir).collect()
+    got = {(r.kind, r.distance): r.n_nodes for r in rows}
+    assert got == {k: v for k, v in expected.items() if v > 0}
+
+
+def test_first_last_value_consistency(spark, sf_dir):
+    """first/last must equal the min_by/max_by over the same total order
+    (two independent Spark paths — window frame vs aggregate), and
+    second_type is NULL exactly for single-event users."""
+    import pyspark.sql.functions as F
+
+    from surge_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    agg = {
+        r.user_id: r
+        for r in e.groupBy("user_id")
+        .agg(
+            F.min_by("event_type", F.struct("ts", "event_id")).alias("f"),
+            F.max_by("event_type", F.struct("ts", "event_id")).alias("l"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    rows = all_queries()["w_first_last_value"](spark, sf_dir).collect()
+    assert {r.user_id for r in rows} == set(agg)
+    for r in rows:
+        a = agg[r.user_id]
+        assert (r.first_type, r.last_type, r.n_events) == (a.f, a.l, a.n)
+        assert (r.second_type is None) == (a.n == 1)
+
+
+def test_stats_merge_equals_direct(spark, sf_dir):
+    """The shipped merge property: the two-level rollup row must be
+    IDENTICAL to the single-pass row, and the bucket rows must sum to it."""
+    rows = all_queries()["o_incremental_stats_merge"](spark, sf_dir).collect()
+    merged = next(r for r in rows if r.level == "merged")
+    direct = next(r for r in rows if r.level == "direct")
+    buckets = [r for r in rows if r.level == "bucket"]
+    assert (merged.n, merged.sum_cents, merged.min_cents, merged.max_cents) == (
+        direct.n,
+        direct.sum_cents,
+        direct.min_cents,
+        direct.max_cents,
+    )
+    assert sum(b.n for b in buckets) == merged.n
+    assert sum(b.sum_cents for b in buckets) == merged.sum_cents
+    assert min(b.min_cents for b in buckets) == merged.min_cents
+    assert max(b.max_cents for b in buckets) == merged.max_cents
