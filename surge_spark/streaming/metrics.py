@@ -204,3 +204,105 @@ def cusum_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_TB_STATE = StructType(
+    [
+        StructField("tokens", LongType()),
+        StructField("anchor_ms", LongType()),
+        StructField("n_allowed", LongType()),
+        StructField("n_throttled", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+TOKEN_BUCKET_OUTPUT = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("tokens", LongType()),
+        StructField("anchor_ms", LongType()),
+        StructField("n_allowed", LongType()),
+        StructField("n_throttled", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def token_bucket_stream(
+    events: DataFrame,
+    capacity: int | None = None,
+    refill_ms: int | None = None,
+) -> DataFrame:
+    """Per-key token-bucket rate limiting as a LIVE streaming operator —
+    the gateway-side twin of the es_token_bucket_fold batch entry (the
+    admission decision belongs at ingest time, not in a nightly batch):
+    per-user state (tokens, refill anchor, counters) carries across
+    micro-batches and BOTH modes call the ONE all-integer
+    token_bucket_step kernel (operators/eventsourcing.py), so the
+    arithmetic cannot diverge and the cross-mode equality is EXACT, not
+    float-tolerant (pinned in tests/test_streaming.py across a
+    micro-batch boundary — the cusum_stream discipline). Input rows are
+    {user_id, ms, event_id}; each batch sorts by (ms, event_id), the
+    SAME total order the batch fold uses, so even equal-millisecond
+    events agree. Like cusum_stream, the sort is within a micro-batch —
+    cross-batch in-order arrival is assumed (the command-engine source's
+    per-key ordered log provides it)."""
+    from ..operators.eventsourcing import (
+        TB_CAPACITY,
+        TB_REFILL_MS,
+        token_bucket_step,
+    )
+
+    capacity = TB_CAPACITY if capacity is None else capacity
+    refill_ms = TB_REFILL_MS if refill_ms is None else refill_ms
+
+    def step(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            tokens, anchor, n_allowed, n_throttled, n = state.get
+            fresh = False
+        else:
+            tokens, anchor, n_allowed, n_throttled, n = 0, 0, 0, 0, 0
+            fresh = True
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ms", "event_id"], kind="mergesort"
+        )
+        for t in batch["ms"]:
+            t = int(t)
+            if fresh:
+                # bucket starts FULL; the first event consumes immediately
+                tokens, anchor, n_allowed, n = capacity - 1, t, 1, 1
+                fresh = False
+                continue
+            tokens, anchor, allowed = token_bucket_step(
+                tokens, anchor, t, capacity, refill_ms
+            )
+            n_allowed += 1 if allowed else 0
+            n_throttled += 0 if allowed else 1
+            n += 1
+        state.update((tokens, anchor, n_allowed, n_throttled, n))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "tokens": tokens,
+                    "anchor_ms": anchor,
+                    "n_allowed": n_allowed,
+                    "n_throttled": n_throttled,
+                    "n": n,
+                }
+            ]
+        )
+
+    ensure_shipped(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=TOKEN_BUCKET_OUTPUT,
+        stateStructType=_TB_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

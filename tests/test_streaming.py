@@ -2142,3 +2142,54 @@ def test_publish_changes_idempotent_republish(spark, tmp_path):
         f"pub-v{store.latest_version():012d}",
         "d",
     ) in [(b, k) for b, k, _ in content(read_published(spark, topic))]
+
+
+def test_token_bucket_stream_matches_batch_fold(spark, tmp_path):
+    """Cross-mode rate-limiter pin: the streaming token bucket over TWO
+    micro-batches (state crosses the boundary mid-burst) equals the batch
+    fold handler over the same (ms, event_id)-ordered events EXACTLY —
+    both modes call the one all-integer token_bucket_step kernel, so the
+    assertion is integer equality, no tolerance. The event sequence
+    exercises a full-bucket drain, throttling, a whole-token refill, and
+    the re-anchor-at-capacity rule."""
+    from surge_spark.operators.eventsourcing import token_bucket_handle_event
+    from surge_spark.streaming import metrics as sm
+
+    day = 86_400_000
+    ms_seq = [0, 1_000, 2_000, 3_000, 4_000, day + 500, day + 600, 3 * day]
+    schema = "user_id string, ms long, event_id long"
+    src = str(tmp_path / "tb_events")
+    half = len(ms_seq) // 2
+    spark.createDataFrame(
+        [("u1", t, i) for i, t in enumerate(ms_seq[:half])], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [("u1", t, half + i) for i, t in enumerate(ms_seq[half:])], schema
+    ).coalesce(1).write.parquet(src + "/f2")
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        sm.token_bucket_stream(events)
+        .writeStream.format("memory")
+        .queryName("tb_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_tb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from tb_out order by n desc").collect()[0]
+    st = None
+    for t in ms_seq:
+        st = token_bucket_handle_event(st, {"user_id": "u1", "ms": t})
+    assert got.n == st["n"] == len(ms_seq)
+    assert got.tokens == st["tokens"]
+    assert got.anchor_ms == st["anchor_ms"]
+    assert got.n_allowed == st["n_allowed"]
+    assert got.n_throttled == st["n_throttled"]
+    # the sequence must actually throttle and refill, or the pin is vacuous
+    assert st["n_throttled"] >= 1
+    assert st["n_allowed"] >= 5
