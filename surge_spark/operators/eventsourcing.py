@@ -454,6 +454,19 @@ def token_bucket_step(
     return tokens, anchor_ms, False
 
 
+def token_bucket_init(
+    t_ms: int, capacity: int = TB_CAPACITY, refill_ms: int = TB_REFILL_MS
+) -> tuple[int, int, bool]:
+    """First-event initialization, expressed THROUGH the step kernel so
+    batch and streaming cannot drift (the cusum kernel-duplication
+    lesson): a fresh bucket is full and anchored at the event, then the
+    event itself goes through token_bucket_step — for capacity >= 1 that
+    is the familiar (capacity-1, t, allowed); for capacity == 0 the first
+    event is correctly THROTTLED instead of banking a negative token.
+    Returns (tokens_after, anchor_after, allowed)."""
+    return token_bucket_step(capacity, t_ms, t_ms, capacity, refill_ms)
+
+
 def token_bucket_handle_event(state: dict | None, event: dict) -> dict:
     """Per-key token-bucket rate limiting as an event fold (the admission
     decision every command gateway needs — R1's per-key serial order is
@@ -465,12 +478,13 @@ def token_bucket_handle_event(state: dict | None, event: dict) -> dict:
     the handler."""
     t = int(event["ms"])
     if state is None:
+        tokens, anchor, allowed = token_bucket_init(t)
         return {
             "aggregate_id": str(event["user_id"]),
-            "tokens": TB_CAPACITY - 1,
-            "anchor_ms": t,
-            "n_allowed": 1,
-            "n_throttled": 0,
+            "tokens": tokens,
+            "anchor_ms": anchor,
+            "n_allowed": 1 if allowed else 0,
+            "n_throttled": 0 if allowed else 1,
             "n": 1,
         }
     tokens, anchor, allowed = token_bucket_step(

@@ -2301,10 +2301,14 @@ def m_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     The rank comes from the exact two-pass distributed prefix sum — no
     unpartitioned WindowExec (a global ORDER BY rank funnels every user
     through one task; at 100 TB the per-user count table alone is
-    billions of rows). All three aggregates are exact BIGINTs (bounded
-    by n_users*total_events, overflow-safe far past petabyte corpora);
-    the single division happens once on exact longs, so round(6) is
-    engine-stable — the m_pareto_share discipline."""
+    billions of rows). All three aggregates are exact BIGINTs; the
+    rank_weighted sum is bounded by n_users*total_events, so the BIGINT
+    channel is safe while that product stays under 2^63 (~3e9 users x
+    3e9 events) — past that, widen rk*n to DECIMAL(38,0) on both
+    engines (the a_basket_lift escape hatch; ANSI mode raises loudly,
+    never silently wraps). The single division happens once on exact
+    longs, so round(6) is engine-stable — the m_pareto_share
+    discipline."""
     from surge_spark.operators.text import distributed_prefix_sum
 
     e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())

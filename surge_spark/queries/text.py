@@ -2283,10 +2283,15 @@ def t_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     per = d.select(
         "source",
-        F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("wd"),
-        F.size(F.expr("regexp_extract_all(text, '[aeiouy]+', 0)")).alias(
-            "sy"
-        ),
+        # cast to BIGINT before the formula: F.size is 32-bit and under
+        # ANSI mode 84600 * sy overflows INT for any ~25k-word document
+        # (runtime-confirmed); the oracle's len() is already BIGINT
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)"))
+        .cast("bigint")
+        .alias("wd"),
+        F.size(F.expr("regexp_extract_all(text, '[aeiouy]+', 0)"))
+        .cast("bigint")
+        .alias("sy"),
     ).where(F.col("wd") > 0)
     scored = per.select(
         "source",

@@ -250,6 +250,7 @@ def token_bucket_stream(
     from ..operators.eventsourcing import (
         TB_CAPACITY,
         TB_REFILL_MS,
+        token_bucket_init,
         token_bucket_step,
     )
 
@@ -274,8 +275,15 @@ def token_bucket_stream(
         for t in batch["ms"]:
             t = int(t)
             if fresh:
-                # bucket starts FULL; the first event consumes immediately
-                tokens, anchor, n_allowed, n = capacity - 1, t, 1, 1
+                # shared first-event init THROUGH the step kernel — the
+                # cusum kernel-duplication lesson (an inline init drifted
+                # from the batch twin for capacity=0 until review caught it)
+                tokens, anchor, allowed = token_bucket_init(
+                    t, capacity, refill_ms
+                )
+                n_allowed += 1 if allowed else 0
+                n_throttled += 0 if allowed else 1
+                n += 1
                 fresh = False
                 continue
             tokens, anchor, allowed = token_bucket_step(

@@ -482,11 +482,24 @@ def test_benford_mass_conservation(spark, sf_dir):
 
 def test_autocorr_daily_bounds(spark, sf_dir):
     """All 7 lags present; Pearson r in [-1, 1]; every lag has fewer pairs
-    than there are days (a lag consumes at least k days of the series)."""
+    than there are days (a lag consumes at least k days of the series).
+    n_days comes from the daily aggregate ITSELF — inferring it from pair
+    counts assumes a gap-free series, which regenerated testdata need not
+    provide (review-pass finding)."""
+    import pyspark.sql.functions as F
+
+    from surge_spark.io import load_table
+
+    n_days = (
+        load_table(spark, sf_dir, "events")
+        .select(F.expr("unix_millis(ts) div 86400000").alias("d"))
+        .distinct()
+        .count()
+    )
     rows = {r.lag_days: r for r in all_queries()["m_autocorr_daily"](spark, sf_dir).collect()}
     assert set(rows) == set(range(1, 8))
-    n_days = max(r.n_pairs for r in rows.values()) + 1
     for k, r in rows.items():
+        assert r.autocorr is not None
         assert -1.0 <= r.autocorr <= 1.0
         assert 0 < r.n_pairs <= n_days - k
 

@@ -388,3 +388,28 @@ def test_mttr_recovery_invariants(spark, sf_dir):
         assert r.n_error_events >= r.n_episodes
         assert 0 <= r.mean_recovery_ms <= r.max_recovery_ms
         assert r.n_error_events <= err_totals[r.user_id]
+
+
+def test_token_bucket_init_through_kernel():
+    """The shared first-event init must route THROUGH token_bucket_step:
+    capacity >= 1 gives the familiar full-bucket-consumes (capacity-1,
+    anchored at the event, allowed); capacity == 0 THROTTLES the first
+    event instead of banking a negative token (the divergence the review
+    pass caught in the streaming twin's inline init)."""
+    from surge_spark.operators.eventsourcing import (
+        token_bucket_handle_event,
+        token_bucket_init,
+    )
+
+    tokens, anchor, allowed = token_bucket_init(5_000, capacity=3)
+    assert (tokens, anchor, allowed) == (2, 5_000, True)
+    tokens0, anchor0, allowed0 = token_bucket_init(5_000, capacity=0)
+    assert (tokens0, allowed0) == (0, False)
+    assert anchor0 == 5_000
+    st = token_bucket_handle_event(None, {"user_id": "u", "ms": 5_000})
+    assert (st["tokens"], st["anchor_ms"], st["n_allowed"], st["n"]) == (
+        2,
+        5_000,
+        1,
+        1,
+    )
