@@ -2463,3 +2463,125 @@ def m_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.corr("x", "y"), 6).alias("autocorr"),
     )
+
+
+@query(
+    "m_kaplan_meier",
+    oracle="""
+    WITH days AS (
+      SELECT user_id, epoch_ms(ts) // 86400000 AS d FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    pu AS (SELECT user_id, min(d) AS f, max(d) AS l FROM days GROUP BY 1),
+    t AS (SELECT max(d) AS tmax FROM days),
+    dur AS (
+      SELECT l - f + 1 AS duration,
+             CASE WHEN l = tmax THEN 1 ELSE 0 END AS censored
+      FROM pu, t
+    ),
+    byd AS (
+      SELECT duration,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(1 - censored) AS BIGINT) AS n_deaths
+      FROM dur GROUP BY 1
+    ),
+    nu AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM dur),
+    r AS (
+      SELECT duration, n_deaths,
+             n_users - coalesce(sum(n_total) OVER (
+               ORDER BY duration
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS n_at_risk
+      FROM byd, nu
+    ),
+    s AS (
+      SELECT duration, n_deaths, n_at_risk,
+             1.0 - CAST(n_deaths AS DOUBLE) / n_at_risk AS term
+      FROM r
+    ),
+    acc AS (
+      SELECT duration, n_deaths, n_at_risk,
+             max(CASE WHEN term = 0 THEN 1 ELSE 0 END) OVER win AS hit_zero,
+             sum(CASE WHEN term > 0 THEN ln(term) ELSE 0 END) OVER win
+               AS sum_ln
+      FROM s
+      WINDOW win AS (ORDER BY duration
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(duration AS BIGINT) AS duration_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           n_deaths,
+           CASE WHEN hit_zero = 1 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(round(exp(sum_ln), 6) AS DOUBLE) END AS survival
+    FROM acc
+    """,
+)
+def m_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetimes — the estimator every
+    retention analysis should use instead of naive churn ratios, because
+    it handles CENSORING: a user still active on the corpus's last day
+    hasn't churned, they're right-censored and leave the risk set without
+    counting as a death (naive ratios systematically overstate churn for
+    recent cohorts — the bias m_retention_decay_fit's pooled curve
+    dodges by construction). Lifetime = last-first+1 integer epoch-days;
+    S(t) = prod over t_i<=t of (1 - d_i/n_i), computed as exp of a
+    RUNNING SUM of logs so both engines evaluate the same doubles in the
+    same order (round-6 on the single final exp; a zero term — everyone
+    at risk dies — short-circuits to exact 0.0 via a running max flag,
+    because Spark's ln(0) is NULL while DuckDB's is -inf: the one place
+    the engines' ln disagree). The running windows are UNPARTITIONED but
+    over the per-duration aggregate — calendar-bounded rows (<= |days|),
+    never corpus-scale; the corpus-scale work is two partial+final
+    aggregates (the m_dau discipline: bounded frames may window,
+    billions-row frames never do)."""
+    e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    days = e.select(
+        "user_id", F.expr("unix_millis(ts) div 86400000").alias("d")
+    )
+    pu = days.groupBy("user_id").agg(
+        F.min("d").alias("f"), F.max("d").alias("l")
+    )
+    t = days.groupBy().agg(F.max("d").alias("tmax"))
+    dur = pu.crossJoin(F.broadcast(t)).select(
+        (F.col("l") - F.col("f") + 1).alias("duration"),
+        F.when(F.col("l") == F.col("tmax"), 1).otherwise(0).alias("censored"),
+    )
+    byd = dur.groupBy("duration").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(1 - F.col("censored")).alias("n_deaths"),
+    )
+    nu = dur.groupBy().agg(F.count(F.lit(1)).alias("n_users"))
+    prior = W.orderBy("duration").rowsBetween(W.unboundedPreceding, -1)
+    win = W.orderBy("duration").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = byd.crossJoin(F.broadcast(nu)).select(
+        "duration",
+        "n_deaths",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("n_total").over(prior), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    s = r.withColumn(
+        "term", F.lit(1.0) - F.col("n_deaths").cast("double") / F.col("n_at_risk")
+    )
+    acc = s.select(
+        "duration",
+        "n_deaths",
+        "n_at_risk",
+        F.max(F.when(F.col("term") == 0, 1).otherwise(0)).over(win).alias(
+            "hit_zero"
+        ),
+        F.sum(
+            F.when(F.col("term") > 0, F.log(F.col("term"))).otherwise(0.0)
+        )
+        .over(win)
+        .alias("sum_ln"),
+    )
+    return acc.select(
+        F.col("duration").alias("duration_days"),
+        "n_at_risk",
+        "n_deaths",
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("sum_ln")), 6))
+        .alias("survival"),
+    )

@@ -5346,3 +5346,139 @@ def o_incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").alias("max_cents"),
     ).select("level", "key", "n", "sum_cents", "min_cents", "max_cents")
     return bucket_rows.unionAll(merged).unionAll(direct)
+
+
+@query(
+    "a_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, (epoch_ms(ts) // 86400000) % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS observed
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(sum(observed) AS BIGINT) AS r FROM cells GROUP BY 1),
+    ct AS (SELECT dow, CAST(sum(observed) AS BIGINT) AS c FROM cells GROUP BY 1),
+    t AS (SELECT CAST(sum(observed) AS BIGINT) AS total FROM cells)
+    SELECT cells.event_type, CAST(cells.dow AS BIGINT) AS dow,
+           cells.observed,
+           CAST(round(CAST(rt.r * ct.c AS DOUBLE) / t.total, 4) AS DOUBLE)
+             AS expected,
+           CAST(round(
+             (cells.observed - CAST(rt.r * ct.c AS DOUBLE) / t.total)
+             * (cells.observed - CAST(rt.r * ct.c AS DOUBLE) / t.total)
+             / (CAST(rt.r * ct.c AS DOUBLE) / t.total), 6) AS DOUBLE)
+             AS chi2_contrib
+    FROM cells
+    JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN t
+    """,
+)
+def a_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence table between event type and day-of-week —
+    the categorical drift test behind "did the traffic mix change on
+    weekends?" (the bivariate sibling of m_seasonality_dow). Day-of-week
+    is integer (epoch_day % 7) — a pure-integer channel with no
+    engine-specific week-start convention (Spark's dayofweek is 1=Sunday,
+    DuckDB's 0=Sunday; the m_seasonality_dow lesson is to never compare
+    engine dow labels). Expected counts r*c/total are ONE division from
+    exact bigints (round-4 stable); per-cell chi2 contributions round-6.
+    The margins are |types|- and 7-row broadcast frames (hint-policy
+    class 3); the only corpus-scale work is the first aggregate. The
+    total chi2 statistic is the sum of the contrib column — shipped
+    per-cell so the oracle checks every term, not one lump."""
+    e = _t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        (F.expr("unix_millis(ts) div 86400000") % 7).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    rt = cells.groupBy("event_type").agg(F.sum("observed").alias("r"))
+    ct = cells.groupBy("dow").agg(F.sum("observed").alias("c"))
+    t = cells.groupBy().agg(F.sum("observed").alias("total"))
+    exp_sql = "CAST(r * c AS DOUBLE) / total"
+    return (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            F.col("dow").cast("bigint").alias("dow"),
+            "observed",
+            F.expr(f"CAST(round({exp_sql}, 4) AS DOUBLE)").alias("expected"),
+            F.expr(
+                f"CAST(round((observed - {exp_sql}) * (observed - {exp_sql})"
+                f" / ({exp_sql}), 6) AS DOUBLE)"
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
+@query(
+    "g_degree_assortativity",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    directed AS (
+      SELECT pa AS x, pb AS y FROM pairs
+      UNION ALL
+      SELECT pb AS x, pa AS y FROM pairs
+    ),
+    deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS k FROM directed GROUP BY 1)
+    SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(round(corr(dx.k, dy.k), 6) AS DOUBLE) AS assortativity
+    FROM directed e
+    JOIN deg dx ON dx.node = e.x
+    JOIN deg dy ON dy.node = e.y
+    """,
+)
+def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-occurrence graph — Newman's r:
+    the Pearson correlation of endpoint degrees over DIRECTED edge
+    occurrences (each undirected edge counted both ways — that IS the
+    standard definition; a one-way sample biases r). Tells a sampler or
+    partitioner whether hubs attach to hubs (r>0, supply-chain-like) or
+    to leaves (r<0, star-like — the shape that makes skew salting
+    necessary). Degree = distinct co-occurring parts, derived by
+    exploding the canonical pa<pb pair set both ways, so the degree
+    frame and the edge frame share one pair build (the adamic-adar
+    identical-subtree rule). corr is scale-free (sample-vs-population
+    cancels) and round-6 per the moment discipline; the pair distinct
+    is the only super-linear term — the same m²/n wedge floor
+    g_triangle_count documents, with the sampled twin as the 100 TB
+    escape hatch."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    directed = pairs.select(
+        F.col("pa").alias("x"), F.col("pb").alias("y")
+    ).unionAll(pairs.select(F.col("pb").alias("x"), F.col("pa").alias("y")))
+    deg = directed.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("k").alias("kx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("k").alias("ky"))
+    joined = directed.join(dx, "x").join(dy, "y")
+    n_nodes = deg.groupBy().agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        joined.groupBy()
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+            F.round(F.corr("kx", "ky"), 6).alias("assortativity"),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+        .select("n_edges", "n_nodes", "assortativity")
+    )

@@ -681,3 +681,107 @@ def test_stats_merge_equals_direct(spark, sf_dir):
     assert sum(b.sum_cents for b in buckets) == merged.sum_cents
     assert min(b.min_cents for b in buckets) == merged.min_cents
     assert max(b.max_cents for b in buckets) == merged.max_cents
+
+
+def test_kaplan_meier_matches_python_product(spark, sf_dir):
+    """The exp-sum-of-logs path must equal the direct Python product of
+    (1 - d_i/n_i) over the same per-user durations (within the round-6
+    unit), and the curve must be monotone: survival non-increasing,
+    n_at_risk strictly decreasing in duration."""
+    import pyspark.sql.functions as F
+
+    from surge_spark.io import load_table
+
+    days = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", F.expr("unix_millis(ts) div 86400000").alias("d"))
+    )
+    pu = days.groupBy("user_id").agg(F.min("d").alias("f"), F.max("d").alias("l")).collect()
+    tmax = max(r.l for r in pu)
+    durs = sorted((r.l - r.f + 1, r.l == tmax) for r in pu)
+    from collections import Counter
+
+    deaths = Counter(d for d, cens in durs if not cens)
+    totals = Counter(d for d, _ in durs)
+    n_at_risk = len(durs)
+    surv = 1.0
+    expected = {}
+    for d in sorted(totals):
+        term = 1.0 - deaths.get(d, 0) / n_at_risk
+        surv *= term
+        expected[d] = (n_at_risk, deaths.get(d, 0), surv)
+        n_at_risk -= totals[d]
+    rows = sorted(
+        all_queries()["m_kaplan_meier"](spark, sf_dir).collect(),
+        key=lambda r: r.duration_days,
+    )
+    assert {r.duration_days for r in rows} == set(expected)
+    for r in rows:
+        nar, dth, s = expected[r.duration_days]
+        assert (r.n_at_risk, r.n_deaths) == (nar, dth)
+        assert abs(r.survival - s) < 2e-6
+    for x, y in zip(rows, rows[1:]):
+        assert x.survival >= y.survival
+        assert x.n_at_risk > y.n_at_risk
+
+
+def test_chi_square_cell_identities(spark, sf_dir):
+    """The margins are re-derivable from the shipped cells themselves, and
+    every expected/contrib value is the exact one-division recompute from
+    those integer margins (rounded the same way)."""
+    rows = all_queries()["a_chi_square_independence"](spark, sf_dir).collect()
+    assert rows
+    r_tot: dict[str, int] = {}
+    c_tot: dict[int, int] = {}
+    for r in rows:
+        r_tot[r.event_type] = r_tot.get(r.event_type, 0) + r.observed
+        c_tot[r.dow] = c_tot.get(r.dow, 0) + r.observed
+    total = sum(r.observed for r in rows)
+    for r in rows:
+        e = r_tot[r.event_type] * c_tot[r.dow] / total
+        assert r.expected == round(e, 4)
+        assert abs(r.chi2_contrib - (r.observed - e) ** 2 / e) < 2e-6
+
+
+def test_assortativity_matches_python_corr(spark, sf_dir):
+    """Newman's r recomputed imperatively over the collected pair set
+    (directed both ways, Pearson over endpoint degrees) must agree with
+    the distributed corr within round-6 noise; r lives in [-1, 1]."""
+    import statistics
+
+    import pyspark.sql.functions as F
+
+    from surge_spark.io import load_table
+
+    d = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order: dict[int, list[int]] = {}
+    for r in d:
+        by_order.setdefault(r.l_orderkey, []).append(r.l_partkey)
+    pairs = set()
+    for parts in by_order.values():
+        ps = sorted(set(parts))
+        for i, pa in enumerate(ps):
+            for pb in ps[i + 1 :]:
+                pairs.add((pa, pb))
+    from collections import Counter
+
+    deg = Counter()
+    for pa, pb in pairs:
+        deg[pa] += 1
+        deg[pb] += 1
+    xs, ys = [], []
+    for pa, pb in pairs:
+        xs += [deg[pa], deg[pb]]
+        ys += [deg[pb], deg[pa]]
+    expected = statistics.correlation(xs, ys)
+    row = all_queries()["g_degree_assortativity"](spark, sf_dir).collect()[0]
+    assert row.n_edges == len(pairs)
+    assert row.n_nodes == len(deg)
+    assert -1.0 <= row.assortativity <= 1.0
+    assert abs(row.assortativity - expected) < 2e-6
