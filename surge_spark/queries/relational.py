@@ -5462,6 +5462,13 @@ def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
         )
         .distinct()
+        # the pair set feeds FOUR consumers (both union branches, the
+        # degree aggregate through them, and the final join) — lazy
+        # plans re-ran the wedge join + distinct each time (16 parquet
+        # scans, 0 ReusedExchange; sf0.1 7.8 -> 3.9-5.0 s measured);
+        # localCheckpoint materializes it once, the iterative-graph
+        # discipline
+        .localCheckpoint(eager=False)
     )
     directed = pairs.select(
         F.col("pa").alias("x"), F.col("pb").alias("y")
