@@ -2591,3 +2591,57 @@ def m_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("sum_ln")), 6))
         .alias("survival"),
     )
+
+
+@query(
+    "es_upcast_fold",
+    oracle="""
+    WITH up AS (
+      SELECT user_id,
+             1 + event_id % 2 AS version,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT CAST(user_id AS VARCHAR) AS aggregate_id,
+           CAST(sum(CASE WHEN version = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_v1,
+           CAST(sum(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_v2,
+           CAST(sum(CASE WHEN version = 1 THEN k ELSE k * 100 END)
+                AS BIGINT) AS total_cents
+    FROM up GROUP BY user_id
+    """,
+)
+def es_upcast_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-schema UPCASTING on the fold path — the serde concern every
+    long-lived event store hits (surge's user-side serdes evolve;
+    modules/command-engine serde plumbing, SURVEY §2.10 U6): the log
+    holds a MIX of payload versions and the fold must upcast each to the
+    newest schema before applying it, never rewrite history. Versions
+    are DERIVED here (event_id parity — the construct-in-query trick the
+    WARC/robots entries use, since testdata ships one payload shape):
+    v1 payloads carry integer cents in props.k, v2 carry whole currency
+    units, and the upcaster multiplies v2 by 100 so one all-integer fold
+    sums both. JSON extraction is the pinned get_json_object ==
+    json_extract_string channel (f_json_functions); per-version counts
+    make the mix visible in the output. One partial+final aggregate —
+    upcasting is a map-side expression, exactly why it belongs in the
+    fold and not in a log rewrite."""
+    e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("long")
+    up = e.select(
+        "user_id",
+        (F.lit(1) + F.col("event_id") % 2).alias("version"),
+        k.alias("k"),
+    )
+    return up.groupBy(
+        F.col("user_id").cast("string").alias("aggregate_id")
+    ).agg(
+        F.sum(F.when(F.col("version") == 1, 1).otherwise(0)).alias("n_v1"),
+        F.sum(F.when(F.col("version") == 2, 1).otherwise(0)).alias("n_v2"),
+        F.sum(
+            F.when(F.col("version") == 1, F.col("k")).otherwise(
+                F.col("k") * 100
+            )
+        ).alias("total_cents"),
+    )

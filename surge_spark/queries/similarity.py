@@ -1756,3 +1756,114 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         negs.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 5)
     )
+
+
+# (cell, pos, val) literal rows of FIXED_CENTS for per-dimension joins —
+# 1-based pos to match both engines' list indexing conventions below
+_CENT_DIM_ROWS = [
+    (cell, pos + 1, val)
+    for cell, cent in enumerate(FIXED_CENTS)
+    for pos, val in enumerate(cent)
+]
+
+
+@query(
+    "sim_kmeans_step_audit",
+    oracle=f"""
+    WITH {_DUCK_ASSIGN.strip().rstrip()},
+    dims AS (
+      SELECT a.cell, u.i AS pos,
+             CAST(a.embedding[u.i] AS DOUBLE) AS val
+      FROM assigned a,
+           LATERAL (SELECT unnest(range(1, len(a.embedding) + 1)) AS i) u
+    ),
+    means AS (
+      SELECT cell, pos, round(avg(val), 6) AS m,
+             count(*) AS n
+      FROM dims GROUP BY cell, pos
+    ),
+    cents_flat AS (
+      SELECT c.cell, u.i AS pos, c.c[u.i] AS old_val
+      FROM cents c,
+           LATERAL (SELECT unnest(range(1, len(c.c) + 1)) AS i) u
+    ),
+    per_cell AS (
+      SELECT m.cell,
+             CAST(min(m.n) AS BIGINT) AS n_members,
+             sqrt(sum(m.m * m.m)) AS new_norm,
+             sum(m.m * f.old_val) AS dot_old
+      FROM means m JOIN cents_flat f ON f.cell = m.cell AND f.pos = m.pos
+      GROUP BY m.cell
+    )
+    SELECT CAST(cell AS INT) AS cell, n_members,
+           CAST(round(new_norm, 6) AS DOUBLE) AS new_norm,
+           CAST(round(dot_old / new_norm, 6) AS DOUBLE) AS drift_cosine
+    FROM per_cell WHERE new_norm > 0
+    """,
+)
+def sim_kmeans_step_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE Lloyd iteration, value-checked — the k-means trainer's update
+    step under a full oracle (the catalog's other k-means entries inject
+    FIXED_CENTS precisely because the trained model is seed-dependent;
+    this entry pins the UPDATE MATH itself instead: assign to the fixed
+    model, recompute per-cell means, report how far each centroid wants
+    to move). drift_cosine near 1 = the model fits this corpus's cells;
+    low drift_cosine = that cell would reshape under retraining — the
+    trainer-side sibling of sim_cluster_margin_audit's assignment-side
+    score. Per-dim means are ROUNDED to 6 before the cosine (the
+    sim_centroid_drift rounded-before-cosine discipline, so both engines
+    dot identical doubles); old centroids are unit-norm so the cosine
+    divides by new_norm only. The per-dim aggregate is (8 cells x 64
+    dims)-bounded — structural, not corpus-scale; the literal centroid
+    join is a 512-row broadcast (hint-policy class 2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr_sql = (
+        "array("
+        + ",".join(sim._dot_lit_sql("embedding", c) for c in FIXED_CENTS)
+        + ")"
+    )
+    assigned = (
+        emb.select("embedding", F.expr(arr_sql).alias("s"))
+        .select(
+            "embedding",
+            (F.array_position(F.col("s"), F.array_max(F.col("s"))) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+        # janino 64KB rule (r11): the 512-node literal-dot array fused
+        # into the explode+aggregate stage pushes the generated method
+        # past the JVM limit — failed compiles RETRY EVERY RUN; the
+        # materialize barrier keeps the encode stage separate
+        .localCheckpoint(eager=False)
+    )
+    dims = assigned.select(
+        "cell", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "cell",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val").cast("double").alias("val"),
+    )
+    means = dims.groupBy("cell", "pos").agg(
+        F.round(F.avg("val"), 6).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cents_flat = load_table(spark, sf_dir, "embeddings").sparkSession.createDataFrame(
+        _CENT_DIM_ROWS, "cell int, pos int, old_val double"
+    )
+    per_cell = (
+        means.join(F.broadcast(cents_flat), ["cell", "pos"])
+        .groupBy("cell")
+        .agg(
+            F.min("n").alias("n_members"),
+            F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("new_norm"),
+            F.sum(F.col("m") * F.col("old_val")).alias("dot_old"),
+        )
+    )
+    return per_cell.where(F.col("new_norm") > 0).select(
+        "cell",
+        "n_members",
+        F.round("new_norm", 6).alias("new_norm"),
+        F.round(F.col("dot_old") / F.col("new_norm"), 6).alias(
+            "drift_cosine"
+        ),
+    )

@@ -785,3 +785,47 @@ def test_assortativity_matches_python_corr(spark, sf_dir):
     assert row.n_nodes == len(deg)
     assert -1.0 <= row.assortativity <= 1.0
     assert abs(row.assortativity - expected) < 2e-6
+
+
+def test_upcast_fold_identities(spark, sf_dir):
+    """Version counts partition each user's events exactly, and the
+    upcast total equals the two-branch recompute through an independent
+    Spark path (raw parity split, no JSON)."""
+    import pyspark.sql.functions as F
+
+    from surge_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("long")
+    chk = {
+        r.user_id: r
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("event_id") % 2 == 0, k).otherwise(k * 100)).alias(
+                "cents"
+            ),
+        )
+        .collect()
+    }
+    rows = all_queries()["es_upcast_fold"](spark, sf_dir).collect()
+    assert {int(r.aggregate_id) for r in rows} == set(chk)
+    for r in rows:
+        c = chk[int(r.aggregate_id)]
+        assert r.n_v1 + r.n_v2 == c.n
+        assert r.total_cents == c.cents
+
+
+def test_kmeans_step_audit_bounds(spark, sf_dir):
+    """All populated cells appear with membership summing to the corpus
+    size; drift cosine is a valid cosine; new_norm positive."""
+    from surge_spark.io import load_table
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    rows = all_queries()["sim_kmeans_step_audit"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r.n_members for r in rows) == n_vecs
+    for r in rows:
+        assert 0 <= r.cell <= 7
+        assert r.new_norm > 0
+        assert -1.000001 <= r.drift_cosine <= 1.000001
