@@ -78,6 +78,8 @@ HEADLINE = [
     # r12
     "d_idf_weighted_neardup",      # Bayardo prefix-filtered all-pairs (r12; tracks the filter's stage overhead vs pair cut)
     "sim_ivf_recall_audit",        # IVF recall@10 vs brute force (r12; the ANN-quality canary)
+    "g_degree_assortativity",      # wedge-join pair build + checkpoint reuse (r12; a lazy regression re-runs it 4x)
+    "sim_kmeans_step_audit",       # Lloyd update under the janino materialize barrier (r12; a recompile tax shows as +2s)
 ]
 
 N_RUNS = 3
