@@ -2645,3 +2645,87 @@ def es_upcast_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("total_cents"),
     )
+
+
+@query(
+    "m_winsorized_mean",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM v GROUP BY event_type
+    ),
+    c AS (
+      SELECT v.event_type, v.value, q.p05, q.p95,
+             CASE WHEN v.value < q.p05 THEN q.p05
+                  WHEN v.value > q.p95 THEN q.p95
+                  ELSE v.value END AS w
+      FROM v JOIN q USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_low,
+           CAST(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_high,
+           CAST(round(avg(w), 4) AS DOUBLE) AS winsorized_mean,
+           CAST(round(avg(CASE WHEN value >= p05 AND value <= p95
+                              THEN value END), 4) AS DOUBLE) AS trimmed_mean,
+           CAST(round(avg(value), 4) AS DOUBLE) AS raw_mean
+    FROM c GROUP BY event_type
+    """,
+)
+def m_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized and trimmed means per event type — the robust central
+    tendencies a latency dashboard ships next to the raw mean (one
+    timeout skews a raw mean; clamping at p5/p95 bounds any single
+    observation's influence — the estimator cousin of m_anomaly_mad's
+    breakdown-point argument, with all three means side by side so the
+    tail's pull is visible). Percentiles ride the pinned Spark
+    percentile ≡ DuckDB quantile_cont equivalence (a_exact_percentiles);
+    the clamp comparisons use the UNROUNDED percentile doubles both
+    engines compute identically (the MAD-threshold precedent). Means
+    round to 4 — million-row float sums differ across partial-agg
+    orders near the 6th decimal. Two grouped passes over the stream
+    (percentile, then clamp+mean) with a |types|-row broadcast join-back
+    between — the m_anomaly_mad shuffle shape."""
+    e = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    c = e.join(F.broadcast(q), "event_type").select(
+        "event_type",
+        "value",
+        "p05",
+        "p95",
+        F.when(F.col("value") < F.col("p05"), F.col("p05"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+        .alias("w"),
+    )
+    return c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0)).alias(
+            "n_clamped_low"
+        ),
+        F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0)).alias(
+            "n_clamped_high"
+        ),
+        F.round(F.avg("w"), 4).alias("winsorized_mean"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("value") >= F.col("p05"))
+                    & (F.col("value") <= F.col("p95")),
+                    F.col("value"),
+                )
+            ),
+            4,
+        ).alias("trimmed_mean"),
+        F.round(F.avg("value"), 4).alias("raw_mean"),
+    )

