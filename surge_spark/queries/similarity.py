@@ -1867,3 +1867,123 @@ def sim_kmeans_step_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drift_cosine"
         ),
     )
+
+
+@query(
+    "sim_pq_distortion_audit",
+    oracle=f"""
+    WITH cb(m, j, c, halfn) AS (VALUES
+      {_DUCK_CBS}
+    ),
+    u AS (SELECT vec_id, {_DUCK_UNIT} AS uv FROM embeddings),
+    sc AS (
+      SELECT u.vec_id, cb.m, cb.j,
+             list_sum(list_transform(range(1, 17),
+                      i -> u.uv[cb.m * 16 + i] * cb.c[i])) - cb.halfn AS s
+      FROM u CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+               row_number() OVER (
+                 PARTITION BY vec_id, m ORDER BY s DESC, j ASC
+               ) AS rn
+        FROM sc
+      ) WHERE rn = 1
+    ),
+    cp AS (
+      SELECT vec_id,
+             max(CASE WHEN m = 0 THEN code END) AS c0,
+             max(CASE WHEN m = 1 THEN code END) AS c1,
+             max(CASE WHEN m = 2 THEN code END) AS c2,
+             max(CASE WHEN m = 3 THEN code END) AS c3
+      FROM codes GROUP BY vec_id
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, q.uv AS quv, cb.m, cb.j,
+             list_sum(list_transform(range(1, 17),
+                      i -> q.uv[cb.m * 16 + i] * cb.c[i])) AS v
+      FROM (SELECT * FROM u WHERE vec_id < 5) q CROSS JOIN cb
+    ),
+    pairs AS (
+      SELECT l0.query_id, cp.vec_id AS corpus_id,
+             round((((l0.v + l1.v) + l2.v) + l3.v), 6) AS approx_ip,
+             round(list_sum(list_transform(range(1, len(u.uv) + 1),
+                   i -> u.uv[i] * l0.quv[i])), 6) AS exact_ip
+      FROM cp
+      JOIN u ON u.vec_id = cp.vec_id
+      JOIN lut l0 ON l0.m = 0 AND l0.j = cp.c0
+      JOIN lut l1 ON l1.m = 1 AND l1.j = cp.c1 AND l1.query_id = l0.query_id
+      JOIN lut l2 ON l2.m = 2 AND l2.j = cp.c2 AND l2.query_id = l0.query_id
+      JOIN lut l3 ON l3.m = 3 AND l3.j = cp.c3 AND l3.query_id = l0.query_id
+      WHERE cp.vec_id <> l0.query_id
+    )
+    SELECT query_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(round(avg(abs(exact_ip - approx_ip)), 6) AS DOUBLE)
+             AS mean_abs_err,
+           CAST(round(max(abs(exact_ip - approx_ip)), 6) AS DOUBLE)
+             AS max_abs_err
+    FROM pairs GROUP BY query_id
+    """,
+)
+def sim_pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quantization-distortion audit — the product-quantization member
+    of the sketch-audit family (recall for LSH banding, overestimate for
+    CMS, recall@10 for IVF; this one measures HOW WRONG the 4-byte codes
+    score each pair): per query, the mean and max absolute gap between
+    the exact unit-vector inner product and the ADC approximation over
+    the whole corpus. Shipping it beside sim_ann_pq_topk turns "PQ is
+    lossy" into a number the operator can track round-over-round —
+    codebook drift or an encode bug shows as a mean_abs_err jump. BOTH
+    per-pair scores round to 6 BEFORE the difference (so the engines
+    aggregate identical doubles; mean re-rounds, max is order-free);
+    the corpus (unit, codes) frame is localCheckpointed — the literal
+    encode chain fusing into the pair join is exactly the janino 64KB
+    failure sim_ann_pq_topk's materialize_codes flag exists for. Exact
+    dots run the HOF aggregate fold (column-column — the r5 boundary:
+    flat chains only for literal models)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = len(FIXED_CBS)
+    corpus = (
+        sim.pq_encode(sim.with_unit_vector(emb, "embedding"), "unit", FIXED_CBS)
+        .select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("unit").alias("cuv"),
+            *[f"code_{i}" for i in range(m)],
+        )
+        .localCheckpoint(eager=False)
+    )
+    q = sim.pq_query_luts(
+        sim.with_unit_vector(emb.where(F.col("vec_id") < 5), "embedding"),
+        "unit",
+        FIXED_CBS,
+        "vec_id",
+    ).join(
+        sim.with_unit_vector(
+            emb.where(F.col("vec_id") < 5), "embedding"
+        ).select(F.col("vec_id").alias("query_id"), F.col("unit").alias("quv")),
+        "query_id",
+    )
+    exact_sql = (
+        "aggregate(zip_with(cuv, quv, (x, y) -> x * y),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+    pairs = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.round(sim._pq_adc_score(m), 6).alias("approx_ip"),
+            F.round(F.expr(exact_sql), 6).alias("exact_ip"),
+        )
+    )
+    return pairs.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(F.abs(F.col("exact_ip") - F.col("approx_ip"))), 6).alias(
+            "mean_abs_err"
+        ),
+        F.round(F.max(F.abs(F.col("exact_ip") - F.col("approx_ip"))), 6).alias(
+            "max_abs_err"
+        ),
+    )

@@ -389,3 +389,19 @@ def test_centroid_drift_near_orthogonal_on_isotropic(spark, sf_dir):
 
     rows = all_queries()["sim_centroid_drift"](spark, sf_dir).collect()
     assert rows and all(abs(r.centroid_cosine) < 0.999999 for r in rows)
+
+
+def test_pq_distortion_bounds(spark, sf_dir):
+    """Audit-family contract: every query covers the full corpus minus
+    itself, errors are nonnegative with mean <= max, and the max ADC gap
+    stays inside the geometric bound (both scores are cosines of unit
+    vectors built from half-norm codewords, so |gap| can never exceed 2)."""
+    from surge_spark.io import load_table
+    from surge_spark.queries import all_queries
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    rows = all_queries()["sim_pq_distortion_audit"](spark, sf_dir).collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3, 4}
+    for r in rows:
+        assert r.n_pairs == n - 1
+        assert 0 <= r.mean_abs_err <= r.max_abs_err <= 2.0
