@@ -2552,11 +2552,16 @@ def m_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l") - F.col("f") + 1).alias("duration"),
         F.when(F.col("l") == F.col("tmax"), 1).otherwise(0).alias("censored"),
     )
+    # byd is the ONLY corpus-scale consumer of dur; n_users re-derives
+    # from byd's bounded frame (sum of n_total), and byd itself is
+    # checkpointed because two lazy consumers (nu and r) would re-run
+    # the per-user aggregate — the Gini/assortativity scan-amplification
+    # class, caught by the in-round review pass
     byd = dur.groupBy("duration").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(1 - F.col("censored")).alias("n_deaths"),
-    )
-    nu = dur.groupBy().agg(F.count(F.lit(1)).alias("n_users"))
+    ).localCheckpoint(eager=False)
+    nu = byd.groupBy().agg(F.sum("n_total").alias("n_users"))
     prior = W.orderBy("duration").rowsBetween(W.unboundedPreceding, -1)
     win = W.orderBy("duration").rowsBetween(W.unboundedPreceding, W.currentRow)
     r = byd.crossJoin(F.broadcast(nu)).select(

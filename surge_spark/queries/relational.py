@@ -5411,10 +5411,11 @@ def a_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "g_degree_assortativity",
-    oracle="""
-    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+# ONE canonical part-co-occurrence build shared by the centrality entries
+# (assortativity, Katz) — the review-pass factoring rule (_min_label_rounds,
+# cusum_step precedents): the pair build and its checkpoint barrier must
+# evolve in lockstep across every consumer. SQL half for the oracles:
+_PART_COOCCUR_SQL = """d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     pairs AS (
       SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
       FROM d a JOIN d b
@@ -5425,7 +5426,44 @@ def a_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT pb AS x, pa AS y FROM pairs
     ),
-    deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS k FROM directed GROUP BY 1)
+    deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS k FROM directed GROUP BY 1)"""
+
+
+def _part_cooccurrence(spark: SparkSession, sf_dir: str):
+    """(directed, deg) over the part co-occurrence graph: canonical pa<pb
+    pair set from ONE aliased wedge self-join (the adamic-adar identical-
+    subtree rule), localCheckpointed — multiple lazy consumers re-ran the
+    wedge join + distinct (16 scans, 0 ReusedExchange; sf0.1 7.8 ->
+    3.9-5.0 s measured on assortativity); directed = both orientations;
+    deg = per-node neighbor count."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    directed = pairs.select(
+        F.col("pa").alias("x"), F.col("pb").alias("y")
+    ).unionAll(pairs.select(F.col("pb").alias("x"), F.col("pa").alias("y")))
+    deg = directed.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return directed, deg
+
+
+@query(
+    "g_degree_assortativity",
+    oracle=f"""
+    WITH {_PART_COOCCUR_SQL}
     SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
            (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
            CAST(round(corr(dx.k, dy.k), 6) AS DOUBLE) AS assortativity
@@ -5449,33 +5487,7 @@ def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the only super-linear term — the same m²/n wedge floor
     g_triangle_count documents, with the sampled twin as the 100 TB
     escape hatch."""
-    li = _t(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = d.alias("a"), d.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .distinct()
-        # the pair set feeds FOUR consumers (both union branches, the
-        # degree aggregate through them, and the final join) — lazy
-        # plans re-ran the wedge join + distinct each time (16 parquet
-        # scans, 0 ReusedExchange; sf0.1 7.8 -> 3.9-5.0 s measured);
-        # localCheckpoint materializes it once, the iterative-graph
-        # discipline
-        .localCheckpoint(eager=False)
-    )
-    directed = pairs.select(
-        F.col("pa").alias("x"), F.col("pb").alias("y")
-    ).unionAll(pairs.select(F.col("pb").alias("x"), F.col("pa").alias("y")))
-    deg = directed.groupBy(F.col("x").alias("node")).agg(
-        F.count(F.lit(1)).alias("k")
-    )
+    directed, deg = _part_cooccurrence(spark, sf_dir)
     dx = deg.select(F.col("node").alias("x"), F.col("k").alias("kx"))
     dy = deg.select(F.col("node").alias("y"), F.col("k").alias("ky"))
     joined = directed.join(dx, "x").join(dy, "y")
@@ -5493,19 +5505,8 @@ def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_katz_unrolled",
-    oracle="""
-    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    pairs AS (
-      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-      FROM d a JOIN d b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ),
-    directed AS (
-      SELECT pa AS x, pb AS y FROM pairs
-      UNION ALL
-      SELECT pb AS x, pa AS y FROM pairs
-    ),
-    deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS k FROM directed GROUP BY 1),
+    oracle=f"""
+    WITH {_PART_COOCCUR_SQL},
     p2 AS (
       SELECT e.x AS node, CAST(sum(dy.k) AS BIGINT) AS paths2
       FROM directed e JOIN deg dy ON dy.node = e.y
@@ -5530,27 +5531,7 @@ def g_katz_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers would re-run the wedge join — the assortativity fix).
     Top-20 is TakeOrderedAndProject on the (katz desc, node) total
     order."""
-    li = _t(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = d.alias("a"), d.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    directed = pairs.select(
-        F.col("pa").alias("x"), F.col("pb").alias("y")
-    ).unionAll(pairs.select(F.col("pb").alias("x"), F.col("pa").alias("y")))
-    deg = directed.groupBy(F.col("x").alias("node")).agg(
-        F.count(F.lit(1)).alias("k")
-    )
+    directed, deg = _part_cooccurrence(spark, sf_dir)
     dy = deg.select(F.col("node").alias("y"), F.col("k").alias("ky"))
     p2 = (
         directed.join(dy, "y")

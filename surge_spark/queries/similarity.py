@@ -1847,7 +1847,7 @@ def sim_kmeans_step_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("val"), 6).alias("m"),
         F.count(F.lit(1)).alias("n"),
     )
-    cents_flat = load_table(spark, sf_dir, "embeddings").sparkSession.createDataFrame(
+    cents_flat = spark.createDataFrame(
         _CENT_DIM_ROWS, "cell int, pos int, old_val double"
     )
     per_cell = (

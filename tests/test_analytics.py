@@ -497,11 +497,13 @@ def test_autocorr_daily_bounds(spark, sf_dir):
         .count()
     )
     rows = {r.lag_days: r for r in all_queries()["m_autocorr_daily"](spark, sf_dir).collect()}
-    assert set(rows) == set(range(1, 8))
+    assert rows and set(rows) <= set(range(1, 8))
     for k, r in rows.items():
-        assert r.autocorr is not None
-        assert -1.0 <= r.autocorr <= 1.0
-        assert 0 < r.n_pairs <= n_days - k
+        if r.autocorr is not None:  # constant series -> NULL corr
+            assert -1.0 <= r.autocorr <= 1.0
+        # each pair is keyed by a distinct later day, so pairs < days
+        # regardless of gaps (the only density-free bound)
+        assert 0 < r.n_pairs < n_days
 
 
 def test_basket_lift_identities(spark, sf_dir):
