@@ -47,6 +47,11 @@ HEAVY = [
     "d_lsh_recall_audit",
     "d_persisted_neardup_md5",
     "j_interval_overlap_join",
+    # r12 second-session additions: the new wedge-floor consumers and
+    # the corpus-pair-scan audit
+    "g_degree_assortativity",
+    "g_katz_unrolled",
+    "sim_pq_distortion_audit",
 ]
 
 
