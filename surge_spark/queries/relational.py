@@ -5549,3 +5549,166 @@ def g_katz_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("katz_x4").desc(), "node")
         .limit(20)
     )
+
+
+@query(
+    "a_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS x, (epoch_ms(ts) // 86400000) % 7 AS y,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells),
+    px AS (SELECT x, CAST(sum(n) AS BIGINT) AS nx FROM cells GROUP BY 1),
+    py AS (SELECT y, CAST(sum(n) AS BIGINT) AS ny FROM cells GROUP BY 1),
+    hx AS (
+      SELECT -sum((CAST(nx AS DOUBLE) / total)
+                  * ln(CAST(nx AS DOUBLE) / total)) AS h
+      FROM px, t
+    ),
+    hy AS (
+      SELECT -sum((CAST(ny AS DOUBLE) / total)
+                  * ln(CAST(ny AS DOUBLE) / total)) AS h
+      FROM py, t
+    ),
+    hxy AS (
+      SELECT -sum((CAST(n AS DOUBLE) / total)
+                  * ln(CAST(n AS DOUBLE) / total)) AS h
+      FROM cells, t
+    )
+    SELECT (SELECT total FROM t) AS n_events,
+           CAST(round(hx.h, 6) AS DOUBLE) AS h_type,
+           CAST(round(hy.h, 6) AS DOUBLE) AS h_dow,
+           CAST(round(hxy.h, 6) AS DOUBLE) AS h_joint,
+           CAST(round(hx.h + hy.h - hxy.h, 6) AS DOUBLE) AS mutual_info
+    FROM hx, hy, hxy
+    """,
+)
+def a_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and day-of-week — the
+    information-theoretic twin of a_chi_square_independence (chi2 tests
+    WHETHER the mix shifts; MI measures HOW MANY NATS knowing the dow
+    buys, the quantity a feature-selection pass ranks candidate features
+    by). All probabilities come from exact bigint counts with ONE
+    division each; the entropy sums run over the bounded |types| x 7
+    margin/cell frames (structural, not corpus-scale), so round-6 totals
+    are stable. Same integer epoch-dow channel as chi2 (never engine dow
+    labels). MI is assembled from the three entropies rather than the
+    per-cell log-ratio sum — identical mathematically, but H terms are
+    independently reusable and each is visible in the output (a negative
+    rounding artifact in MI would be diagnosable)."""
+    e = _t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.col("event_type").alias("x"),
+        (F.expr("unix_millis(ts) div 86400000") % 7).alias("y"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cells = cells.localCheckpoint(eager=False)  # 4 bounded consumers
+    t = cells.groupBy().agg(F.sum("n").alias("total"))
+    px = cells.groupBy("x").agg(F.sum("n").alias("nx"))
+    py = cells.groupBy("y").agg(F.sum("n").alias("ny"))
+
+    def entropy(df: DataFrame, cnt: str) -> DataFrame:
+        p = F.col(cnt).cast("double") / F.col("total")
+        return (
+            df.crossJoin(F.broadcast(t))
+            .groupBy()
+            .agg((-F.sum(p * F.log(p))).alias("h"))
+        )
+
+    hx = entropy(px, "nx").select(F.col("h").alias("h_type"))
+    hy = entropy(py, "ny").select(F.col("h").alias("h_dow"))
+    hxy = entropy(cells, "n").select(F.col("h").alias("h_joint"))
+    return (
+        t.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(hxy))
+        .select(
+            F.col("total").alias("n_events"),
+            F.round("h_type", 6).alias("h_type"),
+            F.round("h_dow", 6).alias("h_dow"),
+            F.round("h_joint", 6).alias("h_joint"),
+            F.round(
+                F.col("h_type") + F.col("h_dow") - F.col("h_joint"), 6
+            ).alias("mutual_info"),
+        )
+    )
+
+
+@query(
+    "g_local_clustering_topk",
+    oracle=f"""
+    WITH {_PART_COOCCUR_SQL},
+    wedges AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM pairs e1 JOIN pairs e2
+        ON e1.pa = e2.pa AND e1.pb < e2.pb
+    ),
+    tris AS (
+      SELECT w.a, w.b, w.c FROM wedges w
+      JOIN pairs p ON p.pa = w.b AND p.pb = w.c
+    ),
+    tri AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+      ) GROUP BY node
+    )
+    SELECT deg.node AS node, deg.k AS degree,
+           coalesce(tri.triangles, 0) AS triangles,
+           CAST(coalesce(tri.triangles, 0) * 2000000
+                // (deg.k * (deg.k - 1)) AS BIGINT) AS clustering_ppm
+    FROM deg LEFT JOIN tri ON tri.node = deg.node
+    WHERE deg.k >= 2
+    ORDER BY clustering_ppm DESC, node LIMIT 20
+    """,
+)
+def g_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient, top-20 — the node-level
+    refinement of g_triangle_count's global number: C(v) = triangles(v)
+    / C(deg(v), 2), as exact integer ppm (2*tri*1e6 div (k*(k-1)) — no
+    float channel at all). Triangles are ENUMERATED ONCE each with the
+    min node as wedge center (a < b < c via the canonical pa<pb pair
+    set), then exploded to their 3 corners — the center-at-every-node
+    form was measured 19-30 s at sf0.1 because Σ C(deg,2) wedges close
+    against the pair set, vs ~Σ C(deg_>,2) ≈ 1/4 the wedges here —
+    warm 5.2-6.7 s measured after the rewrite (the
+    g_triangle_count orientation argument applied to per-node counts;
+    the explode is |triangles|x3, cheap). Everything derives from the
+    ONE checkpointed _part_cooccurrence build; the DOULION sampled twin
+    is the 100 TB escape hatch. Degree-2+ filter keeps the denominator
+    positive; nodes with no closed wedge ship 0 via the LEFT join, not
+    silence."""
+    directed, deg = _part_cooccurrence(spark, sf_dir)
+    # canonical orientation from the checkpointed directed rows (x < y)
+    pairs = directed.where(F.col("x") < F.col("y")).select(
+        F.col("x").alias("pa"), F.col("y").alias("pb")
+    )
+    e1 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))
+    closing = pairs.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])
+    tri = (
+        tris.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.where(F.col("k") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("k").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.expr(
+                "CAST(coalesce(triangles, 0) * 2000000"
+                " div (k * (k - 1)) AS BIGINT)"
+            ).alias("clustering_ppm"),
+        )
+        .orderBy(F.col("clustering_ppm").desc(), "node")
+        .limit(20)
+    )

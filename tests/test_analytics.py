@@ -859,3 +859,52 @@ def test_winsorized_mean_ordering(spark, sf_dir):
             assert m == m  # not NaN
         # clamping both tails can never consume the whole sample
         assert r.n_clamped_low + r.n_clamped_high < r.n
+
+
+def test_mutual_information_identities(spark, sf_dir):
+    """Information-theoretic bounds: every entropy nonnegative, joint
+    entropy between max(H_X, H_Y) and H_X + H_Y, MI nonnegative (within
+    rounding) and bounded by min(H_X, H_Y); MI consistent with the
+    shipped entropies."""
+    r = all_queries()["a_mutual_information"](spark, sf_dir).collect()[0]
+    assert r.h_type >= 0 and r.h_dow >= 0 and r.h_joint >= 0
+    assert max(r.h_type, r.h_dow) - 2e-6 <= r.h_joint <= r.h_type + r.h_dow + 2e-6
+    assert -2e-6 <= r.mutual_info <= min(r.h_type, r.h_dow) + 2e-6
+    assert abs(r.mutual_info - round(r.h_type + r.h_dow - r.h_joint, 6)) <= 2e-6
+
+
+def test_local_clustering_matches_python(spark, sf_dir):
+    """Per-node triangle counts and coefficients recomputed imperatively
+    over the collected pair set must match every shipped row."""
+    from surge_spark.io import load_table
+
+    d = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order: dict[int, set[int]] = {}
+    for r in d:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    adj: dict[int, set[int]] = {}
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, pa in enumerate(ps):
+            for pb in ps[i + 1 :]:
+                adj.setdefault(pa, set()).add(pb)
+                adj.setdefault(pb, set()).add(pa)
+    rows = all_queries()["g_local_clustering_topk"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        nbrs = adj[r.node]
+        assert r.degree == len(nbrs)
+        tri = sum(
+            1
+            for a in nbrs
+            for b in nbrs
+            if a < b and b in adj.get(a, ())
+        )
+        assert r.triangles == tri
+        assert r.clustering_ppm == tri * 2_000_000 // (r.degree * (r.degree - 1))
+        assert 0 <= r.clustering_ppm <= 1_000_000
