@@ -2734,3 +2734,85 @@ def m_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("trimmed_mean"),
         F.round(F.avg("value"), 4).alias("raw_mean"),
     )
+
+
+@query(
+    "m_multiwindow_burn_alerts",
+    oracle="""
+    WITH t AS (SELECT max(epoch_ms(ts)) AS tmax FROM events),
+    win AS (
+      SELECT CASE WHEN epoch_ms(e.ts) > t.tmax - 86400000
+                  THEN 1 ELSE 0 END AS in_short,
+             CASE WHEN epoch_ms(e.ts) > t.tmax - 7 * 86400000
+                  THEN 1 ELSE 0 END AS in_long,
+             CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events e, t
+    ),
+    agg AS (
+      SELECT CAST(sum(in_short) AS BIGINT) AS n_short,
+             CAST(sum(in_short * is_err) AS BIGINT) AS err_short,
+             CAST(sum(in_long) AS BIGINT) AS n_long,
+             CAST(sum(in_long * is_err) AS BIGINT) AS err_long
+      FROM win
+    )
+    SELECT n_short, err_short, n_long, err_long,
+           CAST(err_short * 100000 // n_short AS BIGINT) AS burn_short_x1000,
+           CAST(err_long * 100000 // n_long AS BIGINT) AS burn_long_x1000,
+           CAST(CASE WHEN err_short * 100 > 2 * n_short
+                      AND err_long * 100 > 2 * n_long
+                     THEN 1 ELSE 0 END AS INT) AS page_alert
+    FROM agg
+    """,
+)
+def m_multiwindow_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window multi-burn-rate SLO alerting (Google SRE workbook ch.
+    5) — the production refinement of m_error_budget_burn's per-day
+    table: a page fires only when BOTH the short window (1 d here) and
+    the long window (7 d) burn faster than 2x budget against the 99%
+    SLO, so a brief blip (short hot, long cool) and a long-since-
+    recovered incident (long hot, short cool) both stay silent. Windows
+    anchor at the corpus max timestamp (integer epoch-ms channel); both
+    window memberships and the alert predicate are ALL-INTEGER
+    (err*100 > 2*n is burn > 2 with no division), burn ships as exact
+    floor x1000. ONE scan computes both windows as conditional sums —
+    the multi-window rule costs nothing extra at 100 TB because the
+    windows nest inside the same aggregate."""
+    e = _events(spark, sf_dir)
+    t = e.groupBy().agg(F.max(F.expr("unix_millis(ts)")).alias("tmax"))
+    win = e.crossJoin(F.broadcast(t)).select(
+        F.when(
+            F.expr("unix_millis(ts)") > F.col("tmax") - 86400000, 1
+        )
+        .otherwise(0)
+        .alias("in_short"),
+        F.when(
+            F.expr("unix_millis(ts)") > F.col("tmax") - 7 * 86400000, 1
+        )
+        .otherwise(0)
+        .alias("in_long"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias(
+            "is_err"
+        ),
+    )
+    agg = win.groupBy().agg(
+        F.sum("in_short").alias("n_short"),
+        F.sum(F.col("in_short") * F.col("is_err")).alias("err_short"),
+        F.sum("in_long").alias("n_long"),
+        F.sum(F.col("in_long") * F.col("is_err")).alias("err_long"),
+    )
+    return agg.select(
+        "n_short",
+        "err_short",
+        "n_long",
+        "err_long",
+        F.expr("CAST(err_short * 100000 div n_short AS BIGINT)").alias(
+            "burn_short_x1000"
+        ),
+        F.expr("CAST(err_long * 100000 div n_long AS BIGINT)").alias(
+            "burn_long_x1000"
+        ),
+        F.expr(
+            "CAST(CASE WHEN err_short * 100 > 2 * n_short"
+            " AND err_long * 100 > 2 * n_long THEN 1 ELSE 0 END AS INT)"
+        ).alias("page_alert"),
+    )

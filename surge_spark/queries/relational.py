@@ -5712,3 +5712,70 @@ def g_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("clustering_ppm").desc(), "node")
         .limit(20)
     )
+
+
+@query(
+    "a_top_decile_revenue_share",
+    oracle="""
+    WITH o AS (
+      SELECT n.n_name,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+             percent_rank() OVER (
+               PARTITION BY n.n_name ORDER BY o.o_totalprice, o.o_orderkey
+             ) AS pr
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN pr >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_top,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN pr >= 0.9 THEN cents ELSE 0 END) AS BIGINT)
+             AS top_cents,
+           CAST(sum(CASE WHEN pr >= 0.9 THEN cents ELSE 0 END) * 1000000
+                // sum(cents) AS BIGINT) AS top_share_ppm
+    FROM o GROUP BY n_name
+    """,
+)
+def a_top_decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration in each nation's top order decile — the
+    per-group percent_rank() shape (the one ranking function the window
+    family didn't cover: rank/dense_rank/ntile/cume_dist exist; pr =
+    (rank-1)/(n-1) is the exact rational both engines compute
+    identically, so the pr >= 0.9 cut is deterministic under the
+    (price, orderkey) total order). Money stays integer cents end to
+    end (the m_cohort_ltv discipline); the share is one bigint-ppm
+    floor division per nation. Star joins ride the TPC-H dim-broadcast
+    contract (hint-policy class 4); the window is partitioned by
+    nation — parallel, never global."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o.o_custkey == F.col("c_custkey"),
+    ).join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    w = W.partitionBy("n_name").orderBy("o_totalprice", "o_orderkey")
+    ranked = joined.select(
+        "n_name",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    top = F.when(F.col("pr") >= 0.9, 1).otherwise(0)
+    return ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(top).alias("n_top"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.when(F.col("pr") >= 0.9, F.col("cents")).otherwise(0)).alias(
+            "top_cents"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN pr >= 0.9 THEN cents ELSE 0 END) * 1000000"
+            " div sum(cents) AS BIGINT)"
+        ).alias("top_share_ppm"),
+    )

@@ -908,3 +908,32 @@ def test_local_clustering_matches_python(spark, sf_dir):
         assert r.triangles == tri
         assert r.clustering_ppm == tri * 2_000_000 // (r.degree * (r.degree - 1))
         assert 0 <= r.clustering_ppm <= 1_000_000
+
+
+def test_multiwindow_burn_consistency(spark, sf_dir):
+    """Window nesting and the alert rule are re-derivable from the shipped
+    integers: short ⊆ long, burn is the exact floor, and the page fires
+    iff BOTH all-integer predicates hold."""
+    r = all_queries()["m_multiwindow_burn_alerts"](spark, sf_dir).collect()[0]
+    assert 0 <= r.err_short <= r.n_short <= r.n_long
+    assert r.err_short <= r.err_long <= r.n_long
+    assert r.burn_short_x1000 == r.err_short * 100000 // r.n_short
+    assert r.burn_long_x1000 == r.err_long * 100000 // r.n_long
+    want = int(r.err_short * 100 > 2 * r.n_short and r.err_long * 100 > 2 * r.n_long)
+    assert r.page_alert == want
+
+
+def test_top_decile_share_identities(spark, sf_dir):
+    """The decile cut selects 10% + boundary of each nation's orders, the
+    share is the exact floor ppm, and a top decile by value can never
+    hold less than 10% of revenue (within the pr >= 0.9 boundary count)."""
+    rows = all_queries()["a_top_decile_revenue_share"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_top <= r.n_orders
+        # pr >= 0.9 keeps ceil(0.1 * (n-1)) + 1 rows at most +1 boundary
+        assert r.n_top <= r.n_orders * 0.1 + 2
+        assert r.top_cents <= r.total_cents
+        assert r.top_share_ppm == r.top_cents * 1_000_000 // r.total_cents
+        # ranked BY price, so the top decile's mean >= overall mean
+        assert r.top_cents * r.n_orders >= r.total_cents * r.n_top
