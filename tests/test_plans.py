@@ -844,3 +844,39 @@ def test_bloom_prefilter_fact_side_never_shuffles(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert plan.lower().count("lineitem.parquet") == 1, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_cooccurrence_entries_materialize_pair_build(spark, sf_dir):
+    """The r12 scan-amplification fixes, pinned: every consumer of the
+    shared _part_cooccurrence kernel must read the pair set from the
+    checkpoint (ExistingRDD), never re-derive it — the lazy form ran the
+    wedge join + distinct once per consumer (16 parquet scans, 0
+    ReusedExchange measured on assortativity before the fix). Parquet
+    scans of lineitem in the final plan therefore stay at zero (the scan
+    happened at checkpoint time), and the kmeans audit's janino
+    materialize barrier is pinned the same way."""
+    for name in (
+        "g_degree_assortativity",
+        "g_katz_unrolled",
+        "g_local_clustering_topk",
+        "sim_kmeans_step_audit",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "ExistingRDD" in plan, name
+        assert plan.count("Scan parquet") <= 1, (name, plan.count("Scan parquet"))
+
+
+def test_hard_negative_mining_uses_window_group_limit(spark, sf_dir):
+    """Per-cell top-5 must stay a WindowGroupLimit (partial per-partition
+    top-k) — a global sort of the 8x corpus fan-out is the regression."""
+    plan = _plan(spark, sf_dir, "sim_hard_negative_mining")
+    assert "WindowGroupLimit" in plan
+
+
+def test_gini_persists_count_frame(spark, sf_dir):
+    """m_gini_coefficient's per-user count frame must stay persisted
+    (InMemoryTableScan in the ranked aggregate's plan): unpersisted, the
+    quantile action plus two prefix-sum consumers re-ran the events
+    group-by 3x (warm sf0.1 7.0 -> 1.1 s measured)."""
+    plan = _plan(spark, sf_dir, "m_gini_coefficient")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
