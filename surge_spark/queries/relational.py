@@ -5348,14 +5348,31 @@ def o_incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucket_rows.unionAll(merged).unionAll(direct)
 
 
-@query(
-    "a_chi_square_independence",
-    oracle="""
-    WITH cells AS (
+# ONE event_type x integer-epoch-dow contingency kernel shared by the
+# chi-square and mutual-information twins (the review-pass factoring
+# rule — the dow channel must evolve in lockstep across both). Columns
+# (event_type, dow, observed); dow = epoch_day % 7, never an engine dow
+# label (Spark dayofweek 1=Sun vs DuckDB 0=Sun — the m_seasonality_dow
+# lesson).
+_TYPE_DOW_CELLS_SQL = """cells AS (
       SELECT event_type, (epoch_ms(ts) // 86400000) % 7 AS dow,
              CAST(count(*) AS BIGINT) AS observed
       FROM events GROUP BY 1, 2
-    ),
+    )"""
+
+
+def _type_dow_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        (F.expr("unix_millis(ts) div 86400000") % 7).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("observed"))
+
+
+@query(
+    "a_chi_square_independence",
+    oracle=f"""
+    WITH {_TYPE_DOW_CELLS_SQL},
     rt AS (SELECT event_type, CAST(sum(observed) AS BIGINT) AS r FROM cells GROUP BY 1),
     ct AS (SELECT dow, CAST(sum(observed) AS BIGINT) AS c FROM cells GROUP BY 1),
     t AS (SELECT CAST(sum(observed) AS BIGINT) AS total FROM cells)
@@ -5385,11 +5402,7 @@ def a_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     class 3); the only corpus-scale work is the first aggregate. The
     total chi2 statistic is the sum of the contrib column — shipped
     per-cell so the oracle checks every term, not one lump."""
-    e = _t(spark, sf_dir, "events")
-    cells = e.groupBy(
-        "event_type",
-        (F.expr("unix_millis(ts) div 86400000") % 7).alias("dow"),
-    ).agg(F.count(F.lit(1)).alias("observed"))
+    cells = _type_dow_cells(spark, sf_dir)
     rt = cells.groupBy("event_type").agg(F.sum("observed").alias("r"))
     ct = cells.groupBy("dow").agg(F.sum("observed").alias("c"))
     t = cells.groupBy().agg(F.sum("observed").alias("total"))
@@ -5430,7 +5443,7 @@ _PART_COOCCUR_SQL = """d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 
 
 def _part_cooccurrence(spark: SparkSession, sf_dir: str):
-    """(directed, deg) over the part co-occurrence graph: canonical pa<pb
+    """(pairs, directed, deg) over the part co-occurrence graph: canonical pa<pb
     pair set from ONE aliased wedge self-join (the adamic-adar identical-
     subtree rule), localCheckpointed — multiple lazy consumers re-ran the
     wedge join + distinct (16 scans, 0 ReusedExchange; sf0.1 7.8 ->
@@ -5457,7 +5470,7 @@ def _part_cooccurrence(spark: SparkSession, sf_dir: str):
     deg = directed.groupBy(F.col("x").alias("node")).agg(
         F.count(F.lit(1)).alias("k")
     )
-    return directed, deg
+    return pairs, directed, deg
 
 
 @query(
@@ -5487,7 +5500,7 @@ def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the only super-linear term — the same m²/n wedge floor
     g_triangle_count documents, with the sampled twin as the 100 TB
     escape hatch."""
-    directed, deg = _part_cooccurrence(spark, sf_dir)
+    _, directed, deg = _part_cooccurrence(spark, sf_dir)
     dx = deg.select(F.col("node").alias("x"), F.col("k").alias("kx"))
     dy = deg.select(F.col("node").alias("y"), F.col("k").alias("ky"))
     joined = directed.join(dx, "x").join(dy, "y")
@@ -5531,7 +5544,7 @@ def g_katz_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers would re-run the wedge join — the assortativity fix).
     Top-20 is TakeOrderedAndProject on the (katz desc, node) total
     order."""
-    directed, deg = _part_cooccurrence(spark, sf_dir)
+    _, directed, deg = _part_cooccurrence(spark, sf_dir)
     dy = deg.select(F.col("node").alias("y"), F.col("k").alias("ky"))
     p2 = (
         directed.join(dy, "y")
@@ -5553,15 +5566,11 @@ def g_katz_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a_mutual_information",
-    oracle="""
-    WITH cells AS (
-      SELECT event_type AS x, (epoch_ms(ts) // 86400000) % 7 AS y,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2
-    ),
-    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells),
-    px AS (SELECT x, CAST(sum(n) AS BIGINT) AS nx FROM cells GROUP BY 1),
-    py AS (SELECT y, CAST(sum(n) AS BIGINT) AS ny FROM cells GROUP BY 1),
+    oracle=f"""
+    WITH {_TYPE_DOW_CELLS_SQL},
+    t AS (SELECT CAST(sum(observed) AS BIGINT) AS total FROM cells),
+    px AS (SELECT event_type, CAST(sum(observed) AS BIGINT) AS nx FROM cells GROUP BY 1),
+    py AS (SELECT dow, CAST(sum(observed) AS BIGINT) AS ny FROM cells GROUP BY 1),
     hx AS (
       SELECT -sum((CAST(nx AS DOUBLE) / total)
                   * ln(CAST(nx AS DOUBLE) / total)) AS h
@@ -5573,8 +5582,8 @@ def g_katz_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM py, t
     ),
     hxy AS (
-      SELECT -sum((CAST(n AS DOUBLE) / total)
-                  * ln(CAST(n AS DOUBLE) / total)) AS h
+      SELECT -sum((CAST(observed AS DOUBLE) / total)
+                  * ln(CAST(observed AS DOUBLE) / total)) AS h
       FROM cells, t
     )
     SELECT (SELECT total FROM t) AS n_events,
@@ -5598,15 +5607,12 @@ def a_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell log-ratio sum — identical mathematically, but H terms are
     independently reusable and each is visible in the output (a negative
     rounding artifact in MI would be diagnosable)."""
-    e = _t(spark, sf_dir, "events")
-    cells = e.groupBy(
-        F.col("event_type").alias("x"),
-        (F.expr("unix_millis(ts) div 86400000") % 7).alias("y"),
-    ).agg(F.count(F.lit(1)).alias("n"))
-    cells = cells.localCheckpoint(eager=False)  # 4 bounded consumers
-    t = cells.groupBy().agg(F.sum("n").alias("total"))
-    px = cells.groupBy("x").agg(F.sum("n").alias("nx"))
-    py = cells.groupBy("y").agg(F.sum("n").alias("ny"))
+    cells = _type_dow_cells(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # 4 bounded consumers
+    t = cells.groupBy().agg(F.sum("observed").alias("total"))
+    px = cells.groupBy("event_type").agg(F.sum("observed").alias("nx"))
+    py = cells.groupBy("dow").agg(F.sum("observed").alias("ny"))
 
     def entropy(df: DataFrame, cnt: str) -> DataFrame:
         p = F.col(cnt).cast("double") / F.col("total")
@@ -5618,7 +5624,7 @@ def a_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hx = entropy(px, "nx").select(F.col("h").alias("h_type"))
     hy = entropy(py, "ny").select(F.col("h").alias("h_dow"))
-    hxy = entropy(cells, "n").select(F.col("h").alias("h_joint"))
+    hxy = entropy(cells, "observed").select(F.col("h").alias("h_joint"))
     return (
         t.crossJoin(F.broadcast(hx))
         .crossJoin(F.broadcast(hy))
@@ -5680,11 +5686,7 @@ def g_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the 100 TB escape hatch. Degree-2+ filter keeps the denominator
     positive; nodes with no closed wedge ship 0 via the LEFT join, not
     silence."""
-    directed, deg = _part_cooccurrence(spark, sf_dir)
-    # canonical orientation from the checkpointed directed rows (x < y)
-    pairs = directed.where(F.col("x") < F.col("y")).select(
-        F.col("x").alias("pa"), F.col("y").alias("pb")
-    )
+    pairs, _, deg = _part_cooccurrence(spark, sf_dir)
     e1 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     e2 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
     wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))

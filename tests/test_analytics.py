@@ -930,7 +930,11 @@ def test_top_decile_share_identities(spark, sf_dir):
     rows = all_queries()["a_top_decile_revenue_share"](spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert 0 < r.n_top <= r.n_orders
+        # a single-order nation has pr = 0 everywhere -> n_top = 0 (both
+        # engines, verified) — require a nonempty decile only for n >= 2
+        assert 0 <= r.n_top <= r.n_orders
+        if r.n_orders >= 2:
+            assert r.n_top >= 1
         # pr >= 0.9 keeps ceil(0.1 * (n-1)) + 1 rows at most +1 boundary
         assert r.n_top <= r.n_orders * 0.1 + 2
         assert r.top_cents <= r.total_cents

@@ -863,7 +863,12 @@ def test_cooccurrence_entries_materialize_pair_build(spark, sf_dir):
     ):
         plan = _plan(spark, sf_dir, name)
         assert "ExistingRDD" in plan, name
-        assert plan.count("Scan parquet") <= 1, (name, plan.count("Scan parquet"))
+        # every source scan happens at checkpoint time; any parquet scan
+        # in the FINAL plan means a consumer re-derived the frame
+        assert plan.count("Scan parquet") == 0, (
+            name,
+            plan.count("Scan parquet"),
+        )
 
 
 def test_hard_negative_mining_uses_window_group_limit(spark, sf_dir):
