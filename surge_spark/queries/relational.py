@@ -2022,11 +2022,11 @@ _LPA_ITER = """
       ) WHERE rn = 1
 """
 
-
-@query(
-    "g_label_propagation",
-    oracle=f"""
-    WITH e0 AS (
+# the 2-round LPA build (edges + symmetric closure + labels after two
+# deterministic mode-of-neighbors rounds), shared by g_label_propagation
+# and g_modularity — review-discipline factoring: the label rule and its
+# tiebreak must evolve in lockstep across consumers
+_LPA2_SQL = f"""e0 AS (
       SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -2034,7 +2034,51 @@ _LPA_ITER = """
     sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
     l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
     l1 AS ({_LPA_ITER.format(prev="l0")}),
-    l2 AS ({_LPA_ITER.format(prev="l1")}),
+    l2 AS ({_LPA_ITER.format(prev="l1")})"""
+
+
+def _lpa2_labels(spark: SparkSession, sf_dir: str, checkpoint: bool = False):
+    """(e0, sym, labels-after-2-rounds) over the part co-occurrence
+    graph. ``checkpoint=True`` materializes e0 and the final labels for
+    callers with multiple lazy consumers (modularity joins labels twice
+    and reads e0 twice — unmaterialized, the 2-round build would re-run
+    per consumer, the scan-amplification class)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnsRenamed({"l_partkey": "src"})
+    b = li.withColumnsRenamed({"l_partkey": "dst"})
+    e0 = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    if checkpoint:
+        e0 = e0.localCheckpoint(eager=False)
+    sym = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(2):
+        nbr = sym.join(labels, sym.dst == labels.node).select(
+            F.col("src").alias("v"), "label"
+        )
+        counts = nbr.groupBy("v", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = counts.groupBy("v").agg(
+            F.max_by(
+                F.col("label"), F.struct(F.col("cnt"), (-F.col("label")))
+            ).alias("label")
+        ).withColumnsRenamed({"v": "node"})
+    if checkpoint:
+        labels = labels.localCheckpoint(eager=False)
+    return e0, sym, labels
+
+
+@query(
+    "g_label_propagation",
+    oracle=f"""
+    WITH {_LPA2_SQL},
     sizes AS (SELECT label AS community, count(*) AS n_members FROM l2 GROUP BY label)
     SELECT community, n_members, pos FROM (
       SELECT community, n_members,
@@ -2060,31 +2104,7 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a pagerank step; label skew (a community going viral) is
     AQE-skew-split like any hot aggregate key. Output: top-20 communities
     by size."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.withColumnsRenamed({"l_partkey": "src"})
-    b = li.withColumnsRenamed({"l_partkey": "dst"})
-    e0 = (
-        a.join(b, "l_orderkey")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    sym = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    for _ in range(2):
-        nbr = sym.join(labels, sym.dst == labels.node).select(
-            F.col("src").alias("v"), "label"
-        )
-        counts = nbr.groupBy("v", "label").agg(F.count(F.lit(1)).alias("cnt"))
-        labels = counts.groupBy("v").agg(
-            F.max_by(
-                F.col("label"), F.struct(F.col("cnt"), (-F.col("label")))
-            ).alias("label")
-        ).withColumnsRenamed({"v": "node"})
+    _, _, labels = _lpa2_labels(spark, sf_dir)
     sizes = labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
@@ -5780,4 +5800,91 @@ def a_top_decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(CASE WHEN pr >= 0.9 THEN cents ELSE 0 END) * 1000000"
             " div sum(cents) AS BIGINT)"
         ).alias("top_share_ppm"),
+    )
+
+
+@query(
+    "g_modularity",
+    oracle=f"""
+    WITH {_LPA2_SQL},
+    deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS k FROM sym GROUP BY 1),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+    dc AS (
+      SELECT l.label AS community, CAST(sum(d.k) AS BIGINT) AS d_c
+      FROM l2 l JOIN deg d ON d.v = l.node GROUP BY 1
+    ),
+    ec AS (
+      SELECT la.label AS community, CAST(count(*) AS BIGINT) AS e_c
+      FROM e0
+      JOIN l2 la ON la.node = e0.src
+      JOIN l2 lb ON lb.node = e0.dst AND lb.label = la.label
+      GROUP BY 1
+    ),
+    per AS (
+      SELECT dc.community, coalesce(ec.e_c, 0) AS e_c, dc.d_c
+      FROM dc LEFT JOIN ec USING (community)
+    )
+    SELECT m.m AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(sum(e_c) AS BIGINT) AS intra_edges,
+           CAST(round(sum(
+             CAST(e_c AS DOUBLE) / m.m
+             - (CAST(d_c AS DOUBLE) / (2 * m.m))
+               * (CAST(d_c AS DOUBLE) / (2 * m.m))
+           ), 6) AS DOUBLE) AS modularity
+    FROM per, m GROUP BY m.m
+    """,
+)
+def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the 2-round LPA partition — the quality
+    number that tells you whether the communities g_label_propagation
+    found are real structure or noise (Q = sum over communities of
+    e_c/m - (d_c/2m)^2; Q near 0 = no better than random wiring given
+    the degree sequence). Labels come from the SAME _lpa2_labels kernel
+    as the LPA entry (bounded unroll = pure function = full oracle) with
+    checkpoint=True: modularity reads the labels TWICE (each edge
+    endpoint) and the edge set twice (m and the intra-edge join), so
+    unmaterialized the 2-round build would re-run per consumer — the
+    scan-amplification class. e_c, d_c, m are exact integers; each
+    community's term is computed from them and the per-community sum
+    rounds to 6 (bounded noise: |communities| terms). intra_edges is
+    shipped so the Q decomposition is auditable."""
+    e0, sym, labels = _lpa2_labels(spark, sf_dir, checkpoint=True)
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    m = e0.groupBy().agg(F.count(F.lit(1)).alias("m"))
+    dc = (
+        labels.join(deg, labels.node == deg.v)
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.sum("k").alias("d_c"))
+    )
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("cla"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("clb"))
+    ec = (
+        e0.join(la, "src")
+        .join(lb, "dst")
+        .where(F.col("cla") == F.col("clb"))
+        .groupBy(F.col("cla").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    per = dc.join(ec, "community", "left").select(
+        "community",
+        F.coalesce(F.col("e_c"), F.lit(0)).alias("e_c"),
+        "d_c",
+    )
+    term = (
+        F.col("e_c").cast("double") / F.col("m")
+        - (F.col("d_c").cast("double") / (2 * F.col("m")))
+        * (F.col("d_c").cast("double") / (2 * F.col("m")))
+    )
+    return (
+        per.crossJoin(F.broadcast(m))
+        .groupBy(F.col("m").alias("n_edges"))
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum("e_c").alias("intra_edges"),
+            F.round(F.sum(term), 6).alias("modularity"),
+        )
+        .select("n_edges", "n_communities", "intra_edges", "modularity")
     )

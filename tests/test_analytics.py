@@ -941,3 +941,38 @@ def test_top_decile_share_identities(spark, sf_dir):
         assert r.top_share_ppm == r.top_cents * 1_000_000 // r.total_cents
         # ranked BY price, so the top decile's mean >= overall mean
         assert r.top_cents * r.n_orders >= r.total_cents * r.n_top
+
+
+def test_modularity_identities(spark, sf_dir):
+    """Q is bounded in [-0.5, 1]; intra-edge mass can't exceed the edge
+    count; the partition must cover every node (community count bounded
+    by nodes); Q recomputed imperatively over the collected labels and
+    edges equals the shipped value."""
+    import pyspark.sql.functions as F
+
+    from surge_spark.queries.relational import _lpa2_labels
+
+    e0, _, labels_df = _lpa2_labels(spark, sf_dir)
+    edges = [(r.src, r.dst) for r in e0.collect()]
+    labels = {r.node: r.label for r in labels_df.collect()}
+    m = len(edges)
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    d_c = Counter()
+    for v, k in deg.items():
+        d_c[labels[v]] += k
+    e_c = Counter()
+    for a, b in edges:
+        if labels[a] == labels[b]:
+            e_c[labels[a]] += 1
+    q = sum(e_c[c] / m - (d_c[c] / (2 * m)) ** 2 for c in d_c)
+    row = all_queries()["g_modularity"](spark, sf_dir).collect()[0]
+    assert row.n_edges == m
+    assert row.n_communities == len(d_c)
+    assert row.intra_edges == sum(e_c.values()) <= m
+    assert -0.5 <= row.modularity <= 1.0
+    assert abs(row.modularity - q) < 2e-6
