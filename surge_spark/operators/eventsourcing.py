@@ -504,3 +504,53 @@ TOKEN_BUCKET_STATE_SCHEMA = (
     "aggregate_id string, tokens long, anchor_ms long, n_allowed long,"
     " n_throttled long, n long"
 )
+
+
+def saga_handle_event(state: dict | None, event: dict) -> dict:
+    """Order-fulfillment SAGA fold with compensation — the long-running
+    transaction pattern a CQRS command engine coordinates (surge's
+    command model is the per-step executor; the saga is the cross-step
+    state machine): ``view`` in idle STARTS a saga, ``click`` while
+    in-flight is a progress step, ``purchase`` while in-flight COMPLETES
+    it, ``error`` while in-flight COMPENSATES (rolls back to idle — the
+    defining saga move: no global transaction, an explicit undo step
+    instead), and any event that does not fit the current state is
+    counted ignored, never applied (R1's per-key serial order is what
+    makes the machine deterministic). ALL-INTEGER state, so the
+    recursive-CTE oracle reproduces the fold exactly."""
+    if state is None:
+        state = {
+            "aggregate_id": str(event["user_id"]),
+            "st": 0,
+            "n_started": 0,
+            "n_completed": 0,
+            "n_compensated": 0,
+            "n_steps": 0,
+            "n_ignored": 0,
+            "n": 0,
+        }
+    else:
+        state = dict(state)
+    et = event["event_type"]
+    st = state["st"]
+    if et == "view" and st == 0:
+        state["st"] = 1
+        state["n_started"] += 1
+    elif et == "click" and st == 1:
+        state["n_steps"] += 1
+    elif et == "purchase" and st == 1:
+        state["st"] = 0
+        state["n_completed"] += 1
+    elif et == "error" and st == 1:
+        state["st"] = 0
+        state["n_compensated"] += 1
+    else:
+        state["n_ignored"] += 1
+    state["n"] += 1
+    return state
+
+
+SAGA_STATE_SCHEMA = (
+    "aggregate_id string, st int, n_started long, n_completed long,"
+    " n_compensated long, n_steps long, n_ignored long, n long"
+)

@@ -2816,3 +2816,82 @@ def m_multiwindow_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND err_long * 100 > 2 * n_long THEN 1 ELSE 0 END AS INT)"
         ).alias("page_alert"),
     )
+
+
+@query(
+    "es_saga_fold",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    lim AS (SELECT user_id, max(rn) AS mx FROM ordered GROUP BY user_id),
+    fold(user_id, rn, st, n_started, n_completed, n_compensated,
+         n_steps, n_ignored) AS (
+      SELECT user_id, 0, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM lim
+      UNION ALL
+      SELECT f.user_id, f.rn + 1,
+             CASE WHEN o.event_type = 'view' AND f.st = 0 THEN 1
+                  WHEN o.event_type = 'purchase' AND f.st = 1 THEN 0
+                  WHEN o.event_type = 'error' AND f.st = 1 THEN 0
+                  ELSE f.st END,
+             f.n_started + CASE WHEN o.event_type = 'view' AND f.st = 0
+                                THEN 1 ELSE 0 END,
+             f.n_completed + CASE WHEN o.event_type = 'purchase'
+                                       AND f.st = 1
+                                  THEN 1 ELSE 0 END,
+             f.n_compensated + CASE WHEN o.event_type = 'error'
+                                         AND f.st = 1
+                                    THEN 1 ELSE 0 END,
+             f.n_steps + CASE WHEN o.event_type = 'click' AND f.st = 1
+                              THEN 1 ELSE 0 END,
+             f.n_ignored + CASE
+               WHEN (o.event_type = 'view' AND f.st = 0)
+                 OR (o.event_type = 'click' AND f.st = 1)
+                 OR (o.event_type = 'purchase' AND f.st = 1)
+                 OR (o.event_type = 'error' AND f.st = 1)
+               THEN 0 ELSE 1 END
+      FROM fold f JOIN ordered o
+        ON o.user_id = f.user_id AND o.rn = f.rn + 1
+    )
+    SELECT CAST(f.user_id AS VARCHAR) AS aggregate_id,
+           CAST(f.st AS INT) AS final_state,
+           f.n_started, f.n_completed, f.n_compensated,
+           f.n_steps, f.n_ignored
+    FROM fold f JOIN lim USING (user_id) WHERE f.rn = lim.mx
+    """,
+)
+def es_saga_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saga / compensation state machine per user on the shared
+    sorted-stream fold kernel (bank/holt/cusum/token-bucket family) —
+    see operators.eventsourcing.saga_handle_event for the machine:
+    view starts, click steps, purchase completes, error COMPENSATES,
+    out-of-state events are counted ignored and never applied. The
+    order-dependent fold can't be a SQL aggregate; the oracle is a
+    recursive CTE advancing every user one event per round (the
+    es_bank_fold technique) — exact, because every channel is an
+    integer. final_state = 1 means a saga was still in flight at the
+    corpus edge (the dangling-reservation the compensation timeout
+    would reap in production)."""
+    e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    folded = es.fold_events_sorted(
+        e.select("user_id", "ts", "event_id", "event_type"),
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        handle_event=es.saga_handle_event,
+        state_schema=es.SAGA_STATE_SCHEMA,
+    )
+    return folded.select(
+        "aggregate_id",
+        F.col("st").cast("int").alias("final_state"),
+        "n_started",
+        "n_completed",
+        "n_compensated",
+        "n_steps",
+        "n_ignored",
+    )

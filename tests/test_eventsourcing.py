@@ -413,3 +413,58 @@ def test_token_bucket_init_through_kernel():
         1,
         1,
     )
+
+
+def test_saga_handler_state_machine():
+    """The saga kernel against a hand-traced event sequence: start, step,
+    complete, ignored out-of-state events, compensation, and the dangling
+    in-flight final state."""
+    from surge_spark.operators.eventsourcing import saga_handle_event
+
+    seq = [
+        "purchase",  # idle: ignored
+        "view",      # start saga 1
+        "click",     # step
+        "click",     # step
+        "purchase",  # complete saga 1
+        "click",     # idle: ignored
+        "view",      # start saga 2
+        "error",     # compensate saga 2
+        "view",      # start saga 3
+        "view",      # in-flight: ignored
+    ]
+    st = None
+    for et in seq:
+        st = saga_handle_event(st, {"user_id": 7, "event_type": et})
+    assert st["st"] == 1  # saga 3 dangling
+    assert st["n_started"] == 3
+    assert st["n_completed"] == 1
+    assert st["n_compensated"] == 1
+    assert st["n_steps"] == 2
+    assert st["n_ignored"] == 3
+    assert st["n"] == len(seq)
+
+
+def test_saga_fold_totals(spark, sf_dir):
+    """Catalog-level conservation: every event lands in exactly one
+    bucket (start/step/complete/compensate/ignored), and completions +
+    compensations + the dangling flag equal the starts."""
+    from surge_spark.queries import all_queries
+
+    rows = all_queries()["es_saga_fold"](spark, sf_dir).collect()
+    assert rows
+    from surge_spark.io import load_table
+    import pyspark.sql.functions as F
+
+    n_events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .count()
+    )
+    total = sum(
+        r.n_started + r.n_steps + r.n_completed + r.n_compensated + r.n_ignored
+        for r in rows
+    )
+    assert total == n_events
+    for r in rows:
+        assert r.n_started == r.n_completed + r.n_compensated + r.final_state
