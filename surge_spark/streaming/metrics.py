@@ -314,3 +314,108 @@ def token_bucket_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SAGA_STATE = StructType(
+    [
+        StructField("st", LongType()),
+        StructField("n_started", LongType()),
+        StructField("n_completed", LongType()),
+        StructField("n_compensated", LongType()),
+        StructField("n_steps", LongType()),
+        StructField("n_ignored", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+SAGA_OUTPUT = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("st", LongType()),
+        StructField("n_started", LongType()),
+        StructField("n_completed", LongType()),
+        StructField("n_compensated", LongType()),
+        StructField("n_steps", LongType()),
+        StructField("n_ignored", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def saga_stream(events: DataFrame) -> DataFrame:
+    """Live saga/compensation tracking — the streaming twin of the
+    es_saga_fold batch entry, and the shape surge's command engine
+    actually runs (a saga coordinator is per-key serial state reacting
+    to events as they arrive, not a nightly batch): per-user state via
+    applyInPandasWithState, BOTH modes calling the ONE
+    saga_handle_event kernel (operators/eventsourcing.py), so the
+    cross-mode equality is exact integer equality — pinned across a
+    micro-batch boundary with a saga deliberately split mid-flight
+    (started in batch 1, compensated in batch 2). Input rows are
+    {user_id, event_type, ms, event_id}; each batch sorts by
+    (ms, event_id), the batch fold's total order; cross-batch in-order
+    arrival is assumed (the cusum_stream caveat class)."""
+    from ..operators.eventsourcing import saga_handle_event
+
+    def step(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            st, n_started, n_completed, n_compensated, n_steps, n_ignored, n = (
+                state.get
+            )
+            acc: dict | None = {
+                "aggregate_id": str(key[0]),
+                "st": st,
+                "n_started": n_started,
+                "n_completed": n_completed,
+                "n_compensated": n_compensated,
+                "n_steps": n_steps,
+                "n_ignored": n_ignored,
+                "n": n,
+            }
+        else:
+            acc = None
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ms", "event_id"], kind="mergesort"
+        )
+        for et in batch["event_type"]:
+            acc = saga_handle_event(acc, {"user_id": key[0], "event_type": et})
+        assert acc is not None
+        state.update(
+            (
+                acc["st"],
+                acc["n_started"],
+                acc["n_completed"],
+                acc["n_compensated"],
+                acc["n_steps"],
+                acc["n_ignored"],
+                acc["n"],
+            )
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": str(key[0]),
+                    "st": acc["st"],
+                    "n_started": acc["n_started"],
+                    "n_completed": acc["n_completed"],
+                    "n_compensated": acc["n_compensated"],
+                    "n_steps": acc["n_steps"],
+                    "n_ignored": acc["n_ignored"],
+                    "n": acc["n"],
+                }
+            ]
+        )
+
+    ensure_shipped(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=SAGA_OUTPUT,
+        stateStructType=_SAGA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

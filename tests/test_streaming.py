@@ -2193,3 +2193,60 @@ def test_token_bucket_stream_matches_batch_fold(spark, tmp_path):
     # the sequence must actually throttle and refill, or the pin is vacuous
     assert st["n_throttled"] >= 1
     assert st["n_allowed"] >= 5
+
+
+def test_saga_stream_matches_batch_fold(spark, tmp_path):
+    """Cross-mode saga pin: a saga STARTED in micro-batch 1 and
+    COMPENSATED in micro-batch 2 (the state machine split mid-flight
+    across the boundary) folds to exactly the batch handler's final
+    state — both modes call the one all-integer saga_handle_event
+    kernel, so the assertion is integer equality."""
+    from surge_spark.operators.eventsourcing import saga_handle_event
+    from surge_spark.streaming import metrics as sm
+
+    seq = [
+        "purchase",  # idle: ignored
+        "view",      # start saga 1
+        "click",     # step
+        "purchase",  # complete saga 1
+        "view",      # start saga 2 (still open at the batch boundary)
+        # ---- micro-batch boundary ----
+        "error",     # compensate saga 2
+        "view",      # start saga 3
+        "click",     # step
+    ]
+    schema = "user_id string, event_type string, ms long, event_id long"
+    src = str(tmp_path / "saga_events")
+    half = 5
+    spark.createDataFrame(
+        [("u1", et, 1000 * i, i) for i, et in enumerate(seq[:half])], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [("u1", et, 1000 * (half + i), half + i) for i, et in enumerate(seq[half:])],
+        schema,
+    ).coalesce(1).write.parquet(src + "/f2")
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        sm.saga_stream(events)
+        .writeStream.format("memory")
+        .queryName("saga_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_saga"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from saga_out order by n desc").collect()[0]
+    st = None
+    for et in seq:
+        st = saga_handle_event(st, {"user_id": "u1", "event_type": et})
+    assert got.n == st["n"] == len(seq)
+    for f in ("st", "n_started", "n_completed", "n_compensated", "n_steps", "n_ignored"):
+        assert got[f] == st[f], f
+    # the sequence must exercise the interesting paths, or the pin is vacuous
+    assert st["n_compensated"] == 1 and st["n_completed"] == 1
+    assert st["st"] == 1  # saga 3 dangling
