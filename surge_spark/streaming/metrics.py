@@ -354,8 +354,14 @@ def saga_stream(events: DataFrame) -> DataFrame:
     (started in batch 1, compensated in batch 2). Input rows are
     {user_id, event_type, ms, event_id}; each batch sorts by
     (ms, event_id), the batch fold's total order; cross-batch in-order
-    arrival is assumed (the cusum_stream caveat class)."""
+    arrival is assumed (the cusum_stream caveat class). NULL user_ids
+    are FILTERED here exactly as the batch twin filters them — without
+    the filter, groupBy forms a null-key group whose str(key) collides
+    with a real key spelled 'None' and the twin equality silently
+    breaks (review-pass finding; the driver-fold NULL-key lesson)."""
     from ..operators.eventsourcing import saga_handle_event
+
+    events = events.where(F.col("user_id").isNotNull())
 
     def step(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
