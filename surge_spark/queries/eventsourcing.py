@@ -2895,3 +2895,72 @@ def es_saga_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_steps",
         "n_ignored",
     )
+
+
+@query(
+    "m_conversion_lag",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, min(epoch_ms(ts)) AS first_view
+      FROM events WHERE user_id IS NOT NULL AND event_type = 'view'
+      GROUP BY user_id
+    ),
+    fp AS (
+      SELECT e.user_id, min(epoch_ms(e.ts)) AS first_purchase
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= fv.first_view
+      GROUP BY e.user_id
+    ),
+    lag AS (
+      SELECT fp.first_purchase - fv.first_view AS lag_ms
+      FROM fp JOIN fv USING (user_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converters,
+           CAST(min(lag_ms) AS BIGINT) AS min_lag_ms,
+           CAST(round(quantile_cont(lag_ms, 0.5), 4) AS DOUBLE)
+             AS p50_lag_ms,
+           CAST(round(quantile_cont(lag_ms, 0.9), 4) AS DOUBLE)
+             AS p90_lag_ms,
+           CAST(max(lag_ms) AS BIGINT) AS max_lag_ms
+    FROM lag
+    """,
+)
+def m_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution — the latency view of the funnel
+    (m_funnel_conversion counts WHO converts; this measures HOW LONG
+    first view → first subsequent purchase takes, the number a growth
+    team actually tunes against). Lags are exact integer epoch-millis
+    differences (unix_millis ≡ epoch_ms); the only float channel is the
+    interpolated percentile pair on the pinned Spark percentile ≡
+    DuckDB quantile_cont equivalence, round-4 (one interpolation from
+    exact integers — the m_winsorized_mean channel). The purchase must
+    FOLLOW the first view (>= — a same-millisecond purchase converts;
+    an earlier one does not count as caused by the view). Two grouped
+    passes + one per-user join, all key-partitioned; the final
+    aggregate is a single global row."""
+    e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    ms = F.expr("unix_millis(ts)")
+    fv = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(ms).alias("first_view"))
+    )
+    fp = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", ms.alias("pm"))
+        .join(fv, "user_id")
+        .where(F.col("pm") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min("pm").alias("first_purchase"),
+            F.min("first_view").alias("first_view"),
+        )
+    )
+    lag = fp.select((F.col("first_purchase") - F.col("first_view")).alias("lag_ms"))
+    return lag.groupBy().agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.min("lag_ms").alias("min_lag_ms"),
+        F.round(F.expr("percentile(lag_ms, 0.5)"), 4).alias("p50_lag_ms"),
+        F.round(F.expr("percentile(lag_ms, 0.9)"), 4).alias("p90_lag_ms"),
+        F.max("lag_ms").alias("max_lag_ms"),
+    )

@@ -976,3 +976,20 @@ def test_modularity_identities(spark, sf_dir):
     assert row.intra_edges == sum(e_c.values()) <= m
     assert -0.5 <= row.modularity <= 1.0
     assert abs(row.modularity - q) < 2e-6
+
+
+def test_conversion_lag_identities(spark, sf_dir):
+    """Ordering identities: min <= p50 <= p90 <= max; converters are a
+    subset of viewers AND of funnel-eligible purchasers; all lags
+    nonnegative by the >= first_view predicate."""
+    import pyspark.sql.functions as F
+
+    from surge_spark.io import load_table
+
+    r = all_queries()["m_conversion_lag"](spark, sf_dir).collect()[0]
+    assert 0 <= r.min_lag_ms <= r.p50_lag_ms <= r.p90_lag_ms <= r.max_lag_ms
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    n_viewers = (
+        e.where(F.col("event_type") == "view").select("user_id").distinct().count()
+    )
+    assert 0 < r.n_converters <= n_viewers
