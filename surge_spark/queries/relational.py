@@ -5010,9 +5010,47 @@ def a_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "a_basket_lift",
-    oracle="""
+# The two basket-lift channel variants (VERDICT r12 task 5). Shared as
+# module constants so the overflow-bound test drives the EXACT production
+# expressions: the bigint channel is exact while n_both*n_users*1e6 fits
+# int64 (n_users < ~3e6 at typical basket shapes) and RAISES under ANSI
+# past that; the DECIMAL(38,0) channel widens every product operand so
+# the intermediates are exact integers up to 1e38 — the final quotients
+# always fit BIGINT (confidence <= 1e6; lift <= n_users*1e6), so both
+# channels ship identical BIGINT columns and are value-equal wherever
+# the bigint one is defined. Spark's `div` on DECIMAL operands is
+# IntegralDivide -> BIGINT, same truncation as the integral form.
+_BASKET_CHANNELS_BIGINT = (
+    "CAST(n_both * 1000000 div n_a AS BIGINT)",
+    "CAST(n_both * 1000000 div n_b AS BIGINT)",
+    "CAST(n_both * n_users * 1000000 div (n_a * n_b) AS BIGINT)",
+)
+_BASKET_CHANNELS_DECIMAL = (
+    "CAST(CAST(n_both AS DECIMAL(38,0)) * 1000000 div n_a AS BIGINT)",
+    "CAST(CAST(n_both AS DECIMAL(38,0)) * 1000000 div n_b AS BIGINT)",
+    "CAST(CAST(n_both AS DECIMAL(38,0)) * n_users * 1000000"
+    " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)",
+)
+# DuckDB mirror of the decimal channel: HUGEINT (int128) is DuckDB's
+# exact wide-integer arithmetic; all operands are positive so its
+# flooring // equals Spark's truncating div.
+_BASKET_ORACLE_BIGINT = """
+    SELECT p.type_a, p.type_b, ca.n AS n_a, cb.n AS n_b, p.n_both,
+           CAST(p.n_both * 1000000 // ca.n AS BIGINT) AS confidence_ab_ppm,
+           CAST(p.n_both * 1000000 // cb.n AS BIGINT) AS confidence_ba_ppm,
+           CAST(p.n_both * nu.n_users * 1000000 // (ca.n * cb.n) AS BIGINT)
+             AS lift_ppm
+"""
+_BASKET_ORACLE_DECIMAL = """
+    SELECT p.type_a, p.type_b, ca.n AS n_a, cb.n AS n_b, p.n_both,
+           CAST(CAST(p.n_both AS HUGEINT) * 1000000 // ca.n AS BIGINT)
+             AS confidence_ab_ppm,
+           CAST(CAST(p.n_both AS HUGEINT) * 1000000 // cb.n AS BIGINT)
+             AS confidence_ba_ppm,
+           CAST(CAST(p.n_both AS HUGEINT) * nu.n_users * 1000000
+                // (CAST(ca.n AS HUGEINT) * cb.n) AS BIGINT) AS lift_ppm
+"""
+_BASKET_ORACLE_BODY = """
     WITH ut AS (
       SELECT DISTINCT user_id, event_type FROM events
       WHERE user_id IS NOT NULL
@@ -5026,31 +5064,15 @@ def a_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.user_id = b.user_id AND a.event_type < b.event_type
       GROUP BY 1, 2
     )
-    SELECT p.type_a, p.type_b, ca.n AS n_a, cb.n AS n_b, p.n_both,
-           CAST(p.n_both * 1000000 // ca.n AS BIGINT) AS confidence_ab_ppm,
-           CAST(p.n_both * 1000000 // cb.n AS BIGINT) AS confidence_ba_ppm,
-           CAST(p.n_both * nu.n_users * 1000000 // (ca.n * cb.n) AS BIGINT)
-             AS lift_ppm
+    {channels}
     FROM pairs p
     JOIN tc ca ON ca.event_type = p.type_a
     JOIN tc cb ON cb.event_type = p.type_b
     CROSS JOIN nu
-    """,
-)
-def a_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket association (support / confidence / lift) between
-    event-type pairs at user granularity — the co-occurrence analysis a
-    recommendation or anomaly pass runs ("users who error also churn?").
-    The basket frame is the DISTINCT (user, type) projection, so pair
-    counts come from a self-join keyed on user_id with type_a < type_b
-    canonicalizing each unordered pair once; per-type user counts and
-    the global user count are broadcast back (|types|-row and 1-row
-    frames — broadcast-exempt classes 3 and 1). All-integer channels:
-    confidence and lift ship as ppm via bigint div. Overflow bound:
-    n_both * n_users * 1e6 stays under 2^63 while n_users < ~3e6; past
-    that, widen to DECIMAL(38,0) on both engines (documented, not
-    silently wrong — ANSI mode raises). At 100 TB the only corpus-scale
-    shuffle is the distinct; everything after is |types|-bounded."""
+"""
+
+
+def _basket_lift(spark: SparkSession, sf_dir: str, decimal: bool) -> DataFrame:
     e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     ut = e.select("user_id", "event_type").distinct()
     nu = ut.groupBy().agg(F.countDistinct("user_id").alias("n_users"))
@@ -5064,6 +5086,9 @@ def a_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = tc.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
     cb = tc.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    conf_ab, conf_ba, lift = (
+        _BASKET_CHANNELS_DECIMAL if decimal else _BASKET_CHANNELS_BIGINT
+    )
     return (
         pairs.join(F.broadcast(ca), "type_a")
         .join(F.broadcast(cb), "type_b")
@@ -5074,17 +5099,52 @@ def a_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             "n_both",
-            F.expr("CAST(n_both * 1000000 div n_a AS BIGINT)").alias(
-                "confidence_ab_ppm"
-            ),
-            F.expr("CAST(n_both * 1000000 div n_b AS BIGINT)").alias(
-                "confidence_ba_ppm"
-            ),
-            F.expr(
-                "CAST(n_both * n_users * 1000000 div (n_a * n_b) AS BIGINT)"
-            ).alias("lift_ppm"),
+            F.expr(conf_ab).alias("confidence_ab_ppm"),
+            F.expr(conf_ba).alias("confidence_ba_ppm"),
+            F.expr(lift).alias("lift_ppm"),
         )
     )
+
+
+@query(
+    "a_basket_lift",
+    oracle=_BASKET_ORACLE_BODY.format(channels=_BASKET_ORACLE_BIGINT),
+)
+def a_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association (support / confidence / lift) between
+    event-type pairs at user granularity — the co-occurrence analysis a
+    recommendation or anomaly pass runs ("users who error also churn?").
+    The basket frame is the DISTINCT (user, type) projection, so pair
+    counts come from a self-join keyed on user_id with type_a < type_b
+    canonicalizing each unordered pair once; per-type user counts and
+    the global user count are broadcast back (|types|-row and 1-row
+    frames — broadcast-exempt classes 3 and 1). All-integer channels:
+    confidence and lift ship as ppm via bigint div. Overflow bound:
+    n_both * n_users * 1e6 stays under 2^63 while n_users < ~3e6; past
+    that, ANSI mode raises loudly — use a_basket_lift_decimal, the
+    DECIMAL(38,0) escape hatch (r12 task 5, no longer just documented).
+    At 100 TB the only corpus-scale shuffle is the distinct; everything
+    after is |types|-bounded."""
+    return _basket_lift(spark, sf_dir, decimal=False)
+
+
+@query(
+    "a_basket_lift_decimal",
+    oracle=_BASKET_ORACLE_BODY.format(channels=_BASKET_ORACLE_DECIMAL),
+)
+def a_basket_lift_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a_basket_lift's DECIMAL(38,0) escape hatch as a first-class entry
+    (VERDICT r12 task 5): identical plan and identical BIGINT output
+    columns, but every product operand widened to DECIMAL(38,0) before
+    the multiply, so the lift intermediate (n_both * n_users * 1e6,
+    bigint-overflowing past ~3e6 users) is exact to 1e38 — the 100×
+    design point runs THIS entry. The oracle widens via HUGEINT (int128,
+    DuckDB's exact wide-integer channel; all operands positive so
+    flooring // == truncating div). bigint-vs-decimal equality is pinned
+    in tests/test_analytics.py, and the overflow bound itself is pinned
+    by driving the shared channel constants at n_users past 2^63/(n_both
+    *1e6): bigint raises under ANSI, decimal returns the exact value."""
+    return _basket_lift(spark, sf_dir, decimal=True)
 
 
 @query(

@@ -232,6 +232,7 @@ def token_bucket_stream(
     events: DataFrame,
     capacity: int | None = None,
     refill_ms: int | None = None,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Per-key token-bucket rate limiting as a LIVE streaming operator —
     the gateway-side twin of the es_token_bucket_fold batch entry (the
@@ -246,7 +247,18 @@ def token_bucket_stream(
     SAME total order the batch fold uses, so even equal-millisecond
     events agree. Like cusum_stream, the sort is within a micro-batch —
     cross-batch in-order arrival is assumed (the command-engine source's
-    per-key ordered log provides it)."""
+    per-key ordered log provides it).
+
+    State growth: with the default idle_timeout_ms=None, per-key state
+    lives forever (the cusum_stream caveat — fine for bounded key
+    spaces). A gateway rate limiter sees an OPEN-ENDED key space, so
+    pass idle_timeout_ms to expire idle buckets via a processing-time
+    timeout. The bound must be >= capacity*refill_ms (enforced): a key
+    idle that long holds a provably FULL bucket, and token_bucket_init
+    on its next event re-creates exactly that full bucket — admission
+    decisions are unchanged. The cumulative counters (n_allowed/
+    n_throttled/n) DO restart after expiry; they are per-lifetime
+    diagnostics, not the admission state (ADVICE r12)."""
     from ..operators.eventsourcing import (
         TB_CAPACITY,
         TB_REFILL_MS,
@@ -256,6 +268,12 @@ def token_bucket_stream(
 
     capacity = TB_CAPACITY if capacity is None else capacity
     refill_ms = TB_REFILL_MS if refill_ms is None else refill_ms
+    if idle_timeout_ms is not None and idle_timeout_ms < capacity * refill_ms:
+        raise ValueError(
+            "idle_timeout_ms must be >= capacity*refill_ms "
+            f"({capacity * refill_ms}) so an expired bucket is provably "
+            "full and re-init is admission-equivalent"
+        )
 
     def step(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -293,10 +311,15 @@ def token_bucket_stream(
             n_throttled += 0 if allowed else 1
             n += 1
         state.update((tokens, anchor, n_allowed, n_throttled, n))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             [
                 {
-                    "user_id": key[0],
+                    # str(key[0]) like saga_stream and the batch twin —
+                    # a non-string keyed stream must not feed a raw value
+                    # into the StringType output column (ADVICE r12)
+                    "user_id": str(key[0]),
                     "tokens": tokens,
                     "anchor_ms": anchor,
                     "n_allowed": n_allowed,
@@ -312,7 +335,11 @@ def token_bucket_stream(
         outputStructType=TOKEN_BUCKET_OUTPUT,
         stateStructType=_TB_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if idle_timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

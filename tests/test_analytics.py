@@ -519,6 +519,58 @@ def test_basket_lift_identities(spark, sf_dir):
         assert r.confidence_ba_ppm == r.n_both * 1_000_000 // r.n_b
 
 
+def test_basket_lift_decimal_equals_bigint(spark, sf_dir):
+    """The DECIMAL(38,0) escape hatch ships byte-identical rows wherever
+    the bigint channel is defined (r12 task 5) — same schema, same
+    values, only the intermediate width differs."""
+    q = all_queries()
+    big = q["a_basket_lift"](spark, sf_dir)
+    dec = q["a_basket_lift_decimal"](spark, sf_dir)
+    assert big.schema == dec.schema
+    key = lambda r: (r.type_a, r.type_b)  # noqa: E731
+    assert sorted(map(tuple, big.collect())) == sorted(
+        map(tuple, dec.collect())
+    )
+
+
+def test_basket_lift_overflow_bound(spark):
+    """The documented ~3e6-user bound, constructed: drive the SHARED
+    channel constants (the exact production expressions) at n_users just
+    past 2^63/(n_both*1e6). The bigint lift channel RAISES under ANSI
+    (never silently wrong); the decimal channel returns the exact
+    Python-int value."""
+    import pytest
+
+    from surge_spark.queries.relational import (
+        _BASKET_CHANNELS_BIGINT,
+        _BASKET_CHANNELS_DECIMAL,
+    )
+    from pyspark.sql import functions as F
+
+    n_both, n_a, n_b = 1_000_000, 2_000_000, 2_000_000
+    n_users = 2**63 // (n_both * 1_000_000) + 1  # first overflowing count
+    row = spark.createDataFrame(
+        [(n_both, n_a, n_b, n_users)],
+        "n_both long, n_a long, n_b long, n_users long",
+    )
+    with pytest.raises(Exception, match="(?i)overflow|arithmetic"):
+        row.select(F.expr(_BASKET_CHANNELS_BIGINT[2]).alias("lift")).collect()
+    got = row.select(
+        F.expr(_BASKET_CHANNELS_DECIMAL[2]).alias("lift")
+    ).collect()[0].lift
+    assert got == n_both * n_users * 1_000_000 // (n_a * n_b)
+    # and below the bound the two channels agree exactly
+    row2 = spark.createDataFrame(
+        [(n_both, n_a, n_b, n_users - 1)],
+        "n_both long, n_a long, n_b long, n_users long",
+    )
+    vals = row2.select(
+        F.expr(_BASKET_CHANNELS_BIGINT[2]).alias("b"),
+        F.expr(_BASKET_CHANNELS_DECIMAL[2]).alias("d"),
+    ).collect()[0]
+    assert vals.b == vals.d
+
+
 def test_hard_negative_mining_contract(spark, sf_dir):
     """Per centroid: at most 5 rows with contiguous ranks, cosine
     non-increasing in rank, and no row mines a vector from the centroid's

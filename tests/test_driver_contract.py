@@ -48,3 +48,23 @@ def test_catalog_contract(spark, sf_dir):
     }
     # callables execute and yield DataFrames (smoke one cheap entry)
     assert queries["s2_point_lookup"](spark, sf_dir).count() >= 0
+
+
+def test_oracle_shard_partition():
+    """--shard i/n shards are disjoint, cover the full sorted name list,
+    and are deterministic (VERDICT r12 task 7)."""
+    import pytest
+
+    from surge_spark.oracle import shard_names
+    from surge_spark.queries import all_queries
+
+    names = sorted(all_queries())
+    for n in (2, 3, 7):
+        shards = [shard_names(names, i, n) for i in range(1, n + 1)]
+        combined = sorted(x for s in shards for x in s)
+        assert combined == names
+        assert shards == [shard_names(names, i, n) for i in range(1, n + 1)]
+    with pytest.raises(ValueError):
+        shard_names(names, 0, 2)
+    with pytest.raises(ValueError):
+        shard_names(names, 3, 2)

@@ -9,6 +9,8 @@ import asyncio
 import datetime as dt
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -2195,6 +2197,57 @@ def test_token_bucket_stream_matches_batch_fold(spark, tmp_path):
     assert st["n_allowed"] >= 5
 
 
+def test_token_bucket_stream_idle_timeout_contract(spark, tmp_path):
+    """idle_timeout_ms < capacity*refill_ms is rejected (an expired
+    bucket must be provably FULL so re-init is admission-equivalent);
+    a legal bound keeps the cross-mode equality intact when it never
+    fires within the run."""
+    from surge_spark.operators.eventsourcing import (
+        TB_CAPACITY,
+        TB_REFILL_MS,
+        token_bucket_handle_event,
+    )
+    from surge_spark.streaming import metrics as sm
+
+    schema = "user_id string, ms long, event_id long"
+    src = str(tmp_path / "tb_idle")
+    ms_seq = [0, 1_000, 2_000]
+    spark.createDataFrame(
+        [("u1", t, i) for i, t in enumerate(ms_seq)], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    events = spark.readStream.schema(schema).parquet(src + "/*")
+
+    with pytest.raises(ValueError, match="idle_timeout_ms"):
+        sm.token_bucket_stream(
+            events, idle_timeout_ms=TB_CAPACITY * TB_REFILL_MS - 1
+        )
+
+    q = (
+        sm.token_bucket_stream(
+            events, idle_timeout_ms=TB_CAPACITY * TB_REFILL_MS
+        )
+        .writeStream.format("memory")
+        .queryName("tb_idle_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_tb_idle"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from tb_idle_out order by n desc").collect()[0]
+    st = None
+    for t in ms_seq:
+        st = token_bucket_handle_event(st, {"user_id": "u1", "ms": t})
+    assert got.user_id == "u1"
+    assert (got.tokens, got.anchor_ms, got.n_allowed, got.n_throttled, got.n) == (
+        st["tokens"],
+        st["anchor_ms"],
+        st["n_allowed"],
+        st["n_throttled"],
+        st["n"],
+    )
+
+
 def test_saga_stream_matches_batch_fold(spark, tmp_path):
     """Cross-mode saga pin: a saga STARTED in micro-batch 1 and
     COMPENSATED in micro-batch 2 (the state machine split mid-flight
@@ -2240,6 +2293,14 @@ def test_saga_stream_matches_batch_fold(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
+    # Pin the SPLIT PREMISE itself, not just the final fold (ADVICE r12):
+    # the memory sink must have seen TWO distinct micro-batch outputs,
+    # and the batch-1 row must show st==1 — saga 2 genuinely open AT the
+    # boundary. If the file source ever read f2 first (mtime inversion)
+    # this fails loudly instead of silently passing as a single-batch run.
+    rows = spark.sql("select * from saga_out order by n").collect()
+    assert len(rows) == 2, [r.n for r in rows]
+    assert rows[0].n == half and rows[0].st == 1
     got = spark.sql("select * from saga_out order by n desc").collect()[0]
     st = None
     for et in seq:
