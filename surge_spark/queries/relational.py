@@ -2119,9 +2119,17 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no-ops so a generous unroll stays equal), with the round count derived
 # as the number of label-CHANGING rounds, matching lpa_converged's probe.
 _LPA_CONV_UNROLL = 10
-_LPA_CONV_ORACLE = (
-    """
-    WITH e0 AS (
+# rounds = count of label-CHANGING rounds (the Spark probe's convention),
+# generated for rounds 1..N so the chain and the change count can't drift
+_LPA_CONV_CHG_SQL = " + ".join(
+    f"(CASE WHEN EXISTS (SELECT 1 FROM l{r} a JOIN l{r-1} b"
+    " ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END)"
+    for r in range(1, _LPA_CONV_UNROLL + 1)
+)
+# the converged-LPA CTE chain (e0/sym/l0..lN/chg) WITHOUT a final select —
+# shared by g_lpa_converged and g_modularity_converged
+_LPA_CONV_CHAIN_SQL = (
+    """e0 AS (
       SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -2133,7 +2141,10 @@ _LPA_CONV_ORACLE = (
         f"    l{r} AS ({_LPA_ITER.format(prev=f'l{r-1}')}),\n"
         for r in range(1, _LPA_CONV_UNROLL + 1)
     )
-    + f"""    chg AS (SELECT CAST({'__CHG__'} AS INT) AS rounds),
+    + f"    chg AS (SELECT CAST({_LPA_CONV_CHG_SQL} AS INT) AS rounds)"
+)
+_LPA_CONV_ORACLE = f"""
+    WITH {_LPA_CONV_CHAIN_SQL},
     sizes AS (
       SELECT label AS community, count(*) AS n_members
       FROM l{_LPA_CONV_UNROLL} GROUP BY label
@@ -2146,7 +2157,6 @@ _LPA_CONV_ORACLE = (
       FROM sizes
     ) CROSS JOIN chg WHERE pos <= 20
     """
-).replace("__CHG__", "(CASE WHEN EXISTS (SELECT 1 FROM l1 a JOIN l0 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END) + (CASE WHEN EXISTS (SELECT 1 FROM l2 a JOIN l1 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END) + (CASE WHEN EXISTS (SELECT 1 FROM l3 a JOIN l2 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END) + (CASE WHEN EXISTS (SELECT 1 FROM l4 a JOIN l3 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END) + (CASE WHEN EXISTS (SELECT 1 FROM l5 a JOIN l4 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END) + (CASE WHEN EXISTS (SELECT 1 FROM l6 a JOIN l5 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END) + (CASE WHEN EXISTS (SELECT 1 FROM l7 a JOIN l6 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END) + (CASE WHEN EXISTS (SELECT 1 FROM l8 a JOIN l7 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END) + (CASE WHEN EXISTS (SELECT 1 FROM l9 a JOIN l8 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END) + (CASE WHEN EXISTS (SELECT 1 FROM l10 a JOIN l9 b ON a.node = b.node AND a.label <> b.label) THEN 1 ELSE 0 END)")
 
 
 @query("g_lpa_converged", oracle=_LPA_CONV_ORACLE)
@@ -5863,21 +5873,22 @@ def a_top_decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "g_modularity",
-    oracle=f"""
-    WITH {_LPA2_SQL},
+# Newman-Q oracle tail over any labels CTE — shared by g_modularity (l2,
+# the 2-round partition) and g_modularity_converged (lN + rounds channel);
+# the review-discipline factoring: the Q formula and its integer channels
+# must evolve in lockstep across both consumers.
+_MODULARITY_TAIL_SQL = """
     deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS k FROM sym GROUP BY 1),
     m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
     dc AS (
       SELECT l.label AS community, CAST(sum(d.k) AS BIGINT) AS d_c
-      FROM l2 l JOIN deg d ON d.v = l.node GROUP BY 1
+      FROM {labels} l JOIN deg d ON d.v = l.node GROUP BY 1
     ),
     ec AS (
       SELECT la.label AS community, CAST(count(*) AS BIGINT) AS e_c
       FROM e0
-      JOIN l2 la ON la.node = e0.src
-      JOIN l2 lb ON lb.node = e0.dst AND lb.label = la.label
+      JOIN {labels} la ON la.node = e0.src
+      JOIN {labels} lb ON lb.node = e0.dst AND lb.label = la.label
       GROUP BY 1
     ),
     per AS (
@@ -5891,25 +5902,16 @@ def a_top_decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(e_c AS DOUBLE) / m.m
              - (CAST(d_c AS DOUBLE) / (2 * m.m))
                * (CAST(d_c AS DOUBLE) / (2 * m.m))
-           ), 6) AS DOUBLE) AS modularity
-    FROM per, m GROUP BY m.m
-    """,
-)
-def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Newman modularity Q of the 2-round LPA partition — the quality
-    number that tells you whether the communities g_label_propagation
-    found are real structure or noise (Q = sum over communities of
-    e_c/m - (d_c/2m)^2; Q near 0 = no better than random wiring given
-    the degree sequence). Labels come from the SAME _lpa2_labels kernel
-    as the LPA entry (bounded unroll = pure function = full oracle) with
-    checkpoint=True: modularity reads the labels TWICE (each edge
-    endpoint) and the edge set twice (m and the intra-edge join), so
-    unmaterialized the 2-round build would re-run per consumer — the
-    scan-amplification class. e_c, d_c, m are exact integers; each
-    community's term is computed from them and the per-community sum
-    rounds to 6 (bounded noise: |communities| terms). intra_edges is
-    shipped so the Q decomposition is auditable."""
-    e0, sym, labels = _lpa2_labels(spark, sf_dir, checkpoint=True)
+           ), 6) AS DOUBLE) AS modularity{extra_select}
+    FROM per, m{extra_from} GROUP BY m.m{extra_group}
+"""
+
+
+def _modularity_frame(e0, sym, labels) -> DataFrame:
+    """Newman Q of ``labels`` over the (e0, sym) edge frames — the one
+    Spark-side Q computation both modularity entries call. Callers must
+    pass MATERIALIZED frames: labels is read twice (each edge endpoint)
+    and e0 twice (m and the intra-edge join)."""
     deg = sym.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).alias("k")
     )
@@ -5947,4 +5949,81 @@ def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term), 6).alias("modularity"),
         )
         .select("n_edges", "n_communities", "intra_edges", "modularity")
+    )
+
+
+@query(
+    "g_modularity",
+    oracle=f"""
+    WITH {_LPA2_SQL},
+    {_MODULARITY_TAIL_SQL.format(
+        labels="l2", extra_select="", extra_from="", extra_group=""
+    )}
+    """,
+)
+def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the 2-round LPA partition — the quality
+    number that tells you whether the communities g_label_propagation
+    found are real structure or noise (Q = sum over communities of
+    e_c/m - (d_c/2m)^2; Q near 0 = no better than random wiring given
+    the degree sequence). Labels come from the SAME _lpa2_labels kernel
+    as the LPA entry (bounded unroll = pure function = full oracle) with
+    checkpoint=True: modularity reads the labels TWICE (each edge
+    endpoint) and the edge set twice (m and the intra-edge join), so
+    unmaterialized the 2-round build would re-run per consumer — the
+    scan-amplification class. e_c, d_c, m are exact integers; each
+    community's term is computed from them and the per-community sum
+    rounds to 6 (bounded noise: |communities| terms). intra_edges is
+    shipped so the Q decomposition is auditable."""
+    e0, sym, labels = _lpa2_labels(spark, sf_dir, checkpoint=True)
+    return _modularity_frame(e0, sym, labels)
+
+
+@query(
+    "g_modularity_converged",
+    oracle=f"""
+    WITH {_LPA_CONV_CHAIN_SQL},
+    {_MODULARITY_TAIL_SQL.format(
+        labels=f"l{_LPA_CONV_UNROLL}",
+        extra_select=", chg.rounds AS rounds",
+        extra_from=", chg",
+        extra_group=", chg.rounds",
+    )}
+    """,
+)
+def g_modularity_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman Q of the CONVERGED LPA partition (VERDICT r12 task 6) —
+    the fixpoint labels are strictly better input than g_modularity's
+    2-round ones, and the score tells you whether iterating further
+    actually bought structure. Labels come from the fixpoint_loop
+    harness (operators.graph.lpa_converged — per-round localCheckpoint,
+    one checksum action per round), whose deterministic schedule makes
+    the trajectory a pure function of the graph, so the oracle mirrors
+    convergence with the SAME bounded 10-round unroll chain as
+    g_lpa_converged (fixpoint 4/6 rounds at oracle scales;
+    post-fixpoint rounds are no-ops) feeding the SAME Q tail as
+    g_modularity — both shared templates, nothing re-derived. e0 and
+    sym are localCheckpointed: Q reads the edge set twice and the
+    degree frame once more, and re-deriving the co-occurrence wedge
+    join per consumer is the scan-amplification class. rounds rides
+    along so a convergence change is visible in the same row as its
+    quality effect."""
+    from surge_spark.operators.graph import lpa_converged
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnsRenamed({"l_partkey": "src"})
+    b = li.withColumnsRenamed({"l_partkey": "dst"})
+    e0 = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels, rounds = lpa_converged(sym, max_rounds=_LPA_CONV_UNROLL)
+    return _modularity_frame(e0, sym, labels).withColumn(
+        "rounds", F.lit(rounds).cast("int")
     )

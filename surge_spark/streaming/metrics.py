@@ -452,3 +452,92 @@ def saga_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HOLT_STATE = StructType(
+    [
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+HOLT_OUTPUT = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("forecast", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def holt_stream(events: DataFrame) -> DataFrame:
+    """Holt level+trend smoothing as a LIVE streaming operator — the
+    fourth cross-mode twin (after cusum, token bucket, saga), and the
+    strongest pin of the family: the FLOAT recurrence has no order-free
+    closed form (unlike EWMA), so bitwise cross-batch equality with the
+    m_holt_smoothing batch fold proves the streaming path replays the
+    exact ordered float64 op sequence, not a numerically-similar one.
+    Per-user state (level, trend, n) carries across micro-batches; BOTH
+    modes call the ONE holt_handle_event kernel
+    (operators/eventsourcing.py), so the arithmetic cannot diverge —
+    pinned in tests/test_streaming.py with the series split mid-stream
+    across a micro-batch boundary and compared with == on raw doubles,
+    no tolerance. Input rows are {user_id, value, ts, event_id}; each
+    batch sorts by (ts, event_id), the batch fold's total order.
+    Cross-batch in-order arrival is assumed (the cusum_stream caveat
+    class); per-key state is unbounded like cusum_stream — a forecast
+    state is live for as long as its key is."""
+    from ..operators.eventsourcing import holt_handle_event
+
+    events = events.where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+
+    def step(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            level, trend, n = state.get
+            acc: dict | None = {
+                "aggregate_id": str(key[0]),
+                "level": level,
+                "trend": trend,
+                "n": n,
+            }
+        else:
+            acc = None
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        for v in batch["value"]:
+            acc = holt_handle_event(
+                acc, {"user_id": key[0], "value": float(v)}
+            )
+        assert acc is not None
+        state.update((acc["level"], acc["trend"], acc["n"]))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": str(key[0]),
+                    "level": acc["level"],
+                    "trend": acc["trend"],
+                    "forecast": acc["level"] + acc["trend"],
+                    "n": acc["n"],
+                }
+            ]
+        )
+
+    ensure_shipped(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=HOLT_OUTPUT,
+        stateStructType=_HOLT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

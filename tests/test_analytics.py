@@ -1030,6 +1030,22 @@ def test_modularity_identities(spark, sf_dir):
     assert abs(row.modularity - q) < 2e-6
 
 
+def test_modularity_converged_contract(spark, sf_dir):
+    """Q of the CONVERGED partition: same conservation bounds as the
+    2-round entry (intra_edges <= n_edges, Q in [-0.5, 1]), identical
+    n_edges (the graph is the same), and rounds agrees with
+    g_lpa_converged's probe count — the two entries must not disagree
+    about when the fixpoint landed."""
+    q = all_queries()
+    conv = q["g_modularity_converged"](spark, sf_dir).collect()[0]
+    two = q["g_modularity"](spark, sf_dir).collect()[0]
+    assert conv.n_edges == two.n_edges
+    assert 0 <= conv.intra_edges <= conv.n_edges
+    assert -0.5 <= conv.modularity <= 1.0
+    lpa = q["g_lpa_converged"](spark, sf_dir).collect()[0]
+    assert conv.rounds == lpa.rounds
+
+
 def test_conversion_lag_identities(spark, sf_dir):
     """Ordering identities: min <= p50 <= p90 <= max; converters are a
     subset of viewers AND of funnel-eligible purchasers; all lags

@@ -177,3 +177,85 @@ def test_multi_point_read_matches_get_state(spark, batches, tmp_path_factory):
     got = store._multi_point_read_arrow(m, probes)
     for k in probes:
         assert got[k] == store.get_state(spark, k), k
+
+
+def test_ansi_overflow_adversarial_inputs(spark, tmp_path):
+    """ANSI/INT-overflow audit backstop (VERDICT r12 task 1): drive the
+    text/metrics catalog entries whose plans carry integer-typed
+    arithmetic with adversarially LARGE synthetic inputs — a ~60k-word
+    document (2.4x the runtime-confirmed ~25k-word Flesch crash point)
+    and a user with tens of thousands of events at extreme values — and
+    assert no ANSI arithmetic exception. The analyzed-plan sweep
+    (scripts/audit_int_arith.py, 840 flags over 277 entries) proved
+    every integer-arith node bounded by construction (0/1 indicator
+    products, quantile-bucket boolean chains <= 64 terms, array indexes
+    <= codebook size, token-position offsets, year/month arithmetic);
+    this test keeps that claim executable as new entries land."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from surge_spark.queries import all_queries
+
+    sf = str(tmp_path / "adversarial_sf")
+    words = " ".join(f"w{i % 997} banana" for i in range(30_000))  # ~60k words
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                words,
+                "short doc about banana trees",
+                "the quick brown fox " * 2000,  # 10k words, heavy repetition
+                "tiny",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["web", "web", "books", "books"],
+            "n_chars": [len(words), 28, 20 * 2000, 4],
+        }
+    )
+    n_ev = 40_000
+    base = _dt.datetime(2024, 1, 1)
+    events = pd.DataFrame(
+        {
+            "event_id": range(n_ev),
+            "ts": [base + _dt.timedelta(seconds=30 * i) for i in range(n_ev)],
+            "user_id": [i % 7 for i in range(n_ev)],
+            "event_type": [
+                ["view", "click", "purchase", "error"][i % 4] for i in range(n_ev)
+            ],
+            # extreme magnitudes: any INT money/permille channel would blow
+            "value": [1.5e12 if i % 3 else 7.25e11 for i in range(n_ev)],
+            "props": ['{"k": 2147483646}'] * n_ev,  # INT_MAX-1 in the JSON
+        }
+    )
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    docs.to_parquet(f"{sf}/documents.parquet", index=False)
+    events.to_parquet(f"{sf}/events.parquet", index=False)
+    # entries may join dimension tables — symlink the normal sf0.001 ones;
+    # only documents/events carry the adversarial shapes
+    for t in os.listdir("/root/testdata/sf0.001"):
+        if not os.path.exists(f"{sf}/{t}"):
+            os.symlink(f"/root/testdata/sf0.001/{t}", f"{sf}/{t}")
+
+    queries = all_queries()
+    text_entries = [
+        "t_readability_flesch",  # the r12 crash site, at 2.4x its bound
+        "t_quality_score",
+        "t_repetition_score",
+        "t_chunk_documents",
+        "t_bpe_ish_token_count",
+        "t_rake_keywords",
+        "d_duplicate_spans",
+    ]
+    metric_entries = [
+        "m_gini_coefficient",
+        "m_apdex_score",
+        "m_benford_first_digit",
+        "m_burstiness",
+        "m_markov_prediction_accuracy",
+    ]
+    for name in text_entries + metric_entries:
+        rows = queries[name](spark, sf).collect()  # raises on ANSI overflow
+        assert rows is not None, name

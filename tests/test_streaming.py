@@ -2248,6 +2248,63 @@ def test_token_bucket_stream_idle_timeout_contract(spark, tmp_path):
     )
 
 
+def test_holt_stream_matches_batch_fold(spark, tmp_path):
+    """Fourth cross-mode twin pin, and the strongest of the family: the
+    Holt float recurrence has no order-free closed form, so BITWISE
+    equality (raw-double ==, no tolerance) of the streaming state after
+    a mid-series micro-batch split against the batch handler fold proves
+    the stream replays the exact ordered float64 op sequence. Values are
+    chosen non-representable (1/3-ish) so any re-ordering or re-derived
+    arithmetic would differ in the low bits."""
+    from surge_spark.operators.eventsourcing import holt_handle_event
+    from surge_spark.streaming import metrics as sm
+
+    vals = [10.1, 3.333333333333333, 7.77, 0.1, 12.9, 5.5555, 9.0, 2.1]
+    schema = "user_id string, value double, ts long, event_id long"
+    src = str(tmp_path / "holt_events")
+    half = len(vals) // 2
+    spark.createDataFrame(
+        [("u1", v, 1000 * i, i) for i, v in enumerate(vals[:half])], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [("u1", v, 1000 * (half + i), half + i) for i, v in enumerate(vals[half:])],
+        schema,
+    ).coalesce(1).write.parquet(src + "/f2")
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        sm.holt_stream(events)
+        .writeStream.format("memory")
+        .queryName("holt_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_holt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from holt_out order by n").collect()
+    # split premise pinned (the saga-test lesson): two micro-batch outputs
+    assert len(rows) == 2, [r.n for r in rows]
+    assert rows[0].n == half
+    st = None
+    mid = None
+    for i, v in enumerate(vals):
+        st = holt_handle_event(st, {"user_id": "u1", "value": v})
+        if i == half - 1:
+            mid = dict(st)
+    # BITWISE: raw doubles compared with ==, at the boundary AND the end
+    assert (rows[0].level, rows[0].trend) == (mid["level"], mid["trend"])
+    got = rows[1]
+    assert got.n == st["n"] == len(vals)
+    assert (got.level, got.trend) == (st["level"], st["trend"])
+    assert got.forecast == st["level"] + st["trend"]
+    # the state must genuinely carry a nonzero trend across the boundary
+    assert mid["trend"] != 0.0
+
+
 def test_saga_stream_matches_batch_fold(spark, tmp_path):
     """Cross-mode saga pin: a saga STARTED in micro-batch 1 and
     COMPENSATED in micro-batch 2 (the state machine split mid-flight
