@@ -194,18 +194,189 @@ def gen(out_dir: str, scale: float) -> None:
     )
 
 
+def gen_tpch_dims(out_dir: str, scale: float) -> None:
+    """The remaining TPC-H-ish tables the full bench headline reads
+    (r12 task 2 — the heavy-set generator covered only the four tables
+    the heavy entries touch). Shapes mirror the driver testdata: orders
+    1.5M/sf, customer 150k/sf, part 200k/sf, supplier 10k/sf, nation 25,
+    region 5."""
+    r = scale / 0.1
+    nrng = np.random.default_rng(43)
+    n_orders = int(147_000 * r)
+    n_cust = int(15_000 * r)
+    n_part = int(20_000 * r)
+    n_supp = int(1000 * r)
+    datebase = 852_076_800  # 1997-01-01 epoch secs
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(n_orders), pa.int64()),
+                "o_custkey": pa.array(
+                    nrng.integers(0, n_cust, n_orders), pa.int64()
+                ),
+                "o_orderstatus": pa.array(
+                    ["FPO"[i] for i in nrng.integers(0, 3, n_orders)]
+                ),
+                "o_totalprice": pa.array(
+                    np.round(nrng.uniform(900, 400_000, n_orders), 2),
+                    pa.float64(),
+                ),
+                "o_orderdate": pa.array(
+                    (datebase + nrng.integers(0, 5 * 365, n_orders) * 86_400)
+                    * 1_000_000,
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(
+                    [
+                        ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                         "4-NOT SPECIFIED", "5-LOW"][i]
+                        for i in nrng.integers(0, 5, n_orders)
+                    ]
+                ),
+            }
+        ),
+        f"{out_dir}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n_cust), pa.int64()),
+                "c_name": pa.array(
+                    [f"Customer#{i:09d}" for i in range(n_cust)]
+                ),
+                "c_nationkey": pa.array(
+                    nrng.integers(0, 25, n_cust), pa.int32()
+                ),
+                "c_acctbal": pa.array(
+                    np.round(nrng.uniform(-999, 9999, n_cust), 2),
+                    pa.float64(),
+                ),
+                "c_mktsegment": pa.array(
+                    [
+                        ["FURNITURE", "MACHINERY", "AUTOMOBILE",
+                         "BUILDING", "HOUSEHOLD"][i]
+                        for i in nrng.integers(0, 5, n_cust)
+                    ]
+                ),
+            }
+        ),
+        f"{out_dir}/customer.parquet",
+    )
+    adjectives = ["cold", "small", "large", "red", "green", "dim", "hot"]
+    nouns = ["widget", "bolt", "gear", "spring", "plate", "cog"]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(n_part), pa.int64()),
+                "p_name": pa.array(
+                    [
+                        f"{adjectives[i % 7]} {nouns[(i // 7) % 6]}"
+                        for i in range(n_part)
+                    ]
+                ),
+                "p_brand": pa.array(
+                    [f"Brand#{int(i)}" for i in nrng.integers(1, 26, n_part)]
+                ),
+                "p_type": pa.array(
+                    [
+                        ["ECONOMY", "PROMO", "STANDARD", "SMALL", "MEDIUM"][i]
+                        for i in nrng.integers(0, 5, n_part)
+                    ]
+                ),
+                "p_size": pa.array(
+                    nrng.integers(1, 51, n_part), pa.int32()
+                ),
+                "p_retailprice": pa.array(
+                    np.round(900 + np.arange(n_part) * 0.1, 2), pa.float64()
+                ),
+            }
+        ),
+        f"{out_dir}/part.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(range(n_supp), pa.int64()),
+                "s_name": pa.array(
+                    [f"Supplier#{i:09d}" for i in range(n_supp)]
+                ),
+                "s_nationkey": pa.array(
+                    nrng.integers(0, 25, n_supp), pa.int32()
+                ),
+                "s_acctbal": pa.array(
+                    np.round(nrng.uniform(-999, 9999, n_supp), 2),
+                    pa.float64(),
+                ),
+            }
+        ),
+        f"{out_dir}/supplier.parquet",
+    )
+    names = [
+        "ALGERIA", "ARGENTINA", "BRAZIL", "CANADA", "EGYPT", "ETHIOPIA",
+        "FRANCE", "GERMANY", "INDIA", "INDONESIA", "IRAN", "IRAQ",
+        "JAPAN", "JORDAN", "KENYA", "MOROCCO", "MOZAMBIQUE", "PERU",
+        "CHINA", "ROMANIA", "SAUDI ARABIA", "VIETNAM", "RUSSIA",
+        "UNITED KINGDOM", "UNITED STATES",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(range(25), pa.int32()),
+                "n_name": pa.array(names),
+                "n_regionkey": pa.array(
+                    [i % 5 for i in range(25)], pa.int32()
+                ),
+            }
+        ),
+        f"{out_dir}/nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array(range(5), pa.int32()),
+                "r_name": pa.array(
+                    ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+                ),
+            }
+        ),
+        f"{out_dir}/region.parquet",
+    )
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--scale", type=float, default=0.5)
     p.add_argument("--gen-only", action="store_true")
     p.add_argument("--run-only", action="store_true")
     p.add_argument("--names", nargs="*", default=HEAVY)
+    p.add_argument(
+        "--headline",
+        action="store_true",
+        help="run bench.py's full HEADLINE list instead of the heavy set",
+    )
+    p.add_argument(
+        "--reps",
+        type=int,
+        default=2,
+        help="warm interleaved reps per (entry, scale); the reported time "
+        "is the median — never single-pass (the r12 cold-JIT lesson)",
+    )
     args = p.parse_args()
+    if args.headline:
+        import sys as _sys
+
+        _sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        import bench
+
+        args.names = list(bench.HEADLINE)
 
     out_dir = f"/tmp/stressdata/sf{args.scale}"
     if not args.run_only:
         t0 = time.perf_counter()
         gen(out_dir, args.scale)
+        gen_tpch_dims(out_dir, args.scale)
         print(f"generated {out_dir} in {time.perf_counter() - t0:.1f} s")
     if args.gen_only:
         return
@@ -224,19 +395,28 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
+    import statistics as st
+
     out = {}
     for name in args.names:
-        row = {}
-        for tag, d in (("t01", "/root/testdata/sf0.1"), ("tX", out_dir)):
-            t0 = time.perf_counter()
-            try:
-                queries[name](spark, d).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                row[tag] = round(time.perf_counter() - t0, 2)
-            except Exception as exc:  # noqa: BLE001
-                row[tag] = None
-                row[f"{tag}_err"] = str(exc).split("\n")[0][:200]
+        # WARM INTERLEAVED (r12 lesson: single-pass exponents are polluted
+        # by first-entry cold JIT — semdedup printed 0.90 and 1.9 in two
+        # single-pass runs; warm interleaved gives ~1.1): alternate
+        # t01,tX per rep, report the per-tag MEDIAN.
+        samples: dict[str, list[float]] = {"t01": [], "tX": []}
+        row: dict = {}
+        for _rep in range(max(1, args.reps)):
+            for tag, d in (("t01", "/root/testdata/sf0.1"), ("tX", out_dir)):
+                t0 = time.perf_counter()
+                try:
+                    queries[name](spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    samples[tag].append(time.perf_counter() - t0)
+                except Exception as exc:  # noqa: BLE001
+                    row[f"{tag}_err"] = str(exc).split("\n")[0][:200]
+        for tag in ("t01", "tX"):
+            row[tag] = round(st.median(samples[tag]), 2) if samples[tag] else None
         if row.get("t01") and row.get("tX"):
             row["ratio"] = round(row["tX"] / row["t01"], 2)
             row["exponent"] = round(

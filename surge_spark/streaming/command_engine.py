@@ -421,7 +421,10 @@ class CommandEngine:
         records_out: list[dict] = []
         replies: list[dict] = []
         present_order = [c for c in order_cols if c in pdf.columns]
-        if present_order:
+        if present_order and len(pdf) > 1:
+            # single-command groups (the submit_many distinct-key shape)
+            # skip the sort: 2048 one-row sort_values calls are pure
+            # per-key overhead in the salted fold loop
             pdf = pdf.sort_values(present_order, kind="mergesort")
 
         # one event loop per key group services every awaited handler (U3)
@@ -736,6 +739,7 @@ class CommandEngine:
         replies_dir: str | None = None,
         fold_partitions: int | None = None,
         n_rows_hint: int | None = None,
+        keys_hint: list | None = None,
     ) -> tuple[DataFrame, DataFrame, DataFrame] | None:
         """Process one micro-batch of commands; atomically commit and return
         (state_updates, events, replies) — lazy frames over the batch's
@@ -749,7 +753,19 @@ class CommandEngine:
         Returns None for an already-committed batch_id (R4): foreachBatch is
         at-least-once, and re-folding a committed batch against the
         post-commit snapshot would double-apply commands and fabricate wrong
-        ACKs — a replay must be a pure no-op."""
+        ACKs — a replay must be a pure no-op.
+
+        ``keys_hint``: the batch's exact key set when the caller already
+        holds it (the facade's submit_many does) — the snapshot side of
+        the fold join is then filtered to those keys BEFORE the
+        latest-wins aggregate (the filter is on the grouping key, so
+        Catalyst pushes it below the aggregate to the scans): at a
+        65k-key snapshot the aggregate merges ~|batch| rows instead of
+        the full table (r12 task 3 — the full-width latest-wins was the
+        named term in hc_submit_many's 2.4x degradation). Exact by
+        construction — latest-wins is per-key independent and the join
+        only ever matches the batch's keys. The hint MUST cover every
+        key in ``commands``; extra keys are harmless."""
         with phase("pb.dedup_check"):
             if str(batch_id) in self.store.committed_batch_ids():
                 return None
@@ -800,6 +816,23 @@ class CommandEngine:
                 )
             else:
                 snapshot = self.store.read_state(spark, partitions=fp)
+            if keys_hint is not None and snapshot is not None:
+                # see keys_hint in the docstring: pushed below the
+                # latest-wins aggregate (grouping-key predicate), so the
+                # merge runs over the batch's keys, not the snapshot.
+                # ONE parsed IN string, never Column.isin(2048 values) —
+                # the py4j literal-list marshalling costs >1 s per call
+                # at submit_many cardinality (the plan-build-tax class,
+                # measured in scripts/profile_hc_submit_many.py)
+                lits = ",".join(
+                    "'" + str(k).replace("'", "''") + "'"
+                    for k in dict.fromkeys(keys_hint)
+                    if k is not None
+                )
+                if lits:
+                    snapshot = snapshot.where(
+                        F.expr(f"`{self.store.key_col}` IN ({lits})")
+                    )
         # ONE canonical partitioning key for repartition, join, and fold
         # grouping: the string-cast command key. Hashing the raw key and
         # joining on its cast would co-partition only when the key is
@@ -858,23 +891,38 @@ class CommandEngine:
         context_mode = self.context_mode
 
         def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-            # the partitioning key is engine plumbing — handlers must see
-            # the same cmd dicts they saw before r7 (strict-field
-            # validators, Command(**cmd) constructors)
-            pdf = pdf.drop(columns=["__k"])
-            s, e, r, d, recs = handle_group(
-                pdf,
-                state_fields,
-                key_col,
-                state_key_col,
-                order_cols,
-                process_command,
-                handle_event,
-                context_mode,
-            )
-            rows = CommandEngine._pack_rows(s, e, r, d, recs, state_key_col)
+            # ONE Arrow group carries MANY key groups (__g is a salted
+            # hash of __k, see below): applyInPandas pays a per-GROUP
+            # JVM<->Python framing cost (~0.5 ms measured — 2048 distinct
+            # keys cost ~1.0 s of pure framing at fold width 4, the named
+            # term in hc_submit_many, r12 task 3), while a pandas groupby
+            # inside one batch walks key groups at microseconds each. The
+            # per-key fold itself is UNCHANGED — same handle_group per
+            # key, same row order within each key (groupby preserves
+            # within-group order), dropna=False keeps the NULL-key group
+            # (the distributed groupBy's NULL group; its state join is
+            # always a miss).
+            out: list[tuple[str, str]] = []
+            pdf = pdf.drop(columns=["__g"])  # once, not per key group
+            for _, kpdf in pdf.groupby("__k", sort=False, dropna=False):
+                # handlers must see the same cmd dicts they saw before r7
+                # (strict-field validators, Command(**cmd) constructors)
+                kpdf = kpdf.drop(columns=["__k"])
+                s, e, r, d, recs = handle_group(
+                    kpdf,
+                    state_fields,
+                    key_col,
+                    state_key_col,
+                    order_cols,
+                    process_command,
+                    handle_event,
+                    context_mode,
+                )
+                out.extend(
+                    CommandEngine._pack_rows(s, e, r, d, recs, state_key_col)
+                )
             return pd.DataFrame(
-                [{"kind": k, "payload": p} for k, p in rows],
+                [{"kind": k, "payload": p} for k, p in out],
                 columns=["kind", "payload"],
             )
 
@@ -889,11 +937,23 @@ class CommandEngine:
             # fp resolved above (per-call override beats the engine
             # default: the facade knows its batch size — send_command is 1
             # row, and folding one command through 8 python tasks is 7
-            # empty Arrow round trips); grouping by __k reuses the
-            # pre-join repartition's clustering for EVERY key type, so
-            # the groupBy below adds no exchange
+            # empty Arrow round trips). Grouping is by __g — a SALTED
+            # key-hash bucket (xxhash64 of the canonical key, ~4 buckets
+            # per fold partition) — so one Arrow group carries many key
+            # groups and the per-group framing cost is paid ~4*fp times,
+            # not |keys| times (see fold above). All rows of one key
+            # share one __g by construction, so per-key serial order (R1)
+            # is intact; a NULL key hashes to xxhash64's seed value — a
+            # deterministic ordinary bucket. The groupBy's exchange moves
+            # BATCH-sized joined rows (the snapshot side was already
+            # reduced to the batch's keys by the fold join), so the extra
+            # exchange is micro-batch-cheap at any snapshot width.
+            n_groups = 4 * (fp if fp else 32)
+            commands = commands.withColumn(
+                "__g", F.pmod(F.xxhash64(F.col("__k")), F.lit(n_groups))
+            )
             packed = (
-                commands.groupBy("__k")
+                commands.groupBy("__g")
                 .applyInPandas(fold, "kind string, payload string")
                 .persist()
             )

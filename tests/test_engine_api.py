@@ -306,3 +306,61 @@ def test_point_submit_collects_exactly_one_reply(spark, tmp_path):
     assert r.is_success and r.state["n"] == 2
     # exactly one reply-frame collect, and it returned exactly one row
     assert collected_sizes == [1]
+
+
+def test_submit_many_distributed_fold_at_scale(spark, tmp_path):
+    """The salted-group distributed fold (r12 task 3) at a size that
+    FORCES the distributed path (> driver_fold_max_rows): per-aggregate
+    command order (R1) must hold inside one micro-batch even though one
+    Arrow group now carries many key groups, the snapshot keys_hint
+    filter must not lose any pre-existing state, and results come back
+    in submission order. The order-sensitive handler makes any R1 break
+    change final balances, not just counts."""
+    model = _bank_model()
+    inner = model.process_command
+
+    def process_with_key(state, cmd):
+        events, rejected = inner(state, cmd)
+        for ev in events:
+            ev["_key"] = cmd["aggregate_id"]
+        return events, rejected
+
+    model.process_command = process_with_key
+    engine = SurgeEngine(spark, model, str(tmp_path / "scale_store"))
+
+    # seed state for half the keys in a FIRST commit, so the second
+    # batch's fold join must fetch them through the keys_hint-filtered
+    # latest-wins read
+    n_keys = 41
+    seeded = engine.submit_many(
+        [
+            (f"k{i}", {"command_type": "create", "owner": "o", "amount": 0.0})
+            for i in range(0, n_keys, 2)
+        ]
+    )
+    assert all(r.is_success for r in seeded)
+
+    cmds = []
+    expected: dict[str, float] = {f"k{i}": 0.0 for i in range(0, n_keys, 2)}
+    for j in range(600):
+        k = f"k{j % n_keys}"
+        if k not in expected:
+            cmds.append((k, {"command_type": "create", "owner": "o", "amount": 0.0}))
+            expected[k] = 0.0
+        else:
+            # alternate credit/debit so order matters: a debit before its
+            # covering credit is rejected and changes the final balance
+            if j % 2 == 0:
+                cmds.append((k, {"command_type": "credit", "owner": "", "amount": 10.0}))
+                expected[k] += 10.0
+            else:
+                amt = expected[k] + 5.0  # more than current => rejected
+                cmds.append((k, {"command_type": "debit", "owner": "", "amount": amt}))
+    assert len(cmds) > engine._engine.driver_fold_max_rows
+    results = engine.submit_many(cmds)
+    assert len(results) == len(cmds)
+    statuses = {r.status for r in results}
+    assert statuses <= {"success", "rejected"}
+    assert any(r.status == "rejected" for r in results)
+    for k, bal in expected.items():
+        assert engine.aggregate_for(k).get_state()["balance"] == bal, k
