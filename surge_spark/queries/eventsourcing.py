@@ -2964,3 +2964,93 @@ def m_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lag_ms, 0.9)"), 4).alias("p90_lag_ms"),
         F.max("lag_ms").alias("max_lag_ms"),
     )
+
+
+@query(
+    "m_bollinger_bands",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, d
+    ),
+    rolled AS (
+      SELECT event_type, d, cnt,
+             CAST(sum(cnt) OVER w AS BIGINT) AS s1,
+             CAST(sum(cnt * cnt) OVER w AS BIGINT) AS s2,
+             CAST(count(*) OVER w AS BIGINT) AS w_n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, cnt, w_n,
+           CAST(round(CAST(s1 AS DOUBLE) / w_n, 4) AS DOUBLE) AS mean_7d,
+           CAST(round(CAST(s1 AS DOUBLE) / w_n
+             + 2.0 * sqrt(greatest(CAST(s2 AS DOUBLE) / w_n
+               - (CAST(s1 AS DOUBLE) / w_n) * (CAST(s1 AS DOUBLE) / w_n),
+               0.0)), 4) AS DOUBLE) AS upper_band,
+           CAST(round(CAST(s1 AS DOUBLE) / w_n
+             - 2.0 * sqrt(greatest(CAST(s2 AS DOUBLE) / w_n
+               - (CAST(s1 AS DOUBLE) / w_n) * (CAST(s1 AS DOUBLE) / w_n),
+               0.0)), 4) AS DOUBLE) AS lower_band,
+           CAST(CASE WHEN cnt > round(CAST(s1 AS DOUBLE) / w_n
+             + 2.0 * sqrt(greatest(CAST(s2 AS DOUBLE) / w_n
+               - (CAST(s1 AS DOUBLE) / w_n) * (CAST(s1 AS DOUBLE) / w_n),
+               0.0)), 4) THEN 1 ELSE 0 END AS INT) AS breakout
+    FROM rolled
+    """,
+)
+def m_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the per-type daily series — rolling 7-row
+    mean ± 2σ with a breakout flag, the volatility-aware upgrade of
+    m_peak_detection's local-maxima rule (a spike only alerts if it
+    clears the band its own recent variance sets). The rolling frame is
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW over present days (both
+    engines the identical frame; early days use their shorter frame —
+    no warm-up NULLs to diverge on). The window carries only INTEGER
+    sums (s1, s2 = Σcnt, Σcnt²); mean and population σ are derived from
+    those exact integers by textually mirrored float64 formulas
+    (greatest(var, 0) on both sides — float error can push a
+    constant-series variance epsilon-negative and sqrt would NaN), and
+    the breakout compares the integer count against the ROUNDED band
+    (round-before-compare, the round-before-rank rule). Day ships as an
+    ISO string (no date channel in the comparator). Windows are
+    partitioned per type — parallel, never global."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+    )
+    rolled = daily.select(
+        "event_type",
+        "d",
+        "cnt",
+        F.sum("cnt").over(w).alias("s1"),
+        F.sum(F.expr("cnt * cnt")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("w_n"),
+    )
+    mean = "CAST(s1 AS DOUBLE) / w_n"
+    sig = (
+        f"sqrt(greatest(CAST(s2 AS DOUBLE) / w_n - ({mean}) * ({mean}), 0.0))"
+    )
+    return rolled.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "cnt",
+        "w_n",
+        F.expr(f"CAST(round({mean}, 4) AS DOUBLE)").alias("mean_7d"),
+        F.expr(
+            f"CAST(round({mean} + 2.0 * {sig}, 4) AS DOUBLE)"
+        ).alias("upper_band"),
+        F.expr(
+            f"CAST(round({mean} - 2.0 * {sig}, 4) AS DOUBLE)"
+        ).alias("lower_band"),
+        F.expr(
+            f"CAST(CASE WHEN cnt > round({mean} + 2.0 * {sig}, 4)"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("breakout"),
+    )

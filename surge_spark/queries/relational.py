@@ -6027,3 +6027,191 @@ def g_modularity_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _modularity_frame(e0, sym, labels).withColumn(
         "rounds", F.lit(rounds).cast("int")
     )
+
+
+@query(
+    "a_two_proportion_ztest",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN grp = 0 THEN converted ELSE 0 END) AS BIGINT) AS k_a,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS BIGINT) AS k_b
+      FROM per_user
+    )
+    SELECT n_a, k_a, n_b, k_b,
+           CAST(k_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+           CAST(k_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+           CAST(CASE WHEN (CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+                          * (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) = 0
+                     THEN NULL
+                     ELSE round(
+                       (CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b)
+                       / sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+                              * (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+                              * (1.0 / n_a + 1.0 / n_b)), 6)
+                END AS DOUBLE) AS z_score
+    FROM g
+    """,
+)
+def a_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on purchase conversion between a
+    deterministic A/B split (user_id parity — the hash-as-assignment
+    trick, engine-portable unlike any sampled split): the significance
+    arithmetic every experimentation pipeline runs on exactly this
+    engine's aggregates. Counts are one per-user flag aggregate + one
+    4-way conditional sum (all-integer channels shipped: n/k per arm,
+    ppm rates via bigint div); z is computed from those exact integers
+    by a formula whose float64 op order is textually mirrored in the
+    oracle, rounded to 6. Pooled-variance zero guard on BOTH sides
+    (all-converted or none-converted arms → NULL z, never an ANSI
+    divide-by-zero — the m_burstiness guard class)."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.col("converted").cast("long").alias("converted"),
+    )
+    g = per_user.groupBy().agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0)).alias("k_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0)).alias("k_b"),
+    )
+    pp = "(CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))"
+    return g.select(
+        "n_a",
+        "k_a",
+        "n_b",
+        "k_b",
+        F.expr("CAST(k_a * 1000000 div n_a AS BIGINT)").alias("rate_a_ppm"),
+        F.expr("CAST(k_b * 1000000 div n_b AS BIGINT)").alias("rate_b_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN {pp} * (1.0 - {pp}) = 0 THEN NULL"
+            f" ELSE round((CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b)"
+            f" / sqrt({pp} * (1.0 - {pp}) * (1.0 / n_a + 1.0 / n_b)), 6)"
+            " END AS DOUBLE)"
+        ).alias("z_score"),
+    )
+
+
+@query(
+    "a_mann_whitney_u",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ),
+    by_v AS (
+      SELECT cents,
+             CAST(sum(is_a) AS BIGINT) AS cnt_a,
+             CAST(sum(1 - is_a) AS BIGINT) AS cnt_b,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM ev GROUP BY cents
+    ),
+    pre AS (
+      SELECT cents, cnt_a, cnt_b, cnt,
+             CAST(sum(cnt) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+               AS BIGINT) AS less
+      FROM by_v
+    ),
+    g AS (
+      SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+             CAST(sum(cnt_b) AS BIGINT) AS n_b,
+             CAST(sum(cnt_a * (2 * less + cnt + 1)) AS BIGINT) AS r2_a,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+      FROM pre
+    )
+    SELECT n_a, n_b, r2_a,
+           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT) AS u2_b,
+           tie_sum,
+           CAST(CASE WHEN n_a = 0 OR n_b = 0
+                       OR CAST(n_a AS DOUBLE) * n_b / 12.0
+                          * ((n_a + n_b + 1)
+                             - CAST(tie_sum AS DOUBLE)
+                               / ((n_a + n_b) * (n_a + n_b - 1.0))) = 0
+                     THEN NULL
+                     ELSE round(
+                       (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+                        - CAST(n_a AS DOUBLE) * n_b / 2.0)
+                       / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                              * ((n_a + n_b + 1)
+                                 - CAST(tie_sum AS DOUBLE)
+                                   / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6)
+                END AS DOUBLE) AS z_score
+    FROM g
+    """,
+)
+def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: do purchase and click events draw
+    their ``value`` from the same distribution? — the nonparametric
+    sibling of a_two_proportion_ztest (medians, not means; no normality
+    assumption), computed WITHOUT ranking individual rows: pooled values
+    collapse to integer cents (exact at the data's 2-decimal precision),
+    per-value counts feed an EXACT distributed prefix sum
+    (operators.text.distributed_prefix_sum — no unpartitioned window
+    anywhere, the pinned discipline), and the doubled average rank
+    2*r(v) = 2*less(v) + cnt(v) + 1 keeps the whole rank-sum channel in
+    integers: r2_a = Σ cnt_a·(2·less+cnt+1), U identities u2_a + u2_b =
+    2·n_a·n_b. The tie-corrected normal-approximation z comes from those
+    exact integers by a formula textually mirrored in the oracle
+    (round-6), with a zero-variance guard on BOTH sides (one arm empty
+    or every value tied). Overflow bound: r2 ~ 2n² stays in bigint while
+    n < ~2e9; past that the channels widen to DECIMAL(38) exactly like
+    a_basket_lift_decimal (documented, ANSI raises loudly)."""
+    from surge_spark.operators.text import distributed_prefix_sum
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    )
+    by_v = e.select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+    ).groupBy("cents").agg(
+        F.sum("is_a").alias("cnt_a"),
+        F.sum(F.expr("1 - is_a")).alias("cnt_b"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    pre = distributed_prefix_sum(
+        by_v, "cnt", "cents", [F.col("cents")], out_col="cum"
+    ).withColumn("less", F.col("cum") - F.col("cnt"))
+    g = pre.groupBy().agg(
+        F.sum("cnt_a").alias("n_a"),
+        F.sum("cnt_b").alias("n_b"),
+        F.sum(F.expr("cnt_a * (2 * less + cnt + 1)")).alias("r2_a"),
+        F.sum(F.expr("cnt * cnt * cnt - cnt")).alias("tie_sum"),
+    )
+    var = (
+        "CAST(n_a AS DOUBLE) * n_b / 12.0 * ((n_a + n_b + 1)"
+        " - CAST(tie_sum AS DOUBLE) / ((n_a + n_b) * (n_a + n_b - 1.0)))"
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        "r2_a",
+        F.expr("CAST(r2_a - n_a * (n_a + 1) AS BIGINT)").alias("u2_a"),
+        F.expr(
+            "CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT)"
+        ).alias("u2_b"),
+        "tie_sum",
+        F.expr(
+            f"CAST(CASE WHEN n_a = 0 OR n_b = 0 OR {var} = 0 THEN NULL"
+            f" ELSE round((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2.0"
+            f" - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt({var}), 6)"
+            " END AS DOUBLE)"
+        ).alias("z_score"),
+    )

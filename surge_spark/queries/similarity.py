@@ -1987,3 +1987,111 @@ def sim_pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_abs_err"
         ),
     )
+
+
+@query(
+    "sim_silhouette_simplified",
+    oracle=f"""
+    WITH cents(cell, c) AS (VALUES
+      {_DUCK_CENTS}
+    ),
+    scored_cells AS (
+      SELECT e.vec_id, c.cell,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * c.c[i])) AS sim
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    ranked AS (
+      SELECT vec_id, cell, sim,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, cell ASC
+             ) AS rn
+      FROM scored_cells
+    ),
+    pick AS (
+      SELECT r1.vec_id, r1.cell, r1.sim AS d1, r2.sim AS d2
+      FROM ranked r1 JOIN ranked r2
+        ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2
+    ),
+    norms AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    per AS (
+      SELECT p.cell,
+             CASE WHEN greatest((1.0 - p.d1 / n.nrm), (1.0 - p.d2 / n.nrm)) = 0
+                  THEN 0.0
+                  ELSE round(((1.0 - p.d2 / n.nrm) - (1.0 - p.d1 / n.nrm))
+                       / greatest((1.0 - p.d1 / n.nrm), (1.0 - p.d2 / n.nrm)),
+                       6)
+             END AS s
+      FROM pick p JOIN norms n ON n.vec_id = p.vec_id
+      WHERE n.nrm > 0
+    )
+    SELECT CAST(cell AS INT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(round(avg(s), 4) AS DOUBLE) AS mean_silhouette
+    FROM per GROUP BY cell
+    """,
+)
+def sim_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per cluster — the centroid-based silhouette
+    (Hruschka et al.: a(i) = dissimilarity to OWN centroid, b(i) = to
+    the nearest OTHER centroid, s = (b-a)/max(a,b)) over the FIXED_CENTS
+    model: O(n·k) where the classic silhouette's pairwise form is O(n²),
+    which is the 100 TB-relevant distinction — and the clustering-
+    quality member of the audit family beside sim_cluster_margin_audit
+    (margin measures the separation gap; silhouette normalizes it into
+    the comparable [-1, 1] score dashboards track). Unit centroids make
+    cosine dissimilarity 1 - dot/‖v‖; all 8 literal-model dots are ONE
+    flat parsed expression array (the r5 rule) and best/second-best via
+    sort_array on 8 elements — no corpus window, one map-side pass + one
+    bounded aggregate. Per-vector s rounds to 6 BEFORE the mean (round-
+    before-aggregate), the mean to 4 (the m_winsorized_mean lesson:
+    corpus-scale float sums differ near the 6th decimal); a == b == 0
+    (vector identical to two centroids) short-circuits to s = 0 on both
+    sides — never an ANSI divide-by-zero. Zero-norm vectors filtered on
+    both sides."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr_sql = (
+        "array("
+        + ",".join(sim._dot_lit_sql("embedding", c) for c in FIXED_CENTS)
+        + ")"
+    )
+    nrm_sql = (
+        "sqrt(aggregate(embedding, 0.0D,"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    a_d = "(1.0 - ds[0] / nrm)"
+    b_d = "(1.0 - ds[1] / nrm)"
+    per = (
+        emb.select(
+            F.expr(arr_sql).alias("sims"),
+            F.expr(nrm_sql).alias("nrm"),
+        )
+        .where(F.col("nrm") > 0)
+        .select(
+            (
+                F.array_position(
+                    F.col("sims"), F.array_max(F.col("sims"))
+                ).cast("int")
+                - 1
+            ).alias("cluster"),
+            F.sort_array(F.col("sims"), asc=False).alias("ds"),
+            "nrm",
+        )
+        .select(
+            "cluster",
+            F.expr(
+                f"CASE WHEN greatest({a_d}, {b_d}) = 0 THEN 0.0"
+                f" ELSE round(({b_d} - {a_d}) / greatest({a_d}, {b_d}), 6)"
+                " END"
+            ).alias("s"),
+        )
+    )
+    return per.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("s"), 4).alias("mean_silhouette"),
+    )
