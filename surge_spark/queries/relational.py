@@ -6215,3 +6215,231 @@ def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS DOUBLE)"
         ).alias("z_score"),
     )
+
+
+@query(
+    "a_ks_test",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ),
+    by_v AS (
+      SELECT cents,
+             CAST(sum(is_a) AS BIGINT) AS cnt_a,
+             CAST(sum(1 - is_a) AS BIGINT) AS cnt_b
+      FROM ev GROUP BY cents
+    ),
+    pre AS (
+      SELECT cents,
+             CAST(sum(cnt_a) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_a,
+             CAST(sum(cnt_b) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_b
+      FROM by_v
+    ),
+    n AS (
+      SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+             CAST(sum(cnt_b) AS BIGINT) AS n_b
+      FROM by_v
+    )
+    SELECT n.n_a, n.n_b,
+           CAST(max(abs(pre.cum_a * n.n_b - pre.cum_b * n.n_a)) AS BIGINT)
+             AS max_diff_num,
+           CAST(round(CAST(max(abs(pre.cum_a * n.n_b - pre.cum_b * n.n_a))
+                  AS DOUBLE) / (CAST(n.n_a AS DOUBLE) * n.n_b), 6)
+             AS DOUBLE) AS d_stat,
+           CAST(round(sqrt(CAST(n.n_a AS DOUBLE) * n.n_b / (n.n_a + n.n_b))
+                  * (CAST(max(abs(pre.cum_a * n.n_b - pre.cum_b * n.n_a))
+                     AS DOUBLE) / (CAST(n.n_a AS DOUBLE) * n.n_b)), 4)
+             AS DOUBLE) AS ks_scaled
+    FROM pre CROSS JOIN n GROUP BY n.n_a, n.n_b
+    """,
+)
+def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between purchase and click
+    values — the distribution-shape sibling of a_mann_whitney_u (U
+    detects location shift; D = max |F_a - F_b| detects ANY shape
+    difference), on the SAME per-value-counts + exact-prefix-sum
+    machinery: both ECDFs ride ONE distributed_prefix_sum call (two
+    value columns share one shard pass — the m_rfm batched-bounds
+    lesson, no second quantile action), and the supremum stays in exact
+    integers as max |cum_a*n_b - cum_b*n_a| (cross-multiplied — no float
+    ECDF anywhere until the final division, round-6). ks_scaled =
+    sqrt(n_a*n_b/n)*D is the asymptotic Kolmogorov statistic (compare to
+    1.36 for alpha=0.05), round-4. Overflow bound: cum*n <= n_a*n_b
+    stays in bigint while each arm < ~3e9 rows — the
+    a_basket_lift_decimal escape class, documented."""
+    from surge_spark.operators.text import distributed_prefix_sum
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    )
+    by_v = e.select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+    ).groupBy("cents").agg(
+        F.sum("is_a").alias("cnt_a"),
+        F.sum(F.expr("1 - is_a")).alias("cnt_b"),
+    )
+    # ONE quantile pass shapes both prefix columns' shards (bounds=)
+    bounds = by_v.stat.approxQuantile(
+        "cents", [i / 16 for i in range(1, 16)], 0.001
+    )
+    pre = distributed_prefix_sum(
+        by_v, "cnt_a", "cents", [F.col("cents")], out_col="cum_a",
+        bounds=bounds,
+    )
+    pre = distributed_prefix_sum(
+        pre, "cnt_b", "cents", [F.col("cents")], out_col="cum_b",
+        bounds=bounds,
+    )
+    n = by_v.groupBy().agg(
+        F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b")
+    )
+    num = "abs(cum_a * n_b - cum_b * n_a)"
+    d = f"CAST(max({num}) AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)"
+    return (
+        pre.crossJoin(F.broadcast(n))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.expr(f"CAST(max({num}) AS BIGINT)").alias("max_diff_num"),
+            F.expr(f"CAST(round({d}, 6) AS DOUBLE)").alias("d_stat"),
+            F.expr(
+                f"CAST(round(sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b))"
+                f" * ({d}), 4) AS DOUBLE)"
+            ).alias("ks_scaled"),
+        )
+    )
+
+
+@query(
+    "g_rich_club",
+    oracle=f"""
+    WITH {_PART_COOCCUR_SQL},
+    ks(k) AS (VALUES (60), (100), (150), (200)),
+    rich AS (
+      SELECT ks.k, deg.node FROM ks JOIN deg ON deg.k > ks.k
+    ),
+    nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k FROM rich GROUP BY k),
+    ek AS (
+      SELECT r1.k, CAST(count(*) AS BIGINT) AS e_k
+      FROM pairs p
+      JOIN rich r1 ON r1.node = p.pa
+      JOIN rich r2 ON r2.node = p.pb AND r2.k = r1.k
+      GROUP BY r1.k
+    )
+    SELECT CAST(nk.k AS BIGINT) AS k, nk.n_k,
+           CAST(coalesce(ek.e_k, 0) AS BIGINT) AS e_k,
+           CAST(CASE WHEN nk.n_k >= 2
+                     THEN coalesce(ek.e_k, 0) * 2000000
+                          // (nk.n_k * (nk.n_k - 1))
+                END AS BIGINT) AS phi_ppm
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    """,
+)
+def g_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)) at a ladder
+    of degree thresholds — do the highest-degree parts preferentially
+    co-occur with EACH OTHER? (Colizza et al. 2006; the hub-structure
+    audit beside assortativity's global correlation — assortativity
+    summarizes one number, the rich-club curve shows WHERE mixing
+    concentrates). Rides the ONE checkpointed _part_cooccurrence kernel
+    (pairs + deg shared with assortativity/Katz/local-clustering — the
+    scan-amplification discipline); the threshold ladder is a 4-row
+    literal broadcast, so the only corpus-scale work is two broadcast
+    semi-shaped joins of the pair set against the rich node sets.
+    phi ships as exact integer ppm (bigint div); N_k < 2 yields NULL
+    (no pairs to norm by — never a divide-by-zero)."""
+    pairs, _, deg = _part_cooccurrence(spark, sf_dir)
+    ks = spark.range(1).selectExpr(
+        "explode(array(60, 100, 150, 200)) AS k"
+    )
+    rich = F.broadcast(ks).join(deg, deg.k > ks.k).select(
+        ks.k.alias("kt"), "node"
+    )
+    nk = rich.groupBy(F.col("kt")).agg(F.count(F.lit(1)).alias("n_k"))
+    r1 = rich.select(F.col("kt").alias("k1"), F.col("node").alias("pa"))
+    r2 = rich.select(F.col("kt").alias("k2"), F.col("node").alias("pb2"))
+    ek = (
+        pairs.join(r1, "pa")
+        .join(r2, (F.col("pb") == F.col("pb2")) & (F.col("k1") == F.col("k2")))
+        .groupBy(F.col("k1"))
+        .agg(F.count(F.lit(1)).alias("e_k"))
+    )
+    return (
+        nk.join(ek, nk.kt == ek.k1, "left")
+        .select(
+            F.col("kt").cast("bigint").alias("k"),
+            "n_k",
+            F.coalesce(F.col("e_k"), F.lit(0)).alias("e_k"),
+            F.expr(
+                "CAST(CASE WHEN n_k >= 2 THEN coalesce(e_k, 0) * 2000000"
+                " div (n_k * (n_k - 1)) END AS BIGINT)"
+            ).alias("phi_ppm"),
+        )
+    )
+
+
+@query(
+    "g_local_bridges",
+    oracle=f"""
+    WITH {_PART_COOCCUR_SQL},
+    wedge_common AS (
+      SELECT DISTINCT d1.y AS pa, d2.y AS pb
+      FROM directed d1 JOIN directed d2
+        ON d1.x = d2.x AND d1.y < d2.y
+    ),
+    bridges AS (
+      SELECT p.pa, p.pb FROM pairs p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM wedge_common w WHERE w.pa = p.pa AND w.pb = p.pb
+      )
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_local_bridges,
+           CAST(count(*) * 1000000
+                // (SELECT count(*) FROM pairs) AS BIGINT) AS bridge_ppm
+    FROM bridges
+    """,
+)
+def g_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local bridges — edges whose endpoints share NO common neighbor
+    (span > 2, Granovetter's weak-tie structure; deleting one lengthens
+    its endpoints' shortest path): exactly the edges no triangle
+    supports, so on a dense co-occurrence graph the count measures how
+    much of the edge set lives OUTSIDE the clustered core that
+    g_triangle_count / g_local_clustering_topk measure. An edge (a,b)
+    has a common neighbor iff some x links both — the wedge pair set
+    (y1 < y2 endpoints of wedges centered anywhere), distinct-ed ONCE,
+    anti-joined against the checkpointed pair set (the shared
+    _part_cooccurrence kernel again; the wedge join is the documented
+    m²/n floor this family pays). Integer channels only."""
+    pairs, directed, _ = _part_cooccurrence(spark, sf_dir)
+    d1 = directed.select(F.col("x"), F.col("y").alias("pa"))
+    d2 = directed.select(F.col("x"), F.col("y").alias("pb"))
+    wedge_common = (
+        d1.join(d2, "x")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    bridges = pairs.join(wedge_common, ["pa", "pb"], "left_anti")
+    n_edges = pairs.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        bridges.groupBy()
+        .agg(F.count(F.lit(1)).alias("n_local_bridges"))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_edges",
+            "n_local_bridges",
+            F.expr(
+                "CAST(n_local_bridges * 1000000 div n_edges AS BIGINT)"
+            ).alias("bridge_ppm"),
+        )
+    )

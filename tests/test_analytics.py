@@ -1135,3 +1135,50 @@ def test_silhouette_simplified_contract(spark, sf_dir):
         assert 0.0 <= r.mean_silhouette <= 1.0
         total += r.n_members
     assert total == load_table(spark, sf_dir, "embeddings").count()
+
+
+def test_ks_test_identities(spark, sf_dir):
+    """D in [0,1]; the integer supremum re-derives D exactly; KS relates
+    to the Mann-Whitney data (same arms, so same n_a/n_b)."""
+    q = all_queries()
+    r = q["a_ks_test"](spark, sf_dir).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert 0 <= r.max_diff_num <= r.n_a * r.n_b
+    assert abs(r.d_stat - round(r.max_diff_num / (r.n_a * r.n_b), 6)) < 1e-12
+    assert 0.0 <= r.d_stat <= 1.0
+    mw = q["a_mann_whitney_u"](spark, sf_dir).collect()[0]
+    assert (r.n_a, r.n_b) == (mw.n_a, mw.n_b)
+
+
+def test_rich_club_contract(spark, sf_dir):
+    """N_k and E_k are non-increasing in k (rich sets nest); phi is a
+    valid density (0..1e6 ppm) and re-derivable from the integers;
+    N_k < 2 ships NULL phi."""
+    rows = sorted(
+        all_queries()["g_rich_club"](spark, sf_dir).collect(),
+        key=lambda r: r.k,
+    )
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_k >= b.n_k and a.e_k >= b.e_k
+    for r in rows:
+        assert r.e_k <= r.n_k * (r.n_k - 1) // 2
+        if r.n_k >= 2:
+            assert r.phi_ppm == r.e_k * 2_000_000 // (r.n_k * (r.n_k - 1))
+            assert 0 <= r.phi_ppm <= 1_000_000
+        else:
+            assert r.phi_ppm is None
+
+
+def test_local_bridges_contract(spark, sf_dir):
+    """Bridges are a subset of edges; the ppm channel re-derives; and the
+    bridge count is consistent with the triangle count's support: a graph
+    with triangles has at least one supported (non-bridge) edge."""
+    r = all_queries()["g_local_bridges"](spark, sf_dir).collect()[0]
+    assert 0 <= r.n_local_bridges <= r.n_edges
+    assert r.bridge_ppm == r.n_local_bridges * 1_000_000 // r.n_edges
+    # g_triangle_count ships per-part top-k rows; any row with triangles
+    # proves at least one supported (non-bridge) edge exists
+    tri = all_queries()["g_triangle_count"](spark, sf_dir).collect()
+    if any(row.triangles > 0 for row in tri):
+        assert r.n_local_bridges < r.n_edges
