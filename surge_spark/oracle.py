@@ -142,8 +142,13 @@ def main() -> int:
     shard = None
     if "--shard" in argv:
         i = argv.index("--shard")
-        part, n = argv[i + 1].split("/")
-        shard = (int(part), int(n))
+        try:
+            part, n = argv[i + 1].split("/")
+            shard = (int(part), int(n))
+        except (IndexError, ValueError):
+            raise SystemExit(
+                "usage: --shard i/n (1-based, e.g. --shard 1/2)"
+            ) from None
         argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = argv[1:] or None
@@ -152,6 +157,10 @@ def main() -> int:
     if shard is not None:
         names = shard_names(names, *shard)
         print(f"shard {shard[0]}/{shard[1]}: {len(names)} entries")
+        if not names:
+            # a gate running an empty shard must fail loudly, never
+            # "pass" with 0 entries checked (review finding)
+            raise SystemExit(f"shard {shard[0]}/{shard[1]} selects 0 entries")
     failed = []
     for name in names:
         try:

@@ -6046,9 +6046,12 @@ def g_modularity_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_user
     )
     SELECT n_a, k_a, n_b, k_b,
-           CAST(k_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
-           CAST(k_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
-           CAST(CASE WHEN (CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+           CAST(CASE WHEN n_a = 0 THEN NULL
+                     ELSE k_a * 1000000 // n_a END AS BIGINT) AS rate_a_ppm,
+           CAST(CASE WHEN n_b = 0 THEN NULL
+                     ELSE k_b * 1000000 // n_b END AS BIGINT) AS rate_b_ppm,
+           CAST(CASE WHEN n_a = 0 OR n_b = 0
+                       OR (CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
                           * (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) = 0
                      THEN NULL
                      ELSE round(
@@ -6093,21 +6096,28 @@ def a_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_a",
         "n_b",
         "k_b",
-        F.expr("CAST(k_a * 1000000 div n_a AS BIGINT)").alias("rate_a_ppm"),
-        F.expr("CAST(k_b * 1000000 div n_b AS BIGINT)").alias("rate_b_ppm"),
         F.expr(
-            f"CAST(CASE WHEN {pp} * (1.0 - {pp}) = 0 THEN NULL"
+            "CAST(CASE WHEN n_a = 0 THEN NULL"
+            " ELSE k_a * 1000000 div n_a END AS BIGINT)"
+        ).alias("rate_a_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n_b = 0 THEN NULL"
+            " ELSE k_b * 1000000 div n_b END AS BIGINT)"
+        ).alias("rate_b_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN n_a = 0 OR n_b = 0 OR {pp} * (1.0 - {pp}) = 0 THEN NULL"
             f" ELSE round((CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b)"
             f" / sqrt({pp} * (1.0 - {pp}) * (1.0 / n_a + 1.0 / n_b)), 6)"
             " END AS DOUBLE)"
         ).alias("z_score"),
     )
 
-
-@query(
-    "a_mann_whitney_u",
-    oracle="""
-    WITH ev AS (
+# ONE canonical per-value arm-count build shared by the two-sample tests
+# (a_mann_whitney_u, a_ks_test) — the review-discipline factoring
+# (_TYPE_DOW_CELLS_SQL, _part_cooccurrence precedents): the arm
+# definition and the cents rounding must evolve in lockstep or the
+# cross-entry n_a/n_b pin in tests/test_analytics.py silently breaks.
+_VALUE_ARM_COUNTS_SQL = """ev AS (
       SELECT CAST(round(value * 100) AS BIGINT) AS cents,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
       FROM events
@@ -6119,7 +6129,30 @@ def a_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(1 - is_a) AS BIGINT) AS cnt_b,
              CAST(count(*) AS BIGINT) AS cnt
       FROM ev GROUP BY cents
-    ),
+    )"""
+
+
+def _value_arm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cents (purchase, click) counts over events — the pooled-value
+    frame both two-sample tests rank/cumulate over."""
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    )
+    return e.select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+    ).groupBy("cents").agg(
+        F.sum("is_a").alias("cnt_a"),
+        F.sum(F.expr("1 - is_a")).alias("cnt_b"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "a_mann_whitney_u",
+    oracle=f"""
+    WITH {_VALUE_ARM_COUNTS_SQL},
     pre AS (
       SELECT cents, cnt_a, cnt_b, cnt,
              CAST(sum(cnt) OVER (ORDER BY cents
@@ -6169,23 +6202,16 @@ def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     2·n_a·n_b. The tie-corrected normal-approximation z comes from those
     exact integers by a formula textually mirrored in the oracle
     (round-6), with a zero-variance guard on BOTH sides (one arm empty
-    or every value tied). Overflow bound: r2 ~ 2n² stays in bigint while
-    n < ~2e9; past that the channels widen to DECIMAL(38) exactly like
-    a_basket_lift_decimal (documented, ANSI raises loudly)."""
+    or every value tied). Overflow bounds (review-corrected): the
+    BINDING channel is the cubic tie_sum = Σ(cnt³−cnt) — bigint-safe
+    while the heaviest single value's count stays under ~2.1e6 (2^21,
+    since cnt³ < 2^63); the quadratic r2 ~ 2n² channel holds to
+    n < ~2.1e9. Past either, widen to DECIMAL(38) exactly like
+    a_basket_lift_decimal (documented, ANSI raises loudly — never
+    silently wrong)."""
     from surge_spark.operators.text import distributed_prefix_sum
 
-    e = _t(spark, sf_dir, "events").where(
-        F.col("value").isNotNull()
-        & F.col("event_type").isin("purchase", "click")
-    )
-    by_v = e.select(
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
-    ).groupBy("cents").agg(
-        F.sum("is_a").alias("cnt_a"),
-        F.sum(F.expr("1 - is_a")).alias("cnt_b"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
+    by_v = _value_arm_counts(spark, sf_dir)
     pre = distributed_prefix_sum(
         by_v, "cnt", "cents", [F.col("cents")], out_col="cum"
     ).withColumn("less", F.col("cum") - F.col("cnt"))
@@ -6219,19 +6245,8 @@ def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a_ks_test",
-    oracle="""
-    WITH ev AS (
-      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
-             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
-      FROM events
-      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
-    ),
-    by_v AS (
-      SELECT cents,
-             CAST(sum(is_a) AS BIGINT) AS cnt_a,
-             CAST(sum(1 - is_a) AS BIGINT) AS cnt_b
-      FROM ev GROUP BY cents
-    ),
+    oracle=f"""
+    WITH {_VALUE_ARM_COUNTS_SQL},
     pre AS (
       SELECT cents,
              CAST(sum(cnt_a) OVER (ORDER BY cents
@@ -6276,17 +6291,7 @@ def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_basket_lift_decimal escape class, documented."""
     from surge_spark.operators.text import distributed_prefix_sum
 
-    e = _t(spark, sf_dir, "events").where(
-        F.col("value").isNotNull()
-        & F.col("event_type").isin("purchase", "click")
-    )
-    by_v = e.select(
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
-    ).groupBy("cents").agg(
-        F.sum("is_a").alias("cnt_a"),
-        F.sum(F.expr("1 - is_a")).alias("cnt_b"),
-    )
+    by_v = _value_arm_counts(spark, sf_dir)
     # ONE quantile pass shapes both prefix columns' shards (bounds=)
     bounds = by_v.stat.approxQuantile(
         "cents", [i / 16 for i in range(1, 16)], 0.001

@@ -824,8 +824,15 @@ class CommandEngine:
                 # the py4j literal-list marshalling costs >1 s per call
                 # at submit_many cardinality (the plan-build-tax class,
                 # measured in scripts/profile_hc_submit_many.py)
+                # backslash BEFORE quote: Spark's lexer treats \x inside a
+                # single-quoted literal as an escape, so an unescaped
+                # backslash in a key ('a\b') silently changes the literal
+                # and prunes the key's real state out of the fold join
+                # (review finding — the exactness claim depends on this)
                 lits = ",".join(
-                    "'" + str(k).replace("'", "''") + "'"
+                    "'"
+                    + str(k).replace("\\", "\\\\").replace("'", "\\'")
+                    + "'"
                     for k in dict.fromkeys(keys_hint)
                     if k is not None
                 )
@@ -884,6 +891,27 @@ class CommandEngine:
         # capture only plain values in the executor-shipped closure
         handle_group = CommandEngine._handle_group
         state_key_col = self.store.key_col
+        # integral columns of the joined frame (command AND __state__*):
+        # the salted fold's Arrow bucket mixes keys, so a NULL anywhere in
+        # the bucket (a stateless key's left-join miss) promotes the WHOLE
+        # column to float64 — a stateful key's handler would then see
+        # n=5.0 where the per-key grouping handed int 5, emit 6.0, and
+        # from_json against 'n long' parses the float token to NULL
+        # (verified) — silent state corruption. fold() restores int64 per
+        # KEY group wherever that group's slice is null-free, reproducing
+        # the old per-key Arrow conversion exactly (a null WITHIN the
+        # key's own slice stays NaN — the documented NaN contract).
+        # Residual (documented): an int > 2^53 sharing a bucket with a
+        # null-bearing key already lost precision in the bucket's own
+        # Arrow->pandas float pass, same as any float64 channel.
+        integral_cols = [
+            f.name
+            for f in commands.schema.fields
+            if isinstance(
+                f.dataType,
+                (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+            )
+        ]
         key_col = self.key_col
         order_cols = self.order_cols
         process_command = self.process_command
@@ -908,6 +936,13 @@ class CommandEngine:
                 # handlers must see the same cmd dicts they saw before r7
                 # (strict-field validators, Command(**cmd) constructors)
                 kpdf = kpdf.drop(columns=["__k"])
+                for c in integral_cols:
+                    col = kpdf[c]
+                    # restore the per-key Arrow dtype (see integral_cols
+                    # note above): bucket-wide NaN promotion must not leak
+                    # floats into a key whose own slice is null-free
+                    if col.dtype.kind == "f" and col.notna().all():
+                        kpdf[c] = col.astype("int64")
                 s, e, r, d, recs = handle_group(
                     kpdf,
                     state_fields,

@@ -256,9 +256,17 @@ def token_bucket_stream(
     timeout. The bound must be >= capacity*refill_ms (enforced): a key
     idle that long holds a provably FULL bucket, and token_bucket_init
     on its next event re-creates exactly that full bucket — admission
-    decisions are unchanged. The cumulative counters (n_allowed/
-    n_throttled/n) DO restart after expiry; they are per-lifetime
-    diagnostics, not the admission state (ADVICE r12)."""
+    decisions are unchanged. CAVEAT (review finding): the timeout is
+    PROCESSING-time while refill is EVENT-time, so the fullness proof
+    additionally assumes event time keeps pace with wall clock across
+    the idle gap — the same live-source assumption as the cross-batch
+    in-order-arrival caveat above (a replayed/lagging feed whose next
+    event timestamp predates anchor + capacity*refill_ms would re-init
+    a full bucket the batch twin still shows as drained). A gateway
+    limiter admitting live traffic satisfies it by construction. The
+    cumulative counters (n_allowed/n_throttled/n) DO restart after
+    expiry; they are per-lifetime diagnostics, not the admission state
+    (ADVICE r12)."""
     from ..operators.eventsourcing import (
         TB_CAPACITY,
         TB_REFILL_MS,

@@ -364,3 +364,89 @@ def test_submit_many_distributed_fold_at_scale(spark, tmp_path):
     assert any(r.status == "rejected" for r in results)
     for k, bal in expected.items():
         assert engine.aggregate_for(k).get_state()["balance"] == bal, k
+
+
+def test_salted_fold_preserves_long_state_in_mixed_buckets(spark, tmp_path):
+    """Review-finding regression: the salted fold's Arrow bucket mixes
+    keys, so a stateless key's left-join NULLs promote a LONG state
+    column to float64 for the WHOLE bucket — without the per-key dtype
+    restore the stateful key's handler sees n=5.0, emits 6.0, and
+    from_json('n long') parses the float token to NULL (silent state
+    corruption). One seeded key among 200 stateless keys shares a salt
+    bucket with a stateless key with overwhelming probability; the
+    committed state must come back as the exact integer."""
+    from surge_spark.engine import SurgeEngine, SurgeModel
+
+    def process(state, cmd):
+        return ([{"aggregate_id": cmd["aggregate_id"]}], False)
+
+    def handle(state, ev):
+        return {
+            "aggregate_id": ev["aggregate_id"],
+            "n": (state["n"] if state else 0) + 1,
+        }
+
+    engine = SurgeEngine(
+        spark,
+        SurgeModel(
+            process_command=process,
+            handle_event=handle,
+            state_schema="aggregate_id string, n long",
+            event_schema="aggregate_id string",
+        ),
+        str(tmp_path / "mixed_store"),
+        fold_partitions=1,
+    )
+    # seed k0 with n=5 in its own commit
+    for _ in range(5):
+        assert engine.submit_many([("k0", {"kind": "bump"})])[0].is_success
+    assert engine.aggregate_for("k0").get_state()["n"] == 5
+    # force the DISTRIBUTED fold for the mixed batch
+    engine._engine.driver_fold_max_rows = 0
+    res = engine.submit_many(
+        [("k0", {"kind": "bump"})]
+        + [(f"fresh-{i}", {"kind": "bump"}) for i in range(200)]
+    )
+    assert all(r.is_success for r in res)
+    got = engine.aggregate_for("k0").get_state()
+    assert got is not None and got["n"] == 6, got
+    assert engine.aggregate_for("fresh-7").get_state()["n"] == 1
+
+
+def test_keys_hint_escapes_backslashes_and_quotes(spark, tmp_path):
+    """Review-finding regression: keys_hint renders as a parsed IN string;
+    an unescaped backslash in a key changes the literal under Spark's
+    lexer and silently prunes the key's REAL state out of the fold join
+    (state=None, overwritten). Keys with backslashes and quotes must
+    fold against their existing state through the distributed path."""
+    from surge_spark.engine import SurgeEngine, SurgeModel
+
+    def process(state, cmd):
+        return ([{"aggregate_id": cmd["aggregate_id"]}], False)
+
+    def handle(state, ev):
+        return {
+            "aggregate_id": ev["aggregate_id"],
+            "n": (state["n"] if state else 0) + 1,
+        }
+
+    engine = SurgeEngine(
+        spark,
+        SurgeModel(
+            process_command=process,
+            handle_event=handle,
+            state_schema="aggregate_id string, n long",
+            event_schema="aggregate_id string",
+        ),
+        str(tmp_path / "esc_store"),
+        fold_partitions=1,
+    )
+    nasty = ["a\\b", "it's", "both\\'mixed", "plain"]
+    for k in nasty:
+        assert engine.submit_many([(k, {"kind": "bump"})])[0].is_success
+    engine._engine.driver_fold_max_rows = 0  # force the distributed fold
+    res = engine.submit_many([(k, {"kind": "bump"}) for k in nasty])
+    assert all(r.is_success for r in res)
+    for k in nasty:
+        got = engine.aggregate_for(k).get_state()
+        assert got is not None and got["n"] == 2, (k, got)
