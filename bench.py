@@ -80,6 +80,8 @@ HEADLINE = [
     "sim_ivf_recall_audit",        # IVF recall@10 vs brute force (r12; the ANN-quality canary)
     "g_degree_assortativity",      # wedge-join pair build + checkpoint reuse (r12; a lazy regression re-runs it 4x)
     "sim_kmeans_step_audit",       # Lloyd update under the janino materialize barrier (r12; a recompile tax shows as +2s)
+    "a_mann_whitney_u",            # distributed_prefix_sum machinery under load (r13)
+    "sim_filtered_ann_topk",       # pre-filtered vector search: pushdown + broadcast queries (r13)
 ]
 
 N_RUNS = 3

@@ -6448,3 +6448,110 @@ def g_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bridge_ppm"),
         )
     )
+
+
+@query(
+    "a_welch_t_test",
+    oracle=f"""
+    WITH {_VALUE_ARM_COUNTS_SQL},
+    g AS (
+      SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+             CAST(sum(cnt_b) AS BIGINT) AS n_b,
+             CAST(sum(cnt_a * cents) AS BIGINT) AS s1_a,
+             CAST(sum(cnt_b * cents) AS BIGINT) AS s1_b,
+             CAST(sum(cnt_a * cents * cents) AS BIGINT) AS s2_a,
+             CAST(sum(cnt_b * cents * cents) AS BIGINT) AS s2_b
+      FROM by_v
+    )
+    SELECT n_a, n_b, s1_a, s1_b,
+           CAST(CASE WHEN n_a < 2 OR n_b < 2
+                  OR ((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a)
+                      / (n_a - 1) / n_a
+                      + (CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b)
+                        / (n_b - 1) / n_b) = 0
+                THEN NULL
+                ELSE round(
+                  (CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b)
+                  / sqrt((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a)
+                         / (n_a - 1) / n_a
+                         + (CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b)
+                           / (n_b - 1) / n_b), 6)
+                END AS DOUBLE) AS t_stat,
+           CAST(CASE WHEN n_a < 2 OR n_b < 2
+                  OR ((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a)
+                      / (n_a - 1) / n_a) = 0
+                     AND ((CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b)
+                          / (n_b - 1) / n_b) = 0
+                THEN NULL
+                ELSE round(
+                  ((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a)
+                   / (n_a - 1) / n_a
+                   + (CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b)
+                     / (n_b - 1) / n_b)
+                  * ((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a)
+                     / (n_a - 1) / n_a
+                     + (CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b)
+                       / (n_b - 1) / n_b)
+                  / (((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a)
+                      / (n_a - 1) / n_a)
+                     * ((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a)
+                        / (n_a - 1) / n_a) / (n_a - 1)
+                     + ((CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b)
+                        / (n_b - 1) / n_b)
+                       * ((CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b)
+                          / (n_b - 1) / n_b) / (n_b - 1)), 4)
+                END AS DOUBLE) AS welch_df
+    FROM g
+    """,
+)
+def a_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on purchase-vs-click values —
+    completes the two-sample trio on the ONE shared _value_arm_counts
+    kernel (parametric mean test here; rank test a_mann_whitney_u;
+    distribution test a_ks_test — one pooled-cents frame, three
+    statistics). Every moment is an EXACT integer: Σcents and Σcents²
+    per arm ride the per-value counts (cnt·c, cnt·c²), so both engines
+    derive t and the Welch-Satterthwaite df from identical bigints via
+    textually mirrored float64 formulas (t round-6, df round-4). Guards
+    on BOTH sides: arm smaller than 2 or zero pooled standard error →
+    NULL (the m_burstiness class). Overflow bound: Σcnt·c² <
+    max_cents²·n — bigint-safe to ~2e10 rows at this data's ~2e4-cent
+    values; past that, the a_basket_lift_decimal escape (documented)."""
+    by_v = _value_arm_counts(spark, sf_dir)
+    g = by_v.groupBy().agg(
+        F.sum("cnt_a").alias("n_a"),
+        F.sum("cnt_b").alias("n_b"),
+        F.sum(F.expr("cnt_a * cents")).alias("s1_a"),
+        F.sum(F.expr("cnt_b * cents")).alias("s1_b"),
+        F.sum(F.expr("cnt_a * cents * cents")).alias("s2_a"),
+        F.sum(F.expr("cnt_b * cents * cents")).alias("s2_b"),
+    )
+    va = (
+        "(CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a)"
+        " / (n_a - 1) / n_a"
+    )
+    vb = (
+        "(CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b)"
+        " / (n_b - 1) / n_b"
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        "s1_a",
+        "s1_b",
+        F.expr(
+            f"CAST(CASE WHEN n_a < 2 OR n_b < 2 OR ({va} + {vb}) = 0"
+            " THEN NULL"
+            f" ELSE round((CAST(s1_a AS DOUBLE) / n_a"
+            f" - CAST(s1_b AS DOUBLE) / n_b) / sqrt({va} + {vb}), 6)"
+            " END AS DOUBLE)"
+        ).alias("t_stat"),
+        F.expr(
+            f"CAST(CASE WHEN n_a < 2 OR n_b < 2"
+            f" OR ({va}) = 0 AND ({vb}) = 0 THEN NULL"
+            f" ELSE round(({va} + {vb}) * ({va} + {vb})"
+            f" / (({va}) * ({va}) / (n_a - 1)"
+            f" + ({vb}) * ({vb}) / (n_b - 1)), 4)"
+            " END AS DOUBLE)"
+        ).alias("welch_df"),
+    )

@@ -2095,3 +2095,87 @@ def sim_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.avg("s"), 4).alias("mean_silhouette"),
     )
+
+
+@query(
+    "sim_filtered_ann_topk",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang = 'en' AND d.n_chars >= 100
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS corpus_id,
+             round({_DUCK_COSINE.format(a="c.embedding", b="q.qe")}, 6) AS cosine
+      FROM eligible c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, CAST(cosine AS DOUBLE) AS cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, corpus_id
+             ) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def sim_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-FILTERED vector search — top-10 cosine neighbors restricted
+    to vectors whose joined document passes a metadata predicate
+    (lang='en' AND n_chars>=100): the filtered-search shape every
+    production vector store exposes (Milvus/Qdrant 'filtered ANN'), and
+    the one the post-filter formulation gets WRONG at scale — filtering
+    AFTER a fixed top-k can return fewer than k (or zero) eligible hits,
+    so the filter must constrain the candidate set BEFORE ranking. The
+    metadata join runs embedding-side (vec_id == doc_id, the corpus's
+    cross-modal key); the document side prunes to two columns at the
+    scan, the predicate semi-reduces the corpus before any scoring, and
+    only survivors pay the broadcast-query dot products (HOF dot/norm
+    per the column-column A/B). At 100 TB the filter is exactly the
+    predicate-pushdown story: Catalyst pushes lang/n_chars into the
+    documents scan and the join keeps the vector side shuffle-free
+    against a broadcast query set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 100)
+    )
+    eligible = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    scored = (
+        eligible.select(
+            F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ce")
+        )
+        .crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qe"),
+                )
+            )
+        )
+        .where(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                sim.dot(sim._as_double(F.col("ce")), sim._as_double(F.col("qe")))
+                / (
+                    sim.norm(sim._as_double(F.col("ce")))
+                    * sim.norm(sim._as_double(F.col("qe")))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

@@ -1198,3 +1198,57 @@ def test_local_bridges_contract(spark, sf_dir):
     tri = all_queries()["g_triangle_count"](spark, sf_dir).collect()
     if any(row.triangles > 0 for row in tri):
         assert r.n_local_bridges < r.n_edges
+
+
+def test_welch_t_test_identities(spark, sf_dir):
+    """Welch t agrees in SIGN with the mean comparison from its own
+    integer moments; df lies in [min(n_a,n_b)-1, n_a+n_b-2] (the
+    Welch-Satterthwaite bracket); arms match the shared kernel's."""
+    q = all_queries()
+    r = q["a_welch_t_test"](spark, sf_dir).collect()[0]
+    assert r.n_a >= 2 and r.n_b >= 2
+    mean_a, mean_b = r.s1_a / r.n_a, r.s1_b / r.n_b
+    assert r.t_stat is not None
+    if mean_a > mean_b:
+        assert r.t_stat > 0
+    elif mean_a < mean_b:
+        assert r.t_stat < 0
+    assert min(r.n_a, r.n_b) - 1 <= r.welch_df <= r.n_a + r.n_b - 2
+    mw = q["a_mann_whitney_u"](spark, sf_dir).collect()[0]
+    assert (r.n_a, r.n_b) == (mw.n_a, mw.n_b)
+
+
+def test_filtered_ann_subset_of_unfiltered(spark, sf_dir):
+    """Every filtered hit passes the metadata predicate; per query,
+    ranks are contiguous from 1; and the filtered top-k's best cosine
+    never beats the unfiltered brute-force best (the eligible set is a
+    subset of the corpus)."""
+    from pyspark.sql import functions as F
+
+    from surge_spark.io import load_table
+
+    q = all_queries()
+    rows = q["sim_filtered_ann_topk"](spark, sf_dir).collect()
+    assert rows
+    eligible = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .where((F.col("lang") == "en") & (F.col("n_chars") >= 100))
+        .select("doc_id")
+        .collect()
+    }
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.corpus_id in eligible
+        by_q.setdefault(r.query_id, []).append(r)
+    full = {}
+    for r in q["sim_cosine_topk_bruteforce"](spark, sf_dir).collect():
+        if r.rank == 1:
+            full[r.query_id] = r.cosine
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a.cosine >= b.cosine
+        if qid in full:
+            assert rs[0].cosine <= full[qid] + 1e-9
