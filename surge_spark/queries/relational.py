@@ -6555,3 +6555,135 @@ def a_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS DOUBLE)"
         ).alias("welch_df"),
     )
+
+
+@query(
+    "o_data_quality_checks",
+    oracle="""
+    SELECT 'orders_orphan_custkey' AS check_name,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_violations,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_checked
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orphan_partkey',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'events_null_user_id',
+           CAST((SELECT count(*) FROM events WHERE user_id IS NULL) AS BIGINT),
+           CAST((SELECT count(*) FROM events) AS BIGINT)
+    UNION ALL
+    SELECT 'events_duplicate_event_id',
+           CAST((SELECT count(*) - count(DISTINCT event_id) FROM events)
+                AS BIGINT),
+           CAST((SELECT count(*) FROM events) AS BIGINT)
+    UNION ALL
+    SELECT 'documents_empty_text',
+           CAST((SELECT count(*) FROM documents
+                 WHERE text IS NULL OR length(trim(text)) = 0) AS BIGINT),
+           CAST((SELECT count(*) FROM documents) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_nonpositive_total',
+           CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+                AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    """,
+)
+def o_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality check suite over the warehouse — the dbt-test /
+    Great-Expectations shape run as ONE catalog entry: referential
+    integrity (orphan foreign keys via anti joins — never NOT IN, whose
+    NULL semantics silently lie), null-key rates, duplicate primary
+    keys (count minus distinct), emptiness and range checks; one row
+    per check with (violations, checked) so a pipeline gate can assert
+    n_violations == 0 per check and a drift monitor can track rates.
+    Every check is a count — all-integer output, trivially exact
+    cross-engine. At 100 TB each anti join is a shuffle on its own key
+    (or broadcast where the dim side is small — the orders/customer
+    check broadcasts the key projection), and checks against the SAME
+    table share its scan via the union; nothing here collects."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    e = _t(spark, sf_dir, "events")
+    d = _t(spark, sf_dir, "documents")
+
+    def check(name: str, viol: DataFrame, total: DataFrame) -> DataFrame:
+        v = viol.groupBy().agg(F.count(F.lit(1)).alias("n_violations"))
+        t = total.groupBy().agg(F.count(F.lit(1)).alias("n_checked"))
+        return (
+            v.crossJoin(t)
+            .select(
+                F.lit(name).alias("check_name"),
+                F.col("n_violations").cast("bigint").alias("n_violations"),
+                F.col("n_checked").cast("bigint").alias("n_checked"),
+            )
+        )
+
+    checks = [
+        check(
+            "orders_orphan_custkey",
+            o.join(
+                F.broadcast(c.select("c_custkey")),
+                o.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ),
+            o,
+        ),
+        check(
+            "lineitem_orphan_orderkey",
+            li.join(
+                o.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ),
+            li,
+        ),
+        check(
+            "lineitem_orphan_partkey",
+            li.join(
+                F.broadcast(p.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"),
+                "left_anti",
+            ),
+            li,
+        ),
+        check("events_null_user_id", e.where(F.col("user_id").isNull()), e),
+        check("documents_empty_text", d.where(
+            F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0)
+        ), d),
+        check(
+            "orders_nonpositive_total", o.where(F.col("o_totalprice") <= 0), o
+        ),
+    ]
+    dup = (
+        e.groupBy()
+        .agg(
+            (F.count(F.lit(1)) - F.countDistinct("event_id")).alias(
+                "n_violations"
+            ),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+        .select(
+            F.lit("events_duplicate_event_id").alias("check_name"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+            F.col("n_checked").cast("bigint").alias("n_checked"),
+        )
+    )
+    out = checks[0]
+    for frame in checks[1:] + [dup]:
+        out = out.unionByName(frame)
+    return out

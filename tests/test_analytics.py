@@ -1252,3 +1252,25 @@ def test_filtered_ann_subset_of_unfiltered(spark, sf_dir):
             assert a.cosine >= b.cosine
         if qid in full:
             assert rs[0].cosine <= full[qid] + 1e-9
+
+
+def test_data_quality_checks_contract(spark, sf_dir):
+    """The suite covers the fixed check list exactly once each;
+    violations never exceed the checked count; and the synthetic
+    warehouse's known-clean invariants hold (no orphans, no dup pks)."""
+    rows = {r.check_name: r for r in all_queries()["o_data_quality_checks"](spark, sf_dir).collect()}
+    assert set(rows) == {
+        "orders_orphan_custkey",
+        "lineitem_orphan_orderkey",
+        "lineitem_orphan_partkey",
+        "events_null_user_id",
+        "events_duplicate_event_id",
+        "documents_empty_text",
+        "orders_nonpositive_total",
+    }
+    for r in rows.values():
+        assert 0 <= r.n_violations <= r.n_checked
+    # referential integrity and pk uniqueness are clean by construction
+    assert rows["orders_orphan_custkey"].n_violations == 0
+    assert rows["lineitem_orphan_orderkey"].n_violations == 0
+    assert rows["events_duplicate_event_id"].n_violations == 0

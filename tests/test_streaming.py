@@ -2368,3 +2368,64 @@ def test_saga_stream_matches_batch_fold(spark, tmp_path):
     # the sequence must exercise the interesting paths, or the pin is vacuous
     assert st["n_compensated"] == 1 and st["n_completed"] == 1
     assert st["st"] == 1  # saga 3 dangling
+
+
+def test_token_bucket_stream_idle_expiry_fires(spark, tmp_path):
+    """The ProcessingTimeTimeout path actually fires: a key idle past
+    idle_timeout_ms has its state removed (hasTimedOut -> remove), and
+    its next event re-inits a FULL bucket via token_bucket_init — the
+    per-lifetime counters restart, exactly the documented expiry
+    contract. capacity=2/refill_ms=50 keeps the enforced bound tiny so
+    the test sleeps milliseconds, not minutes."""
+    import time as _time
+
+    from surge_spark.streaming import metrics as sm
+
+    schema = "user_id string, ms long, event_id long"
+    src = tmp_path / "tb_expiry"
+    src.mkdir()
+    ck = str(tmp_path / "ck_tb_expiry")
+    # batch 1: three rapid events drain the 2-token bucket (1 throttled)
+    spark.createDataFrame(
+        [("u1", 0, 0), ("u1", 1, 1), ("u1", 2, 2)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    events = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = (
+        sm.token_bucket_stream(events, capacity=2, refill_ms=50, idle_timeout_ms=100)
+        .writeStream.format("memory")
+        .queryName("tb_expiry_out")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if spark.sql("select * from tb_expiry_out").count() >= 1:
+                break
+            _time.sleep(0.2)
+        first = spark.sql(
+            "select * from tb_expiry_out order by n desc"
+        ).collect()[0]
+        assert first.n == 3 and first.n_throttled == 1
+        # idle well past the 100 ms bound across several empty triggers,
+        # then send ONE late event with a far-future event time
+        _time.sleep(2.0)
+        spark.createDataFrame(
+            [("u1", 10_000_000, 3)], schema
+        ).coalesce(1).write.parquet(str(src / "f2"))
+        while _time.time() < deadline:
+            rows = spark.sql(
+                "select * from tb_expiry_out where n = 1"
+            ).collect()
+            if rows:
+                break
+            _time.sleep(0.2)
+        assert rows, "expiry never fired: counters did not restart"
+        r = rows[0]
+        # restarted lifetime: full bucket consumed one token, no throttle
+        assert (r.n, r.n_allowed, r.n_throttled) == (1, 1, 0)
+        assert r.tokens == 1
+    finally:
+        q.stop()
