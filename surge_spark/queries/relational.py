@@ -6687,3 +6687,129 @@ def o_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in checks[1:] + [dup]:
         out = out.unionByName(frame)
     return out
+
+
+@query(
+    "a_cramers_v",
+    oracle=f"""
+    WITH {_TYPE_DOW_CELLS_SQL},
+    rt AS (SELECT event_type, CAST(sum(observed) AS BIGINT) AS r FROM cells GROUP BY 1),
+    ct AS (SELECT dow, CAST(sum(observed) AS BIGINT) AS c FROM cells GROUP BY 1),
+    t AS (SELECT CAST(sum(observed) AS BIGINT) AS total FROM cells),
+    dims AS (
+      SELECT CAST((SELECT count(*) FROM rt) AS BIGINT) AS n_rows,
+             CAST((SELECT count(*) FROM ct) AS BIGINT) AS n_cols
+    ),
+    chi AS (
+      SELECT sum(
+        (cells.observed - CAST(rt.r * ct.c AS DOUBLE) / t.total)
+        * (cells.observed - CAST(rt.r * ct.c AS DOUBLE) / t.total)
+        / (CAST(rt.r * ct.c AS DOUBLE) / t.total)
+      ) AS chi2, max(t.total) AS total
+      FROM cells JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN t
+    )
+    SELECT dims.n_rows, dims.n_cols, chi.total AS n,
+           CAST(round(chi.chi2, 6) AS DOUBLE) AS chi2,
+           CAST(CASE WHEN least(dims.n_rows, dims.n_cols) < 2 THEN NULL
+                ELSE round(sqrt(chi.chi2 / (chi.total
+                     * (least(dims.n_rows, dims.n_cols) - 1))), 6)
+                END AS DOUBLE) AS cramers_v
+    FROM chi CROSS JOIN dims
+    """,
+)
+def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the type×dow contingency table — the
+    missing half of a_chi_square_independence: chi² says WHETHER the
+    association is significant (it always is at corpus scale), V =
+    sqrt(chi²/(n·(min(r,c)−1))) says whether it's LARGE, normalized to
+    [0,1] so dashboards can threshold it. Same shared _type_dow_cells
+    kernel and the same exact-bigint margins; the per-cell chi²
+    contributions sum in float64 via a textually mirrored formula
+    (round-6). Degenerate 1×k tables (a single event type or one active
+    day) yield NULL V, never an ANSI divide-by-zero — both sides."""
+    cells = _type_dow_cells(spark, sf_dir)
+    rt = cells.groupBy("event_type").agg(F.sum("observed").alias("r"))
+    ct = cells.groupBy("dow").agg(F.sum("observed").alias("c"))
+    t = cells.groupBy().agg(F.sum("observed").alias("total"))
+    dims = (
+        rt.groupBy()
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(ct.groupBy().agg(F.count(F.lit(1)).alias("n_cols")))
+    )
+    exp_sql = "CAST(r * c AS DOUBLE) / total"
+    chi = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(t))
+        .groupBy()
+        .agg(
+            F.sum(
+                F.expr(
+                    f"(observed - {exp_sql}) * (observed - {exp_sql})"
+                    f" / ({exp_sql})"
+                )
+            ).alias("chi2"),
+            F.max("total").alias("n"),
+        )
+    )
+    return (
+        chi.crossJoin(F.broadcast(dims))
+        .select(
+            "n_rows",
+            "n_cols",
+            "n",
+            F.expr("CAST(round(chi2, 6) AS DOUBLE)").alias("chi2"),
+            F.expr(
+                "CAST(CASE WHEN least(n_rows, n_cols) < 2 THEN NULL"
+                " ELSE round(sqrt(chi2 / (n * (least(n_rows, n_cols) - 1))), 6)"
+                " END AS DOUBLE)"
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@query(
+    "g_degree_centralization",
+    oracle=f"""
+    WITH {_PART_COOCCUR_SQL},
+    mx AS (SELECT CAST(max(k) AS BIGINT) AS max_k,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(k) AS BIGINT) AS sum_k
+           FROM deg)
+    SELECT n, max_k, sum_k,
+           CAST(max_k * n - sum_k AS BIGINT) AS centralization_num,
+           CAST(CASE WHEN n >= 3
+                THEN (max_k * n - sum_k) * 1000000 // ((n - 1) * (n - 2))
+                END AS BIGINT) AS freeman_ppm
+    FROM mx
+    """,
+)
+def g_degree_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freeman degree centralization of the part co-occurrence graph —
+    how star-like is it? Σ(k_max − k_i) over the maximum possible
+    (n−1)(n−2) (the star's value), shipped as exact integer ppm: a
+    one-aggregate summary that complements the rich-club curve (which
+    asks whether hubs interconnect) and assortativity (how degrees
+    correlate across edges) with the single most-cited centralization
+    number. Rides the ONE checkpointed _part_cooccurrence kernel —
+    max/count/sum in a single pass over the degree frame; n<3 yields
+    NULL (the formula's denominator degenerates), never a
+    divide-by-zero."""
+    _, _, deg = _part_cooccurrence(spark, sf_dir)
+    mx = deg.groupBy().agg(
+        F.max("k").alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+    )
+    return mx.select(
+        "n",
+        "max_k",
+        "sum_k",
+        F.expr("CAST(max_k * n - sum_k AS BIGINT)").alias(
+            "centralization_num"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n >= 3 THEN (max_k * n - sum_k) * 1000000"
+            " div ((n - 1) * (n - 2)) END AS BIGINT)"
+        ).alias("freeman_ppm"),
+    )

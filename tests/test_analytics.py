@@ -1274,3 +1274,27 @@ def test_data_quality_checks_contract(spark, sf_dir):
     assert rows["orders_orphan_custkey"].n_violations == 0
     assert rows["lineitem_orphan_orderkey"].n_violations == 0
     assert rows["events_duplicate_event_id"].n_violations == 0
+
+
+def test_cramers_v_contract(spark, sf_dir):
+    """V in [0,1]; chi2 equals the sum of a_chi_square_independence's
+    per-cell contributions (the shared-kernel pin); dims match the
+    actual distinct type/dow counts."""
+    q = all_queries()
+    r = q["a_cramers_v"](spark, sf_dir).collect()[0]
+    assert r.cramers_v is not None and 0.0 <= r.cramers_v <= 1.0
+    cells = q["a_chi_square_independence"](spark, sf_dir).collect()
+    assert abs(r.chi2 - round(sum(c.chi2_contrib for c in cells), 6)) < 1e-4
+    assert r.n_rows == len({c.event_type for c in cells})
+    assert r.n_cols == len({c.dow for c in cells})
+    assert r.n == sum(c.observed for c in cells)
+
+
+def test_degree_centralization_contract(spark, sf_dir):
+    """Freeman ppm in [0, 1e6]; the numerator re-derives from the
+    shipped integer channels; a real co-occurrence graph is neither a
+    perfect star (1e6) nor perfectly regular (0)."""
+    r = all_queries()["g_degree_centralization"](spark, sf_dir).collect()[0]
+    assert r.centralization_num == r.max_k * r.n - r.sum_k
+    assert r.freeman_ppm is not None
+    assert 0 < r.freeman_ppm < 1_000_000
