@@ -6395,15 +6395,21 @@ def g_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g_local_bridges",
     oracle=f"""
     WITH {_PART_COOCCUR_SQL},
-    wedge_common AS (
-      SELECT DISTINCT d1.y AS pa, d2.y AS pb
-      FROM directed d1 JOIN directed d2
-        ON d1.x = d2.x AND d1.y < d2.y
+    tris AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.pa = e1.pa AND e1.pb < e2.pb
+      JOIN pairs e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+    ),
+    supported AS (
+      SELECT a AS pa, b AS pb FROM tris
+      UNION ALL SELECT a, c FROM tris
+      UNION ALL SELECT b, c FROM tris
     ),
     bridges AS (
       SELECT p.pa, p.pb FROM pairs p
       WHERE NOT EXISTS (
-        SELECT 1 FROM wedge_common w WHERE w.pa = p.pa AND w.pb = p.pb
+        SELECT 1 FROM supported s WHERE s.pa = p.pa AND s.pb = p.pb
       )
     )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
@@ -6419,22 +6425,37 @@ def g_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     its endpoints' shortest path): exactly the edges no triangle
     supports, so on a dense co-occurrence graph the count measures how
     much of the edge set lives OUTSIDE the clustered core that
-    g_triangle_count / g_local_clustering_topk measure. An edge (a,b)
-    has a common neighbor iff some x links both — the wedge pair set
-    (y1 < y2 endpoints of wedges centered anywhere), distinct-ed ONCE,
-    anti-joined against the checkpointed pair set (the shared
-    _part_cooccurrence kernel again; the wedge join is the documented
-    m²/n floor this family pays). Integer channels only."""
-    pairs, directed, _ = _part_cooccurrence(spark, sf_dir)
-    d1 = directed.select(F.col("x"), F.col("y").alias("pa"))
-    d2 = directed.select(F.col("x"), F.col("y").alias("pb"))
-    wedge_common = (
-        d1.join(d2, "x")
-        .where(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
+    g_triangle_count / g_local_clustering_topk measure. Supported edges
+    come from the MIN-ORIENTED triangle enumeration (each triangle once
+    at a<b<c, the g_local_clustering_topk rewrite — the naive
+    all-wedges distinct measured 38.9 s at sf0.1 against ~Σ C(deg_>,2)
+    ≈ 1/4 the wedges here, warm ~7 s after), exploded to the 3 corner
+    edges (each already in canonical pa<pb order), distinct-ed, and
+    anti-joined against the ONE checkpointed _part_cooccurrence pair
+    set. Integer channels only."""
+    pairs, _, _ = _part_cooccurrence(spark, sf_dir)
+    e1 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))
+    closing = pairs.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])
+    supported = (
+        tris.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("pa"), F.col("b").alias("pb")),
+                    F.struct(F.col("a").alias("pa"), F.col("c").alias("pb")),
+                    F.struct(F.col("b").alias("pa"), F.col("c").alias("pb")),
+                )
+            ).alias("e")
+        )
+        .select("e.pa", "e.pb")
+        # no distinct: the anti join needs no deduped right side, and the
+        # dedup is a full extra shuffle of 3x|triangles| rows (A/B at
+        # sf0.1: same band locally — 6.9-8.0 s both ways — kept simpler
+        # for the one-less-exchange plan at scale)
     )
-    bridges = pairs.join(wedge_common, ["pa", "pb"], "left_anti")
+    bridges = pairs.join(supported, ["pa", "pb"], "left_anti")
     n_edges = pairs.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
     return (
         bridges.groupBy()
