@@ -391,14 +391,18 @@ def j_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return region.crossJoin(status).groupBy("r_name", "status").agg(F.count("*").alias("n"))
 
 
-def _asof_click_purchase(events, tolerance_expr: str | None = None):
-    """THE as-of kernel shared by j_asof_join and j_asof_tolerance_join
-    (the _min_label_rounds precedent: one copy of the contract — the
-    max_by(struct(p_ts, p_event_id)) tie-break and the round-2 value
-    channel — so a fix can never silently miss one entry). Returns
-    (clicks, best): best is keyed on m_event_id with a struct of the
-    most recent qualifying purchase; ``tolerance_expr`` (an INTERVAL
-    SQL string) bounds staleness — and join state at scale."""
+def _asof_click_purchase(
+    events, tolerance_expr: str | None = None, direction: str = "backward"
+):
+    """THE as-of kernel shared by j_asof_join / j_asof_tolerance_join /
+    j_asof_forward_join (the _min_label_rounds precedent: one copy of
+    the contract — the tie-break and the round-2 value channel — so a
+    fix can never silently miss one entry). Returns (clicks, best):
+    best is keyed on m_event_id with a struct of the most recent
+    (``direction="backward"``, max_by on (p_ts, p_event_id)) or next
+    upcoming (``"forward"``, min_by, p_ts > ts) qualifying purchase;
+    ``tolerance_expr`` (an INTERVAL SQL string) bounds staleness/wait —
+    and join state at scale."""
     clicks = events.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -408,16 +412,31 @@ def _asof_click_purchase(events, tolerance_expr: str | None = None):
         F.col("event_id").alias("p_event_id"),
         F.col("value").alias("p_value"),
     )
-    cond = (clicks.user_id == purchases.p_user_id) & (
-        purchases.p_ts < clicks.ts
-    )
-    if tolerance_expr is not None:
-        cond = cond & (purchases.p_ts >= clicks.ts - F.expr(tolerance_expr))
+    if direction == "backward":
+        cond = (clicks.user_id == purchases.p_user_id) & (
+            purchases.p_ts < clicks.ts
+        )
+        if tolerance_expr is not None:
+            cond = cond & (
+                purchases.p_ts >= clicks.ts - F.expr(tolerance_expr)
+            )
+        pick = F.max_by
+    elif direction == "forward":
+        cond = (clicks.user_id == purchases.p_user_id) & (
+            purchases.p_ts > clicks.ts
+        )
+        if tolerance_expr is not None:
+            cond = cond & (
+                purchases.p_ts <= clicks.ts + F.expr(tolerance_expr)
+            )
+        pick = F.min_by
+    else:  # pragma: no cover - contract guard
+        raise ValueError(f"unknown as-of direction {direction!r}")
     best = (
         clicks.join(purchases, cond)
         .groupBy(F.col("event_id").alias("m_event_id"))
         .agg(
-            F.max_by(
+            pick(
                 F.struct("p_event_id", "p_value"),
                 F.struct("p_ts", "p_event_id"),
             ).alias("best")
@@ -6833,4 +6852,150 @@ def g_degree_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN n >= 3 THEN (max_k * n - sum_k) * 1000000"
             " div ((n - 1) * (n - 2)) END AS BIGINT)"
         ).alias("freeman_ppm"),
+    )
+
+
+@query(
+    "j_asof_forward_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'
+    ), ranked AS (
+      SELECT e.event_id,
+             p.event_id AS purchase_event_id,
+             CAST(round(p.value, 2) AS DOUBLE) AS purchase_value,
+             row_number() OVER (
+               PARTITION BY e.event_id ORDER BY p.ts ASC, p.event_id ASC
+             ) AS rn
+      FROM events e JOIN purchases p
+        ON e.user_id = p.user_id
+       AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 1 DAY
+      WHERE e.event_type = 'click'
+    )
+    SELECT event_id, purchase_event_id, purchase_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def j_asof_forward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — each click attributed to the user's NEXT
+    purchase within 24 h (time-to-outcome labeling: 'did this click
+    convert, and to what?'), the mirror image of j_asof_join's
+    most-recent-prior lookup and the labeling shape training pipelines
+    run when the supervision signal arrives AFTER the feature row. Same
+    ONE _asof_click_purchase kernel (direction='forward' flips the
+    range predicate and max_by→min_by — the tie-break and round-2 value
+    channel stay in one place), and the 24 h bound is what keeps the
+    range-join state bounded at scale, exactly like the tolerance
+    entry's staleness bound. INNER semantics here: an unconverted click
+    has no label row (the tolerance entry demonstrates the LEFT
+    variant)."""
+    events = _t(spark, sf_dir, "events")
+    _, best = _asof_click_purchase(
+        events, tolerance_expr="INTERVAL 1 DAY", direction="forward"
+    )
+    return best.select(
+        F.col("m_event_id").alias("event_id"),
+        F.col("best.p_event_id").alias("purchase_event_id"),
+        F.round(F.col("best.p_value"), 2).alias("purchase_value"),
+    )
+
+
+@query(
+    "m_changepoint_single",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT event_type, d, cnt,
+             CAST(sum(cnt) OVER w AS BIGINT) AS s1,
+             CAST(row_number() OVER w AS BIGINT) AS i,
+             CAST(sum(cnt) OVER p AS BIGINT) AS t1,
+             CAST(count(*) OVER p AS BIGINT) AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             p AS (PARTITION BY event_type)
+    ),
+    scored AS (
+      SELECT event_type, d, i, n,
+             round(
+               (CAST(s1 AS DOUBLE) * s1 / i
+                + (CAST(t1 AS DOUBLE) - s1) * (CAST(t1 AS DOUBLE) - s1)
+                  / (n - i))
+               - CAST(t1 AS DOUBLE) * t1 / n, 6) AS gain
+      FROM pre WHERE i < n
+    ),
+    best AS (
+      SELECT event_type, d, i, n, gain,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY gain DESC, d ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT event_type, CAST(d AS BIGINT) AS split_day,
+           CAST(i AS BIGINT) AS n_left, CAST(n - i AS BIGINT) AS n_right,
+           CAST(gain AS DOUBLE) AS gain
+    FROM best WHERE rn = 1
+    """,
+)
+def m_changepoint_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection per event type — binary
+    segmentation's FIRST split over the daily-count series: the split
+    day maximizing the between-segment sum-of-squares gain
+    (Σleft²/n_left + Σright²/n_right − Σtotal²/n, the variance-
+    reduction form whose inputs are ALL exact integer prefix sums s1,
+    s2, t1 — no float accumulates across rows, so both engines score
+    every candidate identically before the round-6). The series is the
+    bounded per-type daily matrix (~30 rows), so the candidate scan is
+    a partitioned running-sum window + one argmax — never a corpus-
+    scale window; day ships as the integer epoch-day (no date channel).
+    Ties break to the earliest day. The CUSUM entry detects drift
+    ONLINE; this is the offline retrospective cut a backfill pipeline
+    uses to decide where a regime changed."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.expr("unix_millis(ts) div 86400000").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    p = W.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "d",
+        F.sum("cnt").over(w).alias("s1"),
+        F.row_number().over(W.partitionBy("event_type").orderBy("d")).alias("i"),
+        F.sum("cnt").over(p).alias("t1"),
+        F.count(F.lit(1)).over(p).alias("n"),
+    )
+    gain = (
+        "(CAST(s1 AS DOUBLE) * s1 / i"
+        " + (CAST(t1 AS DOUBLE) - s1) * (CAST(t1 AS DOUBLE) - s1) / (n - i))"
+        " - CAST(t1 AS DOUBLE) * t1 / n"
+    )
+    scored = pre.where(F.col("i") < F.col("n")).select(
+        "event_type",
+        "d",
+        "i",
+        "n",
+        F.expr(f"round({gain}, 6)").alias("gain"),
+    )
+    wb = W.partitionBy("event_type").orderBy(F.desc("gain"), F.asc("d"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("d").cast("bigint").alias("split_day"),
+            F.col("i").cast("bigint").alias("n_left"),
+            (F.col("n") - F.col("i")).cast("bigint").alias("n_right"),
+            F.col("gain").cast("double").alias("gain"),
+        )
     )

@@ -1298,3 +1298,59 @@ def test_degree_centralization_contract(spark, sf_dir):
     assert r.centralization_num == r.max_k * r.n - r.sum_k
     assert r.freeman_ppm is not None
     assert 0 < r.freeman_ppm < 1_000_000
+
+
+def test_asof_forward_contract(spark, sf_dir):
+    """Forward labels point strictly AFTER the click and within 24 h;
+    every labeled click exists; and the forward pick is the MINIMUM
+    qualifying purchase ts (verified per-row against a recompute)."""
+    from pyspark.sql import functions as F
+
+    from surge_spark.io import load_table
+
+    rows = all_queries()["j_asof_forward_join"](spark, sf_dir).collect()
+    assert rows
+    e = load_table(spark, sf_dir, "events")
+    clicks = {r.event_id: r for r in e.where(F.col("event_type") == "click").collect()}
+    purchases = {}
+    for r in e.where(F.col("event_type") == "purchase").collect():
+        purchases.setdefault(r.user_id, []).append(r)
+    import datetime as dt
+
+    for out in rows[:200]:
+        c = clicks[out.event_id]
+        cand = [
+            p
+            for p in purchases.get(c.user_id, [])
+            if c.ts < p.ts <= c.ts + dt.timedelta(days=1)
+        ]
+        assert cand, out
+        best = min(cand, key=lambda p: (p.ts, p.event_id))
+        assert out.purchase_event_id == best.event_id
+
+
+def test_changepoint_single_contract(spark, sf_dir):
+    """Per type: exactly one split; gain is nonnegative (splitting can
+    never fit worse than the pooled mean); segment sizes partition the
+    day count; and the split day is one of the type's observed days."""
+    from pyspark.sql import functions as F
+
+    from surge_spark.io import load_table
+
+    rows = all_queries()["m_changepoint_single"](spark, sf_dir).collect()
+    types = {r.event_type for r in rows}
+    assert len(rows) == len(types)
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.groupBy("event_type", F.expr("unix_millis(ts) div 86400000").alias("d"))
+        .count()
+        .collect()
+    )
+    by_type: dict[str, set] = {}
+    for r in days:
+        by_type.setdefault(r.event_type, set()).add(r.d)
+    for r in rows:
+        assert r.gain >= -1e-9
+        assert r.split_day in by_type[r.event_type]
+        assert r.n_left + r.n_right == len(by_type[r.event_type])
+        assert r.n_left >= 1 and r.n_right >= 1
