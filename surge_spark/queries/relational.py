@@ -6999,3 +6999,174 @@ def m_changepoint_single(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("gain").cast("double").alias("gain"),
         )
     )
+
+
+@query(
+    "a_spearman_rho",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY user_id
+    ),
+    rx AS (
+      SELECT x, CAST(2 * (sum(cnt) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+               + cnt + 1 AS BIGINT) AS r2
+      FROM (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY x)
+    ),
+    ry AS (
+      SELECT y, CAST(2 * (sum(cnt) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+               + cnt + 1 AS BIGINT) AS r2
+      FROM (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY y)
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx.r2) AS BIGINT) AS s1x,
+             CAST(sum(ry.r2) AS BIGINT) AS s1y,
+             CAST(sum(rx.r2 * rx.r2) AS BIGINT) AS s2x,
+             CAST(sum(ry.r2 * ry.r2) AS BIGINT) AS s2y,
+             CAST(sum(rx.r2 * ry.r2) AS BIGINT) AS sxy
+      FROM u JOIN rx USING (x) JOIN ry USING (y)
+    )
+    SELECT n, s1x, s1y, sxy,
+           CAST(CASE WHEN (n * s2x - s1x * s1x) = 0
+                       OR (n * s2y - s1y * s1y) = 0 THEN NULL
+                ELSE round((CAST(n AS DOUBLE) * sxy
+                            - CAST(s1x AS DOUBLE) * s1y)
+                     / sqrt((CAST(n AS DOUBLE) * s2x
+                             - CAST(s1x AS DOUBLE) * s1x)
+                            * (CAST(n AS DOUBLE) * s2y
+                               - CAST(s1y AS DOUBLE) * s1y)), 6)
+                END AS DOUBLE) AS spearman_rho
+    FROM g
+    """,
+)
+def a_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-user activity (event count)
+    and per-user spend (integer-cents sum) — the monotone-association
+    sibling of a_corr_regression's Pearson (outlier-robust: a whale
+    user bends Pearson, not ranks). NO row-level ranking: each metric's
+    tie-averaged rank comes from per-VALUE counts + the exact
+    distributed prefix sum (doubled: 2r(v) = 2·less + cnt + 1, the
+    a_mann_whitney_u channel), users join back to their value's rank,
+    and rho is Pearson over the doubled ranks (scale-invariance makes
+    the doubling free) — so every moment (Σ2r, Σ(2r)², Σ2rx·2ry, n) is
+    an EXACT bigint and the single float formula mirrors textually
+    (round-6). Zero-variance guard both sides (all users tied on a
+    metric → NULL). Overflow bound: Σ(2r)² ≤ 4n³ — bigint-safe to
+    ~1.3e6 users; past that, the a_basket_lift_decimal escape
+    (documented)."""
+    from surge_spark.operators.text import distributed_prefix_sum
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("y"),
+    )
+
+    def ranks(col: str) -> DataFrame:
+        by_v = u.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        pre = distributed_prefix_sum(
+            by_v, "cnt", col, [F.col(col)], out_col="cum"
+        )
+        return pre.select(
+            col,
+            F.expr("CAST(2 * (cum - cnt) + cnt + 1 AS BIGINT)").alias(
+                f"r2{col}"
+            ),
+        )
+
+    joined = u.join(ranks("x"), "x").join(ranks("y"), "y")
+    g = joined.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r2x").alias("s1x"),
+        F.sum("r2y").alias("s1y"),
+        F.sum(F.expr("r2x * r2x")).alias("s2x"),
+        F.sum(F.expr("r2y * r2y")).alias("s2y"),
+        F.sum(F.expr("r2x * r2y")).alias("sxy"),
+    )
+    return g.select(
+        "n",
+        "s1x",
+        "s1y",
+        "sxy",
+        F.expr(
+            "CAST(CASE WHEN (n * s2x - s1x * s1x) = 0"
+            " OR (n * s2y - s1y * s1y) = 0 THEN NULL"
+            " ELSE round((CAST(n AS DOUBLE) * sxy - CAST(s1x AS DOUBLE) * s1y)"
+            " / sqrt((CAST(n AS DOUBLE) * s2x - CAST(s1x AS DOUBLE) * s1x)"
+            " * (CAST(n AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s1y)), 6)"
+            " END AS DOUBLE)"
+        ).alias("spearman_rho"),
+    )
+
+
+@query(
+    "g_edge_support_histogram",
+    oracle=f"""
+    WITH {_PART_COOCCUR_SQL},
+    tris AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.pa = e1.pa AND e1.pb < e2.pb
+      JOIN pairs e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+    ),
+    corners AS (
+      SELECT a AS pa, b AS pb FROM tris
+      UNION ALL SELECT a, c FROM tris
+      UNION ALL SELECT b, c FROM tris
+    ),
+    support AS (
+      SELECT p.pa, p.pb, CAST(coalesce(s.cnt, 0) AS BIGINT) AS sup
+      FROM pairs p
+      LEFT JOIN (SELECT pa, pb, count(*) AS cnt FROM corners GROUP BY 1, 2) s
+        ON s.pa = p.pa AND s.pb = p.pb
+    )
+    SELECT CAST(least(sup, 20) AS BIGINT) AS support_bucket,
+           CAST(count(*) AS BIGINT) AS n_edges
+    FROM support GROUP BY 1
+    """,
+)
+def g_edge_support_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle-support histogram (support = how many triangles
+    contain the edge, capped at 20+) — the k-truss readiness audit: the
+    k-truss keeps edges with support ≥ k−2, so this histogram is
+    exactly the curve that says which k is non-trivial before paying an
+    iterative peel, the same role the degree histogram plays for
+    k-core. Support counts ride the SAME min-oriented triangle
+    enumeration as g_local_bridges (each triangle once at a<b<c,
+    explode to 3 corner edges, count per edge — the 38.9 s all-wedges
+    lesson); zero-support edges enter the histogram via the LEFT join
+    (they ARE the local bridges, cross-pinned in tests). Integer
+    channels only; the 20+ cap bounds the output at any scale."""
+    pairs, _, _ = _part_cooccurrence(spark, sf_dir)
+    e1 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))
+    closing = pairs.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])
+    corners = tris.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("pa"), F.col("b").alias("pb")),
+                F.struct(F.col("a").alias("pa"), F.col("c").alias("pb")),
+                F.struct(F.col("b").alias("pa"), F.col("c").alias("pb")),
+            )
+        ).alias("e")
+    ).select("e.pa", "e.pb")
+    sup = corners.groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("cnt"))
+    support = pairs.join(sup, ["pa", "pb"], "left").select(
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("sup")
+    )
+    return (
+        support.groupBy(
+            F.expr("CAST(least(sup, 20) AS BIGINT)").alias("support_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )

@@ -1354,3 +1354,27 @@ def test_changepoint_single_contract(spark, sf_dir):
         assert r.split_day in by_type[r.event_type]
         assert r.n_left + r.n_right == len(by_type[r.event_type])
         assert r.n_left >= 1 and r.n_right >= 1
+
+
+def test_spearman_rho_contract(spark, sf_dir):
+    """rho in [-1, 1]; rank-sum identity: Σ2r over users == n(n+1) per
+    metric (tie-averaged ranks preserve the total); activity-vs-spend on
+    this corpus is strongly positive (more events ⇒ more summed cents)."""
+    r = all_queries()["a_spearman_rho"](spark, sf_dir).collect()[0]
+    assert r.spearman_rho is not None
+    assert -1.0 <= r.spearman_rho <= 1.0
+    assert r.s1x == r.n * (r.n + 1)
+    assert r.s1y == r.n * (r.n + 1)
+    assert r.spearman_rho > 0.5
+
+
+def test_edge_support_cross_pins_local_bridges(spark, sf_dir):
+    """The histogram's zero-support bucket IS the local-bridge count, and
+    total edge mass matches the bridge entry's n_edges — two entries,
+    one triangle enumeration, pinned against each other."""
+    q = all_queries()
+    hist = {r.support_bucket: r.n_edges for r in q["g_edge_support_histogram"](spark, sf_dir).collect()}
+    br = q["g_local_bridges"](spark, sf_dir).collect()[0]
+    assert hist.get(0, 0) == br.n_local_bridges
+    assert sum(hist.values()) == br.n_edges
+    assert all(0 <= b <= 20 for b in hist)
