@@ -3054,3 +3054,88 @@ def m_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS INT)"
         ).alias("breakout"),
     )
+
+
+@query(
+    "m_interarrival_exponential_ks",
+    oracle="""
+    WITH gaps AS (
+      SELECT CAST(epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS BIGINT) AS gap_ms
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    pos AS (SELECT gap_ms FROM gaps WHERE gap_ms IS NOT NULL AND gap_ms > 0),
+    by_g AS (
+      SELECT gap_ms, CAST(count(*) AS BIGINT) AS cnt FROM pos GROUP BY gap_ms
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt * gap_ms) AS BIGINT) AS sum_gap
+      FROM by_g
+    ),
+    pre AS (
+      SELECT gap_ms,
+             CAST(sum(cnt) OVER (ORDER BY gap_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM by_g
+    )
+    SELECT tot.n AS n_gaps, tot.sum_gap AS sum_gap_ms,
+           CAST(round(CAST(tot.sum_gap AS DOUBLE) / tot.n, 4) AS DOUBLE)
+             AS mean_gap_ms,
+           CAST(max(round(abs(CAST(pre.cum AS DOUBLE) / tot.n
+             - (1.0 - exp(-(CAST(tot.n AS DOUBLE) / tot.sum_gap)
+                          * pre.gap_ms))), 6)) AS DOUBLE) AS d_stat
+    FROM pre CROSS JOIN tot GROUP BY tot.n, tot.sum_gap
+    """,
+)
+def m_interarrival_exponential_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is traffic Poisson? — one-sample KS distance between the per-user
+    interarrival-gap ECDF and the exponential distribution fit by its
+    MLE rate (λ = n/Σgap): the goodness-of-fit capstone of the stats
+    family (two-sample KS compares arms; this compares against a MODEL,
+    the assumption every queueing/capacity calculation quietly makes).
+    Gaps are exact integer millis; the ECDF rides per-value counts +
+    one running sum, so the only float per candidate is the mirrored
+    1−exp(−λg) — each |ECDF−CDF| candidate is rounded to 6 BEFORE the
+    max (round-before-rank: cross-engine exp() ulp noise cannot flip
+    the supremum). Spark side uses the exact distributed_prefix_sum —
+    no unpartitioned window at any scale; the per-user lag window is
+    partitioned."""
+    from pyspark.sql import Window
+    from surge_spark.operators.text import distributed_prefix_sum
+
+    e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        (
+            F.expr("unix_millis(ts)")
+            - F.lag(F.expr("unix_millis(ts)")).over(w)
+        ).alias("gap_ms")
+    ).where(F.col("gap_ms").isNotNull() & (F.col("gap_ms") > 0))
+    by_g = gaps.groupBy("gap_ms").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = by_g.groupBy().agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.expr("cnt * gap_ms")).alias("sum_gap"),
+    )
+    pre = distributed_prefix_sum(
+        by_g, "cnt", "gap_ms", [F.col("gap_ms")], out_col="cum"
+    )
+    cand = (
+        "round(abs(CAST(cum AS DOUBLE) / n"
+        " - (1.0 - exp(-(CAST(n AS DOUBLE) / sum_gap) * gap_ms))), 6)"
+    )
+    g = (
+        pre.crossJoin(F.broadcast(tot))
+        .groupBy("n", "sum_gap")
+        .agg(F.expr(f"CAST(max({cand}) AS DOUBLE)").alias("d_stat"))
+    )
+    return g.select(
+        F.col("n").alias("n_gaps"),
+        F.col("sum_gap").alias("sum_gap_ms"),
+        F.expr(
+            "CAST(round(CAST(sum_gap AS DOUBLE) / n, 4) AS DOUBLE)"
+        ).alias("mean_gap_ms"),
+        "d_stat",
+    )

@@ -2414,3 +2414,135 @@ def t_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rake_score_x1000").desc(), "word")
         .limit(20)
     )
+
+
+@query(
+    "t_vocab_growth_heaps",
+    oracle="""
+    WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    toks AS (
+      SELECT d.doc_id, u.tok
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+            FROM documents) d,
+           LATERAL (SELECT unnest(d.t) AS tok) u
+      WHERE u.tok <> ''
+    ),
+    firsts AS (
+      SELECT tok, CAST(min(doc_id) AS BIGINT) AS first_doc FROM toks GROUP BY tok
+    ),
+    doc_tokens AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM toks GROUP BY doc_id
+    ),
+    vnew AS (
+      SELECT least(f.first_doc * 10 // nd.n_docs, 9) AS decile,
+             CAST(count(*) AS BIGINT) AS new_vocab
+      FROM firsts f CROSS JOIN nd GROUP BY 1
+    ),
+    tmass AS (
+      SELECT least(dt.doc_id * 10 // nd.n_docs, 9) AS decile,
+             CAST(sum(dt.n_tok) AS BIGINT) AS tok_mass
+      FROM doc_tokens dt CROSS JOIN nd GROUP BY 1
+    ),
+    cv AS (
+      SELECT a.decile, CAST(sum(coalesce(v.new_vocab, 0)) AS BIGINT) AS cum_vocab
+      FROM (SELECT DISTINCT decile FROM tmass) a
+      LEFT JOIN vnew v ON v.decile <= a.decile GROUP BY a.decile
+    ),
+    ct AS (
+      SELECT a.decile, CAST(sum(coalesce(t.tok_mass, 0)) AS BIGINT) AS cum_tokens
+      FROM (SELECT DISTINCT decile FROM tmass) a
+      LEFT JOIN tmass t ON t.decile <= a.decile GROUP BY a.decile
+    ),
+    cum AS (
+      SELECT cv.decile, cv.cum_vocab, ct.cum_tokens
+      FROM cv JOIN ct USING (decile)
+    ),
+    pts AS (
+      SELECT CAST(decile AS BIGINT) AS decile, cum_vocab, cum_tokens
+      FROM cum WHERE cum_tokens > 0 AND cum_vocab > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           CAST(max(cum_vocab) AS BIGINT) AS total_vocab,
+           CAST(max(cum_tokens) AS BIGINT) AS total_tokens,
+           CAST(round(regr_slope(ln(CAST(cum_vocab AS DOUBLE)),
+                                 ln(CAST(cum_tokens AS DOUBLE))), 6)
+                AS DOUBLE) AS heaps_beta
+    FROM pts
+    """,
+)
+def t_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth — how fast does NEW vocabulary
+    accumulate as the corpus grows (V ≈ K·nᵝ; β well below 1 means the
+    tokenizer's vocab budget saturates, β near 1 means open-ended
+    vocabulary — noise, code, IDs): the corpus-curation twin of
+    t_zipf_slope (Zipf describes the static frequency profile; Heaps
+    the GROWTH curve a streaming ingest actually walks). Each token's
+    FIRST document (min doc_id) assigns it to a corpus decile; new-vocab
+    and token-mass per decile cumulate over at most 10 rows via a
+    broadcast theta join — never an unpartitioned window, the
+    distributed_prefix_sum totals trick at fixed fan-out. β is
+    regr_slope over the 10 log-log points (round-6; the
+    g_degree_powerlaw_slope channel). The corpus-scale work is one
+    explode + two aggregates."""
+    from surge_spark.operators.dedup import tokens as _tok
+
+    d = load_table(spark, sf_dir, "documents")
+    nd = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = (
+        d.select("doc_id", F.explode(_tok("text")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    doc_tokens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    vnew = (
+        firsts.crossJoin(F.broadcast(nd))
+        .groupBy(
+            F.expr("least(first_doc * 10 div n_docs, 9)").alias("decile")
+        )
+        .agg(F.count(F.lit(1)).alias("new_vocab"))
+    )
+    tmass = (
+        doc_tokens.crossJoin(F.broadcast(nd))
+        .groupBy(F.expr("least(doc_id * 10 div n_docs, 9)").alias("decile"))
+        .agg(F.sum("n_tok").alias("tok_mass"))
+    )
+    deciles = tmass.select("decile").distinct()
+
+    def cumulate(series: DataFrame, val: str, out: str) -> DataFrame:
+        # <=10-row broadcast theta cumulation — the prefix-sum totals
+        # trick at fixed fan-out, never an unpartitioned window. The two
+        # series cumulate INDEPENDENTLY: a decile introducing no new
+        # vocab must still accumulate its token mass (review-caught —
+        # the single-join form keyed token mass through vocab rows and
+        # flattened cum_tokens to a constant, NULLing the regression).
+        return (
+            deciles.alias("a")
+            .join(
+                F.broadcast(series.select(F.col("decile").alias("sd"), val)),
+                F.col("sd") <= F.col("a.decile"),
+                "left",
+            )
+            .groupBy(F.col("a.decile").alias("decile"))
+            .agg(F.sum(F.coalesce(F.col(val), F.lit(0))).alias(out))
+        )
+
+    joined = cumulate(vnew, "new_vocab", "cum_vocab").join(
+        cumulate(tmass, "tok_mass", "cum_tokens"), "decile"
+    )
+    pts = joined.where(
+        (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)
+    )
+    return pts.groupBy().agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.max("cum_vocab").alias("total_vocab"),
+        F.max("cum_tokens").alias("total_tokens"),
+        F.round(
+            F.expr(
+                "regr_slope(ln(CAST(cum_vocab AS DOUBLE)),"
+                " ln(CAST(cum_tokens AS DOUBLE)))"
+            ),
+            6,
+        ).alias("heaps_beta"),
+    )

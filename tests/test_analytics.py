@@ -1378,3 +1378,34 @@ def test_edge_support_cross_pins_local_bridges(spark, sf_dir):
     assert hist.get(0, 0) == br.n_local_bridges
     assert sum(hist.values()) == br.n_edges
     assert all(0 <= b <= 20 for b in hist)
+
+
+def test_interarrival_ks_contract(spark, sf_dir):
+    """D in [0,1]; mean re-derives from the integer channels; the
+    synthetic uniform-arrival corpus is NOT exponential at corpus scale
+    so D must be comfortably nonzero (vacuity guard on the fit)."""
+    r = all_queries()["m_interarrival_exponential_ks"](spark, sf_dir).collect()[0]
+    assert r.n_gaps > 0 and r.sum_gap_ms > 0
+    assert abs(r.mean_gap_ms - round(r.sum_gap_ms / r.n_gaps, 4)) < 1e-9
+    assert 0.0 <= r.d_stat <= 1.0
+    assert r.d_stat > 0.001
+
+
+def test_vocab_growth_heaps_contract(spark, sf_dir):
+    """Heaps beta in [0, 1]: the synthetic 31-word vocab saturates in
+    decile 0, so the growth curve is FLAT and beta is exactly 0 — the
+    saturation signal the entry exists to surface (an open-vocabulary
+    corpus would read near 1). Totals match the corpus's true vocab and
+    token mass."""
+    from pyspark.sql import functions as F
+
+    from surge_spark.io import load_table
+    from surge_spark.operators.dedup import tokens as _tok
+
+    r = all_queries()["t_vocab_growth_heaps"](spark, sf_dir).collect()[0]
+    assert 1 <= r.n_points <= 10
+    assert r.heaps_beta is not None and 0.0 <= r.heaps_beta <= 1.0
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_tok("text")).alias("tok")).where(F.col("tok") != "")
+    assert r.total_vocab == toks.select("tok").distinct().count()
+    assert r.total_tokens == toks.count()
