@@ -7170,3 +7170,95 @@ def g_edge_support_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_edges"))
     )
+
+
+@query(
+    "j_point_in_time_join",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    ),
+    dim AS (
+      SELECT user_id, event_type AS attr_value, ts AS valid_from,
+             event_id AS version_event_id
+      FROM changes
+    ),
+    ranked AS (
+      SELECT p.event_id, p.user_id, d.attr_value,
+             CAST(epoch_ms(p.ts) - epoch_ms(d.valid_from) AS BIGINT)
+               AS feature_age_ms,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY d.valid_from DESC, d.version_event_id DESC
+             ) AS rn
+      FROM events p JOIN dim d
+        ON d.user_id = p.user_id AND d.valid_from <= p.ts
+      WHERE p.event_type = 'purchase'
+    )
+    SELECT event_id, user_id, attr_value, feature_age_ms
+    FROM ranked WHERE rn = 1
+    """,
+)
+def j_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — each purchase (the label row) joined to the
+    dimension version VALID AT its own timestamp (the SCD2 intervals
+    o_scd2_intervals builds, rebuilt here from the same change
+    detection): the feature-store time-travel lookup that prevents
+    label leakage — a training row must see the feature as it was THEN,
+    never the current one (a plain dim join silently leaks the future).
+    Expressed as the as-of kernel shape: valid_from <= ts range join +
+    max_by on (valid_from, version_event_id) — equivalent to the
+    interval containment since versions partition each user's timeline,
+    but robust to overlaps and needing only the OPEN side of each
+    interval. feature_age_ms (label ts − version birth) ships as exact
+    integer millis — the staleness profile feature auditors track. At
+    scale the range join pre-buckets on (user, time) exactly like
+    j_asof_join."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            F.col("user_id").alias("d_user_id"),
+            F.col("event_type").alias("attr_value"),
+            F.col("ts").alias("valid_from"),
+            F.col("event_id").alias("version_event_id"),
+        )
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = purchases.join(
+        dim,
+        (purchases.user_id == dim.d_user_id)
+        & (dim.valid_from <= purchases.ts),
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(
+            F.first("user_id").alias("user_id"),
+            F.max_by(
+                F.struct("attr_value", "valid_from"),
+                F.struct("valid_from", "version_event_id"),
+            ).alias("best"),
+            F.max(F.col("ts")).alias("p_ts"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("best.attr_value").alias("attr_value"),
+            F.expr(
+                "CAST(unix_millis(p_ts) - unix_millis(best.valid_from)"
+                " AS BIGINT)"
+            ).alias("feature_age_ms"),
+        )
+    )

@@ -1409,3 +1409,43 @@ def test_vocab_growth_heaps_contract(spark, sf_dir):
     toks = d.select(F.explode(_tok("text")).alias("tok")).where(F.col("tok") != "")
     assert r.total_vocab == toks.select("tok").distinct().count()
     assert r.total_tokens == toks.count()
+
+
+def test_point_in_time_join_no_leakage(spark, sf_dir):
+    """Label-leakage pin: every purchase's attribute version was born AT
+    OR BEFORE the purchase (age >= 0); every purchase gets exactly one
+    row; and a purchase that itself opened a version reads its OWN
+    value with age 0 (verified against the SCD2 entry's intervals)."""
+    q = all_queries()
+    rows = q["j_point_in_time_join"](spark, sf_dir).collect()
+    assert rows
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        assert r.feature_age_ms >= 0
+    from pyspark.sql import functions as F
+
+    from surge_spark.io import load_table
+
+    scd = q["o_scd2_intervals"](spark, sf_dir).collect()
+    intervals = {}
+    for s in scd:
+        intervals.setdefault(s.user_id, []).append(s)
+    purchases = {
+        r.event_id: r
+        for r in load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .collect()
+    }
+    for r in rows[:200]:
+        ts = purchases[r.event_id].ts
+        # the valid-at version: latest valid_from <= purchase ts — the
+        # exact SCD2 containment, recomputed from the sibling entry
+        best = max(
+            (s for s in intervals[r.user_id] if s.valid_from <= ts),
+            key=lambda s: s.valid_from,
+        )
+        assert r.attr_value == best.attr_value, r
+        assert r.feature_age_ms == int(
+            (ts - best.valid_from).total_seconds() * 1000
+        )
