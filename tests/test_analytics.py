@@ -1446,6 +1446,14 @@ def test_point_in_time_join_no_leakage(spark, sf_dir):
             key=lambda s: s.valid_from,
         )
         assert r.attr_value == best.attr_value, r
-        assert r.feature_age_ms == int(
-            (ts - best.valid_from).total_seconds() * 1000
-        )
+        # mirror unix_millis exactly: each timestamp floors to millis
+        # BEFORE the subtraction (a raw timedelta keeps the micros and
+        # disagrees by 1 ms on ~half the rows)
+        import datetime as _dt
+
+        def _ms(t):
+            td = t - _dt.datetime(1970, 1, 1)
+            us = (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+            return us // 1000  # exact ints end to end, no float epoch
+
+        assert r.feature_age_ms == _ms(ts) - _ms(best.valid_from)
