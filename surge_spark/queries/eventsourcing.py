@@ -3075,7 +3075,7 @@ def m_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM by_g
     ),
     pre AS (
-      SELECT gap_ms,
+      SELECT gap_ms, cnt,
              CAST(sum(cnt) OVER (ORDER BY gap_ms
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS cum
@@ -3084,9 +3084,14 @@ def m_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tot.n AS n_gaps, tot.sum_gap AS sum_gap_ms,
            CAST(round(CAST(tot.sum_gap AS DOUBLE) / tot.n, 4) AS DOUBLE)
              AS mean_gap_ms,
-           CAST(max(round(abs(CAST(pre.cum AS DOUBLE) / tot.n
-             - (1.0 - exp(-(CAST(tot.n AS DOUBLE) / tot.sum_gap)
-                          * pre.gap_ms))), 6)) AS DOUBLE) AS d_stat
+           CAST(greatest(
+             max(round(abs(CAST(pre.cum AS DOUBLE) / tot.n
+               - (1.0 - exp(-(CAST(tot.n AS DOUBLE) / tot.sum_gap)
+                            * pre.gap_ms))), 6)),
+             max(round(abs((1.0 - exp(-(CAST(tot.n AS DOUBLE) / tot.sum_gap)
+                                     * pre.gap_ms))
+               - CAST(pre.cum - pre.cnt AS DOUBLE) / tot.n), 6))
+           ) AS DOUBLE) AS d_stat
     FROM pre CROSS JOIN tot GROUP BY tot.n, tot.sum_gap
     """,
 )
@@ -3114,7 +3119,10 @@ def m_interarrival_exponential_ks(spark: SparkSession, sf_dir: str) -> DataFrame
             - F.lag(F.expr("unix_millis(ts)")).over(w)
         ).alias("gap_ms")
     ).where(F.col("gap_ms").isNotNull() & (F.col("gap_ms") > 0))
-    by_g = gaps.groupBy("gap_ms").agg(F.count(F.lit(1)).alias("cnt"))
+    # persisted: the prefix sum's quantile ACTION plus the pre/tot
+    # consumers would otherwise re-run the events scan and the per-user
+    # lag window 3x (the m_gini scan-amplification class)
+    by_g = gaps.groupBy("gap_ms").agg(F.count(F.lit(1)).alias("cnt")).persist()
     tot = by_g.groupBy().agg(
         F.sum("cnt").alias("n"),
         F.sum(F.expr("cnt * gap_ms")).alias("sum_gap"),
@@ -3122,14 +3130,22 @@ def m_interarrival_exponential_ks(spark: SparkSession, sf_dir: str) -> DataFrame
     pre = distributed_prefix_sum(
         by_g, "cnt", "gap_ms", [F.col("gap_ms")], out_col="cum"
     )
-    cand = (
-        "round(abs(CAST(cum AS DOUBLE) / n"
-        " - (1.0 - exp(-(CAST(n AS DOUBLE) / sum_gap) * gap_ms))), 6)"
-    )
+    cdf = "(1.0 - exp(-(CAST(n AS DOUBLE) / sum_gap) * gap_ms))"
+    # BOTH supremum sides (review finding — the one-sample KS statistic
+    # is max over steps of the right-continuous ECDF excess AND the
+    # left-limit deficit; checking only |F_n - F| at step points
+    # understates D by up to cnt/n wherever the fitted CDF rises
+    # between steps)
+    cand_hi = f"round(abs(CAST(cum AS DOUBLE) / n - {cdf}), 6)"
+    cand_lo = f"round(abs({cdf} - CAST(cum - cnt AS DOUBLE) / n), 6)"
     g = (
         pre.crossJoin(F.broadcast(tot))
         .groupBy("n", "sum_gap")
-        .agg(F.expr(f"CAST(max({cand}) AS DOUBLE)").alias("d_stat"))
+        .agg(
+            F.expr(
+                f"CAST(greatest(max({cand_hi}), max({cand_lo})) AS DOUBLE)"
+            ).alias("d_stat")
+        )
     )
     return g.select(
         F.col("n").alias("n_gaps"),

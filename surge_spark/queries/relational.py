@@ -5582,6 +5582,29 @@ def _part_cooccurrence(spark: SparkSession, sf_dir: str):
     return pairs, directed, deg
 
 
+# ONE min-oriented triangle enumeration over the canonical pa<pb pair set
+# (each triangle once at a<b<c) — shared by g_local_clustering_topk,
+# g_local_bridges, and g_edge_support_histogram (review-pass factoring:
+# the orientation and the closing-join shape must evolve in lockstep; the
+# 38.9 s all-wedges lesson lives here once, not three times). SQL half for
+# the oracles:
+_TRIS_SQL = """tris AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.pa = e1.pa AND e1.pb < e2.pb
+      JOIN pairs e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+    )"""
+
+
+def _min_oriented_tris(pairs: DataFrame) -> DataFrame:
+    """(a, b, c) with a < b < c for every triangle, enumerated once."""
+    e1 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))
+    closing = pairs.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    return wedges.join(closing, ["b", "c"])
+
+
 @query(
     "g_degree_assortativity",
     oracle=f"""
@@ -5754,15 +5777,7 @@ def a_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g_local_clustering_topk",
     oracle=f"""
     WITH {_PART_COOCCUR_SQL},
-    wedges AS (
-      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
-      FROM pairs e1 JOIN pairs e2
-        ON e1.pa = e2.pa AND e1.pb < e2.pb
-    ),
-    tris AS (
-      SELECT w.a, w.b, w.c FROM wedges w
-      JOIN pairs p ON p.pa = w.b AND p.pb = w.c
-    ),
+    {_TRIS_SQL},
     tri AS (
       SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
         SELECT a AS node FROM tris
@@ -5796,11 +5811,7 @@ def g_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive; nodes with no closed wedge ship 0 via the LEFT join, not
     silence."""
     pairs, _, deg = _part_cooccurrence(spark, sf_dir)
-    e1 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-    e2 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
-    wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))
-    closing = pairs.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
-    tris = wedges.join(closing, ["b", "c"])
+    tris = _min_oriented_tris(pairs)
     tri = (
         tris.select(
             F.explode(F.array("a", "b", "c")).alias("node")
@@ -6414,12 +6425,7 @@ def g_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g_local_bridges",
     oracle=f"""
     WITH {_PART_COOCCUR_SQL},
-    tris AS (
-      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
-      FROM pairs e1
-      JOIN pairs e2 ON e2.pa = e1.pa AND e1.pb < e2.pb
-      JOIN pairs e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
-    ),
+    {_TRIS_SQL},
     supported AS (
       SELECT a AS pa, b AS pb FROM tris
       UNION ALL SELECT a, c FROM tris
@@ -6453,11 +6459,7 @@ def g_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-joined against the ONE checkpointed _part_cooccurrence pair
     set. Integer channels only."""
     pairs, _, _ = _part_cooccurrence(spark, sf_dir)
-    e1 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-    e2 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
-    wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))
-    closing = pairs.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
-    tris = wedges.join(closing, ["b", "c"])
+    tris = _min_oriented_tris(pairs)
     supported = (
         tris.select(
             F.explode(
@@ -6650,10 +6652,13 @@ def o_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     per check with (violations, checked) so a pipeline gate can assert
     n_violations == 0 per check and a drift monitor can track rates.
     Every check is a count — all-integer output, trivially exact
-    cross-engine. At 100 TB each anti join is a shuffle on its own key
-    (or broadcast where the dim side is small — the orders/customer
-    check broadcasts the key projection), and checks against the SAME
-    table share its scan via the union; nothing here collects."""
+    cross-engine. At 100 TB each anti join is a shuffle on its own key;
+    the dim key projections carry NO broadcast hints (customer/part
+    grow with SF and explicit hints are honored unconditionally — the
+    r11 hint-audit class; the planner still auto-broadcasts them at
+    test scale and degrades to SMJ at scale instead of OOMing the
+    driver). Checks against the SAME table share its scan via the
+    union; nothing here collects."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     li = _t(spark, sf_dir, "lineitem")
@@ -6676,8 +6681,11 @@ def o_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks = [
         check(
             "orders_orphan_custkey",
+            # no broadcast hint: customer grows with SF and explicit
+            # hints are honored unconditionally (the r11 audit's exact
+            # removal class) — the planner auto-broadcasts at test scale
             o.join(
-                F.broadcast(c.select("c_custkey")),
+                c.select("c_custkey"),
                 o.o_custkey == F.col("c_custkey"),
                 "left_anti",
             ),
@@ -6695,7 +6703,7 @@ def o_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         check(
             "lineitem_orphan_partkey",
             li.join(
-                F.broadcast(p.select("p_partkey")),
+                p.select("p_partkey"),
                 li.l_partkey == F.col("p_partkey"),
                 "left_anti",
             ),
@@ -6767,7 +6775,9 @@ def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions sum in float64 via a textually mirrored formula
     (round-6). Degenerate 1×k tables (a single event type or one active
     day) yield NULL V, never an ANSI divide-by-zero — both sides."""
-    cells = _type_dow_cells(spark, sf_dir)
+    cells = _type_dow_cells(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # 4 lazy consumers (rt/ct/t/chi join) — the MI entry's same barrier
     rt = cells.groupBy("event_type").agg(F.sum("observed").alias("r"))
     ct = cells.groupBy("dow").agg(F.sum("observed").alias("c"))
     t = cells.groupBy().agg(F.sum("observed").alias("total"))
@@ -7029,12 +7039,13 @@ def m_changepoint_single(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(ry.r2) AS BIGINT) AS s1y,
              CAST(sum(rx.r2 * rx.r2) AS BIGINT) AS s2x,
              CAST(sum(ry.r2 * ry.r2) AS BIGINT) AS s2y,
-             CAST(sum(rx.r2 * ry.r2) AS BIGINT) AS sxy
+             CAST(sum(rx.r2 * ry.r2) AS BIGINT) AS sxy,
+             CAST(count(DISTINCT rx.r2) AS BIGINT) AS ndx,
+             CAST(count(DISTINCT ry.r2) AS BIGINT) AS ndy
       FROM u JOIN rx USING (x) JOIN ry USING (y)
     )
     SELECT n, s1x, s1y, sxy,
-           CAST(CASE WHEN (n * s2x - s1x * s1x) = 0
-                       OR (n * s2y - s1y * s1y) = 0 THEN NULL
+           CAST(CASE WHEN ndx < 2 OR ndy < 2 THEN NULL
                 ELSE round((CAST(n AS DOUBLE) * sxy
                             - CAST(s1x AS DOUBLE) * s1y)
                      / sqrt((CAST(n AS DOUBLE) * s2x
@@ -7056,10 +7067,15 @@ def a_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     and rho is Pearson over the doubled ranks (scale-invariance makes
     the doubling free) — so every moment (Σ2r, Σ(2r)², Σ2rx·2ry, n) is
     an EXACT bigint and the single float formula mirrors textually
-    (round-6). Zero-variance guard both sides (all users tied on a
-    metric → NULL). Overflow bound: Σ(2r)² ≤ 4n³ — bigint-safe to
+    (round-6). Zero-variance guard both sides via the DISTINCT-rank
+    counts (all users tied on a metric → NULL) — never via
+    n·s2 − s1² in bigint, which is ~n⁴ and would overflow 25x below
+    the channel bound. Overflow bound: Σ(2r)² ≤ 4n³ — bigint-safe to
     ~1.3e6 users; past that, the a_basket_lift_decimal escape
-    (documented)."""
+    (documented). The per-user frame is persisted: two rank passes
+    (each running a quantile action) plus the final join are five lazy
+    consumers of the events aggregate (the m_gini scan-amplification
+    class)."""
     from surge_spark.operators.text import distributed_prefix_sum
 
     e = _t(spark, sf_dir, "events").where(
@@ -7068,7 +7084,7 @@ def a_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("x"),
         F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("y"),
-    )
+    ).persist()
 
     def ranks(col: str) -> DataFrame:
         by_v = u.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
@@ -7090,6 +7106,8 @@ def a_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("r2x * r2x")).alias("s2x"),
         F.sum(F.expr("r2y * r2y")).alias("s2y"),
         F.sum(F.expr("r2x * r2y")).alias("sxy"),
+        F.countDistinct("r2x").alias("ndx"),
+        F.countDistinct("r2y").alias("ndy"),
     )
     return g.select(
         "n",
@@ -7097,8 +7115,12 @@ def a_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s1y",
         "sxy",
         F.expr(
-            "CAST(CASE WHEN (n * s2x - s1x * s1x) = 0"
-            " OR (n * s2y - s1y * s1y) = 0 THEN NULL"
+            # zero-variance guard on the DISTINCT-rank counts, never on
+            # n*s2x - s1x^2 in bigint: that product is ~n^4 and ANSI-
+            # overflows at ~51k users, 25x below the channel's own n^3
+            # bound (review finding) — a metric with a single distinct
+            # value is exactly the zero-variance case
+            "CAST(CASE WHEN ndx < 2 OR ndy < 2 THEN NULL"
             " ELSE round((CAST(n AS DOUBLE) * sxy - CAST(s1x AS DOUBLE) * s1y)"
             " / sqrt((CAST(n AS DOUBLE) * s2x - CAST(s1x AS DOUBLE) * s1x)"
             " * (CAST(n AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s1y)), 6)"
@@ -7111,12 +7133,7 @@ def a_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g_edge_support_histogram",
     oracle=f"""
     WITH {_PART_COOCCUR_SQL},
-    tris AS (
-      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
-      FROM pairs e1
-      JOIN pairs e2 ON e2.pa = e1.pa AND e1.pb < e2.pb
-      JOIN pairs e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
-    ),
+    {_TRIS_SQL},
     corners AS (
       SELECT a AS pa, b AS pb FROM tris
       UNION ALL SELECT a, c FROM tris
@@ -7146,11 +7163,7 @@ def g_edge_support_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (they ARE the local bridges, cross-pinned in tests). Integer
     channels only; the 20+ cap bounds the output at any scale."""
     pairs, _, _ = _part_cooccurrence(spark, sf_dir)
-    e1 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-    e2 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
-    wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))
-    closing = pairs.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
-    tris = wedges.join(closing, ["b", "c"])
+    tris = _min_oriented_tris(pairs)
     corners = tris.select(
         F.explode(
             F.array(

@@ -82,6 +82,49 @@ _DUCK_ASSIGN = f"""
 """
 
 
+def _broadcast_cosine_topk(corpus, queries, k: int = 10):
+    """Exact cosine top-k of broadcast ``queries`` against ``corpus``
+    (vec_id/embedding frames) — ONE scoring/rank tail shared by
+    sim_cosine_topk_bruteforce and sim_filtered_ann_topk (review-pass
+    factoring: the cosine channel, the self-pair filter, and the
+    (cosine desc, corpus_id) tie-break must evolve in lockstep). HOF
+    dot/norm on purpose: A/B-measured faster than flat indexed chains
+    for column-column scoring (codegen method budget — see
+    operators.similarity.cosine_topk's note)."""
+    scored = (
+        corpus.select(
+            F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ce")
+        )
+        .crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qe"),
+                )
+            )
+        )
+        .where(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                sim.dot(sim._as_double(F.col("ce")), sim._as_double(F.col("qe")))
+                / (
+                    sim.norm(sim._as_double(F.col("ce")))
+                    * sim.norm(sim._as_double(F.col("qe")))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 @query(
     "sim_cosine_topk_bruteforce",
     oracle=f"""
@@ -107,37 +150,7 @@ def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force ANN baseline. Query side broadcast; corpus side never
     shuffles (map-side dot products + per-partition partial top-k)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5)
-    scored = (
-        emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ce"))
-        .crossJoin(
-            F.broadcast(
-                queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-            )
-        )
-        .where(F.col("corpus_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "corpus_id",
-            # HOF dot/norm on purpose: A/B-measured faster than flat
-            # indexed chains for column-column scoring (codegen method
-            # budget — see operators.similarity.cosine_topk's note)
-            F.round(
-                sim.dot(sim._as_double(F.col("ce")), sim._as_double(F.col("qe")))
-                / (
-                    sim.norm(sim._as_double(F.col("ce")))
-                    * sim.norm(sim._as_double(F.col("qe")))
-                ),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("query_id", "corpus_id", "cosine", "rank")
-    )
+    return _broadcast_cosine_topk(emb, emb.where(F.col("vec_id") < 5))
 
 
 @query(
@@ -2146,36 +2159,4 @@ def sim_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = emb.join(
         docs.select(F.col("doc_id").alias("vec_id")), "vec_id"
     )
-    queries = emb.where(F.col("vec_id") < 5)
-    scored = (
-        eligible.select(
-            F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ce")
-        )
-        .crossJoin(
-            F.broadcast(
-                queries.select(
-                    F.col("vec_id").alias("query_id"),
-                    F.col("embedding").alias("qe"),
-                )
-            )
-        )
-        .where(F.col("corpus_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "corpus_id",
-            F.round(
-                sim.dot(sim._as_double(F.col("ce")), sim._as_double(F.col("qe")))
-                / (
-                    sim.norm(sim._as_double(F.col("ce")))
-                    * sim.norm(sim._as_double(F.col("qe")))
-                ),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("query_id", "corpus_id", "cosine", "rank")
-    )
+    return _broadcast_cosine_topk(eligible, emb.where(F.col("vec_id") < 5))

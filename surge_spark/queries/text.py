@@ -2484,8 +2484,10 @@ def t_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast theta join — never an unpartitioned window, the
     distributed_prefix_sum totals trick at fixed fan-out. β is
     regr_slope over the 10 log-log points (round-6; the
-    g_degree_powerlaw_slope channel). The corpus-scale work is one
-    explode + two aggregates."""
+    g_degree_powerlaw_slope channel). The corpus-scale work is the
+    exploded token stream feeding its two aggregates (first-doc per
+    token, token mass per doc), each evaluated once — the bounded
+    decile series downstream are checkpointed."""
     from surge_spark.operators.dedup import tokens as _tok
 
     d = load_table(spark, sf_dir, "documents")
@@ -2502,12 +2504,18 @@ def t_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("least(first_doc * 10 div n_docs, 9)").alias("decile")
         )
         .agg(F.count(F.lit(1)).alias("new_vocab"))
+        .localCheckpoint(eager=False)
     )
     tmass = (
         doc_tokens.crossJoin(F.broadcast(nd))
         .groupBy(F.expr("least(doc_id * 10 div n_docs, 9)").alias("decile"))
         .agg(F.sum("n_tok").alias("tok_mass"))
+        .localCheckpoint(eager=False)
     )
+    # the <=10-row decile series are checkpointed: deciles + both
+    # cumulate() consumers would otherwise re-run the corpus explode per
+    # reference (review finding — the explode evaluates once per
+    # aggregate now: firsts and doc_tokens->tmass, nothing more)
     deciles = tmass.select("decile").distinct()
 
     def cumulate(series: DataFrame, val: str, out: str) -> DataFrame:
