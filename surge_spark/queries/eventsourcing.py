@@ -3155,3 +3155,70 @@ def m_interarrival_exponential_ks(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("mean_gap_ms"),
         "d_stat",
     )
+
+
+@query(
+    "m_hourly_profile_entropy",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM cells GROUP BY 1
+    )
+    SELECT c.event_type,
+           CAST(count(*) AS BIGINT) AS n_active_hours,
+           CAST(max(t.total) AS BIGINT) AS n_events,
+           CAST(min(CASE WHEN c.n = mx.mx THEN c.hod END) AS BIGINT)
+             AS peak_hour,
+           CAST(round(-sum((CAST(c.n AS DOUBLE) / t.total)
+             * ln(CAST(c.n AS DOUBLE) / t.total)), 6) AS DOUBLE)
+             AS hourly_entropy
+    FROM cells c
+    JOIN tot t USING (event_type)
+    JOIN (SELECT event_type, max(n) AS mx FROM cells GROUP BY 1) mx
+      USING (event_type)
+    GROUP BY c.event_type
+    """,
+)
+def m_hourly_profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day traffic profile per event type — Shannon entropy of
+    the 24-cell distribution (low entropy = strongly diurnal, high =
+    flat) plus the peak hour: the intraday sibling of m_seasonality_dow
+    (capacity planning reads both). Hour is the pure-integer channel
+    (epoch_ms div 3600000) % 24 — UTC hour with no engine time-zone or
+    hour() convention involved (the dow-label lesson). Entropy terms
+    derive from exact integer cell counts via one mirrored float
+    formula (round-6; p>0 for every present cell so ln never sees 0);
+    peak hour ties break to the earliest hour via min-over-argmax. One
+    bounded aggregate over |types|x24 cells."""
+    e = _events(spark, sf_dir)
+    cells = e.groupBy(
+        "event_type",
+        (F.expr("unix_millis(ts) div 3600000") % 24).alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
+    tot = cells.groupBy("event_type").agg(F.sum("n").alias("total"))
+    mx = cells.groupBy("event_type").agg(F.max("n").alias("mx"))
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .join(F.broadcast(mx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_hours"),
+            F.max("total").alias("n_events"),
+            F.min(F.when(F.col("n") == F.col("mx"), F.col("hod"))).cast(
+                "bigint"
+            ).alias("peak_hour"),
+            F.round(
+                -F.sum(
+                    F.expr(
+                        "(CAST(n AS DOUBLE) / total)"
+                        " * ln(CAST(n AS DOUBLE) / total)"
+                    )
+                ),
+                6,
+            ).alias("hourly_entropy"),
+        )
+    )

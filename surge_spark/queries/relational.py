@@ -7275,3 +7275,84 @@ def j_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("feature_age_ms"),
         )
     )
+
+
+@query(
+    "a_gini_by_group",
+    oracle="""
+    WITH o AS (
+      SELECT n.n_name,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    ranked AS (
+      SELECT n_name, cents,
+             CAST(row_number() OVER (
+               PARTITION BY n_name ORDER BY cents, cents
+             ) AS BIGINT) AS i
+      FROM o
+    ),
+    g AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s_x,
+             CAST(sum(i * cents) AS BIGINT) AS s_ix
+      FROM ranked GROUP BY n_name
+    )
+    SELECT n_name, n, s_x, s_ix,
+           CAST(CASE WHEN n < 2 OR s_x = 0 THEN NULL
+                ELSE round(2.0 * s_ix / (CAST(n AS DOUBLE) * s_x)
+                     - (CAST(n AS DOUBLE) + 1) / n, 6)
+                END AS DOUBLE) AS gini
+    FROM g
+    """,
+)
+def a_gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of order values — revenue inequality
+    WITHIN each market, the grouped sibling of m_gini_coefficient's
+    corpus-wide number (a flat global Gini can hide one winner-take-all
+    market): the exact rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    ascending integer cents, where the rank window is PARTITIONED by
+    nation — parallel at any scale, no global window and no prefix-sum
+    machinery needed (the partition IS the bound). Ties in cents
+    commute in Σi·xᵢ, so row_number's arbitrary tie order cannot change
+    G — the channel is still exact. Integer channels shipped (n, Σx,
+    Σi·x); the single float formula mirrors textually (round-6), with
+    n<2 / zero-mass guards both sides. Overflow bound: Σi·cents ~
+    n²·avg_cents/2 — bigint-safe to ~3e6 orders per group at this
+    data's price scale; past that, the a_basket_lift_decimal escape
+    (documented)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o.o_custkey == F.col("c_custkey"),
+    ).join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        "n_name",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    w = W.partitionBy("n_name").orderBy("cents")
+    ranked = joined.select(
+        "n_name", "cents", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    g = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s_x"),
+        F.sum(F.expr("i * cents")).alias("s_ix"),
+    )
+    return g.select(
+        "n_name",
+        "n",
+        "s_x",
+        "s_ix",
+        F.expr(
+            "CAST(CASE WHEN n < 2 OR s_x = 0 THEN NULL"
+            " ELSE round(2.0 * s_ix / (CAST(n AS DOUBLE) * s_x)"
+            " - (CAST(n AS DOUBLE) + 1) / n, 6) END AS DOUBLE)"
+        ).alias("gini"),
+    )

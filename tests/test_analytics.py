@@ -1457,3 +1457,32 @@ def test_point_in_time_join_no_leakage(spark, sf_dir):
             return us // 1000  # exact ints end to end, no float epoch
 
         assert r.feature_age_ms == _ms(ts) - _ms(best.valid_from)
+
+
+def test_hourly_entropy_contract(spark, sf_dir):
+    """Entropy in [0, ln(24)]; peak hour in [0, 24); active hours <= 24;
+    and the uniform-arrival synthetic corpus reads near-flat (entropy
+    close to the max — a vacuity guard on the channel)."""
+    import math
+
+    rows = all_queries()["m_hourly_profile_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_active_hours <= 24
+        assert 0 <= r.peak_hour < 24
+        assert -1e-9 <= r.hourly_entropy <= math.log(24) + 1e-9
+        assert r.hourly_entropy > 0.9 * math.log(r.n_active_hours or 1)
+
+
+def test_gini_by_group_contract(spark, sf_dir):
+    """Per-group Gini in [0, 1); every nation with >= 2 orders ships a
+    value; and the formula re-derives exactly from the shipped integer
+    channels."""
+    rows = all_queries()["a_gini_by_group"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.n >= 2 and r.s_x > 0:
+            assert r.gini is not None
+            assert -1e-9 <= r.gini < 1.0
+            expect = round(2.0 * r.s_ix / (r.n * r.s_x) - (r.n + 1) / r.n, 6)
+            assert abs(r.gini - expect) < 1e-12
