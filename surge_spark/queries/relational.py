@@ -3844,7 +3844,7 @@ def w_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
              regexp_replace(
                regexp_replace(
                  regexp_replace(lower(url), '#.*$', ''),
-                 '^(https?://)www\.', '\\1'
+                 '^(https?://)www\\.', '\\1'
                ),
                ':443/', '/'
              ) AS nofrag
@@ -7355,4 +7355,88 @@ def a_gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE round(2.0 * s_ix / (CAST(n AS DOUBLE) * s_x)"
             " - (CAST(n AS DOUBLE) + 1) / n, 6) END AS DOUBLE)"
         ).alias("gini"),
+    )
+
+
+@query(
+    "w_rolling_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS d,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    rolled AS (
+      SELECT d,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(x) OVER w AS BIGINT) AS sx,
+             CAST(sum(y) OVER w AS BIGINT) AS sy,
+             CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+             CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(sum(y * y) OVER w AS BIGINT) AS syy
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(d AS BIGINT) AS day, n,
+           CAST(CASE WHEN n < 2
+                  OR (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                THEN NULL
+                ELSE round((CAST(n AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy)
+                     / sqrt((CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx)
+                            * (CAST(n AS DOUBLE) * syy
+                               - CAST(sy AS DOUBLE) * sy)), 6)
+                END AS DOUBLE) AS rolling_corr
+    FROM rolled
+    """,
+)
+def w_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between the daily view and
+    purchase series — the co-movement monitor ('did purchases stop
+    tracking traffic this week?') that a static a_corr_regression can't
+    express: correlation as a WINDOWED statistic, every frame moment
+    (n, Σx, Σy, Σxy, Σx², Σy²) an exact integer so both engines derive
+    each day's r from identical bigints via one mirrored float formula
+    (round-6), with zero-variance frames NULL on both sides. The window
+    is ordered over the CALENDAR-BOUNDED daily series — its row count
+    is the number of days, which cannot grow with data volume (the
+    m_autocorr_daily class), so the single-series frame is scale-safe
+    by construction; the corpus-scale work is one conditional daily
+    aggregate. Day ships as integer epoch-day (no date channel).
+    Overflow: frame sums of 7 day-counts squared — bigint-safe to ~1e9
+    events/day."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr("unix_millis(ts) div 86400000").alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    w = W.orderBy("d").rowsBetween(-6, 0)
+    rolled = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.expr("x * y")).over(w).alias("sxy"),
+        F.sum(F.expr("x * x")).over(w).alias("sxx"),
+        F.sum(F.expr("y * y")).over(w).alias("syy"),
+    )
+    return rolled.select(
+        F.col("d").cast("bigint").alias("day"),
+        "n",
+        F.expr(
+            "CAST(CASE WHEN n < 2"
+            " OR (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN NULL"
+            " ELSE round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)"
+            " END AS DOUBLE)"
+        ).alias("rolling_corr"),
     )

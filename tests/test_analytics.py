@@ -1486,3 +1486,19 @@ def test_gini_by_group_contract(spark, sf_dir):
             assert -1e-9 <= r.gini < 1.0
             expect = round(2.0 * r.s_ix / (r.n * r.s_x) - (r.n + 1) / r.n, 6)
             assert abs(r.gini - expect) < 1e-12
+
+
+def test_rolling_correlation_contract(spark, sf_dir):
+    """r in [-1, 1] on every full-variance frame; one row per observed
+    day; frame widths ramp 1..7 then hold at 7."""
+    rows = sorted(
+        all_queries()["w_rolling_correlation"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    for i, r in enumerate(rows):
+        assert r.n == min(i + 1, 7)
+        if r.rolling_corr is not None:
+            assert -1.0 - 1e-9 <= r.rolling_corr <= 1.0 + 1e-9
+    days = [r.day for r in rows]
+    assert len(days) == len(set(days))
