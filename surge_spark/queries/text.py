@@ -2554,3 +2554,177 @@ def t_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("heaps_beta"),
     )
+
+
+@query(
+    "t_js_divergence_sources",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    tf AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM toks
+      WHERE w <> '' GROUP BY source, w
+    ),
+    stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS st FROM tf GROUP BY source),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             a.w,
+             a.c / CAST(sa.st AS DOUBLE) AS p,
+             b.c / CAST(sb.st AS DOUBLE) AS q
+      FROM tf a
+      JOIN stot sa ON sa.source = a.source
+      JOIN tf b ON b.w = a.w AND a.source < b.source
+      JOIN stot sb ON sb.source = b.source
+    ),
+    miss_a AS (
+      -- mass present in a but absent in b contributes p*ln(2)/2 and
+      -- symmetrically; fold those closed-form tails from the overlap
+      SELECT src_a, src_b,
+             CAST(sum(0.5 * p * ln(2.0 * p / (p + q))
+                      + 0.5 * q * ln(2.0 * q / (p + q))) AS DOUBLE) AS ov,
+             CAST(sum(p) AS DOUBLE) AS pa_mass,
+             CAST(sum(q) AS DOUBLE) AS qb_mass
+      FROM pairs GROUP BY src_a, src_b
+    )
+    SELECT src_a, src_b,
+           CAST(round(ov
+             + 0.5 * (1.0 - pa_mass) * ln(2.0)
+             + 0.5 * (1.0 - qb_mass) * ln(2.0), 6) AS DOUBLE)
+             AS js_divergence
+    FROM miss_a
+    """,
+)
+def t_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the SYMMETRIC, bounded (≤ ln 2) cousin of
+    t_source_kl_divergence's source-vs-corpus KL, and the matrix a
+    data-mixing pass reads to decide which shards are interchangeable
+    (JSD near 0) vs complementary. The trick that keeps it ONE overlap
+    join instead of a full outer per pair: tokens present in only one
+    source contribute exactly ½·p·ln2 (their mixture term has q=0), so
+    the disjoint-support tails fold in CLOSED FORM from the overlap's
+    complement masses (1−Σp_overlap)·ln2/2 — no null-handling channel
+    for the oracle to diverge on. Probabilities derive from exact
+    integer counts and per-source totals; one mirrored float formula,
+    round-6. The (source, word) tf aggregate is the single heavy
+    shuffle; the pair join is |vocab|·|source-pairs|-bounded."""
+    from surge_spark.operators.dedup import tokens as _tok
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(_tok("text")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # totals + both pair sides consume
+    )
+    stot = tf.groupBy("source").agg(F.sum("c").alias("st"))
+    a = (
+        tf.join(stot, "source")
+        .select(
+            F.col("source").alias("src_a"),
+            "w",
+            F.expr("c / CAST(st AS DOUBLE)").alias("p"),
+        )
+    )
+    b = (
+        tf.join(stot, "source")
+        .select(
+            F.col("source").alias("src_b"),
+            "w",
+            F.expr("c / CAST(st AS DOUBLE)").alias("q"),
+        )
+    )
+    pairs = a.join(b, "w").where(F.col("src_a") < F.col("src_b"))
+    ov = pairs.groupBy("src_a", "src_b").agg(
+        F.expr(
+            "CAST(sum(0.5 * p * ln(2.0 * p / (p + q))"
+            " + 0.5 * q * ln(2.0 * q / (p + q))) AS DOUBLE)"
+        ).alias("ov"),
+        F.expr("CAST(sum(p) AS DOUBLE)").alias("pa_mass"),
+        F.expr("CAST(sum(q) AS DOUBLE)").alias("qb_mass"),
+    )
+    return ov.select(
+        "src_a",
+        "src_b",
+        F.expr(
+            "CAST(round(ov + 0.5 * (1.0 - pa_mass) * ln(2.0)"
+            " + 0.5 * (1.0 - qb_mass) * ln(2.0), 6) AS DOUBLE)"
+        ).alias("js_divergence"),
+    )
+
+
+@query(
+    "t_idf_outlier_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    dt AS (
+      SELECT DISTINCT doc_id, w FROM toks WHERE w <> ''
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY w),
+    scored AS (
+      SELECT dt.doc_id,
+             CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+             round(avg(ln(CAST(nd.n AS DOUBLE) / df.df)), 6) AS mean_idf
+      FROM dt JOIN df USING (w) CROSS JOIN nd
+      GROUP BY dt.doc_id
+    )
+    SELECT doc_id, n_distinct_tokens,
+           CAST(mean_idf AS DOUBLE) AS mean_idf,
+           CAST(row_number() OVER (
+             ORDER BY mean_idf DESC, doc_id
+           ) AS INT) AS rank
+    FROM scored
+    ORDER BY mean_idf DESC, doc_id LIMIT 20
+    """,
+)
+def t_idf_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token-density outliers — the 20 documents with the highest
+    mean IDF over their distinct tokens: the pretrain-filter heuristic
+    for catching noise, code dumps, and ID-laden pages (a document made
+    of corpus-rare tokens is the one a quality pass inspects first;
+    t_quality_score's length/stopword signals miss it when the junk is
+    well-formed). Per-token IDF ln(N/df) comes from exact integer
+    df/N; each doc's score is the mean over its DISTINCT tokens,
+    rounded to 6 BEFORE the global rank (round-before-rank, with
+    doc_id as the total-order tiebreak); the top-20 filter is
+    TakeOrdered, never a global window sort. The (doc, token) distinct
+    projection is the one corpus-scale shuffle; df joins back
+    |vocab|-bounded."""
+    from surge_spark.operators.dedup import tokens as _tok
+
+    d = load_table(spark, sf_dir, "documents")
+    dt = (
+        d.select("doc_id", F.explode(_tok("text")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+        .localCheckpoint(eager=False)  # df + the scoring join consume
+    )
+    nd = d.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    df = dt.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        dt.join(df, "w")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.round(
+                F.avg(F.expr("ln(CAST(n AS DOUBLE) / df)")), 6
+            ).alias("mean_idf"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("mean_idf"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.desc("mean_idf"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "n_distinct_tokens", "mean_idf", "rank")
+    )

@@ -1502,3 +1502,43 @@ def test_rolling_correlation_contract(spark, sf_dir):
             assert -1.0 - 1e-9 <= r.rolling_corr <= 1.0 + 1e-9
     days = [r.day for r in rows]
     assert len(days) == len(set(days))
+
+
+def test_js_divergence_contract(spark, sf_dir):
+    """JSD is symmetric by construction (pairs canonicalized a<b),
+    bounded by ln 2, nonnegative; every source pair appears exactly
+    once."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from surge_spark.io import load_table
+
+    rows = all_queries()["t_js_divergence_sources"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert (r.src_a, r.src_b) not in seen
+        seen.add((r.src_a, r.src_b))
+        assert -1e-9 <= r.js_divergence <= math.log(2) + 1e-9
+    n_src = (
+        load_table(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    assert len(rows) == n_src * (n_src - 1) // 2
+
+
+def test_idf_outlier_docs_contract(spark, sf_dir):
+    """Top-20 with contiguous ranks, scores non-increasing, every score
+    positive (IDF of a token present in at least its own doc is
+    ln(N/df) >= 0 with df <= N), and doc ids exist."""
+    rows = sorted(
+        all_queries()["t_idf_outlier_docs"](spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert 1 <= len(rows) <= 20
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.mean_idf >= b.mean_idf
+    for r in rows:
+        assert r.mean_idf >= 0 and r.n_distinct_tokens >= 1
