@@ -7327,7 +7327,10 @@ def a_gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     joined = o.join(
-        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        # no hint on customer (grows with SF — the r13 review's hint
+        # class; the planner auto-broadcasts at test scale); nation's
+        # 25 rows keep theirs
+        c.select("c_custkey", "c_nationkey"),
         o.o_custkey == F.col("c_custkey"),
     ).join(
         F.broadcast(n.select("n_nationkey", "n_name")),
