@@ -2728,3 +2728,130 @@ def t_idf_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_distinct_tokens", "mean_idf", "rank")
     )
+
+
+@query(
+    "t_log_odds_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    tfq AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM toks
+      WHERE w <> '' GROUP BY source, w
+    ),
+    two AS (
+      SELECT min(source) AS sa,
+             min(CASE WHEN source > (SELECT min(source) FROM tfq)
+                      THEN source END) AS sb
+      FROM tfq
+    ),
+    gc AS (SELECT w, CAST(sum(c) AS BIGINT) AS g FROM tfq GROUP BY w),
+    gt AS (SELECT CAST(sum(g) AS BIGINT) AS gtot FROM gc),
+    arm AS (
+      SELECT gc.w, gc.g, gt.gtot,
+             CAST(coalesce(a.c, 0) AS BIGINT) AS ya,
+             CAST(coalesce(b.c, 0) AS BIGINT) AS yb,
+             (SELECT CAST(sum(c) AS BIGINT) FROM tfq, two
+              WHERE source = two.sa) AS na,
+             (SELECT CAST(sum(c) AS BIGINT) FROM tfq, two
+              WHERE source = two.sb) AS nb
+      FROM gc CROSS JOIN gt CROSS JOIN two
+      LEFT JOIN tfq a ON a.w = gc.w AND a.source = two.sa
+      LEFT JOIN tfq b ON b.w = gc.w AND b.source = two.sb
+      WHERE coalesce(a.c, 0) + coalesce(b.c, 0) > 0
+    ),
+    scored AS (
+      SELECT w, ya, yb,
+             round(
+               (ln((ya + 1000.0 * g / gtot)
+                   / (na + 1000.0 - ya - 1000.0 * g / gtot))
+                - ln((yb + 1000.0 * g / gtot)
+                     / (nb + 1000.0 - yb - 1000.0 * g / gtot)))
+               / sqrt(1.0 / (ya + 1000.0 * g / gtot)
+                      + 1.0 / (yb + 1000.0 * g / gtot)), 6) AS z
+      FROM arm
+    )
+    SELECT w AS term, ya AS count_a, yb AS count_b,
+           CAST(z AS DOUBLE) AS log_odds_z,
+           CAST(row_number() OVER (ORDER BY z DESC, w) AS INT) AS rank
+    FROM scored
+    ORDER BY z DESC, w LIMIT 20
+    """,
+)
+def t_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Fightin' Words' (Monroe et al. 2008): the 20 terms most
+    over-represented in source A vs source B by log-odds with an
+    informative Dirichlet prior (α_w ∝ global frequency, α₀=1000) —
+    the per-TERM attribution that explains WHAT drives the aggregate
+    divergences t_source_kl_divergence / t_js_divergence_sources
+    report (raw frequency ratios over-rank rare terms; the prior and
+    the variance-normalized z fix exactly that). Arms are the two
+    lexicographically-first sources (deterministic, engine-portable);
+    every input to the mirrored float formula is an exact integer
+    (per-arm counts, arm totals, global counts), z rounds to 6 BEFORE
+    the global rank (round-before-rank, term as the tiebreak), and the
+    top-20 is TakeOrdered. The (source, word) tf aggregate is the one
+    corpus-scale shuffle, checkpointed for its four consumers."""
+    from surge_spark.operators.dedup import tokens as _tok
+
+    d = load_table(spark, sf_dir, "documents")
+    tfq = (
+        d.select("source", F.explode(_tok("text")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # two/gc/arm-sides consume
+    )
+    srcs = [
+        r.source
+        for r in tfq.select("source").distinct().orderBy("source").limit(2).collect()
+    ]
+    sa, sb = srcs[0], srcs[1]
+    gc = tfq.groupBy("w").agg(F.sum("c").alias("g"))
+    gt = gc.groupBy().agg(F.sum("g").alias("gtot"))
+    na = tfq.where(F.col("source") == sa).groupBy().agg(F.sum("c").alias("na"))
+    nb = tfq.where(F.col("source") == sb).groupBy().agg(F.sum("c").alias("nb"))
+    a = tfq.where(F.col("source") == sa).select("w", F.col("c").alias("ca"))
+    b = tfq.where(F.col("source") == sb).select("w", F.col("c").alias("cb"))
+    arm = (
+        gc.join(a, "w", "left")
+        .join(b, "w", "left")
+        .select(
+            "w",
+            "g",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ya"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("yb"),
+        )
+        .where(F.expr("ya + yb > 0"))
+        .crossJoin(F.broadcast(gt))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    # 1000.0D, not 1000.0: Spark parses a bare decimal literal as
+    # DECIMAL, and with BIGINT operands the whole prior chain stays in
+    # scale-truncating DECIMAL arithmetic (argA came back as
+    # Decimal('0.044476') — 6-digit scale — shifting z by ~1e-5 vs the
+    # oracle's float64). The D suffix pins every term to double.
+    z = (
+        "round((ln((ya + 1000.0D * g / gtot)"
+        " / (na + 1000.0D - ya - 1000.0D * g / gtot))"
+        " - ln((yb + 1000.0D * g / gtot)"
+        " / (nb + 1000.0D - yb - 1000.0D * g / gtot)))"
+        " / sqrt(1.0D / (ya + 1000.0D * g / gtot)"
+        " + 1.0D / (yb + 1000.0D * g / gtot)), 6)"
+    )
+    scored = arm.select(
+        F.col("w").alias("term"),
+        F.col("ya").alias("count_a"),
+        F.col("yb").alias("count_b"),
+        F.expr(f"CAST({z} AS DOUBLE)").alias("log_odds_z"),
+    )
+    return (
+        scored.orderBy(F.desc("log_odds_z"), F.asc("term"))
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("log_odds_z"), F.asc("term"))),
+        )
+    )

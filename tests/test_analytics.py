@@ -1542,3 +1542,36 @@ def test_idf_outlier_docs_contract(spark, sf_dir):
         assert a.mean_idf >= b.mean_idf
     for r in rows:
         assert r.mean_idf >= 0 and r.n_distinct_tokens >= 1
+
+
+def test_log_odds_terms_contract(spark, sf_dir):
+    """Top-20 by z with contiguous ranks and non-increasing scores;
+    every term present in at least one arm; counts re-derivable
+    from the source tf channel for the top term."""
+    from pyspark.sql import functions as F
+
+    from surge_spark.io import load_table
+    from surge_spark.operators.dedup import tokens as _tok
+
+    rows = sorted(
+        all_queries()["t_log_odds_terms"](spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert 1 <= len(rows) <= 20
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.log_odds_z >= b.log_odds_z
+    top = rows[0]
+    assert top.count_a + top.count_b > 0
+    d = load_table(spark, sf_dir, "documents")
+    tfq = (
+        d.select("source", F.explode(_tok("text")).alias("w"))
+        .where(F.col("w") == top.term)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    by_src = {r.source: r["count"] for r in tfq}
+    srcs = sorted({r.source for r in d.select("source").distinct().collect()})[:2]
+    assert top.count_a == by_src.get(srcs[0], 0)
+    assert top.count_b == by_src.get(srcs[1], 0)
