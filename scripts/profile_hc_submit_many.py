@@ -70,16 +70,20 @@ def main() -> int:
     try:
         for rep in range(args.reps):
             ck = args.cmd_keys or 2048
+            # batch size grows with --cmd-keys so every requested key is
+            # actually distinct in the batch (a fixed 2048-command batch
+            # would silently clamp ck > 2048 to at most 2048 keys)
+            batch = max(2048, ck)
             hc_many = [
-                (str((rep * 2048 + i % ck) % hc_keys), {"kind": "bump"})
-                for i in range(2048)
+                (str((rep * batch + i % ck) % hc_keys), {"kind": "bump"})
+                for i in range(batch)
             ]
             s = time.perf_counter()
             res = eng.submit_many(hc_many)
             dt = time.perf_counter() - s
             assert all(r.is_success for r in res)
             print(
-                f"rep {rep}: {dt:.3f} s  ({2048 / dt:.1f} cmds/s)",
+                f"rep {rep}: {dt:.3f} s  ({batch / dt:.1f} cmds/s)",
                 flush=True,
             )
     finally:

@@ -6241,7 +6241,11 @@ def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently wrong)."""
     from surge_spark.operators.text import distributed_prefix_sum
 
-    by_v = _value_arm_counts(spark, sf_dir)
+    # persist: the prefix sum's quantile-bounds action, its windowed
+    # shard chain, and the per-shard totals each consume by_v — lazy,
+    # the events scan + group-by re-runs per consumer (the
+    # a_spearman_rho scan-amplification class).
+    by_v = _value_arm_counts(spark, sf_dir).persist()
     pre = distributed_prefix_sum(
         by_v, "cnt", "cents", [F.col("cents")], out_col="cum"
     ).withColumn("less", F.col("cum") - F.col("cnt"))
@@ -6321,7 +6325,10 @@ def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_basket_lift_decimal escape class, documented."""
     from surge_spark.operators.text import distributed_prefix_sum
 
-    by_v = _value_arm_counts(spark, sf_dir)
+    # persist: the explicit bounds action below plus both prefix-sum
+    # chains and the n aggregate each consume by_v (scan amplification,
+    # the a_spearman_rho class).
+    by_v = _value_arm_counts(spark, sf_dir).persist()
     # ONE quantile pass shapes both prefix columns' shards (bounds=)
     bounds = by_v.stat.approxQuantile(
         "cents", [i / 16 for i in range(1, 16)], 0.001
@@ -6657,8 +6664,13 @@ def o_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     grow with SF and explicit hints are honored unconditionally — the
     r11 hint-audit class; the planner still auto-broadcasts them at
     test scale and degrades to SMJ at scale instead of OOMing the
-    driver). Checks against the SAME table share its scan via the
-    union; nothing here collects."""
+    driver). Each check is an independent aggregate subtree — Catalyst
+    does NOT reuse scans across union branches, so orders is scanned 3x
+    and lineitem/events 2x each; that's accepted here because every
+    branch is a column-pruned count over one or two key columns (the
+    scans are cheap relative to the anti-join shuffles, and collapsing
+    the join checks into conditional aggregates would force outer joins
+    that shuffle the fact tables anyway). Nothing here collects."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     li = _t(spark, sf_dir, "lineitem")
@@ -7290,7 +7302,7 @@ def j_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT n_name, cents,
              CAST(row_number() OVER (
-               PARTITION BY n_name ORDER BY cents, cents
+               PARTITION BY n_name ORDER BY cents
              ) AS BIGINT) AS i
       FROM o
     ),

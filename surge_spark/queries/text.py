@@ -2586,13 +2586,20 @@ def t_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(p) AS DOUBLE) AS pa_mass,
              CAST(sum(q) AS DOUBLE) AS qb_mass
       FROM pairs GROUP BY src_a, src_b
+    ),
+    universe AS (
+      -- every source pair, so fully-disjoint vocabularies still ship
+      -- a row (JSD = ln 2), not silence
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM stot a JOIN stot b ON a.source < b.source
     )
-    SELECT src_a, src_b,
-           CAST(round(ov
-             + 0.5 * (1.0 - pa_mass) * ln(2.0)
-             + 0.5 * (1.0 - qb_mass) * ln(2.0), 6) AS DOUBLE)
-             AS js_divergence
-    FROM miss_a
+    SELECT u.src_a, u.src_b,
+           CAST(round(coalesce(m.ov, 0.0)
+             + 0.5 * (1.0 - coalesce(m.pa_mass, 0.0)) * ln(2.0)
+             + 0.5 * (1.0 - coalesce(m.qb_mass, 0.0)) * ln(2.0), 6)
+             AS DOUBLE) AS js_divergence
+    FROM universe u
+    LEFT JOIN miss_a m ON m.src_a = u.src_a AND m.src_b = u.src_b
     """,
 )
 def t_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2604,8 +2611,12 @@ def t_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     join instead of a full outer per pair: tokens present in only one
     source contribute exactly ½·p·ln2 (their mixture term has q=0), so
     the disjoint-support tails fold in CLOSED FORM from the overlap's
-    complement masses (1−Σp_overlap)·ln2/2 — no null-handling channel
-    for the oracle to diverge on. Probabilities derive from exact
+    complement masses (1−Σp_overlap)·ln2/2 — no per-token null channel
+    for the oracle to diverge on. The pair universe comes from the
+    distinct-source cross product, so a pair with fully disjoint
+    vocabularies ships its correct JSD = ln 2 row (coalesced masses,
+    mirrored both sides) instead of vanishing from the output.
+    Probabilities derive from exact
     integer counts and per-source totals; one mirrored float formula,
     round-6. The (source, word) tf aggregate is the single heavy
     shuffle; the pair join is |vocab|·|source-pairs|-bounded."""
@@ -2645,12 +2656,25 @@ def t_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(p) AS DOUBLE)").alias("pa_mass"),
         F.expr("CAST(sum(q) AS DOUBLE)").alias("qb_mass"),
     )
-    return ov.select(
+    # Pair universe from the distinct-source cross product: a pair with
+    # fully disjoint vocabularies gets NO overlap row, but its JSD is
+    # exactly ln 2 — the left join + coalesce ships it instead of
+    # dropping it (mirrored in the oracle). |sources| is tiny, so the
+    # triangle cross join is a broadcast nested loop over a few rows.
+    srcs = stot.select("source")
+    universe = (
+        srcs.select(F.col("source").alias("src_a"))
+        .crossJoin(srcs.select(F.col("source").alias("src_b")))
+        .where(F.col("src_a") < F.col("src_b"))
+    )
+    return universe.join(ov, ["src_a", "src_b"], "left").select(
         "src_a",
         "src_b",
         F.expr(
-            "CAST(round(ov + 0.5 * (1.0 - pa_mass) * ln(2.0)"
-            " + 0.5 * (1.0 - qb_mass) * ln(2.0), 6) AS DOUBLE)"
+            "CAST(round(coalesce(ov, 0.0D)"
+            " + 0.5 * (1.0 - coalesce(pa_mass, 0.0D)) * ln(2.0)"
+            " + 0.5 * (1.0 - coalesce(qb_mass, 0.0D)) * ln(2.0), 6)"
+            " AS DOUBLE)"
         ).alias("js_divergence"),
     )
 
@@ -2803,17 +2827,32 @@ def t_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)  # two/gc/arm-sides consume
     )
-    srcs = [
-        r.source
-        for r in tfq.select("source").distinct().orderBy("source").limit(2).collect()
-    ]
-    sa, sb = srcs[0], srcs[1]
+    # Arm labels derived IN-PLAN (the oracle's own min / min-above-min
+    # pick): one tiny aggregate collects the distinct source set —
+    # |sources| is category-bounded — and the two lexicographically
+    # first become the arms via a broadcast 1-row scalar frame. F.get
+    # (NULL past the end), never [1], which RAISES under ANSI on a
+    # single-source corpus. Replaces the former 2-row driver collect.
+    two = (
+        tfq.groupBy()
+        .agg(F.expr("array_sort(collect_set(source))").alias("ss"))
+        .select(
+            F.get(F.col("ss"), 0).alias("sa"),
+            F.get(F.col("ss"), 1).alias("sb"),
+        )
+    )
     gc = tfq.groupBy("w").agg(F.sum("c").alias("g"))
     gt = gc.groupBy().agg(F.sum("g").alias("gtot"))
-    na = tfq.where(F.col("source") == sa).groupBy().agg(F.sum("c").alias("na"))
-    nb = tfq.where(F.col("source") == sb).groupBy().agg(F.sum("c").alias("nb"))
-    a = tfq.where(F.col("source") == sa).select("w", F.col("c").alias("ca"))
-    b = tfq.where(F.col("source") == sb).select("w", F.col("c").alias("cb"))
+    ta = tfq.join(
+        F.broadcast(two.select("sa")), F.col("source") == F.col("sa")
+    )
+    tb = tfq.join(
+        F.broadcast(two.select("sb")), F.col("source") == F.col("sb")
+    )
+    na = ta.groupBy().agg(F.sum("c").alias("na"))
+    nb = tb.groupBy().agg(F.sum("c").alias("nb"))
+    a = ta.select("w", F.col("c").alias("ca"))
+    b = tb.select("w", F.col("c").alias("cb"))
     arm = (
         gc.join(a, "w", "left")
         .join(b, "w", "left")
