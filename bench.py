@@ -9,6 +9,30 @@ of the per-query numbers; each query is then timed N_RUNS times and the
 MEDIAN reported — single-shot numbers on a shared machine showed
 run-to-run spreads of ±40% on sub-second queries, which made
 round-over-round comparison meaningless noise.
+
+HOST-SPEED CALIBRATION (r14): every run opens with a fixed-work canary —
+a deterministic CPU-bound Spark job over in-memory `range` data (no
+parquet, no shuffle, 64 fixed partitions so the split is identical at
+local[8] and local[32]), timed cold (first execution, includes codegen
+JIT) and warm (median of 3), plus a single-partition JVM spin and a pure
+Python spin loop — and re-times the warm parallel canary at the END of
+the run to expose mid-run host drift. The canary work never changes, so
+`host_factor = spark_cpu_warm_s / REF_CALIBRATION["spark_cpu_warm_s"]`
+is this run's host-speed multiplier vs the reference host (r14 build
+host, local[32], 2026-08-16): >1 means the host is running slow.
+CAVEAT: the parallel canary folds CORE COUNT into the factor — that is
+correct for the driver (same local[32] config every round, the
+comparison that keeps getting re-litigated) and roughly right for the
+parallel headline queries at any core count, but the single-threaded
+streaming-ack normalizations are only meaningful against a
+same-core-count reference; cross-core-count ack comparisons should
+eyeball jvm_spin_warm_s (per-core speed) instead.
+Normalization: `queries_normalized[q] = queries[q] / host_factor` (and
+`value_normalized` likewise) — compare NORMALIZED numbers across rounds;
+raw numbers remain for absolute SLO checks. Three of five recent rounds
+re-litigated whether a bench delta was code or host (r8 ab_drift,
+r11-r12 submit_many, r13's uniform +28%); the canary settles that in
+one glance.
 """
 
 from __future__ import annotations
@@ -85,6 +109,64 @@ HEADLINE = [
 ]
 
 N_RUNS = 3
+
+# Fixed-work canary reference times (r14 build host, local[32],
+# 2026-08-16). The canary's work is pinned (row counts + partition count
+# below), so any host's warm time divided by these is its speed factor.
+REF_CALIBRATION = {
+    "spark_cpu_warm_s": 1.92,  # 12.8B xxhash64 max, 64 partitions
+    "jvm_spin_warm_s": 0.55,  # 200M xxhash64 max, 1 partition
+    "python_spin_s": 0.45,  # 2M-iteration pure-Python mix loop
+}
+
+
+def _py_spin() -> int:
+    """Pure-Python fixed-work loop — host single-core + interpreter speed
+    (the Arrow/pandas handler paths are Python-bound, so a Python-side
+    slowdown shows here even when the JVM canary is flat)."""
+    x = 0
+    for i in range(2_000_000):
+        x = (x ^ i) * 1103515245 % 2147483648
+    return x
+
+
+def calibration_probe(spark) -> dict:
+    """Time the fixed-work canaries (see module docstring). Returns the
+    raw probe times plus host_factor (this host's warm parallel canary
+    over the reference host's). Cold = first execution of the plan shape
+    this session (includes whole-stage-codegen JIT); warm = median of 3.
+    """
+    import statistics as st
+
+    def t(job) -> float:
+        s = time.perf_counter()
+        job()
+        return time.perf_counter() - s
+
+    def par():
+        spark.range(0, 12_800_000_000, numPartitions=64).selectExpr(
+            "max(xxhash64(id)) AS h"
+        ).collect()
+
+    def one():
+        spark.range(0, 200_000_000, numPartitions=1).selectExpr(
+            "max(xxhash64(id)) AS h"
+        ).collect()
+
+    cold_par = t(par)
+    warm_par = st.median(t(par) for _ in range(3))
+    cold_one = t(one)
+    warm_one = st.median(t(one) for _ in range(3))
+    py = st.median(t(_py_spin) for _ in range(3))
+    return {
+        "spark_cpu_cold_s": round(cold_par, 3),
+        "spark_cpu_warm_s": round(warm_par, 3),
+        "jvm_spin_cold_s": round(cold_one, 3),
+        "jvm_spin_warm_s": round(warm_one, 3),
+        "python_spin_s": round(py, 3),
+        "reference": REF_CALIBRATION,
+        "host_factor": round(warm_par / REF_CALIBRATION["spark_cpu_warm_s"], 3),
+    }
 
 
 def bench_streaming(spark) -> dict:
@@ -419,6 +501,14 @@ def main() -> None:
     spark = get_spark("surge-spark-bench")
     queries = all_queries()
 
+    # Host-speed canary FIRST (before any catalog query touches the JVM)
+    # so the cold numbers mean "fresh session"; guarded like everything
+    # else — a canary failure must not cost the bench line.
+    try:
+        calibration = calibration_probe(spark)
+    except Exception as exc:  # noqa: BLE001
+        calibration = {"error": str(exc).split("\n")[0][:200]}
+
     # Warmup at the smallest SF: whole-stage codegen compiles per plan shape
     # and Arrow/python-worker pools start lazily — run every headline shape
     # once so the timed passes measure steady-state execution, not JIT.
@@ -462,6 +552,59 @@ def main() -> None:
         streaming = bench_streaming(spark)
     except Exception as exc:  # noqa: BLE001 — streaming must not kill the line
         streaming = {"error": str(exc).split("\n")[0][:300]}
+
+    # Re-time the warm parallel canary AFTER the full run: a gap between
+    # start and end host_factor means the host drifted mid-bench (quote
+    # the larger factor when attributing a slow round).
+    try:
+
+        def _par():
+            spark.range(0, 12_800_000_000, numPartitions=64).selectExpr(
+                "max(xxhash64(id)) AS h"
+            ).collect()
+
+        end_samples = []
+        for _ in range(3):
+            s = time.perf_counter()
+            _par()
+            end_samples.append(time.perf_counter() - s)
+        calibration["spark_cpu_warm_end_s"] = round(
+            statistics.median(end_samples), 3
+        )
+        calibration["host_factor_end"] = round(
+            calibration["spark_cpu_warm_end_s"]
+            / REF_CALIBRATION["spark_cpu_warm_s"],
+            3,
+        )
+    except Exception:  # noqa: BLE001
+        pass
+
+    factor = calibration.get("host_factor")
+    normalized: dict = {}
+    if factor and factor > 0:
+        normalized = {
+            "value_normalized": round(total / factor, 3),
+            "queries_normalized": {
+                n: round(v / factor, 3) for n, v in times.items()
+            },
+        }
+        # the streaming SLO metrics, canary-adjusted (approximate — the
+        # ack paths mix Python driver work with JVM compute, but a
+        # uniform host slowdown moves both; raw values above remain the
+        # absolute SLO check)
+        for k in (
+            "batch_ack_s_median",
+            "skewed_batch_ack_s_median",
+            "send_command_ack_s_median",
+            "hc_batch_ack_s_median",
+        ):
+            v = streaming.get(k)
+            if isinstance(v, (int, float)):
+                streaming[k + "_normalized"] = round(v / factor, 3)
+        for k in ("submit_many_cmds_per_s", "hc_submit_many_cmds_per_s"):
+            v = streaming.get(k)
+            if isinstance(v, (int, float)):
+                streaming[k + "_normalized"] = round(v * factor, 1)
     print(
         json.dumps(
             {
@@ -472,6 +615,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs_per_query": N_RUNS,
                 "aggregation": "median",
+                "calibration": calibration,
+                **normalized,
                 "streaming": streaming,
                 **({"errors": errors} if errors else {}),
             }

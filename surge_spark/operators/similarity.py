@@ -459,15 +459,23 @@ def embedding_neardup_pairs(
     them outright, like max_bucket's stop-shingles, loses whole regions;
     a near-dup pair inside an oversized cell survives with probability
     ~1/splits — the documented recall trade for bounded worst-case work).
+    The sub-block hash is the md5 channel (first 8 hex chars of
+    md5(id-as-string) → bigint), NOT crc32/xxhash64, so DuckDB can
+    reproduce the rule verbatim and a capped entry stays fully
+    value-oracled (r14: the cap became the catalog default for the two
+    super-linear headline entries, so the rule itself is now inside the
+    oracle contract).
     The sizes aggregate is one partial+final agg whose output is
     n_blocks rows, broadcast back — no corpus shuffle. Uncapped output is
     IDENTICAL when no block exceeds the cap (pinned by test, and measured:
     the sf0.1 corpus's FIXED_CENTS cells are 187-366 rows, so
     max_block=1000 leaves all 267,523 blocked pairs — and the cosine
     values — unchanged; the non-binding overhead is the sizes agg +
-    broadcast, ~+1 s at sf0.1, which is why the oracled catalog entry
-    stays uncapped and the cap is the production knob for corpora whose
-    cell histogram actually has a hot tail). Binding behavior — bounded
+    broadcast, ~+1 s at sf0.1. r14: the catalog entries now RUN capped
+    (max_block=512 — non-binding at every oracle/bench scale, binding at
+    the sf0.5 stress slice where the uncapped exponent measured 1.31),
+    with the whole rule mirrored in their oracles — the cap is the
+    measured default, not an option). Binding behavior — bounded
     pair count, sub-blocked (not dropped) hot block, ~1/splits survival —
     is pinned on constructed skew in tests/test_similarity.py."""
     u = with_unit_vector(df, vec_col)
@@ -475,7 +483,12 @@ def embedding_neardup_pairs(
         sizes = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("__bs"))
         splits = F.ceil(F.col("__bs") / F.lit(max_block)).cast("long")
         u = u.join(F.broadcast(sizes.select(block_col, splits.alias("__ns"))), block_col)
-        sub = F.pmod(F.crc32(F.col(id_col).cast("string").cast("binary")), F.col("__ns"))
+        sub = F.pmod(
+            F.expr(
+                f"conv(substr(md5(CAST(`{id_col}` AS STRING)), 1, 8), 16, 10)"
+            ).cast("long"),
+            F.col("__ns"),
+        )
         # join key = (original block, sub-block); the ORIGINAL column rides
         # along untouched so the output keeps its exact value and dtype
         # (string-encoding the pair would corrupt keys containing the

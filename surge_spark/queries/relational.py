@@ -5039,6 +5039,23 @@ def a_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wide_int(expr: str, *, duck: bool = False, wide: bool = True) -> str:
+    """Render ``expr`` in the exact wide-integer channel: DECIMAL(38,0)
+    on the Spark side, HUGEINT (int128) on the DuckDB side — both exact
+    integer arithmetic to ~1e38, so widening the FIRST operand of a
+    product chain lifts the whole chain out of bigint. With wide=False
+    the expression is returned unchanged (the bigint channel), so one
+    formula template renders all four (engine × channel) variants. This
+    is the a_basket_lift_decimal pattern factored into ONE helper (r14
+    VERDICT task 4) and applied to every n³-channel stats entry
+    (a_spearman_rho / a_mann_whitney_u / a_gini_by_group `_decimal`
+    twins below). Under ANSI the un-widened channel RAISES loudly past
+    its bound — never silently wrong — and the twin is the escape."""
+    if not wide:
+        return expr
+    return f"CAST({expr} AS {'HUGEINT' if duck else 'DECIMAL(38,0)'})"
+
+
 # The two basket-lift channel variants (VERDICT r12 task 5). Shared as
 # module constants so the overflow-bound test drives the EXACT production
 # expressions: the bigint channel is exact while n_both*n_users*1e6 fits
@@ -5055,10 +5072,10 @@ _BASKET_CHANNELS_BIGINT = (
     "CAST(n_both * n_users * 1000000 div (n_a * n_b) AS BIGINT)",
 )
 _BASKET_CHANNELS_DECIMAL = (
-    "CAST(CAST(n_both AS DECIMAL(38,0)) * 1000000 div n_a AS BIGINT)",
-    "CAST(CAST(n_both AS DECIMAL(38,0)) * 1000000 div n_b AS BIGINT)",
-    "CAST(CAST(n_both AS DECIMAL(38,0)) * n_users * 1000000"
-    " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)",
+    f"CAST({wide_int('n_both')} * 1000000 div n_a AS BIGINT)",
+    f"CAST({wide_int('n_both')} * 1000000 div n_b AS BIGINT)",
+    f"CAST({wide_int('n_both')} * n_users * 1000000"
+    f" div ({wide_int('n_a')} * n_b) AS BIGINT)",
 )
 # DuckDB mirror of the decimal channel: HUGEINT (int128) is DuckDB's
 # exact wide-integer arithmetic; all operands are positive so its
@@ -6236,29 +6253,10 @@ def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     BINDING channel is the cubic tie_sum = Σ(cnt³−cnt) — bigint-safe
     while the heaviest single value's count stays under ~2.1e6 (2^21,
     since cnt³ < 2^63); the quadratic r2 ~ 2n² channel holds to
-    n < ~2.1e9. Past either, widen to DECIMAL(38) exactly like
-    a_basket_lift_decimal (documented, ANSI raises loudly — never
-    silently wrong)."""
-    from surge_spark.operators.text import distributed_prefix_sum
-
-    # persist: the prefix sum's quantile-bounds action, its windowed
-    # shard chain, and the per-shard totals each consume by_v — lazy,
-    # the events scan + group-by re-runs per consumer (the
-    # a_spearman_rho scan-amplification class).
-    by_v = _value_arm_counts(spark, sf_dir).persist()
-    pre = distributed_prefix_sum(
-        by_v, "cnt", "cents", [F.col("cents")], out_col="cum"
-    ).withColumn("less", F.col("cum") - F.col("cnt"))
-    g = pre.groupBy().agg(
-        F.sum("cnt_a").alias("n_a"),
-        F.sum("cnt_b").alias("n_b"),
-        F.sum(F.expr("cnt_a * (2 * less + cnt + 1)")).alias("r2_a"),
-        F.sum(F.expr("cnt * cnt * cnt - cnt")).alias("tie_sum"),
-    )
-    var = (
-        "CAST(n_a AS DOUBLE) * n_b / 12.0 * ((n_a + n_b + 1)"
-        " - CAST(tie_sum AS DOUBLE) / ((n_a + n_b) * (n_a + n_b - 1.0)))"
-    )
+    n < ~2.1e9. Past either, a_mann_whitney_u_decimal (the wide_int
+    channel twin, r14 — no longer just documented; ANSI raises loudly
+    here, never silently wrong)."""
+    g = _mann_whitney_g(spark, sf_dir, wide=False)
     return g.select(
         "n_a",
         "n_b",
@@ -6268,13 +6266,97 @@ def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT)"
         ).alias("u2_b"),
         "tie_sum",
-        F.expr(
-            f"CAST(CASE WHEN n_a = 0 OR n_b = 0 OR {var} = 0 THEN NULL"
-            f" ELSE round((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2.0"
-            f" - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt({var}), 6)"
-            " END AS DOUBLE)"
-        ).alias("z_score"),
+        F.expr(_mw_z_expr(wide=False)).alias("z_score"),
     )
+
+
+_MW_VAR_EXPR = (
+    "CAST(n_a AS DOUBLE) * n_b / 12.0 * ((n_a + n_b + 1)"
+    " - CAST(tie_sum AS DOUBLE) / ((n_a + n_b) * (n_a + n_b - 1.0)))"
+)
+
+
+def _mw_z_expr(wide: bool) -> str:
+    """The tie-corrected z formula shared by the Mann-Whitney channel
+    twins — identical float math; in the wide channel n_a*(n_a+1) is
+    widened too (it computes BEFORE the subtraction promotes, so left
+    in bigint it would overflow at n_a > ~3e9 even though r2_a is
+    already decimal)."""
+    wna = wide_int("n_a", wide=wide)
+    return (
+        f"CAST(CASE WHEN n_a = 0 OR n_b = 0 OR {_MW_VAR_EXPR} = 0 THEN NULL"
+        f" ELSE round((CAST(r2_a - {wna} * (n_a + 1) AS DOUBLE) / 2.0"
+        f" - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt({_MW_VAR_EXPR}), 6)"
+        " END AS DOUBLE)"
+    )
+
+
+def _mann_whitney_g(spark: SparkSession, sf_dir: str, wide: bool) -> DataFrame:
+    """The shared Mann-Whitney moments frame; wide=True runs the rank-sum
+    and tie channels in DECIMAL(38,0) via wide_int (tie_sum = Σ(cnt³−cnt)
+    overflows bigint once one value's count passes ~2.1e6)."""
+    from surge_spark.operators.text import distributed_prefix_sum
+
+    def w(x: str) -> str:
+        return wide_int(x, wide=wide)
+
+    # persist: the prefix sum's quantile-bounds action, its windowed
+    # shard chain, and the per-shard totals each consume by_v — lazy,
+    # the events scan + group-by re-runs per consumer (the
+    # a_spearman_rho scan-amplification class).
+    by_v = _value_arm_counts(spark, sf_dir).persist()
+    pre = distributed_prefix_sum(
+        by_v, "cnt", "cents", [F.col("cents")], out_col="cum"
+    ).withColumn("less", F.col("cum") - F.col("cnt"))
+    return pre.groupBy().agg(
+        F.sum("cnt_a").alias("n_a"),
+        F.sum("cnt_b").alias("n_b"),
+        F.sum(F.expr(f"{w('cnt_a')} * (2 * less + cnt + 1)")).alias("r2_a"),
+        F.sum(F.expr(f"{w('cnt')} * cnt * cnt - cnt")).alias("tie_sum"),
+    )
+
+
+@query(
+    "a_mann_whitney_u_decimal",
+    oracle=f"""
+    WITH {_VALUE_ARM_COUNTS_SQL},
+    pre AS (
+      SELECT cents, cnt_a, cnt_b, cnt,
+             CAST(sum(cnt) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+               AS BIGINT) AS less
+      FROM by_v
+    ),
+    g AS (
+      SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+             CAST(sum(cnt_b) AS BIGINT) AS n_b,
+             sum({wide_int('cnt_a', duck=True)} * (2 * less + cnt + 1))
+               AS r2_a,
+             sum({wide_int('cnt', duck=True)} * cnt * cnt - cnt) AS tie_sum
+      FROM pre
+    )
+    SELECT n_a, n_b,
+           CAST(CASE WHEN n_a = 0 OR n_b = 0 OR {_MW_VAR_EXPR} = 0 THEN NULL
+            ELSE round((CAST(r2_a - {wide_int('n_a', duck=True)} * (n_a + 1)
+                        AS DOUBLE) / 2.0
+             - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt({_MW_VAR_EXPR}), 6)
+            END AS DOUBLE) AS z_score
+    FROM g
+    """,
+)
+def a_mann_whitney_u_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a_mann_whitney_u's wide-integer escape hatch (r14 VERDICT task 4,
+    the a_basket_lift_decimal pattern via the shared wide_int helper):
+    identical plan, but the rank-sum channel r2_a and the cubic tie
+    channel Σ(cnt³−cnt) run in DECIMAL(38,0) / HUGEINT — exact past the
+    bigint twin's ~2.1e6-per-value-count bound, to ~1e38. Ships n_a,
+    n_b, z only (the wide intermediates don't fit the BIGINT output
+    contract at the scales that need this twin); z is the same mirrored
+    tie-corrected formula with n_a·(n_a+1) also widened (that product
+    computes before promotion). bigint-vs-decimal equality is pinned in
+    tests/test_analytics.py."""
+    g = _mann_whitney_g(spark, sf_dir, wide=True)
+    return g.select("n_a", "n_b", F.expr(_mw_z_expr(wide=True)).alias("z_score"))
 
 
 @query(
@@ -7023,9 +7105,9 @@ def m_changepoint_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "a_spearman_rho",
-    oracle="""
+# CTE prefix shared by a_spearman_rho's two channel twins (per-user
+# metrics + doubled tie-averaged ranks from per-value counts)
+_SPEARMAN_CTES = """
     WITH u AS (
       SELECT user_id,
              CAST(count(*) AS BIGINT) AS x,
@@ -7044,51 +7126,30 @@ def m_changepoint_single(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
                + cnt + 1 AS BIGINT) AS r2
       FROM (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY y)
-    ),
-    g AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(rx.r2) AS BIGINT) AS s1x,
-             CAST(sum(ry.r2) AS BIGINT) AS s1y,
-             CAST(sum(rx.r2 * rx.r2) AS BIGINT) AS s2x,
-             CAST(sum(ry.r2 * ry.r2) AS BIGINT) AS s2y,
-             CAST(sum(rx.r2 * ry.r2) AS BIGINT) AS sxy,
-             CAST(count(DISTINCT rx.r2) AS BIGINT) AS ndx,
-             CAST(count(DISTINCT ry.r2) AS BIGINT) AS ndy
-      FROM u JOIN rx USING (x) JOIN ry USING (y)
     )
-    SELECT n, s1x, s1y, sxy,
-           CAST(CASE WHEN ndx < 2 OR ndy < 2 THEN NULL
+"""
+
+# the mirrored float formula — identical text on both engines and in
+# both channel twins (decimal operands promote through the DOUBLE casts
+# the same way bigints do)
+_SPEARMAN_RHO_EXPR = """CAST(CASE WHEN ndx < 2 OR ndy < 2 THEN NULL
                 ELSE round((CAST(n AS DOUBLE) * sxy
                             - CAST(s1x AS DOUBLE) * s1y)
                      / sqrt((CAST(n AS DOUBLE) * s2x
                              - CAST(s1x AS DOUBLE) * s1x)
                             * (CAST(n AS DOUBLE) * s2y
                                - CAST(s1y AS DOUBLE) * s1y)), 6)
-                END AS DOUBLE) AS spearman_rho
-    FROM g
-    """,
-)
-def a_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spearman rank correlation between per-user activity (event count)
-    and per-user spend (integer-cents sum) — the monotone-association
-    sibling of a_corr_regression's Pearson (outlier-robust: a whale
-    user bends Pearson, not ranks). NO row-level ranking: each metric's
-    tie-averaged rank comes from per-VALUE counts + the exact
-    distributed prefix sum (doubled: 2r(v) = 2·less + cnt + 1, the
-    a_mann_whitney_u channel), users join back to their value's rank,
-    and rho is Pearson over the doubled ranks (scale-invariance makes
-    the doubling free) — so every moment (Σ2r, Σ(2r)², Σ2rx·2ry, n) is
-    an EXACT bigint and the single float formula mirrors textually
-    (round-6). Zero-variance guard both sides via the DISTINCT-rank
-    counts (all users tied on a metric → NULL) — never via
-    n·s2 − s1² in bigint, which is ~n⁴ and would overflow 25x below
-    the channel bound. Overflow bound: Σ(2r)² ≤ 4n³ — bigint-safe to
-    ~1.3e6 users; past that, the a_basket_lift_decimal escape
-    (documented). The per-user frame is persisted: two rank passes
-    (each running a quantile action) plus the final join are five lazy
-    consumers of the events aggregate (the m_gini scan-amplification
-    class)."""
+                END AS DOUBLE)"""
+
+
+def _spearman_g(spark: SparkSession, sf_dir: str, wide: bool) -> DataFrame:
+    """The shared Spearman moments frame; wide=True runs every moment in
+    the DECIMAL(38,0) channel via wide_int (Σ(2r)² ≤ 4n³ overflows
+    bigint past ~1.3e6 users — the twin is exact to ~1e12)."""
     from surge_spark.operators.text import distributed_prefix_sum
+
+    def w(x: str) -> str:
+        return wide_int(x, wide=wide)
 
     e = _t(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull() & F.col("value").isNotNull()
@@ -7111,34 +7172,104 @@ def a_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     joined = u.join(ranks("x"), "x").join(ranks("y"), "y")
-    g = joined.groupBy().agg(
+    return joined.groupBy().agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("r2x").alias("s1x"),
-        F.sum("r2y").alias("s1y"),
-        F.sum(F.expr("r2x * r2x")).alias("s2x"),
-        F.sum(F.expr("r2y * r2y")).alias("s2y"),
-        F.sum(F.expr("r2x * r2y")).alias("sxy"),
+        F.sum(F.expr(w("r2x"))).alias("s1x"),
+        F.sum(F.expr(w("r2y"))).alias("s1y"),
+        F.sum(F.expr(f"{w('r2x')} * r2x")).alias("s2x"),
+        F.sum(F.expr(f"{w('r2y')} * r2y")).alias("s2y"),
+        F.sum(F.expr(f"{w('r2x')} * r2y")).alias("sxy"),
         F.countDistinct("r2x").alias("ndx"),
         F.countDistinct("r2y").alias("ndy"),
     )
+
+
+@query(
+    "a_spearman_rho",
+    oracle=f"""
+    {_SPEARMAN_CTES},
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx.r2) AS BIGINT) AS s1x,
+             CAST(sum(ry.r2) AS BIGINT) AS s1y,
+             CAST(sum(rx.r2 * rx.r2) AS BIGINT) AS s2x,
+             CAST(sum(ry.r2 * ry.r2) AS BIGINT) AS s2y,
+             CAST(sum(rx.r2 * ry.r2) AS BIGINT) AS sxy,
+             CAST(count(DISTINCT rx.r2) AS BIGINT) AS ndx,
+             CAST(count(DISTINCT ry.r2) AS BIGINT) AS ndy
+      FROM u JOIN rx USING (x) JOIN ry USING (y)
+    )
+    SELECT n, s1x, s1y, sxy,
+           {_SPEARMAN_RHO_EXPR} AS spearman_rho
+    FROM g
+    """,
+)
+def a_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-user activity (event count)
+    and per-user spend (integer-cents sum) — the monotone-association
+    sibling of a_corr_regression's Pearson (outlier-robust: a whale
+    user bends Pearson, not ranks). NO row-level ranking: each metric's
+    tie-averaged rank comes from per-VALUE counts + the exact
+    distributed prefix sum (doubled: 2r(v) = 2·less + cnt + 1, the
+    a_mann_whitney_u channel), users join back to their value's rank,
+    and rho is Pearson over the doubled ranks (scale-invariance makes
+    the doubling free) — so every moment (Σ2r, Σ(2r)², Σ2rx·2ry, n) is
+    an EXACT bigint and the single float formula mirrors textually
+    (round-6). Zero-variance guard both sides via the DISTINCT-rank
+    counts (all users tied on a metric → NULL) — never via
+    n·s2 − s1² in bigint, which is ~n⁴ and would overflow 25x below
+    the channel bound. Overflow bound: Σ(2r)² ≤ 4n³ — bigint-safe to
+    ~1.3e6 users; past that, a_spearman_rho_decimal (the wide_int
+    channel twin, r14 — no longer just documented). The per-user frame
+    is persisted: two rank passes (each running a quantile action) plus
+    the final join are five lazy consumers of the events aggregate (the
+    m_gini scan-amplification class)."""
+    # zero-variance guard on the DISTINCT-rank counts, never on
+    # n*s2x - s1x^2 in bigint: that product is ~n^4 and ANSI-overflows
+    # at ~51k users, 25x below the channel's own n^3 bound (review
+    # finding) — a metric with a single distinct value is exactly the
+    # zero-variance case
+    g = _spearman_g(spark, sf_dir, wide=False)
     return g.select(
         "n",
         "s1x",
         "s1y",
         "sxy",
-        F.expr(
-            # zero-variance guard on the DISTINCT-rank counts, never on
-            # n*s2x - s1x^2 in bigint: that product is ~n^4 and ANSI-
-            # overflows at ~51k users, 25x below the channel's own n^3
-            # bound (review finding) — a metric with a single distinct
-            # value is exactly the zero-variance case
-            "CAST(CASE WHEN ndx < 2 OR ndy < 2 THEN NULL"
-            " ELSE round((CAST(n AS DOUBLE) * sxy - CAST(s1x AS DOUBLE) * s1y)"
-            " / sqrt((CAST(n AS DOUBLE) * s2x - CAST(s1x AS DOUBLE) * s1x)"
-            " * (CAST(n AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s1y)), 6)"
-            " END AS DOUBLE)"
-        ).alias("spearman_rho"),
+        F.expr(_SPEARMAN_RHO_EXPR).alias("spearman_rho"),
     )
+
+
+@query(
+    "a_spearman_rho_decimal",
+    oracle=f"""
+    {_SPEARMAN_CTES},
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum({wide_int('rx.r2', duck=True)}) AS s1x,
+             sum({wide_int('ry.r2', duck=True)}) AS s1y,
+             sum({wide_int('rx.r2', duck=True)} * rx.r2) AS s2x,
+             sum({wide_int('ry.r2', duck=True)} * ry.r2) AS s2y,
+             sum({wide_int('rx.r2', duck=True)} * ry.r2) AS sxy,
+             CAST(count(DISTINCT rx.r2) AS BIGINT) AS ndx,
+             CAST(count(DISTINCT ry.r2) AS BIGINT) AS ndy
+      FROM u JOIN rx USING (x) JOIN ry USING (y)
+    )
+    SELECT n, {_SPEARMAN_RHO_EXPR} AS spearman_rho
+    FROM g
+    """,
+)
+def a_spearman_rho_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a_spearman_rho's wide-integer escape hatch (r14 VERDICT task 4,
+    the a_basket_lift_decimal pattern via the shared wide_int helper):
+    identical plan, but every rank moment (Σ2r, Σ(2r)², Σ2rx·2ry) runs
+    in DECIMAL(38,0) / HUGEINT — exact past the bigint channel's ~1.3e6
+    -user Σ(2r)² ≤ 4n³ bound, to ~1e12 users. Ships n + rho only (the
+    wide moments themselves don't fit the BIGINT output contract at the
+    scales that need this twin); rho is the SAME mirrored float formula,
+    so bigint-vs-decimal equality at test scales is pinned in
+    tests/test_analytics.py."""
+    g = _spearman_g(spark, sf_dir, wide=True)
+    return g.select("n", F.expr(_SPEARMAN_RHO_EXPR).alias("spearman_rho"))
 
 
 @query(
@@ -7289,9 +7420,8 @@ def j_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "a_gini_by_group",
-    oracle="""
+# CTE prefix shared by a_gini_by_group's two channel twins
+_GINI_GROUP_CTES = """
     WITH o AS (
       SELECT n.n_name,
              CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
@@ -7305,7 +7435,14 @@ def j_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY n_name ORDER BY cents
              ) AS BIGINT) AS i
       FROM o
-    ),
+    )
+"""
+
+
+@query(
+    "a_gini_by_group",
+    oracle=f"""
+    {_GINI_GROUP_CTES},
     g AS (
       SELECT n_name, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(cents) AS BIGINT) AS s_x,
@@ -7333,8 +7470,26 @@ def a_gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σi·x); the single float formula mirrors textually (round-6), with
     n<2 / zero-mass guards both sides. Overflow bound: Σi·cents ~
     n²·avg_cents/2 — bigint-safe to ~3e6 orders per group at this
-    data's price scale; past that, the a_basket_lift_decimal escape
-    (documented)."""
+    data's price scale; past that, a_gini_by_group_decimal (the
+    wide_int channel twin, r14 — no longer just documented)."""
+    g = _gini_by_group_g(spark, sf_dir, wide=False)
+    return g.select(
+        "n_name",
+        "n",
+        "s_x",
+        "s_ix",
+        F.expr(
+            "CAST(CASE WHEN n < 2 OR s_x = 0 THEN NULL"
+            " ELSE round(2.0 * s_ix / (CAST(n AS DOUBLE) * s_x)"
+            " - (CAST(n AS DOUBLE) + 1) / n, 6) END AS DOUBLE)"
+        ).alias("gini"),
+    )
+
+
+def _gini_by_group_g(spark: SparkSession, sf_dir: str, wide: bool) -> DataFrame:
+    """The shared per-nation Gini moments frame; wide=True runs the rank
+    channel Σi·cents in DECIMAL(38,0) via wide_int (bigint-safe only to
+    ~3e6 orders/group)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -7355,19 +7510,53 @@ def a_gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = joined.select(
         "n_name", "cents", F.row_number().over(w).cast("bigint").alias("i")
     )
-    g = ranked.groupBy("n_name").agg(
+    wi = wide_int("i", wide=wide)
+    return ranked.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("s_x"),
-        F.sum(F.expr("i * cents")).alias("s_ix"),
+        F.sum(F.expr(f"{wi} * cents")).alias("s_ix"),
     )
+
+
+@query(
+    "a_gini_by_group_decimal",
+    oracle=f"""
+    {_GINI_GROUP_CTES},
+    g AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s_x,
+             sum({wide_int('i', duck=True)} * cents) AS s_ix
+      FROM ranked GROUP BY n_name
+    )
+    SELECT n_name, n, s_x,
+           CAST(CASE WHEN n < 2 OR s_x = 0 THEN NULL
+                ELSE round(2.0 * CAST(s_ix AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * s_x)
+                     - (CAST(n AS DOUBLE) + 1) / n, 6)
+                END AS DOUBLE) AS gini
+    FROM g
+    """,
+)
+def a_gini_by_group_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a_gini_by_group's wide-integer escape hatch (r14 VERDICT task 4,
+    the a_basket_lift_decimal pattern via the shared wide_int helper):
+    identical plan, but the rank channel Σi·cents runs in DECIMAL(38,0)
+    / HUGEINT — exact past the bigint twin's ~3e6-orders-per-group
+    bound. Ships n_name, n, s_x, gini (the wide Σi·x doesn't fit the
+    BIGINT output contract at the scales that need this twin); the gini
+    formula routes the wide sum through CAST(AS DOUBLE) explicitly —
+    2.0 · toDouble(s_ix) equals toDouble(2.0 · s_ix) exactly (×2 is an
+    exponent bump), so bigint-vs-decimal equality holds and is pinned
+    in tests/test_analytics.py."""
+    g = _gini_by_group_g(spark, sf_dir, wide=True)
     return g.select(
         "n_name",
         "n",
         "s_x",
-        "s_ix",
         F.expr(
             "CAST(CASE WHEN n < 2 OR s_x = 0 THEN NULL"
-            " ELSE round(2.0 * s_ix / (CAST(n AS DOUBLE) * s_x)"
+            " ELSE round(2.0 * CAST(s_ix AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * s_x)"
             " - (CAST(n AS DOUBLE) + 1) / n, 6) END AS DOUBLE)"
         ).alias("gini"),
     )

@@ -538,13 +538,45 @@ def sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The in-cell pair-growth cap (r14, VERDICT task 2): blocks over
+# NEARDUP_MAX_BLOCK rows sub-block into ceil(size/cap) md5-hash groups —
+# bounds every join key's pair count at ~cap²/2 so the entry stays
+# ~linear once cells outgrow the cap (the uncapped sf0.5 exponent was
+# 1.31: in-cell pair growth, quadratic by semantics at fixed n_cells).
+# 512 is NON-binding at every oracle/bench scale (sf0.1 cells are
+# 187-366 rows → output identical to the uncapped r13 entry, pinned by
+# the identity-when-unbinding test) and BINDING at the sf0.5 stress
+# slice. The whole rule — sizes, split count, md5 sub-key — mirrors in
+# the oracle below, so a binding cap is still fully value-checked; the
+# recall cost of a binding cap is quantified by
+# sim_blocked_pairs_recall_audit (a deliberately tiny cap).
+NEARDUP_MAX_BLOCK = 512
+
+
+def _duck_subblocked(max_block: int) -> str:
+    """DuckDB mirror of embedding_neardup_pairs' max_block rule over the
+    `assigned` CTE: split count per cell = ceil(size/cap), sub-key =
+    md5-slice of the id (the portable hash channel) mod splits."""
+    return f"""
+    sizes AS (SELECT cell, count(*) AS bs FROM assigned GROUP BY cell),
+    suba AS (
+      SELECT a.vec_id, a.embedding, a.cell,
+             CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8))
+                  AS BIGINT)
+               % CAST(ceil(s.bs / {max_block}.0) AS BIGINT) AS sub
+      FROM assigned a JOIN sizes s ON s.cell = a.cell
+    )"""
+
+
 @query(
     "sim_semantic_neardup_pairs",
     oracle=f"""
-    WITH {_DUCK_ASSIGN}
+    WITH {_DUCK_ASSIGN},
+    {_duck_subblocked(NEARDUP_MAX_BLOCK)}
     SELECT x.cell AS cluster, x.vec_id AS id_a, y.vec_id AS id_b,
            CAST(round({_DUCK_COSINE.format(a="x.embedding", b="y.embedding")}, 6) AS DOUBLE) AS cosine
-    FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id
+    FROM suba x JOIN suba y
+      ON x.cell = y.cell AND x.sub = y.sub AND x.vec_id < y.vec_id
     WHERE round({_DUCK_COSINE.format(a="x.embedding", b="y.embedding")}, 6) >= 0.3
     """,
 )
@@ -556,10 +588,92 @@ def sim_semantic_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Threshold 0.3 because the synthetic embeddings are near-orthogonal (max
     pairwise cosine ~0.48) — production default stays 0.9 in the operator.
     Fully oracled via the injected FIXED_CENTS model; trained-blocking
-    recall is pinned in tests/test_similarity.py."""
+    recall is pinned in tests/test_similarity.py. Runs CAPPED at
+    max_block=NEARDUP_MAX_BLOCK (see the constant's note — the r13 sf0.5
+    exponent was 1.31 uncapped; the cap is non-binding at oracle/bench
+    scales so those outputs are unchanged, and the sub-block rule is
+    mirrored verbatim in the oracle so a binding run stays checkable)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.semantic_neardup_pairs(
-        emb, "vec_id", "embedding", threshold=0.3, centroids=FIXED_CENTS
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.3,
+        centroids=FIXED_CENTS,
+        max_block=NEARDUP_MAX_BLOCK,
+    )
+
+
+@query(
+    "sim_blocked_pairs_recall_audit",
+    oracle=f"""
+    WITH {_DUCK_ASSIGN},
+    {_duck_subblocked(64)},
+    truth AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM assigned x JOIN assigned y
+        ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE round({_DUCK_COSINE.format(a="x.embedding", b="y.embedding")}, 6) >= 0.3
+    ),
+    found AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM suba x JOIN suba y
+        ON x.cell = y.cell AND x.sub = y.sub AND x.vec_id < y.vec_id
+      WHERE round({_DUCK_COSINE.format(a="x.embedding", b="y.embedding")}, 6) >= 0.3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_true,
+           CAST(coalesce(sum(CASE WHEN f.id_a IS NOT NULL THEN 1 END), 0)
+                AS BIGINT) AS n_found,
+           CAST(count(*) - coalesce(sum(CASE WHEN f.id_a IS NOT NULL
+                                        THEN 1 END), 0)
+                AS BIGINT) AS n_missed,
+           CAST(CASE WHEN count(*) = 0 THEN 1000000
+                ELSE (coalesce(sum(CASE WHEN f.id_a IS NOT NULL THEN 1 END),
+                               0) * 1000000) // count(*) END
+                AS BIGINT) AS recall_ppm
+    FROM truth tr
+    LEFT JOIN found f ON f.id_a = tr.id_a AND f.id_b = tr.id_b
+    """,
+)
+def sim_blocked_pairs_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-audit family member for the in-cell pair cap (r14,
+    VERDICT task 2's 'recall delta shipped visibly'): uncapped
+    within-cell cosine pairs are the ground truth; a DELIBERATELY tiny
+    max_block=64 (binding at every scale — oracle-scale cells are 40-90
+    rows) re-runs the same blocking with sub-blocking on, and the left
+    join yields found/missed/recall_ppm in exact integers. A surviving
+    pair needs both endpoints in the same md5 sub-block (~1/splits
+    survival inside oversized cells), so recall_ppm here is the measured
+    cost curve for the production cap — the catalog's real entries run
+    max_block=NEARDUP_MAX_BLOCK=512, non-binding until cells outgrow it.
+    Shares ONE checkpointed cell assignment across both pipelines (the
+    lsh-recall-audit structure); found ⊆ truth by construction, so the
+    join is the audit, not a correctness risk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    clustered = sim._cluster_assignments(
+        emb, "vec_id", "embedding", 8, 4, 42, FIXED_CENTS
+    ).localCheckpoint(eager=False)
+    blocked = emb.join(
+        clustered.select(F.col("id").alias("vec_id"), "cluster"), "vec_id"
+    )
+    truth = sim.embedding_neardup_pairs(
+        blocked, "vec_id", "embedding", "cluster", 0.3
+    ).select("id_a", "id_b")
+    found = sim.embedding_neardup_pairs(
+        blocked, "vec_id", "embedding", "cluster", 0.3, max_block=64
+    ).select("id_a", "id_b", F.lit(1).alias("hit"))
+    joined = truth.join(found, ["id_a", "id_b"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_found"),
+        (F.count(F.lit(1)) - F.coalesce(F.sum("hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_missed"),
+        F.expr(
+            "CAST(CASE WHEN count(1) = 0 THEN 1000000"
+            " ELSE (coalesce(sum(hit), 0) * 1000000) div count(1) END"
+            " AS BIGINT)"
+        ).alias("recall_ppm"),
     )
 
 
@@ -1219,10 +1333,11 @@ from .dedup import _DUCK_LP_ROUND as _LP  # noqa: E402  (shared propagation roun
 
 _SEMDEDUP_ORACLE = f"""
     WITH {_DUCK_ASSIGN},
+    {_duck_subblocked(NEARDUP_MAX_BLOCK)},
     prs AS (
       SELECT x.vec_id AS id_a, y.vec_id AS id_b
-      FROM assigned x JOIN assigned y
-        ON x.cell = y.cell AND x.vec_id < y.vec_id
+      FROM suba x JOIN suba y
+        ON x.cell = y.cell AND x.sub = y.sub AND x.vec_id < y.vec_id
       WHERE round({_DUCK_COSINE.format(a="x.embedding", b="y.embedding")}, 6) >= 0.3
     ),
     symp AS (

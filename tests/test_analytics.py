@@ -571,6 +571,44 @@ def test_basket_lift_overflow_bound(spark):
     assert vals.b == vals.d
 
 
+def test_wide_int_helper_renderings():
+    """The shared wide-integer channel helper (r14 task 4) renders all
+    four (engine × channel) variants; every decimal twin builds its
+    widened operands through it."""
+    from surge_spark.queries.relational import wide_int
+
+    assert wide_int("x") == "CAST(x AS DECIMAL(38,0))"
+    assert wide_int("x", duck=True) == "CAST(x AS HUGEINT)"
+    assert wide_int("x", wide=False) == "x"
+    assert wide_int("x", duck=True, wide=False) == "x"
+
+
+def test_rank_stats_decimal_twins_equal_bigint(spark, sf_dir):
+    """The three n³-channel stats entries' wide_int twins (r14 task 4)
+    ship values identical to their bigint originals wherever the bigint
+    channel is defined — the decimal channel only changes intermediate
+    width, never the shipped floats/counts."""
+    q = all_queries()
+
+    big = q["a_spearman_rho"](spark, sf_dir).collect()[0]
+    dec = q["a_spearman_rho_decimal"](spark, sf_dir).collect()[0]
+    assert (big.n, big.spearman_rho) == (dec.n, dec.spearman_rho)
+
+    big = q["a_mann_whitney_u"](spark, sf_dir).collect()[0]
+    dec = q["a_mann_whitney_u_decimal"](spark, sf_dir).collect()[0]
+    assert (big.n_a, big.n_b, big.z_score) == (dec.n_a, dec.n_b, dec.z_score)
+
+    big = {r.n_name: r for r in q["a_gini_by_group"](spark, sf_dir).collect()}
+    dec = {
+        r.n_name: r
+        for r in q["a_gini_by_group_decimal"](spark, sf_dir).collect()
+    }
+    assert set(big) == set(dec) and big
+    for name, b in big.items():
+        d = dec[name]
+        assert (b.n, b.s_x, b.gini) == (d.n, d.s_x, d.gini)
+
+
 def test_hard_negative_mining_contract(spark, sf_dir):
     """Per centroid: at most 5 rows with contiguous ranks, cosine
     non-increasing in rank, and no row mines a vector from the centroid's
