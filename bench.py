@@ -106,6 +106,8 @@ HEADLINE = [
     "sim_kmeans_step_audit",       # Lloyd update under the janino materialize barrier (r12; a recompile tax shows as +2s)
     "a_mann_whitney_u",            # distributed_prefix_sum machinery under load (r13)
     "sim_filtered_ann_topk",       # pre-filtered vector search: pushdown + broadcast queries (r13)
+    # r14
+    "sim_blocked_pairs_recall_audit",  # max_block recall vs uncapped truth (r14; a recall collapse = real sub-blocking regression)
 ]
 
 N_RUNS = 3

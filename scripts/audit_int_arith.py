@@ -22,7 +22,83 @@ table rather than re-derived by eye each round.
 
 from __future__ import annotations
 
+import re
 import sys
+
+# --- the pinned bounded-class allowlist (r14 VERDICT task 5) ---------------
+# Every flag the walk raises must match one of these named classes, each
+# bounded BY CONSTRUCTION (the r13 triage, now executable): a new entry
+# whose integer arithmetic fits no class FAILS
+# tests/test_properties.py::test_int_arith_flags_all_in_bounded_classes
+# with the entry and expression named — the audit is a test, not a
+# discipline. Patterns match Spark's analyzed-plan expression toString.
+BOUNDED_CLASSES: list[tuple[str, "re.Pattern[str]"]] = [
+    # quantile-bucket / prefix-shard boolean chains: (k + cast((x > q_i)
+    # as int)) + ... — each term is 0/1, chains are <= 64 terms
+    # (rfm/pareto/gini/pack/percentile shards)
+    (
+        "bucket-boolean-chain",
+        re.compile(r"^Add\[\w+\] .*cast\(\(.*[<>]=? .*\) as int\)", re.S),
+    ),
+    # 0/1 indicator products: _ha*_hb (pair-presence), in_short*is_err
+    # (window-membership x error) — both factors are indicators
+    (
+        "indicator-product",
+        re.compile(r"^Multiply\[\w+\] \(_?[a-z_0-9]+#\d* \* _?[a-z_0-9]+#\d*\)"),
+    ),
+    # token-position offsets: span_end-span_start+1, max(pos)+k,
+    # gram/window-size arithmetic on size()/pos/struct token counts —
+    # all bounded by a document's token count
+    (
+        "token-offset",
+        re.compile(
+            r"^(Add|Subtract)\[\w+\] .*"
+            r"(span_end|span_start|pos#|_we\d|max\(pos|lambda x_|size\(|"
+            r"s#\d*\.nt)",
+            re.S,
+        ),
+    ),
+    # calendar arithmetic: year/month deltas (bounded by the date range)
+    (
+        "year-month",
+        re.compile(r"^(Add|Subtract|Multiply)\[\w+\] .*(year\(|month\()", re.S),
+    ),
+    # ascii() of a single char (<= 0x10FFFF), possibly negated for the
+    # min-as-argmax trick
+    ("ascii", re.compile(r"ascii\(")),
+    # array-index arithmetic: code_N + 1 (codebook lookup),
+    # array_position(...) - 1 — bounded by array length / codebook size
+    (
+        "array-index",
+        re.compile(
+            r"^Add\[\w+\] \((code_\d+#\d*|p#\d*|pos\d+#\d*|from_json.+\.k)"
+            r" \+ \d+\)"
+        ),
+    ),
+    (
+        "array-position-offset",
+        re.compile(r"^Subtract\[\w+\] \(cast\(array_position\("),
+    ),
+    # pmod/remainder by a small literal (bucket ids, parity checks)
+    ("pmod-small", re.compile(r"^(Pmod|Remainder)\[\w+\] .*(%|pmod\()", re.S)),
+    # complement of a 0/1 indicator: (1 - is_a)
+    ("indicator-complement", re.compile(r"^Subtract\[\w+\] \(\d+ - is_[a-z_]+#\d*\)")),
+    # negated argmax payload: -array_max(array(struct(sim, -cell/-code)))
+    # — the min-as-argmax trick, bounded by the literal model size
+    ("neg-argmax-code", re.compile(r"^UnaryMinus\[\w+\] -array_max\(array\(struct\(")),
+]
+
+
+def classify_flag(expr: str) -> str | None:
+    """Return the bounded-class name for a flagged expression, or None if
+    it matches no pinned class (=> a new, unreviewed integer channel).
+    Patterns are searched; classes that must see the node type anchor
+    themselves with ^."""
+    for name, pat in BOUNDED_CLASSES:
+        if pat.search(expr):
+            return name
+    return None
+
 
 INT_ARITH = {
     "Multiply",
@@ -90,6 +166,7 @@ def main() -> int:
     queries = all_queries()
     names = only or sorted(queries)
     n_flagged = 0
+    n_unclassified = 0
     errs = []
     for name in names:
         try:
@@ -100,13 +177,16 @@ def main() -> int:
             errs.append((name, f"{type(e).__name__}: {e}"))
             continue
         for f in flags:
-            print(f"FLAG {name}: {f}")
+            cls = classify_flag(f) or "UNCLASSIFIED"
+            print(f"FLAG {name} [{cls}]: {f}")
             n_flagged += 1
+            if cls == "UNCLASSIFIED":
+                n_unclassified += 1
     for name, e in errs:
         print(f"ERROR {name}: {e[:200]}")
-    print(f"\n{len(names)} entries scanned, {n_flagged} integer-arith flags, "
-          f"{len(errs)} errors")
-    return 0
+    print(f"\n{len(names)} entries scanned, {n_flagged} integer-arith flags "
+          f"({n_unclassified} UNCLASSIFIED), {len(errs)} errors")
+    return 1 if n_unclassified else 0
 
 
 if __name__ == "__main__":

@@ -506,6 +506,97 @@ TOKEN_BUCKET_STATE_SCHEMA = (
 )
 
 
+# --- error-budget burn-rate fold -------------------------------------------
+
+BURN_WINDOW_MS = 86_400_000  # 1-day budget windows
+BURN_BUDGET_PPM = 10_000  # 1% error budget (the m_error_budget_burn SLO)
+BURN_FACTOR = 2  # alert when a closed window burned at >= 2x budget
+
+
+def burn_rate_step(
+    bucket: int,
+    n_total: int,
+    n_err: int,
+    n_alarms: int,
+    t_ms: int,
+    is_err: int,
+    window_ms: int = BURN_WINDOW_MS,
+    budget_ppm: int = BURN_BUDGET_PPM,
+    factor: int = BURN_FACTOR,
+) -> tuple[int, int, int, int]:
+    """One error-budget burn update — THE shared kernel (batch fold and
+    streaming/metrics.burn_rate_stream both call it; the cusum
+    kernel-duplication lesson). ALL-INTEGER: an event landing in a NEW
+    time bucket first CLOSES the previous one — alarm iff its error rate
+    exceeded ``factor`` times the budget, compared cross-multiplied as
+    n_err * 1_000_000 > factor * budget_ppm * n_total so no float ever
+    enters the channel — then counts itself into the fresh bucket. Only
+    buckets that RECEIVED events are ever visited, and the key's last
+    bucket stays open (never alarmed) until a later event closes it:
+    both facts mirror declaratively in the batch oracle (closed == not
+    the per-key max bucket). Returns (bucket, n_total, n_err,
+    n_alarms)."""
+    b = t_ms // window_ms
+    if b != bucket:
+        if n_err * 1_000_000 > factor * budget_ppm * n_total:
+            n_alarms += 1
+        bucket, n_total, n_err = b, 0, 0
+    return bucket, n_total + 1, n_err + is_err, n_alarms
+
+
+def burn_rate_init(
+    t_ms: int,
+    is_err: int,
+    window_ms: int = BURN_WINDOW_MS,
+    budget_ppm: int = BURN_BUDGET_PPM,
+    factor: int = BURN_FACTOR,
+) -> tuple[int, int, int, int]:
+    """First-event initialization THROUGH the step kernel (the
+    token_bucket_init discipline): the pre-state is an empty bucket
+    already anchored at the event's own window, so no phantom close
+    fires."""
+    return burn_rate_step(
+        t_ms // window_ms, 0, 0, 0, t_ms, is_err,
+        window_ms, budget_ppm, factor,
+    )
+
+
+def burn_rate_handle_event(state: dict | None, event: dict) -> dict:
+    """Per-key SRE error-budget burn monitor as an ordered event fold:
+    1-day buckets, 1% budget, alarm on every CLOSED bucket that burned
+    at >= 2x budget — the live-alerting shape of m_error_budget_burn's
+    batch report, run on the SAME sorted-stream fold kernel as
+    bank/holt/cusum/saga/token-bucket. Event time arrives as the
+    pre-projected integer ``ms`` column (unix_millis ≡ epoch_ms)."""
+    t = int(event["ms"])
+    is_err = 1 if event["event_type"] == "error" else 0
+    if state is None:
+        bucket, n_total, n_err, n_alarms = burn_rate_init(t, is_err)
+        n = 1
+    else:
+        bucket, n_total, n_err, n_alarms = burn_rate_step(
+            state["bucket"], state["n_total"], state["n_err"],
+            state["n_alarms"], t, is_err,
+        )
+        n = state["n"] + 1
+    return {
+        "aggregate_id": (
+            str(event["user_id"]) if state is None else state["aggregate_id"]
+        ),
+        "bucket": bucket,
+        "n_total": n_total,
+        "n_err": n_err,
+        "n_alarms": n_alarms,
+        "n": n,
+    }
+
+
+BURN_RATE_STATE_SCHEMA = (
+    "aggregate_id string, bucket long, n_total long, n_err long,"
+    " n_alarms long, n long"
+)
+
+
 def saga_handle_event(state: dict | None, event: dict) -> dict:
     """Order-fulfillment SAGA fold with compensation — the long-running
     transaction pattern a CQRS command engine coordinates (surge's

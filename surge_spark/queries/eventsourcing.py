@@ -2157,6 +2157,70 @@ def es_token_bucket_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "es_burn_rate_fold",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_ms(ts) // 86400000 AS b,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    buckets AS (
+      SELECT user_id, b, CAST(count(*) AS BIGINT) AS nt,
+             CAST(sum(is_err) AS BIGINT) AS ne
+      FROM ev GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT user_id, b, nt, ne,
+             max(b) OVER (PARTITION BY user_id) AS mb,
+             sum(nt) OVER (PARTITION BY user_id) AS n_events
+      FROM buckets
+    )
+    SELECT CAST(user_id AS VARCHAR) AS aggregate_id,
+           CAST(max(mb) AS BIGINT) AS bucket,
+           CAST(max(CASE WHEN b = mb THEN nt END) AS BIGINT) AS n_total,
+           CAST(max(CASE WHEN b = mb THEN ne END) AS BIGINT) AS n_err,
+           CAST(sum(CASE WHEN b < mb AND ne * 1000000 > 2 * 10000 * nt
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+           CAST(max(n_events) AS BIGINT) AS n
+    FROM w GROUP BY user_id
+    """,
+)
+def es_burn_rate_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user SRE error-budget burn monitor as an ordered event fold
+    (1-day buckets, 1% budget, alarm on every CLOSED bucket burning at
+    >= 2x budget) — the live-alerting sibling of m_error_budget_burn's
+    batch report and the batch twin of streaming/metrics'
+    burn_rate_stream (BOTH call the ONE all-integer burn_rate_step
+    kernel). The oracle is NOT a recursive CTE: because the kernel's
+    state is per-bucket counters closed on transition, the fold's final
+    state is declaratively reconstructible — alarms are exactly the
+    per-(user, bucket) aggregates below the user's max bucket whose
+    cross-multiplied rate n_err*1e6 > factor*budget_ppm*n_total, and
+    the open counters are the max bucket's aggregates — which checks
+    the kernel against an INDEPENDENT formulation rather than a
+    transliteration (stronger than the token-bucket CTE mirror).
+    All-integer channels throughout."""
+    e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    e = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    folded = es.fold_events_sorted(
+        e,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        handle_event=es.burn_rate_handle_event,
+        state_schema=es.BURN_RATE_STATE_SCHEMA,
+    )
+    return folded.select(
+        "aggregate_id", "bucket", "n_total", "n_err", "n_alarms", "n"
+    )
+
+
+@query(
     "m_mttr_recovery",
     oracle="""
     WITH ordered AS (

@@ -259,3 +259,46 @@ def test_ansi_overflow_adversarial_inputs(spark, tmp_path):
     for name in text_entries + metric_entries:
         rows = queries[name](spark, sf).collect()  # raises on ANSI overflow
         assert rows is not None, name
+
+
+def test_int_arith_flags_all_in_bounded_classes(spark, sf_dir):
+    """The catalog-wide ANSI/INT-overflow audit as a PINNED ALLOWLIST
+    (r14 VERDICT task 5 — 'discipline decays'): walk every catalog
+    entry's analyzed plan (the r13 audit script's walker) and assert
+    each flagged Integer-typed arithmetic node matches one of the named
+    bounded classes in scripts/audit_int_arith.BOUNDED_CLASSES
+    (quantile-bucket boolean chains, 0/1 indicator products and
+    complements, token-position offsets, array indexes, year/month,
+    ascii, pmod-by-small, negated argmax codes). A NEW entry whose
+    integer channel fits no class fails HERE with the entry and
+    expression named, instead of waiting for a runtime ANSI crash at
+    scale (the Flesch 84600*sy class). The classifier itself is
+    validated against the full r14 sweep (1296 flags over 307 entries,
+    all classified)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from audit_int_arith import classify_flag, flag_expressions
+
+    from surge_spark.queries import all_queries
+
+    queries = all_queries()
+    unclassified: list[tuple[str, str]] = []
+    n_flags = 0
+    for name in sorted(queries):
+        df = queries[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().analyzed()
+        for f in flag_expressions(plan):
+            n_flags += 1
+            if classify_flag(f) is None:
+                unclassified.append((name, f[:300]))
+    assert not unclassified, (
+        "NEW unreviewed integer-arithmetic channel(s) — give each an "
+        "explicit bounded-class verdict (or a bigint/wide_int cast) and, "
+        "if genuinely bounded, extend BOUNDED_CLASSES: "
+        + "; ".join(f"{n}: {e}" for n, e in unclassified[:10])
+    )
+    # the walker must actually see the known channels — a silently broken
+    # plan walk would vacuously pass the allowlist
+    assert n_flags > 500, n_flags

@@ -2197,6 +2197,78 @@ def test_token_bucket_stream_matches_batch_fold(spark, tmp_path):
     assert st["n_allowed"] >= 5
 
 
+def test_burn_rate_stream_matches_batch_fold(spark, tmp_path):
+    """Cross-mode burn-rate pin (the FIFTH twin, r14): the streaming
+    error-budget monitor over TWO micro-batches equals the batch fold
+    handler over the same (ms, event_id)-ordered events EXACTLY — both
+    modes call the one all-integer burn_rate_step kernel. The sequence
+    is built so the ALARM DECISION ITSELF straddles the boundary: batch
+    1 fills a day-0 bucket at 2/3 error rate (open, no alarm yet), and
+    batch 1's emitted row pins n_alarms == 0 — the split premise; batch
+    2's first event lands in day 1, closing day 0 → the alarm fires
+    across the micro-batch boundary. Day 1 then closes clean (0 errors)
+    to pin the no-alarm side."""
+    from surge_spark.operators.eventsourcing import burn_rate_handle_event
+    from surge_spark.streaming import metrics as sm
+
+    day = 86_400_000
+    seq = [
+        (0, "error"),
+        (1_000, "view"),
+        (2_000, "error"),
+        (day + 100, "view"),
+        (day + 200, "view"),
+        (2 * day + 50, "view"),
+    ]
+    schema = "user_id string, event_type string, ms long, event_id long"
+    src = str(tmp_path / "burn_events")
+    half = 3
+    spark.createDataFrame(
+        [("u1", et, t, i) for i, (t, et) in enumerate(seq[:half])], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [("u1", et, t, half + i) for i, (t, et) in enumerate(seq[half:])],
+        schema,
+    ).coalesce(1).write.parquet(src + "/f2")
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        sm.burn_rate_stream(events)
+        .writeStream.format("memory")
+        .queryName("burn_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_burn"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from burn_out order by n").collect()
+    # the split premise itself: two micro-batch outputs, and batch 1's
+    # row shows the day-0 bucket still OPEN (no alarm before the split)
+    assert len(rows) == 2
+    assert rows[0].n == half and rows[0].n_alarms == 0
+    got = rows[-1]
+    st = None
+    for t, et in seq:
+        st = burn_rate_handle_event(
+            st, {"user_id": "u1", "ms": t, "event_type": et}
+        )
+    assert (got.bucket, got.n_total, got.n_err, got.n_alarms, got.n) == (
+        st["bucket"],
+        st["n_total"],
+        st["n_err"],
+        st["n_alarms"],
+        st["n"],
+    )
+    # the sequence must actually alarm once (day 0 burned 2/3 >> 2% x 2)
+    # and close one clean bucket (day 1), or the pin is vacuous
+    assert st["n_alarms"] == 1
+    assert (st["bucket"], st["n_total"], st["n_err"], st["n"]) == (2, 1, 0, 6)
+
+
 def test_token_bucket_stream_idle_timeout_contract(spark, tmp_path):
     """idle_timeout_ms < capacity*refill_ms is rejected (an expired
     bucket must be provably FULL so re-init is admission-equivalent);
