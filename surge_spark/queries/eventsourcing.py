@@ -1492,6 +1492,67 @@ def m_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_anomaly_iqr",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(round(min(q.q1), 6) AS DOUBLE) AS q1,
+           CAST(round(min(q.q3), 6) AS DOUBLE) AS q3,
+           CAST(round(min(q.q3 - q.q1), 6) AS DOUBLE) AS iqr,
+           CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def m_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence anomaly detection (1.5·IQR beyond the quartiles) —
+    the third member of the robust-outlier family beside m_anomaly_mad
+    (median/MAD) and m_anomaly_zscore (mean/σ): the box-plot rule every
+    BI layer draws, with a 25% breakdown point and NO distributional
+    consistency constant to pick. Same machinery as MAD: one exact
+    grouped quantile pass (Spark percentile ≡ DuckDB quantile_cont, the
+    a_exact_percentiles equivalence), broadcast join-back, one
+    conditional count — the event stream shuffles once. Fence
+    comparisons run on the identical unrounded quantile doubles both
+    engines derive (the MAD precedent); shipped floats round-6. NULL
+    values never count as outliers on either side (NULL comparison →
+    CASE else). At 100 TB the quantiles switch to approx_percentile
+    under an error budget — a_percentile_estimate_error_audit is the
+    entry that grades that swap."""
+    e = _events(spark, sf_dir)
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("q1"), 6).alias("q1"),
+            F.round(F.min("q3"), 6).alias("q3"),
+            F.round(F.min(iqr), 6).alias("iqr"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("q1") - 1.5 * iqr)
+                    | (F.col("value") > F.col("q3") + 1.5 * iqr),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
     "m_forecast_backtest_mae",
     oracle="""
     WITH daily AS (

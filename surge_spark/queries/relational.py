@@ -7675,6 +7675,80 @@ def a_gini_by_group_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a_hhi_concentration",
+    oracle=f"""
+    WITH r AS (
+      SELECT n.n_name, o.o_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             sum({wide_int('cents', duck=True)} * cents) AS s2
+      FROM r GROUP BY 1
+    )
+    SELECT n_name, n_customers, total_cents,
+           CAST(CASE WHEN total_cents = 0 THEN NULL
+                ELSE round(CAST(s2 AS DOUBLE)
+                     / (CAST(total_cents AS DOUBLE) * total_cents), 6)
+                END AS DOUBLE) AS hhi
+    FROM g
+    """,
+)
+def a_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of customer revenue WITHIN each
+    nation market — HHI = Σ shareᵢ² = Σ centsᵢ² / (Σcents)², the
+    antitrust/marketplace-health number beside a_gini_by_group's
+    inequality curve (HHI weights the HEAD: one dominant buyer moves it
+    where Gini barely notices). Integer channels: per-customer
+    lifetime cents, Σcents, and Σcents² — the square runs in the
+    wide_int channel FROM THE START (cents ~1e8 per whale customer →
+    cents² ~1e16 × 1e5 customers clears bigint well inside realistic
+    scale, so there is no bigint twin to outgrow); ONE mirrored float
+    quotient, round-6, zero-mass guard both sides. Plan: per-(nation,
+    customer) aggregate (the one corpus shuffle) then a |nations|-row
+    rollup."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = (
+        o.join(c.select("c_custkey", "c_nationkey"),
+               o.o_custkey == F.col("c_custkey"))
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+                "cents"
+            )
+        )
+    )
+    g = r.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.expr(f"{wide_int('cents')} * cents")).alias("s2"),
+    )
+    return g.select(
+        "n_name",
+        "n_customers",
+        "total_cents",
+        F.expr(
+            "CAST(CASE WHEN total_cents = 0 THEN NULL"
+            " ELSE round(CAST(s2 AS DOUBLE)"
+            " / (CAST(total_cents AS DOUBLE) * total_cents), 6)"
+            " END AS DOUBLE)"
+        ).alias("hhi"),
+    )
+
+
+@query(
     "w_rolling_correlation",
     oracle="""
     WITH daily AS (

@@ -2894,3 +2894,69 @@ def t_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(W.orderBy(F.desc("log_odds_z"), F.asc("term"))),
         )
     )
+
+
+@query(
+    "t_simpson_diversity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    tf AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM toks
+      WHERE w <> '' GROUP BY source, w
+    ),
+    g AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab,
+             sum(CAST(c AS HUGEINT) * (c - 1)) AS s2
+      FROM tf GROUP BY source
+    )
+    SELECT source, n_tokens, vocab,
+           CAST(CASE WHEN n_tokens < 2 THEN NULL
+                ELSE round(1.0 - CAST(s2 AS DOUBLE)
+                     / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6)
+                END AS DOUBLE) AS simpson_diversity
+    FROM g
+    """,
+)
+def t_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Simpson diversity 1 − λ, λ = Σ c_w(c_w−1) / (N(N−1))
+    — the probability two tokens drawn WITHOUT replacement differ: the
+    corpus-mix diagnostic beside m_user_entropy_per_type's Shannon
+    number (Simpson weights the HEAD of the unigram distribution —
+    boilerplate-dominated sources crater it long before entropy moves;
+    it is also Gini-Simpson in the diversity literature). The unordered
+    numerator Σc(c−1) and denominator are EXACT integers — the
+    numerator runs in the wide_int channel from the start (c can reach
+    the source's token count, so c² clears bigint at ~3e9 tokens/word,
+    real for stop-words at 100 TB); one mirrored float quotient,
+    round-6, n<2 → NULL both sides. The (source, word) tf aggregate is
+    the one corpus-scale shuffle."""
+    from surge_spark.operators.dedup import tokens as _tok
+
+    from .relational import wide_int
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(_tok("text")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = tf.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.expr(f"{wide_int('c')} * (c - 1)")).alias("s2"),
+    )
+    return g.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.expr(
+            "CAST(CASE WHEN n_tokens < 2 THEN NULL"
+            " ELSE round(1.0 - CAST(s2 AS DOUBLE)"
+            " / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6)"
+            " END AS DOUBLE)"
+        ).alias("simpson_diversity"),
+    )
