@@ -506,6 +506,78 @@ TOKEN_BUCKET_STATE_SCHEMA = (
 )
 
 
+# --- Page-Hinkley drift fold ------------------------------------------------
+
+PH_DELTA = 0.005
+PH_LAMBDA = 50.0
+
+
+def page_hinkley_step(
+    n: int,
+    s: float,
+    m: float,
+    m_min: float,
+    n_alarms: int,
+    x: float,
+    delta: float = PH_DELTA,
+    lam: float = PH_LAMBDA,
+) -> tuple[int, float, float, float, int]:
+    """One Page-Hinkley update (Page 1954's other test; Hinkley 1971):
+    the upward-drift detector that tracks m_t = Σ(x_i − x̄_i − δ)
+    against its running minimum and alarms when the gap exceeds λ —
+    unlike CUSUM's fixed first-value baseline, the reference here is
+    the RUNNING MEAN, so slow level changes are absorbed and only
+    sustained drift beyond δ alarms. Float recurrence (the holt/cusum
+    class): the batch oracle reproduces the identical float64 ops in
+    the identical order via a recursive CTE. On alarm both m and its
+    minimum reset to 0 (restart). Operation order is part of the
+    contract: s += x first, mean = s/n, then m += ((x − mean) − δ)."""
+    n += 1
+    s = s + x
+    mean = s / n
+    m = m + ((x - mean) - delta)
+    m_min = min(m_min, m)
+    if m - m_min > lam:
+        n_alarms += 1
+        m = 0.0
+        m_min = 0.0
+    return n, s, m, m_min, n_alarms
+
+
+def page_hinkley_handle_event(state: dict | None, event: dict) -> dict:
+    """Per-key Page-Hinkley fold over the value channel — same sorted
+    fold kernel as bank/holt/cusum/burn."""
+    x = float(event["value"])
+    if state is None:
+        n, s, m, m_min, n_alarms = page_hinkley_step(0, 0.0, 0.0, 0.0, 0, x)
+        return {
+            "aggregate_id": str(event["user_id"]),
+            "n": n,
+            "s": s,
+            "m": m,
+            "m_min": m_min,
+            "n_alarms": n_alarms,
+        }
+    n, s, m, m_min, n_alarms = page_hinkley_step(
+        state["n"], state["s"], state["m"], state["m_min"],
+        state["n_alarms"], x,
+    )
+    return {
+        "aggregate_id": state["aggregate_id"],
+        "n": n,
+        "s": s,
+        "m": m,
+        "m_min": m_min,
+        "n_alarms": n_alarms,
+    }
+
+
+PAGE_HINKLEY_STATE_SCHEMA = (
+    "aggregate_id string, n long, s double, m double, m_min double,"
+    " n_alarms long"
+)
+
+
 # --- error-budget burn-rate fold -------------------------------------------
 
 BURN_WINDOW_MS = 86_400_000  # 1-day budget windows

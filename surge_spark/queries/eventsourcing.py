@@ -1613,6 +1613,78 @@ def m_forecast_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Page-Hinkley recursive-step expressions, expanded textually in the CTE
+# (a CTE cannot bind local names; the cusum-oracle pattern)
+_PH_M = "(f.m + ((o.value - (f.s + o.value) / (f.rn + 1)) - 0.005))"
+_PH_MIN = f"least(f.m_min, {_PH_M})"
+_PH_ALARM = f"({_PH_M} - {_PH_MIN}) > 50.0"
+
+
+@query(
+    "m_page_hinkley",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    lim AS (SELECT user_id, max(rn) AS mx FROM ordered GROUP BY user_id),
+    fold(user_id, rn, s, m, m_min, n_alarms) AS (
+      SELECT user_id, 1, value,
+             CAST(-0.005 AS DOUBLE), CAST(-0.005 AS DOUBLE), 0
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT f.user_id, f.rn + 1, f.s + o.value,
+        CASE WHEN {_PH_ALARM} THEN 0.0 ELSE {_PH_M} END,
+        CASE WHEN {_PH_ALARM} THEN 0.0 ELSE {_PH_MIN} END,
+        f.n_alarms + CASE WHEN {_PH_ALARM} THEN 1 ELSE 0 END
+      FROM fold f JOIN ordered o
+        ON o.user_id = f.user_id AND o.rn = f.rn + 1
+    )
+    SELECT CAST(f.user_id AS VARCHAR) AS aggregate_id,
+           CAST(l.mx AS BIGINT) AS n,
+           CAST(round(f.m, 6) AS DOUBLE) AS m,
+           CAST(round(f.m_min, 6) AS DOUBLE) AS m_min,
+           CAST(f.n_alarms AS BIGINT) AS n_alarms
+    FROM fold f JOIN lim l USING (user_id) WHERE f.rn = l.mx
+    """,
+)
+def m_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift detection per user — the
+    running-mean-referenced sequential change detector beside
+    m_cusum_drift's fixed-baseline CUSUM (PH absorbs slow level shifts
+    because the reference x̄ tracks the data; CUSUM alarms on them):
+    m_t = Σ(xᵢ − x̄ᵢ − δ) against its running minimum, alarm + restart
+    when the gap exceeds λ (δ=0.005, λ=50). A float recurrence whose
+    reference changes every step — no closed form, so like holt/cusum
+    it runs on the sorted-stream fold kernel and the recursive-CTE
+    oracle performs the IDENTICAL float64 ops in the identical order
+    (operation order is pinned in the kernel docstring: s += x, mean =
+    s/n, m += ((x − mean) − δ)). First step folds to m = −δ exactly
+    (x − x̄₁ is IEEE-exact 0), which the oracle's init row states as a
+    literal."""
+    e = (
+        _events(spark, sf_dir)
+        .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+    )
+    folded = es.fold_events_sorted(
+        e,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        handle_event=es.page_hinkley_handle_event,
+        state_schema=es.PAGE_HINKLEY_STATE_SCHEMA,
+    )
+    return folded.select(
+        "aggregate_id",
+        "n",
+        F.round("m", 6).alias("m"),
+        F.round("m_min", 6).alias("m_min"),
+        "n_alarms",
+    )
+
+
 @query(
     "m_cusum_drift",
     oracle="""

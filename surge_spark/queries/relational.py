@@ -6554,6 +6554,106 @@ def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The Scholz-Stephens per-cell AD term, shared textually by the Spark
+# expr and the oracle (da/db are the cross-multiplied ECDF deviations;
+# everything stays in exact integers until the explicit DOUBLE casts, so
+# both engines evaluate identical float64 per-cell terms — only the SUM
+# order differs cross-engine, hence round-4, the m_winsorized_mean
+# float-sum lesson).
+_AD_DA = (
+    "(CAST(n_a + n_b AS DOUBLE) * cum_a - CAST(n_a AS DOUBLE) * cum_n)"
+)
+_AD_DB = (
+    "(CAST(n_a + n_b AS DOUBLE) * (cum_n - cum_a)"
+    " - CAST(n_b AS DOUBLE) * cum_n)"
+)
+_AD_TERM = (
+    f"CAST(cnt AS DOUBLE) / (n_a + n_b)"
+    f" * ({_AD_DA} * {_AD_DA} / n_a + {_AD_DB} * {_AD_DB} / n_b)"
+    f" / (CAST(cum_n AS DOUBLE) * (n_a + n_b - cum_n))"
+)
+
+
+@query(
+    "a_anderson_darling",
+    oracle=f"""
+    WITH {_VALUE_ARM_COUNTS_SQL},
+    pre AS (
+      SELECT cents, cnt, cnt_a,
+             CAST(sum(cnt) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_n,
+             CAST(sum(cnt_a) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_a
+      FROM by_v
+    ),
+    n AS (
+      SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+             CAST(sum(cnt_b) AS BIGINT) AS n_b,
+             CAST(count(*) AS BIGINT) AS n_cells
+      FROM by_v
+    )
+    SELECT n.n_a, n.n_b, n.n_cells,
+           CAST(CASE WHEN n.n_a = 0 OR n.n_b = 0 THEN NULL
+                ELSE round(sum(CASE WHEN pre.cum_n < n.n_a + n.n_b
+                               THEN {_AD_TERM}
+                               ELSE 0.0 END), 4)
+                END AS DOUBLE) AS a2
+    FROM pre CROSS JOIN n GROUP BY n.n_a, n.n_b, n.n_cells
+    """,
+)
+def a_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling statistic between purchase and click
+    values — completing the two-sample quartet on the ONE shared
+    _value_arm_counts kernel (Welch t: means; Mann-Whitney U: location;
+    KS: max ECDF gap; AD: the INTEGRATED, tail-weighted ECDF gap — the
+    test that catches tail divergence KS's single supremum misses).
+    Scholz-Stephens (1987) discrete form over distinct pooled values:
+    A² = Σⱼ (lⱼ/N)·(daⱼ²/n_a + dbⱼ²/n_b)/(Bⱼ(N−Bⱼ)) for Bⱼ < N, with
+    da = N·M_aj − n_a·Bⱼ. Both cumulative channels ride ONE
+    distributed_prefix_sum pass (M_b = B − M_a, so the second arm costs
+    nothing — one fewer pass than a_ks_test needs); every per-cell term
+    is a float64 expression over exact integers, textually mirrored, so
+    only the cross-engine SUM order differs → round-4 (the
+    m_winsorized_mean lesson). Empty arm → NULL both sides. Products
+    N·M stay exactly representable in double to N ~ 6e7; past that the
+    terms round identically anyway (IEEE ops on identical inputs)."""
+    from surge_spark.operators.text import distributed_prefix_sum
+
+    # persist: the bounds action + both prefix chains + the totals
+    # aggregate consume by_v (the a_ks_test scan-amplification fix)
+    by_v = _value_arm_counts(spark, sf_dir).persist()
+    bounds = by_v.stat.approxQuantile(
+        "cents", [i / 16 for i in range(1, 16)], 0.001
+    )
+    pre = distributed_prefix_sum(
+        by_v, "cnt", "cents", [F.col("cents")], out_col="cum_n",
+        bounds=bounds,
+    )
+    pre = distributed_prefix_sum(
+        pre, "cnt_a", "cents", [F.col("cents")], out_col="cum_a",
+        bounds=bounds,
+    )
+    n = by_v.groupBy().agg(
+        F.sum("cnt_a").alias("n_a"),
+        F.sum("cnt_b").alias("n_b"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    return (
+        pre.crossJoin(F.broadcast(n))
+        .groupBy("n_a", "n_b", "n_cells")
+        .agg(
+            F.expr(
+                f"CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL"
+                f" ELSE round(sum(CASE WHEN cum_n < n_a + n_b"
+                f" THEN {_AD_TERM}"
+                f" ELSE 0.0D END), 4) END AS DOUBLE)"
+            ).alias("a2"),
+        )
+    )
+
+
 @query(
     "g_rich_club",
     oracle=f"""
@@ -7382,6 +7482,84 @@ def a_spearman_rho_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_analytics.py."""
     g = _spearman_g(spark, sf_dir, wide=True)
     return g.select("n", F.expr(_SPEARMAN_RHO_EXPR).alias("spearman_rho"))
+
+
+@query(
+    "g_harmonic_centrality_2hop",
+    oracle=f"""
+    WITH {_PART_COOCCUR_SQL},
+    two0 AS (
+      SELECT DISTINCT s1.x AS node, s2.y AS w
+      FROM directed s1 JOIN directed s2 ON s2.x = s1.y
+      WHERE s2.y <> s1.x
+    ),
+    two AS (
+      SELECT t.node, CAST(count(*) AS BIGINT) AS n2
+      FROM two0 t
+      WHERE NOT EXISTS (SELECT 1 FROM directed d2
+                        WHERE d2.x = t.node AND d2.y = t.w)
+      GROUP BY t.node
+    ),
+    scored AS (
+      SELECT deg.node AS part, deg.k AS n1,
+             CAST(coalesce(two.n2, 0) AS BIGINT) AS n2,
+             CAST(deg.k + coalesce(two.n2, 0) / 2.0 AS DOUBLE) AS harmonic2
+      FROM deg LEFT JOIN two ON two.node = deg.node
+    )
+    SELECT part, n1, n2, harmonic2,
+           CAST(row_number() OVER (ORDER BY harmonic2 DESC, part) AS INT)
+             AS rank
+    FROM scored ORDER BY harmonic2 DESC, part LIMIT 20
+    """,
+)
+def g_harmonic_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop-truncated harmonic centrality H₂(v) = |N₁(v)| + |N₂(v)|/2
+    over the part co-occurrence graph — the reach-weighted influence
+    rank (Boldi-Vigna's harmonic centrality cut at distance 2: on
+    small-diameter co-purchase graphs the first two hops carry nearly
+    all the mass, and the truncation is what makes it ONE distinct
+    wedge join instead of an APSP). Exact-distance-2 = wedge endpoints
+    minus self minus direct neighbors (the g_bfs_layers anti-join
+    discipline, here for every node at once). All channels integer;
+    harmonic2 is an exact multiple of 0.5 so the (harmonic2 DESC, part)
+    rank is deterministic without a rounding channel; top-20 is
+    TakeOrdered. Rides the ONE checkpointed _part_cooccurrence kernel
+    shared with assortativity/Katz/clustering."""
+    pairs, directed, deg = _part_cooccurrence(spark, sf_dir)
+    s1 = directed.select(F.col("x").alias("node"), F.col("y").alias("mid"))
+    s2 = directed.select(F.col("x").alias("mid"), F.col("y").alias("w"))
+    two0 = (
+        s1.join(s2, "mid")
+        .where(F.col("w") != F.col("node"))
+        .select("node", "w")
+        .distinct()
+    )
+    nbr = directed.select(F.col("x").alias("node"), F.col("y").alias("w"))
+    two = (
+        two0.join(nbr, ["node", "w"], "left_anti")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    scored = (
+        deg.join(two, "node", "left")
+        .select(
+            F.col("node").alias("part"),
+            F.col("k").alias("n1"),
+            F.coalesce(F.col("n2"), F.lit(0)).cast("long").alias("n2"),
+        )
+        .withColumn(
+            "harmonic2",
+            (F.col("n1") + F.col("n2") / F.lit(2.0)).cast("double"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("harmonic2"), F.asc("part"))
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("harmonic2"), F.asc("part"))),
+        )
+    )
 
 
 @query(
