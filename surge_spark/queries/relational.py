@@ -5735,6 +5735,105 @@ def _min_oriented_tris(pairs: DataFrame) -> DataFrame:
 
 
 @query(
+    "g_ktruss_one_peel",
+    oracle=f"""
+    WITH {_PART_COOCCUR_SQL},
+    {_TRIS_SQL},
+    corners AS (
+      SELECT a AS pa, b AS pb FROM tris
+      UNION ALL SELECT a, c FROM tris
+      UNION ALL SELECT b, c FROM tris
+    ),
+    sup0 AS (SELECT pa, pb, CAST(count(*) AS BIGINT) AS s
+             FROM corners GROUP BY 1, 2),
+    surv AS (
+      SELECT p.pa, p.pb
+      FROM pairs p JOIN sup0 s ON s.pa = p.pa AND s.pb = p.pb
+      WHERE s.s >= 2
+    ),
+    tris1 AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM surv e1
+      JOIN surv e2 ON e2.pa = e1.pa AND e1.pb < e2.pb
+      JOIN surv e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+    ),
+    corners1 AS (
+      SELECT a AS pa, b AS pb FROM tris1
+      UNION ALL SELECT a, c FROM tris1
+      UNION ALL SELECT b, c FROM tris1
+    ),
+    sup1 AS (SELECT pa, pb, CAST(count(*) AS BIGINT) AS s
+             FROM corners1 GROUP BY 1, 2)
+    SELECT CAST(least(coalesce(s1.s, 0), 20) AS BIGINT) AS support_bucket,
+           CAST(count(*) AS BIGINT) AS n_edges
+    FROM surv LEFT JOIN sup1 s1 ON s1.pa = surv.pa AND s1.pb = surv.pb
+    GROUP BY 1
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT),
+           CAST((SELECT count(*) FROM pairs) - (SELECT count(*) FROM surv)
+                AS BIGINT)
+    """,
+)
+def g_ktruss_one_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One peel round of the 4-truss (keep edges in >= k-2 = 2
+    triangles) over the part co-occurrence graph — the cohesion filter
+    g_edge_support_histogram's docstring names as its motivation, now
+    executed one round: drop under-supported edges, RECOMPUTE support
+    on the survivor subgraph (peeling cascades — a surviving edge can
+    lose triangles whose third edge was peeled, which is exactly what
+    the before/after histogram exposes), ship the after-support
+    histogram (capped 20+) plus the removed-edge count as the
+    bucket=-1 row (mass conservation: Σ n_edges + removed = |pairs|).
+    Both triangle passes ride the shared _min_oriented_tris kernel
+    (each triangle once at a<b<c, 3 exploded corners — the 38.9 s
+    all-wedges lesson); the survivor set is localCheckpointed because
+    the second enumeration consumes it on three self-join sides.
+    All-integer output at any scale."""
+    pairs, _, _ = _part_cooccurrence(spark, sf_dir)
+    tris = _min_oriented_tris(pairs)
+
+    def corners(t: DataFrame) -> DataFrame:
+        return t.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("pa"), F.col("b").alias("pb")),
+                    F.struct(F.col("a").alias("pa"), F.col("c").alias("pb")),
+                    F.struct(F.col("b").alias("pa"), F.col("c").alias("pb")),
+                )
+            ).alias("e")
+        ).select("e.pa", "e.pb")
+
+    sup0 = corners(tris).groupBy("pa", "pb").agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    surv = (
+        pairs.join(sup0, ["pa", "pb"])
+        .where(F.col("s") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(eager=False)  # 3 self-join sides + hist + count
+    )
+    sup1 = corners(_min_oriented_tris(surv)).groupBy("pa", "pb").agg(
+        F.count(F.lit(1)).alias("s1")
+    )
+    hist = (
+        surv.join(sup1, ["pa", "pb"], "left")
+        .groupBy(
+            F.expr("CAST(least(coalesce(s1, 0), 20) AS BIGINT)").alias(
+                "support_bucket"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    np_ = pairs.groupBy().agg(F.count(F.lit(1)).alias("np"))
+    ns_ = surv.groupBy().agg(F.count(F.lit(1)).alias("ns"))
+    removed = np_.crossJoin(ns_).select(
+        F.lit(-1).cast("long").alias("support_bucket"),
+        F.expr("CAST(np - ns AS BIGINT)").alias("n_edges"),
+    )
+    return hist.unionByName(removed)
+
+
+@query(
     "g_degree_assortativity",
     oracle=f"""
     WITH {_PART_COOCCUR_SQL}

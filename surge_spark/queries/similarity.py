@@ -1433,6 +1433,256 @@ def d_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MMR_NZ = (
+    "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE)"
+    " * CAST(x AS DOUBLE))) > 0"
+)
+
+
+@query(
+    "sim_mmr_rerank",
+    oracle=f"""
+    WITH qs AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < 5 AND {_MMR_NZ.format(v="embedding")}
+    ),
+    cs AS (
+      SELECT vec_id AS corpus_id, embedding AS ce FROM embeddings
+      WHERE {_MMR_NZ.format(v="embedding")}
+    ),
+    scored AS (
+      SELECT q.query_id, c.corpus_id, c.ce,
+             CAST(round({_DUCK_COSINE.format(a="c.ce", b="q.qe")}, 6)
+                  AS DOUBLE) AS rel
+      FROM cs c CROSS JOIN qs q WHERE c.corpus_id <> q.query_id
+    ),
+    sl AS (
+      SELECT query_id, corpus_id, ce, rel FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, corpus_id
+        ) AS rk FROM scored
+      ) WHERE rk <= 8
+    ),
+    sims AS (
+      SELECT a.query_id, a.corpus_id AS ia, b.corpus_id AS ib,
+             CAST(round({_DUCK_COSINE.format(a="a.ce", b="b.ce")}, 6)
+                  AS DOUBLE) AS sim
+      FROM sl a JOIN sl b
+        ON a.query_id = b.query_id AND a.corpus_id <> b.corpus_id
+    ),
+    s1 AS (
+      SELECT query_id, corpus_id AS s1_id, rel AS s1_score FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, corpus_id
+        ) AS rk FROM sl
+      ) WHERE rk = 1
+    ),
+    c2 AS (
+      SELECT sl.query_id, sl.corpus_id,
+             CAST(round(0.7 * sl.rel - 0.3 * s.sim, 6) AS DOUBLE) AS score2
+      FROM sl
+      JOIN s1 ON s1.query_id = sl.query_id AND sl.corpus_id <> s1.s1_id
+      JOIN sims s ON s.query_id = sl.query_id AND s.ia = sl.corpus_id
+                 AND s.ib = s1.s1_id
+    ),
+    s2 AS (
+      SELECT query_id, corpus_id AS s2_id, score2 AS s2_score FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score2 DESC, corpus_id
+        ) AS r2 FROM c2
+      ) WHERE r2 = 1
+    ),
+    c3 AS (
+      SELECT sl.query_id, sl.corpus_id,
+             CAST(round(0.7 * sl.rel
+                  - 0.3 * greatest(sa.sim, sb.sim), 6) AS DOUBLE) AS score3
+      FROM sl
+      JOIN s1 ON s1.query_id = sl.query_id
+      JOIN s2 ON s2.query_id = sl.query_id
+      JOIN sims sa ON sa.query_id = sl.query_id AND sa.ia = sl.corpus_id
+                  AND sa.ib = s1.s1_id
+      JOIN sims sb ON sb.query_id = sl.query_id AND sb.ia = sl.corpus_id
+                  AND sb.ib = s2.s2_id
+      WHERE sl.corpus_id <> s1.s1_id AND sl.corpus_id <> s2.s2_id
+    ),
+    s3 AS (
+      SELECT query_id, corpus_id AS s3_id, score3 AS s3_score FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score3 DESC, corpus_id
+        ) AS r3 FROM c3
+      ) WHERE r3 = 1
+    )
+    SELECT query_id, CAST(1 AS INT) AS pick, s1_id AS corpus_id,
+           CAST(s1_score AS DOUBLE) AS score FROM s1
+    UNION ALL SELECT query_id, CAST(2 AS INT), s2_id,
+           CAST(s2_score AS DOUBLE) FROM s2
+    UNION ALL SELECT query_id, CAST(3 AS INT), s3_id,
+           CAST(s3_score AS DOUBLE) FROM s3
+    """,
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell-Goldstein 1998) —
+    the diversity-aware retrieval shape RAG pipelines actually serve:
+    from each query's top-8 cosine shortlist, pick 3 results where
+    pick i maximizes λ·rel(d) − (1−λ)·maxⱼ<ᵢ sim(d, pickⱼ), λ=0.7 —
+    near-duplicate hits are demoted in favor of coverage (the
+    serving-time cousin of sim_diverse_representatives' corpus-side
+    sampling). The greedy argmax chain is FIXED-DEPTH (3 unrolled
+    steps, the g_bfs_layers discipline), so the whole thing is
+    declarative and fully oracled: rel and every pairwise sim round-6,
+    each step's combined score round-6 BEFORE its argmax with
+    corpus_id as the total-order tiebreak (round-before-rank). Scale:
+    the corpus pass is the shortlist build (broadcast queries, one
+    scan); everything after is 8-per-query bounded — shortlist and the
+    8×8 sim table are localCheckpointed (5 and 3 consumers). Zero-norm
+    vectors excluded on both sides (the sim_range_search guard)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def nz(c):
+        return sim.dot(sim._as_double(c), sim._as_double(c)) > 0
+
+    def cos(a, b):
+        return F.round(
+            sim.dot(sim._as_double(a), sim._as_double(b))
+            / (sim.norm(sim._as_double(a)) * sim.norm(sim._as_double(b))),
+            6,
+        )
+
+    q = (
+        emb.where((F.col("vec_id") < 5) & nz(F.col("embedding")))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    )
+    c = emb.where(nz(F.col("embedding"))).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ce")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id", "corpus_id", "ce",
+            cos(F.col("ce"), F.col("qe")).alias("rel"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("corpus_id"))
+    sl = (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= 8)
+        .localCheckpoint(eager=False)  # s1/c2/c3 + both sims sides consume
+    )
+    a = sl.select("query_id", F.col("corpus_id").alias("ia"), F.col("ce").alias("ea"))
+    b = sl.select("query_id", F.col("corpus_id").alias("ib"), F.col("ce").alias("eb"))
+    sims = (
+        a.join(b, "query_id")
+        .where(F.col("ia") != F.col("ib"))
+        .select(
+            "query_id", "ia", "ib",
+            cos(F.col("ea"), F.col("eb")).alias("sim"),
+        )
+        .localCheckpoint(eager=False)  # c2 + c3 (twice) consume
+    )
+    s1 = sl.where(F.col("rk") == 1).select(
+        "query_id",
+        F.col("corpus_id").alias("s1_id"),
+        F.col("rel").alias("s1_score"),
+    )
+    c2 = (
+        sl.join(s1, "query_id")
+        .where(F.col("corpus_id") != F.col("s1_id"))
+        .join(
+            sims.select(
+                "query_id",
+                F.col("ia").alias("corpus_id"),
+                F.col("ib").alias("s1_id"),
+                "sim",
+            ),
+            ["query_id", "corpus_id", "s1_id"],
+        )
+        .select(
+            "query_id", "corpus_id",
+            F.expr("CAST(round(0.7D * rel - 0.3D * sim, 6) AS DOUBLE)").alias(
+                "score2"
+            ),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("score2"), F.asc("corpus_id"))
+    s2 = (
+        c2.withColumn("r2", F.row_number().over(w2))
+        .where(F.col("r2") == 1)
+        .select(
+            "query_id",
+            F.col("corpus_id").alias("s2_id"),
+            F.col("score2").alias("s2_score"),
+        )
+    )
+    c3 = (
+        sl.join(s1, "query_id")
+        .join(s2, "query_id")
+        .where(
+            (F.col("corpus_id") != F.col("s1_id"))
+            & (F.col("corpus_id") != F.col("s2_id"))
+        )
+        .join(
+            sims.select(
+                "query_id",
+                F.col("ia").alias("corpus_id"),
+                F.col("ib").alias("s1_id"),
+                F.col("sim").alias("sim1"),
+            ),
+            ["query_id", "corpus_id", "s1_id"],
+        )
+        .join(
+            sims.select(
+                "query_id",
+                F.col("ia").alias("corpus_id"),
+                F.col("ib").alias("s2_id"),
+                F.col("sim").alias("sim2"),
+            ),
+            ["query_id", "corpus_id", "s2_id"],
+        )
+        .select(
+            "query_id", "corpus_id",
+            F.expr(
+                "CAST(round(0.7D * rel - 0.3D * greatest(sim1, sim2), 6)"
+                " AS DOUBLE)"
+            ).alias("score3"),
+        )
+    )
+    w3 = W.partitionBy("query_id").orderBy(F.desc("score3"), F.asc("corpus_id"))
+    s3 = (
+        c3.withColumn("r3", F.row_number().over(w3))
+        .where(F.col("r3") == 1)
+        .select(
+            "query_id",
+            F.col("corpus_id").alias("s3_id"),
+            F.col("score3").alias("s3_score"),
+        )
+    )
+    return (
+        s1.select(
+            "query_id",
+            F.lit(1).cast("int").alias("pick"),
+            F.col("s1_id").alias("corpus_id"),
+            F.col("s1_score").cast("double").alias("score"),
+        )
+        .unionByName(
+            s2.select(
+                "query_id",
+                F.lit(2).cast("int").alias("pick"),
+                F.col("s2_id").alias("corpus_id"),
+                F.col("s2_score").cast("double").alias("score"),
+            )
+        )
+        .unionByName(
+            s3.select(
+                "query_id",
+                F.lit(3).cast("int").alias("pick"),
+                F.col("s3_id").alias("corpus_id"),
+                F.col("s3_score").cast("double").alias("score"),
+            )
+        )
+    )
+
+
 @query(
     "sim_range_search",
     oracle=f"""

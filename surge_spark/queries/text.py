@@ -2960,3 +2960,88 @@ def t_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS DOUBLE)"
         ).alias("simpson_diversity"),
     )
+
+
+@query(
+    "a_cohens_kappa",
+    oracle=f"""
+    WITH lab AS (
+      SELECT CASE WHEN length(text) < 500 THEN 'S'
+                  WHEN length(text) < 2000 THEN 'M' ELSE 'L' END AS ra,
+             CASE WHEN len(list_filter({_DUCK_TOKS}, t -> t <> '')) < 80
+                    THEN 'S'
+                  WHEN len(list_filter({_DUCK_TOKS}, t -> t <> '')) < 320
+                    THEN 'M' ELSE 'L' END AS rb
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cm AS (SELECT ra, rb, CAST(count(*) AS BIGINT) AS c FROM lab GROUP BY 1, 2),
+    g AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ra = rb THEN c ELSE 0 END) AS BIGINT) AS agree
+      FROM cm
+    ),
+    r AS (SELECT ra AS l, CAST(sum(c) AS BIGINT) AS rn FROM cm GROUP BY 1),
+    cc AS (SELECT rb AS l, CAST(sum(c) AS BIGINT) AS cn FROM cm GROUP BY 1),
+    pe AS (SELECT CAST(sum(r.rn * cc.cn) AS BIGINT) AS pe_num
+           FROM r JOIN cc USING (l))
+    SELECT g.n, g.agree, pe.pe_num,
+           CAST(CASE WHEN g.n * g.n = pe.pe_num THEN NULL
+                ELSE round((CAST(g.n AS DOUBLE) * g.agree - pe.pe_num)
+                     / (CAST(g.n AS DOUBLE) * g.n - pe.pe_num), 6)
+                END AS DOUBLE) AS kappa
+    FROM g CROSS JOIN pe
+    """,
+)
+def a_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document labelers —
+    char-length buckets (S<500/M<2000/L) vs token-count buckets
+    (S<80/M<320/L): the chance-corrected agreement score every
+    labeling/annotation pipeline reports (raw agreement flatters
+    labelers whose marginals happen to align; kappa subtracts the
+    expected-by-chance part). The whole statistic is RATIONAL in exact
+    integers: kappa = (N·agree − Σᵢrowᵢ·colᵢ) / (N² − Σᵢrowᵢ·colᵢ) from
+    the |labels|²-bounded confusion matrix — one mirrored float
+    quotient, round-6, degenerate-margin (pe=1) → NULL both sides. NULL
+    texts are filtered on both sides (Spark size(NULL)=-1 vs DuckDB
+    len(NULL)=NULL would diverge). Overflow: N² clears bigint to ~3e9
+    docs; past that the wide_int escape (documented). One corpus pass
+    builds the labels; everything after is label-cardinality-bounded."""
+    from surge_spark.operators.dedup import tokens as _tok
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    toks_n = F.size(F.filter(_tok("text"), lambda t: t != ""))
+    ra = (
+        F.when(F.length("text") < 500, "S")
+        .when(F.length("text") < 2000, "M")
+        .otherwise("L")
+    )
+    rb = F.when(toks_n < 80, "S").when(toks_n < 320, "M").otherwise("L")
+    cm = (
+        d.select(ra.alias("ra"), rb.alias("rb"))
+        .groupBy("ra", "rb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # g / r / cc all consume the matrix
+    )
+    g = cm.groupBy().agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.when(F.col("ra") == F.col("rb"), F.col("c")).otherwise(0)
+        ).alias("agree"),
+    )
+    r = cm.groupBy(F.col("ra").alias("l")).agg(F.sum("c").alias("rn"))
+    cc = cm.groupBy(F.col("rb").alias("l")).agg(F.sum("c").alias("cn"))
+    pe = r.join(cc, "l").groupBy().agg(
+        F.sum(F.expr("rn * cn")).alias("pe_num")
+    )
+    return g.crossJoin(F.broadcast(pe)).select(
+        "n",
+        "agree",
+        "pe_num",
+        F.expr(
+            "CAST(CASE WHEN n * n = pe_num THEN NULL"
+            " ELSE round((CAST(n AS DOUBLE) * agree - pe_num)"
+            " / (CAST(n AS DOUBLE) * n - pe_num), 6) END AS DOUBLE)"
+        ).alias("kappa"),
+    )
