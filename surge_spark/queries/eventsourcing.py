@@ -729,6 +729,72 @@ def m_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    ),
+    c2 AS (
+      SELECT prev AS s, event_type AS t, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    cs AS (SELECT s, CAST(sum(c) AS BIGINT) AS cs FROM c2 GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_cells FROM c2)
+    SELECT tot.n AS n_transitions, tot.n_cells,
+           CAST(round(-sum(CAST(c2.c AS DOUBLE) / tot.n
+                * ln(CAST(c2.c AS DOUBLE) / cs.cs)), 6) AS DOUBLE)
+             AS entropy_rate_nats
+    FROM c2 JOIN cs USING (s) CROSS JOIN tot
+    GROUP BY tot.n, tot.n_cells
+    """,
+)
+def m_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical entropy rate of the first-order event-type Markov chain
+    — H = −Σ_{s,t} (c_st/C)·ln(c_st/c_s·), the single number that says
+    how PREDICTABLE user behavior is given the previous action (the
+    chain-level summary of m_event_transition_matrix: near 0 = flows
+    are deterministic funnels, near ln|types| = memoryless noise; a
+    drift in it is a product-change signal entropy-per-type misses).
+    Same lag window + |types|²-bounded counts as the transition matrix
+    (deliberately the IDENTICAL sequence convention, including the
+    NULL-user partition and event_id tiebreak); every probability
+    derives from exact integers and the ≤|types|²-term float sum
+    rounds to 6 (25 terms — far inside the float-sum-order band).
+    Output: one row (n_transitions, n_cells, entropy_rate_nats)."""
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    c2 = seq.groupBy(
+        F.col("prev").alias("s"), F.col("event_type").alias("t")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cs = c2.groupBy("s").agg(F.sum("c").alias("cs"))
+    tot = c2.groupBy().agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_cells")
+    )
+    return (
+        c2.join(cs, "s")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n", "n_cells")
+        .agg(
+            F.expr(
+                "CAST(round(-sum(CAST(c AS DOUBLE) / n"
+                " * ln(CAST(c AS DOUBLE) / cs)), 6) AS DOUBLE)"
+            ).alias("entropy_rate_nats")
+        )
+        .select(
+            F.col("n").alias("n_transitions"), "n_cells", "entropy_rate_nats"
+        )
+    )
+
+
+@query(
     "m_user_entropy_per_type",
     oracle="""
     WITH cnt AS (

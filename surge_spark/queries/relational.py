@@ -400,9 +400,11 @@ def _asof_click_purchase(
     fix can never silently miss one entry). Returns (clicks, best):
     best is keyed on m_event_id with a struct of the most recent
     (``direction="backward"``, max_by on (p_ts, p_event_id)) or next
-    upcoming (``"forward"``, min_by, p_ts > ts) qualifying purchase;
-    ``tolerance_expr`` (an INTERVAL SQL string) bounds staleness/wait —
-    and join state at scale."""
+    upcoming (``"forward"``, min_by, p_ts > ts) qualifying purchase, or
+    the closest in EITHER direction (``"nearest"``, min over exact
+    integer |Δms| with (p_ts, p_event_id) tiebreak; tolerance
+    mandatory); ``tolerance_expr`` (an INTERVAL SQL string) bounds
+    staleness/wait — and join state at scale."""
     clicks = events.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -430,6 +432,42 @@ def _asof_click_purchase(
                 purchases.p_ts <= clicks.ts + F.expr(tolerance_expr)
             )
         pick = F.min_by
+    elif direction == "nearest":
+        # nearest-in-time on EITHER side; tolerance is mandatory — an
+        # unbounded nearest join holds unbounded range-join state
+        if tolerance_expr is None:  # pragma: no cover - contract guard
+            raise ValueError("nearest as-of requires tolerance_expr")
+        cond = (
+            (clicks.user_id == purchases.p_user_id)
+            & (purchases.p_ts >= clicks.ts - F.expr(tolerance_expr))
+            & (purchases.p_ts <= clicks.ts + F.expr(tolerance_expr))
+        )
+        # min over (|Δms| exact integer, p_ts, p_event_id) — the total
+        # order that makes an equidistant before/after pair deterministic
+        # (earlier purchase wins, then id)
+        best = (
+            clicks.join(purchases, cond)
+            .groupBy(F.col("event_id").alias("m_event_id"))
+            .agg(
+                F.min_by(
+                    F.struct(
+                        "p_event_id",
+                        "p_value",
+                        F.expr(
+                            "abs(unix_millis(p_ts) - unix_millis(ts))"
+                        ).alias("d_ms"),
+                    ),
+                    F.struct(
+                        F.expr(
+                            "abs(unix_millis(p_ts) - unix_millis(ts))"
+                        ).alias("d"),
+                        F.col("p_ts").alias("o1"),
+                        F.col("p_event_id").alias("o2"),
+                    ),
+                ).alias("best")
+            )
+        )
+        return clicks, best
     else:  # pragma: no cover - contract guard
         raise ValueError(f"unknown as-of direction {direction!r}")
     best = (
@@ -475,6 +513,56 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_event_id").alias("event_id"),
         F.col("best.p_event_id").alias("purchase_event_id"),
         F.round(F.col("best.p_value"), 2).alias("purchase_value"),
+    )
+
+
+@query(
+    "j_asof_nearest_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'
+    ), ranked AS (
+      SELECT e.event_id,
+             p.event_id AS purchase_event_id,
+             CAST(round(p.value, 2) AS DOUBLE) AS purchase_value,
+             CAST(abs(epoch_ms(p.ts) - epoch_ms(e.ts)) AS BIGINT) AS d_ms,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(epoch_ms(p.ts) - epoch_ms(e.ts)), p.ts,
+                        p.event_id
+             ) AS rn
+      FROM events e JOIN purchases p
+        ON e.user_id = p.user_id
+       AND p.ts >= e.ts - INTERVAL 1 DAY
+       AND p.ts <= e.ts + INTERVAL 1 DAY
+      WHERE e.event_type = 'click'
+    )
+    SELECT event_id, purchase_event_id, purchase_value, d_ms
+    FROM ranked WHERE rn = 1
+    """,
+)
+def j_asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join — each click matched to the CLOSEST
+    purchase on EITHER side within ±1 day, completing the as-of family
+    (backward = most recent, forward = next upcoming, tolerance =
+    bounded-staleness backward, point-in-time = versioned; nearest is
+    the sensor-alignment/pandas merge_asof(direction='nearest') shape).
+    Distance is the EXACT integer |Δms| (unix_millis ≡ epoch_ms), so
+    the pick needs no rounding channel; an equidistant before/after
+    pair resolves deterministically by (p_ts, p_event_id) — earlier
+    purchase wins. The mandatory tolerance is also what bounds range-
+    join state at 100 TB (the j_asof_tolerance_join argument). Shares
+    THE _asof_click_purchase kernel."""
+    events = _t(spark, sf_dir, "events")
+    _, best = _asof_click_purchase(
+        events, "INTERVAL 1 DAY", direction="nearest"
+    )
+    return best.select(
+        F.col("m_event_id").alias("event_id"),
+        F.col("best.p_event_id").alias("purchase_event_id"),
+        F.round(F.col("best.p_value"), 2).alias("purchase_value"),
+        F.col("best.d_ms").cast("long").alias("d_ms"),
     )
 
 

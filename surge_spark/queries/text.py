@@ -3045,3 +3045,94 @@ def a_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(n AS DOUBLE) * n - pe_num), 6) END AS DOUBLE)"
         ).alias("kappa"),
     )
+
+
+# Shared subset of Java-regex (Spark) and RE2 (DuckDB): char classes,
+# +, bounded repetition — no lookaround, no backrefs
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"555-[0-9]{4}"
+
+
+@query(
+    "t_pii_redact",
+    oracle=f"""
+    WITH built AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 7 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com now' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                  THEN ' call 555-0142 ext 9' ELSE '' END AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    red AS (
+      SELECT doc_id, t,
+             regexp_replace(
+               regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS r
+      FROM built
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           CAST(length(t) AS BIGINT) AS orig_len,
+           CAST(length(r) AS BIGINT) AS redacted_len,
+           substr(md5(r), 1, 8) AS redacted_md5
+    FROM red
+    """,
+)
+def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub pass every training-data
+    pipeline runs before release: count and replace email addresses and
+    phone-shaped strings, shipping per-doc counts, before/after lengths,
+    and an md5 prefix of the REDACTED text (so the oracle value-checks
+    the replacement content itself, not just counts). The synthetic
+    corpus contains no PII, so deterministic PII is CONSTRUCTED
+    in-query on both engines (doc_id % 7 → an email, % 11 → a phone;
+    the mm_feature_extract construct-an-oracle trick — a vacuous
+    0-everywhere entry would prove nothing, the r11
+    cross-source-leakage lesson). Patterns stay in the Java-regex ∩ RE2
+    subset; DuckDB's regexp_replace needs the explicit 'g' flag to
+    match Spark's replace-all default. NULL texts filtered both sides.
+    Pure map-side — no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    built = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" call 555-0142 ext 9")
+            ).otherwise(""),
+        ).alias("t"),
+    )
+    red = built.withColumn(
+        "r",
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+    )
+    return red.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).cast("long").alias(
+            "n_emails"
+        ),
+        F.regexp_count(F.col("t"), F.lit(_PII_PHONE)).cast("long").alias(
+            "n_phones"
+        ),
+        F.length("t").cast("long").alias("orig_len"),
+        F.length("r").cast("long").alias("redacted_len"),
+        F.expr("substr(md5(CAST(r AS BINARY)), 1, 8)").alias("redacted_md5"),
+    )
