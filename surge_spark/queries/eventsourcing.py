@@ -1558,6 +1558,58 @@ def m_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_daily_backlog",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS d,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS arrivals,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS departures
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(d AS BIGINT) AS day, arrivals, departures,
+           CAST(sum(arrivals - departures) OVER (
+             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS backlog
+    FROM daily
+    """,
+)
+def m_daily_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily queueing backlog — cumulative arrivals (views) minus
+    departures (purchases): the Lindley-recurrence-shaped curve an
+    operations dashboard reads to see demand outpacing fulfilment (the
+    single-number siblings are m_error_budget_burn for errors and
+    m_dau_wau_mau for engagement; backlog is the INTEGRAL view that
+    catches slow leaks both miss). All-integer channels; the cumulative
+    window runs over the CALENDAR-BOUNDED daily series (row count =
+    number of days — the w_rolling_correlation class), so the
+    single-series window cannot grow with data volume; the corpus-scale
+    work is one conditional daily aggregate. Day ships as integer
+    epoch-day (no date channel)."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("unix_millis(ts) div 86400000").alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "arrivals"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("departures"),
+    )
+    wf = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        F.col("d").cast("long").alias("day"),
+        F.col("arrivals").cast("long").alias("arrivals"),
+        F.col("departures").cast("long").alias("departures"),
+        F.sum(F.col("arrivals") - F.col("departures")).over(wf).cast(
+            "long"
+        ).alias("backlog"),
+    )
+
+
+@query(
     "m_anomaly_iqr",
     oracle="""
     WITH q AS (

@@ -3600,6 +3600,68 @@ def a_percentile_estimate_error_audit(
 
 
 @query(
+    "a_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, cents, wt,
+             CAST(sum(wt) OVER (
+               PARTITION BY l_returnflag ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cw,
+             CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT)
+               AS total_w
+      FROM w
+    )
+    SELECT l_returnflag, CAST(min(total_w) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cw >= total_w THEN cents END) AS BIGINT)
+             AS weighted_median_cents
+    FROM cum GROUP BY l_returnflag
+    """,
+)
+def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the percentile
+    family member neither engine has built in (Spark percentile takes
+    no weights; a_exact_percentiles is row-weighted): lower weighted
+    median = the smallest value whose cumulative weight reaches half
+    the total, i.e. min{v : 2·cumw(v) ≥ W} — an ALL-INTEGER rule (no
+    interpolation, so no float channel at all; 2·cw ≤ 2W clears bigint
+    to ~4.6e18 total units). Per-value weight sums first (the
+    Mann-Whitney per-value-counts discipline), then a cumulative window
+    PARTITIONED by flag — the window's row count is the number of
+    DISTINCT prices, bounded by the price domain, not data volume (the
+    w_rolling_correlation calendar-bounded class), so the plan is
+    scale-safe without prefix-sum machinery."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = li.groupBy(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    ).agg(
+        F.sum(F.expr("CAST(round(l_quantity) AS BIGINT)")).alias("wt")
+    )
+    wf = W.partitionBy("l_returnflag").orderBy("cents").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = w.select(
+        "l_returnflag",
+        "cents",
+        F.sum("wt").over(wf).alias("cw"),
+        F.sum("wt").over(W.partitionBy("l_returnflag")).alias("total_w"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min("total_w").cast("long").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("total_w"), F.col("cents"))
+        ).cast("long").alias("weighted_median_cents"),
+    )
+
+
+@query(
     "a_corr_regression",
     oracle="""
     SELECT l_returnflag,
