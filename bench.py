@@ -132,6 +132,17 @@ def _py_spin() -> int:
     return x
 
 
+def _calibration_par(spark) -> None:
+    """THE parallel canary workload — one definition shared by the
+    start-of-run probe and the end-of-run drift re-probe, so retuning
+    the workload can never desynchronize the two factors (review
+    finding). Retune row/partition counts ONLY together with
+    REF_CALIBRATION."""
+    spark.range(0, 12_800_000_000, numPartitions=64).selectExpr(
+        "max(xxhash64(id)) AS h"
+    ).collect()
+
+
 def calibration_probe(spark) -> dict:
     """Time the fixed-work canaries (see module docstring). Returns the
     raw probe times plus host_factor (this host's warm parallel canary
@@ -146,9 +157,7 @@ def calibration_probe(spark) -> dict:
         return time.perf_counter() - s
 
     def par():
-        spark.range(0, 12_800_000_000, numPartitions=64).selectExpr(
-            "max(xxhash64(id)) AS h"
-        ).collect()
+        _calibration_par(spark)
 
     def one():
         spark.range(0, 200_000_000, numPartitions=1).selectExpr(
@@ -559,16 +568,10 @@ def main() -> None:
     # start and end host_factor means the host drifted mid-bench (quote
     # the larger factor when attributing a slow round).
     try:
-
-        def _par():
-            spark.range(0, 12_800_000_000, numPartitions=64).selectExpr(
-                "max(xxhash64(id)) AS h"
-            ).collect()
-
         end_samples = []
         for _ in range(3):
             s = time.perf_counter()
-            _par()
+            _calibration_par(spark)
             end_samples.append(time.perf_counter() - s)
         calibration["spark_cpu_warm_end_s"] = round(
             statistics.median(end_samples), 3

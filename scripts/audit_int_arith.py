@@ -32,69 +32,112 @@ import sys
 # tests/test_properties.py::test_int_arith_flags_all_in_bounded_classes
 # with the entry and expression named — the audit is a test, not a
 # discipline. Patterns match Spark's analyzed-plan expression toString.
+# Review-tightened (r14 pass 1): the first cut of these patterns was far
+# looser than the classes they name — arbitrary col*col matched
+# 'indicator-product', any expr CONTAINING size(/pos#/year( matched its
+# class — so the allowlist test would have passed vacuously for exactly
+# the unbounded channels it exists to catch. Every pattern below anchors
+# the WHOLE flagged expression (or its leading operand) to the named
+# shape; adversarial non-members are pinned as negative cases in
+# tests/test_properties.py.
 BOUNDED_CLASSES: list[tuple[str, "re.Pattern[str]"]] = [
-    # quantile-bucket / prefix-shard boolean chains: (k + cast((x > q_i)
-    # as int)) + ... — each term is 0/1, chains are <= 64 terms
+    # quantile-bucket / prefix-shard boolean chains: the INNERMOST term
+    # is (literal + cast((comparison) as int)) and every further term is
+    # another 0/1 cast — chains are <= 64 terms
     # (rfm/pareto/gini/pack/percentile shards)
     (
         "bucket-boolean-chain",
-        re.compile(r"^Add\[\w+\] .*cast\(\(.*[<>]=? .*\) as int\)", re.S),
-    ),
-    # 0/1 indicator products: _ha*_hb (pair-presence), in_short*is_err
-    # (window-membership x error) — both factors are indicators
-    (
-        "indicator-product",
-        re.compile(r"^Multiply\[\w+\] \(_?[a-z_0-9]+#\d* \* _?[a-z_0-9]+#\d*\)"),
-    ),
-    # token-position offsets: span_end-span_start+1, max(pos)+k,
-    # gram/window-size arithmetic on size()/pos/struct token counts —
-    # all bounded by a document's token count
-    (
-        "token-offset",
         re.compile(
-            r"^(Add|Subtract)\[\w+\] .*"
-            r"(span_end|span_start|pos#|_we\d|max\(pos|lambda x_|size\(|"
-            r"s#\d*\.nt)",
+            r"^Add\[\w+\] \(+\d+ \+ cast\(\(.*[<>]=? .*\) as int\)\)"
+            r"( \+ cast\(\(.*?\) as int\)\))*$",
             re.S,
         ),
     ),
-    # calendar arithmetic: year/month deltas (bounded by the date range)
+    # 0/1 indicator products: both factors must LOOK like indicators
+    # (_ha/_hb pair-presence bits, in_short/in_long window bits, is_*)
     (
-        "year-month",
-        re.compile(r"^(Add|Subtract|Multiply)\[\w+\] .*(year\(|month\()", re.S),
+        "indicator-product",
+        re.compile(
+            r"^Multiply\[\w+\] \((_h[ab]|in_[a-z_]+|is_[a-z_]+)#\d*"
+            r" \* (_h[ab]|in_[a-z_]+|is_[a-z_]+)#\d*\)$"
+        ),
     ),
-    # ascii() of a single char (<= 0x10FFFF), possibly negated for the
-    # min-as-argmax trick
-    ("ascii", re.compile(r"ascii\(")),
-    # array-index arithmetic: code_N + 1 (codebook lookup),
-    # array_position(...) - 1 — bounded by array length / codebook size
+    # token-position offsets: the LEADING operand must itself be a
+    # token-position/count field (span bounds, pos, max(pos), lambda
+    # slice index, size(...), token-count struct fields) and the rest of
+    # the expression only combines those with literals — all bounded by
+    # a document's token count
+    (
+        "token-offset",
+        re.compile(
+            r"^(Add|Subtract)\[\w+\] \(+"
+            r"(span_end#\d*|span_start#\d*|pos#\d*|max\(pos#\d*\)"
+            r"|lambda x_\d+#\d*|size\(|s#\d*\.n[td]"
+            r"|CASE WHEN \(*s#\d*\.n[td])"
+        ),
+    ),
+    # calendar arithmetic: the expression must be COMPOSED of
+    # year()/month() extractions, literals, and +-*() only (checked
+    # structurally in classify_flag, not by containment)
+    ("year-month", None),  # handled by _is_year_month_composition
+    # negated ascii() of a single char (the min-as-argmax trick)
+    ("ascii", re.compile(r"^UnaryMinus\[\w+\] -ascii\(")),
+    # array-index arithmetic: a known index column + literal (codebook
+    # lookups, posexplode offsets) — bounded by array/codebook size
     (
         "array-index",
         re.compile(
             r"^Add\[\w+\] \((code_\d+#\d*|p#\d*|pos\d+#\d*|from_json.+\.k)"
-            r" \+ \d+\)"
+            r" \+ \d+\)$"
         ),
     ),
     (
         "array-position-offset",
-        re.compile(r"^Subtract\[\w+\] \(cast\(array_position\("),
+        re.compile(r"^Subtract\[\w+\] \(cast\(array_position\(.* - \d+\)$", re.S),
     ),
-    # pmod/remainder by a small literal (bucket ids, parity checks)
-    ("pmod-small", re.compile(r"^(Pmod|Remainder)\[\w+\] .*(%|pmod\()", re.S)),
-    # complement of a 0/1 indicator: (1 - is_a)
-    ("indicator-complement", re.compile(r"^Subtract\[\w+\] \(\d+ - is_[a-z_]+#\d*\)")),
+    # pmod/remainder by a small LITERAL (bucket ids, parity) — a column
+    # modulus is not in the class
+    (
+        "pmod-small",
+        re.compile(r"^(Pmod|Remainder)\[\w+\] .*(% \d+\)|pmod\(.*, \d+\))$", re.S),
+    ),
+    # complement of a 0/1 indicator: (literal - is_*)
+    (
+        "indicator-complement",
+        re.compile(r"^Subtract\[\w+\] \(\d+ - is_[a-z_]+#\d*\)$"),
+    ),
     # negated argmax payload: -array_max(array(struct(sim, -cell/-code)))
-    # — the min-as-argmax trick, bounded by the literal model size
+    # — bounded by the literal model size
     ("neg-argmax-code", re.compile(r"^UnaryMinus\[\w+\] -array_max\(array\(struct\(")),
 ]
+
+_YM_STRIP = re.compile(
+    r"(year|month)\(cast\([a-z_0-9#]+ as date\)\)|(year|month)\([a-z_0-9#]+\)"
+)
+
+
+def _is_year_month_composition(expr: str) -> bool:
+    """True iff the flagged arithmetic is composed ONLY of year()/month()
+    extractions, integer literals, and +-*() — the calendar class.
+    year/month values are <= 9999/12, so any fixed composition of them
+    with small literals is bounded."""
+    m = re.match(r"^(Add|Subtract|Multiply)\[\w+\] (.*)$", expr, re.S)
+    if not m:
+        return False
+    body = _YM_STRIP.sub("Y", m.group(2))
+    if "Y" not in body:
+        return False
+    return re.fullmatch(r"[Y\d\s()+\-*]+", body) is not None
 
 
 def classify_flag(expr: str) -> str | None:
     """Return the bounded-class name for a flagged expression, or None if
-    it matches no pinned class (=> a new, unreviewed integer channel).
-    Patterns are searched; classes that must see the node type anchor
-    themselves with ^."""
+    it matches no pinned class (=> a new, unreviewed integer channel)."""
     for name, pat in BOUNDED_CLASSES:
+        if pat is None:
+            if name == "year-month" and _is_year_month_composition(expr):
+                return name
+            continue
         if pat.search(expr):
             return name
     return None
@@ -186,7 +229,9 @@ def main() -> int:
         print(f"ERROR {name}: {e[:200]}")
     print(f"\n{len(names)} entries scanned, {n_flagged} integer-arith flags "
           f"({n_unclassified} UNCLASSIFIED), {len(errs)} errors")
-    return 1 if n_unclassified else 0
+    # an entry that ERRORS at plan analysis was never walked — that is
+    # an audit failure too, not a clean exit (review finding)
+    return 1 if (n_unclassified or errs) else 0
 
 
 if __name__ == "__main__":

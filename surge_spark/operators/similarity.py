@@ -453,7 +453,7 @@ def embedding_neardup_pairs(
     background region of embedding space becomes one hot cell — the
     stop-shingle analog), so one cell can quietly become an m²/2
     single-key blowup at 100 TB. Blocks over the cap are deterministically
-    SUB-BLOCKED into ceil(s/max_block) hash groups (crc32 of the id — both
+    SUB-BLOCKED into ceil(s/max_block) hash groups (md5-slice of the id — both
     engines can reproduce it), bounding every join key's pair count at
     ~max_block²/2 while oversized cells keep contributing pairs (dropping
     them outright, like max_bucket's stop-shingles, loses whole regions;

