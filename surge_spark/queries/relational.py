@@ -8115,6 +8115,168 @@ def a_gini_by_group_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w_range_frame_sum",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, epoch_ms(o_orderdate) // 86400000 AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_custkey, CAST(d AS BIGINT) AS day, cents,
+           CAST(count(*) OVER w AS BIGINT) AS n_orders_30d,
+           CAST(sum(cents) OVER w AS BIGINT) AS cents_30d
+    FROM o
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY d
+      RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def w_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-range window frames — RANGE BETWEEN 29 PRECEDING over
+    integer epoch-days: the trailing-30-day spend/count per order, the
+    one window-frame surface the w_* family didn't cover (every other
+    frame entry is ROWS-based; RANGE frames bound by the ORDER VALUE,
+    so gaps in activity shrink the frame and same-day orders share one
+    frame — semantics ROWS cannot express). Day as integer epoch-day
+    (no date channel, the m_gap_fill rule; also what makes the range
+    arithmetic engine-portable). Partitioned per customer — parallel
+    at any scale; all-integer channels. Same-day tie rows share
+    identical frames on both engines BY CONSTRUCTION of RANGE
+    semantics, so no tiebreak channel is needed."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000")
+        .alias("d"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    wf = (
+        W.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-29, 0)
+    )
+    return o.select(
+        "o_custkey",
+        F.col("d").cast("long").alias("day"),
+        "cents",
+        F.count(F.lit(1)).over(wf).cast("long").alias("n_orders_30d"),
+        F.sum("cents").over(wf).cast("long").alias("cents_30d"),
+    )
+
+
+# Theil per-row terms (textually mirrored; every input an exact integer)
+_THEIL_TOT = "CAST(cents AS DOUBLE) / tx * ln(CAST(cents AS DOUBLE) * n / tx)"
+_THEIL_WIT = (
+    "CAST(cents AS DOUBLE) / tx * ln(CAST(cents AS DOUBLE) * ng / txg)"
+)
+_THEIL_BET = (
+    "CAST(txg AS DOUBLE) / tx * ln(CAST(txg AS DOUBLE) / tx"
+    " * (CAST(n AS DOUBLE) / ng))"
+)
+
+
+@query(
+    "a_theil_decomposition",
+    oracle=f"""
+    WITH r AS (
+      SELECT n.n_name, o.o_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+      HAVING sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) > 0
+    ),
+    g AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(cents) AS BIGINT) AS txg
+      FROM r GROUP BY 1
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS tx FROM r),
+    rows_ AS (
+      SELECT r.cents, g.ng, g.txg, t.n, t.tx
+      FROM r JOIN g USING (n_name) CROSS JOIN t
+    ),
+    sums AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST(max(tx) AS BIGINT) AS total_cents,
+             CAST(round(sum({_THEIL_TOT}), 4) AS DOUBLE) AS theil_total,
+             CAST(round(sum({_THEIL_WIT}), 4) AS DOUBLE) AS theil_within
+      FROM rows_
+    ),
+    bet AS (
+      SELECT CAST(round(sum({_THEIL_BET}), 4) AS DOUBLE) AS theil_between
+      FROM g CROSS JOIN t
+    )
+    SELECT sums.n, sums.total_cents, sums.theil_total,
+           bet.theil_between, sums.theil_within
+    FROM sums CROSS JOIN bet
+    """,
+)
+def a_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of customer revenue, DECOMPOSED into
+    between-nation and within-nation parts — the property that makes
+    Theil the inequality measure analysts reach for past Gini/HHI
+    (neither decomposes additively; T_total = T_between + T_within
+    exactly, so a drift monitor can say WHERE inequality moved).
+    T = Σᵢ (xᵢ/X)·ln(xᵢ·n/X); within uses each nation's (N_g, X_g);
+    between runs over the |nations| group frame. Every ln argument is a
+    quotient of exact integers rendered identically on both engines;
+    the per-customer float sums round to 4 (the m_winsorized_mean
+    float-sum-order lesson). Zero-revenue customers are excluded BOTH
+    sides (Theil needs x>0 — 0·ln0 is NaN in float); additivity is
+    pinned in tests with float tolerance, not in the oracle. One
+    corpus shuffle (per-customer aggregate); group/global frames
+    broadcast back."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nn = _t(spark, sf_dir, "nation")
+    r = (
+        o.join(c.select("c_custkey", "c_nationkey"),
+               o.o_custkey == F.col("c_custkey"))
+        .join(
+            F.broadcast(nn.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+                "cents"
+            )
+        )
+        .where(F.col("cents") > 0)
+        .localCheckpoint(eager=False)  # g / t / rows_ all consume
+    )
+    g = r.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("ng"), F.sum("cents").alias("txg")
+    )
+    t = r.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("tx")
+    )
+    rows_ = r.join(F.broadcast(g), "n_name").crossJoin(F.broadcast(t))
+    sums = rows_.groupBy().agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("tx").cast("long").alias("total_cents"),
+        F.expr(f"CAST(round(sum({_THEIL_TOT}), 4) AS DOUBLE)").alias(
+            "theil_total"
+        ),
+        F.expr(f"CAST(round(sum({_THEIL_WIT}), 4) AS DOUBLE)").alias(
+            "theil_within"
+        ),
+    )
+    bet = g.crossJoin(F.broadcast(t)).groupBy().agg(
+        F.expr(f"CAST(round(sum({_THEIL_BET}), 4) AS DOUBLE)").alias(
+            "theil_between"
+        )
+    )
+    return sums.crossJoin(F.broadcast(bet)).select(
+        "n", "total_cents", "theil_total", "theil_between", "theil_within"
+    )
+
+
+@query(
     "a_hhi_concentration",
     oracle=f"""
     WITH r AS (

@@ -609,6 +609,48 @@ def test_rank_stats_decimal_twins_equal_bigint(spark, sf_dir):
         assert (b.n, b.s_x, b.gini) == (d.n, d.s_x, d.gini)
 
 
+def test_theil_decomposition_additivity(spark, sf_dir):
+    """Theil's defining property: total = between + within (exact in
+    math; float tolerance here because the three sums are computed
+    independently and each rounds to 4). Also the non-negativity every
+    Theil component satisfies."""
+    r = all_queries()["a_theil_decomposition"](spark, sf_dir).collect()[0]
+    assert r.n > 0 and r.total_cents > 0
+    for v in (r.theil_total, r.theil_between, r.theil_within):
+        assert v is not None and v >= -1e-4
+    assert abs(r.theil_total - (r.theil_between + r.theil_within)) < 5e-4, r
+
+
+def test_weighted_median_contract(spark, sf_dir):
+    """The weighted median must be an actual data value whose cumulative
+    weight reaches half the total — re-derived per group from raw rows
+    in pandas (an independent formulation of the same rule)."""
+    rows = all_queries()["a_weighted_median"](spark, sf_dir).collect()
+    assert rows
+    import duckdb
+
+    con = duckdb.connect()
+    li = con.read_parquet(f"{sf_dir}/lineitem.parquet")  # noqa: F841
+    for r in rows:
+        got = con.execute(
+            """
+            WITH w AS (
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                     CAST(round(l_quantity) AS BIGINT) AS wt
+              FROM li WHERE l_returnflag = ?
+            )
+            SELECT min(cents) FROM (
+              SELECT cents, sum(wt) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                sum(wt) OVER () AS tw
+              FROM w
+            ) WHERE 2 * cw >= tw
+            """,
+            [r.l_returnflag],
+        ).fetchone()[0]
+        assert r.weighted_median_cents == got, (r.l_returnflag, got, r)
+
+
 def test_hard_negative_mining_contract(spark, sf_dir):
     """Per centroid: at most 5 rows with contiguous ranks, cosine
     non-increasing in rank, and no row mines a vector from the centroid's
