@@ -80,6 +80,11 @@ BOUNDED_CLASSES: list[tuple[str, "re.Pattern[str]"]] = [
     # year()/month() extractions, literals, and +-*() only (checked
     # structurally in classify_flag, not by containment)
     ("year-month", None),  # handled by _is_year_month_composition
+    # weighted indicator packs: literal-weighted CASE WHEN (cmp) THEN 1
+    # ELSE 0 END terms combined with +-* — ordinal-pattern codes,
+    # bit-packs (bounded by the sum of the literal weights); checked
+    # structurally like year-month
+    ("indicator-pack", None),  # handled by _is_indicator_pack
     # negated ascii() of a single char (the min-as-argmax trick)
     ("ascii", re.compile(r"^UnaryMinus\[\w+\] -ascii\(")),
     # array-index arithmetic: a known index column + literal (codebook
@@ -130,12 +135,35 @@ def _is_year_month_composition(expr: str) -> bool:
     return re.fullmatch(r"[Y\d\s()+\-*]+", body) is not None
 
 
+_PACK_STRIP = re.compile(r"CASE WHEN \([^()]*\) THEN 1 ELSE 0 END")
+
+
+def _is_indicator_pack(expr: str) -> bool:
+    """True iff the flagged arithmetic is composed ONLY of 0/1 CASE
+    indicators, integer literals, and +-*() — bounded by the sum of the
+    literal weights (ordinal-pattern codes, bit packs). A CASE with any
+    THEN value other than 1/ELSE 0, or any bare column, fails."""
+    m = re.match(r"^(Add|Subtract|Multiply)\[\w+\] (.*)$", expr, re.S)
+    if not m:
+        return False
+    body = _PACK_STRIP.sub("I", m.group(2))
+    if "I" not in body:
+        return False
+    return re.fullmatch(r"[I\d\s()+\-*]+", body) is not None
+
+
+_STRUCTURAL = {
+    "year-month": _is_year_month_composition,
+    "indicator-pack": _is_indicator_pack,
+}
+
+
 def classify_flag(expr: str) -> str | None:
     """Return the bounded-class name for a flagged expression, or None if
     it matches no pinned class (=> a new, unreviewed integer channel)."""
     for name, pat in BOUNDED_CLASSES:
         if pat is None:
-            if name == "year-month" and _is_year_month_composition(expr):
+            if _STRUCTURAL[name](expr):
                 return name
             continue
         if pat.search(expr):

@@ -1610,6 +1610,96 @@ def m_daily_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_permutation_entropy",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT event_type, cnt AS x0,
+             lead(cnt, 1) OVER w AS x1,
+             lead(cnt, 2) OVER w AS x2
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    pat AS (
+      SELECT event_type,
+             (CASE WHEN x0 <= x1 THEN 1 ELSE 0 END)
+             + 2 * (CASE WHEN x1 <= x2 THEN 1 ELSE 0 END)
+             + 4 * (CASE WHEN x0 <= x2 THEN 1 ELSE 0 END) AS code
+      FROM win WHERE x1 IS NOT NULL AND x2 IS NOT NULL
+    ),
+    pc AS (SELECT event_type, code, CAST(count(*) AS BIGINT) AS c
+           FROM pat GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_patterns
+            FROM pc GROUP BY 1)
+    SELECT pc.event_type, tot.n AS n_windows, tot.n_patterns,
+           CAST(round(-sum(CAST(pc.c AS DOUBLE) / tot.n
+                * ln(CAST(pc.c AS DOUBLE) / tot.n)), 6) AS DOUBLE)
+             AS perm_entropy_nats
+    FROM pc JOIN tot USING (event_type)
+    GROUP BY pc.event_type, tot.n, tot.n_patterns
+    """,
+)
+def m_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (Bandt-Pompe 2002) of each type's daily-count
+    series — time-series COMPLEXITY from order-3 ordinal patterns: a
+    trending/periodic series concentrates on few up-down shapes (low
+    PE), white noise spreads over all of them (high PE) — the
+    model-free regularity monitor beside m_autocorr_daily's linear
+    correlations (PE sees nonlinear structure autocorrelation misses).
+    Each 3-window maps to an integer ordinal code from the three
+    pairwise <= comparisons (a deterministic mirrored encoding; ties
+    resolve by position, the standard Bandt-Pompe convention), counts
+    are exact integers, and the ≤8-cell entropy sum rounds to 6. The
+    window rides the CALENDAR-BOUNDED per-type daily series (the
+    w_rolling_correlation class); consecutive ROWS of that series, so
+    a data gap splices its neighbors — documented, mirrored on both
+    sides."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("event_type").orderBy("d")
+    win = daily.select(
+        "event_type",
+        F.col("cnt").alias("x0"),
+        F.lead("cnt", 1).over(w).alias("x1"),
+        F.lead("cnt", 2).over(w).alias("x2"),
+    ).where(F.col("x1").isNotNull() & F.col("x2").isNotNull())
+    pat = win.select(
+        "event_type",
+        F.expr(
+            "(CASE WHEN x0 <= x1 THEN 1 ELSE 0 END)"
+            " + 2 * (CASE WHEN x1 <= x2 THEN 1 ELSE 0 END)"
+            " + 4 * (CASE WHEN x0 <= x2 THEN 1 ELSE 0 END)"
+        ).alias("code"),
+    )
+    pc = pat.groupBy("event_type", "code").agg(F.count(F.lit(1)).alias("c"))
+    tot = pc.groupBy("event_type").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_patterns")
+    )
+    return (
+        pc.join(tot, "event_type")
+        .groupBy("event_type", "n", "n_patterns")
+        .agg(
+            F.expr(
+                "CAST(round(-sum(CAST(c AS DOUBLE) / n"
+                " * ln(CAST(c AS DOUBLE) / n)), 6) AS DOUBLE)"
+            ).alias("perm_entropy_nats")
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_windows"),
+            "n_patterns",
+            "perm_entropy_nats",
+        )
+    )
+
+
+@query(
     "m_anomaly_iqr",
     oracle="""
     WITH q AS (

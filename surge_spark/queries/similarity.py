@@ -2054,6 +2054,149 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_ndcg_audit",
+    oracle=f"""
+    WITH {_DUCK_ASSIGN},
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id < 5),
+    q_probe AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT q.query_id, q.qe, c.cell,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_sum(list_transform(range(1, len(q.qe) + 1),
+                          i -> CAST(q.qe[i] AS DOUBLE) * c.c[i])) DESC,
+                          c.cell DESC
+               ) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 4
+    ),
+    ivf AS (
+      SELECT query_id, corpus_id, rank FROM (
+        SELECT query_id, corpus_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, corpus_id
+               ) AS rank
+        FROM (
+          SELECT DISTINCT p.query_id, a.vec_id AS corpus_id,
+                 {_DUCK_COSINE.format(a="a.embedding", b="p.qe")} AS cosine
+          FROM q_probe p JOIN assigned a ON p.cell = a.cell
+          WHERE a.vec_id <> p.query_id
+        )
+      ) WHERE rank <= 10
+    ),
+    exact AS (
+      SELECT query_id, corpus_id, rank FROM (
+        SELECT q.query_id, e.vec_id AS corpus_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_DUCK_COSINE.format(a="e.embedding", b="q.qe")}
+                          DESC, e.vec_id
+               ) AS rank
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rank <= 10
+    ),
+    rel AS (
+      SELECT q.query_id, e.vec_id AS corpus_id,
+             CAST(round({_DUCK_COSINE.format(a="e.embedding", b="q.qe")}, 6)
+                  AS DOUBLE) AS rel
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    ),
+    dcg AS (
+      SELECT i.query_id,
+             CAST(round(sum(r.rel / log2(CAST(i.rank AS BIGINT) + 1)), 6)
+                  AS DOUBLE) AS dcg
+      FROM ivf i JOIN rel r USING (query_id, corpus_id) GROUP BY 1
+    ),
+    idcg AS (
+      SELECT x.query_id,
+             CAST(round(sum(r.rel / log2(CAST(x.rank AS BIGINT) + 1)), 6)
+                  AS DOUBLE) AS idcg
+      FROM exact x JOIN rel r USING (query_id, corpus_id) GROUP BY 1
+    )
+    SELECT d.query_id, d.dcg, x.idcg,
+           CAST(CASE WHEN x.idcg = 0 THEN NULL
+                ELSE round(d.dcg / x.idcg, 6) END AS DOUBLE) AS ndcg
+    FROM dcg d JOIN idcg x USING (query_id)
+    """,
+)
+def sim_ivf_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the IVF index against the exact ideal ranking — the
+    RANKING-QUALITY member of the sketch-audit family beside
+    sim_ivf_recall_audit's set-overlap recall (two indexes with equal
+    recall can order survivors very differently; NDCG is what a search
+    deployment actually tunes): graded relevance = the exact round-6
+    cosine, DCG = Σ rel/log₂(rank+1) over each list, ndcg = DCG/IDCG.
+    The IVF list is the sim_ann_ivf_topk pipeline verbatim (FIXED_CENTS
+    probe-4-of-8); relevance joins from ONE exact-pairs frame both
+    lists share, so the audit compares orderings, never re-derived
+    scores. rank+1 is cast BIGINT before the add (the int-arith
+    allowlist has no 'rank' class — deliberate: window ranks feeding
+    arithmetic should widen). 10-term float sums round-6; idcg=0 →
+    NULL both sides."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    ivf = sim.ann_topk_ivf(
+        emb, queries, "vec_id", "embedding", k=10, n_cells=8, nprobe=4,
+        centroids=FIXED_CENTS,
+    ).select("query_id", "corpus_id", "rank")
+    qb = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        sim.norm(sim._as_double(F.col("embedding"))).alias("qn"),
+    )
+    pairs = (
+        emb.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("ce"),
+            sim.norm(sim._as_double(F.col("embedding"))).alias("cn"),
+        )
+        .crossJoin(F.broadcast(qb))
+        .where(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            (
+                sim.dot(sim._as_double(F.col("ce")), sim._as_double(F.col("qe")))
+                / (F.col("cn") * F.col("qn"))
+            ).alias("cosine"),
+        )
+        .localCheckpoint(eager=False)  # exact ranking + rel both consume
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    exact = (
+        pairs.select(
+            "query_id", "corpus_id", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= 10)
+    )
+    rel = pairs.select(
+        "query_id", "corpus_id", F.round("cosine", 6).alias("rel")
+    )
+    term = "rel / log2(CAST(rank AS BIGINT) + 1)"
+    dcg = (
+        ivf.join(rel, ["query_id", "corpus_id"])
+        .groupBy("query_id")
+        .agg(F.expr(f"CAST(round(sum({term}), 6) AS DOUBLE)").alias("dcg"))
+    )
+    idcg = (
+        exact.join(rel, ["query_id", "corpus_id"])
+        .groupBy("query_id")
+        .agg(F.expr(f"CAST(round(sum({term}), 6) AS DOUBLE)").alias("idcg"))
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        "dcg",
+        "idcg",
+        F.expr(
+            "CAST(CASE WHEN idcg = 0 THEN NULL"
+            " ELSE round(dcg / idcg, 6) END AS DOUBLE)"
+        ).alias("ndcg"),
+    )
+
+
+@query(
     "sim_hard_negative_mining",
     oracle=f"""
     WITH {_DUCK_ASSIGN.strip().rstrip()},

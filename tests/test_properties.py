@@ -329,6 +329,12 @@ def test_int_arith_classifier_rejects_unbounded_shapes():
         "Add[IntegerType] (big#1 + cast((x#2 > 5) as int))",
         # arbitrary total minus ascii()
         "Subtract[IntegerType] (total#9 - ascii(c#3))",
+        # an unbounded column times a 0/1 CASE indicator
+        "Multiply[IntegerType] (big#1 * CASE WHEN (x#2 <= y#3)"
+        " THEN 1 ELSE 0 END)",
+        # a CASE whose THEN value is not the 0/1 indicator form
+        "Add[IntegerType] (5 + CASE WHEN (x#2 <= y#3)"
+        " THEN 100000 ELSE 0 END)",
     ]
     for e in unbounded:
         assert classify_flag(e) is None, e
@@ -341,6 +347,9 @@ def test_int_arith_classifier_rejects_unbounded_shapes():
         ("Subtract[IntegerType] (1 - is_a#7)", "indicator-complement"),
         ("Subtract[IntegerType] (year(cast(a#1 as date)) -"
          " year(cast(b#2 as date)))", "year-month"),
+        ("Add[IntegerType] (CASE WHEN (x0#1L <= x1#2L) THEN 1 ELSE 0 END"
+         " + (2 * CASE WHEN (x1#2L <= x2#3L) THEN 1 ELSE 0 END))",
+         "indicator-pack"),
     ]
     for e, want in bounded:
         assert classify_flag(e) == want, (e, classify_flag(e))
