@@ -242,6 +242,28 @@ class SnapshotStore:
             self._manifest_cache[version] = cached
         return cached
 
+    def version_at(self, timestamp: float) -> int | None:
+        """Latest committed VERSION whose manifest commit time is <=
+        ``timestamp`` (epoch seconds) — the Delta ``timestampAsOf``
+        resolution step. Scans manifests DESCENDING from latest and
+        returns the first qualifying version: correct even if the wall
+        clock regressed between commits (the answer is defined by
+        version recency, commit time only gates eligibility), and a
+        query near 'now' reads only the few newest manifests (all
+        cached after one pass). A manifest missing its ``ts`` field
+        (pre-r3 layout) counts as arbitrarily old, i.e. eligible.
+        Returns None when every commit is newer than ``timestamp`` or
+        the eligible history was pruned from disk."""
+        for v in sorted(self.committed_versions(), reverse=True):
+            try:
+                m = self._manifest(v)
+            except FileNotFoundError:
+                break  # older manifests pruned — nothing earlier readable
+            ts = m.get("ts")
+            if ts is None or ts <= timestamp:
+                return v
+        return None
+
     def committed_batch_ids(self) -> set[str]:
         """Batch ids of the R4 dedup window: everything the checkpoint
         carries (the last ``dedup_horizon`` versions at checkpoint time)
@@ -1427,6 +1449,7 @@ class SnapshotStore:
         spark: SparkSession,
         version: int | None = None,
         partitions: int | None = None,
+        timestamp: float | None = None,
     ) -> DataFrame | None:
         """Latest committed snapshot (the KTable view, S1): the union of
         every bucket directory the manifest references. Returns None if no
@@ -1437,6 +1460,10 @@ class SnapshotStore:
         ``versionAsOf`` analog — manifests are immutable and buckets are
         shared across versions, so an old version reads at full speed as
         long as vacuum() hasn't reclaimed its unshared buckets).
+        ``timestamp`` (epoch seconds) is the ``timestampAsOf`` analog:
+        resolves via version_at() to the latest version committed at or
+        before that instant, then reads it; raises if the whole history
+        is newer. Mutually exclusive with ``version``.
 
         ``partitions`` shapes the merge-on-read latest-wins aggregate (see
         _latest_wins) so the returned frame is hash-partitioned on the key
@@ -1444,6 +1471,14 @@ class SnapshotStore:
         the fold join adds zero exchanges. Ignored for a fully compacted
         (no-delta) snapshot, whose plain scan carries no partitioning to
         reuse."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version or timestamp, not both")
+            version = self.version_at(timestamp)
+            if version is None:
+                raise ValueError(
+                    f"no committed version at or before {timestamp}"
+                )
         v = self.latest_version() if version is None else int(version)
         if v is None:
             return None

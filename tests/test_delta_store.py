@@ -1108,3 +1108,46 @@ def test_none_key_tombstone_dropped_by_both_commit_modes(spark, tmp_path):
         driver_sides={"state": [], "state_struct": struct, "deletes": ["a", None]},
     )
     assert _state(spark, s2) == {"b": 2}
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """read_state(timestamp=) — the Delta timestampAsOf analog: resolves
+    to the latest version committed at or before the instant (manifest
+    ts), including exact-boundary hits; pre-history timestamps raise;
+    version+timestamp together raise; clock regression between commits
+    resolves by VERSION recency (eligibility by time, answer by
+    version)."""
+    import pytest
+
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=8
+    )
+    for i in range(4):
+        store.commit(None, _upd(spark, [("a", i)]), f"b{i}", updates_unique=True)
+    ts = [store._manifest(v)["ts"] for v in range(4)]
+    assert ts == sorted(ts)
+
+    # mid-interval, exact boundary, and "now"
+    mid = (ts[1] + ts[2]) / 2
+    assert store.version_at(mid) == 1
+    assert {r.k: r.n for r in store.read_state(spark, timestamp=mid).collect()} == {
+        "a": 1
+    }
+    assert store.version_at(ts[2]) == 2  # <= is inclusive
+    assert store.version_at(ts[3] + 3600) == 3
+
+    with pytest.raises(ValueError, match="at or before"):
+        store.read_state(spark, timestamp=ts[0] - 1.0)
+    with pytest.raises(ValueError, match="not both"):
+        store.read_state(spark, version=1, timestamp=mid)
+
+    # clock regression: forge an older ts onto the NEWEST manifest — the
+    # newest eligible VERSION still wins
+    import json as _json
+
+    p = store._manifest_path(3)
+    m = _json.load(open(p))
+    m["ts"] = ts[1]
+    _json.dump(m, open(p, "w"))
+    store._manifest_cache.pop(3, None)
+    assert store.version_at((ts[1] + ts[2]) / 2) == 3
