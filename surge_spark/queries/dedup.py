@@ -1412,6 +1412,120 @@ def d_minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "d_bbit_minhash_estimate_audit",
+    oracle=f"""
+    WITH {_duck_shingles(4)},
+    {_duck_minhash_md5(64)},
+    bands AS (
+      SELECT id, u.b AS band,
+             array_to_string(s[u.b * 4 + 1 : u.b * 4 + 4], ',') AS key
+      FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS b) u
+    ),
+    sized AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
+    okb AS (
+      SELECT bands.* FROM bands JOIN sized USING (band, key) WHERE c <= 5000
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM okb a JOIN okb b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(range(1, 65),
+                             i -> sa.s[i] % 2 = sb.s[i] % 2)) AS n_bit_match,
+             len(list_filter(range(1, 65), i -> sa.s[i] = sb.s[i]))
+               AS n_full_match
+      FROM cand c
+      JOIN sig sa ON sa.id = c.id_a
+      JOIN sig sb ON sb.id = c.id_b
+    ),
+    sizes AS (SELECT id, count(*) AS ns FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS nc
+      FROM cand c
+      JOIN sh x ON x.id = c.id_a
+      JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT e.id_a, e.id_b,
+           CAST(e.n_bit_match AS BIGINT) AS n_bit_match,
+           CAST(round(2.0 * e.n_bit_match / 64.0 - 1.0, 6) AS DOUBLE)
+             AS est_b1,
+           CAST(round(e.n_full_match / 64.0, 6) AS DOUBLE) AS est_full,
+           CAST(round(i.nc / (sa.ns + sb.ns - i.nc), 6) AS DOUBLE)
+             AS true_jaccard,
+           CAST(round(abs(round(2.0 * e.n_bit_match / 64.0 - 1.0, 6)
+                          - round(i.nc / (sa.ns + sb.ns - i.nc), 6)), 6)
+                AS DOUBLE) AS abs_err_b1
+    FROM est e
+    JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    JOIN sizes sa ON sa.id = e.id_a
+    JOIN sizes sb ON sb.id = e.id_b
+    """,
+)
+def d_bbit_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing (Li & König 2010) graded against the full
+    sketch AND the exact Jaccard — the memory-efficiency member of the
+    sketch-audit family: keeping only the LOWEST bit of each of the 64
+    minhash values shrinks the signature 64× (at 100 TB the b-bit table
+    is what fits in memory), and the unbiased estimator corrects for
+    chance bit collisions: E[f] = ½ + ½·J for b=1, so Ĵ = 2f − 1 where
+    f is the agreeing-bit fraction. The audit ships the b=1 estimate
+    beside the full-sketch estimate and the exact value — the variance
+    blow-up (σ_b1 ≈ 2σ_full at small J) is VISIBLE, which is the usual
+    argument for b=2..4 in production. Same md5 channel, candidates,
+    and one-scan exact verification as d_minhash_estimate_error_audit;
+    bit extraction is s[i] % 2 on both engines (minhash values are
+    non-negative, so % and pmod agree)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.shingles(docs, "doc_id", "text", 4, distinct=True)
+    sig = dd.minhash_signatures(
+        dd.shingles(docs, "doc_id", "text", 4, distinct=False),
+        64,
+        hash_fn="md5",
+    ).localCheckpoint(eager=False)
+    cand = dd.lsh_candidates(sig, bands=16, rows_per_band=4, max_bucket=5000)
+    est = (
+        cand.join(
+            sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "size(filter(zip_with(sa, sb, (x, y) -> x % 2 = y % 2),"
+                " v -> v))"
+            ).cast("long").alias("n_bit_match"),
+            F.expr(
+                "size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))"
+            ).cast("long").alias("n_full_match"),
+        )
+    )
+    true_j = dd._verified_jaccard(cand, sh, 0.0)
+    est_b1 = F.expr("round(2.0D * n_bit_match / 64.0D - 1.0D, 6)")
+    return (
+        est.join(true_j, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "n_bit_match",
+            est_b1.cast("double").alias("est_b1"),
+            F.expr("CAST(round(n_full_match / 64.0D, 6) AS DOUBLE)").alias(
+                "est_full"
+            ),
+            F.col("jaccard").alias("true_jaccard"),
+            F.round(F.abs(est_b1 - F.col("jaccard")), 6).alias("abs_err_b1"),
+        )
+    )
+
+
+@query(
     "d_dup_cluster_size_histogram",
     oracle="""
     WITH fp AS (

@@ -1638,6 +1638,58 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Haversine pieces, textually identical on both engines (every input is
+# forced DOUBLE first, so no bare-decimal-literal channel exists)
+_HAV_LAT = "CAST(c_custkey * 7 % 17000 AS DOUBLE) / 100.0 - 85.0"
+_HAV_LON = "CAST(c_custkey * 13 % 36000 AS DOUBLE) / 100.0 - 180.0"
+_HAV_KM = (
+    "2 * 6371.0088 * asin(sqrt("
+    "sin(radians(lat - 48.8566) / 2) * sin(radians(lat - 48.8566) / 2)"
+    " + cos(radians(lat)) * cos(radians(48.8566))"
+    " * sin(radians(lon - 2.3522) / 2) * sin(radians(lon - 2.3522) / 2)))"
+)
+
+
+@query(
+    "f_geo_haversine",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey, {_HAV_LAT} AS lat, {_HAV_LON} AS lon
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(round(lat, 2) AS DOUBLE) AS lat,
+           CAST(round(lon, 2) AS DOUBLE) AS lon,
+           CAST(round({_HAV_KM}, 3) AS DOUBLE) AS km_to_paris
+    FROM pts
+    """,
+)
+def f_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle distance (haversine) — the geo primitive every
+    location-aware pipeline needs and the one math-function surface the
+    f_ family lacked (radians/sin/cos/asin compose here; f_math covers
+    the scalar basics): each customer gets a deterministic synthetic
+    lat/lon from its key (exact integer modulus scaled through an
+    EXPLICIT double cast — forcing DOUBLE first removes the
+    decimal-literal channel on both engines), and the distance to a
+    fixed point runs the textbook formula textually mirrored, round-3
+    km. Pure map-side, no shuffle at any scale. Same doubles in → same
+    doubles out (IEEE determinism), so the oracle value-checks every
+    row."""
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        F.expr(_HAV_LAT).alias("lat"),
+        F.expr(_HAV_LON).alias("lon"),
+    )
+    return pts.select(
+        "c_custkey",
+        F.round("lat", 2).alias("lat"),
+        F.round("lon", 2).alias("lon"),
+        F.expr(f"CAST(round({_HAV_KM}, 3) AS DOUBLE)").alias("km_to_paris"),
+    )
+
+
 @query(
     "f_bitwise_functions",
     oracle="""
