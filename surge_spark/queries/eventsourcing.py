@@ -1610,6 +1610,78 @@ def m_daily_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_dow_seasonality_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    tt AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cnt) AS BIGINT) AS s,
+             CAST(sum(cnt * cnt) AS BIGINT) AS s2
+      FROM daily GROUP BY 1
+    ),
+    dw AS (
+      SELECT event_type, d % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(cnt) AS BIGINT) AS sd
+      FROM daily GROUP BY 1, 2
+    ),
+    bw AS (
+      SELECT event_type,
+             sum(CAST(sd AS DOUBLE) * sd / nd) AS grp
+      FROM dw GROUP BY 1
+    )
+    SELECT tt.event_type, tt.n AS n_days,
+           CAST(CASE WHEN tt.s2 - CAST(tt.s AS DOUBLE) * tt.s / tt.n = 0
+                THEN NULL
+                ELSE round((bw.grp - CAST(tt.s AS DOUBLE) * tt.s / tt.n)
+                     / (tt.s2 - CAST(tt.s AS DOUBLE) * tt.s / tt.n), 6)
+                END AS DOUBLE) AS eta_sq
+    FROM tt JOIN bw USING (event_type)
+    """,
+)
+def m_dow_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality STRENGTH per event type — the correlation
+    ratio η² = SS_between(dow) / SS_total over the daily-count series:
+    the one number that says how much of daily variance the weekly
+    cycle explains (m_seasonality_dow ships the per-dow means; this
+    ships how much they MATTER — the go/no-go input for whether a
+    forecast needs the t−7 seasonal-naive of m_forecast_backtest_mae).
+    dow = epoch_day % 7 (never engine dow labels — the chi²/MI rule);
+    every sum of squares derives from exact integers (Σc², Σc, per-dow
+    Σ, n), the 7-cell between-group float sum is order-safe, one
+    mirrored quotient round-6, zero-variance → NULL both sides."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tt = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.expr("cnt * cnt")).alias("s2"),
+    )
+    dw = daily.groupBy("event_type", F.expr("d % 7").alias("dow")).agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("cnt").alias("sd")
+    )
+    bw = dw.groupBy("event_type").agg(
+        F.sum(F.expr("CAST(sd AS DOUBLE) * sd / nd")).alias("grp")
+    )
+    return tt.join(bw, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.expr(
+            "CAST(CASE WHEN s2 - CAST(s AS DOUBLE) * s / n = 0 THEN NULL"
+            " ELSE round((grp - CAST(s AS DOUBLE) * s / n)"
+            " / (s2 - CAST(s AS DOUBLE) * s / n), 6) END AS DOUBLE)"
+        ).alias("eta_sq"),
+    )
+
+
+@query(
     "m_permutation_entropy",
     oracle="""
     WITH daily AS (

@@ -3136,3 +3136,72 @@ def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("r").cast("long").alias("redacted_len"),
         F.expr("substr(md5(CAST(r AS BINARY)), 1, 8)").alias("redacted_md5"),
     )
+
+
+@query(
+    "a_mcnemar_test",
+    oracle=f"""
+    WITH lab AS (
+      SELECT CASE WHEN length(text) >= 800 THEN 1 ELSE 0 END AS a,
+             CASE WHEN len(list_filter({_DUCK_TOKS}, t -> t <> '')) >= 150
+                  THEN 1 ELSE 0 END AS b
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_a_only,
+           CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_b_only,
+           CAST(CASE WHEN sum(CASE WHEN a <> b THEN 1 ELSE 0 END) = 0
+                THEN NULL
+                ELSE round(
+                  CAST((sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                        - sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END))
+                       AS DOUBLE)
+                  * (sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                     - sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END))
+                  / sum(CASE WHEN a <> b THEN 1 ELSE 0 END), 6)
+                END AS DOUBLE) AS mcnemar_chi2
+    FROM lab
+    """,
+)
+def a_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on paired binary labelers — 'is labeler A
+    systematically stricter than B on the SAME units?': the DISCORDANT
+    pairs carry all the signal (χ² = (b−c)²/(b+c) over A-only vs
+    B-only counts), which is what an unpaired two-proportion z-test
+    gets wrong on paired data (a_two_proportion_ztest's complement —
+    same-units vs split-units designs). Labelers here: char-length ≥
+    800 vs token-count ≥ 150 (deliberately different thresholds from
+    a_cohens_kappa's buckets so the discordant cells are populated).
+    Everything is exact integers through ONE conditional aggregate —
+    one mirrored float quotient, round-6, b+c=0 → NULL both sides.
+    NULL texts filtered (the kappa size(NULL) rule)."""
+    from surge_spark.operators.dedup import tokens as _tok
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks_n = F.size(F.filter(_tok("text"), lambda t: t != ""))
+    lab = d.select(
+        F.when(F.length("text") >= 800, 1).otherwise(0).alias("a"),
+        F.when(toks_n >= 150, 1).otherwise(0).alias("b"),
+    )
+    return lab.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END")).alias(
+            "n_a_only"
+        ),
+        F.sum(F.expr("CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END")).alias(
+            "n_b_only"
+        ),
+        F.expr(
+            "CAST(CASE WHEN sum(CASE WHEN a <> b THEN 1 ELSE 0 END) = 0"
+            " THEN NULL"
+            " ELSE round("
+            "CAST((sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)"
+            " - sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)) AS DOUBLE)"
+            " * (sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)"
+            " - sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END))"
+            " / sum(CASE WHEN a <> b THEN 1 ELSE 0 END), 6)"
+            " END AS DOUBLE)"
+        ).alias("mcnemar_chi2"),
+    )
