@@ -356,6 +356,56 @@ def holt_handle_event(state: dict | None, event: dict) -> dict:
 HOLT_STATE_SCHEMA = "aggregate_id string, level double, trend double, n int"
 
 
+HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD = 0.5, 0.3, 0.4, 7
+# one-minus coefficients as LITERALS, never computed 1-x: float(1)-float(0.3)
+# is 0.70000000000000007, NOT the double 0.7 that both engines parse from
+# the literal — and DuckDB's decimal (1 - 0.3) converts to double(0.7),
+# diverging from a Python kernel that computed 1-0.3 in float. Literal
+# constants on BOTH sides are the only representation they agree on.
+HW_OMA, HW_OMB, HW_OMG = 0.5, 0.7, 0.6
+
+
+def holt_winters_handle_event(state: dict | None, event: dict) -> dict:
+    """Additive Holt-Winters (triple exponential, weekly period 7) over a
+    per-key ordered series — the seasonal upgrade of holt_handle_event:
+    level tracks the deseasonalized signal, trend its slope, and seven
+    seasonal offsets s0..s6 the weekly shape. Seeded level=x₁, trend=0,
+    seasonals=0 (the fold LEARNS the shape in week one — any
+    deterministic seed works because the oracle mirrors it exactly).
+    Operation order is the contract (recursive-CTE oracle, bitwise
+    until round-6): i = (n % 7) where n = observations so far;
+    L' = α(x − sᵢ) + (1−α)(L + B); B' = β(L' − L) + (1−β)B;
+    sᵢ' = γ(x − L') + (1−γ)sᵢ. The event dict carries the observation
+    in ``cnt`` and the key in ``event_type``."""
+    x = float(event["cnt"])
+    if state is None:
+        st = {
+            "aggregate_id": str(event["event_type"]),
+            "level": x,
+            "trend": 0.0,
+            "n": 1,
+        }
+        for k in range(HW_PERIOD):
+            st[f"s{k}"] = 0.0
+        return st
+    i = state["n"] % HW_PERIOD
+    si = state[f"s{i}"]
+    level = HW_ALPHA * (x - si) + HW_OMA * (state["level"] + state["trend"])
+    trend = HW_BETA * (level - state["level"]) + HW_OMB * state["trend"]
+    out = dict(state)
+    out["level"] = level
+    out["trend"] = trend
+    out[f"s{i}"] = HW_GAMMA * (x - level) + HW_OMG * si
+    out["n"] = state["n"] + 1
+    return out
+
+
+HW_STATE_SCHEMA = (
+    "aggregate_id string, level double, trend double, n long, "
+    + ", ".join(f"s{k} double" for k in range(HW_PERIOD))
+)
+
+
 CUSUM_SLACK = 0.5
 CUSUM_THRESHOLD = 5.0
 

@@ -1143,6 +1143,83 @@ def m_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_holt_winters_weekly",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    ordered AS (
+      SELECT event_type, cnt,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM daily
+    ),
+    lim AS (SELECT event_type, max(rn) AS mx FROM ordered GROUP BY event_type),
+    fold(event_type, rn, level, trend, s0, s1, s2, s3, s4, s5, s6) AS (
+      SELECT event_type, 1, CAST(cnt AS DOUBLE), CAST(0.0 AS DOUBLE),
+             CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT f.event_type, f.rn + 1,
+        (0.5 * (o.cnt - CASE f.rn % 7 WHEN 0 THEN f.s0 WHEN 1 THEN f.s1 WHEN 2 THEN f.s2 WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 WHEN 5 THEN f.s5 WHEN 6 THEN f.s6 END) + 0.5 * (f.level + f.trend)),
+        (0.3 * ((0.5 * (o.cnt - CASE f.rn % 7 WHEN 0 THEN f.s0 WHEN 1 THEN f.s1 WHEN 2 THEN f.s2 WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 WHEN 5 THEN f.s5 WHEN 6 THEN f.s6 END) + 0.5 * (f.level + f.trend)) - f.level) + 0.7 * f.trend),
+        CASE WHEN f.rn % 7 = 0 THEN 0.4 * (o.cnt - (0.5 * (o.cnt - CASE f.rn % 7 WHEN 0 THEN f.s0 WHEN 1 THEN f.s1 WHEN 2 THEN f.s2 WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 WHEN 5 THEN f.s5 WHEN 6 THEN f.s6 END) + 0.5 * (f.level + f.trend))) + 0.6 * f.s0 ELSE f.s0 END,
+        CASE WHEN f.rn % 7 = 1 THEN 0.4 * (o.cnt - (0.5 * (o.cnt - CASE f.rn % 7 WHEN 0 THEN f.s0 WHEN 1 THEN f.s1 WHEN 2 THEN f.s2 WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 WHEN 5 THEN f.s5 WHEN 6 THEN f.s6 END) + 0.5 * (f.level + f.trend))) + 0.6 * f.s1 ELSE f.s1 END,
+        CASE WHEN f.rn % 7 = 2 THEN 0.4 * (o.cnt - (0.5 * (o.cnt - CASE f.rn % 7 WHEN 0 THEN f.s0 WHEN 1 THEN f.s1 WHEN 2 THEN f.s2 WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 WHEN 5 THEN f.s5 WHEN 6 THEN f.s6 END) + 0.5 * (f.level + f.trend))) + 0.6 * f.s2 ELSE f.s2 END,
+        CASE WHEN f.rn % 7 = 3 THEN 0.4 * (o.cnt - (0.5 * (o.cnt - CASE f.rn % 7 WHEN 0 THEN f.s0 WHEN 1 THEN f.s1 WHEN 2 THEN f.s2 WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 WHEN 5 THEN f.s5 WHEN 6 THEN f.s6 END) + 0.5 * (f.level + f.trend))) + 0.6 * f.s3 ELSE f.s3 END,
+        CASE WHEN f.rn % 7 = 4 THEN 0.4 * (o.cnt - (0.5 * (o.cnt - CASE f.rn % 7 WHEN 0 THEN f.s0 WHEN 1 THEN f.s1 WHEN 2 THEN f.s2 WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 WHEN 5 THEN f.s5 WHEN 6 THEN f.s6 END) + 0.5 * (f.level + f.trend))) + 0.6 * f.s4 ELSE f.s4 END,
+        CASE WHEN f.rn % 7 = 5 THEN 0.4 * (o.cnt - (0.5 * (o.cnt - CASE f.rn % 7 WHEN 0 THEN f.s0 WHEN 1 THEN f.s1 WHEN 2 THEN f.s2 WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 WHEN 5 THEN f.s5 WHEN 6 THEN f.s6 END) + 0.5 * (f.level + f.trend))) + 0.6 * f.s5 ELSE f.s5 END,
+        CASE WHEN f.rn % 7 = 6 THEN 0.4 * (o.cnt - (0.5 * (o.cnt - CASE f.rn % 7 WHEN 0 THEN f.s0 WHEN 1 THEN f.s1 WHEN 2 THEN f.s2 WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 WHEN 5 THEN f.s5 WHEN 6 THEN f.s6 END) + 0.5 * (f.level + f.trend))) + 0.6 * f.s6 ELSE f.s6 END
+      FROM fold f JOIN ordered o
+        ON o.event_type = f.event_type AND o.rn = f.rn + 1
+    )
+    SELECT CAST(f.event_type AS VARCHAR) AS aggregate_id,
+           CAST(l.mx AS BIGINT) AS n,
+           CAST(round(f.level, 6) AS DOUBLE) AS level,
+           CAST(round(f.trend, 6) AS DOUBLE) AS trend,
+           CAST(round(f.level + f.trend + CASE l.mx % 7 WHEN 0 THEN f.s0 WHEN 1 THEN f.s1 WHEN 2 THEN f.s2 WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 WHEN 5 THEN f.s5 WHEN 6 THEN f.s6 END, 6) AS DOUBLE)
+             AS forecast_next
+    FROM fold f JOIN lim l USING (event_type) WHERE f.rn = l.mx
+    """,
+)
+def m_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential, weekly period 7) over
+    each type's daily-count series — the SEASONAL upgrade of
+    m_holt_smoothing: level/trend/seven seasonal offsets, one-step
+    forecast = L + B + s_(n mod 7). Runs on the SAME sorted-stream fold
+    kernel (seasonal state is just seven more floats); the recursive
+    CTE advances every type one day per round performing the identical
+    float64 ops in the identical order — including the one-minus
+    coefficients as LITERALS (0.7, 0.6), never computed 1-x: float
+    1-0.3 is 0.70000000000000007 while both engines parse the literal
+    0.7 identically, and DuckDB decimal (1 - 0.3) would convert to a
+    THIRD value (the HW_OMB note in the kernel). Seeded level=x1,
+    trend=0, seasonals=0 (learned in week one, mirrored). The series is
+    calendar-bounded per type (the w_rolling_correlation class)."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    folded = es.fold_events_sorted(
+        daily,
+        key_col="event_type",
+        order_cols=["d"],
+        handle_event=es.holt_winters_handle_event,
+        state_schema=es.HW_STATE_SCHEMA,
+    )
+    return folded.select(
+        "aggregate_id",
+        "n",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.expr(
+            "CAST(round(level + trend + CASE CAST(n % 7 AS INT) WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 WHEN 6 THEN s6 END, 6) AS DOUBLE)"
+        ).alias("forecast_next"),
+    )
+
+
+@query(
     "m_seasonality_dow",
     oracle="""
     WITH base AS (
