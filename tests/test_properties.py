@@ -353,3 +353,83 @@ def test_int_arith_classifier_rejects_unbounded_shapes():
     ]
     for e, want in bounded:
         assert classify_flag(e) == want, (e, classify_flag(e))
+
+
+def test_burn_rate_kernel_invariants():
+    """Pure-kernel invariants over a constructed event stream: counters
+    non-negative, alarms only on bucket transitions, alarms <= closed
+    buckets, and the final state reproduces the declarative form
+    (closed = not the last visited bucket)."""
+    from surge_spark.operators.eventsourcing import (
+        BURN_WINDOW_MS,
+        burn_rate_init,
+        burn_rate_step,
+    )
+
+    events = [(0, 1), (10, 0), (BURN_WINDOW_MS + 5, 0),
+              (BURN_WINDOW_MS + 6, 1), (3 * BURN_WINDOW_MS, 0),
+              (5 * BURN_WINDOW_MS, 1)]
+    st = burn_rate_init(events[0][0], events[0][1])
+    visited = {st[0]}
+    alarms_seen = [st[3]]
+    for t, ie in events[1:]:
+        st = burn_rate_step(*st, t, ie)
+        visited.add(st[0])
+        alarms_seen.append(st[3])
+        assert st[1] >= 1 and st[2] >= 0 and st[2] <= st[1]
+    # alarms monotone, and bounded by closed (visited-1) buckets
+    assert alarms_seen == sorted(alarms_seen)
+    assert st[3] <= len(visited) - 1
+    # declarative recompute: bucket -> (nt, ne); alarm iff closed & burn>2x
+    import collections
+
+    agg: dict = collections.defaultdict(lambda: [0, 0])
+    for t, ie in events:
+        b = t // BURN_WINDOW_MS
+        agg[b][0] += 1
+        agg[b][1] += ie
+    last = max(agg)
+    expect = sum(
+        1 for b, (nt, ne) in agg.items()
+        if b != last and ne * 1_000_000 > 2 * 10_000 * nt
+    )
+    assert st[3] == expect
+    assert (st[1], st[2]) == tuple(agg[last])
+
+
+def test_page_hinkley_kernel_invariants():
+    """m_min is the running minimum of m between alarms; a sustained
+    upward shift must alarm; a constant series must not."""
+    from surge_spark.operators.eventsourcing import page_hinkley_step
+
+    def run(xs):
+        st = (0, 0.0, 0.0, 0.0, 0)
+        first = True
+        for x in xs:
+            st = page_hinkley_step(*st, x)
+            assert st[3] <= st[2] + 1e-12  # m_min <= m
+            first = False
+        return st
+
+    st = run([10.0] * 200)
+    assert st[4] == 0  # constant: never alarms
+    st = run([10.0] * 50 + [200.0] * 50)  # big sustained shift
+    assert st[4] >= 1
+
+
+def test_holt_winters_kernel_learns_constant_series():
+    """On a constant series the HW state converges: trend -> 0,
+    level -> x, seasonals -> 0, forecast -> x."""
+    from surge_spark.operators.eventsourcing import (
+        holt_winters_handle_event,
+    )
+
+    st = None
+    for _ in range(300):
+        st = holt_winters_handle_event(
+            st, {"event_type": "t", "cnt": 40}
+        )
+    assert abs(st["level"] - 40.0) < 1e-6
+    assert abs(st["trend"]) < 1e-6
+    for k in range(7):
+        assert abs(st[f"s{k}"]) < 1e-6
