@@ -644,3 +644,84 @@ def burn_rate_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_PH_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+        StructField("m", DoubleType()),
+        StructField("m_min", DoubleType()),
+        StructField("n_alarms", LongType()),
+    ]
+)
+
+PH_OUTPUT = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+        StructField("m", DoubleType()),
+        StructField("m_min", DoubleType()),
+        StructField("n_alarms", LongType()),
+    ]
+)
+
+
+def page_hinkley_stream(readings: DataFrame) -> DataFrame:
+    """Live Page-Hinkley drift detection — the SIXTH cross-mode twin
+    (cusum, token bucket, saga, holt, burn, PH): per-user state
+    (n, s, m, m_min, n_alarms) via applyInPandasWithState, BOTH modes
+    calling the ONE page_hinkley_step kernel, so the float recurrence
+    is bitwise-identical to the m_page_hinkley batch fold for in-order
+    arrival (the cusum_stream caveat class) — pinned across a
+    micro-batch boundary in tests/test_streaming.py. Input rows are
+    {user_id, value, ts, event_id}; each batch sorts by (ts, event_id),
+    the batch fold's total order. NULL user_ids and NULL values are
+    filtered exactly as the batch twin filters them (the saga_stream
+    'None'-collision lesson). State is 5 scalars per key."""
+    from ..operators.eventsourcing import page_hinkley_step
+
+    readings = readings.where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+
+    def step(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            n, s, m, m_min, n_alarms = state.get
+        else:
+            n, s, m, m_min, n_alarms = 0, 0.0, 0.0, 0.0, 0
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        for v in batch["value"]:
+            n, s, m, m_min, n_alarms = page_hinkley_step(
+                n, s, m, m_min, n_alarms, float(v)
+            )
+        state.update((n, s, m, m_min, n_alarms))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": str(key[0]),
+                    "n": n,
+                    "s": s,
+                    "m": m,
+                    "m_min": m_min,
+                    "n_alarms": n_alarms,
+                }
+            ]
+        )
+
+    ensure_shipped(readings.sparkSession)
+    return readings.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=PH_OUTPUT,
+        stateStructType=_PH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2269,6 +2269,58 @@ def test_burn_rate_stream_matches_batch_fold(spark, tmp_path):
     assert (st["bucket"], st["n_total"], st["n_err"], st["n"]) == (2, 1, 0, 6)
 
 
+def test_page_hinkley_stream_matches_batch_fold(spark, tmp_path):
+    """Cross-mode Page-Hinkley pin (the SIXTH twin): two micro-batches —
+    batch 1 is the clean baseline (its emitted row must show 0 alarms),
+    batch 2 carries the shift, so the DETECTION depends entirely on the
+    running-mean/sum state carried across the boundary — and the final
+    streaming state equals the batch fold handler's BITWISE (same float
+    kernel, same (ts, event_id) order)."""
+    from surge_spark.operators.eventsourcing import page_hinkley_handle_event
+    from surge_spark.streaming import metrics as sm
+
+    vals = [10.0] * 8 + [80.0] * 4  # baseline batch, then the shift
+    schema = "user_id string, value double, ts long, event_id long"
+    src = str(tmp_path / "ph_events")
+    half = 8
+    spark.createDataFrame(
+        [("u1", v, i * 1000, i) for i, v in enumerate(vals[:half])], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [("u1", v, (half + i) * 1000, half + i) for i, v in enumerate(vals[half:])],
+        schema,
+    ).coalesce(1).write.parquet(src + "/f2")
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        sm.page_hinkley_stream(events)
+        .writeStream.format("memory")
+        .queryName("ph_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_ph"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from ph_out order by n").collect()
+    assert len(rows) == 2 and rows[0].n == half
+    got = rows[-1]
+    st = None
+    for i, v in enumerate(vals):
+        st = page_hinkley_handle_event(
+            st, {"user_id": "u1", "value": v, "ts": i, "event_id": i}
+        )
+    # bitwise: the kernel is shared, the order identical
+    assert (got.n, got.s, got.m, got.m_min, got.n_alarms) == (
+        st["n"], st["s"], st["m"], st["m_min"], st["n_alarms"]
+    )
+    # the premise: the alarm fired, and AFTER the split (batch-1 row clean)
+    assert st["n_alarms"] >= 1 and rows[0].n_alarms == 0
+
+
 def test_token_bucket_stream_idle_timeout_contract(spark, tmp_path):
     """idle_timeout_ms < capacity*refill_ms is rejected (an expired
     bucket must be provably FULL so re-init is admission-equivalent);
