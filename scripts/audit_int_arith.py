@@ -135,21 +135,43 @@ def _is_year_month_composition(expr: str) -> bool:
     return re.fullmatch(r"[Y\d\s()+\-*]+", body) is not None
 
 
-_PACK_STRIP = re.compile(r"CASE WHEN \([^()]*\) THEN 1 ELSE 0 END")
+# condition matcher allows ONE level of nested parens inside the CASE
+# predicate (e.g. CASE WHEN ((a + b) <= x) ...) — deeper nesting fails
+# safe (unclassified), review finding r14 pass 2
+_PACK_STRIP = re.compile(
+    r"CASE WHEN \((?:[^()]|\([^()]*\))*\) THEN 1 ELSE 0 END"
+)
 
 
 def _is_indicator_pack(expr: str) -> bool:
     """True iff the flagged arithmetic is composed ONLY of 0/1 CASE
-    indicators, integer literals, and +-*() — bounded by the sum of the
-    literal weights (ordinal-pattern codes, bit packs). A CASE with any
-    THEN value other than 1/ELSE 0, or any bare column, fails."""
+    indicators, integer literals, and +-*() AND the maximum attainable
+    value (every indicator = 1) fits int32 — 'bounded by the sum of the
+    literal weights' is only a bound if the weights themselves are
+    checked (review finding: 2e9-weight packs would have been silently
+    allowlisted while ANSI-crashing at runtime). The residue after
+    stripping indicators is a pure integer arithmetic expression over
+    {digits, + - * ( ), I}; substituting I=1 and evaluating gives the
+    worst case for non-negative packs (indicators never exceed 1 and
+    weights in real packs are positive; a pack mixing signs that
+    overflows only on some indicator subset would need interval
+    arithmetic — none exists in the catalog, and a false negative here
+    fails safe into UNCLASSIFIED review)."""
     m = re.match(r"^(Add|Subtract|Multiply)\[\w+\] (.*)$", expr, re.S)
     if not m:
         return False
     body = _PACK_STRIP.sub("I", m.group(2))
     if "I" not in body:
         return False
-    return re.fullmatch(r"[I\d\s()+\-*]+", body) is not None
+    if re.fullmatch(r"[I\d\s()+\-*]+", body) is None:
+        return False
+    try:
+        worst = eval(  # noqa: S307 — charset-restricted arithmetic only
+            body.replace("I", "1"), {"__builtins__": {}}, {}
+        )
+    except Exception:  # noqa: BLE001 — malformed arithmetic fails safe
+        return False
+    return abs(int(worst)) <= 2**31 - 1
 
 
 _STRUCTURAL = {

@@ -261,6 +261,30 @@ def _duck_minhash_md5(num_hashes: int = 64) -> str:
     """
 
 
+
+# THE md5-LSH band-candidate CTE chain (bands 16 x rows 4, bucket cap
+# 5000) as ONE oracle constant — the DuckDB half of the
+# lsh_candidates contract (band slicing, cap, canonical id_a < id_b);
+# factored by r14 review pass 2 after it appeared verbatim in 7 oracles
+# (a banding change hand-edited into 6 of 7 is the silent-divergence — the
+# 8th occurrence, _INCREMENTAL_ORACLE, keeps its own asymmetric cand split)
+# class the shared-SQL templates exist to prevent).
+_DUCK_BAND_CAND = """bands AS (
+      SELECT id, u.b AS band,
+             array_to_string(s[u.b * 4 + 1 : u.b * 4 + 4], ',') AS key
+      FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS b) u
+    ),
+    sized AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
+    okb AS (
+      SELECT bands.* FROM bands JOIN sized USING (band, key) WHERE c <= 5000
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM okb a JOIN okb b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    )"""
+
+
 @query(
     "d_minhash_signatures_md5",
     oracle=f"""
@@ -288,20 +312,7 @@ def d_minhash_signatures_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_duck_shingles(4)},
     {_duck_minhash_md5(64)},
-    bands AS (
-      SELECT id, u.b AS band,
-             array_to_string(s[u.b * 4 + 1 : u.b * 4 + 4], ',') AS key
-      FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS b) u
-    ),
-    sized AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
-    okb AS (
-      SELECT bands.* FROM bands JOIN sized USING (band, key) WHERE c <= 5000
-    ),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM okb a JOIN okb b
-        ON a.band = b.band AND a.key = b.key AND a.id < b.id
-    ),
+    {_DUCK_BAND_CAND},
     sizes AS (SELECT id, count(*) AS ns FROM sh GROUP BY id),
     inter AS (
       SELECT c.id_a, c.id_b, count(*) AS nc
@@ -339,20 +350,7 @@ def _d_containment_md5_oracle() -> str:
     return f"""
     WITH {_duck_shingles(4)},
     {_duck_minhash_md5(64)},
-    bands AS (
-      SELECT id, u.b AS band,
-             array_to_string(s[u.b * 4 + 1 : u.b * 4 + 4], ',') AS key
-      FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS b) u
-    ),
-    sized AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
-    okb AS (
-      SELECT bands.* FROM bands JOIN sized USING (band, key) WHERE c <= 5000
-    ),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM okb a JOIN okb b
-        ON a.band = b.band AND a.key = b.key AND a.id < b.id
-    ),
+    {_DUCK_BAND_CAND},
     sizes AS (SELECT id, count(*) AS ns FROM sh GROUP BY id),
     inter AS (
       SELECT c.id_a, c.id_b, count(*) AS nc
@@ -603,20 +601,7 @@ _DUCK_LP_ROUND = """
     oracle=f"""
     WITH {_duck_shingles(4)},
     {_duck_minhash_md5(64)},
-    bands AS (
-      SELECT id, u.b AS band,
-             array_to_string(s[u.b * 4 + 1 : u.b * 4 + 4], ',') AS key
-      FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS b) u
-    ),
-    sized AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
-    okb AS (
-      SELECT bands.* FROM bands JOIN sized USING (band, key) WHERE c <= 5000
-    ),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM okb a JOIN okb b
-        ON a.band = b.band AND a.key = b.key AND a.id < b.id
-    ),
+    {_DUCK_BAND_CAND},
     sizes AS (SELECT id, count(*) AS ns FROM sh GROUP BY id),
     inter AS (
       SELECT c.id_a, c.id_b, count(*) AS nc
@@ -734,20 +719,7 @@ def d_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_duck_shingles(4)},
     {_duck_minhash_md5(64)},
-    bands AS (
-      SELECT id, u.b AS band,
-             array_to_string(s[u.b * 4 + 1 : u.b * 4 + 4], ',') AS key
-      FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS b) u
-    ),
-    sized AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
-    okb AS (
-      SELECT bands.* FROM bands JOIN sized USING (band, key) WHERE c <= 5000
-    ),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM okb a JOIN okb b
-        ON a.band = b.band AND a.key = b.key AND a.id < b.id
-    ),
+    {_DUCK_BAND_CAND},
     sizes AS (SELECT id, count(*) AS ns FROM sh GROUP BY id),
     inter AS (
       SELECT c.id_a, c.id_b, count(*) AS nc
@@ -1194,20 +1166,7 @@ def d_idf_weighted_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_duck_shingles(4)},
     {_duck_minhash_md5(64)},
-    bands AS (
-      SELECT id, u.b AS band,
-             array_to_string(s[u.b * 4 + 1 : u.b * 4 + 4], ',') AS key
-      FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS b) u
-    ),
-    sized AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
-    okb AS (
-      SELECT bands.* FROM bands JOIN sized USING (band, key) WHERE c <= 5000
-    ),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM okb a JOIN okb b
-        ON a.band = b.band AND a.key = b.key AND a.id < b.id
-    ),
+    {_DUCK_BAND_CAND},
     sizes AS (SELECT id, count(*) AS ns FROM sh GROUP BY id),
     inter AS (
       SELECT c.id_a, c.id_b, count(*) AS nc
@@ -1311,20 +1270,7 @@ def d_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_duck_shingles(4)},
     {_duck_minhash_md5(64)},
-    bands AS (
-      SELECT id, u.b AS band,
-             array_to_string(s[u.b * 4 + 1 : u.b * 4 + 4], ',') AS key
-      FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS b) u
-    ),
-    sized AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
-    okb AS (
-      SELECT bands.* FROM bands JOIN sized USING (band, key) WHERE c <= 5000
-    ),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM okb a JOIN okb b
-        ON a.band = b.band AND a.key = b.key AND a.id < b.id
-    ),
+    {_DUCK_BAND_CAND},
     est AS (
       SELECT c.id_a, c.id_b,
              len(list_filter(range(1, 65), i -> sa.s[i] = sb.s[i]))
@@ -1416,20 +1362,7 @@ def d_minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFram
     oracle=f"""
     WITH {_duck_shingles(4)},
     {_duck_minhash_md5(64)},
-    bands AS (
-      SELECT id, u.b AS band,
-             array_to_string(s[u.b * 4 + 1 : u.b * 4 + 4], ',') AS key
-      FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS b) u
-    ),
-    sized AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
-    okb AS (
-      SELECT bands.* FROM bands JOIN sized USING (band, key) WHERE c <= 5000
-    ),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM okb a JOIN okb b
-        ON a.band = b.band AND a.key = b.key AND a.id < b.id
-    ),
+    {_DUCK_BAND_CAND},
     est AS (
       SELECT c.id_a, c.id_b,
              len(list_filter(range(1, 65),

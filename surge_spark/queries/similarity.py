@@ -82,6 +82,29 @@ _DUCK_ASSIGN = f"""
 """
 
 
+
+# The probe-4-of-8 query/cell CTE pair shared by the two IVF audit
+# oracles (recall + NDCG) — the DuckDB half of ivf_probe_cells'
+# contract (probe count, DESC cell tiebreak); factored by r14 review
+# pass 2. The topk entries keep their own variants (different query
+# sets/aliases).
+_DUCK_IVF_PROBE = """q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id < 5),
+    q_probe AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT q.query_id, q.qe, c.cell,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_sum(list_transform(range(1, len(q.qe) + 1),
+                          i -> CAST(q.qe[i] AS DOUBLE) * c.c[i])) DESC,
+                          c.cell DESC
+               ) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 4
+    ),"""
+
+
+
 def _broadcast_cosine_topk(corpus, queries, k: int = 10):
     """Exact cosine top-k of broadcast ``queries`` against ``corpus``
     (vec_id/embedding frames) — ONE scoring/rank tail shared by
@@ -1936,20 +1959,7 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivf_recall_audit",
     oracle=f"""
     WITH {_DUCK_ASSIGN},
-    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-          WHERE vec_id < 5),
-    q_probe AS (
-      SELECT query_id, qe, cell FROM (
-        SELECT q.query_id, q.qe, c.cell,
-               row_number() OVER (
-                 PARTITION BY q.query_id
-                 ORDER BY list_sum(list_transform(range(1, len(q.qe) + 1),
-                          i -> CAST(q.qe[i] AS DOUBLE) * c.c[i])) DESC,
-                          c.cell DESC
-               ) AS rn
-        FROM q CROSS JOIN cents c
-      ) WHERE rn <= 4
-    ),
+    {_DUCK_IVF_PROBE}
     ivf AS (
       SELECT query_id, corpus_id FROM (
         SELECT query_id, corpus_id,
@@ -2057,20 +2067,7 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivf_ndcg_audit",
     oracle=f"""
     WITH {_DUCK_ASSIGN},
-    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-          WHERE vec_id < 5),
-    q_probe AS (
-      SELECT query_id, qe, cell FROM (
-        SELECT q.query_id, q.qe, c.cell,
-               row_number() OVER (
-                 PARTITION BY q.query_id
-                 ORDER BY list_sum(list_transform(range(1, len(q.qe) + 1),
-                          i -> CAST(q.qe[i] AS DOUBLE) * c.c[i])) DESC,
-                          c.cell DESC
-               ) AS rn
-        FROM q CROSS JOIN cents c
-      ) WHERE rn <= 4
-    ),
+    {_DUCK_IVF_PROBE}
     ivf AS (
       SELECT query_id, corpus_id, rank FROM (
         SELECT query_id, corpus_id,

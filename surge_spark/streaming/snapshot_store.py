@@ -253,16 +253,32 @@ class SnapshotStore:
         cached after one pass). A manifest missing its ``ts`` field
         (pre-r3 layout) counts as arbitrarily old, i.e. eligible.
         Returns None when every commit is newer than ``timestamp`` or
-        the eligible history was pruned from disk."""
+        the eligible history was pruned from disk. Worst case (a
+        timestamp older than ALL retained history) reads every retained
+        manifest's ts once — the honest price of regression-correctness
+        (any early-exit heuristic is wrong when the clock regressed);
+        the reads go through _manifest_ts, which consults the cache but
+        never POPULATES it, so a one-off deep miss cannot pin every
+        manifest dict in memory for the store's lifetime (review pass
+        2)."""
         for v in sorted(self.committed_versions(), reverse=True):
             try:
-                m = self._manifest(v)
+                ts = self._manifest_ts(v)
             except FileNotFoundError:
                 break  # older manifests pruned — nothing earlier readable
-            ts = m.get("ts")
             if ts is None or ts <= timestamp:
                 return v
         return None
+
+    def _manifest_ts(self, version: int) -> float | None:
+        """The manifest's commit time, via the cache when present but
+        WITHOUT caching the full dict on a miss (version_at's deep scans
+        must not grow the cache unboundedly)."""
+        cached = self._manifest_cache.get(version)
+        if cached is not None:
+            return cached.get("ts")
+        with open(self._manifest_path(version)) as f:
+            return json.load(f).get("ts")
 
     def committed_batch_ids(self) -> set[str]:
         """Batch ids of the R4 dedup window: everything the checkpoint

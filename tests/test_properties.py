@@ -335,6 +335,14 @@ def test_int_arith_classifier_rejects_unbounded_shapes():
         # a CASE whose THEN value is not the 0/1 indicator form
         "Add[IntegerType] (5 + CASE WHEN (x#2 <= y#3)"
         " THEN 100000 ELSE 0 END)",
+        # pack WEIGHTS that overflow int32 even though the shape is a
+        # legit indicator pack (review pass 2: the bound must check the
+        # literals, not just the shape)
+        "Add[IntegerType] ((2000000000 * CASE WHEN (x#2 <= y#3)"
+        " THEN 1 ELSE 0 END) + (2000000000 * CASE WHEN (a#4 <= b#5)"
+        " THEN 1 ELSE 0 END))",
+        "Multiply[IntegerType] (100000 * (100000 * CASE WHEN (x#2 <= y#3)"
+        " THEN 1 ELSE 0 END))",
     ]
     for e in unbounded:
         assert classify_flag(e) is None, e
@@ -349,6 +357,11 @@ def test_int_arith_classifier_rejects_unbounded_shapes():
          " year(cast(b#2 as date)))", "year-month"),
         ("Add[IntegerType] (CASE WHEN (x0#1L <= x1#2L) THEN 1 ELSE 0 END"
          " + (2 * CASE WHEN (x1#2L <= x2#3L) THEN 1 ELSE 0 END))",
+         "indicator-pack"),
+        # one-level nested parens inside the CASE condition
+        ("Add[IntegerType] (CASE WHEN ((a#1 + b#2) <= x#3)"
+         " THEN 1 ELSE 0 END + (2 * CASE WHEN (x#3 <= y#4)"
+         " THEN 1 ELSE 0 END))",
          "indicator-pack"),
     ]
     for e, want in bounded:
