@@ -8329,6 +8329,169 @@ def a_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a_capture_recapture",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_ms(ts) // 86400000 AS d FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    bounds AS (
+      SELECT min(d) AS d0, max(d) AS d1 FROM ev
+    ),
+    marks AS (
+      SELECT DISTINCT ev.user_id,
+             ev.d <= (b.d0 + (b.d1 - b.d0) // 2) AS first_half
+      FROM ev CROSS JOIN bounds b
+    ),
+    caps AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT)
+               AS in_a,
+             CAST(max(CASE WHEN first_half THEN 0 ELSE 1 END) AS BIGINT)
+               AS in_b
+      FROM marks GROUP BY user_id
+    )
+    SELECT CAST(sum(in_a) AS BIGINT) AS n_first,
+           CAST(sum(in_b) AS BIGINT) AS n_second,
+           CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+           CAST(count(*) AS BIGINT) AS n_observed,
+           CAST(CASE WHEN sum(in_a * in_b) = 0 THEN NULL
+                ELSE sum(in_a) * sum(in_b) // sum(in_a * in_b) END
+                AS BIGINT) AS chapman_estimate,
+           CAST(CASE WHEN sum(in_a * in_b) = 0 THEN NULL
+                ELSE round(CAST(sum(in_a) AS DOUBLE) * sum(in_b)
+                     / sum(in_a * in_b), 4) END AS DOUBLE)
+             AS lincoln_petersen
+    FROM caps
+    """,
+)
+def a_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimation (Lincoln-Petersen): treat
+    the first and second halves of the observation window as two
+    independent 'captures' of the user population and estimate the TRUE
+    population N̂ = n₁·n₂/m from the overlap — the coverage estimator a
+    data platform runs to answer 'how many users exist that we have
+    NOT yet observed?' (the same estimator dedup pipelines use to
+    estimate residual duplicates from two independent detector passes).
+    The halves split at the integer midpoint of the epoch-day span
+    (exact integer arithmetic — `(d1-d0)/2` is DuckDB `//` on bigints
+    mirrored by Spark `div`); capture flags are 0/1 indicators, every
+    count exact, the floor-divided integer estimate ships beside the
+    round-4 float form; zero overlap → NULL both sides. One distinct
+    shuffle; everything after is one conditional aggregate."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ev = e.select(
+        "user_id", F.expr("unix_millis(ts) div 86400000").alias("d")
+    )
+    b = ev.groupBy().agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    marks = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            "user_id",
+            F.expr("d <= (d0 + (d1 - d0) div 2)").alias("first_half"),
+        )
+        .distinct()
+    )
+    caps = marks.groupBy("user_id").agg(
+        F.max(F.when(F.col("first_half"), 1).otherwise(0)).cast("long").alias(
+            "in_a"
+        ),
+        F.max(F.when(F.col("first_half"), 0).otherwise(1)).cast("long").alias(
+            "in_b"
+        ),
+    )
+    return caps.groupBy().agg(
+        F.sum("in_a").alias("n_first"),
+        F.sum("in_b").alias("n_second"),
+        F.sum(F.expr("in_a * in_b")).alias("n_both"),
+        F.count(F.lit(1)).alias("n_observed"),
+        F.expr(
+            "CAST(CASE WHEN sum(in_a * in_b) = 0 THEN NULL"
+            " ELSE sum(in_a) * sum(in_b) div sum(in_a * in_b) END AS BIGINT)"
+        ).alias("chapman_estimate"),
+        F.expr(
+            "CAST(CASE WHEN sum(in_a * in_b) = 0 THEN NULL"
+            " ELSE round(CAST(sum(in_a) AS DOUBLE) * sum(in_b)"
+            " / sum(in_a * in_b), 4) END AS DOUBLE)"
+        ).alias("lincoln_petersen"),
+    )
+
+
+@query(
+    "w_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT d,
+             CAST(sum(cents) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS equity
+      FROM daily
+    ),
+    dd AS (
+      SELECT d, equity,
+             CAST(max(equity) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS peak
+      FROM cum
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(peak - equity) AS BIGINT) AS max_drawdown_cents,
+           CAST(CASE WHEN max(peak) = 0 THEN NULL
+                ELSE round(max(CAST(peak - equity AS DOUBLE) / peak), 6) END
+                AS DOUBLE) AS max_drawdown_frac
+    FROM dd WHERE peak > 0
+    """,
+)
+def w_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily purchase-revenue curve —
+    the running-peak-to-trough statistic (finance's risk number; in a
+    data platform it is the 'largest sustained dip' monitor for any
+    cumulative KPI): equity = running Σcents, peak = running max,
+    drawdown = peak − equity, all EXACT integers over the
+    calendar-bounded daily series (the m_daily_backlog window class);
+    the fractional form divides per-row before the max (mirrored,
+    round-6, peak=0 rows excluded both sides — with non-negative
+    revenue the equity curve never dips below a positive peak to zero,
+    so the filter only trims a leading zero-revenue prefix). NOTE
+    max((peak-equity)/peak) ≠ max(peak-equity)/max(peak) — the
+    fractional and absolute maxima can sit on different days; both
+    ship."""
+    e = _t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    daily = e.groupBy(
+        F.expr("unix_millis(ts) div 86400000").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+    wf = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    dd = daily.select(
+        "d", F.sum("cents").over(wf).alias("equity")
+    ).withColumn("peak", F.expr("max(equity)").over(wf))
+    return (
+        dd.where(F.col("peak") > 0)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.max(F.expr("peak - equity")).cast("long").alias(
+                "max_drawdown_cents"
+            ),
+            F.expr(
+                "CAST(CASE WHEN max(peak) = 0 THEN NULL"
+                " ELSE round(max(CAST(peak - equity AS DOUBLE) / peak), 6)"
+                " END AS DOUBLE)"
+            ).alias("max_drawdown_frac"),
+        )
+    )
+
+
+@query(
     "a_hhi_concentration",
     oracle=f"""
     WITH r AS (
