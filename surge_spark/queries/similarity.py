@@ -701,6 +701,175 @@ def sim_blocked_pairs_recall_audit(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "sim_cluster_ari_audit",
+    oracle=f"""
+    WITH {_DUCK_ASSIGN},
+    lab AS (
+      SELECT d.lang AS la, a.cell AS lb
+      FROM documents d JOIN assigned a ON a.vec_id = d.doc_id
+    ),
+    cells AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS nij
+              FROM lab GROUP BY 1, 2),
+    ra AS (SELECT la, CAST(sum(nij) AS BIGINT) AS ai FROM cells GROUP BY 1),
+    cb AS (SELECT lb, CAST(sum(nij) AS BIGINT) AS bj FROM cells GROUP BY 1),
+    sums AS (
+      SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS s_idx FROM cells
+    ),
+    sa AS (SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS s_a FROM ra),
+    sb AS (SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS s_b FROM cb),
+    nn AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM cells)
+    SELECT nn.n, sums.s_idx, sa.s_a, sb.s_b,
+           CAST(CASE WHEN (CAST(sa.s_a AS DOUBLE) + sb.s_b) / 2
+                          - CAST(sa.s_a AS DOUBLE) * sb.s_b
+                            / (nn.n * (nn.n - 1) // 2) = 0 THEN NULL
+                ELSE round(
+                  (sums.s_idx - CAST(sa.s_a AS DOUBLE) * sb.s_b
+                   / (nn.n * (nn.n - 1) // 2))
+                  / ((CAST(sa.s_a AS DOUBLE) + sb.s_b) / 2
+                     - CAST(sa.s_a AS DOUBLE) * sb.s_b
+                       / (nn.n * (nn.n - 1) // 2)), 6)
+                END AS DOUBLE) AS ari
+    FROM nn CROSS JOIN sums CROSS JOIN sa CROSS JOIN sb
+    """,
+)
+def sim_cluster_ari_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between the FIXED_CENTS semantic clustering
+    and the documents' language partition — EXTERNAL validation of the
+    clustering (silhouette/margin audits measure internal geometry;
+    ARI answers 'does the clustering recover a labeling we trust?',
+    chance-corrected so a random assignment scores ~0 — the standard
+    sklearn.metrics surface re-expressed declaratively). Every pair
+    count is the exact integer x(x−1)/2 over the |langs|×|cells|
+    contingency (DuckDB `//` mirroring Spark `div`; x(x−1) is even so the floor
+    is exact); one mirrored float formula, round-6, degenerate
+    (max == expected) → NULL both sides. The doc→embedding join is the
+    one corpus shuffle; overflow bound n²/2 → bigint to ~4e9 docs (the
+    wide_int escape class past that)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = sim._cluster_assignments(
+        emb, "vec_id", "embedding", 8, 4, 42, FIXED_CENTS
+    )
+    lab = docs.join(
+        assigned.select(F.col("id").alias("doc_id"), "cluster"), "doc_id"
+    ).select(F.col("lang").alias("la"), F.col("cluster").alias("lb"))
+    cells = lab.groupBy("la", "lb").agg(F.count(F.lit(1)).alias("nij"))
+    cells = cells.localCheckpoint(eager=False)  # 4 aggregate consumers
+    ra = cells.groupBy("la").agg(F.sum("nij").alias("ai"))
+    cb = cells.groupBy("lb").agg(F.sum("nij").alias("bj"))
+    sums = cells.groupBy().agg(
+        F.sum(F.expr("nij * (nij - 1) div 2")).alias("s_idx"),
+        F.sum("nij").alias("n"),
+    )
+    sa = ra.groupBy().agg(F.sum(F.expr("ai * (ai - 1) div 2")).alias("s_a"))
+    sb = cb.groupBy().agg(F.sum(F.expr("bj * (bj - 1) div 2")).alias("s_b"))
+    exp_ = (
+        "CAST(s_a AS DOUBLE) * s_b / (n * (n - 1) div 2)"
+    )
+    return (
+        sums.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .select(
+            "n",
+            "s_idx",
+            "s_a",
+            "s_b",
+            F.expr(
+                f"CAST(CASE WHEN (CAST(s_a AS DOUBLE) + s_b) / 2"
+                f" - {exp_} = 0 THEN NULL"
+                f" ELSE round((s_idx - {exp_})"
+                f" / ((CAST(s_a AS DOUBLE) + s_b) / 2 - {exp_}), 6)"
+                " END AS DOUBLE)"
+            ).alias("ari"),
+        )
+    )
+
+
+@query(
+    "sim_sq8_distortion_audit",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, i.i AS dim, CAST(embedding[i.i + 1] AS DOUBLE) AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(0, len(embedding))) AS i) i
+    ),
+    stats AS (
+      SELECT dim, min(v) AS lo, max(v) AS hi FROM x GROUP BY dim
+    ),
+    q AS (
+      SELECT x.vec_id, x.v,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE CAST(round((x.v - s.lo) / (s.hi - s.lo) * 255)
+                       AS BIGINT) END AS code,
+             s.lo, s.hi
+      FROM x JOIN stats s USING (dim)
+    ),
+    r AS (
+      SELECT vec_id, v,
+             CASE WHEN hi = lo THEN lo
+                  ELSE lo + code * (hi - lo) / 255 END AS recon
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(round(sum((v - recon) * (v - recon)), 8) AS DOUBLE)
+             AS sq_err,
+           CAST(round(max(abs(v - recon)), 8) AS DOUBLE) AS max_abs_err
+    FROM r GROUP BY vec_id
+    """,
+)
+def sim_sq8_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization distortion — the OTHER standard FAISS
+    compression beside PQ (sim_pq_distortion_audit): each dimension
+    min-max scales into one uint8 code (4x smaller than float32, 64x
+    smaller than the float64 view), and the audit ships the per-vector
+    reconstruction error (Σ(v−v̂)² and max |v−v̂|) — the number that
+    says whether SQ8's ~(hi−lo)/255 per-dim resolution is acceptable
+    before switching the 100 TB scan to codes. Per-dim min/max are one
+    posexplode aggregate (the sim_lang_centroids shuffle shape — only
+    (dim, partials) move); quantize/reconstruct are mirrored float
+    expressions over those exact aggregates; constant dims (hi=lo)
+    quantize to code 0 / reconstruct exactly, both sides. The 64-term
+    per-vector float sums round to 8 (tiny magnitudes; order noise is
+    ~1e-18 relative)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "v0"),
+    ).select(
+        "vec_id", "dim", F.col("v0").cast("double").alias("v")
+    )
+    stats = x.groupBy("dim").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    q = x.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "v",
+        "lo",
+        "hi",
+        F.expr(
+            "CASE WHEN hi = lo THEN 0"
+            " ELSE CAST(round((v - lo) / (hi - lo) * 255) AS BIGINT) END"
+        ).alias("code"),
+    )
+    r = q.select(
+        "vec_id",
+        "v",
+        F.expr(
+            "CASE WHEN hi = lo THEN lo"
+            " ELSE lo + code * (hi - lo) / 255 END"
+        ).alias("recon"),
+    )
+    return r.groupBy("vec_id").agg(
+        F.expr(
+            "CAST(round(sum((v - recon) * (v - recon)), 8) AS DOUBLE)"
+        ).alias("sq_err"),
+        F.expr("CAST(round(max(abs(v - recon)), 8) AS DOUBLE)").alias(
+            "max_abs_err"
+        ),
+    )
+
+
+@query(
     "sim_lang_centroids",
     oracle="""
     WITH j AS (
