@@ -1691,6 +1691,48 @@ def f_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f_unpivot_stack",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+             CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_price,
+             CAST(count(*) AS DOUBLE) AS n_items
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'n_items', n_items FROM wide
+    """,
+)
+def f_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — wide metric columns into (metric, value) rows via
+    Spark's stack() generator: the reshape every metrics exporter and
+    long-format BI feed needs, and the one relational surface the
+    catalog lacked (PIVOT's inverse; grouping-sets/Expand cover the
+    other direction). One aggregate builds the wide frame; stack() is a
+    pure generator over it (no shuffle, no join — the inverse operation
+    costs nothing at any scale). The oracle states the same reshape as
+    UNION ALL — deliberately engine-neutral SQL rather than DuckDB's
+    UNPIVOT syntax, so the mirrored text is the semantics, not a
+    dialect feature. Values unified to DOUBLE (a stacked column has ONE
+    type; the count casts on both sides)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price,"
+        " 'n_items', n_items) AS (metric, value)",
+    )
+
+
+@query(
     "f_bitwise_functions",
     oracle="""
     SELECT o_orderkey,
