@@ -6078,6 +6078,65 @@ def g_ktruss_one_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g_degree_gini",
+    oracle=f"""
+    WITH {_PART_COOCCUR_SQL},
+    r AS (
+      SELECT k, row_number() OVER (ORDER BY k, node) AS rk FROM deg
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(k) AS BIGINT) AS total_degree,
+             CAST(sum(rk * k) AS BIGINT) AS rank_weighted
+      FROM r
+    )
+    SELECT n_nodes, total_degree,
+           CAST(round(
+             (2.0 * rank_weighted - (n_nodes + 1) * total_degree)
+               / (CAST(n_nodes AS DOUBLE) * total_degree), 6) AS DOUBLE)
+             AS gini
+    FROM s
+    """,
+)
+def g_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the degree distribution — hub concentration
+    as ONE number beside g_degree_powerlaw_slope's fitted exponent (the
+    slope says whether the tail is power-law-SHAPED; the Gini says how
+    much of the wiring the hubs actually own — the skew-salting go/no-go
+    for graph joins). Same exact rank formula as m_gini_coefficient on
+    the same distributed prefix sum (total order (k, node), no
+    unpartitioned window), over the shared checkpointed
+    _part_cooccurrence degree frame. All-integer channels until one
+    mirrored round-6 quotient; rank_weighted ≤ n·Σk — the bigint bound
+    and wide_int escape documented at m_gini_coefficient."""
+    from surge_spark.operators.text import distributed_prefix_sum
+
+    _, _, deg = _part_cooccurrence(spark, sf_dir)
+    cnt = deg.withColumn("__one", F.lit(1)).persist()
+    order = [F.col("k").asc(), F.col("node").asc()]
+    ranked = distributed_prefix_sum(
+        cnt, "__one", "k", order, descending=False, out_col="__rk"
+    )
+    s = ranked.groupBy().agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("k").alias("total_degree"),
+        F.sum(F.col("__rk") * F.col("k")).alias("rank_weighted"),
+    )
+    return s.select(
+        "n_nodes",
+        "total_degree",
+        F.round(
+            (
+                2.0 * F.col("rank_weighted")
+                - (F.col("n_nodes") + 1) * F.col("total_degree")
+            )
+            / (F.col("n_nodes").cast("double") * F.col("total_degree")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
     "g_degree_assortativity",
     oracle=f"""
     WITH {_PART_COOCCUR_SQL}

@@ -3205,3 +3205,51 @@ def a_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS DOUBLE)"
         ).alias("mcnemar_chi2"),
     )
+
+
+@query(
+    "t_hapax_ratio",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    tf AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM toks
+      WHERE w <> '' GROUP BY source, w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS hapax_ppm
+    FROM tf GROUP BY source
+    """,
+)
+def t_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena fraction per source — the share of vocabulary seen
+    exactly once: the classic productivity/contamination signal beside
+    Heaps' growth exponent and Simpson diversity (natural prose sits
+    near ~half hapax; template/boilerplate-heavy sources crater it,
+    OCR-noise sources inflate it — both are routing signals for a
+    cleaning pass). Pure integer channels end to end (counts + ppm
+    floor division, `//` ≡ `div`); the (source, word) tf aggregate is
+    the one corpus-scale shuffle, shared shape with
+    t_simpson_diversity."""
+    from surge_spark.operators.dedup import tokens as _tok
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(_tok("text")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.expr(
+            "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000"
+            " div count(1) AS BIGINT)"
+        ).alias("hapax_ppm"),
+    )
