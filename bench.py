@@ -566,8 +566,14 @@ def main() -> None:
 
     # Re-time the warm parallel canary AFTER the full run: a gap between
     # start and end host_factor means the host drifted mid-bench (quote
-    # the larger factor when attributing a slow round).
+    # the larger factor when attributing a slow round). Guarded on the
+    # START probe having succeeded (r14 ADVICE): a host_factor_end with
+    # no host_factor to compare against is a confusing partial record —
+    # when the start probe errored, the whole calibration dict is just
+    # {"error": ...} and the normalized block is skipped below too.
     try:
+        if "host_factor" not in calibration:
+            raise RuntimeError("start probe failed; skipping end probe")
         end_samples = []
         for _ in range(3):
             s = time.perf_counter()

@@ -143,20 +143,95 @@ _PACK_STRIP = re.compile(
 )
 
 
+_I32 = 2**31 - 1
+
+
+class _PackParser:
+    """Interval-arithmetic evaluator over the stripped pack residue
+    ({digits, I, + - * ( )}): every indicator occurrence is the
+    independent interval [0, 1] and EVERY intermediate subexpression —
+    not just the final value — must fit int32. Evaluating only the
+    final expression at I=1 was foolable (r14 ADVICE): a pack whose
+    large intermediates cancel, e.g. ``(60000*I)*(60000*I) -
+    3599999999*I``, evaluates to 1 while its Multiply node overflows at
+    runtime, and once signs mix I=1 is not even the worst case.
+    Treating repeated occurrences of the same indicator as independent
+    [0,1] intervals over-approximates the reachable set — conservative,
+    so it can only fail SAFE (into UNCLASSIFIED review), never admit an
+    overflowing pack. Grammar: expr := term (('+'|'-') term)*;
+    term := unary ('*' unary)*; unary := '-' unary | atom;
+    atom := INT | 'I' | '(' expr ')'."""
+
+    def __init__(self, s: str):
+        self.toks = re.findall(r"\d+|[I()*+-]", s)
+        self.i = 0
+        self.ok = True
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _check(self, lo: int, hi: int) -> tuple[int, int]:
+        if max(abs(lo), abs(hi)) > _I32:
+            self.ok = False
+        return (lo, hi)
+
+    def expr(self) -> tuple[int, int]:
+        lo, hi = self.term()
+        while self._peek() in ("+", "-"):
+            op = self._next()
+            l2, h2 = self.term()
+            if op == "+":
+                lo, hi = self._check(lo + l2, hi + h2)
+            else:
+                lo, hi = self._check(lo - h2, hi - l2)
+        return (lo, hi)
+
+    def term(self) -> tuple[int, int]:
+        lo, hi = self.unary()
+        while self._peek() == "*":
+            self._next()
+            l2, h2 = self.unary()
+            prods = (lo * l2, lo * h2, hi * l2, hi * h2)
+            lo, hi = self._check(min(prods), max(prods))
+        return (lo, hi)
+
+    def unary(self) -> tuple[int, int]:
+        if self._peek() == "-":
+            self._next()
+            lo, hi = self.unary()
+            return self._check(-hi, -lo)
+        return self.atom()
+
+    def atom(self) -> tuple[int, int]:
+        t = self._next()
+        if t == "I":
+            return (0, 1)
+        if t == "(":
+            iv = self.expr()
+            if self._next() != ")":
+                raise ValueError("unbalanced parens")
+            return iv
+        if t is not None and t.isdigit():
+            return self._check(int(t), int(t))
+        raise ValueError(f"unexpected token {t!r}")
+
+
 def _is_indicator_pack(expr: str) -> bool:
     """True iff the flagged arithmetic is composed ONLY of 0/1 CASE
-    indicators, integer literals, and +-*() AND the maximum attainable
-    value (every indicator = 1) fits int32 — 'bounded by the sum of the
-    literal weights' is only a bound if the weights themselves are
-    checked (review finding: 2e9-weight packs would have been silently
-    allowlisted while ANSI-crashing at runtime). The residue after
-    stripping indicators is a pure integer arithmetic expression over
-    {digits, + - * ( ), I}; substituting I=1 and evaluating gives the
-    worst case for non-negative packs (indicators never exceed 1 and
-    weights in real packs are positive; a pack mixing signs that
-    overflows only on some indicator subset would need interval
-    arithmetic — none exists in the catalog, and a false negative here
-    fails safe into UNCLASSIFIED review)."""
+    indicators, integer literals, and +-*() AND every INTERMEDIATE
+    subexpression's interval (each indicator independently in [0,1])
+    fits int32 — 'bounded by the sum of the literal weights' is only a
+    bound if the weights themselves are checked (review finding:
+    2e9-weight packs would have been silently allowlisted while
+    ANSI-crashing at runtime), and the intermediates must be checked
+    too (r14 ADVICE: final-value eval at I=1 admits packs whose
+    overflowing intermediates cancel). Malformed arithmetic fails safe
+    into UNCLASSIFIED review."""
     m = re.match(r"^(Add|Subtract|Multiply)\[\w+\] (.*)$", expr, re.S)
     if not m:
         return False
@@ -166,12 +241,13 @@ def _is_indicator_pack(expr: str) -> bool:
     if re.fullmatch(r"[I\d\s()+\-*]+", body) is None:
         return False
     try:
-        worst = eval(  # noqa: S307 — charset-restricted arithmetic only
-            body.replace("I", "1"), {"__builtins__": {}}, {}
-        )
+        p = _PackParser(body)
+        p.expr()
+        if p.i != len(p.toks):
+            return False
     except Exception:  # noqa: BLE001 — malformed arithmetic fails safe
         return False
-    return abs(int(worst)) <= 2**31 - 1
+    return p.ok
 
 
 _STRUCTURAL = {

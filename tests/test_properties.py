@@ -343,6 +343,17 @@ def test_int_arith_classifier_rejects_unbounded_shapes():
         " THEN 1 ELSE 0 END))",
         "Multiply[IntegerType] (100000 * (100000 * CASE WHEN (x#2 <= y#3)"
         " THEN 1 ELSE 0 END))",
+        # r14 ADVICE: intermediates that CANCEL in the final value — at
+        # I=1 this evaluates to 1, but the (60000*I)*(60000*I) Multiply
+        # node overflows int32 at runtime; only per-subterm interval
+        # arithmetic rejects it
+        "Subtract[IntegerType] ((60000 * CASE WHEN (a#1 > 1) THEN 1 ELSE 0"
+        " END) * (60000 * CASE WHEN (b#2 > 1) THEN 1 ELSE 0 END)"
+        " - (3599999999 * CASE WHEN (c#3 > 1) THEN 1 ELSE 0 END))",
+        # sign-mix: final value at I=1 is -200000000 (fits) but the
+        # weighted subterm interval [0, 2200000000] exceeds int32
+        "Subtract[IntegerType] (2000000000 - (2200000000 * CASE WHEN"
+        " (x#2 <= y#3) THEN 1 ELSE 0 END))",
     ]
     for e in unbounded:
         assert classify_flag(e) is None, e
