@@ -565,6 +565,82 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     raise NotImplementedError("Pillow decode path not wired in this build")
 
 
+def _pack_bits64(bits: np.ndarray) -> tuple[int, int]:
+    """Pack a 64-element boolean array (bit i = element i) into two
+    unsigned 32-bit halves (hi = bits 32..63, lo = bits 0..31) — the
+    md5-halves precedent: each half < 2^32 fits a signed BIGINT on both
+    engines, so no sign channel and no 2^63 ANSI overflow."""
+    lo = 0
+    hi = 0
+    for i in range(32):
+        if bits[i]:
+            lo |= 1 << i
+        if bits[32 + i]:
+            hi |= 1 << i
+    return hi, lo
+
+
+def ahash64(payload: bytes) -> tuple[int, int]:
+    """64-bit average hash (aHash) over the REAL decode path: decode →
+    8×8 nearest-neighbor resample (_resample_nearest — identity for 8×8
+    inputs, so constructed 8×8 oracle images hit an exact channel) →
+    integer grey ``(r+g+b)//3`` → bit i set iff ``grey_i*64 > total``
+    (strict, all-integer — no float mean, so a SQL oracle computes the
+    identical fingerprint). Bit order is row-major top-down; returns
+    (hi, lo) 32-bit halves. Raises like decode_image on undecodable
+    payloads (callers choose null-row vs drop)."""
+    _w, _h, img = decode_image(payload)
+    small = _resample_nearest(img, 8, 8)
+    grey = small.astype(np.int64).sum(axis=2) // 3
+    flat = grey.reshape(-1)
+    total = int(flat.sum())
+    return _pack_bits64((flat * 64) > total)
+
+
+def dhash64(payload: bytes) -> tuple[int, int]:
+    """64-bit difference hash (dHash): decode → 9×8 nearest resample →
+    integer grey → bit r*8+c set iff grey[r][c+1] > grey[r][c] (strict
+    horizontal gradient — all-integer, oracle-exact for constructed
+    9-wide images). Same (hi, lo) packing as ahash64."""
+    _w, _h, img = decode_image(payload)
+    small = _resample_nearest(img, 9, 8)
+    grey = small.astype(np.int64).sum(axis=2) // 3
+    return _pack_bits64((grey[:, 1:] > grey[:, :-1]).reshape(-1))
+
+
+AHASH_SCHEMA = "id long, fp_hi long, fp_lo long"
+
+
+def image_ahash(df: DataFrame, id_col: str = "id", kind: str = "ahash") -> DataFrame:
+    """Per-image 64-bit perceptual fingerprint (aHash or dHash) over
+    mapInPandas — the image member of the dedup family's fingerprint
+    stage (simhash's shape: fingerprint → band → Hamming verify).
+    Undecodable payloads yield NULL halves (visible, never silently
+    dropped); one pass, no shuffle, payload dropped on output."""
+    fn = {"ahash": ahash64, "dhash": dhash64}[kind]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                payload = bytes(rec.payload)
+                try:
+                    hi, lo = fn(payload)
+                except (NotImplementedError, ValueError):
+                    hi = lo = None
+                rows.append({"id": rec[1], "fp_hi": hi, "fp_lo": lo})
+            out = pd.DataFrame(rows, columns=["id", "fp_hi", "fp_lo"])
+            # nullable-int dtype: a None in a plain int column becomes
+            # float NaN and Arrow rejects it against a long schema
+            out["fp_hi"] = out["fp_hi"].astype("Int64")
+            out["fp_lo"] = out["fp_lo"].astype("Int64")
+            yield out
+
+    cols = df.select(F.col(id_col).alias("id"), F.col("payload"))
+    ensure_shipped(df.sparkSession)
+    return cols.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
 def decode_audio(payload: bytes) -> dict:
     """Real WAV decode via the stdlib ``wave`` module: returns channel
     count, sample rate/width, frame count and the PCM samples as an int

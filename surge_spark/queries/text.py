@@ -311,6 +311,155 @@ def mm_ppm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed 8x8 24-bit BMP header (the mm_phash_neardup canvas): 14-byte file
+# header (size 54 + 8 rows x 24 bytes = 246, pixel offset 54) + 40-byte
+# DIB (w=8, h=8 positive => bottom-up, 24 bpp; rows are 24 bytes = no pad)
+_BMP_8X8_HEADER = (
+    b"BM"
+    + _struct.pack("<IHHI", 246, 0, 0, 54)
+    + _struct.pack("<IiiHHIIiiII", 40, 8, 8, 1, 24, 0, 192, 0, 0, 0, 0)
+)
+
+# storage-order pixel string: char k (1-based) tripled into the BGR bytes
+# of pixel (k-1) in BMP bottom-up row order — built as ONE parsed expr
+# (the minhash plan-build lesson: 192 py4j Column calls cost real seconds)
+_PHASH_TRIP_SQL = "concat(" + ", ".join(
+    f"repeat(substring(s, {k}, 1), 3)" for k in range(1, 65)
+) + ")"
+
+
+@query(
+    "mm_phash_neardup",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, substring(text, 1, 64) AS s
+      FROM documents WHERE regexp_matches(text, '^[ -~]{64}')
+    ),
+    px AS (
+      SELECT doc_id, t.i, ascii(substring(s, CAST(t.i AS INT), 1)) AS v
+      FROM base, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+    ),
+    bits AS (
+      SELECT doc_id, (7 - (i - 1) // 8) * 8 + (i - 1) % 8 AS bit, v FROM px
+    ),
+    tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS total FROM px GROUP BY 1),
+    fp AS (
+      SELECT b.doc_id,
+        CAST(sum(CASE WHEN b.bit >= 32 AND b.v * 64 > t.total
+             THEN (CAST(1 AS BIGINT) << (b.bit - 32)) ELSE 0 END)
+             AS BIGINT) AS fp_hi,
+        CAST(sum(CASE WHEN b.bit < 32 AND b.v * 64 > t.total
+             THEN (CAST(1 AS BIGINT) << b.bit) ELSE 0 END)
+             AS BIGINT) AS fp_lo
+      FROM bits b JOIN tot t USING (doc_id) GROUP BY 1
+    ),
+    bands AS (
+      SELECT doc_id, j.j AS band_idx,
+             CASE WHEN j.j < 2 THEN (fp_lo >> (16 * j.j)) & 65535
+                  ELSE (fp_hi >> (16 * (j.j - 2))) & 65535 END AS band_val
+      FROM fp, LATERAL (SELECT unnest(range(0, 4)) AS j) j
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(fa.fp_hi, fb.fp_hi))
+                + bit_count(xor(fa.fp_lo, fb.fp_lo)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.doc_id = c.id_a
+    JOIN fp fb ON fb.doc_id = c.id_b
+    WHERE bit_count(xor(fa.fp_hi, fb.fp_hi))
+          + bit_count(xor(fa.fp_lo, fb.fp_lo)) <= 3
+    """,
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-dup — the multimodal member of the
+    dedup family (r14 VERDICT task 2): 64-bit average hash (aHash) over
+    the REAL decode path, banded like simhash, exact Hamming verify.
+    Full oracle via the construct-in-query trick (mm_feature_extract
+    precedent): each doc's first 64 printable-ASCII chars become the
+    grey levels of a valid 8×8 24-bit BMP (constant 54-byte header +
+    each char tripled into BGR — B=G=R makes integer grey exactly the
+    char code, and the 8×8 canvas makes the resample the identity), so
+    the mapInPandas ahash64 kernel (decode → resample → integer grey →
+    strict ``v*64 > total`` mean threshold → two 32-bit halves) is an
+    exact integer channel DuckDB recomputes from the ascii codes; BMP
+    bottom-up row order = the bit-index flip mirrored in the oracle.
+    Banding: 4 bands × 16 bits — pigeonhole-complete for the Hamming≤3
+    output threshold (a pair differing in ≤3 bits leaves ≥1 band
+    untouched), so the banded output EQUALS the all-pairs answer with
+    zero recall loss; 16-bit bands measured 5.5k candidates / max
+    bucket 39 at sf0.01 vs 61k / 143 for 8-bit bands on this corpus
+    (text-derived brightness skews narrow bands). The fingerprint frame
+    is localCheckpointed (band explode ×2 sides + 2 verify sides); both
+    band sides are the identical subtree renamed after the join →
+    ReusedExchange. At scale: band join is the only shuffle, bucket
+    skew bounded by the 16-bit band space; the verify join is
+    O(candidates)."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").rlike("^[ -~]{64}"))
+        .select("doc_id", F.substring("text", 1, 64).alias("s"))
+    )
+    payload = F.concat(
+        F.lit(_BMP_8X8_HEADER), F.encode(F.expr(_PHASH_TRIP_SQL), "utf-8")
+    )
+    with_bin = docs.select("doc_id", payload.alias("payload"))
+    fp = (
+        mm.image_ahash(with_bin, id_col="doc_id")
+        .select(F.col("id").alias("doc_id"), "fp_hi", "fp_lo")
+        .where(F.col("fp_hi").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    bands = fp.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "array(fp_lo & 65535, shiftright(fp_lo, 16) & 65535,"
+                " fp_hi & 65535, shiftright(fp_hi, 16) & 65535)"
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band_val") == F.col("bb.band_val"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("id_a"), F.col("bb.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    fa = fp.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("fp_hi").alias("ha"),
+        F.col("fp_lo").alias("la"),
+    )
+    fb = fp.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("fp_hi").alias("hb"),
+        F.col("fp_lo").alias("lb"),
+    )
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "CAST(bit_count(ha ^ hb) AS BIGINT) + bit_count(la ^ lb)"
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+    )
+
+
 @query(
     "mm_resize",
     oracle="""

@@ -1119,3 +1119,83 @@ def test_tiff_overdeclared_strip_count_clamped():
             _s.pack_into("<I", base, cnt_pos, c0 + 2)
     w, h, img = decode_image(bytes(base))
     assert (img[..., 0] == g).all()
+
+
+def _py_ahash(grey_rows):
+    """Pure-Python aHash recompute (third engine beside the kernel and
+    the DuckDB oracle): grey_rows is 8 rows (top-down) of 8 ints."""
+    flat = [v for row in grey_rows for v in row]
+    total = sum(flat)
+    lo = sum(1 << i for i in range(32) if flat[i] * 64 > total)
+    hi = sum(1 << i for i in range(32) if flat[32 + i] * 64 > total)
+    return hi, lo
+
+
+def test_ahash64_matches_python_recompute():
+    """ahash64 over a constructed 8x8 BMP equals the pure-Python aHash of
+    the same grey grid — pins decode + resample-identity + integer grey
+    + strict mean threshold + the (hi, lo) packing in one shot."""
+    from surge_spark.operators.multimodal import ahash64
+
+    grey = [[(r * 8 + c) * 3 % 256 for c in range(8)] for r in range(8)]
+    bmp = _make_bmp(8, 8, [[(v, v, v) for v in row] for row in grey])
+    assert ahash64(bmp) == _py_ahash(grey)
+    # halves are unsigned 32-bit (the no-sign-channel contract)
+    hi, lo = ahash64(bmp)
+    assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+
+def test_ahash64_near_duplicate_small_hamming():
+    """A single perturbed pixel flips at most a few bits (the near-dup
+    premise the banded entry relies on), and an unrelated image is far."""
+    from surge_spark.operators.multimodal import ahash64
+
+    base = [[(r * 31 + c * 17) % 256 for c in range(8)] for r in range(8)]
+    pert = [row[:] for row in base]
+    pert[3][4] = (pert[3][4] + 120) % 256  # one pixel changed
+    inv = [[255 - v for v in row] for row in base]
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    fa = ahash64(_make_bmp(8, 8, [[(v, v, v) for v in r] for r in base]))
+    fp = ahash64(_make_bmp(8, 8, [[(v, v, v) for v in r] for r in pert]))
+    fi = ahash64(_make_bmp(8, 8, [[(v, v, v) for v in r] for r in inv]))
+    assert ham(fa, fp) <= 6
+    assert ham(fa, fi) >= 20  # inversion flips every threshold decision
+
+
+def test_dhash64_gradient_images():
+    """dHash pins: a strictly increasing horizontal ramp sets every bit
+    (all 64 right>left gradients true); a constant image sets none; a
+    reversed ramp sets none (strict >)."""
+    from surge_spark.operators.multimodal import dhash64
+
+    ramp = [[c * 20 for c in range(9)] for _ in range(8)]
+    down = [[(8 - c) * 20 for c in range(9)] for _ in range(8)]
+    flat = [[100] * 9 for _ in range(8)]
+
+    def mk(g):
+        return _make_bmp(9, 8, [[(v, v, v) for v in row] for row in g])
+
+    assert dhash64(mk(ramp)) == (2**32 - 1, 2**32 - 1)
+    assert dhash64(mk(down)) == (0, 0)
+    assert dhash64(mk(flat)) == (0, 0)
+
+
+def test_image_ahash_null_on_undecodable(spark):
+    """Undecodable payloads yield NULL fingerprint halves — visible, not
+    dropped, and never poisoning the Arrow batch (the WAV lesson)."""
+    grey = [[(r + c) * 15 % 256 for c in range(8)] for r in range(8)]
+    good = _make_bmp(8, 8, [[(v, v, v) for v in row] for row in grey])
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "payload": [good, b"not an image"]})
+    )
+    out = (
+        mm.image_ahash(df)
+        .orderBy("id")
+        .collect()
+    )
+    assert out[0].fp_hi is not None and out[0].fp_lo is not None
+    assert (out[0].fp_hi, out[0].fp_lo) == _py_ahash(grey)
+    assert out[1].fp_hi is None and out[1].fp_lo is None
