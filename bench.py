@@ -108,6 +108,10 @@ HEADLINE = [
     "sim_filtered_ann_topk",       # pre-filtered vector search: pushdown + broadcast queries (r13)
     # r14
     "sim_blocked_pairs_recall_audit",  # max_block recall vs uncapped truth (r14; a recall collapse = real sub-blocking regression)
+    # r15
+    "g_degree_gini",               # hub concentration on the shared prefix-sum machinery (r15)
+    "t_hapax_ratio",               # once-seen vocabulary share, pure-integer ppm (r15)
+    "mm_phash_neardup",            # image aHash near-dup: real-decode mapInPandas + 16-bit banding (r15)
 ]
 
 N_RUNS = 3

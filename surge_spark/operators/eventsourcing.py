@@ -719,6 +719,109 @@ BURN_RATE_STATE_SCHEMA = (
 )
 
 
+# --- multi-window multi-burn-rate page alerting (SRE workbook ch. 5) -------
+
+MW_SHORT_MS = 86_400_000  # 1-day short window
+MW_LONG_MS = 7 * 86_400_000  # 7-day long window
+
+
+def multiwindow_burn_step(
+    sb: int,
+    s_total: int,
+    s_err: int,
+    lb: int,
+    l_total: int,
+    l_err: int,
+    n_pages: int,
+    t_ms: int,
+    is_err: int,
+    short_ms: int = MW_SHORT_MS,
+    long_ms: int = MW_LONG_MS,
+    budget_ppm: int = BURN_BUDGET_PPM,
+    factor: int = BURN_FACTOR,
+) -> tuple[int, int, int, int, int, int, int]:
+    """One multi-window burn update — THE shared kernel for the seventh
+    cross-mode twin (es_multiwindow_burn_fold / multiwindow_burn_stream,
+    r14 VERDICT task 6): two bucket counters ride one state, and a PAGE
+    fires only when a closing SHORT bucket burned > ``factor``× budget
+    AND the long window's open counters at that same instant ALSO
+    burned > ``factor``× — the both-hot AND rule of
+    m_multiwindow_burn_alerts run live. Evaluation order is pinned and
+    mirrored declaratively in the batch oracle: the short-close page
+    decision reads the long counters BEFORE the long bucket rolls and
+    before the triggering event is counted (oracle: lag of running
+    per-bucket counters over the (ts, event_id) key order). ALL-INTEGER
+    — cross-multiplied rates, no division. Returns (sb, s_total, s_err,
+    lb, l_total, l_err, n_pages)."""
+    bs = t_ms // short_ms
+    bl = t_ms // long_ms
+    if bs != sb:
+        if (
+            s_err * 1_000_000 > factor * budget_ppm * s_total
+            and l_err * 1_000_000 > factor * budget_ppm * l_total
+        ):
+            n_pages += 1
+        sb, s_total, s_err = bs, 0, 0
+    if bl != lb:
+        lb, l_total, l_err = bl, 0, 0
+    return sb, s_total + 1, s_err + is_err, lb, l_total + 1, l_err + is_err, n_pages
+
+
+def multiwindow_burn_init(
+    t_ms: int,
+    is_err: int,
+    short_ms: int = MW_SHORT_MS,
+    long_ms: int = MW_LONG_MS,
+    budget_ppm: int = BURN_BUDGET_PPM,
+    factor: int = BURN_FACTOR,
+) -> tuple[int, int, int, int, int, int, int]:
+    """First-event initialization THROUGH the step kernel (the
+    token_bucket_init discipline): both pre-state buckets are empty and
+    anchored at the event's own windows, so no phantom close or page."""
+    return multiwindow_burn_step(
+        t_ms // short_ms, 0, 0, t_ms // long_ms, 0, 0, 0, t_ms, is_err,
+        short_ms, long_ms, budget_ppm, factor,
+    )
+
+
+def multiwindow_burn_handle_event(state: dict | None, event: dict) -> dict:
+    """Per-key multi-window burn monitor as an ordered event fold — the
+    batch half of cross-mode twin #7, on the same sorted-stream fold
+    kernel as bank/holt/cusum/saga/token-bucket/burn/page-hinkley."""
+    t = int(event["ms"])
+    is_err = 1 if event["event_type"] == "error" else 0
+    if state is None:
+        st = multiwindow_burn_init(t, is_err)
+        n = 1
+        agg_id = str(event["user_id"])
+    else:
+        st = multiwindow_burn_step(
+            state["short_bucket"], state["s_total"], state["s_err"],
+            state["long_bucket"], state["l_total"], state["l_err"],
+            state["n_pages"], t, is_err,
+        )
+        n = state["n"] + 1
+        agg_id = state["aggregate_id"]
+    sb, s_total, s_err, lb, l_total, l_err, n_pages = st
+    return {
+        "aggregate_id": agg_id,
+        "short_bucket": sb,
+        "s_total": s_total,
+        "s_err": s_err,
+        "long_bucket": lb,
+        "l_total": l_total,
+        "l_err": l_err,
+        "n_pages": n_pages,
+        "n": n,
+    }
+
+
+MW_BURN_STATE_SCHEMA = (
+    "aggregate_id string, short_bucket long, s_total long, s_err long,"
+    " long_bucket long, l_total long, l_err long, n_pages long, n long"
+)
+
+
 def saga_handle_event(state: dict | None, event: dict) -> dict:
     """Order-fulfillment SAGA fold with compensation — the long-running
     transaction pattern a CQRS command engine coordinates (surge's

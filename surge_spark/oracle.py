@@ -126,20 +126,97 @@ def shard_names(names: list[str], i: int, n: int) -> list[str]:
     return names[i - 1 :: n]
 
 
+def entry_hash(name: str) -> str:
+    """Content hash of a catalog entry for change-aware gating: md5 of
+    the builder's SOURCE TEXT + its oracle SQL. GRANULARITY CAVEAT
+    (documented, by design): an edit to a SHARED helper (operators/,
+    _kernel functions) changes an entry's behavior without changing its
+    builder source — the rotating sample in select_changed and the
+    full-catalog frozen-tree gate are the nets for that class; the
+    changed-set is a fast mid-session gate, not the final one."""
+    import functools
+    import hashlib
+    import inspect
+
+    from .queries import all_oracles, all_queries
+
+    fn = all_queries()[name]
+    extra = ""
+    while isinstance(fn, functools.partial):
+        extra += repr(fn.args) + repr(sorted(fn.keywords.items()))
+        fn = fn.func
+    src = inspect.getsource(fn)
+    osql = all_oracles().get(name, "")
+    return hashlib.md5(
+        (src + "\n--oracle--\n" + osql + extra).encode()
+    ).hexdigest()
+
+
+def select_changed(
+    names: list[str],
+    stored: dict[str, str],
+    hashes: dict[str, str],
+    epoch: int,
+    sample_pct: int = 10,
+) -> list[str]:
+    """Changed-aware selection (VERDICT r14 task 5): entries whose hash
+    differs from the manifest (or are new) PLUS a deterministic rotating
+    sample of the unchanged rest (``sample_pct``%, seeded by the
+    manifest epoch so consecutive gates sample different subsets — over
+    ~10 epochs the sample alone re-covers the catalog, catching
+    shared-helper edits the per-entry hash cannot see). Returns a sorted
+    subset of ``names``."""
+    import random
+
+    changed = [n for n in names if stored.get(n) != hashes[n]]
+    rest = [n for n in names if stored.get(n) == hashes[n]]
+    k = max(1, len(rest) * sample_pct // 100) if rest else 0
+    sampled = random.Random(epoch).sample(rest, k) if k else []
+    return sorted(set(changed) | set(sampled))
+
+
+def load_manifest(path: str) -> dict:
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return {"epoch": 0, "scales": {}}
+    with open(path) as f:
+        return json.load(f)
+
+
+def save_manifest(path: str, manifest: dict) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+
+
 def main() -> int:
-    """CLI: ``python -m surge_spark.oracle [SF_DIR] [--shard i/n] [names...]``.
+    """CLI: ``python -m surge_spark.oracle [SF_DIR] [--shard i/n]
+    [--changed MANIFEST] [names...]``.
 
     ``--shard i/n`` (1-based i) deterministically takes every n-th entry of
     the SORTED full name list starting at i-1, so an N-entry full mirror
     that no longer fits one 10-minute window is exactly n commands:
     ``--shard 1/2`` + ``--shard 2/2`` together cover the catalog with no
     overlap (VERDICT r12 task 7 — replaces the hand-split halves/thirds).
+
+    ``--changed MANIFEST`` (VERDICT r14 task 5, the change-aware
+    mid-session gate): run only entries whose builder-source+oracle hash
+    differs from the manifest for this SF_DIR, plus a rotating 10%
+    sample of the unchanged rest; on a fully-green run the manifest is
+    updated (hashes of the entries just verified, epoch bumped) — on
+    ANY failure it is left untouched. The full-catalog run (no flag)
+    stays the frozen-tree closing gate. Mutually exclusive with
+    explicit names and --shard.
     """
     from .queries import all_queries
     from .session import get_spark
 
     argv = sys.argv[1:]
     shard = None
+    manifest_path = None
     if "--shard" in argv:
         i = argv.index("--shard")
         try:
@@ -150,10 +227,31 @@ def main() -> int:
                 "usage: --shard i/n (1-based, e.g. --shard 1/2)"
             ) from None
         argv = argv[:i] + argv[i + 2 :]
+    if "--changed" in argv:
+        i = argv.index("--changed")
+        try:
+            manifest_path = argv[i + 1]
+        except IndexError:
+            raise SystemExit("usage: --changed MANIFEST_PATH") from None
+        argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = argv[1:] or None
-    spark = get_spark("oracle-check")
+    if manifest_path and (only or shard):
+        raise SystemExit("--changed is exclusive with names and --shard")
     names = only or sorted(all_queries())
+    manifest = None
+    hashes: dict[str, str] = {}
+    if manifest_path:
+        manifest = load_manifest(manifest_path)
+        stored = manifest["scales"].get(sf_dir, {})
+        hashes = {n: entry_hash(n) for n in names}
+        names = select_changed(names, stored, hashes, manifest["epoch"])
+        n_changed = sum(1 for n in names if stored.get(n) != hashes[n])
+        print(
+            f"changed-aware gate: {n_changed} changed/new + "
+            f"{len(names) - n_changed} sampled of {len(hashes)} total"
+        )
+    spark = get_spark("oracle-check")
     if shard is not None:
         names = shard_names(names, *shard)
         print(f"shard {shard[0]}/{shard[1]}: {len(names)} entries")
@@ -171,6 +269,13 @@ def main() -> int:
         if not ok:
             failed.append(name)
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    if manifest is not None and not failed:
+        manifest["scales"].setdefault(sf_dir, {}).update(
+            {n: hashes[n] for n in names}
+        )
+        manifest["epoch"] += 1
+        save_manifest(manifest_path, manifest)
+        print(f"manifest updated: {manifest_path} (epoch {manifest['epoch']})")
     return 1 if failed else 0
 
 

@@ -2711,6 +2711,101 @@ def es_burn_rate_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "es_multiwindow_burn_fold",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    r1 AS (
+      SELECT user_id, ts, event_id, is_err,
+             ms // 86400000 AS sb, ms // 604800000 AS lb,
+             CAST(row_number() OVER (
+               PARTITION BY user_id, ms // 86400000 ORDER BY ts, event_id
+             ) AS BIGINT) AS rs,
+             CAST(sum(is_err) OVER (
+               PARTITION BY user_id, ms // 86400000 ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS rse,
+             CAST(row_number() OVER (
+               PARTITION BY user_id, ms // 604800000 ORDER BY ts, event_id
+             ) AS BIGINT) AS rl,
+             CAST(sum(is_err) OVER (
+               PARTITION BY user_id, ms // 604800000 ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS rle
+      FROM ev
+    ),
+    r2 AS (
+      SELECT user_id, sb,
+             lag(sb) OVER wk AS p_sb,
+             lag(rs) OVER wk AS p_rs, lag(rse) OVER wk AS p_rse,
+             lag(rl) OVER wk AS p_rl, lag(rle) OVER wk AS p_rle
+      FROM r1 WINDOW wk AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pages AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN p_sb IS NOT NULL AND sb <> p_sb
+                            AND p_rse * 1000000 > 2 * 10000 * p_rs
+                            AND p_rle * 1000000 > 2 * 10000 * p_rl
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pages,
+             CAST(count(*) AS BIGINT) AS n
+      FROM r2 GROUP BY user_id
+    ),
+    fin AS (
+      SELECT user_id, sb, rs, rse, lb, rl, rle,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rr
+      FROM r1
+    )
+    SELECT CAST(f.user_id AS VARCHAR) AS aggregate_id,
+           CAST(f.sb AS BIGINT) AS short_bucket,
+           f.rs AS s_total, f.rse AS s_err,
+           CAST(f.lb AS BIGINT) AS long_bucket,
+           f.rl AS l_total, f.rle AS l_err,
+           p.n_pages, p.n
+    FROM fin f JOIN pages p USING (user_id) WHERE f.rr = 1
+    """,
+)
+def es_multiwindow_burn_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user MULTI-WINDOW burn-rate paging as an ordered event fold —
+    the batch half of cross-mode streaming twin #7 (r14 VERDICT task 6;
+    live half: streaming/metrics.multiwindow_burn_stream, BOTH calling
+    the ONE all-integer multiwindow_burn_step kernel): 1-day short +
+    7-day long bucket counters in one state; a PAGE fires only when a
+    closing short bucket burned > 2× budget AND the long window's open
+    counters at that instant also did (the SRE workbook both-hot AND
+    rule — m_multiwindow_burn_alerts' corpus report run as a live
+    fold). The oracle is DECLARATIVE, not a recursive CTE: bucket
+    values are monotone in the (ts, event_id) order, so the kernel's
+    state after any event is exactly the running per-(user, bucket)
+    counters at that row, and the state the page decision reads is the
+    LAG of those counters — an independent formulation, not a
+    transliteration. All-integer channels; no division anywhere."""
+    e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    e = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    folded = es.fold_events_sorted(
+        e,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        handle_event=es.multiwindow_burn_handle_event,
+        state_schema=es.MW_BURN_STATE_SCHEMA,
+    )
+    return folded.select(
+        "aggregate_id", "short_bucket", "s_total", "s_err",
+        "long_bucket", "l_total", "l_err", "n_pages", "n",
+    )
+
+
+@query(
     "m_mttr_recovery",
     oracle="""
     WITH ordered AS (

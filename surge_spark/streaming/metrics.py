@@ -725,3 +725,117 @@ def page_hinkley_stream(readings: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_MW_BURN_STATE = StructType(
+    [
+        StructField("short_bucket", LongType()),
+        StructField("s_total", LongType()),
+        StructField("s_err", LongType()),
+        StructField("long_bucket", LongType()),
+        StructField("l_total", LongType()),
+        StructField("l_err", LongType()),
+        StructField("n_pages", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+MW_BURN_OUTPUT = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("short_bucket", LongType()),
+        StructField("s_total", LongType()),
+        StructField("s_err", LongType()),
+        StructField("long_bucket", LongType()),
+        StructField("l_total", LongType()),
+        StructField("l_err", LongType()),
+        StructField("n_pages", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def multiwindow_burn_stream(events: DataFrame) -> DataFrame:
+    """Live multi-window multi-burn-rate SLO paging — the SEVENTH
+    cross-mode twin (cusum, token bucket, saga, holt, burn, PH, multi-
+    window burn; r14 VERDICT task 6) and the alert rule SRE teams
+    actually page on: a short (1 d) AND a long (7 d) window must BOTH
+    burn > 2× budget for a page to fire, so blips and long-recovered
+    incidents stay silent. Per-key state is two bucket counter sets +
+    the page count via applyInPandasWithState; BOTH modes call the ONE
+    all-integer multiwindow_burn_step kernel
+    (operators/eventsourcing.py), so cross-mode equality with the
+    es_multiwindow_burn_fold batch entry is EXACT integer equality —
+    pinned in tests/test_streaming.py across a micro-batch boundary
+    that closes a short bucket mid-stream (the page decision itself
+    straddles the split, and its long-counter operand carries state
+    from the earlier batch). Input rows are {user_id, event_type, ms,
+    event_id}; each batch sorts by (ms, event_id), the batch fold's
+    total order; cross-batch
+    in-order arrival is assumed (the cusum_stream caveat class). NULL
+    user_ids are filtered exactly like the batch twin. State is 8
+    longs per key — bounded regardless of volume."""
+    from ..operators.eventsourcing import (
+        multiwindow_burn_init,
+        multiwindow_burn_step,
+    )
+
+    events = events.where(F.col("user_id").isNotNull())
+
+    def step(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            sb, s_total, s_err, lb, l_total, l_err, n_pages, n = state.get
+            fresh = False
+        else:
+            sb = s_total = s_err = lb = l_total = l_err = n_pages = n = 0
+            fresh = True
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ms", "event_id"], kind="mergesort"
+        )
+        for t, et in zip(batch["ms"], batch["event_type"]):
+            is_err = 1 if et == "error" else 0
+            if fresh:
+                # first-event init THROUGH the step kernel (the cusum
+                # kernel-duplication lesson)
+                (sb, s_total, s_err, lb, l_total, l_err, n_pages) = (
+                    multiwindow_burn_init(int(t), is_err)
+                )
+                fresh = False
+            else:
+                (sb, s_total, s_err, lb, l_total, l_err, n_pages) = (
+                    multiwindow_burn_step(
+                        sb, s_total, s_err, lb, l_total, l_err, n_pages,
+                        int(t), is_err,
+                    )
+                )
+            n += 1
+        state.update((sb, s_total, s_err, lb, l_total, l_err, n_pages, n))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": str(key[0]),
+                    "short_bucket": sb,
+                    "s_total": s_total,
+                    "s_err": s_err,
+                    "long_bucket": lb,
+                    "l_total": l_total,
+                    "l_err": l_err,
+                    "n_pages": n_pages,
+                    "n": n,
+                }
+            ]
+        )
+
+    ensure_shipped(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=MW_BURN_OUTPUT,
+        stateStructType=_MW_BURN_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

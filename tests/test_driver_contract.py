@@ -68,3 +68,50 @@ def test_oracle_shard_partition():
         shard_names(names, 0, 2)
     with pytest.raises(ValueError):
         shard_names(names, 3, 2)
+
+
+def test_changed_aware_selection():
+    """--changed selection (VERDICT r14 task 5): changed/new entries are
+    always selected; unchanged entries contribute a deterministic
+    rotating ~10% sample (epoch-seeded — different epochs sample
+    different subsets, so the sample alone re-covers the catalog over
+    time); selection ∪ unchanged-unsampled == the full list (nothing
+    silently dropped)."""
+    from surge_spark.oracle import select_changed
+
+    names = sorted(f"e{i:03d}" for i in range(100))
+    hashes = {n: f"h_{n}" for n in names}
+    # all stored and identical -> only the sample runs
+    stored = dict(hashes)
+    sel = select_changed(names, stored, hashes, epoch=1)
+    assert len(sel) == 10
+    assert sel == select_changed(names, stored, hashes, epoch=1)  # det.
+    sel2 = select_changed(names, stored, hashes, epoch=2)
+    assert sel != sel2  # rotates
+    # over many epochs the sample covers everything
+    covered: set = set()
+    for ep in range(60):
+        covered |= set(select_changed(names, stored, hashes, epoch=ep))
+    assert covered == set(names)
+    # changed + new entries are always in
+    stored2 = dict(stored)
+    stored2["e007"] = "stale"
+    del stored2["e042"]
+    sel3 = select_changed(names, stored2, hashes, epoch=5)
+    assert "e007" in sel3 and "e042" in sel3
+    # selection is a subset of names, and union with the unchanged rest
+    # reconstructs the full list (cover property)
+    assert set(sel3) <= set(names)
+    unchanged = [n for n in names if stored2.get(n) == hashes[n]]
+    assert set(sel3) | set(unchanged) == set(names)
+
+
+def test_entry_hash_stable_and_distinct():
+    """entry_hash is deterministic per entry, differs across entries
+    (builder source differs), and differs when the oracle differs —
+    the change signal --changed keys on."""
+    from surge_spark.oracle import entry_hash
+
+    h1 = entry_hash("s2_point_lookup")
+    assert h1 == entry_hash("s2_point_lookup")
+    assert h1 != entry_hash("s3_key_prefix_range_scan")

@@ -457,3 +457,43 @@ def test_holt_winters_kernel_learns_constant_series():
     assert abs(st["trend"]) < 1e-6
     for k in range(7):
         assert abs(st[f"s{k}"]) < 1e-6
+
+
+def test_multiwindow_burn_kernel_invariants():
+    """The AND rule's three cells on constructed sequences: short hot +
+    long hot pages; short hot + long cool stays silent; all-clean never
+    pages. Also: counters reset on their own rolls, n_pages monotone."""
+    from surge_spark.operators.eventsourcing import (
+        MW_LONG_MS,
+        MW_SHORT_MS,
+        multiwindow_burn_init,
+        multiwindow_burn_step,
+    )
+
+    def run(events):
+        st = multiwindow_burn_init(*events[0])
+        pages = [st[6]]
+        for t, ie in events[1:]:
+            st = multiwindow_burn_step(*st, t, ie)
+            assert st[1] >= 1 and 0 <= st[2] <= st[1]  # short counters sane
+            assert st[4] >= 1 and 0 <= st[5] <= st[4]  # long counters sane
+            assert st[4] >= st[1]  # long window contains the short one
+            pages.append(st[6])
+        assert pages == sorted(pages)  # monotone
+        return st
+
+    # all-clean: never pages
+    st = run([(i * 1000, 0) for i in range(50)]
+             + [(MW_SHORT_MS + 5, 0), (MW_LONG_MS + 5, 0)])
+    assert st[6] == 0
+    # short hot AND long hot: day 0 is 100% errors, closes -> page
+    st = run([(0, 1), (1000, 1), (MW_SHORT_MS + 5, 0)])
+    assert st[6] == 1
+    # short hot but long COOL: 3 clean days dilute the long window below
+    # 2x budget before a 1-error day closes -> silent (the AND rule)
+    clean = [(d * MW_SHORT_MS + k, 0) for d in range(3) for k in range(40)]
+    hot_day = [(3 * MW_SHORT_MS + 1, 1)]
+    closer = [(4 * MW_SHORT_MS + 1, 0)]
+    st = run(clean + hot_day + closer)
+    # long at close: 121 events, 1 error -> 1/121 < 2% -> no page
+    assert st[6] == 0

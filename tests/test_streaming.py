@@ -2553,3 +2553,80 @@ def test_token_bucket_stream_idle_expiry_fires(spark, tmp_path):
         assert r.tokens == 1
     finally:
         q.stop()
+
+
+def test_multiwindow_burn_stream_matches_batch_fold(spark, tmp_path):
+    """Cross-mode multi-window burn pin (the SEVENTH twin, r15): the
+    streaming dual-window pager over TWO micro-batches equals the batch
+    fold handler over the same (ms, event_id)-ordered events EXACTLY —
+    both modes call the one all-integer multiwindow_burn_step kernel.
+    The sequence makes the PAGE DECISION straddle the boundary: batch 1
+    fills day 0 hot (2/3 errors — short AND long counters both >2×
+    budget, but the bucket stays OPEN so its emitted row pins
+    n_pages == 0); batch 2's first event lands in day 1, closing day 0
+    → the page fires using the short AND long counters carried across
+    the split. Day 1 then closes clean inside the same long window
+    (long still hot, short cool → NO page: the AND rule's silent side
+    is exercised too), and a week-8 event rolls the long bucket."""
+    from surge_spark.operators.eventsourcing import (
+        multiwindow_burn_handle_event,
+    )
+    from surge_spark.streaming import metrics as sm
+
+    day = 86_400_000
+    seq = [
+        (0, "error"),
+        (1_000, "view"),
+        (2_000, "error"),
+        (day + 100, "view"),   # closes day 0: short hot + long hot -> PAGE
+        (day + 200, "view"),
+        (2 * day + 50, "error"),  # closes day 1: short cool -> no page
+        (8 * 7 * day, "view"),  # rolls BOTH windows (closing short is 1/1
+        # error = hot, long 6/6... day-2 bucket: 1 event 1 error -> short
+        # hot; long counters at that point: 6 events 3 errors -> hot -> PAGE
+    ]
+    schema = "user_id string, event_type string, ms long, event_id long"
+    src = str(tmp_path / "mw_events")
+    half = 3
+    spark.createDataFrame(
+        [("u1", et, t, i) for i, (t, et) in enumerate(seq[:half])], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [("u1", et, t, half + i) for i, (t, et) in enumerate(seq[half:])],
+        schema,
+    ).coalesce(1).write.parquet(src + "/f2")
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        sm.multiwindow_burn_stream(events)
+        .writeStream.format("memory")
+        .queryName("mw_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_mw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from mw_out order by n").collect()
+    # the split premise: two micro-batch outputs, and batch 1's row shows
+    # day 0 still OPEN (no page before the split)
+    assert len(rows) == 2
+    assert rows[0].n == half and rows[0].n_pages == 0
+    got = rows[-1]
+    st = None
+    for t, et in seq:
+        st = multiwindow_burn_handle_event(
+            st, {"user_id": "u1", "ms": t, "event_type": et}
+        )
+    for f in (
+        "short_bucket", "s_total", "s_err",
+        "long_bucket", "l_total", "l_err", "n_pages", "n",
+    ):
+        assert getattr(got, f) == st[f], (f, getattr(got, f), st[f])
+    # non-vacuous: the cross-boundary page fired, the AND rule also
+    # stayed silent once (day-1 close: long hot, short cool)
+    assert st["n_pages"] == 2
+    assert st["n"] == len(seq)
