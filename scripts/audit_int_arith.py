@@ -281,6 +281,148 @@ INT_ARITH = {
 NARROW = {"IntegerType", "ShortType", "ByteType"}
 
 
+# --- BIGINT product audit: the wide_int() decision surface ------------------
+# (r14 VERDICT task 8.) A BIGINT multiply of two DATA-SCALED operands is
+# the n²/n³ overflow class that int32 auditing cannot see: Σrank², n·s2,
+# Σcents² all fit int64 only up to a data-cardinality bound, and the
+# escape is the DECIMAL(38)/HUGEINT wide_int() channel (a_spearman_rho
+# _decimal etc.). This audit walks every Multiply[LongType] node whose
+# operands are BOTH non-literal; auto-classifies the shapes bounded by
+# construction; and requires every remaining (data×data) product's ENTRY
+# to carry an explicit verdict in BIGINT_PRODUCT_BOUNDS — either the
+# documented cardinality bound at which int64 saturates (+ the wide_int
+# escape pointer) or the fact the entry already IS the wide-int twin.
+# tests/test_properties.py pins the coverage: a new entry multiplying two
+# data-scaled bigints fails the suite until its bound is written down.
+
+BIGINT_AUTO_CLASSES: list[tuple[str, "re.Pattern[str]"]] = [
+    # 0/1 indicator products (bigint-cast window/membership bits)
+    (
+        "indicator-product",
+        re.compile(
+            r"^Multiply\[\w+\] \((_h[ab]|in_[a-z_]+|is_[a-z_]+)#\d*L?"
+            r" \* (_h[ab]|in_[a-z_]+|is_[a-z_]+)#\d*L?\)$"
+        ),
+    ),
+    # a 0/1 CASE indicator as one factor: the product is bounded by the
+    # OTHER operand's own value, which is audited where it is produced
+    (
+        "case-indicator-factor",
+        re.compile(
+            r"^Multiply\[\w+\] \(CASE WHEN .* THEN 1 ELSE 0 END \* [^(].*\)$"
+            r"|^Multiply\[\w+\] \([^(].* \* CASE WHEN [^()]*(\([^()]*\))?"
+            r"[^()]* THEN 1 ELSE 0 END\)$",
+            re.S,
+        ),
+    ),
+    # same-column adjacent counts x*(x±1): n² of a per-group cardinality
+    # — int64-safe to ~3e9 rows PER GROUP (documented once here; the
+    # whole corpus would have to land in one group to saturate). The
+    # analyzed plan renders the literal as `cast(1 as bigint)`.
+    (
+        "pair-count",
+        re.compile(
+            r"^Multiply\[\w+\] \((\w+)#(\d+)L? \* \(\1#\2L?"
+            r" (-|\+) (1|cast\(1 as bigint\))\)\)$"
+        ),
+    ),
+]
+
+# entry name -> the reviewed int64 bound (and, where one exists, the
+# wide_int escape twin). An entry listed here states its bound in its
+# docstring; a NEW entry whose data×data bigint product fits no
+# auto-class and is not listed fails the pytest gate until its bound is
+# written down or it switches to the wide_int() DECIMAL(38) channel.
+BIGINT_PRODUCT_BOUNDS: dict[str, str] = {
+    # --- n^3 channels WITH shipped DECIMAL(38)/HUGEINT twins (r13 t4) ---
+    "a_spearman_rho": "n*s2 - s1^2 ~ n^3: int64 to ~2M users; escape = "
+    "a_spearman_rho_decimal (wide_int)",
+    "a_mann_whitney_u": "tie-corrected z channel ~ n^3: int64 to ~2e9 "
+    "doubled-rank units; escape = a_mann_whitney_u_decimal",
+    "a_gini_by_group": "rank*cents prefix products: int64 to ~9e18/"
+    "max_cents rows per nation; escape = a_gini_by_group_decimal",
+    # --- n^2-of-count channels, bound stated in the entry docstring ---
+    "a_basket_lift": "support*confidence ppm channel ~ n_users^2: int64 "
+    "to ~3e6 users; escape = a_basket_lift_decimal",
+    "a_capture_recapture": "(n1+1)(n2+1) <= (n+1)^2: int64 to ~3e9 "
+    "observed users",
+    "a_chi_square_independence": "row*col totals <= n^2: ~3e9 events",
+    "a_cohens_kappa": "n^2 and rn*cn marginal products: ~3e9 docs",
+    "a_cramers_v": "n*(min(r,c)-1) and r*c cell-total products: ~3e9",
+    "a_ks_test": "cum*n ECDF cross-products <= n_a*n_b: ~3e9 per arm",
+    "a_welch_t_test": "cnt*cents^2 moment channel: cents bounded by the "
+    "price domain (<=1e7), int64 to ~1e5 rows*1e14 — stated at the site",
+    "d_dup_cluster_size_histogram": "sz*n_clusters <= n_docs^2: ~3e9",
+    "g_degree_centralization": "(n-1)(n-2) and max_k*n: ~3e9 nodes",
+    "g_degree_gini": "(n+1)*total_degree and rank*k prefix channel: "
+    "int64 to ~9e18/max_degree nodes (the m_gini class)",
+    "m_gini_coefficient": "(n+1)*total and rank*count: same bound class",
+    "m_bollinger_bands": "cnt^2 inside a 7-row window frame: cnt <= 7",
+    "m_dow_seasonality_strength": "cnt^2 per dow cell: ~3e9 events/cell",
+    "m_interarrival_exponential_ks": "cnt*gap_ms: gaps bounded by the "
+    "observation span in ms (~1e10), int64 to ~1e9 events",
+    "m_rfm_segmentation": "(n%4)*(n div 4 + 1) ~ n^2/4: ~6e9 users",
+    "w_rolling_correlation": "frame moment products n*sxx, sx^2: the "
+    "single-series frame is calendar-bounded (row count = day count)",
+}
+
+
+def classify_bigint_flag(expr: str) -> str | None:
+    for name, pat in BIGINT_AUTO_CLASSES:
+        if pat.search(expr):
+            return name
+    return None
+
+
+def _is_literalish(e) -> bool:
+    """Literal, or a Cast/UnaryMinus chain ending in a Literal."""
+    name = e.getClass().getSimpleName()
+    if name == "Literal":
+        return True
+    if name in ("Cast", "UnaryMinus", "PromotePrecision"):
+        ch = e.children()
+        return ch.size() == 1 and _is_literalish(ch.apply(0))
+    return False
+
+
+def flag_bigint_products(plan) -> list[str]:
+    """Walk a logical plan and return Multiply[LongType] nodes where
+    BOTH operands are non-literal (the data×data wide-int surface)."""
+    out: list[str] = []
+    seen = set()
+
+    def walk_expr(e):
+        name = e.getClass().getSimpleName()
+        if name == "Multiply":
+            try:
+                dt = e.dataType().getClass().getSimpleName().replace("$", "")
+            except Exception:  # noqa: BLE001 — unresolved exprs
+                dt = "?"
+            if dt == "LongType":
+                ch = e.children()
+                kids = [ch.apply(i) for i in range(ch.size())]
+                if len(kids) == 2 and not any(_is_literalish(k) for k in kids):
+                    key = e.toString()
+                    if key not in seen:
+                        seen.add(key)
+                        out.append(f"Multiply[LongType] ({key[1:-1]})"
+                                   if key.startswith("(") else
+                                   f"Multiply[LongType] {key}")
+        for c in _iter_seq(e.children()):
+            walk_expr(c)
+
+    def walk_plan(p):
+        for e in _iter_seq(p.expressions()):
+            walk_expr(e)
+        for c in _iter_seq(p.children()):
+            walk_plan(c)
+        for c in _iter_seq(p.innerChildren()):
+            walk_plan(c)
+
+    walk_plan(plan)
+    return out
+
+
 def _iter_seq(seq):
     for i in range(seq.size()):
         yield seq.apply(i)
@@ -328,8 +470,12 @@ def main() -> int:
     from surge_spark.queries import all_queries
     from surge_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = sys.argv[2:] or None
+    args = sys.argv[1:]
+    bigint_mode = "--bigint" in args
+    if bigint_mode:
+        args.remove("--bigint")
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = args[1:] or None
     spark = get_spark("int-arith-audit")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -341,20 +487,34 @@ def main() -> int:
         try:
             df = queries[name](spark, sf_dir)
             plan = df._jdf.queryExecution().analyzed()
-            flags = flag_expressions(plan)
+            flags = (
+                flag_bigint_products(plan)
+                if bigint_mode
+                else flag_expressions(plan)
+            )
         except Exception as e:  # noqa: BLE001
             errs.append((name, f"{type(e).__name__}: {e}"))
             continue
         for f in flags:
-            cls = classify_flag(f) or "UNCLASSIFIED"
+            if bigint_mode:
+                cls = classify_bigint_flag(f)
+                if cls is None:
+                    cls = (
+                        "DOCUMENTED"
+                        if name in BIGINT_PRODUCT_BOUNDS
+                        else "UNREVIEWED"
+                    )
+            else:
+                cls = classify_flag(f) or "UNCLASSIFIED"
             print(f"FLAG {name} [{cls}]: {f}")
             n_flagged += 1
-            if cls == "UNCLASSIFIED":
+            if cls in ("UNCLASSIFIED", "UNREVIEWED"):
                 n_unclassified += 1
     for name, e in errs:
         print(f"ERROR {name}: {e[:200]}")
-    print(f"\n{len(names)} entries scanned, {n_flagged} integer-arith flags "
-          f"({n_unclassified} UNCLASSIFIED), {len(errs)} errors")
+    kind = "bigint-product" if bigint_mode else "integer-arith"
+    print(f"\n{len(names)} entries scanned, {n_flagged} {kind} flags "
+          f"({n_unclassified} UNCLASSIFIED/UNREVIEWED), {len(errs)} errors")
     # an entry that ERRORS at plan analysis was never walked — that is
     # an audit failure too, not a clean exit (review finding)
     return 1 if (n_unclassified or errs) else 0

@@ -359,11 +359,23 @@ _PHASH_TRIP_SQL = "concat(" + ", ".join(
                   ELSE (fp_hi >> (16 * (j.j - 2))) & 65535 END AS band_val
       FROM fp, LATERAL (SELECT unnest(range(0, 4)) AS j) j
     ),
+    sized AS (
+      SELECT doc_id, band_idx, band_val,
+             CAST(count(*) OVER (PARTITION BY band_idx, band_val)
+                  AS BIGINT) AS c
+      FROM bands
+    ),
+    slotted AS (
+      SELECT doc_id, band_idx, band_val,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % ((c + 255) // 256) AS slot
+      FROM sized
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
+      FROM slotted a JOIN slotted b
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-       AND a.doc_id < b.doc_id
+       AND a.slot = b.slot AND a.doc_id < b.doc_id
     )
     SELECT c.id_a, c.id_b,
            CAST(bit_count(xor(fa.fp_hi, fb.fp_hi))
@@ -390,14 +402,25 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottom-up row order = the bit-index flip mirrored in the oracle.
     Banding: 4 bands × 16 bits — pigeonhole-complete for the Hamming≤3
     output threshold (a pair differing in ≤3 bits leaves ≥1 band
-    untouched), so the banded output EQUALS the all-pairs answer with
-    zero recall loss; 16-bit bands measured 5.5k candidates / max
-    bucket 39 at sf0.01 vs 61k / 143 for 8-bit bands on this corpus
-    (text-derived brightness skews narrow bands). The fingerprint frame
-    is localCheckpointed (band explode ×2 sides + 2 verify sides); both
-    band sides are the identical subtree renamed after the join →
-    ReusedExchange. At scale: band join is the only shuffle, bucket
-    skew bounded by the 16-bit band space; the verify join is
+    untouched); 16-bit bands measured 5.5k candidates / max bucket 39
+    at sf0.01 vs 61k / 143 for 8-bit bands on this corpus
+    (text-derived brightness skews narrow bands). OVERSIZED band
+    buckets are sub-blocked at max 256 docs via an md5 slot (the
+    max_block rule, mirrored EXACTLY in the oracle through the md5
+    channel — n_sub = ceil(c/256), slot = md5(doc_id)[:8] % n_sub):
+    non-binding at the oracle scales (max bucket 39 < 256 ⇒ n_sub = 1,
+    output identical to uncapped) but essential on low-entropy corpora
+    — the r15 stress slice (31-word vocab) concentrated fingerprints
+    into 2.5k-doc buckets, 19.1M candidate pairs at sf0.5 and a 1.58
+    exponent uncapped; capped re-measured 0.87 (15.0 → 6.3 s — in-
+    bucket growth now linear in n_sub, the d_idf_weighted band). The
+    completeness claim weakens only inside split buckets: a ≤3-bit
+    pair whose every untouched band lands in a split bucket can miss
+    (the sim_blocked_pairs_recall_audit class). The fingerprint frame
+    is localCheckpointed (band explode ×2 sides + 2 verify sides);
+    both slotted sides are the identical subtree renamed after the
+    join → ReusedExchange. At scale: band join is the only shuffle,
+    in-bucket pair growth capped at 256²; the verify join is
     O(candidates)."""
     docs = (
         _docs(spark, sf_dir)
@@ -423,12 +446,24 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band_val"),
     )
-    ba, bb = bands.alias("ba"), bands.alias("bb")
+    slotted = bands.select(
+        "doc_id",
+        "band_idx",
+        "band_val",
+        F.expr(
+            "pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT),"
+            " (CAST(count(1) OVER (PARTITION BY band_idx, band_val)"
+            " AS BIGINT) + 255) div 256)"
+        ).alias("slot"),
+    )
+    ba, bb = slotted.alias("ba"), slotted.alias("bb")
     cand = (
         ba.join(
             bb,
             (F.col("ba.band_idx") == F.col("bb.band_idx"))
             & (F.col("ba.band_val") == F.col("bb.band_val"))
+            & (F.col("ba.slot") == F.col("bb.slot"))
             & (F.col("ba.doc_id") < F.col("bb.doc_id")),
         )
         .select(

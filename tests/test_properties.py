@@ -279,13 +279,21 @@ def test_int_arith_flags_all_in_bounded_classes(spark, sf_dir):
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
-    from audit_int_arith import classify_flag, flag_expressions
+    from audit_int_arith import (
+        BIGINT_PRODUCT_BOUNDS,
+        classify_bigint_flag,
+        classify_flag,
+        flag_bigint_products,
+        flag_expressions,
+    )
 
     from surge_spark.queries import all_queries
 
     queries = all_queries()
     unclassified: list[tuple[str, str]] = []
+    unreviewed_bigint: list[tuple[str, str]] = []
     n_flags = 0
+    n_big = 0
     for name in sorted(queries):
         df = queries[name](spark, sf_dir)
         plan = df._jdf.queryExecution().analyzed()
@@ -293,15 +301,32 @@ def test_int_arith_flags_all_in_bounded_classes(spark, sf_dir):
             n_flags += 1
             if classify_flag(f) is None:
                 unclassified.append((name, f[:300]))
+        # the wide_int() decision surface (r14 VERDICT task 8): every
+        # data×data BIGINT multiply must be auto-classified bounded OR
+        # its entry must carry a reviewed bound in BIGINT_PRODUCT_BOUNDS
+        for f in flag_bigint_products(plan):
+            n_big += 1
+            if (
+                classify_bigint_flag(f) is None
+                and name not in BIGINT_PRODUCT_BOUNDS
+            ):
+                unreviewed_bigint.append((name, f[:300]))
     assert not unclassified, (
         "NEW unreviewed integer-arithmetic channel(s) — give each an "
         "explicit bounded-class verdict (or a bigint/wide_int cast) and, "
         "if genuinely bounded, extend BOUNDED_CLASSES: "
         + "; ".join(f"{n}: {e}" for n, e in unclassified[:10])
     )
+    assert not unreviewed_bigint, (
+        "NEW data×data BIGINT product(s) — document the int64 saturation "
+        "bound in the entry docstring + BIGINT_PRODUCT_BOUNDS, or switch "
+        "the channel to wide_int() DECIMAL(38): "
+        + "; ".join(f"{n}: {e}" for n, e in unreviewed_bigint[:10])
+    )
     # the walker must actually see the known channels — a silently broken
     # plan walk would vacuously pass the allowlist
     assert n_flags > 500, n_flags
+    assert n_big > 20, n_big
 
 
 def test_int_arith_classifier_rejects_unbounded_shapes():
@@ -497,3 +522,37 @@ def test_multiwindow_burn_kernel_invariants():
     st = run(clean + hot_day + closer)
     # long at close: 121 events, 1 error -> 1/121 < 2% -> no page
     assert st[6] == 0
+
+
+def test_bigint_product_classifier_pins():
+    """The bigint auto-classes admit exactly their named shapes: x*(x±1)
+    same-column pair counts (both literal renderings), 0/1 indicator
+    factors — and REJECT arbitrary data×data products (those need a
+    reviewed BIGINT_PRODUCT_BOUNDS entry or a wide_int channel)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from audit_int_arith import classify_bigint_flag
+
+    bounded = [
+        ("Multiply[LongType] (k#1L * (k#1L - 1))", "pair-count"),
+        ("Multiply[LongType] (k#1L * (k#1L - cast(1 as bigint)))",
+         "pair-count"),
+        ("Multiply[LongType] (n_a#2L * (n_a#2L + cast(1 as bigint)))",
+         "pair-count"),
+        ("Multiply[LongType] (in_short#3L * is_err#4L)",
+         "indicator-product"),
+    ]
+    for e, want in bounded:
+        assert classify_bigint_flag(e) == want, (e, classify_bigint_flag(e))
+    unreviewed = [
+        # two DIFFERENT data-scaled columns — the Spearman n^3 class
+        "Multiply[LongType] (r2x#1L * r2y#2L)",
+        # same column squared but not the ±1 adjacent form
+        "Multiply[LongType] (cnt#1L * cnt#1L)",
+        # x*(y-1) — different columns
+        "Multiply[LongType] (a#1L * (b#2L - cast(1 as bigint)))",
+    ]
+    for e in unreviewed:
+        assert classify_bigint_flag(e) is None, e
