@@ -3871,3 +3871,241 @@ def m_hourly_profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hourly_entropy"),
         )
     )
+
+
+@query(
+    "m_seasonal_decompose_dow",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT d, x,
+             CAST(sum(x) OVER w AS BIGINT) AS trend7,
+             CAST(count(*) OVER w AS BIGINT) AS frame_n
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT d % 7 AS dow, 7 * x - trend7 AS det_x7
+      FROM tr WHERE frame_n = 7
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(det_x7) AS BIGINT) AS detrended_x7_sum,
+           CAST(round(CAST(sum(det_x7) AS DOUBLE) / (7 * count(*)), 4)
+                AS DOUBLE) AS seasonal
+    FROM det GROUP BY 1
+    """,
+)
+def m_seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (STL-lite) of the daily event
+    series: trend via the CENTERED 7-day moving sum, seasonal = the
+    per-day-of-week mean of the detrended series — the classic
+    trend/seasonal split m_dow_seasonality_strength's eta² summarizes
+    but never exhibits. Integer-exact channels: detrended×7 =
+    7·x_d − Σ_{d−3..d+3} x (no division until the final mirrored
+    round-4 mean); only FULL 7-row frames enter (frame_n = 7 — edge
+    days have no centered trend, both engines drop them identically);
+    dow is the pure-integer epoch-day mod 7 (never engine dow labels —
+    the documented divergence channel). The centered window runs over
+    the CALENDAR-BOUNDED daily frame (the m_autocorr_daily class:
+    row count = day count, cannot grow with volume); the corpus-scale
+    work is one daily count aggregate. 7-row output at any scale."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("unix_millis(ts) div 86400000").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = W.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "x",
+        F.sum("x").over(w).alias("trend7"),
+        F.count(F.lit(1)).over(w).alias("frame_n"),
+    )
+    det = tr.where(F.col("frame_n") == 7).select(
+        F.expr("d % 7").alias("dow"),
+        F.expr("7 * x - trend7").alias("det_x7"),
+    )
+    return det.groupBy(F.col("dow").cast("bigint").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("det_x7").alias("detrended_x7_sum"),
+        F.expr(
+            "CAST(round(CAST(sum(det_x7) AS DOUBLE) / (7 * count(1)), 4)"
+            " AS DOUBLE)"
+        ).alias("seasonal"),
+    )
+
+
+@query(
+    "a_logrank_test",
+    oracle="""
+    WITH days AS (
+      SELECT user_id, epoch_ms(ts) // 86400000 AS d FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    pu AS (
+      SELECT user_id, user_id % 2 AS arm, min(d) AS f, max(d) AS l
+      FROM days GROUP BY 1, 2
+    ),
+    t AS (SELECT max(d) AS tmax FROM days),
+    dur AS (
+      SELECT arm, l - f + 1 AS duration,
+             CASE WHEN l = tmax THEN 0 ELSE 1 END AS died
+      FROM pu, t
+    ),
+    byd AS (
+      SELECT duration,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+             CAST(sum(CASE WHEN arm = 0 THEN died ELSE 0 END) AS BIGINT)
+               AS d_a,
+             CAST(sum(CASE WHEN arm = 1 THEN died ELSE 0 END) AS BIGINT)
+               AS d_b
+      FROM dur GROUP BY 1
+    ),
+    nu AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM dur
+    ),
+    r AS (
+      SELECT duration, d_a, d_b,
+             na - coalesce(sum(t_a) OVER (ORDER BY duration
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS r_a,
+             nb - coalesce(sum(t_b) OVER (ORDER BY duration
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS r_b
+      FROM byd, nu
+    ),
+    terms AS (
+      SELECT duration, d_a,
+             CASE WHEN d_a + d_b > 0
+                  THEN CAST(d_a + d_b AS DOUBLE) * r_a / (r_a + r_b)
+                  ELSE 0.0 END AS e_a_t,
+             CASE WHEN d_a + d_b > 0 AND r_a + r_b > 1
+                  THEN (CAST(d_a + d_b AS DOUBLE) * r_a / (r_a + r_b))
+                       * (CAST(r_b AS DOUBLE) / (r_a + r_b))
+                       * (r_a + r_b - (d_a + d_b))
+                       / (r_a + r_b - 1)
+                  ELSE 0.0 END AS v_t
+      FROM r
+    ),
+    acc AS (
+      SELECT duration,
+             CAST(sum(d_a) OVER win AS BIGINT) AS o_a,
+             sum(e_a_t) OVER win AS e_a,
+             sum(v_t) OVER win AS v,
+             row_number() OVER (ORDER BY duration DESC) AS rr
+      FROM terms
+      WINDOW win AS (ORDER BY duration
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT nu.na AS n_arm_a, nu.nb AS n_arm_b, acc.o_a,
+           CAST(round(acc.e_a, 6) AS DOUBLE) AS e_a,
+           CAST(round(acc.v, 6) AS DOUBLE) AS v,
+           CAST(CASE WHEN acc.v <= 0 THEN NULL
+                ELSE round((acc.o_a - acc.e_a) / sqrt(acc.v), 6)
+                END AS DOUBLE) AS z
+    FROM acc, nu WHERE acc.rr = 1
+    """,
+)
+def a_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test between two survival curves — the
+    hypothesis-test companion m_kaplan_meier's estimator lacks (the
+    standard pair: KM draws the curves, log-rank decides whether they
+    differ). Same duration/censoring construction as the KM entry
+    (duration = active span in days; users active on the corpus' last
+    day are censored), arms split by user parity (the
+    a_two_proportion_ztest channel). Per death time t: E_a(t) =
+    d_t·r_a/N_t and the hypergeometric variance — both RATIONAL, so
+    the float sums ride ORDER-DETERMINISTIC cumulative windows over
+    the sorted duration axis (the KM sum-of-ln trick: both engines
+    accumulate ascending, no group-aggregate float-order channel),
+    with each per-duration term computed in DOUBLE from exact integer
+    at-risk/death counts via one mirrored formula — no data-scaled
+    integer product ever forms (the wide-int audit class avoided by
+    construction). z = (O_a − E_a)/√V round-6; V = 0 → NULL both
+    sides. At-risk counts come from prefix sums over the
+    duration-bounded frame (row count ≤ observation span in days)."""
+    e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    days = e.select(
+        "user_id", F.expr("unix_millis(ts) div 86400000").alias("d")
+    )
+    pu = days.groupBy(
+        "user_id", F.expr("user_id % 2").alias("arm")
+    ).agg(F.min("d").alias("f"), F.max("d").alias("l"))
+    t = days.groupBy().agg(F.max("d").alias("tmax"))
+    dur = pu.crossJoin(F.broadcast(t)).select(
+        "arm",
+        F.expr("l - f + 1").alias("duration"),
+        F.expr("CASE WHEN l = tmax THEN 0 ELSE 1 END").alias("died"),
+    )
+    byd = dur.groupBy("duration").agg(
+        F.expr("CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)")
+        .alias("t_a"),
+        F.expr("CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)")
+        .alias("t_b"),
+        F.expr("CAST(sum(CASE WHEN arm = 0 THEN died ELSE 0 END) AS BIGINT)")
+        .alias("d_a"),
+        F.expr("CAST(sum(CASE WHEN arm = 1 THEN died ELSE 0 END) AS BIGINT)")
+        .alias("d_b"),
+    )
+    nu = dur.groupBy().agg(
+        F.expr("CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)")
+        .alias("na"),
+        F.expr("CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)")
+        .alias("nb"),
+    )
+    wprev = W.orderBy("duration").rowsBetween(W.unboundedPreceding, -1)
+    r = byd.crossJoin(F.broadcast(nu)).select(
+        "duration",
+        "d_a",
+        "d_b",
+        (F.col("na") - F.coalesce(F.sum("t_a").over(wprev), F.lit(0))).alias(
+            "r_a"
+        ),
+        (F.col("nb") - F.coalesce(F.sum("t_b").over(wprev), F.lit(0))).alias(
+            "r_b"
+        ),
+    )
+    terms = r.select(
+        "duration",
+        "d_a",
+        F.expr(
+            "CASE WHEN d_a + d_b > 0"
+            " THEN CAST(d_a + d_b AS DOUBLE) * r_a / (r_a + r_b)"
+            " ELSE 0.0D END"
+        ).alias("e_a_t"),
+        F.expr(
+            "CASE WHEN d_a + d_b > 0 AND r_a + r_b > 1"
+            " THEN (CAST(d_a + d_b AS DOUBLE) * r_a / (r_a + r_b))"
+            " * (CAST(r_b AS DOUBLE) / (r_a + r_b))"
+            " * (r_a + r_b - (d_a + d_b))"
+            " / (r_a + r_b - 1)"
+            " ELSE 0.0D END"
+        ).alias("v_t"),
+    )
+    wcum = W.orderBy("duration").rowsBetween(W.unboundedPreceding, 0)
+    acc = terms.select(
+        F.sum("d_a").over(wcum).alias("o_a"),
+        F.sum("e_a_t").over(wcum).alias("e_a"),
+        F.sum("v_t").over(wcum).alias("v"),
+        F.row_number()
+        .over(W.orderBy(F.desc("duration")))
+        .alias("rr"),
+    ).where(F.col("rr") == 1)
+    return acc.crossJoin(F.broadcast(nu)).select(
+        F.col("na").alias("n_arm_a"),
+        F.col("nb").alias("n_arm_b"),
+        "o_a",
+        F.expr("CAST(round(e_a, 6) AS DOUBLE)").alias("e_a"),
+        F.expr("CAST(round(v, 6) AS DOUBLE)").alias("v"),
+        F.expr(
+            "CAST(CASE WHEN v <= 0 THEN NULL"
+            " ELSE round((o_a - e_a) / sqrt(v), 6) END AS DOUBLE)"
+        ).alias("z"),
+    )

@@ -8777,3 +8777,104 @@ def w_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS DOUBLE)"
         ).alias("rolling_corr"),
     )
+
+
+@query(
+    "a_kendall_tau_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS d,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) > 0
+                  THEN 1 ELSE 0 END AS conc,
+             CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) < 0
+                  THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(conc) AS BIGINT) AS concordant,
+             CAST(sum(disc) AS BIGINT) AS discordant,
+             CAST(sum(tx) AS BIGINT) AS ties_x,
+             CAST(sum(ty) AS BIGINT) AS ties_y
+      FROM pairs
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+    SELECT n_days, n0, concordant, discordant, ties_x, ties_y,
+           CAST(CASE WHEN (n0 - ties_x) = 0 OR (n0 - ties_y) = 0 THEN NULL
+                ELSE round((CAST(concordant AS DOUBLE) - discordant)
+                     / sqrt(CAST(n0 - ties_x AS DOUBLE)
+                            * CAST(n0 - ties_y AS DOUBLE)), 6)
+                END AS DOUBLE) AS tau_b
+    FROM agg, nd
+    """,
+)
+def a_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between the daily view and purchase series — the
+    RANK-correlation companion to w_rolling_correlation's Pearson (tau
+    is what a monitoring pipeline wants when the co-movement is
+    monotone but not linear, and it is exact on ties): every pair of
+    days is classified concordant / discordant / tied via
+    sign(Δx)·sign(Δy) — signs are −1/0/1, so NO data-scaled product
+    ever forms (the wide-int audit class is avoided by construction,
+    not by a documented bound) — and tau_b =
+    (C−D)/√((n0−tx)(n0−ty)) is one mirrored float formula over exact
+    integers (round-6; all-tied axes → NULL both sides). The pair
+    theta-join is over the CALENDAR-BOUNDED daily frame (n0 = C(days,2)
+    — row count cannot grow with data volume, the m_autocorr_daily
+    class), so the quadratic stays bounded by the calendar; the
+    corpus-scale work is one conditional daily aggregate."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr("unix_millis(ts) div 86400000").alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "x"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.expr(
+            "CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) > 0"
+            " THEN 1 ELSE 0 END"
+        ).alias("conc"),
+        F.expr(
+            "CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) < 0"
+            " THEN 1 ELSE 0 END"
+        ).alias("disc"),
+        F.expr("CASE WHEN a.x = b.x THEN 1 ELSE 0 END").alias("tx"),
+        F.expr("CASE WHEN a.y = b.y THEN 1 ELSE 0 END").alias("ty"),
+    )
+    agg = pairs.groupBy().agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("conc").alias("concordant"),
+        F.sum("disc").alias("discordant"),
+        F.sum("tx").alias("ties_x"),
+        F.sum("ty").alias("ties_y"),
+    )
+    nd = daily.groupBy().agg(F.count(F.lit(1)).alias("n_days"))
+    return agg.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        "n0",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        F.expr(
+            "CAST(CASE WHEN (n0 - ties_x) = 0 OR (n0 - ties_y) = 0 THEN NULL"
+            " ELSE round((CAST(concordant AS DOUBLE) - discordant)"
+            " / sqrt(CAST(n0 - ties_x AS DOUBLE)"
+            " * CAST(n0 - ties_y AS DOUBLE)), 6) END AS DOUBLE)"
+        ).alias("tau_b"),
+    )

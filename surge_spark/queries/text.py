@@ -495,6 +495,83 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed 9x8 24-bit BMP header (the dHash canvas: 9 columns so the 8
+# horizontal gradients per row are all real): rows are 27 bytes + 1 pad
+# byte; file size 54 + 8*28 = 278
+_BMP_9X8_HEADER = (
+    b"BM"
+    + _struct.pack("<IHHI", 278, 0, 0, 54)
+    + _struct.pack("<IiiHHIIiiII", 40, 9, 8, 1, 24, 0, 224, 0, 0, 0, 0)
+)
+
+# one 27-char string per BMP storage row r_s: chars r_s*9+1 .. r_s*9+9
+# tripled into BGR (one parsed expr per row, the plan-build rule)
+_DHASH_ROW_SQL = [
+    "concat(" + ", ".join(
+        f"repeat(substring(s, {r * 9 + k}, 1), 3)" for k in range(1, 10)
+    ) + ")"
+    for r in range(8)
+]
+
+
+@query(
+    "mm_dhash_fingerprints",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, substring(text, 1, 72) AS s
+      FROM documents WHERE regexp_matches(text, '^[ -~]{72}')
+    ),
+    bits AS (
+      SELECT doc_id, r.r * 8 + c.c AS bit,
+             CASE WHEN ascii(substring(s,
+                      CAST((7 - r.r) * 9 + c.c + 2 AS INT), 1))
+                    > ascii(substring(s,
+                      CAST((7 - r.r) * 9 + c.c + 1 AS INT), 1))
+                  THEN 1 ELSE 0 END AS b
+      FROM base,
+           LATERAL (SELECT unnest(range(0, 8)) AS r) r,
+           LATERAL (SELECT unnest(range(0, 8)) AS c) c
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN bit >= 32 AND b = 1
+                THEN (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END)
+                AS BIGINT) AS fp_hi,
+           CAST(sum(CASE WHEN bit < 32 AND b = 1
+                THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                AS BIGINT) AS fp_lo
+    FROM bits GROUP BY doc_id
+    """,
+)
+def mm_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit difference-hash (dHash) fingerprints over the REAL decode
+    path — the gradient twin of mm_phash_neardup's aHash (dHash is the
+    standard sharper member: bit r*8+c = grey[r][c+1] > grey[r][c] on a
+    9×8 resample, robust to uniform brightness shifts that move every
+    aHash bit at once). Full oracle via constructed 9×8 24-bit BMPs
+    (72 printable-ASCII chars as tripled BGR grey levels; 27-byte rows
+    + 1 pad byte each; the 9-wide canvas makes the 9×8 resample the
+    identity), so the mapInPandas dhash64 kernel's strict integer
+    gradient comparisons are recomputed exactly by DuckDB from the
+    ascii codes — the BMP bottom-up row order is the (7-r) flip in the
+    oracle's char indexing. One decode pass, no shuffle, no join; the
+    fingerprint halves are the simhash-style unsigned-32-bit channel."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").rlike("^[ -~]{72}"))
+        .select("doc_id", F.substring("text", 1, 72).alias("s"))
+    )
+    pad = F.lit(b"\x00")
+    parts = [F.lit(_BMP_9X8_HEADER)]
+    for row_sql in _DHASH_ROW_SQL:
+        parts.append(F.encode(F.expr(row_sql), "utf-8"))
+        parts.append(pad)
+    with_bin = docs.select("doc_id", F.concat(*parts).alias("payload"))
+    fp = mm.image_ahash(with_bin, id_col="doc_id", kind="dhash")
+    return fp.select(
+        F.col("id").alias("doc_id"), "fp_hi", "fp_lo"
+    ).where(F.col("fp_hi").isNotNull())
+
+
 @query(
     "mm_resize",
     oracle="""
