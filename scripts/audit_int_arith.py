@@ -88,11 +88,13 @@ BOUNDED_CLASSES: list[tuple[str, "re.Pattern[str]"]] = [
     # negated ascii() of a single char (the min-as-argmax trick)
     ("ascii", re.compile(r"^UnaryMinus\[\w+\] -ascii\(")),
     # array-index arithmetic: a known index column + literal (codebook
-    # lookups, posexplode offsets) — bounded by array/codebook size
+    # lookups, posexplode offsets, sequence-lambda indexes — bounded by
+    # array/codebook/sequence size)
     (
         "array-index",
         re.compile(
-            r"^Add\[\w+\] \((code_\d+#\d*|p#\d*|pos\d+#\d*|from_json.+\.k)"
+            r"^Add\[\w+\] \((code_\d+#\d*|p#\d*|pos\d+#\d*|from_json.+\.k"
+            r"|lambda [a-z]\w*#\d*)"
             r" \+ \d+\)$"
         ),
     ),
@@ -112,8 +114,14 @@ BOUNDED_CLASSES: list[tuple[str, "re.Pattern[str]"]] = [
         re.compile(r"^Subtract\[\w+\] \(\d+ - is_[a-z_]+#\d*\)$"),
     ),
     # negated argmax payload: -array_max(array(struct(sim, -cell/-code)))
-    # — bounded by the literal model size
-    ("neg-argmax-code", re.compile(r"^UnaryMinus\[\w+\] -array_max\(array\(struct\(")),
+    # or the `.nc` negated-code struct field of a materialized argmax —
+    # bounded by the literal model size
+    (
+        "neg-argmax-code",
+        re.compile(
+            r"^UnaryMinus\[\w+\] -(array_max\(array\(struct\(|\w+#\d*\.nc$)"
+        ),
+    ),
 ]
 
 _YM_STRIP = re.compile(

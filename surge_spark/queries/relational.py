@@ -8878,3 +8878,106 @@ def a_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * CAST(n0 - ties_y AS DOUBLE)), 6) END AS DOUBLE)"
         ).alias("tau_b"),
     )
+
+
+@query(
+    "a_subsample_ci",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    reps AS (
+      SELECT b.b AS b,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS c
+      FROM ev, LATERAL (SELECT unnest(range(0, 32)) AS b) b
+      WHERE (h >> b.b) & 1 = 1
+      GROUP BY 1
+    ),
+    means AS (
+      SELECT round(CAST(s AS DOUBLE) / c, 4) AS m,
+             row_number() OVER (ORDER BY round(CAST(s AS DOUBLE) / c, 4))
+               AS rk,
+             count(*) OVER () AS nr
+      FROM reps
+    ),
+    full_m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(round(CAST(sum(cents) AS DOUBLE) / count(*), 4) AS DOUBLE)
+               AS mean_cents
+      FROM ev
+    )
+    SELECT f.n_events, f.mean_cents,
+           CAST(max(nr) AS BIGINT) AS n_replicas,
+           CAST(max(CASE WHEN rk = 2 THEN m END) AS DOUBLE) AS ci_lo,
+           CAST(max(CASE WHEN rk = nr - 1 THEN m END) AS DOUBLE) AS ci_hi
+    FROM means, full_m f
+    GROUP BY f.n_events, f.mean_cents
+    """,
+)
+def a_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic subsampling confidence interval for the mean
+    purchase (the bootstrap's distributed cousin: B half-subsamples via
+    hash bits instead of random resampling, so the whole procedure is
+    a pure function both engines compute): ONE md5 per event yields 32
+    replica memberships — bit b of the first 32 hash bits says whether
+    the event joins replica b (no 32× explode, no per-replica hash) —
+    each replica's mean is an exact integer-cents sum/count (mirrored
+    round-4), and the CI is the 2nd/31st order statistic of the sorted
+    replica means (≈94% coverage at B=32). Spark computes all 64
+    replica aggregates as TWO array-valued aggregate expressions (one
+    parsed F.expr each — the minhash plan-build lesson) and ranks
+    in-plan via sort_array; empty replicas are dropped identically on
+    both sides (rank positions are relative to the non-empty count).
+    One scan, one 1-row aggregate; scale cost is 32 conditional sums
+    inside the map-side partial aggregate."""
+    e = _t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    ev = e.select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    sums_sql = "array(" + ", ".join(
+        f"sum(CASE WHEN shiftright(h, {b}) & 1 = 1 THEN cents ELSE 0 END)"
+        for b in range(32)
+    ) + ")"
+    cnts_sql = "array(" + ", ".join(
+        f"sum(CASE WHEN shiftright(h, {b}) & 1 = 1 THEN 1 ELSE 0 END)"
+        for b in range(32)
+    ) + ")"
+    agg = ev.groupBy().agg(
+        F.expr(sums_sql).alias("ss"),
+        F.expr(cnts_sql).alias("cc"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "CAST(round(CAST(sum(cents) AS DOUBLE) / count(1), 4) AS DOUBLE)"
+        ).alias("mean_cents"),
+    )
+    return agg.select(
+        "n_events",
+        "mean_cents",
+        F.expr(
+            "CAST(size(filter(cc, c -> c > 0)) AS BIGINT)"
+        ).alias("n_replicas"),
+        F.expr(
+            "CAST(element_at(sort_array(filter(transform(sequence(0, 31),"
+            " i -> CASE WHEN element_at(cc, i + 1) > 0 THEN"
+            " round(CAST(element_at(ss, i + 1) AS DOUBLE)"
+            " / element_at(cc, i + 1), 4) END), x -> x IS NOT NULL)), 2)"
+            " AS DOUBLE)"
+        ).alias("ci_lo"),
+        F.expr(
+            "CAST(element_at(sort_array(filter(transform(sequence(0, 31),"
+            " i -> CASE WHEN element_at(cc, i + 1) > 0 THEN"
+            " round(CAST(element_at(ss, i + 1) AS DOUBLE)"
+            " / element_at(cc, i + 1), 4) END), x -> x IS NOT NULL)),"
+            " size(filter(cc, c -> c > 0)) - 1) AS DOUBLE)"
+        ).alias("ci_hi"),
+    )

@@ -2834,3 +2834,174 @@ def sim_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("vec_id")), "vec_id"
     )
     return _broadcast_cosine_topk(eligible, emb.where(F.col("vec_id") < 5))
+
+
+# --- residual quantization (RQ) audit fixtures ------------------------------
+# second-stage codebook: code 0 is the ZERO vector (so stage 2 can only
+# improve — the monotone-improvement invariant pinned in tests), codes
+# 1..8 a deterministic cos-sequence at residual scale. Data-independent
+# like FIXED_CENTS.
+
+
+def _fixed_rq_codebook(n_codes: int = 8, dim: int = 64) -> list[list[float]]:
+    cbs = [[0.0] * dim]
+    for j in range(n_codes):
+        cbs.append([0.25 * math.cos(2.0 + j * dim + d) for d in range(dim)])
+    return cbs
+
+
+FIXED_RQ_CB2 = _fixed_rq_codebook()
+
+# literal cross-constants both engines share: k1[i][j] = c1_i · c2_j and
+# h2[j] = 0.5·||c2_j||² (python floats repr-round-trip exactly)
+_RQ_K1 = [
+    [sum(a * b for a, b in zip(c1, c2)) for c2 in FIXED_RQ_CB2]
+    for c1 in FIXED_CENTS
+]
+_RQ_H2 = [0.5 * sum(x * x for x in c2) for c2 in FIXED_RQ_CB2]
+
+
+def _rq_dot_terms(idx_fmt: str, c: list[float]) -> str:
+    """Flat left-assoc dot chain; idx_fmt formats one element access so
+    the SAME term order renders for Spark (0-based) and DuckDB
+    (1-based)."""
+    return "(" + "+".join(
+        idx_fmt.format(d=d) + f"*{x!r}" for d, x in enumerate(c) if x != 0.0
+    ) + ")" if any(x != 0.0 for x in c) else "(0.0)"
+
+
+def _rq_oracle() -> str:
+    cents_rows = ",\n      ".join(
+        "({}, {})".format(
+            i,
+            "round("
+            + _rq_dot_terms("CAST(e.embedding[{d}+1] AS DOUBLE)", c)
+            + ", 6)",
+        )
+        for i, c in enumerate(FIXED_CENTS)
+    )
+    # per-code stage-2 objective templates parameterized on code1 via a
+    # CASE over the literal k1 table
+    cb2_rows = []
+    for j, c2 in enumerate(FIXED_RQ_CB2):
+        d2 = _rq_dot_terms("CAST(e.embedding[{d}+1] AS DOUBLE)", c2)
+        k1_case = (
+            "CASE s.code1 "
+            + " ".join(
+                f"WHEN {i} THEN {_RQ_K1[i][j]!r}" for i in range(len(FIXED_CENTS))
+            )
+            + " END"
+        )
+        cb2_rows.append(
+            f"SELECT s.vec_id, s.code1, s.obj1, s.nsq, {j} AS j,"
+            f" round({d2} - {k1_case} - {_RQ_H2[j]!r}, 6) AS obj2,"
+            " e.embedding"
+            " FROM s JOIN embeddings e ON e.vec_id = s.vec_id"
+        )
+    union2 = "\n      UNION ALL ".join(cb2_rows)
+    nsq = _rq_dot_terms("CAST(e.embedding[{d}+1] AS DOUBLE)", [1.0] * 0)
+    return f"""
+    WITH o1 AS (
+      SELECT e.vec_id,
+             list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq,
+             c.cell AS code1, c.obj AS obj1,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY c.obj DESC, c.cell ASC) AS rk
+      FROM embeddings e, LATERAL (
+        SELECT cell, obj FROM (VALUES
+      {cents_rows}
+        ) AS t(cell, obj)
+      ) c
+    ),
+    s AS (SELECT vec_id, nsq, code1, obj1 FROM o1 WHERE rk = 1),
+    o2 AS (
+      SELECT vec_id, code1, obj1, nsq, j, obj2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY obj2 DESC, j ASC) AS rk
+      FROM ({union2})
+    )
+    SELECT vec_id, CAST(code1 AS BIGINT) AS code1,
+           CAST(j AS BIGINT) AS code2,
+           CAST(round(nsq - 2 * obj1 + 1.0, 6) AS DOUBLE) AS sq_err_stage1,
+           CAST(round(nsq - 2 * obj1 + 1.0 - 2 * obj2, 6) AS DOUBLE)
+             AS sq_err_rq
+    FROM o2 WHERE rk = 1
+    """
+
+
+@query("sim_rq_distortion_audit", oracle=_rq_oracle())
+def sim_rq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-quantization (RQ) distortion — the two-stage member of
+    the sketch-audit family beside PQ and SQ8: stage 1 codes each
+    vector to its nearest FIXED_CENTS centroid, stage 2 codes the
+    RESIDUAL against a second fixed codebook whose code 0 is the zero
+    vector (so the second stage can only improve — the monotone
+    invariant sq_err_rq ≤ sq_err_stage1 is pinned in tests). The whole
+    audit runs on DOT-PRODUCT IDENTITIES, never materializing a
+    residual: r·c2_j = v·c2_j − (c1·c2_j) and ‖v−c1−c2‖² =
+    ‖v‖² − 2·obj1 + 1 − 2·obj2 where the cross-constants c1·c2 and
+    ½‖c2‖² are LITERALS both engines share — so the Spark plan is 17
+    flat literal-dot chains + one norm per row (zero joins, zero
+    explodes, whole-stage codegen) and the oracle mirrors each rounded
+    objective before ranking (round-6 before argmax, ties to the
+    lowest code — the round-before-rank discipline; errors round-6
+    from the shared rounded operands)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nsq_sql = "(" + "+".join(
+        f"CAST(embedding[{d}] AS DOUBLE)*CAST(embedding[{d}] AS DOUBLE)"
+        for d in range(64)
+    ) + ")"
+    obj1_structs = ", ".join(
+        "struct(round("
+        + _rq_dot_terms("CAST(embedding[{d}] AS DOUBLE)", c)
+        + f", 6) AS o, {-i} AS nc)"
+        for i, c in enumerate(FIXED_CENTS)
+    )
+    s1 = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"{nsq_sql}").alias("nsq"),
+        F.expr(
+            f"array_max(array({obj1_structs}))"
+        ).alias("b1"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "nsq",
+        F.expr("-b1.nc").alias("code1"),
+        F.expr("b1.o").alias("obj1"),
+    )
+    obj2_structs = ", ".join(
+        "struct(round("
+        + _rq_dot_terms("CAST(embedding[{d}] AS DOUBLE)", c2)
+        + " - "
+        + (
+            "CASE code1 "
+            + " ".join(
+                f"WHEN {i} THEN CAST({_RQ_K1[i][j]!r} AS DOUBLE)"
+                for i in range(len(FIXED_CENTS))
+            )
+            + " END"
+        )
+        + f" - CAST({_RQ_H2[j]!r} AS DOUBLE), 6) AS o, {-j} AS nc)"
+        for j, c2 in enumerate(FIXED_RQ_CB2)
+    )
+    s2 = s1.select(
+        "vec_id",
+        "nsq",
+        "code1",
+        "obj1",
+        F.expr(f"array_max(array({obj2_structs}))").alias("b2"),
+    )
+    return s2.select(
+        "vec_id",
+        F.col("code1").cast("bigint").alias("code1"),
+        F.expr("CAST(-b2.nc AS BIGINT)").alias("code2"),
+        F.expr("CAST(round(nsq - 2 * obj1 + 1.0D, 6) AS DOUBLE)").alias(
+            "sq_err_stage1"
+        ),
+        F.expr(
+            "CAST(round(nsq - 2 * obj1 + 1.0D - 2 * b2.o, 6) AS DOUBLE)"
+        ).alias("sq_err_rq"),
+    )

@@ -405,3 +405,18 @@ def test_pq_distortion_bounds(spark, sf_dir):
     for r in rows:
         assert r.n_pairs == n - 1
         assert 0 <= r.mean_abs_err <= r.max_abs_err <= 2.0
+
+
+def test_rq_distortion_monotone_improvement(spark, sf_dir):
+    """The RQ audit's structural invariants: stage 2 can only improve
+    (code 0 is the zero vector, so sq_err_rq <= sq_err_stage1 on EVERY
+    row), errors are non-negative, and stage 2 is non-vacuous (some
+    vector picks a non-zero second code)."""
+    from surge_spark.queries import all_queries
+
+    out = all_queries()["sim_rq_distortion_audit"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out.sq_err_rq <= out.sq_err_stage1 + 1e-9).all()
+    assert (out.sq_err_rq >= -1e-9).all()
+    assert (out.code2 > 0).any(), "stage 2 never chosen — vacuous codebook"
+    assert out.code1.between(0, 7).all() and out.code2.between(0, 8).all()
