@@ -43,6 +43,15 @@ def main() -> int:
                    help="num_buckets config that also runs the streaming "
                    "batch-ack block (slowest part; one config suffices)")
     args = p.parse_args()
+    if args.ack_buckets not in args.buckets:
+        # review fix (r15): silently skipping the ack block produced a
+        # result file that LOOKED complete — measure it, loudly
+        print(
+            f"note: --ack-buckets {args.ack_buckets} not in --buckets; "
+            f"appending it so the batch-ack path is measured",
+            file=sys.stderr,
+        )
+        args.buckets = list(args.buckets) + [args.ack_buckets]
 
     from surge_spark.engine import SurgeEngine, SurgeModel
     from surge_spark.session import get_spark

@@ -160,18 +160,24 @@ def select_changed(
     sample_pct: int = 10,
 ) -> list[str]:
     """Changed-aware selection (VERDICT r14 task 5): entries whose hash
-    differs from the manifest (or are new) PLUS a deterministic rotating
-    sample of the unchanged rest (``sample_pct``%, seeded by the
-    manifest epoch so consecutive gates sample different subsets — over
-    ~10 epochs the sample alone re-covers the catalog, catching
-    shared-helper edits the per-entry hash cannot see). Returns a sorted
+    differs from the manifest (or are new) PLUS a deterministic
+    ROUND-ROBIN slice of the unchanged rest (``sample_pct``%, rotating
+    with the manifest epoch): the slice starts at ``(epoch·k) mod n``
+    and wraps, so the sample alone provably re-covers the whole catalog
+    in exactly ceil(100/sample_pct) consecutive epochs — the guarantee
+    that catches shared-helper edits the per-entry hash cannot see
+    (review fix r15: a random.sample rotation only covered w.h.p. after
+    ~5× more epochs than the docstring claimed). Returns a sorted
     subset of ``names``."""
-    import random
-
     changed = [n for n in names if stored.get(n) != hashes[n]]
-    rest = [n for n in names if stored.get(n) == hashes[n]]
-    k = max(1, len(rest) * sample_pct // 100) if rest else 0
-    sampled = random.Random(epoch).sample(rest, k) if k else []
+    rest = sorted(n for n in names if stored.get(n) == hashes[n])
+    sampled: list[str] = []
+    if rest:
+        k = max(1, len(rest) * sample_pct // 100)
+        start = (epoch * k) % len(rest)
+        sampled = rest[start : start + k]
+        if len(sampled) < k:  # wrap around
+            sampled += rest[: k - len(sampled)]
     return sorted(set(changed) | set(sampled))
 
 

@@ -4035,10 +4035,17 @@ def a_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = e.select(
         "user_id", F.expr("unix_millis(ts) div 86400000").alias("d")
     )
-    pu = days.groupBy(
-        "user_id", F.expr("user_id % 2").alias("arm")
-    ).agg(F.min("d").alias("f"), F.max("d").alias("l"))
-    t = days.groupBy().agg(F.max("d").alias("tmax"))
+    # pu is checkpointed (the Kaplan-Meier scan-amplification fix, r13):
+    # FIVE lazy consumers sit downstream (t, byd, nu, and nu's two
+    # broadcast joins) — unmaterialized, each would re-run the events
+    # group-by; tmax is derived from pu's own max(l) so the corpus is
+    # scanned exactly once
+    pu = (
+        days.groupBy("user_id", F.expr("user_id % 2").alias("arm"))
+        .agg(F.min("d").alias("f"), F.max("d").alias("l"))
+        .localCheckpoint(eager=False)
+    )
+    t = pu.groupBy().agg(F.max("l").alias("tmax"))
     dur = pu.crossJoin(F.broadcast(t)).select(
         "arm",
         F.expr("l - f + 1").alias("duration"),

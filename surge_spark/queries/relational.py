@@ -8960,24 +8960,33 @@ def a_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(round(CAST(sum(cents) AS DOUBLE) / count(1), 4) AS DOUBLE)"
         ).alias("mean_cents"),
     )
-    return agg.select(
-        "n_events",
-        "mean_cents",
-        F.expr(
-            "CAST(size(filter(cc, c -> c > 0)) AS BIGINT)"
-        ).alias("n_replicas"),
-        F.expr(
-            "CAST(element_at(sort_array(filter(transform(sequence(0, 31),"
-            " i -> CASE WHEN element_at(cc, i + 1) > 0 THEN"
-            " round(CAST(element_at(ss, i + 1) AS DOUBLE)"
-            " / element_at(cc, i + 1), 4) END), x -> x IS NOT NULL)), 2)"
-            " AS DOUBLE)"
-        ).alias("ci_lo"),
-        F.expr(
-            "CAST(element_at(sort_array(filter(transform(sequence(0, 31),"
-            " i -> CASE WHEN element_at(cc, i + 1) > 0 THEN"
-            " round(CAST(element_at(ss, i + 1) AS DOUBLE)"
-            " / element_at(cc, i + 1), 4) END), x -> x IS NOT NULL)),"
-            " size(filter(cc, c -> c > 0)) - 1) AS DOUBLE)"
-        ).alias("ci_hi"),
+    # review fix (r15 pass 1): element_at RAISES under ANSI when fewer
+    # than 2 replicas are non-empty (and the zero-purchase global agg
+    # still emits one row where the oracle emits none) — guard the order
+    # statistics on nr >= 2 exactly like the oracle's rk-match NULLs,
+    # and drop the empty-input row to mirror the oracle's zero rows
+    means_sql = (
+        "sort_array(filter(transform(sequence(0, 31),"
+        " i -> CASE WHEN element_at(cc, i + 1) > 0 THEN"
+        " round(CAST(element_at(ss, i + 1) AS DOUBLE)"
+        " / element_at(cc, i + 1), 4) END), x -> x IS NOT NULL))"
+    )
+    return (
+        agg.where(F.col("n_events") > 0)
+        .select(
+            "n_events",
+            "mean_cents",
+            F.expr(
+                "CAST(size(filter(cc, c -> c > 0)) AS BIGINT)"
+            ).alias("n_replicas"),
+            F.expr(
+                "CAST(CASE WHEN size(filter(cc, c -> c > 0)) >= 2"
+                f" THEN element_at({means_sql}, 2) END AS DOUBLE)"
+            ).alias("ci_lo"),
+            F.expr(
+                "CAST(CASE WHEN size(filter(cc, c -> c > 0)) >= 2"
+                f" THEN element_at({means_sql},"
+                " size(filter(cc, c -> c > 0)) - 1) END AS DOUBLE)"
+            ).alias("ci_hi"),
+        )
     )

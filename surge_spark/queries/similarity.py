@@ -2899,7 +2899,6 @@ def _rq_oracle() -> str:
             " FROM s JOIN embeddings e ON e.vec_id = s.vec_id"
         )
     union2 = "\n      UNION ALL ".join(cb2_rows)
-    nsq = _rq_dot_terms("CAST(e.embedding[{d}+1] AS DOUBLE)", [1.0] * 0)
     return f"""
     WITH o1 AS (
       SELECT e.vec_id,

@@ -88,11 +88,15 @@ def test_changed_aware_selection():
     assert sel == select_changed(names, stored, hashes, epoch=1)  # det.
     sel2 = select_changed(names, stored, hashes, epoch=2)
     assert sel != sel2  # rotates
-    # over many epochs the sample covers everything
-    covered: set = set()
-    for ep in range(60):
-        covered |= set(select_changed(names, stored, hashes, epoch=ep))
-    assert covered == set(names)
+    # round-robin GUARANTEE (review fix r15): any ceil(100/10)=10
+    # CONSECUTIVE epochs cover every entry — not just eventually w.h.p.
+    for base in (0, 3, 17):
+        covered: set = set()
+        for ep in range(base, base + 10):
+            covered |= set(select_changed(names, stored, hashes, epoch=ep))
+        assert covered == set(names), base
+    # wrap-around slice is still exactly k entries
+    assert len(select_changed(names, stored, hashes, epoch=9)) == 10
     # changed + new entries are always in
     stored2 = dict(stored)
     stored2["e007"] = "stale"
