@@ -4116,3 +4116,176 @@ def a_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE round((o_a - e_a) / sqrt(v), 6) END AS DOUBLE)"
         ).alias("z"),
     )
+
+
+@query(
+    "m_ma_crossover_signals",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    ma AS (
+      SELECT d,
+             CAST(sum(x) OVER w7 AS BIGINT) AS s7,
+             CAST(count(*) OVER w7 AS BIGINT) AS n7,
+             CAST(sum(x) OVER w28 AS BIGINT) AS s28,
+             CAST(count(*) OVER w28 AS BIGINT) AS n28
+      FROM daily
+      WINDOW w7 AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+             w28 AS (ORDER BY d ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+    ),
+    st AS (
+      SELECT d, s7, s28,
+             CASE WHEN 4 * s7 > s28 THEN 1 ELSE 0 END AS above,
+             lag(CASE WHEN 4 * s7 > s28 THEN 1 ELSE 0 END)
+               OVER (ORDER BY d) AS p_above
+      FROM ma WHERE n7 = 7 AND n28 = 28
+    )
+    SELECT CAST(d AS BIGINT) AS day, s7, s28,
+           CAST(CASE WHEN above = 1 THEN 1 ELSE -1 END AS INT) AS direction
+    FROM st WHERE p_above IS NOT NULL AND above <> p_above
+    """,
+)
+def m_ma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover signals on the daily purchase series —
+    the golden-cross/death-cross detector (7-day vs 28-day MA): a
+    signal fires on every day the short average crosses the long one.
+    The comparison never divides: with FULL frames only (n7 = 7,
+    n28 = 28), ma7 > ma28 ⟺ 4·s7 > s28 — the whole detector is
+    exact integer arithmetic (sums, a 0/1 state bit, one lag), so the
+    oracle mirrors it bit-for-bit with no float channel at all.
+    Windows ride the CALENDAR-BOUNDED daily frame (the m_autocorr
+    class); corpus-scale work is one daily count aggregate. direction
+    +1 = golden cross (short rises above), −1 = death cross."""
+    e = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    daily = e.groupBy(
+        F.expr("unix_millis(ts) div 86400000").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w7 = W.orderBy("d").rowsBetween(-6, 0)
+    w28 = W.orderBy("d").rowsBetween(-27, 0)
+    ma = daily.select(
+        "d",
+        F.sum("x").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+        F.sum("x").over(w28).alias("s28"),
+        F.count(F.lit(1)).over(w28).alias("n28"),
+    )
+    st = (
+        ma.where((F.col("n7") == 7) & (F.col("n28") == 28))
+        .select(
+            "d",
+            "s7",
+            "s28",
+            F.expr("CASE WHEN 4 * s7 > s28 THEN 1 ELSE 0 END").alias(
+                "above"
+            ),
+        )
+        .select(
+            "d",
+            "s7",
+            "s28",
+            "above",
+            F.lag("above").over(W.orderBy("d")).alias("p_above"),
+        )
+    )
+    return st.where(
+        F.col("p_above").isNotNull() & (F.col("above") != F.col("p_above"))
+    ).select(
+        F.col("d").cast("bigint").alias("day"),
+        "s7",
+        "s28",
+        F.expr(
+            "CAST(CASE WHEN above = 1 THEN 1 ELSE -1 END AS INT)"
+        ).alias("direction"),
+    )
+
+
+@query(
+    "m_bounce_rate_sessions",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_ms(ts) AS ms, ts, event_id FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    brk AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ms) OVER w IS NULL
+                    OR ms - lag(ms) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM brk
+    ),
+    per_sess AS (
+      SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS bounce_ppm,
+           CAST(sum(n_events) * 1000 // count(*) AS BIGINT)
+             AS events_per_session_x1000
+    FROM per_sess
+    """,
+)
+def m_bounce_rate_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session bounce rate — the engagement metric h_session_windows'
+    raw sessionization never aggregates: sessions are gaps-and-islands
+    over per-user event streams (a new session when the gap from the
+    previous event exceeds 30 min; ids by running sum of break flags —
+    the w_activity_streaks anchor trick), a BOUNCE is a single-event
+    session, and the rate ships as exact integer ppm plus the mean
+    session depth as a floor-divided x1000 integer (no float channel
+    anywhere). One partitioned window + one aggregate; the per-user
+    window partitions by the session key so no global sort exists at
+    any scale. NOTE the oracle's inner running sum orders by the same
+    (ts, event_id) per user — the partition-local order both engines
+    share."""
+    e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    ev = e.select(
+        "user_id", "ts", "event_id", F.expr("unix_millis(ts)").alias("ms")
+    )
+    wk = W.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "CASE WHEN lag(ms) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) IS NULL"
+            " OR ms - lag(ms) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) > 1800000 THEN 1 ELSE 0 END"
+        ).alias("is_new"),
+    )
+    sess = brk.select(
+        "user_id",
+        F.sum("is_new").over(
+            wk.rowsBetween(W.unboundedPreceding, 0)
+        ).alias("sid"),
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_sess.groupBy().agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_bounces"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000"
+            " div count(1) AS BIGINT)"
+        ).alias("bounce_ppm"),
+        F.expr(
+            "CAST(sum(n_events) * 1000 div count(1) AS BIGINT)"
+        ).alias("events_per_session_x1000"),
+    )

@@ -8990,3 +8990,162 @@ def a_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ci_hi"),
         )
     )
+
+
+@query(
+    "a_permutation_test",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             user_id % 2 AS arm,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND user_id IS NOT NULL
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT)
+               AS s1o,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1o
+      FROM ev
+    ),
+    obs AS (
+      SELECT n_events,
+             CASE WHEN c1o > 0 AND n_events - c1o > 0
+                  THEN round(CAST(s1o AS DOUBLE) / c1o
+                       - CAST(s - s1o AS DOUBLE) / (n_events - c1o), 4)
+                  END AS obs_diff
+      FROM tot
+    ),
+    reps AS (
+      SELECT b.b AS b,
+             CAST(sum(CASE WHEN (h >> b.b) & 1 = 1 THEN cents ELSE 0 END)
+                  AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1
+      FROM ev, LATERAL (SELECT unnest(range(0, 32)) AS b) b
+      GROUP BY 1
+    ),
+    diffs AS (
+      SELECT round(CAST(r.s1 AS DOUBLE) / r.c1
+             - CAST(t.s - r.s1 AS DOUBLE) / (t.n_events - r.c1), 4) AS d
+      FROM reps r, tot t
+      WHERE r.c1 > 0 AND t.n_events - r.c1 > 0
+    ),
+    pv AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+             CAST(sum(CASE WHEN abs(d) >= abs(o.obs_diff)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+      FROM diffs, obs o
+    )
+    SELECT o.n_events, o.obs_diff, p.n_replicas, p.n_extreme,
+           CAST(CASE WHEN o.obs_diff IS NULL OR p.n_replicas = 0 THEN NULL
+                ELSE p.n_extreme * 1000000 // p.n_replicas END AS BIGINT)
+             AS p_value_ppm
+    FROM obs o, pv p
+    WHERE o.n_events > 0
+    """,
+)
+def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (permutation) test for the between-arm difference
+    in mean purchase — the nonparametric companion to
+    a_two_proportion_ztest / a_welch_t_test, with the label
+    reassignment HASH-DETERMINIZED so both engines compute the
+    identical 'random' relabelings (the a_subsample_ci channel): the
+    observed arms are user parity; each of B=32 replicas relabels
+    USERS by bit b of one md5 per user (labels permute at the unit of
+    inference, never per event), and p = ppm of replicas whose
+    |mean₁−mean₀| is at least the observed |difference|. Replica and
+    observed diffs are round-4 ratios of exact integer-cents sums; the
+    p-value is an exact integer ppm over valid replicas (degenerate
+    one-arm replicas are dropped identically on both sides; a
+    degenerate OBSERVED split → NULL everything). One scan; the 64
+    replica aggregates ride two array-valued expressions inside the
+    map-side partial aggregate — no explode, no second pass."""
+    e = _t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    ev = e.select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.expr("user_id % 2").alias("arm"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    ss_sql = "array(" + ", ".join(
+        f"sum(CASE WHEN shiftright(h, {b}) & 1 = 1 THEN cents ELSE 0 END)"
+        for b in range(32)
+    ) + ")"
+    cc_sql = "array(" + ", ".join(
+        f"sum(CASE WHEN shiftright(h, {b}) & 1 = 1 THEN 1 ELSE 0 END)"
+        for b in range(32)
+    ) + ")"
+    agg = ev.groupBy().agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("s"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT)"
+        ).alias("s1o"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("c1o"),
+        F.expr(ss_sql).alias("ss"),
+        F.expr(cc_sql).alias("cc"),
+    )
+    diffs_sql = (
+        "filter(transform(sequence(0, 31),"
+        " i -> CASE WHEN element_at(cc, i + 1) > 0"
+        " AND n_events - element_at(cc, i + 1) > 0"
+        " THEN round(CAST(element_at(ss, i + 1) AS DOUBLE)"
+        " / element_at(cc, i + 1)"
+        " - CAST(s - element_at(ss, i + 1) AS DOUBLE)"
+        " / (n_events - element_at(cc, i + 1)), 4) END),"
+        " x -> x IS NOT NULL)"
+    )
+    return (
+        agg.where(F.col("n_events") > 0)
+        .select(
+            "n_events",
+            F.expr(
+                "CAST(CASE WHEN c1o > 0 AND n_events - c1o > 0"
+                " THEN round(CAST(s1o AS DOUBLE) / c1o"
+                " - CAST(s - s1o AS DOUBLE) / (n_events - c1o), 4)"
+                " END AS DOUBLE)"
+            ).alias("obs_diff"),
+            F.expr(f"CAST(size({diffs_sql}) AS BIGINT)").alias("n_replicas"),
+            "s",
+            "s1o",
+            "c1o",
+            "ss",
+            "cc",
+        )
+        .select(
+            "n_events",
+            "obs_diff",
+            "n_replicas",
+            # NULL obs_diff drops every element through the NULL
+            # predicate -> 0, exactly the oracle's sum-of-CASE 0
+            F.expr(
+                f"CAST(size(filter({diffs_sql},"
+                " x -> abs(x) >= abs(obs_diff))) AS BIGINT)"
+            ).alias("n_extreme"),
+        )
+        .select(
+            "n_events",
+            "obs_diff",
+            "n_replicas",
+            "n_extreme",
+            F.expr(
+                "CAST(CASE WHEN obs_diff IS NULL OR n_replicas = 0"
+                " THEN NULL ELSE n_extreme * 1000000 div n_replicas END"
+                " AS BIGINT)"
+            ).alias("p_value_ppm"),
+        )
+    )
