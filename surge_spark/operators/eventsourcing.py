@@ -870,3 +870,73 @@ SAGA_STATE_SCHEMA = (
     "aggregate_id string, st int, n_started long, n_completed long,"
     " n_compensated long, n_steps long, n_ignored long, n long"
 )
+
+
+# --- SPRT sequential A/B decision fold (cross-mode twin #8) -----------------
+# Wald's sequential probability ratio test for a Bernoulli error rate:
+# H0 p0 = 5% vs H1 p1 = 15%, alpha = beta = 5%. Every constant is a
+# PYTHON FLOAT LITERAL shared verbatim by the kernel, the Spark plan and
+# the DuckDB oracle (repr round-trips; no in-engine ln() ever runs — the
+# one-minus-literal invariant generalized: ALL transcendentals are
+# precomputed literals).
+import math as _math
+
+SPRT_L_ERR = _math.log(0.15 / 0.05)  # llr increment on an error event
+SPRT_L_OK = _math.log(0.85 / 0.95)  # llr increment on a clean event
+SPRT_A = _math.log(19.0)  # accept-H1 (regression detected) threshold
+SPRT_B = -_math.log(19.0)  # accept-H0 (healthy) threshold
+
+
+def sprt_step(
+    llr: float,
+    n_detect: int,
+    n_clear: int,
+    t_ms: int,
+    is_err: int,
+) -> tuple[float, int, int]:
+    """One SPRT update — THE shared kernel for cross-mode twin #8
+    (es_sprt_fold / sprt_stream): add the event's literal llr
+    increment, then decide — llr >= A accepts H1 (error-rate
+    regression DETECTED, n_detect++), llr <= B accepts H0 (monitor
+    CLEARS, n_clear++); either decision RESETS llr to 0.0 and the test
+    restarts (the continuous-monitoring composition of Wald's test,
+    the cusum reset shape). Float ops run in a fixed order so a
+    recursive-CTE oracle and a streaming fold reproduce the double
+    BITWISE. t_ms is unused by the math (kept for the fold-kernel
+    signature discipline and future time-gated variants)."""
+    llr = llr + (SPRT_L_ERR if is_err else SPRT_L_OK)
+    if llr >= SPRT_A:
+        return 0.0, n_detect + 1, n_clear
+    if llr <= SPRT_B:
+        return 0.0, n_detect, n_clear + 1
+    return llr, n_detect, n_clear
+
+
+def sprt_handle_event(state: dict | None, event: dict) -> dict:
+    """Per-key SPRT monitor as an ordered event fold — the batch half
+    of twin #8, on the same sorted-stream fold kernel as
+    bank/holt/cusum/saga/token-bucket/burn/PH/multiwindow."""
+    is_err = 1 if event["event_type"] == "error" else 0
+    if state is None:
+        llr, n_detect, n_clear = sprt_step(0.0, 0, 0, int(event["ms"]), is_err)
+        n = 1
+        agg_id = str(event["user_id"])
+    else:
+        llr, n_detect, n_clear = sprt_step(
+            state["llr"], state["n_detect"], state["n_clear"],
+            int(event["ms"]), is_err,
+        )
+        n = state["n"] + 1
+        agg_id = state["aggregate_id"]
+    return {
+        "aggregate_id": agg_id,
+        "llr": llr,
+        "n_detect": n_detect,
+        "n_clear": n_clear,
+        "n": n,
+    }
+
+
+SPRT_STATE_SCHEMA = (
+    "aggregate_id string, llr double, n_detect long, n_clear long, n long"
+)

@@ -4289,3 +4289,89 @@ def m_bounce_rate_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(n_events) * 1000 div count(1) AS BIGINT)"
         ).alias("events_per_session_x1000"),
     )
+
+
+# SPRT literal constants rendered ONCE from the kernel module (repr
+# round-trips — the oracle, the kernel and the pin all share these exact
+# doubles; no in-engine ln() anywhere)
+_SPRT_LE = repr(es.SPRT_L_ERR)
+_SPRT_LO = repr(es.SPRT_L_OK)
+_SPRT_A = repr(es.SPRT_A)
+_SPRT_B = repr(es.SPRT_B)
+_SPRT_STEP = (
+    f"f.llr + CASE WHEN o.event_type = 'error' THEN {_SPRT_LE}"
+    f" ELSE {_SPRT_LO} END"
+)
+
+
+@query(
+    "es_sprt_fold",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    lim AS (SELECT user_id, max(rn) AS mx FROM ordered GROUP BY user_id),
+    fold(user_id, rn, llr, n_detect, n_clear) AS (
+      SELECT user_id, 0, CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM lim
+      UNION ALL
+      SELECT f.user_id, f.rn + 1,
+             CASE WHEN ({_SPRT_STEP}) >= {_SPRT_A}
+                    OR ({_SPRT_STEP}) <= {_SPRT_B}
+                  THEN 0.0 ELSE ({_SPRT_STEP}) END,
+             f.n_detect + CASE WHEN ({_SPRT_STEP}) >= {_SPRT_A}
+                               THEN 1 ELSE 0 END,
+             f.n_clear + CASE WHEN ({_SPRT_STEP}) < {_SPRT_A}
+                              AND ({_SPRT_STEP}) <= {_SPRT_B}
+                              THEN 1 ELSE 0 END
+      FROM fold f JOIN ordered o
+        ON o.user_id = f.user_id AND o.rn = f.rn + 1
+    )
+    SELECT CAST(f.user_id AS VARCHAR) AS aggregate_id,
+           CAST(round(f.llr, 6) AS DOUBLE) AS llr,
+           f.n_detect, f.n_clear,
+           CAST(l.mx AS BIGINT) AS n
+    FROM fold f JOIN lim l USING (user_id) WHERE f.rn = l.mx
+    """,
+)
+def es_sprt_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user SPRT (Wald sequential probability ratio test) monitor as
+    an ordered event fold — the batch half of cross-mode twin #8 (live
+    half: streaming/metrics.sprt_stream, BOTH calling the ONE sprt_step
+    kernel): H0 5% vs H1 15% Bernoulli error rate at α = β = 5%; every
+    event adds its literal llr increment, crossing ln(19) DETECTS a
+    regression, crossing −ln(19) CLEARS, and either decision resets the
+    test (continuous monitoring — the cusum reset composition). ALL
+    transcendentals are precomputed Python float literals shared
+    verbatim by kernel, plan, and oracle (the one-minus-literal
+    invariant generalized — no in-engine ln() ever runs), so the
+    recursive-CTE oracle reproduces the float64 recurrence in identical
+    order; the decision thresholds see the SAME double on both sides.
+    llr rounds to 6 only at output."""
+    e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    e = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    folded = es.fold_events_sorted(
+        e,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        handle_event=es.sprt_handle_event,
+        state_schema=es.SPRT_STATE_SCHEMA,
+    )
+    return folded.select(
+        "aggregate_id",
+        F.expr("CAST(round(llr, 6) AS DOUBLE)").alias("llr"),
+        "n_detect",
+        "n_clear",
+        "n",
+    )

@@ -839,3 +839,81 @@ def multiwindow_burn_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SPRT_STATE = StructType(
+    [
+        StructField("llr", DoubleType()),
+        StructField("n_detect", LongType()),
+        StructField("n_clear", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+SPRT_OUTPUT = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("llr", DoubleType()),
+        StructField("n_detect", LongType()),
+        StructField("n_clear", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def sprt_stream(events: DataFrame) -> DataFrame:
+    """Live SPRT error-rate monitoring — the EIGHTH cross-mode twin
+    (cusum, token bucket, saga, holt, burn, PH, multiwindow burn,
+    SPRT): Wald's sequential test run per key via
+    applyInPandasWithState, BOTH modes calling the ONE sprt_step
+    kernel whose every constant is a precomputed Python float literal
+    — so the float recurrence is BITWISE-identical to the es_sprt_fold
+    batch entry for in-order arrival (the strongest pin class, like
+    holt/PH), pinned across a micro-batch boundary where the llr
+    carried from batch 1 decides a detection inside batch 2. Input
+    rows are {user_id, event_type, ms, event_id}; each batch sorts by
+    (ms, event_id); NULL user_ids filtered exactly like the batch
+    twin. State is 4 scalars per key."""
+    from ..operators.eventsourcing import sprt_step
+
+    events = events.where(F.col("user_id").isNotNull())
+
+    def step(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            llr, n_detect, n_clear, n = state.get
+        else:
+            llr, n_detect, n_clear, n = 0.0, 0, 0, 0
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ms", "event_id"], kind="mergesort"
+        )
+        for t, et in zip(batch["ms"], batch["event_type"]):
+            llr, n_detect, n_clear = sprt_step(
+                llr, n_detect, n_clear, int(t), 1 if et == "error" else 0
+            )
+            n += 1
+        state.update((llr, n_detect, n_clear, n))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": str(key[0]),
+                    "llr": llr,
+                    "n_detect": n_detect,
+                    "n_clear": n_clear,
+                    "n": n,
+                }
+            ]
+        )
+
+    ensure_shipped(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=SPRT_OUTPUT,
+        stateStructType=_SPRT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -556,3 +556,35 @@ def test_bigint_product_classifier_pins():
     ]
     for e in unreviewed:
         assert classify_bigint_flag(e) is None, e
+
+
+def test_sprt_kernel_invariants():
+    """SPRT kernel properties: llr stays strictly inside (B, A) between
+    decisions (a decision always resets); a clean stream only ever
+    CLEARS; a pure-error stream detects every ceil(A/L_ERR) events;
+    decision counters are monotone."""
+    from surge_spark.operators.eventsourcing import (
+        SPRT_A,
+        SPRT_B,
+        SPRT_L_ERR,
+        sprt_step,
+    )
+
+    def run(errs):
+        st = (0.0, 0, 0)
+        for i, ie in enumerate(errs):
+            prev = st
+            st = sprt_step(st[0], st[1], st[2], i, ie)
+            assert SPRT_B < st[0] < SPRT_A  # post-decision reset keeps it in
+            assert st[1] >= prev[1] and st[2] >= prev[2]
+        return st
+
+    st = run([0] * 300)
+    assert st[1] == 0 and st[2] >= 1  # clean: clears only
+    st = run([1] * 10)
+    import math
+    per_detect = math.ceil(SPRT_A / SPRT_L_ERR)
+    assert st[1] == 10 // per_detect and st[2] == 0
+    # mixed stream: both counters move
+    st = run([1, 1, 1] + [0] * 100 + [1, 1, 1])
+    assert st[1] >= 1 and st[2] >= 1

@@ -2630,3 +2630,65 @@ def test_multiwindow_burn_stream_matches_batch_fold(spark, tmp_path):
     # stayed silent once (day-1 close: long hot, short cool)
     assert st["n_pages"] == 2
     assert st["n"] == len(seq)
+
+
+def test_sprt_stream_matches_batch_fold(spark, tmp_path):
+    """Cross-mode SPRT pin (the EIGHTH twin, r15): the streaming
+    sequential test over TWO micro-batches equals the batch fold
+    handler BITWISE (float recurrence, literal increments — the
+    holt/PH pin class). The sequence is built so the DETECTION
+    straddles the boundary: batch 1 carries two errors (llr just below
+    ln(19), its emitted row pins n_detect == 0 — the split premise);
+    batch 2's third error crosses the threshold using the carried llr,
+    then a run of clean events drives llr down to a CLEAR, exercising
+    the reset on both decision sides."""
+    from surge_spark.operators.eventsourcing import (
+        SPRT_A,
+        SPRT_L_ERR,
+        sprt_handle_event,
+    )
+    from surge_spark.streaming import metrics as sm
+
+    assert 2 * SPRT_L_ERR < SPRT_A < 3 * SPRT_L_ERR  # the premise itself
+    seq = ["error", "error", "view", "error"] + ["view"] * 80
+    schema = "user_id string, event_type string, ms long, event_id long"
+    src = str(tmp_path / "sprt_events")
+    half = 3
+    spark.createDataFrame(
+        [("u1", et, 1000 * i, i) for i, et in enumerate(seq[:half])], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [("u1", et, 1000 * (half + i), half + i)
+         for i, et in enumerate(seq[half:])],
+        schema,
+    ).coalesce(1).write.parquet(src + "/f2")
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        sm.sprt_stream(events)
+        .writeStream.format("memory")
+        .queryName("sprt_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_sprt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sprt_out order by n").collect()
+    assert len(rows) == 2
+    assert rows[0].n == half and rows[0].n_detect == 0  # split premise
+    got = rows[-1]
+    st = None
+    for i, et in enumerate(seq):
+        st = sprt_handle_event(
+            st, {"user_id": "u1", "ms": 1000 * i, "event_type": et}
+        )
+    assert got.llr == st["llr"]  # BITWISE — same kernel, same order
+    assert (got.n_detect, got.n_clear, got.n) == (
+        st["n_detect"], st["n_clear"], st["n"]
+    )
+    # non-vacuous: one detection (across the boundary) and >=1 clear
+    assert st["n_detect"] == 1 and st["n_clear"] >= 1
