@@ -617,7 +617,7 @@ def image_ahash(df: DataFrame, id_col: str = "id", kind: str = "ahash") -> DataF
     stage (simhash's shape: fingerprint → band → Hamming verify).
     Undecodable payloads yield NULL halves (visible, never silently
     dropped); one pass, no shuffle, payload dropped on output."""
-    fn = {"ahash": ahash64, "dhash": dhash64}[kind]
+    fn = {"ahash": ahash64, "dhash": dhash64, "audio": audio_ahash64}[kind]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -671,6 +671,32 @@ def decode_audio(payload: bytes) -> dict:
         "n_frames": n_frames,
         "samples": samples,
     }
+
+
+def audio_ahash64(payload: bytes) -> tuple[int, int]:
+    """64-bit audio fingerprint over the REAL WAV decode path — the
+    audio member of the perceptual-hash family (ahash64/dhash64 for
+    images): decode → channel-mean mono (integer floor) → 64-point
+    nearest-index resample → bit i set iff ``s_i·64 > Σs`` (the strict
+    all-integer aHash rule, here over signed PCM amplitudes). Same
+    (hi, lo) unsigned-32-bit packing. Constructed 64-sample WAVs make
+    the whole fingerprint an exact integer channel a SQL oracle
+    recomputes (the BMP construct-in-query precedent). Raises
+    ValueError on undecodable/too-short payloads."""
+    d = decode_audio(payload)
+    samples = d["samples"].astype(np.int64)
+    if d["n_channels"] > 1:
+        samples = (
+            samples.reshape(-1, d["n_channels"]).sum(axis=1)
+            // d["n_channels"]
+        )
+    n = samples.shape[0]
+    if n < 1:
+        raise ValueError("empty WAV")
+    idx = (np.arange(64) * n) // 64
+    s = samples[idx]
+    total = int(s.sum())
+    return _pack_bits64((s * 64) > total)
 
 
 def _pixel_features(w: int, h: int, img: np.ndarray) -> list[float]:

@@ -9149,3 +9149,59 @@ def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value_ppm"),
         )
     )
+
+
+@query(
+    "w_skyline_orders",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000 AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT a.o_orderkey, CAST(a.d AS BIGINT) AS day, a.cents
+    FROM o a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o b
+      WHERE b.d <= a.d AND b.cents >= a.cents
+        AND (b.d < a.d OR b.cents > a.cents)
+    )
+    """,
+)
+def w_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) over orders — minimize order day,
+    maximize price: an order survives iff nothing else is at least as
+    early AND at least as pricey with one strict. The classic skyline
+    operator expressed scale-safe via the 2-D sweep along the
+    CALENDAR-BOUNDED day axis: group to per-day max price (one
+    aggregate — the only corpus-scale work), prefix-max over strictly
+    earlier days on the bounded day frame (the m_autocorr window
+    class, row count = day count), and an order survives iff its price
+    equals its day's max AND strictly exceeds every earlier day's max.
+    Equal-(day, price) duplicates all survive (neither dominates — no
+    strict coordinate), which the join-back preserves. The oracle is
+    the textbook NOT-EXISTS dominance formulation — an INDEPENDENT
+    quadratic spec checking the linear sweep, not a transliteration.
+    All-integer channels (epoch day, price cents)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000"
+        ).alias("d"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    byday = o.groupBy("d").agg(F.max("cents").alias("day_max"))
+    wprev = W.orderBy("d").rowsBetween(W.unboundedPreceding, -1)
+    sky_days = byday.select(
+        "d",
+        "day_max",
+        F.max("day_max").over(wprev).alias("prev_max"),
+    ).where(
+        F.col("prev_max").isNull() | (F.col("day_max") > F.col("prev_max"))
+    )
+    return o.join(
+        F.broadcast(sky_days.select("d", "day_max")), "d"
+    ).where(F.col("cents") == F.col("day_max")).select(
+        "o_orderkey", F.col("d").cast("bigint").alias("day"), "cents"
+    )

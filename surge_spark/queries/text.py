@@ -3514,3 +3514,66 @@ def t_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(1) AS BIGINT)"
         ).alias("hapax_ppm"),
     )
+
+
+# fixed 44-byte WAV header (16-bit mono PCM, 8 kHz, exactly 64 samples =
+# 128 data bytes) — derived once from the stdlib wave writer so the
+# construct-in-query payloads are byte-identical to real WAV files
+_WAV_64S_HEADER = bytes.fromhex(
+    "52494646a400000057415645666d7420100000000100010040"
+    "1f0000803e0000020010006461746180000000"
+)
+
+
+@query(
+    "mm_audio_fingerprint",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, substring(text, 1, 64) AS s
+      FROM documents WHERE regexp_matches(text, '^[ -~]{64}')
+    ),
+    px AS (
+      SELECT doc_id, t.i - 1 AS bit,
+             CAST(ascii(substring(s, CAST(t.i AS INT), 1)) AS BIGINT) * 256
+               AS v
+      FROM base, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+    ),
+    tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS total FROM px GROUP BY 1)
+    SELECT p.doc_id,
+           CAST(sum(CASE WHEN p.bit >= 32 AND p.v * 64 > t.total
+                THEN (CAST(1 AS BIGINT) << (p.bit - 32)) ELSE 0 END)
+                AS BIGINT) AS fp_hi,
+           CAST(sum(CASE WHEN p.bit < 32 AND p.v * 64 > t.total
+                THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END)
+                AS BIGINT) AS fp_lo
+    FROM px p JOIN tot t USING (doc_id) GROUP BY p.doc_id
+    """,
+)
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit AUDIO fingerprint over the REAL WAV decode path — extends
+    the construct-in-query family (BMP images, PPM pixels) to audio:
+    each doc's first 64 printable-ASCII chars become the high bytes of
+    64 signed 16-bit PCM samples in a byte-identical stdlib-format WAV
+    (constant 44-byte header derived from the wave writer + \\x00-low
+    interleave — plain column concat, no UDF), flow through
+    decode_audio's actual frombuffer/mono/resample path inside the
+    audio_ahash64 mapInPandas kernel (64 samples ⇒ the nearest-index
+    resample is the identity), and the strict integer amplitude
+    threshold ``s·64 > Σs`` comes back out as two unsigned-32-bit
+    halves DuckDB recomputes from ascii·256. Sample order is char
+    order (1-D — no bottom-up flip). One decode pass, no shuffle."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").rlike("^[ -~]{64}"))
+        .select("doc_id", F.substring("text", 1, 64).alias("s"))
+    )
+    pad = F.lit(b"\x00")
+    parts = [F.lit(_WAV_64S_HEADER)]
+    for k in range(1, 65):
+        parts.append(pad)
+        parts.append(F.encode(F.substring("s", k, 1), "utf-8"))
+    with_bin = docs.select("doc_id", F.concat(*parts).alias("payload"))
+    fp = mm.image_ahash(with_bin, id_col="doc_id", kind="audio")
+    return fp.select(
+        F.col("id").alias("doc_id"), "fp_hi", "fp_lo"
+    ).where(F.col("fp_hi").isNotNull())

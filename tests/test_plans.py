@@ -885,3 +885,42 @@ def test_gini_persists_count_frame(spark, sf_dir):
     group-by 3x (warm sf0.1 7.0 -> 1.1 s measured)."""
     plan = _plan(spark, sf_dir, "m_gini_coefficient")
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_phash_neardup_band_sides_share_fingerprint_checkpoint(spark, sf_dir):
+    """mm_phash_neardup: the fingerprint frame is localCheckpointed, so
+    the two slotted band-join sides and both verify sides read the
+    checkpoint (ExistingRDD — the decode mapInPandas never re-runs: a
+    lazy fingerprint frame would pay the image decode once per
+    consumer), and the identical slotted subtrees share one exchange
+    (ReusedExchange in the finalized plan). Documents parquet scans in
+    the FINAL plan stay at zero — the scan happened at checkpoint
+    time."""
+    from surge_spark.queries import all_queries
+
+    df = all_queries()["mm_phash_neardup"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert plan.lower().count("documents.parquet") == 0, plan
+
+
+def test_ktruss_single_triangle_enumeration(spark, sf_dir):
+    """g_ktruss_one_peel (r15 rewrite): ONE wedge-join triangle
+    enumeration total — the survivor-support pass filters the
+    checkpointed first-pass triangle frame with semi-joins instead of
+    re-running _min_oriented_tris on the survivor graph (the old
+    double enumeration was the catalog's slowest plan: 15.3 s sf0.1 /
+    exponent 1.06; post-fix 9.4 s / 0.77). Both tris and surv are
+    checkpointed, so the FINAL plan reads only ExistingRDDs (zero
+    lineitem scans) and carries the three survivor semi-joins."""
+    from surge_spark.queries import all_queries
+
+    df = all_queries()["g_ktruss_one_peel"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.lower().count("lineitem.parquet") == 0, plan
+    assert plan.count("LeftSemi") >= 3, plan
