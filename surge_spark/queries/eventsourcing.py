@@ -4375,3 +4375,87 @@ def es_sprt_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clear",
         "n",
     )
+
+
+@query(
+    "m_xmr_control_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    mr AS (
+      SELECT d, x,
+             abs(x - lag(x) OVER (ORDER BY d)) AS r
+      FROM daily
+    ),
+    lim AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(r) AS BIGINT) AS sr,
+             CAST(count(r) AS BIGINT) AS nr
+      FROM mr
+    )
+    SELECT m.d AS day, m.x,
+           CAST(round(CAST(l.sx AS DOUBLE) / l.n_days
+                + 2.66 * l.sr / l.nr, 4) AS DOUBLE) AS ucl,
+           CAST(round(CAST(l.sx AS DOUBLE) / l.n_days
+                - 2.66 * l.sr / l.nr, 4) AS DOUBLE) AS lcl,
+           CAST(CASE WHEN CAST(m.x AS DOUBLE)
+                     > CAST(l.sx AS DOUBLE) / l.n_days + 2.66 * l.sr / l.nr
+                     THEN 1
+                WHEN CAST(m.x AS DOUBLE)
+                     < CAST(l.sx AS DOUBLE) / l.n_days - 2.66 * l.sr / l.nr
+                     THEN -1
+                ELSE 0 END AS INT) AS violation
+    FROM mr m, lim l
+    WHERE l.nr > 0
+    """,
+)
+def m_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals & moving range) control chart over the daily
+    event series — the Shewhart process-behavior chart beside the
+    sequential detectors (CUSUM reacts to accumulated drift, XmR flags
+    single excursions past mean ± 2.66·mR̄): natural process limits
+    from the MEAN MOVING RANGE (|x_d − x_{d−1}|, exact integers via
+    one lag on the calendar-bounded daily frame), the full chart ships
+    (every day with its violation flag — a violation-only output was
+    VACUOUS on this stable series, the r10 lesson), limits round-4 (round-4
+    from one mirrored float formula over exact integer sums — 2.66 is
+    the standard d2-derived constant for n=2 subgroups, a shared
+    literal). The violation PREDICATE compares unrounded doubles
+    identically on both sides. Corpus-scale work is one daily count
+    aggregate."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("unix_millis(ts) div 86400000").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    mr = daily.select(
+        "d",
+        "x",
+        F.expr("abs(x - lag(x) OVER (ORDER BY d))").alias("r"),
+    )
+    lim = mr.groupBy().agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("r").alias("sr"),
+        F.count("r").alias("nr"),
+    )
+    j = mr.crossJoin(F.broadcast(lim)).where(F.col("nr") > 0)
+    ucl = (
+        "CAST(sx AS DOUBLE) / n_days + 2.66 * sr / nr"
+    )
+    lcl = (
+        "CAST(sx AS DOUBLE) / n_days - 2.66 * sr / nr"
+    )
+    return j.select(
+        F.col("d").alias("day"),
+        "x",
+        F.expr(f"CAST(round({ucl}, 4) AS DOUBLE)").alias("ucl"),
+        F.expr(f"CAST(round({lcl}, 4) AS DOUBLE)").alias("lcl"),
+        F.expr(
+            f"CAST(CASE WHEN CAST(x AS DOUBLE) > {ucl} THEN 1"
+            f" WHEN CAST(x AS DOUBLE) < {lcl} THEN -1 ELSE 0 END AS INT)"
+        ).alias("violation"),
+    )

@@ -9205,3 +9205,202 @@ def w_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("cents") == F.col("day_max")).select(
         "o_orderkey", F.col("d").cast("bigint").alias("day"), "cents"
     )
+
+
+@query(
+    "a_cuped_adjustment",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_ms(ts) AS ms,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND user_id IS NOT NULL
+    ),
+    b AS (SELECT min(ms) AS m0, max(ms) AS m1 FROM ev),
+    u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(sum(CASE WHEN ms <= (b.m0 + (b.m1 - b.m0) // 2)
+                      THEN cents ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN ms > (b.m0 + (b.m1 - b.m0) // 2)
+                      THEN cents ELSE 0 END) AS BIGINT) AS y
+      FROM ev, b GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS DOUBLE)) AS sx, sum(CAST(y AS DOUBLE)) AS sy,
+             sum(CAST(x AS DOUBLE) * x) AS sxx,
+             sum(CAST(x AS DOUBLE) * y) AS sxy,
+             sum(CAST(y AS DOUBLE) * y) AS syy,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             sum(CASE WHEN arm = 1 THEN CAST(x AS DOUBLE) ELSE 0.0 END)
+               AS sx1,
+             sum(CASE WHEN arm = 1 THEN CAST(y AS DOUBLE) ELSE 0.0 END)
+               AS sy1
+      FROM u
+    )
+    SELECT n, n1,
+           CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                END AS DOUBLE) AS theta,
+           CAST(CASE WHEN n * syy - sy * sy = 0 OR n * sxx - sx * sx = 0
+                THEN NULL
+                ELSE round(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                     * ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                     * (n * sxx - sx * sx) / (n * syy - sy * sy), 6)
+                END AS DOUBLE) AS var_reduction,
+           CAST(CASE WHEN n1 = 0 OR n - n1 = 0 THEN NULL
+                ELSE round(sy1 / n1 - (sy - sy1) / (n - n1), 4)
+                END AS DOUBLE) AS raw_diff,
+           CAST(CASE WHEN n1 = 0 OR n - n1 = 0 OR n * sxx - sx * sx = 0
+                THEN NULL
+                ELSE round((sy1 / n1 - (sy - sy1) / (n - n1))
+                     - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                     * (sx1 / n1 - (sx - sx1) / (n - n1)), 4)
+                END AS DOUBLE) AS adj_diff
+    FROM m WHERE n > 0
+    """,
+)
+def a_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., the A/B-platform
+    workhorse): pre-period user revenue (first half of the observation
+    window, the capture-recapture integer-midpoint split) as the
+    covariate for post-period revenue — θ = cov(X,Y)/var(X), the
+    achievable variance reduction is exactly ρ² (shipped as the
+    mirrored var_reduction = θ²·var(X)/var(Y)), and the adjusted
+    between-arm difference is raw_diff − θ·(X̄₁−X̄₀) (user-parity
+    arms). Per-user x/y are exact integer cents; the moment sums are
+    computed in DOUBLE from the start (Σx² over user-level cents is
+    the n·cents² class that saturates int64 — the Welch lesson applied
+    by construction, not by a documented bound), every ratio one
+    mirrored formula (θ round-6, reduction round-6, diffs round-4),
+    zero-variance → NULL both sides. One user aggregate + one global
+    conditional aggregate."""
+    e = _t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    ev = e.select(
+        "user_id",
+        F.expr("unix_millis(ts)").alias("ms"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    b = ev.groupBy().agg(F.min("ms").alias("m0"), F.max("ms").alias("m1"))
+    u = ev.crossJoin(F.broadcast(b)).groupBy(
+        "user_id", F.expr("user_id % 2").alias("arm")
+    ).agg(
+        F.expr(
+            "CAST(sum(CASE WHEN ms <= (m0 + (m1 - m0) div 2)"
+            " THEN cents ELSE 0 END) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(sum(CASE WHEN ms > (m0 + (m1 - m0) div 2)"
+            " THEN cents ELSE 0 END) AS BIGINT)"
+        ).alias("y"),
+    )
+    m = u.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(CAST(x AS DOUBLE))").alias("sx"),
+        F.expr("sum(CAST(y AS DOUBLE))").alias("sy"),
+        F.expr("sum(CAST(x AS DOUBLE) * x)").alias("sxx"),
+        F.expr("sum(CAST(x AS DOUBLE) * y)").alias("sxy"),
+        F.expr("sum(CAST(y AS DOUBLE) * y)").alias("syy"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n1"),
+        F.expr(
+            "sum(CASE WHEN arm = 1 THEN CAST(x AS DOUBLE) ELSE 0.0D END)"
+        ).alias("sx1"),
+        F.expr(
+            "sum(CASE WHEN arm = 1 THEN CAST(y AS DOUBLE) ELSE 0.0D END)"
+        ).alias("sy1"),
+    )
+    return m.where(F.col("n") > 0).select(
+        "n",
+        "n1",
+        F.expr(
+            "CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL"
+            " ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)"
+            " END AS DOUBLE)"
+        ).alias("theta"),
+        F.expr(
+            "CAST(CASE WHEN n * syy - sy * sy = 0 OR n * sxx - sx * sx = 0"
+            " THEN NULL"
+            " ELSE round(((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+            " * ((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+            " * (n * sxx - sx * sx) / (n * syy - sy * sy), 6)"
+            " END AS DOUBLE)"
+        ).alias("var_reduction"),
+        F.expr(
+            "CAST(CASE WHEN n1 = 0 OR n - n1 = 0 THEN NULL"
+            " ELSE round(sy1 / n1 - (sy - sy1) / (n - n1), 4)"
+            " END AS DOUBLE)"
+        ).alias("raw_diff"),
+        F.expr(
+            "CAST(CASE WHEN n1 = 0 OR n - n1 = 0 OR n * sxx - sx * sx = 0"
+            " THEN NULL"
+            " ELSE round((sy1 / n1 - (sy - sy1) / (n - n1))"
+            " - ((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+            " * (sx1 / n1 - (sx - sx1) / (n - n1)), 4)"
+            " END AS DOUBLE)"
+        ).alias("adj_diff"),
+    )
+
+
+@query(
+    "g_global_transitivity",
+    oracle=f"""
+    WITH {_PART_COOCCUR_SQL},
+    {_TRIS_SQL},
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tris),
+    w AS (
+      SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_wedges,
+             CAST(count(*) AS BIGINT) AS n_nodes
+      FROM deg
+    ),
+    e AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs)
+    SELECT w.n_nodes, e.n_edges, w.n_wedges, t.n_triangles,
+           CAST(CASE WHEN w.n_wedges = 0 THEN NULL
+                ELSE 3 * t.n_triangles * 1000000 // w.n_wedges END
+                AS BIGINT) AS transitivity_ppm
+    FROM t, w, e
+    """,
+)
+def g_global_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity (the graph-level clustering coefficient
+    C = 3·triangles / wedges) of the part co-occurrence graph — the
+    one-number capstone over the shared kernels: triangles from the
+    checkpointed _min_oriented_tris enumeration (each triangle once at
+    a<b<c), wedges = Σ k(k−1)/2 over the shared degree frame (the
+    pair-count integer class — int64 to ~3e9 degree), ratio as exact
+    integer ppm (zero wedges → NULL both sides; the 3·T·1e6 numerator
+    saturates int64 at ~3e12 triangles — past that, drop to the
+    wide_int() DECIMAL channel). Complements
+    g_local_clustering_topk's per-node C(v): the global form weighs
+    hubs by their wedge count, so the two diverge exactly when
+    clustering concentrates in low-degree nodes. Node/edge/wedge/
+    triangle counts ship for auditability."""
+    pairs, _, deg = _part_cooccurrence(spark, sf_dir)
+    tris = _min_oriented_tris(pairs)
+    t = tris.groupBy().agg(F.count(F.lit(1)).alias("n_triangles"))
+    w = deg.groupBy().agg(
+        F.expr("CAST(sum(k * (k - 1) div 2) AS BIGINT)").alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    )
+    e_ = pairs.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        t.crossJoin(F.broadcast(w))
+        .crossJoin(F.broadcast(e_))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CAST(CASE WHEN n_wedges = 0 THEN NULL"
+                " ELSE 3 * n_triangles * 1000000 div n_wedges END AS BIGINT)"
+            ).alias("transitivity_ppm"),
+        )
+    )
