@@ -1151,3 +1151,66 @@ def test_timestamp_time_travel(spark, tmp_path):
     _json.dump(m, open(p, "w"))
     store._manifest_cache.pop(3, None)
     assert store.version_at((ts[1] + ts[2]) / 2) == 3
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Schema evolution contract (r15): the manifest's state_schema
+    tracks the LATEST commit's update schema, so a delta-append commit
+    with a WIDER schema evolves the table — old rows read back with the
+    new column NULL, across the drifted-delta scan (per-dir union with
+    allowMissingColumns), the COW compaction (base buckets read under
+    the new schema -> missing column NULL), the arrow point read (or
+    its documented Spark fallback — get_state equality is the pin), and
+    time travel, which returns each VERSION's OWN schema."""
+    store = SnapshotStore(
+        str(tmp_path / "s"), key_col="k", num_buckets=4, delta_commits=4
+    )
+    store.commit(
+        None,
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, n long"),
+        "b0",
+        updates_unique=True,
+    )
+    # delta-append with a WIDER schema: adds column m
+    store.commit(
+        None,
+        spark.createDataFrame([("b", 20, 7), ("c", 30, 8)],
+                              "k string, n long, m long"),
+        "b1",
+        updates_unique=True,
+    )
+    rows = {r.k: r for r in store.read_state(spark).collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["a"].n == 1 and rows["a"].m is None  # old row, new col NULL
+    assert rows["b"].n == 20 and rows["b"].m == 7
+    assert rows["c"].m == 8
+    # point reads agree with the scan for old-schema and new-schema keys
+    assert store.get_state(spark, "a") == {"k": "a", "n": 1, "m": None}
+    assert store.get_state(spark, "c") == {"k": "c", "n": 30, "m": 8}
+    # time travel: version 0 answers in ITS schema (no m column)
+    v0 = {r.k: r.asDict() for r in store.read_state(spark, version=0).collect()}
+    assert v0 == {"a": {"k": "a", "n": 1}, "b": {"k": "b", "n": 2}}
+    # force a compaction (delta_commits=4 -> commits 2,3,4 then compact)
+    for i in range(2, 6):
+        store.commit(
+            None,
+            spark.createDataFrame([(f"x{i}", i, i * 10)],
+                                  "k string, n long, m long"),
+            f"b{i}",
+            updates_unique=True,
+        )
+    rows2 = {r.k: r for r in store.read_state(spark).collect()}
+    assert rows2["a"].m is None and rows2["b"].m == 7
+    assert rows2["x5"].m == 50
+    assert store.get_state(spark, "a") == {"k": "a", "n": 1, "m": None}
+    # update an OLD key post-evolution and read it back through both paths
+    store.commit(
+        None,
+        spark.createDataFrame([("a", 100, 9)], "k string, n long, m long"),
+        "b9",
+        updates_unique=True,
+    )
+    assert store.get_state(spark, "a") == {"k": "a", "n": 100, "m": 9}
+    assert {
+        r.k: (r.n, r.m) for r in store.read_state(spark).collect()
+    }["a"] == (100, 9)
