@@ -13,6 +13,7 @@ from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import text as tx
 from . import query
+from .dedup import _DUCK_LP_ROUND
 
 from ..operators.dedup import DUCK_NORMALIZE_SQL, DUCK_TOKENS_SQL
 
@@ -328,10 +329,11 @@ _PHASH_TRIP_SQL = "concat(" + ", ".join(
 ) + ")"
 
 
-@query(
-    "mm_phash_neardup",
-    oracle="""
-    WITH base AS (
+# the shared phash pipeline CTEs (fingerprint -> bands -> slotted ->
+# verified Hamming<=3 pairs), used by BOTH mm_phash_neardup and
+# mm_phash_clusters (review-factoring discipline: the banding/slot rule
+# must evolve in lockstep across the pair and cluster entries)
+_PHASH_CTES_SQL = """base AS (
       SELECT doc_id, substring(text, 1, 64) AS s
       FROM documents WHERE regexp_matches(text, '^[ -~]{64}')
     ),
@@ -376,52 +378,25 @@ _PHASH_TRIP_SQL = "concat(" + ", ".join(
       FROM slotted a JOIN slotted b
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        AND a.slot = b.slot AND a.doc_id < b.doc_id
-    )
-    SELECT c.id_a, c.id_b,
-           CAST(bit_count(xor(fa.fp_hi, fb.fp_hi))
-                + bit_count(xor(fa.fp_lo, fb.fp_lo)) AS BIGINT) AS hamming
-    FROM cand c
-    JOIN fp fa ON fa.doc_id = c.id_a
-    JOIN fp fb ON fb.doc_id = c.id_b
-    WHERE bit_count(xor(fa.fp_hi, fb.fp_hi))
-          + bit_count(xor(fa.fp_lo, fb.fp_lo)) <= 3
-    """,
-)
-def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash IMAGE near-dup — the multimodal member of the
-    dedup family (r14 VERDICT task 2): 64-bit average hash (aHash) over
-    the REAL decode path, banded like simhash, exact Hamming verify.
-    Full oracle via the construct-in-query trick (mm_feature_extract
-    precedent): each doc's first 64 printable-ASCII chars become the
-    grey levels of a valid 8×8 24-bit BMP (constant 54-byte header +
-    each char tripled into BGR — B=G=R makes integer grey exactly the
-    char code, and the 8×8 canvas makes the resample the identity), so
-    the mapInPandas ahash64 kernel (decode → resample → integer grey →
-    strict ``v*64 > total`` mean threshold → two 32-bit halves) is an
-    exact integer channel DuckDB recomputes from the ascii codes; BMP
-    bottom-up row order = the bit-index flip mirrored in the oracle.
-    Banding: 4 bands × 16 bits — pigeonhole-complete for the Hamming≤3
-    output threshold (a pair differing in ≤3 bits leaves ≥1 band
-    untouched); 16-bit bands measured 5.5k candidates / max bucket 39
-    at sf0.01 vs 61k / 143 for 8-bit bands on this corpus
-    (text-derived brightness skews narrow bands). OVERSIZED band
-    buckets are sub-blocked at max 256 docs via an md5 slot (the
-    max_block rule, mirrored EXACTLY in the oracle through the md5
-    channel — n_sub = ceil(c/256), slot = md5(doc_id)[:8] % n_sub):
-    non-binding at the oracle scales (max bucket 39 < 256 ⇒ n_sub = 1,
-    output identical to uncapped) but essential on low-entropy corpora
-    — the r15 stress slice (31-word vocab) concentrated fingerprints
-    into 2.5k-doc buckets, 19.1M candidate pairs at sf0.5 and a 1.58
-    exponent uncapped; capped re-measured 0.87 (15.0 → 6.3 s — in-
-    bucket growth now linear in n_sub, the d_idf_weighted band). The
-    completeness claim weakens only inside split buckets: a ≤3-bit
-    pair whose every untouched band lands in a split bucket can miss
-    (the sim_blocked_pairs_recall_audit class). The fingerprint frame
-    is localCheckpointed (band explode ×2 sides + 2 verify sides);
-    both slotted sides are the identical subtree renamed after the
-    join → ReusedExchange. At scale: band join is the only shuffle,
-    in-bucket pair growth capped at 256²; the verify join is
-    O(candidates)."""
+    ),
+    ham_pairs AS (
+      SELECT c.id_a, c.id_b,
+             CAST(bit_count(xor(fa.fp_hi, fb.fp_hi))
+                  + bit_count(xor(fa.fp_lo, fb.fp_lo)) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN fp fa ON fa.doc_id = c.id_a
+      JOIN fp fb ON fb.doc_id = c.id_b
+      WHERE bit_count(xor(fa.fp_hi, fb.fp_hi))
+            + bit_count(xor(fa.fp_lo, fb.fp_lo)) <= 3
+    )"""
+
+
+def _phash_pairs(spark: SparkSession, sf_dir: str):
+    """Shared Spark half of the phash pipeline: returns (fp, pairs) —
+    the checkpointed fingerprint frame and the verified Hamming<=3 pair
+    frame (see mm_phash_neardup's docstring for every design decision;
+    this helper exists so the cluster entry can never drift from the
+    pair entry's banding/slot rule)."""
     docs = (
         _docs(spark, sf_dir)
         .where(F.col("text").rlike("^[ -~]{64}"))
@@ -481,7 +456,7 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp_hi").alias("hb"),
         F.col("fp_lo").alias("lb"),
     )
-    return (
+    pairs = (
         cand.join(fa, "id_a")
         .join(fb, "id_b")
         .select(
@@ -493,6 +468,53 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("hamming") <= 3)
     )
+    return fp, pairs
+
+
+@query(
+    "mm_phash_neardup",
+    oracle=f"""
+    WITH {_PHASH_CTES_SQL}
+    SELECT id_a, id_b, hamming FROM ham_pairs
+    """,
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-dup — the multimodal member of the
+    dedup family (r14 VERDICT task 2): 64-bit average hash (aHash) over
+    the REAL decode path, banded like simhash, exact Hamming verify.
+    Full oracle via the construct-in-query trick (mm_feature_extract
+    precedent): each doc's first 64 printable-ASCII chars become the
+    grey levels of a valid 8×8 24-bit BMP (constant 54-byte header +
+    each char tripled into BGR — B=G=R makes integer grey exactly the
+    char code, and the 8×8 canvas makes the resample the identity), so
+    the mapInPandas ahash64 kernel (decode → resample → integer grey →
+    strict ``v*64 > total`` mean threshold → two 32-bit halves) is an
+    exact integer channel DuckDB recomputes from the ascii codes; BMP
+    bottom-up row order = the bit-index flip mirrored in the oracle.
+    Banding: 4 bands × 16 bits — pigeonhole-complete for the Hamming≤3
+    output threshold (a pair differing in ≤3 bits leaves ≥1 band
+    untouched); 16-bit bands measured 5.5k candidates / max bucket 39
+    at sf0.01 vs 61k / 143 for 8-bit bands on this corpus
+    (text-derived brightness skews narrow bands). OVERSIZED band
+    buckets are sub-blocked at max 256 docs via an md5 slot (the
+    max_block rule, mirrored EXACTLY in the oracle through the md5
+    channel — n_sub = ceil(c/256), slot = md5(doc_id)[:8] % n_sub):
+    non-binding at the oracle scales (max bucket 39 < 256 ⇒ n_sub = 1,
+    output identical to uncapped) but essential on low-entropy corpora
+    — the r15 stress slice (31-word vocab) concentrated fingerprints
+    into 2.5k-doc buckets, 19.1M candidate pairs at sf0.5 and a 1.58
+    exponent uncapped; capped re-measured 0.87 (15.0 → 6.3 s — in-
+    bucket growth now linear in n_sub, the d_idf_weighted band). The
+    completeness claim weakens only inside split buckets: a ≤3-bit
+    pair whose every untouched band lands in a split bucket can miss
+    (the sim_blocked_pairs_recall_audit class). The fingerprint frame
+    is localCheckpointed (band explode ×2 sides + 2 verify sides);
+    both slotted sides are the identical subtree renamed after the
+    join → ReusedExchange. At scale: band join is the only shuffle,
+    in-bucket pair growth capped at 256²; the verify join is
+    O(candidates)."""
+    _fp, pairs = _phash_pairs(spark, sf_dir)
+    return pairs
 
 
 # fixed 9x8 24-bit BMP header (the dHash canvas: 9 columns so the 8
@@ -512,6 +534,49 @@ _DHASH_ROW_SQL = [
     ) + ")"
     for r in range(8)
 ]
+
+
+@query(
+    "mm_phash_clusters",
+    oracle=f"""
+    WITH {_PHASH_CTES_SQL},
+    symp AS (
+      SELECT id_a AS a, id_b AS b FROM ham_pairs
+      UNION ALL SELECT id_b, id_a FROM ham_pairs
+    ),
+    l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM fp),
+    l1 AS ({_DUCK_LP_ROUND.format(prev="l0")}),
+    l2 AS ({_DUCK_LP_ROUND.format(prev="l1")}),
+    l3 AS ({_DUCK_LP_ROUND.format(prev="l2")})
+    SELECT id AS doc_id, CAST(lbl AS BIGINT) AS cluster FROM l3
+    """,
+)
+def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image duplicate CLUSTERS — the d_fuzzy_dedup_clusters analog for
+    the multimodal family: the Hamming≤3 aHash pair graph (the ENTIRE
+    mm_phash_neardup pipeline via the shared _phash_pairs kernel — one
+    code path, so the banding/slot rule cannot drift between the pair
+    and cluster entries) collapsed to components by 3 unrolled
+    min-label rounds (the shared _min_label_rounds helper; fixed
+    rounds make the labels a pure function, so even the propagation is
+    fully oracled via _DUCK_LP_ROUND). Every fingerprinted doc gets a
+    row — singletons keep their own id as the cluster label. The pair
+    frame is localCheckpointed (each propagation round joins it
+    twice)."""
+    from .dedup import _min_label_rounds
+
+    fp, pairs = _phash_pairs(spark, sf_dir)
+    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
+    sym = edges.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).unionAll(edges.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+    seed = fp.select(
+        F.col("doc_id").alias("id"), F.col("doc_id").alias("lbl")
+    )
+    lbl = _min_label_rounds(sym, seed, rounds=3)
+    return lbl.select(
+        F.col("id").alias("doc_id"), F.col("lbl").cast("bigint").alias("cluster")
+    )
 
 
 @query(
