@@ -612,9 +612,11 @@ AHASH_SCHEMA = "id long, fp_hi long, fp_lo long"
 
 
 def image_ahash(df: DataFrame, id_col: str = "id", kind: str = "ahash") -> DataFrame:
-    """Per-image 64-bit perceptual fingerprint (aHash or dHash) over
-    mapInPandas — the image member of the dedup family's fingerprint
-    stage (simhash's shape: fingerprint → band → Hamming verify).
+    """Per-payload 64-bit perceptual fingerprint over mapInPandas —
+    kind='ahash'/'dhash' for images, kind='audio' for WAV payloads
+    (audio_ahash64) — the multimodal members of the dedup family's
+    fingerprint stage (simhash's shape: fingerprint → band → Hamming
+    verify).
     Undecodable payloads yield NULL halves (visible, never silently
     dropped); one pass, no shuffle, payload dropped on output."""
     fn = {"ahash": ahash64, "dhash": dhash64, "audio": audio_ahash64}[kind]

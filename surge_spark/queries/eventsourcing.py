@@ -4443,11 +4443,15 @@ def m_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("r").alias("nr"),
     )
     j = mr.crossJoin(F.broadcast(lim)).where(F.col("nr") > 0)
+    # 2.66D, not 2.66: a bare decimal literal in F.expr runs the whole
+    # chain in scale-truncating DECIMAL arithmetic (the r13
+    # t_log_odds_terms invariant) — the violation predicate compares
+    # unrounded values, so the channel must be float64 end to end
     ucl = (
-        "CAST(sx AS DOUBLE) / n_days + 2.66 * sr / nr"
+        "CAST(sx AS DOUBLE) / n_days + 2.66D * sr / nr"
     )
     lcl = (
-        "CAST(sx AS DOUBLE) / n_days - 2.66 * sr / nr"
+        "CAST(sx AS DOUBLE) / n_days - 2.66D * sr / nr"
     )
     return j.select(
         F.col("d").alias("day"),

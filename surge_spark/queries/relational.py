@@ -9038,8 +9038,8 @@ def a_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pv AS (
       SELECT CAST(count(*) AS BIGINT) AS n_replicas,
-             CAST(sum(CASE WHEN abs(d) >= abs(o.obs_diff)
-                      THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+             CAST(coalesce(sum(CASE WHEN abs(d) >= abs(o.obs_diff)
+                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_extreme
       FROM diffs, obs o
     )
     SELECT o.n_events, o.obs_diff, p.n_replicas, p.n_extreme,

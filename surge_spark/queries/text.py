@@ -13,7 +13,7 @@ from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import text as tx
 from . import query
-from .dedup import _DUCK_LP_ROUND
+from .dedup import _DUCK_LP_ROUND, _min_label_rounds
 
 from ..operators.dedup import DUCK_NORMALIZE_SQL, DUCK_TOKENS_SQL
 
@@ -563,8 +563,6 @@ def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     row — singletons keep their own id as the cluster label. The pair
     frame is localCheckpointed (each propagation round joins it
     twice)."""
-    from .dedup import _min_label_rounds
-
     fp, pairs = _phash_pairs(spark, sf_dir)
     edges = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     sym = edges.select(
