@@ -9404,3 +9404,188 @@ def g_global_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transitivity_ppm"),
         )
     )
+
+
+@query(
+    "a_jackknife_variance",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 32 AS g
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    grp AS (
+      SELECT g, CAST(sum(cents) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS c
+      FROM ev GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(s) AS BIGINT) AS st, CAST(sum(c) AS BIGINT) AS ct,
+             CAST(count(*) AS BIGINT) AS ng
+      FROM grp
+    ),
+    loo AS (
+      SELECT round(CAST(t.st - g.s AS DOUBLE) / (t.ct - g.c), 6) AS theta
+      FROM grp g, tot t WHERE t.ct - g.c > 0
+    ),
+    jk AS (
+      SELECT CAST(count(*) AS BIGINT) AS g_used,
+             avg(theta) AS tbar,
+             sum(theta * theta) AS t2
+      FROM loo
+    )
+    SELECT t.ng AS n_groups, jk.g_used, t.ct AS n_events,
+           CAST(round(CAST(t.st AS DOUBLE) / t.ct, 4) AS DOUBLE)
+             AS mean_cents,
+           CAST(CASE WHEN jk.g_used < 2 THEN NULL
+                ELSE round(sqrt((CAST(jk.g_used AS DOUBLE) - 1) / jk.g_used
+                     * (jk.t2 - jk.g_used * jk.tbar * jk.tbar)), 4)
+                END AS DOUBLE) AS jackknife_se
+    FROM jk, tot t WHERE t.ct > 0
+    """,
+)
+def a_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-a-GROUP jackknife standard error for the mean purchase —
+    the third member of the hash-deterministic resampling trio
+    (a_subsample_ci, a_permutation_test): 32 hash groups from one md5,
+    leave-one-group-out means θ_g = (S−s_g)/(C−c_g) as round-6 ratios
+    of exact integer-cents sums, and SE = √((G−1)/G · Σ(θ_g − θ̄)²)
+    from one mirrored float formula over the 32 rounded θ values (the
+    power-sum form t2 − G·θ̄² — aggregate over a 32-row frame, so
+    float-sum order noise is bounded by 32 terms of ~equal magnitude,
+    far inside round-4). Empty-complement groups dropped identically
+    both sides; <2 usable groups → NULL. One scan + one 32-row
+    aggregate; the grouped partial runs map-side."""
+    e = _t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    ev = e.select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            "pmod(CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT), 32)"
+        ).alias("g"),
+    )
+    grp = ev.groupBy("g").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    tot = grp.groupBy().agg(
+        F.sum("s").alias("st"),
+        F.sum("c").alias("ct"),
+        F.count(F.lit(1)).alias("ng"),
+    )
+    loo = grp.crossJoin(F.broadcast(tot)).where(
+        F.expr("ct - c > 0")
+    ).select(
+        F.expr("round(CAST(st - s AS DOUBLE) / (ct - c), 6)").alias("theta")
+    )
+    jk = loo.groupBy().agg(
+        F.count(F.lit(1)).alias("g_used"),
+        F.avg("theta").alias("tbar"),
+        F.expr("sum(theta * theta)").alias("t2"),
+    )
+    return jk.crossJoin(F.broadcast(tot)).where(F.col("ct") > 0).select(
+        F.col("ng").alias("n_groups"),
+        "g_used",
+        F.col("ct").alias("n_events"),
+        F.expr(
+            "CAST(round(CAST(st AS DOUBLE) / ct, 4) AS DOUBLE)"
+        ).alias("mean_cents"),
+        F.expr(
+            "CAST(CASE WHEN g_used < 2 THEN NULL"
+            " ELSE round(sqrt((CAST(g_used AS DOUBLE) - 1) / g_used"
+            " * (t2 - g_used * tbar * tbar)), 4) END AS DOUBLE)"
+        ).alias("jackknife_se"),
+    )
+
+
+@query(
+    "g_brand_assortativity",
+    oracle=f"""
+    WITH {_PART_COOCCUR_SQL},
+    lbl AS (SELECT p_partkey, p_brand FROM part),
+    e2 AS (
+      SELECT la.p_brand AS ba, lb.p_brand AS bb
+      FROM pairs
+      JOIN lbl la ON la.p_partkey = pairs.pa
+      JOIN lbl lb ON lb.p_partkey = pairs.pb
+    ),
+    mix AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(CASE WHEN ba = bb THEN 1 ELSE 0 END) AS BIGINT)
+               AS same
+      FROM e2
+    ),
+    ends_ AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS k FROM (
+        SELECT ba AS b FROM e2 UNION ALL SELECT bb FROM e2
+      ) GROUP BY 1
+    ),
+    ab AS (
+      SELECT sum(CAST(k AS DOUBLE) * k) AS skk,
+             CAST(sum(k) AS BIGINT) AS tot
+      FROM ends_
+    )
+    SELECT mix.m AS n_edges, mix.same AS n_same_brand,
+           CAST(mix.same * 1000000 // mix.m AS BIGINT) AS same_ppm,
+           CAST(CASE WHEN ab.skk / (ab.tot * CAST(ab.tot AS DOUBLE)) = 1.0
+                THEN NULL
+                ELSE round((CAST(mix.same AS DOUBLE) / mix.m
+                     - ab.skk / (ab.tot * CAST(ab.tot AS DOUBLE)))
+                     / (1.0 - ab.skk / (ab.tot * CAST(ab.tot AS DOUBLE))),
+                     6) END AS DOUBLE) AS assortativity
+    FROM mix, ab
+    """,
+)
+def g_brand_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATTRIBUTE (categorical) assortativity of the part co-occurrence
+    graph by brand — Newman's discrete assortativity coefficient
+    r = (Σe_ii − Σa_i²)/(1 − Σa_i²), the companion to
+    g_degree_assortativity's numeric form ('do parts of the same brand
+    co-occur in orders more than chance?'): Σe_ii is the same-brand
+    edge fraction (exact integers, ppm shipped), Σa_i² is the squared
+    end-fraction mass computed from integer endpoint counts via one
+    mirrored float formula (Σk²/(2m)² — k per brand is bounded by 2m,
+    and the k product runs in DOUBLE so no data-scaled bigint product
+    forms), degenerate single-brand graphs → NULL both sides. Riding
+    the shared _part_cooccurrence kernel + two broadcast label joins;
+    one aggregate each side."""
+    pairs, _, _ = _part_cooccurrence(spark, sf_dir)
+    lbl = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    la = lbl.select(
+        F.col("p_partkey").alias("pa"), F.col("p_brand").alias("ba")
+    )
+    lb = lbl.select(
+        F.col("p_partkey").alias("pb"), F.col("p_brand").alias("bb")
+    )
+    e2 = pairs.join(F.broadcast(la), "pa").join(F.broadcast(lb), "pb")
+    mix = e2.groupBy().agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr(
+            "CAST(sum(CASE WHEN ba = bb THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("same"),
+    )
+    ends = (
+        e2.select(F.col("ba").alias("b"))
+        .unionAll(e2.select(F.col("bb").alias("b")))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    ab = ends.groupBy().agg(
+        F.expr("sum(CAST(k AS DOUBLE) * k)").alias("skk"),
+        F.sum("k").alias("tot"),
+    )
+    return mix.crossJoin(F.broadcast(ab)).select(
+        F.col("m").alias("n_edges"),
+        F.col("same").alias("n_same_brand"),
+        F.expr("CAST(same * 1000000 div m AS BIGINT)").alias("same_ppm"),
+        F.expr(
+            "CAST(CASE WHEN skk / (tot * CAST(tot AS DOUBLE)) = 1.0D"
+            " THEN NULL"
+            " ELSE round((CAST(same AS DOUBLE) / m"
+            " - skk / (tot * CAST(tot AS DOUBLE)))"
+            " / (1.0D - skk / (tot * CAST(tot AS DOUBLE))), 6)"
+            " END AS DOUBLE)"
+        ).alias("assortativity"),
+    )
