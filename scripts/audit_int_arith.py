@@ -347,6 +347,16 @@ BIGINT_PRODUCT_BOUNDS: dict[str, str] = {
     "a_spearman_rho_decimal (wide_int)",
     "a_mann_whitney_u": "tie-corrected z channel ~ n^3: int64 to ~2e9 "
     "doubled-rank units; escape = a_mann_whitney_u_decimal",
+    "a_kruskal_wallis": "doubled-rank r2_j <= 2n^2 and cubic tie channel "
+    "— the a_mann_whitney_u class: int64 to ~2e9 pooled rows / ~2.1e6 "
+    "rows on one cents value; escape = the MW decimal-twin pattern",
+    "a_one_way_anova": "Sum(cents^2) moment channel: int64 to ~9e8 events "
+    "at the 1e5-cent price domain (the a_welch_t_test class); escape = "
+    "wide_int DECIMAL(38)",
+    "t_yule_k": "Sum(c^2) <= N^2 per-source token channel: int64 to ~3e9 "
+    "tokens per source; escape = wide_int DECIMAL(38)",
+    "w_ulcer_index": "dd_bp^2 <= 1e8 on the calendar-bounded daily frame "
+    "(dd_bp is a <=10000 basis-point quotient by construction)",
     "a_gini_by_group": "rank*cents prefix products: int64 to ~9e18/"
     "max_cents rows per nation; escape = a_gini_by_group_decimal",
     # --- n^2-of-count channels, bound stated in the entry docstring ---

@@ -8547,10 +8547,11 @@ def a_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "w_max_drawdown",
-    oracle="""
-    WITH daily AS (
+# Shared equity/running-peak drawdown kernel (w_max_drawdown +
+# w_ulcer_index — one CTE text and one builder so the two risk entries
+# cannot drift): daily purchase cents -> running equity -> running peak,
+# all EXACT integers over the calendar-bounded daily series.
+_EQUITY_DD_SQL = """daily AS (
       SELECT epoch_ms(ts) // 86400000 AS d,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
@@ -8569,7 +8570,32 @@ def a_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS peak
       FROM cum
+    )"""
+
+
+def _equity_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d, equity, peak) frame mirroring _EQUITY_DD_SQL — the daily
+    cumulative-revenue curve with its running maximum. The window is over
+    the calendar-bounded daily series (row count = day count, the
+    m_daily_backlog class), so the unpartitioned frame is safe at any SF."""
+    e = _t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
     )
+    daily = e.groupBy(
+        F.expr("unix_millis(ts) div 86400000").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+    wf = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "d", F.sum("cents").over(wf).alias("equity")
+    ).withColumn("peak", F.expr("max(equity)").over(wf))
+
+
+@query(
+    "w_max_drawdown",
+    oracle=f"""
+    WITH {_EQUITY_DD_SQL}
     SELECT CAST(count(*) AS BIGINT) AS n_days,
            CAST(max(peak - equity) AS BIGINT) AS max_drawdown_cents,
            CAST(CASE WHEN max(peak) = 0 THEN NULL
@@ -8591,19 +8617,9 @@ def w_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the filter only trims a leading zero-revenue prefix). NOTE
     max((peak-equity)/peak) ≠ max(peak-equity)/max(peak) — the
     fractional and absolute maxima can sit on different days; both
-    ship."""
-    e = _t(spark, sf_dir, "events").where(
-        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
-    )
-    daily = e.groupBy(
-        F.expr("unix_millis(ts) div 86400000").alias("d")
-    ).agg(
-        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
-    )
-    wf = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
-    dd = daily.select(
-        "d", F.sum("cents").over(wf).alias("equity")
-    ).withColumn("peak", F.expr("max(equity)").over(wf))
+    ship. Equity/peak kernel shared with w_ulcer_index
+    (_equity_drawdown / _EQUITY_DD_SQL)."""
+    dd = _equity_drawdown(spark, sf_dir)
     return (
         dd.where(F.col("peak") > 0)
         .groupBy()
@@ -8618,6 +8634,53 @@ def w_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " END AS DOUBLE)"
             ).alias("max_drawdown_frac"),
         )
+    )
+
+
+@query(
+    "w_ulcer_index",
+    oracle=f"""
+    WITH {_EQUITY_DD_SQL},
+    bp AS (
+      SELECT d, CAST((peak - equity) * 10000 // peak AS BIGINT) AS dd_bp
+      FROM dd WHERE peak > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(dd_bp) AS BIGINT) AS max_dd_bp,
+           CAST(sum(dd_bp * dd_bp) AS BIGINT) AS sum_sq_bp,
+           CAST(round(sqrt(CAST(sum(dd_bp * dd_bp) AS DOUBLE) / count(*)),
+                6) AS DOUBLE) AS ulcer_bp
+    FROM bp
+    """,
+)
+def w_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index of the cumulative daily purchase-revenue curve — the
+    root-mean-square drawdown (Martin's 'pain index': unlike
+    w_max_drawdown's single worst dip, it charges for DEPTH × DURATION
+    of every underwater stretch, which is the risk number a retention
+    or revenue KPI actually needs). Rides the SAME _equity_drawdown /
+    _EQUITY_DD_SQL kernel as w_max_drawdown. The per-day drawdown is
+    kept integral as basis points: dd_bp = (peak−equity)·10000 div peak
+    (positive operands, so Spark's truncating `div` ≡ DuckDB's flooring
+    `//` — the t_readability_flesch rule), dd_bp ≤ 10000 so
+    Σdd_bp² ≤ 1e8 · days is bigint-trivial on the calendar-bounded
+    daily frame, and ONE mirrored sqrt(mean) at the end (round-6) is
+    the only float op — order-free both sides because the sum is an
+    exact integer."""
+    dd = _equity_drawdown(spark, sf_dir)
+    bp = dd.where(F.col("peak") > 0).select(
+        F.expr("CAST((peak - equity) * 10000 div peak AS BIGINT)").alias(
+            "dd_bp"
+        )
+    )
+    return bp.groupBy().agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("dd_bp").alias("max_dd_bp"),
+        F.sum(F.expr("dd_bp * dd_bp")).alias("sum_sq_bp"),
+        F.expr(
+            "CAST(round(sqrt(CAST(sum(dd_bp * dd_bp) AS DOUBLE)"
+            " / count(1)), 6) AS DOUBLE)"
+        ).alias("ulcer_bp"),
     )
 
 
@@ -9588,4 +9651,267 @@ def g_brand_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (1.0D - skk / (tot * CAST(tot AS DOUBLE))), 6)"
             " END AS DOUBLE)"
         ).alias("assortativity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# k-sample tests: Kruskal-Wallis + one-way ANOVA (r15 continuation)
+# --------------------------------------------------------------------------
+
+# Pooled per-cents counts over THREE arms (purchase/click/view) — the
+# k-sample extension of _VALUE_ARM_COUNTS_SQL. Kept separate from the
+# two-arm kernel on purpose: the passing two-sample entries' oracles
+# must not drift when the arm set changes.
+_KW_COUNTS_SQL = """ev AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_type AS et
+      FROM events
+      WHERE value IS NOT NULL
+        AND event_type IN ('purchase', 'click', 'view')
+    ),
+    by_v AS (
+      SELECT cents,
+             CAST(sum(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cnt_p,
+             CAST(sum(CASE WHEN et = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cnt_c,
+             CAST(sum(CASE WHEN et = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cnt_v,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM ev GROUP BY cents
+    )"""
+
+
+def _kw_h_expr() -> str:
+    """The tie-corrected Kruskal-Wallis H — ONE formula text evaluated by
+    both engines over the exact integer channels (n_j, r2_j = doubled
+    rank sums, tie_sum). Every literal is an INTEGER (4·n_p, 12, 3,
+    1 − …) so the bare-decimal-literal trap cannot apply at all: integer
+    constants multiply/subtract exactly in bigint and only promote to
+    double when they meet an operand already CAST to DOUBLE, and `/` is
+    float division in BOTH engines regardless of operand type. The
+    Σ R_j²/n_j sum is written in FIXED literal arm order (p, c, v) so
+    the float accumulation order is textually pinned, never
+    aggregate-order."""
+    rsq = (
+        "(CAST(r2_p AS DOUBLE) * r2_p / (4 * n_p)"
+        " + CAST(r2_c AS DOUBLE) * r2_c / (4 * n_c)"
+        " + CAST(r2_v AS DOUBLE) * r2_v / (4 * n_v))"
+    )
+    h_unc = f"(12 / (CAST(n AS DOUBLE) * (n + 1)) * {rsq} - 3 * (n + 1))"
+    ct = "(1 - CAST(tie_sum AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n))"
+    return (
+        "CAST(CASE WHEN n_p = 0 OR n_c = 0 OR n_v = 0 OR n < 2"
+        f" OR {ct} = 0 THEN NULL"
+        f" ELSE round({h_unc} / {ct}, 6) END AS DOUBLE)"
+    )
+
+
+@query(
+    "a_kruskal_wallis",
+    oracle=f"""
+    WITH {_KW_COUNTS_SQL},
+    pre AS (
+      SELECT cents, cnt_p, cnt_c, cnt_v, cnt,
+             CAST(sum(cnt) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+               AS BIGINT) AS less
+      FROM by_v
+    ),
+    g AS (
+      SELECT CAST(sum(cnt_p) AS BIGINT) AS n_p,
+             CAST(sum(cnt_c) AS BIGINT) AS n_c,
+             CAST(sum(cnt_v) AS BIGINT) AS n_v,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt_p * (2 * less + cnt + 1)) AS BIGINT) AS r2_p,
+             CAST(sum(cnt_c * (2 * less + cnt + 1)) AS BIGINT) AS r2_c,
+             CAST(sum(cnt_v * (2 * less + cnt + 1)) AS BIGINT) AS r2_v,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+      FROM pre
+    )
+    SELECT n_p, n_c, n_v, n, r2_p, r2_c, r2_v, tie_sum,
+           {_kw_h_expr()} AS h_stat
+    FROM g
+    """,
+)
+def a_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H: do purchase, click and view draw ``value`` from
+    the same distribution? — the k-SAMPLE extension of a_mann_whitney_u
+    (k=3 here), closing the rank-test ladder (2-sample MW/KS/AD →
+    k-sample KW → the parametric twin a_one_way_anova). Same machinery,
+    generalized: pooled values collapse to integer cents, per-value
+    3-arm counts feed ONE exact distributed prefix sum (no
+    unpartitioned window), the doubled average rank 2r(v) =
+    2·less(v)+cnt(v)+1 keeps every rank-sum channel r2_j =
+    Σ cnt_j·(2·less+cnt+1) in exact bigints, and tie_sum = Σ(cnt³−cnt)
+    is the shared cubic tie channel. H (tie-corrected) comes from those
+    integers through _kw_h_expr — one formula text both engines parse,
+    with the Σ R_j²/n_j accumulation order pinned by literal arm order
+    (the squares run in DOUBLE because R_j² ~ 4n⁴ outgrows bigint at
+    ~55k pooled rows — exact integers END at the g frame by design).
+    Overflow bounds = the a_mann_whitney_u class: r2_j ≤ 2n² holds
+    bigint to n ~ 2.1e9 pooled rows; the cubic tie channel to ~2.1e6
+    rows on ONE cents value; past either, the wide_int escape twin
+    pattern applies (documented, not shipped — the MW decimal twin
+    demonstrates the mechanics)."""
+    from surge_spark.operators.text import distributed_prefix_sum
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "click", "view")
+    )
+    by_v = (
+        e.select(
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum(F.expr("CASE WHEN et = 'purchase' THEN 1 ELSE 0 END")).alias(
+                "cnt_p"
+            ),
+            F.sum(F.expr("CASE WHEN et = 'click' THEN 1 ELSE 0 END")).alias(
+                "cnt_c"
+            ),
+            F.sum(F.expr("CASE WHEN et = 'view' THEN 1 ELSE 0 END")).alias(
+                "cnt_v"
+            ),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .persist()
+    )
+    bounds = by_v.stat.approxQuantile(
+        "cents", [i / 16 for i in range(1, 16)], 0.001
+    )
+    pre = distributed_prefix_sum(
+        by_v, "cnt", "cents", [F.col("cents")], out_col="cum", bounds=bounds
+    ).withColumn("less", F.col("cum") - F.col("cnt"))
+    g = pre.groupBy().agg(
+        F.sum("cnt_p").alias("n_p"),
+        F.sum("cnt_c").alias("n_c"),
+        F.sum("cnt_v").alias("n_v"),
+        F.sum("cnt").alias("n"),
+        F.sum(F.expr("cnt_p * (2 * less + cnt + 1)")).alias("r2_p"),
+        F.sum(F.expr("cnt_c * (2 * less + cnt + 1)")).alias("r2_c"),
+        F.sum(F.expr("cnt_v * (2 * less + cnt + 1)")).alias("r2_v"),
+        F.sum(F.expr("cnt * cnt * cnt - cnt")).alias("tie_sum"),
+    )
+    return g.select(
+        "n_p", "n_c", "n_v", "n", "r2_p", "r2_c", "r2_v", "tie_sum",
+        F.expr(_kw_h_expr()).alias("h_stat"),
+    )
+
+
+# One-way ANOVA shared formula texts — computed over the exact integer
+# moment frame (n, n_j, s1_j, s1, s2). The Σ s1_j²/n_j term and the two
+# sums of squares become NAMED columns so each float expression is
+# written (and therefore evaluated) exactly once per engine.
+_ANOVA_RSQ = (
+    "CASE WHEN n_p = 0 OR n_c = 0 OR n_v = 0 THEN NULL"
+    " ELSE CAST(s1_p AS DOUBLE) * s1_p / n_p"
+    " + CAST(s1_c AS DOUBLE) * s1_c / n_c"
+    " + CAST(s1_v AS DOUBLE) * s1_v / n_v END"
+)
+_ANOVA_SSB = "rsq - CAST(s1 AS DOUBLE) * s1 / n"
+_ANOVA_SSW = "CAST(s2 AS DOUBLE) - rsq"
+_ANOVA_F = (
+    "CAST(CASE WHEN rsq IS NULL OR n <= 3 OR ssw <= 0 THEN NULL"
+    " ELSE round((ssb / 2) / (ssw / (n - 3)), 6) END AS DOUBLE)"
+)
+_ANOVA_ETA2 = (
+    "CAST(CASE WHEN rsq IS NULL OR ssb + ssw <= 0 THEN NULL"
+    " ELSE round(ssb / (ssb + ssw), 6) END AS DOUBLE)"
+)
+
+
+@query(
+    "a_one_way_anova",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_type AS et
+      FROM events
+      WHERE value IS NOT NULL
+        AND event_type IN ('purchase', 'click', 'view')
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_p,
+             CAST(sum(CASE WHEN et = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN et = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_v,
+             CAST(sum(CASE WHEN et = 'purchase' THEN cents ELSE 0 END)
+                  AS BIGINT) AS s1_p,
+             CAST(sum(CASE WHEN et = 'click' THEN cents ELSE 0 END)
+                  AS BIGINT) AS s1_c,
+             CAST(sum(CASE WHEN et = 'view' THEN cents ELSE 0 END)
+                  AS BIGINT) AS s1_v,
+             CAST(sum(cents) AS BIGINT) AS s1,
+             CAST(sum(cents * cents) AS BIGINT) AS s2
+      FROM ev
+    ),
+    r AS (SELECT *, {_ANOVA_RSQ} AS rsq FROM g),
+    s AS (SELECT *, {_ANOVA_SSB} AS ssb, {_ANOVA_SSW} AS ssw FROM r)
+    SELECT n, n_p, n_c, n_v, s1, s2,
+           {_ANOVA_F} AS f_stat,
+           {_ANOVA_ETA2} AS eta_squared
+    FROM s
+    """,
+)
+def a_one_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F over value-cents by event type (purchase / click /
+    view) — the parametric twin of a_kruskal_wallis (means, not ranks;
+    the pair is the standard robustness cross-check: KW significant but
+    F not ⇒ tails/outliers, not location). ONE conditional-aggregate
+    pass yields every moment as an exact integer (n_j, Σcents_j, global
+    Σcents, Σcents² — the a_cuped_adjustment discipline: no engine
+    variance functions whose sample/population corrections differ);
+    SSB = Σ s1_j²/n_j − s1²/N and SSW = Σcents² − Σ s1_j²/n_j are float
+    expressions over that single row, with the shared Σ s1_j²/n_j term
+    a NAMED column (computed once, fixed literal arm order) on both
+    engines; F = (SSB/2)/(SSW/(N−3)) and η² round-6, empty-arm and
+    zero-SSW guards both sides. Overflow bound (the a_welch_t_test
+    class, stated for the audit gate): Σcents² at the ~1e5-cent price
+    domain holds bigint to ~9e8 events; past that the wide_int
+    DECIMAL(38) channel is the documented escape."""
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "click", "view")
+    )
+    ev = e.select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.col("event_type").alias("et"),
+    )
+    g = ev.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CASE WHEN et = 'purchase' THEN 1 ELSE 0 END")).alias(
+            "n_p"
+        ),
+        F.sum(F.expr("CASE WHEN et = 'click' THEN 1 ELSE 0 END")).alias(
+            "n_c"
+        ),
+        F.sum(F.expr("CASE WHEN et = 'view' THEN 1 ELSE 0 END")).alias(
+            "n_v"
+        ),
+        F.sum(F.expr("CASE WHEN et = 'purchase' THEN cents ELSE 0 END")).alias(
+            "s1_p"
+        ),
+        F.sum(F.expr("CASE WHEN et = 'click' THEN cents ELSE 0 END")).alias(
+            "s1_c"
+        ),
+        F.sum(F.expr("CASE WHEN et = 'view' THEN cents ELSE 0 END")).alias(
+            "s1_v"
+        ),
+        F.sum("cents").alias("s1"),
+        F.sum(F.expr("cents * cents")).alias("s2"),
+    )
+    s = (
+        g.withColumn("rsq", F.expr(_ANOVA_RSQ))
+        .withColumn("ssb", F.expr(_ANOVA_SSB))
+        .withColumn("ssw", F.expr(_ANOVA_SSW))
+    )
+    return s.select(
+        "n", "n_p", "n_c", "n_v", "s1", "s2",
+        F.expr(_ANOVA_F).alias("f_stat"),
+        F.expr(_ANOVA_ETA2).alias("eta_squared"),
     )

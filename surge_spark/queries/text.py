@@ -3640,3 +3640,65 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.select(
         F.col("id").alias("doc_id"), "fp_hi", "fp_lo"
     ).where(F.col("fp_hi").isNotNull())
+
+
+@query(
+    "t_yule_k",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    tf AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM toks
+      WHERE w <> '' GROUP BY source, w
+    ),
+    g AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(c * c) AS BIGINT) AS sum_c_sq
+      FROM tf GROUP BY source
+    )
+    SELECT source, vocab, n_tokens, sum_c_sq,
+           CAST(CASE WHEN n_tokens < 2 THEN NULL
+                ELSE round(10000 * (CAST(sum_c_sq AS DOUBLE) - n_tokens)
+                     / (CAST(n_tokens AS DOUBLE) * n_tokens), 6)
+                END AS DOUBLE) AS yule_k
+    FROM g
+    """,
+)
+def t_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per source — the REPETITIVENESS twin of
+    t_hapax_ratio on the SAME (source, word) tf frame (hapax measures
+    the once-seen tail; K = 10⁴·(Σm²V(m) − N)/N² = 10⁴·(Σc² − N)/N²
+    weighs the repeated head and, unlike TTR or hapax, is by design
+    insensitive to sample SIZE — the standard author/template
+    fingerprint: boilerplate-heavy sources push K up, diverse prose
+    sits low). Integer channels end to end (Σc² ≤ N² holds bigint to
+    ~3e9 tokens per source — the audit-gate bound; wide_int is the
+    documented escape past that); ONE mirrored float quotient with an
+    integer 10⁴ literal (no decimal-literal channel), round-6, N<2 →
+    NULL both sides."""
+    from surge_spark.operators.dedup import tokens as _tok
+
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select("source", F.explode(_tok("text")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = tf.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.expr("c * c")).alias("sum_c_sq"),
+    )
+    return g.select(
+        "source", "vocab", "n_tokens", "sum_c_sq",
+        F.expr(
+            "CAST(CASE WHEN n_tokens < 2 THEN NULL"
+            " ELSE round(10000 * (CAST(sum_c_sq AS DOUBLE) - n_tokens)"
+            " / (CAST(n_tokens AS DOUBLE) * n_tokens), 6)"
+            " END AS DOUBLE)"
+        ).alias("yule_k"),
+    )

@@ -1655,3 +1655,59 @@ def test_log_odds_terms_contract(spark, sf_dir):
     srcs = sorted({r.source for r in d.select("source").distinct().collect()})[:2]
     assert top.count_a == by_src.get(srcs[0], 0)
     assert top.count_b == by_src.get(srcs[1], 0)
+
+
+def test_kruskal_wallis_contract(spark, sf_dir):
+    """KW doubled-rank identity: Σ r2_j = total doubled rank sum =
+    n(n+1) + ... — actually Σ_j r2_j = Σ_v cnt(2·less+cnt+1) = n(n+1)
+    (doubled sum of average ranks 1..n); H ≥ 0 when defined (tie-
+    corrected H is nonnegative up to float eps)."""
+    r = all_queries()["a_kruskal_wallis"](spark, sf_dir).collect()[0]
+    assert r.n == r.n_p + r.n_c + r.n_v
+    assert r.r2_p + r.r2_c + r.r2_v == r.n * (r.n + 1)
+    if r.h_stat is not None:
+        assert r.h_stat >= -1e-9
+
+
+def test_one_way_anova_contract(spark, sf_dir):
+    """ANOVA partition: η² ∈ [0, 1]; F ≥ 0 when defined; the moment
+    identities (n, s1) match the KW arm totals on the same slice."""
+    r = all_queries()["a_one_way_anova"](spark, sf_dir).collect()[0]
+    kw = all_queries()["a_kruskal_wallis"](spark, sf_dir).collect()[0]
+    assert (r.n, r.n_p, r.n_c, r.n_v) == (kw.n, kw.n_p, kw.n_c, kw.n_v)
+    if r.f_stat is not None:
+        assert r.f_stat >= 0.0
+    if r.eta_squared is not None:
+        assert -1e-9 <= r.eta_squared <= 1.0 + 1e-9
+
+
+def test_yule_k_contract(spark, sf_dir):
+    """Yule K: per-source vocab/token totals agree with t_hapax_ratio
+    (same tf frame); K ≥ 0 (Σc² ≥ N always); Σc² ≥ N with equality iff
+    every word is hapax."""
+    yk = {r.source: r for r in all_queries()["t_yule_k"](spark, sf_dir).collect()}
+    hp = {
+        r.source: r
+        for r in all_queries()["t_hapax_ratio"](spark, sf_dir).collect()
+    }
+    assert set(yk) == set(hp)
+    for s, r in yk.items():
+        assert r.vocab == hp[s].vocab
+        assert r.sum_c_sq >= r.n_tokens
+        if r.yule_k is not None:
+            assert r.yule_k >= -1e-9
+        if r.sum_c_sq == r.n_tokens:
+            assert hp[s].n_hapax == hp[s].vocab
+
+
+def test_ulcer_index_contract(spark, sf_dir):
+    """Ulcer ≤ max drawdown in bp (RMS ≤ max); n_days matches
+    w_max_drawdown's frame; ulcer re-derives from the shipped integer
+    channels."""
+    import math
+
+    u = all_queries()["w_ulcer_index"](spark, sf_dir).collect()[0]
+    m = all_queries()["w_max_drawdown"](spark, sf_dir).collect()[0]
+    assert u.n_days == m.n_days
+    assert u.ulcer_bp <= u.max_dd_bp + 1e-9
+    assert abs(u.ulcer_bp - round(math.sqrt(u.sum_sq_bp / u.n_days), 6)) < 1e-12
