@@ -940,3 +940,59 @@ def sprt_handle_event(state: dict | None, event: dict) -> dict:
 SPRT_STATE_SCHEMA = (
     "aggregate_id string, llr double, n_detect long, n_clear long, n long"
 )
+
+
+# --- Debounce / trailing rate-limit fold (cross-mode twin #9) ---------------
+# Admit an event only when >= DEBOUNCE_GAP_MS has passed since the last
+# ADMITTED event (not the last event — a suppressed burst never resets
+# the clock, which is what distinguishes debounce from per-event
+# throttling and makes the fold genuinely recursive). All-integer state,
+# so the cross-mode pin is EXACT equality.
+
+DEBOUNCE_GAP_MS = 60_000  # literal shared by kernel, Spark plan, oracle
+
+
+def debounce_step(
+    last_ms: int | None,
+    n_accepted: int,
+    n_suppressed: int,
+    t_ms: int,
+) -> tuple[int, int, int]:
+    """One debounce update — THE shared kernel for cross-mode twin #9
+    (es_debounce_fold / debounce_stream): the first event (last_ms is
+    None) always admits; afterwards admit iff t_ms − last_ms >=
+    DEBOUNCE_GAP_MS, and ONLY admissions advance last_ms. Integer
+    arithmetic only."""
+    if last_ms is None or t_ms - last_ms >= DEBOUNCE_GAP_MS:
+        return t_ms, n_accepted + 1, n_suppressed
+    return last_ms, n_accepted, n_suppressed + 1
+
+
+def debounce_handle_event(state: dict | None, event: dict) -> dict:
+    """Per-key debounce as an ordered event fold — the batch half of
+    twin #9, on the same sorted-stream fold kernel as bank/holt/cusum/
+    saga/token-bucket/burn/PH/multiwindow/SPRT."""
+    t_ms = int(event["ms"])
+    if state is None:
+        last_ms, n_acc, n_sup = debounce_step(None, 0, 0, t_ms)
+        n = 1
+        agg_id = str(event["user_id"])
+    else:
+        last_ms, n_acc, n_sup = debounce_step(
+            state["last_ms"], state["n_accepted"], state["n_suppressed"], t_ms
+        )
+        n = state["n"] + 1
+        agg_id = state["aggregate_id"]
+    return {
+        "aggregate_id": agg_id,
+        "last_ms": last_ms,
+        "n_accepted": n_acc,
+        "n_suppressed": n_sup,
+        "n": n,
+    }
+
+
+DEBOUNCE_STATE_SCHEMA = (
+    "aggregate_id string, last_ms long, n_accepted long,"
+    " n_suppressed long, n long"
+)

@@ -4463,3 +4463,71 @@ def m_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" WHEN CAST(x AS DOUBLE) < {lcl} THEN -1 ELSE 0 END AS INT)"
         ).alias("violation"),
     )
+
+
+# debounce gap literal rendered ONCE from the kernel module
+_DEB_GAP = str(es.DEBOUNCE_GAP_MS)
+_DEB_ADMIT = f"(f.last_ms IS NULL OR o.ms - f.last_ms >= {_DEB_GAP})"
+
+
+@query(
+    "es_debounce_fold",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, epoch_ms(ts) AS ms,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    lim AS (SELECT user_id, max(rn) AS mx FROM ordered GROUP BY user_id),
+    fold(user_id, rn, last_ms, n_accepted, n_suppressed) AS (
+      SELECT user_id, 0, CAST(NULL AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM lim
+      UNION ALL
+      SELECT f.user_id, f.rn + 1,
+             CASE WHEN {_DEB_ADMIT} THEN o.ms ELSE f.last_ms END,
+             f.n_accepted + CASE WHEN {_DEB_ADMIT} THEN 1 ELSE 0 END,
+             f.n_suppressed + CASE WHEN {_DEB_ADMIT} THEN 0 ELSE 1 END
+      FROM fold f JOIN ordered o
+        ON o.user_id = f.user_id AND o.rn = f.rn + 1
+    )
+    SELECT CAST(f.user_id AS VARCHAR) AS aggregate_id,
+           CAST(f.last_ms AS BIGINT) AS last_ms,
+           f.n_accepted, f.n_suppressed,
+           CAST(l.mx AS BIGINT) AS n
+    FROM fold f JOIN lim l USING (user_id) WHERE f.rn = l.mx
+    """,
+)
+def es_debounce_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user DEBOUNCE (trailing rate limit) as an ordered event fold —
+    the batch half of cross-mode twin #9 (live half:
+    streaming/metrics.debounce_stream, BOTH calling the ONE
+    debounce_step kernel): an event is ADMITTED only when >= 60 s has
+    passed since the last ADMITTED event; a suppressed burst never
+    resets the clock, which is exactly what makes the fold recursive —
+    admission depends on the last accepted timestamp, not the previous
+    row, so no lag()/session-window rewrite expresses it (the
+    token-bucket class, with a simpler state: one timestamp + two
+    counters, all integers ⇒ the recursive-CTE oracle and the
+    streaming twin pin EXACTLY, no float channel at all). The
+    notification-dedup / alert-fatigue shape every event pipeline
+    ships."""
+    e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    e = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    folded = es.fold_events_sorted(
+        e,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        handle_event=es.debounce_handle_event,
+        state_schema=es.DEBOUNCE_STATE_SCHEMA,
+    )
+    return folded.select(
+        "aggregate_id", "last_ms", "n_accepted", "n_suppressed", "n"
+    )

@@ -917,3 +917,82 @@ def sprt_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_DEBOUNCE_STATE = StructType(
+    [
+        StructField("last_ms", LongType()),
+        StructField("n_accepted", LongType()),
+        StructField("n_suppressed", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+DEBOUNCE_OUTPUT = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("last_ms", LongType()),
+        StructField("n_accepted", LongType()),
+        StructField("n_suppressed", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def debounce_stream(events: DataFrame) -> DataFrame:
+    """Live per-key debounce — the NINTH cross-mode twin (cusum, token
+    bucket, saga, holt, burn, PH, multiwindow burn, SPRT, debounce):
+    admit an event only when >= DEBOUNCE_GAP_MS has passed since the
+    last ADMITTED event, via applyInPandasWithState with BOTH modes
+    calling the ONE debounce_step kernel
+    (operators/eventsourcing.py). All-integer state (one timestamp +
+    two counters), so cross-mode equality with es_debounce_fold is
+    EXACT — pinned in tests/test_streaming.py across a micro-batch
+    boundary where the last-admitted timestamp carried from batch 1
+    decides batch 2's first admission (and where gap-from-PREVIOUS-
+    event semantics would decide differently — the pin distinguishes
+    debounce from throttling). Input rows are {user_id, event_type,
+    ms, event_id}; each batch sorts by (ms, event_id); NULL user_ids
+    filtered exactly like the batch twin. State is 4 longs per key."""
+    from ..operators.eventsourcing import debounce_step
+
+    events = events.where(F.col("user_id").isNotNull())
+
+    def step(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            last_ms, n_acc, n_sup, n = state.get
+        else:
+            last_ms, n_acc, n_sup, n = None, 0, 0, 0
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ms", "event_id"], kind="mergesort"
+        )
+        for t in batch["ms"]:
+            last_ms, n_acc, n_sup = debounce_step(last_ms, n_acc, n_sup,
+                                                  int(t))
+            n += 1
+        state.update((last_ms, n_acc, n_sup, n))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": str(key[0]),
+                    "last_ms": last_ms,
+                    "n_accepted": n_acc,
+                    "n_suppressed": n_sup,
+                    "n": n,
+                }
+            ]
+        )
+
+    ensure_shipped(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=DEBOUNCE_OUTPUT,
+        stateStructType=_DEBOUNCE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2692,3 +2692,64 @@ def test_sprt_stream_matches_batch_fold(spark, tmp_path):
     )
     # non-vacuous: one detection (across the boundary) and >=1 clear
     assert st["n_detect"] == 1 and st["n_clear"] >= 1
+
+
+def test_debounce_stream_matches_batch_fold(spark, tmp_path):
+    """Cross-mode debounce pin (the NINTH twin, r15): the streaming
+    debounce over TWO micro-batches equals the batch fold handler
+    EXACTLY (all-integer state). The sequence is built so (a) batch
+    2's first admission is decided by the last-admitted timestamp
+    CARRIED from batch 1, and (b) that event's gap from the PREVIOUS
+    (suppressed) event is below the gap — so gap-from-previous-event
+    throttling semantics would decide differently; the pin
+    distinguishes the two."""
+    from surge_spark.operators.eventsourcing import (
+        DEBOUNCE_GAP_MS,
+        debounce_handle_event,
+    )
+    from surge_spark.streaming import metrics as sm
+
+    ts = [0, 50_000, 105_000, 130_000, 200_000]
+    # the split premise: the third event is within gap of its
+    # predecessor but beyond gap of the last ADMITTED event
+    assert ts[2] - ts[1] < DEBOUNCE_GAP_MS <= ts[2] - ts[0]
+    schema = "user_id string, event_type string, ms long, event_id long"
+    src = str(tmp_path / "deb_events")
+    half = 2
+    spark.createDataFrame(
+        [("u1", "view", t, i) for i, t in enumerate(ts[:half])], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [("u1", "view", t, half + i) for i, t in enumerate(ts[half:])],
+        schema,
+    ).coalesce(1).write.parquet(src + "/f2")
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        sm.debounce_stream(events)
+        .writeStream.format("memory")
+        .queryName("deb_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_deb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from deb_out order by n").collect()
+    assert len(rows) == 2
+    # split premise emitted: after batch 1 exactly one admission
+    assert (rows[0].n_accepted, rows[0].n_suppressed) == (1, 1)
+    got = rows[-1]
+    st = None
+    for i, t in enumerate(ts):
+        st = debounce_handle_event(st, {"user_id": "u1", "ms": t})
+    assert (got.last_ms, got.n_accepted, got.n_suppressed, got.n) == (
+        st["last_ms"], st["n_accepted"], st["n_suppressed"], st["n"]
+    )
+    # non-vacuous: the cross-boundary admission happened (3 admits:
+    # t0, t2, t4) and conservation holds
+    assert st["n_accepted"] == 3 and st["n_suppressed"] == 2
+    assert st["n_accepted"] + st["n_suppressed"] == st["n"]
