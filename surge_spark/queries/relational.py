@@ -9915,3 +9915,101 @@ def a_one_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ANOVA_F).alias("f_stat"),
         F.expr(_ANOVA_ETA2).alias("eta_squared"),
     )
+
+
+@query(
+    "f_ipv4_cidr_class",
+    oracle="""
+    WITH ips AS (
+      SELECT doc_id,
+             CAST((doc_id * 7 + 1) % 256 AS VARCHAR) || '.' ||
+             CAST((doc_id * 13 + 2) % 256 AS VARCHAR) || '.' ||
+             CAST((doc_id * 17 + 3) % 256 AS VARCHAR) || '.' ||
+             CAST((doc_id * 19 + 4) % 256 AS VARCHAR) AS ip
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id, ip,
+             CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+           + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+           + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+           + CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_num
+      FROM ips
+    ),
+    classed AS (
+      SELECT doc_id, ip, ip_num,
+             CASE
+               WHEN ip_num BETWEEN 167772160 AND 184549375
+                 THEN 'private-10/8'
+               WHEN ip_num BETWEEN 2886729728 AND 2887778303
+                 THEN 'private-172.16/12'
+               WHEN ip_num BETWEEN 3232235520 AND 3232301055
+                 THEN 'private-192.168/16'
+               ELSE 'public'
+             END AS cidr_class
+      FROM parsed
+    )
+    SELECT cidr_class,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT ip_num) AS BIGINT) AS n_distinct_ips,
+           CAST(min(ip_num) AS BIGINT) AS min_ip_num,
+           CAST(max(ip_num) AS BIGINT) AS max_ip_num
+    FROM classed GROUP BY cidr_class
+    """,
+)
+def f_ipv4_cidr_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 parse + CIDR-range classification — the network-log
+    enrichment member of the f_* function family (access-log pipelines
+    bucket client IPs into RFC 1918 private ranges vs public before
+    any geo/abuse join): a synthetic dotted-quad per doc
+    (construct-in-query, the t_pii_redact precedent — the corpus has
+    no IP column, and a fabricated string exercises the REAL parse
+    path), split on '.', recomposed into the 32-bit integer, then
+    classified by literal CIDR bounds (a /n prefix IS an integer
+    range, so BETWEEN with precomputed literals replaces bit-shifts —
+    also sidesteps the '>>'-in-array F.expr parser trap). All-integer
+    channels; modulo on nonnegative operands is engine-identical.
+    Spark side uses F.get (NULL-returning) per the ANSI
+    split-indexing rule even though 4 parts are structural."""
+    d = _t(spark, sf_dir, "documents")
+    ips = d.select(
+        "doc_id",
+        F.expr(
+            "concat(CAST((doc_id * 7 + 1) % 256 AS STRING), '.',"
+            " CAST((doc_id * 13 + 2) % 256 AS STRING), '.',"
+            " CAST((doc_id * 17 + 3) % 256 AS STRING), '.',"
+            " CAST((doc_id * 19 + 4) % 256 AS STRING))"
+        ).alias("ip"),
+    )
+    parts = F.split(F.col("ip"), "\\.")
+    parsed = ips.select(
+        "doc_id",
+        "ip",
+        (
+            F.get(parts, 0).cast("bigint") * 16777216
+            + F.get(parts, 1).cast("bigint") * 65536
+            + F.get(parts, 2).cast("bigint") * 256
+            + F.get(parts, 3).cast("bigint")
+        ).alias("ip_num"),
+    )
+    classed = parsed.select(
+        "doc_id",
+        "ip",
+        "ip_num",
+        F.expr(
+            "CASE"
+            " WHEN ip_num BETWEEN 167772160 AND 184549375"
+            " THEN 'private-10/8'"
+            " WHEN ip_num BETWEEN 2886729728 AND 2887778303"
+            " THEN 'private-172.16/12'"
+            " WHEN ip_num BETWEEN 3232235520 AND 3232301055"
+            " THEN 'private-192.168/16'"
+            " ELSE 'public' END"
+        ).alias("cidr_class"),
+    )
+    return classed.groupBy("cidr_class").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("ip_num").alias("n_distinct_ips"),
+        F.min("ip_num").alias("min_ip_num"),
+        F.max("ip_num").alias("max_ip_num"),
+    )

@@ -3004,3 +3004,143 @@ def sim_rq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(round(nsq - 2 * obj1 + 1.0D - 2 * b2.o, 6) AS DOUBLE)"
         ).alias("sq_err_rq"),
     )
+
+
+@query(
+    "sim_rrf_fusion_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS corpus_id,
+             round({_DUCK_COSINE.format(a="c.embedding", b="q.qe")}, 6)
+               AS fsim,
+             round({_DUCK_COSINE.format(a="c.embedding[1:16]", b="q.qe[1:16]")}, 6)
+               AS csim
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+        AND list_sum(list_transform(c.embedding[1:16],
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+        AND list_sum(list_transform(q.qe[1:16],
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY fsim DESC, corpus_id
+             ) AS INT) AS rank_full,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY csim DESC, corpus_id
+             ) AS INT) AS rank_prefix
+      FROM scored
+    ),
+    fused AS (
+      SELECT query_id, corpus_id,
+             CASE WHEN rank_full <= 20 THEN rank_full ELSE NULL END
+               AS rank_full,
+             CASE WHEN rank_prefix <= 20 THEN rank_prefix ELSE NULL END
+               AS rank_prefix,
+             round(CASE WHEN rank_full <= 20
+                        THEN 1 / (60 + rank_full) ELSE 0 END
+                 + CASE WHEN rank_prefix <= 20
+                        THEN 1 / (60 + rank_prefix) ELSE 0 END, 6) AS rrf
+      FROM ranked
+      WHERE rank_full <= 20 OR rank_prefix <= 20
+    )
+    SELECT query_id, corpus_id, rank_full, rank_prefix,
+           CAST(rrf AS DOUBLE) AS rrf,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, corpus_id
+      ) AS rank FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def sim_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke's RRF, the standard
+    hybrid-retrieval combiner): fuse TWO retrieval systems' top-20
+    lists — full-dimension cosine and the matryoshka prefix-16 coarse
+    cosine (two genuinely different scoring views of the same corpus)
+    — by RRF(d) = Σ_systems 1/(60 + rank_s(d)), then re-rank to a
+    top-10. Plan: ONE corpus pass scores BOTH similarities in the same
+    projection against the broadcast query set, the two row_number
+    windows share one (query_id) exchange, and no join exists anywhere
+    — the fused score comes from CASE over the two rank columns.
+    Cross-engine float discipline: both sims round-6 BEFORE ranking;
+    ranks are exact ints; 1/(60+rank) uses INTEGER literals only (`/`
+    is float division in both engines — no decimal-literal channel);
+    the two-term sum is textually ordered; rrf rounds to 6 before the
+    final rank with corpus_id tiebreak. Zero-PREFIX-norm rows are
+    excluded on both sides (full_norm >= prefix_norm makes one filter
+    guard both denominators — the matryoshka discipline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    pre = lambda c: sim._as_double(F.slice(c, 1, 16))  # noqa: E731
+    full = sim._as_double
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ce")
+        )
+        .crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qe"),
+                )
+            )
+        )
+        .where(F.col("corpus_id") != F.col("query_id"))
+        .where(
+            (sim.dot(pre(F.col("ce")), pre(F.col("ce"))) > 0)
+            & (sim.dot(pre(F.col("qe")), pre(F.col("qe"))) > 0)
+        )
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                sim.dot(full(F.col("ce")), full(F.col("qe")))
+                / (sim.norm(full(F.col("ce"))) * sim.norm(full(F.col("qe")))),
+                6,
+            ).alias("fsim"),
+            F.round(
+                sim.dot(pre(F.col("ce")), pre(F.col("qe")))
+                / (sim.norm(pre(F.col("ce"))) * sim.norm(pre(F.col("qe")))),
+                6,
+            ).alias("csim"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("fsim"), F.asc("corpus_id"))
+    wp = W.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("corpus_id"))
+    ranked = scored.select(
+        "query_id",
+        "corpus_id",
+        # bigint rank channel: the 60+rank adds then live in LongType
+        # (the int-arith audit would otherwise flag an Integer Add on a
+        # data-scaled row_number); outputs re-cast to INT below
+        F.row_number().over(wf).cast("bigint").alias("rf"),
+        F.row_number().over(wp).cast("bigint").alias("rp"),
+    )
+    fused = ranked.where((F.col("rf") <= 20) | (F.col("rp") <= 20)).select(
+        "query_id",
+        "corpus_id",
+        F.expr(
+            "CASE WHEN rf <= 20 THEN CAST(rf AS INT) ELSE NULL END"
+        ).alias("rank_full"),
+        F.expr(
+            "CASE WHEN rp <= 20 THEN CAST(rp AS INT) ELSE NULL END"
+        ).alias("rank_prefix"),
+        F.expr(
+            "round(CASE WHEN rf <= 20 THEN 1 / (60 + rf) ELSE 0 END"
+            " + CASE WHEN rp <= 20 THEN 1 / (60 + rp) ELSE 0 END, 6)"
+        ).alias("rrf"),
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("corpus_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .where(F.col("rank") <= 10)
+        .select(
+            "query_id", "corpus_id", "rank_full", "rank_prefix",
+            F.col("rrf").cast("double").alias("rrf"), "rank",
+        )
+    )

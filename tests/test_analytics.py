@@ -1711,3 +1711,24 @@ def test_ulcer_index_contract(spark, sf_dir):
     assert u.n_days == m.n_days
     assert u.ulcer_bp <= u.max_dd_bp + 1e-9
     assert abs(u.ulcer_bp - round(math.sqrt(u.sum_sq_bp / u.n_days), 6)) < 1e-12
+
+
+def test_ipv4_cidr_class_contract(spark, sf_dir):
+    """CIDR classes partition the corpus (Σ n_docs == |documents|);
+    every class's min/max ip sits inside its literal range."""
+    from surge_spark.io import load_table
+
+    rows = all_queries()["f_ipv4_cidr_class"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    bounds = {
+        "private-10/8": (167772160, 184549375),
+        "private-172.16/12": (2886729728, 2887778303),
+        "private-192.168/16": (3232235520, 3232301055),
+    }
+    for r in rows:
+        assert 0 <= r.min_ip_num <= r.max_ip_num <= 4294967295
+        if r.cidr_class in bounds:
+            lo, hi = bounds[r.cidr_class]
+            assert lo <= r.min_ip_num and r.max_ip_num <= hi
+        assert r.n_distinct_ips <= r.n_docs

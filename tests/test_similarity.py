@@ -420,3 +420,28 @@ def test_rq_distortion_monotone_improvement(spark, sf_dir):
     assert (out.sq_err_rq >= -1e-9).all()
     assert (out.code2 > 0).any(), "stage 2 never chosen — vacuous codebook"
     assert out.code1.between(0, 7).all() and out.code2.between(0, 8).all()
+
+
+def test_rrf_fusion_contract(spark, sf_dir):
+    """RRF: score re-derives from the shipped ranks (1/(60+r) terms);
+    every query ships exactly 10 rows; a doc ranked 1 by BOTH systems
+    must fuse to rank 1 (it holds the maximum possible RRF)."""
+    from surge_spark.queries import all_queries
+
+    rows = all_queries()["sim_rrf_fusion_topk"](spark, sf_dir).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        expect = round(
+            (1 / (60 + r.rank_full) if r.rank_full is not None else 0)
+            + (1 / (60 + r.rank_prefix) if r.rank_prefix is not None else 0),
+            6,
+        )
+        assert abs(r.rrf - expect) < 1e-12
+        assert r.rank_full is None or 1 <= r.rank_full <= 20
+        assert r.rank_prefix is None or 1 <= r.rank_prefix <= 20
+        if r.rank_full == 1 and r.rank_prefix == 1:
+            assert r.rank == 1
+    for q, rs in per_q.items():
+        assert len(rs) == 10
+        assert sorted(r.rank for r in rs) == list(range(1, 11))
