@@ -4531,3 +4531,138 @@ def es_debounce_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         "aggregate_id", "last_ms", "n_accepted", "n_suppressed", "n"
     )
+
+
+@query(
+    "m_mtbf_mttr",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_ms(ts) AS ms, event_id,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    marked AS (
+      SELECT user_id, ms, event_id, is_err,
+             CASE WHEN lag(is_err) OVER w IS NULL
+                    OR lag(is_err) OVER w <> is_err THEN 1 ELSE 0 END
+               AS chg,
+             lead(ms) OVER w AS next_ms
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+    ),
+    grouped AS (
+      SELECT user_id, ms, event_id, is_err, next_ms,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM marked
+    ),
+    runs AS (
+      SELECT user_id, grp,
+             CAST(min(ms) AS BIGINT) AS start_ms,
+             CAST(count(*) AS BIGINT) AS n_err,
+             max(CASE WHEN rn_desc = 1 THEN next_ms END) AS recovery_ms
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, grp ORDER BY ms DESC, event_id DESC
+        ) AS rn_desc
+        FROM grouped WHERE is_err = 1
+      ) GROUP BY user_id, grp
+    ),
+    gaps AS (
+      SELECT user_id, start_ms, n_err, recovery_ms,
+             start_ms - lag(start_ms) OVER (
+               PARTITION BY user_id ORDER BY grp
+             ) AS gap_ms
+      FROM runs
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_incidents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_affected,
+           CAST(sum(n_err) AS BIGINT) AS n_error_events,
+           CAST(count(recovery_ms) AS BIGINT) AS n_recovered,
+           CAST(CASE WHEN count(recovery_ms) = 0 THEN NULL
+                ELSE sum(recovery_ms - start_ms) // count(recovery_ms)
+                END AS BIGINT) AS mttr_ms_floor,
+           CAST(count(gap_ms) AS BIGINT) AS n_gaps,
+           CAST(CASE WHEN count(gap_ms) = 0 THEN NULL
+                ELSE sum(gap_ms) // count(gap_ms)
+                END AS BIGINT) AS mtbf_ms_floor
+    FROM gaps
+    """,
+)
+def m_mtbf_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTBF / MTTR over per-user error streams — the two reliability
+    numbers the SRE detectors (burn rate, SPRT, Page-Hinkley) monitor
+    AROUND but never report: an INCIDENT is a maximal run of
+    consecutive 'error' events (gaps-and-islands on the is_err change
+    flag, the m_bounce_rate_sessions anchor), time-to-recovery is
+    first-error → first subsequent non-error event (runs still open at
+    stream end are counted but excluded from MTTR — never a fabricated
+    recovery), and time-between-failures is the gap between successive
+    incident STARTS per user (lag ordered by the monotonic run id, so
+    duplicate-timestamp runs stay deterministic). All channels are
+    exact integer milliseconds; the two means ship as floor divisions
+    (positive operands: `div` ≡ `//`). Every window partitions by
+    user — no global sort at any scale."""
+    e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    ev = e.select(
+        "user_id",
+        F.expr("unix_millis(ts)").alias("ms"),
+        "event_id",
+        F.expr(
+            "CASE WHEN event_type = 'error' THEN 1 ELSE 0 END"
+        ).alias("is_err"),
+    )
+    wk = "PARTITION BY user_id ORDER BY ms, event_id"
+    marked = ev.select(
+        "user_id", "ms", "event_id", "is_err",
+        F.expr(
+            f"CASE WHEN lag(is_err) OVER ({wk}) IS NULL"
+            f" OR lag(is_err) OVER ({wk}) <> is_err THEN 1 ELSE 0 END"
+        ).alias("chg"),
+        F.expr(f"lead(ms) OVER ({wk})").alias("next_ms"),
+    )
+    grouped = marked.select(
+        "user_id", "ms", "event_id", "is_err", "next_ms",
+        F.expr(
+            f"sum(chg) OVER ({wk}"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("grp"),
+    )
+    err_rows = grouped.where(F.col("is_err") == 1).withColumn(
+        "rn_desc",
+        F.expr(
+            "row_number() OVER (PARTITION BY user_id, grp"
+            " ORDER BY ms DESC, event_id DESC)"
+        ),
+    )
+    runs = err_rows.groupBy("user_id", "grp").agg(
+        F.min("ms").alias("start_ms"),
+        F.count(F.lit(1)).alias("n_err"),
+        F.max(F.expr("CASE WHEN rn_desc = 1 THEN next_ms END")).alias(
+            "recovery_ms"
+        ),
+    )
+    gaps = runs.select(
+        "user_id", "start_ms", "n_err", "recovery_ms",
+        F.expr(
+            "start_ms - lag(start_ms) OVER"
+            " (PARTITION BY user_id ORDER BY grp)"
+        ).alias("gap_ms"),
+    )
+    return gaps.groupBy().agg(
+        F.count(F.lit(1)).alias("n_incidents"),
+        F.countDistinct("user_id").alias("n_users_affected"),
+        F.sum("n_err").alias("n_error_events"),
+        F.count("recovery_ms").alias("n_recovered"),
+        F.expr(
+            "CAST(CASE WHEN count(recovery_ms) = 0 THEN NULL"
+            " ELSE sum(recovery_ms - start_ms) div count(recovery_ms)"
+            " END AS BIGINT)"
+        ).alias("mttr_ms_floor"),
+        F.count("gap_ms").alias("n_gaps"),
+        F.expr(
+            "CAST(CASE WHEN count(gap_ms) = 0 THEN NULL"
+            " ELSE sum(gap_ms) div count(gap_ms)"
+            " END AS BIGINT)"
+        ).alias("mtbf_ms_floor"),
+    )

@@ -10013,3 +10013,107 @@ def f_ipv4_cidr_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ip_num").alias("min_ip_num"),
         F.max("ip_num").alias("max_ip_num"),
     )
+
+
+# Difference-in-differences shared formula: four cell means in FIXED
+# textual order from exact integer sums; the estimator and each arm's
+# delta are float expressions over one aggregated row.
+_DID_CELLS = """
+      SELECT CAST(sum(CASE WHEN tr = 1 AND po = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_tp,
+             CAST(sum(CASE WHEN tr = 1 AND po = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_t0,
+             CAST(sum(CASE WHEN tr = 0 AND po = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_cp,
+             CAST(sum(CASE WHEN tr = 0 AND po = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_c0,
+             CAST(sum(CASE WHEN tr = 1 AND po = 1 THEN cents ELSE 0 END)
+                  AS BIGINT) AS s_tp,
+             CAST(sum(CASE WHEN tr = 1 AND po = 0 THEN cents ELSE 0 END)
+                  AS BIGINT) AS s_t0,
+             CAST(sum(CASE WHEN tr = 0 AND po = 1 THEN cents ELSE 0 END)
+                  AS BIGINT) AS s_cp,
+             CAST(sum(CASE WHEN tr = 0 AND po = 0 THEN cents ELSE 0 END)
+                  AS BIGINT) AS s_c0"""
+_DID_TREND_T = "(CAST(s_tp AS DOUBLE) / n_tp - CAST(s_t0 AS DOUBLE) / n_t0)"
+_DID_TREND_C = "(CAST(s_cp AS DOUBLE) / n_cp - CAST(s_c0 AS DOUBLE) / n_c0)"
+_DID_GUARD = "n_tp = 0 OR n_t0 = 0 OR n_cp = 0 OR n_c0 = 0"
+_DID_DELTA_T = (
+    f"CAST(CASE WHEN {_DID_GUARD} THEN NULL"
+    f" ELSE round({_DID_TREND_T}, 6) END AS DOUBLE)"
+)
+_DID_DELTA_C = (
+    f"CAST(CASE WHEN {_DID_GUARD} THEN NULL"
+    f" ELSE round({_DID_TREND_C}, 6) END AS DOUBLE)"
+)
+_DID_EST = (
+    f"CAST(CASE WHEN {_DID_GUARD} THEN NULL"
+    f" ELSE round({_DID_TREND_T} - {_DID_TREND_C}, 6) END AS DOUBLE)"
+)
+
+
+@query(
+    "a_diff_in_diff",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(user_id % 2 AS BIGINT) AS tr,
+             CASE WHEN epoch_ms(ts) // 86400000 >= 19738 THEN 1 ELSE 0 END
+               AS po
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+        AND event_type = 'purchase'
+    ),
+    g AS ({_DID_CELLS} FROM ev)
+    SELECT n_tp, n_t0, n_cp, n_c0, s_tp, s_t0, s_cp, s_c0,
+           {_DID_DELTA_T} AS treat_delta,
+           {_DID_DELTA_C} AS control_delta,
+           {_DID_EST} AS did_estimate
+    FROM g
+    """,
+)
+def a_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator on purchase value — the
+    causal-inference workhorse beside a_cuped_adjustment (CUPED reduces
+    variance with a pre-period covariate; DiD removes the COMMON TREND:
+    effect = (treat post − treat pre) − (control post − control pre)):
+    treatment arm by user parity (the a_two_proportion_ztest split),
+    period by an integer epoch-day literal (day >= 19738 = 2024-01-16,
+    mid-corpus — never engine date functions), outcome in exact integer
+    cents. ONE conditional-aggregate pass yields all eight 2×2 cell
+    moments as bigints; the four means, both arm deltas and the DiD
+    estimate are mirrored fixed-order float expressions (round-6,
+    empty-cell guard both sides). Every channel before the final
+    quotients is exact — the CUPED moments-in-integers discipline."""
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & (F.col("event_type") == "purchase")
+    )
+    ev = e.select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.expr("CAST(user_id % 2 AS BIGINT)").alias("tr"),
+        F.expr(
+            "CASE WHEN unix_millis(ts) div 86400000 >= 19738"
+            " THEN 1 ELSE 0 END"
+        ).alias("po"),
+    )
+    agg_exprs = []
+    for alias, expr in [
+        ("n_tp", "CASE WHEN tr = 1 AND po = 1 THEN 1 ELSE 0 END"),
+        ("n_t0", "CASE WHEN tr = 1 AND po = 0 THEN 1 ELSE 0 END"),
+        ("n_cp", "CASE WHEN tr = 0 AND po = 1 THEN 1 ELSE 0 END"),
+        ("n_c0", "CASE WHEN tr = 0 AND po = 0 THEN 1 ELSE 0 END"),
+        ("s_tp", "CASE WHEN tr = 1 AND po = 1 THEN cents ELSE 0 END"),
+        ("s_t0", "CASE WHEN tr = 1 AND po = 0 THEN cents ELSE 0 END"),
+        ("s_cp", "CASE WHEN tr = 0 AND po = 1 THEN cents ELSE 0 END"),
+        ("s_c0", "CASE WHEN tr = 0 AND po = 0 THEN cents ELSE 0 END"),
+    ]:
+        agg_exprs.append(F.sum(F.expr(expr)).alias(alias))
+    g = ev.groupBy().agg(*agg_exprs)
+    return g.select(
+        "n_tp", "n_t0", "n_cp", "n_c0", "s_tp", "s_t0", "s_cp", "s_c0",
+        F.expr(_DID_DELTA_T).alias("treat_delta"),
+        F.expr(_DID_DELTA_C).alias("control_delta"),
+        F.expr(_DID_EST).alias("did_estimate"),
+    )

@@ -1732,3 +1732,26 @@ def test_ipv4_cidr_class_contract(spark, sf_dir):
             lo, hi = bounds[r.cidr_class]
             assert lo <= r.min_ip_num and r.max_ip_num <= hi
         assert r.n_distinct_ips <= r.n_docs
+
+
+def test_diff_in_diff_contract(spark, sf_dir):
+    """DiD identity: estimate == treat_delta − control_delta (up to the
+    two round-6 boundaries); cells partition the purchase slice."""
+    r = all_queries()["a_diff_in_diff"](spark, sf_dir).collect()[0]
+    assert r.n_tp + r.n_t0 + r.n_cp + r.n_c0 > 0
+    if r.did_estimate is not None:
+        assert abs(r.did_estimate - (r.treat_delta - r.control_delta)) < 2e-6
+
+
+def test_mtbf_mttr_contract(spark, sf_dir):
+    """Incident accounting: recovered <= incidents; error events >=
+    incidents (each run holds >= 1 error); gaps = incidents − affected
+    users (one lag-NULL per user); means nonnegative."""
+    r = all_queries()["m_mtbf_mttr"](spark, sf_dir).collect()[0]
+    assert r.n_recovered <= r.n_incidents
+    assert r.n_error_events >= r.n_incidents
+    assert r.n_gaps == r.n_incidents - r.n_users_affected
+    if r.mttr_ms_floor is not None:
+        assert r.mttr_ms_floor >= 0
+    if r.mtbf_ms_floor is not None:
+        assert r.mtbf_ms_floor >= 0
