@@ -996,3 +996,47 @@ DEBOUNCE_STATE_SCHEMA = (
     "aggregate_id string, last_ms long, n_accepted long,"
     " n_suppressed long, n long"
 )
+
+
+# --- Croston intermittent-demand fold ---------------------------------------
+# Croston's method for sparse/intermittent series: separate EWMAs of the
+# nonzero demand SIZE and of the inter-demand INTERVAL; forecast rate =
+# size / interval. One-minus coefficient is a LITERAL (the HW_OM*
+# invariant), never computed 1-x.
+CROSTON_A = 0.2
+CROSTON_OMA = 0.8
+
+
+def croston_handle_event(state: dict | None, event: dict) -> dict:
+    """Per-key Croston fold over the ordered purchase stream (each
+    purchase is a demand point; the interval channel is the exact
+    integer ms gap, converted to float only at the EWMA). Seeded
+    z = x_1, p = 0.0 (the first point has no interval — documented
+    init, the holt seed class). Float ops run in a fixed order so the
+    recursive-CTE oracle reproduces the double bitwise until the
+    final round(6)."""
+    x = float(event["value"])
+    ms = int(event["ms"])
+    if state is None:
+        return {
+            "aggregate_id": str(event["user_id"]),
+            "z": x,
+            "p": 0.0,
+            "last_ms": ms,
+            "n": 1,
+        }
+    i = float(ms - state["last_ms"])
+    z = CROSTON_A * x + CROSTON_OMA * state["z"]
+    p = CROSTON_A * i + CROSTON_OMA * state["p"]
+    return {
+        "aggregate_id": state["aggregate_id"],
+        "z": z,
+        "p": p,
+        "last_ms": ms,
+        "n": state["n"] + 1,
+    }
+
+
+CROSTON_STATE_SCHEMA = (
+    "aggregate_id string, z double, p double, last_ms long, n long"
+)

@@ -4666,3 +4666,82 @@ def m_mtbf_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("mtbf_ms_floor"),
     )
+
+
+@query(
+    "m_croston_forecast",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, value, epoch_ms(ts) AS ms,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+        AND event_type = 'purchase'
+    ),
+    lim AS (SELECT user_id, max(rn) AS mx FROM ordered GROUP BY user_id),
+    fold(user_id, rn, z, p, last_ms) AS (
+      SELECT user_id, 1, value, CAST(0.0 AS DOUBLE), ms
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT f.user_id, f.rn + 1,
+             0.2 * o.value + 0.8 * f.z,
+             0.2 * CAST(o.ms - f.last_ms AS DOUBLE) + 0.8 * f.p,
+             o.ms
+      FROM fold f JOIN ordered o
+        ON o.user_id = f.user_id AND o.rn = f.rn + 1
+    )
+    SELECT CAST(f.user_id AS VARCHAR) AS aggregate_id,
+           CAST(l.mx AS BIGINT) AS n,
+           CAST(round(f.z, 6) AS DOUBLE) AS demand_ewma,
+           CAST(round(f.p, 6) AS DOUBLE) AS interval_ewma_ms,
+           CAST(CASE WHEN f.p > 0
+                THEN round(f.z / f.p * 86400000, 6) ELSE NULL END AS DOUBLE)
+             AS rate_per_day
+    FROM fold f JOIN lim l USING (user_id) WHERE f.rn = l.mx
+    """,
+)
+def m_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's intermittent-demand forecast per user over the sparse
+    purchase stream — the forecasting-family member Holt/Holt-Winters
+    cannot cover (their dense recurrences smear zeros; Croston keeps
+    TWO EWMAs, of the nonzero demand size and of the inter-demand
+    interval, and forecasts their ratio (shipped per-DAY: the per-ms ratio is ~1e-7 and would vanish at round-6 — scale by the integer 86400000 literal BEFORE rounding) — the standard spare-parts /
+    long-tail-SKU method): run as the SAME sorted-stream fold kernel
+    (croston_handle_event), alpha = 0.2 with the one-minus
+    coefficient a LITERAL 0.8 on every side (the HW_OM* invariant).
+    The interval channel enters as the exact integer ms gap, cast to
+    double before the EWMA in both engines; the recursive-CTE oracle
+    performs the identical float64 ops in identical order (the holt
+    pin class). p of a single-purchase user is the documented 0.0
+    seed, so its rate is NULL (guarded both sides, unrounded p)."""
+    e = _events(spark, sf_dir).where(
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & (F.col("event_type") == "purchase")
+    )
+    e = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    folded = es.fold_events_sorted(
+        e,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        handle_event=es.croston_handle_event,
+        state_schema=es.CROSTON_STATE_SCHEMA,
+    )
+    return folded.select(
+        "aggregate_id",
+        "n",
+        F.round("z", 6).alias("demand_ewma"),
+        F.round("p", 6).alias("interval_ewma_ms"),
+        F.expr(
+            "CAST(CASE WHEN p > 0 THEN round(z / p * 86400000, 6)"
+            " ELSE NULL END AS DOUBLE)"
+        ).alias("rate_per_day"),
+    )

@@ -10117,3 +10117,108 @@ def a_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_DID_DELTA_C).alias("control_delta"),
         F.expr(_DID_EST).alias("did_estimate"),
     )
+
+
+# Normal quantiles for the MDE calculator, precomputed from the stdlib
+# (statistics.NormalDist) and rendered as repr literals into BOTH
+# engines — the SPRT transcendental-literal discipline: no in-engine
+# quantile function ever runs.
+from statistics import NormalDist as _ND  # noqa: E402
+
+MDE_Z_ALPHA = _ND().inv_cdf(0.975)  # two-sided alpha = 5%
+MDE_Z_BETA = _ND().inv_cdf(0.8)  # power = 80%
+_MDE_ZSUM = repr(MDE_Z_ALPHA + MDE_Z_BETA)
+_MDE_P = "(CAST(c1 + c2 AS DOUBLE) / (n1 + n2))"
+_MDE_EXPR = (
+    f"({_MDE_ZSUM} * sqrt({_MDE_P} * (1 - {_MDE_P}) * (1 / n1 + 1 / n2)))"
+)
+_MDE_DIFF = "(CAST(c2 AS DOUBLE) / n2 - CAST(c1 AS DOUBLE) / n1)"
+_MDE_GUARD = "n1 = 0 OR n2 = 0"
+
+
+@query(
+    "a_mde_power",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+               AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+               AS BIGINT) AS c2
+      FROM per_user
+    )
+    SELECT n1, n2, c1, c2,
+           CAST(CASE WHEN {_MDE_GUARD} THEN NULL
+                ELSE round({_MDE_P}, 6) END AS DOUBLE) AS p_pool,
+           CAST(CASE WHEN {_MDE_GUARD} THEN NULL
+                ELSE round({_MDE_DIFF}, 6) END AS DOUBLE) AS observed_diff,
+           CAST(CASE WHEN {_MDE_GUARD} THEN NULL
+                ELSE round({_MDE_EXPR}, 6) END AS DOUBLE) AS mde,
+           CAST(CASE WHEN {_MDE_GUARD} THEN NULL
+                WHEN abs({_MDE_DIFF}) >= {_MDE_EXPR} THEN 1 ELSE 0
+                END AS INT) AS detectable
+    FROM g
+    """,
+)
+def a_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at 80% power for the parity-split
+    conversion A/B test — the PLANNING companion of
+    a_two_proportion_ztest (the z-test answers 'is the observed split
+    significant?'; the MDE answers 'how small an effect could this
+    sample even see?', which is the question an experimenter asks
+    BEFORE reading the z): per-user conversion (>=1 purchase) by the
+    same parity arms, exact integer cell counts from one aggregate,
+    then MDE = (z_{{α/2}} + z_β)·sqrt(p̂(1−p̂)(1/n1 + 1/n2)) with both
+    normal quantiles precomputed from stdlib statistics.NormalDist and
+    rendered as repr literals into BOTH engines (the SPRT
+    transcendental-literal discipline — no in-engine quantile/erf ever
+    runs). Integer-only literals elsewhere (1/n is float division in
+    both engines); round-6; the detectable flag compares UNROUNDED
+    doubles identically on both sides."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    per_user = e.groupBy("user_id").agg(
+        F.expr(
+            "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        ).alias("converted"),
+    ).select(
+        F.expr("CAST(user_id % 2 AS BIGINT)").alias("arm"), "converted"
+    )
+    g = per_user.groupBy().agg(
+        F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).alias("n1"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).alias("n2"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN converted ELSE 0 END")).alias(
+            "c1"
+        ),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN converted ELSE 0 END")).alias(
+            "c2"
+        ),
+    )
+    return g.select(
+        "n1", "n2", "c1", "c2",
+        F.expr(
+            f"CAST(CASE WHEN {_MDE_GUARD} THEN NULL"
+            f" ELSE round({_MDE_P}, 6) END AS DOUBLE)"
+        ).alias("p_pool"),
+        F.expr(
+            f"CAST(CASE WHEN {_MDE_GUARD} THEN NULL"
+            f" ELSE round({_MDE_DIFF}, 6) END AS DOUBLE)"
+        ).alias("observed_diff"),
+        F.expr(
+            f"CAST(CASE WHEN {_MDE_GUARD} THEN NULL"
+            f" ELSE round({_MDE_EXPR}, 6) END AS DOUBLE)"
+        ).alias("mde"),
+        F.expr(
+            f"CAST(CASE WHEN {_MDE_GUARD} THEN NULL"
+            f" WHEN abs({_MDE_DIFF}) >= {_MDE_EXPR} THEN 1 ELSE 0"
+            " END AS INT)"
+        ).alias("detectable"),
+    )

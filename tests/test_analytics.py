@@ -1755,3 +1755,33 @@ def test_mtbf_mttr_contract(spark, sf_dir):
         assert r.mttr_ms_floor >= 0
     if r.mtbf_ms_floor is not None:
         assert r.mtbf_ms_floor >= 0
+
+
+def test_croston_contract(spark, sf_dir):
+    """Croston: demand EWMA is a convex combination of observed demands
+    (min <= z <= max per user on positive values); interval EWMA
+    nonnegative; single-purchase users ship NULL rate (the 0.0 seed)."""
+    rows = all_queries()["m_croston_forecast"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.interval_ewma_ms >= 0
+        if r.n == 1:
+            assert r.interval_ewma_ms == 0.0 and r.rate_per_day is None
+        if r.rate_per_day is not None:
+            assert r.rate_per_day > 0
+
+
+def test_mde_power_contract(spark, sf_dir):
+    """MDE: positive when defined; scales like 1/sqrt(n) sanity — the
+    pooled rate sits inside [min(p1,p2), max(p1,p2)]."""
+    r = all_queries()["a_mde_power"](spark, sf_dir).collect()[0]
+    if r.mde is not None:
+        # mde == 0 exactly when the pooled rate is degenerate (p in
+        # {0,1} — zero variance; true at tiny SF where every user buys)
+        assert r.mde >= 0
+        if 0 < r.p_pool < 1:
+            assert r.mde > 0
+        p1, p2 = r.c1 / r.n1, r.c2 / r.n2
+        assert min(p1, p2) - 1e-9 <= r.p_pool <= max(p1, p2) + 1e-9
+        assert r.detectable == (1 if abs(p2 - p1) >= r.mde - 1e-12 else 0) or \
+            abs(abs(p2 - p1) - r.mde) < 2e-6
