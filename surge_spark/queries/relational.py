@@ -10222,3 +10222,137 @@ def a_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS INT)"
         ).alias("detectable"),
     )
+
+
+# Benjamini-Hochberg critical values for the FIXED m = 25 nation domain
+# (TPC-H spec cardinality — a structural constant, not a data count):
+# the i-th largest |z| is compared against z_{1 - (i*alpha/m)/2},
+# precomputed via stdlib NormalDist and rendered as repr literals into
+# a VALUES table on BOTH engines (the MDE/SPRT literal discipline).
+_BH_M = 25
+_BH_CRITS = [
+    (i, _ND().inv_cdf(1 - (i * 0.05 / _BH_M) / 2))
+    for i in range(1, _BH_M + 1)
+]
+_BH_VALUES = ", ".join(f"({i}, {repr(c)})" for i, c in _BH_CRITS)
+_BH_Z_P = "(CAST(c1 + c2 AS DOUBLE) / (n1 + n2))"
+_BH_Z_VAR = f"({_BH_Z_P} * (1 - {_BH_Z_P}) * (1 / n1 + 1 / n2))"
+_BH_Z = (
+    f"CASE WHEN n1 = 0 OR n2 = 0 OR {_BH_Z_VAR} = 0 THEN NULL"
+    f" ELSE (CAST(c2 AS DOUBLE) / n2 - CAST(c1 AS DOUBLE) / n1)"
+    f" / sqrt({_BH_Z_VAR}) END"
+)
+
+
+@query(
+    "a_benjamini_hochberg",
+    oracle=f"""
+    WITH ocnt AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    cust AS (
+      SELECT n.n_name, c.c_custkey % 2 AS arm,
+             CASE WHEN coalesce(oc.n_orders, 0) >= 10 THEN 1 ELSE 0 END
+               AS converted
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      LEFT JOIN ocnt oc ON oc.o_custkey = c.c_custkey
+    ),
+    g AS (
+      SELECT n_name,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM cust GROUP BY n_name
+    ),
+    z AS (SELECT *, {_BH_Z} AS zval FROM g),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               ORDER BY abs(zval) DESC, n_name
+             ) AS BIGINT) AS rnk
+      FROM z WHERE zval IS NOT NULL
+    ),
+    crits(rnk, crit) AS (VALUES {_BH_VALUES}),
+    hits AS (
+      SELECT r.*, c.crit,
+             CASE WHEN abs(r.zval) >= c.crit THEN 1 ELSE 0 END AS hit
+      FROM ranked r JOIN crits c USING (rnk)
+    )
+    SELECT n_name, n1, n2, c1, c2,
+           CAST(round(zval, 6) AS DOUBLE) AS z_score,
+           CAST(rnk AS INT) AS rank,
+           CAST(round(crit, 6) AS DOUBLE) AS bh_crit,
+           CAST(max(hit) OVER (ORDER BY rnk
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS INT) AS bh_reject
+    FROM hits
+    """,
+)
+def a_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over 25 simultaneous per-nation
+    A/B tests — the MULTIPLE-testing surface the single-test entries
+    (z, Welch, MW, KS …) deliberately lack, and the first thing a
+    metrics platform running one test per segment actually needs:
+    per-nation parity-split 'heavy buyer' z (>= 10 lifetime orders —
+    'any order' is degenerate in this corpus where every customer has
+    one; exact integer cells, the a_mde_power machinery), nations ranked by |z| desc (unrounded z,
+    deterministic name tiebreak), each rank compared against its
+    precomputed literal critical value z_{{1−(i·α/m)/2}} with m = 25
+    FIXED BY THE TPC-H SPEC (a structural constant like the fixed
+    centroids — nations missing at tiny SF make the procedure strictly
+    conservative, documented), and the BH step-up rule 'reject every
+    rank ≤ the largest hit' as a suffix max over the ≤25-row ranked
+    frame (bounded by the constant domain — the one unpartitioned
+    window is 25 rows at ANY scale). All quantiles are stdlib-
+    precomputed repr literals; no in-engine erf/quantile runs."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    ocnt = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    conv = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(ocnt, c.c_custkey == F.col("o_custkey"), "left")
+        .select(
+            "n_name",
+            F.expr("c_custkey % 2").alias("arm"),
+            F.expr(
+                "CASE WHEN coalesce(n_orders, 0) >= 10 THEN 1 ELSE 0 END"
+            ).alias("converted"),
+        )
+    )
+    g = conv.groupBy("n_name").agg(
+        F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).alias("n1"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).alias("n2"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN converted ELSE 0 END")).alias(
+            "c1"
+        ),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN converted ELSE 0 END")).alias(
+            "c2"
+        ),
+    )
+    z = g.withColumn("zval", F.expr(_BH_Z)).where(F.col("zval").isNotNull())
+    ranked = z.withColumn(
+        "rnk",
+        F.expr(
+            "CAST(row_number() OVER (ORDER BY abs(zval) DESC, n_name)"
+            " AS BIGINT)"
+        ),
+    )
+    crits = spark.createDataFrame(_BH_CRITS, "rnk long, crit double")
+    hits = ranked.join(F.broadcast(crits), "rnk").withColumn(
+        "hit", F.expr("CASE WHEN abs(zval) >= crit THEN 1 ELSE 0 END")
+    )
+    return hits.select(
+        "n_name", "n1", "n2", "c1", "c2",
+        F.expr("CAST(round(zval, 6) AS DOUBLE)").alias("z_score"),
+        F.col("rnk").cast("int").alias("rank"),
+        F.expr("CAST(round(crit, 6) AS DOUBLE)").alias("bh_crit"),
+        F.expr(
+            "CAST(max(hit) OVER (ORDER BY rnk"
+            " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS INT)"
+        ).alias("bh_reject"),
+    )

@@ -3702,3 +3702,84 @@ def t_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS DOUBLE)"
         ).alias("yule_k"),
     )
+
+
+# constant little-endian TIFF framing for a 6x3 grey 8-bit single-strip
+# image: 8-byte header (IFD pointer past the pixels) ... 18 pixel bytes
+# ... 9-entry IFD. Derived once with struct (SHORT inline values are
+# LEFT-justified in the 4-byte field — the r10 byte-order trap).
+_TIFF_6X3_PREFIX = bytes.fromhex("49492a001a000000")
+_TIFF_6X3_SUFFIX = bytes.fromhex(
+    "0900"
+    "000103000100000006000000"
+    "010103000100000003000000"
+    "020103000100000008000000"
+    "030103000100000001000000"
+    "060103000100000001000000"
+    "110104000100000008000000"
+    "150103000100000001000000"
+    "160103000100000003000000"
+    "170104000100000012000000"
+    "00000000"
+)
+
+
+@query(
+    "mm_tiff_real_decode",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, substring(text, 1, 18) AS s
+      FROM documents
+      WHERE doc_id < 200 AND regexp_matches(text, '^[ -~]{18}')
+    ),
+    bytes AS (
+      SELECT doc_id, t.i, ascii(substring(s, CAST(t.i AS INT), 1)) AS b
+      FROM base, LATERAL (SELECT unnest(range(1, 19)) AS i) t
+    )
+    SELECT doc_id, CAST(6 AS INT) AS width, CAST(3 AS INT) AS height,
+           CAST(sum(b) AS BIGINT) AS grey_sum,
+           CAST(3 * sum(b) AS BIGINT) AS total_sum,
+           CAST(min(b) AS BIGINT) AS min_b,
+           CAST(max(b) AS BIGINT) AS max_b
+    FROM bytes GROUP BY doc_id
+    """,
+)
+def mm_tiff_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL baseline-TIFF decode path under a FULL value oracle —
+    the third container in the construct-in-query family (BMP
+    bottom-up rows, PPM, now TIFF's header+strip+trailing-IFD layout):
+    each doc's first 18 printable-ASCII chars become the single
+    uncompressed strip of a valid little-endian 6×3 grey 8-bit TIFF
+    (constant 8-byte header whose IFD pointer jumps PAST the pixels,
+    constant 9-entry IFD after them — plain column concat, no UDF),
+    route through the actual mapInPandas _decode_tiff (strip assembly,
+    inline-SHORT left-justified tag values, grey→RGB expansion), and
+    come back as exact integer channel sums. Grey expands to R=G=B, so
+    the oracle's single Σb serves all three channels (grey_sum) and
+    total = 3Σb; min/max are channel-order-free. The float32 feature
+    storage round-trip is the mm_ppm_real_decode argument (~1e-4 off
+    an integer, far inside round())."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 200)
+        .where(F.col("text").rlike("^[ -~]{18}"))
+    )
+    payload = F.concat(
+        F.lit(_TIFF_6X3_PREFIX),
+        F.encode(F.substring("text", 1, 18), "utf-8"),
+        F.lit(_TIFF_6X3_SUFFIX),
+    )
+    with_bin = docs.select(
+        "doc_id", payload.alias("payload"), F.lit("image/tiff").alias("mime")
+    )
+    out = mm.extract_features(with_bin, id_col="doc_id")
+    f = lambda i: F.element_at("feat", i).cast("double")  # noqa: E731
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.round(f(1) * 18 * 255).cast("long").alias("grey_sum"),
+        F.round(f(4) * 54 * 255).cast("long").alias("total_sum"),
+        F.round(f(5) * 255).cast("long").alias("min_b"),
+        F.round(f(6) * 255).cast("long").alias("max_b"),
+    )

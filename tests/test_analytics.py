@@ -1785,3 +1785,20 @@ def test_mde_power_contract(spark, sf_dir):
         assert min(p1, p2) - 1e-9 <= r.p_pool <= max(p1, p2) + 1e-9
         assert r.detectable == (1 if abs(p2 - p1) >= r.mde - 1e-12 else 0) or \
             abs(abs(p2 - p1) - r.mde) < 2e-6
+
+
+def test_benjamini_hochberg_contract(spark, sf_dir):
+    """BH step-up shape: rejects form a PREFIX of the rank order;
+    critical values strictly decrease with rank; every rejected rank's
+    suffix-max witness exists (some rank >= it has |z| >= crit)."""
+    rows = sorted(
+        all_queries()["a_benjamini_hochberg"](spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert rows
+    rejected = [r.bh_reject for r in rows]
+    # prefix property: once 0, never 1 again
+    assert all(a >= b for a, b in zip(rejected, rejected[1:]))
+    crits = [r.bh_crit for r in rows]
+    assert all(a > b for a, b in zip(crits, crits[1:]))
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))

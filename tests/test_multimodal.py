@@ -1199,3 +1199,17 @@ def test_image_ahash_null_on_undecodable(spark):
     assert out[0].fp_hi is not None and out[0].fp_lo is not None
     assert (out[0].fp_hi, out[0].fp_lo) == _py_ahash(grey)
     assert out[1].fp_hi is None and out[1].fp_lo is None
+
+
+def test_tiff_construct_in_query_roundtrip():
+    """The constructed 6x3 TIFF framing decodes through the REAL
+    _decode_tiff to exactly the embedded chars (grey expanded R=G=B)."""
+    from surge_spark.operators.multimodal import decode_image
+    from surge_spark.queries.text import _TIFF_6X3_PREFIX, _TIFF_6X3_SUFFIX
+
+    chars = b"zyxwvutsrqponmlkji"
+    w, h, img = decode_image(_TIFF_6X3_PREFIX + chars + _TIFF_6X3_SUFFIX)
+    assert (w, h) == (6, 3)
+    assert img[:, :, 0].reshape(-1).tolist() == list(chars)
+    assert (img[:, :, 0] == img[:, :, 1]).all()
+    assert (img[:, :, 0] == img[:, :, 2]).all()
