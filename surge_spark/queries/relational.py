@@ -6618,10 +6618,13 @@ def g_modularity_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "a_two_proportion_ztest",
-    oracle="""
-    WITH per_user AS (
+# ONE canonical parity-split conversion 2x2 cell build shared by the
+# A/B entries (a_two_proportion_ztest, a_mde_power) — the
+# review-discipline factoring: the conversion definition and the arm
+# split must evolve in lockstep or the MDE plans for a different
+# population than the z-test it budgets (its docstring's companion
+# claim would silently become prose-only).
+_PARITY_CONV_CELLS_SQL = """per_user AS (
       SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
              CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                   AS BIGINT) AS converted
@@ -6633,7 +6636,38 @@ def g_modularity_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
              CAST(sum(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS BIGINT) AS k_b
       FROM per_user
+    )"""
+
+
+def _parity_conversion_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_a, k_a, n_b, k_b) one-row frame mirroring
+    _PARITY_CONV_CELLS_SQL: per-user purchase conversion split by
+    user_id parity."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.col("converted").cast("long").alias("converted"),
     )
+    return per_user.groupBy().agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(
+            F.when(F.col("grp") == 0, F.col("converted")).otherwise(0)
+        ).alias("k_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("grp") == 1, F.col("converted")).otherwise(0)
+        ).alias("k_b"),
+    )
+
+
+@query(
+    "a_two_proportion_ztest",
+    oracle=f"""
+    WITH {_PARITY_CONV_CELLS_SQL}
     SELECT n_a, k_a, n_b, k_b,
            CAST(CASE WHEN n_a = 0 THEN NULL
                      ELSE k_a * 1000000 // n_a END AS BIGINT) AS rate_a_ppm,
@@ -6663,22 +6697,9 @@ def a_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a formula whose float64 op order is textually mirrored in the
     oracle, rounded to 6. Pooled-variance zero guard on BOTH sides
     (all-converted or none-converted arms → NULL z, never an ANSI
-    divide-by-zero — the m_burstiness guard class)."""
-    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
-    per_user = e.groupBy("user_id").agg(
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("converted")
-    ).select(
-        (F.col("user_id") % 2).alias("grp"),
-        F.col("converted").cast("long").alias("converted"),
-    )
-    g = per_user.groupBy().agg(
-        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0)).alias("k_a"),
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_b"),
-        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0)).alias("k_b"),
-    )
+    divide-by-zero — the m_burstiness guard class). Cell build =
+    the _parity_conversion_cells kernel shared with a_mde_power."""
+    g = _parity_conversion_cells(spark, sf_dir)
     pp = "(CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))"
     return g.select(
         "n_a",
@@ -6739,21 +6760,29 @@ def _value_arm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _value_arm_prefix(
-    spark: SparkSession, sf_dir: str, sums: list[tuple[str, str]]
+    spark: SparkSession,
+    sf_dir: str,
+    sums: list[tuple[str, str]],
+    by_v: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared prelude of the two-sample ECDF statistics (KS / AD / MW):
-    persist the per-value arm counts (the quantile-bounds action, every
-    prefix chain, and the totals aggregate are separate consumers — the
-    a_spearman_rho scan-amplification class), run ONE 15-point bounds
-    action, and thread it through every requested prefix column (the
-    m_rfm batched-bounds lesson). ``sums`` is [(src_col, out_col), ...].
-    Factored by review pass: KS and AD carried verbatim copies of this
-    recipe. Returns (by_v, pre): totals aggregate from the persisted
-    by_v directly (no window subtree in their plan), prefix consumers
-    read pre."""
+    """Shared prelude of the per-value rank/ECDF statistics (KS / AD /
+    MW / KW): persist the per-value arm counts (the quantile-bounds
+    action, every prefix chain, and the totals aggregate are separate
+    consumers — the a_spearman_rho scan-amplification class), run ONE
+    15-point bounds action, and thread it through every requested
+    prefix column (the m_rfm batched-bounds lesson). ``sums`` is
+    [(src_col, out_col), ...]. ``by_v`` lets a k-arm entry
+    (a_kruskal_wallis) supply its OWN counts frame while reusing the
+    persist/bounds/prefix machinery — the default is the two-arm
+    _value_arm_counts. Factored by review pass: KS and AD carried
+    verbatim copies of this recipe. Returns (by_v, pre): totals
+    aggregate from the persisted by_v directly (no window subtree in
+    their plan), prefix consumers read pre."""
     from surge_spark.operators.text import distributed_prefix_sum
 
-    by_v = _value_arm_counts(spark, sf_dir).persist()
+    if by_v is None:
+        by_v = _value_arm_counts(spark, sf_dir)
+    by_v = by_v.persist()
     bounds = by_v.stat.approxQuantile(
         "cents", [i / 16 for i in range(1, 16)], 0.001
     )
@@ -9753,8 +9782,6 @@ def a_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows on ONE cents value; past either, the wide_int escape twin
     pattern applies (documented, not shipped — the MW decimal twin
     demonstrates the mechanics)."""
-    from surge_spark.operators.text import distributed_prefix_sum
-
     e = _t(spark, sf_dir, "events").where(
         F.col("value").isNotNull()
         & F.col("event_type").isin("purchase", "click", "view")
@@ -9777,14 +9804,9 @@ def a_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("cnt"),
         )
-        .persist()
     )
-    bounds = by_v.stat.approxQuantile(
-        "cents", [i / 16 for i in range(1, 16)], 0.001
-    )
-    pre = distributed_prefix_sum(
-        by_v, "cnt", "cents", [F.col("cents")], out_col="cum", bounds=bounds
-    ).withColumn("less", F.col("cum") - F.col("cnt"))
+    _, pre = _value_arm_prefix(spark, sf_dir, [("cnt", "cum")], by_v=by_v)
+    pre = pre.withColumn("less", F.col("cum") - F.col("cnt"))
     g = pre.groupBy().agg(
         F.sum("cnt_p").alias("n_p"),
         F.sum("cnt_c").alias("n_c"),
@@ -10128,35 +10150,19 @@ from statistics import NormalDist as _ND  # noqa: E402
 MDE_Z_ALPHA = _ND().inv_cdf(0.975)  # two-sided alpha = 5%
 MDE_Z_BETA = _ND().inv_cdf(0.8)  # power = 80%
 _MDE_ZSUM = repr(MDE_Z_ALPHA + MDE_Z_BETA)
-_MDE_P = "(CAST(c1 + c2 AS DOUBLE) / (n1 + n2))"
+_MDE_P = "(CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))"
 _MDE_EXPR = (
-    f"({_MDE_ZSUM} * sqrt({_MDE_P} * (1 - {_MDE_P}) * (1 / n1 + 1 / n2)))"
+    f"({_MDE_ZSUM} * sqrt({_MDE_P} * (1 - {_MDE_P}) * (1 / n_a + 1 / n_b)))"
 )
-_MDE_DIFF = "(CAST(c2 AS DOUBLE) / n2 - CAST(c1 AS DOUBLE) / n1)"
-_MDE_GUARD = "n1 = 0 OR n2 = 0"
+_MDE_DIFF = "(CAST(k_b AS DOUBLE) / n_b - CAST(k_a AS DOUBLE) / n_a)"
+_MDE_GUARD = "n_a = 0 OR n_b = 0"
 
 
 @query(
     "a_mde_power",
     oracle=f"""
-    WITH per_user AS (
-      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
-             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS converted
-      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
-    ),
-    g AS (
-      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n1,
-             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n2,
-             CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
-               AS BIGINT) AS c1,
-             CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
-               AS BIGINT) AS c2
-      FROM per_user
-    )
-    SELECT n1, n2, c1, c2,
+    WITH {_PARITY_CONV_CELLS_SQL}
+    SELECT n_a, n_b, k_a, k_b,
            CAST(CASE WHEN {_MDE_GUARD} THEN NULL
                 ELSE round({_MDE_P}, 6) END AS DOUBLE) AS p_pool,
            CAST(CASE WHEN {_MDE_GUARD} THEN NULL
@@ -10177,33 +10183,18 @@ def a_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample even see?', which is the question an experimenter asks
     BEFORE reading the z): per-user conversion (>=1 purchase) by the
     same parity arms, exact integer cell counts from one aggregate,
-    then MDE = (z_{{α/2}} + z_β)·sqrt(p̂(1−p̂)(1/n1 + 1/n2)) with both
+    then MDE = (z_{α/2} + z_β)·sqrt(p̂(1−p̂)(1/n_a + 1/n_b)) with both
     normal quantiles precomputed from stdlib statistics.NormalDist and
     rendered as repr literals into BOTH engines (the SPRT
     transcendental-literal discipline — no in-engine quantile/erf ever
     runs). Integer-only literals elsewhere (1/n is float division in
     both engines); round-6; the detectable flag compares UNROUNDED
-    doubles identically on both sides."""
-    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
-    per_user = e.groupBy("user_id").agg(
-        F.expr(
-            "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
-        ).alias("converted"),
-    ).select(
-        F.expr("CAST(user_id % 2 AS BIGINT)").alias("arm"), "converted"
-    )
-    g = per_user.groupBy().agg(
-        F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).alias("n1"),
-        F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).alias("n2"),
-        F.sum(F.expr("CASE WHEN arm = 0 THEN converted ELSE 0 END")).alias(
-            "c1"
-        ),
-        F.sum(F.expr("CASE WHEN arm = 1 THEN converted ELSE 0 END")).alias(
-            "c2"
-        ),
-    )
+    doubles identically on both sides. Cell build = the
+    _parity_conversion_cells kernel shared with a_two_proportion_ztest
+    — the MDE budgets exactly the population the z-test reads."""
+    g = _parity_conversion_cells(spark, sf_dir)
     return g.select(
-        "n1", "n2", "c1", "c2",
+        "n_a", "n_b", "k_a", "k_b",
         F.expr(
             f"CAST(CASE WHEN {_MDE_GUARD} THEN NULL"
             f" ELSE round({_MDE_P}, 6) END AS DOUBLE)"
@@ -10301,7 +10292,7 @@ def a_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     'any order' is degenerate in this corpus where every customer has
     one; exact integer cells, the a_mde_power machinery), nations ranked by |z| desc (unrounded z,
     deterministic name tiebreak), each rank compared against its
-    precomputed literal critical value z_{{1−(i·α/m)/2}} with m = 25
+    precomputed literal critical value z_{1−(i·α/m)/2} with m = 25
     FIXED BY THE TPC-H SPEC (a structural constant like the fixed
     centroids — nations missing at tiny SF make the procedure strictly
     conservative, documented), and the BH step-up rule 'reject every

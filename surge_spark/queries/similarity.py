@@ -3078,34 +3078,48 @@ def sim_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5)
     pre = lambda c: sim._as_double(F.slice(c, 1, 16))  # noqa: E731
     full = sim._as_double
-    scored = (
+    # norms (and the zero-prefix-norm guard) hoisted into PRE-join
+    # projections — the r11 sim_range_search lesson: a derived column
+    # inlined past the join boundary re-evaluates its interpreted HOF
+    # fold once per PAIR; hoisted, each row pays its norms once
+    corpus = (
         emb.select(
             F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ce")
         )
-        .crossJoin(
-            F.broadcast(
-                queries.select(
-                    F.col("vec_id").alias("query_id"),
-                    F.col("embedding").alias("qe"),
-                )
-            )
+        .where(sim.dot(pre(F.col("ce")), pre(F.col("ce"))) > 0)
+        .select(
+            "corpus_id",
+            "ce",
+            sim.norm(full(F.col("ce"))).alias("cnf"),
+            sim.norm(pre(F.col("ce"))).alias("cnp"),
         )
+    )
+    qset = (
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+        .where(sim.dot(pre(F.col("qe")), pre(F.col("qe"))) > 0)
+        .select(
+            "query_id",
+            "qe",
+            sim.norm(full(F.col("qe"))).alias("qnf"),
+            sim.norm(pre(F.col("qe"))).alias("qnp"),
+        )
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(qset))
         .where(F.col("corpus_id") != F.col("query_id"))
-        .where(
-            (sim.dot(pre(F.col("ce")), pre(F.col("ce"))) > 0)
-            & (sim.dot(pre(F.col("qe")), pre(F.col("qe"))) > 0)
-        )
         .select(
             "query_id",
             "corpus_id",
             F.round(
                 sim.dot(full(F.col("ce")), full(F.col("qe")))
-                / (sim.norm(full(F.col("ce"))) * sim.norm(full(F.col("qe")))),
+                / (F.col("cnf") * F.col("qnf")),
                 6,
             ).alias("fsim"),
             F.round(
                 sim.dot(pre(F.col("ce")), pre(F.col("qe")))
-                / (sim.norm(pre(F.col("ce"))) * sim.norm(pre(F.col("qe")))),
+                / (F.col("cnp") * F.col("qnp")),
                 6,
             ).alias("csim"),
         )

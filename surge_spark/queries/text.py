@@ -3531,16 +3531,35 @@ def a_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "t_hapax_ratio",
-    oracle=f"""
-    WITH toks AS (
+# ONE canonical per-(source, word) term-frequency kernel shared by the
+# vocabulary-shape entries (t_hapax_ratio, t_yule_k) — the
+# review-discipline factoring (_EQUITY_DD_SQL precedent): the
+# tokenization and the empty-token filter must evolve in lockstep or
+# the cross-entry vocab pin in tests/test_analytics.py silently breaks.
+_SOURCE_TF_SQL = f"""toks AS (
       SELECT source, unnest({_DUCK_TOKS}) AS w FROM documents
     ),
     tf AS (
       SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM toks
       WHERE w <> '' GROUP BY source, w
+    )"""
+
+
+def _source_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, w, c) mirroring _SOURCE_TF_SQL."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("source", F.explode(dd.tokens("text")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+@query(
+    "t_hapax_ratio",
+    oracle=f"""
+    WITH {_SOURCE_TF_SQL}
     SELECT source,
            CAST(count(*) AS BIGINT) AS vocab,
            CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
@@ -3558,17 +3577,9 @@ def t_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     OCR-noise sources inflate it — both are routing signals for a
     cleaning pass). Pure integer channels end to end (counts + ppm
     floor division, `//` ≡ `div`); the (source, word) tf aggregate is
-    the one corpus-scale shuffle, shared shape with
-    t_simpson_diversity."""
-    from surge_spark.operators.dedup import tokens as _tok
-
-    d = load_table(spark, sf_dir, "documents")
-    tf = (
-        d.select("source", F.explode(_tok("text")).alias("w"))
-        .where(F.col("w") != "")
-        .groupBy("source", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    the one corpus-scale shuffle — the _source_tf/_SOURCE_TF_SQL
+    kernel shared with t_yule_k."""
+    tf = _source_tf(spark, sf_dir)
     return tf.groupBy("source").agg(
         F.count(F.lit(1)).alias("vocab"),
         F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
@@ -3645,13 +3656,7 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "t_yule_k",
     oracle=f"""
-    WITH toks AS (
-      SELECT source, unnest({_DUCK_TOKS}) AS w FROM documents
-    ),
-    tf AS (
-      SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM toks
-      WHERE w <> '' GROUP BY source, w
-    ),
+    WITH {_SOURCE_TF_SQL},
     g AS (
       SELECT source,
              CAST(count(*) AS BIGINT) AS vocab,
@@ -3679,15 +3684,7 @@ def t_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented escape past that); ONE mirrored float quotient with an
     integer 10⁴ literal (no decimal-literal channel), round-6, N<2 →
     NULL both sides."""
-    from surge_spark.operators.dedup import tokens as _tok
-
-    d = _docs(spark, sf_dir)
-    tf = (
-        d.select("source", F.explode(_tok("text")).alias("w"))
-        .where(F.col("w") != "")
-        .groupBy("source", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    tf = _source_tf(spark, sf_dir)
     g = tf.groupBy("source").agg(
         F.count(F.lit(1)).alias("vocab"),
         F.sum("c").alias("n_tokens"),

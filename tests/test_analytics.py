@@ -1775,13 +1775,16 @@ def test_mde_power_contract(spark, sf_dir):
     """MDE: positive when defined; scales like 1/sqrt(n) sanity — the
     pooled rate sits inside [min(p1,p2), max(p1,p2)]."""
     r = all_queries()["a_mde_power"](spark, sf_dir).collect()[0]
+    zt = all_queries()["a_two_proportion_ztest"](spark, sf_dir).collect()[0]
+    # shared-kernel pin: the MDE budgets exactly the z-test's cells
+    assert (r.n_a, r.n_b, r.k_a, r.k_b) == (zt.n_a, zt.n_b, zt.k_a, zt.k_b)
     if r.mde is not None:
         # mde == 0 exactly when the pooled rate is degenerate (p in
         # {0,1} — zero variance; true at tiny SF where every user buys)
         assert r.mde >= 0
         if 0 < r.p_pool < 1:
             assert r.mde > 0
-        p1, p2 = r.c1 / r.n1, r.c2 / r.n2
+        p1, p2 = r.k_a / r.n_a, r.k_b / r.n_b
         assert min(p1, p2) - 1e-9 <= r.p_pool <= max(p1, p2) + 1e-9
         assert r.detectable == (1 if abs(p2 - p1) >= r.mde - 1e-12 else 0) or \
             abs(abs(p2 - p1) - r.mde) < 2e-6
