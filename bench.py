@@ -112,6 +112,9 @@ HEADLINE = [
     "g_degree_gini",               # hub concentration on the shared prefix-sum machinery (r15)
     "t_hapax_ratio",               # once-seen vocabulary share, pure-integer ppm (r15)
     "mm_phash_neardup",            # image aHash near-dup: real-decode mapInPandas + 16-bit banding (r15)
+    "sim_rrf_fusion_topk",         # dual-scored cross join + two windows on one exchange (r15)
+    "a_kruskal_wallis",            # k-arm rank channels on the shared prefix machinery (r15)
+    "es_debounce_fold",            # ninth-twin batch fold: sorted-stream kernel throughput (r15)
 ]
 
 N_RUNS = 3
