@@ -10347,3 +10347,116 @@ def a_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS INT)"
         ).alias("bh_reject"),
     )
+
+
+@query(
+    "a_sample_ratio_mismatch",
+    oracle=f"""
+    WITH {_PARITY_CONV_CELLS_SQL}
+    SELECT n_a, n_b,
+           CAST(CASE WHEN n_a + n_b = 0 THEN NULL
+                ELSE round(CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b)
+                     / (n_a + n_b), 6) END AS DOUBLE) AS srm_chi2,
+           CAST(CASE WHEN n_a + n_b = 0 THEN NULL
+                WHEN CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b)
+                     / (n_a + n_b) > 3.841458820694124 THEN 1 ELSE 0
+                END AS INT) AS srm_flag
+    FROM g
+    """,
+)
+def a_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check on the parity A/B split — the
+    guardrail every experimentation platform runs BEFORE reading any
+    test (a split that isn't the designed 50/50 invalidates the z-test
+    and the MDE no matter how significant they look): χ² =
+    (n_a − n_b)²/(n_a + n_b) against the 1-df 5% critical value
+    3.841458820694124 (a precomputed literal — chi2.ppf(0.95, 1) =
+    inv_cdf(0.975)², stdlib-derived, the BH/MDE literal discipline).
+    Rides the SAME _parity_conversion_cells kernel as the z-test and
+    the MDE, so all three guardrails read one population by
+    construction. The flag compares UNROUNDED doubles identically on
+    both sides."""
+    g = _parity_conversion_cells(spark, sf_dir)
+    return g.select(
+        "n_a", "n_b",
+        F.expr(
+            "CAST(CASE WHEN n_a + n_b = 0 THEN NULL"
+            " ELSE round(CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b)"
+            " / (n_a + n_b), 6) END AS DOUBLE)"
+        ).alias("srm_chi2"),
+        F.expr(
+            "CAST(CASE WHEN n_a + n_b = 0 THEN NULL"
+            " WHEN CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b)"
+            " / (n_a + n_b) > 3.841458820694124 THEN 1 ELSE 0"
+            " END AS INT)"
+        ).alias("srm_flag"),
+    )
+
+
+@query(
+    "o_partition_backfill_plan",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS d,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    bounds AS (
+      SELECT min(d) AS lo, max(d) AS hi,
+             quantile_cont(CAST(n_events AS DOUBLE), 0.5) AS med
+      FROM daily
+    ),
+    cal AS (
+      SELECT CAST(t.day AS BIGINT) AS day, b.med
+      FROM bounds b, LATERAL (
+        SELECT unnest(range(b.lo, b.hi + 1)) AS day
+      ) t
+    )
+    SELECT c.day,
+           CAST(coalesce(dd.n_events, 0) AS BIGINT) AS n_events,
+           CAST(round(c.med, 4) AS DOUBLE) AS median_daily,
+           CAST(CASE WHEN coalesce(dd.n_events, 0) < c.med / 2
+                THEN 1 ELSE 0 END AS INT) AS backfill
+    FROM cal c LEFT JOIN daily dd ON dd.d = c.day
+    """,
+)
+def o_partition_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-completeness audit + backfill plan — the orchestration
+    question behind every daily-partitioned table ('which partition
+    dates are MISSING or suspiciously thin and need a re-run?'): the
+    observed min..max epoch-day range expands to a full calendar
+    (sequence + explode — the m_gap_fill_forward machinery; absent
+    days appear with 0, never silently skipped), each day's count is
+    compared against HALF the median observed daily count (median via
+    the exact percentile ≡ quantile_cont channel; the threshold is
+    med/2 — an integer-literal divisor, no decimal channel), and the
+    flag compares unrounded doubles identically on both sides. Day
+    ships as the integer epoch-day (the no-date-channel rule). The
+    calendar frame is span-bounded — it cannot grow with data volume,
+    only with elapsed time."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr("unix_millis(ts) div 86400000").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = daily.groupBy().agg(
+        F.min("d").alias("lo"),
+        F.max("d").alias("hi"),
+        F.expr("percentile(CAST(n_events AS DOUBLE), 0.5)").alias("med"),
+    )
+    cal = bounds.select(
+        F.explode(F.expr("sequence(lo, hi)")).alias("day"), "med"
+    )
+    return (
+        cal.join(daily, cal.day == daily.d, "left")
+        .select(
+            "day",
+            F.expr("CAST(coalesce(n_events, 0) AS BIGINT)").alias(
+                "n_events"
+            ),
+            F.expr("CAST(round(med, 4) AS DOUBLE)").alias("median_daily"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_events, 0) < med / 2"
+                " THEN 1 ELSE 0 END AS INT)"
+            ).alias("backfill"),
+        )
+    )

@@ -1805,3 +1805,32 @@ def test_benjamini_hochberg_contract(spark, sf_dir):
     crits = [r.bh_crit for r in rows]
     assert all(a > b for a, b in zip(crits, crits[1:]))
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_srm_contract(spark, sf_dir):
+    """SRM rides the shared parity cells (n matches the z-test); chi2
+    re-derives from the shipped integers; critical value is the stdlib
+    normal quantile squared."""
+    from statistics import NormalDist
+
+    r = all_queries()["a_sample_ratio_mismatch"](spark, sf_dir).collect()[0]
+    zt = all_queries()["a_two_proportion_ztest"](spark, sf_dir).collect()[0]
+    assert (r.n_a, r.n_b) == (zt.n_a, zt.n_b)
+    expect = round((r.n_a - r.n_b) ** 2 / (r.n_a + r.n_b), 6)
+    assert abs(r.srm_chi2 - expect) < 1e-12
+    crit = NormalDist().inv_cdf(0.975) ** 2
+    assert abs(crit - 3.841458820694124) < 1e-12
+
+
+def test_backfill_plan_contract(spark, sf_dir):
+    """Backfill plan covers the FULL min..max day calendar gaplessly;
+    flags exactly the below-half-median days; totals conserve."""
+    rows = sorted(
+        all_queries()["o_partition_backfill_plan"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    days = [r.day for r in rows]
+    assert days == list(range(days[0], days[-1] + 1))
+    for r in rows:
+        assert r.backfill == (1 if r.n_events < r.median_daily / 2 else 0) or \
+            abs(r.n_events - r.median_daily / 2) < 1e-4
