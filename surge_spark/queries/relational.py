@@ -10460,3 +10460,72 @@ def o_partition_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("backfill"),
         )
     )
+
+
+# literal price bands (cents): the banded-dimension shape — a tiny
+# range dimension joined non-equi against the fact stream
+_PRICE_BANDS = [
+    ("b0_under_50", 0, 5000),
+    ("b1_50_100", 5000, 10000),
+    ("b2_100_200", 10000, 20000),
+    ("b3_200_500", 20000, 50000),
+    ("b4_500_plus", 50000, None),
+]
+_PRICE_BANDS_VALUES = ", ".join(
+    f"('{n}', {lo}, {'NULL' if hi is None else hi})"
+    for n, lo, hi in _PRICE_BANDS
+)
+
+
+@query(
+    "j_price_band_join",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (VALUES {_PRICE_BANDS_VALUES}),
+    ev AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL AND event_type = 'purchase'
+    )
+    SELECT b.band,
+           CAST(b.lo AS BIGINT) AS lo_cents,
+           CAST(count(e.cents) AS BIGINT) AS n_events,
+           CAST(coalesce(sum(e.cents), 0) AS BIGINT) AS total_cents
+    FROM bands b LEFT JOIN ev e
+      ON e.cents >= b.lo AND (b.hi IS NULL OR e.cents < b.hi)
+    GROUP BY b.band, b.lo
+    """,
+)
+def j_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-dimension theta join — the 'bucket by a tiny range
+    dimension' join shape (rate cards, tax brackets, pricing tiers)
+    the equi/as-of/interval joins don't cover: a 5-row LITERAL band
+    table (structural constant → broadcast class 2) joined non-equi
+    (lo <= cents < hi, open-ended top band via NULL hi) against the
+    purchase stream; LEFT from the bands so an EMPTY band still ships
+    its row with zeros (never silently absent — the backfill-plan
+    discipline). Plan: BroadcastNestedLoopJoin with the fact side
+    never shuffling; the aggregate is partial+final over 5 groups.
+    All-integer channels. At 100 TB the same plan holds — the band
+    side is constant-size by construction."""
+    bands = spark.createDataFrame(
+        _PRICE_BANDS, "band string, lo long, hi long"
+    )
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+    ).select(F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"))
+    j = F.broadcast(bands).join(
+        ev,
+        (F.col("cents") >= F.col("lo"))
+        & (F.col("hi").isNull() | (F.col("cents") < F.col("hi"))),
+        "left",
+    )
+    return j.groupBy("band", "lo").agg(
+        F.count("cents").alias("n_events"),
+        F.expr("CAST(coalesce(sum(cents), 0) AS BIGINT)").alias(
+            "total_cents"
+        ),
+    ).select(
+        "band",
+        F.col("lo").cast("long").alias("lo_cents"),
+        "n_events",
+        "total_cents",
+    )

@@ -3780,3 +3780,113 @@ def mm_tiff_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f(5) * 255).cast("long").alias("min_b"),
         F.round(f(6) * 255).cast("long").alias("max_b"),
     )
+
+
+@query(
+    "t_code_fraction",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 5 = 0 THEN
+               text || chr(10) ||
+               repeat('    x = f(a[i]); {y[k] = (m < n);}' || chr(10),
+                      CAST(1 + doc_id % 3 AS INT))
+             ELSE text END AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ch AS (
+      SELECT doc_id, source,
+             CAST(length(t) AS BIGINT) AS n_chars,
+             CAST(length(t) - length(
+               regexp_replace(t, '[{}()\[\];=<>]', '', 'g')) AS BIGINT)
+               AS n_sym,
+             CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(string_split(t, chr(10)),
+                  x -> x LIKE '    %')) AS BIGINT) AS n_indent
+      FROM aug
+    ),
+    scored AS (
+      SELECT *,
+             CASE WHEN n_chars > 0
+                    AND n_sym * 1000 // n_chars >= 5
+                    AND n_lines > 0
+                    AND n_indent * 1000 // n_lines >= 100
+                  THEN 1 ELSE 0 END AS is_code
+      FROM ch
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_sym) * 1000000 // greatest(sum(n_chars), 1)
+                AS BIGINT) AS sym_ppm,
+           CAST(sum(n_indent) * 1000000 // greatest(sum(n_lines), 1)
+                AS BIGINT) AS indent_ppm,
+           CAST(sum(is_code) AS BIGINT) AS n_code_docs
+    FROM scored GROUP BY source
+    """,
+)
+def t_code_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection per source — the routing signal a
+    pretraining pipeline needs before sending documents down the
+    code-specific cleaning path (symbol density + indented-line share,
+    the two cheapest high-precision code markers): the synthetic corpus
+    contains ZERO code, so every fifth doc gets a deterministic
+    code-like block APPENDED IN-QUERY (the t_pii_redact
+    construct-in-query precedent — vacuous otherwise; the injected
+    snippet exercises braces, brackets, assignment, indent). Channels
+    are exact integers on both engines: symbol count via
+    length-minus-regexp_replace (DuckDB needs the 'g' flag to match
+    Spark's replace-all — the pii lesson; the char class is in the
+    Java-regex ∩ RE2 subset), indent share via a filtered line split,
+    per-doc flag from two integer-ppm thresholds, per-source rollup
+    all floor-division ppm. No float channel anywhere."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    aug = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CASE WHEN doc_id % 5 = 0 THEN"
+            " concat(text, '\\n',"
+            " repeat(concat('    x = f(a[i]); {y[k] = (m < n);}', '\\n'),"
+            " CAST(1 + doc_id % 3 AS INT)))"
+            " ELSE text END"
+        ).alias("t"),
+    )
+    ch = aug.select(
+        "doc_id",
+        "source",
+        F.length("t").cast("long").alias("n_chars"),
+        # lengths cast to bigint BEFORE the subtract: length() is INT
+        # and the audit gate wants no Integer arithmetic on data-sized
+        # channels (bounded here, but the gate is structural)
+        (
+            F.length("t").cast("long")
+            - F.length(F.regexp_replace("t", r"[{}()\[\];=<>]", "")).cast(
+                "long"
+            )
+        ).alias("n_sym"),
+        F.expr("CAST(size(split(t, '\\n', -1)) AS BIGINT)").alias("n_lines"),
+        F.expr(
+            "CAST(size(filter(split(t, '\\n', -1),"
+            " x -> x LIKE '    %')) AS BIGINT)"
+        ).alias("n_indent"),
+    )
+    scored = ch.withColumn(
+        "is_code",
+        F.expr(
+            "CASE WHEN n_chars > 0 AND n_sym * 1000 div n_chars >= 5"
+            " AND n_lines > 0 AND n_indent * 1000 div n_lines >= 100"
+            " THEN 1 ELSE 0 END"
+        ),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            "CAST(sum(n_sym) * 1000000 div greatest(sum(n_chars), 1)"
+            " AS BIGINT)"
+        ).alias("sym_ppm"),
+        F.expr(
+            "CAST(sum(n_indent) * 1000000 div greatest(sum(n_lines), 1)"
+            " AS BIGINT)"
+        ).alias("indent_ppm"),
+        F.sum("is_code").alias("n_code_docs"),
+    )

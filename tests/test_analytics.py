@@ -1834,3 +1834,33 @@ def test_backfill_plan_contract(spark, sf_dir):
     for r in rows:
         assert r.backfill == (1 if r.n_events < r.median_daily / 2 else 0) or \
             abs(r.n_events - r.median_daily / 2) < 1e-4
+
+
+def test_price_band_join_contract(spark, sf_dir):
+    """Bands partition the purchase stream: Σ n_events equals the
+    purchase count; all five bands present even if empty; totals sit
+    inside band bounds when singleton."""
+    from surge_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    rows = all_queries()["j_price_band_join"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    e = load_table(spark, sf_dir, "events")
+    n_purch = e.where(
+        F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+    ).count()
+    assert sum(r.n_events for r in rows) == n_purch
+
+
+def test_code_fraction_contract(spark, sf_dir):
+    """Exactly the injected fifth of each source's docs flags as code
+    (the synthetic corpus itself carries zero code symbols); ppm
+    channels bounded."""
+    rows = all_queries()["t_code_fraction"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_docs for r in rows)
+    flagged = sum(r.n_code_docs for r in rows)
+    assert flagged * 5 == total  # doc_id % 5 == 0 slice, all flagged
+    for r in rows:
+        assert 0 <= r.sym_ppm <= 1_000_000
+        assert 0 <= r.indent_ppm <= 1_000_000
