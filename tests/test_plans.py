@@ -924,3 +924,45 @@ def test_ktruss_single_triangle_enumeration(spark, sf_dir):
     assert "isFinalPlan=true" in plan
     assert plan.lower().count("lineitem.parquet") == 0, plan
     assert plan.count("LeftSemi") >= 3, plan
+
+
+def test_rrf_fusion_two_windows_one_exchange(spark, sf_dir):
+    """sim_rrf_fusion_topk: the two per-query row_number windows (full
+    and prefix ranks) plus the final rrf rank all partition by
+    query_id, so the executed plan carries exactly ONE
+    hashpartitioning(query_id) exchange — the ranks and the fusion
+    re-sort in place, never re-shuffle. The query set broadcasts; the
+    corpus side reaches the join without an exchange."""
+    from surge_spark.queries import all_queries
+
+    df = all_queries()["sim_rrf_fusion_topk"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # the executed-plan string renders the tree twice (final + initial)
+    # — count UNIQUE exchange plan_ids, not string occurrences
+    import re
+
+    ex_ids = set(
+        re.findall(r"Exchange hashpartitioning\(query_id[^\[]*\[plan_id=(\d+)\]", plan)
+    )
+    assert len(ex_ids) <= 2, plan  # one per rendering at most
+    # and no OTHER hash exchange key exists anywhere in the plan
+    other = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert set(other) <= {"query_id"}, other
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_price_band_join_fact_never_shuffles(spark, sf_dir):
+    """j_price_band_join: the 5-row literal band table broadcasts and
+    the fact (events) side reaches the non-equi join scan-direct — no
+    hashpartitioning exchange below the join; the only shuffle is the
+    5-group final aggregate."""
+    from surge_spark.queries import all_queries
+
+    df = all_queries()["j_price_band_join"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "hashpartitioning(cents" not in plan, plan
