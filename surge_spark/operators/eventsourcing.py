@@ -1007,32 +1007,48 @@ CROSTON_A = 0.2
 CROSTON_OMA = 0.8
 
 
+def croston_step(
+    z: float, p: float, last_ms: int | None, t_ms: int, x: float
+) -> tuple[float, float, int]:
+    """One Croston update — THE shared kernel for cross-mode twin #10
+    (m_croston_forecast / croston_stream): seeded z = x_1, p = 0.0 on
+    the first point (last_ms None — no interval yet, the holt seed
+    class); afterwards both EWMAs advance with literal 0.2/0.8
+    coefficients in a fixed float-op order (bitwise-reproducible by
+    the recursive-CTE oracle AND the streaming twin)."""
+    if last_ms is None:
+        return x, 0.0, t_ms
+    i = float(t_ms - last_ms)
+    z = CROSTON_A * x + CROSTON_OMA * z
+    p = CROSTON_A * i + CROSTON_OMA * p
+    return z, p, t_ms
+
+
 def croston_handle_event(state: dict | None, event: dict) -> dict:
     """Per-key Croston fold over the ordered purchase stream (each
     purchase is a demand point; the interval channel is the exact
-    integer ms gap, converted to float only at the EWMA). Seeded
-    z = x_1, p = 0.0 (the first point has no interval — documented
-    init, the holt seed class). Float ops run in a fixed order so the
-    recursive-CTE oracle reproduces the double bitwise until the
-    final round(6)."""
+    integer ms gap, converted to float only at the EWMA) — the batch
+    half of twin #10, routed THROUGH the one croston_step kernel (the
+    cusum kernel-duplication lesson)."""
     x = float(event["value"])
     ms = int(event["ms"])
     if state is None:
+        z, p, last_ms = croston_step(0.0, 0.0, None, ms, x)
         return {
             "aggregate_id": str(event["user_id"]),
-            "z": x,
-            "p": 0.0,
-            "last_ms": ms,
+            "z": z,
+            "p": p,
+            "last_ms": last_ms,
             "n": 1,
         }
-    i = float(ms - state["last_ms"])
-    z = CROSTON_A * x + CROSTON_OMA * state["z"]
-    p = CROSTON_A * i + CROSTON_OMA * state["p"]
+    z, p, last_ms = croston_step(
+        state["z"], state["p"], state["last_ms"], ms, x
+    )
     return {
         "aggregate_id": state["aggregate_id"],
         "z": z,
         "p": p,
-        "last_ms": ms,
+        "last_ms": last_ms,
         "n": state["n"] + 1,
     }
 

@@ -996,3 +996,79 @@ def debounce_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CROSTON_STATE = StructType(
+    [
+        StructField("z", DoubleType()),
+        StructField("p", DoubleType()),
+        StructField("last_ms", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+CROSTON_OUTPUT = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("z", DoubleType()),
+        StructField("p", DoubleType()),
+        StructField("last_ms", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def croston_stream(events: DataFrame) -> DataFrame:
+    """Live Croston intermittent-demand monitor — the TENTH cross-mode
+    twin (cusum, token bucket, saga, holt, burn, PH, multiwindow burn,
+    SPRT, debounce, croston): per-key demand-size + inter-demand-
+    interval EWMAs via applyInPandasWithState, BOTH modes calling the ONE
+    croston_step kernel (literal 0.2/0.8 coefficients — the HW_OM*
+    invariant), so the float state is BITWISE-identical to the
+    m_croston_forecast batch fold for in-order arrival (the holt pin
+    class), pinned across a micro-batch boundary where the carried
+    (z, p, last_ms) decide batch 2's first update. Input rows are
+    {user_id, value, ms, event_id}; each batch sorts by
+    (ms, event_id); NULL user_ids filtered exactly like the batch
+    twin. State is 4 scalars per key."""
+    from ..operators.eventsourcing import croston_step
+
+    events = events.where(F.col("user_id").isNotNull())
+
+    def step(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            z, p, last_ms, n = state.get
+        else:
+            z, p, last_ms, n = 0.0, 0.0, None, 0
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ms", "event_id"], kind="mergesort"
+        )
+        for t, x in zip(batch["ms"], batch["value"]):
+            z, p, last_ms = croston_step(z, p, last_ms, int(t), float(x))
+            n += 1
+        state.update((z, p, last_ms, n))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": str(key[0]),
+                    "z": z,
+                    "p": p,
+                    "last_ms": last_ms,
+                    "n": n,
+                }
+            ]
+        )
+
+    ensure_shipped(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=CROSTON_OUTPUT,
+        stateStructType=_CROSTON_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

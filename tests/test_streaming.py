@@ -2753,3 +2753,55 @@ def test_debounce_stream_matches_batch_fold(spark, tmp_path):
     # t0, t2, t4) and conservation holds
     assert st["n_accepted"] == 3 and st["n_suppressed"] == 2
     assert st["n_accepted"] + st["n_suppressed"] == st["n"]
+
+
+def test_croston_stream_matches_batch_fold(spark, tmp_path):
+    """Cross-mode Croston pin (the TENTH twin, r15): the streaming
+    intermittent-demand EWMAs over TWO micro-batches equal the batch
+    fold handler BITWISE (float recurrence, literal coefficients —
+    the holt/PH/SPRT pin class). Batch 2's first update consumes the
+    (z, p, last_ms) carried from batch 1 — its interval term is
+    computed against batch 1's last demand timestamp."""
+    from surge_spark.operators.eventsourcing import croston_handle_event
+    from surge_spark.streaming import metrics as sm
+
+    pts = [(0, 12.5), (70_000, 3.25), (95_000, 8.0), (240_000, 1.75)]
+    schema = "user_id string, value double, ms long, event_id long"
+    src = str(tmp_path / "cro_events")
+    half = 2
+    spark.createDataFrame(
+        [("u1", v, t, i) for i, (t, v) in enumerate(pts[:half])], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [("u1", v, t, half + i) for i, (t, v) in enumerate(pts[half:])],
+        schema,
+    ).coalesce(1).write.parquet(src + "/f2")
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        sm.croston_stream(events)
+        .writeStream.format("memory")
+        .queryName("cro_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_cro"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from cro_out order by n").collect()
+    assert len(rows) == 2
+    assert rows[0].n == half and rows[0].last_ms == pts[half - 1][0]
+    got = rows[-1]
+    st = None
+    for i, (t, v) in enumerate(pts):
+        st = croston_handle_event(
+            st, {"user_id": "u1", "ms": t, "value": v}
+        )
+    # BITWISE — same kernel, same order
+    assert (got.z, got.p, got.last_ms, got.n) == (
+        st["z"], st["p"], st["last_ms"], st["n"]
+    )
+    assert got.p > 0  # non-vacuous: interval EWMA advanced
