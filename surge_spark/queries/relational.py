@@ -10529,3 +10529,100 @@ def j_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_cents",
     )
+
+
+# literal keyset cursor for the pagination entry — "the page after
+# (custkey 50, orderkey 100)", page size 20 (custkey 50 exists at
+# every testdata scale — 150 customers at sf0.001)
+_KEYSET_C, _KEYSET_O, _KEYSET_N = 50, 100, 20
+
+
+@query(
+    "w_keyset_pagination",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(round(o_totalprice, 2) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_custkey > {_KEYSET_C}
+       OR (o_custkey = {_KEYSET_C} AND o_orderkey > {_KEYSET_O})
+    ORDER BY o_custkey, o_orderkey
+    LIMIT {_KEYSET_N}
+    """,
+)
+def w_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination — the serving-path scan shape every
+    API backed by this engine actually runs (OFFSET pagination re-reads
+    and re-sorts the whole prefix; a keyset cursor turns page N+1 into
+    a range predicate + top-k): rows strictly after the literal cursor
+    (custkey, orderkey) in the composite order, expressed as the
+    row-value comparison's disjunctive normal form (pushable —
+    `(a,b) > (x,y)` as a struct comparison does NOT reach parquet
+    filters), then ORDER BY + LIMIT which Catalyst plans as
+    TakeOrderedAndProject — no global sort materializes at any scale
+    and the predicate prunes at the scan. The S3 key-range scan's
+    composite-key sibling."""
+    o = _t(spark, sf_dir, "orders")
+    page = (
+        o.where(
+            (F.col("o_custkey") > _KEYSET_C)
+            | (
+                (F.col("o_custkey") == _KEYSET_C)
+                & (F.col("o_orderkey") > _KEYSET_O)
+            )
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).cast("double").alias("total_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(_KEYSET_N)
+    )
+    return page
+
+
+@query(
+    "f_base64_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, substring(text, 1, 24) AS s
+      FROM documents
+      WHERE doc_id < 200 AND regexp_matches(text, '^[ -~]{24}')
+    )
+    SELECT doc_id,
+           to_base64(encode(s)) AS b64,
+           CAST(length(to_base64(encode(s))) AS BIGINT) AS b64_len,
+           CAST(CASE WHEN decode(from_base64(to_base64(encode(s)))) = s
+                THEN 1 ELSE 0 END AS INT) AS roundtrip_ok
+    FROM base
+    """,
+)
+def f_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64 encode/decode — the binary-codec member of the f_*
+    function family (payload transport for the engine's opaque
+    Array[Byte] values — SURVEY §1.2's SerializedMessage is exactly a
+    bytes+headers record, and base64 is how those bytes cross JSON/
+    text boundaries): each doc's first 24 printable-ASCII chars
+    (chars == bytes, the mm_* filter discipline) encode UTF-8 →
+    base64 → decode back, with the roundtrip equality shipped as a
+    flag BOTH engines compute (RFC 4648 standard alphabet + '='
+    padding in both — the b64 string itself is value-compared too,
+    so an alphabet/padding divergence would hash-mismatch, not just
+    flip the flag). Pure string channels, map-side only."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .where(F.col("text").rlike("^[ -~]{24}"))
+        .select("doc_id", F.substring("text", 1, 24).alias("s"))
+    )
+    return docs.select(
+        "doc_id",
+        F.base64(F.encode("s", "utf-8")).alias("b64"),
+        F.length(F.base64(F.encode("s", "utf-8"))).cast("long").alias(
+            "b64_len"
+        ),
+        F.expr(
+            "CAST(CASE WHEN decode(unbase64(base64(encode(s, 'utf-8'))),"
+            " 'utf-8') = s THEN 1 ELSE 0 END AS INT)"
+        ).alias("roundtrip_ok"),
+    )

@@ -1864,3 +1864,13 @@ def test_code_fraction_contract(spark, sf_dir):
     for r in rows:
         assert 0 <= r.sym_ppm <= 1_000_000
         assert 0 <= r.indent_ppm <= 1_000_000
+
+
+def test_base64_roundtrip_contract(spark, sf_dir):
+    """Every row roundtrips (flag all-1); b64 length is the RFC 4648
+    ceil(24/3)*4 = 32 for the fixed 24-byte input."""
+    rows = all_queries()["f_base64_roundtrip"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.roundtrip_ok == 1
+        assert r.b64_len == 32

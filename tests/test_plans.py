@@ -966,3 +966,19 @@ def test_price_band_join_fact_never_shuffles(spark, sf_dir):
     assert "isFinalPlan=true" in plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "hashpartitioning(cents" not in plan, plan
+
+
+def test_keyset_pagination_takeordered_pushed_filter(spark, sf_dir):
+    """w_keyset_pagination: the cursor predicate reaches the parquet
+    scan (PushedFilters carries the o_custkey bound) and the page
+    materializes via TakeOrderedAndProject — no global Sort exchange."""
+    from surge_spark.queries import all_queries
+
+    df = all_queries()["w_keyset_pagination"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "PushedFilters: [" in plan and "o_custkey" in plan.split(
+        "PushedFilters: ["
+    )[1][:200], plan
