@@ -353,6 +353,8 @@ BIGINT_PRODUCT_BOUNDS: dict[str, str] = {
     "a_one_way_anova": "Sum(cents^2) moment channel: int64 to ~9e8 events "
     "at the 1e5-cent price domain (the a_welch_t_test class); escape = "
     "wide_int DECIMAL(38)",
+    "a_tost_equivalence": "Sum(cents^2) per-arm moment channel: the "
+    "a_one_way_anova class (int64 to ~9e8 events; wide_int escape)",
     "t_yule_k": "Sum(c^2) <= N^2 per-source token channel: int64 to ~3e9 "
     "tokens per source; escape = wide_int DECIMAL(38)",
     "w_ulcer_index": "dd_bp^2 <= 1e8 on the calendar-bounded daily frame "

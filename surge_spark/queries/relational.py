@@ -10626,3 +10626,124 @@ def f_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'utf-8') = s THEN 1 ELSE 0 END AS INT)"
         ).alias("roundtrip_ok"),
     )
+
+
+# TOST equivalence margin (cents) and the one-sided 5% normal quantile
+# (stdlib literal, the MDE/BH discipline)
+_TOST_DELTA = 500
+_TOST_Z = repr(_ND().inv_cdf(0.95))
+_TOST_MEAN_A = "(CAST(s1_a AS DOUBLE) / n_a)"
+_TOST_MEAN_B = "(CAST(s1_b AS DOUBLE) / n_b)"
+_TOST_VAR_A = f"((CAST(s2_a AS DOUBLE) / n_a - {_TOST_MEAN_A} * {_TOST_MEAN_A}) / n_a)"
+_TOST_VAR_B = f"((CAST(s2_b AS DOUBLE) / n_b - {_TOST_MEAN_B} * {_TOST_MEAN_B}) / n_b)"
+_TOST_SE = f"sqrt({_TOST_VAR_A} + {_TOST_VAR_B})"
+_TOST_DIFF = f"({_TOST_MEAN_B} - {_TOST_MEAN_A})"
+_TOST_GUARD = f"n_a < 2 OR n_b < 2 OR {_TOST_SE} = 0"
+_TOST_ZL = f"(({_TOST_DIFF} + {_TOST_DELTA}) / {_TOST_SE})"
+_TOST_ZU = f"(({_TOST_DELTA} - {_TOST_DIFF}) / {_TOST_SE})"
+
+
+@query(
+    "a_tost_equivalence",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(user_id % 2 AS BIGINT) AS arm
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+        AND event_type = 'purchase'
+    ),
+    g AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT)
+               AS s1_a,
+             CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT)
+               AS s1_b,
+             CAST(sum(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END)
+               AS BIGINT) AS s2_a,
+             CAST(sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END)
+               AS BIGINT) AS s2_b
+      FROM ev
+    )
+    SELECT n_a, n_b, s1_a, s1_b,
+           CAST(CASE WHEN {_TOST_GUARD} THEN NULL
+                ELSE round({_TOST_DIFF}, 6) END AS DOUBLE) AS mean_diff,
+           CAST(CASE WHEN {_TOST_GUARD} THEN NULL
+                ELSE round({_TOST_SE}, 6) END AS DOUBLE) AS se,
+           CAST(CASE WHEN {_TOST_GUARD} THEN NULL
+                ELSE round({_TOST_ZL}, 6) END AS DOUBLE) AS z_lower,
+           CAST(CASE WHEN {_TOST_GUARD} THEN NULL
+                ELSE round({_TOST_ZU}, 6) END AS DOUBLE) AS z_upper,
+           CAST(CASE WHEN {_TOST_GUARD} THEN NULL
+                WHEN {_TOST_ZL} >= {_TOST_Z} AND {_TOST_ZU} >= {_TOST_Z}
+                THEN 1 ELSE 0 END AS INT) AS equivalent
+    FROM g
+    """,
+)
+def a_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests) on purchase value by
+    the parity split — the experimentation suite's missing direction
+    (the z-test can only REJECT equality; TOST is how you POSITIVELY
+    conclude 'the arms are the same to within ±$5', the do-no-harm
+    launch criterion): both one-sided z's against the literal ±500-
+    cent margin must clear the one-sided 5% normal quantile (stdlib
+    repr literal, the MDE/BH discipline). Moments are exact integer
+    (Σcents, Σcents² — the a_one_way_anova bigint bound class,
+    documented in the audit gate); mean/variance/se are mirrored
+    fixed-order float expressions; the equivalence flag compares
+    UNROUNDED doubles identically on both sides; n<2 or zero-se
+    guards both sides. Population-variance form (the
+    a_distribution_moments convention — no engine variance functions
+    whose corrections differ)."""
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & (F.col("event_type") == "purchase")
+    )
+    ev = e.select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.expr("CAST(user_id % 2 AS BIGINT)").alias("arm"),
+    )
+    g = ev.groupBy().agg(
+        F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).alias("n_a"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).alias("n_b"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN cents ELSE 0 END")).alias(
+            "s1_a"
+        ),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN cents ELSE 0 END")).alias(
+            "s1_b"
+        ),
+        F.sum(
+            F.expr("CASE WHEN arm = 0 THEN cents * cents ELSE 0 END")
+        ).alias("s2_a"),
+        F.sum(
+            F.expr("CASE WHEN arm = 1 THEN cents * cents ELSE 0 END")
+        ).alias("s2_b"),
+    )
+    return g.select(
+        "n_a", "n_b", "s1_a", "s1_b",
+        F.expr(
+            f"CAST(CASE WHEN {_TOST_GUARD} THEN NULL"
+            f" ELSE round({_TOST_DIFF}, 6) END AS DOUBLE)"
+        ).alias("mean_diff"),
+        F.expr(
+            f"CAST(CASE WHEN {_TOST_GUARD} THEN NULL"
+            f" ELSE round({_TOST_SE}, 6) END AS DOUBLE)"
+        ).alias("se"),
+        F.expr(
+            f"CAST(CASE WHEN {_TOST_GUARD} THEN NULL"
+            f" ELSE round({_TOST_ZL}, 6) END AS DOUBLE)"
+        ).alias("z_lower"),
+        F.expr(
+            f"CAST(CASE WHEN {_TOST_GUARD} THEN NULL"
+            f" ELSE round({_TOST_ZU}, 6) END AS DOUBLE)"
+        ).alias("z_upper"),
+        F.expr(
+            f"CAST(CASE WHEN {_TOST_GUARD} THEN NULL"
+            f" WHEN {_TOST_ZL} >= {_TOST_Z} AND {_TOST_ZU} >= {_TOST_Z}"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("equivalent"),
+    )

@@ -1874,3 +1874,13 @@ def test_base64_roundtrip_contract(spark, sf_dir):
     for r in rows:
         assert r.roundtrip_ok == 1
         assert r.b64_len == 32
+
+
+def test_tost_contract(spark, sf_dir):
+    """TOST: z_lower + z_upper == 2δ/se (the two one-sided tests share
+    one se); equivalence implies |mean_diff| < δ = 500 cents."""
+    r = all_queries()["a_tost_equivalence"](spark, sf_dir).collect()[0]
+    if r.se is not None:
+        assert abs((r.z_lower + r.z_upper) - 2 * 500 / r.se) < 2e-5
+        if r.equivalent == 1:
+            assert abs(r.mean_diff) < 500
