@@ -10747,3 +10747,126 @@ def a_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS INT)"
         ).alias("equivalent"),
     )
+
+
+# literal candidate split thresholds (cents) for the decision-stump
+# entry — structural constants spanning the price domain
+_SPLIT_THRESHOLDS = [2000, 5000, 10000, 20000, 50000]
+_SPLIT_THR_VALUES = ", ".join(f"({t})" for t in _SPLIT_THRESHOLDS)
+_GINI_L = "(1 - (CAST(kl AS DOUBLE) / nl) * (CAST(kl AS DOUBLE) / nl)"\
+    " - (CAST(nl - kl AS DOUBLE) / nl) * (CAST(nl - kl AS DOUBLE) / nl))"
+_GINI_R = "(1 - (CAST(kr AS DOUBLE) / nr) * (CAST(kr AS DOUBLE) / nr)"\
+    " - (CAST(nr - kr AS DOUBLE) / nr) * (CAST(nr - kr AS DOUBLE) / nr))"
+_GINI_W = f"((nl * {_GINI_L} + nr * {_GINI_R}) / (nl + nr))"
+
+
+@query(
+    "a_best_split_gini",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ),
+    thr(t) AS (VALUES {_SPLIT_THR_VALUES}),
+    cells AS (
+      SELECT t.t AS threshold,
+             CAST(sum(CASE WHEN e.cents < t.t THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nl,
+             CAST(sum(CASE WHEN e.cents < t.t THEN e.y ELSE 0 END)
+                  AS BIGINT) AS kl,
+             CAST(sum(CASE WHEN e.cents >= t.t THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nr,
+             CAST(sum(CASE WHEN e.cents >= t.t THEN e.y ELSE 0 END)
+                  AS BIGINT) AS kr
+      FROM ev e CROSS JOIN thr t GROUP BY t.t
+    ),
+    scored AS (
+      SELECT threshold, nl, kl, nr, kr,
+             CASE WHEN nl = 0 OR nr = 0 THEN NULL
+                  ELSE round({_GINI_W}, 6) END AS impurity
+      FROM cells
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold, nl, kl, nr, kr,
+           CAST(impurity AS DOUBLE) AS impurity,
+           CAST(CASE WHEN impurity IS NULL THEN 0
+                WHEN row_number() OVER (
+                  ORDER BY (impurity IS NULL), impurity, threshold) = 1
+                THEN 1 ELSE 0 END AS INT) AS is_best
+    FROM scored
+    """,
+)
+def a_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search — the feature-engineering primitive
+    behind every tree learner ('which price threshold best separates
+    purchases from clicks?'): 5 LITERAL candidate thresholds
+    (structural constants spanning the price domain), per-threshold
+    2×2 cells, weighted Gini impurity, and the argmin flagged. The
+    Spark plan computes ALL 20 cell sums in ONE pass over the events
+    slice (conditional aggregates) and fans the single row out to 5
+    threshold rows with inline_outer over a literal struct array —
+    the oracle instead aggregates per threshold over a 5× cross join
+    (different plan, identical integers — the value check is on the
+    CELLS, not the plan). Impurity is a mirrored fixed-order float
+    formula (round-6, empty-side guard both sides); the best flag
+    ranks rounded impurity with threshold tiebreak over the 5-row
+    frame."""
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    )
+    ev = e.select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+    aggs = []
+    for i, t in enumerate(_SPLIT_THRESHOLDS):
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN cents < {t} THEN 1 ELSE 0 END")).alias(
+                f"nl{i}"
+            )
+        )
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN cents < {t} THEN y ELSE 0 END")).alias(
+                f"kl{i}"
+            )
+        )
+        aggs.append(
+            F.sum(
+                F.expr(f"CASE WHEN cents >= {t} THEN 1 ELSE 0 END")
+            ).alias(f"nr{i}")
+        )
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN cents >= {t} THEN y ELSE 0 END")).alias(
+                f"kr{i}"
+            )
+        )
+    g = ev.groupBy().agg(*aggs)
+    structs = ", ".join(
+        f"struct(CAST({t} AS BIGINT) AS threshold, nl{i} AS nl,"
+        f" kl{i} AS kl, nr{i} AS nr, kr{i} AS kr)"
+        for i, t in enumerate(_SPLIT_THRESHOLDS)
+    )
+    cells = g.select(
+        F.expr(f"inline_outer(array({structs}))")
+    )
+    scored = cells.withColumn(
+        "impurity",
+        F.expr(
+            "CASE WHEN nl = 0 OR nr = 0 THEN NULL"
+            f" ELSE round({_GINI_W}, 6) END"
+        ),
+    )
+    return scored.select(
+        "threshold", "nl", "kl", "nr", "kr",
+        F.col("impurity").cast("double").alias("impurity"),
+        F.expr(
+            "CAST(CASE WHEN impurity IS NULL THEN 0"
+            " WHEN row_number() OVER ("
+            " ORDER BY (impurity IS NULL), impurity, threshold) = 1"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("is_best"),
+    )

@@ -1884,3 +1884,24 @@ def test_tost_contract(spark, sf_dir):
         assert abs((r.z_lower + r.z_upper) - 2 * 500 / r.se) < 2e-5
         if r.equivalent == 1:
             assert abs(r.mean_diff) < 500
+
+
+def test_best_split_gini_contract(spark, sf_dir):
+    """Split cells conserve (nl+nr constant across thresholds, kl+kr
+    too); exactly one best; impurity in [0, 0.5] for binary labels;
+    impurity re-derives from the shipped cells."""
+    rows = sorted(
+        all_queries()["a_best_split_gini"](spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert len(rows) == 5
+    totals = {(r.nl + r.nr, r.kl + r.kr) for r in rows}
+    assert len(totals) == 1
+    assert sum(r.is_best for r in rows) == 1
+    for r in rows:
+        if r.impurity is not None:
+            assert -1e-9 <= r.impurity <= 0.5 + 1e-9
+            gl = 1 - (r.kl / r.nl) ** 2 - ((r.nl - r.kl) / r.nl) ** 2
+            gr = 1 - (r.kr / r.nr) ** 2 - ((r.nr - r.kr) / r.nr) ** 2
+            expect = round((r.nl * gl + r.nr * gr) / (r.nl + r.nr), 6)
+            assert abs(r.impurity - expect) < 1e-9
