@@ -10870,3 +10870,138 @@ def a_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS INT)"
         ).alias("is_best"),
     )
+
+
+@query(
+    "w_ohlc_bars",
+    oracle="""
+    WITH ev AS (
+      SELECT epoch_ms(ts) // 86400000 AS d, epoch_ms(ts) AS ms, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL AND event_type = 'purchase'
+    ),
+    rn AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY d ORDER BY ms, event_id)
+               AS r_open,
+             row_number() OVER (PARTITION BY d ORDER BY ms DESC,
+               event_id DESC) AS r_close
+      FROM ev
+    )
+    SELECT d AS day,
+           CAST(count(*) AS BIGINT) AS n_trades,
+           CAST(max(CASE WHEN r_open = 1 THEN cents END) AS BIGINT)
+             AS open_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           CAST(max(CASE WHEN r_close = 1 THEN cents END) AS BIGINT)
+             AS close_cents,
+           CAST(sum(cents) AS BIGINT) AS volume_cents
+    FROM rn GROUP BY d
+    """,
+)
+def w_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC(V) bars over the purchase stream — the candlestick
+    rollup every financial/metrics downsampler ships (and the batch
+    form of a downsampling stream): open/close are the FIRST/LAST
+    values in the (ms, event_id) total order — selected via
+    row_number-equals-1 conditional aggregates on BOTH engines (never
+    min_by/arg_min: DuckDB's arg_min rejects struct keys and
+    bare-value min_by has tie-order hazards — the r11 rule), high/low/
+    volume are plain min/max/sum. All-integer cents; the windows
+    partition by day so no global sort exists; day ships as the
+    integer epoch-day (the no-date-channel rule)."""
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+    )
+    ev = e.select(
+        F.expr("unix_millis(ts) div 86400000").alias("d"),
+        F.expr("unix_millis(ts)").alias("ms"),
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    rn = ev.select(
+        "*",
+        F.expr(
+            "row_number() OVER (PARTITION BY d ORDER BY ms, event_id)"
+        ).alias("r_open"),
+        F.expr(
+            "row_number() OVER (PARTITION BY d ORDER BY ms DESC,"
+            " event_id DESC)"
+        ).alias("r_close"),
+    )
+    return rn.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.max(F.expr("CASE WHEN r_open = 1 THEN cents END")).alias(
+            "open_cents"
+        ),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max(F.expr("CASE WHEN r_close = 1 THEN cents END")).alias(
+            "close_cents"
+        ),
+        F.sum("cents").alias("volume_cents"),
+    )
+
+
+@query(
+    "f_deterministic_uuid",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(concat('surge:', CAST(doc_id AS VARCHAR))) AS hx
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id,
+             substring(hx, 1, 8) || '-' || substring(hx, 9, 4) || '-8' ||
+             substring(hx, 14, 3) || '-a' || substring(hx, 18, 3) || '-' ||
+             substring(hx, 21, 12) AS uid
+      FROM h
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT uid) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN regexp_matches(uid,
+                '^[0-9a-f]{8}-[0-9a-f]{4}-8[0-9a-f]{3}-a[0-9a-f]{3}-[0-9a-f]{12}$')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_wellformed,
+           min(uid) AS first_uid
+    FROM u
+    """,
+)
+def f_deterministic_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic UUID minting — the id-assignment primitive a
+    re-runnable pipeline needs (random UUIDs break idempotent replay;
+    a name-based id is stable across retries, the UUIDv5 idea): md5
+    of a namespace-prefixed key, formatted 8-4-4-4-12 with fixed
+    version/variant nibbles (8/a — RFC 9562 v8 'vendor-defined', so
+    the claim is honest: this is md5-derived, not SHA-1 v5). The md5
+    hex channel is the established engine-portable hash
+    (d_*_md5 precedent); outputs are distinct-count + well-formedness
+    (anchored regex in the Java∩RE2 subset) + the min uid so the
+    VALUE of the formatting, not just its shape, is hash-compared."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        F.md5(F.expr("concat('surge:', CAST(doc_id AS STRING))")).alias(
+            "hx"
+        ),
+    )
+    u = h.select(
+        "doc_id",
+        F.expr(
+            "concat(substring(hx, 1, 8), '-', substring(hx, 9, 4), '-8',"
+            " substring(hx, 14, 3), '-a', substring(hx, 18, 3), '-',"
+            " substring(hx, 21, 12))"
+        ).alias("uid"),
+    )
+    return u.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("uid").alias("n_distinct"),
+        F.sum(
+            F.expr(
+                "CASE WHEN uid RLIKE"
+                " '^[0-9a-f]{8}-[0-9a-f]{4}-8[0-9a-f]{3}-a[0-9a-f]{3}"
+                "-[0-9a-f]{12}$' THEN 1 ELSE 0 END"
+            )
+        ).alias("n_wellformed"),
+        F.min("uid").alias("first_uid"),
+    )

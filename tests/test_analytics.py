@@ -1905,3 +1905,32 @@ def test_best_split_gini_contract(spark, sf_dir):
             gr = 1 - (r.kr / r.nr) ** 2 - ((r.nr - r.kr) / r.nr) ** 2
             expect = round((r.nl * gl + r.nr * gr) / (r.nl + r.nr), 6)
             assert abs(r.impurity - expect) < 1e-9
+
+
+def test_ohlc_contract(spark, sf_dir):
+    """OHLC invariants: low <= open, close <= high; volume >= high;
+    n_trades >= 1 on every shipped day."""
+    rows = all_queries()["w_ohlc_bars"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.low_cents <= r.open_cents <= r.high_cents
+        assert r.low_cents <= r.close_cents <= r.high_cents
+        assert r.volume_cents >= r.high_cents
+        assert r.n_trades >= 1
+
+
+def test_deterministic_uuid_contract(spark, sf_dir):
+    """Name-based ids: every doc mints one, all distinct, all
+    well-formed; first_uid recomputes from the md5 in Python."""
+    import hashlib
+
+    r = all_queries()["f_deterministic_uuid"](spark, sf_dir).collect()[0]
+    assert r.n == r.n_distinct == r.n_wellformed
+
+    def mint(i):
+        hx = hashlib.md5(f"surge:{i}".encode()).hexdigest()
+        return (
+            f"{hx[0:8]}-{hx[8:12]}-8{hx[13:16]}-a{hx[17:20]}-{hx[20:32]}"
+        )
+
+    assert r.first_uid == min(mint(i) for i in range(r.n))
