@@ -10634,8 +10634,18 @@ _TOST_DELTA = 500
 _TOST_Z = repr(_ND().inv_cdf(0.95))
 _TOST_MEAN_A = "(CAST(s1_a AS DOUBLE) / n_a)"
 _TOST_MEAN_B = "(CAST(s1_b AS DOUBLE) / n_b)"
-_TOST_VAR_A = f"((CAST(s2_a AS DOUBLE) / n_a - {_TOST_MEAN_A} * {_TOST_MEAN_A}) / n_a)"
-_TOST_VAR_B = f"((CAST(s2_b AS DOUBLE) / n_b - {_TOST_MEAN_B} * {_TOST_MEAN_B}) / n_b)"
+# greatest(var, 0) BOTH sides (the m_bollinger_bands clamp class): a
+# near-constant arm's s2/n - mean^2 can underflow to a tiny negative
+# double — DuckDB sqrt then RAISES while Spark ships NaN the se=0
+# guard never catches
+_TOST_VAR_A = (
+    f"(greatest(CAST(s2_a AS DOUBLE) / n_a"
+    f" - {_TOST_MEAN_A} * {_TOST_MEAN_A}, 0) / n_a)"
+)
+_TOST_VAR_B = (
+    f"(greatest(CAST(s2_b AS DOUBLE) / n_b"
+    f" - {_TOST_MEAN_B} * {_TOST_MEAN_B}, 0) / n_b)"
+)
 _TOST_SE = f"sqrt({_TOST_VAR_A} + {_TOST_VAR_B})"
 _TOST_DIFF = f"({_TOST_MEAN_B} - {_TOST_MEAN_A})"
 _TOST_GUARD = f"n_a < 2 OR n_b < 2 OR {_TOST_SE} = 0"
@@ -10771,6 +10781,10 @@ _GINI_W = f"((nl * {_GINI_L} + nr * {_GINI_R}) / (nl + nr))"
     ),
     thr(t) AS (VALUES {_SPLIT_THR_VALUES}),
     cells AS (
+      -- LEFT JOIN (not CROSS): an empty events slice must still yield
+      -- all 5 threshold rows with zero cells, matching the Spark
+      -- global-agg + inline_outer shape (review finding — the
+      -- a_subsample_ci empty-input class)
       SELECT t.t AS threshold,
              CAST(sum(CASE WHEN e.cents < t.t THEN 1 ELSE 0 END)
                   AS BIGINT) AS nl,
@@ -10780,7 +10794,7 @@ _GINI_W = f"((nl * {_GINI_L} + nr * {_GINI_R}) / (nl + nr))"
                   AS BIGINT) AS nr,
              CAST(sum(CASE WHEN e.cents >= t.t THEN e.y ELSE 0 END)
                   AS BIGINT) AS kr
-      FROM ev e CROSS JOIN thr t GROUP BY t.t
+      FROM thr t LEFT JOIN ev e ON true GROUP BY t.t
     ),
     scored AS (
       SELECT threshold, nl, kl, nr, kr,
@@ -10823,27 +10837,21 @@ def a_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y"),
     )
     aggs = []
+    # sums coalesced to 0: an empty slice makes the global aggregate's
+    # one row all-NULL, but the oracle's LEFT-JOIN cells are zeros —
+    # the shipped integers must match (review finding)
     for i, t in enumerate(_SPLIT_THRESHOLDS):
-        aggs.append(
-            F.sum(F.expr(f"CASE WHEN cents < {t} THEN 1 ELSE 0 END")).alias(
-                f"nl{i}"
+        for alias, expr in [
+            (f"nl{i}", f"CASE WHEN cents < {t} THEN 1 ELSE 0 END"),
+            (f"kl{i}", f"CASE WHEN cents < {t} THEN y ELSE 0 END"),
+            (f"nr{i}", f"CASE WHEN cents >= {t} THEN 1 ELSE 0 END"),
+            (f"kr{i}", f"CASE WHEN cents >= {t} THEN y ELSE 0 END"),
+        ]:
+            aggs.append(
+                F.coalesce(F.sum(F.expr(expr)), F.lit(0))
+                .cast("long")
+                .alias(alias)
             )
-        )
-        aggs.append(
-            F.sum(F.expr(f"CASE WHEN cents < {t} THEN y ELSE 0 END")).alias(
-                f"kl{i}"
-            )
-        )
-        aggs.append(
-            F.sum(
-                F.expr(f"CASE WHEN cents >= {t} THEN 1 ELSE 0 END")
-            ).alias(f"nr{i}")
-        )
-        aggs.append(
-            F.sum(F.expr(f"CASE WHEN cents >= {t} THEN y ELSE 0 END")).alias(
-                f"kr{i}"
-            )
-        )
     g = ev.groupBy().agg(*aggs)
     structs = ", ".join(
         f"struct(CAST({t} AS BIGINT) AS threshold, nl{i} AS nl,"

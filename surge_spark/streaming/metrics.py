@@ -1029,11 +1029,17 @@ def croston_stream(events: DataFrame) -> DataFrame:
     class), pinned across a micro-batch boundary where the carried
     (z, p, last_ms) decide batch 2's first update. Input rows are
     {user_id, value, ms, event_id}; each batch sorts by
-    (ms, event_id); NULL user_ids filtered exactly like the batch
-    twin. State is 4 scalars per key."""
+    (ms, event_id); NULL user_ids AND NULL values filtered exactly
+    like the batch twin. State is 4 scalars per key."""
     from ..operators.eventsourcing import croston_step
 
-    events = events.where(F.col("user_id").isNotNull())
+    # NULL user_ids AND NULL values filtered exactly like the batch
+    # twin (review finding: a NULL value arrives as pandas NaN and
+    # would permanently NaN-poison the EWMA state the batch fold
+    # never sees — the holt_stream filter pair)
+    events = events.where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
 
     def step(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState

@@ -2772,8 +2772,12 @@ def test_croston_stream_matches_batch_fold(spark, tmp_path):
     spark.createDataFrame(
         [("u1", v, t, i) for i, (t, v) in enumerate(pts[:half])], schema
     ).coalesce(1).write.parquet(src + "/f1")
+    # a NULL-value row rides along in batch 2: the stream must drop it
+    # exactly like the batch twin's value-not-null filter (a NaN here
+    # would poison z/p forever — the review-pinned filter parity)
     spark.createDataFrame(
-        [("u1", v, t, half + i) for i, (t, v) in enumerate(pts[half:])],
+        [("u1", v, t, half + i) for i, (t, v) in enumerate(pts[half:])]
+        + [("u1", None, 100_000, 99)],
         schema,
     ).coalesce(1).write.parquet(src + "/f2")
     events = (
