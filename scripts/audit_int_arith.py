@@ -374,6 +374,8 @@ BIGINT_PRODUCT_BOUNDS: dict[str, str] = {
     "price domain (<=1e7), int64 to ~1e5 rows*1e14 — stated at the site",
     "d_dup_cluster_size_histogram": "sz*n_clusters <= n_docs^2: ~3e9",
     "g_degree_centralization": "(n-1)(n-2) and max_k*n: ~3e9 nodes",
+    "g_triad_census": "n(n-1)(n-2) triple count and m*(n-2): int64 to "
+    "~3e6 graph nodes; wide_int escape documented in the entry",
     "g_degree_gini": "(n+1)*total_degree and rank*k prefix channel: "
     "int64 to ~9e18/max_degree nodes (the m_gini class)",
     "m_gini_coefficient": "(n+1)*total and rank*count: same bound class",

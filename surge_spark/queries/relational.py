@@ -11013,3 +11013,75 @@ def f_deterministic_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_wellformed"),
         F.min("uid").alias("first_uid"),
     )
+
+
+@query(
+    "g_triad_census",
+    oracle=f"""
+    WITH {_PART_COOCCUR_SQL},
+    {_TRIS_SQL},
+    sc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM deg
+    ),
+    sm AS (
+      SELECT CAST(count(*) AS BIGINT) AS m FROM pairs
+    ),
+    sw AS (
+      SELECT CAST(sum(k * (k - 1)) // 2 AS BIGINT) AS w FROM deg
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS t FROM tris
+    )
+    SELECT sc.n, sm.m, sw.w, st.t AS triad_3,
+           CAST(sw.w - 3 * st.t AS BIGINT) AS triad_2,
+           CAST(sm.m * (sc.n - 2) - 2 * (sw.w - 3 * st.t) - 3 * st.t
+                AS BIGINT) AS triad_1,
+           CAST(sc.n * (sc.n - 1) * (sc.n - 2) // 6
+                - (sm.m * (sc.n - 2) - 2 * (sw.w - 3 * st.t) - 3 * st.t)
+                - (sw.w - 3 * st.t) - st.t AS BIGINT) AS triad_0
+    FROM sc, sm, sw, st
+    """,
+)
+def g_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected triad census over the part co-occurrence graph — the
+    4-bin decomposition of ALL C(n,3) node triples (empty / one-edge /
+    open-wedge / triangle) that summarizes a graph's local texture in
+    one row (the global sibling of g_local_clustering_topk; the
+    transitivity entry's W and T reappear here inside an exact
+    combinatorial identity): t3 = triangles, t2 = W − 3T (every
+    triangle owns 3 of the Σ k(k−1)/2 wedges), t1 = m(n−2) − 2·t2 −
+    3·t3 (each edge lies in n−2 triples), t0 = C(n,3) − rest. ALL
+    exact bigint arithmetic — the census is self-checking because the
+    four bins must sum to n(n−1)(n−2)/6 (pinned). Rides the
+    checkpointed _part_cooccurrence + _min_oriented_tris shared
+    kernels (no new enumeration; n = nodes WITH an edge — isolated
+    parts are not graph nodes, documented). Overflow: the n³ triple
+    count holds int64 to ~3e6 graph nodes (audit-gate bound; wide_int
+    is the escape)."""
+    pairs, _directed, deg = _part_cooccurrence(spark, sf_dir)
+    sc = deg.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    sm = pairs.groupBy().agg(F.count(F.lit(1)).alias("m"))
+    sw = deg.groupBy().agg(
+        F.expr("CAST(sum(k * (k - 1)) div 2 AS BIGINT)").alias("w")
+    )
+    st = _min_oriented_tris(pairs).groupBy().agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    one = (
+        sc.crossJoin(F.broadcast(sm))
+        .crossJoin(F.broadcast(sw))
+        .crossJoin(F.broadcast(st))
+    )
+    return one.select(
+        "n", "m", "w",
+        F.col("t").alias("triad_3"),
+        F.expr("CAST(w - 3 * t AS BIGINT)").alias("triad_2"),
+        F.expr(
+            "CAST(m * (n - 2) - 2 * (w - 3 * t) - 3 * t AS BIGINT)"
+        ).alias("triad_1"),
+        F.expr(
+            "CAST(n * (n - 1) * (n - 2) div 6"
+            " - (m * (n - 2) - 2 * (w - 3 * t) - 3 * t)"
+            " - (w - 3 * t) - t AS BIGINT)"
+        ).alias("triad_0"),
+    )

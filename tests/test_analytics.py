@@ -1934,3 +1934,16 @@ def test_deterministic_uuid_contract(spark, sf_dir):
         )
 
     assert r.first_uid == min(mint(i) for i in range(r.n))
+
+
+def test_triad_census_contract(spark, sf_dir):
+    """The census is self-checking: the four bins sum to C(n,3)
+    exactly; every bin nonnegative; W and T agree with
+    g_global_transitivity's channels."""
+    r = all_queries()["g_triad_census"](spark, sf_dir).collect()[0]
+    total = r.triad_0 + r.triad_1 + r.triad_2 + r.triad_3
+    assert total == r.n * (r.n - 1) * (r.n - 2) // 6
+    for b in (r.triad_0, r.triad_1, r.triad_2, r.triad_3):
+        assert b >= 0
+    gt = all_queries()["g_global_transitivity"](spark, sf_dir).collect()[0]
+    assert gt.n_wedges == r.w and gt.n_triangles == r.triad_3
