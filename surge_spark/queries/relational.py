@@ -11054,7 +11054,10 @@ def g_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact bigint arithmetic — the census is self-checking because the
     four bins must sum to n(n−1)(n−2)/6 (pinned). Rides the
     checkpointed _part_cooccurrence + _min_oriented_tris shared
-    kernels (no new enumeration; n = nodes WITH an edge — isolated
+    kernels (one pair build + one triangle enumeration per
+    invocation — the documented dense-graph wedge floor class, same
+    family as g_triangle_count: measured 9.0 s at sf0.1 / exponent
+    0.94 on the stress slice; n = nodes WITH an edge — isolated
     parts are not graph nodes, documented). Overflow: the n³ triple
     count holds int64 to ~3e6 graph nodes (audit-gate bound; wide_int
     is the escape)."""
