@@ -3158,3 +3158,149 @@ def sim_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rrf").cast("double").alias("rrf"), "rank",
         )
     )
+
+
+def _duck_ivf_curve_block(p: int) -> str:
+    """Per-nprobe IVF candidate/top-10/recall CTE chain for the tuning
+    curve — the _DUCK_IVF_PROBE rules (probe tie to the HIGHER cell,
+    rank tie to the lower corpus id) with rn <= p parameterized."""
+    return f"""
+    ivf{p} AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT query_id, corpus_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, corpus_id
+               ) AS rank
+        FROM (
+          SELECT DISTINCT pr.query_id, a.vec_id AS corpus_id,
+                 {_DUCK_COSINE.format(a="a.embedding", b="pr.qe")} AS cosine
+          FROM probe_ranked pr JOIN assigned a ON pr.cell = a.cell
+          WHERE a.vec_id <> pr.query_id AND pr.crank <= {p}
+        )
+      ) WHERE rank <= 10
+    ),
+    rec{p} AS (
+      SELECT CAST({p} AS BIGINT) AS nprobe, e.query_id,
+             CAST(count(*) AS BIGINT) AS n_exact,
+             CAST(count(i.corpus_id) AS BIGINT) AS n_found,
+             CAST((count(i.corpus_id) * 1000000) // count(*) AS BIGINT)
+               AS recall_ppm
+      FROM exact e LEFT JOIN ivf{p} i
+        ON i.query_id = e.query_id AND i.corpus_id = e.corpus_id
+      GROUP BY e.query_id
+    )"""
+
+
+_IVF_CURVE_PROBES = [1, 2, 4, 8]
+
+
+@query(
+    "sim_ivf_nprobe_curve",
+    oracle=f"""
+    WITH {_DUCK_ASSIGN},
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id < 5),
+    probe_ranked AS (
+      SELECT q.query_id, q.qe, c.cell,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_sum(list_transform(range(1, len(q.qe) + 1),
+                        i -> CAST(q.qe[i] AS DOUBLE) * c.c[i])) DESC,
+                        c.cell DESC
+             ) AS crank
+      FROM q CROSS JOIN cents c
+    ),
+    exact AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT q.query_id, e.vec_id AS corpus_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_DUCK_COSINE.format(a="e.embedding", b="q.qe")}
+                          DESC, e.vec_id
+               ) AS rank
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rank <= 10
+    ),
+    {",".join(_duck_ivf_curve_block(p) for p in _IVF_CURVE_PROBES)}
+    SELECT * FROM rec1
+    UNION ALL SELECT * FROM rec2
+    UNION ALL SELECT * FROM rec4
+    UNION ALL SELECT * FROM rec8
+    """,
+)
+def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF nprobe TUNING CURVE — recall@10 at nprobe ∈ {1, 2, 4, 8}
+    against one exact ground truth: sim_ivf_recall_audit ships the
+    single probe-4 point; this is the whole curve a deployer reads to
+    pick the latency/recall trade-off (and the self-check is built in:
+    nprobe = 8 probes EVERY cell, so its recall is exactly 1e6 ppm —
+    pinned). The exact truth frame is computed ONCE and
+    localCheckpointed (four per-probe joins consume it — the
+    scan-amplification class); each probe level runs the
+    sim_ann_ivf_topk pipeline with the same FIXED_CENTS and tie rules.
+    Output all-integer (counts + ppm floor division)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    qb = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        sim.norm(sim._as_double(F.col("embedding"))).alias("qn"),
+    )
+    pairs = (
+        emb.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("ce"),
+            sim.norm(sim._as_double(F.col("embedding"))).alias("cn"),
+        )
+        .crossJoin(F.broadcast(qb))
+        .where(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            (
+                sim.dot(
+                    sim._as_double(F.col("ce")), sim._as_double(F.col("qe"))
+                )
+                / (F.col("cn") * F.col("qn"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    exact = (
+        pairs.select(
+            "query_id", "corpus_id", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= 10)
+        .select("query_id", "corpus_id")
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for p in _IVF_CURVE_PROBES:
+        ivf = sim.ann_topk_ivf(
+            emb, queries, "vec_id", "embedding", k=10, n_cells=8, nprobe=p,
+            centroids=FIXED_CENTS,
+        ).select("query_id", "corpus_id")
+        rec = (
+            exact.join(
+                ivf.withColumn("found", F.lit(1)),
+                ["query_id", "corpus_id"],
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.count("found").alias("n_found"),
+                F.expr(
+                    "CAST((count(found) * 1000000) div count(1) AS BIGINT)"
+                ).alias("recall_ppm"),
+            )
+            .select(
+                F.lit(p).cast("long").alias("nprobe"),
+                "query_id", "n_exact", "n_found", "recall_ppm",
+            )
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out

@@ -445,3 +445,27 @@ def test_rrf_fusion_contract(spark, sf_dir):
     for q, rs in per_q.items():
         assert len(rs) == 10
         assert sorted(r.rank for r in rs) == list(range(1, 11))
+
+
+def test_ivf_nprobe_curve_contract(spark, sf_dir):
+    """The tuning curve is monotone nondecreasing in nprobe per query;
+    nprobe=8 probes every cell so its recall is EXACTLY 1e6 ppm; the
+    probe-4 row agrees with sim_ivf_recall_audit."""
+    from surge_spark.queries import all_queries
+
+    rows = all_queries()["sim_ivf_nprobe_curve"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.nprobe] = r.recall_ppm
+    assert by_q
+    for q, curve in by_q.items():
+        assert sorted(curve) == [1, 2, 4, 8]
+        seq = [curve[p] for p in (1, 2, 4, 8)]
+        assert all(a <= b for a, b in zip(seq, seq[1:]))
+        assert curve[8] == 1_000_000
+    audit = {
+        r.query_id: r.recall_ppm
+        for r in all_queries()["sim_ivf_recall_audit"](spark, sf_dir).collect()
+    }
+    for q, curve in by_q.items():
+        assert curve[4] == audit[q]
