@@ -1498,3 +1498,102 @@ def d_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sz") * F.col("n_clusters")).alias("n_docs"),
         )
     )
+
+
+# dedup threshold-sweep candidate thresholds (jaccard ppm) — structural
+# literals spanning the usual near-dup operating range
+_SWEEP_THR_PPM = [300000, 400000, 500000, 600000, 700000, 800000]
+_SWEEP_THR_VALUES = ", ".join(f"({t})" for t in _SWEEP_THR_PPM)
+
+
+@query(
+    "d_dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_duck_shingles(4)},
+    pruned AS (
+      SELECT * FROM sh WHERE shingle IN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000
+      )
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    pj AS (
+      SELECT CAST(n_common * 1000000 // (sa.n + sb.n - n_common)
+                  AS BIGINT) AS j_ppm
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+    ),
+    thr(t) AS (VALUES {_SWEEP_THR_VALUES}),
+    cells AS (
+      SELECT t.t AS threshold_ppm,
+             CAST(sum(CASE WHEN p.j_ppm >= t.t THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN p.j_ppm >= t.t THEN p.j_ppm ELSE 0 END)
+                  AS BIGINT) AS sum_jaccard_ppm
+      FROM thr t LEFT JOIN pj p ON true GROUP BY t.t
+    )
+    SELECT CAST(threshold_ppm AS BIGINT) AS threshold_ppm, n_pairs,
+           sum_jaccard_ppm,
+           CAST(CASE WHEN n_pairs = 0 THEN NULL
+                ELSE sum_jaccard_ppm // n_pairs END AS BIGINT)
+             AS mean_jaccard_ppm
+    FROM cells
+    """,
+)
+def d_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup THRESHOLD tuning curve — pair counts at jaccard
+    thresholds 0.3..0.8 from ONE exact candidate/verify pass (the
+    sim_ivf_nprobe_curve's dedup sibling: the near-dup threshold is
+    the knob a corpus owner actually sets, trading recall of true
+    dups against false merges, and the curve's shape — where the pair
+    count knees — IS the decision input): exact 4-gram Jaccard pairs
+    (the d_ngram_jaccard_topk machinery, stop-shingle pruned) collapse
+    to an exact integer j_ppm per pair (n_common·1e6 div union — the
+    floor-division channel), then SIX conditional sums in one
+    aggregate, fanned out via the literal-threshold inline_outer shape
+    (the a_best_split_gini pattern, empty-input parity included:
+    oracle LEFT JOIN, Spark sums coalesced). Mean ships as floor-ppm.
+    n_pairs is monotone nonincreasing in the threshold — pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.shingles(docs, "doc_id", "text", n=4)
+    pairs = dd.jaccard_pairs(sh, max_bucket=1000)
+    pj = pairs.select(
+        F.expr(
+            "CAST(n_common * 1000000 div (n_a + n_b - n_common) AS BIGINT)"
+        ).alias("j_ppm")
+    )
+    aggs = []
+    for i, t in enumerate(_SWEEP_THR_PPM):
+        aggs.append(
+            F.coalesce(
+                F.sum(F.expr(f"CASE WHEN j_ppm >= {t} THEN 1 ELSE 0 END")),
+                F.lit(0),
+            ).cast("long").alias(f"np{i}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.expr(f"CASE WHEN j_ppm >= {t} THEN j_ppm ELSE 0 END")
+                ),
+                F.lit(0),
+            ).cast("long").alias(f"sj{i}")
+        )
+    g = pj.groupBy().agg(*aggs)
+    structs = ", ".join(
+        f"struct(CAST({t} AS BIGINT) AS threshold_ppm, np{i} AS n_pairs,"
+        f" sj{i} AS sum_jaccard_ppm)"
+        for i, t in enumerate(_SWEEP_THR_PPM)
+    )
+    cells = g.select(F.expr(f"inline_outer(array({structs}))"))
+    return cells.select(
+        "threshold_ppm", "n_pairs", "sum_jaccard_ppm",
+        F.expr(
+            "CAST(CASE WHEN n_pairs = 0 THEN NULL"
+            " ELSE sum_jaccard_ppm div n_pairs END AS BIGINT)"
+        ).alias("mean_jaccard_ppm"),
+    )

@@ -1947,3 +1947,21 @@ def test_triad_census_contract(spark, sf_dir):
         assert b >= 0
     gt = all_queries()["g_global_transitivity"](spark, sf_dir).collect()[0]
     assert gt.n_wedges == r.w and gt.n_triangles == r.triad_3
+
+
+def test_dedup_threshold_sweep_contract(spark, sf_dir):
+    """The sweep is monotone: n_pairs nonincreasing and mean jaccard
+    nondecreasing in the threshold; every retained pair's mean is >=
+    its threshold."""
+    rows = sorted(
+        all_queries()["d_dedup_threshold_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r.threshold_ppm,
+    )
+    assert len(rows) == 6
+    n = [r.n_pairs for r in rows]
+    assert all(a >= b for a, b in zip(n, n[1:]))
+    means = [r.mean_jaccard_ppm for r in rows if r.mean_jaccard_ppm is not None]
+    assert all(a <= b for a, b in zip(means, means[1:]))
+    for r in rows:
+        if r.mean_jaccard_ppm is not None:
+            assert r.mean_jaccard_ppm >= r.threshold_ppm
