@@ -22,6 +22,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.util import measured_broadcast
 from . import query
 
 
@@ -2162,21 +2163,34 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.withColumnsRenamed({"l_partkey": "src"})
     b = li.withColumnsRenamed({"l_partkey": "dst"})
+    # r15 optimization: the edge/degree pipeline used to be RE-DERIVED by
+    # every consumer (w1/w2/closing/deg unions renamed the frame BEFORE
+    # their joins — the adamic-adar canonicalization trap), measured as
+    # 30 lineitem scans / 32 exchanges in one plan. Checkpoint the edge
+    # set and the oriented frame once; the wedge self-join uses the
+    # ALIASED form so its two exchanges share one subtree.
     edges = (
         a.join(b, "l_orderkey")
         .where(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.select(F.col("src").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
+    # byte-gated broadcasts (measured_broadcast — never an unconditional
+    # hint on data-scaled frames): deg is |V| rows, closing |E| rows;
+    # both fit far under 64 MB at bench scales and degrade to shuffle
+    # joins at 100 TB, which is the correct scale behavior.
+    deg_h, _ = measured_broadcast(deg, "v")
     with_deg = edges.join(
-        deg.withColumnsRenamed({"v": "src", "deg": "dsrc"}), "src"
-    ).join(deg.withColumnsRenamed({"v": "dst", "deg": "ddst"}), "dst")
+        deg_h.withColumnsRenamed({"v": "src", "deg": "dsrc"}), "src"
+    ).join(deg_h.withColumnsRenamed({"v": "dst", "deg": "ddst"}), "dst")
     fwd = (F.col("dsrc") < F.col("ddst")) | (
         (F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst"))
     )
@@ -2186,19 +2200,29 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("tail"),
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("head"),
         F.when(fwd, F.col("ddst")).otherwise(F.col("dsrc")).alias("dhead"),
-    )
-    w1 = d.withColumnsRenamed({"head": "b", "dhead": "db"})
-    w2 = d.withColumnsRenamed({"tail": "tail2", "head": "c", "dhead": "dc"})
-    wedges = (
-        w1.join(w2, F.col("tail") == F.col("tail2"))
-        .where(
-            (F.col("db") < F.col("dc"))
-            | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
-        )
-        .select(F.col("tail").alias("corner_a"), "b", "c")
-    )
+    ).localCheckpoint(eager=False)
     closing = d.select(F.col("tail").alias("b"), F.col("head").alias("c"))
-    tri = wedges.join(closing, ["b", "c"])
+    # broadcasting the closing edge set means the ~m²/n wedge stream is
+    # probed map-side and NEVER exchanged (the single biggest frame in
+    # this plan — 72M rows at sf0.1 vs 1.2M edges)
+    closing_h, _ = measured_broadcast(closing, "b")
+    dl, dr = d.alias("w1"), d.alias("w2")
+    wedges = (
+        dl.join(dr, F.col("w1.tail") == F.col("w2.tail"))
+        .where(
+            (F.col("w1.dhead") < F.col("w2.dhead"))
+            | (
+                (F.col("w1.dhead") == F.col("w2.dhead"))
+                & (F.col("w1.head") < F.col("w2.head"))
+            )
+        )
+        .select(
+            F.col("w1.tail").alias("corner_a"),
+            F.col("w1.head").alias("b"),
+            F.col("w2.head").alias("c"),
+        )
+    )
+    tri = wedges.join(closing_h, ["b", "c"])
     counts = (
         tri.select(F.explode(F.array("corner_a", "b", "c")).alias("part"))
         .groupBy("part")
@@ -4922,15 +4946,26 @@ def j_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 3 independent md5s over sf0.1 lineitem vs ~0.5 s for one)
         return F.conv(F.substring(h, 1 + i * 8, 8), 16, 10).cast("long") % 1024
 
-    ph = promo.select("p_partkey", _hash(F.col("p_partkey")).alias("h"))
-    probes = None
-    for i in range(3):
-        p = ph.select(_pos(F.col("h"), i).alias("pos"))
-        probes = p if probes is None else probes.unionAll(p)
-    bloom = probes.groupBy(F.expr("pos div 32").alias("word")).agg(
-        F.expr(
-            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)))"
-        ).alias("bits")
+    # r15 optimization: ONE part scan emits all three probe positions
+    # (explode of a 3-element array — the union-of-three-selects form
+    # scanned part once per probe), and the <=32-row word table is
+    # localCheckpointed so the three broadcast builds below read the
+    # materialized rows instead of each re-deriving the whole bloom
+    # subtree (measured 11 parquet scans in one plan before).
+    ph = promo.select(_hash(F.col("p_partkey")).alias("h"))
+    probes = ph.select(
+        F.explode(
+            F.array(*[_pos(F.col("h"), i) for i in range(3)])
+        ).alias("pos")
+    )
+    bloom = (
+        probes.groupBy(F.expr("pos div 32").alias("word"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)))"
+            ).alias("bits")
+        )
+        .localCheckpoint(eager=False)
     )
     lp = li.select(
         "l_partkey",
