@@ -4365,9 +4365,11 @@ def o_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import distributed_prefix_sum
 
     o = _t(spark, sf_dir, "orders")
+    # r15: checkpoint the zone stats so the quantile pre-pass and the
+    # windowed subtree aggregate the file metadata once, not twice
     zones = o.groupBy(
         F.floor(F.col("o_orderkey") / 256).cast("long").alias("zone")
-    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    ).agg(F.count(F.lit(1)).alias("n_rows")).localCheckpoint(eager=False)
     cum = distributed_prefix_sum(
         zones, "n_rows", "zone", [F.col("zone")], n_shards=8, out_col="cum_rows"
     )

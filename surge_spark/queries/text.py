@@ -1071,9 +1071,12 @@ def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-shard sequence ids, no global coupling) exists as
     t_pack_sequences_sharded."""
     docs = _docs(spark, sf_dir)
+    # r15: checkpoint the (doc_id, n_tokens) frame so the quantile
+    # pre-pass and the windowed subtree tokenize the corpus ONCE (the
+    # docstring's re-tokenize tax — same fix as t_pretrain_pipeline)
     toks = docs.select(
         "doc_id", F.size(tx.tokens("text")).alias("n_tokens")
-    )
+    ).localCheckpoint(eager=False)
     cum = tx.distributed_prefix_sum(
         toks, "n_tokens", "doc_id", [F.col("doc_id")], n_shards=8,
         out_col="cum_tokens",
@@ -1162,9 +1165,11 @@ def t_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     value oracle as the global-window form; no unpartitioned WindowExec
     (pinned)."""
     docs = _docs(spark, sf_dir)
+    # r15: checkpoint — the quality-score regex pass otherwise runs once
+    # for the quantile action and again in the windowed subtree
     scored = tx.quality_score(docs, "doc_id", "text").select(
         "doc_id", "n_tokens", "quality_score"
-    )
+    ).localCheckpoint(eager=False)
     cum = tx.distributed_prefix_sum(
         scored,
         "n_tokens",
@@ -1548,10 +1553,16 @@ def t_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = dd.exact_dedup(docs, "doc_id", "text", normalized=True).select(
         F.col("keeper_id").alias("doc_id")
     )
+    # r15 optimization: the survivor frame feeds the prefix sum's quantile
+    # ACTION and the windowed subtree — unmaterialized, the quality-score
+    # regex pass + dedup semi-join re-evaluated per consumer (3.61 ->
+    # 2.48 s median interleaved at sf0.1). A (doc_id, n_tokens) checkpoint
+    # is tiny at any scale.
     clean = (
         scored.join(keepers, "doc_id", "semi")
         .where((F.col("quality_score") >= 0.7) & (F.col("n_tokens") >= 40))
         .select("doc_id", "n_tokens")
+        .localCheckpoint(eager=False)
     )
     cum = tx.distributed_prefix_sum(
         clean, "n_tokens", "doc_id", [F.col("doc_id")], n_shards=8,
