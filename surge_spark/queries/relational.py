@@ -2675,6 +2675,12 @@ def g_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
             < F.lit(_DOULION_THRESH)
         )
+        # NOTE (r15): a localCheckpoint(eager=False) here would dedupe the
+        # four consumers' re-derivation BUT breaks the pinned
+        # zero-jobs-at-plan-build contract — Dataset.checkpoint calls
+        # queryExecution.toRdd, whose prepare() phase SUBMITS the
+        # broadcast-exchange futures inside this subtree (measured: 2
+        # withThreadLocalCaptured jobs at build). Left un-checkpointed.
     )
     # id-oriented 3-join, NOT the exact entry's degree orientation —
     # measured back-to-back at sf0.1 on the p=1/2 sample: id-oriented
@@ -6007,7 +6013,17 @@ _TRIS_SQL = """tris AS (
 
 
 def _min_oriented_tris(pairs: DataFrame) -> DataFrame:
-    """(a, b, c) with a < b < c for every triangle, enumerated once."""
+    """(a, b, c) with a < b < c for every triangle, enumerated once.
+
+    NEGATIVE A/B (r15 optimization round): a byte-gated broadcast hint
+    (measured_broadcast) on the closing-edge side — probing the ~m²/n
+    wedge stream map-side instead of exchanging it on (b, c) — measured
+    WORSE on the kernel's consumers: g_triad_census isolated interleaved
+    at sf0.1, hinted {13.9, 9.9} vs shuffle join {7.9, 8.7} s. The
+    measuring action costs a pass over the checkpointed pair set per
+    consumer, the ~1M-row broadcast build is its own job, and the hint
+    breaks the (b, c) exchange that downstream consumers reuse. Keep the
+    plain shuffle join."""
     e1 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     e2 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
     wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))
