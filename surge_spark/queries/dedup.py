@@ -1219,11 +1219,24 @@ def d_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one left join yields found/missed/recall_ppm in integers.
     16 bands × 4 rows at t=0.5 should sit high on the S-curve — a
     recall_ppm collapse in a driver round is a real banding regression,
-    not noise."""
+    not noise.
+
+    r15 optimization (two first-principles cuts, output identical):
+    (a) the LSH side stops at CANDIDATE GENERATION — a truth pair (which
+    by definition has exact Jaccard ≥ 0.5 over shared shingles) passes
+    the LSH pipeline's verification iff it is a banded candidate at all,
+    so found = truth ∩ cand and the one-scan verification tail
+    (role-explode + shingle join + two-level aggregate) computed nothing
+    this entry's output needed; (b) the signature build reads the
+    checkpointed DISTINCT shingle frame the truth side already
+    materialized (min() is duplicate-insensitive, so the distinct stream
+    yields bit-identical signatures) instead of re-scanning +
+    re-tokenizing the corpus for a second non-distinct stream. The
+    oracle keeps the full two-pipeline form as the spec."""
     docs = load_table(spark, sf_dir, "documents")
     sh = dd.shingles(docs, "doc_id", "text", 4, distinct=True).localCheckpoint(
         eager=False
-    )  # consumers: both truth-join sides + sizes
+    )  # consumers: both truth-join sides + sizes + the signature build
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("ns"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1246,11 +1259,13 @@ def d_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b")
     )
-    lsh = dd.minhash_lsh_dedup(
-        docs, "doc_id", "text", n=4, num_hashes=64, bands=16,
-        threshold=0.5, hash_fn="md5",
-    ).select("id_a", "id_b", F.lit(1).alias("hit"))
-    joined = truth.join(lsh, ["id_a", "id_b"], "left")
+    sig = dd.minhash_signatures(sh, 64, "md5")
+    cand = dd.lsh_candidates(sig, bands=16, rows_per_band=4, max_bucket=5000)
+    joined = truth.join(
+        cand.select("id_a", "id_b", F.lit(1).alias("hit")),
+        ["id_a", "id_b"],
+        "left",
+    )
     return joined.agg(
         F.count(F.lit(1)).alias("n_true"),
         F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_found"),

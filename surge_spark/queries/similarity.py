@@ -671,21 +671,46 @@ def sim_blocked_pairs_recall_audit(spark: SparkSession, sf_dir: str) -> DataFram
     max_block=NEARDUP_MAX_BLOCK=512, non-binding until cells outgrow it.
     Shares ONE checkpointed cell assignment across both pipelines (the
     lsh-recall-audit structure); found ⊆ truth by construction, so the
-    join is the audit, not a correctness risk."""
+    join is the audit, not a correctness risk.
+
+    r15 optimization: ``found`` is DERIVED from ``truth`` instead of
+    re-running the whole capped pair pipeline. A capped pair survives
+    iff both endpoints hash to the same md5 sub-block of their (shared)
+    cell — embedding_neardup_pairs joins on (cell, sub) with the
+    identical cosine filter, so found = {t in truth :
+    sub(id_a) = sub(id_b)} exactly, where sub(id) =
+    pmod(conv(md5-slice), ceil(cell_size / 64)) is the same expression
+    the operator uses. That turns the second block self-join + per-pair
+    cosine into one broadcast sizes join + a map over truth pairs; the
+    blocked frame is localCheckpointed (truth's two self-join sides and
+    the sizes aggregate re-evaluated the emb-cluster join 3x). The
+    oracle keeps the declarative two-pipeline form as the spec."""
     emb = load_table(spark, sf_dir, "embeddings")
     clustered = sim._cluster_assignments(
         emb, "vec_id", "embedding", 8, 4, 42, FIXED_CENTS
     ).localCheckpoint(eager=False)
     blocked = emb.join(
         clustered.select(F.col("id").alias("vec_id"), "cluster"), "vec_id"
-    )
+    ).localCheckpoint(eager=False)
     truth = sim.embedding_neardup_pairs(
         blocked, "vec_id", "embedding", "cluster", 0.3
-    ).select("id_a", "id_b")
-    found = sim.embedding_neardup_pairs(
-        blocked, "vec_id", "embedding", "cluster", 0.3, max_block=64
-    ).select("id_a", "id_b", F.lit(1).alias("hit"))
-    joined = truth.join(found, ["id_a", "id_b"], "left")
+    ).select("block", "id_a", "id_b")
+    sizes = blocked.groupBy("cluster").agg(F.count(F.lit(1)).alias("__bs"))
+    ns = F.ceil(F.col("__bs") / F.lit(64)).cast("long").alias("__ns")
+
+    def _sub(id_col: str) -> F.Column:
+        return F.pmod(
+            F.expr(
+                f"conv(substr(md5(CAST(`{id_col}` AS STRING)), 1, 8), 16, 10)"
+            ).cast("long"),
+            F.col("__ns"),
+        )
+
+    joined = truth.join(
+        F.broadcast(sizes.select(F.col("cluster").alias("block"), ns)), "block"
+    ).select(
+        "id_a", "id_b", F.when(_sub("id_a") == _sub("id_b"), 1).alias("hit")
+    )
     return joined.agg(
         F.count(F.lit(1)).alias("n_true"),
         F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_found"),
