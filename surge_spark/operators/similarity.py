@@ -634,9 +634,15 @@ def semantic_neardup_pairs(
     # sf0.1 and the self-join then compiles. Measured 4.3-4.7 -> see
     # docstring of the catalog entry.
     ).localCheckpoint(eager=False)
+    # materialize the blocked frame too (r15 optimization round):
+    # embedding_neardup_pairs reads it from 2-3 lazy consumers (the sizes
+    # aggregate when max_block is set, plus the pair self-join side whose
+    # exchange ReusedExchange shares) — each re-evaluated the corpus scan
+    # + assignment join. One narrow (id, vec, cluster) write, then block
+    # reads.
     blocked = df.join(
         clustered.select(F.col("id").alias(id_col), "cluster"), id_col
-    )
+    ).localCheckpoint(eager=False)
     return embedding_neardup_pairs(
         blocked, id_col, vec_col, "cluster", threshold, max_block=max_block
     ).withColumnRenamed("block", "cluster")
