@@ -569,7 +569,25 @@ def _min_label_rounds(sym, seed, rounds: int = 3):
     seed is an (id, lbl) frame, sym a symmetric (a, b) edge list; each
     round every node takes the min of its own label and its neighbors'.
     Shared by d_fuzzy_dedup_clusters and d_semdedup_keepers so a
-    propagation fix can never silently miss one of them."""
+    propagation fix can never silently miss one of them.
+
+    NEGATIVE A/B (r15 optimization round) — leave the unroll
+    UNMATERIALIZED. Each round references the previous round's frame
+    twice (own label + neighbor-min side), so the lineage doubles per
+    round and the final plan holds 2^rounds copies of the seed subtree
+    (8 narrow scans, no ReusedExchange). Per-round
+    localCheckpoint(eager=False) dedupes that but measured ~2x WORSE at
+    sf0.1 (interleaved: fuzzy clusters {7.1, 5.8} vs {3.4, 3.5} s;
+    semdedup keepers {14.5, 6.7} vs {4.7, 4.3}): every checkpoint erases
+    outputPartitioning, so EnsureRequirements re-exchanges the full
+    (id, lbl) frame per round (the r10 pre-bucketed-read lesson), plus
+    three materialization barriers — while the duplicated subtrees are
+    narrow column-pruned scans + small aggregates that execute in
+    parallel within one DAG. A seed-only checkpoint measured a tie
+    (within noise) and was dropped too. The HEAVY upstream (LSH pair
+    table / cell self-join) is already checkpointed by every caller —
+    that is the part whose re-evaluation would be multiplicative at
+    scale; what re-runs here is bounded by rounds x one narrow pass."""
     lbl = seed
     for _ in range(rounds):
         r = lbl.select(F.col("id").alias("rid"), F.col("lbl").alias("rlbl"))
