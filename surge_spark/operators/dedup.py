@@ -77,18 +77,38 @@ def shingles(
         F.col("_toks").alias("g0"),
         *[F.slice("_toks", i + 1, big).alias(f"g{i}") for i in range(1, n)],
     )
-    grams = (
-        base.where(F.size("_toks") >= n)
-        .select("id", F.explode(z).alias("s"))
-        .where(F.col(f"s.g{n - 1}").isNotNull())
+    # ONE conditional explode instead of a grams/short-docs UNION (r15
+    # optimization round): the union form referenced `base` twice, so
+    # every shingles() call re-scanned its input AND re-ran the regex
+    # normalization in both branches (no cross-branch subexpression
+    # sharing) — 2x the text passes for the entire minhash/LSH family.
+    # Short docs ride the same explode as a 1-element struct array whose
+    # g1..g{n-1} are NULL; concat_ws skips NULLs, so the same projection
+    # yields the whole-text shingle for them. Output multiset is
+    # branch-for-branch identical to the union form.
+    short_arr = F.array(
+        F.struct(
+            F.col("_norm").alias("g0"),
+            *[F.lit(None).cast("string").alias(f"g{i}") for i in range(1, n)],
+        )
+    )
+    out = (
+        base.select(
+            "id",
+            F.size("_toks").alias("_nt"),
+            "_norm",
+            F.explode(F.when(F.size("_toks") >= n, z).otherwise(short_arr)).alias(
+                "s"
+            ),
+        )
+        .where(
+            F.col(f"s.g{n - 1}").isNotNull()
+            | ((F.col("_nt") < n) & (F.col("_norm") != ""))
+        )
         .select(
             "id", F.concat_ws(" ", *[f"s.g{i}" for i in range(n)]).alias("shingle")
         )
     )
-    short = base.where((F.size("_toks") < n) & (F.col("_norm") != "")).select(
-        "id", F.col("_norm").alias("shingle")
-    )
-    out = grams.unionByName(short)
     return out.dropDuplicates(["id", "shingle"]) if distinct else out
 
 

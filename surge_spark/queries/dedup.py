@@ -880,12 +880,24 @@ def d_persisted_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.col("doc_id") % 5 == 0
     shard = docs.where(is_new)
     corpus = docs.where(~is_new)
+    # r15 optimization: checkpoint BOTH signature frames. The band join's
+    # two sides (new vs stored) filter the banded union differently, so
+    # no ReusedExchange fires (at bench scale the planner even broadcasts
+    # one side — the build subtree then re-derives everything) and each
+    # side re-ran shingle+hash+k-min over BOTH inputs: 14 documents scans
+    # in the final plan. Materializing stored is the honest production
+    # shape anyway (it IS a table — SignatureStore), and shard signatures
+    # are computed once per run; 4 scans remain (verification text).
     stored = dd.minhash_signatures(
         dd.shingles(corpus, "doc_id", "text", 4, distinct=False), 64, "md5"
-    )
+    ).localCheckpoint(eager=False)
+    shard_sig = dd.minhash_signatures(
+        dd.shingles(shard, "doc_id", "text", 4, distinct=False), 64, "md5"
+    ).localCheckpoint(eager=False)
     return dd.minhash_lsh_from_stored(
         shard, corpus, stored, "doc_id", "text",
         n=4, num_hashes=64, bands=16, threshold=0.5, hash_fn="md5",
+        shard_sig=shard_sig,
     )
 
 
