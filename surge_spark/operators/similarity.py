@@ -961,6 +961,15 @@ def power_iteration_topdir(
                 .groupBy("__pos")
                 .agg(F.sum(F.col("__val") * F.col("__dp")).alias("__w"))
             )
+        # materialize the dim-row aggregate (r15 optimization round): n and
+        # v below each reference w, and v itself feeds the next step's dp
+        # AND w joins — unmaterialized, the final 2-step plan evaluated the
+        # full corpus-aggregate pipeline 8x (8 embeddings scans measured;
+        # the norm/normalize double-reference doubles it per step). w is
+        # <= dim rows, so the checkpoint is ~free and the plan drops to
+        # one evaluation per corpus pass (3 scans). Values bit-identical —
+        # same aggregates, same order.
+        w = w.localCheckpoint(eager=False)
         n = w.agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n"))
         v = w.crossJoin(F.broadcast(n)).select(
             "__pos", (F.col("__w") / F.col("__n")).alias("__v")
