@@ -593,7 +593,16 @@ def m_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user min aggregate joined to the previous stage on user_id with a
     time residual, so all three stages shuffle on the SAME key and the
     exchanges line up; stage inputs prune by event_type at the scan. The
-    funnel result is five scalars."""
+    funnel result is five scalars. NEGATIVE A/B (r15, sf0.1
+    interleaved): materializing s1/s2 (each feeds the next stage's join
+    AND its own scalar count — 7 events scans in the lazy plan, s1 3x,
+    s2 2x) measured WORSE both ways: localCheckpoint 3.27 s (the
+    ExistingRDD frames lose size stats, the stage joins lose
+    auto-broadcast and shuffle the filtered events), persist() 1.10 s
+    (cache fill + InMemoryRelation overhead beats the recompute — each
+    re-derived stage is one filter-pruned scan + one keyed aggregate,
+    ~0.2 s). Original lazy form: 0.765 s. Kept lazy; the stage scans
+    prune by event_type so the amplification is bounded at scale."""
     e = _events(spark, sf_dir)
     s1 = (
         e.where(F.col("event_type") == "view")
@@ -885,7 +894,14 @@ def m_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     the big side per day probed) and no unpartitioned window; the
     exploded stream is hash-partitioned by target day. Each distinct
     count is its OWN aggregate joined on day — the multi-distinct Expand
-    measured 5x slower on o_table_stats (r10 A/B)."""
+    measured 5x slower on o_table_stats (r10 A/B). NEGATIVE A/B (r15,
+    sf0.1 interleaved): materializing du (read by dau + both trailing
+    explodes + days — 5 events scans in the lazy plan) measured WORSE
+    every way: localCheckpoint 1.19 s, persist 1.56 s, persist +
+    explicit broadcast(days) 1.87 s vs 0.955 s lazy. The re-derived du
+    is one column-pruned scan + map-side-partial distinct per consumer
+    and fuses into each consumer's first shuffle; any barrier breaks
+    that fusion for a frame too small to amortize it. Kept lazy."""
     e = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
     du = e.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
     days = du.select("day").distinct()

@@ -2278,7 +2278,7 @@ def _lpa2_labels(spark: SparkSession, sf_dir: str, checkpoint: bool = False):
         .distinct()
     )
     if checkpoint:
-        e0 = e0.localCheckpoint(eager=False)
+        e0 = e0.persist()
     sym = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -2296,7 +2296,7 @@ def _lpa2_labels(spark: SparkSession, sf_dir: str, checkpoint: bool = False):
             ).alias("label")
         ).withColumnsRenamed({"v": "node"})
     if checkpoint:
-        labels = labels.localCheckpoint(eager=False)
+        labels = labels.persist()
     return e0, sym, labels
 
 
@@ -2328,8 +2328,13 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     on node + one partial+final aggregate — 2 shuffles, the same budget
     as a pagerank step; label skew (a community going viral) is
     AQE-skew-split like any hot aggregate key. Output: top-20 communities
-    by size."""
-    _, _, labels = _lpa2_labels(spark, sf_dir)
+    by size. checkpoint=True persists e0 + labels — unmaterialized, the
+    three sym references in the 2-round chain re-derived the self-join
+    pair build per reference (12 parquet scans in the final plan).
+    Measured at sf0.1 interleaved (r15): lazy 10.6 s, localCheckpoint
+    10.4 s, persist 2.17 s; the shared helper's persist also took
+    g_modularity 11.4 -> 4.78 s."""
+    _, _, labels = _lpa2_labels(spark, sf_dir, checkpoint=True)
     sizes = labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
@@ -2481,12 +2486,23 @@ def g_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     current node + one per-walk argmin — the same 2-shuffle budget as a
     pagerank/LPA round, and walks stay one row each (no path blow-up).
     argmin = min(struct(hash, dst)) — a total order, never min_by on a
-    possibly-tied key."""
+    possibly-tied key.
+
+    r15 optimization: e0, seeds and each hop frame are persist()ed —
+    the final three-way join referenced every hop's whole chain (step
+    3's plan nested steps 1-2, and each step re-read sym = 2x e0), 16
+    parquet scans in the final plan. Measured at sf0.1 interleaved:
+    lazy 4.37 s, localCheckpoint 5.89 s (stats lost), persist 0.72 s
+    (hop frames are |seeds| rows and cache whole)."""
     li = _t(spark, sf_dir, "lineitem")
-    e0 = li.select(
-        F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
-    ).distinct()
+    e0 = (
+        li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
     sym = e0.unionAll(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -2495,6 +2511,7 @@ def g_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.where(F.col("o_orderkey") % 97 == 0)
         .select(F.concat(F.lit("o"), F.col("o_orderkey")).alias("start"))
         .distinct()
+        .persist()
     )
     cur = seeds.select("start", F.col("start").alias("cur"))
     hops = []
@@ -2505,6 +2522,7 @@ def g_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("start")
             .agg(F.min(F.struct(h.alias("h"), F.col("dst").alias("d"))).alias("m"))
             .select("start", F.col("m.d").alias("cur"))
+            .persist()
         )
         hops.append(nxt.withColumnRenamed("cur", f"n{step}"))
         cur = nxt
@@ -5711,15 +5729,35 @@ def g_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-partitioned; at 100 TB frontiers stay bounded by the visited-set
     anti-joins (never re-expanding), the same discipline as
     g_cc_converged's pointer jumps. Output is the per-layer census —
-    |layers| rows."""
+    |layers| rows. The edge frame and every frontier are persist()ed
+    (r15): each hop references e plus ALL earlier layers, so the
+    un-materialized chain re-derived layer k's whole build per
+    reference — 27 parquet scans in the final plan (p4 alone nested
+    13). Measured at sf0.1 interleaved: lazy 3.62 s, localCheckpoint
+    5.23 s (stats lost, frontier joins lose auto-broadcast), persist
+    1.81 s."""
     li = _t(spark, sf_dir, "lineitem")
-    e = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    p0 = e.where(F.col("p") % 97 == 0).select("p").distinct()
-    o1 = e.join(p0, "p").select("o").distinct()
-    p2 = e.join(o1, "o").select("p").distinct().join(p0, "p", "left_anti")
-    o3 = e.join(p2, "p").select("o").distinct().join(o1, "o", "left_anti")
+    e = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    p0 = e.where(F.col("p") % 97 == 0).select("p").distinct().persist()
+    o1 = e.join(p0, "p").select("o").distinct().persist()
+    p2 = (
+        e.join(o1, "o")
+        .select("p")
+        .distinct()
+        .join(p0, "p", "left_anti")
+        .persist()
+    )
+    o3 = (
+        e.join(p2, "p")
+        .select("o")
+        .distinct()
+        .join(o1, "o", "left_anti")
+        .persist()
+    )
     p4 = (
         e.join(o3, "o")
         .select("p")
