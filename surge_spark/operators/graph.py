@@ -261,25 +261,32 @@ def pagerank_fixed(
     (iters is small and fixed); for convergence-style runs use
     localCheckpoint per round like connected_components.
 
-    r15 optimization: `sym` / `nodes` / `edge_deg` are persist()ed —
-    every iteration references edge_deg and every rank update references
-    the node count, so the un-materialized chain re-derived the edge
-    build per reference (the final g_pagerank_parts plan held 44 parquet
-    scans). Measured at sf0.1 interleaved: lazy 21.5 s, localCheckpoint
-    11.5 s (ExistingRDD loses size stats, downstream joins lose
-    auto-broadcast), persist 3.15 s (InMemoryRelation keeps stats AND
-    the cache). Values unchanged — only evaluation count changes."""
+    r15 optimization: `sym` / `nodes` / `edge_deg` are lazily
+    localCheckpointed — every iteration references edge_deg and every
+    rank update references the node count, so the un-materialized chain
+    re-derived the edge build per reference (the final g_pagerank_parts
+    plan held 44 parquet scans). Measured at sf0.1: lazy 21.5 s,
+    localCheckpoint 11.5 s (median of 3, honest — checkpoints
+    re-materialize per run), persist() 10.4 s fresh-process single run.
+    persist was REJECTED despite the comparable per-run time: a
+    persisted subtree registers in the session CacheManager keyed on
+    the canonicalized plan, so re-invocations of the same query in one
+    session (the bench's median-of-N) silently read the prior run's
+    cache — the 3.15 s persist 'median' measured cache hits, not the
+    query. Values unchanged — only evaluation count changes."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = (
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
-    nodes = sym.select(F.col("src").alias("node")).distinct().persist()
+    nodes = (
+        sym.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
+    )
     deg = sym.groupBy("src").agg(F.count("*").alias("_deg"))
-    edge_deg = sym.join(deg, "src").persist()
+    edge_deg = sym.join(deg, "src").localCheckpoint(eager=False)
     n_row = F.broadcast(nodes.agg(F.count("*").alias("_n")))
     ranks = nodes.crossJoin(n_row).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")

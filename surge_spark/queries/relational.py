@@ -2278,7 +2278,7 @@ def _lpa2_labels(spark: SparkSession, sf_dir: str, checkpoint: bool = False):
         .distinct()
     )
     if checkpoint:
-        e0 = e0.persist()
+        e0 = e0.localCheckpoint(eager=False)
     sym = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -2296,7 +2296,7 @@ def _lpa2_labels(spark: SparkSession, sf_dir: str, checkpoint: bool = False):
             ).alias("label")
         ).withColumnsRenamed({"v": "node"})
     if checkpoint:
-        labels = labels.persist()
+        labels = labels.localCheckpoint(eager=False)
     return e0, sym, labels
 
 
@@ -2328,12 +2328,14 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     on node + one partial+final aggregate — 2 shuffles, the same budget
     as a pagerank step; label skew (a community going viral) is
     AQE-skew-split like any hot aggregate key. Output: top-20 communities
-    by size. checkpoint=True persists e0 + labels — unmaterialized, the
-    three sym references in the 2-round chain re-derived the self-join
-    pair build per reference (12 parquet scans in the final plan).
-    Measured at sf0.1 interleaved (r15): lazy 10.6 s, localCheckpoint
-    10.4 s, persist 2.17 s; the shared helper's persist also took
-    g_modularity 11.4 -> 4.78 s."""
+    by size. checkpoint=True materializes e0 + labels — unmaterialized,
+    the three sym references in the 2-round chain re-derived the
+    self-join pair build per reference (12 parquet scans in the final
+    plan). Measured at sf0.1 (r15): lazy 10.6 s vs localCheckpoint
+    10.4 s median-of-3 — a local tie, kept for the scan-count win at
+    scale (the r11 LPA-converged precedent). A persist() variant's
+    2.17 s 'median' was rejected as CacheManager cross-run reuse (see
+    pagerank_fixed); its honest fresh-run time was 11.0 s."""
     _, _, labels = _lpa2_labels(spark, sf_dir, checkpoint=True)
     sizes = labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members")
@@ -2488,21 +2490,19 @@ def g_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin = min(struct(hash, dst)) — a total order, never min_by on a
     possibly-tied key.
 
-    r15 optimization: e0, seeds and each hop frame are persist()ed —
-    the final three-way join referenced every hop's whole chain (step
-    3's plan nested steps 1-2, and each step re-read sym = 2x e0), 16
-    parquet scans in the final plan. Measured at sf0.1 interleaved:
-    lazy 4.37 s, localCheckpoint 5.89 s (stats lost), persist 0.72 s
-    (hop frames are |seeds| rows and cache whole)."""
+    NEGATIVE A/B (r15): the final three-way join references every
+    hop's whole chain (step 3's plan nests steps 1-2, and each step
+    re-reads sym = 2x e0) — 16 parquet scans in the final plan.
+    Materializing e0/seeds/hops still measured WORSE at sf0.1: lazy
+    4.37 s vs localCheckpoint 5.89 (stats lost) vs persist 8.04
+    fresh-run (its 0.72 s 'median' was CacheManager cross-run reuse —
+    see pagerank_fixed). The re-derived subtrees are column-pruned
+    scans + keyed aggregates that pipeline; kept lazy."""
     li = _t(spark, sf_dir, "lineitem")
-    e0 = (
-        li.select(
-            F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
-            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
-        )
-        .distinct()
-        .persist()
-    )
+    e0 = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
     sym = e0.unionAll(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -2511,7 +2511,6 @@ def g_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.where(F.col("o_orderkey") % 97 == 0)
         .select(F.concat(F.lit("o"), F.col("o_orderkey")).alias("start"))
         .distinct()
-        .persist()
     )
     cur = seeds.select("start", F.col("start").alias("cur"))
     hops = []
@@ -2522,7 +2521,6 @@ def g_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("start")
             .agg(F.min(F.struct(h.alias("h"), F.col("dst").alias("d"))).alias("m"))
             .select("start", F.col("m.d").alias("cur"))
-            .persist()
         )
         hops.append(nxt.withColumnRenamed("cur", f"n{step}"))
         cur = nxt
@@ -5729,35 +5727,24 @@ def g_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-partitioned; at 100 TB frontiers stay bounded by the visited-set
     anti-joins (never re-expanding), the same discipline as
     g_cc_converged's pointer jumps. Output is the per-layer census —
-    |layers| rows. The edge frame and every frontier are persist()ed
-    (r15): each hop references e plus ALL earlier layers, so the
-    un-materialized chain re-derived layer k's whole build per
-    reference — 27 parquet scans in the final plan (p4 alone nested
-    13). Measured at sf0.1 interleaved: lazy 3.62 s, localCheckpoint
-    5.23 s (stats lost, frontier joins lose auto-broadcast), persist
-    1.81 s."""
+    |layers| rows. NEGATIVE A/B (r15): each hop references e plus ALL
+    earlier layers, so the lazy chain re-derives layer k's whole build
+    per reference — 27 parquet scans in the final plan (p4 alone nests
+    13). Materializing e + every frontier still measured WORSE at
+    sf0.1: lazy 3.62 s vs localCheckpoint 5.23 (frontier frames lose
+    size stats, the hop joins lose auto-broadcast) vs persist 6.40
+    fresh-run (cache-fill cost; its 1.81 s 'median' was CacheManager
+    cross-run reuse — see pagerank_fixed). Each re-derived layer is a
+    column-pruned scan + keyed distinct that pipelines in parallel
+    stages, cheaper here than any barrier. Kept lazy."""
     li = _t(spark, sf_dir, "lineitem")
-    e = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .persist()
-    )
-    p0 = e.where(F.col("p") % 97 == 0).select("p").distinct().persist()
-    o1 = e.join(p0, "p").select("o").distinct().persist()
-    p2 = (
-        e.join(o1, "o")
-        .select("p")
-        .distinct()
-        .join(p0, "p", "left_anti")
-        .persist()
-    )
-    o3 = (
-        e.join(p2, "p")
-        .select("o")
-        .distinct()
-        .join(o1, "o", "left_anti")
-        .persist()
-    )
+    e = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    p0 = e.where(F.col("p") % 97 == 0).select("p").distinct()
+    o1 = e.join(p0, "p").select("o").distinct()
+    p2 = e.join(o1, "o").select("p").distinct().join(p0, "p", "left_anti")
+    o3 = e.join(p2, "p").select("o").distinct().join(o1, "o", "left_anti")
     p4 = (
         e.join(o3, "o")
         .select("p")
