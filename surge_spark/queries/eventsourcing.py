@@ -38,7 +38,10 @@ def es_count_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent closed form; the Spark side genuinely folds in
     (ts, event_id) order, so per-key ordering (R1) is exercised."""
     return es.fold_events_sorted(
-        _events(spark, sf_dir),
+        # only the columns the kernel reads (guide §4: mapInPandas is
+        # opaque — an unpruned frame ships value/props through the
+        # repartition exchange and the Arrow boundary for nothing)
+        _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type"),
         key_col="user_id",
         order_cols=["ts", "event_id"],
         handle_event=es.count_handle_event,
@@ -101,7 +104,10 @@ def es_bank_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics a third way; per-group/sorted-stream equality is pinned there
     too."""
     df = es.replay_commands_sorted(
-        _events(spark, sf_dir),
+        # column-pruned before the exchange + Arrow boundary (props unused)
+        _events(spark, sf_dir).select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        ),
         key_col="user_id",
         order_cols=["ts", "event_id"],
         process_command=es.bank_process_command,
@@ -1141,6 +1147,7 @@ def m_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         _events(spark, sf_dir)
         .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
     )
     folded = es.fold_events_sorted(
         e,
@@ -2041,6 +2048,7 @@ def m_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         _events(spark, sf_dir)
         .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
     )
     folded = es.fold_events_sorted(
         e,
@@ -2109,6 +2117,7 @@ def m_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         _events(spark, sf_dir)
         .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
     )
     folded = es.fold_events_sorted(
         e,
