@@ -131,17 +131,30 @@ def jaccard_pairs(
     posting list → count co-occurrences → |A∩B| / (|A|+|B|-|A∩B|).
     ``max_bucket`` drops stop-shingles whose posting lists would blow up the
     pair space (skew guard at scale; candidate recall for near-dups is
-    unaffected because near-dup pairs share many shingles)."""
+    unaffected because near-dup pairs share many shingles).
+
+    r15 optimization round: ``sh`` is localCheckpointed — its four lazy
+    consumers (sizes, freq, both posting-list join sides) otherwise each
+    re-ran the whole shingle pipeline (regex normalize + explode +
+    dropDuplicates shuffle; 4 text passes per run measured in the final
+    plan of every caller), and the self-join sides are the SAME aliased
+    frame renamed AFTER the join (the adamic-adar identical-subtree rule)
+    so the posting-list exchange is planned once and reused instead of
+    canonicalizing apart."""
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     pruned = sh.join(
         freq.where(F.col("df") <= max_bucket).select("shingle"), "shingle"
     )
-    a = pruned.select(F.col("id").alias("id_a"), "shingle")
-    b = pruned.select(F.col("id").alias("id_b"), "shingle")
+    x, y = pruned.alias("x"), pruned.alias("y")
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )

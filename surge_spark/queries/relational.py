@@ -2588,6 +2588,10 @@ def g_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
         .distinct()
+        # r15 optimization round: referenced by the user derive AND the
+        # anti join — unmaterialized, the orders⋈lineitem + distinct ran
+        # twice per run (5 scans -> 1 in the final plan)
+        .localCheckpoint(eager=False)
     )
     n_parts = _t(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("n"))
     users = inter.select("user_id").distinct()
@@ -4144,6 +4148,14 @@ def a_kmv_jaccard_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(float(1 << 60))
     )
 
+    # r15 optimization round: each <=32-row sketch frame is
+    # localCheckpointed — lazily, ka/kb are referenced by merged AND by
+    # their broadcast membership probes and merged by rho + hk, so the
+    # events scan + distinct + TakeOrdered re-ran up to 4x per run
+    # (9 scans in the final plan; 5 after — the two exact channels keep
+    # their own passes by construction). Materializing 32 rows is free;
+    # this is exactly the "sketches of two 100 TB sets meet in
+    # kilobytes" shape the docstring promises.
     def sketch(tag: str) -> DataFrame:
         return (
             e.where(F.col("event_type") == tag)
@@ -4151,10 +4163,14 @@ def a_kmv_jaccard_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .orderBy("h")
             .limit(32)
+            .localCheckpoint(eager=False)
         )
 
     ka, kb = sketch("click"), sketch("purchase")
-    merged = ka.unionAll(kb).distinct().orderBy("h").limit(32)
+    merged = (
+        ka.unionAll(kb).distinct().orderBy("h").limit(32)
+        .localCheckpoint(eager=False)
+    )
     rho_c = (
         merged.join(F.broadcast(ka), "h", "left_semi")
         .join(F.broadcast(kb), "h", "left_semi")
