@@ -616,6 +616,14 @@ def word_pmi_top_pairs(
         .select(F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
         .where((F.col("w1") != "") & (F.col("w2") != ""))
     )
+    # NEGATIVE A/B (r15 optimization round): localCheckpointing uni + bi
+    # (uni has three lazy consumers, bi two, each re-tokenizing the
+    # corpus) measured WORSE interleaved at sf0.1 — {1.71, 1.84} vs
+    # {0.91, 1.16} s lazy. The re-derived subtrees are narrow
+    # column-pruned token explodes + partial aggregates that pipeline in
+    # parallel inside one DAG; two materialization barriers cost more
+    # than the duplicate text passes at this scale (the wave-1
+    # bfs/walks/funnel class). Left lazy.
     bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
     uni = (
         df.select(F.explode(toks).alias("w"))

@@ -441,7 +441,16 @@ def m_rate_trailing_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
     per second per type) pre-aggregate per (type, second) BEFORE the ×60
     replication so the fan-out runs on second-counts, not raw events —
     measured break-even on this sparse testdata (~1 event/s: 4.9 s vs
-    5.6 s at sf0.1), a strict win at density."""
+    5.6 s at sf0.1), a strict win at density. RE-MEASURED r15
+    (optimization round, interleaved): the two-level form (groupBy
+    (type, second) → explode(sequence(0,59)) → second aggregate) is
+    WORSE here — {6.9, 10.5} vs {5.5, 5.9} s — because the stream is
+    sparse (distinct (type, second) ≈ n_events, so the pre-aggregate
+    removes nothing) and the single-aggregate form's map-side partial
+    aggregation already collapses the ×60 fan-out before its one
+    exchange; the rewrite just adds a second shuffle. Keep the
+    single-window form; the pre-agg remains the documented shape for
+    dense streams."""
     e = _events(spark, sf_dir)
     return (
         e.groupBy(F.window("ts", "60 seconds", "1 second"), "event_type")

@@ -1174,6 +1174,12 @@ def sim_label_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracies are low — the ORACLE pins the computation, not a quality
     bar."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # NEGATIVE A/B (r15 optimization round): localCheckpointing ex (three
+    # lazy consumers — centroids, vec norms, scoring join — each re-run
+    # the corpus explode) measured WORSE interleaved at sf0.1: {1.30,
+    # 1.52} vs {1.05, 1.13} s lazy. The explode is a map-side generator
+    # over one narrow scan; materializing its 2M-row output costs more
+    # than three parallel pipelined re-evaluations (the wave-1 class).
     ex = emb.select(
         "vec_id",
         "label",
