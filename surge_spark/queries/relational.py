@@ -6010,23 +6010,36 @@ _PART_COOCCUR_SQL = """d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 
 def _part_cooccurrence(spark: SparkSession, sf_dir: str):
     """(pairs, directed, deg) over the part co-occurrence graph: canonical pa<pb
-    pair set from ONE aliased wedge self-join (the adamic-adar identical-
-    subtree rule), localCheckpointed — multiple lazy consumers re-ran the
-    wedge join + distinct (16 scans, 0 ReusedExchange; sf0.1 7.8 ->
-    3.9-5.0 s measured on assortativity); directed = both orientations;
-    deg = per-node neighbor count."""
+    pair set, localCheckpointed — multiple lazy consumers otherwise re-ran
+    the pair build (16 scans, 0 ReusedExchange; sf0.1 7.8 -> 3.9-5.0 s
+    measured on assortativity); directed = both orientations; deg =
+    per-node neighbor count.
+
+    r15 optimization round: the pair set is generated MAP-SIDE from each
+    order's collect_set instead of the former aliased self-join on
+    l_orderkey — one exchange on l_orderkey (with partial collect_set
+    combining map-side) + the pair distinct, vs the join form's
+    distinct(ok, pk) exchange + join exchange + pair distinct: one fewer
+    lineitem-scale shuffle and map-side combine on the first (guide
+    §2.3/§2.4). Order item-sets are small (TPC-H orders hold ≤7 parts)
+    so the per-row HOF pair fan-out is ~21 structs max. Output set
+    proven identical (exceptAll both directions, 1,196,000 pairs at
+    sf0.1); interleaved medians tie locally {1.37-1.40 vs 1.14-1.41 s
+    isolated} — kept for the removed shuffle at scale."""
     li = _t(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = d.alias("a"), d.alias("b")
+    od = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        od.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> filter(transform(ps,"
+                    " y -> IF(x < y, struct(x AS pa, y AS pb),"
+                    " CAST(NULL AS struct<pa:bigint,pb:bigint>))),"
+                    " s -> s IS NOT NULL)))"
+                )
+            ).alias("pr")
         )
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        .select("pr.pa", "pr.pb")
         .distinct()
         .localCheckpoint(eager=False)
     )
