@@ -9759,23 +9759,38 @@ def g_brand_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("pb"), F.col("p_brand").alias("bb")
     )
     e2 = pairs.join(F.broadcast(la), "pa").join(F.broadcast(lb), "pb")
-    mix = e2.groupBy().agg(
-        F.count(F.lit(1)).alias("m"),
-        F.expr(
-            "CAST(sum(CASE WHEN ba = bb THEN 1 ELSE 0 END) AS BIGINT)"
-        ).alias("same"),
+    # r15 optimization round: ONE pass over the labeled edge stream
+    # instead of three (the global mix aggregate + both endpoint-union
+    # branches each re-read the checkpointed pairs and re-ran the two
+    # broadcast label joins). Each edge explodes into its two endpoint
+    # rows, the same-brand indicator riding the FIRST (counted once per
+    # edge); per-brand k/same reduce in one partial+final aggregate and
+    # the global moments follow from the <=|brands|-row frame:
+    # tot = sum(k) = 2m exactly, so m = tot div 2 — integers unchanged.
+    stream = e2.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ba").alias("b"),
+                    F.when(F.col("ba") == F.col("bb"), 1)
+                    .otherwise(0)
+                    .alias("s"),
+                ),
+                F.struct(F.col("bb").alias("b"), F.lit(0).alias("s")),
+            )
+        ).alias("x")
+    ).select("x.b", "x.s")
+    per_brand = stream.groupBy("b").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s").alias("sameb"),
     )
-    ends = (
-        e2.select(F.col("ba").alias("b"))
-        .unionAll(e2.select(F.col("bb").alias("b")))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("k"))
-    )
-    ab = ends.groupBy().agg(
+    ab = per_brand.groupBy().agg(
         F.expr("sum(CAST(k AS DOUBLE) * k)").alias("skk"),
         F.sum("k").alias("tot"),
+        F.expr("CAST(sum(k) div 2 AS BIGINT)").alias("m"),
+        F.expr("CAST(sum(sameb) AS BIGINT)").alias("same"),
     )
-    return mix.crossJoin(F.broadcast(ab)).select(
+    return ab.select(
         F.col("m").alias("n_edges"),
         F.col("same").alias("n_same_brand"),
         F.expr("CAST(same * 1000000 div m AS BIGINT)").alias("same_ppm"),
