@@ -29,7 +29,18 @@ same-core-count reference; cross-core-count ack comparisons should
 eyeball jvm_spin_warm_s (per-core speed) instead.
 Normalization: `queries_normalized[q] = queries[q] / host_factor` (and
 `value_normalized` likewise) — compare NORMALIZED numbers across rounds;
-raw numbers remain for absolute SLO checks. Three of five recent rounds
+raw numbers remain for absolute SLO checks.
+
+SCALING EVIDENCE (r16): the JSON line also carries `parallelism`
+(master / defaultParallelism / shuffle partitions as the running session
+resolved them) and a per-query `queries_build_s` / `queries_exec_s`
+split — build is the driver-side `queries[name](...)` call (py4j
+expression construction, analysis, and any driver actions an iterative
+builder legitimately runs), exec is the noop write. The `queries`
+medians keep the SAME timed region as every prior round (build + exec);
+the split exists so a low-core probe can compare the parallel part
+(exec) across core counts instead of reading ~1 ratios off build-heavy
+entries. Three of five recent rounds
 re-litigated whether a bench delta was code or host (r8 ab_drift,
 r11-r12 submit_many, r13's uniform +28%); the canary settles that in
 one glance.
@@ -550,22 +561,49 @@ def main() -> None:
             # else: warmed up at sf_dir instead; query stays in the bench
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # r16 (VERDICT item 1): split each sample into plan-BUILD time (the
+    # driver-side `queries[name](spark, sf_dir)` call — py4j Column
+    # construction + analysis + any driver actions an iterative builder
+    # runs) and EXEC time (the noop write). The timed region and the
+    # reported `queries` medians are UNCHANGED (build + exec, same
+    # boundaries as every prior round); the split is additive so a
+    # low-core probe can read the parallel part: exec_s scales with
+    # cores, build_s mostly does not (it is single-threaded driver
+    # work), which is why whole-query c8/c32 ratios read ~1 on
+    # build-heavy entries (the r15 suspect_cpus_ignored false positive).
+    build_samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    exec_samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(N_RUNS):
         for name in HEADLINE:
             if name in errors:
                 continue
             start = time.perf_counter()
             try:
-                queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                df = queries[name](spark, sf_dir)
+                mid = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001
                 errors[name] = str(exc).split("\n")[0][:300]
                 continue
-            samples[name].append(time.perf_counter() - start)
+            end = time.perf_counter()
+            samples[name].append(end - start)
+            build_samples[name].append(mid - start)
+            exec_samples[name].append(end - mid)
 
     times = {
         name: round(statistics.median(s), 3) for name, s in samples.items() if s
     }
     total = round(sum(times.values()), 3)
+    build_times = {
+        name: round(statistics.median(s), 3)
+        for name, s in build_samples.items()
+        if s
+    }
+    exec_times = {
+        name: round(statistics.median(s), 3)
+        for name, s in exec_samples.items()
+        if s
+    }
     try:
         streaming = bench_streaming(spark)
     except Exception as exc:  # noqa: BLE001 — streaming must not kill the line
@@ -633,6 +671,22 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs_per_query": N_RUNS,
                 "aggregation": "median",
+                # scaling-evidence contract (r16): the effective session
+                # parallelism, straight from the running context — a
+                # low-core probe can verify its core count took effect
+                # without inferring it from the calibration canary — and
+                # the per-query build/exec split (medians over the same
+                # N_RUNS samples as `queries`; queries[q] ==
+                # queries_build_s[q] + queries_exec_s[q] up to rounding).
+                "parallelism": {
+                    "master": spark.sparkContext.master,
+                    "default_parallelism": spark.sparkContext.defaultParallelism,
+                    "shuffle_partitions": int(
+                        spark.conf.get("spark.sql.shuffle.partitions")
+                    ),
+                },
+                "queries_build_s": build_times,
+                "queries_exec_s": exec_times,
                 "calibration": calibration,
                 **normalized,
                 "streaming": streaming,

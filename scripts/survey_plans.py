@@ -6,11 +6,15 @@ counters (uncached parquet scans, exchanges, join strategies, Python
 boundary nodes, unpartitioned windows) plus the builder wall time (plan
 build only — iterative builders legitimately run driver actions here).
 
-Scan counting note: persisted subtrees re-print their cached plan under
-every InMemoryRelation reference, so raw 'Scan parquet' greps over-count
-for persist-using entries. Scans are therefore counted ONLY in the tree
-section ABOVE the first InMemoryRelation line, and entries with cached
-subtrees are flagged `imr=N` so a human reads them individually.
+Counting note (r16 ADVICE fix): persisted subtrees re-print their
+cached plan under every InMemoryRelation reference, so raw greps
+over-count for persist-using entries. EVERY counter (not just scans —
+exchanges, joins, windows, python nodes too) is therefore computed ONLY
+in the tree section ABOVE the first InMemoryRelation line; a cached
+subtree early in the main tree hides every later branch from every
+counter. Entries with cached subtrees are flagged
+`imr=N(counters-truncated)` so a human reads those plans individually —
+the counters for such entries are lower bounds, not totals.
 
     python scripts/survey_plans.py --sf /root/testdata/sf0.01 [names...]
 """
@@ -86,7 +90,10 @@ def main() -> None:
         dt = time.perf_counter() - t0
         s = summarize(txt)
         rows.append((name, dt, s))
-        flat = " ".join(f"{k}={v}" for k, v in s.items())
+        flat = " ".join(
+            (f"{k}={v}(counters-truncated)" if k == "imr" else f"{k}={v}")
+            for k, v in s.items()
+        )
         print(f"SURVEY {name} build_s={dt:.2f} {flat}", flush=True)
 
     print("\n== worst by uncached scans ==")

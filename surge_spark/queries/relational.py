@@ -6027,7 +6027,15 @@ def _part_cooccurrence(spark: SparkSession, sf_dir: str):
     sf0.1); interleaved medians tie locally {1.37-1.40 vs 1.14-1.41 s
     isolated} — kept for the removed shuffle at scale."""
     li = _t(spark, sf_dir, "lineitem")
-    od = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    # l_partkey is cast to bigint BEFORE the collect_set (r16 ADVICE): the
+    # HOF below hardcodes CAST(NULL AS struct<pa:bigint,pb:bigint>), and a
+    # future testdata regeneration shipping l_partkey as int32 (the
+    # documented drift class) would otherwise silently coerce pa/pb through
+    # the IF branches — the explicit cast fixes the element type by
+    # construction (a no-op on today's bigint encoding).
+    od = li.groupBy("l_orderkey").agg(
+        F.collect_set(F.col("l_partkey").cast("bigint")).alias("ps")
+    )
     pairs = (
         od.select(
             F.explode(
@@ -9767,6 +9775,15 @@ def g_brand_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge); per-brand k/same reduce in one partial+final aggregate and
     # the global moments follow from the <=|brands|-row frame:
     # tot = sum(k) = 2m exactly, so m = tot div 2 — integers unchanged.
+    # Degenerate EMPTY-edge caveat (r16 ADVICE, documented as unreachable):
+    # with zero edges the per-brand groupBy yields zero rows, so the global
+    # aggregate returns one all-NULL row (m=NULL, same_ppm=NULL) where the
+    # oracle's mix CTE would produce m=0 and then error on the ppm integer
+    # division — the two engines diverge ONLY on an empty lineitem, which
+    # no SF of this testdata can produce (every scale ships lineitem rows
+    # and every order holds ≥1 part). Not coalesced to 0 on purpose: that
+    # would trade the NULL row for a div-by-zero error on BOTH sides, no
+    # closer to agreement and strictly harder to debug.
     stream = e2.select(
         F.explode(
             F.array(
