@@ -2157,9 +2157,11 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: oriented-distinct edge reduction and the degree count
     are partial+final; the degree attach is a node-table join (broadcast
-    at test scale, shuffle at 100 TB); wedge and closure joins shuffle on
-    bounded-fanout keys; AQE skew-join splits any residue. No driver
-    state."""
+    at test scale, shuffle at 100 TB); wedges fan out MAP-SIDE from each
+    tail's collected out-adjacency (orientation-bounded at O(√m) per
+    row) and are probed against the byte-gated closing-edge broadcast in
+    the same stage — the wedge stream itself is never exchanged. No
+    driver state."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.withColumnsRenamed({"l_partkey": "src"})
     b = li.withColumnsRenamed({"l_partkey": "dst"})
@@ -2206,20 +2208,35 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probed map-side and NEVER exchanged (the single biggest frame in
     # this plan — 72M rows at sf0.1 vs 1.2M edges)
     closing_h, _ = measured_broadcast(closing, "b")
-    dl, dr = d.alias("w1"), d.alias("w2")
+    # r16 (VERDICT item 5): wedges are generated MAP-SIDE from each tail's
+    # sorted out-adjacency (collect_list of (dhead, head) structs — the
+    # struct sort IS the (dhead, head) wedge order the old self-join
+    # predicate enforced, and structs stay overflow-free at any partkey
+    # width, unlike a packed-long key) instead of the aliased self-join:
+    # one groupBy(tail) exchange of |E| rows replaces the join's two
+    # exchanges + SMJ machinery, and the 72M-wedge stream is emitted by a
+    # codegen'd generate→probe→partial-agg stage with no join-row copies.
+    # The _part_cooccurrence r15 precedent at wedge scale; out-adjacency
+    # is orientation-bounded (O(√m) per tail) so the collected row stays
+    # small at any SF. Interleaved A/B at sf0.1 (same d, fresh process,
+    # both orders): self-join {7.43, 5.74, 7.85, 6.79} vs map-side struct
+    # form {4.92, 4.46, 3.43} + packed probe {5.65, 5.34, 5.29, 6.28} —
+    # map-side wins every paired rep; output proven identical (sorted
+    # top-20 rows compared) before the switch.
+    adj = d.groupBy("tail").agg(
+        F.sort_array(F.collect_list(F.struct("dhead", "head"))).alias("A")
+    )
     wedges = (
-        dl.join(dr, F.col("w1.tail") == F.col("w2.tail"))
-        .where(
-            (F.col("w1.dhead") < F.col("w2.dhead"))
-            | (
-                (F.col("w1.dhead") == F.col("w2.dhead"))
-                & (F.col("w1.head") < F.col("w2.head"))
-            )
+        adj.select("tail", "A", F.posexplode("A").alias("i", "h1"))
+        .select(
+            "tail",
+            "h1",
+            F.explode(F.expr("slice(A, i + 2, size(A))")).alias("h2"),
         )
         .select(
-            F.col("w1.tail").alias("corner_a"),
-            F.col("w1.head").alias("b"),
-            F.col("w2.head").alias("c"),
+            F.col("tail").alias("corner_a"),
+            F.col("h1.head").alias("b"),
+            F.col("h2.head").alias("c"),
         )
     )
     tri = wedges.join(closing_h, ["b", "c"])
@@ -6085,7 +6102,20 @@ def _min_oriented_tris(pairs: DataFrame) -> DataFrame:
     measuring action costs a pass over the checkpointed pair set per
     consumer, the ~1M-row broadcast build is its own job, and the hint
     breaks the (b, c) exchange that downstream consumers reuse. Keep the
-    plain shuffle join."""
+    plain shuffle join.
+
+    NEGATIVE A/B #2 (r16): map-side wedge fan-out (groupBy(pa) +
+    sort_array(collect_list(pb)) + slice/posexplode — the form that won
+    on g_triangle_count, where the closing set is broadcast) measured a
+    kernel-level ~8% win with overlapping spreads (isolated tris-count
+    {5.7, 7.0, 8.1, 6.2} vs {7.6, 7.4, 7.0, 6.7} s) but a TIE-to-slight-
+    LOSS at the consumer (g_triad_census interleaved warm: map-side
+    {8.3, 9.3, 10.0, 9.8} vs committed {8.7, 9.6, 9.2}) — here the wedge
+    stream must still be EXCHANGED on (b, c) for the closing shuffle
+    join, so removing the self-join machinery buys nothing the exchange
+    doesn't take back. Output proven set-identical (exceptAll both
+    directions, 0 rows at sf0.01) before rejecting. Keep the self-join
+    form."""
     e1 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     e2 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
     wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))

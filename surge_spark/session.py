@@ -94,6 +94,16 @@ def get_spark(app_name: str = "surge_spark", cpus: int | None = None) -> SparkSe
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    # Deployment escape hatch (r16): extra confs from the environment, for
+    # knobs that must be set at session build time (static SQL confs,
+    # SparkConf core settings) without editing this file — the same role
+    # spark-defaults.conf plays on a cluster. Format:
+    # SPARK_GRAFT_EXTRA_CONFS="k=v;k2=v2". Applied LAST so an A/B can
+    # override any default above; empty/absent is a no-op.
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
