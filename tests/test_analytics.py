@@ -4,6 +4,8 @@ consistency), plus hypothesis coverage for the weighted sampler."""
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -27,6 +29,7 @@ weight_rows = st.lists(
 
 @given(rows=weight_rows)
 @settings(**SETTINGS)
+@pytest.mark.slow  # r16 fast-tier split (>10 s; see pytest.ini)
 def test_weighted_sample_properties(spark, rows):
     """A-ES sampling: output is a subset of the positive-weight rows, sized
     min(k, #positive), and invariant under input row order (the score is
@@ -263,6 +266,7 @@ def test_lsh_recall_found_is_subset(spark, sf_dir):
     ),
 )
 @settings(**SETTINGS)
+@pytest.mark.slow  # r16 fast-tier split (>10 s; see pytest.ini)
 def test_min_label_rounds_is_min_within_3_hops(spark, edges):
     """_min_label_rounds(3): every node's label equals the minimum node id
     reachable within <= 3 hops on the symmetric graph — checked against a
@@ -583,6 +587,7 @@ def test_wide_int_helper_renderings():
     assert wide_int("x", duck=True, wide=False) == "x"
 
 
+@pytest.mark.slow  # r16 fast-tier split (>10 s; see pytest.ini)
 def test_rank_stats_decimal_twins_equal_bigint(spark, sf_dir):
     """The three n³-channel stats entries' wide_int twins (r14 task 4)
     ship values identical to their bigint originals wherever the bigint
@@ -1110,6 +1115,7 @@ def test_modularity_identities(spark, sf_dir):
     assert abs(row.modularity - q) < 2e-6
 
 
+@pytest.mark.slow  # r16 fast-tier split (>10 s; see pytest.ini)
 def test_modularity_converged_contract(spark, sf_dir):
     """Q of the CONVERGED partition: same conservation bounds as the
     2-round entry (intra_edges <= n_edges, Q in [-0.5, 1]), identical
@@ -1334,6 +1340,7 @@ def test_filtered_ann_subset_of_unfiltered(spark, sf_dir):
             assert rs[0].cosine <= full[qid] + 1e-9
 
 
+@pytest.mark.slow  # r16 fast-tier split (>10 s; see pytest.ini)
 def test_data_quality_checks_contract(spark, sf_dir):
     """The suite covers the fixed check list exactly once each;
     violations never exceed the checked count; and the synthetic

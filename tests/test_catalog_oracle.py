@@ -9,6 +9,9 @@ import pytest
 from surge_spark.oracle import compare
 from surge_spark.queries import all_queries
 
+# r16 fast-tier split (see pytest.ini): every-entry oracle mirror — the driver's own correctness gate re-runs this independently (CORRECTNESS_rN)
+pytestmark = pytest.mark.slow
+
 NAMES = sorted(all_queries())
 
 

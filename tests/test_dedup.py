@@ -9,6 +9,11 @@ from pyspark.sql import functions as F
 from surge_spark.operators import dedup as dd
 
 
+import pytest
+
+# r16 fast-tier split (see pytest.ini): dedup pipeline end-to-end scenarios (~1.5 min)
+pytestmark = pytest.mark.slow
+
 def _docs(spark, texts):
     return spark.createDataFrame(
         pd.DataFrame({"doc_id": range(len(texts)), "text": texts})

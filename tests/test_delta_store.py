@@ -10,11 +10,16 @@ bucket rewrite over ``delta_commits`` batches.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
 from surge_spark.streaming.snapshot_store import SnapshotStore
 
+
+# r16 fast-tier split (see pytest.ini): snapshot-store end-to-end scenarios (~2 min)
+pytestmark = pytest.mark.slow
 
 def _upd(spark, rows):
     return spark.createDataFrame(rows, "k string, n long")

@@ -4,6 +4,8 @@ BankAccountCommandEngineSpec.scala:34-79."""
 
 from __future__ import annotations
 
+import pytest
+
 from surge_spark.engine import SurgeEngine, SurgeModel
 
 
@@ -366,6 +368,7 @@ def test_submit_many_distributed_fold_at_scale(spark, tmp_path):
         assert engine.aggregate_for(k).get_state()["balance"] == bal, k
 
 
+@pytest.mark.slow  # r16 fast-tier split (>10 s; see pytest.ini)
 def test_salted_fold_preserves_long_state_in_mixed_buckets(spark, tmp_path):
     """Review-finding regression: the salted fold's Arrow bucket mixes
     keys, so a stateless key's left-join NULLs promote a LONG state
@@ -413,6 +416,7 @@ def test_salted_fold_preserves_long_state_in_mixed_buckets(spark, tmp_path):
     assert engine.aggregate_for("fresh-7").get_state()["n"] == 1
 
 
+@pytest.mark.slow  # r16 fast-tier split (>10 s; see pytest.ini)
 def test_keys_hint_escapes_backslashes_and_quotes(spark, tmp_path):
     """Review-finding regression: keys_hint renders as a parsed IN string;
     an unescaped backslash in a key changes the literal under Spark's

@@ -4,6 +4,8 @@ deterministic fake decoder — see operators.multimodal)."""
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -863,6 +865,7 @@ def test_ppm_wide_maxval_and_scaling():
     assert (img == np.round(v4 * 17.0).astype(np.uint8)).all()
 
 
+@pytest.mark.slow  # r16 fast-tier split (>10 s; see pytest.ini)
 def test_png_zlib_bomb_bounded_and_serial_budget():
     """Two decode-bomb guards (r10 review): (a) the inflate is bounded by
     the header-derived raw size, so a 1x1-declared payload carrying a

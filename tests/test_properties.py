@@ -5,6 +5,8 @@ expensive, so examples are small and deadlines disabled."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 import pandas as pd
@@ -102,6 +104,7 @@ texts = st.lists(
 
 @given(docs=texts)
 @settings(**SETTINGS)
+@pytest.mark.slow  # r16 fast-tier split (>10 s; see pytest.ini)
 def test_jaccard_pairs_bounds_and_symmetry(spark, docs):
     """jaccard in (0, 1]; identical normalized docs always hit 1.0; pair ids
     are ordered (a < b) exactly once."""
@@ -140,6 +143,7 @@ _store_ops = st.lists(
 
 @given(batches=_store_ops)
 @settings(**SETTINGS)
+@pytest.mark.slow  # r16 fast-tier split (>10 s; see pytest.ini)
 def test_multi_point_read_matches_get_state(spark, batches, tmp_path_factory):
     """The driver-side fold's batched arrow state read must agree with
     get_state for EVERY key — across random upsert/tombstone histories,
@@ -179,6 +183,7 @@ def test_multi_point_read_matches_get_state(spark, batches, tmp_path_factory):
         assert got[k] == store.get_state(spark, k), k
 
 
+@pytest.mark.slow  # r16 fast-tier split (>10 s; see pytest.ini)
 def test_ansi_overflow_adversarial_inputs(spark, tmp_path):
     """ANSI/INT-overflow audit backstop (VERDICT r12 task 1): drive the
     text/metrics catalog entries whose plans carry integer-typed
@@ -261,6 +266,7 @@ def test_ansi_overflow_adversarial_inputs(spark, tmp_path):
         assert rows is not None, name
 
 
+@pytest.mark.slow  # r16 fast-tier split (>10 s; see pytest.ini)
 def test_int_arith_flags_all_in_bounded_classes(spark, sf_dir):
     """The catalog-wide ANSI/INT-overflow audit as a PINNED ALLOWLIST
     (r14 VERDICT task 5 — 'discipline decays'): walk every catalog

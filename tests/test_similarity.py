@@ -3,6 +3,8 @@ LSH-ANN recall vs brute force on real embeddings."""
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -98,6 +100,7 @@ def test_embedding_neardup_max_block_bounds_pairs_keeps_block_recall(spark):
     assert len(capped_pairs) >= len(full_pairs) / 10
 
 
+@pytest.mark.slow  # r16 fast-tier split (>10 s; see pytest.ini)
 def test_ann_ivf_recall(spark, sf_dir):
     """IVF recall@10 vs brute force. With 8 cells and probe 4, each query
     scans ~half the corpus; on random-ish vectors (the adversarial case —
@@ -356,6 +359,7 @@ def test_random_projection_preserves_planted_neighbors(spark):
         assert r.corpus_id == r.query_id + 100, (r.query_id, r.corpus_id)
 
 
+@pytest.mark.slow  # r16 fast-tier split (>10 s; see pytest.ini)
 def test_ivf_recall_audit_cross_entry_consistency(spark, sf_dir):
     """The audit's recall must equal what the two PUBLIC entries imply:
     |sim_ann_ivf_topk ∩ sim_cosine_topk_bruteforce| per query (same

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 
 from surge_spark.operators.skew import salted_count_per_key, salted_join
@@ -32,6 +34,7 @@ def test_salted_count_per_key(spark):
     assert out.loc["cold", "n"] == 7
 
 
+@pytest.mark.slow  # r16 fast-tier split (>10 s; see pytest.ini)
 def test_snapshot_vacuum_keeps_recent_and_events(spark, tmp_path):
     """Vacuum is reference-counted under the bucketed layout: superseded
     bucket dirs are reclaimed, but a dir still referenced by a kept manifest
@@ -393,6 +396,7 @@ def test_manifest_checkpoint_bounds_commit_and_lookup_cost(spark, tmp_path):
         SS._manifest = orig
 
 
+@pytest.mark.slow  # r16 fast-tier split (>10 s; see pytest.ini)
 def test_checkpointed_store_preserves_read_and_reply_paths(spark, tmp_path):
     """End-to-end over the checkpoint boundary: commits beyond the interval
     keep read_state/get_state/replies_for_batch/time-travel exact, across
@@ -464,6 +468,7 @@ def test_shuffle_shards_balanced_and_seed_independent(spark):
         shuffle_shards(df, "doc_id", n_shards=0)
 
 
+@pytest.mark.slow  # r16 fast-tier split (>10 s; see pytest.ini)
 def test_event_log_compaction_preserves_log_and_reclaims_dirs(spark, tmp_path):
     """compact_events: read_events is identical before/after, superseded
     per-version dirs are reclaimed, a second (incremental) compaction folds

@@ -21,6 +21,9 @@ from surge_spark.streaming.command_engine import CommandEngine
 from surge_spark.streaming.fold import stateful_fold_stream
 from surge_spark.streaming.snapshot_store import SnapshotStore
 
+# r16 fast-tier split (see pytest.ini): streaming end-to-end scenarios (~7 min)
+pytestmark = pytest.mark.slow
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
